@@ -1,0 +1,164 @@
+"""Ported reference micro-fixtures (FIXTURES.md §C; exact-value tests
+from /root/reference/tests/tests_spark.py and tests_utils.py), asserted
+against this engine's native-expression equivalents."""
+
+from __future__ import annotations
+
+import math
+
+import numpy as np
+import pytest
+from pyspark.sql import functions as F
+
+from value_at_risk_spark.functions.features import (
+    nonlinear_features,
+    predict_nonlinear,
+)
+from value_at_risk_spark.functions.returns import log_return
+from value_at_risk_spark.functions.risk import (
+    basel_zone,
+    count_breaches,
+    value_at_risk_expr,
+)
+from value_at_risk_spark.functions.vector import (
+    cosine_similarity,
+    dot_product,
+    scale_vector,
+)
+
+
+def test_log_return(spark):
+    # tests_spark.py:20-34 — compute_return(2,3) ≈ 0.4 (1 d.p.)
+    row = spark.createDataFrame([(2.0, 3.0)], "first double, close double").select(
+        log_return("first", "close").alias("r")
+    ).first()
+    assert round(row.r, 1) == 0.4
+    assert row.r == pytest.approx(math.log(3 / 2))
+
+
+def test_wsse(spark):
+    # tests_spark.py:36-50 — (2-3)^2 = 1
+    row = spark.createDataFrame([(2.0, 3.0)], "p double, a double").select(
+        F.pow(F.col("p") - F.col("a"), 2).alias("wsse")
+    ).first()
+    assert row.wsse == 1.0
+
+
+def test_var_and_shortfall_percentile_ramp(spark):
+    # tests_spark.py:52-76 / tests_utils.py:15-26 — arange(100), VaR95≈5
+    data = [(float(x),) for x in range(100)]
+    df = spark.createDataFrame(data, "x double")
+    var95 = df.select(value_at_risk_expr("x", 95.0).alias("v")).first().v
+    assert var95 == pytest.approx(np.percentile(np.arange(100), 5))
+    es = (
+        df.filter(F.col("x") <= var95)
+        .select(F.avg("x").alias("es"))
+        .first()
+        .es
+    )
+    expected = np.arange(100)[np.arange(100) <= var95].mean()
+    assert es == pytest.approx(expected)
+
+
+def test_weighted_returns_scale(spark):
+    # tests_spark.py:78-98 — element-wise × 2
+    df = spark.createDataFrame(
+        [([float(x) for x in range(100)], 2.0)], "returns array<double>, weight double"
+    )
+    out = df.select(scale_vector("returns", "weight").alias("w")).first().w
+    assert out == [2.0 * x for x in range(100)]
+
+
+def test_circulant_mean_cov(spark):
+    # tests_spark.py:100-130 — circulant 5×5: means all 3, cov rows sum 0
+    from value_at_risk_spark.operators.vector_agg import vector_mean_cov
+
+    base = [1.0, 2.0, 3.0, 4.0, 5.0]
+    rows = [(1, base[i:] + base[:i]) for i in range(5)]
+    df = spark.createDataFrame(rows, "g int, features array<double>")
+    out = vector_mean_cov(df, ["g"], "features").first()
+    assert [round(v, 9) for v in out.vol_avg] == [3.0] * 5
+    pdf_cov = np.cov(np.array([r[1] for r in rows]).T, ddof=1)
+    got = np.array(out.vol_cov)
+    assert np.allclose(got, pdf_cov)
+    assert np.allclose(got.sum(axis=1), 0.0)
+
+
+def test_simulation_determinism(spark):
+    # tests_spark.py:133-162 — same trial_id ⇒ identical draw across rows
+    from value_at_risk_spark.montecarlo import simulate_market
+
+    avg = [0.0] * 3
+    cov = [[1.0, 0.1, 0.0], [0.1, 1.0, 0.1], [0.0, 0.1, 1.0]]
+    df = spark.createDataFrame(
+        [(avg, cov, 7), (avg, cov, 7), (avg, cov, 8)],
+        "vol_avg array<double>, vol_cov array<array<double>>, trial_id long",
+    ).repartition(3)
+    rows = df.select(
+        "trial_id", simulate_market("vol_avg", "vol_cov", "trial_id").alias("f")
+    ).collect()
+    by_id = {}
+    for r in rows:
+        by_id.setdefault(r.trial_id, []).append(tuple(r.f))
+    assert by_id[7][0] == by_id[7][1]
+    assert by_id[7][0] != by_id[8][0]
+    rng = np.random.default_rng(7)
+    expected = rng.multivariate_normal(np.array(avg), np.array(cov))
+    assert by_id[7][0] == pytest.approx(tuple(expected))
+
+
+def test_seed_frame(spark):
+    # tests_utils.py:10-13 — trial_id spine 0..9
+    from value_at_risk_spark.montecarlo import seed_frame
+
+    rows = seed_frame(spark, 10).orderBy("trial_id").collect()
+    assert [r.trial_id for r in rows] == list(range(10))
+
+
+def test_nonlinear_feature_expansion(spark):
+    # tests_utils.py:28-30 — [1,4] → [1,1,1,1,4,16,64,2]
+    df = spark.createDataFrame([([1.0, 4.0],)], "xs array<double>")
+    out = df.select(nonlinear_features("xs").alias("f")).first().f
+    assert out == [1.0, 1.0, 1.0, 1.0, 4.0, 16.0, 64.0, 2.0]
+
+
+def test_predictor_algebra(spark):
+    # tests_utils.py:32-35 — 0.01-weights over expansion of [1,4]
+    feats = [1.0, 1.0, 1.0, 1.0, 4.0, 16.0, 64.0, 2.0]
+    weights = [0.01] * 9
+    df = spark.createDataFrame(
+        [(weights, feats)], "weights array<double>, features array<double>"
+    )
+    out = df.select(predict_nonlinear("weights", "features").alias("p")).first().p
+    assert out == pytest.approx((sum(feats) + 1) / 100)
+
+
+def test_count_breaches_and_zone(spark):
+    # utils/var_udf.py:22-30 — breach counting + traffic-light bounds
+    df = spark.createDataFrame(
+        [([-0.05, -0.01, 0.02, -0.08, 0.0], -0.04)],
+        "prev array<double>, var_99 double",
+    )
+    out = df.select(
+        count_breaches("prev", "var_99").alias("b"),
+    ).withColumn("zone", basel_zone("b"))
+    r = out.first()
+    assert r.b == 2  # -0.05 and -0.08
+    assert r.zone == 0
+    zones = spark.createDataFrame(
+        [(3,), (4,), (9,), (10,)], "b int"
+    ).select(basel_zone("b").alias("z")).collect()
+    assert [z.z for z in zones] == [0, 1, 1, 2]
+
+
+def test_dot_and_cosine(spark):
+    df = spark.createDataFrame(
+        [([1.0, 2.0, 3.0], [4.0, 5.0, 6.0])], "a array<double>, b array<double>"
+    )
+    r = df.select(
+        dot_product("a", "b").alias("d"),
+        cosine_similarity("a", "b").alias("c"),
+    ).first()
+    assert r.d == pytest.approx(32.0)
+    na, nb = math.sqrt(14), math.sqrt(77)
+    assert r.c == pytest.approx(32.0 / (na * nb))

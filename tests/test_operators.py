@@ -1,0 +1,208 @@
+"""Operator-level tests: as-of join semantics vs pandas merge_asof,
+gap-fill, vector aggregation forms, trial packing, dedup, similarity."""
+
+from __future__ import annotations
+
+import numpy as np
+import pandas as pd
+import pytest
+from pyspark.sql import functions as F
+
+from value_at_risk_spark.montecarlo import pack_trials
+from value_at_risk_spark.operators.asof import asof_join
+from value_at_risk_spark.operators.dedup import (
+    exact_dedup,
+    jaccard_similarity,
+    minhash_lsh_pairs,
+    minhash_signatures,
+    simhash,
+)
+from value_at_risk_spark.operators.gapfill import forward_fill_spine
+from value_at_risk_spark.operators.similarity import cosine_topk, lsh_topk
+from value_at_risk_spark.operators.vector_agg import (
+    vector_sum,
+    vector_sum_zipwith,
+)
+
+
+def test_asof_join_backward_inclusive(spark):
+    left = spark.createDataFrame(
+        [("A", 5, "l1"), ("A", 10, "l2"), ("A", 3, "l0"), ("B", 7, "l3")],
+        "k string, ts long, lv string",
+    )
+    right = spark.createDataFrame(
+        [("A", 4, 1.0), ("A", 10, 2.0), ("B", 8, 3.0)],
+        "k string, ts long, rv double",
+    )
+    out = {
+        (r.k, r.ts): (r.right_ts, r.right_rv)
+        for r in asof_join(left, right, on="ts", by=["k"]).collect()
+    }
+    assert out[("A", 3)] == (None, None)  # nothing at or before 3
+    assert out[("A", 5)] == (4, 1.0)
+    assert out[("A", 10)] == (10, 2.0)  # inclusive at equal ts
+    assert out[("B", 7)] == (None, None)  # B's right row is at 8 > 7
+
+
+def test_asof_join_matches_merge_asof(spark):
+    rng = np.random.default_rng(0)
+    lts = sorted(rng.integers(0, 1000, 50).tolist())
+    rts = sorted(rng.integers(0, 1000, 20).tolist())
+    left = spark.createDataFrame([(int(t),) for t in lts], "ts long")
+    right = spark.createDataFrame(
+        [(int(t), float(i)) for i, t in enumerate(rts)], "ts long, v double"
+    )
+    got = (
+        asof_join(left, right, on="ts")
+        .orderBy("ts")
+        .select("ts", "right_v")
+        .toPandas()
+    )
+    exp = pd.merge_asof(
+        pd.DataFrame({"ts": lts}),
+        pd.DataFrame({"ts": rts, "right_v": [float(i) for i in range(len(rts))]}),
+        on="ts",
+        direction="backward",
+    )
+    # merge_asof keeps the last dup per ts; ours the same via last()
+    got = got.groupby("ts").last().reset_index()
+    exp = exp.groupby("ts").last().reset_index()
+    pd.testing.assert_frame_equal(got, exp)
+
+
+def test_forward_fill_spine(spark):
+    df = spark.createDataFrame(
+        [
+            ("X", "2020-01-06", 1.0),  # Monday
+            ("X", "2020-01-09", None),  # Thursday, null value
+            ("X", "2020-01-13", 3.0),  # next Monday
+        ],
+        "k string, d string, v double",
+    ).select("k", F.col("d").cast("date").alias("d"), "v")
+    out = forward_fill_spine(df, ["k"], "d", ["v"]).orderBy("d").collect()
+    # business days 6,7,8,9,10,13 (weekend 11,12 excluded)
+    assert [str(r.d) for r in out] == [
+        "2020-01-06",
+        "2020-01-07",
+        "2020-01-08",
+        "2020-01-09",
+        "2020-01-10",
+        "2020-01-13",
+    ]
+    assert [r.v for r in out] == [1.0, 1.0, 1.0, 1.0, 1.0, 3.0]
+
+
+def test_vector_sum_forms_agree(spark):
+    rng = np.random.default_rng(1)
+    rows = [(int(i % 3), rng.standard_normal(8).tolist()) for i in range(30)]
+    df = spark.createDataFrame(rows, "g int, vec array<double>")
+    a = {
+        r.g: [round(v, 9) for v in r.vec_sum]
+        for r in vector_sum(df, ["g"], "vec").collect()
+    }
+    b = {
+        r.g: [round(v, 9) for v in r.vec_sum]
+        for r in vector_sum_zipwith(df, ["g"], "vec").collect()
+    }
+    exp = {}
+    for g, vec in rows:
+        exp.setdefault(g, np.zeros(8))
+        exp[g] = exp[g] + np.array(vec)
+    for g in exp:
+        assert a[g] == pytest.approx([round(v, 9) for v in exp[g]], abs=1e-8)
+        assert b[g] == pytest.approx(a[g], abs=1e-8)
+
+
+def test_pack_trials_sorted_by_trial_id(spark):
+    rows = [
+        ("2020-01-01", "T", 2, 0.3),
+        ("2020-01-01", "T", 0, 0.1),
+        ("2020-01-01", "T", 1, 0.2),
+    ]
+    df = spark.createDataFrame(
+        rows, "date string, ticker string, trial_id long, return double"
+    )
+    out = pack_trials(df).first()
+    assert out.returns == [0.1, 0.2, 0.3]
+
+
+def test_exact_dedup(spark):
+    df = spark.createDataFrame(
+        [(0, "hello world"), (1, "hello world"), (2, "unique text")],
+        "doc_id long, text string",
+    )
+    out = {r.keep_id: r.n_dupes for r in exact_dedup(df).collect()}
+    assert out == {0: 2, 2: 1}
+
+
+def test_jaccard(spark):
+    df = spark.createDataFrame(
+        [("a b c d", "a b c e"), ("a b", "c d")], "x string, y string"
+    )
+    out = [r.jaccard for r in jaccard_similarity(df, "x", "y").collect()]
+    assert out[0] == pytest.approx(3 / 5)
+    assert out[1] == 0.0
+
+
+def test_minhash_lsh_finds_near_dups(spark):
+    base = "the quick brown fox jumps over the lazy dog " * 5
+    near = base.replace("lazy", "sleepy")
+    far = "completely different content about spark engines and parquet files"
+    df = spark.createDataFrame(
+        [(0, base), (1, near), (2, far), (3, base)], "doc_id long, text string"
+    )
+    sigs = minhash_signatures(df, num_hashes=32, shingle_n=3)
+    pairs = {(r.id_a, r.id_b) for r in minhash_lsh_pairs(sigs, num_bands=8).collect()}
+    assert (0, 3) in pairs  # identical docs always collide
+    assert (0, 1) in pairs or (1, 3) in pairs  # near-dup caught by some band
+    assert (0, 2) not in pairs and (1, 2) not in pairs
+
+
+def test_simhash_hamming_locality(spark):
+    base = "the quick brown fox jumps over the lazy dog and keeps running fast"
+    near = base.replace("dog", "cat")
+    far = "numbers table query plan shuffle partition executor memory spill disk"
+    df = spark.createDataFrame(
+        [(0, base), (1, near), (2, far)], "doc_id long, text string"
+    )
+    fp = {r.doc_id: r.simhash for r in simhash(df).collect()}
+
+    def hamming(a, b):
+        return bin((a ^ b) & ((1 << 64) - 1)).count("1")
+
+    assert hamming(fp[0], fp[1]) < hamming(fp[0], fp[2])
+
+
+def test_cosine_topk_exact(spark):
+    rng = np.random.default_rng(2)
+    vecs = rng.standard_normal((20, 8))
+    corpus = spark.createDataFrame(
+        [(int(i), vecs[i].tolist()) for i in range(20)],
+        "neighbor_id long, embedding array<double>",
+    )
+    q = spark.createDataFrame(
+        [(0, vecs[0].tolist())], "query_id long, embedding array<double>"
+    )
+    got = [
+        r.neighbor_id
+        for r in cosine_topk(q, corpus, k=3).orderBy("rank").collect()
+    ]
+    sims = vecs @ vecs[0] / (np.linalg.norm(vecs, axis=1) * np.linalg.norm(vecs[0]))
+    exp = [i for i in np.argsort(-sims) if i != 0][:3]
+    assert got == [int(e) for e in exp]
+
+
+def test_lsh_topk_reasonable_recall(spark):
+    rng = np.random.default_rng(3)
+    vecs = rng.standard_normal((100, 16))
+    corpus = spark.createDataFrame(
+        [(int(i), vecs[i].tolist()) for i in range(100)],
+        "neighbor_id long, embedding array<double>",
+    )
+    q = spark.createDataFrame(
+        [(0, vecs[0].tolist())], "query_id long, embedding array<double>"
+    )
+    got = lsh_topk(q, corpus, k=5, num_planes=2, dim=16).collect()
+    # with 2 planes ~25% of corpus shares the bucket; we must get some hits
+    assert len(got) > 0
+    assert all(r.neighbor_id != 0 for r in got)

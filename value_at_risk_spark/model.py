@@ -1,0 +1,75 @@
+"""Per-group model fit + distributed scoring — SURVEY §2.4 A6, §2.10.
+
+Reference: per-ticker OLS over non-linear market features with
+statsmodels inside a grouped-map pandas UDF
+(``/root/reference/02_var_model.py:137-154``), the fitted weights frozen
+into an MLflow pyfunc and re-applied as a Spark UDF
+(``02_var_model.py:154-220``).
+
+Engine design: the fit stays a per-group ``applyInPandas`` (a genuine
+numerical boundary — SURVEY §2.10 principle), but uses
+``numpy.linalg.lstsq`` (no statsmodels dependency) and returns a plain
+``(key, weights:array<double>)`` DataFrame. Scoring is a **broadcast
+join + native dot-product expression** (functions/features.py
+``predict_nonlinear``) — no model registry, no Python at scoring time,
+so the 30M-row scoring fan-out (BASELINE.md) stays inside whole-stage
+codegen.
+"""
+
+from __future__ import annotations
+
+import numpy as np
+import pandas as pd
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+from value_at_risk_spark.functions.features import (
+    nonlinear_features,
+    predict_nonlinear,
+)
+
+
+def fit_ols_per_group(
+    df: DataFrame,
+    group_col: str,
+    feature_col: str,
+    target_col: str,
+) -> DataFrame:
+    """OLS fit per group → (group, weights[intercept, coefs...]).
+
+    Grouped-map equivalent of train_model (02_var_model.py:137-154);
+    weights[0] is the intercept, matching utils/var_utils.py:58-62.
+    """
+    schema = f"{group_col} string, weights array<double>"
+
+    def _fit(pdf: pd.DataFrame) -> pd.DataFrame:
+        X = np.vstack(pdf[feature_col].to_numpy())
+        X = np.hstack([np.ones((X.shape[0], 1)), X])
+        y = pdf[target_col].to_numpy(dtype=float)
+        w, *_ = np.linalg.lstsq(X, y, rcond=None)
+        return pd.DataFrame(
+            {group_col: [pdf[group_col].iloc[0]], "weights": [w.tolist()]}
+        )
+
+    return df.groupBy(group_col).applyInPandas(_fit, schema=schema)
+
+
+def score(
+    df: DataFrame,
+    weights: DataFrame,
+    group_col: str,
+    feature_col: str,
+    out_col: str = "prediction",
+    expand: bool = True,
+) -> DataFrame:
+    """Broadcast-join weights and apply the native linear predictor.
+
+    Replaces mlflow.pyfunc.spark_udf scoring (02_var_model.py:219-220,
+    03_var_monte_carlo.py:98-109). The weights table is tiny (one row
+    per instrument) → broadcast hash join; the predictor is a Catalyst
+    expression ⇒ the hot path never leaves the JVM.
+    """
+    feats = nonlinear_features(feature_col) if expand else F.col(feature_col)
+    return df.join(F.broadcast(weights), on=group_col).withColumn(
+        out_col, predict_nonlinear("weights", feats)
+    )

@@ -1,0 +1,102 @@
+"""Monte-Carlo trial fan-out + market simulation — SURVEY §2.8 F12, §2.3 J1/J2.
+
+Reference flow (``/root/reference/03_var_monte_carlo.py``):
+seed frame 0..N-1 (``utils/var_utils.py:30-33``) cross-joined with the
+per-run-date volatility stats (``03:64``), then a per-row Python UDF
+draws one multivariate-normal market state seeded by ``trial_id``
+(``utils/var_udf.py:57-67``).
+
+Reproducibility contract (SURVEY §7.6, test-asserted by the reference at
+``tests/tests_spark.py:133-162``): each row's RNG is seeded with its own
+``trial_id`` — NEVER a global seed — so draws survive re-partitioning,
+task retries, and speculative execution unchanged.
+
+Engine changes vs reference:
+- the per-row scalar UDF becomes an Arrow-vectorized ``pandas_udf``
+  (batched, ~10-100× less serde overhead);
+- the seed frame is generated distributed via ``spark.range`` (no
+  driver-side pandas lift);
+- the cross join broadcasts the small side explicitly.
+"""
+
+from __future__ import annotations
+
+import numpy as np
+import pandas as pd
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+from pyspark.sql.types import ArrayType, DoubleType
+
+
+def seed_frame(spark: SparkSession, runs: int) -> DataFrame:
+    """trial_id spine 0..runs-1 (utils/var_utils.py:30-33), distributed."""
+    return spark.range(0, runs).select(F.col("id").alias("trial_id"))
+
+
+@F.pandas_udf(ArrayType(DoubleType()))
+def simulate_market(
+    vol_avg: pd.Series, vol_cov: pd.Series, trial_id: pd.Series
+) -> pd.Series:
+    """One multivariate-normal draw per row, seeded by trial_id.
+
+    Vectorized re-expression of ``simulate_market``
+    (utils/var_udf.py:57-67): same per-row ``default_rng(seed)``
+    contract, batch-applied over Arrow record batches.
+    """
+    out = []
+    for avg, cov, seed in zip(vol_avg, vol_cov, trial_id):
+        rng = np.random.default_rng(int(seed))
+        draw = rng.multivariate_normal(np.asarray(avg, dtype=float),
+                                       np.asarray([np.asarray(r) for r in cov], dtype=float))
+        out.append(draw.tolist())
+    return pd.Series(out)
+
+
+def simulate_trials(
+    volatility: DataFrame,
+    runs: int,
+    date_col: str = "date",
+) -> DataFrame:
+    """volatility (date, vol_avg, vol_cov) × trials → simulated market states.
+
+    03_var_monte_carlo.py:55-87 re-expressed: cross join against the
+    seed spine (the spine is tiny → broadcast), then the vectorized
+    sampler. Output: (date, trial_id, features).
+    """
+    spark = volatility.sparkSession
+    seeds = seed_frame(spark, runs)
+    fan = volatility.crossJoin(seeds.hint("broadcast")) if runs <= 1_000_000 else volatility.crossJoin(seeds)
+    return fan.select(
+        date_col,
+        "trial_id",
+        simulate_market("vol_avg", "vol_cov", "trial_id").alias("features"),
+    )
+
+
+def pack_trials(
+    scored: DataFrame,
+    date_col: str = "date",
+    key_col: str = "ticker",
+    trial_col: str = "trial_id",
+    value_col: str = "return",
+) -> DataFrame:
+    """Pack per-(date,key) trial returns into a trial-ordered dense array.
+
+    Replaces the reference's collect_list×2 + sparse→dense ``to_vector``
+    UDF (03_var_monte_carlo.py:124-137) with
+    ``array_sort(collect_list(struct(trial_id, v)))`` — explicit sort, no
+    Python, no VectorUDT (SURVEY §7.9/§7.10).
+    """
+    return (
+        scored.groupBy(date_col, key_col)
+        .agg(
+            F.array_sort(
+                F.collect_list(F.struct(F.col(trial_col), F.col(value_col)))
+            ).alias("_tv")
+        )
+        .select(
+            date_col,
+            key_col,
+            F.transform(F.col("_tv"), lambda x: x[value_col]).alias("returns"),
+        )
+    )

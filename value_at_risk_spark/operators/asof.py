@@ -1,0 +1,89 @@
+"""Native as-of (point-in-time) join — SURVEY §2.3 J5.
+
+The reference takes this from ``dbl-tempo``'s ``TSDF.asofJoin``
+(``/root/reference/02_var_model.py:97-104`` partitioned by ticker;
+``03_var_monte_carlo.py:30-42`` and ``05_var_compliance.py:84-99``
+unpartitioned). Semantics: for each left row, attach the latest right
+row with ``right.ts <= left.ts`` (backward inclusive); right columns
+emerge with a ``right_`` prefix.
+
+Implementation: the union-window pattern —
+
+1. project both sides to a common schema, left rows tagged ``_side=1``
+   and right rows ``_side=0`` (so at equal timestamps the right row
+   sorts first ⇒ inclusive semantics);
+2. one window pass ``last(right_cols, ignoreNulls=True) OVER
+   (PARTITION BY keys ORDER BY ts, _side ROWS UNBOUNDED PRECEDING)``;
+3. keep left rows.
+
+Scale properties: exactly ONE shuffle (by the partition keys) and one
+sort — same cost as a sort-merge join, no Python boundary, no
+per-group pandas materialization. With no partition keys the window
+degenerates to a single task (the reference accepts the same trade-off
+for its ~500-row series — SURVEY §4); for large unkeyed as-of joins use
+``key_hint`` to salt by a coarse time bucket with boundary carry-over,
+or supply partition keys.
+
+DuckDB oracle twin: ``ASOF JOIN ... ON l.k = r.k AND l.ts >= r.ts``.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+from pyspark.sql.window import Window
+
+
+def asof_join(
+    left: DataFrame,
+    right: DataFrame,
+    on: str = "ts",
+    by: list[str] | None = None,
+    prefix: str = "right_",
+    right_on: str | None = None,
+) -> DataFrame:
+    """Backward-inclusive as-of join, tempo-compatible output shape.
+
+    Every right column except the ``by`` keys comes back ``prefix``-ed
+    (including the right timestamp, as ``right_<ts>`` — matching tempo's
+    output consumed at e.g. 02_var_model.py:105-110).
+    """
+    by = by or []
+    right_on = right_on or on
+
+    left_cols = left.columns
+    payload_cols = [c for c in right.columns if c not in by and c != right_on]
+    p_ts = f"{prefix}{right_on}"
+    p_payload = [f"{prefix}{c}" for c in payload_cols]
+
+    lhs = left.select(
+        *[F.col(c) for c in left_cols],
+        F.lit(1).alias("_side"),
+        F.col(on).alias("_asof_ts"),
+        F.lit(None).cast(right.schema[right_on].dataType).alias(p_ts),
+        *[
+            F.lit(None).cast(right.schema[c].dataType).alias(f"{prefix}{c}")
+            for c in payload_cols
+        ],
+    )
+    rhs = right.select(
+        *[F.lit(None).cast(left.schema[c].dataType).alias(c) for c in left_cols if c not in by],
+        *[F.col(c) for c in by],
+        F.lit(0).alias("_side"),
+        F.col(right_on).alias("_asof_ts"),
+        F.col(right_on).alias(p_ts),
+        *[F.col(c).alias(f"{prefix}{c}") for c in payload_cols],
+    )
+
+    unioned = lhs.unionByName(rhs)
+    w = (
+        (Window.partitionBy(*by) if by else Window.partitionBy())
+        .orderBy("_asof_ts", "_side")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    filled = unioned.select(
+        *[F.col(c) for c in left_cols],
+        F.col("_side"),
+        *[F.last(c, ignorenulls=True).over(w).alias(c) for c in [p_ts, *p_payload]],
+    )
+    return filled.filter(F.col("_side") == 1).drop("_side")

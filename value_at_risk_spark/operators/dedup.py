@@ -1,0 +1,169 @@
+"""Deduplication operators (north-star surface, BASELINE.json).
+
+Exact, MinHash-LSH, SimHash, and n-gram-Jaccard dedup over a document
+table. Designed for the 100 TB regime:
+
+- exact: one hash-shuffle on a 128-bit digest (md5) — the digest, not
+  the document body, is the shuffle key payload.
+- minhash-LSH: signatures via xxhash64 (JVM-side), banded so candidate
+  generation is an equi-join on (band, band_hash) buckets — no pairwise
+  O(n²) stage; the final Jaccard check runs only on bucket collisions.
+- simhash: 64-bit fingerprint via per-token xxhash64 bit-votes, all in
+  higher-order functions.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+from value_at_risk_spark.functions.text import shingles, tokens
+
+
+def exact_dedup(
+    df: DataFrame, text_col: str = "text", id_col: str = "doc_id"
+) -> DataFrame:
+    """Exact dedup: keep the lowest id per identical text digest.
+
+    groupBy(md5(text)) → min(id). The shuffle carries (digest, id) only;
+    survivors re-join to recover payload columns if needed.
+    """
+    return (
+        df.select(F.md5(F.col(text_col)).alias("text_hash"), F.col(id_col))
+        .groupBy("text_hash")
+        .agg(F.min(id_col).alias("keep_id"), F.count(F.lit(1)).alias("n_dupes"))
+    )
+
+
+def minhash_signatures(
+    df: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    num_hashes: int = 32,
+    shingle_n: int = 3,
+) -> DataFrame:
+    """MinHash signature per document, all JVM-side.
+
+    Hash family: xxhash64(shingle, seed=i) for i in 0..k-1; the
+    signature element i is the min over shingles. Expressed with
+    transform + array_min — no Python, vectorizable, linear in
+    (docs × shingles × k).
+    """
+    sh = df.select(id_col, shingles(text_col, shingle_n).alias("_sh"))
+    sig_elems = [
+        F.array_min(
+            F.transform(F.col("_sh"), lambda s, i=i: F.xxhash64(s, F.lit(i)))
+        ).alias(f"h{i}")
+        for i in range(num_hashes)
+    ]
+    return sh.select(id_col, F.array(*sig_elems).alias("signature"))
+
+
+def minhash_lsh_pairs(
+    signatures: DataFrame,
+    id_col: str = "doc_id",
+    num_bands: int = 8,
+) -> DataFrame:
+    """LSH banding: candidate pairs = docs sharing any band bucket.
+
+    Explode the signature into ``num_bands`` band-hashes, equi-join on
+    (band, band_hash) — Catalyst does a hash shuffle on the bucket key,
+    so cost is O(candidates), never O(n²). Self-join is deduped by
+    id_a < id_b.
+    """
+    k = signatures.select(F.size("signature")).first()[0]
+    rows_per_band = max(1, k // num_bands)
+    bands = signatures.select(
+        id_col,
+        F.posexplode(
+            F.array(
+                *[
+                    F.xxhash64(
+                        F.concat_ws(
+                            ",",
+                            F.transform(
+                                F.slice("signature", b * rows_per_band + 1, rows_per_band),
+                                lambda x: x.cast("string"),
+                            ),
+                        )
+                    )
+                    for b in range(num_bands)
+                ]
+            )
+        ).alias("band", "band_hash"),
+    )
+    a = bands.alias("a")
+    b = bands.alias("b")
+    return (
+        a.join(
+            b,
+            on=[
+                F.col("a.band") == F.col("b.band"),
+                F.col("a.band_hash") == F.col("b.band_hash"),
+                F.col(f"a.{id_col}") < F.col(f"b.{id_col}"),
+            ],
+        )
+        .select(
+            F.col(f"a.{id_col}").alias("id_a"), F.col(f"b.{id_col}").alias("id_b")
+        )
+        .distinct()
+    )
+
+
+def jaccard_similarity(
+    df: DataFrame,
+    text_a: str,
+    text_b: str,
+    out_col: str = "jaccard",
+    tokenize: bool = True,
+) -> DataFrame:
+    """Token-set Jaccard between two columns (exact verify step).
+
+    With ``tokenize=True`` the inputs are raw text; with False they are
+    already token arrays (e.g. pre-shingled).
+    """
+    if tokenize:
+        ta = F.array_distinct(tokens(text_a))
+        tb = F.array_distinct(tokens(text_b))
+    else:
+        ta = F.array_distinct(F.col(text_a))
+        tb = F.array_distinct(F.col(text_b))
+    inter = F.size(F.array_intersect(ta, tb))
+    union = F.size(ta) + F.size(tb) - inter
+    return df.withColumn(
+        out_col, inter / F.greatest(union, F.lit(1))
+    )
+
+
+def simhash(
+    df: DataFrame, text_col: str = "text", id_col: str = "doc_id", bits: int = 64
+) -> DataFrame:
+    """64-bit SimHash fingerprint per doc: per-token xxhash64, bit votes.
+
+    For each bit position, vote +1/-1 by the token-hash bit; fingerprint
+    bit = sign of the vote sum. Near-dups differ in few bits (Hamming).
+    Pure higher-order functions; xxhash64 is a JVM intrinsic.
+    """
+    def _mask(b: int) -> int:
+        # bit 63 is the sign bit of a 64-bit long
+        return (1 << b) if b < 63 else -(1 << 63)
+
+    # One xxhash64 per (doc, token), then 64 conditional-sum aggregates in
+    # a single hash-agg pass — not 64 separate folds over the token array
+    # (which inlines the hash expression 64× and re-evaluates it per bit).
+    tok = df.select(
+        id_col, F.explode(F.array_distinct(tokens(text_col))).alias("_t")
+    ).select(id_col, F.xxhash64("_t").alias("_h"))
+    votes = tok.groupBy(id_col).agg(
+        *[
+            F.sum(
+                F.when(F.col("_h").bitwiseAND(F.lit(_mask(b))) != 0, 1).otherwise(-1)
+            ).alias(f"_v{b}")
+            for b in range(bits)
+        ]
+    )
+    fp = None
+    for b in range(bits):
+        bit = F.when(F.col(f"_v{b}") > 0, F.lit(_mask(b))).otherwise(F.lit(0))
+        fp = bit if fp is None else fp.bitwiseOR(bit)
+    return votes.select(id_col, fp.cast("long").alias("simhash"))

@@ -1,0 +1,118 @@
+"""Element-wise vector aggregation over array columns — SURVEY §2.4 A5/A8.
+
+The reference's group-wise vector sum is MLlib ``Summarizer.sum`` over
+``VectorUDT`` (``/root/reference/04_var_aggregation.py:35-41,58-66,
+86-94,114-123``; ``05_var_compliance.py:68-75``), and its windowed
+mean/covariance are per-row Python UDFs over collected arrays
+(``utils/var_udf.py:44-54``). Two native forms here:
+
+- ``vector_sum`` (explode form): posexplode → hash-agg by (keys, pos) →
+  re-assemble sorted. Fully native, partial-aggregatable map-side,
+  oracle-expressible. Shuffle volume = rows × dim, but each shuffled
+  row is (key, int, double) — compact, and the hash agg combines
+  map-side so the exchange carries only group × dim rows.
+- ``vector_sum_zipwith`` (fold form): aggregate(collect_list(vec), zero,
+  zip_with(+)) — single shuffle of whole arrays; better when dim is
+  large and groups are few. collect_list order does not matter for a
+  commutative elementwise sum (up to FP rounding).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+
+
+def vector_sum(
+    df: DataFrame,
+    group_cols: list[str],
+    vec_col: str,
+    out_col: str = "vec_sum",
+    round_to: int | None = None,
+) -> DataFrame:
+    """Element-wise sum of an array column per group (explode form)."""
+    exploded = df.select(
+        *group_cols, F.posexplode(vec_col).alias("_pos", "_v")
+    )
+    summed = exploded.groupBy(*group_cols, "_pos").agg(
+        F.sum(F.col("_v").cast("double")).alias("_s")
+    )
+    return (
+        summed.groupBy(*group_cols)
+        .agg(F.array_sort(F.collect_list(F.struct("_pos", "_s"))).alias("_ps"))
+        .select(
+            *group_cols,
+            F.transform(F.col("_ps"), lambda x: F.round(x["_s"], round_to) if round_to is not None else x["_s"]).alias(out_col),
+        )
+    )
+
+
+def vector_sum_zipwith(
+    df: DataFrame,
+    group_cols: list[str],
+    vec_col: str,
+    out_col: str = "vec_sum",
+) -> DataFrame:
+    """Element-wise sum via fold over collect_list (array-at-a-time form)."""
+    first_elem = F.element_at(F.col("_vecs"), 1)
+    zero = F.transform(first_elem, lambda _: F.lit(0.0))
+    folded = F.aggregate(
+        F.col("_vecs"),
+        zero,
+        lambda acc, v: F.zip_with(acc, v, lambda a, b: a + b.cast("double")),
+    )
+    return (
+        df.groupBy(*group_cols)
+        .agg(F.collect_list(vec_col).alias("_vecs"))
+        .select(*group_cols, folded.alias(out_col))
+    )
+
+
+def vector_mean_cov(
+    df: DataFrame,
+    group_cols: list[str],
+    vec_col: str,
+    mean_col: str = "vol_avg",
+    cov_col: str = "vol_cov",
+) -> DataFrame:
+    """Column-wise mean + sample covariance matrix of array rows per group.
+
+    Native replacement for ``compute_avg`` / ``compute_cov``
+    (utils/var_udf.py:44-54; pandas ``.cov()`` ⇒ ddof=1 ⇒ covar_samp,
+    SURVEY §7.3). Cross-pairs each row's positions (dim² per row) then
+    avg / covar_samp by (keys, i, j); reassembles the matrix sorted.
+    """
+    pairs = df.select(
+        *group_cols,
+        F.posexplode(vec_col).alias("_i", "_xi"),
+        F.col(vec_col).alias("_vec"),
+    ).select(
+        *group_cols,
+        "_i",
+        "_xi",
+        F.posexplode("_vec").alias("_j", "_xj"),
+    )
+    stats = pairs.groupBy(*group_cols, "_i", "_j").agg(
+        F.avg("_xi").alias("_mean_i"),
+        F.covar_samp("_xi", "_xj").alias("_cov_ij"),
+    )
+    rows = stats.groupBy(*group_cols, "_i").agg(
+        F.min("_mean_i").alias("_mean_i"),
+        F.array_sort(F.collect_list(F.struct("_j", "_cov_ij"))).alias("_cr"),
+    )
+    return (
+        rows.groupBy(*group_cols)
+        .agg(
+            F.array_sort(
+                F.collect_list(F.struct("_i", "_mean_i", F.col("_cr")))
+            ).alias("_m")
+        )
+        .select(
+            *group_cols,
+            F.transform(F.col("_m"), lambda x: x["_mean_i"]).alias(mean_col),
+            F.transform(
+                F.col("_m"),
+                lambda x: F.transform(x["_cr"], lambda c: c["_cov_ij"]),
+            ).alias(cov_col),
+        )
+    )

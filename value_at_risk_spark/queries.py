@@ -1,0 +1,1196 @@
+"""Named operator queries + DuckDB oracle twins (driver contract).
+
+Every operator from SURVEY.md §2 (plus the north-star dedup /
+similarity / text-analysis surface) is exposed here as a named query
+over the driver's fixture tables, with an ANSI-SQL oracle twin that
+DuckDB runs on the same parquet files. The driver compares row count +
+schema + order-insensitive value hash at sf0.01.
+
+Conventions for engine-parity (see FIXTURES.md "Oracle-parity notes"):
+- all double outputs rounded (money → 2dp, stats/returns → 6dp, avgs →
+  4dp) in BOTH engines, so accumulation-order FP noise cannot flip the
+  value hash;
+- timestamps surfaced as DATE (Spark session TZ pinned to UTC);
+- counts / ranks / positions cast to bigint on both sides;
+- identical aliases on both sides (driver sorts columns by name);
+- exact `percentile` (linear interpolation = np.percentile =
+  quantile_cont), never percentile_approx, in oracle-compared queries
+  (SURVEY §7.2).
+
+The VaR time-series queries treat `orders` as a 5-series market:
+o_orderpriority = instrument/factor, daily totalprice sum = price level
+— the same (key, date, value) shape as the reference's market_data
+table (/root/reference/01_var_market_etl.py:37-47).
+"""
+
+from __future__ import annotations
+
+from collections.abc import Callable
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+from pyspark.sql.window import Window
+
+from value_at_risk_spark.functions.features import nonlinear_features, predict_nonlinear
+from value_at_risk_spark.functions.returns import log_returns_over
+from value_at_risk_spark.functions.risk import basel_zone, value_at_risk_expr
+from value_at_risk_spark.functions.text import STOPWORDS
+from value_at_risk_spark.functions.vector import dot_product
+from value_at_risk_spark.model import fit_ols_per_group
+from value_at_risk_spark.operators.asof import asof_join
+from value_at_risk_spark.operators.dedup import (
+    exact_dedup,
+    jaccard_similarity,
+    minhash_lsh_pairs,
+    minhash_signatures,
+    simhash,
+)
+from value_at_risk_spark.operators.gapfill import forward_fill_spine
+from value_at_risk_spark.operators.similarity import cosine_topk, lsh_topk
+from value_at_risk_spark.operators.vector_agg import vector_mean_cov
+from value_at_risk_spark.montecarlo import simulate_trials
+from value_at_risk_spark.sources.registry import Registry
+
+QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {}
+ORACLES: dict[str, str] = {}
+
+
+def query(name: str, oracle: str | None = None):
+    def deco(fn):
+        QUERIES[name] = fn
+        if oracle is not None:
+            ORACLES[name] = oracle
+        return fn
+
+    return deco
+
+
+def _t(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
+    return Registry(sf_dir).read(spark, name)
+
+
+# --------------------------------------------------------------------------
+# Shared building blocks: the orders-as-market time series
+# --------------------------------------------------------------------------
+
+# Oracle CTE fragments (kept verbatim-identical across queries).
+SQL_DAILY = """
+daily AS (
+  SELECT o_orderpriority AS series,
+         CAST(o_orderdate AS DATE) AS d,
+         ROUND(SUM(o_totalprice), 2) AS price
+  FROM orders
+  GROUP BY 1, 2
+)
+"""
+
+SQL_RETS = (
+    SQL_DAILY
+    + """,
+rets AS (
+  SELECT series, d,
+         (ROUND(LN(price / COALESCE(
+             LAG(price) OVER (PARTITION BY series ORDER BY d), price)), 6) + 0) AS ret
+  FROM daily
+)
+"""
+)
+
+
+def daily_prices(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """series/date/price level frame (the market_data analogue)."""
+    orders = _t(spark, sf_dir, "orders")
+    return orders.groupBy(
+        F.col("o_orderpriority").alias("series"),
+        F.col("o_orderdate").cast("date").alias("d"),
+    ).agg(F.round(F.sum("o_totalprice"), 2).alias("price"))
+
+
+def daily_returns(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-series log returns, reference first-row-zero semantics (W3/F1)."""
+    daily = daily_prices(spark, sf_dir)
+    return daily.select(
+        "series",
+        "d",
+        (F.round(log_returns_over("price", ["series"], "d"), 6) + F.lit(0.0)).alias("ret"),
+    )
+
+
+def _daynum(col: str = "d"):
+    """Days since epoch anchor — numeric RANGE window key on both engines."""
+    return F.datediff(F.col(col), F.lit("1990-01-01"))
+
+
+# --------------------------------------------------------------------------
+# 1. Relational core (SURVEY §2.2, §2.3 J1/J4, §2.4 A1-A3/A7/A9, §2.6 O1-O2)
+# --------------------------------------------------------------------------
+
+
+@query(
+    "pricing_summary",
+    """
+SELECT l_returnflag, l_linestatus,
+       ROUND(SUM(l_quantity), 2) AS sum_qty,
+       ROUND(SUM(l_extendedprice), 2) AS sum_base_price,
+       ROUND(SUM(ROUND(l_extendedprice * (1 - l_discount), 4)), 4) AS sum_disc_price,
+       ROUND(SUM(ROUND(l_extendedprice * (1 - l_discount) * (1 + l_tax) + 5e-9, 4)), 4) AS sum_charge,
+       ROUND(AVG(l_quantity), 4) AS avg_qty,
+       ROUND(AVG(l_extendedprice), 4) AS avg_price,
+       ROUND(AVG(l_discount), 4) AS avg_disc,
+       COUNT(*) AS count_order
+FROM lineitem
+WHERE l_shipdate <= DATE '2000-09-02'
+GROUP BY l_returnflag, l_linestatus
+""",
+)
+def pricing_summary(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H-Q1-shaped grouped aggregation (A1/A7; flagship agg shape).
+
+    Filter reaches the parquet scan (PushedFilters on l_shipdate);
+    partial aggregation map-side; two-column hash agg.
+    """
+    li = _t(spark, sf_dir, "lineitem")
+    disc_price = F.col("l_extendedprice") * (1 - F.col("l_discount"))
+    return (
+        li.filter(F.col("l_shipdate") <= F.lit("2000-09-02").cast("date"))
+        .groupBy("l_returnflag", "l_linestatus")
+        .agg(
+            F.round(F.sum("l_quantity"), 2).alias("sum_qty"),
+            F.round(F.sum("l_extendedprice"), 2).alias("sum_base_price"),
+            F.round(F.sum(F.round(disc_price, 4)), 4).alias("sum_disc_price"),
+            # + 5e-9: the 6-decimal charge grid lands exactly on round-4
+            # boundaries; the epsilon makes both engines round those up.
+            F.round(
+                F.sum(F.round(disc_price * (1 + F.col("l_tax")) + 5e-9, 4)), 4
+            ).alias("sum_charge"),
+            F.round(F.avg("l_quantity"), 4).alias("avg_qty"),
+            F.round(F.avg("l_extendedprice"), 4).alias("avg_price"),
+            F.round(F.avg("l_discount"), 4).alias("avg_disc"),
+            F.count(F.lit(1)).alias("count_order"),
+        )
+    )
+
+
+@query(
+    "filter_project",
+    """
+SELECT l_orderkey, l_linenumber,
+       CAST(l_shipdate AS DATE) AS ship_d,
+       ROUND(l_extendedprice * (1 - l_discount), 4) AS revenue
+FROM lineitem
+WHERE l_shipdate >= DATE '1997-01-01' AND l_shipdate < DATE '1998-01-01'
+  AND l_discount BETWEEN 0.02 AND 0.09
+  AND l_quantity < 24
+""",
+)
+def filter_project(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Predicate + projection pushdown (P1-P6); scan reads 6 columns only."""
+    li = _t(spark, sf_dir, "lineitem")
+    return li.filter(
+        (F.col("l_shipdate") >= F.lit("1997-01-01").cast("date"))
+        & (F.col("l_shipdate") < F.lit("1998-01-01").cast("date"))
+        & F.col("l_discount").between(0.02, 0.09)
+        & (F.col("l_quantity") < 24)
+    ).select(
+        "l_orderkey",
+        "l_linenumber",
+        F.col("l_shipdate").cast("date").alias("ship_d"),
+        F.round(F.col("l_extendedprice") * (1 - F.col("l_discount")), 4).alias(
+            "revenue"
+        ),
+    )
+
+
+@query(
+    "distinct_priorities",
+    "SELECT DISTINCT o_orderpriority AS priority FROM orders",
+)
+def distinct_priorities(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Distinct projection (P10)."""
+    return (
+        _t(spark, sf_dir, "orders")
+        .select(F.col("o_orderpriority").alias("priority"))
+        .distinct()
+    )
+
+
+@query(
+    "join_revenue_by_nation",
+    """
+SELECT n_name, r_name, COUNT(*) AS n_orders, ROUND(SUM(o_totalprice), 2) AS revenue
+FROM orders
+JOIN customer ON o_custkey = c_custkey
+JOIN nation ON c_nationkey = n_nationkey
+JOIN region ON n_regionkey = r_regionkey
+GROUP BY 1, 2
+""",
+)
+def join_revenue_by_nation(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Multi-way equi join with explicit broadcast of dimensions (J4).
+
+    customer/nation/region are dimension-sized → broadcast-hash joins;
+    only the orders fact streams. Mirrors the portfolio joins at
+    04_var_aggregation.py:16 / 05_var_compliance.py:48.
+    """
+    o = _t(spark, sf_dir, "orders")
+    c = _t(spark, sf_dir, "customer")
+    n = _t(spark, sf_dir, "nation")
+    r = _t(spark, sf_dir, "region")
+    return (
+        o.join(F.broadcast(c), o.o_custkey == c.c_custkey)
+        .join(F.broadcast(n), c.c_nationkey == n.n_nationkey)
+        .join(F.broadcast(r), n.n_regionkey == r.r_regionkey)
+        .groupBy("n_name", "r_name")
+        .agg(
+            F.count(F.lit(1)).alias("n_orders"),
+            F.round(F.sum("o_totalprice"), 2).alias("revenue"),
+        )
+    )
+
+
+@query(
+    "cross_join_nation_region",
+    "SELECT n_name, r_name FROM nation CROSS JOIN region",
+)
+def cross_join_nation_region(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Condition-less cross join (J1-J3 shape; trial fan-out mechanism)."""
+    n = _t(spark, sf_dir, "nation")
+    r = _t(spark, sf_dir, "region")
+    return n.crossJoin(F.broadcast(r)).select("n_name", "r_name")
+
+
+@query(
+    "semi_join_customers_with_orders",
+    """
+SELECT c_custkey, c_name FROM customer c
+WHERE EXISTS (SELECT 1 FROM orders o WHERE o.o_custkey = c.c_custkey)
+""",
+)
+def semi_join_customers_with_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Left-semi join (engine surface beyond the reference; SURVEY §2.3)."""
+    c = _t(spark, sf_dir, "customer")
+    o = _t(spark, sf_dir, "orders")
+    return c.join(o, c.c_custkey == o.o_custkey, "left_semi").select(
+        "c_custkey", "c_name"
+    )
+
+
+@query(
+    "anti_join_customers_without_orders",
+    """
+SELECT c_custkey, c_name FROM customer c
+WHERE NOT EXISTS (SELECT 1 FROM orders o WHERE o.o_custkey = c.c_custkey)
+""",
+)
+def anti_join_customers_without_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Left-anti join."""
+    c = _t(spark, sf_dir, "customer")
+    o = _t(spark, sf_dir, "orders")
+    return c.join(o, c.c_custkey == o.o_custkey, "left_anti").select(
+        "c_custkey", "c_name"
+    )
+
+
+@query(
+    "set_union_nations",
+    """
+SELECT c_nationkey AS nationkey FROM customer
+UNION
+SELECT s_nationkey AS nationkey FROM supplier
+""",
+)
+def set_union_nations(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """UNION DISTINCT (set-op surface, SURVEY §2.7)."""
+    c = _t(spark, sf_dir, "customer").select(F.col("c_nationkey").alias("nationkey"))
+    s = _t(spark, sf_dir, "supplier").select(F.col("s_nationkey").alias("nationkey"))
+    return c.union(s).distinct()
+
+
+@query(
+    "set_intersect_nations",
+    """
+SELECT c_nationkey AS nationkey FROM customer
+INTERSECT
+SELECT s_nationkey AS nationkey FROM supplier
+""",
+)
+def set_intersect_nations(spark: SparkSession, sf_dir: str) -> DataFrame:
+    c = _t(spark, sf_dir, "customer").select(F.col("c_nationkey").alias("nationkey"))
+    s = _t(spark, sf_dir, "supplier").select(F.col("s_nationkey").alias("nationkey"))
+    return c.intersect(s)
+
+
+@query(
+    "set_except_nations",
+    """
+SELECT c_nationkey AS nationkey FROM customer
+EXCEPT
+SELECT s_nationkey AS nationkey FROM supplier
+""",
+)
+def set_except_nations(spark: SparkSession, sf_dir: str) -> DataFrame:
+    c = _t(spark, sf_dir, "customer").select(F.col("c_nationkey").alias("nationkey"))
+    s = _t(spark, sf_dir, "supplier").select(F.col("s_nationkey").alias("nationkey"))
+    return c.subtract(s)  # EXCEPT DISTINCT semantics
+
+
+@query(
+    "top3_orders_per_customer",
+    """
+SELECT o_custkey, o_orderkey, o_totalprice, rnk FROM (
+  SELECT o_custkey, o_orderkey, o_totalprice,
+         ROW_NUMBER() OVER (PARTITION BY o_custkey
+                            ORDER BY o_totalprice DESC, o_orderkey) AS rnk
+  FROM orders
+) WHERE rnk <= 3
+""",
+)
+def top3_orders_per_customer(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Top-k per group via ranking window (engine surface; SURVEY §2.5
+    'not present' list — exposed because worst-1%-of-events analyses
+    imply it)."""
+    o = _t(spark, sf_dir, "orders")
+    w = Window.partitionBy("o_custkey").orderBy(
+        F.desc("o_totalprice"), F.asc("o_orderkey")
+    )
+    return (
+        o.select(
+            "o_custkey",
+            "o_orderkey",
+            "o_totalprice",
+            F.row_number().over(w).cast("long").alias("rnk"),
+        )
+        .filter(F.col("rnk") <= 3)
+    )
+
+
+@query(
+    "rollup_customers_by_region",
+    """
+SELECT r_name, n_name, COUNT(*) AS n_customers, ROUND(SUM(c_acctbal), 2) AS total_bal
+FROM customer
+JOIN nation ON c_nationkey = n_nationkey
+JOIN region ON n_regionkey = r_regionkey
+GROUP BY ROLLUP (r_name, n_name)
+""",
+)
+def rollup_customers_by_region(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ROLLUP grouping sets — the idiomatic completion of the
+    reference's date×country×industry slice-and-dice
+    (04_var_aggregation.py:82; SURVEY §2.4 note)."""
+    c = _t(spark, sf_dir, "customer")
+    n = _t(spark, sf_dir, "nation")
+    r = _t(spark, sf_dir, "region")
+    return (
+        c.join(F.broadcast(n), c.c_nationkey == n.n_nationkey)
+        .join(F.broadcast(r), n.n_regionkey == r.r_regionkey)
+        .rollup("r_name", "n_name")
+        .agg(
+            F.count(F.lit(1)).alias("n_customers"),
+            F.round(F.sum("c_acctbal"), 2).alias("total_bal"),
+        )
+    )
+
+
+EVENT_TYPES = ["click", "error", "purchase", "signup", "view"]
+
+
+@query(
+    "pivot_events_daily",
+    """
+SELECT CAST(ts AS DATE) AS day,
+       ROUND(SUM(value) FILTER (WHERE event_type = 'click'), 4) AS "click",
+       ROUND(SUM(value) FILTER (WHERE event_type = 'error'), 4) AS "error",
+       ROUND(SUM(value) FILTER (WHERE event_type = 'purchase'), 4) AS "purchase",
+       ROUND(SUM(value) FILTER (WHERE event_type = 'signup'), 4) AS "signup",
+       ROUND(SUM(value) FILTER (WHERE event_type = 'view'), 4) AS "view"
+FROM events
+GROUP BY 1
+""",
+)
+def pivot_events_daily(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Pivot (A9) with an explicit value list (no extra distinct pass)."""
+    e = _t(spark, sf_dir, "events")
+    return (
+        e.groupBy(F.col("ts").cast("date").alias("day"))
+        .pivot("event_type", EVENT_TYPES)
+        .agg(F.round(F.sum("value"), 4))
+    )
+
+
+@query(
+    "events_json_extract",
+    """
+SELECT event_id, CAST(json_extract_string(props, '$.k') AS BIGINT) AS k
+FROM events
+""",
+)
+def events_json_extract(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Semi-structured access: JSON field extraction (engine surface)."""
+    e = _t(spark, sf_dir, "events")
+    return e.select(
+        "event_id", F.get_json_object("props", "$.k").cast("long").alias("k")
+    )
+
+
+# --------------------------------------------------------------------------
+# 2. Time-series / VaR core (SURVEY §2.5 W1-W3, §2.3 J5/J6, §2.6 O3-O4,
+#    §2.8 F1/F4/F10/F11/F14, §2.1 S1 gap-fill)
+# --------------------------------------------------------------------------
+
+
+@query(
+    "daily_price_series",
+    "SELECT series, d, price FROM (WITH "
+    + SQL_DAILY
+    + " SELECT * FROM daily)",
+)
+def daily_price_series(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The market_data analogue: (series, date, price level)."""
+    return daily_prices(spark, sf_dir)
+
+
+@query(
+    "log_returns_daily",
+    "WITH " + SQL_RETS + " SELECT series, d, ret FROM rets",
+)
+def log_returns_daily(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-series log returns via lag window (W3/F1).
+
+    First row per series is log(p/p)=0, reproducing the reference's
+    ``first over rowsBetween(-1,0)`` semantics (SURVEY §7.5).
+    """
+    return daily_returns(spark, sf_dir)
+
+
+@query(
+    "trailing_volatility_90d",
+    "WITH "
+    + SQL_RETS
+    + """
+SELECT series, d,
+       ROUND(STDDEV_SAMP(ret) OVER w, 6) AS vol_90d,
+       COUNT(ret) OVER w AS n_obs
+FROM rets
+WINDOW w AS (PARTITION BY series
+             ORDER BY datediff('day', DATE '1990-01-01', d)
+             RANGE BETWEEN 90 PRECEDING AND CURRENT ROW)
+""",
+)
+def trailing_volatility_90d(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Trailing 90-day time-range window (W1) — the volatility window of
+    01_var_market_etl.py:167-175, with stddev instead of the Python
+    mean/cov UDFs (those are exercised in mc_volatility_stats below).
+
+    Partitioned by series ⇒ no single-task global window (SURVEY §4
+    hazard); the range key is a day number so the frame is calendar-
+    time, not row-count.
+    """
+    rets = daily_returns(spark, sf_dir)
+    w = (
+        Window.partitionBy("series")
+        .orderBy(_daynum("d"))
+        .rangeBetween(-90, 0)
+    )
+    return rets.select(
+        "series",
+        "d",
+        F.round(F.stddev_samp("ret").over(w), 6).alias("vol_90d"),
+        F.count("ret").over(w).alias("n_obs"),
+    )
+
+
+@query(
+    "var99_by_series",
+    "WITH "
+    + SQL_RETS
+    + """
+SELECT series,
+       ROUND(quantile_cont(ret, 0.01), 6) AS var_99,
+       COUNT(*) AS n_obs
+FROM rets GROUP BY series
+""",
+)
+def var99_by_series(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """VaR-99 = exact 1st percentile of the return distribution (O3;
+    get_var semantics, utils/var_utils.py:42-44)."""
+    rets = daily_returns(spark, sf_dir)
+    return rets.groupBy("series").agg(
+        F.round(value_at_risk_expr("ret", 99.0), 6).alias("var_99"),
+        F.count(F.lit(1)).alias("n_obs"),
+    )
+
+
+@query(
+    "expected_shortfall_99",
+    "WITH "
+    + SQL_RETS
+    + """,
+v AS (
+  SELECT series, ROUND(quantile_cont(ret, 0.01), 6) AS var_99
+  FROM rets GROUP BY series
+)
+SELECT r.series, v.var_99,
+       ROUND(AVG(r.ret) FILTER (WHERE r.ret <= v.var_99), 6) AS shortfall
+FROM rets r JOIN v ON r.series = v.series
+GROUP BY r.series, v.var_99
+""",
+)
+def expected_shortfall_99(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Expected shortfall: mean of the tail at or below VaR (O4;
+    get_shortfall, utils/var_utils.py:36-39). Broadcast the tiny
+    per-series VaR frame back onto returns."""
+    rets = daily_returns(spark, sf_dir)
+    v = rets.groupBy("series").agg(
+        F.round(value_at_risk_expr("ret", 99.0), 6).alias("var_99")
+    )
+    return (
+        rets.join(F.broadcast(v), "series")
+        .groupBy("series", "var_99")
+        .agg(
+            F.round(
+                F.avg(F.when(F.col("ret") <= F.col("var_99"), F.col("ret"))), 6
+            ).alias("shortfall")
+        )
+    )
+
+
+@query(
+    "asof_join_events",
+    """
+WITH pday AS (
+  SELECT CAST(ts AS DATE) AS pd, ROUND(SUM(value), 4) AS pval
+  FROM events WHERE event_type = 'purchase' GROUP BY 1
+),
+clicks AS (
+  SELECT event_id, CAST(ts AS DATE) AS cd, ROUND(value, 4) AS cval
+  FROM events WHERE event_type = 'click'
+)
+SELECT c.event_id, c.cd, c.cval,
+       p.pd AS right_pd, p.pval AS right_pval
+FROM clicks c ASOF LEFT JOIN pday p ON c.cd >= p.pd
+""",
+)
+def asof_join_events(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Unpartitioned backward as-of join (J5; tempo usage at
+    03_var_monte_carlo.py:30-42): each click event picks up the latest
+    daily purchase aggregate at or before its day."""
+    e = _t(spark, sf_dir, "events")
+    pday = (
+        e.filter(F.col("event_type") == "purchase")
+        .groupBy(F.col("ts").cast("date").alias("pd"))
+        .agg(F.round(F.sum("value"), 4).alias("pval"))
+    )
+    clicks = e.filter(F.col("event_type") == "click").select(
+        "event_id",
+        F.col("ts").cast("date").alias("cd"),
+        F.round("value", 4).alias("cval"),
+    )
+    return asof_join(clicks, pday, on="cd", right_on="pd")
+
+
+@query(
+    "asof_join_orders_returns",
+    "WITH "
+    + SQL_RETS
+    + """
+SELECT o.o_orderkey, o.series, o.od,
+       r.d AS right_d, r.ret AS right_ret
+FROM (
+  SELECT o_orderkey, o_orderpriority AS series, CAST(o_orderdate AS DATE) AS od
+  FROM orders
+) o ASOF LEFT JOIN rets r ON o.series = r.series AND o.od >= r.d
+""",
+)
+def asof_join_orders_returns(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Partitioned as-of join (J5; tempo usage at 02_var_model.py:97-104):
+    every order row picks up its priority-series' latest return at or
+    before the order date. One shuffle on the series key."""
+    o = _t(spark, sf_dir, "orders").select(
+        "o_orderkey",
+        F.col("o_orderpriority").alias("series"),
+        F.col("o_orderdate").cast("date").alias("od"),
+    )
+    rets = daily_returns(spark, sf_dir)
+    return asof_join(o, rets, on="od", by=["series"], right_on="d")
+
+
+@query(
+    "basel_breach_zones",
+    "WITH "
+    + SQL_RETS
+    + """,
+v AS (
+  SELECT series, ROUND(quantile_cont(ret, 0.01), 6) AS var_99
+  FROM rets GROUP BY series
+),
+j AS (
+  SELECT r.series, r.d, r.ret, v.var_99,
+         datediff('day', DATE '1990-01-01', r.d) AS dn
+  FROM rets r JOIN v ON r.series = v.series
+)
+SELECT series, d, var_99,
+       CAST(SUM(CASE WHEN ret <= var_99 THEN 1 ELSE 0 END) OVER w AS BIGINT) AS breaches,
+       CASE WHEN SUM(CASE WHEN ret <= var_99 THEN 1 ELSE 0 END) OVER w <= 3 THEN 0
+            WHEN SUM(CASE WHEN ret <= var_99 THEN 1 ELSE 0 END) OVER w < 10 THEN 1
+            ELSE 2 END AS zone
+FROM j
+WINDOW w AS (PARTITION BY series ORDER BY dn
+             RANGE BETWEEN 250 PRECEDING AND CURRENT ROW)
+""",
+)
+def basel_breach_zones(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Basel backtest (W2 + F4; 05_var_compliance.py:112-121 +
+    utils/var_udf.py:22-30): trailing-250-day breach count of actual
+    returns against VaR-99, mapped to traffic-light zones (code bounds:
+    ≤3 green, <10 yellow — SURVEY §7.7)."""
+    rets = daily_returns(spark, sf_dir)
+    v = rets.groupBy("series").agg(
+        F.round(value_at_risk_expr("ret", 99.0), 6).alias("var_99")
+    )
+    j = rets.join(F.broadcast(v), "series")
+    w = (
+        Window.partitionBy("series")
+        .orderBy(_daynum("d"))
+        .rangeBetween(-250, 0)
+    )
+    breaches = F.sum(
+        F.when(F.col("ret") <= F.col("var_99"), 1).otherwise(0)
+    ).over(w)
+    return j.select(
+        "series",
+        "d",
+        "var_99",
+        breaches.cast("long").alias("breaches"),
+        basel_zone(breaches).alias("zone"),
+    )
+
+
+@query(
+    "nonlinear_feature_expansion",
+    "WITH "
+    + SQL_RETS
+    + """
+SELECT series, d,
+       (ROUND(ret, 6) + 0) AS f_x,
+       (ROUND(SIGN(ret) * ret * ret, 6) + 0) AS f_x2,
+       (ROUND(ret * ret * ret, 6) + 0) AS f_x3,
+       (ROUND(SIGN(ret) * SQRT(ABS(ret)), 6) + 0) AS f_sqrt
+FROM rets
+""",
+)
+def nonlinear_feature_expansion(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Non-linear feature expansion (F10; utils/var_utils.py:47-55) as a
+    native higher-order expression, surfaced as scalar columns."""
+    rets = daily_returns(spark, sf_dir)
+    feats = nonlinear_features(F.array(F.col("ret")))
+    return rets.select(
+        "series",
+        "d",
+        (F.round(feats[0], 6) + F.lit(0.0)).alias("f_x"),
+        (F.round(feats[1], 6) + F.lit(0.0)).alias("f_x2"),
+        (F.round(feats[2], 6) + F.lit(0.0)).alias("f_x3"),
+        (F.round(feats[3], 6) + F.lit(0.0)).alias("f_sqrt"),
+    )
+
+
+@query(
+    "linear_predictor_score",
+    "WITH "
+    + SQL_RETS
+    + """
+SELECT series, d,
+       ROUND(1.0 + 0.1 * ret
+                 + 0.2 * (SIGN(ret) * ret * ret)
+                 + 0.3 * (ret * ret * ret)
+                 + 0.4 * (SIGN(ret) * SQRT(ABS(ret))), 6) AS score
+FROM rets
+""",
+)
+def linear_predictor_score(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Linear predictor over expanded features (F11;
+    utils/var_utils.py:58-62): w[0] + Σ w[i+1]·f[i] as a native
+    fold — the engine's no-MLflow scoring path."""
+    rets = daily_returns(spark, sf_dir)
+    weights = F.array(*[F.lit(x) for x in (1.0, 0.1, 0.2, 0.3, 0.4)])
+    feats = nonlinear_features(F.array(F.col("ret")))
+    return rets.select(
+        "series", "d", F.round(predict_nonlinear(weights, feats), 6).alias("score")
+    )
+
+
+@query(
+    "gapfill_forward_fill",
+    "WITH "
+    + SQL_DAILY
+    + """,
+bounds AS (SELECT series, MIN(d) AS mn, MAX(d) AS mx FROM daily GROUP BY 1),
+alldates AS (
+  SELECT CAST(gs AS DATE) AS d
+  FROM generate_series(TIMESTAMP '1990-01-01', TIMESTAMP '2010-12-31',
+                       INTERVAL 1 DAY) t(gs)
+),
+spine AS (
+  SELECT b.series, a.d FROM bounds b JOIN alldates a
+    ON a.d >= b.mn AND a.d <= b.mx
+),
+bd AS (SELECT * FROM spine WHERE isodow(d) BETWEEN 1 AND 5),
+j AS (SELECT s.series, s.d, dl.price FROM bd s
+      LEFT JOIN daily dl ON dl.series = s.series AND dl.d = s.d)
+SELECT series, d,
+       last_value(price IGNORE NULLS) OVER (
+         PARTITION BY series ORDER BY d
+         ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS price
+FROM j
+""",
+)
+def gapfill_forward_fill(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Business-day calendar spine + forward fill (S1;
+    utils/var_utils.py:6-9 pandas reindex().pad() made distributed)."""
+    daily = daily_prices(spark, sf_dir)
+    return forward_fill_spine(
+        daily, ["series"], "d", ["price"], business_days_only=True
+    )
+
+
+# --------------------------------------------------------------------------
+# 3. Vector / embedding operators (SURVEY §2.4 A5/A8, §2.8 F3/F11;
+#    north-star similarity search)
+# --------------------------------------------------------------------------
+
+
+@query(
+    "vector_sum_by_label",
+    """
+SELECT label, CAST(i - 1 AS BIGINT) AS pos,
+       (ROUND(SUM(CAST(embedding[i] AS DOUBLE)), 4) + 0) AS elem_sum
+FROM embeddings, generate_series(1, 64) t(i)
+GROUP BY 1, 2
+""",
+)
+def vector_sum_by_label(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Element-wise vector sum per group (A5) — the engine's native
+    replacement for MLlib Summarizer.sum over VectorUDT
+    (04_var_aggregation.py:35-41). Explode form: map-side partial agg,
+    shuffle carries (label, pos, partial sum) only. Surfaced in long
+    form; array re-assembly is vector_agg.vector_sum."""
+    emb = _t(spark, sf_dir, "embeddings")
+    return (
+        emb.select("label", F.posexplode("embedding").alias("pos", "v"))
+        .groupBy("label", F.col("pos").cast("long").alias("pos"))
+        .agg((F.round(F.sum(F.col("v").cast("double")), 4) + F.lit(0.0)).alias("elem_sum"))
+    )
+
+
+@query(
+    "embedding_norms",
+    """
+SELECT vec_id, ROUND(SQRT(SUM(CAST(e AS DOUBLE) * CAST(e AS DOUBLE))), 6) AS l2_norm
+FROM (SELECT vec_id, UNNEST(embedding) AS e FROM embeddings)
+GROUP BY vec_id
+""",
+)
+def embedding_norms(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """L2 norm via native fold (dot_product of a vector with itself) —
+    the similarity-search kernel, zero Python."""
+    emb = _t(spark, sf_dir, "embeddings")
+    return emb.select(
+        "vec_id",
+        F.round(F.sqrt(dot_product("embedding", "embedding")), 6).alias("l2_norm"),
+    )
+
+
+@query(
+    "weighted_embedding_scale",
+    """
+SELECT vec_id, CAST(i - 1 AS BIGINT) AS pos,
+       (ROUND(CAST(embedding[i] AS DOUBLE) * CAST(label AS DOUBLE), 6) + 0) AS scaled
+FROM embeddings, generate_series(1, 64) t(i)
+""",
+)
+def weighted_embedding_scale(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Element-wise vector×scalar (F3; weighted_returns,
+    utils/var_udf.py:39-41) as a native transform, surfaced long-form."""
+    emb = _t(spark, sf_dir, "embeddings")
+    scaled = F.transform(
+        "embedding", lambda x: x.cast("double") * F.col("label").cast("double")
+    )
+    return emb.select(
+        "vec_id", F.posexplode(scaled).alias("pos", "scaled")
+    ).select(
+        "vec_id",
+        F.col("pos").cast("long").alias("pos"),
+        (F.round("scaled", 6) + F.lit(0.0)).alias("scaled"),
+    )
+
+
+@query(
+    "ann_cosine_topk",
+    """
+WITH q AS (
+  SELECT vec_id AS query_id, embedding AS qe FROM embeddings WHERE vec_id < 10
+),
+norms AS (
+  SELECT vec_id, SQRT(SUM(CAST(e AS DOUBLE) * CAST(e AS DOUBLE))) AS nrm
+  FROM (SELECT vec_id, UNNEST(embedding) AS e FROM embeddings)
+  GROUP BY vec_id
+),
+dots AS (
+  SELECT q.query_id, c.vec_id AS neighbor_id,
+         SUM(CAST(q.qe[i] AS DOUBLE) * CAST(c.embedding[i] AS DOUBLE)) AS dot
+  FROM q, embeddings c, generate_series(1, 64) t(i)
+  WHERE q.query_id <> c.vec_id
+  GROUP BY 1, 2
+),
+sims AS (
+  SELECT d.query_id, d.neighbor_id,
+         (ROUND(d.dot / (nq.nrm * nc.nrm), 6) + 0) AS cosine
+  FROM dots d
+  JOIN norms nq ON nq.vec_id = d.query_id
+  JOIN norms nc ON nc.vec_id = d.neighbor_id
+)
+SELECT query_id, neighbor_id, cosine, CAST(rnk AS BIGINT) AS rnk FROM (
+  SELECT *, ROW_NUMBER() OVER (PARTITION BY query_id
+                               ORDER BY cosine DESC, neighbor_id) AS rnk
+  FROM sims
+) WHERE rnk <= 5
+""",
+)
+def ann_cosine_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Brute-force cosine top-k (north-star similarity baseline): the
+    small query set broadcasts against the corpus; dot products run as
+    native folds inside codegen; one final top-k window."""
+    emb = _t(spark, sf_dir, "embeddings")
+    q = emb.filter(F.col("vec_id") < 10).select(
+        F.col("vec_id").alias("query_id"), "embedding"
+    )
+    out = cosine_topk(
+        q,
+        emb.select(F.col("vec_id").alias("neighbor_id"), "embedding"),
+        k=5,
+        round_to=6,
+    )
+    return out.select(
+        "query_id", "neighbor_id", "cosine", F.col("rank").cast("long").alias("rnk")
+    )
+
+
+# --------------------------------------------------------------------------
+# 4. Per-group model fit (SURVEY §2.4 A6 applyInPandas) — oracle via
+#    closed-form regression aggregates
+# --------------------------------------------------------------------------
+
+
+@query(
+    "ols_fit_per_flag",
+    """
+SELECT l_returnflag,
+       ROUND(REGR_INTERCEPT(l_extendedprice, l_quantity), 2) AS intercept,
+       ROUND(REGR_SLOPE(l_extendedprice, l_quantity), 4) AS slope
+FROM lineitem
+GROUP BY l_returnflag
+""",
+)
+def ols_fit_per_flag(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-group OLS via applyInPandas (A6; train_model,
+    02_var_model.py:137-154) — numpy lstsq per group, checked against
+    the closed-form REGR_* aggregates. The one legitimately-Python
+    fit boundary in the engine (SURVEY §2.10 principle)."""
+    li = _t(spark, sf_dir, "lineitem").select(
+        "l_returnflag",
+        F.array(F.col("l_quantity")).alias("features"),
+        F.col("l_extendedprice").alias("target"),
+    )
+    w = fit_ols_per_group(li, "l_returnflag", "features", "target")
+    return w.select(
+        "l_returnflag",
+        F.round(F.element_at("weights", 1), 2).alias("intercept"),
+        F.round(F.element_at("weights", 2), 4).alias("slope"),
+    )
+
+
+# --------------------------------------------------------------------------
+# 5. Text analysis / dedup (north-star surface over `documents`)
+# --------------------------------------------------------------------------
+
+SQL_TOKS = """
+toks AS (
+  SELECT doc_id, t FROM (
+    SELECT doc_id, UNNEST(string_split(lower(text), ' ')) AS t FROM documents
+  ) WHERE t <> ''
+)
+"""
+
+
+@query(
+    "dedup_exact",
+    """
+SELECT md5(text) AS text_hash, MIN(doc_id) AS keep_id, COUNT(*) AS n_dupes
+FROM documents GROUP BY 1
+""",
+)
+def dedup_exact_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact dedup: hash-groupBy on a 128-bit digest; shuffle carries
+    (digest, id) only — the body never moves."""
+    return exact_dedup(_t(spark, sf_dir, "documents"))
+
+
+@query(
+    "dedup_stats",
+    """
+SELECT COUNT(*) AS n_docs,
+       COUNT(DISTINCT md5(text)) AS n_unique,
+       COUNT(*) - COUNT(DISTINCT md5(text)) AS n_removed
+FROM documents
+""",
+)
+def dedup_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    d = _t(spark, sf_dir, "documents")
+    return d.agg(
+        F.count(F.lit(1)).alias("n_docs"),
+        F.count_distinct(F.md5("text")).alias("n_unique"),
+        (F.count(F.lit(1)) - F.count_distinct(F.md5("text"))).alias("n_removed"),
+    )
+
+
+@query(
+    "jaccard_adjacent_docs",
+    "WITH "
+    + SQL_TOKS
+    + """,
+dtoks AS (
+  SELECT DISTINCT doc_id, t FROM toks
+),
+cnt AS (
+  SELECT doc_id, COUNT(*) AS n FROM dtoks GROUP BY 1
+),
+inter AS (
+  SELECT a.doc_id AS id_a, b.doc_id AS id_b, COUNT(*) AS ni
+  FROM dtoks a JOIN dtoks b ON b.doc_id = a.doc_id + 1 AND a.t = b.t
+  GROUP BY 1, 2
+)
+SELECT ca.doc_id AS id_a, cb.doc_id AS id_b,
+       ROUND(COALESCE(ni, 0) * 1.0 / (ca.n + cb.n - COALESCE(ni, 0)), 6) AS jaccard
+FROM cnt ca
+JOIN cnt cb ON cb.doc_id = ca.doc_id + 1
+LEFT JOIN inter ON inter.id_a = ca.doc_id
+""",
+)
+def jaccard_adjacent_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """n-gram/token-set Jaccard similarity between adjacent doc ids —
+    the exact-verify kernel of near-dup detection, via
+    array_intersect on distinct token sets (no Python)."""
+    d = _t(spark, sf_dir, "documents")
+    toks = F.array_distinct(
+        F.filter(F.split(F.lower("text"), " "), lambda x: x != "")
+    )
+    t = d.select("doc_id", toks.alias("toks"))
+    a = t.alias("a")
+    b = t.alias("b")
+    pairs = a.join(b, F.col("b.doc_id") == F.col("a.doc_id") + 1)
+    pairs = pairs.select(
+        F.col("a.doc_id").alias("id_a"),
+        F.col("b.doc_id").alias("id_b"),
+        F.col("a.toks").alias("toks_a"),
+        F.col("b.toks").alias("toks_b"),
+    )
+    out = jaccard_similarity(
+        pairs, "toks_a", "toks_b", out_col="jaccard_raw", tokenize=False
+    )
+    return out.select(
+        "id_a", "id_b", F.round("jaccard_raw", 6).alias("jaccard")
+    )
+
+
+@query(
+    "text_quality_stats",
+    "WITH "
+    + SQL_TOKS
+    + """
+SELECT doc_id,
+       COUNT(*) AS n_tokens,
+       COUNT(DISTINCT t) AS n_distinct,
+       ROUND(AVG(LENGTH(t)), 6) AS avg_token_len,
+       ROUND(SUM(CASE WHEN t IN ('the','a','of','and','to','in','is','on','for','with')
+                      THEN 1 ELSE 0 END) * 1.0 / COUNT(*), 6) AS stopword_ratio
+FROM toks GROUP BY doc_id
+""",
+)
+def text_quality_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Quality-scoring signals (north-star text analysis): token count,
+    type count, mean token length, stopword ratio — all JVM-side."""
+    d = _t(spark, sf_dir, "documents")
+    tok = d.select(
+        "doc_id",
+        F.explode(
+            F.filter(F.split(F.lower("text"), " "), lambda x: x != "")
+        ).alias("t"),
+    )
+    sw = list(STOPWORDS)
+    return tok.groupBy("doc_id").agg(
+        F.count(F.lit(1)).alias("n_tokens"),
+        F.count_distinct("t").alias("n_distinct"),
+        F.round(F.avg(F.length("t")), 6).alias("avg_token_len"),
+        F.round(
+            F.sum(F.when(F.col("t").isin(sw), 1).otherwise(0))
+            / F.count(F.lit(1)),
+            6,
+        ).alias("stopword_ratio"),
+    )
+
+
+@query(
+    "language_id_heuristic",
+    "WITH "
+    + SQL_TOKS
+    + """,
+r AS (
+  SELECT doc_id,
+         SUM(CASE WHEN t IN ('the','a','of','and','to','in','is','on','for','with')
+                  THEN 1 ELSE 0 END) * 1.0 / COUNT(*) AS ratio
+  FROM toks GROUP BY doc_id
+)
+SELECT d.doc_id, d.lang AS lang_label,
+       CASE WHEN r.ratio >= 0.05 THEN 'en' ELSE 'und' END AS lang_pred
+FROM documents d JOIN r ON r.doc_id = d.doc_id
+""",
+)
+def language_id_heuristic(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Stopword-density language ID (n-gram heuristic family): flag text
+    as English when function-word density clears a threshold."""
+    d = _t(spark, sf_dir, "documents")
+    tok = d.select(
+        "doc_id",
+        F.explode(
+            F.filter(F.split(F.lower("text"), " "), lambda x: x != "")
+        ).alias("t"),
+    )
+    r = tok.groupBy("doc_id").agg(
+        (
+            F.sum(F.when(F.col("t").isin(list(STOPWORDS)), 1).otherwise(0))
+            / F.count(F.lit(1))
+        ).alias("ratio")
+    )
+    return (
+        d.join(r, "doc_id")
+        .select(
+            "doc_id",
+            F.col("lang").alias("lang_label"),
+            F.when(F.col("ratio") >= 0.05, F.lit("en"))
+            .otherwise(F.lit("und"))
+            .alias("lang_pred"),
+        )
+    )
+
+
+@query(
+    "token_count_regex",
+    """
+SELECT doc_id,
+       CAST(LEN(regexp_extract_all(lower(text), '[a-z0-9]+')) AS BIGINT) AS n_regex_tokens
+FROM documents
+""",
+)
+def token_count_regex(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """BPE-ish token counting via regex matches (JVM regexp_count)."""
+    d = _t(spark, sf_dir, "documents")
+    return d.select(
+        "doc_id",
+        F.regexp_count(F.lower("text"), F.lit("[a-z0-9]+"))
+        .cast("long")
+        .alias("n_regex_tokens"),
+    )
+
+
+# --------------------------------------------------------------------------
+# 6. Rows-only queries (genuinely non-SQL-expressible: seeded RNG,
+#    hash-family LSH, stateful plumbing) — driver records row counts
+# --------------------------------------------------------------------------
+
+
+@query("mc_simulate_market")
+def mc_simulate_market(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Monte-Carlo market simulation (F12 + J1; 03_var_monte_carlo.py:55-87):
+    5-factor daily return vectors (one per priority series) → global
+    mean/cov (A8, covar_samp semantics) → 1,000 seeded multivariate-
+    normal trials via an Arrow-vectorized pandas UDF. Deterministic by
+    the trial-id seed contract (utils/var_udf.py:58-61)."""
+    rets = daily_returns(spark, sf_dir)
+    wide = (
+        rets.groupBy("d")
+        .pivot("series", ["1-URGENT", "2-HIGH", "3-MEDIUM", "4-NOT SPECIFIED", "5-LOW"])
+        .agg(F.first("ret"))
+        .na.fill(0.0)
+    )
+    feat_cols = [c for c in wide.columns if c != "d"]
+    feats = wide.select(
+        F.lit(1).alias("g"),
+        F.array(*[F.col(f"`{c}`") for c in feat_cols]).alias("features"),
+    )
+    vol = vector_mean_cov(feats, ["g"], "features").select(
+        F.lit("2001-08-01").cast("date").alias("date"), "vol_avg", "vol_cov"
+    )
+    sims = simulate_trials(vol, runs=1000)
+    return sims.select(
+        "trial_id",
+        *[F.round(F.element_at("features", i + 1), 6).alias(f"f{i}") for i in range(5)],
+    )
+
+
+@query("minhash_lsh_pairs")
+def minhash_lsh_pairs_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """MinHash + LSH banding near-dup candidates (north-star dedup):
+    32-hash signatures over 3-gram shingles (xxhash64, JVM-side), 8
+    bands; candidates from bucket equi-join — never O(n²)."""
+    d = _t(spark, sf_dir, "documents")
+    sigs = minhash_signatures(d, num_hashes=32, shingle_n=3)
+    return minhash_lsh_pairs(sigs, num_bands=8)
+
+
+@query("simhash_fingerprints")
+def simhash_fingerprints(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """64-bit SimHash fingerprints (north-star dedup) via per-token
+    xxhash64 bit votes in higher-order functions."""
+    return simhash(_t(spark, sf_dir, "documents"))
+
+
+@query("ann_lsh_topk")
+def ann_lsh_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Approximate NN via random-hyperplane LSH buckets + exact re-rank
+    within collisions — the 100 TB-scale path where the brute-force
+    cross join is infeasible."""
+    emb = _t(spark, sf_dir, "embeddings")
+    q = emb.filter(F.col("vec_id") < 10).select(
+        F.col("vec_id").alias("query_id"), "embedding"
+    )
+    return lsh_topk(
+        q,
+        emb.select(F.col("vec_id").alias("neighbor_id"), "embedding"),
+        k=5,
+        num_planes=4,
+    )
+
+
+@query("multimodal_features")
+def multimodal_features(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Multimodal plumbing (north-star): documents masquerade as media
+    payloads; Arrow-batched mapInPandas feature extraction with a
+    deterministic stub kernel (real codecs absent in this container)."""
+    from value_at_risk_spark.operators.multimodal import extract_features
+
+    d = _t(spark, sf_dir, "documents")
+    media = d.select(
+        F.col("doc_id").alias("media_id"),
+        F.element_at(
+            F.array(F.lit("image"), F.lit("audio"), F.lit("video")),
+            (F.col("doc_id") % 3 + 1).cast("int"),
+        ).alias("media_type"),
+        F.col("text").alias("payload"),
+        F.lit(64).cast("long").alias("width"),
+        F.lit(64).cast("long").alias("height"),
+        (F.col("n_chars") * 10).cast("long").alias("duration_ms"),
+    )
+    feats = extract_features(media, dim=16)
+    return feats.select(
+        "media_id", "media_type", F.round(F.element_at("feature", 1), 6).alias("f0")
+    )

@@ -1,0 +1,106 @@
+"""Table registry + parquet scan/sink (SURVEY §2.1 S2-S7).
+
+The reference persists between pipeline stages via Delta managed tables
+named in ``/root/reference/config/application.yaml:13-22`` and read back
+with ``spark.read.table`` (e.g. ``01_var_market_etl.py:68,82``,
+``04_var_aggregation.py:13``). We replace the metastore with a plain
+name→path registry over parquet — same contract (schema-on-write,
+columnar, partition-prunable), no Databricks dependency.
+"""
+
+from __future__ import annotations
+
+import os
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+# Driver-generated fixture tables (TESTDATA.md).
+TABLES = (
+    "region",
+    "nation",
+    "customer",
+    "supplier",
+    "part",
+    "orders",
+    "lineitem",
+    "events",
+    "documents",
+    "embeddings",
+)
+
+
+class Registry:
+    """name → parquet path mapping, mirroring ``application.yaml:13-22``."""
+
+    def __init__(self, base_dir: str, tables: dict[str, str] | None = None):
+        self.base_dir = base_dir
+        self._paths: dict[str, str] = dict(tables or {})
+
+    def path(self, name: str) -> str:
+        if name in self._paths:
+            return self._paths[name]
+        return os.path.join(self.base_dir, f"{name}.parquet")
+
+    def register(self, name: str, path: str) -> None:
+        self._paths[name] = path
+
+    def read(self, spark: SparkSession, name: str) -> DataFrame:
+        """Table scan (S4): parquet scan with full Catalyst pushdown.
+
+        TIMESTAMP(NANOS) parquet columns arrive as long (see
+        session.py's nanosAsLong); the events table's `ts` is converted
+        back to a microsecond timestamp here so downstream operators see
+        a proper timestamp type.
+        """
+        df = spark.read.parquet(self.path(name))
+        if name == "events" and dict(df.dtypes).get("ts") == "bigint":
+            df = df.withColumn(
+                "ts", F.timestamp_micros(F.expr("ts div 1000"))
+            )
+        return df
+
+    def write(
+        self,
+        df: DataFrame,
+        name: str,
+        mode: str = "overwrite",
+        sort_by: list[str] | None = None,
+        partition_keys: list[str] | None = None,
+        num_files: int | None = None,
+    ) -> None:
+        """Table sink (S3) with optional layout optimization (S5/S6).
+
+        The reference runs ``OPTIMIZE ... ZORDER BY (date, ticker)``
+        after its Monte-Carlo write (``03_var_monte_carlo.py:162``) and
+        ``repartition(20, 'date')`` before it (``03:82``) so selective
+        slice reads prune well. The parquet equivalent: repartition on
+        the leading cluster key, sort within partitions, so row-group
+        min/max stats give the same data-skipping behavior.
+        """
+        if sort_by:
+            df = df.repartition(num_files or df.sparkSession.sparkContext.defaultParallelism, sort_by[0])
+            df = df.sortWithinPartitions(*sort_by)
+        elif num_files:
+            df = df.repartition(num_files)
+        writer = df.write.mode(mode)
+        if partition_keys:
+            writer = writer.partitionBy(*partition_keys)
+        writer.parquet(self.path(name))
+
+
+def load_tables(
+    spark: SparkSession, sf_dir: str, names: tuple[str, ...] = TABLES
+) -> dict[str, DataFrame]:
+    """Scan every fixture table and register same-named temp views.
+
+    Registering views lets operators be written in either the DataFrame
+    or SQL API against identical names as the DuckDB oracle.
+    """
+    reg = Registry(sf_dir)
+    out: dict[str, DataFrame] = {}
+    for name in names:
+        df = reg.read(spark, name)
+        df.createOrReplaceTempView(name)
+        out[name] = df
+    return out
