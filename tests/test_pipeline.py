@@ -1,0 +1,157 @@
+"""End-to-end VaR pipeline on synthetic GBM fixtures (FIXTURES.md §B)."""
+
+from __future__ import annotations
+
+import numpy as np
+import pandas as pd
+import pytest
+from pyspark.sql import functions as F
+
+from value_at_risk_spark.plans.var_pipeline import (
+    VarConfig,
+    aggregate_var,
+    backtest,
+    market_features,
+    run_pipeline,
+    stock_returns,
+    trailing_volatility,
+    train_models,
+)
+
+FACTORS = ["SP500", "NYSE", "OIL", "TREASURY", "DOWJONES"]
+TICKERS = ["AAA", "BBB", "CCC"]
+
+
+@pytest.fixture(scope="module")
+def fixtures(spark):
+    """Seeded GBM stocks + correlated indicators on a business-day calendar.
+
+    Stock returns are constructed as a noisy linear function of factor
+    returns so train_models has signal to recover.
+    """
+    rng = np.random.default_rng(42)
+    dates = pd.bdate_range("2020-01-01", periods=260)
+    n = len(dates)
+    factor_rets = rng.multivariate_normal(
+        np.zeros(5), 0.0001 * (np.eye(5) + 0.3), size=n
+    )
+    factor_prices = 100 * np.exp(np.cumsum(factor_rets, axis=0))
+    ind_rows = [
+        tuple(float(factor_prices[i, j]) for j in range(5))
+        + (dates[i].to_pydatetime(),)
+        for i in range(n)
+    ]
+    indicators = spark.createDataFrame(
+        ind_rows,
+        ", ".join(f"{c} double" for c in FACTORS) + ", date timestamp",
+    )
+
+    betas = {"AAA": 0.8, "BBB": -0.5, "CCC": 1.5}
+    stock_rows = []
+    for t in TICKERS:
+        srets = betas[t] * factor_rets[:, 0] + rng.normal(0, 0.001, n)
+        prices = 50 * np.exp(np.cumsum(srets))
+        for i in range(n):
+            stock_rows.append((t, dates[i], float(prices[i])))
+    stocks = spark.createDataFrame(
+        pd.DataFrame(stock_rows, columns=["ticker", "date", "close"])
+    )
+    portfolio = spark.createDataFrame(
+        [(t, 1 / 29) for t in TICKERS], "ticker string, weight double"
+    )
+    return stocks, indicators, portfolio
+
+
+def test_stock_returns_first_row_zero(spark, fixtures):
+    stocks, _, _ = fixtures
+    rets = stock_returns(stocks)
+    firsts = (
+        rets.withColumn(
+            "rn",
+            F.row_number().over(
+                __import__("pyspark").sql.window.Window.partitionBy(
+                    "ticker"
+                ).orderBy("date")
+            ),
+        )
+        .filter(F.col("rn") == 1)
+        .collect()
+    )
+    assert all(r["return"] == 0.0 for r in firsts)
+
+
+def test_trailing_volatility_matches_pandas(spark, fixtures):
+    _, indicators, _ = fixtures
+    feats = market_features(indicators, FACTORS)
+    vol = trailing_volatility(feats, days=90)
+    pdf = indicators.toPandas().sort_values("date").set_index("date")
+    rets = np.log(pdf[FACTORS] / pdf[FACTORS].shift(1)).fillna(0.0)
+    sample = vol.orderBy(F.desc("date")).first()
+    ts = pd.Timestamp(sample.date)
+    window = rets.loc[ts - pd.Timedelta(days=90): ts]
+    assert np.allclose(sample.vol_avg, window.mean().to_numpy(), atol=1e-12)
+    assert np.allclose(
+        np.array(sample.vol_cov), window.cov(ddof=1).to_numpy(), atol=1e-12
+    )
+
+
+def test_train_models_recovers_beta(spark, fixtures):
+    stocks, indicators, _ = fixtures
+    rets = stock_returns(stocks)
+    feats = market_features(indicators, FACTORS)
+    w = {r.ticker: r.weights for r in train_models(rets, feats).collect()}
+    # weights = [intercept, then 4 terms per factor: x, sgn x², x³, sgn√|x|]
+    assert set(w) == set(TICKERS)
+    assert len(w["AAA"]) == 1 + 4 * 5
+    # the linear coefficient on factor 0 should dominate and match beta sign
+    assert w["CCC"][1] > w["AAA"][1] > 0 > w["BBB"][1]
+
+
+def test_pipeline_end_to_end(spark, fixtures):
+    stocks, indicators, portfolio = fixtures
+    cfg = VarConfig(runs=200, factor_cols=tuple(FACTORS))
+    out = run_pipeline(spark, stocks, indicators, portfolio, cfg)
+    var = out["var"].collect()
+    assert len(var) > 30  # weekly spine over a year
+    assert all(r.var_99 < 0 for r in var)
+    assert all(abs(r.var_99) < 0.5 for r in var)  # sane magnitude
+    bt = out["backtest"].collect()
+    assert len(bt) > 0
+    assert all(r.basel_zone in (0, 1, 2) for r in bt)
+    assert all(r.breaches >= 0 for r in bt)
+
+
+def test_pipeline_deterministic(spark, fixtures):
+    stocks, indicators, portfolio = fixtures
+    cfg = VarConfig(runs=50, factor_cols=tuple(FACTORS))
+    a = run_pipeline(spark, stocks, indicators, portfolio, cfg)["var"].collect()
+    b = run_pipeline(spark, stocks, indicators, portfolio, cfg)["var"].collect()
+    assert sorted(map(tuple, a)) == sorted(map(tuple, b))
+
+
+def test_aggregate_var_slices(spark, fixtures):
+    stocks, indicators, portfolio = fixtures
+    scored = spark.createDataFrame(
+        [
+            ("2020-06-01", "AAA", t, -0.01 * ((t % 7) - 3))
+            for t in range(100)
+        ]
+        + [
+            ("2020-06-01", "BBB", t, 0.005 * ((t % 5) - 2))
+            for t in range(100)
+        ],
+        "date string, ticker string, trial_id long, return double",
+    )
+    pf = portfolio.withColumn(
+        "country", F.when(F.col("ticker") == "AAA", "US").otherwise("PE")
+    )
+    by_country = aggregate_var(scored, pf, group_cols=["country"]).collect()
+    assert {r.country for r in by_country} == {"US", "PE"}
+
+
+def test_context_var_demo(spark):
+    from value_at_risk_spark.montecarlo import context_var_demo
+
+    r = context_var_demo(spark, n_paths=500, days=100).first()
+    assert r.var < 0.1  # 5th percentile of a mildly-positive-drift GBM
+    assert r.shortfall <= r.var

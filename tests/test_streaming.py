@@ -1,0 +1,37 @@
+"""Streaming tier: bounded replay must equal the batch aggregate."""
+
+from __future__ import annotations
+
+from pyspark.sql import functions as F
+
+from value_at_risk_spark.sources.registry import Registry
+from value_at_risk_spark.streaming.windows import (
+    daily_event_aggregates,
+    read_events_stream,
+    run_available_now,
+)
+
+
+def test_stream_matches_batch(spark, sf_dir):
+    stream = read_events_stream(spark, sf_dir)
+    agg = daily_event_aggregates(stream)
+    got = {
+        (str(r.day), r.event_type): (r.n_events, r.total_value)
+        for r in run_available_now(agg, "daily_events_test").collect()
+    }
+
+    batch = (
+        Registry(sf_dir)
+        .read(spark, "events")
+        .groupBy(F.col("ts").cast("date").alias("day"), "event_type")
+        .agg(
+            F.count(F.lit(1)).alias("n_events"),
+            F.round(F.sum("value"), 4).alias("total_value"),
+        )
+    )
+    exp = {
+        (str(r.day), r.event_type): (r.n_events, r.total_value)
+        for r in batch.collect()
+    }
+    assert got == exp
+    assert len(got) > 0

@@ -100,3 +100,78 @@ def pack_trials(
             F.transform(F.col("_tv"), lambda x: x[value_col]).alias("returns"),
         )
     )
+
+
+def gbm_price_paths(
+    instruments: DataFrame,
+    n_paths: int,
+    days: int,
+    dt: float = 1.0 / 365,
+) -> DataFrame:
+    """Geometric-Brownian price paths per (instrument, path) — SURVEY §2.8 F13.
+
+    Engine variant of ``generate_prices`` (utils/var_utils.py:18-27,
+    driven by 00_var_context.py:35-45): the driver-side loop becomes a
+    grouped fan-out — instruments × path seeds — with one Arrow-batched
+    pandas UDF emitting the full path per row as an array. Per-row seed
+    = hash(instrument, path_id) for the same reproducibility contract
+    as simulate_market.
+
+    instruments: (instrument:string, s0:double, mu:double, sigma:double).
+    Output: (instrument, path_id, prices: array<double> of length days).
+    """
+    spark = instruments.sparkSession
+    paths = spark.range(0, n_paths).select(F.col("id").alias("path_id"))
+    fan = instruments.crossJoin(paths.hint("broadcast"))
+
+    @F.pandas_udf(ArrayType(DoubleType()))
+    def _path(
+        s0: pd.Series, mu: pd.Series, sigma: pd.Series, seed: pd.Series
+    ) -> pd.Series:
+        out = []
+        for s, m, sg, sd in zip(s0, mu, sigma, seed):
+            rng = np.random.default_rng(int(sd))
+            shocks = rng.normal(m * dt, sg * np.sqrt(dt), int(days))
+            prices = float(s) * np.cumprod(1.0 + shocks)
+            out.append(prices.tolist())
+        return pd.Series(out)
+
+    seed = F.abs(F.xxhash64("instrument", "path_id"))
+    return fan.select(
+        "instrument", "path_id", _path("s0", "mu", "sigma", seed).alias("prices")
+    )
+
+
+def context_var_demo(
+    spark: SparkSession,
+    s0: float = 100.0,
+    mu: float = 0.05,
+    sigma: float = 0.04,
+    days: int = 300,
+    n_paths: int = 10_000,
+    confidence: float = 95.0,
+) -> DataFrame:
+    """The 00_var_context.py demo, distributed: single instrument, GBM
+    paths, VaR/ES of the terminal return distribution
+    (/root/reference/00_var_context.py:35-78)."""
+    inst = spark.createDataFrame(
+        [("DEMO", s0, mu, sigma)], "instrument string, s0 double, mu double, sigma double"
+    )
+    paths = gbm_price_paths(inst, n_paths, days)
+    terminal = paths.select(
+        "instrument",
+        (F.element_at("prices", days) / F.lit(s0) - 1.0).alias("ret"),
+    )
+    p = (100.0 - confidence) / 100.0
+    v = terminal.groupBy("instrument").agg(
+        F.percentile("ret", p).alias("var")
+    )
+    return (
+        terminal.join(F.broadcast(v), "instrument")
+        .groupBy("instrument", "var")
+        .agg(
+            F.avg(F.when(F.col("ret") <= F.col("var"), F.col("ret"))).alias(
+                "shortfall"
+            )
+        )
+    )

@@ -44,25 +44,34 @@ def minhash_signatures(
 ) -> DataFrame:
     """MinHash signature per document, all JVM-side.
 
-    Hash family: xxhash64(shingle, seed=i) for i in 0..k-1; the
-    signature element i is the min over shingles. Expressed with
-    transform + array_min — no Python, vectorizable, linear in
-    (docs × shingles × k).
+    Each shingle string is hashed ONCE (xxhash64 → long); the k-member
+    hash family is derived from that long (xxhash64(base, i) — cheap
+    integer mixing), and the signature is k min-aggregates in a single
+    hash-agg pass over the exploded (doc, shingle-hash) rows. Linear in
+    docs × shingles, with only long-typed work in the k-wide inner
+    loop; partial (map-side) aggregation keeps the shuffle at
+    docs × k longs.
     """
-    sh = df.select(id_col, shingles(text_col, shingle_n).alias("_sh"))
-    sig_elems = [
-        F.array_min(
-            F.transform(F.col("_sh"), lambda s, i=i: F.xxhash64(s, F.lit(i)))
-        ).alias(f"h{i}")
-        for i in range(num_hashes)
-    ]
-    return sh.select(id_col, F.array(*sig_elems).alias("signature"))
+    sh = df.select(
+        F.col(id_col),
+        F.explode(shingles(text_col, shingle_n)).alias("_s"),
+    ).select(id_col, F.xxhash64("_s").alias("_h"))
+    sig = sh.groupBy(id_col).agg(
+        *[
+            F.min(F.xxhash64("_h", F.lit(i))).alias(f"_m{i}")
+            for i in range(num_hashes)
+        ]
+    )
+    return sig.select(
+        id_col, F.array(*[f"_m{i}" for i in range(num_hashes)]).alias("signature")
+    )
 
 
 def minhash_lsh_pairs(
     signatures: DataFrame,
     id_col: str = "doc_id",
     num_bands: int = 8,
+    num_hashes: int | None = None,
 ) -> DataFrame:
     """LSH banding: candidate pairs = docs sharing any band bucket.
 
@@ -71,7 +80,9 @@ def minhash_lsh_pairs(
     so cost is O(candidates), never O(n²). Self-join is deduped by
     id_a < id_b.
     """
-    k = signatures.select(F.size("signature")).first()[0]
+    # pass num_hashes to avoid materializing the signatures twice just
+    # to learn the array length
+    k = num_hashes or signatures.select(F.size("signature")).first()[0]
     rows_per_band = max(1, k // num_bands)
     bands = signatures.select(
         id_col,

@@ -1,0 +1,281 @@
+"""The VaR pipeline: the reference's five notebooks as composable stages.
+
+Reference flow (SURVEY §3): 01 ETL → volatility stats; 02 per-ticker
+model fit; 03 Monte-Carlo simulation + scoring; 04 slice-and-dice VaR
+aggregation; 05 Basel compliance backtest. Each stage here is a pure
+DataFrame → DataFrame function over the table-registry contract — no
+Databricks, MLflow, yfinance, or tempo.
+
+Key deviations (all scale-motivated, semantics preserved):
+- market factor returns computed distributed with a lag window instead
+  of the reference's driver pandas round-trip
+  (/root/reference/01_var_market_etl.py:135-154);
+- trailing mean/cov uses a date-spine range join + covar_samp rather
+  than a single-task global window + per-row Python UDFs
+  (01_var_market_etl.py:167-184; SURVEY §4 single-partition hazard);
+- model scoring is a broadcast weights join + native expression, not an
+  MLflow pyfunc UDF (02_var_model.py:219-220);
+- trial vectors stay (date, trial_id) rows until the final percentile;
+  no VectorUDT packing (04_var_aggregation.py:35-41). `pack_trials`
+  exists for parity where a packed layout is wanted.
+"""
+
+from __future__ import annotations
+
+from dataclasses import dataclass, field
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from value_at_risk_spark.functions.features import nonlinear_features
+from value_at_risk_spark.functions.returns import log_returns_over
+from value_at_risk_spark.functions.risk import basel_zone, value_at_risk_expr
+from value_at_risk_spark.model import fit_ols_per_group, score
+from value_at_risk_spark.montecarlo import simulate_trials
+from value_at_risk_spark.operators.asof import asof_join
+from value_at_risk_spark.operators.vector_agg import vector_mean_cov
+
+
+@dataclass(frozen=True)
+class VarConfig:
+    """application.yaml semantics (/root/reference/config/application.yaml)."""
+
+    volatility_days: int = 90  # monte-carlo.volatility (yaml:27-28)
+    basel_days: int = 250  # 05_var_compliance.py:113
+    runs: int = 1000  # monte-carlo.runs (yaml:29-30; 32,000 in prod)
+    confidence: float = 99.0
+    factor_cols: tuple[str, ...] = field(default=())
+
+
+def stock_returns(stocks: DataFrame) -> DataFrame:
+    """(ticker, date, close) → (ticker, date, return) — 02_var_model.py:52-64.
+
+    First row per ticker returns 0.0 (reference W3 semantics, SURVEY §7.5).
+    """
+    return stocks.filter(F.col("close").isNotNull()).select(
+        "ticker",
+        "date",
+        log_returns_over("close", ["ticker"], "date").alias("return"),
+    )
+
+
+def market_features(indicators: DataFrame, factor_cols: list[str]) -> DataFrame:
+    """Wide indicator closes → (date, features: array of factor log returns).
+
+    Distributed replacement for get_market_returns
+    (01_var_market_etl.py:135-154): per-factor lag window + F.array
+    packing, no driver round-trip. Direction standardized to
+    log(cur/prev) (SURVEY §7.4).
+    """
+    rets = indicators.select(
+        "date",
+        *[
+            log_returns_over(c, None, "date").alias(c)
+            for c in factor_cols
+        ],
+    )
+    return rets.select("date", F.array(*factor_cols).alias("features"))
+
+
+def trailing_volatility(
+    features_df: DataFrame, days: int = 90
+) -> DataFrame:
+    """(date, features) → (date, vol_avg, vol_cov) over a trailing window.
+
+    01_var_market_etl.py:159-184 re-expressed: instead of a global
+    unpartitioned range window + per-row mean/cov Python UDFs (single
+    task — SURVEY §4), each date range-joins its trailing history and
+    aggregates with avg/covar_samp. The date spine is one row per date,
+    so the join fan-out is |dates| × window — linear, fully parallel.
+    At 100 TB-scale history, bucket both sides by month and equi-join
+    on bucket before the range filter to keep the join pruned.
+    """
+    cur = features_df.select(F.col("date").alias("_cd"))
+    hist = features_df.select(
+        F.col("date").alias("_hd"), F.col("features").alias("features")
+    )
+    joined = cur.join(
+        hist,
+        (F.col("_hd") >= F.date_sub(F.col("_cd"), days))
+        & (F.col("_hd") <= F.col("_cd")),
+    )
+    stats = vector_mean_cov(joined, ["_cd"], "features")
+    counts = joined.groupBy("_cd").agg(F.count(F.lit(1)).alias("_n"))
+    return (
+        stats.join(counts, "_cd")
+        .filter(F.col("_n") > 1)  # size>1 guard, 01_var_market_etl.py:177
+        .select(F.col("_cd").alias("date"), "vol_avg", "vol_cov")
+    )
+
+
+def train_models(
+    stock_rets: DataFrame, features_df: DataFrame, model_cut: str | None = None
+) -> DataFrame:
+    """Per-ticker OLS of stock returns on non-linear market features.
+
+    02_var_model.py:82-154: as-of join each ticker's return series to
+    the latest market features (J5, partitioned by ticker), expand
+    features (F10), fit per group (A6). Output: (ticker, weights).
+    """
+    if model_cut is not None:
+        stock_rets = stock_rets.filter(F.col("date") < F.lit(model_cut))
+        features_df = features_df.filter(F.col("date") < F.lit(model_cut))
+    joined = asof_join(stock_rets, features_df, on="date")
+    training = joined.filter(F.col("right_features").isNotNull()).select(
+        "ticker",
+        "return",
+        nonlinear_features("right_features").alias("x"),
+    )
+    return fit_ols_per_group(training, "ticker", "x", "return")
+
+
+def run_date_spine(
+    spark: SparkSession, start: str, end: str, step_days: int = 7
+) -> DataFrame:
+    """Weekly run-date spine (03_var_monte_carlo.py:18-20) — F.sequence,
+    not driver pandas."""
+    return spark.sql(
+        f"""
+        SELECT explode(sequence(
+            to_date('{start}'), to_date('{end}'),
+            interval {step_days} days)) AS run_date
+        """
+    ).select(F.col("run_date").cast("timestamp").alias("run_date"))
+
+
+def simulate(
+    volatility: DataFrame, run_dates: DataFrame, runs: int
+) -> DataFrame:
+    """Latest volatility per run date (as-of) → seeded MC trials.
+
+    03_var_monte_carlo.py:30-87. Output: (date, trial_id, features).
+    """
+    vol_at = asof_join(
+        run_dates, volatility, on="run_date", right_on="date"
+    ).filter(F.col("right_vol_avg").isNotNull())
+    vol = vol_at.select(
+        F.col("run_date").alias("date"),
+        F.col("right_vol_avg").alias("vol_avg"),
+        F.col("right_vol_cov").alias("vol_cov"),
+    )
+    return simulate_trials(vol, runs=runs)
+
+
+def score_trials(simulated: DataFrame, weights: DataFrame) -> DataFrame:
+    """Simulated market states × instruments → predicted returns.
+
+    03_var_monte_carlo.py:93-109: the ticker fan-out is the broadcast
+    weights join itself (no separate cross join needed — every weights
+    row replicates every market state), and scoring is the native
+    predictor, so the widest stage (dates × trials × tickers) never
+    leaves codegen.
+    """
+    return score(
+        simulated.crossJoin(F.broadcast(weights.select("ticker"))),
+        weights,
+        group_col="ticker",
+        feature_col="features",
+        out_col="return",
+        expand=True,
+    ).select("date", "ticker", "trial_id", "return")
+
+
+def aggregate_var(
+    scored: DataFrame,
+    portfolio: DataFrame,
+    confidence: float = 99.0,
+    group_cols: list[str] | None = None,
+    approximate: bool = False,
+) -> DataFrame:
+    """Slice-and-dice VaR (04_var_aggregation.py:35-123).
+
+    scored (date, ticker, trial_id, return) ⋈ portfolio weights →
+    per-trial weighted portfolio return → per-(date[, slice])
+    percentile. Two shuffles: (date, slice, trial) partial-sum hash agg
+    (map-side combined), then the small per-date percentile agg.
+    """
+    group_cols = group_cols or []
+    weighted = scored.join(F.broadcast(portfolio), "ticker").withColumn(
+        "_wr", F.col("return") * F.col("weight")
+    )
+    per_trial = weighted.groupBy("date", *group_cols, "trial_id").agg(
+        F.sum("_wr").alias("_pr")
+    )
+    return per_trial.groupBy("date", *group_cols).agg(
+        value_at_risk_expr("_pr", confidence, approximate).alias("var_99"),
+        F.avg("_pr").alias("mean_return"),
+    )
+
+
+def backtest(
+    stock_rets: DataFrame,
+    portfolio: DataFrame,
+    var_series: DataFrame,
+    basel_days: int = 250,
+) -> DataFrame:
+    """Basel compliance (05_var_compliance.py): actual weighted P&L
+    as-of-joined to the latest VaR, trailing-window breach count, zone."""
+    actual = (
+        stock_rets.join(F.broadcast(portfolio), "ticker")
+        .groupBy("date")
+        .agg(F.sum(F.col("return") * F.col("weight")).alias("return"))
+    )
+    joined = asof_join(
+        actual, var_series.select("date", "var_99"), on="date"
+    ).filter(F.col("right_var_99").isNotNull())
+    from pyspark.sql.window import Window
+
+    w = (
+        Window.orderBy(F.col("date").cast("long"))
+        .rangeBetween(-basel_days * 86_400, 0)
+    )
+    breaches = F.sum(
+        F.when(F.col("return") <= F.col("right_var_99"), 1).otherwise(0)
+    ).over(w)
+    return joined.select(
+        "date",
+        "return",
+        F.col("right_var_99").alias("var_99"),
+        breaches.alias("breaches"),
+        basel_zone(breaches).alias("basel_zone"),
+    )
+
+
+def run_pipeline(
+    spark: SparkSession,
+    stocks: DataFrame,
+    indicators: DataFrame,
+    portfolio: DataFrame,
+    cfg: VarConfig,
+    model_cut: str | None = None,
+    sim_start: str | None = None,
+    sim_end: str | None = None,
+) -> dict[str, DataFrame]:
+    """End-to-end: ETL → volatility → models → simulate → VaR → backtest."""
+    factor_cols = list(cfg.factor_cols)
+    rets = stock_returns(stocks)
+    feats = market_features(indicators, factor_cols)
+    vol = trailing_volatility(feats, cfg.volatility_days)
+    weights = train_models(rets, feats, model_cut)
+    bounds = stocks.agg(
+        F.min("date").alias("mn"), F.max("date").alias("mx")
+    ).first()
+    spine = run_date_spine(
+        spark,
+        sim_start or str(bounds.mn)[:10],
+        sim_end or str(bounds.mx)[:10],
+    )
+    sims = simulate(vol, spine, cfg.runs)
+    scored = score_trials(sims, weights)
+    var_series = aggregate_var(scored, portfolio, cfg.confidence)
+    compliance = backtest(rets, portfolio, var_series, cfg.basel_days)
+    return {
+        "returns": rets,
+        "features": feats,
+        "volatility": vol,
+        "weights": weights,
+        "simulations": sims,
+        "scored": scored,
+        "var": var_series,
+        "backtest": compliance,
+    }

@@ -1144,7 +1144,7 @@ def minhash_lsh_pairs_q(spark: SparkSession, sf_dir: str) -> DataFrame:
     bands; candidates from bucket equi-join — never O(n²)."""
     d = _t(spark, sf_dir, "documents")
     sigs = minhash_signatures(d, num_hashes=32, shingle_n=3)
-    return minhash_lsh_pairs(sigs, num_bands=8)
+    return minhash_lsh_pairs(sigs, num_bands=8, num_hashes=32)
 
 
 @query("simhash_fingerprints")

@@ -1,0 +1,85 @@
+"""Structured Streaming tier — SURVEY §2.9.
+
+The reference is batch-only but explicitly anticipates incremental
+operation (/root/reference/config/application.yaml:2-3 "may at some
+point run incrementally"; 01_var_market_etl.py:159 "each insert of our
+table is 'joined' with last X days"). The natural streaming candidates
+are its trailing windows (W1 volatility, W2 Basel): here they map to
+event-time windowed aggregation with watermarked late-data handling.
+
+Batch/stream parity contract: ``daily_event_aggregates`` over a
+bounded replay (``availableNow`` trigger) must equal the equivalent
+batch groupBy — asserted in tests/test_streaming.py. This is the
+rows-only tier of the driver contract (DuckDB has no streaming oracle).
+
+Scale notes: state size is bounded by (watermark horizon × key
+cardinality); shuffle partitioning of the windowed agg follows
+spark.sql.shuffle.partitions; for sliding windows Spark stores one
+state row per (key, window) — at 100 TB/day ingest, key-salt hot event
+types and use ``spark.sql.streaming.statefulOperator.stateRebalancing``.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+
+def read_events_stream(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """File-source stream over the events fixture directory.
+
+    Schema comes from a batch scan (a stream needs an explicit schema);
+    the TIMESTAMP(NANOS) `ts` arrives as long under nanosAsLong and is
+    re-derived to a microsecond timestamp, mirroring sources.registry.
+    """
+    path = f"{sf_dir}/events.parquet"
+    schema = spark.read.parquet(path).schema
+    # the file source requires a directory; stream the parent with a
+    # glob filter so only the events file is picked up
+    stream = (
+        spark.readStream.schema(schema)
+        .option("pathGlobFilter", "events.parquet")
+        .parquet(sf_dir)
+    )
+    if dict((f.name, f.dataType.simpleString()) for f in schema.fields).get("ts") == "bigint":
+        stream = stream.withColumn("ts", F.timestamp_micros(F.expr("ts div 1000")))
+    return stream
+
+
+def daily_event_aggregates(
+    events: DataFrame, watermark: str = "2 days"
+) -> DataFrame:
+    """Watermarked daily tumbling-window aggregate per event type.
+
+    The streaming analogue of pivot_events_daily / the reference's
+    trailing-window inserts: one state row per (day, event_type);
+    late rows beyond the watermark are dropped deterministically.
+    """
+    return (
+        events.withWatermark("ts", watermark)
+        .groupBy(F.window("ts", "1 day").alias("w"), "event_type")
+        .agg(
+            F.count(F.lit(1)).alias("n_events"),
+            F.round(F.sum("value"), 4).alias("total_value"),
+        )
+        .select(
+            F.col("w.start").cast("date").alias("day"),
+            "event_type",
+            "n_events",
+            "total_value",
+        )
+    )
+
+
+def run_available_now(df: DataFrame, name: str) -> DataFrame:
+    """Execute a bounded replay of a streaming frame into a memory sink
+    and return the materialized batch result."""
+    q = (
+        df.writeStream.format("memory")
+        .queryName(name)
+        .outputMode("complete")
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(120)
+    return df.sparkSession.table(name)
