@@ -121,8 +121,12 @@ def gbm_price_paths(
     Output: (instrument, path_id, prices: array<double> of length days).
     """
     spark = instruments.sparkSession
+    # paths on the streaming side so the fan-out (and the pandas UDF
+    # behind it) inherits the range's partitioning — instruments is the
+    # small broadcast side; keeping it on the left would collapse the
+    # UDF onto the instrument table's partitions.
     paths = spark.range(0, n_paths).select(F.col("id").alias("path_id"))
-    fan = instruments.crossJoin(paths.hint("broadcast"))
+    fan = paths.crossJoin(F.broadcast(instruments))
 
     @F.pandas_udf(ArrayType(DoubleType()))
     def _path(
@@ -158,10 +162,12 @@ def context_var_demo(
         [("DEMO", s0, mu, sigma)], "instrument string, s0 double, mu double, sigma double"
     )
     paths = gbm_price_paths(inst, n_paths, days)
+    # two actions consume this (VaR percentile, then tail mean) — cache
+    # the tiny terminal frame so the path UDF runs once
     terminal = paths.select(
         "instrument",
         (F.element_at("prices", days) / F.lit(s0) - 1.0).alias("ret"),
-    )
+    ).cache()
     p = (100.0 - confidence) / 100.0
     v = terminal.groupBy("instrument").agg(
         F.percentile("ret", p).alias("var")

@@ -1194,3 +1194,219 @@ def multimodal_features(spark: SparkSession, sf_dir: str) -> DataFrame:
     return feats.select(
         "media_id", "media_type", F.round(F.element_at("feature", 1), 6).alias("f0")
     )
+
+
+# --------------------------------------------------------------------------
+# 7. Coverage completions: global aggregates (A2/A3), deterministic
+#    limit (O2), array-size predicate (P8), distinct aggregate,
+#    sessionization, CUBE grouping sets
+# --------------------------------------------------------------------------
+
+
+@query(
+    "global_order_stats",
+    """
+SELECT CAST(MIN(o_orderdate) AS DATE) AS min_d,
+       CAST(MAX(o_orderdate) AS DATE) AS max_d,
+       ROUND(AVG(o_totalprice), 4) AS avg_price,
+       COUNT(*) AS n_orders
+FROM orders
+""",
+)
+def global_order_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Global (ungrouped) min/max/avg/count (A2/A3;
+    04_var_aggregation.py:29, 02_var_model.py:234)."""
+    o = _t(spark, sf_dir, "orders")
+    return o.agg(
+        F.min(F.col("o_orderdate").cast("date")).alias("min_d"),
+        F.max(F.col("o_orderdate").cast("date")).alias("max_d"),
+        F.round(F.avg("o_totalprice"), 4).alias("avg_price"),
+        F.count(F.lit(1)).alias("n_orders"),
+    )
+
+
+@query(
+    "top10_orders",
+    """
+SELECT o_orderkey, o_totalprice FROM orders
+ORDER BY o_totalprice DESC, o_orderkey
+LIMIT 10
+""",
+)
+def top10_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Deterministic global sort + limit (O1/O2). Spark executes this as
+    a TakeOrderedAndProject — per-partition top-k then a k-row merge on
+    the driver, never a full global sort."""
+    o = _t(spark, sf_dir, "orders")
+    return (
+        o.select("o_orderkey", "o_totalprice")
+        .orderBy(F.desc("o_totalprice"), F.asc("o_orderkey"))
+        .limit(10)
+    )
+
+
+@query(
+    "filter_by_token_count",
+    "WITH "
+    + SQL_TOKS
+    + """
+SELECT doc_id, COUNT(*) AS n_toks FROM toks
+GROUP BY doc_id HAVING COUNT(*) > 60
+""",
+)
+def filter_by_token_count(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Array-size predicate (P8; F.size('volatility') > 1 at
+    01_var_market_etl.py:177): keep docs whose token array exceeds a
+    size threshold."""
+    d = _t(spark, sf_dir, "documents")
+    toks = F.filter(F.split(F.lower("text"), " "), lambda x: x != "")
+    return (
+        d.select("doc_id", toks.alias("_toks"))
+        .filter(F.size("_toks") > 60)
+        .select("doc_id", F.size("_toks").cast("long").alias("n_toks"))
+    )
+
+
+@query(
+    "distinct_users_by_type",
+    """
+SELECT event_type, COUNT(DISTINCT user_id) AS n_users, COUNT(*) AS n_events
+FROM events GROUP BY event_type
+""",
+)
+def distinct_users_by_type(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Distinct aggregate (engine surface; SURVEY §2.4 'not present'
+    list). Spark expands this to a two-phase aggregation; at scale
+    prefer approx_count_distinct (HLL sketch, single-pass) — exposed as
+    approx_distinct_users below."""
+    e = _t(spark, sf_dir, "events")
+    return e.groupBy("event_type").agg(
+        F.count_distinct("user_id").alias("n_users"),
+        F.count(F.lit(1)).alias("n_events"),
+    )
+
+
+@query("approx_distinct_users")
+def approx_distinct_users(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """HyperLogLog distinct-count sketch (rows-only: sketch estimates
+    are engine-specific). The 100 TB path for cardinality."""
+    e = _t(spark, sf_dir, "events")
+    return e.groupBy("event_type").agg(
+        F.approx_count_distinct("user_id", 0.01).alias("n_users_approx")
+    )
+
+
+@query(
+    "sessionize_events",
+    """
+WITH ordered AS (
+  SELECT user_id, ts,
+         CASE WHEN epoch(ts) - epoch(LAG(ts) OVER (PARTITION BY user_id ORDER BY ts))
+                   > 1800 OR LAG(ts) OVER (PARTITION BY user_id ORDER BY ts) IS NULL
+              THEN 1 ELSE 0 END AS new_sess
+  FROM events
+),
+sess AS (
+  SELECT user_id, ts,
+         SUM(new_sess) OVER (PARTITION BY user_id ORDER BY ts
+                             ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS sess_id
+  FROM ordered
+)
+SELECT user_id, CAST(sess_id AS BIGINT) AS sess_id,
+       COUNT(*) AS n_events,
+       CAST(MIN(ts) AS DATE) AS sess_start_day
+FROM sess GROUP BY user_id, sess_id
+""",
+)
+def sessionize_events(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Sessionization: lag-gap flag + running sum (the classic batch
+    formulation; streaming variant is session_window)."""
+    e = _t(spark, sf_dir, "events")
+    w = Window.partitionBy("user_id").orderBy("ts")
+    gap = F.col("ts").cast("long") - F.lag(F.col("ts").cast("long")).over(w)
+    new_sess = F.when(
+        gap.isNull() | (gap > 1800), F.lit(1)
+    ).otherwise(F.lit(0))
+    sess = e.select(
+        "user_id",
+        "ts",
+        F.sum(new_sess)
+        .over(w.rowsBetween(Window.unboundedPreceding, Window.currentRow))
+        .alias("sess_id"),
+    )
+    return sess.groupBy("user_id", F.col("sess_id").cast("long").alias("sess_id")).agg(
+        F.count(F.lit(1)).alias("n_events"),
+        F.min(F.col("ts").cast("date")).alias("sess_start_day"),
+    )
+
+
+@query(
+    "cube_orders_status_priority",
+    """
+SELECT o_orderstatus, o_orderpriority, COUNT(*) AS n,
+       ROUND(SUM(o_totalprice), 2) AS total
+FROM orders
+GROUP BY CUBE (o_orderstatus, o_orderpriority)
+""",
+)
+def cube_orders_status_priority(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """CUBE grouping sets — the full slice-and-dice completion of
+    04_var_aggregation.py:82 (SURVEY §2.4 note)."""
+    o = _t(spark, sf_dir, "orders")
+    return o.cube("o_orderstatus", "o_orderpriority").agg(
+        F.count(F.lit(1)).alias("n"),
+        F.round(F.sum("o_totalprice"), 2).alias("total"),
+    )
+
+
+@query("mc_portfolio_var")
+def mc_portfolio_var(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """End-to-end Monte-Carlo VaR (rows-only: seeded RNG): orders-derived
+    5-factor market → trailing stats → 2,000 seeded trials → equal-weight
+    portfolio return per trial → VaR-99 + expected shortfall. The full
+    03→04 notebook flow as one lazy plan."""
+    rets = daily_returns(spark, sf_dir)
+    wide = (
+        rets.groupBy("d")
+        .pivot("series", ["1-URGENT", "2-HIGH", "3-MEDIUM", "4-NOT SPECIFIED", "5-LOW"])
+        .agg(F.first("ret"))
+        .na.fill(0.0)
+    )
+    feat_cols = [c for c in wide.columns if c != "d"]
+    feats = wide.select(
+        F.lit(1).alias("g"),
+        F.array(*[F.col(f"`{c}`") for c in feat_cols]).alias("features"),
+    )
+    vol = vector_mean_cov(feats, ["g"], "features").select(
+        F.lit("2001-08-01").cast("date").alias("date"), "vol_avg", "vol_cov"
+    )
+    sims = simulate_trials(vol, runs=2000)
+    port = sims.select(
+        "date",
+        "trial_id",
+        (
+            F.aggregate("features", F.lit(0.0), lambda a, x: a + x)
+            / F.size("features")
+        ).alias("pret"),
+    )
+    v = port.groupBy("date").agg(
+        F.percentile("pret", 0.01).alias("var_99")
+    )
+    return (
+        port.join(F.broadcast(v), "date")
+        .groupBy("date", "var_99")
+        .agg(
+            F.avg(F.when(F.col("pret") <= F.col("var_99"), F.col("pret"))).alias(
+                "shortfall"
+            )
+        )
+    )
+
+
+@query("gbm_context_demo")
+def gbm_context_demo(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """00_var_context.py distributed (rows-only: seeded RNG): GBM paths
+    for one instrument, VaR-95/ES of terminal returns."""
+    from value_at_risk_spark.montecarlo import context_var_demo
+
+    return context_var_demo(spark, n_paths=2000, days=120)
