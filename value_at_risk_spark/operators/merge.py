@@ -1,0 +1,64 @@
+"""MERGE / SCD2 emulation — upserts without Delta.
+
+The reference persists via Delta `saveAsTable` overwrites only
+(/root/reference/01_var_market_etl.py:56-64) but anticipates
+incremental upserts (application.yaml:2-3). On plain parquet the
+idiomatic emulation is anti-join + union (CDC upsert) and
+close-out-and-append (SCD2), both pure shuffles on the merge key.
+
+Scale: one hash shuffle of each side on the key; with bucketed tables
+on the key both joins become shuffle-free. The rewrite is
+partition-overwrite-friendly (write only partitions containing touched
+keys when the table is partitioned by a stable key prefix).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+
+def upsert(target: DataFrame, updates: DataFrame, keys: list[str]) -> DataFrame:
+    """MERGE semantics: rows from `updates` win on key collision;
+    unmatched target rows pass through (anti-join + union)."""
+    survivors = target.join(updates.select(*keys), on=keys, how="left_anti")
+    return survivors.unionByName(updates)
+
+
+def scd2_apply(
+    target: DataFrame,
+    updates: DataFrame,
+    keys: list[str],
+    effective_col: str,
+    end_col: str = "valid_to",
+    current_col: str = "is_current",
+    open_end: str = "9999-12-31",
+) -> DataFrame:
+    """Slowly-changing-dimension type 2: close out current versions of
+    changed keys (valid_to = new effective date, is_current = false)
+    and append the new versions as current.
+
+    target schema: keys..., payload..., effective_col, end_col, current_col.
+    updates schema: keys..., payload..., effective_col.
+    """
+    changed = updates.select(
+        *keys, F.col(effective_col).alias("_new_eff")
+    )
+    closed = (
+        target.join(F.broadcast(changed), on=keys, how="inner")
+        .filter(F.col(current_col))
+        .withColumn(end_col, F.col("_new_eff"))
+        .withColumn(current_col, F.lit(False))
+        .drop("_new_eff")
+    )
+    untouched = target.join(changed.select(*keys), on=keys, how="left_anti")
+    still_current_hist = (
+        target.join(changed.select(*keys), on=keys, how="left_semi")
+        .filter(~F.col(current_col))
+    )
+    fresh = updates.withColumn(end_col, F.lit(open_end).cast("date")).withColumn(
+        current_col, F.lit(True)
+    )
+    return untouched.unionByName(still_current_hist).unionByName(
+        closed
+    ).unionByName(fresh)

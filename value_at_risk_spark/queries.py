@@ -1410,3 +1410,177 @@ def gbm_context_demo(spark: SparkSession, sf_dir: str) -> DataFrame:
     from value_at_risk_spark.montecarlo import context_var_demo
 
     return context_var_demo(spark, n_paths=2000, days=120)
+
+
+# --------------------------------------------------------------------------
+# 8. Unpivot, MERGE emulation, model-eval WSSE, quality score, IVF ANN
+# --------------------------------------------------------------------------
+
+
+@query(
+    "unpivot_lineitem_metrics",
+    """
+SELECT 'quantity' AS metric, ROUND(AVG(l_quantity), 4) AS avg_value FROM lineitem
+UNION ALL
+SELECT 'discount' AS metric, ROUND(AVG(l_discount), 4) AS avg_value FROM lineitem
+UNION ALL
+SELECT 'tax' AS metric, ROUND(AVG(l_tax), 4) AS avg_value FROM lineitem
+""",
+)
+def unpivot_lineitem_metrics(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Unpivot via stack() — the inverse of A9's pivot."""
+    li = _t(spark, sf_dir, "lineitem")
+    long = li.selectExpr(
+        "stack(3, 'quantity', l_quantity, 'discount', l_discount, "
+        "'tax', l_tax) AS (metric, v)"
+    )
+    return long.groupBy("metric").agg(F.round(F.avg("v"), 4).alias("avg_value"))
+
+
+@query(
+    "merge_upsert_customers",
+    """
+SELECT c_custkey, c_name, ROUND(c_acctbal, 2) AS bal
+FROM customer WHERE c_custkey % 10 <> 0
+UNION ALL
+SELECT c_custkey, 'UPDATED' AS c_name, ROUND(c_acctbal + 100, 2) AS bal
+FROM customer WHERE c_custkey % 10 = 0
+""",
+)
+def merge_upsert_customers(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """MERGE/upsert emulation on plain parquet (anti-join + union;
+    operators/merge.py). Updates win on key collision; the reference's
+    Delta-overwrite pipeline generalized to incremental upserts."""
+    from value_at_risk_spark.operators.merge import upsert
+
+    c = _t(spark, sf_dir, "customer").select(
+        "c_custkey", "c_name", F.round("c_acctbal", 2).alias("bal")
+    )
+    updates = (
+        c.filter(F.col("c_custkey") % 10 == 0)
+        .withColumn("c_name", F.lit("UPDATED"))
+        .withColumn("bal", F.round(F.col("bal") + 100, 2))
+    )
+    return upsert(c, updates, keys=["c_custkey"])
+
+
+@query(
+    "model_scoring_wsse",
+    """
+WITH m AS (
+  SELECT l_returnflag AS rf,
+         REGR_INTERCEPT(l_extendedprice, l_quantity) AS b0,
+         REGR_SLOPE(l_extendedprice, l_quantity) AS b1
+  FROM lineitem GROUP BY 1
+)
+SELECT l_returnflag,
+       ROUND(AVG(POW(b0 + b1 * l_quantity - l_extendedprice, 2)), -2) AS wsse
+FROM lineitem JOIN m ON m.rf = l_returnflag
+GROUP BY l_returnflag
+""",
+)
+def model_scoring_wsse(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Model evaluation: broadcast-join the applyInPandas-fitted weights
+    back and compute mean squared error natively (02_var_model.py:219-234
+    — wsse via F2, minus the MLflow scoring UDF). Rounded to hundreds:
+    lstsq vs closed-form REGR_* agree to ~1e-8 relative, which a cent-
+    level round of a 1e8-magnitude statistic would amplify."""
+    li = _t(spark, sf_dir, "lineitem").select(
+        "l_returnflag",
+        F.array(F.col("l_quantity")).alias("features"),
+        F.col("l_extendedprice").alias("target"),
+    )
+    w = fit_ols_per_group(li, "l_returnflag", "features", "target")
+    pred = F.element_at("weights", 1) + F.element_at("weights", 2) * F.element_at(
+        "features", 1
+    )
+    return (
+        li.join(F.broadcast(w), "l_returnflag")
+        .groupBy("l_returnflag")
+        .agg(F.round(F.avg(F.pow(pred - F.col("target"), 2)), -2).alias("wsse"))
+    )
+
+
+@query(
+    "doc_quality_scores",
+    """
+WITH toks AS (
+  SELECT doc_id, t FROM (
+    SELECT doc_id, UNNEST(string_split(lower(text), ' ')) AS t FROM documents
+  ) WHERE t <> ''
+),
+sig AS (
+  SELECT doc_id,
+         COUNT(*) AS n,
+         COUNT(DISTINCT t) AS nd,
+         SUM(CASE WHEN t IN ('the','a','of','and','to','in','is','on','for','with')
+                  THEN 1 ELSE 0 END) * 1.0 / COUNT(*) AS swr
+  FROM toks GROUP BY doc_id
+)
+SELECT doc_id,
+       ROUND((
+         (CASE WHEN n BETWEEN 10 AND 10000 THEN 1.0 ELSE 0.0 END)
+         + (CASE WHEN swr >= 0.05 AND swr <= 0.6 THEN 1.0 ELSE 0.0 END)
+         + nd * 1.0 / n
+       ) / 3.0, 6) AS quality
+FROM sig
+""",
+)
+def doc_quality_scores(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Composite quality score (functions.text.quality_score): length
+    band + stopword-density band + type/token ratio."""
+    from value_at_risk_spark.functions.text import quality_score
+
+    d = _t(spark, sf_dir, "documents")
+    return d.select("doc_id", quality_score("text").alias("quality"))
+
+
+@query("ann_ivf_topk")
+def ann_ivf_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """IVF-style ANN (rows-only): assign every vector to its nearest of
+    8 seeded random centroids (coarse quantizer as literal arrays), then
+    run the exact search only inside the query's cell. The scale path
+    where even LSH bucket joins are too wide: cells partition the corpus,
+    and a real deployment probes the nearest 2-3 cells."""
+    import numpy as np
+
+    from value_at_risk_spark.functions.vector import dot_product
+
+    emb = _t(spark, sf_dir, "embeddings")
+    rng = np.random.default_rng(123)
+    cents = rng.standard_normal((8, 64))
+
+    def cell_of(vec_col):
+        best_d, best_i = None, None
+        for i in range(8):
+            c = F.array(*[F.lit(float(x)) for x in cents[i]])
+            d2 = dot_product(vec_col, vec_col) - 2 * dot_product(vec_col, c)
+            if best_d is None:
+                best_d, best_i = d2, F.lit(i)
+            else:
+                best_i = F.when(d2 < best_d, F.lit(i)).otherwise(best_i)
+                best_d = F.least(d2, best_d)
+        return best_i
+
+    assigned = emb.select(
+        "vec_id", "embedding", cell_of(F.col("embedding")).alias("cell")
+    )
+    q = assigned.filter(F.col("vec_id") < 10).select(
+        F.col("vec_id").alias("query_id"),
+        F.col("embedding").alias("_qv"),
+        "cell",
+    )
+    from value_at_risk_spark.functions.vector import cosine_similarity
+    from pyspark.sql.window import Window as W
+
+    scored = (
+        assigned.join(F.broadcast(q), "cell")
+        .filter(F.col("query_id") != F.col("vec_id"))
+        .select(
+            "query_id",
+            F.col("vec_id").alias("neighbor_id"),
+            F.round(cosine_similarity("_qv", "embedding"), 6).alias("cosine"),
+        )
+    )
+    w = W.partitionBy("query_id").orderBy(F.desc("cosine"), F.asc("neighbor_id"))
+    return scored.withColumn("rnk", F.row_number().over(w)).filter(F.col("rnk") <= 5)
