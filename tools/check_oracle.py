@@ -31,7 +31,7 @@ def _norm_cell(v):
         v = round(v, 6)
         return 0.0 if v == 0 else v
     if hasattr(v, "isoformat"):
-        return v.isoformat()[:10] if hasattr(v, "date") or True else str(v)
+        return v.isoformat()
     return v
 
 

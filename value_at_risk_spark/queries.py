@@ -1584,3 +1584,123 @@ def ann_ivf_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     w = W.partitionBy("query_id").orderBy(F.desc("cosine"), F.asc("neighbor_id"))
     return scored.withColumn("rnk", F.row_number().over(w)).filter(F.col("rnk") <= 5)
+
+
+# --------------------------------------------------------------------------
+# 9. Centroids, event-time windows, fingerprints, near-dedup composite
+# --------------------------------------------------------------------------
+
+
+@query(
+    "embedding_centroid_by_label",
+    """
+SELECT label, CAST(i - 1 AS BIGINT) AS pos,
+       (ROUND(AVG(CAST(embedding[i] AS DOUBLE)), 6) + 0) AS centroid
+FROM embeddings, generate_series(1, 64) t(i)
+GROUP BY 1, 2
+""",
+)
+def embedding_centroid_by_label(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-class embedding centroid (A5 mean form) — the k-means /
+    classifier-prototype building block, long-form for the oracle."""
+    emb = _t(spark, sf_dir, "embeddings")
+    return (
+        emb.select("label", F.posexplode("embedding").alias("pos", "v"))
+        .groupBy("label", F.col("pos").cast("long").alias("pos"))
+        .agg(
+            (F.round(F.avg(F.col("v").cast("double")), 6) + F.lit(0.0)).alias(
+                "centroid"
+            )
+        )
+    )
+
+
+@query(
+    "hourly_event_windows",
+    """
+SELECT CAST(epoch(date_trunc('hour', ts)) AS BIGINT) AS window_start_s,
+       event_type,
+       COUNT(*) AS n_events,
+       ROUND(SUM(value), 4) AS total_value
+FROM events
+GROUP BY 1, 2
+""",
+)
+def hourly_event_windows(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Event-time tumbling windows in batch (F.window — the same
+    operator streaming uses; SURVEY §2.9 mapping)."""
+    e = _t(spark, sf_dir, "events")
+    return (
+        e.groupBy(F.window("ts", "1 hour").alias("w"), "event_type")
+        .agg(
+            F.count(F.lit(1)).alias("n_events"),
+            F.round(F.sum("value"), 4).alias("total_value"),
+        )
+        .select(
+            F.col("w.start").cast("long").alias("window_start_s"),
+            "event_type",
+            "n_events",
+            "total_value",
+        )
+    )
+
+
+@query("doc_fingerprints_rolling")
+def doc_fingerprints_rolling(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Winnowing-style document fingerprint (rows-only): hash every
+    5-gram shingle, keep each document's k smallest hashes as its
+    fingerprint set (a bottom-k sketch — the content-defined sampling
+    used for plagiarism/near-dup detection at corpus scale)."""
+    from value_at_risk_spark.functions.text import shingles
+
+    d = _t(spark, sf_dir, "documents")
+    sh = d.select(
+        "doc_id", F.explode(shingles("text", 5)).alias("_s")
+    ).select("doc_id", F.xxhash64("_s").alias("_h"))
+    w = Window.partitionBy("doc_id").orderBy("_h")
+    return (
+        sh.withColumn("_r", F.row_number().over(w))
+        .filter(F.col("_r") <= 8)
+        .groupBy("doc_id")
+        .agg(F.sort_array(F.collect_list("_h")).alias("fingerprint"))
+        .select("doc_id", F.concat_ws(",", F.transform("fingerprint", lambda x: x.cast("string"))).alias("fingerprint"))
+    )
+
+
+@query("near_dedup_survivors")
+def near_dedup_survivors(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Composite near-dedup pipeline (rows-only): MinHash-LSH candidate
+    pairs → exact token-Jaccard verify (≥ 0.8) → union-find-lite
+    survivor selection (keep the smallest doc_id of each duplicate
+    cluster's direct neighborhood). The full production dedup flow."""
+    d = _t(spark, sf_dir, "documents")
+    sigs = minhash_signatures(d, num_hashes=32, shingle_n=3)
+    pairs = minhash_lsh_pairs(sigs, num_bands=8, num_hashes=32)
+    toks = d.select(
+        "doc_id",
+        F.array_distinct(
+            F.filter(F.split(F.lower("text"), " "), lambda x: x != "")
+        ).alias("toks"),
+    )
+    a = toks.select(F.col("doc_id").alias("id_a"), F.col("toks").alias("toks_a"))
+    b = toks.select(F.col("doc_id").alias("id_b"), F.col("toks").alias("toks_b"))
+    cand = pairs.join(a, "id_a").join(b, "id_b")
+    verified = jaccard_similarity(
+        cand, "toks_a", "toks_b", out_col="jacc", tokenize=False
+    ).filter(F.col("jacc") >= 0.8)
+    # each doc maps to min(itself, smallest verified partner)
+    partner_min = (
+        verified.select(F.col("id_b").alias("doc_id"), F.col("id_a").alias("rep"))
+        .groupBy("doc_id")
+        .agg(F.min("rep").alias("rep"))
+    )
+    return (
+        d.select("doc_id")
+        .join(partner_min, "doc_id", "left")
+        .select(
+            "doc_id",
+            F.coalesce("rep", "doc_id").alias("representative"),
+        )
+        .filter(F.col("doc_id") == F.col("representative"))
+        .select("doc_id")
+    )
