@@ -44,18 +44,34 @@ def minhash_signatures(
 ) -> DataFrame:
     """MinHash signature per document, all JVM-side.
 
-    Each shingle string is hashed ONCE (xxhash64 → long); the k-member
-    hash family is derived from that long (xxhash64(base, i) — cheap
-    integer mixing), and the signature is k min-aggregates in a single
-    hash-agg pass over the exploded (doc, shingle-hash) rows. Linear in
-    docs × shingles, with only long-typed work in the k-wide inner
-    loop; partial (map-side) aggregation keeps the shuffle at
-    docs × k longs.
+    No shingle strings are ever built: each token is hashed once
+    (xxhash64 → long), an n-gram shingle hash is xxhash64 over the n
+    consecutive token hashes (long-only work), and the k-member hash
+    family is derived from the shingle hash (xxhash64(h, i)) as k
+    min-aggregates in one hash-agg pass over the exploded
+    (doc, shingle-hash) rows. Linear in docs × tokens; partial
+    (map-side) aggregation keeps the shuffle at docs × k longs.
     """
-    sh = df.select(
+    toks = tokens(text_col)
+    # materialize the token-hash array in its own projection: inlining it
+    # into the shingle transform would re-evaluate the whole array per
+    # shingle element (O(tokens²) per doc)
+    base = df.select(
         F.col(id_col),
-        F.explode(shingles(text_col, shingle_n)).alias("_s"),
-    ).select(id_col, F.xxhash64("_s").alias("_h"))
+        F.concat(
+            F.transform(toks, lambda t: F.xxhash64(t)),
+            # pad so element_at stays in bounds under ANSI for short docs
+            F.array(*[F.lit(0).cast("long")] * (shingle_n - 1)),
+        ).alias("_th"),
+        F.greatest(F.size(toks) - (shingle_n - 1), F.lit(1)).alias("_nsh"),
+    )
+    sh_hashes = F.transform(
+        F.sequence(F.lit(1), F.col("_nsh")),
+        lambda i: F.xxhash64(
+            *[F.element_at(F.col("_th"), i + k) for k in range(shingle_n)]
+        ),
+    )
+    sh = base.select(F.col(id_col), F.explode(sh_hashes).alias("_h"))
     sig = sh.groupBy(id_col).agg(
         *[
             F.min(F.xxhash64("_h", F.lit(i))).alias(f"_m{i}")

@@ -1020,22 +1020,25 @@ def text_quality_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Quality-scoring signals (north-star text analysis): token count,
     type count, mean token length, stopword ratio — all JVM-side."""
     d = _t(spark, sf_dir, "documents")
-    tok = d.select(
-        "doc_id",
-        F.explode(
-            F.filter(F.split(F.lower("text"), " "), lambda x: x != "")
-        ).alias("t"),
+    # per-row higher-order expressions: zero shuffle (the explode+groupBy
+    # formulation re-keys 300 rows per doc through an exchange for no
+    # semantic gain; at 100 TB this stays embarrassingly parallel)
+    toks = F.filter(F.split(F.lower("text"), " "), lambda x: x != "")
+    base = d.select("doc_id", toks.alias("_tk"))
+    n = F.size("_tk")
+    sw = F.array(*[F.lit(w) for w in STOPWORDS])
+    n_sw = F.size(F.filter(F.col("_tk"), lambda t: F.array_contains(sw, t)))
+    total_len = F.aggregate(
+        F.transform(F.col("_tk"), lambda t: F.length(t).cast("long")),
+        F.lit(0).cast("long"),
+        lambda a, x: a + x,
     )
-    sw = list(STOPWORDS)
-    return tok.groupBy("doc_id").agg(
-        F.count(F.lit(1)).alias("n_tokens"),
-        F.count_distinct("t").alias("n_distinct"),
-        F.round(F.avg(F.length("t")), 6).alias("avg_token_len"),
-        F.round(
-            F.sum(F.when(F.col("t").isin(sw), 1).otherwise(0))
-            / F.count(F.lit(1)),
-            6,
-        ).alias("stopword_ratio"),
+    return base.select(
+        "doc_id",
+        n.cast("long").alias("n_tokens"),
+        F.size(F.array_distinct("_tk")).cast("long").alias("n_distinct"),
+        F.round(total_len / n, 6).alias("avg_token_len"),
+        F.round(n_sw / n, 6).alias("stopword_ratio"),
     )
 
 
@@ -1059,27 +1062,16 @@ def language_id_heuristic(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Stopword-density language ID (n-gram heuristic family): flag text
     as English when function-word density clears a threshold."""
     d = _t(spark, sf_dir, "documents")
-    tok = d.select(
+    toks = F.filter(F.split(F.lower("text"), " "), lambda x: x != "")
+    sw = F.array(*[F.lit(w) for w in STOPWORDS])
+    base = d.select("doc_id", F.col("lang").alias("lang_label"), toks.alias("_tk"))
+    ratio = F.size(F.filter(F.col("_tk"), lambda t: F.array_contains(sw, t))) / F.size(
+        "_tk"
+    )
+    return base.select(
         "doc_id",
-        F.explode(
-            F.filter(F.split(F.lower("text"), " "), lambda x: x != "")
-        ).alias("t"),
-    )
-    r = tok.groupBy("doc_id").agg(
-        (
-            F.sum(F.when(F.col("t").isin(list(STOPWORDS)), 1).otherwise(0))
-            / F.count(F.lit(1))
-        ).alias("ratio")
-    )
-    return (
-        d.join(r, "doc_id")
-        .select(
-            "doc_id",
-            F.col("lang").alias("lang_label"),
-            F.when(F.col("ratio") >= 0.05, F.lit("en"))
-            .otherwise(F.lit("und"))
-            .alias("lang_pred"),
-        )
+        "lang_label",
+        F.when(ratio >= 0.05, F.lit("en")).otherwise(F.lit("und")).alias("lang_pred"),
     )
 
 
