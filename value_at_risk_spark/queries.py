@@ -1696,3 +1696,30 @@ def near_dedup_survivors(spark: SparkSession, sf_dir: str) -> DataFrame:
         .filter(F.col("doc_id") == F.col("representative"))
         .select("doc_id")
     )
+
+
+@query(
+    "price_lead_ntile",
+    "WITH "
+    + SQL_DAILY
+    + """
+SELECT series, d, price,
+       LEAD(price) OVER (PARTITION BY series ORDER BY d) AS next_price,
+       CAST(NTILE(4) OVER (PARTITION BY series ORDER BY price, d) AS BIGINT) AS price_quartile
+FROM daily
+""",
+)
+def price_lead_ntile(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Forward-looking window (lead) + quartile bucketing (ntile) —
+    completing the ranking-window surface (SURVEY §2.5 'not present'
+    list; deterministic ordering via the (price, d) tie-break)."""
+    daily = daily_prices(spark, sf_dir)
+    w = Window.partitionBy("series").orderBy("d")
+    wq = Window.partitionBy("series").orderBy("price", "d")
+    return daily.select(
+        "series",
+        "d",
+        "price",
+        F.lead("price").over(w).alias("next_price"),
+        F.ntile(4).over(wq).cast("long").alias("price_quartile"),
+    )
