@@ -206,3 +206,49 @@ def test_lsh_topk_reasonable_recall(spark):
     # with 2 planes ~25% of corpus shares the bucket; we must get some hits
     assert len(got) > 0
     assert all(r.neighbor_id != 0 for r in got)
+
+
+def test_asof_bucketed_equals_plain(spark):
+    import numpy as np
+    from value_at_risk_spark.operators.asof import asof_join_bucketed
+
+    rng = np.random.default_rng(5)
+    base = 1_600_000_000
+    lts = sorted(int(base + t) for t in rng.integers(0, 90 * 86400, 300))
+    rts = sorted(int(base + t) for t in rng.integers(0, 90 * 86400, 40))
+    left = spark.createDataFrame(
+        [(i, t) for i, t in enumerate(lts)], "lid long, ts long"
+    ).select("lid", F.col("ts").cast("timestamp").alias("ts"))
+    right = spark.createDataFrame(
+        [(t, float(i)) for i, t in enumerate(rts)], "ts long, v double"
+    ).select(F.col("ts").cast("timestamp").alias("ts"), "v")
+
+    from value_at_risk_spark.operators.asof import asof_join
+
+    plain = {
+        r.lid: (r.right_ts, r.right_v)
+        for r in asof_join(left, right, on="ts").collect()
+    }
+    for bucket in (86400, 7 * 86400, 30 * 86400):
+        bucketed = {
+            r.lid: (r.right_ts, r.right_v)
+            for r in asof_join_bucketed(
+                left, right, on="ts", bucket_seconds=bucket
+            ).collect()
+        }
+        assert bucketed == plain, f"bucket={bucket}"
+
+
+def test_approx_var_close_to_exact(spark):
+    import numpy as np
+    from value_at_risk_spark.functions.risk import value_at_risk_expr
+
+    rng = np.random.default_rng(6)
+    xs = rng.standard_normal(20_000).tolist()
+    df = spark.createDataFrame([(float(x),) for x in xs], "x double")
+    exact = df.select(value_at_risk_expr("x", 99.0).alias("v")).first().v
+    approx = df.select(
+        value_at_risk_expr("x", 99.0, approximate=True).alias("v")
+    ).first().v
+    assert abs(exact - approx) < 0.02  # sketch within tolerance
+    assert exact == pytest.approx(np.percentile(np.array(xs), 1), abs=1e-9)

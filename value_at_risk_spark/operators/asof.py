@@ -87,3 +87,81 @@ def asof_join(
         *[F.last(c, ignorenulls=True).over(w).alias(c) for c in [p_ts, *p_payload]],
     )
     return filled.filter(F.col("_side") == 1).drop("_side")
+
+
+def asof_join_bucketed(
+    left: DataFrame,
+    right: DataFrame,
+    on: str = "ts",
+    right_on: str | None = None,
+    prefix: str = "right_",
+    bucket_seconds: int = 7 * 86_400,
+) -> DataFrame:
+    """Scalable UNKEYED as-of join: time-bucketed with boundary carry-in.
+
+    The plain unkeyed as-of (like the reference's unpartitioned tempo
+    joins, 03_var_monte_carlo.py:30-42) sorts everything in one task.
+    This variant partitions time into fixed buckets so every shuffle
+    keys on the bucket id:
+
+    1. assign each row to bucket = floor(epoch/bucket_seconds);
+    2. per bucket, find the latest right row (one small agg);
+    3. running `last` over the tiny bucket spine gives each bucket its
+       carry-in — the latest right row from any earlier bucket;
+    4. re-inject carry-ins as synthetic right rows at each bucket's
+       start, then run the union-window pattern PARTITIONED BY BUCKET.
+
+    Costs: two shuffles on the bucket key + one window over the bucket
+    spine (|buckets| rows — negligible). Equivalent output to
+    asof_join(left, right) for any bucket size; asserted in tests.
+    """
+    right_on = right_on or on
+    bseconds = F.lit(bucket_seconds).cast("long")
+
+    # cast via timestamp so date, timestamp, and epoch-long keys all work
+    # (ANSI forbids a direct date→long cast)
+    lb = left.withColumn(
+        "_bucket",
+        F.floor(F.col(on).cast("timestamp").cast("long") / bseconds).cast("long"),
+    )
+    rb = right.withColumn(
+        "_bucket",
+        F.floor(
+            F.col(right_on).cast("timestamp").cast("long") / bseconds
+        ).cast("long"),
+    )
+
+    # latest right row per bucket, as a struct so max() carries payload
+    payload_cols = [c for c in right.columns]
+    last_per_bucket = rb.groupBy("_bucket").agg(
+        F.max(F.struct(F.col(right_on).alias("_ts"), F.struct(*payload_cols).alias("_p"))).alias("_last")
+    )
+
+    # bucket spine = union of buckets either side touches
+    buckets = (
+        lb.select("_bucket").union(rb.select("_bucket")).distinct()
+    )
+    w = (
+        Window.orderBy("_bucket")
+        .rowsBetween(Window.unboundedPreceding, -1)
+    )
+    carry = (
+        buckets.join(last_per_bucket, "_bucket", "left")
+        .withColumn("_carry", F.last("_last", ignorenulls=True).over(w))
+        .filter(F.col("_carry").isNotNull())
+        .select(
+            "_bucket",
+            *[
+                F.col(f"_carry._p.{c}").alias(c)
+                for c in payload_cols
+            ],
+        )
+        # carry-in is stamped with its ORIGINAL right timestamp (it is
+        # still <= every left ts in this bucket, and the original value
+        # must surface as the right_<ts> output)
+    )
+
+    rb_aug = rb.unionByName(carry)
+    return asof_join(
+        lb, rb_aug, on=on, by=["_bucket"], prefix=prefix, right_on=right_on
+    ).drop("_bucket")

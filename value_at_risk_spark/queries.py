@@ -586,7 +586,14 @@ def asof_join_events(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("ts").cast("date").alias("cd"),
         F.round("value", 4).alias("cval"),
     )
-    return asof_join(clicks, pday, on="cd", right_on="pd")
+    # the bucketed variant is the scale path for unkeyed as-of joins —
+    # identical output (test-asserted), shuffles on time buckets instead
+    # of a single global sort task
+    from value_at_risk_spark.operators.asof import asof_join_bucketed
+
+    return asof_join_bucketed(
+        clicks, pday, on="cd", right_on="pd", bucket_seconds=7 * 86_400
+    )
 
 
 @query(
