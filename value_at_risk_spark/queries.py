@@ -1730,3 +1730,204 @@ def price_lead_ntile(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.lead("price").over(w).alias("next_price"),
         F.ntile(4).over(wq).cast("long").alias("price_quartile"),
     )
+
+
+# --------------------------------------------------------------------------
+# 10. Embedding normalization, text cleaning, quantiles, CDC compaction,
+#     histograms, correlation matrix, stratified sampling
+# --------------------------------------------------------------------------
+
+
+@query(
+    "normalized_embeddings",
+    """
+WITH norms AS (
+  SELECT vec_id, SQRT(SUM(CAST(e AS DOUBLE) * CAST(e AS DOUBLE))) AS nrm
+  FROM (SELECT vec_id, UNNEST(embedding) AS e FROM embeddings)
+  GROUP BY vec_id
+)
+SELECT e.vec_id, CAST(i - 1 AS BIGINT) AS pos,
+       (ROUND(CAST(embedding[i] AS DOUBLE) / n.nrm, 6) + 0) AS unit_val
+FROM embeddings e JOIN norms n ON n.vec_id = e.vec_id,
+     generate_series(1, 64) t(i)
+""",
+)
+def normalized_embeddings(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """L2-normalization to unit vectors (the standard pre-ANN transform)
+    as one per-row higher-order expression, long-form for the oracle."""
+    emb = _t(spark, sf_dir, "embeddings")
+    nrm = F.sqrt(dot_product("embedding", "embedding"))
+    unit = F.transform("embedding", lambda x: x.cast("double") / nrm)
+    base = emb.select("vec_id", unit.alias("_u"))
+    return base.select(
+        "vec_id", F.posexplode("_u").alias("pos", "unit_val")
+    ).select(
+        "vec_id",
+        F.col("pos").cast("long").alias("pos"),
+        (F.round("unit_val", 6) + F.lit(0.0)).alias("unit_val"),
+    )
+
+
+@query(
+    "clean_text",
+    """
+SELECT doc_id,
+       trim(regexp_replace(regexp_replace(lower(text), '[^a-z0-9 ]', ' ', 'g'),
+                           ' +', ' ', 'g')) AS clean,
+       LENGTH(text) - LENGTH(REPLACE(text, ' ', '')) + 1 AS approx_words
+FROM documents
+""",
+)
+def clean_text(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Text normalization (lowercase, strip non-alphanumerics, collapse
+    whitespace) — the first stage of every LLM-data text pipeline, all
+    JVM regex."""
+    d = _t(spark, sf_dir, "documents")
+    clean = F.trim(
+        F.regexp_replace(
+            F.regexp_replace(F.lower("text"), "[^a-z0-9 ]", " "), " +", " "
+        )
+    )
+    words = (
+        F.length("text") - F.length(F.regexp_replace("text", " ", "")) + 1
+    )
+    return d.select(
+        "doc_id", clean.alias("clean"), words.cast("long").alias("approx_words")
+    )
+
+
+@query(
+    "revenue_quantiles_by_nation",
+    """
+SELECT c_nationkey AS nationkey,
+       ROUND(quantile_cont(o_totalprice, 0.25), 4) AS p25,
+       ROUND(quantile_cont(o_totalprice, 0.50), 4) AS p50,
+       ROUND(quantile_cont(o_totalprice, 0.75), 4) AS p75
+FROM orders JOIN customer ON o_custkey = c_custkey
+GROUP BY 1
+""",
+)
+def revenue_quantiles_by_nation(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Multi-quantile grouped aggregation (exact linear interpolation,
+    same family as O3's VaR percentile)."""
+    o = _t(spark, sf_dir, "orders")
+    c = _t(spark, sf_dir, "customer")
+    return (
+        o.join(F.broadcast(c), o.o_custkey == c.c_custkey)
+        .groupBy(F.col("c_nationkey").alias("nationkey"))
+        .agg(
+            F.round(F.percentile("o_totalprice", 0.25), 4).alias("p25"),
+            F.round(F.percentile("o_totalprice", 0.50), 4).alias("p50"),
+            F.round(F.percentile("o_totalprice", 0.75), 4).alias("p75"),
+        )
+    )
+
+
+@query(
+    "latest_order_per_customer",
+    """
+SELECT o_custkey, o_orderkey, CAST(o_orderdate AS DATE) AS od
+FROM (
+  SELECT o_custkey, o_orderkey, o_orderdate,
+         ROW_NUMBER() OVER (PARTITION BY o_custkey
+                            ORDER BY o_orderdate DESC, o_orderkey DESC) AS rn
+  FROM orders
+) WHERE rn = 1
+""",
+)
+def latest_order_per_customer(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """CDC-style compaction: latest record per key via ranking window —
+    the batch form of streaming upsert materialization."""
+    o = _t(spark, sf_dir, "orders")
+    w = Window.partitionBy("o_custkey").orderBy(
+        F.desc("o_orderdate"), F.desc("o_orderkey")
+    )
+    return (
+        o.withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") == 1)
+        .select(
+            "o_custkey", "o_orderkey", F.col("o_orderdate").cast("date").alias("od")
+        )
+    )
+
+
+@query(
+    "return_histogram",
+    "WITH "
+    + SQL_RETS
+    + """
+SELECT series,
+       CAST(FLOOR(ret / 0.5) AS BIGINT) AS bin,
+       COUNT(*) AS n
+FROM rets GROUP BY 1, 2
+""",
+)
+def return_histogram(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Fixed-width histogram binning of the return distribution (the
+    plotting/monitoring primitive; 0.5-wide bins)."""
+    rets = daily_returns(spark, sf_dir)
+    return rets.groupBy(
+        "series", F.floor(F.col("ret") / 0.5).cast("long").alias("bin")
+    ).agg(F.count(F.lit(1)).alias("n"))
+
+
+@query(
+    "factor_correlation_matrix",
+    "WITH "
+    + SQL_RETS
+    + """,
+wide AS (
+  SELECT d,
+         MAX(CASE WHEN series = '1-URGENT' THEN ret END) AS f0,
+         MAX(CASE WHEN series = '2-HIGH' THEN ret END) AS f1,
+         MAX(CASE WHEN series = '3-MEDIUM' THEN ret END) AS f2,
+         MAX(CASE WHEN series = '4-NOT SPECIFIED' THEN ret END) AS f3,
+         MAX(CASE WHEN series = '5-LOW' THEN ret END) AS f4
+  FROM rets GROUP BY d
+)
+SELECT 0 AS i, ROUND(CORR(f0, f0), 6) AS c0, ROUND(CORR(f0, f1), 6) AS c1,
+       ROUND(CORR(f0, f2), 6) AS c2, ROUND(CORR(f0, f3), 6) AS c3,
+       ROUND(CORR(f0, f4), 6) AS c4 FROM wide
+UNION ALL
+SELECT 1, ROUND(CORR(f1, f0), 6), ROUND(CORR(f1, f1), 6), ROUND(CORR(f1, f2), 6),
+       ROUND(CORR(f1, f3), 6), ROUND(CORR(f1, f4), 6) FROM wide
+UNION ALL
+SELECT 2, ROUND(CORR(f2, f0), 6), ROUND(CORR(f2, f1), 6), ROUND(CORR(f2, f2), 6),
+       ROUND(CORR(f2, f3), 6), ROUND(CORR(f2, f4), 6) FROM wide
+UNION ALL
+SELECT 3, ROUND(CORR(f3, f0), 6), ROUND(CORR(f3, f1), 6), ROUND(CORR(f3, f2), 6),
+       ROUND(CORR(f3, f3), 6), ROUND(CORR(f3, f4), 6) FROM wide
+UNION ALL
+SELECT 4, ROUND(CORR(f4, f0), 6), ROUND(CORR(f4, f1), 6), ROUND(CORR(f4, f2), 6),
+       ROUND(CORR(f4, f3), 6), ROUND(CORR(f4, f4), 6) FROM wide
+""",
+)
+def factor_correlation_matrix(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Pairwise factor-return correlation matrix (A8 family; the
+    normalized counterpart of vol_cov) — pivot to wide, then native corr
+    per pair, one output row per factor."""
+    rets = daily_returns(spark, sf_dir)
+    series = ["1-URGENT", "2-HIGH", "3-MEDIUM", "4-NOT SPECIFIED", "5-LOW"]
+    wide = rets.groupBy("d").pivot("series", series).agg(F.first("ret"))
+    cols = [f"`{s}`" for s in series]
+    out = None
+    for i in range(5):
+        row = wide.agg(
+            F.lit(i).alias("i"),
+            *[
+                F.round(F.corr(F.col(cols[i]), F.col(cols[j])), 6).alias(f"c{j}")
+                for j in range(5)
+            ],
+        )
+        out = row if out is None else out.unionByName(row)
+    return out
+
+
+@query("sample_stratified")
+def sample_stratified(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Seeded stratified sampling per language (rows-only: sampling RNG
+    is engine-specific) — the corpus-balancing primitive for training-
+    data mixes. Deterministic per seed within Spark."""
+    d = _t(spark, sf_dir, "documents")
+    fractions = {"en": 0.5, "de": 0.3, "es": 0.3, "zh": 0.2, "fr": 0.2}
+    return d.sampleBy("lang", fractions, seed=42).select("doc_id", "lang")
