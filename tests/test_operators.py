@@ -252,3 +252,29 @@ def test_approx_var_close_to_exact(spark):
     ).first().v
     assert abs(exact - approx) < 0.02  # sketch within tolerance
     assert exact == pytest.approx(np.percentile(np.array(xs), 1), abs=1e-9)
+
+
+def test_asof_join_empty_right(spark):
+    left = spark.createDataFrame([(1, 10)], "lid long, ts long")
+    right = spark.createDataFrame([], "ts long, v double")
+    out = asof_join(left, right, on="ts").collect()
+    assert len(out) == 1
+    assert out[0].right_v is None
+
+
+def test_exact_dedup_empty(spark):
+    df = spark.createDataFrame([], "doc_id long, text string")
+    assert exact_dedup(df).count() == 0
+
+
+def test_vector_sum_empty(spark):
+    df = spark.createDataFrame([], "g int, vec array<double>")
+    assert vector_sum(df, ["g"], "vec").count() == 0
+
+
+def test_minhash_single_token_doc(spark):
+    # shorter than the shingle width: padding path
+    df = spark.createDataFrame([(0, "hi"), (1, "hi")], "doc_id long, text string")
+    sigs = minhash_signatures(df, num_hashes=8, shingle_n=3)
+    rows = {r.doc_id: tuple(r.signature) for r in sigs.collect()}
+    assert rows[0] == rows[1]  # identical short docs → identical signatures

@@ -1931,3 +1931,51 @@ def sample_stratified(spark: SparkSession, sf_dir: str) -> DataFrame:
     d = _t(spark, sf_dir, "documents")
     fractions = {"en": 0.5, "de": 0.3, "es": 0.3, "zh": 0.2, "fr": 0.2}
     return d.sampleBy("lang", fractions, seed=42).select("doc_id", "lang")
+
+
+@query(
+    "grouping_sets_orders",
+    """
+SELECT o_orderstatus, o_orderpriority, COUNT(*) AS n,
+       ROUND(SUM(o_totalprice), 2) AS total
+FROM orders
+GROUP BY GROUPING SETS ((o_orderstatus), (o_orderpriority))
+""",
+)
+def grouping_sets_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Explicit GROUPING SETS (the general form behind rollup/cube),
+    via the SQL API over registered views — both APIs hit the same
+    Catalyst Expand operator."""
+    from value_at_risk_spark.sources.registry import load_tables
+
+    load_tables(spark, sf_dir, ("orders",))
+    return spark.sql(
+        """
+        SELECT o_orderstatus, o_orderpriority, COUNT(*) AS n,
+               ROUND(SUM(o_totalprice), 2) AS total
+        FROM orders
+        GROUP BY GROUPING SETS ((o_orderstatus), (o_orderpriority))
+        """
+    )
+
+
+@query(
+    "docs_with_long_tokens",
+    """
+SELECT doc_id,
+       len(list_filter(string_split(lower(text), ' '), t -> LENGTH(t) > 9)) > 0 AS has_long,
+       len(string_split(lower(text), ' ')) =
+         len(list_filter(string_split(lower(text), ' '), t -> LENGTH(t) < 20)) AS all_short
+FROM documents
+""",
+)
+def docs_with_long_tokens(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Higher-order array predicates (exists / forall) — the lambda
+    surface Catalyst evaluates without Python."""
+    d = _t(spark, sf_dir, "documents")
+    toks = F.split(F.lower("text"), " ")
+    return d.select(
+        "doc_id",
+        F.exists(toks, lambda t: F.length(t) > 9).alias("has_long"),
+        F.forall(toks, lambda t: F.length(t) < 20).alias("all_short"),
+    )
