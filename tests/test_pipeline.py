@@ -155,3 +155,71 @@ def test_context_var_demo(spark):
     r = context_var_demo(spark, n_paths=500, days=100).first()
     assert r.var < 0.1  # 5th percentile of a mildly-positive-drift GBM
     assert r.shortfall <= r.var
+
+
+def test_fused_var_equals_unfused(spark, fixtures):
+    """The fused weights path must equal score_trials → aggregate_var
+    exactly (linear algebra identity, FP-tolerance)."""
+    from value_at_risk_spark.plans.var_pipeline import (
+        aggregate_var_fused,
+        score_trials,
+        simulate,
+        run_date_spine,
+        trailing_volatility,
+    )
+
+    stocks, indicators, portfolio = fixtures
+    feats = market_features(indicators, FACTORS)
+    vol = trailing_volatility(feats, 90)
+    rets = stock_returns(stocks)
+    weights = train_models(rets, feats)
+    spine = run_date_spine(spark, "2020-06-01", "2020-09-01")
+    sims = simulate(vol, spine, runs=100)
+
+    unfused = {
+        str(r.date): (r.var_99, r.mean_return)
+        for r in aggregate_var(score_trials(sims, weights), portfolio).collect()
+    }
+    fused = {
+        str(r.date): (r.var_99, r.mean_return)
+        for r in aggregate_var_fused(sims, weights, portfolio).collect()
+    }
+    assert set(fused) == set(unfused)
+    for d in unfused:
+        assert fused[d][0] == pytest.approx(unfused[d][0], abs=1e-12)
+        assert fused[d][1] == pytest.approx(unfused[d][1], abs=1e-12)
+
+
+def test_fused_var_sliced(spark, fixtures):
+    from value_at_risk_spark.plans.var_pipeline import (
+        aggregate_var_fused,
+        score_trials,
+        simulate,
+        run_date_spine,
+        trailing_volatility,
+    )
+
+    stocks, indicators, portfolio = fixtures
+    pf = portfolio.withColumn(
+        "country", F.when(F.col("ticker") == "AAA", "US").otherwise("PE")
+    )
+    feats = market_features(indicators, FACTORS)
+    vol = trailing_volatility(feats, 90)
+    weights = train_models(stock_returns(stocks), feats)
+    spine = run_date_spine(spark, "2020-06-01", "2020-07-01")
+    sims = simulate(vol, spine, runs=50)
+    unfused = {
+        (str(r.date), r.country): r.var_99
+        for r in aggregate_var(
+            score_trials(sims, weights), pf, group_cols=["country"]
+        ).collect()
+    }
+    fused = {
+        (str(r.date), r.country): r.var_99
+        for r in aggregate_var_fused(
+            sims, weights, pf, group_cols=["country"]
+        ).collect()
+    }
+    assert set(fused) == set(unfused)
+    for k in unfused:
+        assert fused[k] == pytest.approx(unfused[k], abs=1e-12)

@@ -87,10 +87,21 @@ def main() -> None:
     n_var = var.count()
     t_var = time.time() - t0
 
+    # fused path: portfolio linearity folds the 27-ticker scoring stage
+    # into one combined weight vector applied per simulated state
+    from value_at_risk_spark.plans.var_pipeline import aggregate_var_fused
+
+    t0 = time.time()
+    var_fused = aggregate_var_fused(sims, weights, portfolio)
+    n_var_fused = var_fused.count()
+    t_var_fused = time.time() - t0
+
     print(
         json.dumps(
             {
                 "metric": "reference_scale_mc_sec",
+                "fused_var_dates": n_var_fused,
+                "fused_total_sec": round(t_var_fused, 2),
                 "simulate_rows": n_sims,
                 "simulate_sec": round(t_sim, 2),
                 "score_rows": n_scored,

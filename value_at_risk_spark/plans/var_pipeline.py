@@ -279,3 +279,73 @@ def run_pipeline(
         "var": var_series,
         "backtest": compliance,
     }
+
+
+def fused_portfolio_weights(
+    weights: DataFrame,
+    portfolio: DataFrame,
+    group_cols: list[str] | None = None,
+) -> DataFrame:
+    """Pre-combine per-ticker model weights into portfolio(-slice) weights.
+
+    The per-ticker predictor is linear in the (ticker-independent)
+    expanded features, and the portfolio return is linear in ticker
+    returns, so they commute:
+
+        Σ_t w_t · (b0_t + Σ_i b_it·f_i)  =  B0_g + Σ_i B_ig·f_i
+        where  B_g = Σ_{t∈g} w_t · b_t   (element-wise)
+
+    One tiny aggregation (instruments × weight-dim) replaces the entire
+    dates × trials × tickers scoring fan-out — at reference scale,
+    30.2 M rows collapse to the 1.12 M simulated states. The reference
+    cannot do this: its per-ticker scoring goes through an opaque
+    MLflow pyfunc (03_var_monte_carlo.py:98-109), so the linearity is
+    invisible to its planner.
+    """
+    from value_at_risk_spark.functions.vector import scale_vector
+    from value_at_risk_spark.operators.vector_agg import vector_sum_zipwith
+
+    group_cols = group_cols or []
+    j = weights.join(portfolio, "ticker").select(
+        *group_cols,
+        F.lit(1).alias("_g"),
+        scale_vector("weights", "weight").alias("_wv"),
+    )
+    combined = vector_sum_zipwith(j, [*group_cols, "_g"], "_wv", out_col="weights")
+    return combined.drop("_g")
+
+
+def aggregate_var_fused(
+    sims: DataFrame,
+    weights: DataFrame,
+    portfolio: DataFrame,
+    confidence: float = 99.0,
+    group_cols: list[str] | None = None,
+    approximate: bool = False,
+) -> DataFrame:
+    """Portfolio(-slice) VaR straight from simulated market states.
+
+    Exact same result as score_trials → aggregate_var for linear
+    per-ticker models (asserted in tests), with the wide scoring stage
+    algebraically eliminated: each simulated state is scored once per
+    portfolio slice with the pre-combined weights — no per-ticker
+    fan-out, no 30 M-row shuffle.
+    """
+    from value_at_risk_spark.functions.features import (
+        nonlinear_features,
+        predict_nonlinear,
+    )
+
+    group_cols = group_cols or []
+    gw = fused_portfolio_weights(weights, portfolio, group_cols)
+    fan = sims.crossJoin(F.broadcast(gw))
+    port = fan.select(
+        "date",
+        *group_cols,
+        "trial_id",
+        predict_nonlinear("weights", nonlinear_features("features")).alias("_pr"),
+    )
+    return port.groupBy("date", *group_cols).agg(
+        value_at_risk_expr("_pr", confidence, approximate).alias("var_99"),
+        F.avg("_pr").alias("mean_return"),
+    )
