@@ -85,20 +85,33 @@ def trailing_volatility(
     01_var_market_etl.py:159-184 re-expressed: instead of a global
     unpartitioned range window + per-row mean/cov Python UDFs (single
     task — SURVEY §4), each date range-joins its trailing history and
-    aggregates with avg/covar_samp. The date spine is one row per date,
-    so the join fan-out is |dates| × window — linear, fully parallel.
-    At 100 TB-scale history, bucket both sides by month and equi-join
-    on bucket before the range filter to keep the join pruned.
+    aggregates with avg/covar_samp.
+
+    The range join is bucketized so Catalyst gets an EQUI join: with
+    bucket width = the window length, a date in bucket b only needs
+    history from buckets {b-1, b}; each current-date row explodes to
+    those two bucket keys and hash-joins history on the bucket id, with
+    the exact range predicate as a post-filter. Shuffle-hash/broadcast
+    instead of a nested-loop — linear fan-out at any history size.
     """
-    cur = features_df.select(F.col("date").alias("_cd"))
+    cur = features_df.select(
+        F.col("date").alias("_cd"),
+        F.explode(
+            F.array(
+                F.floor(F.unix_date(F.col("date").cast("date")) / days),
+                F.floor(F.unix_date(F.col("date").cast("date")) / days) - 1,
+            )
+        ).alias("_bk"),
+    )
     hist = features_df.select(
-        F.col("date").alias("_hd"), F.col("features").alias("features")
+        F.col("date").alias("_hd"),
+        F.floor(F.unix_date(F.col("date").cast("date")) / days).alias("_bk"),
+        F.col("features").alias("features"),
     )
-    joined = cur.join(
-        hist,
+    joined = cur.join(hist, "_bk").filter(
         (F.col("_hd") >= F.date_sub(F.col("_cd"), days))
-        & (F.col("_hd") <= F.col("_cd")),
-    )
+        & (F.col("_hd") <= F.col("_cd"))
+    ).drop("_bk")
     stats = vector_mean_cov(joined, ["_cd"], "features")
     counts = joined.groupBy("_cd").agg(F.count(F.lit(1)).alias("_n"))
     return (
