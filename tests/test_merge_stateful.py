@@ -82,3 +82,21 @@ def test_registry_sorted_write_roundtrip(spark, sf_dir, tmp_path):
     assert {r.o_orderkey for r in back.select("o_orderkey").collect()} == {
         r.o_orderkey for r in src.select("o_orderkey").collect()
     }
+
+
+def test_salted_agg_equals_plain(spark, sf_dir):
+    from value_at_risk_spark.operators.skew import salted_sum_count
+    from value_at_risk_spark.sources.registry import Registry
+
+    e = Registry(sf_dir).read(spark, "events")
+    salted = {
+        r.event_type: (round(r.total, 6), r.n_rows)
+        for r in salted_sum_count(e, ["event_type"], "value").collect()
+    }
+    plain = {
+        r.event_type: (round(r.total, 6), r.n_rows)
+        for r in e.groupBy("event_type")
+        .agg(F.sum("value").alias("total"), F.count(F.lit(1)).alias("n_rows"))
+        .collect()
+    }
+    assert salted == plain

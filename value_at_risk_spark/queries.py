@@ -1979,3 +1979,121 @@ def docs_with_long_tokens(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.exists(toks, lambda t: F.length(t) > 9).alias("has_long"),
         F.forall(toks, lambda t: F.length(t) < 20).alias("all_short"),
     )
+
+
+@query(
+    "salted_event_totals",
+    """
+SELECT event_type, ROUND(SUM(value), 4) AS total, COUNT(*) AS n_rows
+FROM events GROUP BY event_type
+""",
+)
+def salted_event_totals(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Skew-safe two-phase aggregation (operators/skew.salted_agg):
+    per-(key, salt) partials then a final combine — identical result to
+    the direct groupBy (the oracle is the plain SQL), with hot keys
+    spread over 16 reducers."""
+    from value_at_risk_spark.operators.skew import salted_agg
+
+    e = _t(spark, sf_dir, "events")
+    return salted_agg(
+        e,
+        ["event_type"],
+        [F.sum("value").alias("_s"), F.count(F.lit(1)).alias("_n")],
+        lambda: [
+            F.round(F.sum("_s"), 4).alias("total"),
+            F.sum("_n").alias("n_rows"),
+        ],
+    )
+
+
+@query(
+    "top_bigrams",
+    """
+WITH pairs AS (
+  SELECT UNNEST(list_zip(l, l[2:])) AS z FROM (
+    SELECT list_filter(string_split(lower(text), ' '), t -> t <> '') AS l
+    FROM documents
+  )
+)
+SELECT bigram, n FROM (
+  SELECT z[1] || ' ' || z[2] AS bigram, COUNT(*) AS n,
+         ROW_NUMBER() OVER (ORDER BY COUNT(*) DESC, z[1] || ' ' || z[2]) AS rnk
+  FROM pairs WHERE z[2] IS NOT NULL
+  GROUP BY 1
+) WHERE rnk <= 20
+""",
+)
+def top_bigrams(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Corpus-level bigram frequencies, top-20 (n-gram statistics — the
+    LM-data staple). Spark: one explode of per-row bigram arrays +
+    hash agg; deterministic tie-break on the bigram string."""
+    d = _t(spark, sf_dir, "documents")
+    toks = F.filter(F.split(F.lower("text"), " "), lambda x: x != "")
+    base = d.select(F.col("doc_id"), toks.alias("_tk"))
+    bigrams = F.when(
+        F.size("_tk") >= 2,
+        F.transform(
+            F.sequence(F.lit(1), F.size("_tk") - 1),
+            lambda i: F.concat_ws(
+                " ", F.element_at("_tk", i), F.element_at("_tk", i + 1)
+            ),
+        ),
+    ).otherwise(F.array().cast("array<string>"))
+    counted = (
+        base.select(F.explode(bigrams).alias("bigram"))
+        .groupBy("bigram")
+        .agg(F.count(F.lit(1)).alias("n"))
+    )
+    w = Window.orderBy(F.desc("n"), F.asc("bigram"))
+    return (
+        counted.withColumn("rnk", F.row_number().over(w))
+        .filter(F.col("rnk") <= 20)
+        .select("bigram", "n")
+    )
+
+
+@query(
+    "price_rank_distribution",
+    "WITH "
+    + SQL_DAILY
+    + """
+SELECT series, d,
+       ROUND(PERCENT_RANK() OVER (PARTITION BY series ORDER BY price), 6) AS pct_rank,
+       ROUND(CUME_DIST() OVER (PARTITION BY series ORDER BY price), 6) AS cume
+FROM daily
+""",
+)
+def price_rank_distribution(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Distribution-position windows (percent_rank / cume_dist) — the
+    remaining ranking-window surface."""
+    daily = daily_prices(spark, sf_dir)
+    w = Window.partitionBy("series").orderBy("price")
+    return daily.select(
+        "series",
+        "d",
+        F.round(F.percent_rank().over(w), 6).alias("pct_rank"),
+        F.round(F.cume_dist().over(w), 6).alias("cume"),
+    )
+
+
+@query("video_frame_sampling")
+def video_frame_sampling(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Multimodal frame-sampling plumbing (rows-only): one output row
+    per sampled frame offset per synthetic video; the decode of each
+    frame is the stubbed mapInPandas stage."""
+    from value_at_risk_spark.operators.multimodal import sample_frames
+
+    d = _t(spark, sf_dir, "documents")
+    media = d.select(
+        F.col("doc_id").alias("media_id"),
+        F.element_at(
+            F.array(F.lit("image"), F.lit("audio"), F.lit("video")),
+            (F.col("doc_id") % 3 + 1).cast("int"),
+        ).alias("media_type"),
+        F.lit("x").alias("payload"),
+        F.lit(64).cast("long").alias("width"),
+        F.lit(64).cast("long").alias("height"),
+        (F.col("n_chars") * 10).cast("long").alias("duration_ms"),
+    )
+    return sample_frames(media, every_ms=500)
