@@ -1300,7 +1300,7 @@ def approx_distinct_users(spark: SparkSession, sf_dir: str) -> DataFrame:
     """
 WITH ordered AS (
   SELECT user_id, ts,
-         CASE WHEN epoch(ts) - epoch(LAG(ts) OVER (PARTITION BY user_id ORDER BY ts))
+         CASE WHEN FLOOR(epoch(ts)) - FLOOR(epoch(LAG(ts) OVER (PARTITION BY user_id ORDER BY ts)))
                    > 1800 OR LAG(ts) OVER (PARTITION BY user_id ORDER BY ts) IS NULL
               THEN 1 ELSE 0 END AS new_sess
   FROM events
@@ -2097,3 +2097,99 @@ def video_frame_sampling(spark: SparkSession, sf_dir: str) -> DataFrame:
         (F.col("n_chars") * 10).cast("long").alias("duration_ms"),
     )
     return sample_frames(media, every_ms=500)
+
+
+@query(
+    "tfidf_top_terms",
+    """
+WITH toks AS (
+  SELECT doc_id, t FROM (
+    SELECT doc_id, UNNEST(string_split(lower(text), ' ')) AS t FROM documents
+  ) WHERE t <> ''
+),
+tf AS (
+  SELECT doc_id, t, COUNT(*) AS tf FROM toks GROUP BY 1, 2
+),
+df AS (
+  SELECT t, COUNT(DISTINCT doc_id) AS df FROM toks GROUP BY 1
+),
+n AS (SELECT COUNT(*) AS n_docs FROM documents),
+scored AS (
+  SELECT tf.doc_id, tf.t,
+         ROUND(tf.tf * LN(n.n_docs * 1.0 / df.df), 6) AS tfidf
+  FROM tf JOIN df ON df.t = tf.t CROSS JOIN n
+)
+SELECT doc_id, t AS term, tfidf FROM (
+  SELECT *, ROW_NUMBER() OVER (PARTITION BY doc_id
+                               ORDER BY tfidf DESC, t) AS rnk
+  FROM scored
+) WHERE rnk <= 3
+""",
+)
+def tfidf_top_terms(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TF-IDF with top-3 terms per document — term weighting for
+    retrieval/quality pipelines. TF and DF are two hash aggs off one
+    explode; IDF joins back broadcast (term dictionary ≪ corpus)."""
+    d = _t(spark, sf_dir, "documents")
+    toks = d.select(
+        "doc_id",
+        F.explode(
+            F.filter(F.split(F.lower("text"), " "), lambda x: x != "")
+        ).alias("t"),
+    )
+    tf = toks.groupBy("doc_id", "t").agg(F.count(F.lit(1)).alias("tf"))
+    dfreq = toks.groupBy("t").agg(F.count_distinct("doc_id").alias("df"))
+    n_docs = d.count()
+    scored = tf.join(F.broadcast(dfreq), "t").select(
+        "doc_id",
+        "t",
+        F.round(F.col("tf") * F.log(F.lit(float(n_docs)) / F.col("df")), 6).alias(
+            "tfidf"
+        ),
+    )
+    w = Window.partitionBy("doc_id").orderBy(F.desc("tfidf"), F.asc("t"))
+    return (
+        scored.withColumn("rnk", F.row_number().over(w))
+        .filter(F.col("rnk") <= 3)
+        .select("doc_id", F.col("t").alias("term"), "tfidf")
+    )
+
+
+@query(
+    "session_windows_native",
+    """
+WITH ordered AS (
+  SELECT user_id, ts,
+         CASE WHEN epoch(ts) - epoch(LAG(ts) OVER (PARTITION BY user_id ORDER BY ts))
+                   > 1800 OR LAG(ts) OVER (PARTITION BY user_id ORDER BY ts) IS NULL
+              THEN 1 ELSE 0 END AS new_sess
+  FROM events
+),
+sess AS (
+  SELECT user_id, ts,
+         SUM(new_sess) OVER (PARTITION BY user_id ORDER BY ts
+                             ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS sid
+  FROM ordered
+)
+SELECT user_id,
+       CAST(FLOOR(epoch(MIN(ts))) AS BIGINT) AS sess_start_s,
+       CAST(FLOOR(epoch(MAX(ts))) + 1800 AS BIGINT) AS sess_end_s,
+       COUNT(*) AS n_events
+FROM sess GROUP BY user_id, sid
+""",
+)
+def session_windows_native(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Spark's native session_window (gap-close semantics: window end =
+    last event + gap), checked against the lag-gap SQL formulation —
+    the two classic sessionization forms shown equivalent."""
+    e = _t(spark, sf_dir, "events")
+    return (
+        e.groupBy(F.session_window("ts", "30 minutes").alias("w"), "user_id")
+        .agg(F.count(F.lit(1)).alias("n_events"))
+        .select(
+            "user_id",
+            F.col("w.start").cast("long").alias("sess_start_s"),
+            F.col("w.end").cast("long").alias("sess_end_s"),
+            "n_events",
+        )
+    )
