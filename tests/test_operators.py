@@ -278,3 +278,35 @@ def test_minhash_single_token_doc(spark):
     sigs = minhash_signatures(df, num_hashes=8, shingle_n=3)
     rows = {r.doc_id: tuple(r.signature) for r in sigs.collect()}
     assert rows[0] == rows[1]  # identical short docs → identical signatures
+
+
+def test_lsh_ann_recall_on_fixture(spark, sf_dir):
+    """Quantify the LSH approximation: recall@5 vs the exact brute-force
+    neighbors on the real embeddings fixture."""
+    from value_at_risk_spark.sources.registry import Registry
+    from value_at_risk_spark.operators.similarity import lsh_topk
+
+    emb = Registry(sf_dir).read(spark, "embeddings")
+    q = emb.filter(F.col("vec_id") < 20).select(
+        F.col("vec_id").alias("query_id"), "embedding"
+    )
+    corpus = emb.select(F.col("vec_id").alias("neighbor_id"), "embedding")
+    exact = {}
+    for r in cosine_topk(q, corpus, k=5).collect():
+        exact.setdefault(r.query_id, set()).add(r.neighbor_id)
+    approx = {}
+    for r in lsh_topk(q, corpus, k=5, num_planes=4).collect():
+        approx.setdefault(r.query_id, set()).add(r.neighbor_id)
+    hits = sum(len(exact[k] & approx.get(k, set())) for k in exact)
+    total = sum(len(v) for v in exact.values())
+    recall = hits / total
+    # multi-probe (own bucket + Hamming-1 neighbors) over 16 buckets
+    # probes ~31% of the corpus; on near-random embeddings recall must
+    # clear that coverage floor decisively
+    assert recall > 0.3, f"recall@5 = {recall:.2f}"
+
+    single = {}
+    for r in lsh_topk(q, corpus, k=5, num_planes=4, multiprobe=False).collect():
+        single.setdefault(r.query_id, set()).add(r.neighbor_id)
+    hits1 = sum(len(exact[k] & single.get(k, set())) for k in exact)
+    assert hits1 <= hits  # multiprobe dominates single-probe

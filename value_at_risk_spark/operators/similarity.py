@@ -96,16 +96,32 @@ def lsh_topk(
     vec_col: str = "embedding",
     num_planes: int = 8,
     dim: int = 64,
+    multiprobe: bool = True,
 ) -> DataFrame:
     """Approximate top-k: exact re-rank within LSH bucket collisions.
 
     The bucket equi-join replaces the cross join — candidate count drops
     ~2^planes-fold; recall is tunable via num_planes (fewer planes →
-    bigger buckets → higher recall, more compute).
+    bigger buckets → higher recall, more compute). With ``multiprobe``
+    each query also probes the num_planes buckets at Hamming distance 1
+    from its own (a near-miss on one hyperplane is the dominant failure
+    mode), trading (1+planes)× candidate volume for much higher recall —
+    the standard multi-probe LSH refinement.
     """
     qb = hyperplane_lsh_buckets(
         queries.select(query_id, vec_col), vec_col, dim, num_planes
     ).select(query_id, F.col(vec_col).alias("_qv"), "bucket")
+    if multiprobe:
+        probes = F.array(
+            F.col("bucket"),
+            *[
+                F.col("bucket").bitwiseXOR(F.lit(1 << b)).cast("long")
+                for b in range(num_planes)
+            ],
+        )
+        qb = qb.select(
+            query_id, "_qv", F.explode(probes).alias("bucket")
+        )
     cb = hyperplane_lsh_buckets(
         corpus.select(corpus_id, vec_col), vec_col, dim, num_planes
     ).select(corpus_id, F.col(vec_col).alias("_cv"), "bucket")
