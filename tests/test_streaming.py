@@ -35,3 +35,22 @@ def test_stream_matches_batch(spark, sf_dir):
     }
     assert got == exp
     assert len(got) > 0
+
+
+def test_stream_dedup_matches_batch_distinct(spark, sf_dir):
+    from value_at_risk_spark.streaming.windows import dedup_stream
+
+    stream = read_events_stream(spark, sf_dir)
+    # duplicate the stream against itself via union to create real dupes
+    dd = dedup_stream(stream.union(stream), ["event_id"])
+    q = (
+        dd.writeStream.format("memory")
+        .queryName("dedup_stream_test")
+        .outputMode("append")
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(120)
+    got = spark.table("dedup_stream_test").count()
+    exp = Registry(sf_dir).read(spark, "events").select("event_id").distinct().count()
+    assert got == exp

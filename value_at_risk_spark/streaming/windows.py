@@ -83,3 +83,13 @@ def run_available_now(df: DataFrame, name: str) -> DataFrame:
     )
     q.awaitTermination(120)
     return df.sparkSession.table(name)
+
+
+def dedup_stream(
+    events: DataFrame, key_cols: list[str], watermark: str = "1 day"
+) -> DataFrame:
+    """Streaming exact dedup: dropDuplicates with a watermark bounds the
+    dedup state to the watermark horizon (the streaming counterpart of
+    operators/dedup.exact_dedup — at-most-once per key within the
+    horizon). State per key = one row; eviction is watermark-driven."""
+    return events.withWatermark("ts", watermark).dropDuplicates(key_cols)
