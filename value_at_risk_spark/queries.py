@@ -2222,3 +2222,34 @@ def orders_above_customer_avg(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         """
     )
+
+
+@query(
+    "var_contribution_shares",
+    "WITH "
+    + SQL_RETS
+    + """,
+v AS (
+  SELECT series, ROUND(quantile_cont(ret, 0.01), 6) AS var_99
+  FROM rets GROUP BY series
+),
+tot AS (SELECT SUM(var_99) AS t FROM v)
+SELECT v.series, v.var_99,
+       ROUND(v.var_99 / tot.t, 6) AS contribution
+FROM v CROSS JOIN tot
+""",
+)
+def var_contribution_shares(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Normalized risk contribution per slice — the reference computes
+    this pandas-side after collecting (04_var_aggregation.py:129-131);
+    here it stays distributed (tiny scalar broadcast for the total)."""
+    rets = daily_returns(spark, sf_dir)
+    v = rets.groupBy("series").agg(
+        F.round(value_at_risk_expr("ret", 99.0), 6).alias("var_99")
+    )
+    tot = v.agg(F.sum("var_99").alias("t"))
+    return v.crossJoin(F.broadcast(tot)).select(
+        "series",
+        "var_99",
+        F.round(F.col("var_99") / F.col("t"), 6).alias("contribution"),
+    )
