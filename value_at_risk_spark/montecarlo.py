@@ -106,7 +106,7 @@ def gbm_price_paths(
     instruments: DataFrame,
     n_paths: int,
     days: int,
-    dt: float = 1.0 / 365,
+    dt: float | None = None,
 ) -> DataFrame:
     """Geometric-Brownian price paths per (instrument, path) — SURVEY §2.8 F13.
 
@@ -117,9 +117,17 @@ def gbm_price_paths(
     = hash(instrument, path_id) for the same reproducibility contract
     as simulate_market.
 
+    Matches the reference's numerics: path length ``days`` with an
+    unshocked ``s0`` first element, ``days-1`` shocks at ``dt = 1/days``
+    (the default), and prices floored at 0 — ``max(0, p·(1+shock))``
+    equals ``p·max(0, 1+shock)`` for p ≥ 0, so the floor composes with
+    cumprod exactly.
+
     instruments: (instrument:string, s0:double, mu:double, sigma:double).
     Output: (instrument, path_id, prices: array<double> of length days).
     """
+    if dt is None:
+        dt = 1.0 / days
     spark = instruments.sparkSession
     # paths on the streaming side so the fan-out (and the pandas UDF
     # behind it) inherits the range's partitioning — instruments is the
@@ -135,8 +143,9 @@ def gbm_price_paths(
         out = []
         for s, m, sg, sd in zip(s0, mu, sigma, seed):
             rng = np.random.default_rng(int(sd))
-            shocks = rng.normal(m * dt, sg * np.sqrt(dt), int(days))
-            prices = float(s) * np.cumprod(1.0 + shocks)
+            shocks = rng.normal(m * dt, sg * np.sqrt(dt), int(days) - 1)
+            steps = np.maximum(1.0 + shocks, 0.0).cumprod()
+            prices = float(s) * np.concatenate(([1.0], steps))
             out.append(prices.tolist())
         return pd.Series(out)
 

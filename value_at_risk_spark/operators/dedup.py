@@ -98,7 +98,16 @@ def minhash_lsh_pairs(
     """
     # pass num_hashes to avoid materializing the signatures twice just
     # to learn the array length
-    k = num_hashes or signatures.select(F.size("signature")).first()[0]
+    if num_hashes is not None:
+        k = num_hashes
+    else:
+        row = signatures.select(F.size("signature")).first()
+        if row is None:
+            raise ValueError(
+                "minhash_lsh_pairs: empty signatures frame — pass "
+                "num_hashes explicitly to build the plan without input"
+            )
+        k = row[0]
     rows_per_band = max(1, k // num_bands)
     bands = signatures.select(
         id_col,

@@ -2161,7 +2161,7 @@ def tfidf_top_terms(spark: SparkSession, sf_dir: str) -> DataFrame:
 WITH ordered AS (
   SELECT user_id, ts,
          CASE WHEN epoch(ts) - epoch(LAG(ts) OVER (PARTITION BY user_id ORDER BY ts))
-                   > 1800 OR LAG(ts) OVER (PARTITION BY user_id ORDER BY ts) IS NULL
+                   >= 1800 OR LAG(ts) OVER (PARTITION BY user_id ORDER BY ts) IS NULL
               THEN 1 ELSE 0 END AS new_sess
   FROM events
 ),

@@ -53,6 +53,12 @@ class Registry:
         back to a microsecond timestamp here so downstream operators see
         a proper timestamp type.
         """
+        # The events fixture is TIMESTAMP(NANOS) parquet, which Spark
+        # rejects by default ([PARQUET_TYPE_ILLEGAL]). The conf is
+        # runtime-settable, so set it here rather than only at session
+        # build time — callers (e.g. an external harness) may construct
+        # their own SparkSession without our session.py defaults.
+        spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
         df = spark.read.parquet(self.path(name))
         if name == "events" and dict(df.dtypes).get("ts") == "bigint":
             df = df.withColumn(

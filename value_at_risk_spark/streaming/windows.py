@@ -33,6 +33,7 @@ def read_events_stream(spark: SparkSession, sf_dir: str) -> DataFrame:
     re-derived to a microsecond timestamp, mirroring sources.registry.
     """
     path = f"{sf_dir}/events.parquet"
+    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
     schema = spark.read.parquet(path).schema
     # the file source requires a directory; stream the parent with a
     # glob filter so only the events file is picked up
@@ -88,8 +89,15 @@ def run_available_now(df: DataFrame, name: str) -> DataFrame:
 def dedup_stream(
     events: DataFrame, key_cols: list[str], watermark: str = "1 day"
 ) -> DataFrame:
-    """Streaming exact dedup: dropDuplicates with a watermark bounds the
-    dedup state to the watermark horizon (the streaming counterpart of
-    operators/dedup.exact_dedup — at-most-once per key within the
-    horizon). State per key = one row; eviction is watermark-driven."""
-    return events.withWatermark("ts", watermark).dropDuplicates(key_cols)
+    """Streaming exact dedup with watermark-bounded state.
+
+    Plain ``dropDuplicates(keys)`` only evicts state when the event-time
+    column is itself one of the keys; with business keys like
+    ``event_id`` alone, state grows without bound. Spark's
+    ``dropDuplicatesWithinWatermark`` dedups on the business keys while
+    evicting each key's state once the watermark passes its event time —
+    the shape that survives an unbounded stream. The streaming
+    counterpart of operators/dedup.exact_dedup (at-most-once per key
+    within the watermark horizon)."""
+    wm = events.withWatermark("ts", watermark)
+    return wm.dropDuplicatesWithinWatermark(key_cols)
