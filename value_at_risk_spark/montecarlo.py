@@ -167,8 +167,12 @@ def context_var_demo(
     """The 00_var_context.py demo, distributed: single instrument, GBM
     paths, VaR/ES of the terminal return distribution
     (/root/reference/00_var_context.py:35-78)."""
-    inst = spark.createDataFrame(
-        [("DEMO", s0, mu, sigma)], "instrument string, s0 double, mu double, sigma double"
+    from value_at_risk_spark.sources.local import local_frame
+
+    inst = local_frame(
+        spark,
+        [("DEMO", s0, mu, sigma)],
+        "instrument string, s0 double, mu double, sigma double",
     )
     paths = gbm_price_paths(inst, n_paths, days)
     # two actions consume this (VaR percentile, then tail mean) — cache

@@ -50,7 +50,10 @@ def load_portfolio(spark: SparkSession, path: str) -> DataFrame:
     (config/portfolio.json shape; weights intentionally un-normalized —
     SURVEY §7.11)."""
     rows = load_json_config(path)
-    return spark.createDataFrame(
-        rows,
-        "country string, company string, ticker string, industry string, weight double",
+    from value_at_risk_spark.sources.local import local_frame
+
+    schema = "country string, company string, ticker string, industry string, weight double"
+    cols = [c.split()[0] for c in schema.split(",")]
+    return local_frame(
+        spark, [tuple(r[c.strip()] for c in cols) for r in rows], schema
     )
