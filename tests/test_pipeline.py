@@ -223,3 +223,80 @@ def test_fused_var_sliced(spark, fixtures):
     assert set(fused) == set(unfused)
     for k in unfused:
         assert fused[k] == pytest.approx(unfused[k], abs=1e-12)
+
+
+def test_backtest_partitioned_multi_portfolio(spark, fixtures):
+    """Multi-portfolio backtest: partition_cols partitions the Basel
+    range window (no single-task global sort) and each partition's
+    output equals an independent single-portfolio run."""
+    stocks, _, portfolio = fixtures
+    rets = stock_returns(stocks)
+
+    pf = portfolio.withColumn(
+        "portfolio_id",
+        F.when(F.col("ticker") == "CCC", "P2").otherwise("P1"),
+    )
+    dates = [r.date for r in rets.select("date").distinct().collect()]
+    var_rows = [
+        (pid, d, -0.01 if pid == "P1" else -0.002)
+        for pid in ("P1", "P2")
+        for d in dates
+    ]
+    var_series = spark.createDataFrame(
+        var_rows, "portfolio_id string, date timestamp, var_99 double"
+    )
+
+    bt = backtest(
+        rets, pf, var_series, basel_days=60, partition_cols=["portfolio_id"]
+    )
+    plan = bt._jdf.queryExecution().executedPlan().toString()
+    assert "windowspecdefinition(portfolio_id" in plan, plan
+
+    got = {
+        (r.portfolio_id, str(r.date)): (r.breaches, r.basel_zone)
+        for r in bt.collect()
+    }
+    assert len({k[0] for k in got}) == 2
+
+    for pid in ("P1", "P2"):
+        solo = backtest(
+            rets,
+            pf.filter(F.col("portfolio_id") == pid).drop("portfolio_id"),
+            var_series.filter(F.col("portfolio_id") == pid).drop(
+                "portfolio_id"
+            ),
+            basel_days=60,
+        )
+        for r in solo.collect():
+            assert got[(pid, str(r.date))] == (r.breaches, r.basel_zone)
+
+
+def test_weights_save_load_rescore(spark, fixtures, tmp_path):
+    """Model persistence through the Registry (the reference's MLflow
+    register/promote flow, 02_var_model.py:194-302): write weights,
+    reload, rescore — scores bit-identical to the in-memory weights."""
+    from value_at_risk_spark.model import load_weights, save_weights, score
+    from value_at_risk_spark.sources.registry import Registry
+
+    stocks, indicators, _ = fixtures
+    rets = stock_returns(stocks)
+    feats = market_features(indicators, FACTORS)
+    weights = train_models(rets, feats)
+
+    reg = Registry(str(tmp_path))
+    save_weights(weights, reg)
+    reloaded = load_weights(spark, reg)
+
+    scorable = rets.join(
+        feats.withColumnRenamed("features", "x"), "date"
+    ).select("ticker", "date", "x")
+    a = {
+        (r.ticker, str(r.date)): r.prediction
+        for r in score(scorable, weights, "ticker", "x").collect()
+    }
+    b = {
+        (r.ticker, str(r.date)): r.prediction
+        for r in score(scorable, reloaded, "ticker", "x").collect()
+    }
+    assert a == b
+    assert len(a) > 100

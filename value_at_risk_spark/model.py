@@ -73,3 +73,22 @@ def score(
     return df.join(F.broadcast(weights), on=group_col).withColumn(
         out_col, predict_nonlinear("weights", feats)
     )
+
+
+def save_weights(weights: DataFrame, registry, name: str = "model_weights") -> None:
+    """Persist a fitted weights table through the Registry.
+
+    The reference registers each fitted model with MLflow and promotes
+    it to production (``02_var_model.py:194-302``); this engine's model
+    IS a DataFrame, so persistence is a table sink: the registry name
+    plays the role of the registry stage ("model_weights" = the blessed
+    production weights; write under another name for candidates, then
+    re-``save_weights`` under the blessed name to promote).
+    """
+    registry.write(weights, name)
+
+
+def load_weights(spark, registry, name: str = "model_weights") -> DataFrame:
+    """Reload persisted weights for scoring — the ``spark_udf`` load
+    analogue (02_var_model.py:219-220), minus the Python boundary."""
+    return registry.read(spark, name)

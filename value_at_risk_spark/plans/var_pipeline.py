@@ -225,27 +225,44 @@ def backtest(
     portfolio: DataFrame,
     var_series: DataFrame,
     basel_days: int = 250,
+    partition_cols: list[str] | None = None,
 ) -> DataFrame:
-    """Basel compliance (05_var_compliance.py): actual weighted P&L
-    as-of-joined to the latest VaR, trailing-window breach count, zone."""
+    """Basel compliance (05_var_compliance.py:84-120): actual weighted
+    P&L as-of-joined to the latest VaR, trailing-window breach count,
+    zone.
+
+    ``partition_cols`` (e.g. ``["portfolio_id"]``, supplied by the
+    portfolio frame and present in ``var_series``) partitions every
+    stage — the P&L aggregation, the as-of join, and the 250-day range
+    window — so a multi-portfolio backtest scales out instead of
+    degenerating to the reference's single-task global sort (SURVEY §4).
+    Unpartitioned, the series is one row per date (≈250 rows/year): a
+    single task is the *correct* plan, not a bottleneck.
+    """
+    keys = list(partition_cols or [])
     actual = (
         stock_rets.join(F.broadcast(portfolio), "ticker")
-        .groupBy("date")
+        .groupBy(*keys, "date")
         .agg(F.sum(F.col("return") * F.col("weight")).alias("return"))
     )
     joined = asof_join(
-        actual, var_series.select("date", "var_99"), on="date"
+        actual,
+        var_series.select(*keys, "date", "var_99"),
+        on="date",
+        by=keys,
     ).filter(F.col("right_var_99").isNotNull())
     from pyspark.sql.window import Window
 
     w = (
-        Window.orderBy(F.col("date").cast("long"))
+        Window.partitionBy(*[F.col(k) for k in keys])
+        .orderBy(F.col("date").cast("long"))
         .rangeBetween(-basel_days * 86_400, 0)
     )
     breaches = F.sum(
         F.when(F.col("return") <= F.col("right_var_99"), 1).otherwise(0)
     ).over(w)
     return joined.select(
+        *keys,
         "date",
         "return",
         F.col("right_var_99").alias("var_99"),

@@ -2253,3 +2253,62 @@ def var_contribution_shares(spark: SparkSession, sf_dir: str) -> DataFrame:
         "var_99",
         F.round(F.col("var_99") / F.col("t"), 6).alias("contribution"),
     )
+
+
+@query(
+    "lsh_recall_high_jaccard",
+    """
+WITH docs AS (
+  SELECT doc_id, list_filter(string_split(lower(text),' '), x -> x <> '') AS ts
+  FROM documents
+),
+sh AS (
+  SELECT DISTINCT doc_id, ts[i] || ' ' || ts[i+1] || ' ' || ts[i+2] AS s
+  FROM docs, UNNEST(range(1, len(ts) - 1)) AS t(i)
+  WHERE len(ts) >= 3
+),
+cnt AS (SELECT doc_id, COUNT(*) AS n FROM sh GROUP BY 1),
+inter AS (
+  SELECT a.doc_id AS id_a, b.doc_id AS id_b, COUNT(*) AS ni
+  FROM sh a JOIN sh b ON a.s = b.s AND b.doc_id > a.doc_id
+  GROUP BY 1, 2
+)
+SELECT id_a, id_b,
+       ROUND(ni * 1.0 / (ca.n + cb.n - ni), 6) AS jaccard
+FROM inter
+JOIN cnt ca ON ca.doc_id = id_a
+JOIN cnt cb ON cb.doc_id = id_b
+WHERE ni * 1.0 / (ca.n + cb.n - ni) >= 0.8
+""",
+)
+def lsh_recall_high_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """LSH recall pinned by oracle: the DuckDB twin computes ALL pairs
+    with true 3-gram-shingle Jaccard ≥ 0.8 exactly (inverted-index
+    join); the Spark side emits only the pairs MinHash-LSH candidates
+    catch, verified with the same exact Jaccard. Hash equality
+    therefore asserts 100% recall on the fixture — MinHash here
+    estimates the very metric the verify computes, and with 16 bands ×
+    2 rows a J=0.8 pair escapes with probability (1-0.8²)¹⁶ ≈ 8e-8
+    (the fixture's true pairs all sit at J ≥ 0.9: ≈ 3e-12).
+
+    This oracle-ifies the verify stage of the dedup flow the way the
+    reference's test suite pins its UDF outputs (tests_spark.py) —
+    candidate generation stays hash-family-specific, recall does not.
+    """
+    from value_at_risk_spark.functions.text import shingles
+
+    d = _t(spark, sf_dir, "documents")
+    sigs = minhash_signatures(d, num_hashes=32, shingle_n=3)
+    pairs = minhash_lsh_pairs(sigs, num_bands=16, num_hashes=32)
+    sh = d.select(
+        "doc_id", F.array_distinct(shingles("text", 3)).alias("sh")
+    )
+    a = sh.select(F.col("doc_id").alias("id_a"), F.col("sh").alias("sh_a"))
+    b = sh.select(F.col("doc_id").alias("id_b"), F.col("sh").alias("sh_b"))
+    cand = pairs.join(a, "id_a").join(b, "id_b")
+    verified = jaccard_similarity(
+        cand, "sh_a", "sh_b", out_col="jacc", tokenize=False
+    ).filter(F.col("jacc") >= 0.8)
+    return verified.select(
+        "id_a", "id_b", F.round("jacc", 6).alias("jaccard")
+    )
