@@ -5,14 +5,21 @@ Runs the engine's headline queries at $SPARK_GRAFT_SF_DIR (default
 line: {"metric": ..., "value": total_sec, "unit": "sec",
 "queries": {name: sec}, "sf": ...}.
 
-Each query is forced with a count() (full plan execution, no driver
-materialization cost) after a warm-up of the session.
+Measurement notes:
+- each query is forced with a noop-sink write: full plan execution
+  including projection-only stages (``count()`` would let Catalyst
+  prune pandas-UDF and per-row expression columns entirely) with no
+  driver materialization cost;
+- 3 runs per query, median recorded — the box shows 2-3x
+  noisy-neighbor variance, and the median of 3 is robust to one bad
+  run while still penalizing consistently slow plans.
 """
 
 from __future__ import annotations
 
 import json
 import os
+import statistics
 import sys
 import time
 
@@ -34,7 +41,19 @@ BENCH_QUERIES = [
     "dedup_exact",
     "text_quality_stats",
     "minhash_lsh_pairs",
+    # documents-scale dedup stress: the full LSH -> exact-Jaccard ->
+    # survivor flow over the bench SF's documents table, so the dedup
+    # scale story gets a measured growth curve (not just sf0.01
+    # correctness)
+    "near_dedup_survivors",
 ]
+
+RUNS_PER_QUERY = 3
+
+
+def force(df) -> None:
+    """Execute the full plan without collecting: noop sink."""
+    df.write.format("noop").mode("overwrite").save()
 
 
 def main() -> None:
@@ -43,17 +62,15 @@ def main() -> None:
     spark = get_spark("bench")
     spark.range(1_000_000).selectExpr("sum(id)").collect()  # JVM warm-up
 
-    # best-of-2 per query: the box shows 2-3x noisy-neighbor variance,
-    # and min-of-repeats is the standard stable capability measure
     timings: dict[str, float] = {}
     for name in BENCH_QUERIES:
         fn = QUERIES[name]
-        best = float("inf")
-        for _ in range(2):
+        samples = []
+        for _ in range(RUNS_PER_QUERY):
             t0 = time.time()
-            fn(spark, sf_dir).count()
-            best = min(best, time.time() - t0)
-        timings[name] = round(best, 3)
+            force(fn(spark, sf_dir))
+            samples.append(time.time() - t0)
+        timings[name] = round(statistics.median(samples), 3)
 
     total = round(sum(timings.values()), 3)
     print(

@@ -2312,3 +2312,22 @@ def lsh_recall_high_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
     return verified.select(
         "id_a", "id_b", F.round("jacc", 6).alias("jaccard")
     )
+
+
+@query("streaming_daily_events")
+def streaming_daily_events(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Streaming tier, exercised at the gate (rows-only by contract —
+    DuckDB has no streaming oracle; batch parity is pytest-asserted in
+    tests/test_streaming.py): watermarked daily windowed aggregate over
+    an availableNow bounded replay of the events fixture. One state row
+    per (day, event_type); the full readStream → window-agg →
+    memory-sink path runs per round."""
+    from value_at_risk_spark.streaming.windows import (
+        daily_event_aggregates,
+        read_events_stream,
+        run_available_now,
+    )
+
+    stream = read_events_stream(spark, sf_dir)
+    agg = daily_event_aggregates(stream)
+    return run_available_now(agg, "gate_streaming_daily_events")
