@@ -138,3 +138,34 @@ def lsh_topk(
     return scored.withColumn("rank", F.row_number().over(w)).filter(
         F.col("rank") <= k
     )
+
+
+def cosine_near_dup_pairs(
+    df: DataFrame,
+    threshold: float = 0.95,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    round_to: int | None = 6,
+) -> DataFrame:
+    """Embedding-cosine near-duplicate pairs (exact baseline).
+
+    All ordered pairs (id_a < id_b) with cosine ≥ threshold, via a
+    broadcast block nested-loop self-join and the native dot-product
+    expression — exact, and the shape to verify candidates against. At
+    corpus sizes where O(N²/2) is no longer affordable, generate
+    candidates with ``hyperplane_lsh_buckets`` collisions (the same
+    bucketed equi-join as ``lsh_topk``) and run THIS exact predicate
+    only on collisions; the threshold filter is identical either way.
+    """
+    a = df.select(F.col(id_col).alias("id_a"), F.col(vec_col).alias("_va"))
+    b = df.select(F.col(id_col).alias("id_b"), F.col(vec_col).alias("_vb"))
+    sim = cosine_similarity("_va", "_vb")
+    if round_to is not None:
+        sim_out = F.round(sim, round_to) + F.lit(0.0)
+    else:
+        sim_out = sim
+    return (
+        a.join(F.broadcast(b), F.col("id_a") < F.col("id_b"))
+        .filter(sim >= F.lit(threshold))
+        .select("id_a", "id_b", sim_out.alias("cosine"))
+    )

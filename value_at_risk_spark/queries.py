@@ -2331,3 +2331,128 @@ def streaming_daily_events(spark: SparkSession, sf_dir: str) -> DataFrame:
     stream = read_events_stream(spark, sf_dir)
     agg = daily_event_aggregates(stream)
     return run_available_now(agg, "gate_streaming_daily_events")
+
+
+@query(
+    "weekly_ohlc_candles",
+    "WITH "
+    + SQL_DAILY
+    + """
+SELECT CAST(date_trunc('week', d) AS DATE) AS bucket, series,
+       arg_min(price, d) AS open,
+       MAX(price) AS high,
+       MIN(price) AS low,
+       arg_max(price, d) AS close,
+       COUNT(*) AS n_obs
+FROM daily GROUP BY 1, 2
+""",
+)
+def weekly_ohlc_candles(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Candlestick data (viz.ohlc_resample — the distributed analogue
+    of plot_candlesticks, utils/var_viz.py:1-20): weekly OHLC bars in
+    one hash-agg via min_by/max_by, no window, no sort. Values stay on
+    the daily series' 2dp grid (pure selection/min/max), so no extra
+    rounding is needed for cross-engine parity."""
+    from value_at_risk_spark.viz import ohlc_resample
+
+    return ohlc_resample(
+        daily_prices(spark, sf_dir), ts_col="d", price_col="price",
+        by=["series"], every="week",
+    )
+
+
+@query(
+    "var_histogram_density",
+    "WITH "
+    + SQL_RETS
+    + """,
+bounds AS (
+  SELECT series, MIN(ret) AS lo, MAX(ret) AS hi, COUNT(*) AS n_tot
+  FROM rets GROUP BY 1
+)
+SELECT r.series,
+       LEAST(CAST(FLOOR((r.ret - b.lo) / ((b.hi - b.lo) / 50.0)) AS BIGINT), 49) AS bin,
+       ROUND(b.lo + LEAST(CAST(FLOOR((r.ret - b.lo) / ((b.hi - b.lo) / 50.0)) AS BIGINT), 49)
+                    * (b.hi - b.lo) / 50.0, 6) + 0 AS bin_lo,
+       COUNT(*) AS n,
+       ROUND(COUNT(*) / (b.n_tot * (b.hi - b.lo) / 50.0), 6) + 0 AS density
+FROM rets r JOIN bounds b ON b.series = r.series
+GROUP BY r.series, bin, bin_lo, b.n_tot, b.hi, b.lo
+""",
+)
+def var_histogram_density(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The VaR histogram's data (viz.histogram_frame — plot_var:40-42's
+    pandas hist(bins=50, density=True), distributed): per-series
+    equal-width 50-bin density. Raw returns never reach the driver;
+    output is series × bins."""
+    from value_at_risk_spark.viz import histogram_frame
+
+    h = histogram_frame(
+        daily_returns(spark, sf_dir), "ret", by=["series"], bins=50
+    )
+    return h.select(
+        "series",
+        "bin",
+        (F.round("bin_lo", 6) + F.lit(0.0)).alias("bin_lo"),
+        "n",
+        (F.round("density", 6) + F.lit(0.0)).alias("density"),
+    )
+
+
+@query(
+    "var_overlay_params",
+    "WITH "
+    + SQL_RETS
+    + """
+SELECT series,
+       ROUND(AVG(ret), 6) + 0 AS mean,
+       ROUND(STDDEV_POP(ret), 6) AS std,
+       ROUND(MIN(ret), 6) + 0 AS lo,
+       ROUND(MAX(ret), 6) + 0 AS hi,
+       ROUND(quantile_cont(ret, 0.01), 6) + 0 AS var
+FROM rets GROUP BY series
+""",
+)
+def var_overlay_params(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Scalar overlay of the VaR histogram (viz.var_overlay_params —
+    plot_var:26-37): mean/population-std for the normal pdf, min/max
+    for the x-range, exact interpolated VaR for the dashed line."""
+    from value_at_risk_spark.viz import var_overlay_params as _vp
+
+    p = _vp(daily_returns(spark, sf_dir), "ret", by=["series"], confidence=99.0)
+    return p.select(
+        "series",
+        (F.round("mean", 6) + F.lit(0.0)).alias("mean"),
+        F.round("std", 6).alias("std"),
+        (F.round("lo", 6) + F.lit(0.0)).alias("lo"),
+        (F.round("hi", 6) + F.lit(0.0)).alias("hi"),
+        (F.round("var", 6) + F.lit(0.0)).alias("var"),
+    )
+
+
+@query(
+    "cosine_near_dup_pairs",
+    """
+SELECT a.vec_id AS id_a, b.vec_id AS id_b,
+       ROUND(list_cosine_similarity(CAST(a.embedding AS DOUBLE[]),
+                                    CAST(b.embedding AS DOUBLE[])), 6) + 0 AS cosine
+FROM embeddings a JOIN embeddings b ON b.vec_id > a.vec_id
+WHERE list_cosine_similarity(CAST(a.embedding AS DOUBLE[]),
+                             CAST(b.embedding AS DOUBLE[])) >= 0.4
+""",
+)
+def cosine_near_dup_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Embedding-cosine near-dup detection (the 4th dedup modality next
+    to exact / MinHash-LSH / SimHash): all pairs above a cosine
+    threshold, exact. The fixture's embeddings top out at cosine ≈ 0.51
+    (no planted dups), so the gate threshold 0.4 selects the true top
+    ~0.05% most-similar pairs; production near-dup thresholds (≥ 0.95)
+    use the same operator. Scale path documented in
+    operators/similarity.cosine_near_dup_pairs (LSH-bucket candidates,
+    same exact verify)."""
+    from value_at_risk_spark.operators.similarity import (
+        cosine_near_dup_pairs as _pairs,
+    )
+
+    e = _t(spark, sf_dir, "embeddings")
+    return _pairs(e, threshold=0.4)
