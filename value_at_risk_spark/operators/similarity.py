@@ -22,7 +22,11 @@ from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 from pyspark.sql.window import Window
 
-from value_at_risk_spark.functions.vector import cosine_similarity, dot_product
+from value_at_risk_spark.functions.vector import (
+    cosine_similarity,
+    dot_product,
+    vector_norm,
+)
 
 
 def cosine_topk(
@@ -40,11 +44,19 @@ def cosine_topk(
     Output: (query_id, neighbor_id, cosine, rank), rank 1..k, ties
     broken by neighbor id for determinism.
     """
+    # norms precomputed per side: O((|Q|+N)·d) instead of re-deriving
+    # both norms inside every one of the |Q|·N pair expressions
     q = queries.select(
-        F.col(query_id), F.col(vec_col).alias("_qv")
+        F.col(query_id),
+        F.col(vec_col).alias("_qv"),
+        vector_norm(vec_col).alias("_qn"),
     )
-    c = corpus.select(F.col(corpus_id), F.col(vec_col).alias("_cv"))
-    sim = cosine_similarity("_qv", "_cv")
+    c = corpus.select(
+        F.col(corpus_id),
+        F.col(vec_col).alias("_cv"),
+        vector_norm(vec_col).alias("_cn"),
+    )
+    sim = dot_product("_qv", "_cv") / (F.col("_qn") * F.col("_cn"))
     if round_to is not None:
         # + 0.0 collapses IEEE negative zero after rounding (oracle parity)
         sim = F.round(sim, round_to) + F.lit(0.0)
@@ -157,9 +169,20 @@ def cosine_near_dup_pairs(
     bucketed equi-join as ``lsh_topk``) and run THIS exact predicate
     only on collisions; the threshold filter is identical either way.
     """
-    a = df.select(F.col(id_col).alias("id_a"), F.col(vec_col).alias("_va"))
-    b = df.select(F.col(id_col).alias("id_b"), F.col(vec_col).alias("_vb"))
-    sim = cosine_similarity("_va", "_vb")
+    # Precompute each side's L2 norm BEFORE the join: norm work is
+    # O(N·d) instead of O(N²·d) inside the pair predicate, and the
+    # join-condition cosine collapses to one dot product + one divide.
+    a = df.select(
+        F.col(id_col).alias("id_a"),
+        F.col(vec_col).alias("_va"),
+        vector_norm(vec_col).alias("_na"),
+    )
+    b = df.select(
+        F.col(id_col).alias("id_b"),
+        F.col(vec_col).alias("_vb"),
+        vector_norm(vec_col).alias("_nb"),
+    )
+    sim = dot_product("_va", "_vb") / (F.col("_na") * F.col("_nb"))
     if round_to is not None:
         sim_out = F.round(sim, round_to) + F.lit(0.0)
     else:

@@ -56,20 +56,34 @@ def histogram_frame(
 ) -> DataFrame:
     """Equal-width density histogram per group, fully distributed.
 
-    Two passes: per-group bounds (tiny frame, broadcast back), then one
-    hash-agg over bin ids. ``density`` integrates to 1 per group —
-    matching pandas ``hist(bins=50, density=True)`` (plot_var:40).
-    The raw values never reach the driver; output is groups × bins.
+    ``density`` integrates to 1 per group — matching pandas
+    ``hist(bins=50, density=True)`` (plot_var:40). The raw values never
+    reach the driver; output is groups × bins.
+
+    Bounds come from an unbounded window over the group keys (one
+    exchange, shared with any upstream per-key shuffle — the input is
+    scanned once) when grouped; the ungrouped case aggregates bounds
+    into a 1-row broadcast instead, since a global window would
+    collapse to a single task.
     """
+    from pyspark.sql.window import Window
+
     keys = list(by or [])
-    bounds = df.groupBy(*keys).agg(
-        F.min(value_col).alias("_lo"),
-        F.max(value_col).alias("_hi"),
-        F.count(F.lit(1)).alias("_n"),
-    )
-    joined = df.join(F.broadcast(bounds), on=keys) if keys else df.crossJoin(
-        F.broadcast(bounds)
-    )
+    if keys:
+        w = Window.partitionBy(*keys)
+        joined = df.select(
+            "*",
+            F.min(value_col).over(w).alias("_lo"),
+            F.max(value_col).over(w).alias("_hi"),
+            F.count(F.lit(1)).over(w).alias("_n"),
+        )
+    else:
+        bounds = df.groupBy().agg(
+            F.min(value_col).alias("_lo"),
+            F.max(value_col).alias("_hi"),
+            F.count(F.lit(1)).alias("_n"),
+        )
+        joined = df.crossJoin(F.broadcast(bounds))
     w = (F.col("_hi") - F.col("_lo")) / F.lit(float(bins))
     bin_id = F.least(
         F.floor((F.col(value_col) - F.col("_lo")) / w).cast("long"),
