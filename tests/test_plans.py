@@ -66,3 +66,45 @@ def test_csv_json_roundtrip(spark, sf_dir, tmp_path):
     base = {(r.n_nationkey, r.n_name, r.n_regionkey) for r in nation.collect()}
     assert {(r.n_nationkey, r.n_name, r.n_regionkey) for r in c.collect()} == base
     assert {(r.n_nationkey, r.n_name, r.n_regionkey) for r in j.collect()} == base
+
+
+def test_ohlc_is_pure_hash_agg(spark, sf_dir):
+    """Candlestick resample must be min_by/max_by hash-aggs — no window
+    operator, no sort (stays partial-aggregatable at any scale)."""
+    p = _plan(spark, "weekly_ohlc_candles", sf_dir)
+    assert "min_by" in p and "max_by" in p
+    assert "Window" not in p
+
+
+def test_histogram_single_scan(spark, sf_dir):
+    """Per-group histogram bounds come from a window over the existing
+    per-series partitioning — the source must be scanned exactly once
+    (a broadcast-bounds formulation duplicates the whole subtree)."""
+    p = _plan(spark, "var_histogram_density", sf_dir)
+    # formatted explain names each scan once in the tree ("+- Scan
+    # parquet  (n)") and once in the details section — count tree nodes
+    tree_scans = [
+        ln for ln in p.splitlines() if ln.lstrip().startswith("+- Scan parquet")
+    ]
+    assert len(tree_scans) == 1, p
+
+
+def test_cosine_pairs_norms_precomputed(spark, sf_dir):
+    """Pair predicate must reference precomputed per-side norms: the
+    broadcast exchange carries (_nb), and the join condition contains
+    exactly one `aggregate(` (the dot product) — not three."""
+    from value_at_risk_spark.operators.similarity import cosine_near_dup_pairs
+    from value_at_risk_spark.sources.registry import Registry
+
+    df = cosine_near_dup_pairs(
+        Registry(sf_dir).read(spark, "embeddings"), threshold=0.4
+    )
+    import contextlib
+    import io
+
+    buf = io.StringIO()
+    with contextlib.redirect_stdout(buf):
+        df.explain()
+    p = buf.getvalue()
+    join_line = [ln for ln in p.splitlines() if "BroadcastNestedLoopJoin" in ln][0]
+    assert join_line.count("aggregate(") == 1, join_line
