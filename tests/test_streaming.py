@@ -91,3 +91,44 @@ def test_incremental_ingest_with_checkpoint(spark, sf_dir, tmp_path):
     run_once()
     n2 = spark.read.parquet(out).count()
     assert n2 == 2 * base
+
+
+def test_stream_session_windows_match_batch(spark, sf_dir):
+    """Native session_window on a bounded replay == the batch
+    session_window aggregation (gap-merge semantics preserved across
+    micro-batches and state)."""
+    from value_at_risk_spark.streaming.windows import session_windows_stream
+
+    stream = read_events_stream(spark, sf_dir)
+    sess = session_windows_stream(stream)
+    q = (
+        sess.writeStream.format("memory")
+        .queryName("session_stream_test")
+        .outputMode("complete")
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(120)
+    got = {
+        (r.user_id, r.sess_start_s, r.sess_end_s, r.n_events)
+        for r in spark.table("session_stream_test").collect()
+    }
+
+    batch = (
+        Registry(sf_dir)
+        .read(spark, "events")
+        .groupBy(F.session_window("ts", "30 minutes").alias("w"), "user_id")
+        .agg(F.count(F.lit(1)).alias("n_events"))
+        .select(
+            "user_id",
+            F.col("w.start").cast("long").alias("sess_start_s"),
+            F.col("w.end").cast("long").alias("sess_end_s"),
+            "n_events",
+        )
+    )
+    exp = {
+        (r.user_id, r.sess_start_s, r.sess_end_s, r.n_events)
+        for r in batch.collect()
+    }
+    assert got == exp
+    assert len(got) > 0

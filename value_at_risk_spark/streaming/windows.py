@@ -101,3 +101,32 @@ def dedup_stream(
     within the watermark horizon)."""
     wm = events.withWatermark("ts", watermark)
     return wm.dropDuplicatesWithinWatermark(key_cols)
+
+
+def session_windows_stream(
+    events: DataFrame,
+    gap: str = "30 minutes",
+    watermark: str = "1 day",
+) -> DataFrame:
+    """Streaming sessionization with the native session_window.
+
+    The streaming twin of queries.session_windows_native: per-user
+    gap-merged sessions over event time. A session's state row lives
+    until the watermark passes its close (start of a new gap), so state
+    is bounded by (watermark horizon × active users) — the shape that
+    survives an unbounded clickstream. Late rows inside the watermark
+    re-open/merge sessions exactly as batch semantics dictate; a
+    bounded replay therefore equals the batch session_window groupBy
+    (asserted in tests/test_streaming.py).
+    """
+    return (
+        events.withWatermark("ts", watermark)
+        .groupBy(F.session_window("ts", gap).alias("w"), "user_id")
+        .agg(F.count(F.lit(1)).alias("n_events"))
+        .select(
+            "user_id",
+            F.col("w.start").cast("long").alias("sess_start_s"),
+            F.col("w.end").cast("long").alias("sess_end_s"),
+            "n_events",
+        )
+    )
