@@ -310,3 +310,23 @@ def test_lsh_ann_recall_on_fixture(spark, sf_dir):
         single.setdefault(r.query_id, set()).add(r.neighbor_id)
     hits1 = sum(len(exact[k] & single.get(k, set())) for k in exact)
     assert hits1 <= hits  # multiprobe dominates single-probe
+
+
+def test_embedding_covariance_matches_numpy(spark, sf_dir):
+    """High-dim covariance path == np.cov to float tolerance."""
+    import numpy as np
+
+    from value_at_risk_spark.operators.vector_agg import embedding_covariance
+    from value_at_risk_spark.sources.registry import Registry
+
+    e = Registry(sf_dir).read(spark, "embeddings")
+    got = {(r.i, r.j): r.cov for r in embedding_covariance(e).collect()}
+
+    X = np.vstack(
+        [r.embedding for r in e.select("embedding").collect()]
+    ).astype(np.float64)
+    exp = np.cov(X, rowvar=False, ddof=1)
+    d = X.shape[1]
+    assert len(got) == d * d
+    for (i, j), v in got.items():
+        assert abs(v - exp[i][j]) < 1e-9, (i, j, v, exp[i][j])

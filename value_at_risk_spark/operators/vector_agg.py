@@ -116,3 +116,79 @@ def vector_mean_cov(
             ).alias(cov_col),
         )
     )
+
+
+def embedding_covariance(
+    df: DataFrame,
+    vec_col: str = "embedding",
+    ddof: int = 1,
+) -> DataFrame:
+    """Sample covariance matrix of a high-dim embedding column →
+    (i, j, cov) rows.
+
+    ``vector_mean_cov`` cross-pairs positions per row (dim² rows per
+    input row) — right for the VaR pipeline's dim=5 factors, quadratic
+    blow-up at embedding dims. This is the 1024-dim-safe path: each
+    Arrow batch is reduced in numpy to ONE partial row (n, Σx, flat
+    Σxxᵀ) inside ``mapInPandas``, partials (one per batch, ~dim²
+    doubles each) combine in a single global fold, and the covariance
+    emerges per (i, j) from the moment identity
+    cov = (Σxy − n·x̄·ȳ)/(n−ddof). Shuffled bytes = batches × dim²
+    doubles — independent of row count; no dim² row explosion ever
+    materializes.
+    """
+    import numpy as np
+    import pandas as pd
+
+    spark_dim = df.select(F.size(vec_col).alias("d")).first()
+    if spark_dim is None:
+        raise ValueError("embedding_covariance: empty input frame")
+    d = spark_dim[0]
+
+    def _partials(batches):
+        for pdf in batches:
+            if len(pdf) == 0:
+                continue
+            X = np.vstack(pdf[vec_col].to_numpy()).astype(np.float64)
+            yield pd.DataFrame(
+                {
+                    "n": [len(pdf)],
+                    "s": [X.sum(axis=0).tolist()],
+                    "ss": [(X.T @ X).ravel().tolist()],
+                }
+            )
+
+    partials = df.select(vec_col).mapInPandas(
+        _partials, schema="n long, s array<double>, ss array<double>"
+    )
+    zero_d = F.array(*[F.lit(0.0)] * d)
+    zero_dd = F.array(*[F.lit(0.0)] * (d * d))
+    fold = partials.agg(
+        F.sum("n").alias("n"),
+        F.aggregate(
+            F.collect_list("s"),
+            zero_d,
+            lambda acc, v: F.zip_with(acc, v, lambda a, b: a + b),
+        ).alias("s"),
+        F.aggregate(
+            F.collect_list("ss"),
+            zero_dd,
+            lambda acc, v: F.zip_with(acc, v, lambda a, b: a + b),
+        ).alias("ss"),
+    )
+    flat = fold.select(
+        "n", "s", F.posexplode("ss").alias("_idx", "_sxy")
+    ).select(
+        (F.col("_idx") / d).cast("long").alias("i"),
+        (F.col("_idx") % d).cast("long").alias("j"),
+        (
+            (
+                F.col("_sxy")
+                - F.element_at("s", (F.col("_idx") / d).cast("int") + 1)
+                * F.element_at("s", (F.col("_idx") % d).cast("int") + 1)
+                / F.col("n")
+            )
+            / (F.col("n") - F.lit(ddof))
+        ).alias("cov"),
+    )
+    return flat

@@ -2456,3 +2456,35 @@ def cosine_near_dup_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     e = _t(spark, sf_dir, "embeddings")
     return _pairs(e, threshold=0.4)
+
+
+@query(
+    "embedding_covariance",
+    """
+WITH pos AS (
+  SELECT vec_id,
+         generate_subscripts(embedding, 1) - 1 AS i,
+         CAST(UNNEST(embedding) AS DOUBLE) AS x
+  FROM embeddings
+)
+SELECT CAST(a.i AS BIGINT) AS i, CAST(b.i AS BIGINT) AS j,
+       ROUND(COVAR_SAMP(a.x, b.x), 6) + 0 AS cov
+FROM pos a JOIN pos b USING (vec_id)
+GROUP BY 1, 2
+""",
+)
+def embedding_covariance(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Full covariance matrix of the 64-dim embedding column via the
+    high-dim-safe path (operators/vector_agg.embedding_covariance):
+    per-batch numpy partial moments through mapInPandas, one global
+    fold, moment-identity covariance — shuffle volume independent of
+    row count, no dim² row explosion (A8 at embedding scale)."""
+    from value_at_risk_spark.operators.vector_agg import (
+        embedding_covariance as _cov,
+    )
+
+    e = _t(spark, sf_dir, "embeddings")
+    c = _cov(e, "embedding", ddof=1)
+    return c.select(
+        "i", "j", (F.round("cov", 6) + F.lit(0.0)).alias("cov")
+    )
