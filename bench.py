@@ -46,6 +46,10 @@ BENCH_QUERIES = [
     # scale story gets a measured growth curve (not just sf0.01
     # correctness)
     "near_dedup_survivors",
+    # Arrow-boundary representative: mapInPandas partial-moment
+    # covariance over the embeddings table (dim^2 payload, row-count-
+    # independent shuffle)
+    "embedding_covariance",
 ]
 
 RUNS_PER_QUERY = 3
