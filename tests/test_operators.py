@@ -330,3 +330,61 @@ def test_embedding_covariance_matches_numpy(spark, sf_dir):
     assert len(got) == d * d
     for (i, j), v in got.items():
         assert abs(v - exp[i][j]) < 1e-9, (i, j, v, exp[i][j])
+
+
+def test_asof_join_property_random_keys(spark):
+    """Property test (hypothesis): keyed as-of join == pandas
+    merge_asof(by=...) on arbitrary duplicate-laden inputs."""
+    from hypothesis import HealthCheck, given, settings
+    from hypothesis import strategies as st
+
+    pairs = st.lists(
+        st.tuples(st.sampled_from(["a", "b", "c"]), st.integers(0, 30)),
+        min_size=1,
+        max_size=25,
+    )
+
+    @settings(
+        max_examples=12,
+        deadline=None,
+        suppress_health_check=[HealthCheck.too_slow],
+    )
+    @given(lrows=pairs, rrows=pairs)
+    def check(lrows, rrows):
+        left = spark.createDataFrame(
+            [(k, t, i) for i, (k, t) in enumerate(lrows)],
+            "k string, ts long, lid long",
+        )
+        # one right row per (k, ts): merge_asof keeps the LAST dup and
+        # so does the union-window (last over orderBy ts,_side) — but
+        # collect_list order of equal keys is nondeterministic in
+        # Spark, so dedup the right side for a well-defined oracle
+        rdd = {}
+        for k, t in rrows:
+            rdd[(k, t)] = float(len(rdd))
+        right = spark.createDataFrame(
+            [(k, t, v) for (k, t), v in rdd.items()],
+            "k string, ts long, rv double",
+        )
+        got = {
+            (r.k, r.ts, r.lid): r.right_rv
+            for r in asof_join(left, right, on="ts", by=["k"]).collect()
+        }
+        lp = pd.DataFrame(
+            [(k, t, i) for i, (k, t) in enumerate(lrows)],
+            columns=["k", "ts", "lid"],
+        ).sort_values("ts", kind="stable")
+        rp = pd.DataFrame(
+            [(k, t, v) for (k, t), v in rdd.items()],
+            columns=["k", "ts", "rv"],
+        ).sort_values("ts", kind="stable")
+        exp_df = pd.merge_asof(
+            lp, rp, on="ts", by="k", direction="backward"
+        )
+        exp = {
+            (r.k, r.ts, r.lid): (None if pd.isna(r.rv) else r.rv)
+            for r in exp_df.itertuples()
+        }
+        assert got == exp
+
+    check()
