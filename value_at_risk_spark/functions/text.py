@@ -61,16 +61,21 @@ def avg_token_length(text: Column | str) -> Column:
     return total / F.greatest(F.size(toks), F.lit(1))
 
 
-def quality_score(text: Column | str) -> Column:
+def quality_score(text: Column | str, rounded: bool = True) -> Column:
     """Deterministic [0,1] quality heuristic: length band + stopword
     presence + type/token ratio. A stand-in for trained quality
-    classifiers in LLM data pipelines."""
+    classifiers in LLM data pipelines.
+
+    ``rounded=False`` returns the raw double — use it when the score
+    feeds a threshold predicate that must agree bit-for-bit with an
+    unrounded oracle filter."""
     n = token_count(text)
     ttr = distinct_token_count(text) / F.greatest(n, F.lit(1))
     length_ok = F.when((n >= 10) & (n <= 10_000), F.lit(1.0)).otherwise(F.lit(0.0))
     sw = stopword_ratio(text)
     sw_ok = F.when((sw >= 0.05) & (sw <= 0.6), F.lit(1.0)).otherwise(F.lit(0.0))
-    return F.round((length_ok + sw_ok + ttr) / F.lit(3.0), 6)
+    raw = (length_ok + sw_ok + ttr) / F.lit(3.0)
+    return F.round(raw, 6) if rounded else raw
 
 
 def shingles(text: Column | str, n: int = 3) -> Column:
@@ -79,4 +84,36 @@ def shingles(text: Column | str, n: int = 3) -> Column:
     idx = F.sequence(F.lit(1), F.greatest(F.size(toks) - (n - 1), F.lit(1)))
     return F.transform(
         idx, lambda i: F.concat_ws(" ", F.slice(toks, i, n))
+    )
+
+
+def chunk_tokens(
+    text: Column | str, chunk_size: int = 64, overlap: int = 16
+) -> Column:
+    """Split text into overlapping token-window chunks (LLM training-
+    data prep: fixed-size context chunks with stride = size − overlap).
+
+    Returns array<struct<chunk_id:int, chunk:string>> built entirely
+    with higher-order functions — per-row, shuffle-free, linear in
+    tokens. Chunk i covers tokens [i·stride+1, i·stride+chunk_size];
+    the last chunk may be shorter; a doc shorter than chunk_size yields
+    exactly one chunk.
+    """
+    if overlap >= chunk_size:
+        raise ValueError("chunk_tokens: overlap must be < chunk_size")
+    stride = chunk_size - overlap
+    toks = tokens(text)
+    n_chunks = F.greatest(
+        F.ceil((F.size(toks) - F.lit(overlap)) / F.lit(stride)).cast("int"),
+        F.lit(1),
+    )
+    idx = F.sequence(F.lit(0), n_chunks - 1)
+    return F.transform(
+        idx,
+        lambda i: F.struct(
+            i.cast("int").alias("chunk_id"),
+            F.concat_ws(
+                " ", F.slice(toks, i * stride + 1, chunk_size)
+            ).alias("chunk"),
+        ),
     )

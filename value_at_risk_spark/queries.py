@@ -2488,3 +2488,118 @@ def embedding_covariance(spark: SparkSession, sf_dir: str) -> DataFrame:
     return c.select(
         "i", "j", (F.round("cov", 6) + F.lit(0.0)).alias("cov")
     )
+
+
+@query(
+    "chunk_documents",
+    """
+WITH docs AS (
+  SELECT doc_id, list_filter(string_split(lower(text),' '), x -> x <> '') AS ts
+  FROM documents
+),
+n AS (
+  SELECT doc_id, ts,
+         GREATEST(CAST(CEIL((len(ts) - 16) / 48.0) AS BIGINT), 1) AS nc
+  FROM docs
+)
+SELECT doc_id,
+       CAST(i AS INT) AS chunk_id,
+       array_to_string(ts[i*48+1 : i*48+64], ' ') AS chunk,
+       CAST(len(ts[i*48+1 : i*48+64]) AS INT) AS n_tokens
+FROM n, UNNEST(range(0, nc)) AS t(i)
+""",
+)
+def chunk_documents(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """LLM training-data chunking: overlapping 64-token windows with
+    stride 48 (overlap 16) per document — functions/text.chunk_tokens,
+    built from higher-order functions (per-row, shuffle-free, linear
+    in tokens), then one posexplode to chunk granularity. The
+    document → chunk fan-out is the canonical pre-tokenization step of
+    a training-data pipeline."""
+    from value_at_risk_spark.functions.text import chunk_tokens
+
+    d = _t(spark, sf_dir, "documents")
+    ch = d.select(
+        "doc_id",
+        F.explode(chunk_tokens("text", chunk_size=64, overlap=16)).alias("c"),
+    )
+    return ch.select(
+        "doc_id",
+        F.col("c.chunk_id").alias("chunk_id"),
+        F.col("c.chunk").alias("chunk"),
+        F.size(F.split(F.col("c.chunk"), " ")).alias("n_tokens"),
+    )
+
+
+@query(
+    "training_data_prep",
+    """
+WITH keep AS (
+  SELECT MIN(doc_id) AS doc_id FROM documents GROUP BY md5(text)
+),
+base AS (
+  SELECT d.doc_id, d.text FROM documents d JOIN keep k ON k.doc_id = d.doc_id
+),
+toks AS (
+  SELECT doc_id, t FROM (
+    SELECT doc_id, UNNEST(string_split(lower(text), ' ')) AS t FROM base
+  ) WHERE t <> ''
+),
+sig AS (
+  SELECT doc_id, COUNT(*) AS n, COUNT(DISTINCT t) AS nd,
+         SUM(CASE WHEN t IN ('the','a','of','and','to','in','is','on','for','with')
+                  THEN 1 ELSE 0 END) * 1.0 / COUNT(*) AS swr
+  FROM toks GROUP BY doc_id
+),
+q AS (
+  SELECT doc_id,
+         ((CASE WHEN n BETWEEN 10 AND 10000 THEN 1.0 ELSE 0.0 END)
+          + (CASE WHEN swr >= 0.05 AND swr <= 0.6 THEN 1.0 ELSE 0.0 END)
+          + nd * 1.0 / n) / 3.0 AS quality
+  FROM sig
+),
+docs AS (
+  SELECT b.doc_id, q.quality,
+         list_filter(string_split(lower(b.text),' '), x -> x <> '') AS ts
+  FROM base b JOIN q ON q.doc_id = b.doc_id
+  WHERE q.quality >= 0.7
+),
+n AS (
+  SELECT doc_id, quality, ts,
+         GREATEST(CAST(CEIL((len(ts) - 16) / 48.0) AS BIGINT), 1) AS nc
+  FROM docs
+)
+SELECT doc_id,
+       CAST(i AS INT) AS chunk_id,
+       CAST(len(ts[i*48+1 : i*48+64]) AS INT) AS n_tokens,
+       ROUND(quality, 6) AS quality
+FROM n, UNNEST(range(0, nc)) AS t(i)
+""",
+)
+def training_data_prep(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """End-to-end training-data prep over `documents`, each stage the
+    engine's own operator: exact dedup (md5 digest, keep min id) →
+    quality filter (composite score ≥ 0.7) → 64/48 token-window
+    chunking → per-chunk token counts. The canonical corpus → training
+    shards flow; every stage stays in native expressions, the only
+    shuffles being the dedup digest agg and the keep-id semi-join."""
+    from value_at_risk_spark.functions.text import chunk_tokens, quality_score
+    from value_at_risk_spark.operators.dedup import exact_dedup
+
+    d = _t(spark, sf_dir, "documents")
+    keep = exact_dedup(d).select(F.col("keep_id").alias("doc_id"))
+    base = d.join(keep, "doc_id", "left_semi")
+    scored = base.select(
+        "doc_id", "text", quality_score("text", rounded=False).alias("quality")
+    ).filter(F.col("quality") >= 0.7)
+    ch = scored.select(
+        "doc_id",
+        "quality",
+        F.explode(chunk_tokens("text", chunk_size=64, overlap=16)).alias("c"),
+    )
+    return ch.select(
+        "doc_id",
+        F.col("c.chunk_id").alias("chunk_id"),
+        F.size(F.split(F.col("c.chunk"), " ")).alias("n_tokens"),
+        F.round("quality", 6).alias("quality"),
+    )
