@@ -388,3 +388,39 @@ def test_asof_join_property_random_keys(spark):
         assert got == exp
 
     check()
+
+
+def test_session_window_boundary_semantics(spark):
+    """Pin the gap-boundary rule the oracle encodes: Spark's session
+    windows merge when next_start <= prev_end (END-INCLUSIVE), so a
+    gap of EXACTLY the window size still merges — the lag-gap twin
+    must split on gap > 1800, not >= 1800. (Determined empirically;
+    an earlier review note claimed the opposite.)"""
+    from pyspark.sql import functions as F
+
+    e = spark.createDataFrame(
+        [(1, 0), (1, 1800), (1, 3599), (2, 0), (2, 1799)],
+        "user_id int, sec long",
+    ).select("user_id", F.timestamp_seconds("sec").alias("ts"))
+    sess = (
+        e.groupBy(F.session_window("ts", "30 minutes").alias("w"), "user_id")
+        .agg(F.count(F.lit(1)).alias("n"))
+        .select("user_id", F.col("w.start").cast("long").alias("s"), "n")
+        .collect()
+    )
+    by_user = {}
+    for r in sess:
+        by_user.setdefault(r.user_id, []).append((r.s, r.n))
+    # user 1: events at 0 / 1800 / 3599 all chain into ONE session —
+    # the 1800 gap merges (end-inclusive), then 3599 is 1799 after 1800
+    assert sorted(by_user[1]) == [(0, 3)]
+    # user 2: 0 and 1799 merge into one session
+    assert sorted(by_user[2]) == [(0, 2)]
+    # and a gap of 1801 genuinely splits
+    e2 = spark.createDataFrame(
+        [(3, 0), (3, 1801)], "user_id int, sec long"
+    ).select("user_id", F.timestamp_seconds("sec").alias("ts"))
+    n_sessions = (
+        e2.groupBy(F.session_window("ts", "30 minutes"), "user_id").count().count()
+    )
+    assert n_sessions == 2

@@ -2161,7 +2161,7 @@ def tfidf_top_terms(spark: SparkSession, sf_dir: str) -> DataFrame:
 WITH ordered AS (
   SELECT user_id, ts,
          CASE WHEN epoch(ts) - epoch(LAG(ts) OVER (PARTITION BY user_id ORDER BY ts))
-                   >= 1800 OR LAG(ts) OVER (PARTITION BY user_id ORDER BY ts) IS NULL
+                   > 1800 OR LAG(ts) OVER (PARTITION BY user_id ORDER BY ts) IS NULL
               THEN 1 ELSE 0 END AS new_sess
   FROM events
 ),
@@ -2181,7 +2181,13 @@ FROM sess GROUP BY user_id, sid
 def session_windows_native(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Spark's native session_window (gap-close semantics: window end =
     last event + gap), checked against the lag-gap SQL formulation —
-    the two classic sessionization forms shown equivalent."""
+    the two classic sessionization forms shown equivalent.
+
+    Boundary rule, pinned empirically
+    (tests/test_operators.py::test_session_window_boundary_semantics):
+    sessions merge when next_start <= prev_end — END-INCLUSIVE — so a
+    gap of EXACTLY the window size still merges, and the lag-gap twin
+    must split on gap > 1800, not >= 1800."""
     e = _t(spark, sf_dir, "events")
     return (
         e.groupBy(F.session_window("ts", "30 minutes").alias("w"), "user_id")
