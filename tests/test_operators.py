@@ -424,3 +424,68 @@ def test_session_window_boundary_semantics(spark):
         e2.groupBy(F.session_window("ts", "30 minutes"), "user_id").count().count()
     )
     assert n_sessions == 2
+
+
+def test_salted_join_equals_plain_join(spark, sf_dir):
+    """salted_join == plain join (row multiset), with the salt spread
+    across buckets so no single reducer owns a hot key."""
+    from collections import Counter
+
+    from value_at_risk_spark.operators.skew import salted_join
+    from value_at_risk_spark.sources.registry import Registry
+
+    reg = Registry(sf_dir)
+    orders = reg.read(spark, "orders").select("o_custkey", "o_totalprice")
+    customer = reg.read(spark, "customer").select(
+        F.col("c_custkey").alias("o_custkey"), "c_nationkey"
+    )
+    got = Counter(
+        (r.o_custkey, r.o_totalprice, r.c_nationkey)
+        for r in salted_join(orders, customer, on=["o_custkey"]).collect()
+    )
+    exp = Counter(
+        (r.o_custkey, r.o_totalprice, r.c_nationkey)
+        for r in orders.join(customer, "o_custkey").collect()
+    )
+    assert got == exp
+
+    # left join keeps unmatched fact rows exactly once
+    dim_half = customer.filter(F.col("o_custkey") % 2 == 0)
+    got_l = Counter(
+        (r.o_custkey, r.o_totalprice, r.c_nationkey)
+        for r in salted_join(orders, dim_half, on=["o_custkey"], how="left").collect()
+    )
+    exp_l = Counter(
+        (r.o_custkey, r.o_totalprice, r.c_nationkey)
+        for r in orders.join(dim_half, "o_custkey", "left").collect()
+    )
+    assert got_l == exp_l
+
+
+def test_ivf_trained_recall_beats_floor(spark, sf_dir):
+    """Trained IVF (k-means cells, nprobe=2) must recover most of the
+    exact top-5 — pins that training + multi-probe actually work."""
+    from value_at_risk_spark.operators.similarity import (
+        ivf_topk,
+        kmeans_centroids,
+    )
+    from value_at_risk_spark.sources.registry import Registry
+
+    emb = Registry(sf_dir).read(spark, "embeddings")
+    cents = kmeans_centroids(emb, "embedding", k=8, iters=3, seed=123, dim=64)
+    assert len(cents) == 8 and all(len(c) == 64 for c in cents)
+
+    q = emb.filter(F.col("vec_id") < 10).select(
+        F.col("vec_id").alias("query_id"), "embedding"
+    )
+    corpus = emb.select(F.col("vec_id").alias("neighbor_id"), "embedding")
+    approx = {
+        (r.query_id, r.neighbor_id)
+        for r in ivf_topk(q, corpus, cents, k=5, nprobe=2).collect()
+    }
+    exact = {
+        (r.query_id, r.neighbor_id)
+        for r in cosine_topk(q, corpus, k=5).collect()
+    }
+    recall = len(approx & exact) / len(exact)
+    assert recall >= 0.5, recall

@@ -192,3 +192,137 @@ def cosine_near_dup_pairs(
         .filter(sim >= F.lit(threshold))
         .select("id_a", "id_b", sim_out.alias("cosine"))
     )
+
+
+def nearest_cell_expr(vec_col, centroids) -> "F.Column":
+    """Index of the nearest centroid (squared-L2) as a native CASE
+    chain — centroids are plan literals, so assignment is a pure
+    projection: no shuffle, no Python, works identically in batch and
+    streaming."""
+    col = F.col(vec_col) if isinstance(vec_col, str) else vec_col
+    best_d, best_i = None, None
+    for i, cent in enumerate(centroids):
+        c = F.array(*[F.lit(float(x)) for x in cent])
+        # ||v-c||² ranking needs only -2·v·c + ||c||² (||v||² constant per row)
+        cc = float(sum(x * x for x in cent))
+        d2 = F.lit(cc) - 2 * dot_product(col, c)
+        if best_d is None:
+            best_d, best_i = d2, F.lit(i)
+        else:
+            best_i = F.when(d2 < best_d, F.lit(i)).otherwise(best_i)
+            best_d = F.least(d2, best_d)
+    return best_i
+
+
+def kmeans_centroids(
+    df: DataFrame,
+    vec_col: str = "embedding",
+    k: int = 8,
+    iters: int = 3,
+    seed: int = 123,
+    dim: int | None = None,
+) -> list[list[float]]:
+    """Coarse-quantizer training: k-means via distributed Lloyd steps.
+
+    Init is a seeded driver-side RNG (deterministic, partition-order
+    free); each iteration is one distributed pass — assign rows to the
+    nearest centroid with ``nearest_cell_expr`` (pure projection), then
+    per-cell vector means via one hash-agg (posexplode → avg by (cell,
+    pos)). Only k×dim doubles ever reach the driver per iteration —
+    the canonical IVF training loop at any corpus size. Empty cells
+    keep their previous centroid.
+    """
+    import numpy as np
+
+    if dim is None:
+        row = df.select(F.size(vec_col).alias("d")).first()
+        if row is None:
+            raise ValueError("kmeans_centroids: empty input")
+        dim = row[0]
+    rng = np.random.default_rng(seed)
+    cents = rng.standard_normal((k, dim)).tolist()
+    for _ in range(iters):
+        assigned = df.select(
+            F.col(vec_col).alias("_v"),
+            nearest_cell_expr(vec_col, cents).alias("_cell"),
+        )
+        means = (
+            assigned.select("_cell", F.posexplode("_v").alias("_i", "_x"))
+            .groupBy("_cell", "_i")
+            .agg(F.avg("_x").alias("_m"))
+            .groupBy("_cell")
+            .agg(
+                F.array_sort(F.collect_list(F.struct("_i", "_m"))).alias("_ms")
+            )
+            .select(
+                "_cell",
+                F.transform("_ms", lambda s: s["_m"]).alias("_mean"),
+            )
+            .collect()
+        )
+        for r in means:
+            cents[r._cell] = [float(x) for x in r._mean]
+    return cents
+
+
+def ivf_topk(
+    queries: DataFrame,
+    corpus: DataFrame,
+    centroids: list[list[float]],
+    k: int = 5,
+    nprobe: int = 2,
+    query_id: str = "query_id",
+    corpus_id: str = "neighbor_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """IVF search: corpus rows live in their nearest cell; each query
+    probes its ``nprobe`` nearest cells (explode) and exact-cosine
+    re-ranks only those cells' members — candidate volume is
+    corpus/k·nprobe per query instead of the full corpus, and the
+    candidate join is a plain equi-join on the cell id."""
+    n_cells = len(centroids)
+    nprobe = min(nprobe, n_cells)
+
+    corp = corpus.select(
+        F.col(corpus_id),
+        F.col(vec_col).alias("_cv"),
+        vector_norm(vec_col).alias("_cn"),
+        nearest_cell_expr(vec_col, centroids).alias("_cell"),
+    )
+
+    # per-query distance to every centroid -> nprobe nearest cells
+    col = F.col(vec_col)
+    dists = F.array(
+        *[
+            F.struct(
+                (
+                    F.lit(float(sum(x * x for x in cent)))
+                    - 2 * dot_product(col, F.array(*[F.lit(float(x)) for x in cent]))
+                ).alias("d"),
+                F.lit(i).alias("cell"),
+            )
+            for i, cent in enumerate(centroids)
+        ]
+    )
+    probes = F.slice(F.array_sort(dists), 1, nprobe)
+    q = queries.select(
+        F.col(query_id),
+        F.col(vec_col).alias("_qv"),
+        vector_norm(vec_col).alias("_qn"),
+        F.explode(F.transform(probes, lambda s: s["cell"])).alias("_cell"),
+    )
+
+    sim = dot_product("_qv", "_cv") / (F.col("_qn") * F.col("_cn"))
+    scored = (
+        corp.join(F.broadcast(q), "_cell")
+        .filter(F.col(query_id) != F.col(corpus_id))
+        .select(
+            query_id,
+            corpus_id,
+            (F.round(sim, 6) + F.lit(0.0)).alias("cosine"),
+        )
+    )
+    w = Window.partitionBy(query_id).orderBy(F.desc("cosine"), F.asc(corpus_id))
+    return scored.withColumn("rank", F.row_number().over(w)).filter(
+        F.col("rank") <= k
+    )

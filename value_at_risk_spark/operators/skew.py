@@ -55,3 +55,36 @@ def salted_sum_count(
         ],
         salt_buckets,
     )
+
+
+def salted_join(
+    fact: DataFrame,
+    dim: DataFrame,
+    on: list[str],
+    how: str = "inner",
+    salt_buckets: int = 16,
+) -> DataFrame:
+    """Skew-safe equi-join when the dim side is too big to broadcast.
+
+    The standard salt-and-replicate rewrite: each fact row gets a
+    random salt in [0, salt_buckets); every dim row is replicated once
+    per salt value; the join key becomes (keys..., salt), so a hot key
+    spreads over ``salt_buckets`` reducers instead of one straggler
+    task. Cost: dim side shuffles ×salt_buckets — use only when AQE's
+    skew splitting isn't enough (e.g. a single pathological key inside
+    one shuffle block) and the dim is far smaller than the fact.
+
+    Row multiplicity, null-key behavior, and column set are identical
+    to ``fact.join(dim, on, how)`` (asserted in tests) for inner and
+    left joins.
+    """
+    if how not in ("inner", "left"):
+        raise ValueError("salted_join supports inner and left joins")
+    salted_fact = fact.withColumn(
+        "_salt", (F.rand(seed=42) * salt_buckets).cast("int")
+    )
+    replicated_dim = dim.withColumn(
+        "_salt", F.explode(F.array(*[F.lit(i) for i in range(salt_buckets)]))
+    )
+    out = salted_fact.join(replicated_dim, [*on, "_salt"], how)
+    return out.drop("_salt")

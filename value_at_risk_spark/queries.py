@@ -1536,53 +1536,26 @@ def doc_quality_scores(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 @query("ann_ivf_topk")
 def ann_ivf_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """IVF-style ANN (rows-only): assign every vector to its nearest of
-    8 seeded random centroids (coarse quantizer as literal arrays), then
-    run the exact search only inside the query's cell. The scale path
-    where even LSH bucket joins are too wide: cells partition the corpus,
-    and a real deployment probes the nearest 2-3 cells."""
-    import numpy as np
-
-    from value_at_risk_spark.functions.vector import dot_product
+    """IVF ANN (rows-only): coarse quantizer TRAINED with distributed
+    Lloyd iterations (operators/similarity.kmeans_centroids — only
+    k×dim doubles reach the driver per pass), then each query probes
+    its 2 nearest cells and exact-cosine re-ranks those members only
+    (ivf_topk). The scale path where even LSH bucket joins are too
+    wide: cells partition the corpus; candidate volume per query is
+    corpus/k·nprobe. Recall@5 vs the exact baseline is pinned in
+    tests/test_operators.py."""
+    from value_at_risk_spark.operators.similarity import (
+        ivf_topk,
+        kmeans_centroids,
+    )
 
     emb = _t(spark, sf_dir, "embeddings")
-    rng = np.random.default_rng(123)
-    cents = rng.standard_normal((8, 64))
-
-    def cell_of(vec_col):
-        best_d, best_i = None, None
-        for i in range(8):
-            c = F.array(*[F.lit(float(x)) for x in cents[i]])
-            d2 = dot_product(vec_col, vec_col) - 2 * dot_product(vec_col, c)
-            if best_d is None:
-                best_d, best_i = d2, F.lit(i)
-            else:
-                best_i = F.when(d2 < best_d, F.lit(i)).otherwise(best_i)
-                best_d = F.least(d2, best_d)
-        return best_i
-
-    assigned = emb.select(
-        "vec_id", "embedding", cell_of(F.col("embedding")).alias("cell")
+    cents = kmeans_centroids(emb, "embedding", k=8, iters=3, seed=123, dim=64)
+    q = emb.filter(F.col("vec_id") < 10).select(
+        F.col("vec_id").alias("query_id"), "embedding"
     )
-    q = assigned.filter(F.col("vec_id") < 10).select(
-        F.col("vec_id").alias("query_id"),
-        F.col("embedding").alias("_qv"),
-        "cell",
-    )
-    from value_at_risk_spark.functions.vector import cosine_similarity
-    from pyspark.sql.window import Window as W
-
-    scored = (
-        assigned.join(F.broadcast(q), "cell")
-        .filter(F.col("query_id") != F.col("vec_id"))
-        .select(
-            "query_id",
-            F.col("vec_id").alias("neighbor_id"),
-            F.round(cosine_similarity("_qv", "embedding"), 6).alias("cosine"),
-        )
-    )
-    w = W.partitionBy("query_id").orderBy(F.desc("cosine"), F.asc("neighbor_id"))
-    return scored.withColumn("rnk", F.row_number().over(w)).filter(F.col("rnk") <= 5)
+    corpus = emb.select(F.col("vec_id").alias("neighbor_id"), "embedding")
+    return ivf_topk(q, corpus, cents, k=5, nprobe=2)
 
 
 # --------------------------------------------------------------------------
