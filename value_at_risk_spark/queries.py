@@ -2684,3 +2684,36 @@ def returned_items_by_customer(spark: SparkSession, sf_dir: str) -> DataFrame:
         .orderBy(F.desc("revenue"), F.asc("c_custkey"))
         .limit(20)
     )
+
+
+@query(
+    "sample_stratified_hash",
+    """
+SELECT doc_id, lang
+FROM documents
+WHERE substring(md5(CAST(doc_id AS VARCHAR)), 1, 8) <
+      CASE lang
+        WHEN 'en' THEN '80000000'
+        WHEN 'de' THEN '4ccccccc'
+        WHEN 'es' THEN '4ccccccc'
+        WHEN 'zh' THEN '33333333'
+        ELSE '33333333'
+      END
+""",
+)
+def sample_stratified_hash(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Deterministic stratified sampling by hash threshold: a row is
+    in-sample iff the first 8 hex chars of md5(doc_id) fall below the
+    stratum's rate threshold (en 50%, de/es 30%, others 20%). Unlike
+    RNG `sampleBy` (kept as `sample_stratified`, rows-only), the
+    hash rule is reproducible across engines, task retries, and
+    repartitioning — the sampling you ship in a 100 TB pipeline, and
+    it oracle-checks exactly."""
+    d = _t(spark, sf_dir, "documents")
+    threshold = (
+        F.when(F.col("lang") == "en", F.lit("80000000"))
+        .when(F.col("lang").isin("de", "es"), F.lit("4ccccccc"))
+        .otherwise(F.lit("33333333"))
+    )
+    bucket = F.substring(F.md5(F.col("doc_id").cast("string")), 1, 8)
+    return d.filter(bucket < threshold).select("doc_id", "lang")
