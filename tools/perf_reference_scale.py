@@ -26,7 +26,9 @@ from value_at_risk_spark.functions.risk import value_at_risk_expr  # noqa: E402
 from value_at_risk_spark.session import get_spark  # noqa: E402
 
 N_DATES = 35
-N_TRIALS = 32_000
+# MC_SCALE multiplies the trial count (MC_SCALE=10 -> 320k trials/date,
+# 302.4 M scored rows) for scale-up curves beyond the reference config
+N_TRIALS = int(32_000 * float(os.environ.get("MC_SCALE", "1")))
 N_TICKERS = 27
 N_FACTORS = 5
 
@@ -45,11 +47,18 @@ def main() -> None:
         )
         for i in range(N_DATES)
     ]
-    vol = spark.createDataFrame(
-        vol_rows, "date string, vol_avg array<double>, vol_cov array<array<double>>"
+    from value_at_risk_spark.sources.local import local_frame
+
+    # VALUES-literal plans: these frames sit on broadcast sides of the
+    # hot joins — a pickled-RDD scan there re-enters Python per action
+    vol = local_frame(
+        spark,
+        vol_rows,
+        "date string, vol_avg array<double>, vol_cov array<array<double>>",
     ).select(F.col("date").cast("date").alias("date"), "vol_avg", "vol_cov")
 
-    weights = spark.createDataFrame(
+    weights = local_frame(
+        spark,
         [
             (f"T{i:02d}", rng.normal(0, 0.05, 1 + 4 * N_FACTORS).tolist())
             for i in range(N_TICKERS)
@@ -58,8 +67,14 @@ def main() -> None:
     )
     portfolio = weights.select("ticker", F.lit(1 / 29).alias("weight"))
 
+    def force(df) -> None:
+        # noop sink: full plan execution (count() lets Catalyst prune
+        # the pandas-UDF/predictor columns), no driver materialization
+        df.write.format("noop").mode("overwrite").save()
+
     t0 = time.time()
     sims = simulate_trials(vol, runs=N_TRIALS)
+    force(sims)
     n_sims = sims.count()
     t_sim = time.time() - t0
 
@@ -71,7 +86,9 @@ def main() -> None:
         feature_col="features",
         out_col="return",
         expand=True,
+        n_factors=N_FACTORS,
     ).select("date", "ticker", "trial_id", "return")
+    force(scored)
     n_scored = scored.count()
     t_score = time.time() - t0
 
@@ -84,6 +101,9 @@ def main() -> None:
     var = per_trial.groupBy("date").agg(
         value_at_risk_expr("pr", 99.0).alias("var_99")
     )
+    # force() here too: count() over a groupBy can prune the percentile
+    # (and transitively the whole scoring subtree) entirely
+    force(var)
     n_var = var.count()
     t_var = time.time() - t0
 
@@ -92,7 +112,10 @@ def main() -> None:
     from value_at_risk_spark.plans.var_pipeline import aggregate_var_fused
 
     t0 = time.time()
-    var_fused = aggregate_var_fused(sims, weights, portfolio)
+    var_fused = aggregate_var_fused(
+        sims, weights, portfolio, n_factors=N_FACTORS
+    )
+    force(var_fused)
     n_var_fused = var_fused.count()
     t_var_fused = time.time() - t0
 

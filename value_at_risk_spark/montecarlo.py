@@ -42,12 +42,29 @@ def simulate_market(
     Vectorized re-expression of ``simulate_market``
     (utils/var_udf.py:57-67): same per-row ``default_rng(seed)``
     contract, batch-applied over Arrow record batches.
+
+    Draw values are BIT-IDENTICAL to
+    ``default_rng(seed).multivariate_normal(avg, cov)`` (pinned in
+    tests/test_functions.py): numpy's mvn is
+    ``mean + standard_normal(d) @ (sqrt(s)[:,None] * v)`` after an SVD
+    of cov — the SVD and transform matrix are hoisted out and cached
+    per distinct covariance (one per run date), leaving per row only
+    generator construction + d standard normals + a d×d matvec
+    (~3-4× faster than calling mvn per row, same bits).
     """
+    factor_cache: dict[bytes, np.ndarray] = {}
     out = []
     for avg, cov, seed in zip(vol_avg, vol_cov, trial_id):
+        cov_arr = np.asarray([np.asarray(r) for r in cov], dtype=float)
+        key = cov_arr.tobytes()
+        A = factor_cache.get(key)
+        if A is None:
+            _, s, v = np.linalg.svd(cov_arr)
+            A = np.sqrt(s)[:, None] * v
+            factor_cache[key] = A
         rng = np.random.default_rng(int(seed))
-        draw = rng.multivariate_normal(np.asarray(avg, dtype=float),
-                                       np.asarray([np.asarray(r) for r in cov], dtype=float))
+        mean = np.asarray(avg, dtype=float)
+        draw = rng.standard_normal(mean.shape[0]) @ A + mean
         out.append(draw.tolist())
     return pd.Series(out)
 

@@ -174,7 +174,9 @@ def simulate(
     return simulate_trials(vol, runs=runs)
 
 
-def score_trials(simulated: DataFrame, weights: DataFrame) -> DataFrame:
+def score_trials(
+    simulated: DataFrame, weights: DataFrame, n_factors: int | None = None
+) -> DataFrame:
     """Simulated market states × instruments → predicted returns.
 
     03_var_monte_carlo.py:93-109: the ticker fan-out is the broadcast
@@ -190,6 +192,7 @@ def score_trials(simulated: DataFrame, weights: DataFrame) -> DataFrame:
         feature_col="features",
         out_col="return",
         expand=True,
+        n_factors=n_factors,
     ).select("date", "ticker", "trial_id", "return")
 
 
@@ -296,7 +299,7 @@ def run_pipeline(
         sim_end or str(bounds.mx)[:10],
     )
     sims = simulate(vol, spine, cfg.runs)
-    scored = score_trials(sims, weights)
+    scored = score_trials(sims, weights, n_factors=len(factor_cols))
     var_series = aggregate_var(scored, portfolio, cfg.confidence)
     compliance = backtest(rets, portfolio, var_series, cfg.basel_days)
     return {
@@ -352,6 +355,7 @@ def aggregate_var_fused(
     confidence: float = 99.0,
     group_cols: list[str] | None = None,
     approximate: bool = False,
+    n_factors: int | None = None,
 ) -> DataFrame:
     """Portfolio(-slice) VaR straight from simulated market states.
 
@@ -373,7 +377,11 @@ def aggregate_var_fused(
         "date",
         *group_cols,
         "trial_id",
-        predict_nonlinear("weights", nonlinear_features("features")).alias("_pr"),
+        predict_nonlinear(
+            "weights",
+            nonlinear_features("features", dim=n_factors),
+            dim=(4 * n_factors if n_factors is not None else None),
+        ).alias("_pr"),
     )
     return port.groupBy("date", *group_cols).agg(
         value_at_risk_expr("_pr", confidence, approximate).alias("var_99"),

@@ -36,6 +36,8 @@ def _sql_literal(v) -> str:
         return repr(v) + "D"  # double literal, full precision
     if isinstance(v, int):
         return f"{v}L"
+    if isinstance(v, (list, tuple)):
+        return "array(" + ", ".join(_sql_literal(x) for x in v) + ")"
     raise TypeError(f"local_frame: unsupported literal type {type(v)!r}")
 
 
