@@ -30,9 +30,30 @@ def vector_add(a: Column | str, b: Column | str) -> Column:
     return F.zip_with(_c(a), _c(b), lambda x, y: x + y)
 
 
-def dot_product(a: Column | str, b: Column | str) -> Column:
-    """Σ aᵢ·bᵢ in double precision (cast before multiply for engine parity)."""
+def dot_product(a: Column | str, b: Column | str, dim: int | None = None) -> Column:
+    """Σ aᵢ·bᵢ in double precision (cast before multiply for engine parity).
+
+    With ``dim`` (array width known at plan-build time) the sum
+    unrolls to a flat ``element_at`` chain that whole-stage codegen
+    compiles; the generic HOF form is interpreted per row. Same
+    left-to-right fold order ⇒ bit-identical results either way.
+
+    Crossover (measured, local[32]): unrolling wins decisively for
+    NARROW arrays (dim ≲ 24 — the 21-term VaR predictor went 19×
+    faster), but LOSES for wide ones (dim = 64: ~2× slower at 16 M
+    pairs — the generated method blows past JIT/codegen size limits
+    and falls back to per-expression interpretation, which is worse
+    than the HOF's single tight loop). Pass ``dim`` for narrow
+    fixed-width vectors only.
+    """
     a, b = _c(a), _c(b)
+    if dim is not None:
+        acc = F.lit(0.0)
+        for i in range(1, dim + 1):
+            acc = acc + F.element_at(a, i).cast("double") * F.element_at(
+                b, i
+            ).cast("double")
+        return acc
     return F.aggregate(
         F.zip_with(a, b, lambda x, y: x.cast("double") * y.cast("double")),
         F.lit(0.0),
@@ -40,10 +61,14 @@ def dot_product(a: Column | str, b: Column | str) -> Column:
     )
 
 
-def vector_norm(a: Column | str) -> Column:
-    return F.sqrt(dot_product(a, a))
+def vector_norm(a: Column | str, dim: int | None = None) -> Column:
+    return F.sqrt(dot_product(a, a, dim=dim))
 
 
-def cosine_similarity(a: Column | str, b: Column | str) -> Column:
+def cosine_similarity(
+    a: Column | str, b: Column | str, dim: int | None = None
+) -> Column:
     """dot(a,b) / (‖a‖·‖b‖); the similarity-search kernel."""
-    return dot_product(a, b) / (vector_norm(a) * vector_norm(b))
+    return dot_product(a, b, dim=dim) / (
+        vector_norm(a, dim=dim) * vector_norm(b, dim=dim)
+    )

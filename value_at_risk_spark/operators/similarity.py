@@ -37,6 +37,7 @@ def cosine_topk(
     corpus_id: str = "neighbor_id",
     vec_col: str = "embedding",
     round_to: int | None = 6,
+    dim: int | None = None,
 ) -> DataFrame:
     """Exact top-k cosine neighbors per query (self-matches excluded).
 
@@ -49,14 +50,14 @@ def cosine_topk(
     q = queries.select(
         F.col(query_id),
         F.col(vec_col).alias("_qv"),
-        vector_norm(vec_col).alias("_qn"),
+        vector_norm(vec_col, dim=dim).alias("_qn"),
     )
     c = corpus.select(
         F.col(corpus_id),
         F.col(vec_col).alias("_cv"),
-        vector_norm(vec_col).alias("_cn"),
+        vector_norm(vec_col, dim=dim).alias("_cn"),
     )
-    sim = dot_product("_qv", "_cv") / (F.col("_qn") * F.col("_cn"))
+    sim = dot_product("_qv", "_cv", dim=dim) / (F.col("_qn") * F.col("_cn"))
     if round_to is not None:
         # + 0.0 collapses IEEE negative zero after rounding (oracle parity)
         sim = F.round(sim, round_to) + F.lit(0.0)
@@ -158,6 +159,7 @@ def cosine_near_dup_pairs(
     id_col: str = "vec_id",
     vec_col: str = "embedding",
     round_to: int | None = 6,
+    dim: int | None = None,
 ) -> DataFrame:
     """Embedding-cosine near-duplicate pairs (exact baseline).
 
@@ -175,14 +177,14 @@ def cosine_near_dup_pairs(
     a = df.select(
         F.col(id_col).alias("id_a"),
         F.col(vec_col).alias("_va"),
-        vector_norm(vec_col).alias("_na"),
+        vector_norm(vec_col, dim=dim).alias("_na"),
     )
     b = df.select(
         F.col(id_col).alias("id_b"),
         F.col(vec_col).alias("_vb"),
-        vector_norm(vec_col).alias("_nb"),
+        vector_norm(vec_col, dim=dim).alias("_nb"),
     )
-    sim = dot_product("_va", "_vb") / (F.col("_na") * F.col("_nb"))
+    sim = dot_product("_va", "_vb", dim=dim) / (F.col("_na") * F.col("_nb"))
     if round_to is not None:
         sim_out = F.round(sim, round_to) + F.lit(0.0)
     else:
@@ -283,6 +285,7 @@ def ivf_topk(
     n_cells = len(centroids)
     nprobe = min(nprobe, n_cells)
 
+    d = len(centroids[0])
     corp = corpus.select(
         F.col(corpus_id),
         F.col(vec_col).alias("_cv"),
@@ -297,7 +300,9 @@ def ivf_topk(
             F.struct(
                 (
                     F.lit(float(sum(x * x for x in cent)))
-                    - 2 * dot_product(col, F.array(*[F.lit(float(x)) for x in cent]))
+                    - 2 * dot_product(
+                        col, F.array(*[F.lit(float(x)) for x in cent])
+                    )
                 ).alias("d"),
                 F.lit(i).alias("cell"),
             )
