@@ -2720,3 +2720,43 @@ def sample_stratified_hash(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     bucket = F.substring(F.md5(F.col("doc_id").cast("string")), 1, 8)
     return d.filter(bucket < threshold).select("doc_id", "lang")
+
+
+@query(
+    "repetition_scores",
+    """
+WITH docs AS (
+  SELECT doc_id, list_filter(string_split(lower(text),' '), x -> x <> '') AS ts
+  FROM documents
+),
+sh AS (
+  SELECT doc_id, ts[i] || ' ' || ts[i+1] || ' ' || ts[i+2] AS s
+  FROM docs, UNNEST(range(1, greatest(len(ts) - 1, 2))) AS t(i)
+  WHERE len(ts) >= 3
+)
+SELECT doc_id,
+       COUNT(*) AS n_shingles,
+       ROUND(1.0 - COUNT(DISTINCT s) * 1.0 / COUNT(*), 6) + 0 AS rep_ratio
+FROM sh GROUP BY doc_id
+""",
+)
+def repetition_scores(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Repeated-3-gram ratio per document (1 − distinct/total shingles)
+    — the Gopher-style repetition quality signal for filtering
+    low-quality/templated text. Pure per-row higher-order expressions:
+    no explode, no shuffle (the DuckDB twin explodes because SQL lacks
+    HOFs over arrays with dedup — semantics identical)."""
+    from value_at_risk_spark.functions.text import shingles
+
+    from value_at_risk_spark.functions.text import tokens
+
+    d = _t(spark, sf_dir, "documents")
+    sh = shingles("text", 3)
+    n = F.size(sh)
+    nd = F.size(F.array_distinct(sh))
+    # docs need >= 3 tokens for a full 3-gram (same guard as the twin)
+    return d.filter(F.size(tokens("text")) >= 3).select(
+        "doc_id",
+        n.cast("long").alias("n_shingles"),
+        (F.round(F.lit(1.0) - nd / n, 6) + F.lit(0.0)).alias("rep_ratio"),
+    )
