@@ -162,3 +162,52 @@ def test_dot_and_cosine(spark):
     assert r.d == pytest.approx(32.0)
     na, nb = math.sqrt(14), math.sqrt(77)
     assert r.c == pytest.approx(32.0 / (na * nb))
+
+
+def test_local_frame_values_plan(spark):
+    """local_frame: VALUES plan (no Python RDD scan), exact schema,
+    empty-input support."""
+    from value_at_risk_spark.sources.local import local_frame
+
+    df = local_frame(
+        spark,
+        [("a", 1, 1.5, [1.0, 2.0]), ("b", None, -0.0, [])],
+        "name string, n int, x double, vec array<double>",
+    )
+    assert df.schema.simpleString() == (
+        "struct<name:string,n:int,x:double,vec:array<double>>"
+    )
+    rows = {r.name: (r.n, r.x, r.vec) for r in df.collect()}
+    assert rows["a"] == (1, 1.5, [1.0, 2.0])
+    assert rows["b"][0] is None and rows["b"][2] == []
+    assert "ExistingRDD" not in df._jdf.queryExecution().executedPlan().toString()
+
+    empty = local_frame(spark, [], "a string, b long")
+    assert empty.count() == 0
+    assert empty.schema.simpleString() == "struct<a:string,b:bigint>"
+
+
+def test_chunk_tokens_edges(spark):
+    from value_at_risk_spark.functions.text import chunk_tokens
+
+    df = spark.createDataFrame(
+        [("short doc",), (" ".join(f"t{i}" for i in range(100)),)],
+        "text string",
+    )
+    out = df.select(F.explode(chunk_tokens("text", 64, 16)).alias("c")).select(
+        "c.chunk_id", "c.chunk"
+    ).collect()
+    by_doc = {}
+    for r in out:
+        by_doc.setdefault(r.chunk_id, []).append(r.chunk)
+    # short doc -> exactly one chunk, unchanged
+    assert "short doc" in by_doc[0]
+    # 100 tokens, stride 48 -> ceil((100-16)/48)=2 chunks; chunk 1 covers 49..100
+    chunks_100 = [c for cs in by_doc.values() for c in cs if c.startswith("t")]
+    assert len(chunks_100) == 2
+    assert chunks_100[1].split()[0] == "t48"
+
+    import pytest as _pt
+
+    with _pt.raises(ValueError):
+        chunk_tokens("text", 16, 16)
