@@ -100,3 +100,100 @@ def test_salted_agg_equals_plain(spark, sf_dir):
         .collect()
     }
     assert salted == plain
+
+
+def test_sessionize_stateful_timeout_matches_batch(spark, sf_dir, tmp_path):
+    """Arbitrary-stateful sessionization with EventTimeTimeout: after a
+    far-future flush batch advances the watermark, the emitted CLOSED
+    sessions equal the batch session_window result for every original
+    user — state eviction is watermark-driven, not size-driven."""
+    import shutil
+
+    from pyspark.sql import functions as F
+
+    from value_at_risk_spark.sources.registry import Registry
+    from value_at_risk_spark.streaming.stateful import sessionize_stateful
+
+    src = tmp_path / "landing"
+    src.mkdir()
+    ckpt = str(tmp_path / "ckpt")
+    out = str(tmp_path / "out")
+    shutil.copy(f"{sf_dir}/events.parquet", src / "batch1.parquet")
+
+    batch_events = Registry(sf_dir).read(spark, "events")
+    schema = spark.read.parquet(f"{sf_dir}/events.parquet").schema
+
+    # flush batch: one far-future event for a synthetic user, landed
+    # as a second file so its batch advances the watermark past every
+    # real session's close
+    flush_user = 10**9
+    far = batch_events.agg(
+        (F.max("ts").cast("long") + 10 * 86_400).alias("s")
+    ).first()[0]
+    # physical layout of the fixture under nanosAsLong: ts is a long
+    # of epoch NANOseconds — the streaming reader re-derives micros
+    flush2 = spark.createDataFrame(
+        [
+            (
+                10**12,
+                far * 1_000_000_000,
+                flush_user,
+                "flush",
+                0.0,
+                "{}",
+            )
+        ],
+        "event_id long, ts long, user_id long, event_type string, "
+        "value double, props string",
+    )
+
+    def run_once():
+        stream = spark.readStream.schema(schema).parquet(str(src))
+        if dict(stream.dtypes).get("ts") == "bigint":
+            stream = stream.withColumn(
+                "ts", F.timestamp_micros(F.expr("ts div 1000"))
+            )
+        sess = sessionize_stateful(
+            stream.withWatermark("ts", "0 seconds"), gap_seconds=1800
+        )
+        q = (
+            sess.writeStream.format("parquet")
+            .option("path", out)
+            .outputMode("append")
+            .option("checkpointLocation", ckpt)
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination(180)
+
+    run_once()
+    # second batch lands -> watermark jumps 10 days ahead -> every
+    # real session times out and is emitted
+    flush2.coalesce(1).write.mode("overwrite").parquet(str(tmp_path / "b2"))
+    import glob
+
+    part = glob.glob(str(tmp_path / "b2" / "part-*.parquet"))[0]
+    shutil.copy(part, src / "batch2.parquet")
+    run_once()
+
+    got = {
+        (r.user_id, r.sess_start_s, r.sess_end_s, r.n_events)
+        for r in spark.read.parquet(out).collect()
+        if r.user_id != flush_user
+    }
+    exp = {
+        (r.user_id, r.s, r.e, r.n)
+        for r in batch_events.groupBy(
+            F.session_window("ts", "30 minutes").alias("w"), "user_id"
+        )
+        .agg(F.count(F.lit(1)).alias("n"))
+        .select(
+            "user_id",
+            F.col("w.start").cast("long").alias("s"),
+            F.col("w.end").cast("long").alias("e"),
+            "n",
+        )
+        .collect()
+    }
+    assert got == exp
+    assert len(got) > 0

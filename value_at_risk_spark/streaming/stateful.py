@@ -45,3 +45,84 @@ def running_event_totals(events: DataFrame) -> DataFrame:
         outputMode="update",
         timeoutConf=GroupStateTimeout.NoTimeout,
     )
+
+
+def sessionize_stateful(
+    events: DataFrame, gap_seconds: int = 1800
+) -> DataFrame:
+    """Arbitrary-stateful sessionization with event-time TIMEOUT — the
+    applyInPandasWithState twin of the native session_window path
+    (streaming/windows.session_windows_stream), demonstrating the part
+    the native operator hides: explicit state (open session per user)
+    plus watermark-driven timeout eviction.
+
+    Per user: events extend the open session while within ``gap``
+    of its last event (end-inclusive, matching the native operator's
+    merge rule); a larger gap closes and emits the old session. The
+    still-open session is emitted (and its state cleared) when the
+    watermark passes ``last + gap`` — via ``GroupStateTimeout
+    .EventTimeTimeout``, so state size stays bounded by active users
+    within the watermark horizon. Callers must set ``withWatermark``
+    upstream.
+
+    Output rows are CLOSED sessions only (append-mode friendly):
+    (user_id, sess_start_s, sess_end_s, n_events), end = last + gap,
+    matching session_window's window.end.
+    """
+
+    def fn(
+        key: tuple, pdfs: Iterator[pd.DataFrame], state: GroupState
+    ) -> Iterator[pd.DataFrame]:
+        closed: list[tuple[int, int, int]] = []
+
+        gap_ms = gap_seconds * 1000
+
+        if state.hasTimedOut:
+            if state.exists:
+                start, last, n = state.get
+                closed.append((start, last, n))
+                state.remove()
+        else:
+            # millisecond event times: keeps the end-inclusive merge
+            # decision aligned with native session_window semantics
+            ts: list[int] = []
+            for pdf in pdfs:
+                ts.extend(
+                    int(v) for v in (pdf["ts"].astype("int64") // 1_000_000)
+                )
+            ts.sort()
+            if ts:
+                if state.exists:
+                    start, last, n = state.get
+                else:
+                    start, last, n = ts[0], ts[0] - gap_ms - 1, 0
+                for t in ts:
+                    if t - last <= gap_ms:
+                        last = max(last, t)
+                        n += 1
+                    else:
+                        if n > 0:
+                            closed.append((start, last, n))
+                        start, last, n = t, t, 1
+                state.update((start, last, n))
+                # evict once the watermark passes session close
+                state.setTimeoutTimestamp(last + gap_ms)
+
+        yield pd.DataFrame(
+            {
+                "user_id": [key[0]] * len(closed),
+                "sess_start_s": [c[0] // 1000 for c in closed],
+                "sess_end_s": [(c[1] + gap_ms) // 1000 for c in closed],
+                "n_events": [c[2] for c in closed],
+            }
+        )
+
+    return events.groupBy("user_id").applyInPandasWithState(
+        fn,
+        outputStructType=(
+            "user_id long, sess_start_s long, sess_end_s long, n_events long"
+        ),
+        stateStructType="start long, last long, n long",
+        outputMode="append",
+        timeoutConf=GroupStateTimeout.EventTimeTimeout,
+    )
