@@ -132,3 +132,37 @@ def test_stream_session_windows_match_batch(spark, sf_dir):
     }
     assert got == exp
     assert len(got) > 0
+
+
+def test_stream_sliding_window_matches_batch(spark, sf_dir):
+    from value_at_risk_spark.streaming.windows import sliding_event_aggregates
+
+    stream = read_events_stream(spark, sf_dir)
+    agg = sliding_event_aggregates(stream)
+    got = {
+        (str(r.win_start), str(r.win_end), r.event_type): (r.n_events, r.avg_value)
+        for r in run_available_now(agg, "sliding_events_test").collect()
+    }
+
+    batch = (
+        Registry(sf_dir)
+        .read(spark, "events")
+        .groupBy(F.window("ts", "7 days", "1 day").alias("w"), "event_type")
+        .agg(
+            F.count(F.lit(1)).alias("n_events"),
+            F.round(F.avg("value"), 6).alias("avg_value"),
+        )
+        .select(
+            F.col("w.start").cast("date").alias("win_start"),
+            F.col("w.end").cast("date").alias("win_end"),
+            "event_type",
+            "n_events",
+            "avg_value",
+        )
+    )
+    exp = {
+        (str(r.win_start), str(r.win_end), r.event_type): (r.n_events, r.avg_value)
+        for r in batch.collect()
+    }
+    assert got == exp
+    assert len(got) > 0

@@ -130,3 +130,33 @@ def session_windows_stream(
             "n_events",
         )
     )
+
+
+def sliding_event_aggregates(
+    events: DataFrame,
+    window: str = "7 days",
+    slide: str = "1 day",
+    watermark: str = "2 days",
+) -> DataFrame:
+    """Watermarked SLIDING event-time aggregate per event type — the
+    streaming form SURVEY §2.9 sketches for the trailing-window
+    volatility (W1: every day sees stats over its trailing window).
+    One state row per (window, key); window/slide are independent, so
+    each event updates window/slide overlapping state rows — state is
+    bounded by (watermark + window) / slide windows per key.
+    """
+    return (
+        events.withWatermark("ts", watermark)
+        .groupBy(F.window("ts", window, slide).alias("w"), "event_type")
+        .agg(
+            F.count(F.lit(1)).alias("n_events"),
+            F.round(F.avg("value"), 6).alias("avg_value"),
+        )
+        .select(
+            F.col("w.start").cast("date").alias("win_start"),
+            F.col("w.end").cast("date").alias("win_end"),
+            "event_type",
+            "n_events",
+            "avg_value",
+        )
+    )
