@@ -108,3 +108,39 @@ def test_cosine_pairs_norms_precomputed(spark, sf_dir):
     p = buf.getvalue()
     join_line = [ln for ln in p.splitlines() if "BroadcastNestedLoopJoin" in ln][0]
     assert join_line.count("aggregate(") == 1, join_line
+
+
+def test_bucketed_join_has_no_shuffle(spark, sf_dir, tmp_path):
+    """Fact-fact join on the bucket key over two bucketed tables plans
+    with NO shuffle exchange on either side — the persistent layout
+    for recurring co-located joins at scale."""
+    from value_at_risk_spark.sources.registry import Registry, write_bucketed
+
+    reg = Registry(sf_dir)
+    orders = reg.read(spark, "orders").select("o_orderkey", "o_totalprice")
+    lineitem = reg.read(spark, "lineitem").select(
+        "l_orderkey", "l_extendedprice"
+    )
+    # spark.sql.warehouse.dir is static config — tables land in the
+    # session default warehouse; the finally-block DROPs remove them
+    write_bucketed(orders, "b_orders", ["o_orderkey"], 8, ["o_orderkey"])
+    write_bucketed(lineitem, "b_lineitem", ["l_orderkey"], 8, ["l_orderkey"])
+    try:
+        a = spark.table("b_orders")
+        b = spark.table("b_lineitem")
+        # disable broadcast so the co-located plan is what's tested
+        spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+        joined = a.join(b, a.o_orderkey == b.l_orderkey)
+        plan = joined._jdf.queryExecution().executedPlan().toString()
+        assert "Exchange" not in plan, plan
+        n = joined.count()
+        exp = orders.join(
+            lineitem, orders.o_orderkey == lineitem.l_orderkey
+        ).count()
+        assert n == exp and n > 0
+    finally:
+        spark.conf.set(
+            "spark.sql.autoBroadcastJoinThreshold", str(64 * 1024 * 1024)
+        )
+        spark.sql("DROP TABLE IF EXISTS b_orders")
+        spark.sql("DROP TABLE IF EXISTS b_lineitem")

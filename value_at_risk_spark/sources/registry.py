@@ -147,3 +147,31 @@ def write_csv(df: DataFrame, path: str, mode: str = "overwrite") -> None:
 
 def write_json(df: DataFrame, path: str, mode: str = "overwrite") -> None:
     df.write.mode(mode).json(path)
+
+
+def write_bucketed(
+    df: DataFrame,
+    table_name: str,
+    bucket_cols: list[str],
+    num_buckets: int = 16,
+    sort_cols: list[str] | None = None,
+    mode: str = "overwrite",
+) -> None:
+    """Bucketed managed-table sink (S5/S6 at cluster scale).
+
+    Hash-bucketing both sides of a recurring fact-fact join on the join
+    key lets Spark plan the join with NO shuffle exchange on either
+    side (bucket metadata satisfies the distribution requirement) —
+    the persistent-layout answer where `repartition` only helps within
+    one job. ``sortBy`` within buckets additionally removes the
+    sort-merge join's sort. Uses the session catalog (in-memory or
+    Hive); read back with ``spark.table(table_name)``.
+    """
+    writer = (
+        df.write.mode(mode)
+        .format("parquet")
+        .bucketBy(num_buckets, *bucket_cols)
+    )
+    if sort_cols:
+        writer = writer.sortBy(*sort_cols)
+    writer.saveAsTable(table_name)
