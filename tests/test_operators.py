@@ -489,3 +489,29 @@ def test_ivf_trained_recall_beats_floor(spark, sf_dir):
     }
     recall = len(approx & exact) / len(exact)
     assert recall >= 0.5, recall
+
+
+def test_connected_components_chain_and_clique(spark):
+    """Min-label propagation: a 5-node chain (diameter > 1 round),
+    a triangle, and an isolated edge each collapse to min-id."""
+    from value_at_risk_spark.operators.dedup import connected_components
+
+    edges = spark.createDataFrame(
+        [
+            # chain 10-11-12-13-14 (propagation takes several rounds)
+            (11, 10), (11, 12), (13, 12), (14, 13),
+            # triangle 20-21-22
+            (20, 21), (21, 22), (20, 22),
+            # pair
+            (30, 31),
+        ],
+        "src long, dst long",
+    )
+    got = {
+        r.node: r.component for r in connected_components(edges).collect()
+    }
+    assert got == {
+        10: 10, 11: 10, 12: 10, 13: 10, 14: 10,
+        20: 20, 21: 20, 22: 20,
+        30: 30, 31: 30,
+    }

@@ -203,3 +203,59 @@ def simhash(
         bit = F.when(F.col(f"_v{b}") > 0, F.lit(_mask(b))).otherwise(F.lit(0))
         fp = bit if fp is None else fp.bitwiseOR(bit)
     return votes.select(id_col, fp.cast("long").alias("simhash"))
+
+
+def connected_components(
+    edges: DataFrame,
+    src: str = "src",
+    dst: str = "dst",
+    max_iter: int = 20,
+) -> DataFrame:
+    """Connected components by iterative min-label propagation —
+    (node, component) where component = the smallest node id reachable.
+
+    The cluster step real dedup needs above candidate PAIRS: verified
+    near-dup pairs form a graph whose components are the duplicate
+    groups (keep min-id per component). Each iteration joins current
+    labels across edges (both directions), takes the min over the
+    neighborhood, and stops when no label changed — O(diameter)
+    rounds, each a pair of shuffles on node id; ``localCheckpoint``
+    every iteration truncates lineage so plans don't grow with rounds.
+    Duplicate-document graphs have tiny diameters (near-cliques), so
+    this converges in 2-3 rounds in practice.
+    """
+    sym = edges.select(
+        F.col(src).alias("a"), F.col(dst).alias("b")
+    ).union(edges.select(F.col(dst).alias("a"), F.col(src).alias("b")))
+    labels = (
+        sym.select(F.col("a").alias("node"))
+        .distinct()
+        .withColumn("component", F.col("node"))
+    )
+    for _ in range(max_iter):
+        neighbor_min = (
+            sym.join(labels, sym.b == labels.node)
+            .groupBy(F.col("a").alias("node"))
+            .agg(F.min("component").alias("_nbr"))
+        )
+        new_labels = (
+            labels.join(neighbor_min, "node", "left")
+            .select(
+                "node",
+                F.least(
+                    F.col("component"), F.coalesce("_nbr", F.col("component"))
+                ).alias("component"),
+            )
+            .localCheckpoint(eager=True)
+        )
+        changed = (
+            new_labels.alias("n")
+            .join(labels.alias("o"), "node")
+            .filter(F.col("n.component") != F.col("o.component"))
+            .limit(1)
+            .count()
+        )
+        labels = new_labels
+        if changed == 0:
+            break
+    return labels

@@ -2760,3 +2760,69 @@ def repetition_scores(spark: SparkSession, sf_dir: str) -> DataFrame:
         n.cast("long").alias("n_shingles"),
         (F.round(F.lit(1.0) - nd / n, 6) + F.lit(0.0)).alias("rep_ratio"),
     )
+
+
+@query(
+    "dedup_clusters",
+    """
+WITH RECURSIVE docs AS (
+  SELECT doc_id, list_filter(string_split(lower(text),' '), x -> x <> '') AS ts
+  FROM documents
+),
+sh AS (
+  SELECT DISTINCT doc_id, ts[i] || ' ' || ts[i+1] || ' ' || ts[i+2] AS s
+  FROM docs, UNNEST(range(1, len(ts) - 1)) AS t(i)
+  WHERE len(ts) >= 3
+),
+cnt AS (SELECT doc_id, COUNT(*) AS n FROM sh GROUP BY 1),
+inter AS (
+  SELECT a.doc_id AS id_a, b.doc_id AS id_b, COUNT(*) AS ni
+  FROM sh a JOIN sh b ON a.s = b.s AND b.doc_id > a.doc_id
+  GROUP BY 1, 2
+),
+pairs AS (
+  SELECT id_a, id_b
+  FROM inter
+  JOIN cnt ca ON ca.doc_id = id_a
+  JOIN cnt cb ON cb.doc_id = id_b
+  WHERE ni * 1.0 / (ca.n + cb.n - ni) >= 0.8
+),
+edges AS (
+  SELECT id_a AS a, id_b AS b FROM pairs
+  UNION ALL
+  SELECT id_b, id_a FROM pairs
+),
+reach(node, r) AS (
+  SELECT DISTINCT a, a FROM edges
+  UNION
+  SELECT e.a, reach.r FROM edges e JOIN reach ON reach.node = e.b
+)
+SELECT node AS doc_id, MIN(r) AS component
+FROM reach GROUP BY node
+""",
+)
+def dedup_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Duplicate CLUSTERS, not just pairs: verified near-dup pairs
+    (3-gram Jaccard ≥ 0.8 on LSH candidates — recall pinned by
+    lsh_recall_high_jaccard) become a graph; iterative min-label
+    propagation (operators/dedup.connected_components) finds each
+    node's component = smallest reachable doc_id. The DuckDB twin
+    computes the same components by recursive transitive closure —
+    an exact oracle for an ITERATIVE distributed algorithm."""
+    from value_at_risk_spark.functions.text import shingles
+    from value_at_risk_spark.operators.dedup import connected_components
+
+    d = _t(spark, sf_dir, "documents")
+    sigs = minhash_signatures(d, num_hashes=32, shingle_n=3)
+    pairs = minhash_lsh_pairs(sigs, num_bands=16, num_hashes=32)
+    sh = d.select("doc_id", F.array_distinct(shingles("text", 3)).alias("sh"))
+    a = sh.select(F.col("doc_id").alias("id_a"), F.col("sh").alias("sh_a"))
+    b = sh.select(F.col("doc_id").alias("id_b"), F.col("sh").alias("sh_b"))
+    cand = pairs.join(a, "id_a").join(b, "id_b")
+    verified = jaccard_similarity(
+        cand, "sh_a", "sh_b", out_col="jacc", tokenize=False
+    ).filter(F.col("jacc") >= 0.8)
+    cc = connected_components(
+        verified.select("id_a", "id_b"), src="id_a", dst="id_b"
+    )
+    return cc.select(F.col("node").alias("doc_id"), "component")
