@@ -197,3 +197,62 @@ def test_sessionize_stateful_timeout_matches_batch(spark, sf_dir, tmp_path):
     }
     assert got == exp
     assert len(got) > 0
+
+
+def test_streaming_basel_backtest_matches_batch(spark, sf_dir, tmp_path):
+    """Incremental Basel backtest replay == the batch range-window
+    computation, breach-for-breach and zone-for-zone."""
+    from pyspark.sql import functions as F
+    from pyspark.sql.window import Window
+
+    from value_at_risk_spark.queries import daily_returns
+    from value_at_risk_spark.streaming.stateful import streaming_basel_backtest
+
+    rets = daily_returns(spark, sf_dir)
+    pnl = rets.select(
+        "series",
+        "d",
+        F.col("ret").alias("return"),
+        F.when(F.col("series") == "1-URGENT", -0.02)
+        .otherwise(-0.005)
+        .alias("var_99"),
+    )
+    src = str(tmp_path / "pnl")
+    pnl.coalesce(1).write.parquet(src)
+
+    stream = spark.readStream.schema(pnl.schema).parquet(src)
+    bt = streaming_basel_backtest(stream, basel_days=250)
+    q = (
+        bt.writeStream.format("memory")
+        .queryName("stream_basel")
+        .outputMode("append")
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(180)
+    got = {
+        (r.series, r.day_num): (r.breaches, r.basel_zone)
+        for r in spark.table("stream_basel").collect()
+    }
+
+    w = (
+        Window.partitionBy("series")
+        .orderBy(F.unix_date(F.col("d").cast("date")))
+        .rangeBetween(-250, 0)
+    )
+    batch = pnl.select(
+        "series",
+        F.unix_date(F.col("d").cast("date")).alias("day_num"),
+        F.sum(
+            F.when(F.col("return") <= F.col("var_99"), 1).otherwise(0)
+        ).over(w).alias("breaches"),
+    )
+    exp = {
+        (r.series, r.day_num): (
+            r.breaches,
+            0 if r.breaches <= 3 else (1 if r.breaches < 10 else 2),
+        )
+        for r in batch.collect()
+    }
+    assert got == exp
+    assert len(got) > 1000

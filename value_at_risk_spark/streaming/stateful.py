@@ -16,6 +16,7 @@ from collections.abc import Iterator
 
 import pandas as pd
 from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
 from pyspark.sql.streaming.state import GroupState, GroupStateTimeout
 
 
@@ -125,4 +126,79 @@ def sessionize_stateful(
         stateStructType="start long, last long, n long",
         outputMode="append",
         timeoutConf=GroupStateTimeout.EventTimeTimeout,
+    )
+
+
+def streaming_basel_backtest(
+    pnl: DataFrame, basel_days: int = 250
+) -> DataFrame:
+    """Incremental Basel compliance — the streaming twin of
+    plans.var_pipeline.backtest, realizing the incremental operation
+    the reference only anticipates (application.yaml:2-3,
+    01_var_market_etl.py:159 "each insert ... joined with last X
+    days").
+
+    Input stream: (series, d: date, return, var_99) daily portfolio
+    P&L rows with their VaR threshold. Per series, state holds only
+    the trailing ``basel_days`` window as parallel (day, is_breach)
+    arrays — new days append, days older than the horizon evict, and
+    each incoming day emits (series, d, breaches, basel_zone) with
+    EXACTLY the batch semantics: breaches = count of trailing returns
+    <= var_99 within [d - basel_days, d], zone via the reference's
+    code-normative bounds (<=3 green, <10 yellow; utils/var_udf.py:
+    22-30). State per key = one int+bool pair per trailing day —
+    bounded, independent of stream length.
+
+    Rows must arrive in event-time order per series across batches
+    (one file/day in practice); within a batch any order is fine.
+    """
+
+    def fn(
+        key: tuple, pdfs: Iterator[pd.DataFrame], state: GroupState
+    ) -> Iterator[pd.DataFrame]:
+        if state.exists:
+            days, flags = ([*state.get[0]], [*state.get[1]])
+        else:
+            days, flags = [], []
+
+        rows = []
+        batch = []
+        for pdf in pdfs:
+            for d, r, v in zip(pdf["_day"], pdf["return"], pdf["var_99"]):
+                batch.append((int(d), float(r), float(v)))
+        batch.sort()
+        for d, r, v in batch:
+            days.append(d)
+            flags.append(r <= v)
+            while days and days[0] < d - basel_days:
+                days.pop(0)
+                flags.pop(0)
+            breaches = sum(flags)
+            zone = 0 if breaches <= 3 else (1 if breaches < 10 else 2)
+            rows.append((key[0], d, breaches, zone))
+
+        state.update((days, flags))
+        yield pd.DataFrame(
+            {
+                "series": [r[0] for r in rows],
+                "day_num": [r[1] for r in rows],
+                "breaches": [r[2] for r in rows],
+                "basel_zone": [r[3] for r in rows],
+            }
+        )
+
+    prepared = pnl.select(
+        "series",
+        F.unix_date(F.col("d").cast("date")).alias("_day"),
+        "return",
+        "var_99",
+    )
+    return prepared.groupBy("series").applyInPandasWithState(
+        fn,
+        outputStructType=(
+            "series string, day_num long, breaches long, basel_zone int"
+        ),
+        stateStructType="days array<long>, flags array<boolean>",
+        outputMode="append",
+        timeoutConf=GroupStateTimeout.NoTimeout,
     )
