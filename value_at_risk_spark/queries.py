@@ -2826,3 +2826,36 @@ def dedup_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
         verified.select("id_a", "id_b"), src="id_a", dst="id_b"
     )
     return cc.select(F.col("node").alias("doc_id"), "component")
+
+
+@query("streaming_basel_demo")
+def streaming_basel_demo(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Incremental Basel compliance at the gate (rows-only by
+    contract): the fixture-derived daily P&L series replayed through
+    streaming_basel_backtest (trailing-250-day state per series,
+    applyInPandasWithState) via an availableNow bounded run. Batch
+    parity is pytest-asserted breach-for-breach."""
+    import tempfile
+
+    from value_at_risk_spark.streaming.stateful import streaming_basel_backtest
+
+    rets = daily_returns(spark, sf_dir)
+    pnl = rets.select(
+        "series",
+        "d",
+        F.col("ret").alias("return"),
+        F.lit(-0.005).alias("var_99"),
+    )
+    src = tempfile.mkdtemp(prefix="pnl_stream_")
+    pnl.coalesce(1).write.mode("overwrite").parquet(src)
+    stream = spark.readStream.schema(pnl.schema).parquet(src)
+    bt = streaming_basel_backtest(stream, basel_days=250)
+    q = (
+        bt.writeStream.format("memory")
+        .queryName("gate_streaming_basel")
+        .outputMode("append")
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(180)
+    return spark.table("gate_streaming_basel")
