@@ -2858,4 +2858,8 @@ def streaming_basel_demo(spark: SparkSession, sf_dir: str) -> DataFrame:
         .start()
     )
     q.awaitTermination(180)
+    # the memory sink has materialized the result; the staging dir can go
+    import shutil
+
+    shutil.rmtree(src, ignore_errors=True)
     return spark.table("gate_streaming_basel")
