@@ -2863,3 +2863,42 @@ def streaming_basel_demo(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     shutil.rmtree(src, ignore_errors=True)
     return spark.table("gate_streaming_basel")
+
+
+@query(
+    "promo_revenue_share",
+    """
+SELECT CAST(date_trunc('month', l_shipdate) AS DATE) AS month,
+       ROUND(SUM(CASE WHEN p_type = 'PROMO'
+                      THEN l_extendedprice * (1 - l_discount) ELSE 0 END), 4)
+         AS promo_revenue,
+       ROUND(SUM(l_extendedprice * (1 - l_discount)), 4) AS total_revenue,
+       ROUND(SUM(CASE WHEN p_type = 'PROMO'
+                      THEN l_extendedprice * (1 - l_discount) ELSE 0 END)
+             / SUM(l_extendedprice * (1 - l_discount)), 6) + 0 AS promo_share
+FROM lineitem JOIN part ON l_partkey = p_partkey
+GROUP BY 1
+""",
+)
+def promo_revenue_share(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q14 shape over the part dimension (the one fixture table
+    the other queries don't touch): monthly promo-type revenue share —
+    part broadcasts into the lineitem fact, conditional aggregation,
+    revenue on the exact 4dp product grid, share ratio rounded 6."""
+    l = _t(spark, sf_dir, "lineitem")
+    p = _t(spark, sf_dir, "part")
+    rev = F.col("l_extendedprice") * (1 - F.col("l_discount"))
+    promo = F.when(F.col("p_type") == "PROMO", rev).otherwise(F.lit(0.0))
+    return (
+        l.join(F.broadcast(p), l.l_partkey == p.p_partkey)
+        .groupBy(
+            F.date_trunc("month", "l_shipdate").cast("date").alias("month")
+        )
+        .agg(
+            F.round(F.sum(promo), 4).alias("promo_revenue"),
+            F.round(F.sum(rev), 4).alias("total_revenue"),
+            (F.round(F.sum(promo) / F.sum(rev), 6) + F.lit(0.0)).alias(
+                "promo_share"
+            ),
+        )
+    )
