@@ -50,6 +50,9 @@ BENCH_QUERIES = [
     # covariance over the embeddings table (dim^2 payload, row-count-
     # independent shuffle)
     "embedding_covariance",
+    # end-to-end training-data prep: dedup -> quality filter -> chunk
+    # over the bench SF's documents table
+    "training_data_prep",
 ]
 
 RUNS_PER_QUERY = 3

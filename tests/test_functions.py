@@ -211,3 +211,41 @@ def test_chunk_tokens_edges(spark):
 
     with _pt.raises(ValueError):
         chunk_tokens("text", 16, 16)
+
+
+def test_chunk_tokens_reconstruction_property(spark):
+    """Property (hypothesis): de-overlapped chunks reconstruct the
+    exact token sequence — chunk 0 plus each later chunk minus its
+    16-token overlap prefix."""
+    from hypothesis import HealthCheck, given, settings
+    from hypothesis import strategies as st
+
+    from value_at_risk_spark.functions.text import chunk_tokens
+
+    words = st.lists(
+        st.sampled_from([f"w{i}" for i in range(40)]), min_size=1, max_size=200
+    )
+
+    @settings(
+        max_examples=10,
+        deadline=None,
+        suppress_health_check=[HealthCheck.too_slow],
+    )
+    @given(toks=words)
+    def check(toks):
+        text = " ".join(toks)
+        df = spark.createDataFrame([(text,)], "text string")
+        chunks = [
+            r.c.chunk
+            for r in df.select(
+                F.explode(chunk_tokens("text", 64, 16)).alias("c")
+            )
+            .orderBy("c.chunk_id")
+            .collect()
+        ]
+        rebuilt = chunks[0].split(" ") if chunks else []
+        for ch in chunks[1:]:
+            rebuilt += ch.split(" ")[16:]
+        assert rebuilt == toks, (toks, chunks)
+
+    check()
