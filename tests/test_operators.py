@@ -515,3 +515,42 @@ def test_connected_components_chain_and_clique(spark):
         20: 20, 21: 20, 22: 20,
         30: 30, 31: 30,
     }
+
+
+def test_parse_media_headers_real_binaries(spark):
+    """Genuine WAV and BMP files (stdlib-synthesized, valid per spec)
+    round-trip through the binary column and parse to exact metadata."""
+    import struct
+
+    from value_at_risk_spark.operators.multimodal import parse_media_headers
+
+    def wav_bytes(rate, n_samples, channels=1, bits=16):
+        block = channels * bits // 8
+        data = b"\x00" * (n_samples * block)
+        fmt = struct.pack(
+            "<HHIIHH", 1, channels, rate, rate * block, block, bits
+        )
+        body = b"WAVE" + b"fmt " + struct.pack("<I", len(fmt)) + fmt
+        body += b"data" + struct.pack("<I", len(data)) + data
+        return b"RIFF" + struct.pack("<I", len(body)) + body
+
+    def bmp_bytes(w, h):
+        row = (w * 3 + 3) & ~3
+        data = b"\x00" * (row * h)
+        info = struct.pack("<IiiHHIIiiII", 40, w, h, 1, 24, 0, len(data), 2835, 2835, 0, 0)
+        off = 14 + 40
+        hdr = b"BM" + struct.pack("<IHHI", off + len(data), 0, 0, off)
+        return hdr + info + data
+
+    rows = [
+        (1, bytearray(wav_bytes(16_000, 16_000, channels=2))),  # 1s stereo
+        (2, bytearray(wav_bytes(44_100, 22_050))),  # 0.5s mono
+        (3, bytearray(bmp_bytes(64, 48))),
+        (4, bytearray(b"not a media file")),
+    ]
+    media = spark.createDataFrame(rows, "media_id long, payload_bytes binary")
+    got = {r.media_id: r for r in parse_media_headers(media).collect()}
+    assert (got[1].format, got[1].sample_rate_hz, got[1].channels, got[1].duration_ms) == ("wav", 16_000, 2, 1000)
+    assert (got[2].format, got[2].sample_rate_hz, got[2].channels, got[2].duration_ms) == ("wav", 44_100, 1, 500)
+    assert (got[3].format, got[3].width, got[3].height) == ("bmp", 64, 48)
+    assert got[4].format == "unknown"
