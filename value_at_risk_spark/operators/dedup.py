@@ -216,13 +216,16 @@ def connected_components(
 
     The cluster step real dedup needs above candidate PAIRS: verified
     near-dup pairs form a graph whose components are the duplicate
-    groups (keep min-id per component). Each iteration joins current
-    labels across edges (both directions), takes the min over the
-    neighborhood, and stops when no label changed — O(diameter)
-    rounds, each a pair of shuffles on node id; ``localCheckpoint``
-    every iteration truncates lineage so plans don't grow with rounds.
-    Duplicate-document graphs have tiny diameters (near-cliques), so
-    this converges in 2-3 rounds in practice.
+    groups (keep min-id per component). Each round does (a) a
+    neighborhood-min step — labels propagate one hop across edges —
+    and (b) a POINTER-JUMPING step — each node also adopts its current
+    label's label (``component[component]``), which halves label-chain
+    lengths — so convergence is O(log diameter) rounds, not
+    O(diameter): a 1000-node path converges in ~10 rounds where plain
+    propagation needs ~1000 (caught by the stress test). Each round is
+    three hash-shuffles on node id; ``localCheckpoint`` truncates
+    lineage so plans don't grow with rounds. Raises if ``max_iter``
+    rounds don't converge (never silently returns partial clusters).
     """
     sym = edges.select(
         F.col(src).alias("a"), F.col(dst).alias("b")
@@ -238,12 +241,22 @@ def connected_components(
             .groupBy(F.col("a").alias("node"))
             .agg(F.min("component").alias("_nbr"))
         )
+        stepped = labels.join(neighbor_min, "node", "left").select(
+            "node",
+            F.least(
+                F.col("component"), F.coalesce("_nbr", F.col("component"))
+            ).alias("component"),
+        )
+        # pointer jumping: component <- component's own component
+        parent = stepped.select(
+            F.col("node").alias("_p"), F.col("component").alias("_pc")
+        )
         new_labels = (
-            labels.join(neighbor_min, "node", "left")
+            stepped.join(parent, stepped.component == parent._p, "left")
             .select(
                 "node",
                 F.least(
-                    F.col("component"), F.coalesce("_nbr", F.col("component"))
+                    F.col("component"), F.coalesce("_pc", F.col("component"))
                 ).alias("component"),
             )
             .localCheckpoint(eager=True)
@@ -257,5 +270,8 @@ def connected_components(
         )
         labels = new_labels
         if changed == 0:
-            break
-    return labels
+            return labels
+    raise RuntimeError(
+        f"connected_components: not converged after {max_iter} rounds — "
+        "raise max_iter (graph diameter exceeds 2^max_iter)"
+    )
