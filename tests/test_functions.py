@@ -249,3 +249,17 @@ def test_chunk_tokens_reconstruction_property(spark):
         assert rebuilt == toks, (toks, chunks)
 
     check()
+
+
+def test_histogram_degenerate_group(spark):
+    """A group whose values are all equal (span 0) must not raise
+    DIVIDE_BY_ZERO under ANSI: everything lands in bin 0, density NULL."""
+    from value_at_risk_spark.viz import histogram_frame
+
+    df = spark.createDataFrame(
+        [("g", 5.0)] * 4 + [("h", 1.0), ("h", 2.0)], "k string, v double"
+    )
+    out = {(r.k, r.bin): (r.n, r.density) for r in histogram_frame(df, "v", by=["k"], bins=4).collect()}
+    assert out[("g", 0)][0] == 4 and out[("g", 0)][1] is None
+    assert out[("h", 0)][0] == 1 and out[("h", 0)][1] is not None
+    assert out[("h", 3)][0] == 1  # max value clamps into the last bin

@@ -84,11 +84,18 @@ def histogram_frame(
             F.count(F.lit(1)).alias("_n"),
         )
         joined = df.crossJoin(F.broadcast(bounds))
-    w = (F.col("_hi") - F.col("_lo")) / F.lit(float(bins))
-    bin_id = F.least(
-        F.floor((F.col(value_col) - F.col("_lo")) / w).cast("long"),
-        F.lit(bins - 1),
-    )
+    # degenerate group (all values equal): span = 0 would raise
+    # DIVIDE_BY_ZERO under ANSI — everything lands in bin 0 with an
+    # undefined (NULL) density instead
+    span = F.col("_hi") - F.col("_lo")
+    w = span / F.lit(float(bins))
+    bin_id = F.when(
+        span > 0,
+        F.least(
+            F.floor((F.col(value_col) - F.col("_lo")) / w).cast("long"),
+            F.lit(bins - 1),
+        ),
+    ).otherwise(F.lit(0))
     return (
         joined.groupBy(*keys, bin_id.alias("bin"), F.col("_lo"), F.col("_hi"), F.col("_n"))
         .agg(F.count(F.lit(1)).alias("n"))
@@ -97,9 +104,10 @@ def histogram_frame(
             "bin",
             (F.col("_lo") + F.col("bin") * (F.col("_hi") - F.col("_lo")) / F.lit(float(bins))).alias("bin_lo"),
             "n",
-            (
+            F.when(
+                F.col("_hi") > F.col("_lo"),
                 F.col("n")
-                / (F.col("_n") * (F.col("_hi") - F.col("_lo")) / F.lit(float(bins)))
+                / (F.col("_n") * (F.col("_hi") - F.col("_lo")) / F.lit(float(bins))),
             ).alias("density"),
         )
     )
