@@ -554,3 +554,29 @@ def test_parse_media_headers_real_binaries(spark):
     assert (got[2].format, got[2].sample_rate_hz, got[2].channels, got[2].duration_ms) == ("wav", 44_100, 1, 500)
     assert (got[3].format, got[3].width, got[3].height) == ("bmp", 64, 48)
     assert got[4].format == "unknown"
+
+
+def test_cosine_zero_vector_is_null_not_error(spark):
+    """A zero vector has no direction: cosine NULL (ranked last /
+    filtered out), never an ANSI DIVIDE_BY_ZERO error."""
+    from value_at_risk_spark.operators.similarity import (
+        cosine_near_dup_pairs,
+        cosine_topk,
+    )
+
+    corpus = spark.createDataFrame(
+        [(1, [1.0, 0.0]), (2, [0.0, 0.0]), (3, [0.5, 0.5])],
+        "neighbor_id long, embedding array<double>",
+    )
+    q = spark.createDataFrame(
+        [(0, [1.0, 1.0])], "query_id long, embedding array<double>"
+    )
+    rows = cosine_topk(q, corpus, k=3).orderBy("rank").collect()
+    assert [r.neighbor_id for r in rows] == [3, 1, 2]
+    assert rows[-1].cosine is None
+
+    pairs = cosine_near_dup_pairs(
+        corpus.withColumnRenamed("neighbor_id", "vec_id"), threshold=0.1
+    ).collect()
+    assert all(r.cosine is not None for r in pairs)
+    assert {(r.id_a, r.id_b) for r in pairs} == {(1, 3)}

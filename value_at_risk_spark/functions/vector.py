@@ -68,7 +68,12 @@ def vector_norm(a: Column | str, dim: int | None = None) -> Column:
 def cosine_similarity(
     a: Column | str, b: Column | str, dim: int | None = None
 ) -> Column:
-    """dot(a,b) / (‖a‖·‖b‖); the similarity-search kernel."""
-    return dot_product(a, b, dim=dim) / (
-        vector_norm(a, dim=dim) * vector_norm(b, dim=dim)
+    """dot(a,b) / (‖a‖·‖b‖); the similarity-search kernel.
+
+    ``try_divide``: a zero vector has no direction — its cosine is
+    NULL (which sorts last in rankings and fails threshold filters)
+    rather than an ANSI DIVIDE_BY_ZERO error."""
+    return F.try_divide(
+        dot_product(a, b, dim=dim),
+        vector_norm(a, dim=dim) * vector_norm(b, dim=dim),
     )

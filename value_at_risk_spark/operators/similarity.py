@@ -57,7 +57,9 @@ def cosine_topk(
         F.col(vec_col).alias("_cv"),
         vector_norm(vec_col, dim=dim).alias("_cn"),
     )
-    sim = dot_product("_qv", "_cv", dim=dim) / (F.col("_qn") * F.col("_cn"))
+    sim = F.try_divide(
+        dot_product("_qv", "_cv", dim=dim), F.col("_qn") * F.col("_cn")
+    )
     if round_to is not None:
         # + 0.0 collapses IEEE negative zero after rounding (oracle parity)
         sim = F.round(sim, round_to) + F.lit(0.0)
@@ -184,7 +186,9 @@ def cosine_near_dup_pairs(
         F.col(vec_col).alias("_vb"),
         vector_norm(vec_col, dim=dim).alias("_nb"),
     )
-    sim = dot_product("_va", "_vb", dim=dim) / (F.col("_na") * F.col("_nb"))
+    sim = F.try_divide(
+        dot_product("_va", "_vb", dim=dim), F.col("_na") * F.col("_nb")
+    )
     if round_to is not None:
         sim_out = F.round(sim, round_to) + F.lit(0.0)
     else:
@@ -317,7 +321,7 @@ def ivf_topk(
         F.explode(F.transform(probes, lambda s: s["cell"])).alias("_cell"),
     )
 
-    sim = dot_product("_qv", "_cv") / (F.col("_qn") * F.col("_cn"))
+    sim = F.try_divide(dot_product("_qv", "_cv"), F.col("_qn") * F.col("_cn"))
     scored = (
         corp.join(F.broadcast(q), "_cell")
         .filter(F.col(query_id) != F.col(corpus_id))
