@@ -181,14 +181,15 @@ def embedding_covariance(
     ).select(
         (F.col("_idx") / d).cast("long").alias("i"),
         (F.col("_idx") % d).cast("long").alias("j"),
-        (
-            (
-                F.col("_sxy")
-                - F.element_at("s", (F.col("_idx") / d).cast("int") + 1)
-                * F.element_at("s", (F.col("_idx") % d).cast("int") + 1)
-                / F.col("n")
-            )
-            / (F.col("n") - F.lit(ddof))
+        # try_divide: n <= ddof (e.g. a single row with sample ddof=1)
+        # leaves the covariance statistically undefined -> NULL, not an
+        # ANSI DIVIDE_BY_ZERO error
+        F.try_divide(
+            F.col("_sxy")
+            - F.element_at("s", (F.col("_idx") / d).cast("int") + 1)
+            * F.element_at("s", (F.col("_idx") % d).cast("int") + 1)
+            / F.col("n"),
+            F.col("n") - F.lit(ddof),
         ).alias("cov"),
     )
     return flat
