@@ -47,4 +47,8 @@ def log_returns_over(
     else:
         w = Window.orderBy(order_by)
     prev = F.coalesce(F.lag(value_col, 1).over(w), F.col(value_col))
-    return F.log(F.col(value_col) / prev)
+    # try_divide: a zero previous price (possible at a GBM floor, or in
+    # dirty market data) yields a NULL return instead of an ANSI
+    # DIVIDE_BY_ZERO error; F.log of a non-positive ratio is NULL too,
+    # so zero/negative *current* prices degrade the same way
+    return F.log(F.try_divide(F.col(value_col), prev))
