@@ -21,8 +21,8 @@ sort — same cost as a sort-merge join, no Python boundary, no
 per-group pandas materialization. With no partition keys the window
 degenerates to a single task (the reference accepts the same trade-off
 for its ~500-row series — SURVEY §4); for large unkeyed as-of joins use
-``key_hint`` to salt by a coarse time bucket with boundary carry-over,
-or supply partition keys.
+``asof_join_bucketed`` below (coarse time buckets with boundary
+carry-in), or supply partition keys.
 
 DuckDB oracle twin: ``ASOF JOIN ... ON l.k = r.k AND l.ts >= r.ts``.
 """
