@@ -263,3 +263,56 @@ def test_histogram_degenerate_group(spark):
     assert out[("g", 0)][0] == 4 and out[("g", 0)][1] is None
     assert out[("h", 0)][0] == 1 and out[("h", 0)][1] is not None
     assert out[("h", 3)][0] == 1  # max value clamps into the last bin
+
+
+def test_predictor_unrolled_bit_identical_to_hof(spark):
+    """The dim-unrolled predictor and the generic HOF predictor fold in
+    the SAME order (products from 0.0, intercept last), so they are
+    bit-identical — not just tolerance-equal. Weights/features chosen so
+    a different association order WOULD differ in the last ulp."""
+    rng = np.random.default_rng(7)
+    w = [float(x) for x in rng.uniform(-1, 1, 9)]
+    f = [float(x) for x in rng.uniform(-100, 100, 8)]
+    df = spark.createDataFrame(
+        [(w, f)], "weights array<double>, features array<double>"
+    )
+    r = df.select(
+        predict_nonlinear("weights", "features").alias("hof"),
+        predict_nonlinear("weights", "features", dim=8).alias("unrolled"),
+    ).first()
+    # exact equality: same fold order, same FP ops
+    assert r.hof == r.unrolled
+
+
+def test_local_frame_parameterized_and_nested_types(spark):
+    """DDL split handles top-level commas only: decimal(10,2) and
+    map<string,int> keep their internal commas."""
+    from value_at_risk_spark.sources.local import local_frame
+
+    df = local_frame(
+        spark,
+        [("a", 1)],
+        "name string, n decimal(10,2)",
+    )
+    assert df.schema.simpleString() == "struct<name:string,n:decimal(10,2)>"
+    assert df.first().n == 1
+
+    empty = local_frame(spark, [], "m map<string,int>, s struct<a:int,b:string>")
+    assert empty.schema.simpleString() == (
+        "struct<m:map<string,int>,s:struct<a:int,b:string>>"
+    )
+    assert empty.count() == 0
+
+
+def test_local_frame_nonfinite_floats(spark):
+    """NaN/±Infinity floats render as valid SQL casts, not 'nanD'."""
+    from value_at_risk_spark.sources.local import local_frame
+
+    df = local_frame(
+        spark,
+        [(float("nan"), float("inf"), float("-inf"), 1.5)],
+        "a double, b double, c double, d double",
+    )
+    r = df.first()
+    assert math.isnan(r.a)
+    assert r.b == math.inf and r.c == -math.inf and r.d == 1.5

@@ -256,3 +256,69 @@ def test_streaming_basel_backtest_matches_batch(spark, sf_dir, tmp_path):
     }
     assert got == exp
     assert len(got) > 1000
+
+
+def test_sessionize_stateful_survives_late_event(spark, tmp_path):
+    """A row later than the watermark by more than the gap must NOT kill
+    the query. Empirically (probed on pyspark 4.1.2) Spark filters
+    late rows BEFORE applyInPandasWithState sees them, so the row is
+    silently dropped — this test pins that semantics (exactly one
+    session for the late user, stream survives all runs). The
+    watermark clamp in sessionize_stateful guards the same invariant
+    against version/config drift where the pre-filter doesn't apply
+    (it is a no-op whenever last + gap > watermark)."""
+    import datetime
+    import glob as _glob
+    import shutil
+
+    from pyspark.sql import functions as F
+
+    from value_at_risk_spark.streaming.stateful import sessionize_stateful
+
+    src = tmp_path / "landing"
+    src.mkdir()
+    ckpt = str(tmp_path / "ckpt")
+    out = str(tmp_path / "out")
+
+    t0 = datetime.datetime(2024, 1, 1, 12, 0, 0)
+    far = datetime.datetime(2024, 3, 1)
+
+    def land(name, rows):
+        df = spark.createDataFrame(rows, "user_id long, ts timestamp")
+        stage = tmp_path / f"_stage_{name}"
+        df.coalesce(1).write.mode("overwrite").parquet(str(stage))
+        part = _glob.glob(str(stage / "part-*.parquet"))[0]
+        shutil.copy(part, src / f"{name}.parquet")
+
+    def run_once():
+        stream = spark.readStream.schema("user_id long, ts timestamp").parquet(
+            str(src)
+        )
+        sess = sessionize_stateful(
+            stream.withWatermark("ts", "0 seconds"), gap_seconds=1800
+        )
+        q = (
+            sess.writeStream.format("parquet")
+            .option("path", out)
+            .outputMode("append")
+            .option("checkpointLocation", ckpt)
+            .trigger(availableNow=True)
+            .start()
+        )
+        assert q.awaitTermination(120), "bounded replay timed out"
+
+    land("b1", [(1, t0), (2, far)])
+    run_once()  # watermark advances to `far` after this run
+    # user 1's new event is ~2 months behind the watermark — far more
+    # than the 1800s gap
+    land("b2", [(1, t0 + datetime.timedelta(seconds=60))])
+    run_once()  # unclamped timeout would throw here and fail the stream
+    land("b3", [(3, far + datetime.timedelta(days=1))])
+    run_once()  # advances watermark again
+
+    rows = spark.read.parquet(out).collect()
+    user1 = [r for r in rows if r.user_id == 1]
+    # the late b2 event was dropped by the watermark pre-filter: user 1
+    # keeps exactly its original closed session, and no run crashed
+    assert len(user1) == 1
+    assert user1[0].n_events == 1

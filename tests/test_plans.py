@@ -196,3 +196,24 @@ def test_zorder_key_interleave_and_write(spark, sf_dir, tmp_path):
     med_cs = statistics.median(s[1] for s in spans)
     assert med_ds <= 0.7 * g.ds, (med_ds, g.ds)
     assert med_cs <= 0.7 * g.cs, (med_cs, g.cs)
+
+
+def test_zorder_empty_or_allnull_raises_clear_error(spark, tmp_path):
+    """write_zordered on empty input / all-NULL cluster column raises a
+    ValueError naming the cause, not a bare TypeError from float(None)."""
+    import pytest as _pytest
+    from pyspark.sql import functions as F
+
+    from value_at_risk_spark.sources.layout import write_zordered
+
+    empty = spark.range(0).select(
+        F.col("id").alias("a"), F.col("id").alias("b")
+    )
+    with _pytest.raises(ValueError, match="empty input or all-NULL"):
+        write_zordered(empty, str(tmp_path / "z1"), ["a", "b"])
+
+    allnull = spark.range(5).select(
+        F.lit(None).cast("double").alias("a"), F.col("id").alias("b")
+    )
+    with _pytest.raises(ValueError, match="empty input or all-NULL"):
+        write_zordered(allnull, str(tmp_path / "z2"), ["a", "b"])

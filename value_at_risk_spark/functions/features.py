@@ -75,10 +75,13 @@ def predict_nonlinear(
     weights = F.col(weights) if isinstance(weights, str) else weights
     features = F.col(features) if isinstance(features, str) else features
     if dim is not None:
-        acc = F.element_at(weights, 1)
+        # Same fold order as the HOF form below (products accumulated
+        # from 0.0, intercept added LAST): FP addition is non-associative,
+        # so matching the order keeps the two forms bit-identical.
+        acc: Column = F.lit(0.0)
         for i in range(1, dim + 1):
             acc = acc + F.element_at(weights, i + 1) * F.element_at(features, i)
-        return acc
+        return acc + F.element_at(weights, 1)
     tail = F.slice(weights, 2, F.size(weights) - 1)
     return (
         F.aggregate(

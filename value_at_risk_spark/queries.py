@@ -25,6 +25,7 @@ table (/root/reference/01_var_market_etl.py:37-47).
 
 from __future__ import annotations
 
+import uuid
 from collections.abc import Callable
 
 from pyspark.sql import DataFrame, SparkSession
@@ -2312,7 +2313,10 @@ def streaming_daily_events(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     stream = read_events_stream(spark, sf_dir)
     agg = daily_event_aggregates(stream)
-    return run_available_now(agg, "gate_streaming_daily_events")
+    # uuid sink name: a fixed queryName collides across concurrent sessions
+    return run_available_now(
+        agg, f"gate_streaming_daily_events_{uuid.uuid4().hex[:8]}"
+    )
 
 
 @query(
@@ -2850,19 +2854,25 @@ def streaming_basel_demo(spark: SparkSession, sf_dir: str) -> DataFrame:
     pnl.coalesce(1).write.mode("overwrite").parquet(src)
     stream = spark.readStream.schema(pnl.schema).parquet(src)
     bt = streaming_basel_backtest(stream, basel_days=250)
+    # uuid sink name: a fixed queryName collides across concurrent sessions
+    sink = f"gate_streaming_basel_{uuid.uuid4().hex[:8]}"
     q = (
         bt.writeStream.format("memory")
-        .queryName("gate_streaming_basel")
+        .queryName(sink)
         .outputMode("append")
         .trigger(availableNow=True)
         .start()
     )
-    q.awaitTermination(180)
-    # the memory sink has materialized the result; the staging dir can go
+    finished = q.awaitTermination(180)
     import shutil
 
+    if not finished:
+        q.stop()
+        shutil.rmtree(src, ignore_errors=True)
+        raise TimeoutError("streaming_basel_demo: bounded replay exceeded 180s")
+    # the memory sink has materialized the result; the staging dir can go
     shutil.rmtree(src, ignore_errors=True)
-    return spark.table("gate_streaming_basel")
+    return spark.table(sink)
 
 
 @query(

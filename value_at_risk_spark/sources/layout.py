@@ -81,6 +81,12 @@ def write_zordered(
         ]
     b = df.agg(*aggs).first()
     bounds = [(b[f"_lo_{c}"], b[f"_hi_{c}"]) for c in zorder_cols]
+    if any(lo is None or hi is None for lo, hi in bounds):
+        raise ValueError(
+            "write_zordered: empty input or all-NULL cluster column "
+            f"(bounds {dict(zip(zorder_cols, bounds))}); "
+            "write unclustered instead"
+        )
     z = zorder_key([F.col(c) for c in zorder_cols], bounds, bits)
     out = df.withColumn("_z", z)
     n = num_files or df.sparkSession.sparkContext.defaultParallelism

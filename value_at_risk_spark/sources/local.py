@@ -17,6 +17,7 @@ never touching a Python worker.
 from __future__ import annotations
 
 import datetime as _dt
+import math
 
 from pyspark.sql import DataFrame, SparkSession
 
@@ -33,12 +34,37 @@ def _sql_literal(v) -> str:
     if isinstance(v, _dt.date):
         return f"DATE '{v.isoformat()}'"
     if isinstance(v, float):
+        if not math.isfinite(v):  # repr() would render invalid SQL ('nanD')
+            name = "NaN" if math.isnan(v) else ("Infinity" if v > 0 else "-Infinity")
+            return f"CAST('{name}' AS DOUBLE)"
         return repr(v) + "D"  # double literal, full precision
     if isinstance(v, int):
         return f"{v}L"
     if isinstance(v, (list, tuple)):
         return "array(" + ", ".join(_sql_literal(x) for x in v) + ")"
     raise TypeError(f"local_frame: unsupported literal type {type(v)!r}")
+
+
+def _split_ddl(schema: str) -> list[str]:
+    """Split a DDL column list on TOP-LEVEL commas only, so parameterized
+    and nested types (``decimal(10,2)``, ``map<string,int>``,
+    ``struct<a:int,b:string>``) keep their internal commas."""
+    cols: list[str] = []
+    depth = 0
+    cur: list[str] = []
+    for ch in schema:
+        if ch in "(<":
+            depth += 1
+        elif ch in ")>":
+            depth -= 1
+        if ch == "," and depth == 0:
+            cols.append("".join(cur).strip())
+            cur = []
+        else:
+            cur.append(ch)
+    if "".join(cur).strip():
+        cols.append("".join(cur).strip())
+    return cols
 
 
 def local_frame(spark: SparkSession, rows: list[tuple], schema: str) -> DataFrame:
@@ -48,7 +74,7 @@ def local_frame(spark: SparkSession, rows: list[tuple], schema: str) -> DataFram
     to the declared types so the result schema is exact. Intended for
     frames small enough to broadcast — configs, instrument dims, seeds.
     """
-    cols = [c.strip() for c in schema.split(",")]
+    cols = _split_ddl(schema)
     names = [c.split()[0] for c in cols]
     types = [" ".join(c.split()[1:]) for c in cols]
     if not rows:

@@ -106,8 +106,17 @@ def sessionize_stateful(
                             closed.append((start, last, n))
                         start, last, n = t, t, 1
                 state.update((start, last, n))
-                # evict once the watermark passes session close
-                state.setTimeoutTimestamp(last + gap_ms)
+                # Evict once the watermark passes session close. Spark
+                # rejects a timeout <= current watermark (killing the
+                # query), which would happen if a row later than the
+                # watermark by more than the gap ever reached this
+                # function. On pyspark 4.1.2 the engine pre-filters such
+                # late rows (pinned in test_sessionize_stateful_survives_
+                # late_event), making that unreachable — the clamp is
+                # defense-in-depth against version/config drift and a
+                # no-op whenever last + gap > watermark.
+                wm_ms = state.getCurrentWatermarkMs()
+                state.setTimeoutTimestamp(max(last + gap_ms, wm_ms + 1))
 
         yield pd.DataFrame(
             {

@@ -82,7 +82,9 @@ def run_available_now(df: DataFrame, name: str) -> DataFrame:
         .trigger(availableNow=True)
         .start()
     )
-    q.awaitTermination(120)
+    if not q.awaitTermination(120):
+        q.stop()
+        raise TimeoutError(f"run_available_now({name!r}): replay exceeded 120s")
     return df.sparkSession.table(name)
 
 
