@@ -580,3 +580,43 @@ def test_cosine_zero_vector_is_null_not_error(spark):
     ).collect()
     assert all(r.cosine is not None for r in pairs)
     assert {(r.id_a, r.id_b) for r in pairs} == {(1, 3)}
+
+
+def test_lsh_near_dup_equals_exact(spark, sf_dir):
+    """Composed LSH→exact near-dup path returns exactly the exact
+    all-pairs result on a corpus with planted high-cosine dups, and the
+    candidate stage is an equi-join on (band, band_val) — no cartesian
+    product anywhere in the plan."""
+    from pyspark.sql import functions as F
+
+    from value_at_risk_spark.operators.similarity import (
+        cosine_near_dup_pairs,
+        cosine_near_dup_pairs_lsh,
+    )
+
+    e = spark.read.parquet(f"{sf_dir}/embeddings.parquet")
+    base = e.select(
+        F.col("vec_id").alias("id"),
+        F.transform("embedding", lambda x: x.cast("double")).alias("v"),
+    )
+    planted = e.filter(F.col("vec_id") % 5 == 0).select(
+        (F.col("vec_id") + 1000000).alias("id"),
+        F.transform(
+            "embedding",
+            lambda x, i: x.cast("double")
+            + ((F.col("vec_id") * 31 + i.cast("bigint") * 17) % 7 - 3)
+            * F.lit(0.005),
+        ).alias("v"),
+    )
+    corpus = base.unionAll(planted)
+
+    lsh = cosine_near_dup_pairs_lsh(corpus, 0.95, id_col="id", vec_col="v")
+    exact = cosine_near_dup_pairs(corpus, 0.95, id_col="id", vec_col="v")
+    got = {(r.id_a, r.id_b, r.cosine) for r in lsh.collect()}
+    want = {(r.id_a, r.id_b, r.cosine) for r in exact.collect()}
+    assert got == want
+    assert len(want) > 0
+
+    plan = lsh._jdf.queryExecution().executedPlan().toString()
+    assert "CartesianProduct" not in plan
+    assert "BroadcastNestedLoopJoin" not in plan

@@ -155,6 +155,124 @@ def lsh_topk(
     )
 
 
+def hyperplane_band_pairs(
+    df: DataFrame,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    dim: int = 64,
+    num_planes: int = 64,
+    num_bands: int = 8,
+    seed: int = 42,
+) -> DataFrame:
+    """Banded sign-LSH candidate pairs — the cosine twin of
+    operators/dedup.minhash_lsh_pairs.
+
+    Each row gets ``num_planes`` hyperplane sign bits, chunked into
+    ``num_bands`` bands of r = planes/bands bits; candidates are rows
+    agreeing on ALL r bits of any band — a (band, band_value) equi-join,
+    never all-pairs. Per-band value space is 2^r (r=8 → 256 buckets),
+    so bucket population stays ~N/2^r per band; at larger corpora raise
+    r (and bands with it) to keep buckets bounded. A pair at cosine c
+    escapes with probability (1 - p^r)^bands, p = 1 - arccos(c)/π —
+    for c ≥ 0.99 and 8×8 bands this is ~1e-6.
+    """
+    if num_planes % num_bands:
+        raise ValueError("hyperplane_band_pairs: bands must divide planes")
+    r = num_planes // num_bands
+    rng = np.random.default_rng(seed)
+    planes = rng.standard_normal((num_planes, dim))
+    bits = [
+        F.when(
+            dot_product(
+                vec_col, F.array(*[F.lit(float(x)) for x in planes[p]])
+            )
+            > 0,
+            F.lit(1),
+        ).otherwise(F.lit(0))
+        for p in range(num_planes)
+    ]
+    band_vals = F.array(
+        *[
+            sum(
+                (bits[b * r + j] * F.lit(1 << j) for j in range(1, r)),
+                bits[b * r],
+            ).cast("long")
+            for b in range(num_bands)
+        ]
+    )
+    bands = df.select(
+        id_col, F.posexplode(band_vals).alias("band", "band_val")
+    )
+    a = bands.alias("a")
+    b = bands.alias("b")
+    return (
+        a.join(
+            b,
+            on=[
+                F.col("a.band") == F.col("b.band"),
+                F.col("a.band_val") == F.col("b.band_val"),
+                F.col(f"a.{id_col}") < F.col(f"b.{id_col}"),
+            ],
+        )
+        .select(
+            F.col(f"a.{id_col}").alias("id_a"),
+            F.col(f"b.{id_col}").alias("id_b"),
+        )
+        .distinct()
+    )
+
+
+def cosine_near_dup_pairs_lsh(
+    df: DataFrame,
+    threshold: float = 0.95,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    round_to: int | None = 6,
+    dim: int = 64,
+    num_planes: int = 64,
+    num_bands: int = 8,
+    seed: int = 42,
+) -> DataFrame:
+    """The composed 100 TB near-dup path: banded sign-LSH candidate
+    generation (``hyperplane_band_pairs`` — bucketed equi-join, never
+    all-pairs) followed by the SAME exact cosine predicate as
+    ``cosine_near_dup_pairs``. Identical output schema/semantics up to
+    LSH recall; recall on the gate fixture is oracle-pinned by the
+    ``ann_near_dup_lsh`` query (hash equality vs the exact all-pairs
+    DuckDB twin)."""
+    cand = hyperplane_band_pairs(
+        df, id_col, vec_col, dim, num_planes, num_bands, seed
+    )
+    sides = df.select(
+        F.col(id_col),
+        F.col(vec_col).alias("_v"),
+        vector_norm(vec_col).alias("_n"),
+    )
+    cand = (
+        cand.join(
+            sides.select(
+                F.col(id_col).alias("id_a"),
+                F.col("_v").alias("_va"),
+                F.col("_n").alias("_na"),
+            ),
+            "id_a",
+        )
+        .join(
+            sides.select(
+                F.col(id_col).alias("id_b"),
+                F.col("_v").alias("_vb"),
+                F.col("_n").alias("_nb"),
+            ),
+            "id_b",
+        )
+    )
+    sim = F.try_divide(dot_product("_va", "_vb"), F.col("_na") * F.col("_nb"))
+    sim_out = F.round(sim, round_to) + F.lit(0.0) if round_to is not None else sim
+    return cand.filter(sim >= F.lit(threshold)).select(
+        "id_a", "id_b", sim_out.alias("cosine")
+    )
+
+
 def cosine_near_dup_pairs(
     df: DataFrame,
     threshold: float = 0.95,

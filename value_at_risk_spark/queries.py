@@ -2445,6 +2445,71 @@ def cosine_near_dup_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @query(
+    "ann_near_dup_lsh",
+    """
+WITH base AS (
+  SELECT vec_id AS id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings
+),
+planted AS (
+  SELECT vec_id + 1000000 AS id,
+         array_agg(x + ((vec_id * 31 + (i - 1) * 17) % 7 - 3) * 0.005
+                   ORDER BY i) AS v
+  FROM (SELECT vec_id,
+               generate_subscripts(CAST(embedding AS DOUBLE[]), 1) AS i,
+               UNNEST(CAST(embedding AS DOUBLE[])) AS x
+        FROM embeddings WHERE vec_id % 5 = 0) t
+  GROUP BY vec_id
+),
+corpus AS (SELECT * FROM base UNION ALL SELECT * FROM planted)
+SELECT a.id AS id_a, b.id AS id_b,
+       ROUND(list_cosine_similarity(a.v, b.v), 6) + 0 AS cosine
+FROM corpus a JOIN corpus b ON b.id > a.id
+WHERE list_cosine_similarity(a.v, b.v) >= 0.95
+""",
+)
+def ann_near_dup_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The composed LSH→exact near-dup path, oracle-pinned: the DuckDB
+    twin computes ALL pairs with exact cosine ≥ 0.95 over a corpus with
+    deterministically planted near-dups (every 5th vector gets a copy
+    perturbed by an exact integer-arithmetic delta → cosine ≈ 0.997;
+    natural fixture pairs top out ≈ 0.51, so truth = exactly the
+    planted pairs, far from the threshold on both sides). The Spark
+    side generates candidates with banded sign-LSH (64 planes × 8
+    bands — a (band, band_value) equi-join, never all-pairs) and runs
+    the exact cosine predicate only on collisions. Hash equality
+    therefore asserts 100% LSH recall on the fixture: the escape
+    probability of a cosine-0.997 pair under 8 bands of 8 bits is
+    (1 - p⁸)⁸ ≈ 2e-7, p = 1 - arccos(0.997)/π ≈ 0.986.
+
+    This is the scale path cosine_near_dup_pairs' docstring prescribes,
+    composed and gated the way lsh_recall_high_jaccard pins MinHash."""
+    from value_at_risk_spark.operators.similarity import (
+        cosine_near_dup_pairs_lsh,
+    )
+
+    e = _t(spark, sf_dir, "embeddings")
+    base = e.select(
+        F.col("vec_id").alias("id"),
+        F.transform("embedding", lambda x: x.cast("double")).alias("v"),
+    )
+    planted = e.filter(F.col("vec_id") % 5 == 0).select(
+        (F.col("vec_id") + 1000000).alias("id"),
+        F.transform(
+            "embedding",
+            lambda x, i: x.cast("double")
+            + (
+                (F.col("vec_id") * 31 + i.cast("bigint") * 17) % 7 - 3
+            )
+            * F.lit(0.005),
+        ).alias("v"),
+    )
+    corpus = base.unionAll(planted)
+    return cosine_near_dup_pairs_lsh(
+        corpus, threshold=0.95, id_col="id", vec_col="v"
+    )
+
+
+@query(
     "embedding_covariance",
     """
 WITH pos AS (
