@@ -620,3 +620,30 @@ def test_lsh_near_dup_equals_exact(spark, sf_dir):
     plan = lsh._jdf.queryExecution().executedPlan().toString()
     assert "CartesianProduct" not in plan
     assert "BroadcastNestedLoopJoin" not in plan
+
+
+def test_near_dedup_survivors_one_per_component(spark, tmp_path):
+    """Sprawling cluster {A-C, B-C} (A-B below threshold): survivor
+    selection must keep ONE doc per connected component. The old
+    direct-neighborhood-min rule kept both A and B (neither saw the
+    other); min-per-component keeps only A."""
+    from value_at_risk_spark.queries import QUERIES
+
+    # sliding 20-token windows over t1..t24: 3-gram-shingle Jaccard
+    # J(A,C)=J(B,C)=16/20=0.8 ≥ 0.8, J(A,B)=14/22≈0.636 < 0.8
+    toks_a = [f"t{i}" for i in range(1, 21)]   # t1..t20
+    toks_c = [f"t{i}" for i in range(3, 23)]   # t3..t22
+    toks_b = [f"t{i}" for i in range(5, 25)]   # t5..t24
+    docs = [
+        (0, " ".join(toks_a)),
+        (1, " ".join(toks_b)),
+        (2, " ".join(toks_c)),
+        (3, "completely unrelated content about something else entirely"),
+    ]
+    sf = tmp_path / "sf"
+    sf.mkdir()
+    spark.createDataFrame(docs, "doc_id long, text string").write.parquet(
+        str(sf / "documents.parquet")
+    )
+    got = {r.doc_id for r in QUERIES["near_dedup_survivors"](spark, str(sf)).collect()}
+    assert got == {0, 3}

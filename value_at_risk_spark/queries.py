@@ -1643,43 +1643,77 @@ def doc_fingerprints_rolling(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-@query("near_dedup_survivors")
+@query(
+    "near_dedup_survivors",
+    """
+WITH RECURSIVE docs AS (
+  SELECT doc_id, list_filter(string_split(lower(text),' '), x -> x <> '') AS ts
+  FROM documents
+),
+sh AS (
+  SELECT DISTINCT doc_id, ts[i] || ' ' || ts[i+1] || ' ' || ts[i+2] AS s
+  FROM docs, UNNEST(range(1, len(ts) - 1)) AS t(i)
+  WHERE len(ts) >= 3
+),
+cnt AS (SELECT doc_id, COUNT(*) AS n FROM sh GROUP BY 1),
+inter AS (
+  SELECT a.doc_id AS id_a, b.doc_id AS id_b, COUNT(*) AS ni
+  FROM sh a JOIN sh b ON a.s = b.s AND b.doc_id > a.doc_id
+  GROUP BY 1, 2
+),
+pairs AS (
+  SELECT id_a, id_b
+  FROM inter
+  JOIN cnt ca ON ca.doc_id = id_a
+  JOIN cnt cb ON cb.doc_id = id_b
+  WHERE ni * 1.0 / (ca.n + cb.n - ni) >= 0.8
+),
+edges AS (
+  SELECT id_a AS a, id_b AS b FROM pairs
+  UNION ALL
+  SELECT id_b, id_a FROM pairs
+),
+reach(node, r) AS (
+  SELECT DISTINCT a, a FROM edges
+  UNION
+  SELECT e.a, reach.r FROM edges e JOIN reach ON reach.node = e.b
+),
+comp AS (SELECT node, MIN(r) AS component FROM reach GROUP BY node)
+SELECT doc_id FROM documents
+WHERE doc_id NOT IN (SELECT node FROM comp WHERE node <> component)
+""",
+)
 def near_dedup_survivors(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Composite near-dedup pipeline (rows-only): MinHash-LSH candidate
-    pairs → exact token-Jaccard verify (≥ 0.8) → union-find-lite
-    survivor selection (keep the smallest doc_id of each duplicate
-    cluster's direct neighborhood). The full production dedup flow."""
+    """Composite near-dedup pipeline, EXACT and oracle-pinned (was
+    rows-only with a direct-neighborhood-min survivor rule): MinHash-LSH
+    candidates → exact 3-gram-shingle Jaccard verify (≥ 0.8, recall
+    pinned by lsh_recall_high_jaccard) → connected components → keep
+    the smallest doc_id per component. Min-per-component makes the
+    survivor rule transitive — direct-neighborhood min can keep two
+    survivors in a sprawling cluster like {A-C, B-C} (pinned in
+    tests/test_operators.py). The DuckDB twin computes true shingle-
+    Jaccard pairs + recursive transitive closure, so hash equality
+    asserts the end-to-end dedup flow, not just the pair stage."""
+    from value_at_risk_spark.functions.text import shingles
+    from value_at_risk_spark.operators.dedup import connected_components
+
     d = _t(spark, sf_dir, "documents")
     sigs = minhash_signatures(d, num_hashes=32, shingle_n=3)
-    pairs = minhash_lsh_pairs(sigs, num_bands=8, num_hashes=32)
-    toks = d.select(
-        "doc_id",
-        F.array_distinct(
-            F.filter(F.split(F.lower("text"), " "), lambda x: x != "")
-        ).alias("toks"),
-    )
-    a = toks.select(F.col("doc_id").alias("id_a"), F.col("toks").alias("toks_a"))
-    b = toks.select(F.col("doc_id").alias("id_b"), F.col("toks").alias("toks_b"))
+    pairs = minhash_lsh_pairs(sigs, num_bands=16, num_hashes=32)
+    sh = d.select("doc_id", F.array_distinct(shingles("text", 3)).alias("sh"))
+    a = sh.select(F.col("doc_id").alias("id_a"), F.col("sh").alias("sh_a"))
+    b = sh.select(F.col("doc_id").alias("id_b"), F.col("sh").alias("sh_b"))
     cand = pairs.join(a, "id_a").join(b, "id_b")
     verified = jaccard_similarity(
-        cand, "toks_a", "toks_b", out_col="jacc", tokenize=False
+        cand, "sh_a", "sh_b", out_col="jacc", tokenize=False
     ).filter(F.col("jacc") >= 0.8)
-    # each doc maps to min(itself, smallest verified partner)
-    partner_min = (
-        verified.select(F.col("id_b").alias("doc_id"), F.col("id_a").alias("rep"))
-        .groupBy("doc_id")
-        .agg(F.min("rep").alias("rep"))
+    cc = connected_components(
+        verified.select("id_a", "id_b"), src="id_a", dst="id_b"
     )
-    return (
-        d.select("doc_id")
-        .join(partner_min, "doc_id", "left")
-        .select(
-            "doc_id",
-            F.coalesce("rep", "doc_id").alias("representative"),
-        )
-        .filter(F.col("doc_id") == F.col("representative"))
-        .select("doc_id")
+    dupes = cc.filter(F.col("node") != F.col("component")).select(
+        F.col("node").alias("doc_id")
     )
+    return d.select("doc_id").join(dupes, "doc_id", "left_anti")
 
 
 @query(
