@@ -3070,3 +3070,131 @@ def nation_trade_volume(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.count(F.lit(1)).alias("n_items"),
         )
     )
+
+
+@query(
+    "min_cost_supplier",
+    """
+WITH cost AS (
+  SELECT l_partkey AS partkey, l_suppkey AS suppkey,
+         MIN(l_extendedprice) AS price
+  FROM lineitem GROUP BY 1, 2
+),
+eligible AS (
+  SELECT partkey, price, s_name, s_acctbal, n_name
+  FROM cost
+  JOIN supplier ON suppkey = s_suppkey
+  JOIN nation ON s_nationkey = n_nationkey
+  JOIN region ON n_regionkey = r_regionkey
+  WHERE r_name = 'EUROPE'
+)
+SELECT p_partkey, p_name, s_name, n_name,
+       price AS best_price, s_acctbal
+FROM part
+JOIN eligible ON partkey = p_partkey
+WHERE p_size <= 15
+  AND price = (SELECT MIN(e2.price) FROM eligible e2
+               WHERE e2.partkey = p_partkey)
+""",
+)
+def min_cost_supplier(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q2 shape (correlated min over a dimension join): for each
+    small part, the EUROPE supplier(s) whose minimum observed sale
+    price equals the part's region-wide minimum. The fixture has no
+    partsupp table, so supply cost derives from lineitem (min
+    extendedprice per part+supplier) — same correlated-subquery
+    structure as Q2 (/root/reference has no TPC-H; shape chosen for
+    optimizer coverage: the oracle keeps the correlated form, the
+    Spark side is the decorrelated plan Catalyst would produce —
+    aggregate-then-self-join, dims broadcast)."""
+    l = _t(spark, sf_dir, "lineitem")
+    cost = l.groupBy(
+        F.col("l_partkey").alias("partkey"),
+        F.col("l_suppkey").alias("suppkey"),
+    ).agg(F.min("l_extendedprice").alias("price"))
+    s = _t(spark, sf_dir, "supplier")
+    n = _t(spark, sf_dir, "nation")
+    r = _t(spark, sf_dir, "region").filter(F.col("r_name") == "EUROPE")
+    eligible = (
+        cost.join(F.broadcast(s), F.col("suppkey") == F.col("s_suppkey"))
+        .join(F.broadcast(n), F.col("s_nationkey") == F.col("n_nationkey"))
+        .join(F.broadcast(r), F.col("n_regionkey") == F.col("r_regionkey"))
+        .select("partkey", "price", "s_name", "s_acctbal", "n_name")
+    )
+    best = eligible.groupBy("partkey").agg(F.min("price").alias("_best"))
+    p = _t(spark, sf_dir, "part").filter(F.col("p_size") <= 15)
+    return (
+        eligible.join(best, "partkey")
+        .filter(F.col("price") == F.col("_best"))
+        .join(F.broadcast(p), F.col("partkey") == F.col("p_partkey"))
+        .select(
+            "p_partkey", "p_name", "s_name", "n_name",
+            F.col("price").alias("best_price"), "s_acctbal",
+        )
+    )
+
+
+@query(
+    "qualified_part_suppliers",
+    """
+SELECT s_suppkey, s_name
+FROM supplier
+WHERE s_suppkey IN (
+  SELECT l_suppkey FROM lineitem
+  WHERE l_partkey IN (SELECT p_partkey FROM part WHERE p_name LIKE 'red%')
+  GROUP BY l_suppkey, l_partkey
+  HAVING SUM(l_quantity) > 30
+)
+AND s_nationkey IN (
+  SELECT n_nationkey FROM nation
+  JOIN region ON n_regionkey = r_regionkey
+  WHERE r_name = 'ASIA'
+)
+""",
+)
+def qualified_part_suppliers(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q20 shape (nested semi-joins): ASIA suppliers that moved
+    more than 30 units of any red part. Three nested IN-subqueries in
+    the oracle; the Spark side is the semi-join chain the optimizer
+    should reach — part filter semi-joined into the lineitem aggregate,
+    the qualifying (supp) keys semi-joined into supplier, the nation
+    region filter as a second semi-join. No fact data ever leaves the
+    aggregate: both semi-joins carry keys only."""
+    part_keys = (
+        _t(spark, sf_dir, "part")
+        .filter(F.col("p_name").like("red%"))
+        .select("p_partkey")
+    )
+    l = _t(spark, sf_dir, "lineitem")
+    qual_supp = (
+        l.join(
+            F.broadcast(part_keys),
+            l.l_partkey == part_keys.p_partkey,
+            "leftsemi",
+        )
+        .groupBy("l_suppkey", "l_partkey")
+        .agg(F.sum("l_quantity").alias("_q"))
+        .filter(F.col("_q") > 30)
+        .select("l_suppkey")
+    )
+    asia_nations = (
+        _t(spark, sf_dir, "nation")
+        .join(
+            F.broadcast(
+                _t(spark, sf_dir, "region").filter(F.col("r_name") == "ASIA")
+            ),
+            F.col("n_regionkey") == F.col("r_regionkey"),
+            "leftsemi",
+        )
+        .select("n_nationkey")
+    )
+    s = _t(spark, sf_dir, "supplier")
+    return (
+        s.join(qual_supp, s.s_suppkey == qual_supp.l_suppkey, "leftsemi")
+        .join(
+            F.broadcast(asia_nations),
+            s.s_nationkey == asia_nations.n_nationkey,
+            "leftsemi",
+        )
+        .select("s_suppkey", "s_name")
+    )
