@@ -3,6 +3,7 @@
 from __future__ import annotations
 
 from pyspark.sql import functions as F
+from pyspark.sql.window import Window
 
 from value_at_risk_spark.sources.registry import Registry
 from value_at_risk_spark.streaming.windows import (
@@ -166,3 +167,103 @@ def test_stream_sliding_window_matches_batch(spark, sf_dir):
     }
     assert got == exp
     assert len(got) > 0
+
+
+def test_rocksdb_state_store_stateful_restart(spark, sf_dir, tmp_path):
+    """The stateful tier under the RocksDB state-store provider: a
+    checkpointed applyInPandasWithState stream processed as ~12
+    one-file micro-batches across two availableNow runs (restart in the
+    middle) ends with exactly the batch totals. RocksDB keeps state off
+    the executor heap — the provider for long streams with large state;
+    this pins that the engine's stateful operators run unchanged on it."""
+    import glob as _glob
+    import shutil
+
+    from pyspark.sql import functions as F
+
+    from value_at_risk_spark.sources.registry import Registry
+    from value_at_risk_spark.streaming.stateful import running_event_totals
+
+    prev = spark.conf.get(
+        "spark.sql.streaming.stateStore.providerClass", None
+    )
+    spark.conf.set(
+        "spark.sql.streaming.stateStore.providerClass",
+        "org.apache.spark.sql.execution.streaming.state."
+        "RocksDBStateStoreProvider",
+    )
+    try:
+        events = Registry(sf_dir).read(spark, "events").select(
+            "event_id", "ts", "event_type", "value"
+        )
+        src = tmp_path / "landing"
+        src.mkdir()
+        ckpt = str(tmp_path / "ckpt")
+
+        def land(slices):
+            for i in slices:
+                part = events.filter(F.col("event_id") % 12 == i)
+                stage = tmp_path / f"_s{i}"
+                part.coalesce(1).write.mode("overwrite").parquet(str(stage))
+                shutil.copy(
+                    _glob.glob(str(stage / "part-*.parquet"))[0],
+                    src / f"slice{i}.parquet",
+                )
+
+        out = str(tmp_path / "out")
+
+        def run_once():
+            stream = (
+                spark.readStream.schema(events.schema)
+                .option("maxFilesPerTrigger", 1)
+                .parquet(str(src))
+            )
+            # memory sink can't recover from a checkpoint; foreachBatch
+            # + parquet append is the fault-tolerant update-mode sink
+            q = (
+                running_event_totals(stream)
+                .writeStream.foreachBatch(
+                    lambda df, _id: df.write.mode("append").parquet(out)
+                )
+                .outputMode("update")
+                .option("checkpointLocation", ckpt)
+                .trigger(availableNow=True)
+                .start()
+            )
+            assert q.awaitTermination(180)
+
+        land(range(6))
+        run_once()
+        land(range(6, 12))
+        run_once()  # restart: state restored from RocksDB ckpt
+
+        # update-mode output: the final update per key holds the running
+        # totals; state crossed 12 micro-batches and one restart
+        final = {
+            r.event_type: (r.n_events, r.total_value)
+            for r in spark.read.parquet(out)
+            .withColumn(
+                "_rn",
+                F.row_number().over(
+                    Window.partitionBy("event_type").orderBy(
+                        F.desc("n_events")
+                    )
+                ),
+            )
+            .filter(F.col("_rn") == 1)
+            .collect()
+        }
+        exp = {
+            r.event_type: (r.n, round(r.s, 4))
+            for r in events.groupBy("event_type")
+            .agg(F.count(F.lit(1)).alias("n"), F.sum("value").alias("s"))
+            .collect()
+        }
+        assert final == exp
+    finally:
+        if prev is None:
+            spark.conf.unset("spark.sql.streaming.stateStore.providerClass")
+        else:
+            spark.conf.set(
+                "spark.sql.streaming.stateStore.providerClass", prev
+            )
