@@ -217,3 +217,34 @@ def test_zorder_empty_or_allnull_raises_clear_error(spark, tmp_path):
     )
     with _pytest.raises(ValueError, match="empty input or all-NULL"):
         write_zordered(allnull, str(tmp_path / "z2"), ["a", "b"])
+
+
+def test_registry_format_parameterized_roundtrip(spark, sf_dir, tmp_path):
+    """Registry.write/read are format-parameterized. Parquet always
+    works; the delta branch runs only when delta-spark is importable
+    (this container has none — the test then pins the clear error),
+    including MERGE pushdown via merge_into_delta."""
+    import pytest as _pytest
+
+    from value_at_risk_spark.sources.registry import Registry, delta_available
+
+    reg = Registry(str(tmp_path))
+    nation = Registry(sf_dir).read(spark, "nation")
+    reg.write(nation, "nation_copy")  # parquet default
+    back = reg.read(spark, "nation_copy")
+    assert back.count() == nation.count()
+    assert back.schema == nation.schema
+
+    if not delta_available():
+        with _pytest.raises(RuntimeError, match="delta-spark is not"):
+            reg.write(nation, "nation_delta", fmt="delta")
+        _pytest.skip("delta-spark not in environment; delta branch gated")
+
+    from value_at_risk_spark.operators.merge import merge_into_delta
+
+    reg.write(nation, "nation_delta", fmt="delta")
+    updates = nation.limit(5).withColumn("n_name", F.lit("RENAMED"))
+    merge_into_delta(spark, reg.path("nation_delta"), updates, ["n_nationkey"])
+    merged = reg.read(spark, "nation_delta")
+    assert merged.count() == nation.count()
+    assert merged.filter(F.col("n_name") == "RENAMED").count() == 5

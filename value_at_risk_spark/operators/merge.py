@@ -62,3 +62,30 @@ def scd2_apply(
     return untouched.unionByName(still_current_hist).unionByName(
         closed
     ).unionByName(fresh)
+
+
+def merge_into_delta(
+    spark,
+    target_path: str,
+    updates: DataFrame,
+    keys: list[str],
+) -> None:
+    """MERGE pushdown for Delta targets: when the environment ships
+    delta-spark (sources.registry.delta_available), the upsert runs as
+    a transactional ``DeltaTable.merge`` — file-level rewrite of only
+    the touched files, concurrent-writer safe — instead of the full
+    anti-join + union rewrite above. Same row-level semantics as
+    ``upsert`` (updates win on key collision, unmatched rows pass
+    through), asserted by the import-gated roundtrip test.
+    """
+    from delta.tables import DeltaTable  # gated: ImportError if absent
+
+    cond = " AND ".join(f"t.{k} = u.{k}" for k in keys)
+    (
+        DeltaTable.forPath(spark, target_path)
+        .alias("t")
+        .merge(updates.alias("u"), cond)
+        .whenMatchedUpdateAll()
+        .whenNotMatchedInsertAll()
+        .execute()
+    )

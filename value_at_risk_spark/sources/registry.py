@@ -10,10 +10,23 @@ columnar, partition-prunable), no Databricks dependency.
 
 from __future__ import annotations
 
+import importlib.util
 import os
 
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
+
+
+def delta_available() -> bool:
+    """True when the delta-spark bindings are importable. The engine's
+    storage contract (schema-on-write, layout clustering, MERGE) is
+    format-parameterized: Delta is the transactional upgrade of the
+    parquet registry (the reference persists everything as Delta
+    managed tables, configure_notebook.py:18-27), taken when the
+    environment ships the libs and skipped cleanly when not — this
+    container has no Delta jars, so the Delta paths are exercised only
+    by the import-gated roundtrip test."""
+    return importlib.util.find_spec("delta") is not None
 
 # Driver-generated fixture tables (TESTDATA.md).
 TABLES = (
@@ -36,14 +49,17 @@ class Registry:
     def __init__(self, base_dir: str, tables: dict[str, str] | None = None):
         self.base_dir = base_dir
         self._paths: dict[str, str] = dict(tables or {})
+        self._formats: dict[str, str] = {}
 
     def path(self, name: str) -> str:
         if name in self._paths:
             return self._paths[name]
-        return os.path.join(self.base_dir, f"{name}.parquet")
+        ext = self._formats.get(name, "parquet")
+        return os.path.join(self.base_dir, f"{name}.{ext}")
 
-    def register(self, name: str, path: str) -> None:
+    def register(self, name: str, path: str, fmt: str = "parquet") -> None:
         self._paths[name] = path
+        self._formats[name] = fmt
 
     def read(self, spark: SparkSession, name: str) -> DataFrame:
         """Table scan (S4): parquet scan with full Catalyst pushdown.
@@ -59,7 +75,8 @@ class Registry:
         # build time — callers (e.g. an external harness) may construct
         # their own SparkSession without our session.py defaults.
         spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
-        df = spark.read.parquet(self.path(name))
+        fmt = self._formats.get(name, "parquet")
+        df = spark.read.format(fmt).load(self.path(name))
         if name == "events" and dict(df.dtypes).get("ts") == "bigint":
             df = df.withColumn(
                 "ts", F.timestamp_micros(F.expr("ts div 1000"))
@@ -74,6 +91,7 @@ class Registry:
         sort_by: list[str] | None = None,
         partition_keys: list[str] | None = None,
         num_files: int | None = None,
+        fmt: str = "parquet",
     ) -> None:
         """Table sink (S3) with optional layout optimization (S5/S6).
 
@@ -83,16 +101,27 @@ class Registry:
         slice reads prune well. The parquet equivalent: repartition on
         the leading cluster key, sort within partitions, so row-group
         min/max stats give the same data-skipping behavior.
+
+        ``fmt="delta"`` (requires delta-spark in the environment —
+        ``delta_available()``) upgrades the same contract to ACID
+        tables: identical layout knobs, plus transactional overwrite
+        and a MERGE target (operators/merge.merge_into_delta).
         """
+        if fmt == "delta" and not delta_available():
+            raise RuntimeError(
+                "Registry.write(fmt='delta'): delta-spark is not "
+                "installed in this environment; use parquet"
+            )
         if sort_by:
             df = df.repartition(num_files or df.sparkSession.sparkContext.defaultParallelism, sort_by[0])
             df = df.sortWithinPartitions(*sort_by)
         elif num_files:
             df = df.repartition(num_files)
-        writer = df.write.mode(mode)
+        self._formats[name] = fmt
+        writer = df.write.mode(mode).format(fmt)
         if partition_keys:
             writer = writer.partitionBy(*partition_keys)
-        writer.parquet(self.path(name))
+        writer.save(self.path(name))
 
 
 def load_tables(
