@@ -66,6 +66,12 @@ def force(df) -> None:
 def main() -> None:
     sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     sf = os.path.basename(sf_dir.rstrip("/")).replace("sf", "")
+    # optional subset (comma-separated query names) for spot runs, e.g.
+    # the ~sf1 scaled-data run recorded in PERF.md
+    subset = os.environ.get("SPARK_GRAFT_BENCH_QUERIES")
+    global BENCH_QUERIES
+    if subset:
+        BENCH_QUERIES = [q.strip() for q in subset.split(",") if q.strip()]
     spark = get_spark("bench")
     spark.range(1_000_000).selectExpr("sum(id)").collect()  # JVM warm-up
 

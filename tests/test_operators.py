@@ -647,3 +647,29 @@ def test_near_dedup_survivors_one_per_component(spark, tmp_path):
     )
     got = {r.doc_id for r in QUERIES["near_dedup_survivors"](spark, str(sf)).collect()}
     assert got == {0, 3}
+
+
+def test_connected_components_driver_and_distributed_agree(spark):
+    """The size-gated driver union-find and the distributed label
+    propagation produce identical components (chain + clique + isolated
+    pair), so the gate only changes cost, never results."""
+    from value_at_risk_spark.operators.dedup import connected_components
+
+    edges = spark.createDataFrame(
+        [(1, 2), (2, 3), (3, 4), (10, 11), (11, 12), (10, 12), (20, 21)],
+        "src long, dst long",
+    )
+    fast = {
+        (r.node, r.component)
+        for r in connected_components(edges).collect()
+    }
+    dist = {
+        (r.node, r.component)
+        for r in connected_components(edges, driver_threshold=0).collect()
+    }
+    assert fast == dist
+    assert fast == {
+        (1, 1), (2, 1), (3, 1), (4, 1),
+        (10, 10), (11, 10), (12, 10),
+        (20, 20), (21, 20),
+    }

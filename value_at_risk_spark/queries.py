@@ -3121,10 +3121,13 @@ def min_cost_supplier(spark: SparkSession, sf_dir: str) -> DataFrame:
         .join(F.broadcast(r), F.col("n_regionkey") == F.col("r_regionkey"))
         .select("partkey", "price", "s_name", "s_acctbal", "n_name")
     )
-    best = eligible.groupBy("partkey").agg(F.min("price").alias("_best"))
+    # correlated min as a whole-partition window (one shuffle on partkey)
+    # instead of aggregate + self-join (shuffle for the agg + shuffle to
+    # realign the join): the canonical Q2 decorrelation
+    best = F.min("price").over(Window.partitionBy("partkey"))
     p = _t(spark, sf_dir, "part").filter(F.col("p_size") <= 15)
     return (
-        eligible.join(best, "partkey")
+        eligible.withColumn("_best", best)
         .filter(F.col("price") == F.col("_best"))
         .join(F.broadcast(p), F.col("partkey") == F.col("p_partkey"))
         .select(
