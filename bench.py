@@ -53,6 +53,12 @@ BENCH_QUERIES = [
     # end-to-end training-data prep: dedup -> quality filter -> chunk
     # over the bench SF's documents table
     "training_data_prep",
+    # round 3: the composed LSH -> exact cosine near-dup scale path
+    # (banded sign-LSH candidates, exact verify on collisions only)
+    "ann_near_dup_lsh",
+    # round 3: TPC-H Q2 shape — correlated min decorrelated to a
+    # window over the cost aggregate's own shuffle
+    "min_cost_supplier",
 ]
 
 RUNS_PER_QUERY = 3

@@ -181,28 +181,47 @@ def hyperplane_band_pairs(
     r = num_planes // num_bands
     rng = np.random.default_rng(seed)
     planes = rng.standard_normal((num_planes, dim))
-    bits = [
-        F.when(
-            dot_product(
-                vec_col, F.array(*[F.lit(float(x)) for x in planes[p]])
+
+    # num_planes dot products per row is a dense matmul — the one shape
+    # where interpreted per-element HOF expressions lose badly to an
+    # Arrow batch (64 planes × dim 64: ~2 s of expression interpretation
+    # per 2.4 k rows vs milliseconds of numpy). SURVEY §2.10 boundary:
+    # genuinely numerical kernel, vectorized pandas, never per-row.
+    import pandas as pd
+
+    weights = 1 << np.arange(r, dtype=np.int64)
+
+    def _sign_bands(batches):
+        for pdf in batches:
+            if not len(pdf):
+                continue
+            v = np.vstack(pdf[vec_col].to_numpy())
+            bits = (v @ planes.T) > 0  # n × num_planes sign bits
+            vals = np.stack(
+                [
+                    bits[:, b * r : (b + 1) * r] @ weights
+                    for b in range(num_bands)
+                ],
+                axis=1,
             )
-            > 0,
-            F.lit(1),
-        ).otherwise(F.lit(0))
-        for p in range(num_planes)
-    ]
-    band_vals = F.array(
-        *[
-            sum(
-                (bits[b * r + j] * F.lit(1 << j) for j in range(1, r)),
-                bits[b * r],
-            ).cast("long")
-            for b in range(num_bands)
-        ]
+            yield pd.DataFrame(
+                {
+                    id_col: np.repeat(pdf[id_col].to_numpy(), num_bands),
+                    "band": np.tile(
+                        np.arange(num_bands, dtype=np.int32), len(pdf)
+                    ),
+                    "band_val": vals.reshape(-1),
+                }
+            )
+
+    bands = df.select(id_col, vec_col).mapInPandas(
+        _sign_bands, schema=f"{id_col} long, band int, band_val long"
     )
-    bands = df.select(
-        id_col, F.posexplode(band_vals).alias("band", "band_val")
-    )
+    # materialize the signature projection once: an aliased self-join
+    # re-executes its lineage on BOTH sides, doubling the signature
+    # work; the bands frame is (id, band, val) rows only — tiny
+    # relative to the vectors it came from
+    bands = bands.localCheckpoint(eager=True)
     a = bands.alias("a")
     b = bands.alias("b")
     return (

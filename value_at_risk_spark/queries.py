@@ -3201,3 +3201,123 @@ def qualified_part_suppliers(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .select("s_suppkey", "s_name")
     )
+
+
+@query(
+    "small_quantity_revenue",
+    """
+SELECT ROUND(SUM(l.l_extendedprice), 2) AS small_qty_revenue,
+       COUNT(*) AS n_items
+FROM lineitem l JOIN part ON p_partkey = l.l_partkey
+WHERE p_brand = 'Brand#1'
+  AND l.l_quantity < 0.5 * (SELECT AVG(l2.l_quantity) FROM lineitem l2
+                            WHERE l2.l_partkey = l.l_partkey)
+""",
+)
+def small_quantity_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q17 shape (correlated AVG scalar subquery against the same
+    fact): revenue from below-half-average-quantity lineitems of one
+    brand. The oracle keeps the correlated form; the Spark side is the
+    decorrelated plan — brand partkeys semi-reduce the fact scan
+    (broadcast), the per-part average comes from an unbounded window
+    over the SAME shuffle that the filter then consumes (no second
+    scan, no realign join). Revenue stays on the 2dp price grid."""
+    brand_parts = (
+        _t(spark, sf_dir, "part")
+        .filter(F.col("p_brand") == "Brand#1")
+        .select("p_partkey")
+    )
+    l = _t(spark, sf_dir, "lineitem").join(
+        F.broadcast(brand_parts),
+        F.col("l_partkey") == F.col("p_partkey"),
+        "leftsemi",
+    )
+    w = Window.partitionBy("l_partkey")
+    return (
+        l.withColumn("_avg_q", F.avg("l_quantity").over(w))
+        .filter(F.col("l_quantity") < 0.5 * F.col("_avg_q"))
+        .agg(
+            F.round(F.sum("l_extendedprice"), 2).alias("small_qty_revenue"),
+            F.count(F.lit(1)).alias("n_items"),
+        )
+    )
+
+
+@query(
+    "large_volume_orders",
+    """
+SELECT c_name, o_orderkey, CAST(o_orderdate AS DATE) AS odate,
+       o_totalprice, SUM(l_quantity) AS total_qty
+FROM orders
+JOIN customer ON o_custkey = c_custkey
+JOIN lineitem ON l_orderkey = o_orderkey
+WHERE o_orderkey IN (
+  SELECT l_orderkey FROM lineitem GROUP BY 1 HAVING SUM(l_quantity) > 150
+)
+GROUP BY 1, 2, 3, 4
+""",
+)
+def large_volume_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q18 shape (HAVING over the fact, semi-joined back): orders
+    whose total lineitem quantity exceeds 150, with customer context.
+    The qualifying keys are a key-only aggregate semi-joined into the
+    fact; the final groupBy re-derives total_qty alongside the header
+    columns — the one-big-agg + semi-join plan Q18 canonically takes."""
+    l = _t(spark, sf_dir, "lineitem")
+    big = (
+        l.groupBy("l_orderkey")
+        .agg(F.sum("l_quantity").alias("_q"))
+        .filter(F.col("_q") > 150)
+        .select("l_orderkey")
+    )
+    o = _t(spark, sf_dir, "orders")
+    c = _t(spark, sf_dir, "customer")
+    return (
+        o.join(big.withColumnRenamed("l_orderkey", "_ok"),
+               F.col("o_orderkey") == F.col("_ok"), "leftsemi")
+        .join(F.broadcast(c), F.col("o_custkey") == F.col("c_custkey"))
+        .join(l, F.col("l_orderkey") == F.col("o_orderkey"))
+        .groupBy(
+            "c_name",
+            "o_orderkey",
+            F.col("o_orderdate").cast("date").alias("odate"),
+            "o_totalprice",
+        )
+        .agg(F.sum("l_quantity").alias("total_qty"))
+    )
+
+
+@query(
+    "rich_customers_no_urgent_orders",
+    """
+SELECT c_custkey, c_name, c_acctbal
+FROM customer
+WHERE c_acctbal > (SELECT AVG(c_acctbal) FROM customer WHERE c_acctbal > 0)
+  AND NOT EXISTS (SELECT 1 FROM orders
+                  WHERE o_custkey = c_custkey
+                    AND o_orderpriority = '1-URGENT')
+""",
+)
+def rich_customers_no_urgent_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q22 shape (global scalar-aggregate subquery + anti-join):
+    above-average-balance customers with no urgent orders. (The classic
+    'no orders at all' predicate is empty on this fixture — every
+    customer has orders — so the anti-join side is the filtered order
+    subset.) The scalar average enters the plan as a broadcast
+    single-row frame joined with a crossJoin-free filter; the NOT
+    EXISTS is a left_anti on the filtered orders keys."""
+    c = _t(spark, sf_dir, "customer")
+    avg_bal = c.filter(F.col("c_acctbal") > 0).agg(
+        F.avg("c_acctbal").alias("_avg")
+    )
+    urgent = (
+        _t(spark, sf_dir, "orders")
+        .filter(F.col("o_orderpriority") == "1-URGENT")
+        .select("o_custkey")
+    )
+    return (
+        c.join(F.broadcast(avg_bal))
+        .filter(F.col("c_acctbal") > F.col("_avg"))
+        .join(urgent, F.col("c_custkey") == F.col("o_custkey"), "left_anti")
+        .select("c_custkey", "c_name", "c_acctbal")
+    )
