@@ -267,3 +267,56 @@ def test_rocksdb_state_store_stateful_restart(spark, sf_dir, tmp_path):
             spark.conf.set(
                 "spark.sql.streaming.stateStore.providerClass", prev
             )
+
+
+def test_stream_stream_interval_join_matches_batch(spark, sf_dir):
+    """Watermarked stream-stream interval join over a bounded replay ==
+    the identical batch join: every purchase-side event paired with the
+    same user's events in the trailing hour. State is bounded by
+    (watermark + interval) x arrival rate — the unbounded-stream shape."""
+    from value_at_risk_spark.streaming.joins import interval_join_streams
+    from value_at_risk_spark.streaming.windows import read_events_stream
+
+    left_s = read_events_stream(spark, sf_dir).filter(
+        F.col("event_type") == "purchase"
+    )
+    right_s = read_events_stream(spark, sf_dir)
+    joined = interval_join_streams(
+        left_s, right_s, by="user_id", lookback_seconds=3600
+    )
+    sink = "ss_interval_join_test"
+    q = (
+        joined.writeStream.format("memory")
+        .queryName(sink)
+        .outputMode("append")
+        .trigger(availableNow=True)
+        .start()
+    )
+    assert q.awaitTermination(180)
+    got = {
+        (r.l_event_id, r.r_event_id)
+        for r in spark.table(sink).collect()
+    }
+
+    ev = Registry(sf_dir).read(spark, "events")
+    l = ev.filter(F.col("event_type") == "purchase").select(
+        F.col("event_id").alias("l_id"),
+        F.col("user_id").alias("l_u"),
+        F.col("ts").alias("l_ts"),
+    )
+    r = ev.select(
+        F.col("event_id").alias("r_id"),
+        F.col("user_id").alias("r_u"),
+        F.col("ts").alias("r_ts"),
+    )
+    exp = {
+        (row.l_id, row.r_id)
+        for row in l.join(
+            r,
+            (F.col("l_u") == F.col("r_u"))
+            & (F.col("r_ts") >= F.col("l_ts") - F.expr("INTERVAL 3600 SECONDS"))
+            & (F.col("r_ts") <= F.col("l_ts")),
+        ).collect()
+    }
+    assert got == exp
+    assert len(exp) > 0

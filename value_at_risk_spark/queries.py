@@ -2353,6 +2353,39 @@ def streaming_daily_events(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+@query("streaming_interval_join")
+def streaming_interval_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Watermarked stream-stream INTERVAL join at the gate (rows-only
+    by contract — no DuckDB streaming oracle; batch parity is
+    pytest-asserted pair-for-pair): each purchase event paired with the
+    same user's events in the trailing hour, both sides unbounded
+    streams with state evicted by watermark + time bound. Emits the
+    joined pairs in append mode (a stream-stream join supports no
+    other); the row SET is replay-order-stable."""
+    from value_at_risk_spark.streaming.joins import interval_join_streams
+    from value_at_risk_spark.streaming.windows import read_events_stream
+
+    left = read_events_stream(spark, sf_dir).filter(
+        F.col("event_type") == "purchase"
+    )
+    right = read_events_stream(spark, sf_dir)
+    joined = interval_join_streams(
+        left, right, by="user_id", lookback_seconds=3600
+    ).select("l_event_id", "r_event_id", "r_event_type")
+    sink = f"gate_ss_interval_{uuid.uuid4().hex[:8]}"
+    q = (
+        joined.writeStream.format("memory")
+        .queryName(sink)
+        .outputMode("append")
+        .trigger(availableNow=True)
+        .start()
+    )
+    if not q.awaitTermination(180):
+        q.stop()
+        raise TimeoutError("streaming_interval_join: replay exceeded 180s")
+    return spark.table(sink)
+
+
 @query(
     "weekly_ohlc_candles",
     "WITH "
