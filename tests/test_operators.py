@@ -673,3 +673,45 @@ def test_connected_components_driver_and_distributed_agree(spark):
         (10, 10), (11, 10), (12, 10),
         (20, 20), (21, 20),
     }
+
+
+def test_simhash_band_pairs_pigeonhole_recall(spark):
+    """Banded SimHash candidates have an EXACT recall guarantee by
+    pigeonhole: with 4 bands over 64 bits, every pair within Hamming
+    distance 3 shares at least one untouched band. Asserted against a
+    brute-force Hamming computation over constructed fingerprints
+    (including sign-bit flips and distances straddling the bound)."""
+    from itertools import combinations
+
+    from value_at_risk_spark.operators.dedup import simhash_band_pairs
+
+    base = 0x123456789ABCDEF0
+    fps = [
+        (0, base),
+        (1, base ^ 0x1),                      # hamming 1 (band 0)
+        (2, base ^ (1 << 63)),                # hamming 1 (sign bit, band 3)
+        (3, base ^ 0x7),                      # hamming 3, all in band 0
+        (4, base ^ 0x0001000100010001),       # hamming 4, one bit PER band
+        (5, ~base),                           # hamming 64
+    ]
+    df = spark.createDataFrame(
+        [(i, f - (1 << 64) if f >= (1 << 63) else f) for i, f in fps],
+        "doc_id long, simhash long",
+    )
+    got = {
+        (r.id_a, r.id_b): r.hamming
+        for r in simhash_band_pairs(df, num_bands=4).collect()
+    }
+
+    def ham(x, y):
+        return bin((x ^ y) & ((1 << 64) - 1)).count("1")
+
+    vals = dict(fps)
+    for i, j in combinations(vals, 2):
+        d = ham(vals[i], vals[j])
+        if d < 4:  # pigeonhole guarantee
+            assert (i, j) in got, (i, j, d)
+            assert got[(i, j)] == d
+    # the one-bit-per-band pair dirties every band: must NOT collide
+    assert (0, 4) not in got
+    assert (0, 5) not in got

@@ -205,6 +205,68 @@ def simhash(
     return votes.select(id_col, fp.cast("long").alias("simhash"))
 
 
+def simhash_band_pairs(
+    fingerprints: DataFrame,
+    id_col: str = "doc_id",
+    fp_col: str = "simhash",
+    num_bands: int = 4,
+    max_hamming: int | None = None,
+) -> DataFrame:
+    """Candidate pairs from banded SimHash fingerprints, with an EXACT
+    recall guarantee: a 64-bit fingerprint split into ``num_bands``
+    equal bands collides on at least one band whenever
+    Hamming(a, b) < num_bands (pigeonhole — d differing bits can dirty
+    at most d bands). So with 4 bands, every pair within Hamming
+    distance 3 is guaranteed a candidate; no hash-family luck involved
+    (pinned in tests). Candidates come from a (band, band_val)
+    equi-join — never all-pairs — and are optionally verified with the
+    exact popcount Hamming distance (``max_hamming``).
+
+    Output: (id_a, id_b[, hamming]) with id_a < id_b.
+    """
+    bits = 64
+    if bits % num_bands:
+        raise ValueError("simhash_band_pairs: bands must divide 64")
+    r = bits // num_bands
+    # unsigned right-shift so the sign bit doesn't smear; mask to r bits
+    mask = (1 << r) - 1
+    band_vals = F.array(
+        *[
+            F.shiftrightunsigned(F.col(fp_col), b * r)
+            .bitwiseAND(F.lit(mask))
+            .alias(f"_b{b}")
+            for b in range(num_bands)
+        ]
+    )
+    bands = fingerprints.select(
+        id_col, fp_col, F.posexplode(band_vals).alias("band", "band_val")
+    )
+    a = bands.alias("a")
+    b = bands.alias("b")
+    pairs = (
+        a.join(
+            b,
+            on=[
+                F.col("a.band") == F.col("b.band"),
+                F.col("a.band_val") == F.col("b.band_val"),
+                F.col(f"a.{id_col}") < F.col(f"b.{id_col}"),
+            ],
+        )
+        .select(
+            F.col(f"a.{id_col}").alias("id_a"),
+            F.col(f"b.{id_col}").alias("id_b"),
+            F.col(f"a.{fp_col}").alias("_fa"),
+            F.col(f"b.{fp_col}").alias("_fb"),
+        )
+        .distinct()
+    )
+    hamming = F.bit_count(F.col("_fa").bitwiseXOR(F.col("_fb")))
+    out = pairs.select("id_a", "id_b", hamming.alias("hamming"))
+    if max_hamming is not None:
+        out = out.filter(F.col("hamming") <= max_hamming)
+    return out
+
+
 def connected_components(
     edges: DataFrame,
     src: str = "src",

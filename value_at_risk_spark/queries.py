@@ -2353,6 +2353,23 @@ def streaming_daily_events(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+@query("simhash_near_dup_pairs")
+def simhash_near_dup_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SimHash-banded near-dup candidate pairs with exact-Hamming
+    verification (rows-only: xxhash64 fingerprints have no DuckDB
+    twin; the band recall guarantee is pigeonhole-EXACT and pytest-
+    pinned, not probabilistic): 4 bands over 64 bits catch every pair
+    within Hamming distance 3 by construction; the popcount verify
+    keeps pairs at distance ≤ 8 that banding surfaced. Completes the
+    SimHash modality from fingerprints to pairs — same bucketed
+    (band, value) equi-join shape as MinHash and sign-LSH."""
+    from value_at_risk_spark.operators.dedup import simhash_band_pairs
+
+    d = _t(spark, sf_dir, "documents")
+    fps = simhash(d)
+    return simhash_band_pairs(fps, num_bands=4, max_hamming=8)
+
+
 @query("streaming_interval_join")
 def streaming_interval_join(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Watermarked stream-stream INTERVAL join at the gate (rows-only
