@@ -3000,7 +3000,11 @@ def streaming_basel_demo(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.lit(-0.005).alias("var_99"),
     )
     src = tempfile.mkdtemp(prefix="pnl_stream_")
-    pnl.coalesce(1).write.mode("overwrite").parquet(src)
+    # parallel staging write: availableNow with no file-rate cap reads
+    # the whole dir as ONE micro-batch, and the backtest sorts within a
+    # batch — per-series cross-batch ordering (the operator's contract)
+    # is unaffected by the file count, so no coalesce(1) bottleneck
+    pnl.write.mode("overwrite").parquet(src)
     stream = spark.readStream.schema(pnl.schema).parquet(src)
     bt = streaming_basel_backtest(stream, basel_days=250)
     # uuid sink name: a fixed queryName collides across concurrent sessions
