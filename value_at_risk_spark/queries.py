@@ -2353,6 +2353,34 @@ def streaming_daily_events(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+@query(
+    "salted_distinct_users_by_type",
+    """
+SELECT event_type, COUNT(DISTINCT user_id) AS n_users, COUNT(*) AS n_events
+FROM events GROUP BY event_type
+""",
+)
+def salted_distinct_users_by_type(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Skew-safe EXACT distinct count, oracle-pinned: the two-phase
+    value-hash-salted rewrite (operators/skew.py rationale — holistic
+    aggregates get no map-side shrink, so a hot key's whole payload
+    lands on one reducer). Salting on hash(user_id) % 16 keeps every
+    user inside one salt bucket, so the per-bucket COUNT(DISTINCT)s
+    sum EXACTLY — same result as the plain plan (the oracle), hot keys
+    spread over 16 reducers. The 5-value event_type column is this
+    fixture's natural hot-key column."""
+    e = _t(spark, sf_dir, "events")
+    partial = e.groupBy(
+        "event_type", F.pmod(F.hash("user_id"), F.lit(16)).alias("_salt")
+    ).agg(
+        F.count_distinct("user_id").alias("_d"),
+        F.count(F.lit(1)).alias("_n"),
+    )
+    return partial.groupBy("event_type").agg(
+        F.sum("_d").alias("n_users"), F.sum("_n").alias("n_events")
+    )
+
+
 @query("simhash_near_dup_pairs")
 def simhash_near_dup_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     """SimHash-banded near-dup candidate pairs with exact-Hamming
