@@ -53,9 +53,19 @@ def _already_gated() -> set[str]:
 
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     gated = _already_gated()
-    fresh = {k: v for k, v in QUERIES.items() if k not in gated}
+    # never-gated first; within each group, oracle-eligible queries
+    # before rows-only ones — a truncating gate then spends its budget
+    # on fresh hash-comparable coverage before fresh rows-only checks
+    fresh_oracle = {
+        k: v for k, v in QUERIES.items() if k not in gated and k in ORACLES
+    }
+    fresh_rows = {
+        k: v
+        for k, v in QUERIES.items()
+        if k not in gated and k not in ORACLES
+    }
     rest = {k: v for k, v in QUERIES.items() if k in gated}
-    return {**fresh, **rest}
+    return {**fresh_oracle, **fresh_rows, **rest}
 
 
 def oracle_sql() -> dict[str, str]:
