@@ -2354,6 +2354,83 @@ def streaming_daily_events(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @query(
+    "ann_ivf_recall_planted",
+    """
+WITH base AS (
+  SELECT vec_id AS id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings
+),
+planted AS (
+  SELECT vec_id + 1000000 AS id,
+         array_agg(x + ((vec_id * 31 + (i - 1) * 17) % 7 - 3) * 0.005
+                   ORDER BY i) AS v
+  FROM (SELECT vec_id,
+               generate_subscripts(CAST(embedding AS DOUBLE[]), 1) AS i,
+               UNNEST(CAST(embedding AS DOUBLE[])) AS x
+        FROM embeddings WHERE vec_id % 5 = 0) t
+  GROUP BY vec_id
+),
+corpus AS (SELECT * FROM base UNION ALL SELECT * FROM planted)
+SELECT query_id, neighbor_id, cosine FROM (
+  SELECT q.id AS query_id, c.id AS neighbor_id,
+         ROUND(list_cosine_similarity(q.v, c.v), 6) + 0 AS cosine,
+         ROW_NUMBER() OVER (
+           PARTITION BY q.id
+           ORDER BY list_cosine_similarity(q.v, c.v) DESC, c.id
+         ) AS rn
+  FROM planted q JOIN corpus c ON c.id <> q.id
+) WHERE rn = 1
+""",
+)
+def ann_ivf_recall_planted(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Trained-IVF ANN recall@1, oracle-pinned: each planted near-dup
+    query (same deterministic perturbation as ann_near_dup_lsh,
+    cosine ≈ 0.997 to its source — every other vector ≤ ~0.6) must
+    return its source as top-1 through the FULL IVF path: distributed
+    k-means coarse quantizer, cell assignment, nprobe=2 probing, exact
+    re-rank within probed cells only. The DuckDB twin computes the
+    exact top-1 by brute force, so hash equality asserts recall@1 = 1
+    through the bucketed scale path — the IVF analogue of what
+    ann_near_dup_lsh pins for sign-LSH. (Near-identical query/source
+    pairs land in the same k-means cell, so the assertion is robust to
+    last-ulp centroid drift across runs; nprobe=2 covers the boundary.)
+    """
+    from value_at_risk_spark.operators.similarity import (
+        ivf_topk,
+        kmeans_centroids,
+    )
+
+    e = _t(spark, sf_dir, "embeddings")
+    base = e.select(
+        F.col("vec_id").alias("id"),
+        F.transform("embedding", lambda x: x.cast("double")).alias("v"),
+    )
+    planted = e.filter(F.col("vec_id") % 5 == 0).select(
+        (F.col("vec_id") + 1000000).alias("id"),
+        F.transform(
+            "embedding",
+            lambda x, i: x.cast("double")
+            + ((F.col("vec_id") * 31 + i.cast("bigint") * 17) % 7 - 3)
+            * F.lit(0.005),
+        ).alias("v"),
+    )
+    corpus = base.unionAll(planted)
+    cents = kmeans_centroids(corpus, "v", k=8, iters=3)
+    top1 = ivf_topk(
+        planted.select(F.col("id").alias("query_id"), "v"),
+        corpus.select(F.col("id").alias("neighbor_id"), "v"),
+        cents,
+        k=1,
+        nprobe=2,
+        query_id="query_id",
+        corpus_id="neighbor_id",
+        vec_col="v",
+    )
+    return top1.filter(F.col("rank") == 1).select(
+        "query_id", "neighbor_id", "cosine"
+    )
+
+
+@query(
     "salted_distinct_users_by_type",
     """
 SELECT event_type, COUNT(DISTINCT user_id) AS n_users, COUNT(*) AS n_events
