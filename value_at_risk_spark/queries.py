@@ -2353,6 +2353,30 @@ def streaming_daily_events(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def _planted_embedding_corpus(e: DataFrame) -> tuple[DataFrame, DataFrame]:
+    """(base, planted) recall fixture shared by ann_near_dup_lsh and
+    ann_ivf_recall_planted: every 5th vector gets a copy at
+    id + 1000000, perturbed by an exact integer-arithmetic delta
+    (((vec_id·31 + i·17) mod 7) − 3) · 0.005 per position — cosine
+    ≈ 0.997 to its source while natural fixture pairs top out ≈ 0.51.
+    Integer mod + one multiply keeps both engines bit-identical; the
+    matching DuckDB CTE lives in both queries' oracle SQL."""
+    base = e.select(
+        F.col("vec_id").alias("id"),
+        F.transform("embedding", lambda x: x.cast("double")).alias("v"),
+    )
+    planted = e.filter(F.col("vec_id") % 5 == 0).select(
+        (F.col("vec_id") + 1000000).alias("id"),
+        F.transform(
+            "embedding",
+            lambda x, i: x.cast("double")
+            + ((F.col("vec_id") * 31 + i.cast("bigint") * 17) % 7 - 3)
+            * F.lit(0.005),
+        ).alias("v"),
+    )
+    return base, planted
+
+
 @query(
     "ann_ivf_recall_planted",
     """
@@ -2399,20 +2423,7 @@ def ann_ivf_recall_planted(spark: SparkSession, sf_dir: str) -> DataFrame:
         kmeans_centroids,
     )
 
-    e = _t(spark, sf_dir, "embeddings")
-    base = e.select(
-        F.col("vec_id").alias("id"),
-        F.transform("embedding", lambda x: x.cast("double")).alias("v"),
-    )
-    planted = e.filter(F.col("vec_id") % 5 == 0).select(
-        (F.col("vec_id") + 1000000).alias("id"),
-        F.transform(
-            "embedding",
-            lambda x, i: x.cast("double")
-            + ((F.col("vec_id") * 31 + i.cast("bigint") * 17) % 7 - 3)
-            * F.lit(0.005),
-        ).alias("v"),
-    )
+    base, planted = _planted_embedding_corpus(_t(spark, sf_dir, "embeddings"))
     corpus = base.unionAll(planted)
     cents = kmeans_centroids(corpus, "v", k=8, iters=3)
     top1 = ivf_topk(
@@ -2676,22 +2687,7 @@ def ann_near_dup_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
         cosine_near_dup_pairs_lsh,
     )
 
-    e = _t(spark, sf_dir, "embeddings")
-    base = e.select(
-        F.col("vec_id").alias("id"),
-        F.transform("embedding", lambda x: x.cast("double")).alias("v"),
-    )
-    planted = e.filter(F.col("vec_id") % 5 == 0).select(
-        (F.col("vec_id") + 1000000).alias("id"),
-        F.transform(
-            "embedding",
-            lambda x, i: x.cast("double")
-            + (
-                (F.col("vec_id") * 31 + i.cast("bigint") * 17) % 7 - 3
-            )
-            * F.lit(0.005),
-        ).alias("v"),
-    )
+    base, planted = _planted_embedding_corpus(_t(spark, sf_dir, "embeddings"))
     corpus = base.unionAll(planted)
     return cosine_near_dup_pairs_lsh(
         corpus, threshold=0.95, id_col="id", vec_col="v"
