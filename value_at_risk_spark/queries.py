@@ -2353,6 +2353,42 @@ def streaming_daily_events(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+@query(
+    "sql_api_nation_revenue",
+    """
+SELECT n_name,
+       ROUND(SUM(o_totalprice), 2) AS revenue,
+       COUNT(DISTINCT c_custkey) AS n_customers
+FROM orders
+JOIN customer ON o_custkey = c_custkey
+JOIN nation ON c_nationkey = n_nationkey
+GROUP BY n_name
+""",
+)
+def sql_api_nation_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The engine's SQL front door at the gate: registry-backed temp
+    views (sources.registry.load_tables) + a pure ``spark.sql`` query —
+    the identical ANSI text both engines run (the oracle IS this SQL).
+    Everything else in the gate exercises the DataFrame API; this row
+    pins that the declarative surface reaches the same Catalyst plans
+    (dim joins broadcast, partial aggregation) users of ``spark.sql``
+    get."""
+    from value_at_risk_spark.sources.registry import load_tables
+
+    load_tables(spark, sf_dir, names=("customer", "orders", "nation"))
+    return spark.sql(
+        """
+        SELECT n_name,
+               ROUND(SUM(o_totalprice), 2) AS revenue,
+               COUNT(DISTINCT c_custkey) AS n_customers
+        FROM orders
+        JOIN customer ON o_custkey = c_custkey
+        JOIN nation ON c_nationkey = n_nationkey
+        GROUP BY n_name
+        """
+    )
+
+
 def _planted_embedding_corpus(e: DataFrame) -> tuple[DataFrame, DataFrame]:
     """(base, planted) recall fixture shared by ann_near_dup_lsh and
     ann_ivf_recall_planted: every 5th vector gets a copy at
