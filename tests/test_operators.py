@@ -715,3 +715,74 @@ def test_simhash_band_pairs_pigeonhole_recall(spark):
     # the one-bit-per-band pair dirties every band: must NOT collide
     assert (0, 4) not in got
     assert (0, 5) not in got
+
+
+def test_bmp_wav_real_decode_and_resize(spark):
+    """Pixel/sample decode is REAL for the stdlib-parseable formats:
+    a constructed 24-bit BMP (bottom-up, row padding) decodes to exact
+    RGB pixels, nearest-neighbor resize picks exact source pixels, a
+    16-bit PCM WAV decodes to exact samples, and the Spark-side
+    image_pixel_stats operator computes exact means with NULL
+    degradation for non-decodable payloads."""
+    import struct
+
+    import numpy as np
+
+    from value_at_risk_spark.operators.multimodal import (
+        decode_bmp,
+        decode_wav_samples,
+        image_pixel_stats,
+        resize_nearest,
+    )
+
+    # 3x2 24-bit BMP, bottom-up, rows padded to 4 bytes (3*3=9 -> 12)
+    px = np.arange(3 * 2 * 3, dtype=np.uint8).reshape(2, 3, 3)  # RGB truth
+    rows = b""
+    for r in range(1, -1, -1):  # bottom-up: last row first
+        row = b"".join(bytes(px[r, c, ::-1]) for c in range(3))  # BGR
+        rows += row + b"\x00" * (12 - len(row))
+    header = (
+        b"BM"
+        + struct.pack("<IHHI", 54 + len(rows), 0, 0, 54)
+        + struct.pack("<IiiHHIIiiII", 40, 3, 2, 1, 24, 0, len(rows), 0, 0, 0, 0)
+    )
+    bmp = header + rows
+    got = decode_bmp(bmp)
+    assert got.shape == (2, 3, 3)
+    assert np.array_equal(got, px)
+
+    up = resize_nearest(got, 4, 6)
+    assert up.shape == (4, 6, 3)
+    assert np.array_equal(up[0, 0], px[0, 0]) and np.array_equal(
+        up[3, 5], px[1, 2]
+    )
+
+    # 16-bit PCM WAV: 4 stereo frames at 8 kHz
+    samples = np.array(
+        [[0, 1], [-2, 3], [100, -100], [32767, -32768]], dtype="<i2"
+    )
+    data = samples.tobytes()
+    wav = (
+        b"RIFF"
+        + struct.pack("<I", 36 + len(data))
+        + b"WAVEfmt "
+        + struct.pack("<IHHIIHH", 16, 1, 2, 8000, 32000, 4, 16)
+        + b"data"
+        + struct.pack("<I", len(data))
+        + data
+    )
+    dec, rate = decode_wav_samples(wav)
+    assert rate == 8000
+    assert np.array_equal(dec, samples)
+
+    media = spark.createDataFrame(
+        [(1, bytearray(bmp)), (2, bytearray(b"not an image"))],
+        "media_id long, payload_bytes binary",
+    )
+    stats = {r.media_id: r for r in image_pixel_stats(media, thumb=2).collect()}
+    assert stats[1].width == 3 and stats[1].height == 2
+    exp_means = px.reshape(-1, 3).mean(axis=0)
+    assert stats[1].mean_r == round(float(exp_means[0]), 4)
+    assert stats[1].mean_b == round(float(exp_means[2]), 4)
+    assert len(stats[1].thumb_mean) == 4
+    assert stats[2].width is None and stats[2].mean_r is None

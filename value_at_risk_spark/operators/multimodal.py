@@ -46,9 +46,161 @@ FEATURE_SCHEMA = StructType(
 )
 
 
-def decode_image(payload: bytes):  # pragma: no cover - container lacks codecs
-    """Real decode would use PIL/opencv — not in this container."""
-    raise NotImplementedError("image codecs unavailable in this environment")
+def decode_image(payload: bytes):
+    """Decode an image payload to an (h, w, 3) uint8 RGB numpy array.
+
+    REAL decode for uncompressed 24-bit BMP (pure stdlib struct +
+    numpy — no codec library involved); compressed formats (JPEG/PNG/
+    WebP) need PIL/opencv, absent from this container, and raise
+    ``NotImplementedError`` — the declared environment stub.
+    """
+    if len(payload) >= 2 and payload[0:2] == b"BM":
+        return decode_bmp(payload)
+    raise NotImplementedError(
+        "only uncompressed 24-bit BMP decodes without codec libraries; "
+        "JPEG/PNG need PIL/opencv (absent from this environment)"
+    )
+
+
+def decode_bmp(payload: bytes) -> np.ndarray:
+    """Uncompressed 24-bit BMP → (h, w, 3) uint8 RGB array.
+
+    Spec-complete for the BI_RGB 24bpp case: honors the pixel-data
+    offset (header 10), 4-byte row padding, bottom-up storage
+    (positive height) vs top-down (negative), and BGR byte order.
+    """
+    import struct
+
+    if len(payload) < 54 or payload[0:2] != b"BM":
+        raise ValueError("decode_bmp: not a BMP payload")
+    (data_off,) = struct.unpack("<I", payload[10:14])
+    w, h = struct.unpack("<ii", payload[18:26])
+    (bpp,) = struct.unpack("<H", payload[28:30])
+    (compression,) = struct.unpack("<I", payload[30:34])
+    if bpp != 24 or compression != 0:
+        raise NotImplementedError(
+            f"decode_bmp: only uncompressed 24-bit supported "
+            f"(got bpp={bpp}, compression={compression})"
+        )
+    top_down = h < 0
+    h = abs(h)
+    row_bytes = (w * 3 + 3) & ~3  # rows pad to 4-byte boundaries
+    need = data_off + row_bytes * h
+    if len(payload) < need:
+        raise ValueError("decode_bmp: truncated pixel data")
+    rows = np.frombuffer(
+        payload, dtype=np.uint8, count=row_bytes * h, offset=data_off
+    ).reshape(h, row_bytes)[:, : w * 3]
+    img = rows.reshape(h, w, 3)[:, :, ::-1]  # BGR -> RGB
+    return img if top_down else img[::-1]
+
+
+def decode_wav_samples(payload: bytes) -> tuple[np.ndarray, int]:
+    """16-bit PCM WAV → ((n_frames, channels) int16 array, sample_rate).
+
+    Walks RIFF chunks with stdlib struct (same traversal as
+    ``parse_media_headers``) and views the data chunk as little-endian
+    int16 — real sample decode, no audio library.
+    """
+    import struct
+
+    if len(payload) < 44 or payload[0:4] != b"RIFF" or payload[8:12] != b"WAVE":
+        raise ValueError("decode_wav_samples: not a WAV payload")
+    i, fmt, data = 12, None, None
+    while i + 8 <= len(payload):
+        cid = payload[i : i + 4]
+        (csize,) = struct.unpack("<I", payload[i + 4 : i + 8])
+        if cid == b"fmt ":
+            fmt = struct.unpack("<HHIIHH", payload[i + 8 : i + 24])
+        elif cid == b"data":
+            data = payload[i + 8 : i + 8 + csize]
+        i += 8 + csize + (csize % 2)
+    if fmt is None or data is None:
+        raise ValueError("decode_wav_samples: missing fmt or data chunk")
+    audio_fmt, channels, rate, _, _, bits = fmt
+    if audio_fmt != 1 or bits != 16:
+        raise NotImplementedError(
+            f"decode_wav_samples: only 16-bit PCM supported "
+            f"(got format={audio_fmt}, bits={bits})"
+        )
+    samples = np.frombuffer(
+        data[: len(data) - len(data) % (2 * channels)], dtype="<i2"
+    ).reshape(-1, channels)
+    return samples, rate
+
+
+def resize_nearest(img: np.ndarray, out_h: int, out_w: int) -> np.ndarray:
+    """Nearest-neighbor resize via numpy index maps — the standard
+    thumbnail/normalization step, codec-free."""
+    h, w = img.shape[:2]
+    if h == 0 or w == 0 or out_h <= 0 or out_w <= 0:
+        raise ValueError("resize_nearest: empty input or output shape")
+    ri = (np.arange(out_h) * h) // out_h
+    ci = (np.arange(out_w) * w) // out_w
+    return img[ri][:, ci]
+
+
+def image_pixel_stats(
+    media: DataFrame, payload_col: str = "payload_bytes", thumb: int = 8
+) -> DataFrame:
+    """REAL pixel-level image features over a binary column: decode
+    (24-bit BMP), per-channel means, and a nearest-neighbor thumbnail
+    mean vector — Arrow-batched mapInPandas, only (id, payload) crossing
+    the boundary. Non-BMP/compressed payloads yield NULL stats rather
+    than failing the batch (the per-row try is the production contract
+    for dirty corpora)."""
+    pruned = media.select("media_id", payload_col)
+
+    def _stats(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            out = {
+                "media_id": pdf["media_id"],
+                "width": [],
+                "height": [],
+                "mean_r": [],
+                "mean_g": [],
+                "mean_b": [],
+                "thumb_mean": [],
+            }
+            for p in pdf[payload_col]:
+                try:
+                    img = decode_bmp(bytes(p))
+                    t = resize_nearest(img, thumb, thumb)
+                    out["width"].append(img.shape[1])
+                    out["height"].append(img.shape[0])
+                    means = img.reshape(-1, 3).mean(axis=0)
+                    out["mean_r"].append(round(float(means[0]), 4))
+                    out["mean_g"].append(round(float(means[1]), 4))
+                    out["mean_b"].append(round(float(means[2]), 4))
+                    out["thumb_mean"].append(
+                        [float(x) for x in t.mean(axis=2).reshape(-1)]
+                    )
+                except (ValueError, NotImplementedError):
+                    out["width"].append(None)
+                    out["height"].append(None)
+                    out["mean_r"].append(None)
+                    out["mean_g"].append(None)
+                    out["mean_b"].append(None)
+                    out["thumb_mean"].append(None)
+            yield pd.DataFrame(
+                {
+                    "media_id": out["media_id"],
+                    "width": pd.array(out["width"], dtype="Int64"),
+                    "height": pd.array(out["height"], dtype="Int64"),
+                    "mean_r": out["mean_r"],
+                    "mean_g": out["mean_g"],
+                    "mean_b": out["mean_b"],
+                    "thumb_mean": out["thumb_mean"],
+                }
+            )
+
+    return pruned.mapInPandas(
+        _stats,
+        schema=(
+            "media_id long, width long, height long, mean_r double, "
+            "mean_g double, mean_b double, thumb_mean array<double>"
+        ),
+    )
 
 
 def _fake_feature(payload, dim: int = 16) -> list[float]:
