@@ -3512,3 +3512,286 @@ def rich_customers_no_urgent_orders(spark: SparkSession, sf_dir: str) -> DataFra
         .join(urgent, F.col("c_custkey") == F.col("o_custkey"), "left_anti")
         .select("c_custkey", "c_name", "c_acctbal")
     )
+
+
+# --------------------------------------------------------------------------
+# 14. Round-3 tail: remaining TPC-H plan shapes (Q5/Q9/Q13/Q19/Q21)
+# --------------------------------------------------------------------------
+
+
+@query(
+    "regional_nation_revenue",
+    """
+SELECT n_name,
+       ROUND(SUM(ROUND(l_extendedprice * (1 - l_discount), 4)), 4) AS revenue
+FROM customer
+JOIN orders   ON o_custkey = c_custkey
+JOIN lineitem ON l_orderkey = o_orderkey
+JOIN supplier ON l_suppkey = s_suppkey AND s_nationkey = c_nationkey
+JOIN nation   ON n_nationkey = c_nationkey
+JOIN region   ON r_regionkey = n_regionkey
+WHERE r_name = 'ASIA'
+GROUP BY 1
+""",
+)
+def regional_nation_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q5 shape (multi-way cyclic join: the s_nationkey =
+    c_nationkey edge closes a cycle through two different fact paths):
+    revenue by nation for local-supplier lineitems in one region.
+
+    Plan at scale: region->nation prunes 1/5 of nations broadcast-side;
+    supplier joins broadcast (small dim); the only shuffles are the two
+    fact-fact joins (orders-customer on custkey, lineitem-orders on
+    orderkey), with the cyclic nationkey equality applied as a residual
+    predicate on the second — exactly the join order a 1000-executor
+    run wants (dims never shuffle, facts shuffle once each). Revenue on
+    the 4dp grid (price 2dp x discount 2dp) as in pricing_summary."""
+    r = _t(spark, sf_dir, "region").filter(F.col("r_name") == "ASIA")
+    n = (
+        _t(spark, sf_dir, "nation")
+        .join(F.broadcast(r), F.col("n_regionkey") == F.col("r_regionkey"))
+        .select("n_nationkey", "n_name")
+    )
+    c = (
+        _t(spark, sf_dir, "customer")
+        .join(F.broadcast(n), F.col("c_nationkey") == F.col("n_nationkey"))
+        .select("c_custkey", "c_nationkey", "n_name")
+    )
+    o = _t(spark, sf_dir, "orders").select("o_orderkey", "o_custkey")
+    s = _t(spark, sf_dir, "supplier").select("s_suppkey", "s_nationkey")
+    l = _t(spark, sf_dir, "lineitem").select(
+        "l_orderkey",
+        "l_suppkey",
+        F.round(F.col("l_extendedprice") * (1 - F.col("l_discount")), 4).alias("_rev"),
+    )
+    co = o.join(c, F.col("o_custkey") == F.col("c_custkey"))
+    ls = l.join(F.broadcast(s), F.col("l_suppkey") == F.col("s_suppkey"))
+    return (
+        ls.join(
+            co,
+            (F.col("l_orderkey") == F.col("o_orderkey"))
+            & (F.col("s_nationkey") == F.col("c_nationkey")),
+        )
+        .groupBy("n_name")
+        .agg(F.round(F.sum("_rev"), 4).alias("revenue"))
+    )
+
+
+@query(
+    "profit_by_nation_year",
+    """
+SELECT n_name, CAST(YEAR(l_shipdate) AS BIGINT) AS ship_year,
+       ROUND(SUM(ROUND(l_extendedprice * (1 - l_discount), 4)), 4) AS amount,
+       COUNT(*) AS n_items
+FROM lineitem
+JOIN supplier ON s_suppkey = l_suppkey
+JOIN nation   ON n_nationkey = s_nationkey
+JOIN part     ON p_partkey = l_partkey
+WHERE p_name LIKE '%red%'
+GROUP BY 1, 2
+""",
+)
+def profit_by_nation_year(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q9 shape (part-name LIKE filter + supplier-nation rollup
+    by ship year): amount by supplier nation x year for 'red' parts.
+
+    Plan at scale: the LIKE-filtered part keys broadcast as a semi-join
+    that prunes the fact scan before any shuffle; supplier and nation
+    are broadcast dims; the single shuffle is the final two-key
+    aggregate. Year surfaces as BIGINT on both engines (Spark year()
+    is INT, DuckDB's is BIGINT — cast pins the schema compare)."""
+    red_parts = (
+        _t(spark, sf_dir, "part")
+        .filter(F.col("p_name").like("%red%"))
+        .select("p_partkey")
+    )
+    s = _t(spark, sf_dir, "supplier").select("s_suppkey", "s_nationkey")
+    n = _t(spark, sf_dir, "nation").select("n_nationkey", "n_name")
+    l = _t(spark, sf_dir, "lineitem")
+    return (
+        l.join(F.broadcast(red_parts), F.col("l_partkey") == F.col("p_partkey"), "leftsemi")
+        .join(F.broadcast(s), F.col("l_suppkey") == F.col("s_suppkey"))
+        .join(F.broadcast(n), F.col("s_nationkey") == F.col("n_nationkey"))
+        .groupBy(
+            "n_name",
+            F.year("l_shipdate").cast("long").alias("ship_year"),
+        )
+        .agg(
+            F.round(
+                F.sum(F.round(F.col("l_extendedprice") * (1 - F.col("l_discount")), 4)), 4
+            ).alias("amount"),
+            F.count(F.lit(1)).alias("n_items"),
+        )
+    )
+
+
+@query(
+    "customer_order_distribution",
+    """
+SELECT order_count, COUNT(*) AS n_customers
+FROM (
+  SELECT c_custkey, COUNT(o_orderkey) AS order_count
+  FROM customer
+  LEFT JOIN orders ON o_custkey = c_custkey AND o_orderpriority = '1-URGENT'
+  GROUP BY 1
+)
+GROUP BY 1
+""",
+)
+def customer_order_distribution(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q13 shape (outer join with a join-condition filter, then a
+    histogram over the grouped counts): distribution of per-customer
+    urgent-order counts, customers with none included at bucket 0.
+
+    The priority predicate must live in the JOIN condition, not WHERE
+    (WHERE would drop the no-match customers the query exists to
+    count). COUNT(o_orderkey) counts non-null matches only, so the
+    left-outer null rows become the zero bucket. Two shuffles (custkey,
+    then count) — both on already-aggregated rows at scale."""
+    c = _t(spark, sf_dir, "customer").select("c_custkey")
+    o = (
+        _t(spark, sf_dir, "orders")
+        .filter(F.col("o_orderpriority") == "1-URGENT")
+        .select("o_custkey", "o_orderkey")
+    )
+    per_cust = (
+        c.join(o, F.col("o_custkey") == F.col("c_custkey"), "left")
+        .groupBy("c_custkey")
+        .agg(F.count("o_orderkey").alias("order_count"))
+    )
+    return per_cust.groupBy("order_count").agg(
+        F.count(F.lit(1)).alias("n_customers")
+    )
+
+
+@query(
+    "disjunctive_brand_revenue",
+    """
+SELECT ROUND(SUM(ROUND(l_extendedprice * (1 - l_discount), 4)), 4) AS revenue,
+       COUNT(*) AS n_items
+FROM lineitem JOIN part ON p_partkey = l_partkey
+WHERE (p_brand = 'Brand#1' AND p_size BETWEEN 1 AND 15
+       AND l_quantity BETWEEN 1 AND 20)
+   OR (p_brand = 'Brand#2' AND p_size BETWEEN 10 AND 30
+       AND l_quantity BETWEEN 5 AND 30)
+   OR (p_brand = 'Brand#3' AND p_size BETWEEN 20 AND 50
+       AND l_quantity BETWEEN 10 AND 40)
+""",
+)
+def disjunctive_brand_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q19 shape (disjunction of conjunctive predicates spanning
+    both join sides): revenue from three brand/size/quantity OR-arms.
+
+    Catalyst keeps the p_partkey equality as the hash-join key and
+    evaluates the cross-side disjunction as a post-join residual; the
+    part side pre-filters to the union of the three brand/size arms
+    (derivable from the disjunction — also pushed explicitly here so
+    the broadcast build side shrinks even without constraint
+    propagation). One broadcast join, one global agg, no shuffle of
+    the fact."""
+    arms_part = (
+        (F.col("p_brand") == "Brand#1") & F.col("p_size").between(1, 15)
+    ) | (
+        (F.col("p_brand") == "Brand#2") & F.col("p_size").between(10, 30)
+    ) | (
+        (F.col("p_brand") == "Brand#3") & F.col("p_size").between(20, 50)
+    )
+    p = (
+        _t(spark, sf_dir, "part")
+        .filter(arms_part)
+        .select("p_partkey", "p_brand", "p_size")
+    )
+    l = _t(spark, sf_dir, "lineitem").select(
+        "l_partkey", "l_quantity", "l_extendedprice", "l_discount"
+    )
+    full_arms = (
+        (F.col("p_brand") == "Brand#1")
+        & F.col("p_size").between(1, 15)
+        & F.col("l_quantity").between(1, 20)
+    ) | (
+        (F.col("p_brand") == "Brand#2")
+        & F.col("p_size").between(10, 30)
+        & F.col("l_quantity").between(5, 30)
+    ) | (
+        (F.col("p_brand") == "Brand#3")
+        & F.col("p_size").between(20, 50)
+        & F.col("l_quantity").between(10, 40)
+    )
+    return (
+        l.join(F.broadcast(p), F.col("l_partkey") == F.col("p_partkey"))
+        .filter(full_arms)
+        .agg(
+            F.round(
+                F.sum(F.round(F.col("l_extendedprice") * (1 - F.col("l_discount")), 4)), 4
+            ).alias("revenue"),
+            F.count(F.lit(1)).alias("n_items"),
+        )
+    )
+
+
+@query(
+    "sole_return_suppliers",
+    """
+SELECT s_name, COUNT(*) AS n_sole_returns
+FROM supplier
+JOIN lineitem l1 ON s_suppkey = l1.l_suppkey
+JOIN orders ON o_orderkey = l1.l_orderkey
+WHERE o_orderstatus = 'F' AND l1.l_returnflag = 'R'
+  AND EXISTS (SELECT 1 FROM lineitem l2
+              WHERE l2.l_orderkey = l1.l_orderkey
+                AND l2.l_suppkey <> l1.l_suppkey)
+  AND NOT EXISTS (SELECT 1 FROM lineitem l3
+                  WHERE l3.l_orderkey = l1.l_orderkey
+                    AND l3.l_suppkey <> l1.l_suppkey
+                    AND l3.l_returnflag = 'R')
+GROUP BY 1
+""",
+)
+def sole_return_suppliers(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q21 shape (EXISTS + NOT EXISTS self-joins on the same fact
+    with an inequality in the correlation): suppliers who were the ONLY
+    supplier to have a returned item in a multi-supplier finalized
+    order.
+
+    Both subqueries become self-joins keyed on l_orderkey with the
+    suppkey inequality as a residual: EXISTS -> left_semi, NOT EXISTS
+    -> left_anti. At scale all three legs shuffle on the same
+    l_orderkey key, so AQE coalesces them into one exchange reuse;
+    supplier names attach by broadcast after the fact reduces."""
+    l = _t(spark, sf_dir, "lineitem")
+    finalized = (
+        _t(spark, sf_dir, "orders")
+        .filter(F.col("o_orderstatus") == "F")
+        .select("o_orderkey")
+    )
+    l1 = (
+        l.filter(F.col("l_returnflag") == "R")
+        .select("l_orderkey", "l_suppkey")
+        .join(finalized, F.col("l_orderkey") == F.col("o_orderkey"), "leftsemi")
+    )
+    l2 = l.select(
+        F.col("l_orderkey").alias("_ok2"), F.col("l_suppkey").alias("_sk2")
+    )
+    l3 = (
+        l.filter(F.col("l_returnflag") == "R")
+        .select(F.col("l_orderkey").alias("_ok3"), F.col("l_suppkey").alias("_sk3"))
+    )
+    sole = (
+        l1.join(
+            l2,
+            (F.col("l_orderkey") == F.col("_ok2"))
+            & (F.col("l_suppkey") != F.col("_sk2")),
+            "leftsemi",
+        ).join(
+            l3,
+            (F.col("l_orderkey") == F.col("_ok3"))
+            & (F.col("l_suppkey") != F.col("_sk3")),
+            "left_anti",
+        )
+    )
+    s = _t(spark, sf_dir, "supplier").select("s_suppkey", "s_name")
+    return (
+        sole.join(F.broadcast(s), F.col("l_suppkey") == F.col("s_suppkey"))
+        .groupBy("s_name")
+        .agg(F.count(F.lit(1)).alias("n_sole_returns"))
+    )
