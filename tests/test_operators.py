@@ -786,3 +786,48 @@ def test_bmp_wav_real_decode_and_resize(spark):
     assert stats[1].mean_b == round(float(exp_means[2]), 4)
     assert len(stats[1].thumb_mean) == 4
     assert stats[2].width is None and stats[2].mean_r is None
+
+
+def test_misra_gries_heavy_hitters(spark):
+    """MG candidate pass is a guaranteed superset of >n/k items even
+    under adversarial partitioning; the exact verify pass equals the
+    plain groupBy-count-filter answer."""
+    import random
+
+    from value_at_risk_spark.operators.heavyhitters import (
+        exact_heavy_hitters,
+        mg_candidates,
+    )
+
+    rng = random.Random(7)
+    # 3 heavy items spread thin across rows + a long tail of near-unique
+    # noise (the case where per-partition top-m would break but MG holds)
+    vals = (
+        ["alpha"] * 900
+        + ["beta"] * 500
+        + ["gamma"] * 350
+        + [f"noise{i}" for i in range(8000)]
+    )
+    rng.shuffle(vals)
+    df = spark.createDataFrame(
+        [(v,) for v in vals], "item string"
+    ).repartition(16)  # scatter heavy items across many partitions
+    n, k = len(vals), 20  # threshold n/k = 487.5
+
+    exact = {
+        (r.item, r.cnt)
+        for r in df.groupBy("item")
+        .agg(F.count(F.lit(1)).alias("cnt"))
+        .filter(F.col("cnt") > n / k)
+        .collect()
+    }
+    assert {i for i, _ in exact} == {"alpha", "beta"}
+
+    cands = {r.item for r in mg_candidates(df, "item", k).collect()}
+    assert {i for i, _ in exact} <= cands  # pigeonhole superset
+    # candidate volume is bounded: <= k rows per partition
+    assert len(cands) <= 16 * k
+
+    hh = exact_heavy_hitters(df, "item", k)
+    got = {(r.item, r.cnt) for r in hh.collect()}
+    assert got == exact

@@ -3795,3 +3795,36 @@ def sole_return_suppliers(spark: SparkSession, sf_dir: str) -> DataFrame:
         .groupBy("s_name")
         .agg(F.count(F.lit(1)).alias("n_sole_returns"))
     )
+
+
+@query(
+    "heavy_hitter_tokens",
+    """
+WITH toks AS (
+  SELECT UNNEST(string_split(lower(text), ' ')) AS tok FROM documents
+)
+SELECT tok, COUNT(*) AS cnt
+FROM toks WHERE tok <> ''
+GROUP BY tok
+HAVING COUNT(*) > (SELECT COUNT(*) FROM toks WHERE tok <> '') / 100.0
+""",
+)
+def heavy_hitter_tokens(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact frequent tokens (count > n/100) over the document corpus
+    via the two-pass Misra-Gries operator: per-partition MG summaries
+    (mapInPandas, <= 100 counters each) give a guaranteed-superset
+    candidate set; an exact count pass over just the candidates
+    (broadcast semi-join) yields the exact answer without shuffling
+    the full vocabulary — the heavy-hitters shape for a 100 TB token
+    stream. Oracle is the plain exact GROUP BY/HAVING; results agree
+    because pass 2 is exact and the MG pigeonhole guarantee makes the
+    candidate set complete (operators/heavyhitters.py docstring)."""
+    from value_at_risk_spark.operators.heavyhitters import exact_heavy_hitters
+
+    d = _t(spark, sf_dir, "documents")
+    toks = d.select(
+        F.explode(
+            F.filter(F.split(F.lower("text"), " "), lambda x: x != "")
+        ).alias("tok")
+    )
+    return exact_heavy_hitters(toks, "tok", k=100, count_alias="cnt")
