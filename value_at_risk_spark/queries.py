@@ -3828,3 +3828,58 @@ def heavy_hitter_tokens(spark: SparkSession, sf_dir: str) -> DataFrame:
         ).alias("tok")
     )
     return exact_heavy_hitters(toks, "tok", k=100, count_alias="cnt")
+
+
+@query("streaming_dedup_events")
+def streaming_dedup_events(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Streaming dedup at the gate (rows-only by contract; batch parity
+    pytest-asserted): the events fixture staged TWICE into one source
+    dir — an at-least-once redelivery — replayed through
+    ``dropDuplicatesWithinWatermark`` on event_id. The deduped stream
+    lands in a memory sink; per-type counts over the sink equal the
+    batch ``distinct`` counts exactly (every duplicate arrives within
+    the horizon in a bounded replay), proving the redelivered copy was
+    dropped. State is one row per in-horizon event_id — bounded, unlike
+    stream ``dropDuplicates``."""
+    import shutil
+    import tempfile
+
+    from value_at_risk_spark.streaming.windows import (
+        dedup_stream,
+        read_events_stream,
+    )
+
+    src = tempfile.mkdtemp(prefix="dedup_stream_")
+    try:
+        e = _t(spark, sf_dir, "events").select(
+            "event_id", "ts", "event_type"
+        )
+        # two staged copies = deterministic duplicate delivery
+        e.write.mode("overwrite").parquet(f"{src}/a")
+        e.write.mode("overwrite").parquet(f"{src}/b")
+        stream = (
+            spark.readStream.schema(e.schema)
+            .option("recursiveFileLookup", "true")
+            .parquet(src)
+        )
+        deduped = dedup_stream(stream, ["event_id"], watermark="2 days")
+        sink = f"gate_streaming_dedup_{uuid.uuid4().hex[:8]}"
+        q = (
+            deduped.writeStream.format("memory")
+            .queryName(sink)
+            .outputMode("append")
+            .trigger(availableNow=True)
+            .start()
+        )
+        if not q.awaitTermination(180):
+            q.stop()
+            raise TimeoutError(
+                "streaming_dedup_events: bounded replay exceeded 180s"
+            )
+        return (
+            spark.table(sink)
+            .groupBy("event_type")
+            .agg(F.count(F.lit(1)).alias("n_unique_events"))
+        )
+    finally:
+        shutil.rmtree(src, ignore_errors=True)
