@@ -59,6 +59,12 @@ BENCH_QUERIES = [
     # round 3: TPC-H Q2 shape — correlated min decorrelated to a
     # window over the cost aggregate's own shuffle
     "min_cost_supplier",
+    # round 3: TPC-H Q5 shape — the multi-way cyclic join (dims
+    # broadcast, facts shuffle once each)
+    "regional_nation_revenue",
+    # round 3: two-pass exact heavy hitters (per-partition Misra-Gries
+    # candidates -> broadcast-pruned exact verify) over the token stream
+    "heavy_hitter_tokens",
 ]
 
 RUNS_PER_QUERY = 3

@@ -3883,3 +3883,71 @@ def streaming_dedup_events(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
     finally:
         shutil.rmtree(src, ignore_errors=True)
+
+
+@query(
+    "time_weighted_avg_price",
+    """
+WITH
+"""
+    + SQL_DAILY
+    + """,
+iv AS (
+  SELECT series, price,
+         date_diff('day', d, LEAD(d) OVER (PARTITION BY series ORDER BY d)) AS dt
+  FROM daily
+)
+SELECT series,
+       ROUND(SUM(price * dt) / SUM(dt), 4) + 0 AS twa_price,
+       CAST(SUM(dt) AS BIGINT) AS span_days
+FROM iv WHERE dt IS NOT NULL
+GROUP BY 1
+""",
+)
+def time_weighted_avg_price(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Time-weighted average over an IRREGULAR series (the integral
+    mean ∑ pᵢ·Δtᵢ / ∑ Δtᵢ with each observation held until the next —
+    step-function interpolation): the standard estimator when sampling
+    is uneven, where a plain AVG over-weights densely-sampled stretches.
+    One lead() window on the series' own (series, d) sort + one grouped
+    agg — the same single shuffle a plain AVG needs. Last observation
+    carries no weight (no successor), matching the WHERE dt IS NOT NULL
+    on both engines."""
+    daily = daily_prices(spark, sf_dir)
+    w = Window.partitionBy("series").orderBy("d")
+    return (
+        daily.withColumn(
+            "_dt", F.datediff(F.lead("d").over(w), F.col("d")).cast("long")
+        )
+        .filter(F.col("_dt").isNotNull())
+        .groupBy("series")
+        .agg(
+            (
+                F.round(
+                    F.sum(F.col("price") * F.col("_dt")) / F.sum("_dt"), 4
+                )
+                + F.lit(0.0)
+            ).alias("twa_price"),
+            F.sum("_dt").alias("span_days"),
+        )
+    )
+
+
+@query("approx_revenue_quantiles")
+def approx_revenue_quantiles(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Approximate grouped quantiles via the KLL-style sketch behind
+    percentile_approx (rows-only: sketch outputs are engine-specific;
+    the 1%-relative-error bound vs exact percentile is pytest-asserted
+    in tests/test_functions.py). The 100 TB path for quantiles: the
+    sketch is a fixed-size mergeable summary, vs exact percentile's
+    per-group sort. Exact remains the oracle-compared default
+    (var99_by_series, revenue_quantiles_by_nation)."""
+    o = _t(spark, sf_dir, "orders")
+    q = F.percentile_approx(
+        "o_totalprice", F.array(F.lit(0.5), F.lit(0.9), F.lit(0.99)), 10000
+    )
+    return o.groupBy(F.col("o_orderpriority").alias("priority")).agg(
+        F.round(F.element_at(q, 1), 4).alias("p50_approx"),
+        F.round(F.element_at(q, 2), 4).alias("p90_approx"),
+        F.round(F.element_at(q, 3), 4).alias("p99_approx"),
+    )
