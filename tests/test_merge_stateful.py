@@ -18,6 +18,20 @@ def test_upsert(spark):
     assert out == {1: "a", 2: "B", 3: "c", 4: "D"}
 
 
+def test_merge_into_delta_validates_before_import(spark):
+    """Key validation fires before the delta import gate, so bad calls
+    fail with ValueError even in containers without delta-spark."""
+    import pytest
+
+    from value_at_risk_spark.operators.merge import merge_into_delta
+
+    updates = spark.createDataFrame([(1, "a")], "k long, v string")
+    with pytest.raises(ValueError, match="non-empty"):
+        merge_into_delta(spark, "/tmp/nope", updates, [])
+    with pytest.raises(ValueError, match="not in updates"):
+        merge_into_delta(spark, "/tmp/nope", updates, ["missing_key"])
+
+
 def test_scd2(spark):
     target = spark.createDataFrame(
         [

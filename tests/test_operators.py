@@ -675,6 +675,27 @@ def test_connected_components_driver_and_distributed_agree(spark):
     }
 
 
+def test_connected_components_string_ids(spark):
+    """Both CC paths accept non-integer node ids (doc hashes, string
+    keys): components resolve to the lexicographically-smallest id and
+    the driver union-find preserves the caller's id type."""
+    from value_at_risk_spark.operators.dedup import connected_components
+
+    edges = spark.createDataFrame(
+        [("doc-b", "doc-a"), ("doc-b", "doc-c"), ("x", "y")],
+        "src string, dst string",
+    )
+    expect = {
+        ("doc-a", "doc-a"), ("doc-b", "doc-a"), ("doc-c", "doc-a"),
+        ("x", "x"), ("y", "x"),
+    }
+    fast = connected_components(edges)
+    assert dict(fast.dtypes) == {"node": "string", "component": "string"}
+    assert {(r.node, r.component) for r in fast.collect()} == expect
+    dist = connected_components(edges, driver_threshold=0)
+    assert {(r.node, r.component) for r in dist.collect()} == expect
+
+
 def test_simhash_band_pairs_pigeonhole_recall(spark):
     """Banded SimHash candidates have an EXACT recall guarantee by
     pigeonhole: with 4 bands over 64 bits, every pair within Hamming

@@ -310,6 +310,7 @@ def connected_components(
     sym = sym.localCheckpoint(eager=True)
     if driver_threshold and sym.count() <= 2 * driver_threshold:
         import pandas as pd
+        from pyspark.sql.types import StructField, StructType
 
         epdf = sym.toPandas()  # one Arrow transfer, ≤ 2·threshold rows
         parent: dict = {}
@@ -322,17 +323,25 @@ def connected_components(
                 parent[x], x = root, parent[x]
             return root
 
+        # ids are used as-is — any hashable, orderable type (ints,
+        # strings, dates) works, same as the distributed path below
         for ea, eb in zip(epdf["a"], epdf["b"]):
-            ra, rb = find(int(ea)), find(int(eb))
+            ra, rb = find(ea), find(eb)
             if ra != rb:  # union toward the smaller id
                 lo, hi = (ra, rb) if ra < rb else (rb, ra)
                 parent[hi] = lo
-        seen = sorted({int(v) for v in epdf["a"]})
+        seen = sorted(set(epdf["a"]))
         pdf = pd.DataFrame(
-            {"node": seen, "component": [find(n) for n in seen]},
-            dtype="int64",
+            {"node": seen, "component": [find(n) for n in seen]}
         )
-        return edges.sparkSession.createDataFrame(pdf)
+        id_type = sym.schema["a"].dataType  # carry the caller's id type
+        out_schema = StructType(
+            [
+                StructField("node", id_type, False),
+                StructField("component", id_type, False),
+            ]
+        )
+        return edges.sparkSession.createDataFrame(pdf, schema=out_schema)
     labels = (
         sym.select(F.col("a").alias("node"))
         .distinct()

@@ -77,9 +77,22 @@ def merge_into_delta(
     anti-join + union rewrite above. Same row-level semantics as
     ``upsert`` (updates win on key collision, unmatched rows pass
     through), asserted by the import-gated roundtrip test.
+
+    ``DeltaTable.merge`` throws at RUNTIME when multiple source rows
+    match one target row, and an empty key list would render an empty
+    (invalid) merge condition — so keys are validated here and
+    ``updates`` is deduplicated to one row per key (latest wins is the
+    caller's job; ties are arbitrary, same as ``upsert``'s union).
     """
+    if not keys:
+        raise ValueError("merge_into_delta: keys must be non-empty")
+    missing = [k for k in keys if k not in updates.columns]
+    if missing:
+        raise ValueError(f"merge_into_delta: keys not in updates: {missing}")
+
     from delta.tables import DeltaTable  # gated: ImportError if absent
 
+    updates = updates.dropDuplicates(keys)
     cond = " AND ".join(f"t.{k} = u.{k}" for k in keys)
     (
         DeltaTable.forPath(spark, target_path)

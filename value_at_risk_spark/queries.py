@@ -1694,13 +1694,19 @@ def near_dedup_survivors(spark: SparkSession, sf_dir: str) -> DataFrame:
     tests/test_operators.py). The DuckDB twin computes true shingle-
     Jaccard pairs + recursive transitive closure, so hash equality
     asserts the end-to-end dedup flow, not just the pair stage."""
-    from value_at_risk_spark.functions.text import shingles
+    from value_at_risk_spark.functions.text import shingles, tokens
     from value_at_risk_spark.operators.dedup import connected_components
 
     d = _t(spark, sf_dir, "documents")
     sigs = minhash_signatures(d, num_hashes=32, shingle_n=3)
     pairs = minhash_lsh_pairs(sigs, num_bands=16, num_hashes=32)
-    sh = d.select("doc_id", F.array_distinct(shingles("text", 3)).alias("sh"))
+    # Docs with < 3 tokens yield no 3-shingles in the oracle (WHERE
+    # len(ts) >= 3) but ONE truncated shingle from shingles() — exclude
+    # them so the inner joins below drop candidate pairs touching a
+    # short doc (both engines then agree on every fixture).
+    sh = d.filter(F.size(tokens("text")) >= 3).select(
+        "doc_id", F.array_distinct(shingles("text", 3)).alias("sh")
+    )
     a = sh.select(F.col("doc_id").alias("id_a"), F.col("sh").alias("sh_a"))
     b = sh.select(F.col("doc_id").alias("id_b"), F.col("sh").alias("sh_b"))
     cand = pairs.join(a, "id_a").join(b, "id_b")
@@ -3099,13 +3105,19 @@ def dedup_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
     node's component = smallest reachable doc_id. The DuckDB twin
     computes the same components by recursive transitive closure —
     an exact oracle for an ITERATIVE distributed algorithm."""
-    from value_at_risk_spark.functions.text import shingles
+    from value_at_risk_spark.functions.text import shingles, tokens
     from value_at_risk_spark.operators.dedup import connected_components
 
     d = _t(spark, sf_dir, "documents")
     sigs = minhash_signatures(d, num_hashes=32, shingle_n=3)
     pairs = minhash_lsh_pairs(sigs, num_bands=16, num_hashes=32)
-    sh = d.select("doc_id", F.array_distinct(shingles("text", 3)).alias("sh"))
+    # Docs with < 3 tokens yield no 3-shingles in the oracle (WHERE
+    # len(ts) >= 3) but ONE truncated shingle from shingles() — exclude
+    # them so the inner joins below drop candidate pairs touching a
+    # short doc (both engines then agree on every fixture).
+    sh = d.filter(F.size(tokens("text")) >= 3).select(
+        "doc_id", F.array_distinct(shingles("text", 3)).alias("sh")
+    )
     a = sh.select(F.col("doc_id").alias("id_a"), F.col("sh").alias("sh_a"))
     b = sh.select(F.col("doc_id").alias("id_b"), F.col("sh").alias("sh_b"))
     cand = pairs.join(a, "id_a").join(b, "id_b")
