@@ -675,6 +675,58 @@ def test_connected_components_driver_and_distributed_agree(spark):
     }
 
 
+def test_connected_components_giant_component_stress(spark, monkeypatch):
+    """The 100 TB dupe-heavy regime: 1.3M edges over 2M nodes whose
+    largest component spans 10% of all nodes (a 200k-node chain with
+    stride-100 shortcuts — diameter ~2000, far beyond what plain
+    propagation converges in 20 rounds). Asserts the distributed path
+    (a) converges within the O(log diameter) pointer-jumping bound,
+    (b) labels every node exactly, and (c) never materializes
+    corpus-sized data on the driver (toPandas is poisoned for the
+    duration; the only driver traffic is the per-round 1-row
+    convergence count)."""
+    from pyspark.sql import DataFrame
+
+    from value_at_risk_spark.operators.dedup import connected_components
+
+    n_nodes, giant = 2_000_000, 200_000
+    r = spark.range(n_nodes)
+    chain = r.filter(F.col("id") < giant - 1).select(
+        F.col("id").alias("src"), (F.col("id") + 1).alias("dst")
+    )
+    short = r.filter(F.col("id") < giant - 100).select(
+        F.col("id").alias("src"), (F.col("id") + 100).alias("dst")
+    )
+    pairs = r.filter((F.col("id") >= giant) & (F.col("id") % 2 == 0)).select(
+        F.col("id").alias("src"), (F.col("id") + 1).alias("dst")
+    )
+    edges = chain.union(short).union(pairs)  # 1,299,899 edges
+
+    def _poisoned(self):
+        raise AssertionError("distributed CC path must not toPandas")
+
+    monkeypatch.setattr(DataFrame, "toPandas", _poisoned)
+    stats: dict = {}
+    cc = connected_components(
+        edges, driver_threshold=0, max_iter=20, stats=stats
+    )
+    assert stats["path"] == "distributed"
+    # diameter ~2000 -> ~log2 rounds; 20 would mean pointer jumping broke
+    assert stats["rounds"] <= 14, stats
+    assert (
+        cc.filter((F.col("node") < giant) & (F.col("component") != 0)).count()
+        == 0
+    )
+    assert (
+        cc.filter(
+            (F.col("node") >= giant)
+            & (F.col("component") != F.col("node") - F.col("node") % 2)
+        ).count()
+        == 0
+    )
+    assert cc.count() == n_nodes
+
+
 def test_connected_components_string_ids(spark):
     """Both CC paths accept non-integer node ids (doc hashes, string
     keys): components resolve to the lexicographically-smallest id and

@@ -273,6 +273,7 @@ def connected_components(
     dst: str = "dst",
     max_iter: int = 20,
     driver_threshold: int = 100_000,
+    stats: dict | None = None,
 ) -> DataFrame:
     """Connected components by iterative min-label propagation —
     (node, component) where component = the smallest node id reachable.
@@ -299,6 +300,10 @@ def connected_components(
     asserted in tests). The same size-gate reasoning as the k-means
     centroid collect: only k×dim doubles / edge pairs cross the driver
     boundary, never corpus-sized data.
+
+    ``stats`` (optional out-param) records ``{"path": "driver" |
+    "distributed", "rounds": n}`` so stress tests can assert the
+    O(log diameter) convergence bound instead of trusting it.
     """
     sym = edges.select(
         F.col(src).alias("a"), F.col(dst).alias("b")
@@ -341,13 +346,15 @@ def connected_components(
                 StructField("component", id_type, False),
             ]
         )
+        if stats is not None:
+            stats.update(path="driver", rounds=0)
         return edges.sparkSession.createDataFrame(pdf, schema=out_schema)
     labels = (
         sym.select(F.col("a").alias("node"))
         .distinct()
         .withColumn("component", F.col("node"))
     )
-    for _ in range(max_iter):
+    for _round in range(max_iter):
         neighbor_min = (
             sym.join(labels, sym.b == labels.node)
             .groupBy(F.col("a").alias("node"))
@@ -384,6 +391,8 @@ def connected_components(
         )
         labels = new_labels.select("node", "component")
         if changed == 0:
+            if stats is not None:
+                stats.update(path="distributed", rounds=_round + 1)
             return labels
     raise RuntimeError(
         f"connected_components: not converged after {max_iter} rounds — "
