@@ -260,32 +260,63 @@ def test_runtime_bloom_filter_join_pruning(spark, sf_dir):
     application-side default; the rewrite itself is stock Spark."""
     from pyspark.sql import functions as F
 
-    confs = {
-        "spark.sql.optimizer.runtime.bloomFilter.applicationSideScanSizeThreshold": "1KB",
-        "spark.sql.autoBroadcastJoinThreshold": "-1",
-    }
-    saved = {k: spark.conf.get(k) for k in confs}
+    from pyspark.sql import functions as F  # noqa: F811
+
+    from value_at_risk_spark.plans.runtime_filters import (
+        plan_has_runtime_bloom_filter,
+        runtime_bloom_filters,
+    )
+
+    saved = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
     try:
-        for k, v in confs.items():
-            spark.conf.set(k, v)
-        l = spark.read.parquet(f"{sf_dir}/lineitem.parquet")
-        o = spark.read.parquet(f"{sf_dir}/orders.parquet").filter(
-            F.col("o_orderpriority") == "1-URGENT"
-        )
-        j = (
-            l.join(o, l.l_orderkey == o.o_orderkey)
-            .groupBy("o_orderpriority")
-            .count()
-        )
-        plan = j._jdf.queryExecution().explainString(
-            spark._jvm.org.apache.spark.sql.execution.ExplainMode.fromString(
-                "simple"
+        spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+
+        def build():
+            l = spark.read.parquet(f"{sf_dir}/lineitem.parquet")
+            o = spark.read.parquet(f"{sf_dir}/orders.parquet").filter(
+                F.col("o_orderpriority") == "1-URGENT"
             )
-        )
-        assert "might_contain" in plan
-        assert "bloom_filter_agg" in plan
-        # and the result is unaffected by the rewrite
-        assert j.collect()[0]["count"] > 0
+            return (
+                l.join(o, l.l_orderkey == o.o_orderkey)
+                .groupBy("o_orderpriority")
+                .count()
+            )
+
+        # local fixture scans are far below the 10 GiB default, so the
+        # stock rule stays off — the scoped thresholds turn it on
+        assert not plan_has_runtime_bloom_filter(build())
+        with runtime_bloom_filters(spark):
+            j = build()
+            assert plan_has_runtime_bloom_filter(j)
+            pruned = j.collect()[0]["count"]
+        # conf restore is exception-safe; results unaffected by rewrite
+        assert not plan_has_runtime_bloom_filter(build())
+        assert pruned == build().collect()[0]["count"] > 0
     finally:
-        for k, v in saved.items():
-            spark.conf.set(k, v)
+        spark.conf.set("spark.sql.autoBroadcastJoinThreshold", saved)
+
+
+def test_runtime_bloom_filter_on_sole_return_suppliers(spark, sf_dir):
+    """The engine's most join-heavy fact-fact shape (TPC-H Q21:
+    lineitem semi/anti self-joins narrowed by finalized orders) accepts
+    runtime bloom-filter pruning: under scoped thresholds the optimized
+    plan carries an injected might_contain probe, and the answer is
+    bit-identical with and without the rewrite — the rule only drops
+    rows that cannot survive the join."""
+    from value_at_risk_spark.plans.runtime_filters import (
+        plan_has_runtime_bloom_filter,
+        runtime_bloom_filters,
+    )
+
+    q = QUERIES["sole_return_suppliers"]
+    saved = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
+    try:
+        spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+        plain = sorted(map(tuple, q(spark, sf_dir).collect()))
+        with runtime_bloom_filters(spark):
+            df = q(spark, sf_dir)
+            assert plan_has_runtime_bloom_filter(df)
+            scoped = sorted(map(tuple, df.collect()))
+        assert plain == scoped and len(plain) > 0
+    finally:
+        spark.conf.set("spark.sql.autoBroadcastJoinThreshold", saved)
