@@ -316,3 +316,40 @@ def test_local_frame_nonfinite_floats(spark):
     r = df.first()
     assert math.isnan(r.a)
     assert r.b == math.inf and r.c == -math.inf and r.d == 1.5
+
+
+def test_approx_quantiles_within_rank_error_of_exact(spark, sf_dir):
+    """percentile_approx(accuracy=10000) guarantees rank error
+    <= n/accuracy per group (the KLL-style sketch contract). Pins the
+    approx_revenue_quantiles rows-only query to the oracle-green exact
+    revenue path: for every (priority, p) the approx value's RANK in
+    the group's sorted o_totalprice must land within eps*n (+1 for
+    boundary ties) of the target rank — the documented bound, asserted
+    rather than assumed."""
+    import math as _math
+
+    from value_at_risk_spark.queries import QUERIES
+
+    approx = {
+        r.priority: (r.p50_approx, r.p90_approx, r.p99_approx)
+        for r in QUERIES["approx_revenue_quantiles"](spark, sf_dir).collect()
+    }
+    pdf = (
+        spark.read.parquet(f"{sf_dir}/orders.parquet")
+        .select("o_orderpriority", "o_totalprice")
+        .toPandas()
+    )
+    eps = 1.0 / 10000  # rank error bound at accuracy=10000
+    for prio, vals in approx.items():
+        grp = np.sort(
+            pdf.loc[pdf["o_orderpriority"] == prio, "o_totalprice"].values
+        )
+        n = len(grp)
+        slack = _math.ceil(eps * n) + 1
+        for p, got in zip((0.5, 0.9, 0.99), vals):
+            rank = np.searchsorted(grp, got, side="right")
+            target = p * n
+            assert abs(rank - target) <= slack, (
+                f"{prio} p{int(p*100)}: rank {rank} vs target {target:.1f} "
+                f"(n={n}, slack={slack})"
+            )

@@ -3963,3 +3963,57 @@ def approx_revenue_quantiles(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.round(F.element_at(q, 2), 4).alias("p90_approx"),
         F.round(F.element_at(q, 3), 4).alias("p99_approx"),
     )
+
+
+@query(
+    "twa_value_by_user_type",
+    """
+WITH iv AS (
+  SELECT user_id, event_type, value,
+         epoch_us(LEAD(ts) OVER (PARTITION BY user_id, event_type ORDER BY ts))
+           - epoch_us(ts) AS dt_us
+  FROM events
+)
+SELECT user_id, event_type,
+       ROUND(SUM(value * dt_us) / SUM(dt_us), 4) + 0 AS twa_value,
+       CAST(SUM(dt_us) AS BIGINT) AS span_us,
+       CAST(COUNT(*) AS BIGINT) AS n_intervals
+FROM iv WHERE dt_us IS NOT NULL
+GROUP BY 1, 2
+""",
+)
+def twa_value_by_user_type(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """GROUPED time-weighted average over many irregular series at once
+    (the multi-series form of time_weighted_avg_price): per
+    (user_id, event_type) stream, each observation is held until the
+    next one and weighted by its exact microsecond duration —
+    ∑ vᵢ·Δtᵢ / ∑ Δtᵢ under step interpolation. Generalizes the
+    reference's business-day padding (utils/var_utils.py:6-9), which
+    equal-weights by construction; real event streams aren't padded, so
+    the integral mean is the unbiased estimator. One lead() window +
+    one grouped agg = exactly one shuffle on the group key, same as a
+    plain AVG; weights are BIGINT micros (unix_micros ↔ epoch_us) so
+    the weighting itself is exact on both engines. A series' last
+    observation has no successor and carries no weight (WHERE dt
+    NOT NULL, both engines); single-observation series drop entirely."""
+    e = _t(spark, sf_dir, "events")
+    w = Window.partitionBy("user_id", "event_type").orderBy("ts")
+    return (
+        e.withColumn(
+            "_dt_us",
+            F.unix_micros(F.lead("ts").over(w)) - F.unix_micros(F.col("ts")),
+        )
+        .filter(F.col("_dt_us").isNotNull())
+        .groupBy("user_id", "event_type")
+        .agg(
+            (
+                F.round(
+                    F.sum(F.col("value") * F.col("_dt_us")) / F.sum("_dt_us"),
+                    4,
+                )
+                + F.lit(0.0)
+            ).alias("twa_value"),
+            F.sum("_dt_us").alias("span_us"),
+            F.count(F.lit(1)).alias("n_intervals"),
+        )
+    )
