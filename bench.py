@@ -65,7 +65,18 @@ BENCH_QUERIES = [
     # round 3: two-pass exact heavy hitters (per-partition Misra-Gries
     # candidates -> broadcast-pruned exact verify) over the token stream
     "heavy_hitter_tokens",
+    # round 4: grouped time-weighted average — one window + one agg
+    # over the events stream (irregular-series integral mean)
+    "twa_value_by_user_type",
 ]
+
+# frozen per-round query sets: the headline list grows each round, so
+# the full total is NOT comparable across rounds — these subtotals are.
+# r02 = the 15 queries benched in BENCH_r02; r03 = the 19 in BENCH_r03.
+SUBSETS = {
+    "r02_subset_total_sec": BENCH_QUERIES[:15],
+    "r03_subset_total_sec": BENCH_QUERIES[:19],
+}
 
 RUNS_PER_QUERY = 3
 
@@ -98,6 +109,10 @@ def main() -> None:
         timings[name] = round(statistics.median(samples), 3)
 
     total = round(sum(timings.values()), 3)
+    subtotals = {
+        key: round(sum(timings[q] for q in names if q in timings), 3)
+        for key, names in SUBSETS.items()
+    }
     print(
         json.dumps(
             {
@@ -105,6 +120,7 @@ def main() -> None:
                 "value": total,
                 "unit": "sec",
                 "queries": timings,
+                "subtotals": subtotals,
                 "sf": float(sf) if sf.replace(".", "").isdigit() else sf,
             }
         )
