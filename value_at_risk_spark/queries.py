@@ -4017,3 +4017,353 @@ def twa_value_by_user_type(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.count(F.lit(1)).alias("n_intervals"),
         )
     )
+
+
+@query(
+    "late_shipment_priority_counts",
+    """
+SELECT o_orderpriority, CAST(COUNT(*) AS BIGINT) AS order_count
+FROM orders
+WHERE o_orderdate >= TIMESTAMP '1996-01-01'
+  AND o_orderdate <  TIMESTAMP '1996-04-01'
+  AND EXISTS (SELECT 1 FROM lineitem
+              WHERE l_orderkey = o_orderkey
+                AND l_shipdate > o_orderdate + INTERVAL 90 DAY)
+GROUP BY 1
+""",
+)
+def late_shipment_priority_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q4 shape (correlated EXISTS over the fact, grouped count
+    by priority), adapted to the fixture's columns: the classic
+    l_commitdate < l_receiptdate lateness predicate becomes
+    l_shipdate > o_orderdate + 90 days (the fixture carries no
+    commit/receipt dates). EXISTS lowers to a LEFT SEMI join on the
+    order key with the lateness inequality as a residual — one shuffle
+    per side on l_orderkey, count after the semi join dedups, so no
+    DISTINCT pass is ever needed. The quarter filter is pushed to the
+    orders scan."""
+    o = _t(spark, sf_dir, "orders").filter(
+        (F.col("o_orderdate") >= F.lit("1996-01-01").cast("timestamp"))
+        & (F.col("o_orderdate") < F.lit("1996-04-01").cast("timestamp"))
+    ).select("o_orderkey", "o_orderdate", "o_orderpriority")
+    l = _t(spark, sf_dir, "lineitem").select("l_orderkey", "l_shipdate")
+    late = o.join(
+        l,
+        (F.col("l_orderkey") == F.col("o_orderkey"))
+        & (
+            F.col("l_shipdate")
+            > F.col("o_orderdate") + F.expr("INTERVAL 90 DAYS")
+        ),
+        "leftsemi",
+    )
+    return late.groupBy("o_orderpriority").agg(
+        F.count(F.lit(1)).alias("order_count")
+    )
+
+
+@query(
+    "forecast_revenue_change",
+    """
+SELECT ROUND(SUM(ROUND(l_extendedprice * l_discount, 4)), 4) AS lost_revenue
+FROM lineitem
+WHERE l_shipdate >= TIMESTAMP '1996-01-01'
+  AND l_shipdate <  TIMESTAMP '1997-01-01'
+  AND l_discount >= 0.05 AND l_discount <= 0.07
+  AND l_quantity < 24
+""",
+)
+def forecast_revenue_change(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q6 (verbatim shape): the would-be revenue increase from
+    eliminating small discounts — a pure scan + filter + global agg
+    with NO join and NO shuffle beyond the final 1-row reduce. The
+    whole predicate set (date range, discount band, quantity cap)
+    pushes down to the parquet scan, so at 100 TB this reads only
+    row groups whose min/max stats overlap the year — the canonical
+    'filters belong in the scan' query. Discount products land on the
+    4dp grid (2dp price x 2dp discount)."""
+    l = _t(spark, sf_dir, "lineitem")
+    return (
+        l.filter(
+            (F.col("l_shipdate") >= F.lit("1996-01-01").cast("timestamp"))
+            & (F.col("l_shipdate") < F.lit("1997-01-01").cast("timestamp"))
+            & (F.col("l_discount") >= 0.05)
+            & (F.col("l_discount") <= 0.07)
+            & (F.col("l_quantity") < 24)
+        )
+        .agg(
+            F.round(
+                F.sum(
+                    F.round(F.col("l_extendedprice") * F.col("l_discount"), 4)
+                ),
+                4,
+            ).alias("lost_revenue")
+        )
+    )
+
+
+@query(
+    "nation_market_share",
+    """
+WITH vol AS (
+  SELECT CAST(year(o_orderdate) AS BIGINT) AS o_year,
+         ROUND(l_extendedprice * (1 - l_discount), 4) AS volume,
+         n2.n_name AS supp_nation
+  FROM lineitem
+  JOIN orders   ON o_orderkey  = l_orderkey
+  JOIN customer ON c_custkey   = o_custkey
+  JOIN nation n1 ON n1.n_nationkey = c_nationkey
+  JOIN region   ON r_regionkey = n1.n_regionkey
+  JOIN supplier ON s_suppkey   = l_suppkey
+  JOIN nation n2 ON n2.n_nationkey = s_nationkey
+  JOIN part     ON p_partkey   = l_partkey
+  WHERE r_name = 'AMERICA' AND p_type = 'STANDARD'
+)
+SELECT o_year,
+       ROUND(SUM(CASE WHEN supp_nation = 'NATION_7' THEN volume ELSE 0 END)
+             / SUM(volume), 6) + 0 AS mkt_share
+FROM vol
+GROUP BY 1
+""",
+)
+def nation_market_share(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q8 shape (market share: conditional share of a two-level
+    dimension closure): NATION_7 suppliers' share of STANDARD-part
+    revenue sold to AMERICA customers, per order year. The widest dim
+    closure in the suite — part, supplier, both nation roles, and
+    region ALL broadcast (each ≪ the facts); lineitem shuffles once on
+    l_orderkey to meet orders(+customer), and the conditional share is
+    one CASE inside the year agg, not a second join pass. Share is a
+    unitless ratio -> 6dp round (+0 kills -0.0)."""
+    r = _t(spark, sf_dir, "region").filter(F.col("r_name") == "AMERICA")
+    n1 = (
+        _t(spark, sf_dir, "nation")
+        .join(F.broadcast(r), F.col("n_regionkey") == F.col("r_regionkey"))
+        .select(F.col("n_nationkey").alias("_cnat"))
+    )
+    c = (
+        _t(spark, sf_dir, "customer")
+        .join(F.broadcast(n1), F.col("c_nationkey") == F.col("_cnat"))
+        .select("c_custkey")
+    )
+    o = (
+        _t(spark, sf_dir, "orders")
+        .join(F.broadcast(c), F.col("o_custkey") == F.col("c_custkey"))
+        .select("o_orderkey", F.year("o_orderdate").cast("long").alias("o_year"))
+    )
+    n2 = _t(spark, sf_dir, "nation").select(
+        F.col("n_nationkey").alias("_snat"), F.col("n_name").alias("supp_nation")
+    )
+    s = (
+        _t(spark, sf_dir, "supplier")
+        .join(F.broadcast(n2), F.col("s_nationkey") == F.col("_snat"))
+        .select("s_suppkey", "supp_nation")
+    )
+    p = _t(spark, sf_dir, "part").filter(F.col("p_type") == "STANDARD").select(
+        "p_partkey"
+    )
+    l = _t(spark, sf_dir, "lineitem").select(
+        "l_orderkey",
+        "l_suppkey",
+        "l_partkey",
+        F.round(F.col("l_extendedprice") * (1 - F.col("l_discount")), 4).alias(
+            "volume"
+        ),
+    )
+    vol = (
+        l.join(F.broadcast(p), F.col("l_partkey") == F.col("p_partkey"))
+        .join(F.broadcast(s), F.col("l_suppkey") == F.col("s_suppkey"))
+        .join(o, F.col("l_orderkey") == F.col("o_orderkey"))
+    )
+    share = F.sum(
+        F.when(F.col("supp_nation") == "NATION_7", F.col("volume")).otherwise(
+            F.lit(0.0)
+        )
+    ) / F.sum("volume")
+    return vol.groupBy("o_year").agg(
+        (F.round(share, 6) + F.lit(0.0)).alias("mkt_share")
+    )
+
+
+@query(
+    "late_shipment_priority_mix",
+    """
+SELECT l_linestatus,
+       CAST(SUM(CASE WHEN o_orderpriority IN ('1-URGENT', '2-HIGH')
+                     THEN 1 ELSE 0 END) AS BIGINT) AS high_line_count,
+       CAST(SUM(CASE WHEN o_orderpriority NOT IN ('1-URGENT', '2-HIGH')
+                     THEN 1 ELSE 0 END) AS BIGINT) AS low_line_count
+FROM orders
+JOIN lineitem ON l_orderkey = o_orderkey
+WHERE l_shipdate > o_orderdate + INTERVAL 60 DAY
+  AND l_shipdate >= TIMESTAMP '1997-01-01'
+  AND l_shipdate <  TIMESTAMP '1998-01-01'
+GROUP BY 1
+""",
+)
+def late_shipment_priority_mix(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q12 shape (dual conditional counts over an order-lineitem
+    join), adapted: l_shipmode doesn't exist in the fixture, so the
+    'slow ship modes' slice becomes shipments 60+ days after order
+    placement within one ship year. Both CASE branches resolve in ONE
+    grouped agg over ONE equi-join on l_orderkey (lateness inequality
+    as residual) — never two passes; the ship-year range pushes to the
+    lineitem scan."""
+    o = _t(spark, sf_dir, "orders").select(
+        "o_orderkey", "o_orderdate", "o_orderpriority"
+    )
+    l = _t(spark, sf_dir, "lineitem").filter(
+        (F.col("l_shipdate") >= F.lit("1997-01-01").cast("timestamp"))
+        & (F.col("l_shipdate") < F.lit("1998-01-01").cast("timestamp"))
+    ).select("l_orderkey", "l_shipdate", "l_linestatus")
+    high = F.col("o_orderpriority").isin("1-URGENT", "2-HIGH")
+    return (
+        l.join(
+            o,
+            (F.col("l_orderkey") == F.col("o_orderkey"))
+            & (
+                F.col("l_shipdate")
+                > F.col("o_orderdate") + F.expr("INTERVAL 60 DAYS")
+            ),
+        )
+        .groupBy("l_linestatus")
+        .agg(
+            F.sum(F.when(high, 1).otherwise(0)).alias("high_line_count"),
+            F.sum(F.when(~high, 1).otherwise(0)).alias("low_line_count"),
+        )
+    )
+
+
+@query(
+    "top_revenue_supplier",
+    """
+WITH rev AS (
+  SELECT l_suppkey AS supplier_no,
+         ROUND(SUM(ROUND(l_extendedprice * (1 - l_discount), 4)), 4)
+           AS total_revenue
+  FROM lineitem
+  WHERE l_shipdate >= TIMESTAMP '1996-01-01'
+    AND l_shipdate <  TIMESTAMP '1996-04-01'
+  GROUP BY 1
+)
+SELECT s_suppkey, s_name, total_revenue
+FROM supplier
+JOIN rev ON s_suppkey = supplier_no
+WHERE total_revenue = (SELECT MAX(total_revenue) FROM rev)
+""",
+)
+def top_revenue_supplier(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q15 (top supplier over a quarterly revenue view): the
+    uncorrelated scalar-MAX subquery decorrelates to a 1-row global
+    aggregate of the ALREADY-REDUCED per-supplier frame, broadcast
+    back as a cross join — no second scan of lineitem, no
+    whole-table window (a partition-less window would funnel every
+    supplier through ONE task at scale; the broadcast scalar keeps the
+    comparison embarrassingly parallel). Ties return every tied
+    supplier, both engines. Revenue on the 4dp money grid."""
+    l = _t(spark, sf_dir, "lineitem").filter(
+        (F.col("l_shipdate") >= F.lit("1996-01-01").cast("timestamp"))
+        & (F.col("l_shipdate") < F.lit("1996-04-01").cast("timestamp"))
+    )
+    rev = l.groupBy(F.col("l_suppkey").alias("supplier_no")).agg(
+        F.round(
+            F.sum(
+                F.round(
+                    F.col("l_extendedprice") * (1 - F.col("l_discount")), 4
+                )
+            ),
+            4,
+        ).alias("total_revenue")
+    )
+    mx = rev.agg(F.max("total_revenue").alias("_max_rev"))
+    s = _t(spark, sf_dir, "supplier").select("s_suppkey", "s_name")
+    return (
+        rev.join(F.broadcast(mx), F.col("total_revenue") == F.col("_max_rev"))
+        .join(F.broadcast(s), F.col("supplier_no") == F.col("s_suppkey"))
+        .select("s_suppkey", "s_name", "total_revenue")
+    )
+
+
+@query(
+    "significant_parts_revenue",
+    """
+WITH per_part AS (
+  SELECT l_partkey,
+         SUM(ROUND(l_extendedprice * (1 - l_discount), 4)) AS part_rev
+  FROM lineitem
+  GROUP BY 1
+)
+SELECT l_partkey, ROUND(part_rev, 4) AS part_revenue
+FROM per_part
+WHERE part_rev > (SELECT AVG(part_rev) * 1.2 FROM per_part)
+""",
+)
+def significant_parts_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q11 shape (grouped aggregate HAVING-compared against a
+    scalar derived from the GLOBAL aggregate), adapted twice: the
+    fixture has no partsupp, so 'significant stock value per part'
+    becomes significant revenue per part; and Q11's fixed global
+    fraction (0.0001/SF in the spec — it scales the constant by SF for
+    exactly this reason) becomes 1.2x the MEAN per-part revenue, which
+    self-scales at any SF instead of degenerating to all-rows at small
+    SF and zero rows at large. The threshold is a second aggregation of
+    the SAME grouped frame — no second lineitem scan — broadcast as a
+    1-row cross join; the HAVING is then a parallel filter. The
+    unrounded per-part sum feeds the comparison on both engines (round
+    only at output) so threshold boundaries agree."""
+    l = _t(spark, sf_dir, "lineitem").select(
+        "l_partkey",
+        F.round(F.col("l_extendedprice") * (1 - F.col("l_discount")), 4).alias(
+            "_rev"
+        ),
+    )
+    per_part = l.groupBy("l_partkey").agg(F.sum("_rev").alias("_part_rev"))
+    thresh = per_part.agg(
+        (F.avg("_part_rev") * F.lit(1.2)).alias("_cut")
+    )
+    return (
+        per_part.join(F.broadcast(thresh), F.col("_part_rev") > F.col("_cut"))
+        .select(
+            "l_partkey", F.round("_part_rev", 4).alias("part_revenue")
+        )
+    )
+
+
+@query(
+    "supplier_count_by_part_attrs",
+    """
+SELECT p_brand, p_size,
+       CAST(COUNT(DISTINCT l_suppkey) AS BIGINT) AS supplier_cnt
+FROM lineitem
+JOIN part ON p_partkey = l_partkey
+WHERE p_size IN (1, 2, 3, 4, 5)
+  AND l_suppkey NOT IN (SELECT s_suppkey FROM supplier WHERE s_acctbal < 0)
+GROUP BY 1, 2
+""",
+)
+def supplier_count_by_part_attrs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q16 shape (COUNT(DISTINCT supplier) by part attributes
+    with a NOT-IN supplier exclusion), adapted: no partsupp table, so
+    the part-supplier relation comes from lineitem, and the excluded
+    set is suppliers in deficit (no comment column to LIKE over). The
+    NOT IN lowers to a broadcast LEFT ANTI join (the exclusion list is
+    a filtered dim — tiny), part attrs attach by broadcast, and the
+    distinct count shuffles once on the group key with partial
+    distinct aggregation map-side. s_suppkey is non-null here so
+    NOT IN == anti join without a null trap on either engine."""
+    p = _t(spark, sf_dir, "part").filter(F.col("p_size").isin(1, 2, 3, 4, 5)).select(
+        "p_partkey", "p_brand", "p_size"
+    )
+    bad = _t(spark, sf_dir, "supplier").filter(F.col("s_acctbal") < 0).select(
+        F.col("s_suppkey").alias("_bad_sk")
+    )
+    l = _t(spark, sf_dir, "lineitem").select("l_partkey", "l_suppkey")
+    return (
+        l.join(F.broadcast(p), F.col("l_partkey") == F.col("p_partkey"))
+        .join(
+            F.broadcast(bad),
+            F.col("l_suppkey") == F.col("_bad_sk"),
+            "left_anti",
+        )
+        .groupBy("p_brand", "p_size")
+        .agg(F.count_distinct("l_suppkey").alias("supplier_cnt"))
+    )
