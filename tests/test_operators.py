@@ -861,6 +861,124 @@ def test_bmp_wav_real_decode_and_resize(spark):
     assert stats[2].width is None and stats[2].mean_r is None
 
 
+def _png_bytes(img, filters):
+    """Spec-valid non-interlaced 8-bit PNG encoder (test fixture):
+    applies the requested PNG filter type per scanline (any per-row
+    choice is valid per RFC 2083 §6), zlib-compresses, and wraps in
+    CRC-correct IHDR/IDAT/IEND chunks. IDAT is split in two to exercise
+    concatenated-IDAT handling in the decoder."""
+    import struct
+    import zlib
+
+    import numpy as np
+
+    h, w, ch = img.shape
+    color = 2 if ch == 3 else 6
+
+    def chunk(ctype, data):
+        return (
+            struct.pack(">I", len(data))
+            + ctype
+            + data
+            + struct.pack(">I", zlib.crc32(ctype + data))
+        )
+
+    stride = w * ch
+    raw = bytearray()
+    prev = np.zeros(stride, dtype=np.int32)
+    for y in range(h):
+        f = filters[y % len(filters)]
+        cur = img[y].reshape(-1).astype(np.int32)
+        if f == 0:
+            enc = cur.copy()
+        elif f == 1:  # Sub
+            enc = cur.copy()
+            enc[ch:] = (cur[ch:] - cur[:-ch]) % 256
+        elif f == 2:  # Up
+            enc = (cur - prev) % 256
+        elif f == 3:  # Average
+            enc = cur.copy()
+            for x in range(stride):
+                left = int(cur[x - ch]) if x >= ch else 0
+                enc[x] = (int(cur[x]) - ((left + int(prev[x])) >> 1)) % 256
+        else:  # Paeth
+            enc = cur.copy()
+            for x in range(stride):
+                a = int(cur[x - ch]) if x >= ch else 0
+                b = int(prev[x])
+                c = int(prev[x - ch]) if x >= ch else 0
+                p = a + b - c
+                pa, pb, pc = abs(p - a), abs(p - b), abs(p - c)
+                pred = a if (pa <= pb and pa <= pc) else (b if pb <= pc else c)
+                enc[x] = (int(cur[x]) - pred) % 256
+        raw += bytes([f]) + bytes(enc.astype(np.uint8))
+        prev = cur
+    comp = zlib.compress(bytes(raw))
+    half = len(comp) // 2
+    return (
+        b"\x89PNG\r\n\x1a\n"
+        + chunk(b"IHDR", struct.pack(">IIBBBBB", w, h, 8, color, 0, 0, 0))
+        + chunk(b"IDAT", comp[:half])
+        + chunk(b"IDAT", comp[half:])
+        + chunk(b"IEND", b"")
+    )
+
+
+def test_png_real_decode_all_filters(spark):
+    """Stdlib PNG decode is REAL and exact: an 8-bit RGB image filtered
+    with every PNG filter type (None/Sub/Up/Average/Paeth cycling per
+    scanline) round-trips bit-exact through encode->decode; RGBA
+    likewise; the Spark-side image_pixel_stats operator computes exact
+    RGB means for PNG next to BMP in the same dirty batch; and
+    parse_media_headers sniffs PNG dimensions from IHDR."""
+    import numpy as np
+
+    from value_at_risk_spark.operators.multimodal import (
+        decode_image,
+        decode_png,
+        image_pixel_stats,
+        parse_media_headers,
+    )
+
+    rng = np.random.default_rng(42)
+    # tall enough that each of the 5 filter types covers >=2 scanlines
+    rgb = rng.integers(0, 256, size=(11, 7, 3), dtype=np.uint8)
+    png = _png_bytes(rgb, filters=[0, 1, 2, 3, 4])
+    got = decode_png(png)
+    assert got.shape == (11, 7, 3)
+    assert np.array_equal(got, rgb)
+    assert np.array_equal(decode_image(png), rgb)  # dispatch path
+
+    rgba = rng.integers(0, 256, size=(6, 5, 4), dtype=np.uint8)
+    png_a = _png_bytes(rgba, filters=[4, 3, 2, 1, 0])
+    got_a = decode_png(png_a)
+    assert got_a.shape == (6, 5, 4)
+    assert np.array_equal(got_a, rgba)
+
+    media = spark.createDataFrame(
+        [
+            (1, bytearray(png)),
+            (2, bytearray(png_a)),
+            (3, bytearray(b"\x89PNG\r\n\x1a\ntruncated")),
+        ],
+        "media_id long, payload_bytes binary",
+    )
+    stats = {r.media_id: r for r in image_pixel_stats(media, thumb=2).collect()}
+    assert stats[1].width == 7 and stats[1].height == 11
+    exp = rgb.reshape(-1, 3).mean(axis=0)
+    assert stats[1].mean_r == round(float(exp[0]), 4)
+    assert stats[1].mean_g == round(float(exp[1]), 4)
+    assert stats[1].mean_b == round(float(exp[2]), 4)
+    # RGBA: alpha dropped, means over the color planes only
+    exp_a = rgba[:, :, :3].reshape(-1, 3).mean(axis=0)
+    assert stats[2].mean_r == round(float(exp_a[0]), 4)
+    assert stats[3].mean_r is None  # truncated payload degrades to NULL
+
+    hdrs = {r.media_id: r for r in parse_media_headers(media).collect()}
+    assert (hdrs[1].format, hdrs[1].width, hdrs[1].height) == ("png", 7, 11)
+    assert (hdrs[2].format, hdrs[2].width, hdrs[2].height) == ("png", 5, 6)
+
+
 def test_misra_gries_heavy_hitters(spark):
     """MG candidate pass is a guaranteed superset of >n/k items even
     under adversarial partitioning; the exact verify pass equals the

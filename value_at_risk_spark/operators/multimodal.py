@@ -1,12 +1,14 @@
 """Multimodal column plumbing (north-star surface).
 
 Images/audio/video are opaque ``binary`` payloads with typed metadata.
-The decode/feature-extract kernels need codec libraries not present in
-this container, so the kernels are STUBBED (deterministic fake features
-keyed on a content hash, or ``NotImplementedError`` for real decode) —
-but the Spark-side plumbing is real: schema contract, Arrow-batched
-``mapInPandas`` iteration, partition sizing, and batch shape are what
-would ship at 100 TB.
+Decode is REAL for every stdlib-parseable format — uncompressed 24-bit
+BMP, 16-bit PCM WAV, and non-interlaced 8-bit RGB/RGBA PNG (zlib
+inflate + full five-filter unfiltering) — while formats that genuinely
+need codec libraries absent from this container (JPEG/WebP/MP4) raise
+a declared ``NotImplementedError`` or use a deterministic fake feature
+keyed on a content hash. The Spark-side plumbing is real throughout:
+schema contract, Arrow-batched ``mapInPandas`` iteration, partition
+sizing, and batch shape are what would ship at 100 TB.
 """
 
 from __future__ import annotations
@@ -46,20 +48,111 @@ FEATURE_SCHEMA = StructType(
 )
 
 
-def decode_image(payload: bytes):
-    """Decode an image payload to an (h, w, 3) uint8 RGB numpy array.
+PNG_SIG = b"\x89PNG\r\n\x1a\n"
 
-    REAL decode for uncompressed 24-bit BMP (pure stdlib struct +
-    numpy — no codec library involved); compressed formats (JPEG/PNG/
-    WebP) need PIL/opencv, absent from this container, and raise
-    ``NotImplementedError`` — the declared environment stub.
+
+def decode_image(payload: bytes):
+    """Decode an image payload to an (h, w, 3|4) uint8 numpy array.
+
+    REAL decode for uncompressed 24-bit BMP and for non-interlaced
+    8-bit RGB/RGBA PNG (pure stdlib struct + zlib + numpy — no codec
+    library involved); the remaining compressed formats (JPEG/WebP,
+    palette/interlaced PNG) need PIL/opencv, absent from this
+    container, and raise ``NotImplementedError`` — the declared
+    environment stub.
     """
     if len(payload) >= 2 and payload[0:2] == b"BM":
         return decode_bmp(payload)
+    if len(payload) >= 8 and payload[0:8] == PNG_SIG:
+        return decode_png(payload)
     raise NotImplementedError(
-        "only uncompressed 24-bit BMP decodes without codec libraries; "
-        "JPEG/PNG need PIL/opencv (absent from this environment)"
+        "only uncompressed 24-bit BMP and 8-bit RGB/RGBA PNG decode "
+        "without codec libraries; JPEG/WebP need PIL/opencv (absent "
+        "from this environment)"
     )
+
+
+def decode_png(payload: bytes) -> np.ndarray:
+    """Non-interlaced 8-bit truecolor PNG → (h, w, 3|4) uint8 array.
+
+    Full spec-compliant decode with stdlib only: chunk walk
+    (IHDR/IDAT/IEND), concatenated-IDAT zlib inflate, then per-scanline
+    reversal of all five PNG filter types (None/Sub/Up/Average/Paeth,
+    RFC 2083 §6). Color types 2 (RGB) and 6 (RGBA) at bit depth 8;
+    palette, sub-byte depths, and Adam7 interlace raise the declared
+    ``NotImplementedError`` (they need a real codec library).
+    """
+    import struct
+    import zlib
+
+    if len(payload) < 8 or payload[0:8] != PNG_SIG:
+        raise ValueError("decode_png: not a PNG payload")
+    ihdr, idat = None, []
+    i = 8
+    while i + 8 <= len(payload):
+        (clen,) = struct.unpack(">I", payload[i : i + 4])
+        ctype = payload[i + 4 : i + 8]
+        data = payload[i + 8 : i + 8 + clen]
+        if len(data) < clen:
+            raise ValueError("decode_png: truncated chunk")
+        if ctype == b"IHDR":
+            ihdr = struct.unpack(">IIBBBBB", data)
+        elif ctype == b"IDAT":
+            idat.append(data)
+        elif ctype == b"IEND":
+            break
+        i += 12 + clen  # length + type + data + crc32
+    if ihdr is None or not idat:
+        raise ValueError("decode_png: missing IHDR or IDAT chunk")
+    w, h, depth, color, comp, filt, interlace = ihdr
+    if comp != 0 or filt != 0:
+        raise ValueError("decode_png: invalid compression/filter method")
+    if depth != 8 or color not in (2, 6):
+        raise NotImplementedError(
+            f"decode_png: only 8-bit RGB/RGBA supported "
+            f"(got depth={depth}, color_type={color})"
+        )
+    if interlace != 0:
+        raise NotImplementedError("decode_png: Adam7 interlace not supported")
+    ch = 3 if color == 2 else 4
+    stride = w * ch
+    raw = zlib.decompress(b"".join(idat))
+    if len(raw) != (stride + 1) * h:
+        raise ValueError("decode_png: scanline data size mismatch")
+    arr = np.frombuffer(raw, dtype=np.uint8).reshape(h, stride + 1)
+    out = np.zeros((h, stride), dtype=np.uint8)
+    prev = np.zeros(stride, dtype=np.int32)
+    for y in range(h):
+        ftype = int(arr[y, 0])
+        line = arr[y, 1:].astype(np.int32)
+        if ftype == 0:  # None
+            rec = line
+        elif ftype == 2:  # Up — fully vectorized (no intra-row dep)
+            rec = (line + prev) & 0xFF
+        elif ftype == 1:  # Sub — sequential in x, vector over channels
+            rec = line
+            for x in range(ch, stride):
+                rec[x] = (rec[x] + rec[x - ch]) & 0xFF
+        elif ftype == 3:  # Average
+            rec = line
+            for x in range(stride):
+                left = rec[x - ch] if x >= ch else 0
+                rec[x] = (rec[x] + ((left + prev[x]) >> 1)) & 0xFF
+        elif ftype == 4:  # Paeth
+            rec = line
+            for x in range(stride):
+                a = rec[x - ch] if x >= ch else 0
+                b = int(prev[x])
+                c = int(prev[x - ch]) if x >= ch else 0
+                p = a + b - c
+                pa, pb, pc = abs(p - a), abs(p - b), abs(p - c)
+                pred = a if (pa <= pb and pa <= pc) else (b if pb <= pc else c)
+                rec[x] = (rec[x] + pred) & 0xFF
+        else:
+            raise ValueError(f"decode_png: bad filter type {ftype}")
+        out[y] = rec.astype(np.uint8)
+        prev = rec
+    return out.reshape(h, w, ch)
 
 
 def decode_bmp(payload: bytes) -> np.ndarray:
@@ -144,11 +237,12 @@ def image_pixel_stats(
     media: DataFrame, payload_col: str = "payload_bytes", thumb: int = 8
 ) -> DataFrame:
     """REAL pixel-level image features over a binary column: decode
-    (24-bit BMP), per-channel means, and a nearest-neighbor thumbnail
-    mean vector — Arrow-batched mapInPandas, only (id, payload) crossing
-    the boundary. Non-BMP/compressed payloads yield NULL stats rather
-    than failing the batch (the per-row try is the production contract
-    for dirty corpora)."""
+    (24-bit BMP or 8-bit RGB/RGBA PNG), per-channel means, and a
+    nearest-neighbor thumbnail mean vector — Arrow-batched mapInPandas,
+    only (id, payload) crossing the boundary. RGBA alpha is dropped for
+    the stats (RGB means over the color planes). Undecodable payloads
+    yield NULL stats rather than failing the batch (the per-row try is
+    the production contract for dirty corpora)."""
     pruned = media.select("media_id", payload_col)
 
     def _stats(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
@@ -164,7 +258,7 @@ def image_pixel_stats(
             }
             for p in pdf[payload_col]:
                 try:
-                    img = decode_bmp(bytes(p))
+                    img = decode_image(bytes(p))[:, :, :3]
                     t = resize_nearest(img, thumb, thumb)
                     out["width"].append(img.shape[1])
                     out["height"].append(img.shape[0])
@@ -301,6 +395,9 @@ def parse_media_headers(
             if len(b) >= 26 and b[0:2] == b"BM":
                 w, h = struct.unpack("<ii", b[18:26])
                 return ("bmp", w, abs(h), None, None, None)
+            if len(b) >= 24 and b[0:8] == PNG_SIG and b[12:16] == b"IHDR":
+                w, h = struct.unpack(">II", b[16:24])
+                return ("png", w, h, None, None, None)
         except (struct.error, IndexError):
             pass
         return ("unknown", None, None, None, None, None)
