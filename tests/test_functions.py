@@ -353,3 +353,104 @@ def test_approx_quantiles_within_rank_error_of_exact(spark, sf_dir):
                 f"{prio} p{int(p*100)}: rank {rank} vs target {target:.1f} "
                 f"(n={n}, slack={slack})"
             )
+
+
+def test_hll_approx_distinct_within_error_bound(spark, sf_dir):
+    """approx_count_distinct(rsd=0.01) is a HyperLogLog++ sketch whose
+    relative standard deviation is the rsd parameter. Pins the
+    approx_distinct_users rows-only query to the oracle-green exact
+    distinct_users_by_type: per event_type the estimate must land
+    within 5*rsd (5 sigma) of the exact count — the documented sketch
+    contract asserted as a bound, not assumed."""
+    from value_at_risk_spark.queries import QUERIES
+
+    exact = {
+        r.event_type: r.n_users
+        for r in QUERIES["distinct_users_by_type"](spark, sf_dir).collect()
+    }
+    approx = {
+        r.event_type: r.n_users_approx
+        for r in QUERIES["approx_distinct_users"](spark, sf_dir).collect()
+    }
+    assert set(approx) == set(exact) and len(exact) > 0
+    for et, n in exact.items():
+        rel_err = abs(approx[et] - n) / n
+        assert rel_err <= 5 * 0.01, (
+            f"{et}: approx {approx[et]} vs exact {n} (rel err {rel_err:.4f})"
+        )
+
+
+def test_stratified_sample_fractions_match_hash_oracle(spark, sf_dir):
+    """The seeded-RNG sampleBy path (sample_stratified, rows-only) is
+    pinned to the hash-threshold path (sample_stratified_hash, oracle-
+    green) through their common contract: per-stratum realized sampling
+    fractions. Both must land within 5-sigma binomial tolerance of the
+    same target rates over the same strata, and the RNG path must be
+    bit-stable across reruns (seeded)."""
+    import math as _math
+
+    from value_at_risk_spark.queries import QUERIES
+
+    targets = {"en": 0.5, "de": 0.3, "es": 0.3, "zh": 0.2, "fr": 0.2}
+    totals = {
+        r.lang: r.n
+        for r in spark.read.parquet(f"{sf_dir}/documents.parquet")
+        .groupBy("lang")
+        .agg(F.count(F.lit(1)).alias("n"))
+        .collect()
+    }
+
+    def strata_counts(name):
+        rows = QUERIES[name](spark, sf_dir).collect()
+        out: dict[str, int] = {}
+        for r in rows:
+            out[r.lang] = out.get(r.lang, 0) + 1
+        return out, {(r.doc_id, r.lang) for r in rows}
+
+    rng_counts, rng_rows = strata_counts("sample_stratified")
+    hash_counts, _ = strata_counts("sample_stratified_hash")
+    for lang, p in targets.items():
+        n = totals[lang]
+        tol = 5 * _math.sqrt(p * (1 - p) * n)  # 5-sigma binomial
+        for label, got in (("rng", rng_counts), ("hash", hash_counts)):
+            k = got.get(lang, 0)
+            assert abs(k - p * n) <= tol, (
+                f"{label} {lang}: {k}/{n} vs target {p} (tol {tol:.1f})"
+            )
+    # seeded determinism: a rerun returns the identical row set
+    _, rng_rows2 = strata_counts("sample_stratified")
+    assert rng_rows == rng_rows2
+
+
+def test_doc_fingerprints_bottom_k_deterministic(spark, sf_dir):
+    """doc_fingerprints_rolling (rows-only) is a bottom-k sketch: its
+    fingerprint must equal the k smallest 5-gram xxhash64 values per
+    document computed by an independent plan (sort_array + slice over
+    the full hash list, no window), and must be invariant under
+    adversarial repartitioning — the determinism contract that makes
+    the sketch usable as a join key at corpus scale."""
+    from value_at_risk_spark.functions.text import shingles
+    from value_at_risk_spark.queries import QUERIES
+
+    got = {
+        r.doc_id: r.fingerprint
+        for r in QUERIES["doc_fingerprints_rolling"](spark, sf_dir).collect()
+    }
+
+    d = spark.read.parquet(f"{sf_dir}/documents.parquet").repartition(7)
+    independent = (
+        d.select("doc_id", F.explode(shingles("text", 5)).alias("_s"))
+        .select("doc_id", F.xxhash64("_s").alias("_h"))
+        .groupBy("doc_id")
+        .agg(
+            F.slice(F.sort_array(F.collect_list("_h")), 1, 8).alias("fp")
+        )
+        .select(
+            "doc_id",
+            F.concat_ws(
+                ",", F.transform("fp", lambda x: x.cast("string"))
+            ).alias("fingerprint"),
+        )
+    )
+    exp = {r.doc_id: r.fingerprint for r in independent.collect()}
+    assert got == exp and len(got) > 0
