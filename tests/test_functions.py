@@ -454,3 +454,49 @@ def test_doc_fingerprints_bottom_k_deterministic(spark, sf_dir):
     )
     exp = {r.doc_id: r.fingerprint for r in independent.collect()}
     assert got == exp and len(got) > 0
+
+
+def test_epoch_helpers_tz_free_parity(spark, sf_dir):
+    """epoch_seconds/epoch_micros (the tz-free replacements for
+    CAST(ts AS BIGINT)/unix_micros, which ANSI forbids on the
+    TIMESTAMP_NTZ columns the driver's tz-naive parquet scans as):
+    exact parity with DuckDB's naive-as-UTC epoch()/epoch_us(), and —
+    the property the plain casts lack — invariance to
+    spark.sql.session.timeZone on NTZ inputs."""
+    import duckdb
+
+    from value_at_risk_spark.functions.timeutil import epoch_micros, epoch_seconds
+
+    e = spark.read.parquet(f"{sf_dir}/events.parquet")
+    assert dict(e.dtypes)["ts"] == "timestamp_ntz"
+
+    got = (
+        e.orderBy("event_id")
+        .select(
+            "event_id",
+            epoch_seconds("ts").alias("es"),
+            epoch_micros("ts").alias("eu"),
+        )
+        .limit(200)
+        .collect()
+    )
+    con = duckdb.connect()
+    exp = con.execute(
+        "SELECT event_id, CAST(FLOOR(epoch(ts)) AS BIGINT), epoch_us(ts) "
+        f"FROM read_parquet('{sf_dir}/events.parquet') ORDER BY event_id LIMIT 200"
+    ).fetchall()
+    assert [(r.event_id, r.es, r.eu) for r in got] == [tuple(x) for x in exp]
+
+    # tz invariance: same values under a non-UTC session timezone
+    tz = spark.conf.get("spark.sql.session.timeZone")
+    try:
+        spark.conf.set("spark.sql.session.timeZone", "America/New_York")
+        got2 = (
+            e.orderBy("event_id")
+            .select(epoch_seconds("ts").alias("es"), epoch_micros("ts").alias("eu"))
+            .limit(200)
+            .collect()
+        )
+    finally:
+        spark.conf.set("spark.sql.session.timeZone", tz)
+    assert [(r.es, r.eu) for r in got2] == [(r.es, r.eu) for r in got]

@@ -4,6 +4,7 @@ from __future__ import annotations
 
 from pyspark.sql import functions as F
 
+from value_at_risk_spark.functions.timeutil import epoch_seconds
 from value_at_risk_spark.operators.merge import scd2_apply, upsert
 from value_at_risk_spark.streaming.stateful import running_event_totals
 from value_at_risk_spark.streaming.windows import read_events_stream
@@ -142,23 +143,34 @@ def test_sessionize_stateful_timeout_matches_batch(spark, sf_dir, tmp_path):
     # real session's close
     flush_user = 10**9
     far = batch_events.agg(
-        (F.max("ts").cast("long") + 10 * 86_400).alias("s")
+        (epoch_seconds(F.max("ts")) + 10 * 86_400).alias("s")
     ).first()[0]
-    # physical layout of the fixture under nanosAsLong: ts is a long
-    # of epoch NANOseconds — the streaming reader re-derives micros
+    # build the flush row in the fixture's own physical ts layout so
+    # the staged file matches the stream schema (long nanos under
+    # nanosAsLong; naive datetime for timestamp/timestamp_ntz)
+    ts_type = dict(batch_events.dtypes).get("ts")
+    if ts_type == "bigint":
+        flush_ts, flush_ts_ddl = far * 1_000_000_000, "long"
+    else:
+        from datetime import datetime, timezone
+
+        flush_ts = datetime.fromtimestamp(far, tz=timezone.utc).replace(
+            tzinfo=None
+        )
+        flush_ts_ddl = ts_type
     flush2 = spark.createDataFrame(
         [
             (
                 10**12,
-                far * 1_000_000_000,
+                flush_ts,
                 flush_user,
                 "flush",
                 0.0,
                 "{}",
             )
         ],
-        "event_id long, ts long, user_id long, event_type string, "
-        "value double, props string",
+        f"event_id long, ts {flush_ts_ddl}, user_id long, "
+        "event_type string, value double, props string",
     )
 
     def run_once():
@@ -166,6 +178,11 @@ def test_sessionize_stateful_timeout_matches_batch(spark, sf_dir, tmp_path):
         if dict(stream.dtypes).get("ts") == "bigint":
             stream = stream.withColumn(
                 "ts", F.timestamp_micros(F.expr("ts div 1000"))
+            )
+        elif dict(stream.dtypes).get("ts") == "timestamp_ntz":
+            # withWatermark requires TIMESTAMP; naive wall clock = UTC
+            stream = stream.withColumn(
+                "ts", F.to_utc_timestamp("ts", "UTC")
             )
         sess = sessionize_stateful(
             stream.withWatermark("ts", "0 seconds"), gap_seconds=1800
@@ -203,8 +220,8 @@ def test_sessionize_stateful_timeout_matches_batch(spark, sf_dir, tmp_path):
         .agg(F.count(F.lit(1)).alias("n"))
         .select(
             "user_id",
-            F.col("w.start").cast("long").alias("s"),
-            F.col("w.end").cast("long").alias("e"),
+            epoch_seconds(F.col("w.start")).alias("s"),
+            epoch_seconds(F.col("w.end")).alias("e"),
             "n",
         )
         .collect()

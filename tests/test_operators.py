@@ -979,6 +979,68 @@ def test_png_real_decode_all_filters(spark):
     assert (hdrs[2].format, hdrs[2].width, hdrs[2].height) == ("png", 5, 6)
 
 
+def test_png_malformed_payloads_degrade_to_null(spark):
+    """Dirty-corpus contract: EVERY malformed PNG-signatured payload
+    raises ValueError from decode_png (internal zlib/struct failures
+    re-raised, zlib bombs bounded and rejected), and image_pixel_stats
+    maps each to NULL stats without killing the batch."""
+    import struct
+    import zlib
+
+    import numpy as np
+    import pytest as _pytest
+
+    from value_at_risk_spark.operators.multimodal import (
+        decode_png,
+        image_pixel_stats,
+    )
+
+    def chunk(ctype, data):
+        return (
+            struct.pack(">I", len(data))
+            + ctype
+            + data
+            + struct.pack(">I", zlib.crc32(ctype + data))
+        )
+
+    sig = b"\x89PNG\r\n\x1a\n"
+    ihdr_2x2 = chunk(b"IHDR", struct.pack(">IIBBBBB", 2, 2, 8, 2, 0, 0, 0))
+
+    # 1. corrupt deflate stream (used to escape as zlib.error)
+    corrupt = sig + ihdr_2x2 + chunk(b"IDAT", b"\x00garbage-not-deflate") + chunk(b"IEND", b"")
+    # 2. IHDR chunk with a non-13-byte body (used to escape as struct.error)
+    bad_ihdr = sig + chunk(b"IHDR", b"\x00" * 7) + chunk(b"IDAT", zlib.compress(b"\x00" * 14)) + chunk(b"IEND", b"")
+    # 3. zlib bomb: IHDR declares absurd dimensions; tiny payload would
+    #    inflate to gigabytes — must be rejected BEFORE inflating
+    bomb_ihdr = chunk(b"IHDR", struct.pack(">IIBBBBB", 1 << 20, 1 << 20, 8, 2, 0, 0, 0))
+    bomb = sig + bomb_ihdr + chunk(b"IDAT", zlib.compress(b"\x00" * 1000, 9)) + chunk(b"IEND", b"")
+    # 4. deflate stream longer than the declared scanline size
+    overlong = sig + ihdr_2x2 + chunk(b"IDAT", zlib.compress(b"\x00" * 100)) + chunk(b"IEND", b"")
+
+    for payload in (corrupt, bad_ihdr, bomb, overlong):
+        with _pytest.raises(ValueError):
+            decode_png(payload)
+
+    # one good image among the four poison rows: batch survives, good
+    # row decodes, poison rows are NULL
+    rgb = np.full((2, 2, 3), 7, dtype=np.uint8)
+    good = _png_bytes(rgb, filters=[0])
+    media = spark.createDataFrame(
+        [
+            (1, bytearray(good)),
+            (2, bytearray(corrupt)),
+            (3, bytearray(bad_ihdr)),
+            (4, bytearray(bomb)),
+            (5, bytearray(overlong)),
+        ],
+        "media_id long, payload_bytes binary",
+    )
+    stats = {r.media_id: r for r in image_pixel_stats(media, thumb=1).collect()}
+    assert stats[1].mean_r == 7.0
+    for mid in (2, 3, 4, 5):
+        assert stats[mid].width is None and stats[mid].mean_r is None
+
+
 def test_misra_gries_heavy_hitters(spark):
     """MG candidate pass is a guaranteed superset of >n/k items even
     under adversarial partitioning; the exact verify pass equals the

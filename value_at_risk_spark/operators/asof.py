@@ -33,6 +33,8 @@ from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 from pyspark.sql.window import Window
 
+from value_at_risk_spark.functions.timeutil import epoch_seconds
+
 
 def asof_join(
     left: DataFrame,
@@ -118,17 +120,15 @@ def asof_join_bucketed(
     right_on = right_on or on
     bseconds = F.lit(bucket_seconds).cast("long")
 
-    # cast via timestamp so date, timestamp, and epoch-long keys all work
-    # (ANSI forbids a direct date→long cast)
+    # tz-free epoch so date, timestamp, and timestamp_ntz keys all work
+    # (ANSI forbids direct date→long and ntz→long casts)
     lb = left.withColumn(
         "_bucket",
-        F.floor(F.col(on).cast("timestamp").cast("long") / bseconds).cast("long"),
+        F.floor(epoch_seconds(on) / bseconds).cast("long"),
     )
     rb = right.withColumn(
         "_bucket",
-        F.floor(
-            F.col(right_on).cast("timestamp").cast("long") / bseconds
-        ).cast("long"),
+        F.floor(epoch_seconds(right_on) / bseconds).cast("long"),
     )
 
     # latest right row per bucket, as a struct so max() carries payload

@@ -15,6 +15,9 @@ from __future__ import annotations
 
 from collections.abc import Iterator
 
+import struct
+import zlib
+
 import numpy as np
 import pandas as pd
 from pyspark.sql import DataFrame
@@ -81,6 +84,20 @@ def decode_png(payload: bytes) -> np.ndarray:
     RFC 2083 §6). Color types 2 (RGB) and 6 (RGBA) at bit depth 8;
     palette, sub-byte depths, and Adam7 interlace raise the declared
     ``NotImplementedError`` (they need a real codec library).
+
+    Dirty-corpus contract: EVERY malformed payload raises ValueError
+    (internal zlib/struct failures are re-raised as ValueError), so
+    image_pixel_stats can map undecodable rows to NULL without a
+    corrupt row killing the batch. The inflate is bounded to the
+    IHDR-declared scanline size (zlib.decompressobj max_length) and
+    dimensions are sanity-capped first, so a small zlib-bomb payload
+    cannot balloon executor memory.
+
+    Throughput note: None/Up/Sub unfilter vectorized with numpy;
+    Average/Paeth fall back to a per-pixel Python loop (their
+    prediction is sequential in both x and the filter choice). Fine
+    for the thumb-stat batch shape here; a production hot path for
+    Paeth-heavy corpora wants a real codec library.
     """
     import struct
     import zlib
@@ -96,6 +113,10 @@ def decode_png(payload: bytes) -> np.ndarray:
         if len(data) < clen:
             raise ValueError("decode_png: truncated chunk")
         if ctype == b"IHDR":
+            if len(data) != 13:
+                raise ValueError(
+                    f"decode_png: IHDR must be 13 bytes, got {len(data)}"
+                )
             ihdr = struct.unpack(">IIBBBBB", data)
         elif ctype == b"IDAT":
             idat.append(data)
@@ -114,10 +135,22 @@ def decode_png(payload: bytes) -> np.ndarray:
         )
     if interlace != 0:
         raise NotImplementedError("decode_png: Adam7 interlace not supported")
+    if w == 0 or h == 0 or w * h > 64_000_000:
+        raise ValueError(f"decode_png: implausible dimensions {w}x{h}")
     ch = 3 if color == 2 else 4
     stride = w * ch
-    raw = zlib.decompress(b"".join(idat))
-    if len(raw) != (stride + 1) * h:
+    expected = (stride + 1) * h
+    inflater = zlib.decompressobj()
+    try:
+        raw = inflater.decompress(b"".join(idat), expected)
+        extra = (
+            inflater.decompress(inflater.unconsumed_tail, 1)
+            if inflater.unconsumed_tail
+            else b""
+        )
+    except zlib.error as ex:
+        raise ValueError(f"decode_png: corrupt deflate stream: {ex}") from ex
+    if len(raw) != expected or extra:
         raise ValueError("decode_png: scanline data size mismatch")
     arr = np.frombuffer(raw, dtype=np.uint8).reshape(h, stride + 1)
     out = np.zeros((h, stride), dtype=np.uint8)
@@ -129,10 +162,10 @@ def decode_png(payload: bytes) -> np.ndarray:
             rec = line
         elif ftype == 2:  # Up — fully vectorized (no intra-row dep)
             rec = (line + prev) & 0xFF
-        elif ftype == 1:  # Sub — sequential in x, vector over channels
+        elif ftype == 1:  # Sub — per-channel cumulative sum mod 256
             rec = line
-            for x in range(ch, stride):
-                rec[x] = (rec[x] + rec[x - ch]) & 0xFF
+            for k in range(ch):
+                rec[k::ch] = np.cumsum(rec[k::ch], dtype=np.int64) & 0xFF
         elif ftype == 3:  # Average
             rec = line
             for x in range(stride):
@@ -269,7 +302,7 @@ def image_pixel_stats(
                     out["thumb_mean"].append(
                         [float(x) for x in t.mean(axis=2).reshape(-1)]
                     )
-                except (ValueError, NotImplementedError):
+                except (ValueError, NotImplementedError, zlib.error, struct.error):
                     out["width"].append(None)
                     out["height"].append(None)
                     out["mean_r"].append(None)

@@ -20,6 +20,8 @@ from pyspark.sql import Column
 from pyspark.sql import functions as F
 from pyspark.sql.window import Window, WindowSpec
 
+from value_at_risk_spark.functions.timeutil import epoch_seconds
+
 SECONDS_PER_DAY = 86_400
 
 
@@ -33,7 +35,7 @@ def trailing_range_window(
     Mirrors 01_var_market_etl.py:167-168 (`i * 86400`).
     """
     base = Window.partitionBy(*partition_by) if partition_by else Window.partitionBy()
-    return base.orderBy(F.col(order_col).cast("long")).rangeBetween(
+    return base.orderBy(epoch_seconds(order_col)).rangeBetween(
         -days * SECONDS_PER_DAY, 0
     )
 

@@ -30,6 +30,7 @@ from pyspark.sql import functions as F
 from value_at_risk_spark.functions.features import nonlinear_features
 from value_at_risk_spark.functions.returns import log_returns_over
 from value_at_risk_spark.functions.risk import basel_zone, value_at_risk_expr
+from value_at_risk_spark.functions.timeutil import epoch_seconds
 from value_at_risk_spark.model import fit_ols_per_group, score
 from value_at_risk_spark.montecarlo import simulate_trials
 from value_at_risk_spark.operators.asof import asof_join
@@ -258,7 +259,7 @@ def backtest(
 
     w = (
         Window.partitionBy(*[F.col(k) for k in keys])
-        .orderBy(F.col("date").cast("long"))
+        .orderBy(epoch_seconds("date"))
         .rangeBetween(-basel_days * 86_400, 0)
     )
     breaches = F.sum(

@@ -36,6 +36,7 @@ from value_at_risk_spark.functions.features import nonlinear_features, predict_n
 from value_at_risk_spark.functions.returns import log_returns_over
 from value_at_risk_spark.functions.risk import basel_zone, value_at_risk_expr
 from value_at_risk_spark.functions.text import STOPWORDS
+from value_at_risk_spark.functions.timeutil import epoch_micros, epoch_seconds
 from value_at_risk_spark.functions.vector import dot_product
 from value_at_risk_spark.model import fit_ols_per_group
 from value_at_risk_spark.operators.asof import asof_join
@@ -1324,7 +1325,7 @@ def sessionize_events(spark: SparkSession, sf_dir: str) -> DataFrame:
     formulation; streaming variant is session_window)."""
     e = _t(spark, sf_dir, "events")
     w = Window.partitionBy("user_id").orderBy("ts")
-    gap = F.col("ts").cast("long") - F.lag(F.col("ts").cast("long")).over(w)
+    gap = epoch_seconds("ts") - F.lag(epoch_seconds("ts")).over(w)
     new_sess = F.when(
         gap.isNull() | (gap > 1800), F.lit(1)
     ).otherwise(F.lit(0))
@@ -1613,7 +1614,7 @@ def hourly_event_windows(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.round(F.sum("value"), 4).alias("total_value"),
         )
         .select(
-            F.col("w.start").cast("long").alias("window_start_s"),
+            epoch_seconds(F.col("w.start")).alias("window_start_s"),
             "event_type",
             "n_events",
             "total_value",
@@ -2211,8 +2212,8 @@ def session_windows_native(spark: SparkSession, sf_dir: str) -> DataFrame:
         .agg(F.count(F.lit(1)).alias("n_events"))
         .select(
             "user_id",
-            F.col("w.start").cast("long").alias("sess_start_s"),
-            F.col("w.end").cast("long").alias("sess_end_s"),
+            epoch_seconds(F.col("w.start")).alias("sess_start_s"),
+            epoch_seconds(F.col("w.end")).alias("sess_end_s"),
             "n_events",
         )
     )
@@ -3874,6 +3875,9 @@ def streaming_dedup_events(spark: SparkSession, sf_dir: str) -> DataFrame:
             .option("recursiveFileLookup", "true")
             .parquet(src)
         )
+        if dict(e.dtypes).get("ts") == "timestamp_ntz":
+            # withWatermark requires TIMESTAMP; naive wall clock → UTC instant
+            stream = stream.withColumn("ts", F.to_utc_timestamp("ts", "UTC"))
         deduped = dedup_stream(stream, ["event_id"], watermark="2 days")
         sink = f"gate_streaming_dedup_{uuid.uuid4().hex[:8]}"
         q = (
@@ -4001,7 +4005,7 @@ def twa_value_by_user_type(spark: SparkSession, sf_dir: str) -> DataFrame:
     return (
         e.withColumn(
             "_dt_us",
-            F.unix_micros(F.lead("ts").over(w)) - F.unix_micros(F.col("ts")),
+            epoch_micros(F.lead("ts").over(w)) - epoch_micros(F.col("ts")),
         )
         .filter(F.col("_dt_us").isNotNull())
         .groupBy("user_id", "event_type")

@@ -1,0 +1,76 @@
+"""Exactly-once sinks for streaming queries — SURVEY §2.9.
+
+Spark's streaming contract is exactly-once STATE plus at-least-once
+SINK delivery for non-transactional sinks: after a crash between "batch
+written" and "offsets committed", the restarted query re-executes the
+last batch and a plain append sink duplicates it. The reference runs on
+Delta, whose transactional log absorbs this (txnAppId/txnVersion); this
+module gives the same guarantee on plain parquet by keying every commit
+on ``batchId`` — the stable replay identity Spark hands foreachBatch.
+
+``IdempotentParquetSink`` implements the standard recipe:
+
+1. each micro-batch lands in its own ``batch_id=N`` directory;
+2. the write is staged to a temp dir and promoted with an atomic
+   ``os.rename`` — a crash mid-write leaves only unpromoted temp
+   garbage, never a half-visible batch;
+3. a replayed batchId whose directory already exists is SKIPPED — the
+   dedup that turns at-least-once redelivery into exactly-once output.
+
+At 100 TB this is the same pattern, with the rename swapped for the
+object store's atomic commit (or a manifest file); the batchId key and
+skip-if-committed logic are unchanged.
+"""
+
+from __future__ import annotations
+
+import os
+import shutil
+
+from pyspark.sql import DataFrame
+
+
+class IdempotentParquetSink:
+    """A ``foreachBatch`` callable with transactional batchId commits.
+
+    Usage::
+
+        sink = IdempotentParquetSink(out_dir)
+        stream.writeStream.foreachBatch(sink).option(
+            "checkpointLocation", ckpt
+        ).start()
+
+    ``read(spark)`` scans all committed batches as one DataFrame.
+    """
+
+    def __init__(self, out_dir: str):
+        self.out_dir = out_dir
+        os.makedirs(out_dir, exist_ok=True)
+        self.skipped: list[int] = []  # replayed batchIds (observability)
+
+    def _batch_dir(self, batch_id: int) -> str:
+        return os.path.join(self.out_dir, f"batch_id={batch_id}")
+
+    def committed(self, batch_id: int) -> bool:
+        return os.path.isdir(self._batch_dir(batch_id))
+
+    def __call__(self, batch_df: DataFrame, batch_id: int) -> None:
+        final = self._batch_dir(batch_id)
+        if os.path.isdir(final):
+            # replayed delivery of an already-committed batch: skip —
+            # this is what makes redelivery exactly-once at the sink
+            self.skipped.append(batch_id)
+            return
+        tmp = os.path.join(self.out_dir, f"_tmp_batch_{batch_id}")
+        shutil.rmtree(tmp, ignore_errors=True)  # leftover from a crash
+        batch_df.write.mode("overwrite").parquet(tmp)
+        os.rename(tmp, final)  # atomic promote
+
+    def read(self, spark) -> DataFrame:
+        """All committed batches (basePath keeps batch_id a column out
+        of the data schema via partition discovery)."""
+        return (
+            spark.read.option("basePath", self.out_dir)
+            .parquet(os.path.join(self.out_dir, "batch_id=*"))
+            .drop("batch_id")
+        )

@@ -24,6 +24,8 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
+from value_at_risk_spark.functions.timeutil import epoch_seconds
+
 
 def read_events_stream(spark: SparkSession, sf_dir: str) -> DataFrame:
     """File-source stream over the events fixture directory.
@@ -42,8 +44,14 @@ def read_events_stream(spark: SparkSession, sf_dir: str) -> DataFrame:
         .option("pathGlobFilter", "events.parquet")
         .parquet(sf_dir)
     )
-    if dict((f.name, f.dataType.simpleString()) for f in schema.fields).get("ts") == "bigint":
+    ts_type = dict((f.name, f.dataType.simpleString()) for f in schema.fields).get("ts")
+    if ts_type == "bigint":
         stream = stream.withColumn("ts", F.timestamp_micros(F.expr("ts div 1000")))
+    elif ts_type == "timestamp_ntz":
+        # withWatermark requires TIMESTAMP; pin the naive wall-clock
+        # reading to the UTC instant (tz-free, matches the batch twin
+        # and the DuckDB oracle's naive-as-UTC epoch)
+        stream = stream.withColumn("ts", F.to_utc_timestamp("ts", "UTC"))
     return stream
 
 
@@ -127,8 +135,8 @@ def session_windows_stream(
         .agg(F.count(F.lit(1)).alias("n_events"))
         .select(
             "user_id",
-            F.col("w.start").cast("long").alias("sess_start_s"),
-            F.col("w.end").cast("long").alias("sess_end_s"),
+            epoch_seconds(F.col("w.start")).alias("sess_start_s"),
+            epoch_seconds(F.col("w.end")).alias("sess_end_s"),
             "n_events",
         )
     )
