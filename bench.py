@@ -86,6 +86,46 @@ def force(df) -> None:
     df.write.format("noop").mode("overwrite").save()
 
 
+def scaled_near_dedup(spark, sf_dir: str) -> dict:
+    """Standing dupe-heavy ~sf1 near-dedup row (round-4 verdict #2).
+
+    Replicates the bench SF's documents table 10x with shifted doc_ids
+    (every text appears 10x => a ~90%-duplicate corpus — exactly what
+    dedup sees at scale) and times the composed exact flow once:
+    LSH candidates -> exact-Jaccard verify -> connected components ->
+    survivors. Also records the candidate-pair count so the timing has
+    a work-size denominator. One run, not median-of-3: this is the
+    regression tracker for the one >1 s pipeline, and a 3x repeat
+    would dominate the whole bench budget.
+    """
+    import shutil
+
+    from pyspark.sql import functions as F
+
+    scaled = os.environ.get("SPARK_GRAFT_SCALED_DIR", "/tmp/bench_scaled_docs")
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    reps = 10
+    shutil.rmtree(scaled, ignore_errors=True)
+    os.makedirs(scaled)
+    union = None
+    for i in range(reps):
+        rep = docs.withColumn("doc_id", F.col("doc_id") + F.lit(i * 10**9))
+        union = rep if union is None else union.unionByName(rep)
+    union.write.mode("overwrite").parquet(f"{scaled}/documents.parquet")
+    n_docs = spark.read.parquet(f"{scaled}/documents.parquet").count()
+
+    t0 = time.time()
+    force(QUERIES["near_dedup_survivors"](spark, scaled))
+    sec = round(time.time() - t0, 3)
+    pairs = QUERIES["minhash_lsh_pairs"](spark, scaled).count()
+    shutil.rmtree(scaled, ignore_errors=True)
+    return {
+        "near_dedup_scaled_sec": sec,
+        "near_dedup_scaled_docs": n_docs,
+        "near_dedup_scaled_candidate_pairs": pairs,
+    }
+
+
 def main() -> None:
     sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     sf = os.path.basename(sf_dir.rstrip("/")).replace("sf", "")
@@ -113,6 +153,12 @@ def main() -> None:
         key: round(sum(timings[q] for q in names if q in timings), 3)
         for key, names in SUBSETS.items()
     }
+    # dupe-heavy scaled near-dedup standing row — separate keys, NOT in
+    # the headline total (keeps the frozen subtotals comparable);
+    # disable with SPARK_GRAFT_SCALED=0 for quick spot runs
+    scaled_stats = {}
+    if os.environ.get("SPARK_GRAFT_SCALED", "1") != "0" and not subset:
+        scaled_stats = scaled_near_dedup(spark, sf_dir)
     print(
         json.dumps(
             {
@@ -121,6 +167,7 @@ def main() -> None:
                 "unit": "sec",
                 "queries": timings,
                 "subtotals": subtotals,
+                **scaled_stats,
                 "sf": float(sf) if sf.replace(".", "").isdigit() else sf,
             }
         )

@@ -1,23 +1,30 @@
 """Skew-mitigation utilities — SURVEY §4 / 100 TB design.
 
-Where skew actually bites (measured, 20 M rows with a 95%-hot key on
-local[32]):
+Where skew actually bites — measured by ``tools/perf_skew.py``
+(5 M rows, 64 input splits, median-of-3 interleaved runs, results
+value-asserted identical; full table in PERF.md):
 
+- **Joins**: the real win. Against a non-broadcastable dim with AQE
+  off, ``salted_join`` beat the plain shuffle join **2.0×** at a
+  30 %-hot key (2.46 s → 1.26 s) and **2.3×** at 95 % hot
+  (2.34 s → 1.00 s) — the hot key's fact rows spread over
+  ``salt_buckets`` reducers instead of one straggler. AQE's skew
+  split is the first line of defense; salting is for the
+  pathological single-key case it can't subdivide.
 - **Algebraic/sketch aggregates (sum/count/min/max/avg,
-  percentile_approx, HLL)**: Spark's map-side partial aggregation
-  already reduces each hot key to one partial row per map task — the
-  reducer receives #tasks rows regardless of skew. Plain ``groupBy``
-  BEAT the salted rewrite 0.9 s vs 3.4 s; don't salt these.
-- **Holistic aggregates (collect_list/collect_set, exact
-  percentile)**: no map-side shrink — the hot key's entire payload
-  lands on one reducer. ``salted_agg``'s two-phase rewrite applies
-  when the aggregate decomposes over a partition of the rows
-  (collect_list → flatten, count_distinct → distinct-of-distincts);
-  measured 2.2× (3.7 s → 1.7 s) for collect_list over 5 M rows with
-  a 95%-hot key, widening with data size and skew.
-- **Joins**: AQE splits skewed sort-merge blocks, but a single
-  pathological key inside one block still stragglers —
-  ``salted_join`` replicates the dim side over salt buckets.
+  percentile_approx, HLL)**: do NOT salt. Map-side partial
+  aggregation already reduces each hot key to one partial row per
+  map task; plain ``groupBy`` beat the salted rewrite at both 30 %
+  and 95 % hot (3.27 s vs 7.88 s at 30 %).
+- **Holistic aggregates**: salting pays only when the partials
+  SHRINK — exact ``count_distinct`` (distinct-of-distincts, the
+  ``salted_distinct_users_by_type`` gate query) cuts the hot
+  reducer's input from rows to distincts. For payload-conserving
+  aggregates (``collect_list``/``collect_set``) the final merge
+  still assembles the hot key's entire payload on one reducer, and
+  the measured salted path was strictly slower (3.91 s vs 10.30 s at
+  30 % hot); its remaining value is bounding PER-TASK merge inputs
+  when a single partial exceeds task memory, not wall-clock.
 
 ``salted_agg`` takes the partial and final expression builders
 explicitly; only decomposable aggregates compose this way.

@@ -4371,3 +4371,316 @@ def supplier_count_by_part_attrs(spark: SparkSession, sf_dir: str) -> DataFrame:
         .groupBy("p_brand", "p_size")
         .agg(F.count_distinct("l_suppkey").alias("supplier_cnt"))
     )
+
+
+# --------------------------------------------------------------------------
+# 10. Round 6: training-data pipeline widening — PII scrubbing,
+#     deterministic per-group sampling, windowed event dedup, robust
+#     stats, inter-arrival features, embedding quantization
+# --------------------------------------------------------------------------
+
+_PII_EMAIL = r"[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}"
+_PII_PHONE = r"\d{3}-\d{3}-\d{4}"
+
+
+@query(
+    "pii_scrub_documents",
+    f"""
+WITH aug AS (
+  SELECT doc_id,
+         text || ' reach user' || CAST(doc_id AS VARCHAR)
+              || '@mail.example or call 555-123-'
+              || lpad(CAST(doc_id % 10000 AS VARCHAR), 4, '0') AS text
+  FROM documents
+)
+SELECT doc_id,
+       CAST(LEN(regexp_extract_all(text, '{_PII_EMAIL}')) AS BIGINT) AS n_emails,
+       CAST(LEN(regexp_extract_all(text, '{_PII_PHONE}')) AS BIGINT) AS n_phones,
+       regexp_replace(
+         regexp_replace(text, '{_PII_EMAIL}', '<EMAIL>', 'g'),
+         '{_PII_PHONE}', '<PHONE>', 'g') AS scrubbed
+FROM aug
+""",
+)
+def pii_scrub_documents(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """PII redaction over the document corpus — a mandatory pass in any
+    training-data pipeline. The fixture text carries no PII, so a
+    deterministic synthetic email+phone is appended per doc (both
+    engines append the identical string) and then scrubbed: per-doc
+    match counts + the redacted text, all via JVM regexp (RE2-safe
+    patterns — identical semantics on Spark's Java regex and DuckDB's
+    RE2). Scale shape: pure per-row narrow ops — no shuffle at all;
+    the scan streams straight through whole-stage codegen."""
+    d = _t(spark, sf_dir, "documents")
+    aug = F.concat(
+        F.col("text"),
+        F.lit(" reach user"),
+        F.col("doc_id").cast("string"),
+        F.lit("@mail.example or call 555-123-"),
+        F.lpad((F.col("doc_id") % 10000).cast("string"), 4, "0"),
+    )
+    return d.select(
+        "doc_id",
+        F.regexp_count(aug, F.lit(_PII_EMAIL)).cast("long").alias("n_emails"),
+        F.regexp_count(aug, F.lit(_PII_PHONE)).cast("long").alias("n_phones"),
+        F.regexp_replace(
+            F.regexp_replace(aug, _PII_EMAIL, "<EMAIL>"),
+            _PII_PHONE,
+            "<PHONE>",
+        ).alias("scrubbed"),
+    )
+
+
+@query(
+    "group_sample_deterministic_k",
+    """
+SELECT event_type, event_id
+FROM (
+  SELECT event_type, event_id,
+         ROW_NUMBER() OVER (
+           PARTITION BY event_type
+           ORDER BY md5(CAST(event_id AS VARCHAR))) AS rn
+  FROM events
+)
+WHERE rn <= 20
+""",
+)
+def group_sample_deterministic_k(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """EXACT-k deterministic per-group sample (the reservoir-sample
+    contract without RNG state): keep each group's k rows with the
+    smallest md5(id) — a uniform, seedless, engine-portable draw that
+    any worker can recompute (the property that makes the sample
+    joinable downstream). Complements sample_stratified (fractional,
+    seeded RNG) and sample_stratified_hash (fractional, hash
+    threshold): those give Bernoulli fractions; this gives exact k.
+    Scale shape: one shuffle on the group key; rank-truncation prunes
+    everything past k per group before the final projection. For few
+    huge groups the two-phase variant (per-partition bottom-k then
+    merge, as in heavyhitters.py) drops the sort to O(n log k)."""
+    e = _t(spark, sf_dir, "events")
+    w = Window.partitionBy("event_type").orderBy(F.md5(F.col("event_id").cast("string")))
+    return (
+        e.select("event_type", "event_id")
+        .withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") <= 20)
+        .select("event_type", "event_id")
+    )
+
+
+@query(
+    "first_event_per_hour",
+    """
+SELECT user_id, event_type,
+       CAST(FLOOR(epoch(date_trunc('hour', ts))) AS BIGINT) AS hour_s,
+       first_event_id,
+       CAST(n_events AS BIGINT) AS n_events
+FROM (
+  SELECT user_id, event_type, ts, n_events,
+         event_id AS first_event_id,
+         ROW_NUMBER() OVER (
+           PARTITION BY user_id, event_type, date_trunc('hour', ts)
+           ORDER BY ts, event_id) AS rn
+  FROM (SELECT *, COUNT(*) OVER (
+          PARTITION BY user_id, event_type, date_trunc('hour', ts)
+        ) AS n_events FROM events)
+)
+WHERE rn = 1
+""",
+)
+def first_event_per_hour(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Windowed event dedup: collapse each (user, type, hour) bucket to
+    its FIRST event plus the bucket's event count — the at-least-once
+    log compaction every event pipeline runs before feature extraction.
+    Spark side is a single groupBy-agg (NOT the oracle's double
+    window): min(struct(ts, event_id)) carries the first event through
+    map-side partial aggregation, so the hot path is one shuffle with
+    pre-reduced partitions — the formulation that survives 100 TB where
+    a row_number window over the raw events would sort them all."""
+    e = _t(spark, sf_dir, "events")
+    hour = F.date_trunc("hour", F.col("ts"))
+    return (
+        e.groupBy("user_id", "event_type", hour.alias("_hour"))
+        .agg(
+            F.min(F.struct("ts", "event_id")).alias("_first"),
+            F.count(F.lit(1)).alias("n_events"),
+        )
+        .select(
+            "user_id",
+            "event_type",
+            epoch_seconds(F.col("_hour")).alias("hour_s"),
+            F.col("_first.event_id").alias("first_event_id"),
+            "n_events",
+        )
+    )
+
+
+@query(
+    "winsorized_price_stats",
+    """
+WITH pct AS (
+  SELECT o_orderpriority AS priority,
+         quantile_cont(o_totalprice, 0.01) AS p01,
+         quantile_cont(o_totalprice, 0.99) AS p99
+  FROM orders GROUP BY 1
+)
+SELECT o.o_orderpriority AS priority,
+       CAST(COUNT(*) AS BIGINT) AS n,
+       ROUND(AVG(LEAST(GREATEST(o.o_totalprice, p.p01), p.p99)), 2) + 0 AS wins_avg,
+       ROUND(STDDEV_SAMP(LEAST(GREATEST(o.o_totalprice, p.p01), p.p99)), 2) + 0 AS wins_std
+FROM orders o JOIN pct p ON o.o_orderpriority = p.priority
+GROUP BY 1
+""",
+)
+def winsorized_price_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Winsorized (p01/p99-clipped) robust statistics per group — the
+    outlier-clipping stage of numeric feature preparation. Exact
+    linear-interpolation percentiles (Spark ``percentile`` ==
+    DuckDB ``quantile_cont``) computed in a first grouped agg over the
+    SAME shuffle key as the final agg, broadcast back (group-level
+    frame: tiny), then clip + avg/stddev. Two aggs, one fact scan each,
+    zero row explosion."""
+    o = _t(spark, sf_dir, "orders")
+    pct = o.groupBy(F.col("o_orderpriority").alias("priority")).agg(
+        F.percentile("o_totalprice", F.lit(0.01)).alias("p01"),
+        F.percentile("o_totalprice", F.lit(0.99)).alias("p99"),
+    )
+    j = o.join(
+        F.broadcast(pct), o["o_orderpriority"] == pct["priority"]
+    )
+    clipped = F.least(F.greatest(F.col("o_totalprice"), F.col("p01")), F.col("p99"))
+    return j.groupBy("priority").agg(
+        F.count(F.lit(1)).alias("n"),
+        (F.round(F.avg(clipped), 2) + F.lit(0.0)).alias("wins_avg"),
+        (F.round(F.stddev_samp(clipped), 2) + F.lit(0.0)).alias("wins_std"),
+    )
+
+
+@query(
+    "user_interarrival_stats",
+    """
+WITH gaps AS (
+  SELECT user_id,
+         FLOOR(epoch(ts)) - FLOOR(epoch(LAG(ts) OVER (
+           PARTITION BY user_id ORDER BY ts, event_id))) AS gap_s
+  FROM events
+)
+SELECT user_id,
+       CAST(COUNT(gap_s) AS BIGINT) AS n_gaps,
+       ROUND(AVG(gap_s), 4) + 0 AS avg_gap_s,
+       CAST(MAX(gap_s) AS BIGINT) AS max_gap_s
+FROM gaps GROUP BY 1
+""",
+)
+def user_interarrival_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-user inter-arrival gap statistics (burstiness features for
+    behavioral models), pinning the tz-free ``epoch_seconds`` helper at
+    the official gate against DuckDB's naive-as-UTC ``epoch()`` — the
+    exact surface the TIMESTAMP_NTZ fixture change broke in r05. One
+    lag window + one grouped agg on the window's own partition key:
+    a single shuffle end-to-end."""
+    e = _t(spark, sf_dir, "events")
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    gap = epoch_seconds("ts") - F.lag(epoch_seconds("ts")).over(w)
+    return (
+        e.select("user_id", gap.alias("gap_s"))
+        .groupBy("user_id")
+        .agg(
+            F.count("gap_s").alias("n_gaps"),
+            (F.round(F.avg("gap_s"), 4) + F.lit(0.0)).alias("avg_gap_s"),
+            F.max("gap_s").alias("max_gap_s"),
+        )
+    )
+
+
+@query(
+    "embedding_scalar_quantization",
+    """
+WITH ex AS (
+  SELECT vec_id,
+         generate_subscripts(embedding, 1) AS ord,
+         CAST(unnest(embedding) AS DOUBLE) AS v
+  FROM embeddings
+),
+mm AS (
+  SELECT ord, MIN(v) AS mn, MAX(v) AS mx FROM ex GROUP BY ord
+),
+codes AS (
+  SELECT e.vec_id, e.v, m.mn, m.mx,
+         CASE WHEN m.mx = m.mn THEN 0
+              ELSE LEAST(255, GREATEST(0, FLOOR((e.v - m.mn) * 255 / (m.mx - m.mn))))
+         END AS code
+  FROM ex e JOIN mm m ON e.ord = m.ord
+)
+SELECT vec_id,
+       ROUND(AVG(code), 4) + 0 AS mean_code,
+       ROUND(AVG(ABS(v - (mn + (code + 0.5) * (mx - mn) / 255))), 6) + 0 AS mae
+FROM codes GROUP BY 1
+""",
+)
+def embedding_scalar_quantization(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Scalar (per-dimension min/max) int8 quantization of the
+    embedding column — the standard 4x memory compression in front of
+    ANN indexes at corpus scale — reported as each vector's mean code
+    and mean absolute reconstruction error. Scale shape: the min/max
+    pass is ONE posexplode + grouped agg reduced map-side to dim-sized
+    partials (the shuffle carries ~dim rows per task, not rows x dim);
+    the dim-length bounds frame is broadcast back as two arrays; code
+    assignment and reconstruction are per-row higher-order functions
+    inside whole-stage codegen — no Python, no second shuffle."""
+    e = _t(spark, sf_dir, "embeddings")
+    ex = e.select(
+        "vec_id", F.posexplode(F.col("embedding")).alias("pos", "v")
+    ).select("vec_id", "pos", F.col("v").cast("double").alias("v"))
+    mm = ex.groupBy("pos").agg(F.min("v").alias("mn"), F.max("v").alias("mx"))
+    bounds = mm.groupBy().agg(
+        F.array_sort(F.collect_list(F.struct("pos", "mn"))).alias("_mns"),
+        F.array_sort(F.collect_list(F.struct("pos", "mx"))).alias("_mxs"),
+    ).select(
+        F.transform("_mns", lambda x: x["mn"]).alias("mns"),
+        F.transform("_mxs", lambda x: x["mx"]).alias("mxs"),
+    )
+    j = e.crossJoin(F.broadcast(bounds))
+    code_at = lambda x, i: F.when(  # noqa: E731
+        F.element_at("mxs", i + 1) == F.element_at("mns", i + 1), F.lit(0.0)
+    ).otherwise(
+        F.least(
+            F.lit(255.0),
+            F.greatest(
+                F.lit(0.0),
+                F.floor(
+                    (x.cast("double") - F.element_at("mns", i + 1))
+                    * 255
+                    / (F.element_at("mxs", i + 1) - F.element_at("mns", i + 1))
+                ),
+            ),
+        )
+    )
+    codes = F.transform(F.col("embedding"), code_at)
+    recon_err = F.transform(
+        F.col("embedding"),
+        lambda x, i: F.abs(
+            x.cast("double")
+            - (
+                F.element_at("mns", i + 1)
+                + (code_at(x, i) + 0.5)
+                * (F.element_at("mxs", i + 1) - F.element_at("mns", i + 1))
+                / 255
+            )
+        ),
+    )
+    n = F.size("embedding")
+    return j.select(
+        "vec_id",
+        (
+            F.round(
+                F.aggregate(codes, F.lit(0.0), lambda a, x: a + x) / n, 4
+            )
+            + F.lit(0.0)
+        ).alias("mean_code"),
+        (
+            F.round(
+                F.aggregate(recon_err, F.lit(0.0), lambda a, x: a + x) / n, 6
+            )
+            + F.lit(0.0)
+        ).alias("mae"),
+    )
