@@ -1084,3 +1084,92 @@ def test_misra_gries_heavy_hitters(spark):
     hh = exact_heavy_hitters(df, "item", k)
     got = {(r.item, r.cnt) for r in hh.collect()}
     assert got == exact
+
+
+def test_png_gray_and_palette_decode(spark):
+    """Round 6: grayscale (color type 0) and palette (color type 3)
+    PNGs decode for real with stdlib only — gray replicated to RGB,
+    palette resolved through the PLTE lookup — bit-exact against the
+    encoder's source pixels, through every filter type. A palette
+    index past the PLTE table raises ValueError (dirty-corpus rule)."""
+    import struct
+    import zlib
+
+    import numpy as np
+    import pytest as _pytest
+
+    from value_at_risk_spark.operators.multimodal import decode_png
+
+    def chunk(ctype, data):
+        return (
+            struct.pack(">I", len(data))
+            + ctype
+            + data
+            + struct.pack(">I", zlib.crc32(ctype + data))
+        )
+
+    sig = b"\x89PNG\r\n\x1a\n"
+    rng = np.random.default_rng(7)
+
+    def encode_1ch(img2d, color_type, plte=None, filters=(0, 1, 2, 3, 4)):
+        h, w = img2d.shape
+        raw = bytearray()
+        prev = np.zeros(w, dtype=np.int32)
+        for y in range(h):
+            f = filters[y % len(filters)]
+            cur = img2d[y].astype(np.int32)
+            if f == 0:
+                enc = cur.copy()
+            elif f == 1:
+                enc = cur.copy()
+                enc[1:] = (cur[1:] - cur[:-1]) % 256
+            elif f == 2:
+                enc = (cur - prev) % 256
+            elif f == 3:
+                enc = cur.copy()
+                for x in range(w):
+                    left = int(cur[x - 1]) if x >= 1 else 0
+                    enc[x] = (int(cur[x]) - ((left + int(prev[x])) >> 1)) % 256
+            else:
+                enc = cur.copy()
+                for x in range(w):
+                    a = int(cur[x - 1]) if x >= 1 else 0
+                    b = int(prev[x])
+                    c = int(prev[x - 1]) if x >= 1 else 0
+                    p = a + b - c
+                    pa, pb, pc = abs(p - a), abs(p - b), abs(p - c)
+                    pred = (
+                        a if (pa <= pb and pa <= pc) else (b if pb <= pc else c)
+                    )
+                    enc[x] = (int(cur[x]) - pred) % 256
+            raw += bytes([f]) + bytes(enc.astype(np.uint8))
+            prev = cur
+        body = sig + chunk(
+            b"IHDR", struct.pack(">IIBBBBB", w, h, 8, color_type, 0, 0, 0)
+        )
+        if plte is not None:
+            body += chunk(b"PLTE", bytes(plte.reshape(-1)))
+        return body + chunk(b"IDAT", zlib.compress(bytes(raw))) + chunk(b"IEND", b"")
+
+    # grayscale: decode == source replicated to 3 channels
+    gray = rng.integers(0, 256, size=(9, 6), dtype=np.uint8)
+    got = decode_png(encode_1ch(gray, 0))
+    assert got.shape == (9, 6, 3)
+    assert np.array_equal(got, np.repeat(gray[:, :, None], 3, axis=2))
+
+    # palette: decode == LUT[indices]
+    lut = rng.integers(0, 256, size=(16, 3), dtype=np.uint8)
+    idx = rng.integers(0, 16, size=(7, 5), dtype=np.uint8)
+    got_p = decode_png(encode_1ch(idx, 3, plte=lut))
+    assert got_p.shape == (7, 5, 3)
+    assert np.array_equal(got_p, lut[idx])
+
+    # palette index out of range -> ValueError, not a crash
+    bad_idx = idx.copy()
+    bad_idx[0, 0] = 200  # beyond the 16-entry PLTE
+    with _pytest.raises(ValueError):
+        decode_png(encode_1ch(bad_idx, 3, plte=lut))
+
+    # palette image with no PLTE chunk -> ValueError
+    with _pytest.raises(ValueError):
+        decode_png(encode_1ch(idx, 3, plte=None))

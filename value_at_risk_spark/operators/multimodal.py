@@ -58,32 +58,34 @@ def decode_image(payload: bytes):
     """Decode an image payload to an (h, w, 3|4) uint8 numpy array.
 
     REAL decode for uncompressed 24-bit BMP and for non-interlaced
-    8-bit RGB/RGBA PNG (pure stdlib struct + zlib + numpy — no codec
-    library involved); the remaining compressed formats (JPEG/WebP,
-    palette/interlaced PNG) need PIL/opencv, absent from this
-    container, and raise ``NotImplementedError`` — the declared
-    environment stub.
+    8-bit gray/RGB/palette/RGBA PNG (pure stdlib struct + zlib +
+    numpy — no codec library involved); the remaining compressed
+    formats (JPEG/WebP, interlaced/16-bit PNG) need PIL/opencv, absent
+    from this container, and raise ``NotImplementedError`` — the
+    declared environment stub.
     """
     if len(payload) >= 2 and payload[0:2] == b"BM":
         return decode_bmp(payload)
     if len(payload) >= 8 and payload[0:8] == PNG_SIG:
         return decode_png(payload)
     raise NotImplementedError(
-        "only uncompressed 24-bit BMP and 8-bit RGB/RGBA PNG decode "
-        "without codec libraries; JPEG/WebP need PIL/opencv (absent "
-        "from this environment)"
+        "only uncompressed 24-bit BMP and 8-bit gray/RGB/palette/RGBA "
+        "PNG decode without codec libraries; JPEG/WebP need PIL/opencv "
+        "(absent from this environment)"
     )
 
 
 def decode_png(payload: bytes) -> np.ndarray:
-    """Non-interlaced 8-bit truecolor PNG → (h, w, 3|4) uint8 array.
+    """Non-interlaced 8-bit PNG → (h, w, 3|4) uint8 array.
 
     Full spec-compliant decode with stdlib only: chunk walk
-    (IHDR/IDAT/IEND), concatenated-IDAT zlib inflate, then per-scanline
-    reversal of all five PNG filter types (None/Sub/Up/Average/Paeth,
-    RFC 2083 §6). Color types 2 (RGB) and 6 (RGBA) at bit depth 8;
-    palette, sub-byte depths, and Adam7 interlace raise the declared
-    ``NotImplementedError`` (they need a real codec library).
+    (IHDR/PLTE/IDAT/IEND), concatenated-IDAT zlib inflate, then
+    per-scanline reversal of all five PNG filter types
+    (None/Sub/Up/Average/Paeth, RFC 2083 §6). Color types 0
+    (grayscale, replicated to RGB), 2 (RGB), 3 (palette, PLTE lookup),
+    and 6 (RGBA) at bit depth 8; sub-byte depths, 16-bit, and Adam7
+    interlace raise the declared ``NotImplementedError`` (they need a
+    real codec library).
 
     Dirty-corpus contract: EVERY malformed payload raises ValueError
     (internal zlib/struct failures are re-raised as ValueError), so
@@ -104,7 +106,7 @@ def decode_png(payload: bytes) -> np.ndarray:
 
     if len(payload) < 8 or payload[0:8] != PNG_SIG:
         raise ValueError("decode_png: not a PNG payload")
-    ihdr, idat = None, []
+    ihdr, idat, plte = None, [], None
     i = 8
     while i + 8 <= len(payload):
         (clen,) = struct.unpack(">I", payload[i : i + 4])
@@ -118,6 +120,10 @@ def decode_png(payload: bytes) -> np.ndarray:
                     f"decode_png: IHDR must be 13 bytes, got {len(data)}"
                 )
             ihdr = struct.unpack(">IIBBBBB", data)
+        elif ctype == b"PLTE":
+            if clen == 0 or clen % 3 != 0:
+                raise ValueError("decode_png: PLTE length not a multiple of 3")
+            plte = data
         elif ctype == b"IDAT":
             idat.append(data)
         elif ctype == b"IEND":
@@ -128,16 +134,18 @@ def decode_png(payload: bytes) -> np.ndarray:
     w, h, depth, color, comp, filt, interlace = ihdr
     if comp != 0 or filt != 0:
         raise ValueError("decode_png: invalid compression/filter method")
-    if depth != 8 or color not in (2, 6):
+    if depth != 8 or color not in (0, 2, 3, 6):
         raise NotImplementedError(
-            f"decode_png: only 8-bit RGB/RGBA supported "
+            f"decode_png: only 8-bit gray/RGB/palette/RGBA supported "
             f"(got depth={depth}, color_type={color})"
         )
+    if color == 3 and plte is None:
+        raise ValueError("decode_png: palette image missing PLTE chunk")
     if interlace != 0:
         raise NotImplementedError("decode_png: Adam7 interlace not supported")
     if w == 0 or h == 0 or w * h > 64_000_000:
         raise ValueError(f"decode_png: implausible dimensions {w}x{h}")
-    ch = 3 if color == 2 else 4
+    ch = {0: 1, 2: 3, 3: 1, 6: 4}[color]
     stride = w * ch
     expected = (stride + 1) * h
     inflater = zlib.decompressobj()
@@ -185,6 +193,13 @@ def decode_png(payload: bytes) -> np.ndarray:
             raise ValueError(f"decode_png: bad filter type {ftype}")
         out[y] = rec.astype(np.uint8)
         prev = rec
+    if color == 0:  # grayscale -> replicate to RGB
+        return np.repeat(out.reshape(h, w, 1), 3, axis=2)
+    if color == 3:  # palette indices -> RGB lookup
+        lut = np.frombuffer(plte, dtype=np.uint8).reshape(-1, 3)
+        if int(out.max(initial=0)) >= len(lut):
+            raise ValueError("decode_png: palette index out of range")
+        return lut[out.reshape(h, w)]
     return out.reshape(h, w, ch)
 
 
