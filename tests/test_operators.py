@@ -1173,3 +1173,65 @@ def test_png_gray_and_palette_decode(spark):
     # palette image with no PLTE chunk -> ValueError
     with _pytest.raises(ValueError):
         decode_png(encode_1ch(idx, 3, plte=None))
+
+
+def test_sequence_packing_invariants(spark, sf_dir):
+    """pack_sequences guarantees, asserted on the documents fixture:
+    exactly-once coverage, per-sequence token cap (oversize docs alone
+    and flagged), the next-fit 2-approximation bound per bucket, and
+    invariance to input repartitioning (the determinism that makes the
+    assignment joinable downstream)."""
+    import math
+
+    from value_at_risk_spark.functions.text import tokens as _tokens
+    from value_at_risk_spark.operators.packing import (
+        pack_sequences,
+        packing_stats,
+    )
+
+    cap = 256
+    d = (
+        spark.read.parquet(f"{sf_dir}/documents.parquet")
+        .select("doc_id", F.size(_tokens("text")).alias("n_tokens"))
+    )
+    packed = pack_sequences(d, max_tokens=cap, buckets=16)
+    rows = packed.collect()
+    n_docs = d.count()
+
+    # exactly-once coverage
+    assert len(rows) == n_docs
+    assert len({r.doc_id for r in rows}) == n_docs
+
+    # token cap per sequence; oversize docs are alone and flagged
+    toks = {r.doc_id: r.n_tokens for r in d.collect()}
+    seqs = {}
+    for r in rows:
+        seqs.setdefault((r.bucket, r.seq_in_bucket), []).append(r)
+    assert len([r for r in rows if r.oversize]) == len(
+        [t for t in toks.values() if t > cap]
+    )
+    for members in seqs.values():
+        total = sum(toks[m.doc_id] for m in members)
+        if any(m.oversize for m in members):
+            assert len(members) == 1
+        else:
+            assert total <= cap
+
+    # next-fit 2-approximation per bucket (non-oversize load)
+    by_bucket = {}
+    for (b, _), members in seqs.items():
+        if any(m.oversize for m in members):
+            continue
+        load, cnt = by_bucket.get(b, (0, 0))
+        by_bucket[b] = (load + sum(toks[m.doc_id] for m in members), cnt + 1)
+    for b, (load, n_seqs) in by_bucket.items():
+        assert n_seqs <= math.ceil(2 * load / cap) + 1, (b, load, n_seqs)
+
+    # determinism under repartitioning
+    again = pack_sequences(d.repartition(7), max_tokens=cap, buckets=16)
+    assert sorted(map(tuple, rows)) == sorted(map(tuple, again.collect()))
+
+    # corpus summary sanity: decent fill, everything counted
+    st = packing_stats(packed, cap).first()
+    assert st.n_docs == n_docs
+    assert st.avg_fill is None or st.avg_fill >= 0.5

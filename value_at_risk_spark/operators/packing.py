@@ -1,0 +1,124 @@
+"""Sequence packing — the token-budget bin-packing pass of an LLM
+training-data pipeline (between chunking and batch assembly).
+
+Greedy next-fit packing is inherently sequential (the running token
+total resets when a document would overflow the budget), so it cannot
+be expressed as a window function. The distributed form used here is
+the standard one at corpus scale:
+
+1. shard documents into ``buckets`` deterministic hash buckets — ONE
+   shuffle, keyed on the bucket id;
+2. pack each bucket independently with a sequential next-fit pass in
+   an Arrow-batched ``applyInPandas`` (state: one running counter);
+3. a sequence is identified by (bucket, seq_in_bucket) — stable and
+   reproducible because the within-bucket order is the sort on the id
+   column, not arrival order.
+
+Guarantees (pytest-asserted in tests/test_operators.py):
+- every input row appears in exactly one sequence;
+- no sequence's token sum exceeds ``max_tokens`` unless it holds a
+  single oversize document (emitted alone, ``oversize = true``);
+- next-fit is a 2-approximation, so per bucket
+  ``n_seqs <= ceil(2 * bucket_tokens / max_tokens) + 1``;
+- output is invariant under input repartitioning (determinism).
+
+At 100 TB: buckets scale with cluster width (each packs in O(rows) with
+O(1) state); packing quality is per-bucket next-fit regardless of
+bucket count. Cross-bucket waste is at most one underfull sequence per
+bucket — bounded by ``buckets * max_tokens`` tokens total, negligible
+against a corpus that fills millions of sequences.
+"""
+
+from __future__ import annotations
+
+from collections.abc import Iterator
+
+import pandas as pd
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+
+def pack_sequences(
+    docs: DataFrame,
+    id_col: str = "doc_id",
+    tokens_col: str = "n_tokens",
+    max_tokens: int = 2048,
+    buckets: int = 256,
+) -> DataFrame:
+    """Assign each document to a packed sequence.
+
+    Returns (id_col, bucket, seq_in_bucket, seq_tokens_so_far,
+    oversize): one row per input document, where (bucket,
+    seq_in_bucket) names the packed sequence.
+    """
+    if max_tokens <= 0:
+        raise ValueError("pack_sequences: max_tokens must be positive")
+
+    schema = (
+        f"{id_col} long, bucket int, seq_in_bucket long, "
+        "seq_tokens_so_far long, oversize boolean"
+    )
+
+    def _pack(pdf_iter: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in pdf_iter:
+            pdf = pdf.sort_values(id_col, kind="mergesort")
+            ids = pdf[id_col].to_numpy()
+            toks = pdf[tokens_col].to_numpy()
+            bkt = int(pdf["_bucket"].iloc[0]) if len(pdf) else 0
+            seq_ids, running, oversize = [], [], []
+            seq, acc = 0, 0
+            for t in toks:
+                t = int(t)
+                if t > max_tokens:
+                    # oversize doc: its own (flagged) sequence
+                    if acc > 0:
+                        seq += 1
+                    seq_ids.append(seq)
+                    running.append(t)
+                    oversize.append(True)
+                    seq += 1
+                    acc = 0
+                    continue
+                if acc + t > max_tokens:
+                    seq += 1
+                    acc = 0
+                acc += t
+                seq_ids.append(seq)
+                running.append(acc)
+                oversize.append(False)
+            yield pd.DataFrame(
+                {
+                    id_col: ids,
+                    "bucket": bkt,
+                    "seq_in_bucket": seq_ids,
+                    "seq_tokens_so_far": running,
+                    "oversize": oversize,
+                }
+            )
+
+    bucketed = docs.select(
+        F.col(id_col), F.col(tokens_col),
+        (F.abs(F.xxhash64(F.col(id_col))) % buckets).cast("int").alias("_bucket"),
+    )
+    return bucketed.groupBy("_bucket").applyInPandas(_pack, schema=schema)
+
+
+def packing_stats(packed: DataFrame, max_tokens: int) -> DataFrame:
+    """Corpus-level packing summary: sequences, fill rate, oversizes."""
+    per_seq = packed.groupBy("bucket", "seq_in_bucket").agg(
+        F.max("seq_tokens_so_far").alias("seq_tokens"),
+        F.max(F.col("oversize").cast("int")).alias("has_oversize"),
+        F.count(F.lit(1)).alias("n_docs"),
+    )
+    return per_seq.groupBy().agg(
+        F.count(F.lit(1)).alias("n_sequences"),
+        F.sum("n_docs").alias("n_docs"),
+        F.round(
+            F.avg(
+                F.when(F.col("has_oversize") == 0, F.col("seq_tokens"))
+                / max_tokens
+            ),
+            4,
+        ).alias("avg_fill"),
+        F.sum("has_oversize").alias("n_oversize_seqs"),
+    )

@@ -4684,3 +4684,23 @@ def embedding_scalar_quantization(spark: SparkSession, sf_dir: str) -> DataFrame
             + F.lit(0.0)
         ).alias("mae"),
     )
+
+
+@query("sequence_packing_assignments")
+def sequence_packing_assignments(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Greedy sequence packing over the document corpus (rows-only:
+    next-fit's running-reset state is genuinely not window-expressible;
+    the packing invariants — exactly-once coverage, token-budget cap,
+    2-approximation bound, repartition invariance — are pytest-asserted
+    in tests/test_operators.py): each doc lands in exactly one packed
+    sequence of <= 256 tokens, named by (bucket, seq_in_bucket). One
+    shuffle on the bucket key + an O(1)-state Arrow pass per bucket."""
+    from value_at_risk_spark.functions.text import tokens
+    from value_at_risk_spark.operators.packing import pack_sequences
+
+    d = _t(spark, sf_dir, "documents").select(
+        "doc_id", F.size(tokens("text")).alias("n_tokens")
+    )
+    return pack_sequences(
+        d, id_col="doc_id", tokens_col="n_tokens", max_tokens=256, buckets=32
+    )
