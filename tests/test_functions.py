@@ -500,3 +500,46 @@ def test_epoch_helpers_tz_free_parity(spark, sf_dir):
     finally:
         spark.conf.set("spark.sql.session.timeZone", tz)
     assert [(r.es, r.eu) for r in got2] == [(r.es, r.eu) for r in got]
+
+
+def test_epoch_helpers_property_vs_python(spark):
+    """Property (hypothesis): epoch_seconds/epoch_micros equal Python's
+    own naive-UTC epoch arithmetic for arbitrary microsecond timestamps
+    across the parquet-representable range — including pre-1970
+    negatives, leap days, and end-of-day fractions."""
+    from datetime import datetime, timedelta
+
+    from hypothesis import HealthCheck, given, settings
+    from hypothesis import strategies as st
+
+    from value_at_risk_spark.functions.timeutil import epoch_micros, epoch_seconds
+
+    micros = st.integers(
+        min_value=-(10**15),  # ~1938
+        max_value=4 * 10**15,  # ~2096
+    )
+
+    @settings(
+        max_examples=8,
+        deadline=None,
+        suppress_health_check=[HealthCheck.too_slow],
+    )
+    @given(us=st.lists(micros, min_size=1, max_size=20))
+    def check(us):
+        base = datetime(1970, 1, 1)
+        rows = [(i, base + timedelta(microseconds=u)) for i, u in enumerate(us)]
+        df = spark.createDataFrame(rows, "i long, ts timestamp_ntz")
+        got = {
+            r.i: (r.es, r.eu)
+            for r in df.select(
+                "i",
+                epoch_seconds("ts").alias("es"),
+                epoch_micros("ts").alias("eu"),
+            ).collect()
+        }
+        for i, u in enumerate(us):
+            exp_eu = u
+            exp_es = u // 1_000_000  # floor division == wall-clock floor
+            assert got[i] == (exp_es, exp_eu), (u, got[i])
+
+    check()
