@@ -146,6 +146,77 @@ def minhash_lsh_pairs(
     )
 
 
+def minhash_lsh_pairs_cross(
+    left_sigs: DataFrame,
+    right_sigs: DataFrame,
+    id_col: str = "doc_id",
+    num_bands: int = 8,
+    num_hashes: int | None = None,
+) -> DataFrame:
+    """LSH banding ACROSS two signature frames — the incremental-dedup
+    join shape: candidates are (left, right) docs sharing any band
+    bucket, with no left-left or right-right pairs generated. This is
+    how a NEW BATCH is deduped against an EXISTING CORPUS without
+    recomputing or self-joining the corpus: both sides band with the
+    identical hash family, and the equi-join on (band, band_hash) keys
+    the shuffle on the bucket — O(candidates), never O(batch x corpus).
+    Returns distinct (id_left, id_right).
+    """
+    if num_hashes is not None:
+        k = num_hashes
+    else:
+        row = left_sigs.select(F.size("signature")).first()
+        if row is None:
+            raise ValueError(
+                "minhash_lsh_pairs_cross: empty left signatures — pass "
+                "num_hashes explicitly"
+            )
+        k = row[0]
+    rows_per_band = max(1, k // num_bands)
+
+    def bands(sigs: DataFrame) -> DataFrame:
+        return sigs.select(
+            id_col,
+            F.posexplode(
+                F.array(
+                    *[
+                        F.xxhash64(
+                            F.concat_ws(
+                                ",",
+                                F.transform(
+                                    F.slice(
+                                        "signature",
+                                        b * rows_per_band + 1,
+                                        rows_per_band,
+                                    ),
+                                    lambda x: x.cast("string"),
+                                ),
+                            )
+                        )
+                        for b in range(num_bands)
+                    ]
+                )
+            ).alias("band", "band_hash"),
+        )
+
+    a = bands(left_sigs).alias("a")
+    b = bands(right_sigs).alias("b")
+    return (
+        a.join(
+            b,
+            on=[
+                F.col("a.band") == F.col("b.band"),
+                F.col("a.band_hash") == F.col("b.band_hash"),
+            ],
+        )
+        .select(
+            F.col(f"a.{id_col}").alias("id_left"),
+            F.col(f"b.{id_col}").alias("id_right"),
+        )
+        .distinct()
+    )
+
+
 def jaccard_similarity(
     df: DataFrame,
     text_a: str,

@@ -4704,3 +4704,85 @@ def sequence_packing_assignments(spark: SparkSession, sf_dir: str) -> DataFrame:
     return pack_sequences(
         d, id_col="doc_id", tokens_col="n_tokens", max_tokens=256, buckets=32
     )
+
+
+@query(
+    "incremental_dedup_new_docs",
+    """
+WITH docs AS (
+  SELECT doc_id, list_filter(string_split(lower(text),' '), x -> x <> '') AS ts
+  FROM documents
+),
+sh AS (
+  SELECT DISTINCT doc_id, ts[i] || ' ' || ts[i+1] || ' ' || ts[i+2] AS s
+  FROM docs, UNNEST(range(1, len(ts) - 1)) AS t(i)
+  WHERE len(ts) >= 3
+),
+cnt AS (SELECT doc_id, COUNT(*) AS n FROM sh GROUP BY 1),
+inter AS (
+  SELECT a.doc_id AS id_l, b.doc_id AS id_r, COUNT(*) AS ni
+  FROM sh a JOIN sh b ON a.s = b.s
+  WHERE a.doc_id % 10 = 0 AND b.doc_id % 10 <> 0
+  GROUP BY 1, 2
+),
+matches AS (
+  SELECT id_l, MIN(id_r) AS nearest
+  FROM inter
+  JOIN cnt ca ON ca.doc_id = id_l
+  JOIN cnt cb ON cb.doc_id = id_r
+  WHERE ni * 1.0 / (ca.n + cb.n - ni) >= 0.8
+  GROUP BY 1
+)
+SELECT d.doc_id, (m.nearest IS NOT NULL) AS is_dup, m.nearest AS nearest_corpus_id
+FROM documents d LEFT JOIN matches m ON d.doc_id = m.id_l
+WHERE d.doc_id % 10 = 0
+""",
+)
+def incremental_dedup_new_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """INCREMENTAL near-dedup — the streaming-corpus form: a new batch
+    (docs with doc_id % 10 = 0, standing in for today's crawl) is
+    checked against the existing corpus (the rest) WITHOUT any
+    corpus-corpus self-join: both sides MinHash with the identical hash
+    family, band-join across frames only (minhash_lsh_pairs_cross),
+    exact-Jaccard verify on the collisions, min corpus match per new
+    doc. EXACT and oracle-pinned (the DuckDB twin computes true
+    shingle-Jaccard batch x corpus pairs); same banding params as
+    near_dedup_survivors, whose oracle already pins >= 0.8 recall for
+    this corpus. At scale this is the per-increment cost profile you
+    want: signatures for the batch only, the corpus side reusable from
+    a stored signature table."""
+    from value_at_risk_spark.functions.text import shingles, tokens
+    from value_at_risk_spark.operators.dedup import minhash_lsh_pairs_cross
+
+    d = _t(spark, sf_dir, "documents")
+    batch = d.filter(F.col("doc_id") % 10 == 0)
+    corpus = d.filter(F.col("doc_id") % 10 != 0)
+    sig_b = minhash_signatures(batch, num_hashes=32, shingle_n=3)
+    sig_c = minhash_signatures(corpus, num_hashes=32, shingle_n=3)
+    cand = minhash_lsh_pairs_cross(sig_b, sig_c, num_bands=16, num_hashes=32)
+    # short docs (<3 tokens) have no 3-shingles in the oracle — same
+    # exclusion as near_dedup_survivors so both engines agree
+    sh = d.filter(F.size(tokens("text")) >= 3).select(
+        "doc_id", F.array_distinct(shingles("text", 3)).alias("sh")
+    )
+    l = sh.select(F.col("doc_id").alias("id_left"), F.col("sh").alias("sh_l"))
+    r = sh.select(F.col("doc_id").alias("id_right"), F.col("sh").alias("sh_r"))
+    verified = jaccard_similarity(
+        cand.join(l, "id_left").join(r, "id_right"),
+        "sh_l",
+        "sh_r",
+        out_col="jacc",
+        tokenize=False,
+    ).filter(F.col("jacc") >= 0.8)
+    matches = verified.groupBy("id_left").agg(
+        F.min("id_right").alias("nearest_corpus_id")
+    )
+    return (
+        batch.select("doc_id")
+        .join(matches, batch["doc_id"] == matches["id_left"], "left")
+        .select(
+            "doc_id",
+            F.col("nearest_corpus_id").isNotNull().alias("is_dup"),
+            "nearest_corpus_id",
+        )
+    )
