@@ -4786,3 +4786,67 @@ def incremental_dedup_new_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
             "nearest_corpus_id",
         )
     )
+
+
+@query(
+    "decontaminate_training_docs",
+    """
+WITH docs AS (
+  SELECT doc_id, list_filter(string_split(lower(text),' '), x -> x <> '') AS ts
+  FROM documents
+),
+grams AS (
+  SELECT DISTINCT doc_id,
+         ts[i] || ' ' || ts[i+1] || ' ' || ts[i+2] || ' ' || ts[i+3] || ' ' || ts[i+4] AS g
+  FROM docs, UNNEST(range(1, len(ts) - 3)) AS t(i)
+  WHERE len(ts) >= 5
+),
+bench AS (SELECT DISTINCT g FROM grams WHERE doc_id % 17 = 0),
+shared AS (
+  SELECT gr.doc_id, COUNT(DISTINCT gr.g) AS n_shared
+  FROM grams gr JOIN bench b ON gr.g = b.g
+  WHERE gr.doc_id % 17 <> 0
+  GROUP BY 1
+)
+SELECT d.doc_id,
+       CAST(COALESCE(s.n_shared, 0) AS BIGINT) AS n_shared,
+       (COALESCE(s.n_shared, 0) > 0) AS contaminated
+FROM documents d LEFT JOIN shared s ON d.doc_id = s.doc_id
+WHERE d.doc_id % 17 <> 0
+""",
+)
+def decontaminate_training_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Benchmark decontamination — the n-gram overlap check every
+    serious training corpus runs before training: docs sharing any
+    5-gram with the held-out benchmark set (docs with doc_id % 17 = 0
+    standing in for the eval suite) are flagged, with the count of
+    distinct shared 5-grams as evidence. Scale shape: the benchmark's
+    distinct n-gram set is SMALL by construction (eval suites are) —
+    broadcast it; the training side streams through one explode +
+    broadcast-hash semi-reduce + one grouped count, no all-pairs
+    anything. At 100 TB swap the broadcast for a bloom filter of the
+    benchmark grams and keep the same plan."""
+    from value_at_risk_spark.functions.text import shingles
+
+    d = _t(spark, sf_dir, "documents")
+    grams = d.select(
+        "doc_id", F.explode(F.array_distinct(shingles("text", 5))).alias("g")
+    )
+    bench = (
+        grams.filter(F.col("doc_id") % 17 == 0).select("g").distinct()
+    )
+    shared = (
+        grams.filter(F.col("doc_id") % 17 != 0)
+        .join(F.broadcast(bench), "g")
+        .groupBy("doc_id")
+        .agg(F.count_distinct("g").alias("n_shared"))
+    )
+    train = d.filter(F.col("doc_id") % 17 != 0).select("doc_id")
+    return (
+        train.join(shared, "doc_id", "left")
+        .select(
+            "doc_id",
+            F.coalesce("n_shared", F.lit(0)).alias("n_shared"),
+            (F.coalesce("n_shared", F.lit(0)) > 0).alias("contaminated"),
+        )
+    )
