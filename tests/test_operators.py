@@ -7,6 +7,7 @@ import numpy as np
 import pandas as pd
 import pytest
 from pyspark.sql import functions as F
+from pyspark.sql.window import Window
 
 from value_at_risk_spark.montecarlo import pack_trials
 from value_at_risk_spark.operators.asof import asof_join
@@ -1235,3 +1236,36 @@ def test_sequence_packing_invariants(spark, sf_dir):
     st = packing_stats(packed, cap).first()
     assert st.n_docs == n_docs
     assert st.avg_fill is None or st.avg_fill >= 0.5
+
+
+def test_bottom_k_per_group_equals_window(spark, sf_dir):
+    """The two-phase bottom-k (partial per-batch head + final window)
+    equals the single-window formulation exactly — the scale-path claim
+    in group_sample_deterministic_k's docstring, made checkable. Run
+    under adversarial repartitioning so the partial pass sees the
+    groups scattered."""
+    from value_at_risk_spark.operators.sampling import bottom_k_per_group
+
+    e = (
+        spark.read.parquet(f"{sf_dir}/events.parquet")
+        .select(
+            "event_type",
+            "event_id",
+            F.md5(F.col("event_id").cast("string")).alias("h"),
+        )
+        .repartition(13)
+    )
+    got = {
+        (r.event_type, r.event_id)
+        for r in bottom_k_per_group(
+            e, ["event_type"], "h", k=20
+        ).collect()
+    }
+    w = Window.partitionBy("event_type").orderBy("h")
+    exp = {
+        (r.event_type, r.event_id)
+        for r in e.withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") <= 20)
+        .collect()
+    }
+    assert got == exp and len(got) > 0
