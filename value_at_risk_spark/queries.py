@@ -4850,3 +4850,48 @@ def decontaminate_training_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
             (F.coalesce("n_shared", F.lit(0)) > 0).alias("contaminated"),
         )
     )
+
+
+@query(
+    "source_mix_report",
+    """
+WITH per_doc AS (
+  SELECT source, lang,
+         LEN(list_filter(string_split(lower(text),' '), x -> x <> '')) AS n_toks
+  FROM documents
+),
+tot AS (SELECT SUM(n_toks) AS all_toks FROM per_doc)
+SELECT source, lang,
+       CAST(COUNT(*) AS BIGINT) AS n_docs,
+       CAST(SUM(n_toks) AS BIGINT) AS n_tokens,
+       ROUND(SUM(n_toks) * 1.0 / (SELECT all_toks FROM tot), 6) + 0 AS token_share
+FROM per_doc
+GROUP BY 1, 2
+""",
+)
+def source_mix_report(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Corpus composition report — the (source, language) mixing table
+    a data-curation loop reads before setting sampling weights: doc and
+    token counts per cell plus each cell's share of ALL tokens. The
+    global total is a 1-row aggregate of the already-reduced per-cell
+    frame joined back by broadcast (no second scan of the corpus, no
+    partition-less window)."""
+    from value_at_risk_spark.functions.text import tokens
+
+    d = _t(spark, sf_dir, "documents").select(
+        "source", "lang", F.size(tokens("text")).alias("n_toks")
+    )
+    cells = d.groupBy("source", "lang").agg(
+        F.count(F.lit(1)).alias("n_docs"),
+        F.sum("n_toks").alias("n_tokens"),
+    )
+    total = cells.groupBy().agg(F.sum("n_tokens").alias("all_toks"))
+    return cells.crossJoin(F.broadcast(total)).select(
+        "source",
+        "lang",
+        "n_docs",
+        "n_tokens",
+        (
+            F.round(F.col("n_tokens") / F.col("all_toks"), 6) + F.lit(0.0)
+        ).alias("token_share"),
+    )
