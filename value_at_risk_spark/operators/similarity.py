@@ -472,3 +472,117 @@ def ivf_topk(
     return scored.withColumn("rank", F.row_number().over(w)).filter(
         F.col("rank") <= k
     )
+
+
+# --------------------------------------------------------------------------
+# Product quantization (round 6): m-subspace codebooks + ADC-style search
+# --------------------------------------------------------------------------
+
+
+def pq_train(
+    df: DataFrame,
+    vec_col: str = "embedding",
+    m: int = 4,
+    ksub: int = 16,
+    iters: int = 3,
+    seed: int = 123,
+    dim: int | None = None,
+) -> list[list[list[float]]]:
+    """Train product-quantization codebooks: the dim axis splits into
+    ``m`` contiguous subvectors and each subspace gets its own
+    ``ksub``-centroid k-means (reusing the distributed Lloyd loop of
+    ``kmeans_centroids`` on sliced frames). Returns m x ksub x (dim/m)
+    centroids — the 100 TB ANN memory lever: codes are m SMALL INTS per
+    vector (m bytes at ksub<=256) versus dim floats, a dim*4/m
+    compression, with only the codebooks (m*ksub*dim/m doubles) ever
+    reaching the driver."""
+    if dim is None:
+        row = df.select(F.size(vec_col).alias("d")).first()
+        if row is None:
+            raise ValueError("pq_train: empty input")
+        dim = row[0]
+    if dim % m != 0:
+        raise ValueError(f"pq_train: dim {dim} not divisible by m {m}")
+    sub = dim // m
+    return [
+        kmeans_centroids(
+            df.select(F.slice(vec_col, j * sub + 1, sub).alias(vec_col)),
+            vec_col=vec_col,
+            k=ksub,
+            iters=iters,
+            seed=seed + j,
+            dim=sub,
+        )
+        for j in range(m)
+    ]
+
+
+def pq_encode(
+    df: DataFrame,
+    codebooks: list[list[list[float]]],
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """Assign each vector its m per-subspace nearest-centroid codes —
+    a pure projection (the same ``nearest_cell_expr`` unrolled distance
+    used by IVF assignment), no shuffle at all. Output:
+    (id_col, codes array<int>)."""
+    m = len(codebooks)
+    sub = len(codebooks[0][0])
+    codes = F.array(
+        *[
+            nearest_cell_expr(
+                F.slice(vec_col, j * sub + 1, sub), codebooks[j]
+            )
+            for j in range(m)
+        ]
+    )
+    return df.select(F.col(id_col), codes.alias("codes"))
+
+
+def pq_decode_expr(codebooks: list[list[list[float]]], codes_col: str = "codes"):
+    """Reconstruction expression: concatenate each subspace's centroid
+    for the stored code — codebooks enter the plan as literal arrays
+    (broadcast with the plan, tiny), lookup is ``element_at``."""
+    cb_lits = [
+        F.array(
+            *[
+                F.array(*[F.lit(float(x)) for x in cent])
+                for cent in codebooks[j]
+            ]
+        )
+        for j in range(len(codebooks))
+    ]
+    return F.concat(
+        *[
+            F.element_at(
+                cb_lits[j], F.element_at(F.col(codes_col), j + 1) + 1
+            )
+            for j in range(len(codebooks))
+        ]
+    )
+
+
+def pq_topk(
+    queries: DataFrame,
+    codes: DataFrame,
+    codebooks: list[list[list[float]]],
+    k: int = 5,
+    query_id: str = "query_id",
+    corpus_id: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """Approximate top-k over PQ codes: reconstruct each corpus vector
+    from its codes (reconstruction-distance search — the asymmetric
+    flavor where the query side stays exact) and rank by exact cosine
+    against the reconstruction. The scan-side payload is the m-byte
+    code column, not the float vectors; reconstruction happens inside
+    codegen per candidate row."""
+    decoded = codes.select(
+        F.col(corpus_id).alias("neighbor_id"),
+        pq_decode_expr(codebooks).alias(vec_col),
+    )
+    out = cosine_topk(
+        queries, decoded, k=k, query_id=query_id, vec_col=vec_col
+    )
+    return out

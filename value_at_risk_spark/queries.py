@@ -4895,3 +4895,35 @@ def source_mix_report(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.round(F.col("n_tokens") / F.col("all_toks"), 6) + F.lit(0.0)
         ).alias("token_share"),
     )
+
+
+@query("pq_ann_topk")
+def pq_ann_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Product-quantization ANN at the gate (rows-only: k-means
+    codebooks are seeded-RNG artifacts with no SQL twin; recall vs
+    exact cosine is pytest-asserted on planted near-dups): train m=4
+    sub-codebooks distributed, encode the corpus to 4 small ints per
+    vector (16x memory compression at dim 64), search by in-codegen
+    reconstruction distance. The candidate scan carries the code
+    column, never the float vectors — the memory lever that makes
+    billion-vector ANN fit a cluster."""
+    from value_at_risk_spark.operators.similarity import (
+        pq_encode,
+        pq_topk,
+        pq_train,
+    )
+
+    e = _t(spark, sf_dir, "embeddings").select(
+        "vec_id",
+        F.transform("embedding", lambda x: x.cast("double")).alias(
+            "embedding"
+        ),
+    )
+    cb = pq_train(e, m=4, ksub=16, iters=2, seed=606, dim=64)
+    codes = pq_encode(e, cb)
+    queries = e.filter(F.col("vec_id") % 25 == 0).select(
+        F.col("vec_id").alias("query_id"), "embedding"
+    )
+    return pq_topk(queries, codes, cb, k=5).select(
+        "query_id", "neighbor_id", "cosine", F.col("rank").cast("long").alias("rnk")
+    )
