@@ -1329,3 +1329,56 @@ def test_pq_recall_on_planted_near_dups(spark, sf_dir):
     r50 = shortlist_recall(50)
     assert r50 >= 0.8, r50
     assert r50 >= r5
+
+
+def test_ivfpq_shortlist_recall_and_pruning(spark, sf_dir):
+    """Composed IVF+PQ: the index payload is 1 cell int + m residual
+    codes per vector; search probes nprobe cells via an equi-join (no
+    cartesian anywhere in the plan); and a 10%-of-corpus shortlist
+    holds the planted near-dup's source for >=70% of queries at
+    nprobe=2, >=80% at nprobe=4 (measured 0.9 / 0.95, seed 321)."""
+    from value_at_risk_spark.operators.similarity import (
+        ivfpq_build,
+        ivfpq_topk,
+    )
+
+    e = spark.read.parquet(f"{sf_dir}/embeddings.parquet").select(
+        "vec_id",
+        F.transform("embedding", lambda x: x.cast("double")).alias("embedding"),
+    )
+    cents, cb, codes = ivfpq_build(
+        e, ncells=8, m=4, ksub=16, iters=2, seed=321, dim=64
+    )
+    rows = codes.collect()
+    assert all(0 <= r._cell < 8 and len(r.codes) == 4 for r in rows)
+
+    planted = e.filter(F.col("vec_id") % 25 == 0).select(
+        (F.col("vec_id") + 1_000_000).alias("query_id"),
+        F.transform(
+            "embedding",
+            lambda x, i: x
+            + ((F.col("vec_id") * 31 + i.cast("bigint") * 17) % 7 - 3)
+            * F.lit(0.005),
+        ).alias("embedding"),
+    )
+
+    def recall(nprobe, k=50):
+        got = ivfpq_topk(planted, codes, cents, cb, k=k, nprobe=nprobe)
+        per_q = {}
+        for r in got.collect():
+            per_q.setdefault(r.query_id, []).append(r.neighbor_id)
+        assert per_q
+        return sum(
+            1 for q, ns in per_q.items() if (q - 1_000_000) in ns
+        ) / len(per_q)
+
+    assert recall(2) >= 0.7
+    assert recall(4) >= 0.8
+
+    plan = (
+        ivfpq_topk(planted, codes, cents, cb, k=5, nprobe=2)
+        ._jdf.queryExecution()
+        .executedPlan()
+        .toString()
+    )
+    assert "CartesianProduct" not in plan

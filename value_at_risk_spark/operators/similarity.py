@@ -586,3 +586,140 @@ def pq_topk(
         queries, decoded, k=k, query_id=query_id, vec_col=vec_col
     )
     return out
+
+
+# --------------------------------------------------------------------------
+# IVF+PQ (round 6): coarse cells + residual codes — the canonical
+# billion-vector index layout (cells prune the scan, codes shrink it)
+# --------------------------------------------------------------------------
+
+
+def ivfpq_build(
+    corpus: DataFrame,
+    ncells: int = 8,
+    m: int = 4,
+    ksub: int = 16,
+    iters: int = 2,
+    seed: int = 321,
+    corpus_id: str = "vec_id",
+    vec_col: str = "embedding",
+    dim: int | None = None,
+):
+    """Build the composed index: coarse k-means cells, then PQ trained
+    on the RESIDUALS (v - cell centroid) — residuals concentrate around
+    the origin so a small sub-codebook covers them far better than raw
+    vectors (the reason IVFPQ beats flat PQ at equal bits). Returns
+    (centroids, codebooks, codes_df) with codes_df =
+    (corpus_id, _cell, codes): one int for the cell + m ints for the
+    residual — the entire per-vector index payload.
+    """
+    if dim is None:
+        row = corpus.select(F.size(vec_col).alias("d")).first()
+        if row is None:
+            raise ValueError("ivfpq_build: empty corpus")
+        dim = row[0]
+    cents = kmeans_centroids(
+        corpus, vec_col=vec_col, k=ncells, iters=iters, seed=seed, dim=dim
+    )
+    cents_lit = F.array(
+        *[F.array(*[F.lit(float(x)) for x in c]) for c in cents]
+    )
+    assigned = corpus.select(
+        F.col(corpus_id),
+        F.col(vec_col),
+        nearest_cell_expr(vec_col, cents).alias("_cell"),
+    ).withColumn(
+        "_resid",
+        F.zip_with(
+            F.col(vec_col),
+            F.element_at(cents_lit, F.col("_cell") + 1),
+            lambda a, b: a - b,
+        ),
+    )
+    codebooks = pq_train(
+        assigned.select(F.col("_resid").alias(vec_col)),
+        vec_col=vec_col,
+        m=m,
+        ksub=ksub,
+        iters=iters,
+        seed=seed + 1000,
+        dim=dim,
+    )
+    codes = pq_encode(
+        assigned.select(corpus_id, "_cell", F.col("_resid").alias(vec_col)),
+        codebooks,
+        id_col=corpus_id,
+        vec_col=vec_col,
+    )
+    codes_df = assigned.select(corpus_id, "_cell").join(codes, corpus_id)
+    return cents, codebooks, codes_df
+
+
+def ivfpq_topk(
+    queries: DataFrame,
+    codes_df: DataFrame,
+    centroids: list[list[float]],
+    codebooks: list[list[list[float]]],
+    k: int = 5,
+    nprobe: int = 2,
+    query_id: str = "query_id",
+    corpus_id: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """Search the composed index: each query probes its ``nprobe``
+    nearest cells (explode, same pruning as ivf_topk — candidate
+    volume ~ corpus * nprobe / ncells), candidates reconstruct as
+    cell_centroid + PQ-decoded residual INSIDE codegen, and exact
+    cosine ranks the reconstructions. The scanned index payload per
+    candidate is 1 + m small ints — never the float vectors."""
+    n_cells = len(centroids)
+    nprobe = min(nprobe, n_cells)
+    cents_lit = F.array(
+        *[F.array(*[F.lit(float(x)) for x in c]) for c in centroids]
+    )
+    decoded = codes_df.select(
+        F.col(corpus_id).alias("neighbor_id"),
+        F.col("_cell"),
+        F.zip_with(
+            F.element_at(cents_lit, F.col("_cell") + 1),
+            pq_decode_expr(codebooks),
+            lambda a, b: a + b,
+        ).alias("_cv"),
+    ).withColumn("_cn", vector_norm("_cv"))
+
+    col = F.col(vec_col)
+    dists = F.array(
+        *[
+            F.struct(
+                (
+                    F.lit(float(sum(x * x for x in cent)))
+                    - 2 * dot_product(
+                        col, F.array(*[F.lit(float(x)) for x in cent])
+                    )
+                ).alias("d"),
+                F.lit(i).alias("cell"),
+            )
+            for i, cent in enumerate(centroids)
+        ]
+    )
+    probes = F.slice(F.array_sort(dists), 1, nprobe)
+    q = queries.select(
+        F.col(query_id),
+        F.col(vec_col).alias("_qv"),
+        vector_norm(vec_col).alias("_qn"),
+        F.explode(F.transform(probes, lambda s: s["cell"])).alias("_cell"),
+    )
+    sim = F.try_divide(dot_product("_qv", "_cv"), F.col("_qn") * F.col("_cn"))
+    scored = (
+        decoded.join(F.broadcast(q), "_cell")
+        .filter(F.col(query_id) != F.col("neighbor_id"))
+        .select(
+            query_id,
+            "neighbor_id",
+            (F.round(sim, 6) + F.lit(0.0)).alias("cosine"),
+        )
+    )
+    w = Window.partitionBy(query_id).orderBy(F.desc("cosine"), F.asc("neighbor_id"))
+    return scored.withColumn("rank", F.row_number().over(w)).filter(
+        F.col("rank") <= k
+    )

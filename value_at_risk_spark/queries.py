@@ -4927,3 +4927,37 @@ def pq_ann_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     return pq_topk(queries, codes, cb, k=5).select(
         "query_id", "neighbor_id", "cosine", F.col("rank").cast("long").alias("rnk")
     )
+
+
+@query("ivfpq_ann_topk")
+def ivfpq_ann_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Composed IVF+PQ index at the gate (rows-only: seeded k-means
+    artifacts; shortlist recall pytest-pinned): coarse cells prune the
+    scan to ~nprobe/ncells of the corpus, PQ codes on the RESIDUALS
+    shrink the scanned payload to 1+m small ints per vector, and
+    candidates reconstruct (centroid + decoded residual) inside
+    codegen for the exact-cosine re-rank. The FAISS-style layout a
+    billion-vector corpus actually ships."""
+    from value_at_risk_spark.operators.similarity import (
+        ivfpq_build,
+        ivfpq_topk,
+    )
+
+    e = _t(spark, sf_dir, "embeddings").select(
+        "vec_id",
+        F.transform("embedding", lambda x: x.cast("double")).alias(
+            "embedding"
+        ),
+    )
+    cents, cb, codes = ivfpq_build(
+        e, ncells=8, m=4, ksub=16, iters=2, seed=321, dim=64
+    )
+    queries = e.filter(F.col("vec_id") % 25 == 0).select(
+        F.col("vec_id").alias("query_id"), "embedding"
+    )
+    return ivfpq_topk(queries, codes, cents, cb, k=5, nprobe=2).select(
+        "query_id",
+        "neighbor_id",
+        "cosine",
+        F.col("rank").cast("long").alias("rnk"),
+    )
