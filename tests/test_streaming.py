@@ -408,3 +408,72 @@ def test_foreachbatch_idempotent_sink_exactly_once(spark, sf_dir, tmp_path):
     sink(events.limit(5), 0)
     assert len(sink.read(spark).collect()) == before
     assert sink.skipped.count(0) >= 1
+
+
+def test_streaming_heavy_hitters_superset_of_batch(spark, sf_dir, tmp_path):
+    """Streaming MG summaries across a multi-batch replay: the union of
+    the shards' FINAL summaries must contain every token whose global
+    count exceeds total/(k+1) — the mergeable-summary guarantee holding
+    across micro-batch boundaries and state round-trips. Verified
+    against exact batch counts of the same token stream."""
+    import glob as _glob
+    import shutil
+
+    from value_at_risk_spark.functions.text import tokens as _tokens
+    from value_at_risk_spark.streaming.stateful import streaming_heavy_hitters
+
+    k = 3  # far below per-shard vocabulary: forces real MG evictions
+    tok = (
+        spark.read.parquet(f"{sf_dir}/documents.parquet")
+        .select(F.explode(_tokens("text")).alias("token"))
+    )
+    src = tmp_path / "tok_landing"
+    src.mkdir()
+    # 4 slices -> 4 micro-batches under maxFilesPerTrigger=1
+    for i in range(4):
+        part = tok.withColumn(
+            "_h", F.abs(F.xxhash64("token", F.monotonically_increasing_id()))
+        ).filter(F.col("_h") % 4 == i).drop("_h")
+        stage = tmp_path / f"_t{i}"
+        part.coalesce(1).write.mode("overwrite").parquet(str(stage))
+        shutil.copy(
+            _glob.glob(str(stage / "part-*.parquet"))[0],
+            src / f"slice{i}.parquet",
+        )
+
+    stream = spark.readStream.schema("token string").parquet(str(src))
+    hh = streaming_heavy_hitters(stream, k=k, nshards=8)
+    sink = "hh_stream_test"
+    q = (
+        hh.writeStream.format("memory")
+        .queryName(sink)
+        .outputMode("update")
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(120)
+
+    # memory sink in update mode appends every emit; keep each shard's
+    # LAST summary (the final state)
+    final = {}
+    for i, r in enumerate(spark.table(sink).collect()):
+        final[r.shard] = set(r.tokens)
+    assert final
+
+    # the MG guarantee is PER SHARD: any token whose count within its
+    # shard exceeds shard_total/(k+1) must be in that shard's summary
+    counts = (
+        tok.withColumn("shard", (F.abs(F.xxhash64("token")) % 8).cast("int"))
+        .groupBy("shard", "token")
+        .agg(F.count(F.lit(1)).alias("n"))
+        .collect()
+    )
+    shard_totals = {}
+    for r in counts:
+        shard_totals[r.shard] = shard_totals.get(r.shard, 0) + r.n
+    checked = 0
+    for r in counts:
+        if r.n > shard_totals[r.shard] / (k + 1):
+            checked += 1
+            assert r.token in final.get(r.shard, set()), (r.shard, r.token)
+    assert checked > 0, "fixture should produce per-shard heavy hitters"

@@ -211,3 +211,66 @@ def streaming_basel_backtest(
         outputMode="append",
         timeoutConf=GroupStateTimeout.NoTimeout,
     )
+
+
+def streaming_heavy_hitters(
+    tokens: DataFrame, k: int = 20, nshards: int = 16
+) -> DataFrame:
+    """Streaming Misra-Gries heavy hitters — the incremental twin of
+    the batch two-pass operator (operators/heavyhitters.py).
+
+    Tokens shard by hash into ``nshards`` state keys; each shard keeps
+    a bounded MG summary (<= k counters) across micro-batches. A batch
+    first reduces to its exact per-token counts (vectorized
+    value_counts — an exact summary), then MG-MERGES into the state:
+    combine counts, and if more than k counters survive, subtract the
+    (k+1)-th largest count from all and drop the non-positive — the
+    standard mergeable-summary step, which preserves the guarantee
+    that any token whose true count in the shard exceeds
+    shard_total/(k+1) is present in the summary. A token lives in
+    exactly one shard, so the union of shard summaries is a guaranteed
+    superset of every token with global count > total/(k+1)
+    (shard_total <= total). State per shard: two arrays of length
+    <= k — bounded forever, regardless of stream length or vocabulary.
+
+    Emits each shard's current summary every batch (update mode);
+    the exact-verify pass over the candidate union stays a batch job,
+    as in the two-pass batch operator.
+    """
+
+    def fn(
+        key: tuple, pdfs: Iterator[pd.DataFrame], state: GroupState
+    ) -> Iterator[pd.DataFrame]:
+        toks, cnts = state.get if state.exists else ([], [])
+        counters = dict(zip(toks, (int(c) for c in cnts)))
+        for pdf in pdfs:
+            for t, w in pdf["token"].value_counts().items():
+                counters[t] = counters.get(t, 0) + int(w)
+            if len(counters) > k:
+                cut = sorted(counters.values(), reverse=True)[k]
+                counters = {
+                    t: c - cut for t, c in counters.items() if c - cut > 0
+                }
+        state.update(
+            (list(counters.keys()), [int(v) for v in counters.values()])
+        )
+        yield pd.DataFrame(
+            {
+                "shard": [key[0]],
+                "tokens": [list(counters.keys())],
+                "counts": [[int(v) for v in counters.values()]],
+            }
+        )
+
+    sharded = tokens.withColumn(
+        "_shard", (F.abs(F.xxhash64("token")) % nshards).cast("int")
+    )
+    return sharded.groupBy("_shard").applyInPandasWithState(
+        fn,
+        outputStructType=(
+            "shard int, tokens array<string>, counts array<long>"
+        ),
+        stateStructType="toks array<string>, cnts array<long>",
+        outputMode="update",
+        timeoutConf=GroupStateTimeout.NoTimeout,
+    )
