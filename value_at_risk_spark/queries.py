@@ -4961,3 +4961,52 @@ def ivfpq_ann_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
         "cosine",
         F.col("rank").cast("long").alias("rnk"),
     )
+
+
+@query("streaming_heavy_hitters_demo")
+def streaming_heavy_hitters_demo(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Streaming Misra-Gries heavy hitters at the gate (rows-only by
+    contract — no DuckDB streaming oracle; the per-shard superset
+    guarantee under forced evictions is pytest-asserted): the document
+    token stream replayed availableNow through sharded bounded-state MG
+    summaries; returns each shard's final candidate set exploded to
+    (shard, token) rows."""
+    import shutil
+    import tempfile
+
+    from value_at_risk_spark.functions.text import tokens as _tokens
+    from value_at_risk_spark.streaming.stateful import streaming_heavy_hitters
+
+    tok = _t(spark, sf_dir, "documents").select(
+        F.explode(_tokens("text")).alias("token")
+    )
+    src = tempfile.mkdtemp(prefix="hh_stream_")
+    try:
+        tok.write.mode("overwrite").parquet(src)
+        stream = spark.readStream.schema("token string").parquet(src)
+        hh = streaming_heavy_hitters(stream, k=8, nshards=8)
+        sink = f"gate_streaming_hh_{uuid.uuid4().hex[:8]}"
+        q = (
+            hh.writeStream.format("memory")
+            .queryName(sink)
+            .outputMode("update")
+            .trigger(availableNow=True)
+            .start()
+        )
+        if not q.awaitTermination(180):
+            q.stop()
+            raise TimeoutError(
+                "streaming_heavy_hitters_demo: replay exceeded 180s"
+            )
+        # keep each shard's LAST emit (the final summary), explode
+        emits = spark.table(sink).withColumn(
+            "_i", F.monotonically_increasing_id()
+        )
+        w = Window.partitionBy("shard").orderBy(F.desc("_i"))
+        return (
+            emits.withColumn("_rn", F.row_number().over(w))
+            .filter(F.col("_rn") == 1)
+            .select("shard", F.explode("tokens").alias("token"))
+        )
+    finally:
+        shutil.rmtree(src, ignore_errors=True)
