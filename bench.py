@@ -158,7 +158,10 @@ def main() -> None:
     # disable with SPARK_GRAFT_SCALED=0 for quick spot runs
     scaled_stats = {}
     if os.environ.get("SPARK_GRAFT_SCALED", "1") != "0" and not subset:
-        scaled_stats = scaled_near_dedup(spark, sf_dir)
+        try:
+            scaled_stats = scaled_near_dedup(spark, sf_dir)
+        except Exception as ex:  # the extra row must never sink the bench
+            scaled_stats = {"near_dedup_scaled_error": str(ex)[:200]}
     print(
         json.dumps(
             {
