@@ -5010,3 +5010,78 @@ def streaming_heavy_hitters_demo(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
     finally:
         shutil.rmtree(src, ignore_errors=True)
+
+
+@query(
+    "token_cooccurrence_pmi",
+    """
+WITH docs AS (
+  SELECT doc_id,
+         list_distinct(list_filter(string_split(lower(text),' '), x -> x <> '')) AS ts
+  FROM documents
+),
+tok AS (SELECT doc_id, unnest(ts) AS t FROM docs),
+n_docs AS (SELECT COUNT(*) AS nd FROM docs),
+df AS (SELECT t, COUNT(*) AS n FROM tok GROUP BY 1),
+pairs AS (
+  SELECT a.t AS t1, b.t AS t2, COUNT(*) AS n_ab
+  FROM tok a JOIN tok b ON a.doc_id = b.doc_id AND a.t < b.t
+  GROUP BY 1, 2
+)
+SELECT t1, t2, CAST(n_ab AS BIGINT) AS n_ab,
+       ROUND(LN(n_ab * 1.0 * (SELECT nd FROM n_docs)
+                / (da.n * 1.0 * db.n)), 6) + 0 AS pmi
+FROM pairs
+JOIN df da ON da.t = t1
+JOIN df db ON db.t = t2
+WHERE n_ab >= 50
+""",
+)
+def token_cooccurrence_pmi(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Document-level token co-occurrence with pointwise mutual
+    information — collocation mining over the corpus. Distinct tokens
+    per doc self-join WITHIN the doc (the join key is doc_id, so the
+    shuffle is by document — no cross-doc pair explosion), pair counts
+    reduce with map-side partials, and the document-frequency table
+    joins back by broadcast. The n_ab floor bounds the output to pairs
+    with real support. At 100 TB you'd pre-prune the vocabulary to the
+    top-k tokens (heavy hitters pass) before pairing; the plan shape
+    is unchanged."""
+    from value_at_risk_spark.functions.text import tokens
+
+    d = _t(spark, sf_dir, "documents")
+    tok = d.select(
+        "doc_id", F.explode(F.array_distinct(tokens("text"))).alias("t")
+    )
+    nd = d.count()
+    dfreq = tok.groupBy("t").agg(F.count(F.lit(1)).alias("n"))
+    a = tok.select("doc_id", F.col("t").alias("t1"))
+    b = tok.select("doc_id", F.col("t").alias("t2"))
+    pairs = (
+        a.join(b, "doc_id")
+        .filter(F.col("t1") < F.col("t2"))
+        .groupBy("t1", "t2")
+        .agg(F.count(F.lit(1)).alias("n_ab"))
+        .filter(F.col("n_ab") >= 50)
+    )
+    da = dfreq.select(F.col("t").alias("t1"), F.col("n").alias("n_a"))
+    db = dfreq.select(F.col("t").alias("t2"), F.col("n").alias("n_b"))
+    return (
+        pairs.join(F.broadcast(da), "t1")
+        .join(F.broadcast(db), "t2")
+        .select(
+            "t1",
+            "t2",
+            "n_ab",
+            (
+                F.round(
+                    F.log(
+                        F.col("n_ab") * F.lit(float(nd))
+                        / (F.col("n_a") * F.lit(1.0) * F.col("n_b"))
+                    ),
+                    6,
+                )
+                + F.lit(0.0)
+            ).alias("pmi"),
+        )
+    )
