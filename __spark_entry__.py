@@ -32,51 +32,73 @@ def entry(spark: SparkSession) -> DataFrame:
     return QUERIES["expected_shortfall_99"](spark, "/root/testdata/sf0.001")
 
 
-def _last_gated_round() -> dict[str, int]:
-    """Map query name -> most recent driver-gate round that recorded a
-    row for it (from committed ``CORRECTNESS_r*.json`` files).
+def _gate_ledger() -> dict[str, tuple[int, bool]]:
+    """Map query name -> (most recent driver-gate round that recorded a
+    row for it, whether that latest row PASSED), from committed
+    ``CORRECTNESS_r*.json`` files.
+
+    A row passes when the oracle compare hash-matched, or — for
+    rows-only queries by driver contract (``err == "no_oracle"``) —
+    when the Spark side produced a row count at all.  Anything else
+    (exception recorded in ``err``, hash/rows mismatch) is a failure,
+    and failures must rotate to the FRONT of the gate window: a query
+    whose latest official row is red is the opposite of "recently
+    covered".
 
     Past gates each ran only the FIRST 50 entries of ``queries()`` in
     dict order, so ordering decides coverage.  Deterministic under
     missing files: no gate files simply means every query is
     never-gated and the base QUERIES dict order stands.
     """
-    last: dict[str, int] = {}
+    ledger: dict[str, tuple[int, bool]] = {}
     for path in sorted(glob.glob(os.path.join(_REPO_ROOT, "CORRECTNESS_r*.json"))):
         base = os.path.basename(path)
         digits = "".join(ch for ch in base if ch.isdigit())
         rnd = int(digits) if digits else 0
         try:
             with open(path) as fh:
-                names = json.load(fh).keys()
+                rows = json.load(fh)
         except (OSError, ValueError):
             continue
-        for name in names:
-            last[name] = max(last.get(name, 0), rnd)
-    return last
+        for name, row in rows.items():
+            if not isinstance(row, dict):
+                passed = False
+            elif row.get("err") == "no_oracle":
+                passed = row.get("spark_rows") is not None
+            else:
+                passed = (
+                    row.get("err") is None
+                    and row.get("hash_match") is True
+                    and row.get("rows_match") is True
+                )
+            prev = ledger.get(name)
+            if prev is None or rnd >= prev[0]:
+                ledger[name] = (rnd, passed)
+    return ledger
 
 
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
-    # Never-gated queries first (oracle-eligible before rows-only, so a
-    # truncating gate spends its budget on fresh hash-comparable
-    # coverage), then previously-gated queries ordered LEAST-recently
-    # gated first.  The rotation means old green rows don't stand
-    # forever: every round the truncating window re-verifies the
-    # longest-unchecked slice, so a regression in an already-gated
-    # query is caught within a few rounds instead of never.
-    last = _last_gated_round()
-    fresh_oracle = {
-        k: v for k, v in QUERIES.items() if k not in last and k in ORACLES
-    }
-    fresh_rows = {
-        k: v
-        for k, v in QUERIES.items()
-        if k not in last and k not in ORACLES
-    }
-    gated_names = [k for k in QUERIES if k in last]
-    gated_names.sort(key=lambda k: last[k])  # stable: ties keep dict order
-    rest = {k: QUERIES[k] for k in gated_names}
-    return {**fresh_oracle, **fresh_rows, **rest}
+    # Gate-window ordering (the driver runs only the first ~50 entries):
+    #   1. queries whose LATEST official row is a failure — a red row in
+    #      the cumulative ledger must be re-gated before anything else;
+    #   2. never-gated queries (oracle-eligible before rows-only, so a
+    #      truncating gate spends its budget on hash-comparable
+    #      coverage first);
+    #   3. previously-green queries, least-recently gated first.
+    # The rotation means old green rows don't stand forever: every
+    # round the truncating window re-verifies the longest-unchecked
+    # slice, so a regression in an already-gated query is caught within
+    # a few rounds instead of never — and a known-red row is caught
+    # NEXT round, not whenever its vintage comes back around.
+    ledger = _gate_ledger()
+    failed = [k for k in QUERIES if k in ledger and not ledger[k][1]]
+    failed.sort(key=lambda k: ledger[k][0])  # stable: ties keep dict order
+    fresh_oracle = [k for k in QUERIES if k not in ledger and k in ORACLES]
+    fresh_rows = [k for k in QUERIES if k not in ledger and k not in ORACLES]
+    green = [k for k in QUERIES if k in ledger and ledger[k][1]]
+    green.sort(key=lambda k: ledger[k][0])
+    ordered = [*failed, *fresh_oracle, *fresh_rows, *green]
+    return {k: QUERIES[k] for k in ordered}
 
 
 def oracle_sql() -> dict[str, str]:
