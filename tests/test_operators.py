@@ -1238,6 +1238,51 @@ def test_sequence_packing_invariants(spark, sf_dir):
     assert st.avg_fill is None or st.avg_fill >= 0.5
 
 
+def test_sequence_packing_spans_arrow_batches(spark, sf_dir):
+    """A bucket larger than one Arrow batch must still pack as ONE
+    sequential pass. The chunked Iterator[pd.DataFrame] applyInPandas
+    form resets next-fit state at every Arrow-batch boundary (default
+    10k rows), duplicating (bucket, seq_in_bucket) ids and breaking the
+    token cap — so force 7-row batches against a single bucket holding
+    the whole fixture and assert the invariants plus batch-size
+    independence."""
+    from value_at_risk_spark.functions.text import tokens as _tokens
+    from value_at_risk_spark.operators.packing import pack_sequences
+
+    cap = 256
+    d = (
+        spark.read.parquet(f"{sf_dir}/documents.parquet")
+        .select("doc_id", F.size(_tokens("text")).alias("n_tokens"))
+    )
+    key = "spark.sql.execution.arrow.maxRecordsPerBatch"
+    prev = spark.conf.get(key, None)
+    try:
+        spark.conf.set(key, "7")
+        tiny = pack_sequences(d, max_tokens=cap, buckets=1).collect()
+    finally:
+        if prev is None:
+            spark.conf.unset(key)
+        else:
+            spark.conf.set(key, prev)
+    big = pack_sequences(d, max_tokens=cap, buckets=1).collect()
+
+    # identical output whatever the Arrow batch size
+    assert sorted(map(tuple, tiny)) == sorted(map(tuple, big))
+
+    # exactly-once + token cap still hold with >many-batch groups
+    toks = {r.doc_id: r.n_tokens for r in d.collect()}
+    assert len(tiny) == len(toks)
+    assert len({r.doc_id for r in tiny}) == len(toks)
+    seqs = {}
+    for r in tiny:
+        seqs.setdefault((r.bucket, r.seq_in_bucket), []).append(r)
+    for members in seqs.values():
+        if any(m.oversize for m in members):
+            assert len(members) == 1
+        else:
+            assert sum(toks[m.doc_id] for m in members) <= cap
+
+
 def test_bottom_k_per_group_equals_window(spark, sf_dir):
     """The two-phase bottom-k (partial per-batch head + final window)
     equals the single-window formulation exactly — the scale-path claim

@@ -31,8 +31,6 @@ against a corpus that fills millions of sequences.
 
 from __future__ import annotations
 
-from collections.abc import Iterator
-
 import pandas as pd
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
@@ -59,42 +57,50 @@ def pack_sequences(
         "seq_tokens_so_far long, oversize boolean"
     )
 
-    def _pack(pdf_iter: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
-        for pdf in pdf_iter:
-            pdf = pdf.sort_values(id_col, kind="mergesort")
-            ids = pdf[id_col].to_numpy()
-            toks = pdf[tokens_col].to_numpy()
-            bkt = int(pdf["_bucket"].iloc[0]) if len(pdf) else 0
-            seq_ids, running, oversize = [], [], []
-            seq, acc = 0, 0
-            for t in toks:
-                t = int(t)
-                if t > max_tokens:
-                    # oversize doc: its own (flagged) sequence
-                    if acc > 0:
-                        seq += 1
-                    seq_ids.append(seq)
-                    running.append(t)
-                    oversize.append(True)
+    # Whole-group form, NOT the Iterator[pd.DataFrame] chunked form: the
+    # iterator variant hands a large group over as one chunk per Arrow
+    # batch (spark.sql.execution.arrow.maxRecordsPerBatch, default 10k
+    # rows), and next-fit state (seq counter, running total, the
+    # within-bucket sort) must span the whole bucket — per-chunk resets
+    # would emit duplicate (bucket, seq_in_bucket) ids and chunk-
+    # boundary-dependent output. Memory is bounded by bucket size:
+    # `buckets` scales with corpus width, keeping each bucket's rows
+    # O(corpus / buckets), and each row is two scalars.
+    def _pack(pdf: pd.DataFrame) -> pd.DataFrame:
+        pdf = pdf.sort_values(id_col, kind="mergesort")
+        ids = pdf[id_col].to_numpy()
+        toks = pdf[tokens_col].to_numpy()
+        bkt = int(pdf["_bucket"].iloc[0]) if len(pdf) else 0
+        seq_ids, running, oversize = [], [], []
+        seq, acc = 0, 0
+        for t in toks:
+            t = int(t)
+            if t > max_tokens:
+                # oversize doc: its own (flagged) sequence
+                if acc > 0:
                     seq += 1
-                    acc = 0
-                    continue
-                if acc + t > max_tokens:
-                    seq += 1
-                    acc = 0
-                acc += t
                 seq_ids.append(seq)
-                running.append(acc)
-                oversize.append(False)
-            yield pd.DataFrame(
-                {
-                    id_col: ids,
-                    "bucket": bkt,
-                    "seq_in_bucket": seq_ids,
-                    "seq_tokens_so_far": running,
-                    "oversize": oversize,
-                }
-            )
+                running.append(t)
+                oversize.append(True)
+                seq += 1
+                acc = 0
+                continue
+            if acc + t > max_tokens:
+                seq += 1
+                acc = 0
+            acc += t
+            seq_ids.append(seq)
+            running.append(acc)
+            oversize.append(False)
+        return pd.DataFrame(
+            {
+                id_col: ids,
+                "bucket": bkt,
+                "seq_in_bucket": seq_ids,
+                "seq_tokens_so_far": running,
+                "oversize": oversize,
+            }
+        )
 
     bucketed = docs.select(
         F.col(id_col), F.col(tokens_col),
