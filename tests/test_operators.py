@@ -1283,6 +1283,49 @@ def test_sequence_packing_spans_arrow_batches(spark, sf_dir):
             assert sum(toks[m.doc_id] for m in members) <= cap
 
 
+def test_pruned_pmi_equals_unpruned_on_surviving_vocab(spark, sf_dir):
+    """token_cooccurrence_pmi_pruned == token_cooccurrence_pmi
+    restricted to pairs whose BOTH tokens survive the heavy-hitter
+    vocabulary pass — the pre-prune composition changes the plan's
+    cost, never a surviving pair's count or PMI value. On this fixture
+    the n/400 floor sits below the n_ab >= 50 support floor, so the
+    restriction is total: the two results must be identical."""
+    from value_at_risk_spark.functions.text import tokens as _tokens
+    from value_at_risk_spark.operators.heavyhitters import (
+        exact_heavy_hitters,
+    )
+    from value_at_risk_spark.queries import QUERIES
+
+    full = {
+        (r.t1, r.t2): (r.n_ab, r.pmi)
+        for r in QUERIES["token_cooccurrence_pmi"](spark, sf_dir).collect()
+    }
+    pruned = {
+        (r.t1, r.t2): (r.n_ab, r.pmi)
+        for r in QUERIES["token_cooccurrence_pmi_pruned"](
+            spark, sf_dir
+        ).collect()
+    }
+    tok = (
+        spark.read.parquet(f"{sf_dir}/documents.parquet")
+        .select(
+            "doc_id",
+            F.explode(F.array_distinct(_tokens("text"))).alias("t"),
+        )
+    )
+    vocab = {
+        r.t for r in exact_heavy_hitters(tok, "t", k=400).collect()
+    }
+    restricted = {
+        pair: v
+        for pair, v in full.items()
+        if pair[0] in vocab and pair[1] in vocab
+    }
+    assert pruned == restricted
+    # fixture-level: the floor loses nothing, restriction is total
+    assert pruned == full
+
+
 def test_bottom_k_per_group_equals_window(spark, sf_dir):
     """The two-phase bottom-k (partial per-batch head + final window)
     equals the single-window formulation exactly — the scale-path claim

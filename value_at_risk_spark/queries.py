@@ -5045,15 +5045,19 @@ def token_cooccurrence_pmi(spark: SparkSession, sf_dir: str) -> DataFrame:
     reduce with map-side partials, and the document-frequency table
     joins back by broadcast. The n_ab floor bounds the output to pairs
     with real support. At 100 TB you'd pre-prune the vocabulary to the
-    top-k tokens (heavy hitters pass) before pairing; the plan shape
-    is unchanged."""
+    top-k tokens (heavy hitters pass) before pairing — that composed
+    form is ``token_cooccurrence_pmi_pruned`` below; the plan shape is
+    unchanged. The document count joins in as a lazy 1-row aggregate
+    broadcast into the final select (no eager driver action, and the
+    count subtree prunes to a zero-column parquet metadata scan),
+    mirroring ``source_mix_report``'s total."""
     from value_at_risk_spark.functions.text import tokens
 
     d = _t(spark, sf_dir, "documents")
     tok = d.select(
         "doc_id", F.explode(F.array_distinct(tokens("text"))).alias("t")
     )
-    nd = d.count()
+    ndocs = d.groupBy().agg(F.count(F.lit(1)).alias("nd"))
     dfreq = tok.groupBy("t").agg(F.count(F.lit(1)).alias("n"))
     a = tok.select("doc_id", F.col("t").alias("t1"))
     b = tok.select("doc_id", F.col("t").alias("t2"))
@@ -5069,6 +5073,7 @@ def token_cooccurrence_pmi(spark: SparkSession, sf_dir: str) -> DataFrame:
     return (
         pairs.join(F.broadcast(da), "t1")
         .join(F.broadcast(db), "t2")
+        .crossJoin(F.broadcast(ndocs))
         .select(
             "t1",
             "t2",
@@ -5076,7 +5081,97 @@ def token_cooccurrence_pmi(spark: SparkSession, sf_dir: str) -> DataFrame:
             (
                 F.round(
                     F.log(
-                        F.col("n_ab") * F.lit(float(nd))
+                        F.col("n_ab") * F.col("nd").cast("double")
+                        / (F.col("n_a") * F.lit(1.0) * F.col("n_b"))
+                    ),
+                    6,
+                )
+                + F.lit(0.0)
+            ).alias("pmi"),
+        )
+    )
+
+
+@query(
+    "token_cooccurrence_pmi_pruned",
+    """
+WITH docs AS (
+  SELECT doc_id,
+         list_distinct(list_filter(string_split(lower(text),' '), x -> x <> '')) AS ts
+  FROM documents
+),
+tok AS (SELECT doc_id, unnest(ts) AS t FROM docs),
+n_tok AS (SELECT COUNT(*) AS n FROM tok),
+vocab AS (
+  SELECT t FROM tok GROUP BY t
+  HAVING COUNT(*) > (SELECT n FROM n_tok) / 400.0
+),
+ptok AS (SELECT doc_id, t FROM tok WHERE t IN (SELECT t FROM vocab)),
+n_docs AS (SELECT COUNT(*) AS nd FROM docs),
+df AS (SELECT t, COUNT(*) AS n FROM ptok GROUP BY 1),
+pairs AS (
+  SELECT a.t AS t1, b.t AS t2, COUNT(*) AS n_ab
+  FROM ptok a JOIN ptok b ON a.doc_id = b.doc_id AND a.t < b.t
+  GROUP BY 1, 2
+)
+SELECT t1, t2, CAST(n_ab AS BIGINT) AS n_ab,
+       ROUND(LN(n_ab * 1.0 * (SELECT nd FROM n_docs)
+                / (da.n * 1.0 * db.n)), 6) + 0 AS pmi
+FROM pairs
+JOIN df da ON da.t = t1
+JOIN df db ON db.t = t2
+WHERE n_ab >= 50
+""",
+)
+def token_cooccurrence_pmi_pruned(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The 100 TB form of ``token_cooccurrence_pmi``: prune the
+    vocabulary FIRST with the exact heavy-hitters pass (Misra-Gries
+    candidates + exact verify, operators/heavyhitters.py), then pair
+    only surviving tokens. The pairing self-join's cost is quadratic in
+    per-document DISTINCT-token count, so dropping the long tail before
+    the join — not after — is what bounds the shuffle on a real corpus;
+    the heavy-hitter threshold (stream count > n/400) is deterministic
+    and exact, so the DuckDB twin is the same PMI CTE with the
+    equivalent frequency floor. Because any pair with n_ab >= 50 needs
+    both tokens' document frequency >= 50, a floor below that loses
+    nothing: the pruned result equals the unpruned result restricted to
+    surviving tokens (pytest-asserted equivalence)."""
+    from value_at_risk_spark.functions.text import tokens
+    from value_at_risk_spark.operators.heavyhitters import (
+        exact_heavy_hitters,
+    )
+
+    d = _t(spark, sf_dir, "documents")
+    tok = d.select(
+        "doc_id", F.explode(F.array_distinct(tokens("text"))).alias("t")
+    )
+    vocab = exact_heavy_hitters(tok, "t", k=400).select("t")
+    ptok = tok.join(F.broadcast(vocab), "t", "leftsemi")
+    ndocs = d.groupBy().agg(F.count(F.lit(1)).alias("nd"))
+    dfreq = ptok.groupBy("t").agg(F.count(F.lit(1)).alias("n"))
+    a = ptok.select("doc_id", F.col("t").alias("t1"))
+    b = ptok.select("doc_id", F.col("t").alias("t2"))
+    pairs = (
+        a.join(b, "doc_id")
+        .filter(F.col("t1") < F.col("t2"))
+        .groupBy("t1", "t2")
+        .agg(F.count(F.lit(1)).alias("n_ab"))
+        .filter(F.col("n_ab") >= 50)
+    )
+    da = dfreq.select(F.col("t").alias("t1"), F.col("n").alias("n_a"))
+    db = dfreq.select(F.col("t").alias("t2"), F.col("n").alias("n_b"))
+    return (
+        pairs.join(F.broadcast(da), "t1")
+        .join(F.broadcast(db), "t2")
+        .crossJoin(F.broadcast(ndocs))
+        .select(
+            "t1",
+            "t2",
+            "n_ab",
+            (
+                F.round(
+                    F.log(
+                        F.col("n_ab") * F.col("nd").cast("double")
                         / (F.col("n_a") * F.lit(1.0) * F.col("n_b"))
                     ),
                     6,
