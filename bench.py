@@ -86,6 +86,24 @@ def force(df) -> None:
     df.write.format("noop").mode("overwrite").save()
 
 
+def calibration_anchor(spark, sf_dir: str) -> float:
+    """Fixed trivial reference query, timed like every other row: a
+    forced scan+aggregate over lineitem whose plan has not changed and
+    will never change. Raw per-query seconds on this box carry 2-3x
+    noisy-neighbor drift; dividing by this anchor turns a uniform-drift
+    round (environment) into a flat normalized series and leaves a real
+    regression visible — the falsifiability the raw numbers lack."""
+    df = spark.read.parquet(f"{sf_dir}/lineitem.parquet").selectExpr(
+        "sum(l_extendedprice * l_quantity) as s", "count(*) as n"
+    )
+    samples = []
+    for _ in range(RUNS_PER_QUERY):
+        t0 = time.time()
+        force(df)
+        samples.append(time.time() - t0)
+    return round(statistics.median(samples), 4)
+
+
 def scaled_near_dedup(spark, sf_dir: str) -> dict:
     """Standing dupe-heavy ~sf1 near-dedup row (round-4 verdict #2).
 
@@ -102,7 +120,11 @@ def scaled_near_dedup(spark, sf_dir: str) -> dict:
 
     from pyspark.sql import functions as F
 
-    scaled = os.environ.get("SPARK_GRAFT_SCALED_DIR", "/tmp/bench_scaled_docs")
+    import tempfile
+
+    scaled = os.environ.get("SPARK_GRAFT_SCALED_DIR") or tempfile.mkdtemp(
+        prefix="bench_scaled_docs_"
+    )
     docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
     reps = 10
     shutil.rmtree(scaled, ignore_errors=True)
@@ -137,6 +159,7 @@ def main() -> None:
         BENCH_QUERIES = [q.strip() for q in subset.split(",") if q.strip()]
     spark = get_spark("bench")
     spark.range(1_000_000).selectExpr("sum(id)").collect()  # JVM warm-up
+    cal = calibration_anchor(spark, sf_dir)
 
     timings: dict[str, float] = {}
     for name in BENCH_QUERIES:
@@ -152,6 +175,12 @@ def main() -> None:
     subtotals = {
         key: round(sum(timings[q] for q in names if q in timings), 3)
         for key, names in SUBSETS.items()
+    }
+    # box-drift-normalized views: seconds / calibration_sec. Compare
+    # THESE across rounds; raw seconds only within a round.
+    normalized = {
+        key.replace("_sec", "_x_cal"): round(v / cal, 2) if cal else None
+        for key, v in {**subtotals, "total_sec": total}.items()
     }
     # dupe-heavy scaled near-dedup standing row — separate keys, NOT in
     # the headline total (keeps the frozen subtotals comparable);
@@ -170,6 +199,8 @@ def main() -> None:
                 "unit": "sec",
                 "queries": timings,
                 "subtotals": subtotals,
+                "calibration_sec": cal,
+                "normalized": normalized,
                 **scaled_stats,
                 "sf": float(sf) if sf.replace(".", "").isdigit() else sf,
             }

@@ -65,7 +65,7 @@ def timed_pair(plain_fn, salted_fn) -> tuple[float, float]:
     return round(statistics.median(p), 2), round(statistics.median(s), 2)
 
 
-def build_fact(spark, sf_dir: str, target: int, hot_share: float):
+def build_fact(spark, sf_dir: str, target: int, hot_share: float, out: str):
     base = spark.read.parquet(f"{sf_dir}/events.parquet").select(
         "event_id", "value"
     )
@@ -86,8 +86,8 @@ def build_fact(spark, sf_dir: str, target: int, hot_share: float):
     )
     # 64 input splits: a realistic map-task layout (a 3-file layout
     # serializes the map side and poisons every measurement)
-    fact.repartition(64).write.mode("overwrite").parquet("/tmp/skew_fact")
-    fact = spark.read.parquet("/tmp/skew_fact")
+    fact.repartition(64).write.mode("overwrite").parquet(out)
+    fact = spark.read.parquet(out)
     n = fact.count()
     hot = fact.filter(F.col("user_key") == 0).count()
     print(f"fact: {n} rows, hot key share {hot / n:.1%}", flush=True)
@@ -99,9 +99,18 @@ def main() -> None:
     target = int(sys.argv[2]) if len(sys.argv) > 2 else 5_000_000
     hot_share = float(sys.argv[3]) if len(sys.argv) > 3 else 0.30
 
+    import shutil
+    import tempfile
+
     spark = get_spark("perf_skew")
     spark.sparkContext.setLogLevel("ERROR")
-    fact, n, hot = build_fact(spark, sf_dir, target, hot_share)
+    # per-run scratch dir (concurrent/stale runs must not collide or
+    # measure leftover data), removed on the way out
+    scratch = tempfile.mkdtemp(prefix="perf_skew_fact_")
+    import atexit
+
+    atexit.register(shutil.rmtree, scratch, ignore_errors=True)
+    fact, n, hot = build_fact(spark, sf_dir, target, hot_share, scratch)
 
     results: dict[str, float] = {}
 
