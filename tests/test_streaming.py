@@ -441,7 +441,11 @@ def test_streaming_heavy_hitters_superset_of_batch(spark, sf_dir, tmp_path):
             src / f"slice{i}.parquet",
         )
 
-    stream = spark.readStream.schema("token string").parquet(str(src))
+    stream = (
+        spark.readStream.schema("token string")
+        .option("maxFilesPerTrigger", 1)
+        .parquet(str(src))
+    )
     hh = streaming_heavy_hitters(stream, k=k, nshards=8)
     sink = "hh_stream_test"
     q = (
@@ -454,11 +458,15 @@ def test_streaming_heavy_hitters_superset_of_batch(spark, sf_dir, tmp_path):
     q.awaitTermination(120)
 
     # memory sink in update mode appends every emit; keep each shard's
-    # LAST summary (the final state)
-    final = {}
-    for i, r in enumerate(spark.table(sink).collect()):
-        final[r.shard] = set(r.tokens)
+    # LAST summary (the final state) via the state-carried batch_seq
+    final, last_seq = {}, {}
+    for r in spark.table(sink).collect():
+        if r.batch_seq >= last_seq.get(r.shard, 0):
+            last_seq[r.shard] = r.batch_seq
+            final[r.shard] = set(r.tokens)
     assert final
+    # multi-batch replay must actually have advanced the counter
+    assert max(last_seq.values()) > 1
 
     # the MG guarantee is PER SHARD: any token whose count within its
     # shard exceeds shard_total/(k+1) must be in that shard's summary

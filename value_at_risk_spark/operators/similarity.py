@@ -338,23 +338,42 @@ def cosine_near_dup_pairs(
 
 
 def nearest_cell_expr(vec_col, centroids) -> "F.Column":
-    """Index of the nearest centroid (squared-L2) as a native CASE
-    chain — centroids are plan literals, so assignment is a pure
+    """Index of the nearest centroid (squared-L2) as a native
+    expression — centroids are plan literals, so assignment is a pure
     projection: no shuffle, no Python, works identically in batch and
-    streaming."""
+    streaming.
+
+    Form: sort an array of (distance, index) structs and take the
+    head — an O(k·dim) expression tree. The once-obvious
+    when/least fold is O(k²): every step re-nests the accumulated
+    best-distance subtree into both the comparison and the next
+    `least`, and at ksub=16 codebooks the resulting codegen unit
+    measurably slows tiny-batch jobs. Ties pick the smallest index on
+    both forms (array_sort orders by (d, cell))."""
     col = F.col(vec_col) if isinstance(vec_col, str) else vec_col
-    best_d, best_i = None, None
-    for i, cent in enumerate(centroids):
-        c = F.array(*[F.lit(float(x)) for x in cent])
-        # ||v-c||² ranking needs only -2·v·c + ||c||² (||v||² constant per row)
-        cc = float(sum(x * x for x in cent))
-        d2 = F.lit(cc) - 2 * dot_product(col, c)
-        if best_d is None:
-            best_d, best_i = d2, F.lit(i)
-        else:
-            best_i = F.when(d2 < best_d, F.lit(i)).otherwise(best_i)
-            best_d = F.least(d2, best_d)
-    return best_i
+    dists = F.array(
+        *[
+            F.struct(
+                (
+                    # ||v-c||² ranking needs only -2·v·c + ||c||²
+                    # (||v||² is constant per row)
+                    F.lit(float(sum(x * x for x in cent)))
+                    # HOF fold, NOT the unrolled dim= form: k centroids
+                    # x dim element_at terms in one expression blows the
+                    # codegen unit past JIT limits (measured 2x slower
+                    # at ksub=16) — the narrow-dot crossover in
+                    # dot_product's docstring doesn't apply when the
+                    # expression repeats per centroid
+                    - 2 * dot_product(
+                        col, F.array(*[F.lit(float(x)) for x in cent])
+                    )
+                ).alias("d"),
+                F.lit(i).alias("cell"),
+            )
+            for i, cent in enumerate(centroids)
+        ]
+    )
+    return F.element_at(F.array_sort(dists), 1)["cell"]
 
 
 def kmeans_centroids(
@@ -490,12 +509,22 @@ def pq_train(
 ) -> list[list[list[float]]]:
     """Train product-quantization codebooks: the dim axis splits into
     ``m`` contiguous subvectors and each subspace gets its own
-    ``ksub``-centroid k-means (reusing the distributed Lloyd loop of
-    ``kmeans_centroids`` on sliced frames). Returns m x ksub x (dim/m)
-    centroids — the 100 TB ANN memory lever: codes are m SMALL INTS per
-    vector (m bytes at ksub<=256) versus dim floats, a dim*4/m
-    compression, with only the codebooks (m*ksub*dim/m doubles) ever
-    reaching the driver."""
+    ``ksub``-centroid k-means. Returns m x ksub x (dim/m) centroids —
+    the 100 TB ANN memory lever: codes are m SMALL INTS per vector
+    (m bytes at ksub<=256) versus dim floats, a dim*4/m compression,
+    with only the codebooks (m*ksub*dim/m doubles) ever reaching the
+    driver.
+
+    All m sub-codebooks advance in ONE distributed Lloyd pass per
+    iteration: each row explodes into its m (subspace, subvector)
+    slices, assignment picks the j-th codebook's nearest centroid via
+    a CASE on the subspace id (pure projection), and a single hash-agg
+    grouped by (subspace, cell, pos) produces every subspace's means
+    at once. Against the per-subspace-sequential form this is m-fold
+    fewer corpus scans — iters passes total instead of m*iters, which
+    is the difference between 2 and 8 reads of a 100 TB corpus."""
+    import numpy as np
+
     if dim is None:
         row = df.select(F.size(vec_col).alias("d")).first()
         if row is None:
@@ -504,17 +533,54 @@ def pq_train(
     if dim % m != 0:
         raise ValueError(f"pq_train: dim {dim} not divisible by m {m}")
     sub = dim // m
-    return [
-        kmeans_centroids(
-            df.select(F.slice(vec_col, j * sub + 1, sub).alias(vec_col)),
-            vec_col=vec_col,
-            k=ksub,
-            iters=iters,
-            seed=seed + j,
-            dim=sub,
-        )
+    # per-subspace seeded init, identical to running kmeans_centroids
+    # with seed+j on the j-th slice
+    cents = [
+        np.random.default_rng(seed + j).standard_normal((ksub, sub)).tolist()
         for j in range(m)
     ]
+    for _ in range(iters):
+        sliced = df.select(
+            F.explode(
+                F.array(
+                    *[
+                        F.struct(
+                            F.lit(j).alias("_j"),
+                            F.slice(vec_col, j * sub + 1, sub).alias("_v"),
+                        )
+                        for j in range(m)
+                    ]
+                )
+            ).alias("_p")
+        ).select("_p._j", "_p._v")
+        cell = F.when(F.col("_j") == 0, nearest_cell_expr("_v", cents[0]))
+        for j in range(1, m):
+            cell = cell.when(
+                F.col("_j") == j, nearest_cell_expr("_v", cents[j])
+            )
+        # assignment and posexplode in SEPARATE selects: a generator in
+        # the same projection makes the analyzer rebuild the assignment
+        # expression without struct-field name hints (Spark 4 drops the
+        # (d, cell) aliases -> FIELD_NOT_FOUND)
+        means = (
+            sliced.select("_j", "_v", cell.alias("_cell"))
+            .select("_j", "_cell", F.posexplode("_v").alias("_i", "_x"))
+            .groupBy("_j", "_cell", "_i")
+            .agg(F.avg("_x").alias("_m"))
+            .groupBy("_j", "_cell")
+            .agg(
+                F.array_sort(F.collect_list(F.struct("_i", "_m"))).alias("_ms")
+            )
+            .select(
+                "_j",
+                "_cell",
+                F.transform("_ms", lambda s: s["_m"]).alias("_mean"),
+            )
+            .collect()
+        )
+        for r in means:
+            cents[r._j][r._cell] = [float(x) for x in r._mean]
+    return cents
 
 
 def pq_encode(

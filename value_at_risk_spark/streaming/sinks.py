@@ -68,7 +68,22 @@ class IdempotentParquetSink:
 
     def read(self, spark) -> DataFrame:
         """All committed batches (basePath keeps batch_id a column out
-        of the data schema via partition discovery)."""
+        of the data schema via partition discovery).
+
+        With ZERO committed batches there is no schema to return a
+        DataFrame with, so this raises a clear ``ValueError`` instead
+        of the opaque path-not-found AnalysisException the empty glob
+        used to surface."""
+        if not any(
+            e.name.startswith("batch_id=")
+            for e in os.scandir(self.out_dir)
+            if e.is_dir()
+        ):
+            raise ValueError(
+                f"IdempotentParquetSink.read: no committed batches under "
+                f"{self.out_dir} (the sink has not processed any "
+                f"micro-batch yet, so no schema exists to read)"
+            )
         return (
             spark.read.option("basePath", self.out_dir)
             .parquet(os.path.join(self.out_dir, "batch_id=*"))

@@ -233,15 +233,19 @@ def streaming_heavy_hitters(
     (shard_total <= total). State per shard: two arrays of length
     <= k — bounded forever, regardless of stream length or vocabulary.
 
-    Emits each shard's current summary every batch (update mode);
-    the exact-verify pass over the candidate union stays a batch job,
-    as in the two-pass batch operator.
+    Emits each shard's current summary every batch (update mode),
+    stamped with ``batch_seq`` — a per-shard invocation counter carried
+    in state — so a consumer selects each shard's LATEST summary by
+    ``max(batch_seq)``, a contract, instead of relying on sink scan
+    order matching insertion order. The exact-verify pass over the
+    candidate union stays a batch job, as in the two-pass batch
+    operator.
     """
 
     def fn(
         key: tuple, pdfs: Iterator[pd.DataFrame], state: GroupState
     ) -> Iterator[pd.DataFrame]:
-        toks, cnts = state.get if state.exists else ([], [])
+        toks, cnts, nb = state.get if state.exists else ([], [], 0)
         counters = dict(zip(toks, (int(c) for c in cnts)))
         for pdf in pdfs:
             for t, w in pdf["token"].value_counts().items():
@@ -251,12 +255,14 @@ def streaming_heavy_hitters(
                 counters = {
                     t: c - cut for t, c in counters.items() if c - cut > 0
                 }
+        nb = int(nb) + 1
         state.update(
-            (list(counters.keys()), [int(v) for v in counters.values()])
+            (list(counters.keys()), [int(v) for v in counters.values()], nb)
         )
         yield pd.DataFrame(
             {
                 "shard": [key[0]],
+                "batch_seq": [nb],
                 "tokens": [list(counters.keys())],
                 "counts": [[int(v) for v in counters.values()]],
             }
@@ -268,9 +274,10 @@ def streaming_heavy_hitters(
     return sharded.groupBy("_shard").applyInPandasWithState(
         fn,
         outputStructType=(
-            "shard int, tokens array<string>, counts array<long>"
+            "shard int, batch_seq long, "
+            "tokens array<string>, counts array<long>"
         ),
-        stateStructType="toks array<string>, cnts array<long>",
+        stateStructType="toks array<string>, cnts array<long>, nb long",
         outputMode="update",
         timeoutConf=GroupStateTimeout.NoTimeout,
     )
