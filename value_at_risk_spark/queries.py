@@ -5195,3 +5195,219 @@ def token_cooccurrence_pmi_pruned(spark: SparkSession, sf_dir: str) -> DataFrame
             ).alias("pmi"),
         )
     )
+
+
+@query(
+    "duplicated_ngram_spans",
+    """
+WITH toks AS (
+  SELECT doc_id,
+         list_filter(string_split(lower(text),' '), x -> x <> '') AS ts
+  FROM documents
+),
+grams AS (
+  SELECT doc_id, array_to_string(ts[i:i+7], ' ') AS g
+  FROM toks, UNNEST(range(1, greatest(len(ts) - 6, 1))) AS t(i)
+),
+gc AS (SELECT g, COUNT(DISTINCT doc_id) AS ndocs FROM grams GROUP BY 1),
+marked AS (SELECT doc_id, ndocs FROM grams JOIN gc USING (g))
+SELECT doc_id,
+       CAST(COUNT(*) AS BIGINT) AS n_spans,
+       CAST(COUNT(*) FILTER (WHERE ndocs >= 2) AS BIGINT) AS n_dup_spans,
+       ROUND(COUNT(*) FILTER (WHERE ndocs >= 2) * 1.0 / COUNT(*), 6) + 0
+         AS dup_ratio
+FROM marked GROUP BY 1
+HAVING COUNT(*) FILTER (WHERE ndocs >= 2) > 0
+""",
+)
+def duplicated_ngram_spans(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Substring-level duplication detection — the span-granular pass
+    of training-data dedup (Lee et al., "Deduplicating Training Data
+    Makes Language Models Better", ACL 2022): every 8-token span that
+    appears in 2+ distinct documents is a duplicated span, and each
+    document reports how much of it is covered by such spans. Two
+    shuffles, both with map-side partials: spans reduce by gram (the
+    cross-doc frequency), then rejoin and reduce by doc. At 100 TB the
+    gram string is replaced by xxhash64(gram) — only equality matters,
+    so an 8-byte key carries the shuffle instead of a 60-byte string —
+    and the plan shape is unchanged."""
+    from value_at_risk_spark.functions.text import tokens
+
+    n = 8
+    d = _t(spark, sf_dir, "documents")
+    toks = d.select("doc_id", tokens("text").alias("ts"))
+    grams = toks.select(
+        "doc_id",
+        F.explode(
+            F.when(
+                F.size("ts") >= n,
+                F.transform(
+                    F.sequence(F.lit(1), F.size("ts") - (n - 1)),
+                    lambda i: F.array_join(F.slice("ts", i, n), " "),
+                ),
+            ).otherwise(F.array().cast("array<string>"))
+        ).alias("g"),
+    )
+    gc = grams.groupBy("g").agg(F.count_distinct("doc_id").alias("ndocs"))
+    marked = grams.join(gc, "g")
+    return (
+        marked.groupBy("doc_id")
+        .agg(
+            F.count(F.lit(1)).alias("n_spans"),
+            F.sum(
+                F.when(F.col("ndocs") >= 2, F.lit(1)).otherwise(F.lit(0))
+            ).alias("n_dup_spans"),
+        )
+        .filter(F.col("n_dup_spans") > 0)
+        .select(
+            "doc_id",
+            "n_spans",
+            "n_dup_spans",
+            (
+                F.round(F.col("n_dup_spans") * 1.0 / F.col("n_spans"), 6)
+                + F.lit(0.0)
+            ).alias("dup_ratio"),
+        )
+    )
+
+
+@query(
+    "bm25_relevance_scores",
+    """
+WITH toks AS (
+  SELECT doc_id,
+         list_filter(string_split(lower(text),' '), x -> x <> '') AS ts
+  FROM documents
+),
+docs AS (SELECT doc_id, len(ts) AS dl, ts FROM toks),
+stats AS (SELECT COUNT(*) AS n, AVG(dl) AS avgdl FROM docs),
+tf AS (
+  SELECT doc_id, dl, t, COUNT(*) AS tf
+  FROM (SELECT doc_id, dl, unnest(ts) AS t FROM docs)
+  WHERE t IN ('spark', 'vector', 'stream')
+  GROUP BY 1, 2, 3
+),
+dfreq AS (SELECT t, COUNT(*) AS df FROM tf GROUP BY 1)
+SELECT doc_id,
+       CAST(COUNT(*) AS BIGINT) AS n_terms,
+       ROUND(SUM(
+         LN((stats.n - dfreq.df + 0.5) / (dfreq.df + 0.5) + 1)
+         * tf.tf * 2.2
+         / (tf.tf + 1.2 * (1 - 0.75 + 0.75 * tf.dl / stats.avgdl))
+       ), 6) + 0 AS bm25
+FROM tf JOIN dfreq USING (t) CROSS JOIN stats
+GROUP BY 1
+""",
+)
+def bm25_relevance_scores(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """BM25 (k1=1.2, b=0.75) relevance of every document to a fixed
+    query — the retrieval scoring used to mine topical subsets out of
+    a crawl corpus. One explode pruned to the query terms BEFORE the
+    grouped count (the filter reaches the scan side of the shuffle, so
+    the shuffle carries only matching (doc, term) rows — at 100 TB
+    that is |matches|, not |tokens|); corpus stats (N, avgdl) and the
+    per-term document frequencies are 1-row / |Q|-row aggregates
+    broadcast back into the scoring expression."""
+    from value_at_risk_spark.functions.text import tokens
+
+    terms = ["spark", "vector", "stream"]
+    k1, b = 1.2, 0.75
+    d = _t(spark, sf_dir, "documents")
+    docs = d.select("doc_id", tokens("text").alias("ts")).select(
+        "doc_id", F.size("ts").alias("dl"), "ts"
+    )
+    stats = docs.groupBy().agg(
+        F.count(F.lit(1)).alias("n"), F.avg("dl").alias("avgdl")
+    )
+    tf = (
+        docs.select("doc_id", "dl", F.explode("ts").alias("t"))
+        .filter(F.col("t").isin(terms))
+        .groupBy("doc_id", "dl", "t")
+        .agg(F.count(F.lit(1)).alias("tf"))
+    )
+    dfreq = tf.groupBy("t").agg(F.count(F.lit(1)).alias("df"))
+    idf = F.log(
+        (F.col("n") - F.col("df") + 0.5) / (F.col("df") + 0.5) + 1
+    )
+    score = (
+        idf
+        * F.col("tf")
+        * (k1 + 1)
+        / (
+            F.col("tf")
+            + k1 * (1 - b + b * F.col("dl") / F.col("avgdl"))
+        )
+    )
+    return (
+        tf.join(F.broadcast(dfreq), "t")
+        .crossJoin(F.broadcast(stats))
+        .groupBy("doc_id")
+        .agg(
+            F.count(F.lit(1)).alias("n_terms"),
+            (F.round(F.sum(score), 6) + F.lit(0.0)).alias("bm25"),
+        )
+    )
+
+
+@query(
+    "temperature_mix_weights",
+    """
+WITH cells AS (
+  SELECT source,
+         CAST(COUNT(*) AS BIGINT) AS n_docs,
+         CAST(SUM(len(list_filter(string_split(lower(text),' '),
+                                  x -> x <> ''))) AS BIGINT) AS n_tokens
+  FROM documents GROUP BY 1
+),
+tot AS (SELECT SUM(n_tokens) AS all_toks, SUM(n_docs) AS all_docs FROM cells),
+raised AS (
+  SELECT cells.*, tot.all_docs,
+         POWER(n_tokens * 1.0 / tot.all_toks, 0.5) AS q_un
+  FROM cells, tot
+),
+z AS (SELECT SUM(q_un) AS z FROM raised)
+SELECT source, n_docs, n_tokens,
+       ROUND(q_un / (SELECT z FROM z), 6) + 0 AS mix_weight,
+       ROUND(q_un / (SELECT z FROM z) * all_docs, 4) + 0 AS expected_docs
+FROM raised
+""",
+)
+def temperature_mix_weights(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Temperature-based corpus re-mixing (alpha = 0.5, the multilingual
+    sampling rule of mBERT/XLM-R, Conneau et al. 2020): per-source token
+    shares are raised to the alpha power and renormalized, flattening
+    the source distribution so long-tail sources are upsampled. All
+    reductions after the one per-source scan are 1-row or |sources|-row
+    aggregates joined back by broadcast — the corpus is read once, and
+    nothing wider than the source list ever shuffles."""
+    from value_at_risk_spark.functions.text import tokens
+
+    alpha = 0.5
+    d = _t(spark, sf_dir, "documents")
+    cells = (
+        d.select("source", F.size(tokens("text")).alias("n_toks"))
+        .groupBy("source")
+        .agg(
+            F.count(F.lit(1)).alias("n_docs"),
+            F.sum("n_toks").alias("n_tokens"),
+        )
+    )
+    tot = cells.groupBy().agg(
+        F.sum("n_tokens").alias("all_toks"), F.sum("n_docs").alias("all_docs")
+    )
+    raised = cells.crossJoin(F.broadcast(tot)).withColumn(
+        "q_un", F.pow(F.col("n_tokens") * 1.0 / F.col("all_toks"), alpha)
+    )
+    z = raised.groupBy().agg(F.sum("q_un").alias("z"))
+    return raised.crossJoin(F.broadcast(z)).select(
+        "source",
+        "n_docs",
+        "n_tokens",
+        (F.round(F.col("q_un") / F.col("z"), 6) + F.lit(0.0)).alias(
+            "mix_weight"
+        ),
+        (
+            F.round(F.col("q_un") / F.col("z") * F.col("all_docs"), 4)
+            + F.lit(0.0)
+        ).alias("expected_docs"),
+    )
