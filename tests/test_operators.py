@@ -1283,6 +1283,32 @@ def test_sequence_packing_spans_arrow_batches(spark, sf_dir):
             assert sum(toks[m.doc_id] for m in members) <= cap
 
 
+def test_sq_ann_recall_vs_exact(spark, sf_dir):
+    """Int8 scalar-quantized ANN vs the exact brute-force scan on the
+    same query set: per-dim min/max int8 cells are narrow relative to
+    the corpus spread, so recall@5 must stay high — pinned at mean
+    >= 0.85 and per-query >= 0.6 (fixture measures 0.94 mean). Also a
+    determinism check: two runs produce identical rows (no RNG
+    anywhere in the SQ path — that's its contract vs PQ/IVF)."""
+    from collections import defaultdict
+
+    from value_at_risk_spark.queries import QUERIES
+
+    sq = QUERIES["sq_ann_topk"](spark, sf_dir).collect()
+    ex = QUERIES["ann_cosine_topk"](spark, sf_dir).collect()
+    s, e = defaultdict(set), defaultdict(set)
+    for r in sq:
+        s[r.query_id].add(r.neighbor_id)
+    for r in ex:
+        e[r.query_id].add(r.neighbor_id)
+    assert set(s) == set(e)
+    recalls = [len(s[q] & e[q]) / len(e[q]) for q in e]
+    assert min(recalls) >= 0.6, recalls
+    assert sum(recalls) / len(recalls) >= 0.85, recalls
+    again = QUERIES["sq_ann_topk"](spark, sf_dir).collect()
+    assert sorted(map(tuple, sq)) == sorted(map(tuple, again))
+
+
 def test_pruned_pmi_equals_unpruned_on_surviving_vocab(spark, sf_dir):
     """token_cooccurrence_pmi_pruned == token_cooccurrence_pmi
     restricted to pairs whose BOTH tokens survive the heavy-hitter

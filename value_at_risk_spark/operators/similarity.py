@@ -789,3 +789,66 @@ def ivfpq_topk(
     return scored.withColumn("rank", F.row_number().over(w)).filter(
         F.col("rank") <= k
     )
+
+
+def scalar_quantize_reconstruct(
+    df: DataFrame,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    levels: int = 256,
+) -> DataFrame:
+    """Per-dimension min/max scalar quantization, returned as the
+    RECONSTRUCTED float vectors (midpoint of each int8 cell) — the
+    corpus representation an int8-scan ANN search actually ranks
+    against. Deterministic (no RNG), so unlike the PQ/IVF paths a
+    search over it is DuckDB-oracle-checkable end to end.
+
+    The bounds pass is one posexplode + grouped agg with map-side
+    partials (shuffle ~dim rows per task), broadcast back as two
+    arrays; quantize + reconstruct run per row inside codegen. At
+    100 TB the stored column is the code array (dim bytes); this
+    helper folds encode+decode because every consumer here ranks on
+    reconstructions."""
+    top = float(levels - 1)
+    ex = df.select(
+        id_col, F.posexplode(F.col(vec_col)).alias("pos", "v")
+    ).select(id_col, "pos", F.col("v").cast("double").alias("v"))
+    mm = ex.groupBy("pos").agg(F.min("v").alias("mn"), F.max("v").alias("mx"))
+    bounds = mm.groupBy().agg(
+        F.array_sort(F.collect_list(F.struct("pos", "mn"))).alias("_mns"),
+        F.array_sort(F.collect_list(F.struct("pos", "mx"))).alias("_mxs"),
+    ).select(
+        F.transform("_mns", lambda x: x["mn"]).alias("mns"),
+        F.transform("_mxs", lambda x: x["mx"]).alias("mxs"),
+    )
+    recon = F.transform(
+        F.col(vec_col),
+        lambda x, i: F.when(
+            F.element_at("mxs", i + 1) == F.element_at("mns", i + 1),
+            F.element_at("mns", i + 1),
+        ).otherwise(
+            F.element_at("mns", i + 1)
+            + (
+                F.least(
+                    F.lit(top),
+                    F.greatest(
+                        F.lit(0.0),
+                        F.floor(
+                            (x.cast("double") - F.element_at("mns", i + 1))
+                            * top
+                            / (
+                                F.element_at("mxs", i + 1)
+                                - F.element_at("mns", i + 1)
+                            )
+                        ),
+                    ),
+                )
+                + 0.5
+            )
+            * (F.element_at("mxs", i + 1) - F.element_at("mns", i + 1))
+            / top
+        ),
+    )
+    return df.crossJoin(F.broadcast(bounds)).select(
+        id_col, recon.alias(vec_col)
+    )

@@ -5411,3 +5411,77 @@ def temperature_mix_weights(spark: SparkSession, sf_dir: str) -> DataFrame:
             + F.lit(0.0)
         ).alias("expected_docs"),
     )
+
+
+@query(
+    "sq_ann_topk",
+    """
+WITH ex AS (
+  SELECT vec_id, generate_subscripts(embedding, 1) AS ord,
+         CAST(unnest(embedding) AS DOUBLE) AS v
+  FROM embeddings
+),
+mm AS (SELECT ord, MIN(v) AS mn, MAX(v) AS mx FROM ex GROUP BY ord),
+rec AS (
+  SELECT e.vec_id, e.ord,
+         CASE WHEN m.mx = m.mn THEN m.mn
+              ELSE m.mn + (LEAST(255, GREATEST(0,
+                     FLOOR((e.v - m.mn) * 255 / (m.mx - m.mn)))) + 0.5)
+                   * (m.mx - m.mn) / 255
+         END AS rv
+  FROM ex e JOIN mm m ON e.ord = m.ord
+),
+rnorms AS (SELECT vec_id, SQRT(SUM(rv * rv)) AS nrm FROM rec GROUP BY 1),
+qs AS (SELECT vec_id AS query_id, ord, v FROM ex WHERE vec_id < 10),
+qnorms AS (SELECT query_id, SQRT(SUM(v * v)) AS nrm FROM qs GROUP BY 1),
+dots AS (
+  SELECT q.query_id, r.vec_id AS neighbor_id, SUM(q.v * r.rv) AS dot
+  FROM qs q JOIN rec r ON q.ord = r.ord
+  WHERE q.query_id <> r.vec_id
+  GROUP BY 1, 2
+),
+sims AS (
+  SELECT d.query_id, d.neighbor_id,
+         ROUND(d.dot / (qn.nrm * rn.nrm), 6) + 0 AS cosine
+  FROM dots d
+  JOIN qnorms qn ON qn.query_id = d.query_id
+  JOIN rnorms rn ON rn.vec_id = d.neighbor_id
+)
+SELECT query_id, neighbor_id, cosine, CAST(rnk AS BIGINT) AS rnk FROM (
+  SELECT *, ROW_NUMBER() OVER (PARTITION BY query_id
+                               ORDER BY cosine DESC, neighbor_id) AS rnk
+  FROM sims
+) WHERE rnk <= 5
+""",
+)
+def sq_ann_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Int8-scan ANN: brute-force cosine top-k where the corpus side is
+    the scalar-quantized reconstruction (4x memory compression of the
+    scanned payload) and the query side stays exact — the asymmetric-
+    distance layout. Quantization here is deterministic per-dimension
+    min/max, so THIS ANN entry is fully DuckDB-oracle-checked, giving
+    the ANN family a hash-matched representative beside the rows-only
+    seeded-k-means PQ/IVF entries. Recall@5 vs the exact scan is
+    pytest-pinned in tests/test_operators.py."""
+    from value_at_risk_spark.operators.similarity import (
+        cosine_topk,
+        scalar_quantize_reconstruct,
+    )
+
+    emb = _t(spark, sf_dir, "embeddings")
+    corpus = scalar_quantize_reconstruct(emb).select(
+        F.col("vec_id").alias("neighbor_id"), "embedding"
+    )
+    q = emb.filter(F.col("vec_id") < 10).select(
+        F.col("vec_id").alias("query_id"),
+        F.transform("embedding", lambda x: x.cast("double")).alias(
+            "embedding"
+        ),
+    )
+    out = cosine_topk(q, corpus, k=5, round_to=6)
+    return out.select(
+        "query_id",
+        "neighbor_id",
+        "cosine",
+        F.col("rank").cast("long").alias("rnk"),
+    )
