@@ -5485,3 +5485,47 @@ def sq_ann_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
         "cosine",
         F.col("rank").cast("long").alias("rnk"),
     )
+
+
+@query(
+    "weighted_sample_per_lang",
+    """
+WITH keyed AS (
+  SELECT lang, doc_id, n_chars,
+         ROUND(LN((('0x' || substring(md5(CAST(doc_id AS VARCHAR)), 1, 8))
+                   ::UBIGINT + 0.5) / 4294967296.0) / n_chars, 9) + 0
+           AS priority
+  FROM documents
+)
+SELECT lang, doc_id, n_chars, priority, CAST(rnk AS BIGINT) AS rnk FROM (
+  SELECT *, ROW_NUMBER() OVER (PARTITION BY lang
+                               ORDER BY priority DESC, doc_id) AS rnk
+  FROM keyed
+) WHERE rnk <= 10
+""",
+)
+def weighted_sample_per_lang(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Weighted sampling without replacement, Efraimidis-Spirakis
+    (2006): each row's priority is ln(u)/w with u a DETERMINISTIC
+    md5-derived uniform and w the row's weight (doc length here) —
+    taking the top-k priorities per stratum draws a weight-
+    proportional sample. The hash-derived u (same contract as
+    sample_stratified_hash) makes the draw reproducible across
+    engines, task retries, and repartitioning — RNG sampling cannot
+    oracle-check and cannot survive a retry; this can, and is the form
+    a 100 TB curation pipeline ships (weight = quality score). One
+    scan + one per-stratum top-k window."""
+    d = _t(spark, sf_dir, "documents")
+    u = (
+        F.conv(
+            F.substring(F.md5(F.col("doc_id").cast("string")), 1, 8), 16, 10
+        ).cast("double")
+        + 0.5
+    ) / F.lit(4294967296.0)
+    prio = F.round(F.log(u) / F.col("n_chars"), 9) + F.lit(0.0)
+    keyed = d.select("lang", "doc_id", "n_chars", prio.alias("priority"))
+    w = Window.partitionBy("lang").orderBy(F.desc("priority"), F.asc("doc_id"))
+    return (
+        keyed.withColumn("rnk", F.row_number().over(w).cast("long"))
+        .filter(F.col("rnk") <= 10)
+    )
