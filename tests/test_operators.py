@@ -1283,6 +1283,82 @@ def test_sequence_packing_spans_arrow_batches(spark, sf_dir):
             assert sum(toks[m.doc_id] for m in members) <= cap
 
 
+def test_opq_rotation_reduces_pq_distortion(spark, sf_dir):
+    """OPQ-style rotation (parametric OPQ): on an anisotropic corpus
+    whose variance is NOT balanced across PQ's coordinate subspaces,
+    eigen-rotating and dealing components round-robin by descending
+    eigenvalue must (a) stay orthonormal — inner products and norms
+    exactly preserved, so downstream cosine ranking is unchanged in
+    exact arithmetic; (b) match a numpy matmul through the Arrow UDF;
+    (c) cut PQ reconstruction error vs quantizing the raw space with
+    the same budget (m=4, ksub=16)."""
+    import numpy as np
+
+    from value_at_risk_spark.operators.similarity import (
+        opq_rotation,
+        pq_decode_expr,
+        pq_encode,
+        pq_train,
+        rotate_vectors,
+    )
+
+    # anisotropic + non-axis-aligned: scale dims 0..15 x5, rest x0.2,
+    # then mix with a fixed seeded orthonormal Q
+    rng = np.random.default_rng(77)
+    Q, _ = np.linalg.qr(rng.standard_normal((64, 64)))
+    scale = np.array([5.0] * 16 + [0.2] * 48)
+    M = (Q * scale).tolist()  # columns scaled then mixed
+
+    mixed = rotate_vectors(
+        spark.read.parquet(f"{sf_dir}/embeddings.parquet").select(
+            "vec_id",
+            F.transform("embedding", lambda x: x.cast("double")).alias(
+                "embedding"
+            ),
+        ),
+        M,
+    )
+
+    R = opq_rotation(mixed, m=4, dim=64)
+    Rm = np.asarray(R)
+    # (a) orthonormal
+    assert np.allclose(Rm @ Rm.T, np.eye(64), atol=1e-8)
+
+    rotated = rotate_vectors(mixed, R)
+    # (b) Arrow UDF == numpy matmul
+    base = {r.vec_id: np.array(r.embedding) for r in mixed.limit(20).collect()}
+    got = {r.vec_id: np.array(r.embedding) for r in rotated.collect()}
+    for vid, v in base.items():
+        assert np.allclose(got[vid], Rm @ v, atol=1e-9)
+
+    def mse(frame):
+        cb = pq_train(frame, m=4, ksub=16, iters=2, seed=99, dim=64)
+        codes = pq_encode(frame, cb)
+        err = (
+            frame.join(codes, "vec_id")
+            .select(
+                F.aggregate(
+                    F.zip_with(
+                        "embedding",
+                        pq_decode_expr(cb),
+                        lambda a, b: (a - b) * (a - b),
+                    ),
+                    F.lit(0.0),
+                    lambda acc, x: acc + x,
+                ).alias("se")
+            )
+            .agg(F.avg("se"))
+            .first()[0]
+        )
+        return err
+
+    plain, opq = mse(mixed), mse(rotated)
+    # (c) rotation preserves L2, so the two MSEs are directly
+    # comparable; balanced variance must quantize strictly better
+    assert opq < plain, (plain, opq)
+    assert opq < 0.8 * plain, (plain, opq)
+
+
 def test_sq_ann_recall_vs_exact(spark, sf_dir):
     """Int8 scalar-quantized ANN vs the exact brute-force scan on the
     same query set: per-dim min/max int8 cells are narrow relative to

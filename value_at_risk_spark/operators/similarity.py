@@ -18,6 +18,7 @@ Scale design:
 from __future__ import annotations
 
 import numpy as np
+import pandas as pd
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 from pyspark.sql.window import Window
@@ -852,3 +853,74 @@ def scalar_quantize_reconstruct(
     return df.crossJoin(F.broadcast(bounds)).select(
         id_col, recon.alias(vec_col)
     )
+
+
+def opq_rotation(
+    df: DataFrame,
+    vec_col: str = "embedding",
+    m: int = 4,
+    dim: int | None = None,
+) -> list[list[float]]:
+    """OPQ-style rotation (parametric OPQ, Ge et al. CVPR 2013): the
+    corpus covariance's eigenvectors rotate the space so variance
+    aligns with coordinate axes, and principal components are dealt
+    round-robin by descending eigenvalue across the ``m`` PQ subspaces
+    — balancing per-subspace variance so no sub-codebook starves while
+    another saturates. Returns the permuted rotation matrix R
+    (dim x dim, row i = the component assigned to output position i);
+    apply with ``rotate_vectors`` and train PQ on the rotated space.
+
+    R is orthonormal, so inner products and norms are EXACTLY
+    preserved — cosine top-k over rotated vectors equals the unrotated
+    answer; only the PQ cell boundaries (and hence quantization
+    distortion) change. Distributed cost: one covariance pass
+    (mapInPandas moment partials — shuffled bytes ~ batches * dim^2,
+    row-count independent) + an eigh on the driver's dim x dim matrix.
+    """
+    import numpy as np
+
+    from value_at_risk_spark.operators.vector_agg import (
+        embedding_covariance,
+    )
+
+    if dim is None:
+        row = df.select(F.size(vec_col).alias("d")).first()
+        if row is None:
+            raise ValueError("opq_rotation: empty input")
+        dim = row[0]
+    cov_rows = embedding_covariance(df, vec_col=vec_col).collect()
+    C = np.zeros((dim, dim))
+    for r in cov_rows:
+        C[r.i, r.j] = r.cov
+    eigvals, eigvecs = np.linalg.eigh(C)  # ascending
+    order = np.argsort(eigvals)[::-1]  # descending variance
+    # deal components round-robin: subspace j gets components
+    # j, j+m, j+2m, ... (descending within each subspace)
+    perm = [
+        order[k]
+        for j in range(m)
+        for k in range(j, dim, m)
+    ]
+    return eigvecs[:, perm].T.tolist()
+
+
+def rotate_vectors(
+    df: DataFrame,
+    rotation: list[list[float]],
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """Apply v' = R v per row via an Arrow-batched pandas UDF (one
+    numpy matmul per batch — the genuinely-numerical boundary where
+    Python earns its transfer cost; a dim^2-term native expression per
+    row would drown codegen instead)."""
+    from pyspark.sql.functions import pandas_udf
+
+    R = np.asarray(rotation, dtype=np.float64)
+
+    @pandas_udf("array<double>")
+    def _rot(v: pd.Series) -> pd.Series:
+        X = np.vstack(v.to_numpy()).astype(np.float64)
+        return pd.Series(list(X @ R.T))
+
+    return df.select(F.col(id_col), _rot(F.col(vec_col)).alias(vec_col))

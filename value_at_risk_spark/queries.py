@@ -5529,3 +5529,44 @@ def weighted_sample_per_lang(spark: SparkSession, sf_dir: str) -> DataFrame:
         keyed.withColumn("rnk", F.row_number().over(w).cast("long"))
         .filter(F.col("rnk") <= 10)
     )
+
+
+@query("opq_pq_ann_topk")
+def opq_pq_ann_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """OPQ-rotated product quantization at the gate (rows-only: the
+    rotation is an eigh over the corpus covariance and the sub-
+    codebooks are seeded k-means — no SQL twin; the distortion-cut
+    contract vs unrotated PQ is pytest-asserted): one covariance pass
+    (moment partials, row-count-independent shuffle), driver-side
+    eigh + round-robin eigenvalue dealing across subspaces, Arrow
+    matmul rotation, then the standard PQ train/encode/search on the
+    rotated space. Orthonormality preserves cosine ranking semantics
+    exactly. Gate fan-in trimmed like the other ANN entries (iters=1;
+    contracts keep real training honest)."""
+    from value_at_risk_spark.operators.similarity import (
+        opq_rotation,
+        pq_encode,
+        pq_topk,
+        pq_train,
+        rotate_vectors,
+    )
+
+    e = _t(spark, sf_dir, "embeddings").select(
+        "vec_id",
+        F.transform("embedding", lambda x: x.cast("double")).alias(
+            "embedding"
+        ),
+    )
+    R = opq_rotation(e, m=4, dim=64)
+    rot = rotate_vectors(e, R)
+    cb = pq_train(rot, m=4, ksub=16, iters=1, seed=707, dim=64)
+    codes = pq_encode(rot, cb)
+    queries = rot.filter(F.col("vec_id") % 50 == 0).select(
+        F.col("vec_id").alias("query_id"), "embedding"
+    )
+    return pq_topk(queries, codes, cb, k=5).select(
+        "query_id",
+        "neighbor_id",
+        "cosine",
+        F.col("rank").cast("long").alias("rnk"),
+    )
