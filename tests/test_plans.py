@@ -43,6 +43,81 @@ def test_topn_is_take_ordered(spark, sf_dir):
     assert "TakeOrderedAndProject" in p
 
 
+def test_bm25_stats_broadcast_and_filter_before_shuffle(spark, sf_dir):
+    """bm25_relevance_scores' scale shape: corpus stats and per-term
+    document frequencies enter as broadcasts (never a shuffle keyed on
+    the stats), and the query-term filter sits below the first
+    aggregate exchange so the shuffle carries only matching (doc,
+    term) rows."""
+    p = _plan(spark, "bm25_relevance_scores", sf_dir)
+    assert "BroadcastNestedLoopJoin" in p or "BroadcastHashJoin" in p
+    # the term IN-list filter must appear in the plan (pre-agg prune)
+    assert "spark" in p and "vector" in p and "stream" in p
+    assert "SortMergeJoin" not in p
+
+
+def test_duplicated_ngram_spans_two_hash_aggs(spark, sf_dir):
+    """Span dedup is two grouped reductions (by gram, then by doc),
+    both hash aggregates with map-side partials — no window over an
+    unpartitioned frame, no sort-based fallback."""
+    p = _plan(spark, "duplicated_ngram_spans", sf_dir)
+    assert p.count("HashAggregate") >= 4  # 2 aggs x partial+final
+    assert "Window" not in p
+
+
+def test_sq_ann_corpus_bounds_broadcast(spark, sf_dir):
+    """sq_ann_topk: the per-dimension bounds frame and the query set
+    both broadcast; the corpus side never shuffles for the join (the
+    scan-side payload claim of the int8 layout)."""
+    p = _plan(spark, "sq_ann_topk", sf_dir)
+    assert "BroadcastNestedLoopJoin" in p
+    assert "SortMergeJoin" not in p
+
+
+def test_weighted_sample_single_scan_one_window(spark, sf_dir):
+    """Efraimidis-Spirakis sampling is one scan + one per-stratum
+    top-k window — no join, no second scan of documents."""
+    p = _plan(spark, "weighted_sample_per_lang", sf_dir)
+    tree_scans = [
+        ln for ln in p.splitlines() if ln.lstrip().startswith("+- Scan parquet")
+    ]
+    assert len(tree_scans) == 1, p
+    assert "Window" in p
+    assert "Join" not in p
+
+
+def test_pruned_pmi_no_eager_count_and_broadcast_total(spark, sf_dir):
+    """token_cooccurrence_pmi{,_pruned} carry the doc count as a lazy
+    1-row aggregate broadcast into the plan — building the DataFrame
+    must launch ZERO Spark jobs (the old d.count() was an eager
+    action), and the plan shows the broadcast."""
+    import uuid
+
+    sc = spark.sparkContext
+    tracker = sc.statusTracker()
+
+    def jobs_during_build(name):
+        group = f"pmi-lazy-{uuid.uuid4().hex[:8]}"
+        sc.setJobGroup(group, "plan-build probe")
+        QUERIES[name](spark, sf_dir)
+        n = len(tracker.getJobIdsForGroup(group))
+        sc.setJobGroup(None, None)
+        return n
+
+    # parquet schema inference launches one tiny footer job per
+    # spark.read — that is registry behavior common to every query, so
+    # the eager-action check is RELATIVE to a known-lazy projection
+    # query over the same table: the old d.count() added a full
+    # scan+agg job on top.
+    baseline = jobs_during_build("pii_scrub_documents")
+    for name in ("token_cooccurrence_pmi", "token_cooccurrence_pmi_pruned"):
+        assert jobs_during_build(name) <= baseline, (
+            f"{name}: building the DataFrame launched extra Spark jobs"
+        )
+        p = _plan(spark, name, sf_dir)
+        assert "BroadcastNestedLoopJoin" in p or "BroadcastExchange" in p
+
+
 def test_csv_json_roundtrip(spark, sf_dir, tmp_path):
     from value_at_risk_spark.sources.registry import (
         Registry,
