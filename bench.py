@@ -68,6 +68,13 @@ BENCH_QUERIES = [
     # round 4: grouped time-weighted average — one window + one agg
     # over the events stream (irregular-series integral mean)
     "twa_value_by_user_type",
+    # round 7: substring-level dedup (8-token spans in 2+ docs) — the
+    # gram-keyed shuffle's growth curve at the bench SF
+    "duplicated_ngram_spans",
+    # round 7: int8 scalar-quantized ANN — deterministic quantize +
+    # broadcast-bounds reconstruct + brute cosine, the oracle-checked
+    # ANN representative
+    "sq_ann_topk",
 ]
 
 # frozen per-round query sets: the headline list grows each round, so
@@ -76,6 +83,7 @@ BENCH_QUERIES = [
 SUBSETS = {
     "r02_subset_total_sec": BENCH_QUERIES[:15],
     "r03_subset_total_sec": BENCH_QUERIES[:19],
+    "r04_subset_total_sec": BENCH_QUERIES[:20],
 }
 
 RUNS_PER_QUERY = 3
