@@ -502,6 +502,108 @@ def test_epoch_helpers_tz_free_parity(spark, sf_dir):
     assert [(r.es, r.eu) for r in got2] == [(r.es, r.eu) for r in got]
 
 
+def test_var_shortfall_property_vs_numpy(spark):
+    """Property (hypothesis): the engine's VaR-99/ES (linear-
+    interpolation percentile + tail mean at or below it) equals
+    numpy's own percentile/tail arithmetic for arbitrary float
+    samples — not just the arange ramp the reference's unit test uses
+    (tests_utils.py:15-26)."""
+    import numpy as np
+    from hypothesis import HealthCheck, given, settings
+    from hypothesis import strategies as st
+
+    from value_at_risk_spark.functions.risk import (
+        expected_shortfall_expr,
+        value_at_risk_expr,
+    )
+
+    vals = st.lists(
+        st.floats(
+            min_value=-1e6,
+            max_value=1e6,
+            allow_nan=False,
+            allow_infinity=False,
+            width=32,
+        ),
+        min_size=2,
+        max_size=60,
+    )
+
+    @settings(
+        max_examples=8,
+        deadline=None,
+        suppress_health_check=[HealthCheck.too_slow],
+    )
+    @given(xs=vals, conf=st.sampled_from([95.0, 99.0]))
+    def check(xs, conf):
+        from pyspark.sql import functions as F
+
+        df = spark.createDataFrame([(float(x),) for x in xs], "x double")
+        v = df.agg(value_at_risk_expr("x", conf).alias("v")).first().v
+        es = df.agg(
+            expected_shortfall_expr("x", F.lit(float(v))).alias("es")
+        ).first().es
+        exp_v = float(np.percentile(np.array(xs), 100.0 - conf))
+        a = np.array(xs)
+        exp_es = float(a[a <= exp_v].mean())
+        assert v == pytest.approx(exp_v, rel=1e-9, abs=1e-9)
+        assert es == pytest.approx(exp_es, rel=1e-9, abs=1e-9)
+
+    check()
+
+
+def test_pack_sequences_property_vs_python_nextfit(spark):
+    """Property (hypothesis): the distributed packer with ONE bucket
+    equals a pure-Python next-fit pass over the id-sorted token list —
+    the sequential semantics the applyInPandas form must reproduce
+    regardless of partitioning or Arrow batching."""
+    from hypothesis import HealthCheck, given, settings
+    from hypothesis import strategies as st
+
+    from value_at_risk_spark.operators.packing import pack_sequences
+
+    @settings(
+        max_examples=8,
+        deadline=None,
+        suppress_health_check=[HealthCheck.too_slow],
+    )
+    @given(
+        toks=st.lists(
+            st.integers(min_value=1, max_value=40), min_size=1, max_size=40
+        ),
+        cap=st.sampled_from([16, 25, 64]),
+    )
+    def check(toks, cap):
+        # python reference: next-fit over ids 0..n-1 in order
+        exp = {}
+        seq, acc = 0, 0
+        for i, t in enumerate(toks):
+            if t > cap:
+                if acc > 0:
+                    seq += 1
+                exp[i] = (seq, t, True)
+                seq += 1
+                acc = 0
+                continue
+            if acc + t > cap:
+                seq += 1
+                acc = 0
+            acc += t
+            exp[i] = (seq, acc, False)
+        df = spark.createDataFrame(
+            [(i, t) for i, t in enumerate(toks)], "doc_id long, n_tokens long"
+        ).repartition(5)
+        got = {
+            r.doc_id: (r.seq_in_bucket, r.seq_tokens_so_far, r.oversize)
+            for r in pack_sequences(
+                df, max_tokens=cap, buckets=1
+            ).collect()
+        }
+        assert got == exp
+
+    check()
+
+
 def test_epoch_helpers_property_vs_python(spark):
     """Property (hypothesis): epoch_seconds/epoch_micros equal Python's
     own naive-UTC epoch arithmetic for arbitrary microsecond timestamps
