@@ -325,6 +325,39 @@ def test_registry_format_parameterized_roundtrip(spark, sf_dir, tmp_path):
     assert merged.filter(F.col("n_name") == "RENAMED").count() == 5
 
 
+def test_orc_roundtrip_with_pushdown(spark, sf_dir, tmp_path):
+    """ORC scan/sink: value-exact roundtrip of a fixture table, sorted
+    multi-file layout honored, and predicate pushdown reaching the ORC
+    scan (PushedFilters) like the parquet path."""
+    from value_at_risk_spark.sources.registry import (
+        Registry,
+        read_orc,
+        write_orc,
+    )
+
+    orders = Registry(sf_dir).read(spark, "orders").select(
+        "o_orderkey", "o_custkey", "o_totalprice", "o_orderdate"
+    )
+    path = str(tmp_path / "orders_orc")
+    write_orc(orders, path, sort_by=["o_orderdate"], num_files=4)
+    back = read_orc(spark, path)
+    assert sorted(map(tuple, orders.collect())) == sorted(
+        map(tuple, back.collect())
+    )
+    import glob as _glob
+
+    assert len(_glob.glob(f"{path}/part-*.orc")) == 4
+
+    import contextlib
+    import io
+
+    buf = io.StringIO()
+    with contextlib.redirect_stdout(buf):
+        back.filter("o_totalprice > 100000").explain("formatted")
+    p = buf.getvalue()
+    assert "PushedFilters" in p and "o_totalprice" in p
+
+
 def test_runtime_bloom_filter_join_pruning(spark, sf_dir):
     """Catalyst's runtime bloom-filter injection (the shuffle-join
     sibling of broadcast DPP): with a selective filter on the creation

@@ -178,6 +178,32 @@ def write_json(df: DataFrame, path: str, mode: str = "overwrite") -> None:
     df.write.mode(mode).json(path)
 
 
+def read_orc(spark: SparkSession, path: str) -> DataFrame:
+    """ORC scan — the other columnar format Spark ships natively.
+    Self-describing like parquet (no schema argument needed); predicate
+    pushdown and column pruning work through the same DataSource V2
+    scan machinery, so a filter-over-ORC plan shows PushedFilters
+    exactly as parquet does."""
+    return spark.read.orc(path)
+
+
+def write_orc(
+    df: DataFrame,
+    path: str,
+    mode: str = "overwrite",
+    sort_by: list[str] | None = None,
+    num_files: int | None = None,
+) -> None:
+    """ORC sink with the same layout levers as the parquet sink
+    (sorted write for clustering, explicit file-count control)."""
+    out = df
+    if num_files is not None:
+        out = out.repartition(num_files, *(sort_by or []))
+    if sort_by:
+        out = out.sortWithinPartitions(*sort_by)
+    out.write.mode(mode).orc(path)
+
+
 def write_bucketed(
     df: DataFrame,
     table_name: str,
