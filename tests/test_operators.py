@@ -862,6 +862,68 @@ def test_bmp_wav_real_decode_and_resize(spark):
     assert stats[2].width is None and stats[2].mean_r is None
 
 
+def test_audio_frame_features_sine_and_silence(spark):
+    """audio_frame_features on synthesized WAVs: a full-scale 440 Hz
+    sine's frames read RMS ~ 1/sqrt(2) and ZCR ~ 2f/rate; digital
+    silence reads exactly (0, 0); a garbage payload degrades to one
+    NULL-stats row instead of failing the batch."""
+    import struct as _struct
+
+    import numpy as np
+
+    from value_at_risk_spark.operators.multimodal import (
+        audio_frame_features,
+    )
+
+    def wav_bytes(mono_i16, rate=8000):
+        data = np.asarray(mono_i16, dtype="<i2").reshape(-1, 1).tobytes()
+        return (
+            b"RIFF"
+            + _struct.pack("<I", 36 + len(data))
+            + b"WAVEfmt "
+            + _struct.pack("<IHHIIHH", 16, 1, 1, rate, rate * 2, 2, 16)
+            + b"data"
+            + _struct.pack("<I", len(data))
+            + data
+        )
+
+    rate, f = 8000, 440.0
+    t = np.arange(rate) / rate  # 1 second
+    sine = np.round(32767 * 0.99 * np.sin(2 * np.pi * f * t)).astype("<i2")
+    silence = np.zeros(800, dtype="<i2")
+
+    media = spark.createDataFrame(
+        [
+            (1, bytearray(wav_bytes(sine, rate))),
+            (2, bytearray(wav_bytes(silence, rate))),
+            (3, bytearray(b"not audio at all")),
+        ],
+        "media_id long, payload_bytes binary",
+    )
+    rows = audio_frame_features(media, frame_ms=25).collect()
+    by_id = {}
+    for r in rows:
+        by_id.setdefault(r.media_id, []).append(r)
+
+    # sine: 8000 samples / 200-sample frames = 40 frames
+    frames = sorted(by_id[1], key=lambda r: r.frame_idx)
+    assert len(frames) == 40
+    assert all(r.n_samples == 200 and r.sample_rate == rate for r in frames)
+    for r in frames:
+        assert abs(r.rms - 0.99 / np.sqrt(2)) < 0.02, r
+        # 440 Hz -> 880 crossings/s -> 0.11 per sample step
+        assert abs(r.zcr - 2 * f / rate) < 0.02, r
+
+    # silence: exact zeros
+    assert all(r.rms == 0.0 and r.zcr == 0.0 for r in by_id[2])
+    assert len(by_id[2]) == 4  # 800 / 200
+
+    # garbage: one NULL-degraded row
+    assert len(by_id[3]) == 1
+    g = by_id[3][0]
+    assert g.frame_idx is None and g.rms is None and g.zcr is None
+
+
 def _png_bytes(img, filters):
     """Spec-valid non-interlaced 8-bit PNG encoder (test fixture):
     applies the requested PNG filter type per scanline (any per-row

@@ -345,6 +345,74 @@ def image_pixel_stats(
     )
 
 
+def audio_frame_features(
+    media: DataFrame,
+    payload_col: str = "payload_bytes",
+    frame_ms: int = 25,
+) -> DataFrame:
+    """REAL audio features over a binary WAV column: decode 16-bit PCM
+    (stdlib RIFF walk), downmix to mono, then per fixed-length frame
+    emit RMS energy (normalized to [-1, 1] full scale) and
+    zero-crossing rate — the two classic VAD / silence-trim signals a
+    speech-data pipeline computes before any model touches the audio.
+    One row per (media_id, frame); Arrow-batched mapInPandas with only
+    (id, payload) crossing the boundary; undecodable payloads yield a
+    single NULL-stats row, the per-row-try contract for dirty corpora.
+    At 100 TB the payload column stays in object storage and this scan
+    parallelizes per file exactly like the image path."""
+    pruned = media.select("media_id", payload_col)
+
+    def _feats(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            ids, fidx, rms, zcr, ns, rates = [], [], [], [], [], []
+            for mid, p in zip(pdf["media_id"], pdf[payload_col]):
+                try:
+                    samples, rate = decode_wav_samples(bytes(p))
+                    mono = samples.astype(np.float64).mean(axis=1) / 32768.0
+                    flen = max(1, (rate * frame_ms) // 1000)
+                    n_frames = max(1, -(-len(mono) // flen))
+                    for f in range(n_frames):
+                        fr = mono[f * flen : (f + 1) * flen]
+                        if len(fr) == 0:
+                            continue
+                        ids.append(mid)
+                        fidx.append(f)
+                        rms.append(round(float(np.sqrt((fr**2).mean())), 6))
+                        zc = (
+                            int((np.signbit(fr[1:]) != np.signbit(fr[:-1])).sum())
+                            if len(fr) > 1
+                            else 0
+                        )
+                        zcr.append(round(zc / max(1, len(fr) - 1), 6))
+                        ns.append(len(fr))
+                        rates.append(rate)
+                except (ValueError, NotImplementedError, struct.error):
+                    ids.append(mid)
+                    fidx.append(None)
+                    rms.append(None)
+                    zcr.append(None)
+                    ns.append(None)
+                    rates.append(None)
+            yield pd.DataFrame(
+                {
+                    "media_id": ids,
+                    "frame_idx": pd.array(fidx, dtype="Int64"),
+                    "rms": rms,
+                    "zcr": zcr,
+                    "n_samples": pd.array(ns, dtype="Int64"),
+                    "sample_rate": pd.array(rates, dtype="Int64"),
+                }
+            )
+
+    return pruned.mapInPandas(
+        _feats,
+        schema=(
+            "media_id long, frame_idx long, rms double, zcr double, "
+            "n_samples long, sample_rate long"
+        ),
+    )
+
+
 def _fake_feature(payload, dim: int = 16) -> list[float]:
     """Deterministic stand-in feature: seeded by content hash.
 

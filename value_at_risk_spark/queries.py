@@ -5570,3 +5570,66 @@ def opq_pq_ann_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
         "cosine",
         F.col("rank").cast("long").alias("rnk"),
     )
+
+
+@query("audio_frame_features_demo")
+def audio_frame_features_demo(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Audio feature extraction at the gate (rows-only: WAV byte
+    synthesis + frame features are mapInPandas plumbing with no SQL
+    twin; the numeric contracts — sine RMS = A/sqrt(2), ZCR = 2f/rate,
+    exact-zero silence, NULL degradation — are pytest-asserted):
+    deterministic per-doc sine WAVs (frequency keyed on doc_id) are
+    REALLY encoded to 16-bit PCM RIFF bytes and REALLY decoded back by
+    the stdlib WAV walk, then framed into RMS / zero-crossing rows —
+    the VAD-style pass a speech pipeline runs before any model. Only
+    (id, payload) crosses the Arrow boundary; per-media aggregation
+    keeps the gate output bounded."""
+    import struct as _struct
+    from collections.abc import Iterator as _It
+
+    import numpy as _np
+    import pandas as _pd
+
+    from value_at_risk_spark.operators.multimodal import (
+        audio_frame_features,
+    )
+
+    d = _t(spark, sf_dir, "documents").select("doc_id").filter(
+        F.col("doc_id") < 40
+    )
+
+    def _synth(batches: _It[_pd.DataFrame]) -> _It[_pd.DataFrame]:
+        rate = 8000
+        t = _np.arange(rate // 5) / rate  # 0.2 s
+        for pdf in batches:
+            payloads = []
+            for did in pdf["doc_id"]:
+                freq = 200.0 + float(did % 20) * 40.0
+                mono = _np.round(
+                    32767 * 0.8 * _np.sin(2 * _np.pi * freq * t)
+                ).astype("<i2")
+                data = mono.reshape(-1, 1).tobytes()
+                payloads.append(
+                    b"RIFF"
+                    + _struct.pack("<I", 36 + len(data))
+                    + b"WAVEfmt "
+                    + _struct.pack(
+                        "<IHHIIHH", 16, 1, 1, rate, rate * 2, 2, 16
+                    )
+                    + b"data"
+                    + _struct.pack("<I", len(data))
+                    + data
+                )
+            yield _pd.DataFrame(
+                {"media_id": pdf["doc_id"], "payload_bytes": payloads}
+            )
+
+    media = d.mapInPandas(
+        _synth, schema="media_id long, payload_bytes binary"
+    )
+    feats = audio_frame_features(media, frame_ms=25)
+    return feats.groupBy("media_id").agg(
+        F.count(F.lit(1)).alias("n_frames"),
+        (F.round(F.avg("rms"), 4) + F.lit(0.0)).alias("mean_rms"),
+        (F.round(F.avg("zcr"), 4) + F.lit(0.0)).alias("mean_zcr"),
+    )
