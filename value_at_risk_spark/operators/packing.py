@@ -42,12 +42,19 @@ def pack_sequences(
     tokens_col: str = "n_tokens",
     max_tokens: int = 2048,
     buckets: int = 256,
+    bucket_by=None,
 ) -> DataFrame:
     """Assign each document to a packed sequence.
 
     Returns (id_col, bucket, seq_in_bucket, seq_tokens_so_far,
     oversize): one row per input document, where (bucket,
     seq_in_bucket) names the packed sequence.
+
+    ``bucket_by``: optional Column for the bucket id (must land in
+    [0, buckets)). Default is ``abs(xxhash64(id)) % buckets`` — the
+    fastest JVM-side hash. Pass an md5-derived expression when the
+    assignment must be reproducible in another engine (the oracle-
+    checked gate query does; DuckDB has no xxhash64).
     """
     if max_tokens <= 0:
         raise ValueError("pack_sequences: max_tokens must be positive")
@@ -102,9 +109,11 @@ def pack_sequences(
             }
         )
 
+    if bucket_by is None:
+        bucket_by = F.abs(F.xxhash64(F.col(id_col))) % buckets
     bucketed = docs.select(
         F.col(id_col), F.col(tokens_col),
-        (F.abs(F.xxhash64(F.col(id_col))) % buckets).cast("int").alias("_bucket"),
+        bucket_by.cast("int").alias("_bucket"),
     )
     return bucketed.groupBy("_bucket").applyInPandas(_pack, schema=schema)
 

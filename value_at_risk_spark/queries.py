@@ -4697,23 +4697,85 @@ def embedding_scalar_quantization(spark: SparkSession, sf_dir: str) -> DataFrame
     )
 
 
-@query("sequence_packing_assignments")
+@query(
+    "sequence_packing_assignments",
+    """
+WITH RECURSIVE toks AS (
+  SELECT doc_id,
+         len(list_filter(string_split(lower(text),' '), x -> x <> ''))
+           AS n_tokens,
+         CAST(('0x' || substring(md5(CAST(doc_id AS VARCHAR)), 1, 8))
+              ::UBIGINT % 16 AS INT) AS bucket
+  FROM documents
+),
+numbered AS (
+  SELECT *, ROW_NUMBER() OVER (PARTITION BY bucket ORDER BY doc_id) AS rn
+  FROM toks
+),
+pack AS (
+  SELECT bucket, rn, doc_id, n_tokens,
+         0 AS seq_emit,
+         n_tokens AS run_emit,
+         n_tokens > 256 AS oversize,
+         CASE WHEN n_tokens > 256 THEN 1 ELSE 0 END AS seq_state,
+         CASE WHEN n_tokens > 256 THEN 0 ELSE n_tokens END AS acc_state
+  FROM numbered WHERE rn = 1
+  UNION ALL
+  SELECT n.bucket, n.rn, n.doc_id, n.n_tokens,
+         CASE WHEN n.n_tokens > 256 THEN
+                CASE WHEN p.acc_state > 0 THEN p.seq_state + 1
+                     ELSE p.seq_state END
+              WHEN p.acc_state + n.n_tokens > 256 THEN p.seq_state + 1
+              ELSE p.seq_state END AS seq_emit,
+         CASE WHEN n.n_tokens > 256 THEN n.n_tokens
+              WHEN p.acc_state + n.n_tokens > 256 THEN n.n_tokens
+              ELSE p.acc_state + n.n_tokens END AS run_emit,
+         n.n_tokens > 256 AS oversize,
+         CASE WHEN n.n_tokens > 256 THEN
+                (CASE WHEN p.acc_state > 0 THEN p.seq_state + 1
+                      ELSE p.seq_state END) + 1
+              WHEN p.acc_state + n.n_tokens > 256 THEN p.seq_state + 1
+              ELSE p.seq_state END AS seq_state,
+         CASE WHEN n.n_tokens > 256 THEN 0
+              WHEN p.acc_state + n.n_tokens > 256 THEN n.n_tokens
+              ELSE p.acc_state + n.n_tokens END AS acc_state
+  FROM numbered n JOIN pack p ON n.bucket = p.bucket AND n.rn = p.rn + 1
+)
+SELECT doc_id, bucket, CAST(seq_emit AS BIGINT) AS seq_in_bucket,
+       CAST(run_emit AS BIGINT) AS seq_tokens_so_far, oversize
+FROM pack
+""",
+)
 def sequence_packing_assignments(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Greedy sequence packing over the document corpus (rows-only:
-    next-fit's running-reset state is genuinely not window-expressible;
-    the packing invariants — exactly-once coverage, token-budget cap,
-    2-approximation bound, repartition invariance — are pytest-asserted
-    in tests/test_operators.py): each doc lands in exactly one packed
-    sequence of <= 256 tokens, named by (bucket, seq_in_bucket). One
-    shuffle on the bucket key + an O(1)-state Arrow pass per bucket."""
+    """Greedy sequence packing over the document corpus — each doc
+    lands in exactly one packed sequence of <= 256 tokens, named by
+    (bucket, seq_in_bucket). One shuffle on the bucket key + an
+    O(1)-state Arrow pass per bucket. Formerly rows-only; next-fit's
+    sequential state IS expressible to DuckDB as a recursive CTE
+    (state row per (bucket, rank)), so the gate now hash-checks the
+    full assignment — with the bucket hash switched to the md5-derived
+    form both engines compute identically (the operator default stays
+    xxhash64, JVM-fastest; the parameter exists exactly for cross-
+    engine parity). The packing invariants remain pytest-asserted."""
     from value_at_risk_spark.functions.text import tokens
     from value_at_risk_spark.operators.packing import pack_sequences
 
     d = _t(spark, sf_dir, "documents").select(
         "doc_id", F.size(tokens("text")).alias("n_tokens")
     )
+    portable_bucket = (
+        F.conv(
+            F.substring(F.md5(F.col("doc_id").cast("string")), 1, 8), 16, 10
+        ).cast("long")
+        % 16
+    )
     return pack_sequences(
-        d, id_col="doc_id", tokens_col="n_tokens", max_tokens=256, buckets=32
+        d,
+        id_col="doc_id",
+        tokens_col="n_tokens",
+        max_tokens=256,
+        buckets=16,
+        bucket_by=portable_bucket,
     )
 
 
