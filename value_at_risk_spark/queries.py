@@ -1622,25 +1622,53 @@ def hourly_event_windows(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-@query("doc_fingerprints_rolling")
+@query(
+    "doc_fingerprints_rolling",
+    """
+WITH docs AS (
+  SELECT doc_id,
+         list_filter(string_split(lower(text),' '), x -> x <> '') AS ts
+  FROM documents
+),
+sh AS (
+  SELECT doc_id, md5(array_to_string(ts[i:i+4], ' ')) AS h
+  FROM docs, UNNEST(range(1, greatest(len(ts) - 4, 1) + 1)) AS t(i)
+),
+sel AS (
+  SELECT doc_id, h,
+         ROW_NUMBER() OVER (PARTITION BY doc_id ORDER BY h) AS r
+  FROM sh
+)
+SELECT doc_id, string_agg(h, ',' ORDER BY h) AS fingerprint
+FROM sel WHERE r <= 8 GROUP BY 1
+""",
+)
 def doc_fingerprints_rolling(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Winnowing-style document fingerprint (rows-only): hash every
-    5-gram shingle, keep each document's k smallest hashes as its
-    fingerprint set (a bottom-k sketch — the content-defined sampling
-    used for plagiarism/near-dup detection at corpus scale)."""
+    """Winnowing-style document fingerprint: hash every 5-gram
+    shingle, keep each document's k smallest hashes as its fingerprint
+    set (a bottom-k sketch — the content-defined sampling used for
+    plagiarism/near-dup detection at corpus scale). Formerly
+    rows-only under xxhash64; the hash is md5 here so DuckDB computes
+    the identical bottom-k and the gate hash-checks the fingerprints —
+    bottom-k only needs hash-order stability, not any particular
+    function, so the portable choice costs nothing semantically (at
+    100 TB you'd keep xxhash64 for speed; same plan)."""
     from value_at_risk_spark.functions.text import shingles
 
     d = _t(spark, sf_dir, "documents")
     sh = d.select(
         "doc_id", F.explode(shingles("text", 5)).alias("_s")
-    ).select("doc_id", F.xxhash64("_s").alias("_h"))
+    ).select("doc_id", F.md5("_s").alias("_h"))
     w = Window.partitionBy("doc_id").orderBy("_h")
     return (
         sh.withColumn("_r", F.row_number().over(w))
         .filter(F.col("_r") <= 8)
         .groupBy("doc_id")
         .agg(F.sort_array(F.collect_list("_h")).alias("fingerprint"))
-        .select("doc_id", F.concat_ws(",", F.transform("fingerprint", lambda x: x.cast("string"))).alias("fingerprint"))
+        .select(
+            "doc_id",
+            F.concat_ws(",", "fingerprint").alias("fingerprint"),
+        )
     )
 
 
