@@ -1634,3 +1634,63 @@ def test_ivfpq_shortlist_recall_and_pruning(spark, sf_dir):
         .toString()
     )
     assert "CartesianProduct" not in plan
+
+
+def test_bloom_filter_exact_prefilter(spark, sf_dir):
+    """operators/bloom: (a) zero false negatives — every member of the
+    build set passes bloom_contains (the property that makes the bloom
+    a SAFE prefilter for an exact verify); (b) the false-positive rate
+    on non-members stays near the analytic bound; (c) the
+    bloom-prefiltered decontamination query returns EXACTLY the
+    broadcast-join variant's answer; (d) the prefilter genuinely
+    prunes the probe stream (survivor grams < total training grams)."""
+    from value_at_risk_spark.operators.bloom import bloom_contains, build_bloom
+    from value_at_risk_spark.functions.text import shingles
+    from value_at_risk_spark.queries import QUERIES
+
+    num_bits, k = 1 << 14, 3
+    members = spark.range(1000).select(
+        F.concat(F.lit("m"), F.col("id")).alias("g")
+    )
+    bm = build_bloom(members, "g", num_bits=num_bits, num_hashes=k)
+    n_members = (
+        members.crossJoin(F.broadcast(bm))
+        .filter(bloom_contains("bloom", F.col("g"), num_bits, k))
+        .count()
+    )
+    assert n_members == 1000  # no false negatives, ever
+
+    others = spark.range(1000, 11000).select(
+        F.concat(F.lit("m"), F.col("id")).alias("g")
+    )
+    fp = (
+        others.crossJoin(F.broadcast(bm))
+        .filter(bloom_contains("bloom", F.col("g"), num_bits, k))
+        .count()
+    )
+    # analytic fpr at m=16384, n=1000, k=3 is ~0.45%; allow 4x slack
+    assert fp / 10000 < 0.02
+
+    exact = {
+        r.doc_id: (r.n_shared, r.contaminated)
+        for r in QUERIES["decontaminate_training_docs"](spark, sf_dir).collect()
+    }
+    bloomed = {
+        r.doc_id: (r.n_shared, r.contaminated)
+        for r in QUERIES["decontaminate_bloom_prefilter"](spark, sf_dir).collect()
+    }
+    assert bloomed == exact and len(bloomed) > 0
+
+    d = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    grams = d.select(
+        "doc_id", F.explode(F.array_distinct(shingles("text", 5))).alias("g")
+    )
+    bench = grams.filter(F.col("doc_id") % 17 == 0).select("g").distinct()
+    train = grams.filter(F.col("doc_id") % 17 != 0)
+    doc_bloom = build_bloom(bench, "g", num_bits=1 << 17, num_hashes=3)
+    survivors = (
+        train.crossJoin(F.broadcast(doc_bloom))
+        .filter(bloom_contains("bloom", F.col("g"), 1 << 17, 3))
+        .count()
+    )
+    assert survivors < train.count()  # the prefilter prunes

@@ -4998,6 +4998,76 @@ def source_mix_report(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+@query(
+    "decontaminate_bloom_prefilter",
+    """
+WITH docs AS (
+  SELECT doc_id, list_filter(string_split(lower(text),' '), x -> x <> '') AS ts
+  FROM documents
+),
+grams AS (
+  SELECT DISTINCT doc_id,
+         ts[i] || ' ' || ts[i+1] || ' ' || ts[i+2] || ' ' || ts[i+3] || ' ' || ts[i+4] AS g
+  FROM docs, UNNEST(range(1, len(ts) - 3)) AS t(i)
+  WHERE len(ts) >= 5
+),
+bench AS (SELECT DISTINCT g FROM grams WHERE doc_id % 17 = 0),
+shared AS (
+  SELECT gr.doc_id, COUNT(DISTINCT gr.g) AS n_shared
+  FROM grams gr JOIN bench b ON gr.g = b.g
+  WHERE gr.doc_id % 17 <> 0
+  GROUP BY 1
+)
+SELECT d.doc_id,
+       CAST(COALESCE(s.n_shared, 0) AS BIGINT) AS n_shared,
+       (COALESCE(s.n_shared, 0) > 0) AS contaminated
+FROM documents d LEFT JOIN shared s ON d.doc_id = s.doc_id
+WHERE d.doc_id % 17 <> 0
+""",
+)
+def decontaminate_bloom_prefilter(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Benchmark decontamination via a BLOOM-FILTER prefilter — the
+    100 TB form promised in ``decontaminate_training_docs``'s docstring,
+    now an actual plan: the benchmark's distinct 5-grams are folded
+    into a ~16 KB bit array (operators/bloom.build_bloom — one narrow
+    agg, nothing reaches the driver), every training-side gram is
+    screened by pure codegen bit math (no join, no shuffle), and only
+    the bloom survivors reach the exact verify join. Bloom filters
+    have zero false negatives, so the final answer is EXACT and the
+    oracle is the same SQL as the broadcast-join variant — the filter
+    only prunes the probe stream, which is the entire point: at 100 TB
+    the corpus-side explode output shrinks by ~the contamination rate
+    before any join machinery runs, and the reference set costs
+    1.2 bytes/gram instead of a broadcast string hash-table."""
+    from value_at_risk_spark.functions.text import shingles
+    from value_at_risk_spark.operators.bloom import bloom_contains, build_bloom
+
+    num_bits, k = 1 << 17, 3
+    d = _t(spark, sf_dir, "documents")
+    grams = d.select(
+        "doc_id", F.explode(F.array_distinct(shingles("text", 5))).alias("g")
+    )
+    bench = grams.filter(F.col("doc_id") % 17 == 0).select("g").distinct()
+    bloom = build_bloom(bench, "g", num_bits=num_bits, num_hashes=k)
+    candidates = (
+        grams.filter(F.col("doc_id") % 17 != 0)
+        .crossJoin(F.broadcast(bloom))
+        .filter(bloom_contains("bloom", F.col("g"), num_bits, k))
+        .drop("bloom")
+    )
+    shared = (
+        candidates.join(F.broadcast(bench), "g")
+        .groupBy("doc_id")
+        .agg(F.count_distinct("g").alias("n_shared"))
+    )
+    train = d.filter(F.col("doc_id") % 17 != 0).select("doc_id")
+    return train.join(shared, "doc_id", "left").select(
+        "doc_id",
+        F.coalesce("n_shared", F.lit(0)).alias("n_shared"),
+        (F.coalesce("n_shared", F.lit(0)) > 0).alias("contaminated"),
+    )
+
+
 @query("pq_ann_topk")
 def pq_ann_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Product-quantization ANN at the gate (rows-only: k-means
