@@ -464,3 +464,23 @@ def test_runtime_bloom_filter_on_sole_return_suppliers(spark, sf_dir):
         assert plain == scoped and len(plain) > 0
     finally:
         spark.conf.set("spark.sql.autoBroadcastJoinThreshold", saved)
+
+
+def test_data_quality_audit_single_fact_scan(spark, sf_dir):
+    """All six lineitem constraint checks must ride ONE scan of the
+    fact table (conditional partial aggregates), not one job per
+    check — the property that makes the audit affordable at 100 TB.
+    The physical plan may scan orders/customer for the RI check, but
+    lineitem exactly once."""
+    from value_at_risk_spark.queries import QUERIES
+
+    df = QUERIES["data_quality_audit"](spark, sf_dir)
+    plan = df._jdf.queryExecution().executedPlan().toString()
+    assert plan.count("lineitem.parquet") == 1
+    rows = {r.check_name: r for r in df.collect()}
+    assert len(rows) == 7
+    n = next(iter(rows.values())).n_rows
+    assert all(
+        r.n_rows == n for r in rows.values() if r.check_name.startswith("lineitem")
+    )
+    assert all((r.n_violations == 0) == r.passed for r in rows.values())

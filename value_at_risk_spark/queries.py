@@ -4999,6 +4999,111 @@ def source_mix_report(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @query(
+    "data_quality_audit",
+    """
+WITH li AS (
+  SELECT CAST(COUNT(*) AS BIGINT) AS n,
+         CAST(SUM(CASE WHEN l_quantity IS NULL THEN 1 ELSE 0 END) AS BIGINT) AS null_qty,
+         CAST(SUM(CASE WHEN l_quantity <= 0 THEN 1 ELSE 0 END) AS BIGINT) AS bad_qty,
+         CAST(SUM(CASE WHEN l_discount < 0 OR l_discount > 1 THEN 1 ELSE 0 END) AS BIGINT) AS bad_disc,
+         CAST(SUM(CASE WHEN l_tax < 0 OR l_tax > 1 THEN 1 ELSE 0 END) AS BIGINT) AS bad_tax,
+         CAST(SUM(CASE WHEN l_extendedprice <= 0 THEN 1 ELSE 0 END) AS BIGINT) AS bad_price,
+         CAST(COUNT(*) - COUNT(DISTINCT (l_orderkey, l_linenumber)) AS BIGINT) AS dup_pk
+  FROM lineitem
+),
+o AS (
+  SELECT CAST((SELECT COUNT(*) FROM orders) AS BIGINT) AS n,
+         CAST((SELECT COUNT(*) FROM orders LEFT JOIN customer ON o_custkey = c_custkey
+               WHERE c_custkey IS NULL) AS BIGINT) AS orphans
+)
+SELECT 'lineitem.null_quantity' AS check_name, null_qty AS n_violations, n AS n_rows, null_qty = 0 AS passed FROM li
+UNION ALL SELECT 'lineitem.nonpositive_quantity', bad_qty, n, bad_qty = 0 FROM li
+UNION ALL SELECT 'lineitem.discount_out_of_range', bad_disc, n, bad_disc = 0 FROM li
+UNION ALL SELECT 'lineitem.tax_out_of_range', bad_tax, n, bad_tax = 0 FROM li
+UNION ALL SELECT 'lineitem.nonpositive_price', bad_price, n, bad_price = 0 FROM li
+UNION ALL SELECT 'lineitem.duplicate_pk', dup_pk, n, dup_pk = 0 FROM li
+UNION ALL SELECT 'orders.orphan_custkey', orphans, n, orphans = 0 FROM o
+""",
+)
+def data_quality_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Data-quality audit — the constraint/expectation sweep (Deequ /
+    dbt-test style) a pipeline runs before admitting a batch: column
+    null checks, domain bounds, ordering invariants, primary-key
+    uniqueness, and cross-table referential integrity, each reported as
+    (check_name, n_violations, n_rows, passed). Scale shape: ALL
+    single-table checks ride ONE scan of the fact table as conditional
+    partial aggregates (no per-check jobs — at 100 TB one pass vs
+    seven is the whole game); PK uniqueness shares that same scan via
+    count_distinct; the RI check is one anti-join against the
+    dimension, broadcast when small. The result is seven 1-row frames
+    unioned — bytes — so downstream can gate ingestion on
+    ``passed`` without re-touching the data."""
+    li = _t(spark, sf_dir, "lineitem")
+    a = li.agg(
+        F.count(F.lit(1)).alias("n"),
+        F.sum(
+            F.when(F.col("l_quantity").isNull(), 1).otherwise(0)
+        ).alias("null_qty"),
+        F.sum(F.when(F.col("l_quantity") <= 0, 1).otherwise(0)).alias("bad_qty"),
+        F.sum(
+            F.when((F.col("l_discount") < 0) | (F.col("l_discount") > 1), 1)
+            .otherwise(0)
+        ).alias("bad_disc"),
+        F.sum(
+            F.when((F.col("l_tax") < 0) | (F.col("l_tax") > 1), 1).otherwise(0)
+        ).alias("bad_tax"),
+        F.sum(
+            F.when(F.col("l_extendedprice") <= 0, 1).otherwise(0)
+        ).alias("bad_price"),
+        (
+            F.count(F.lit(1))
+            - F.count_distinct(F.col("l_orderkey"), F.col("l_linenumber"))
+        ).alias("dup_pk"),
+    )
+    orders = _t(spark, sf_dir, "orders")
+    cust = _t(spark, sf_dir, "customer")
+    o = orders.agg(F.count(F.lit(1)).alias("n")).crossJoin(
+        orders.join(
+            F.broadcast(cust),
+            orders["o_custkey"] == cust["c_custkey"],
+            "left_anti",
+        ).agg(F.count(F.lit(1)).alias("orphans"))
+    )
+
+    def _checks(frame, n_col, pairs):
+        return frame.select(
+            F.explode(
+                F.array(
+                    *[
+                        F.struct(
+                            F.lit(name).alias("check_name"),
+                            F.col(col).cast("long").alias("n_violations"),
+                            F.col(n_col).cast("long").alias("n_rows"),
+                            (F.col(col) == 0).alias("passed"),
+                        )
+                        for name, col in pairs
+                    ]
+                )
+            ).alias("c")
+        ).select("c.*")
+
+    li_checks = _checks(
+        a,
+        "n",
+        [
+            ("lineitem.null_quantity", "null_qty"),
+            ("lineitem.nonpositive_quantity", "bad_qty"),
+            ("lineitem.discount_out_of_range", "bad_disc"),
+            ("lineitem.tax_out_of_range", "bad_tax"),
+            ("lineitem.nonpositive_price", "bad_price"),
+            ("lineitem.duplicate_pk", "dup_pk"),
+        ],
+    )
+    o_checks = _checks(o, "n", [("orders.orphan_custkey", "orphans")])
+    return li_checks.unionByName(o_checks)
+
+
+@query(
     "decontaminate_bloom_prefilter",
     """
 WITH docs AS (
