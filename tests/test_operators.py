@@ -1694,3 +1694,42 @@ def test_bloom_filter_exact_prefilter(spark, sf_dir):
         .count()
     )
     assert survivors < train.count()  # the prefilter prunes
+
+
+def test_binaryfile_ingest_glob_and_length_pruning(spark, tmp_path):
+    """read_binary: binaryFile rows carry exact (path, length, content);
+    pathGlobFilter prunes at listing time; max_bytes drops oversized
+    blobs before decode. Content round-trips byte-identically into the
+    header parser."""
+    from value_at_risk_spark.operators.multimodal import (
+        parse_media_headers,
+        write_media_fixture_dir,
+    )
+    from value_at_risk_spark.sources.registry import read_binary
+
+    files = write_media_fixture_dir(str(tmp_path))
+    allrows = read_binary(spark, str(tmp_path)).collect()
+    assert {r.path.rsplit("/", 1)[-1] for r in allrows} == set(files)
+    for r in allrows:
+        assert bytes(r.content) == files[r.path.rsplit("/", 1)[-1]]
+        assert r.length == len(bytes(r.content))
+
+    bmps = read_binary(spark, str(tmp_path), glob="*.bmp")
+    assert {
+        r.path.rsplit("/", 1)[-1] for r in bmps.collect()
+    } == {"c_64x48.bmp", "d_8x8.bmp"}
+
+    small = read_binary(spark, str(tmp_path), max_bytes=10_000)
+    assert all(r.length <= 10_000 for r in small.collect())
+    assert small.count() == 3  # both WAVs exceed 10 KB
+
+    parsed = {
+        r.media_id: r.format
+        for r in parse_media_headers(
+            read_binary(spark, str(tmp_path), glob="*.bmp").select(
+                F.col("length").alias("media_id"),
+                F.col("content").alias("payload_bytes"),
+            )
+        ).collect()
+    }
+    assert set(parsed.values()) == {"bmp"}

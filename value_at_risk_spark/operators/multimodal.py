@@ -544,3 +544,63 @@ def parse_media_headers(
             "sample_rate_hz long, channels long, duration_ms long"
         ),
     )
+
+
+# --------------------------------------------------------------------------
+# Deterministic stdlib media synthesis — fixture generators for the
+# binaryFile ingest path (and tests). Spec-valid files, byte-stable.
+# --------------------------------------------------------------------------
+
+
+def synth_wav(
+    rate: int, n_samples: int, channels: int = 1, bits: int = 16
+) -> bytes:
+    """A canonical RIFF/WAVE file of silence: fmt + data chunks only.
+    Byte-deterministic, so ingest demos can golden-pin its metadata."""
+    block = channels * bits // 8
+    data = b"\x00" * (n_samples * block)
+    fmt = struct.pack("<HHIIHH", 1, channels, rate, rate * block, block, bits)
+    body = b"WAVE" + b"fmt " + struct.pack("<I", len(fmt)) + fmt
+    body += b"data" + struct.pack("<I", len(data)) + data
+    return b"RIFF" + struct.pack("<I", len(body)) + body
+
+
+def synth_bmp(w: int, h: int) -> bytes:
+    """A 24-bit bottom-up BMP of black pixels with 4-byte row padding.
+    Byte-deterministic."""
+    row = (w * 3 + 3) & ~3
+    data = b"\x00" * (row * h)
+    info = struct.pack(
+        "<IiiHHIIiiII", 40, w, h, 1, 24, 0, len(data), 2835, 2835, 0, 0
+    )
+    off = 14 + 40
+    hdr = b"BM" + struct.pack("<IHHI", off + len(data), 0, 0, off)
+    return hdr + info + data
+
+
+def write_media_fixture_dir(base_dir: str) -> dict[str, bytes]:
+    """Materialize the standard deterministic media fixture set under
+    ``base_dir`` (created if needed; files overwritten byte-identically
+    on every call — idempotent). Returns {file_name: payload}."""
+    import os
+
+    files = {
+        "a_16k_stereo_1s.wav": synth_wav(16_000, 16_000, channels=2),
+        "b_44k_mono_half.wav": synth_wav(44_100, 22_050),
+        "c_64x48.bmp": synth_bmp(64, 48),
+        "d_8x8.bmp": synth_bmp(8, 8),
+        "e_unknown.bin": b"not a media file",
+    }
+    os.makedirs(base_dir, exist_ok=True)
+    for name, payload in files.items():
+        path = os.path.join(base_dir, name)
+        # skip rewrite when byte-identical (parallel callers, reruns)
+        try:
+            with open(path, "rb") as fh:
+                if fh.read() == payload:
+                    continue
+        except OSError:
+            pass
+        with open(path, "wb") as fh:
+            fh.write(payload)
+    return files

@@ -1198,6 +1198,74 @@ def multimodal_features(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+@query(
+    "multimodal_binary_ingest",
+    """
+SELECT * FROM (VALUES
+  ('a_16k_stereo_1s.wav', 'wav', CAST(NULL AS BIGINT), CAST(NULL AS BIGINT),
+   CAST(16000 AS BIGINT), CAST(2 AS BIGINT), CAST(1000 AS BIGINT), CAST(64044 AS BIGINT)),
+  ('b_44k_mono_half.wav', 'wav', CAST(NULL AS BIGINT), CAST(NULL AS BIGINT),
+   CAST(44100 AS BIGINT), CAST(1 AS BIGINT), CAST(500 AS BIGINT), CAST(44144 AS BIGINT)),
+  ('c_64x48.bmp', 'bmp', CAST(64 AS BIGINT), CAST(48 AS BIGINT),
+   CAST(NULL AS BIGINT), CAST(NULL AS BIGINT), CAST(NULL AS BIGINT), CAST(9270 AS BIGINT)),
+  ('d_8x8.bmp', 'bmp', CAST(8 AS BIGINT), CAST(8 AS BIGINT),
+   CAST(NULL AS BIGINT), CAST(NULL AS BIGINT), CAST(NULL AS BIGINT), CAST(246 AS BIGINT)),
+  ('e_unknown.bin', 'unknown', CAST(NULL AS BIGINT), CAST(NULL AS BIGINT),
+   CAST(NULL AS BIGINT), CAST(NULL AS BIGINT), CAST(NULL AS BIGINT), CAST(16 AS BIGINT))
+) AS t(file_name, format, width, height, sample_rate_hz, channels, duration_ms, length)
+""",
+)
+def multimodal_binary_ingest(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Raw-file multimodal ingest via Spark's ``binaryFile`` source —
+    the path 100 TB of images/audio actually ARRIVES on: one row per
+    object-store file (path, length, content), metadata harvested by
+    the stdlib header parser before any pixel/sample decode. The
+    fixture set is synthesized deterministically (spec-valid WAV/BMP
+    bytes from operators/multimodal.synth_*, idempotent writes), so
+    the oracle is a golden VALUES table and the gate hash-checks real
+    end-to-end file ingest. At scale: pathGlobFilter prunes at listing
+    time, length/path predicates push into the listing (never opening
+    oversized blobs), and content bytes cross into Python only inside
+    Arrow batches."""
+    import os
+    import tempfile
+
+    from value_at_risk_spark.operators.multimodal import (
+        parse_media_headers,
+        write_media_fixture_dir,
+    )
+    from value_at_risk_spark.sources.registry import read_binary
+
+    media_dir = os.path.join(tempfile.gettempdir(), "var_media_fixture")
+    names = sorted(write_media_fixture_dir(media_dir))
+    raw = read_binary(spark, media_dir).select(
+        F.element_at(F.split("path", "/"), -1).alias("file_name"),
+        F.col("length").cast("long").alias("length"),
+        F.col("content").alias("payload_bytes"),
+    )
+    id_expr = F.lit(None).cast("long")
+    for i, n in enumerate(names):
+        id_expr = F.when(F.col("file_name") == n, F.lit(i + 1)).otherwise(id_expr)
+    keyed = raw.withColumn("media_id", id_expr.cast("long"))
+    parsed = parse_media_headers(keyed.select("media_id", "payload_bytes"))
+    return (
+        parsed.join(
+            F.broadcast(keyed.select("media_id", "file_name", "length")),
+            "media_id",
+        )
+        .select(
+            "file_name",
+            "format",
+            "width",
+            "height",
+            "sample_rate_hz",
+            "channels",
+            "duration_ms",
+            "length",
+        )
+    )
+
+
 # --------------------------------------------------------------------------
 # 7. Coverage completions: global aggregates (A2/A3), deterministic
 #    limit (O2), array-size predicate (P8), distinct aggregate,

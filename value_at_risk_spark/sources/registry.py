@@ -158,6 +158,32 @@ def read_csv(
     return reader.csv(path)
 
 
+def read_binary(
+    spark: SparkSession,
+    path: str,
+    glob: str | None = None,
+    max_bytes: int | None = None,
+) -> DataFrame:
+    """Raw-file ingest via Spark's built-in ``binaryFile`` source —
+    the 100 TB entry point for multimodal data: each file becomes one
+    row of (path, modificationTime, length, content binary), ready for
+    the mapInPandas decode/feature stages in operators/multimodal.
+
+    ``glob`` maps to ``pathGlobFilter`` (pruned at file LISTING time,
+    before any byte is read); filters on the path/length/
+    modificationTime metadata columns are likewise pushed into the
+    listing, so `length < X` never opens oversized blobs. ``max_bytes``
+    applies that guard here as a pushed filter.
+    """
+    reader = spark.read.format("binaryFile")
+    if glob is not None:
+        reader = reader.option("pathGlobFilter", glob)
+    df = reader.load(path)
+    if max_bytes is not None:
+        df = df.filter(F.col("length") <= max_bytes)
+    return df
+
+
 def read_json(
     spark: SparkSession, path: str, schema: str | None = None
 ) -> DataFrame:
