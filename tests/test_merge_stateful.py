@@ -353,3 +353,38 @@ def test_sessionize_stateful_survives_late_event(spark, tmp_path):
     # keeps exactly its original closed session, and no run crashed
     assert len(user1) == 1
     assert user1[0].n_events == 1
+
+
+def test_registry_compact_small_files(spark, tmp_path):
+    """Registry.compact bin-packs a fragmented table: file count drops
+    to ceil(bytes/target), data survives byte-exactly (same rows, same
+    schema), and a sort_by recluster keeps working afterwards."""
+    from pyspark.sql import functions as F
+
+    from value_at_risk_spark.sources.registry import Registry
+
+    reg = Registry(str(tmp_path))
+    df = spark.range(20_000).select(
+        F.col("id"),
+        (F.col("id") % 97).alias("k"),
+        F.sha2(F.col("id").cast("string"), 256).alias("pad"),
+    )
+    reg.write(df, "frag", num_files=64)
+    import glob as g
+
+    before = len(g.glob(f"{tmp_path}/frag.parquet/*.parquet"))
+    assert before == 64
+    stats = reg.compact(spark, "frag", target_file_bytes=512 * 1024)
+    after = len(g.glob(f"{tmp_path}/frag.parquet/*.parquet"))
+    assert after == stats["files_after"] < before
+    assert stats["files_before"] == 64
+    back = reg.read(spark, "frag")
+    assert back.count() == 20_000
+    assert set(back.columns) == {"id", "k", "pad"}
+    assert back.agg(F.sum("id")).collect()[0][0] == sum(range(20_000))
+
+    stats2 = reg.compact(
+        spark, "frag", target_file_bytes=512 * 1024, sort_by=["k", "id"]
+    )
+    assert reg.read(spark, "frag").count() == 20_000
+    assert stats2["files_before"] == stats["files_after"]

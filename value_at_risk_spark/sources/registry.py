@@ -123,6 +123,73 @@ class Registry:
             writer = writer.partitionBy(*partition_keys)
         writer.save(self.path(name))
 
+    def compact(
+        self,
+        spark: SparkSession,
+        name: str,
+        target_file_bytes: int = 128 * 1024 * 1024,
+        sort_by: list[str] | None = None,
+    ) -> dict:
+        """Small-file compaction — the maintenance half of OPTIMIZE
+        (reference 03_var_monte_carlo.py:162): bin-pack a table's data
+        files toward ``target_file_bytes`` by rewriting with the right
+        partition count, optionally re-clustering (``sort_by``) so
+        row-group stats keep pruning after the rewrite.
+
+        Sizing comes from the actual on-disk byte total via the Hadoop
+        FileSystem API (works for any supported scheme, not just
+        local), NOT from row counts — parquet size per row varies 100×
+        across schemas. The rewrite goes to a sibling temp dir and is
+        swapped in with two renames, crash-leaving either the old or
+        the new complete directory (single-writer assumption; the
+        transactional upgrade of this same operation is Delta
+        OPTIMIZE, behind ``delta_available()``).
+
+        Returns {files_before, files_after, bytes_total}.
+        """
+        path = self.path(name)
+        fmt = self._formats.get(name, "parquet")
+        jvm = spark.sparkContext._jvm
+        jsc = spark.sparkContext._jsc
+        hpath = jvm.org.apache.hadoop.fs.Path(path)
+        fs = hpath.getFileSystem(jsc.hadoopConfiguration())
+        it = fs.listFiles(hpath, True)
+        files_before = 0
+        bytes_total = 0
+        while it.hasNext():
+            st = it.next()
+            fname = st.getPath().getName()
+            if fname.startswith("_") or fname.startswith("."):
+                continue
+            files_before += 1
+            bytes_total += st.getLen()
+        n_files = max(1, -(-bytes_total // target_file_bytes))
+        # raw scan, NOT self.read: compaction must preserve the stored
+        # schema byte-for-byte (no events ts rebuild)
+        df = spark.read.format(fmt).load(path)
+        if sort_by:
+            df = df.repartition(n_files, sort_by[0]).sortWithinPartitions(
+                *sort_by
+            )
+        else:
+            df = df.repartition(n_files)
+        tmp = path.rstrip("/") + "._compact_tmp"
+        old = path.rstrip("/") + "._compact_old"
+        df.write.mode("overwrite").format(fmt).save(tmp)
+        fs.delete(jvm.org.apache.hadoop.fs.Path(old), True)
+        if not fs.rename(hpath, jvm.org.apache.hadoop.fs.Path(old)):
+            raise RuntimeError(f"compact: could not stage out {path}")
+        if not fs.rename(jvm.org.apache.hadoop.fs.Path(tmp), hpath):
+            # roll back
+            fs.rename(jvm.org.apache.hadoop.fs.Path(old), hpath)
+            raise RuntimeError(f"compact: could not swap in {tmp}")
+        fs.delete(jvm.org.apache.hadoop.fs.Path(old), True)
+        return {
+            "files_before": files_before,
+            "files_after": int(n_files),
+            "bytes_total": int(bytes_total),
+        }
+
 
 def load_tables(
     spark: SparkSession, sf_dir: str, names: tuple[str, ...] = TABLES
