@@ -1733,3 +1733,30 @@ def test_binaryfile_ingest_glob_and_length_pruning(spark, tmp_path):
         ).collect()
     }
     assert set(parsed.values()) == {"bmp"}
+
+
+def test_semdedup_probed_recall_and_bucketed_plan(spark, sf_dir):
+    """semdedup_survivors: (a) with nprobe=2 every planted 0.997-cosine
+    pair is caught with the min-id survivor rule — full recall through
+    the cluster-restricted path; (b) the candidate join is an equi-join
+    on the cell key (no CartesianProduct in the physical plan) — the
+    property that bounds pair work at N²·nprobe²/k instead of N²."""
+    from value_at_risk_spark.queries import _planted_embedding_corpus
+    from value_at_risk_spark.operators.similarity import semdedup_survivors
+
+    e = spark.read.parquet(f"{sf_dir}/embeddings.parquet")
+    base, planted = _planted_embedding_corpus(e)
+    corpus = base.unionByName(planted).select(
+        F.col("id").alias("vec_id"), F.col("v").alias("embedding")
+    )
+    out = semdedup_survivors(corpus, k=8, threshold=0.99, iters=3, seed=123)
+    plan = out._jdf.queryExecution().executedPlan().toString()
+    assert "CartesianProduct" not in plan
+
+    rows = out.collect()
+    planted_ids = {r.id for r in planted.select("id").collect()}
+    flagged = {r.vec_id: r.dup_of for r in rows if r.is_dup}
+    assert set(flagged) == planted_ids  # all planted caught, nothing else
+    assert all(flagged[i] == i - 1000000 for i in flagged)
+    # survivors: every base vector survives
+    assert all(not r.is_dup for r in rows if r.vec_id < 1000000)

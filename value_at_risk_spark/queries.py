@@ -2581,6 +2581,61 @@ def ann_ivf_recall_planted(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @query(
+    "semdedup_planted",
+    """
+WITH base AS (
+  SELECT vec_id AS id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings
+),
+planted AS (
+  SELECT vec_id + 1000000 AS id,
+         array_agg(x + ((vec_id * 31 + (i - 1) * 17) % 7 - 3) * 0.005
+                   ORDER BY i) AS v
+  FROM (SELECT vec_id,
+               generate_subscripts(CAST(embedding AS DOUBLE[]), 1) AS i,
+               UNNEST(CAST(embedding AS DOUBLE[])) AS x
+        FROM embeddings WHERE vec_id % 5 = 0) t
+  GROUP BY vec_id
+),
+corpus AS (SELECT * FROM base UNION ALL SELECT * FROM planted),
+dups AS (
+  SELECT b.id, MIN(a.id) AS dup_of
+  FROM corpus a JOIN corpus b
+    ON a.id < b.id AND list_cosine_similarity(a.v, b.v) >= 0.99
+  GROUP BY b.id
+)
+SELECT c.id, d.dup_of IS NOT NULL AS is_dup, d.dup_of
+FROM corpus c LEFT JOIN dups d ON c.id = d.id
+""",
+)
+def semdedup_planted(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SemDeDup (cluster-then-dedup; Abbas et al. 2023) on the planted
+    near-dup corpus, ORACLE-pinned: k-means + nprobe=2 boundary
+    probing restrict the exact cosine pair predicate to shared-cell
+    pairs (operators/similarity.semdedup_survivors — pair work
+    O(N²·nprobe²/k), shuffle keyed on cell), and the DuckDB twin
+    computes the UNRESTRICTED O(N²) answer. Hash equality therefore
+    asserts full recall through the bucketed path on this fixture:
+    planted pairs sit at cosine ≈0.997 while natural pairs top out
+    ≈0.51, and nprobe=2 closes the paper's boundary-straddle hole
+    (measured: 8/400 pairs straddle rank-1 cells at sf0.1; zero
+    escape the top-2 probe sets, because near-identical vectors have
+    near-identical centroid distance profiles). The cell column is
+    dropped from the gate projection because cell IDs are an RNG
+    artifact of the seeded trainer."""
+    from value_at_risk_spark.operators.similarity import semdedup_survivors
+
+    e = _t(spark, sf_dir, "embeddings")
+    base, planted = _planted_embedding_corpus(e)
+    corpus = base.unionByName(planted).select(
+        F.col("id").alias("vec_id"), F.col("v").alias("embedding")
+    )
+    out = semdedup_survivors(
+        corpus, k=8, threshold=0.99, iters=3, seed=123, dim=None
+    )
+    return out.select(F.col("vec_id").alias("id"), "is_dup", "dup_of")
+
+
+@query(
     "salted_distinct_users_by_type",
     """
 SELECT event_type, COUNT(DISTINCT user_id) AS n_users, COUNT(*) AS n_events
