@@ -388,3 +388,31 @@ def test_registry_compact_small_files(spark, tmp_path):
     )
     assert reg.read(spark, "frag").count() == 20_000
     assert stats2["files_before"] == stats["files_after"]
+
+
+def test_registry_schema_evolution_merge_schema(spark, tmp_path):
+    """Additive schema evolution: an append introduces a new column;
+    merge_schema=True reads the union schema with NULLs for pre-
+    evolution files; the default read stays cheap (single-footer
+    schema) and still sees the original columns."""
+    from pyspark.sql import functions as F
+
+    from value_at_risk_spark.sources.registry import Registry
+
+    reg = Registry(str(tmp_path))
+    v1 = spark.range(100).select("id", (F.col("id") * 2).alias("a"))
+    reg.write(v1, "evo")
+    v2 = spark.range(100, 200).select(
+        "id", (F.col("id") * 2).alias("a"), F.lit("new").alias("b")
+    )
+    reg.write(v2, "evo", mode="append")
+
+    merged = reg.read(spark, "evo", merge_schema=True)
+    assert set(merged.columns) == {"id", "a", "b"}
+    assert merged.count() == 200
+    assert merged.filter(F.col("b").isNull()).count() == 100
+    assert merged.filter(F.col("b") == "new").count() == 100
+
+    plain = reg.read(spark, "evo")
+    assert {"id", "a"} <= set(plain.columns)
+    assert plain.count() == 200

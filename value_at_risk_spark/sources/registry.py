@@ -61,13 +61,23 @@ class Registry:
         self._paths[name] = path
         self._formats[name] = fmt
 
-    def read(self, spark: SparkSession, name: str) -> DataFrame:
+    def read(
+        self, spark: SparkSession, name: str, merge_schema: bool = False
+    ) -> DataFrame:
         """Table scan (S4): parquet scan with full Catalyst pushdown.
 
         TIMESTAMP(NANOS) parquet columns arrive as long (see
         session.py's nanosAsLong); the events table's `ts` is converted
         back to a microsecond timestamp here so downstream operators see
         a proper timestamp type.
+
+        ``merge_schema=True`` reconciles evolved file schemas (columns
+        added over time by appends) into the union schema, older files
+        reading NULL for columns they predate — parquet's additive
+        schema evolution. It is opt-in because schema merging reads
+        EVERY file's footer at planning time (at 100 TB that is a
+        planning-latency tax to pay only on tables known to evolve;
+        pin a table schema once it stabilizes).
         """
         # The events fixture is TIMESTAMP(NANOS) parquet, which Spark
         # rejects by default ([PARQUET_TYPE_ILLEGAL]). The conf is
@@ -76,7 +86,10 @@ class Registry:
         # their own SparkSession without our session.py defaults.
         spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
         fmt = self._formats.get(name, "parquet")
-        df = spark.read.format(fmt).load(self.path(name))
+        reader = spark.read.format(fmt)
+        if merge_schema:
+            reader = reader.option("mergeSchema", "true")
+        df = reader.load(self.path(name))
         if name == "events" and dict(df.dtypes).get("ts") == "bigint":
             df = df.withColumn(
                 "ts", F.timestamp_micros(F.expr("ts div 1000"))
