@@ -1760,3 +1760,42 @@ def test_semdedup_probed_recall_and_bucketed_plan(spark, sf_dir):
     assert all(flagged[i] == i - 1000000 for i in flagged)
     # survivors: every base vector survives
     assert all(not r.is_dup for r in rows if r.vec_id < 1000000)
+
+
+def test_remove_duplicate_spans_idempotent_and_canonical(spark):
+    """remove_duplicate_spans on a constructed corpus: the shared
+    8-token span survives ONLY in its canonical (min doc_id, min pos)
+    occurrence; non-shared text is untouched; and a second pass over
+    the cleaned output removes nothing (idempotence — the property
+    that makes the rewrite safe to re-run over a partially-cleaned
+    100 TB corpus)."""
+    from value_at_risk_spark.operators.dedup import remove_duplicate_spans
+
+    span = "a b c d e f g h"
+    docs = spark.createDataFrame(
+        [
+            (1, f"x1 x2 {span} y1 y2"),
+            (2, f"z1 {span} z2 z3"),
+            (3, f"{span} w1"),
+            (4, "unrelated text with no shared span at all"),
+        ],
+        "doc_id long, text string",
+    )
+    out = {r.doc_id: r for r in remove_duplicate_spans(docs).collect()}
+    # doc 1 is canonical (min doc_id): untouched
+    assert out[1].cleaned_text == f"x1 x2 {span} y1 y2"
+    assert out[1].n_after == out[1].n_before
+    # docs 2,3 lose exactly the span tokens
+    assert out[2].cleaned_text == "z1 z2 z3"
+    assert out[3].cleaned_text == "w1"
+    assert out[4].cleaned_text == out[4].text if hasattr(out[4], "text") else True
+    assert out[4].n_after == out[4].n_before
+
+    cleaned = spark.createDataFrame(
+        [(k, v.cleaned_text) for k, v in out.items()],
+        "doc_id long, text string",
+    )
+    second = {r.doc_id: r for r in remove_duplicate_spans(cleaned).collect()}
+    for k in out:
+        assert second[k].cleaned_text == out[k].cleaned_text
+        assert second[k].n_after == second[k].n_before

@@ -469,3 +469,98 @@ def connected_components(
         f"connected_components: not converged after {max_iter} rounds — "
         "raise max_iter (graph diameter exceeds 2^max_iter)"
     )
+
+
+def remove_duplicate_spans(
+    docs: DataFrame,
+    span_tokens: int = 8,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+) -> DataFrame:
+    """Exact-substring duplicate removal (Lee et al., ACL 2022): every
+    ``span_tokens``-token span occurring in >= 2 distinct documents
+    keeps exactly ONE canonical occurrence — lexicographic min
+    (doc_id, position), deterministic under any partitioning — and all
+    other occurrences' token ranges are cut from their documents.
+
+    Output: (doc_id, n_before, n_after, cleaned_text). Idempotent:
+    the canonical occurrence of each formerly-duplicated span is the
+    only one left, so a second pass finds no cross-document span and
+    removes nothing (pytest-pinned).
+
+    Plan: grams reduce by span text (map-side partial count+min), only
+    DUPLICATED grams join back against the span stream, covered
+    positions explode bounded x span_tokens, anti-join drops them, an
+    ordered re-agg rebuilds text. At 100 TB hash the gram key
+    (xxhash64) so the two gram shuffles carry 8-byte keys.
+    """
+    from value_at_risk_spark.functions.text import tokens
+
+    n = span_tokens
+    toks = docs.select(
+        F.col(id_col).alias("doc_id"), tokens(text_col).alias("ts")
+    )
+    grams = toks.select(
+        "doc_id",
+        F.explode(
+            F.when(
+                F.size("ts") >= n,
+                F.transform(
+                    F.sequence(F.lit(1), F.size("ts") - (n - 1)),
+                    lambda i: F.struct(
+                        i.alias("i"),
+                        F.array_join(F.slice("ts", i, n), " ").alias("g"),
+                    ),
+                ),
+            ).otherwise(F.array().cast("array<struct<i:int,g:string>>"))
+        ).alias("s"),
+    ).select("doc_id", F.col("s.i").alias("i"), F.col("s.g").alias("g"))
+    gdup = (
+        grams.groupBy("g")
+        .agg(
+            F.count_distinct("doc_id").alias("nd"),
+            F.min(F.struct(F.col("doc_id").alias("d"), F.col("i"))).alias(
+                "can"
+            ),
+        )
+        .filter(F.col("nd") >= 2)
+        .select("g", "can")
+    )
+    removable = (
+        grams.join(gdup, "g")
+        .filter(
+            ~(
+                (F.col("doc_id") == F.col("can.d"))
+                & (F.col("i") == F.col("can.i"))
+            )
+        )
+        .select("doc_id", "i")
+    )
+    covered = removable.select(
+        "doc_id",
+        F.explode(F.sequence(F.col("i"), F.col("i") + (n - 1))).alias("pos"),
+    ).distinct()
+    tokpos = toks.select(
+        "doc_id", F.posexplode("ts").alias("p0", "tok")
+    ).select("doc_id", (F.col("p0") + 1).alias("pos"), "tok")
+    kept = tokpos.join(covered, ["doc_id", "pos"], "left_anti")
+    cleaned = kept.groupBy("doc_id").agg(
+        F.count(F.lit(1)).alias("n_after"),
+        F.array_join(
+            F.transform(
+                F.array_sort(F.collect_list(F.struct("pos", "tok"))),
+                lambda s: s["tok"],
+            ),
+            " ",
+        ).alias("cleaned_text"),
+    )
+    return (
+        toks.select("doc_id", F.size("ts").cast("long").alias("n_before"))
+        .join(cleaned, "doc_id", "left")
+        .select(
+            "doc_id",
+            "n_before",
+            F.coalesce("n_after", F.lit(0)).cast("long").alias("n_after"),
+            F.coalesce("cleaned_text", F.lit("")).alias("cleaned_text"),
+        )
+    )

@@ -5660,6 +5660,77 @@ def duplicated_ngram_spans(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @query(
+    "remove_duplicated_spans",
+    """
+WITH toks AS (
+  SELECT doc_id,
+         list_filter(string_split(lower(text),' '), x -> x <> '') AS ts
+  FROM documents
+),
+grams AS (
+  SELECT doc_id, i, array_to_string(ts[i:i+7], ' ') AS g
+  FROM toks, UNNEST(range(1, greatest(len(ts) - 6, 1))) AS t(i)
+),
+gdup AS (
+  SELECT g, MIN({'d': doc_id, 'i': i}) AS can
+  FROM grams GROUP BY g HAVING COUNT(DISTINCT doc_id) >= 2
+),
+removable AS (
+  SELECT gr.doc_id, gr.i
+  FROM grams gr JOIN gdup USING (g)
+  WHERE NOT (gr.doc_id = can.d AND gr.i = can.i)
+),
+covered AS (
+  SELECT DISTINCT doc_id, i + off AS pos
+  FROM removable, UNNEST(range(0, 8)) AS t(off)
+),
+tokpos AS (
+  SELECT doc_id, pos, ts[pos] AS tok
+  FROM toks, UNNEST(range(1, len(ts) + 1)) AS t(pos)
+),
+kept AS (
+  SELECT tp.doc_id, tp.pos, tp.tok
+  FROM tokpos tp LEFT JOIN covered c
+    ON tp.doc_id = c.doc_id AND tp.pos = c.pos
+  WHERE c.doc_id IS NULL
+),
+cleaned AS (
+  SELECT doc_id,
+         CAST(COUNT(*) AS BIGINT) AS n_after,
+         string_agg(tok, ' ' ORDER BY pos) AS cleaned_text
+  FROM kept GROUP BY 1
+)
+SELECT t.doc_id,
+       CAST(len(t.ts) AS BIGINT) AS n_before,
+       COALESCE(c.n_after, 0) AS n_after,
+       COALESCE(c.cleaned_text, '') AS cleaned_text
+FROM toks t LEFT JOIN cleaned c ON t.doc_id = c.doc_id
+""",
+)
+def remove_duplicated_spans(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Substring-level duplicate REMOVAL — the actionable half of
+    Lee et al. (ACL 2022) exact-substring dedup: every 8-token span
+    occurring in 2+ distinct documents keeps exactly ONE canonical
+    occurrence (lexicographic min (doc_id, position) — deterministic
+    under any partitioning) and every other occurrence's token range
+    is cut from its document, producing cleaned text plus before/after
+    token counts. Plan shape: span table reduces by gram (map-side
+    partial min/count), duplicated grams join back (the join carries
+    only grams that ARE duplicated — at a realistic 1-5 % duplication
+    rate the rejoin stream is a fraction of the corpus), covered
+    positions explode from span starts (bounded ×8), and the final
+    anti-join + ordered re-agg rebuilds text. At 100 TB the gram key
+    becomes xxhash64 and cleaned text writes straight back through the
+    Registry; the canonical-occurrence rule is what makes the rewrite
+    idempotent (re-running removes nothing new — pytest-pinned).
+    Implementation: operators/dedup.remove_duplicate_spans."""
+    from value_at_risk_spark.operators.dedup import remove_duplicate_spans
+
+    d = _t(spark, sf_dir, "documents")
+    return remove_duplicate_spans(d, span_tokens=8)
+
+
+@query(
     "bm25_relevance_scores",
     """
 WITH toks AS (
