@@ -1799,3 +1799,57 @@ def test_remove_duplicate_spans_idempotent_and_canonical(spark):
     for k in out:
         assert second[k].cleaned_text == out[k].cleaned_text
         assert second[k].n_after == second[k].n_before
+
+
+def test_cms_guarantees_and_mergeability(spark, sf_dir):
+    """Count-min sketch contracts: (a) never under-estimates;
+    (b) error bounded by eps*N (eps = e/width) with generous slack on
+    this fixture; (c) ADDITIVE merge — sketches of two disjoint halves
+    merged cell-wise equal the whole-corpus sketch EXACTLY, the
+    property that makes the build a pure map-side reduction at 100 TB."""
+    from value_at_risk_spark.functions.text import tokens
+    from value_at_risk_spark.operators.heavyhitters import (
+        cms_build,
+        cms_estimate,
+        cms_merge,
+    )
+
+    d = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    toks = d.select("doc_id", F.explode(tokens("text")).alias("t"))
+    width, depth = 256, 4
+    sketch = cms_build(toks, "t", width=width, depth=depth)
+
+    exact = {
+        r.t: r.n
+        for r in toks.groupBy("t").agg(F.count(F.lit(1)).alias("n")).collect()
+    }
+    n_total = sum(exact.values())
+    probes = spark.createDataFrame(
+        [(t,) for t in list(exact)[:50]] + [("zz-never-seen",)], "probe string"
+    )
+    est = {
+        r.probe: r.cms_count
+        for r in cms_estimate(sketch, probes, width=width, depth=depth).collect()
+    }
+    import math
+
+    eps_bound = math.e / width * n_total
+    for t, e in est.items():
+        true = exact.get(t, 0)
+        assert e >= true  # never under-estimates
+        assert e <= true + 3 * eps_bound
+
+    halves = [
+        cms_build(
+            toks.filter(F.col("doc_id") % 2 == i).select("t"),
+            "t",
+            width=width,
+            depth=depth,
+        )
+        for i in (0, 1)
+    ]
+    merged = {
+        (r.r, r.c): r.cnt for r in cms_merge(*halves).collect()
+    }
+    whole = {(r.r, r.c): r.cnt for r in sketch.collect()}
+    assert merged == whole

@@ -91,3 +91,96 @@ def exact_heavy_hitters(
         .filter(F.col(count_alias) > F.col("_n") / k)
         .drop("_n")
     )
+
+
+# --------------------------------------------------------------------------
+# Count-min sketch: the additive sibling of the MG summary above —
+# bounded-memory frequency ESTIMATES for every item (MG answers "which
+# items are heavy"; CMS answers "roughly how often is item X" for any X).
+# --------------------------------------------------------------------------
+
+
+def _cms_pos(item, r: int, width: int):
+    """Row-r hash position: md5-prefix integer mod width. md5 is used
+    (not xxhash64) so the identical sketch is constructible in ANSI
+    SQL on any engine — the cross-engine idiom verified byte-exact in
+    queries.weighted_sample_per_lang."""
+    return (
+        F.conv(
+            F.substring(F.md5(F.concat(item, F.lit(f"#{r}"))), 1, 8), 16, 10
+        ).cast("long")
+        % width
+    )
+
+
+def cms_build(
+    df: DataFrame, col: str, width: int = 1024, depth: int = 4
+) -> DataFrame:
+    """Build a count-min sketch (Cormode & Muthukrishnan 2005) over
+    ``df[col]`` as a SPARSE (r, c, cnt) DataFrame — ≤ width·depth rows
+    regardless of input size, produced by one explode (×depth) + one
+    hash-agg with map-side partials.
+
+    CMS is ADDITIVE: sketches of disjoint corpus parts merged by
+    summing cells equal the sketch of the union exactly (``cms_merge``
+    — the property that lets 1000 executors sketch 100 TB
+    independently and reduce kilobytes)."""
+    pairs = df.select(
+        F.explode(
+            F.array(
+                *[
+                    F.struct(
+                        F.lit(r).alias("r"),
+                        _cms_pos(F.col(col), r, width).alias("c"),
+                    )
+                    for r in range(depth)
+                ]
+            )
+        ).alias("p")
+    )
+    return pairs.groupBy(
+        F.col("p.r").alias("r"), F.col("p.c").alias("c")
+    ).agg(F.count(F.lit(1)).alias("cnt"))
+
+
+def cms_merge(*sketches: DataFrame) -> DataFrame:
+    """Merge CMS sketches built with identical (width, depth): cells
+    add. Exactly equals the sketch of the concatenated inputs."""
+    out = sketches[0]
+    for s in sketches[1:]:
+        out = out.unionByName(s)
+    return out.groupBy("r", "c").agg(F.sum("cnt").alias("cnt"))
+
+
+def cms_estimate(
+    sketch: DataFrame,
+    probes: DataFrame,
+    probe_col: str = "probe",
+    width: int = 1024,
+    depth: int = 4,
+) -> DataFrame:
+    """Point-frequency estimates for ``probes[probe_col]``: min over
+    the depth rows of the probed cells. Guarantees (pytest-pinned):
+    estimate >= true count always (cells only over-count), and
+    estimate <= true + εN with probability 1-δ for ε=e/width,
+    δ=e^-depth. The sketch is ≤ width·depth rows, so the probe join
+    broadcasts."""
+    probed = probes.select(
+        F.col(probe_col),
+        F.explode(
+            F.array(
+                *[
+                    F.struct(
+                        F.lit(r).alias("r"),
+                        _cms_pos(F.col(probe_col), r, width).alias("c"),
+                    )
+                    for r in range(depth)
+                ]
+            )
+        ).alias("p"),
+    ).select(probe_col, F.col("p.r").alias("r"), F.col("p.c").alias("c"))
+    return (
+        probed.join(F.broadcast(sketch), ["r", "c"], "left")
+        .groupBy(probe_col)
+        .agg(F.min(F.coalesce("cnt", F.lit(0))).alias("cms_count"))
+    )

@@ -5731,6 +5731,125 @@ def remove_duplicated_spans(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @query(
+    "train_val_test_split",
+    """
+WITH assigned AS (
+  SELECT doc_id, source,
+         ('0x' || substring(md5(CAST(doc_id AS VARCHAR)), 1, 8))::UBIGINT % 10
+           AS bucket
+  FROM documents
+)
+SELECT doc_id, source,
+       CASE WHEN bucket < 8 THEN 'train'
+            WHEN bucket = 8 THEN 'val'
+            ELSE 'test' END AS split
+FROM assigned
+""",
+)
+def train_val_test_split(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Deterministic train/val/test corpus split (80/10/10) — the
+    assignment rule every training pipeline needs to be REPRODUCIBLE
+    and REPARTITION-INVARIANT: each document's bucket is a pure
+    function of its id (md5-prefix mod 10 — the same cross-engine-
+    verified integer idiom as weighted_sample_per_lang), so the split
+    is identical across runs, cluster sizes, and data layouts, new
+    documents land in splits without reshuffling old ones, and a
+    downstream JOIN on doc_id can never leak val/test into train.
+    Plan: a pure zero-shuffle projection — at 100 TB this is a
+    map-only pass (contrast randomSplit(), whose sampling is
+    partition-order-dependent and unrepeatable after a rewrite).
+    Proportions are binomial around 80/10/10 per stratum; the exact-k
+    variant for small strata is group_sample_deterministic_k's
+    two-phase bottom-k."""
+    d = _t(spark, sf_dir, "documents")
+    bucket = (
+        F.conv(
+            F.substring(F.md5(F.col("doc_id").cast("string")), 1, 8), 16, 10
+        ).cast("bigint")
+        % 10
+    )
+    return d.select(
+        "doc_id",
+        "source",
+        F.when(bucket < 8, "train")
+        .when(bucket == 8, "val")
+        .otherwise("test")
+        .alias("split"),
+    )
+
+
+@query(
+    "cms_token_frequency",
+    """
+WITH toks AS (
+  SELECT UNNEST(list_filter(string_split(lower(text),' '), x -> x <> '')) AS t
+  FROM documents
+),
+pos AS (
+  SELECT t, r,
+         ('0x' || substring(md5(t || '#' || CAST(r AS VARCHAR)), 1, 8))::UBIGINT
+           % 1024 AS c
+  FROM toks, UNNEST(range(0, 4)) AS q(r)
+),
+cms AS (SELECT r, c, COUNT(*) AS cnt FROM pos GROUP BY 1, 2),
+probes AS (
+  SELECT UNNEST(['spark','table','value','merge','window','xyzzy']) AS probe
+),
+est AS (
+  SELECT probe, MIN(COALESCE(cms.cnt, 0)) AS cms_count
+  FROM (SELECT probe, r,
+               ('0x' || substring(md5(probe || '#' || CAST(r AS VARCHAR)), 1, 8))
+                 ::UBIGINT % 1024 AS c
+        FROM probes, UNNEST(range(0, 4)) AS q(r)) p
+  LEFT JOIN cms ON cms.r = p.r AND cms.c = p.c
+  GROUP BY 1
+),
+exact AS (SELECT t, CAST(COUNT(*) AS BIGINT) AS n FROM toks GROUP BY 1)
+SELECT probe, CAST(est.cms_count AS BIGINT) AS cms_count,
+       COALESCE(exact.n, 0) AS exact_count
+FROM est LEFT JOIN exact ON exact.t = est.probe
+""",
+)
+def cms_token_frequency(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Count-min sketch token frequencies, ORACLE-pinned cell-for-cell:
+    the 4×1024 sketch is built distributed (one explode + one hash-agg
+    — ≤4096 rows leave the shuffle no matter the corpus size), probed
+    for six tokens, and reported beside the exact counts so the
+    over-estimate guarantee (cms_count ≥ exact_count, = for items with
+    no colliding mass) is visible in the gated values. The DuckDB twin
+    reconstructs the identical sketch from the same md5 hash family —
+    the estimates are deterministic, so this sketch family gets a
+    hash-checked gate entry rather than rows-only. Mergeability
+    (halves sum to the whole, the 1000-executor reduction property) is
+    pytest-pinned in test_operators."""
+    from value_at_risk_spark.functions.text import tokens
+    from value_at_risk_spark.operators.heavyhitters import (
+        cms_build,
+        cms_estimate,
+    )
+
+    d = _t(spark, sf_dir, "documents")
+    toks = d.select(F.explode(tokens("text")).alias("t"))
+    sketch = cms_build(toks, "t", width=1024, depth=4)
+    probes = spark.createDataFrame(
+        [("spark",), ("table",), ("value",), ("merge",), ("window",), ("xyzzy",)],
+        "probe string",
+    )
+    est = cms_estimate(sketch, probes, "probe", width=1024, depth=4)
+    exact = toks.groupBy(F.col("t").alias("probe")).agg(
+        F.count(F.lit(1)).alias("exact_count")
+    )
+    return (
+        est.join(exact, "probe", "left")
+        .select(
+            "probe",
+            F.col("cms_count").cast("long").alias("cms_count"),
+            F.coalesce("exact_count", F.lit(0)).cast("long").alias("exact_count"),
+        )
+    )
+
+
+@query(
     "bm25_relevance_scores",
     """
 WITH toks AS (
