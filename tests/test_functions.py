@@ -643,3 +643,39 @@ def test_epoch_helpers_property_vs_python(spark):
             assert got[i] == (exp_es, exp_eu), (u, got[i])
 
     check()
+
+
+def test_classification_report_edge_classes(spark):
+    """classification_report: null precision for never-predicted
+    classes, null recall for zero-support classes (try_divide — no
+    invented zeros), exact tp/support/pred_n accounting, and perfect
+    scores on a perfect classifier."""
+    from value_at_risk_spark.functions.evalmetrics import classification_report
+
+    df = spark.createDataFrame(
+        [
+            ("a", "a"), ("a", "a"), ("a", "b"),   # a: tp=2, fn=1
+            ("b", "a"),                           # b: tp=0, support=1
+            ("c", "c"),                           # c: perfect
+            # 'd' never gold; predicted once:
+            ("c", "d"),
+        ],
+        "gold string, pred string",
+    )
+    got = {r.label: r for r in classification_report(df).collect()}
+    assert set(got) == {"a", "b", "c", "d"}
+    a = got["a"]
+    assert (a.support, a.tp, a.pred_n) == (3, 2, 3)
+    assert abs(a.precision - 2 / 3) < 1e-6 and abs(a.recall - 2 / 3) < 1e-6
+    b = got["b"]
+    assert (b.support, b.tp, b.pred_n) == (1, 0, 1)
+    assert b.precision == 0.0 and b.recall == 0.0 and b.f1 is None
+    d = got["d"]
+    assert d.support == 0 and d.pred_n == 1
+    assert d.recall is None  # undefined, not zero
+
+    perfect = spark.createDataFrame(
+        [("x", "x")] * 5 + [("y", "y")] * 3, "gold string, pred string"
+    )
+    for r in classification_report(perfect).collect():
+        assert r.precision == 1.0 and r.recall == 1.0 and r.f1 == 1.0

@@ -1086,6 +1086,63 @@ def language_id_heuristic(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @query(
+    "langid_eval_report",
+    "WITH "
+    + SQL_TOKS
+    + """,
+r AS (
+  SELECT doc_id,
+         SUM(CASE WHEN t IN ('the','a','of','and','to','in','is','on','for','with')
+                  THEN 1 ELSE 0 END) * 1.0 / COUNT(*) AS ratio
+  FROM toks GROUP BY doc_id
+),
+p AS (
+  SELECT CASE WHEN d.lang = 'en' THEN 'en' ELSE 'und' END AS gold,
+         CASE WHEN r.ratio >= 0.05 THEN 'en' ELSE 'und' END AS pred
+  FROM documents d JOIN r ON r.doc_id = d.doc_id
+),
+cells AS (SELECT gold, pred, COUNT(*) AS n FROM p GROUP BY 1, 2),
+support AS (SELECT gold AS label, SUM(n) AS support FROM cells GROUP BY 1),
+pred_n AS (SELECT pred AS label, SUM(n) AS pred_n FROM cells GROUP BY 1),
+tp AS (SELECT gold AS label, n AS tp FROM cells WHERE gold = pred),
+base AS (
+  SELECT COALESCE(s.label, pn.label, t.label) AS label,
+         CAST(COALESCE(s.support, 0) AS BIGINT) AS support,
+         CAST(COALESCE(t.tp, 0) AS BIGINT) AS tp,
+         CAST(COALESCE(pn.pred_n, 0) AS BIGINT) AS pred_n
+  FROM support s
+  FULL OUTER JOIN pred_n pn ON s.label = pn.label
+  FULL OUTER JOIN tp t ON COALESCE(s.label, pn.label) = t.label
+)
+SELECT label, support, tp, pred_n,
+       ROUND(tp * 1.0 / NULLIF(pred_n, 0), 6) + 0 AS precision,
+       ROUND(tp * 1.0 / NULLIF(support, 0), 6) + 0 AS recall,
+       ROUND(2.0 * (tp * 1.0 / NULLIF(pred_n, 0)) * (tp * 1.0 / NULLIF(support, 0))
+             / NULLIF(tp * 1.0 / NULLIF(pred_n, 0) + tp * 1.0 / NULLIF(support, 0), 0),
+             6) + 0 AS f1
+FROM base
+""",
+)
+def langid_eval_report(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Classifier evaluation IN the engine — per-class precision /
+    recall / F1 for the stopword-density language-ID heuristic against
+    the gold ``lang`` labels (binarized en vs und, matching what the
+    heuristic can express). The entire evaluation is one confusion-cell
+    aggregate (≤ |classes|² rows leave the shuffle no matter the corpus
+    size) + equi-join stitching on the tiny cell table
+    (functions/evalmetrics.classification_report) — the distributed
+    form of a sklearn classification_report, which is how a 100 TB
+    curation loop scores its cheap filters against labeled samples."""
+    from value_at_risk_spark.functions.evalmetrics import classification_report
+
+    preds = QUERIES["language_id_heuristic"](spark, sf_dir).select(
+        F.when(F.col("lang_label") == "en", "en").otherwise("und").alias("gold"),
+        F.col("lang_pred").alias("pred"),
+    )
+    return classification_report(preds, "gold", "pred")
+
+
+@query(
     "token_count_regex",
     """
 SELECT doc_id,
