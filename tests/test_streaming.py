@@ -485,3 +485,61 @@ def test_streaming_heavy_hitters_superset_of_batch(spark, sf_dir, tmp_path):
             checked += 1
             assert r.token in final.get(r.shard, set()), (r.shard, r.token)
     assert checked > 0, "fixture should produce per-shard heavy hitters"
+
+
+def test_stream_static_enrichment_matches_batch(spark, sf_dir):
+    """enrich_stream_with_dim: a user-dimension lookup on the event
+    stream must produce the same enriched aggregate as the batch join,
+    events with no dimension row survive with NULLs (left join
+    contract), and the per-batch plan broadcasts the dim."""
+    import uuid
+
+    from value_at_risk_spark.streaming.joins import enrich_stream_with_dim
+    from value_at_risk_spark.streaming.windows import read_events_stream
+
+    events = Registry(sf_dir).read(spark, "events")
+    # dimension covering only even user ids — odd ids must survive NULL
+    dim = (
+        events.select("user_id")
+        .distinct()
+        .filter(F.col("user_id") % 2 == 0)
+        .select(
+            "user_id",
+            F.concat(F.lit("seg_"), (F.col("user_id") % 3)).alias("segment"),
+        )
+    )
+    stream = read_events_stream(spark, sf_dir)
+    enriched = enrich_stream_with_dim(stream, dim, on="user_id")
+    agg = enriched.groupBy("segment").agg(
+        F.count(F.lit(1)).alias("n"),
+        F.round(F.sum("value"), 4).alias("total"),
+    )
+    name = f"enrich_{uuid.uuid4().hex[:8]}"
+    q = (
+        agg.writeStream.format("memory")
+        .queryName(name)
+        .outputMode("complete")
+        .trigger(availableNow=True)
+        .start()
+    )
+    assert q.awaitTermination(120)
+    # executed micro-batch plan: the dim lookup must be a broadcast
+    # hash join inside the batch (a streaming frame has no
+    # queryExecution; the StreamingQuery exposes the last one)
+    plan = q._jsq.explainInternal(True)
+    assert "BroadcastHashJoin" in plan
+    got = {r.segment: (r.n, r.total) for r in spark.table(name).collect()}
+
+    exp = {
+        r.segment: (r.n, r.total)
+        for r in events.join(F.broadcast(dim), "user_id", "left")
+        .groupBy("segment")
+        .agg(
+            F.count(F.lit(1)).alias("n"),
+            F.round(F.sum("value"), 4).alias("total"),
+        )
+        .collect()
+    }
+    assert got == exp
+    assert None in got  # un-enriched events preserved
+    assert len(got) > 1

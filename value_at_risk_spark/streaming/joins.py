@@ -52,3 +52,31 @@ def interval_join_streams(
         & (F.col(f"r_{ts_col}") <= F.col(f"l_{ts_col}"))
     )
     return l.join(r, cond, "inner")
+
+
+def enrich_stream_with_dim(
+    stream: DataFrame,
+    dim: DataFrame,
+    on: str,
+    how: str = "left",
+    broadcast_dim: bool = True,
+) -> DataFrame:
+    """Stream-static enrichment — the dimension-lookup half of every
+    streaming pipeline (events joined to a reference/metadata table).
+
+    Unlike stream-stream joins this is STATELESS: the static side is
+    re-planned per micro-batch (so a dimension refreshed on disk is
+    picked up batch-over-batch when the static frame is a file scan),
+    nothing is watermarked, and no join state accumulates. With
+    ``broadcast_dim`` the lookup ships as a broadcast hash join inside
+    each micro-batch — per-batch cost is one hash build of the dim,
+    zero shuffle of the stream — which is the only sane plan while the
+    dimension fits an executor; disable it to let AQE pick a shuffle
+    join for jumbo dims.
+
+    Left join by default: an event with no dimension row must survive
+    with NULLs (dropping events because metadata lagged is a silent
+    data-loss bug).
+    """
+    d = F.broadcast(dim) if broadcast_dim else dim
+    return stream.join(d, on, how)
