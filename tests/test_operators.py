@@ -1853,3 +1853,73 @@ def test_cms_guarantees_and_mergeability(spark, sf_dir):
     }
     whole = {(r.r, r.c): r.cnt for r in sketch.collect()}
     assert merged == whole
+
+
+def test_ivfpq_index_persist_load_append(spark, sf_dir, tmp_path):
+    """ANN index lifecycle: (a) artifacts round-trip parquet exactly
+    and a search over the LOADED index equals the in-memory search
+    row-for-row; (b) appending a batch encodes against the FROZEN
+    artifacts (no retrain) into the cell-partitioned codes table and
+    the appended vectors are immediately searchable — planted
+    near-dups find their source in a 50-wide shortlist for >=70% of
+    queries (PQ is a shortlist stage on this fixture, matching
+    test_ivfpq_shortlist_recall_and_pruning's contract);
+    (c) a cell-filtered scan of the codes table prunes partitions."""
+    from value_at_risk_spark.operators.annindex import (
+        append_to_ivfpq,
+        load_ivfpq_index,
+        save_ivfpq_index,
+    )
+    from value_at_risk_spark.operators.similarity import ivfpq_build, ivfpq_topk
+    from value_at_risk_spark.queries import _planted_embedding_corpus
+
+    e = spark.read.parquet(f"{sf_dir}/embeddings.parquet")
+    base, planted = _planted_embedding_corpus(e)
+    corpus = base.select(
+        F.col("id").alias("vec_id"), F.col("v").alias("embedding")
+    )
+    cents, books, codes = ivfpq_build(
+        corpus, ncells=8, m=4, ksub=16, iters=2, seed=321
+    )
+    idx_dir = str(tmp_path / "annidx")
+    save_ivfpq_index(spark, idx_dir, cents, books, codes)
+    lcents, lbooks, lcodes = load_ivfpq_index(spark, idx_dir)
+    assert lcents == [[float(x) for x in c] for c in cents]
+    assert lbooks == [[[float(x) for x in v] for v in b] for b in books]
+
+    queries = corpus.filter(F.col("vec_id") % 50 == 0).select(
+        F.col("vec_id").alias("query_id"), "embedding"
+    )
+    mem = {
+        (r.query_id, r.rank): r.neighbor_id
+        for r in ivfpq_topk(queries, codes, cents, books, k=3).collect()
+    }
+    disk = {
+        (r.query_id, r.rank): r.neighbor_id
+        for r in ivfpq_topk(queries, lcodes, lcents, lbooks, k=3).collect()
+    }
+    assert mem == disk and len(mem) > 0
+
+    n_before = lcodes.count()
+    new_batch = planted.select(
+        F.col("id").alias("vec_id"), F.col("v").alias("embedding")
+    )
+    n_new = new_batch.count()
+    append_to_ivfpq(spark, idx_dir, new_batch)
+    _, _, codes2 = load_ivfpq_index(spark, idx_dir)
+    assert codes2.count() == n_before + n_new
+
+    pq = new_batch.select(F.col("vec_id").alias("query_id"), "embedding")
+    hits = ivfpq_topk(pq, codes2, lcents, lbooks, k=50, nprobe=2).collect()
+    found = {
+        r.query_id
+        for r in hits
+        if r.neighbor_id == r.query_id - 1000000
+    }
+    n_q = pq.count()
+    assert len(found) >= 0.7 * n_q
+
+    one_cell = codes2.filter(F.col("_cell") == 0)
+    plan = one_cell._jdf.queryExecution().executedPlan().toString()
+    assert "PartitionFilters: [isnotnull(_cell" in plan or "_cell#" in plan
+    assert one_cell.count() < codes2.count()

@@ -1,0 +1,128 @@
+"""ANN index lifecycle: persist, load, and incrementally extend an
+IVF+PQ index as plain parquet tables.
+
+A production vector index is not rebuilt per query — it is trained
+once, stored, appended to as the corpus grows, and retrained only when
+drift warrants it (the FAISS add/train split). The same split maps
+cleanly onto Spark storage:
+
+- trained artifacts (coarse centroids, PQ sub-codebooks) are TINY
+  (ncells×dim + m×ksub×dim/m floats) and live as small parquet tables;
+- the per-vector payload (cell id + m code ints) is the big table,
+  partitioned by cell so a probe-driven search scans only probed
+  cells' files (partition pruning does the nprobe cut at the STORAGE
+  layer, before any executor touches a row);
+- appending a new batch reuses the frozen artifacts: assign cells,
+  take residuals, encode — one scan of the batch, zero training, an
+  append write. Quantization error on drifted data grows gracefully
+  and is the signal to retrain.
+
+Reference intent: the reference persists model artifacts between
+sessions (02_var_model.py save/load weights); this is the ANN-index
+analogue through the same Registry storage layer.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from value_at_risk_spark.operators.similarity import (
+    nearest_cell_expr,
+    pq_encode,
+)
+from value_at_risk_spark.sources.registry import Registry
+
+
+def save_ivfpq_index(
+    spark: SparkSession,
+    base_dir: str,
+    centroids: list[list[float]],
+    codebooks: list[list[list[float]]],
+    codes_df: DataFrame,
+) -> None:
+    """Persist (centroids, codebooks, codes) under ``base_dir`` as the
+    tables ``ann_centroids`` / ``ann_codebooks`` / ``ann_codes``. The
+    codes table is partitioned by ``_cell`` so nprobe search prunes
+    whole directories."""
+    reg = Registry(base_dir)
+    cent_rows = [(i, [float(x) for x in c]) for i, c in enumerate(centroids)]
+    reg.write(
+        spark.createDataFrame(cent_rows, "cell int, v array<double>"),
+        "ann_centroids",
+        num_files=1,
+    )
+    cb_rows = [
+        (j, c, [float(x) for x in vec])
+        for j, book in enumerate(codebooks)
+        for c, vec in enumerate(book)
+    ]
+    reg.write(
+        spark.createDataFrame(cb_rows, "j int, code int, v array<double>"),
+        "ann_codebooks",
+        num_files=1,
+    )
+    reg.write(codes_df, "ann_codes", partition_keys=["_cell"])
+
+
+def load_ivfpq_index(
+    spark: SparkSession, base_dir: str
+) -> tuple[list[list[float]], list[list[list[float]]], DataFrame]:
+    """Load the trained artifacts (collected — they are kilobytes) and
+    the codes table (LAZY — it is the corpus-sized side and stays a
+    partition-prunable scan)."""
+    reg = Registry(base_dir)
+    cents = [
+        list(r.v)
+        for r in sorted(
+            reg.read(spark, "ann_centroids").collect(), key=lambda r: r.cell
+        )
+    ]
+    cb_rows = reg.read(spark, "ann_codebooks").collect()
+    m = max(r.j for r in cb_rows) + 1
+    books: list[list[list[float]]] = [[] for _ in range(m)]
+    for r in sorted(cb_rows, key=lambda r: (r.j, r.code)):
+        books[r.j].append(list(r.v))
+    codes = reg.read(spark, "ann_codes")
+    return cents, books, codes
+
+
+def append_to_ivfpq(
+    spark: SparkSession,
+    base_dir: str,
+    new_vectors: DataFrame,
+    corpus_id: str = "vec_id",
+    vec_col: str = "embedding",
+) -> None:
+    """Incrementally index a new vector batch against the FROZEN
+    artifacts: nearest-cell assignment + residual + PQ encode (one
+    scan, pure codegen + one small join) and an append write into the
+    cell-partitioned codes table. No retraining, no touch of existing
+    codes — the per-increment cost profile a daily embedding feed
+    needs. Search sees the new vectors on its next scan."""
+    cents, books, _ = load_ivfpq_index(spark, base_dir)
+    cents_lit = F.array(
+        *[F.array(*[F.lit(float(x)) for x in c]) for c in cents]
+    )
+    assigned = new_vectors.select(
+        F.col(corpus_id),
+        F.col(vec_col),
+        nearest_cell_expr(vec_col, cents).alias("_cell"),
+    ).withColumn(
+        "_resid",
+        F.zip_with(
+            F.col(vec_col),
+            F.element_at(cents_lit, F.col("_cell") + 1),
+            lambda a, b: a - b,
+        ),
+    )
+    codes = pq_encode(
+        assigned.select(corpus_id, "_cell", F.col("_resid").alias(vec_col)),
+        books,
+        id_col=corpus_id,
+        vec_col=vec_col,
+    )
+    codes_df = assigned.select(corpus_id, "_cell").join(codes, corpus_id)
+    Registry(base_dir).write(
+        codes_df, "ann_codes", mode="append", partition_keys=["_cell"]
+    )
