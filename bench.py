@@ -75,7 +75,17 @@ BENCH_QUERIES = [
     # broadcast-bounds reconstruct + brute cosine, the oracle-checked
     # ANN representative
     "sq_ann_topk",
+    # round 7 second pass: exact-substring REMOVAL (gram min-agg +
+    # rejoin + anti-join + ordered text rebuild) — the heaviest text
+    # rewrite in the engine, tracked for growth
+    "remove_duplicated_spans",
+    # round 7 second pass: one-scan constraint sweep + RI anti-join —
+    # the audit a pipeline runs before every ingest
+    "data_quality_audit",
 ]
+# (semdedup_planted is deliberately NOT benched: its cost is dominated
+# by seeded k-means training, which would re-run 3x per bench — the
+# embedding family's perf representative is sq_ann_topk)
 
 # frozen per-round query sets: the headline list grows each round, so
 # the full total is NOT comparable across rounds — these subtotals are.
@@ -84,6 +94,7 @@ SUBSETS = {
     "r02_subset_total_sec": BENCH_QUERIES[:15],
     "r03_subset_total_sec": BENCH_QUERIES[:19],
     "r04_subset_total_sec": BENCH_QUERIES[:20],
+    "r07_subset_total_sec": BENCH_QUERIES[:22],
 }
 
 RUNS_PER_QUERY = 3

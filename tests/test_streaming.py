@@ -543,3 +543,36 @@ def test_stream_static_enrichment_matches_batch(spark, sf_dir):
     assert got == exp
     assert None in got  # un-enriched events preserved
     assert len(got) > 1
+
+
+def test_idempotent_sink_vacuum_retention(spark, tmp_path):
+    """IdempotentParquetSink.vacuum: keep_last / before_batch_id
+    retention drops exactly the expected batch dirs plus staging
+    garbage, surviving data reads back intact, and the two modes are
+    mutually exclusive."""
+    import os
+
+    import pytest
+
+    from value_at_risk_spark.streaming.sinks import IdempotentParquetSink
+
+    sink = IdempotentParquetSink(str(tmp_path / "sink"))
+    for b in range(5):
+        sink(spark.range(b * 10, b * 10 + 10).toDF("v"), b)
+    # crash garbage
+    os.makedirs(os.path.join(sink.out_dir, "_tmp_batch_99"))
+
+    with pytest.raises(ValueError):
+        sink.vacuum()
+    with pytest.raises(ValueError):
+        sink.vacuum(keep_last=2, before_batch_id=3)
+
+    removed = sink.vacuum(keep_last=3)
+    assert removed == [0, 1]
+    assert not os.path.exists(os.path.join(sink.out_dir, "_tmp_batch_99"))
+    vals = {r.v for r in sink.read(spark).collect()}
+    assert vals == set(range(20, 50))
+
+    removed = sink.vacuum(before_batch_id=4)
+    assert removed == [2, 3]
+    assert {r.v for r in sink.read(spark).collect()} == set(range(40, 50))

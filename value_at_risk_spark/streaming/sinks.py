@@ -89,3 +89,40 @@ class IdempotentParquetSink:
             .parquet(os.path.join(self.out_dir, "batch_id=*"))
             .drop("batch_id")
         )
+
+
+    def vacuum(self, keep_last: int = None, before_batch_id: int = None) -> list[int]:
+        """Retention cleanup — the VACUUM half of the transactional-sink
+        contract: drop committed batch directories either older than
+        ``before_batch_id`` or beyond the newest ``keep_last`` batches
+        (exactly one of the two must be given).
+
+        Also sweeps unpromoted ``_tmp_batch_*`` staging garbage left by
+        crashes mid-write (always safe: a temp dir is by definition
+        uncommitted). NOTE the interaction with exactly-once replay:
+        never vacuum a batch the streaming checkpoint could still
+        replay (i.e. keep everything at or past the checkpoint's
+        committed offset) — vacuuming it would let a replay RE-COMMIT
+        the batch as new output. Downstream readers see vacuumed
+        batches disappear, which is the retention semantics (same as
+        Delta VACUUM past the retention horizon).
+
+        Returns the batchIds removed, ascending.
+        """
+        if (keep_last is None) == (before_batch_id is None):
+            raise ValueError("vacuum: pass exactly one of keep_last / before_batch_id")
+        ids = sorted(
+            int(e.name.split("=", 1)[1])
+            for e in os.scandir(self.out_dir)
+            if e.is_dir() and e.name.startswith("batch_id=")
+        )
+        if keep_last is not None:
+            doomed = ids[:-keep_last] if keep_last > 0 else ids
+        else:
+            doomed = [i for i in ids if i < before_batch_id]
+        for i in doomed:
+            shutil.rmtree(self._batch_dir(i))
+        for e in os.scandir(self.out_dir):
+            if e.is_dir() and e.name.startswith("_tmp_batch_"):
+                shutil.rmtree(e.path)
+        return doomed
