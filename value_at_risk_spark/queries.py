@@ -5836,6 +5836,55 @@ def train_val_test_split(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @query(
+    "corpus_version_diff",
+    """
+WITH v1 AS (SELECT doc_id, md5(text) AS h FROM documents),
+v2 AS (
+  SELECT doc_id, md5(text || ' v2') AS h FROM documents
+  WHERE doc_id % 17 <> 0 AND doc_id % 13 = 0
+  UNION ALL
+  SELECT doc_id, md5(text) FROM documents
+  WHERE doc_id % 17 <> 0 AND doc_id % 13 <> 0
+  UNION ALL
+  SELECT doc_id + 5000000, md5(text) FROM documents WHERE doc_id % 11 = 0
+)
+SELECT COALESCE(a.doc_id, b.doc_id) AS doc_id,
+       CASE WHEN a.doc_id IS NULL THEN 'added'
+            WHEN b.doc_id IS NULL THEN 'removed'
+            WHEN a.h <> b.h THEN 'modified'
+            ELSE 'unchanged' END AS status
+FROM v1 a FULL OUTER JOIN v2 b ON a.doc_id = b.doc_id
+""",
+)
+def corpus_version_diff(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Dataset-version diff (operators/diff.snapshot_diff): corpus v2
+    is derived deterministically from the fixture (docs %17 dropped,
+    %13 edited, %11 re-added under new ids) and every id is classified
+    added / removed / modified / unchanged by ONE full-outer hash join
+    over (id, md5-fingerprint) pairs — payload bytes never enter the
+    shuffle, which is what makes diffing two 100 TB snapshots an
+    id-keyed join of 16-byte digests instead of a content compare."""
+    from value_at_risk_spark.operators.diff import snapshot_diff
+
+    d = _t(spark, sf_dir, "documents")
+    v2 = (
+        d.filter((F.col("doc_id") % 17 != 0) & (F.col("doc_id") % 13 == 0))
+        .select("doc_id", F.concat("text", F.lit(" v2")).alias("text"))
+        .unionByName(
+            d.filter(
+                (F.col("doc_id") % 17 != 0) & (F.col("doc_id") % 13 != 0)
+            ).select("doc_id", "text")
+        )
+        .unionByName(
+            d.filter(F.col("doc_id") % 11 == 0).select(
+                (F.col("doc_id") + 5000000).alias("doc_id"), "text"
+            )
+        )
+    )
+    return snapshot_diff(d.select("doc_id", "text"), v2)
+
+
+@query(
     "cms_token_frequency",
     """
 WITH toks AS (
