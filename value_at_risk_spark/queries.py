@@ -1213,6 +1213,93 @@ def simhash_fingerprints(spark: SparkSession, sf_dir: str) -> DataFrame:
     return simhash(_t(spark, sf_dir, "documents"))
 
 
+@query(
+    "simhash_fingerprints_md5",
+    """
+WITH toks AS (
+  SELECT DISTINCT doc_id, t
+  FROM (SELECT doc_id,
+               UNNEST(list_filter(string_split(lower(text),' '), x -> x <> '')) AS t
+        FROM documents)
+),
+h AS (
+  SELECT doc_id,
+         ('0x' || substring(md5(t), 1, 8))::UBIGINT AS hi,
+         ('0x' || substring(md5(t), 9, 8))::UBIGINT AS lo
+  FROM toks
+),
+votes AS (
+  SELECT doc_id, b,
+         SUM(CASE WHEN b < 32
+                  THEN CASE WHEN (lo >> b) & 1 = 1 THEN 1 ELSE -1 END
+                  ELSE CASE WHEN (hi >> (b - 32)) & 1 = 1 THEN 1 ELSE -1 END
+             END) AS v
+  FROM h, UNNEST(range(0, 64)) AS q(b)
+  GROUP BY 1, 2
+)
+SELECT doc_id,
+       CAST(SUM(CASE WHEN v > 0 AND b >= 32 THEN (1::UBIGINT << (b - 32))
+                     ELSE 0 END) AS BIGINT) AS fp_hi,
+       CAST(SUM(CASE WHEN v > 0 AND b < 32 THEN (1::UBIGINT << b)
+                     ELSE 0 END) AS BIGINT) AS fp_lo
+FROM votes GROUP BY doc_id
+""",
+)
+def simhash_fingerprints_md5(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SimHash with a CROSS-ENGINE hash family — the oracle-checked
+    twin of simhash_fingerprints: per-token md5 split into two 32-bit
+    halves (the ANSI-safe integer idiom — a full 64-bit unsigned hash
+    overflows a signed BIGINT cast on both engines), 64 bit-votes as
+    conditional sums in ONE hash-agg pass, fingerprint emitted as
+    (fp_hi, fp_lo) 32-bit words. Semantically identical to the
+    xxhash64 production path (any balanced hash family gives SimHash
+    its Hamming-locality property); the md5 variant exists so the
+    driver gate can value-hash the fingerprints themselves instead of
+    counting rows. Same plan shape either way: explode distinct
+    tokens, one grouped 64-way conditional sum, zero joins."""
+    d = _t(spark, sf_dir, "documents")
+    from value_at_risk_spark.functions.text import tokens as _tokens
+
+    tok = d.select(
+        "doc_id", F.explode(F.array_distinct(_tokens("text"))).alias("_t")
+    ).select(
+        "doc_id",
+        F.conv(F.substring(F.md5("_t"), 1, 8), 16, 10)
+        .cast("long")
+        .alias("_hi"),
+        F.conv(F.substring(F.md5("_t"), 9, 8), 16, 10)
+        .cast("long")
+        .alias("_lo"),
+    )
+    votes = tok.groupBy("doc_id").agg(
+        *[
+            F.sum(
+                F.when(
+                    F.shiftright(F.col("_lo" if b < 32 else "_hi"), b % 32)
+                    .bitwiseAND(F.lit(1))
+                    == 1,
+                    1,
+                ).otherwise(-1)
+            ).alias(f"_v{b}")
+            for b in range(64)
+        ]
+    )
+    fp_lo = None
+    fp_hi = None
+    for b in range(32):
+        bit_lo = F.when(F.col(f"_v{b}") > 0, F.lit(1 << b)).otherwise(F.lit(0))
+        bit_hi = F.when(F.col(f"_v{b + 32}") > 0, F.lit(1 << b)).otherwise(
+            F.lit(0)
+        )
+        fp_lo = bit_lo if fp_lo is None else fp_lo.bitwiseOR(bit_lo)
+        fp_hi = bit_hi if fp_hi is None else fp_hi.bitwiseOR(bit_hi)
+    return votes.select(
+        "doc_id",
+        fp_hi.cast("long").alias("fp_hi"),
+        fp_lo.cast("long").alias("fp_lo"),
+    )
+
+
 @query("ann_lsh_topk")
 def ann_lsh_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Approximate NN via random-hyperplane LSH buckets + exact re-rank
