@@ -1923,3 +1923,39 @@ def test_ivfpq_index_persist_load_append(spark, sf_dir, tmp_path):
     plan = one_cell._jdf.queryExecution().executedPlan().toString()
     assert "PartitionFilters: [isnotnull(_cell" in plan or "_cell#" in plan
     assert one_cell.count() < codes2.count()
+
+
+def test_funnel_strict_ordering(spark):
+    """funnel_report: conversions require each stage strictly AFTER the
+    previous stage's first occurrence — a purchase before the first
+    view never counts; repeat events anchor on the earliest valid one."""
+    from datetime import datetime
+
+    from value_at_risk_spark.operators.funnel import funnel_report
+
+    t = lambda m: datetime(2026, 1, 1, 0, m)  # noqa: E731
+    rows = [
+        # u1: full ordered funnel
+        (1, t(0), "view"), (1, t(1), "click"), (1, t(2), "purchase"),
+        # u2: purchase BEFORE view -> stops at click
+        (2, t(0), "purchase"), (2, t(1), "view"), (2, t(2), "click"),
+        # u3: click before view, none after -> stops at view
+        (3, t(0), "click"), (3, t(1), "view"),
+        # u4: never views -> not even stage 1
+        (4, t(0), "click"), (4, t(1), "purchase"),
+        # u5: repeats; second click after view anchors the purchase
+        (5, t(0), "click"), (5, t(1), "view"), (5, t(2), "click"),
+        (5, t(3), "purchase"),
+    ]
+    events = spark.createDataFrame(
+        rows, "user_id long, ts timestamp, event_type string"
+    )
+    got = {
+        r.stage: (r.n_users, r.conversion)
+        for r in funnel_report(events, ["view", "click", "purchase"]).collect()
+    }
+    assert got["view"] == (4, None)          # u1, u2, u3, u5
+    assert got["click"][0] == 3              # u1, u2, u5
+    assert got["purchase"][0] == 2           # u1, u5
+    assert abs(got["click"][1] - 0.75) < 1e-9
+    assert abs(got["purchase"][1] - 2 / 3) < 1e-6

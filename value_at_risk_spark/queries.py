@@ -5923,6 +5923,52 @@ def train_val_test_split(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @query(
+    "user_funnel_conversion",
+    """
+WITH s1 AS (
+  SELECT user_id, MIN(ts) AS t FROM events WHERE event_type = 'view' GROUP BY 1
+),
+s2 AS (
+  SELECT e.user_id, MIN(e.ts) AS t
+  FROM events e JOIN s1 ON e.user_id = s1.user_id
+  WHERE e.event_type = 'click' AND e.ts > s1.t GROUP BY 1
+),
+s3 AS (
+  SELECT e.user_id, MIN(e.ts) AS t
+  FROM events e JOIN s2 ON e.user_id = s2.user_id
+  WHERE e.event_type = 'purchase' AND e.ts > s2.t GROUP BY 1
+),
+n AS (SELECT (SELECT COUNT(*) FROM s1) AS n1,
+             (SELECT COUNT(*) FROM s2) AS n2,
+             (SELECT COUNT(*) FROM s3) AS n3)
+SELECT 'view' AS stage, 1 AS stage_order, CAST(n1 AS BIGINT) AS n_users,
+       CAST(NULL AS DOUBLE) AS conversion FROM n
+UNION ALL
+SELECT 'click', 2, CAST(n2 AS BIGINT), ROUND(n2 * 1.0 / NULLIF(n1, 0), 6) + 0 FROM n
+UNION ALL
+SELECT 'purchase', 3, CAST(n3 AS BIGINT), ROUND(n3 * 1.0 / NULLIF(n2, 0), 6) + 0 FROM n
+""",
+)
+def user_funnel_conversion(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Ordered-stage funnel (view → click → purchase): each stage
+    anchors on the user's FIRST qualifying event STRICTLY AFTER the
+    previous stage's anchor (operators/funnel.py) — a purchase that
+    precedes the first view is correctly not a conversion. Every
+    shuffle in the stage chain is keyed on user_id and the anchor
+    table only shrinks; the report is three scalar counts + ratios."""
+    from value_at_risk_spark.operators.funnel import funnel_report
+
+    e = _t(spark, sf_dir, "events")
+    out = funnel_report(e, ["view", "click", "purchase"])
+    return out.select(
+        "stage",
+        F.col("stage_order").cast("int").alias("stage_order"),
+        "n_users",
+        "conversion",
+    )
+
+
+@query(
     "corpus_version_diff",
     """
 WITH v1 AS (SELECT doc_id, md5(text) AS h FROM documents),
