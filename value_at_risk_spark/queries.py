@@ -5923,6 +5923,80 @@ def train_val_test_split(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @query(
+    "lm_perplexity_scores",
+    """
+WITH docs AS (
+  SELECT doc_id, list_filter(string_split(lower(text),' '), x -> x <> '') AS ts
+  FROM documents
+),
+big AS (
+  SELECT doc_id, ts[i] AS w1, ts[i+1] AS w2
+  FROM docs, UNNEST(range(1, len(ts))) AS t(i)
+  WHERE len(ts) >= 2
+),
+c2 AS (SELECT w1, w2, COUNT(*) AS n2 FROM big GROUP BY 1, 2),
+c1 AS (SELECT w1, COUNT(*) AS n1 FROM big GROUP BY 1),
+v AS (SELECT COUNT(DISTINCT t) AS nv
+      FROM (SELECT UNNEST(ts) AS t FROM docs))
+SELECT b.doc_id,
+       CAST(COUNT(*) AS BIGINT) AS n_bigrams,
+       ROUND(AVG(-LN((c2.n2 + 1.0) / (c1.n1 + v.nv))), 6) + 0
+         AS avg_neg_logprob
+FROM big b
+JOIN c2 ON b.w1 = c2.w1 AND b.w2 = c2.w2
+JOIN c1 ON b.w1 = c1.w1
+CROSS JOIN v
+GROUP BY 1
+""",
+)
+def lm_perplexity_scores(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Language-model quality scoring (the CCNet/KenLM filter pattern):
+    train an add-one-smoothed bigram LM on the corpus in ONE pass
+    (bigram + context count aggregates), then score every document by
+    its mean negative log-probability — low = fluent/templated, high =
+    noise; curation keeps the middle band. Plan shape: the bigram
+    stream reduces by (w1,w2) and by w1 with map-side partials, the
+    scoring join is keyed on those same columns (co-partitioned after
+    the count shuffles), the vocabulary size is a 1-row broadcast, and
+    the per-doc score is a final doc-keyed agg — every stage is an
+    equi-keyed reduction, no windows, no driver state; at 100 TB the
+    count tables are exactly what a distributed KenLM build emits."""
+    from value_at_risk_spark.functions.text import tokens
+
+    d = _t(spark, sf_dir, "documents")
+    toks = d.select("doc_id", tokens("text").alias("ts"))
+    big = toks.filter(F.size("ts") >= 2).select(
+        "doc_id",
+        F.explode(
+            F.transform(
+                F.sequence(F.lit(1), F.size("ts") - 1),
+                lambda i: F.struct(
+                    F.element_at("ts", i).alias("w1"),
+                    F.element_at("ts", i + 1).alias("w2"),
+                ),
+            )
+        ).alias("b"),
+    ).select("doc_id", F.col("b.w1").alias("w1"), F.col("b.w2").alias("w2"))
+    c2 = big.groupBy("w1", "w2").agg(F.count(F.lit(1)).alias("n2"))
+    c1 = big.groupBy("w1").agg(F.count(F.lit(1)).alias("n1"))
+    v = (
+        toks.select(F.explode("ts").alias("t"))
+        .agg(F.count_distinct("t").alias("nv"))
+    )
+    neg_lp = -F.log((F.col("n2") + 1.0) / (F.col("n1") + F.col("nv")))
+    return (
+        big.join(c2, ["w1", "w2"])
+        .join(c1, "w1")
+        .crossJoin(F.broadcast(v))
+        .groupBy("doc_id")
+        .agg(
+            F.count(F.lit(1)).alias("n_bigrams"),
+            (F.round(F.avg(neg_lp), 6) + F.lit(0.0)).alias("avg_neg_logprob"),
+        )
+    )
+
+
+@query(
     "user_funnel_conversion",
     """
 WITH s1 AS (
