@@ -1959,3 +1959,58 @@ def test_funnel_strict_ordering(spark):
     assert got["purchase"][0] == 2           # u1, u5
     assert abs(got["click"][1] - 0.75) < 1e-9
     assert abs(got["purchase"][1] - 2 / 3) < 1e-6
+
+
+def test_bpe_train_matches_reference_implementation(spark):
+    """bpe_train == a pure-Python greedy BPE with identical semantics
+    (word-frequency weighting, overlapping adjacent pairs, ties by
+    lexicographic pair, left-to-right greedy rewrite) — merge-for-merge
+    over 8 rounds on a corpus exercising repeats, ties, and
+    single-char words."""
+    from collections import Counter
+
+    from value_at_risk_spark.operators.bpe import bpe_train
+
+    texts = [
+        "low low low lower lowest",
+        "new newer newest low",
+        "aaa banana bandana a",
+    ]
+
+    def py_bpe(texts, rounds):
+        wf = Counter(w for t in texts for w in t.lower().split() if w)
+        seg = {w: list(w) for w in wf}
+        out = []
+        for _ in range(rounds):
+            pc = Counter()
+            for w, syms in seg.items():
+                for i in range(len(syms) - 1):
+                    pc[(syms[i], syms[i + 1])] += wf[w]
+            if not pc:
+                break
+            (a, b), n = min(
+                pc.items(), key=lambda kv: (-kv[1], kv[0][0], kv[0][1])
+            )
+            out.append((a, b, n))
+            for w, syms in seg.items():
+                new, i = [], 0
+                while i < len(syms):
+                    if (
+                        new
+                        and new[-1] == a
+                        and syms[i] == b
+                    ):
+                        new[-1] = a + b
+                        i += 1
+                    else:
+                        new.append(syms[i])
+                        i += 1
+                seg[w] = new
+        return out
+
+    docs = spark.createDataFrame(
+        [(i, t) for i, t in enumerate(texts)], "doc_id long, text string"
+    )
+    got = bpe_train(docs, num_merges=8)
+    exp = py_bpe(texts, 8)
+    assert got == exp and len(got) == 8

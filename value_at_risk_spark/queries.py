@@ -5922,6 +5922,22 @@ def train_val_test_split(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+@query("bpe_merges_corpus")
+def bpe_merges_corpus(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """BPE tokenizer training over the corpus (rows-only by driver
+    contract: the merge loop is iterative, outside SQL's reach; exact
+    merge-for-merge parity with a pure-Python reference BPE is pinned
+    in test_operators): 12 merge rounds on the distinct-word frequency
+    table — the corpus is reduced ONCE, each round is one hash-agg
+    over the vocabulary plus a single argmax row to the driver, ties
+    lexicographic so the table is deterministic under any
+    partitioning. operators/bpe.py."""
+    from value_at_risk_spark.operators.bpe import bpe_merge_table
+
+    d = _t(spark, sf_dir, "documents")
+    return bpe_merge_table(d, num_merges=12)
+
+
 @query(
     "lm_perplexity_scores",
     """
