@@ -6257,6 +6257,130 @@ def bm25_relevance_scores(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @query(
+    "apply_corpus_mix",
+    """
+WITH cells AS (
+  SELECT source,
+         CAST(COUNT(*) AS BIGINT) AS n_docs,
+         CAST(SUM(len(list_filter(string_split(lower(text),' '),
+                                  x -> x <> ''))) AS BIGINT) AS n_tokens
+  FROM documents GROUP BY 1
+),
+tot AS (SELECT SUM(n_tokens) AS all_toks, SUM(n_docs) AS all_docs FROM cells),
+raised AS (
+  SELECT cells.*, tot.all_docs,
+         POWER(n_tokens * 1.0 / tot.all_toks, 0.5) AS q_un
+  FROM cells, tot
+),
+z AS (SELECT SUM(q_un) AS z FROM raised),
+tgt AS (
+  SELECT source, n_docs,
+         CAST(ROUND(q_un / (SELECT z FROM z) * all_docs) AS BIGINT) AS target_docs
+  FROM raised
+),
+ranked AS (
+  SELECT d.doc_id, d.source,
+         ROW_NUMBER() OVER (
+           PARTITION BY d.source
+           ORDER BY md5(CAST(d.doc_id AS VARCHAR)), d.doc_id
+         ) AS r
+  FROM documents d
+),
+cop AS (
+  SELECT ranked.doc_id, ranked.source,
+         t.target_docs // t.n_docs
+           + CASE WHEN r <= t.target_docs % t.n_docs THEN 1 ELSE 0 END AS copies
+  FROM ranked JOIN tgt t USING (source)
+),
+resampled AS (
+  SELECT doc_id, source
+  FROM cop, UNNEST(range(1, copies + 1)) AS u(i)
+  WHERE copies > 0
+)
+SELECT t.source, t.n_docs, t.target_docs,
+       CAST(COUNT(res.doc_id) AS BIGINT) AS n_resampled
+FROM tgt t LEFT JOIN resampled res ON res.source = t.source
+GROUP BY 1, 2, 3
+""",
+)
+def apply_corpus_mix(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """MATERIALIZE the temperature mix (the apply step after
+    temperature_mix_weights): per-source doc targets from the α=0.5
+    re-weighting, then EXACT-count deterministic resampling — every doc
+    gets floor(target/n) copies and the remainder goes to the docs with
+    the smallest md5 rank within their source (repartition-invariant,
+    reproducible under retries), so SUM(copies) equals the target
+    EXACTLY, not in expectation. The exploded resample is produced and
+    re-aggregated so the gate checks the materialization itself. Scale
+    shape: one corpus scan for stats, |sources|-row broadcasts, one
+    rank window per source (sources are few; the huge-group escape is
+    operators/sampling's two-phase bottom-k), explode bounded by
+    copies."""
+    from value_at_risk_spark.functions.text import tokens
+
+    alpha = 0.5
+    d = _t(spark, sf_dir, "documents")
+    cells = (
+        d.select("source", F.size(tokens("text")).alias("n_toks"))
+        .groupBy("source")
+        .agg(
+            F.count(F.lit(1)).alias("n_docs"),
+            F.sum("n_toks").alias("n_tokens"),
+        )
+    )
+    tot = cells.groupBy().agg(
+        F.sum("n_tokens").alias("all_toks"), F.sum("n_docs").alias("all_docs")
+    )
+    raised = cells.crossJoin(F.broadcast(tot)).withColumn(
+        "q_un", F.pow(F.col("n_tokens") / F.col("all_toks"), F.lit(alpha))
+    )
+    z = raised.groupBy().agg(F.sum("q_un").alias("z"))
+    tgt = raised.crossJoin(F.broadcast(z)).select(
+        "source",
+        "n_docs",
+        F.round(F.col("q_un") / F.col("z") * F.col("all_docs"))
+        .cast("long")
+        .alias("target_docs"),
+    )
+    w = Window.partitionBy("source").orderBy(
+        F.md5(F.col("doc_id").cast("string")), F.col("doc_id")
+    )
+    ranked = d.select("doc_id", "source").withColumn(
+        "r", F.row_number().over(w)
+    )
+    cop = ranked.join(F.broadcast(tgt), "source").select(
+        "doc_id",
+        "source",
+        (
+            F.expr("target_docs div n_docs")
+            + F.when(
+                F.col("r") <= F.col("target_docs") % F.col("n_docs"), 1
+            ).otherwise(0)
+        ).alias("copies"),
+    )
+    resampled = cop.filter(F.col("copies") > 0).select(
+        "doc_id",
+        "source",
+        F.explode(F.sequence(F.lit(1), F.col("copies"))).alias("i"),
+    )
+    return (
+        tgt.join(
+            resampled.groupBy("source").agg(
+                F.count(F.lit(1)).alias("n_resampled")
+            ),
+            "source",
+            "left",
+        )
+        .select(
+            "source",
+            "n_docs",
+            "target_docs",
+            F.coalesce("n_resampled", F.lit(0)).cast("long").alias("n_resampled"),
+        )
+    )
+
+
+@query(
     "temperature_mix_weights",
     """
 WITH cells AS (
