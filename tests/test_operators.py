@@ -2014,3 +2014,50 @@ def test_bpe_train_matches_reference_implementation(spark):
     got = bpe_train(docs, num_merges=8)
     exp = py_bpe(texts, 8)
     assert got == exp and len(got) == 8
+
+
+def test_fuzzy_join_deletion_blocking_complete(spark):
+    """fuzzy_join_dist1: the deletion-neighborhood blocking catches
+    every distance-1 pair class — substitution, insertion, deletion,
+    first/last-char edits, repeated-char strings — and rejects
+    distance-2 and equal strings; equals brute-force Levenshtein on a
+    random vocabulary; candidate equi-join plan has no cartesian."""
+    import itertools
+    import random
+
+    from value_at_risk_spark.operators.fuzzy import fuzzy_join_dist1
+
+    def lev(a, b):
+        dp = list(range(len(b) + 1))
+        for i, ca in enumerate(a, 1):
+            prev, dp[0] = dp[0], i
+            for j, cb in enumerate(b, 1):
+                prev, dp[j] = dp[j], min(
+                    dp[j] + 1, dp[j - 1] + 1, prev + (ca != cb)
+                )
+        return dp[len(b)]
+
+    rng = random.Random(7)
+    vocab = {"abc", "abd", "ab", "abcd", "xabc", "aabc", "zzzz", "aaa", "aa"}
+    while len(vocab) < 120:
+        vocab.add("".join(rng.choice("abcx") for _ in range(rng.randint(2, 6))))
+    vocab = sorted(vocab)
+    df = spark.createDataFrame([(v,) for v in vocab], "s string")
+    got = {
+        (r.name_a, r.name_b)
+        for r in fuzzy_join_dist1(df, df, "s").collect()
+    }
+    exp = {
+        (a, b)
+        for a, b in itertools.product(vocab, vocab)
+        if a != b and lev(a, b) == 1
+    }
+    assert got == exp and len(exp) > 0
+
+    plan = (
+        fuzzy_join_dist1(df, df, "s")
+        ._jdf.queryExecution()
+        .executedPlan()
+        .toString()
+    )
+    assert "CartesianProduct" not in plan

@@ -6013,6 +6013,32 @@ def lm_perplexity_scores(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @query(
+    "fuzzy_name_matches",
+    """
+SELECT a.c_name AS name_a, b.c_name AS name_b
+FROM (SELECT c_name FROM customer WHERE c_custkey % 10 = 0) a,
+     (SELECT c_name FROM customer) b
+WHERE a.c_name <> b.c_name AND levenshtein(a.c_name, b.c_name) = 1
+""",
+)
+def fuzzy_name_matches(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Fuzzy entity matching at distance 1 (operators/fuzzy.py,
+    SymSpell symmetric-delete blocking): every probe customer name
+    (custkey % 10 = 0) against the full name table. The DuckDB twin is
+    the BRUTE-FORCE O(N·M) Levenshtein cross join, so hash equality
+    proves the deletion-key blocking loses nothing — while the engine
+    plan is an equi-join on neighborhood keys with the exact predicate
+    only on collisions (candidate volume ≈ true matches + same-key
+    noise, not N·M). At 100 TB the key join is the only shuffle and
+    the probe side broadcasts when small."""
+    from value_at_risk_spark.operators.fuzzy import fuzzy_join_dist1
+
+    c = _t(spark, sf_dir, "customer")
+    probes = c.filter(F.col("c_custkey") % 10 == 0)
+    return fuzzy_join_dist1(probes, c, "c_name")
+
+
+@query(
     "user_funnel_conversion",
     """
 WITH s1 AS (
