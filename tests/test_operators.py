@@ -2061,3 +2061,49 @@ def test_fuzzy_join_deletion_blocking_complete(spark):
         .toString()
     )
     assert "CartesianProduct" not in plan
+
+
+def test_bpe_encode_matches_training_segmentation(spark):
+    """bpe_token_counts: encoding the training corpus with the induced
+    merge table reproduces the reference segmentation's token counts,
+    and more merges never increase a document's token count
+    (monotonicity of compression on the training corpus)."""
+    from value_at_risk_spark.operators.bpe import bpe_token_counts, bpe_train
+
+    texts = [
+        "low low low lower lowest",
+        "new newer newest low",
+        "aaa banana bandana a",
+    ]
+    docs = spark.createDataFrame(
+        [(i, t) for i, t in enumerate(texts)], "doc_id long, text string"
+    )
+    merges = bpe_train(docs, num_merges=6)
+
+    def py_segment(word, merges):
+        syms = list(word)
+        for a, b, _ in merges:
+            new = []
+            for s in syms:
+                if new and new[-1] == a and s == b:
+                    new[-1] = a + b
+                else:
+                    new.append(s)
+            syms = new
+        return syms
+
+    exp = {
+        i: sum(len(py_segment(w, merges)) for w in t.lower().split())
+        for i, t in enumerate(texts)
+    }
+    got = {
+        r.doc_id: r.n_bpe_tokens
+        for r in bpe_token_counts(docs, merges).collect()
+    }
+    assert got == exp
+
+    fewer = {
+        r.doc_id: r.n_bpe_tokens
+        for r in bpe_token_counts(docs, merges[:2]).collect()
+    }
+    assert all(got[k] <= fewer[k] for k in got)

@@ -113,3 +113,51 @@ def bpe_merge_table(
     return spark.createDataFrame(
         rows, "rank int, left string, right string, pair_count long"
     )
+
+
+def bpe_segment_words(
+    words: DataFrame,
+    merges: list[tuple[str, str, int]] | list[tuple[str, str]],
+    word_col: str = "word",
+) -> DataFrame:
+    """Apply a merge table to a word table: (word, sym array<string>).
+    Merges apply in rank order, each a greedy left-to-right fold —
+    identical semantics to training, so encoding the training corpus
+    reproduces the training segmentation. Checkpointed every few
+    merges to keep the fold-chain expression tree flat."""
+    seg = words.select(word_col, F.split(word_col, "").alias("sym"))
+    for idx, m in enumerate(merges):
+        a, b = m[0], m[1]
+        seg = seg.select(
+            word_col, _merge_pair_expr(F.col("sym"), a, b, a + b).alias("sym")
+        )
+        if (idx + 1) % 4 == 0:
+            seg = seg.localCheckpoint()
+    return seg
+
+
+def bpe_token_counts(
+    docs: DataFrame,
+    merges: list[tuple[str, str, int]] | list[tuple[str, str]],
+    text_col: str = "text",
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """Per-document BPE token counts under a merge table: the corpus
+    explodes to (doc, word), the segmentation JOINS IN from the
+    distinct-word table (broadcast — the vocabulary is small relative
+    to any corpus worth tokenizing), and a doc-keyed sum reduces.
+    Output: (doc_id, n_words, n_bpe_tokens)."""
+    from value_at_risk_spark.functions.text import tokens
+
+    dw = docs.select(
+        F.col(id_col), F.explode(tokens(text_col)).alias("word")
+    )
+    seg = bpe_segment_words(dw.select("word").distinct(), merges)
+    return (
+        dw.join(F.broadcast(seg), "word")
+        .groupBy(id_col)
+        .agg(
+            F.count(F.lit(1)).alias("n_words"),
+            F.sum(F.size("sym")).cast("long").alias("n_bpe_tokens"),
+        )
+    )
