@@ -6391,8 +6391,10 @@ def apply_corpus_mix(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     return (
         tgt.join(
-            resampled.groupBy("source").agg(
-                F.count(F.lit(1)).alias("n_resampled")
+            F.broadcast(
+                resampled.groupBy("source").agg(
+                    F.count(F.lit(1)).alias("n_resampled")
+                )
             ),
             "source",
             "left",
