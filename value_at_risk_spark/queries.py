@@ -1196,6 +1196,66 @@ def mc_simulate_market(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+@query(
+    "minhash_signatures_md5",
+    """
+WITH docs AS (
+  SELECT doc_id,
+         list_filter(string_split(lower(text),' '), x -> x <> '') AS ts
+  FROM documents
+),
+sh AS (
+  SELECT DISTINCT doc_id,
+         ts[i] || ' ' || ts[i+1] || ' ' || ts[i+2] AS s
+  FROM docs, UNNEST(range(1, len(ts) - 1)) AS t(i)
+  WHERE len(ts) >= 3
+)
+SELECT doc_id,
+       """
+    + ",\n       ".join(
+        "CAST(MIN(('0x' || substring(md5(s || '#%d'), 1, 8))::UBIGINT) "
+        "AS BIGINT) AS h%d" % (i, i)
+        for i in range(8)
+    )
+    + """
+FROM sh GROUP BY doc_id
+""",
+)
+def minhash_signatures_md5(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """MinHash signatures with a CROSS-ENGINE hash family — the
+    oracle-checked twin of the xxhash64 production signatures (any
+    min-wise hash family gives MinHash its Jaccard-estimator property;
+    md5-32bit makes the DuckDB twin compute the identical minima, so
+    the gate value-hashes the signatures themselves). Plan shape
+    matches the production path: distinct 3-shingles explode once, all
+    8 min-aggregates ride ONE hash-agg with map-side partials — the
+    shuffle carries docs × 8 longs."""
+    from value_at_risk_spark.functions.text import shingles, tokens
+
+    d = _t(spark, sf_dir, "documents")
+    sh = (
+        d.filter(F.size(tokens("text")) >= 3)
+        .select(
+            "doc_id",
+            F.explode(F.array_distinct(shingles("text", 3))).alias("s"),
+        )
+    )
+    return sh.groupBy("doc_id").agg(
+        *[
+            F.min(
+                F.conv(
+                    F.substring(
+                        F.md5(F.concat(F.col("s"), F.lit(f"#{i}"))), 1, 8
+                    ),
+                    16,
+                    10,
+                ).cast("long")
+            ).alias(f"h{i}")
+            for i in range(8)
+        ]
+    )
+
+
 @query("minhash_lsh_pairs")
 def minhash_lsh_pairs_q(spark: SparkSession, sf_dir: str) -> DataFrame:
     """MinHash + LSH banding near-dup candidates (north-star dedup):
