@@ -524,6 +524,169 @@ def var99_by_series(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @query(
+    "ewma_volatility",
+    "WITH "
+    + SQL_RETS
+    + """,
+idx AS (
+  SELECT series, d, ret,
+         ROW_NUMBER() OVER (PARTITION BY series ORDER BY d) AS rn
+  FROM rets
+),
+n AS (SELECT series, MAX(rn) AS nmax FROM idx GROUP BY 1)
+SELECT idx.series,
+       CAST(MAX(nmax) AS BIGINT) AS n_obs,
+       ROUND(SQRT(SUM(POWER(0.94, nmax - rn) * ret * ret) * 0.06), 6) + 0
+         AS ewma_vol
+FROM idx JOIN n ON idx.series = n.series
+GROUP BY idx.series
+""",
+)
+def ewma_volatility(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """RiskMetrics EWMA volatility (λ=0.94 — the J.P. Morgan daily
+    decay standard): σ² = (1−λ)·Σ λ^(n−i)·r_i², the exponentially-
+    weighted alternative to the reference's equal-weight trailing
+    windows (01_var_market_etl.py's 90-day volatility). The recursion
+    unrolls to one weighted sum per series: a row-number window over
+    the per-series return frame, then a single grouped aggregate —
+    weights older than ~350 days underflow to zero identically on both
+    engines, so no truncation horizon is needed."""
+    rets = daily_returns(spark, sf_dir)
+    w = Window.partitionBy("series").orderBy("d")
+    idx = rets.withColumn("rn", F.row_number().over(w))
+    nmax = idx.groupBy("series").agg(F.max("rn").alias("nmax"))
+    return (
+        idx.join(F.broadcast(nmax), "series")
+        .groupBy("series")
+        .agg(
+            F.max("nmax").cast("long").alias("n_obs"),
+            (
+                F.round(
+                    F.sqrt(
+                        F.sum(
+                            F.pow(F.lit(0.94), F.col("nmax") - F.col("rn"))
+                            * F.col("ret")
+                            * F.col("ret")
+                        )
+                        * F.lit(0.06)
+                    ),
+                    6,
+                )
+                + F.lit(0.0)
+            ).alias("ewma_vol"),
+        )
+    )
+
+
+@query(
+    "max_drawdown_by_series",
+    "WITH "
+    + SQL_DAILY
+    + """,
+cm AS (
+  SELECT series, d, price,
+         MAX(price) OVER (PARTITION BY series ORDER BY d
+                          ROWS UNBOUNDED PRECEDING) AS peak
+  FROM daily
+)
+SELECT series,
+       CAST(COUNT(*) AS BIGINT) AS n_days,
+       ROUND(MIN(price / peak - 1), 6) + 0 AS max_drawdown
+FROM cm GROUP BY 1
+""",
+)
+def max_drawdown_by_series(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Maximum drawdown per series — the peak-to-trough risk metric
+    every market-risk report carries beside VaR: running peak via a
+    cumulative-max window, drawdown = price/peak − 1, one grouped min.
+    Same one-window-one-agg shape as the Basel breach queries; the
+    window is per-series so 10 000 series parallelize as 10 000
+    independent partitions."""
+    daily = daily_prices(spark, sf_dir)
+    w = (
+        Window.partitionBy("series")
+        .orderBy("d")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    cm = daily.withColumn("peak", F.max("price").over(w))
+    return cm.groupBy("series").agg(
+        F.count(F.lit(1)).alias("n_days"),
+        (
+            F.round(F.min(F.col("price") / F.col("peak") - 1), 6)
+            + F.lit(0.0)
+        ).alias("max_drawdown"),
+    )
+
+
+@query(
+    "kupiec_pof_test",
+    "WITH "
+    + SQL_RETS
+    + """,
+v AS (
+  SELECT series, quantile_cont(ret, 0.01) AS var_99, COUNT(*) AS n
+  FROM rets GROUP BY 1
+),
+b AS (
+  SELECT r.series, MAX(v.n) AS n,
+         SUM(CASE WHEN r.ret < v.var_99 THEN 1 ELSE 0 END) AS x
+  FROM rets r JOIN v ON r.series = v.series
+  GROUP BY 1
+)
+SELECT series, CAST(n AS BIGINT) AS n_days, CAST(x AS BIGINT) AS n_breaches,
+       ROUND(
+         -2 * ((n - x) * LN(0.99) + x * LN(0.01))
+         + 2 * (CASE WHEN x < n THEN (n - x) * LN(1 - x * 1.0 / n) ELSE 0 END
+                + CASE WHEN x > 0 THEN x * LN(x * 1.0 / n) ELSE 0 END),
+         6) + 0 AS lr_pof,
+       (-2 * ((n - x) * LN(0.99) + x * LN(0.01))
+        + 2 * (CASE WHEN x < n THEN (n - x) * LN(1 - x * 1.0 / n) ELSE 0 END
+               + CASE WHEN x > 0 THEN x * LN(x * 1.0 / n) ELSE 0 END)
+        > 3.841459) AS reject_95
+FROM b
+""",
+)
+def kupiec_pof_test(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Kupiec proportion-of-failures backtest (Kupiec 1995) — the
+    statistical layer above the reference's Basel traffic-light zones
+    (05_var_compliance.py): the likelihood ratio that the observed
+    breach count x out of n days is consistent with the VaR's 1 %
+    coverage, rejected at 95 % when LR > χ²₁(0.95) = 3.841. Breach
+    counting joins the per-series VaR (a broadcast of |series| rows)
+    back onto the return frame — one grouped conditional sum; the LR
+    is pure scalar math with the x=0 / x=n degenerate terms pinned to
+    zero (their likelihood contribution), identically on both
+    engines."""
+    rets = daily_returns(spark, sf_dir)
+    v = rets.groupBy("series").agg(
+        value_at_risk_expr("ret", 99.0).alias("var_99"),
+        F.count(F.lit(1)).alias("n"),
+    )
+    b = (
+        rets.join(F.broadcast(v), "series")
+        .groupBy("series")
+        .agg(
+            F.max("n").alias("n"),
+            F.sum(
+                F.when(F.col("ret") < F.col("var_99"), 1).otherwise(0)
+            ).alias("x"),
+        )
+    )
+    n, x = F.col("n"), F.col("x")
+    lr = -2 * ((n - x) * F.log(F.lit(0.99)) + x * F.log(F.lit(0.01))) + 2 * (
+        F.when(x < n, (n - x) * F.log(1 - x * F.lit(1.0) / n)).otherwise(0.0)
+        + F.when(x > 0, x * F.log(x * F.lit(1.0) / n)).otherwise(0.0)
+    )
+    return b.select(
+        "series",
+        n.cast("long").alias("n_days"),
+        x.cast("long").alias("n_breaches"),
+        (F.round(lr, 6) + F.lit(0.0)).alias("lr_pof"),
+        (lr > 3.841459).alias("reject_95"),
+    )
+
+
+@query(
     "expected_shortfall_99",
     "WITH "
     + SQL_RETS
