@@ -619,6 +619,145 @@ def max_drawdown_by_series(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @query(
+    "christoffersen_independence_test",
+    "WITH "
+    + SQL_RETS
+    + """,
+v AS (SELECT series, quantile_cont(ret, 0.01) AS var_99 FROM rets GROUP BY 1),
+f AS (
+  SELECT r.series, r.d,
+         CASE WHEN r.ret < v.var_99 THEN 1 ELSE 0 END AS b
+  FROM rets r JOIN v ON r.series = v.series
+),
+p AS (
+  SELECT series, b AS cur,
+         LAG(b) OVER (PARTITION BY series ORDER BY d) AS prev
+  FROM f
+),
+c AS (
+  SELECT series,
+         SUM(CASE WHEN prev = 0 AND cur = 0 THEN 1 ELSE 0 END) AS n00,
+         SUM(CASE WHEN prev = 0 AND cur = 1 THEN 1 ELSE 0 END) AS n01,
+         SUM(CASE WHEN prev = 1 AND cur = 0 THEN 1 ELSE 0 END) AS n10,
+         SUM(CASE WHEN prev = 1 AND cur = 1 THEN 1 ELSE 0 END) AS n11
+  FROM p WHERE prev IS NOT NULL GROUP BY 1
+)
+SELECT series,
+       CAST(n00 AS BIGINT) AS n00, CAST(n01 AS BIGINT) AS n01,
+       CAST(n10 AS BIGINT) AS n10, CAST(n11 AS BIGINT) AS n11,
+       ROUND(
+         -2 * (CASE WHEN n00 + n10 > 0 AND n01 + n11 > 0 AND n00 + n01 + n10 + n11 > 0
+                    THEN (n00 + n10) * LN(1 - (n01 + n11) * 1.0 / (n00 + n01 + n10 + n11))
+                       + (n01 + n11) * LN((n01 + n11) * 1.0 / (n00 + n01 + n10 + n11))
+                    ELSE 0 END)
+         + 2 * (CASE WHEN n00 > 0 AND n01 > 0
+                     THEN n00 * LN(n00 * 1.0 / (n00 + n01)) + n01 * LN(n01 * 1.0 / (n00 + n01))
+                     ELSE 0 END
+              + CASE WHEN n10 > 0 AND n11 > 0
+                     THEN n10 * LN(n10 * 1.0 / (n10 + n11)) + n11 * LN(n11 * 1.0 / (n10 + n11))
+                     ELSE 0 END),
+         6) + 0 AS lr_ind
+FROM c
+""",
+)
+def christoffersen_independence_test(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """Christoffersen (1998) independence backtest — do VaR breaches
+    CLUSTER? The Markov transition counts (n00, n01, n10, n11) come
+    from one LAG window over the per-series breach flags, and the
+    likelihood ratio compares breach probability conditional on
+    yesterday's state against the unconditional rate. Degenerate
+    cells (a state never visited or never followed by a breach)
+    contribute zero log-likelihood via the same CASE pinning as the
+    Kupiec query, identically on both engines. One window + one
+    grouped conditional-sum — the full conditional-coverage pair with
+    kupiec_pof_test."""
+    rets = daily_returns(spark, sf_dir)
+    v = rets.groupBy("series").agg(
+        value_at_risk_expr("ret", 99.0).alias("var_99")
+    )
+    f = rets.join(F.broadcast(v), "series").select(
+        "series",
+        "d",
+        F.when(F.col("ret") < F.col("var_99"), 1).otherwise(0).alias("b"),
+    )
+    w = Window.partitionBy("series").orderBy("d")
+    p = f.select(
+        "series", F.col("b").alias("cur"), F.lag("b").over(w).alias("prev")
+    ).filter(F.col("prev").isNotNull())
+    c = p.groupBy("series").agg(
+        *[
+            F.sum(
+                F.when(
+                    (F.col("prev") == i) & (F.col("cur") == j), 1
+                ).otherwise(0)
+            ).alias(f"n{i}{j}")
+            for i in (0, 1)
+            for j in (0, 1)
+        ]
+    )
+    n00, n01, n10, n11 = (F.col(f"n{i}{j}") for i in (0, 1) for j in (0, 1))
+    tot = n00 + n01 + n10 + n11
+    pi = (n01 + n11) * F.lit(1.0) / tot
+    l_null = F.when(
+        ((n00 + n10) > 0) & ((n01 + n11) > 0) & (tot > 0),
+        (n00 + n10) * F.log(1 - pi) + (n01 + n11) * F.log(pi),
+    ).otherwise(0.0)
+    l_alt = F.when(
+        (n00 > 0) & (n01 > 0),
+        n00 * F.log(n00 * F.lit(1.0) / (n00 + n01))
+        + n01 * F.log(n01 * F.lit(1.0) / (n00 + n01)),
+    ).otherwise(0.0) + F.when(
+        (n10 > 0) & (n11 > 0),
+        n10 * F.log(n10 * F.lit(1.0) / (n10 + n11))
+        + n11 * F.log(n11 * F.lit(1.0) / (n10 + n11)),
+    ).otherwise(0.0)
+    lr = -2 * l_null + 2 * l_alt
+    return c.select(
+        "series",
+        *[F.col(f"n{i}{j}").cast("long").alias(f"n{i}{j}") for i in (0, 1) for j in (0, 1)],
+        (F.round(lr, 6) + F.lit(0.0)).alias("lr_ind"),
+    )
+
+
+@query(
+    "parametric_var_comparison",
+    "WITH "
+    + SQL_RETS
+    + """
+SELECT series,
+       ROUND(quantile_cont(ret, 0.01), 6) + 0 AS hist_var_99,
+       ROUND(AVG(ret) - 2.326347874 * STDDEV_SAMP(ret), 6) + 0
+         AS param_var_99,
+       CAST(COUNT(*) AS BIGINT) AS n_obs
+FROM rets GROUP BY series
+""",
+)
+def parametric_var_comparison(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Historical-simulation VaR beside delta-normal (parametric) VaR
+    — μ − z₀.₀₁·σ with the exact normal quantile — per series, the
+    method-comparison table a risk desk reads before trusting either
+    number. One grouped aggregate computes both (exact percentile +
+    moments share the shuffle); the reference's historical method
+    (utils/var_utils.py) is the left column, the Gaussian
+    approximation the right."""
+    rets = daily_returns(spark, sf_dir)
+    return rets.groupBy("series").agg(
+        (F.round(value_at_risk_expr("ret", 99.0), 6) + F.lit(0.0)).alias(
+            "hist_var_99"
+        ),
+        (
+            F.round(
+                F.avg("ret") - F.lit(2.326347874) * F.stddev_samp("ret"), 6
+            )
+            + F.lit(0.0)
+        ).alias("param_var_99"),
+        F.count(F.lit(1)).alias("n_obs"),
+    )
+
+
+@query(
     "kupiec_pof_test",
     "WITH "
     + SQL_RETS
