@@ -484,3 +484,49 @@ def test_data_quality_audit_single_fact_scan(spark, sf_dir):
         r.n_rows == n for r in rows.values() if r.check_name.startswith("lineitem")
     )
     assert all((r.n_violations == 0) == r.passed for r in rows.values())
+
+
+def test_round7_third_pass_plan_contracts(spark, sf_dir):
+    """Physical-plan contracts for the round-7 third-pass queries:
+    - train_val_test_split is a ZERO-Exchange map-only projection (the
+      whole point of hash-bucket splits vs randomSplit);
+    - the md5 fingerprint queries (simhash/minhash twins) reduce in
+      exactly ONE Exchange (the doc-keyed hash-agg — all 8/64
+      aggregates share it);
+    - cms/ewma/kupiec join their small sides by broadcast, never
+      SortMergeJoin;
+    - nothing in the batch emits a CartesianProduct."""
+    from value_at_risk_spark.queries import QUERIES
+
+    def plan(name):
+        return (
+            QUERIES[name](spark, sf_dir)
+            ._jdf.queryExecution()
+            .executedPlan()
+            .toString()
+        )
+
+    p = plan("train_val_test_split")
+    assert "Exchange" not in p and "Join" not in p
+
+    for name in ("simhash_fingerprints_md5", "minhash_signatures_md5"):
+        p = plan(name)
+        assert p.count("Exchange") == 1 and "Join" not in p
+
+    for name in ("cms_token_frequency", "ewma_volatility", "kupiec_pof_test"):
+        p = plan(name)
+        assert "SortMergeJoin" not in p and "BroadcastHashJoin" in p
+
+    for name in (
+        "corpus_version_diff",
+        "langid_eval_report",
+        "user_funnel_conversion",
+        "apply_corpus_mix",
+        "lm_perplexity_scores",
+        "decontaminate_bloom_prefilter",
+        "fuzzy_name_matches",
+        "max_drawdown_by_series",
+        "christoffersen_independence_test",
+        "parametric_var_comparison",
+    ):
+        assert "CartesianProduct" not in plan(name), name
