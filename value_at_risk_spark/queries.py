@@ -3087,6 +3087,93 @@ def ann_ivf_recall_planted(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @query(
+    "embedding_qc_report",
+    """
+WITH base AS (
+  SELECT label,
+         CAST(embedding AS DOUBLE[]) AS v,
+         sqrt(list_sum(list_transform(CAST(embedding AS DOUBLE[]), x -> x * x)))
+           AS nrm
+  FROM embeddings
+)
+SELECT label,
+       CAST(COUNT(*) AS BIGINT) AS n_vectors,
+       CAST(SUM(CASE WHEN nrm = 0 THEN 1 ELSE 0 END) AS BIGINT) AS n_zero,
+       CAST(SUM(CASE WHEN isnan(nrm) THEN 1 ELSE 0 END) AS BIGINT) AS n_nan,
+       ROUND(AVG(nrm), 6) + 0 AS norm_mean,
+       ROUND(STDDEV_SAMP(nrm), 6) + 0 AS norm_std,
+       ROUND(MIN(nrm), 6) + 0 AS norm_min,
+       ROUND(MAX(nrm), 6) + 0 AS norm_max
+FROM base GROUP BY 1
+""",
+)
+def embedding_qc_report(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Vector-side data quality — the embedding hygiene sweep that runs
+    before any ANN index build: per-label vector counts, zero-vector
+    and NaN counts (both poison cosine math downstream), and the norm
+    distribution (collapsed or exploded norms flag a broken encoder
+    batch). One scan, per-row HOF norm (no explode), one grouped
+    conditional aggregate — the vector sibling of data_quality_audit."""
+    from value_at_risk_spark.functions.vector import vector_norm
+
+    e = _t(spark, sf_dir, "embeddings")
+    base = e.select(
+        "label",
+        vector_norm(
+            F.transform("embedding", lambda x: x.cast("double"))
+        ).alias("nrm"),
+    )
+    return base.groupBy("label").agg(
+        F.count(F.lit(1)).alias("n_vectors"),
+        F.sum(F.when(F.col("nrm") == 0, 1).otherwise(0)).alias("n_zero"),
+        F.sum(F.when(F.isnan("nrm"), 1).otherwise(0)).alias("n_nan"),
+        (F.round(F.avg("nrm"), 6) + F.lit(0.0)).alias("norm_mean"),
+        (F.round(F.stddev_samp("nrm"), 6) + F.lit(0.0)).alias("norm_std"),
+        (F.round(F.min("nrm"), 6) + F.lit(0.0)).alias("norm_min"),
+        (F.round(F.max("nrm"), 6) + F.lit(0.0)).alias("norm_max"),
+    )
+
+
+@query(
+    "event_value_anomalies",
+    """
+WITH stats AS (
+  SELECT event_type, AVG(value) AS mu, STDDEV_SAMP(value) AS sd
+  FROM events GROUP BY 1
+)
+SELECT e.event_id, e.event_type,
+       ROUND(e.value, 6) + 0 AS value,
+       ROUND((e.value - s.mu) / s.sd, 6) + 0 AS zscore
+FROM events e JOIN stats s ON e.event_type = s.event_type
+WHERE ABS(e.value - s.mu) > 3 * s.sd
+""",
+)
+def event_value_anomalies(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Group-relative anomaly detection: events whose value sits more
+    than 3σ from their event-type mean. The per-type moments are a
+    |types|-row aggregate broadcast back onto the stream — one scan
+    plus a map-side join, no window, no second shuffle; at 100 TB the
+    stats table stays kilobytes however large the fact side grows."""
+    e = _t(spark, sf_dir, "events")
+    stats = e.groupBy("event_type").agg(
+        F.avg("value").alias("mu"), F.stddev_samp("value").alias("sd")
+    )
+    return (
+        e.join(F.broadcast(stats), "event_type")
+        .filter(F.abs(F.col("value") - F.col("mu")) > 3 * F.col("sd"))
+        .select(
+            "event_id",
+            "event_type",
+            (F.round("value", 6) + F.lit(0.0)).alias("value"),
+            (
+                F.round((F.col("value") - F.col("mu")) / F.col("sd"), 6)
+                + F.lit(0.0)
+            ).alias("zscore"),
+        )
+    )
+
+
+@query(
     "semdedup_planted",
     """
 WITH base AS (
