@@ -576,3 +576,60 @@ def test_idempotent_sink_vacuum_retention(spark, tmp_path):
     removed = sink.vacuum(before_batch_id=4)
     assert removed == [2, 3]
     assert {r.v for r in sink.read(spark).collect()} == set(range(40, 50))
+
+
+def test_incremental_corpus_stats_exactly_once(spark, sf_dir, tmp_path):
+    """Incremental corpus statistics: multi-batch streaming ingest of
+    the documents table produces EXACTLY the batch-recompute mix table
+    (additive partials + exactly-once commits), and a full replay from
+    a fresh checkpoint against the same sink does not double-count
+    (batchId dedup)."""
+    from value_at_risk_spark.streaming.corpus import (
+        corpus_batch_partials,
+        read_corpus_stats,
+        start_incremental_corpus_stats,
+    )
+
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    staged = str(tmp_path / "docs_staged")
+    docs.repartition(8).write.parquet(staged)
+
+    stream = (
+        spark.readStream.schema(docs.schema)
+        .option("maxFilesPerTrigger", 2)
+        .parquet(staged)
+    )
+    out = str(tmp_path / "stats_sink")
+    q, sink = start_incremental_corpus_stats(
+        stream, out, str(tmp_path / "ckpt1")
+    )
+    assert q.awaitTermination(120)
+    assert len([b for b in range(50) if sink.committed(b)]) >= 2  # multi-batch
+
+    got = {
+        (r.source, r.lang): (r.n_docs, r.n_tokens)
+        for r in read_corpus_stats(spark, out).collect()
+    }
+    exp = {
+        (r.source, r.lang): (r.n_docs, r.n_tokens)
+        for r in corpus_batch_partials(docs).collect()
+    }
+    assert got == exp and len(got) > 0
+
+    # replay everything with a FRESH checkpoint into the SAME sink:
+    # batchIds repeat, the sink skips them, stats unchanged
+    stream2 = (
+        spark.readStream.schema(docs.schema)
+        .option("maxFilesPerTrigger", 2)
+        .parquet(staged)
+    )
+    q2, sink2 = start_incremental_corpus_stats(
+        stream2, out, str(tmp_path / "ckpt2")
+    )
+    assert q2.awaitTermination(120)
+    assert sink2.skipped  # redeliveries were deduplicated
+    got2 = {
+        (r.source, r.lang): (r.n_docs, r.n_tokens)
+        for r in read_corpus_stats(spark, out).collect()
+    }
+    assert got2 == exp
