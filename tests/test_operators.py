@@ -2107,3 +2107,21 @@ def test_bpe_encode_matches_training_segmentation(spark):
         for r in bpe_token_counts(docs, merges[:2]).collect()
     }
     assert all(got[k] <= fewer[k] for k in got)
+
+
+def test_remove_duplicate_spans_hash_keys_identical(spark, sf_dir):
+    """The 100 TB hash-keyed form (gram shuffles carry xxhash64 longs)
+    produces byte-identical output to the string-keyed form on the
+    fixture corpus."""
+    from value_at_risk_spark.operators.dedup import remove_duplicate_spans
+
+    d = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    a = {
+        r.doc_id: (r.n_before, r.n_after, r.cleaned_text)
+        for r in remove_duplicate_spans(d).collect()
+    }
+    b = {
+        r.doc_id: (r.n_before, r.n_after, r.cleaned_text)
+        for r in remove_duplicate_spans(d, hash_gram_keys=True).collect()
+    }
+    assert a == b and len(a) > 0

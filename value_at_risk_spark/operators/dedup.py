@@ -476,6 +476,7 @@ def remove_duplicate_spans(
     span_tokens: int = 8,
     id_col: str = "doc_id",
     text_col: str = "text",
+    hash_gram_keys: bool = False,
 ) -> DataFrame:
     """Exact-substring duplicate removal (Lee et al., ACL 2022): every
     ``span_tokens``-token span occurring in >= 2 distinct documents
@@ -491,8 +492,11 @@ def remove_duplicate_spans(
     Plan: grams reduce by span text (map-side partial count+min), only
     DUPLICATED grams join back against the span stream, covered
     positions explode bounded x span_tokens, anti-join drops them, an
-    ordered re-agg rebuilds text. At 100 TB hash the gram key
-    (xxhash64) so the two gram shuffles carry 8-byte keys.
+    ordered re-agg rebuilds text. ``hash_gram_keys=True`` is the
+    100 TB form: both gram shuffles carry xxhash64 8-byte keys instead
+    of ~60-byte span strings (output identical modulo a ~N^2/2^65
+    collision probability — pytest pins equality on the fixture; at a
+    trillion spans, pair the hash with a second seed to verify).
     """
     from value_at_risk_spark.functions.text import tokens
 
@@ -515,6 +519,8 @@ def remove_duplicate_spans(
             ).otherwise(F.array().cast("array<struct<i:int,g:string>>"))
         ).alias("s"),
     ).select("doc_id", F.col("s.i").alias("i"), F.col("s.g").alias("g"))
+    if hash_gram_keys:
+        grams = grams.select("doc_id", "i", F.xxhash64("g").alias("g"))
     gdup = (
         grams.groupBy("g")
         .agg(
