@@ -6208,10 +6208,12 @@ def duplicated_ngram_spans(spark: SparkSession, sf_dir: str) -> DataFrame:
     appears in 2+ distinct documents is a duplicated span, and each
     document reports how much of it is covered by such spans. Two
     shuffles, both with map-side partials: spans reduce by gram (the
-    cross-doc frequency), then rejoin and reduce by doc. At 100 TB the
-    gram string is replaced by xxhash64(gram) — only equality matters,
-    so an 8-byte key carries the shuffle instead of a 60-byte string —
-    and the plan shape is unchanged."""
+    cross-doc frequency), then rejoin and reduce by doc. The gram
+    string is hashed to xxhash64 BEFORE the reduce — only equality
+    matters, so an 8-byte key carries both shuffles instead of a
+    60-byte string (the same measured ~25 % cut as
+    remove_duplicated_spans; the oracle hash-match pins that the
+    rewrite changes nothing)."""
     from value_at_risk_spark.functions.text import tokens
 
     n = 8
@@ -6227,8 +6229,8 @@ def duplicated_ngram_spans(spark: SparkSession, sf_dir: str) -> DataFrame:
                     lambda i: F.array_join(F.slice("ts", i, n), " "),
                 ),
             ).otherwise(F.array().cast("array<string>"))
-        ).alias("g"),
-    )
+        ).alias("g0"),
+    ).select("doc_id", F.xxhash64("g0").alias("g"))
     gc = grams.groupBy("g").agg(F.count_distinct("doc_id").alias("ndocs"))
     marked = grams.join(gc, "g")
     return (
