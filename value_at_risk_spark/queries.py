@@ -5591,7 +5591,12 @@ def incremental_dedup_new_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
     # short docs (<3 tokens) have no 3-shingles in the oracle — same
     # exclusion as near_dedup_survivors so both engines agree
     sh = d.filter(F.size(tokens("text")) >= 3).select(
-        "doc_id", F.array_distinct(shingles("text", 3)).alias("sh")
+        "doc_id",
+        # xxhash64 shingle sets: same Jaccard, ~4x smaller join payload
+        # (the near_dedup_survivors scale form; oracle pins equality)
+        F.array_distinct(
+            F.transform(shingles("text", 3), lambda sg: F.xxhash64(sg))
+        ).alias("sh"),
     )
     l = sh.select(F.col("doc_id").alias("id_left"), F.col("sh").alias("sh_l"))
     r = sh.select(F.col("doc_id").alias("id_right"), F.col("sh").alias("sh_r"))
@@ -5657,8 +5662,15 @@ def decontaminate_training_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
     from value_at_risk_spark.functions.text import shingles
 
     d = _t(spark, sf_dir, "documents")
+    # xxhash64 gram keys: the broadcast set and the count-distinct
+    # shuffle carry 8-byte longs, not 5-gram strings (oracle-equal)
     grams = d.select(
-        "doc_id", F.explode(F.array_distinct(shingles("text", 5))).alias("g")
+        "doc_id",
+        F.explode(
+            F.array_distinct(
+                F.transform(shingles("text", 5), lambda sg: F.xxhash64(sg))
+            )
+        ).alias("g"),
     )
     bench = (
         grams.filter(F.col("doc_id") % 17 == 0).select("g").distinct()
