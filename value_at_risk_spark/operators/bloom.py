@@ -91,8 +91,12 @@ def build_bloom(
     ).select(
         F.transform(
             F.sequence(F.lit(0), F.lit(num_words - 1)),
+            # try_element_at: a word no element hashed into is simply
+            # absent from the map — ANSI element_at would raise on the
+            # missing key, and the filter must densify it to 0L
             lambda i: F.coalesce(
-                F.element_at(F.col("_sparse"), i.cast("int")), F.lit(0).cast("long")
+                F.try_element_at(F.col("_sparse"), i.cast("int")),
+                F.lit(0).cast("long"),
             ),
         ).alias(out_col)
     )
