@@ -2247,6 +2247,149 @@ def doc_fingerprints_rolling(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @query(
+    "training_data_prep_v2",
+    """
+WITH RECURSIVE docs AS (
+  SELECT doc_id, list_filter(string_split(lower(text),' '), x -> x <> '') AS ts
+  FROM documents
+),
+sh AS (
+  SELECT DISTINCT doc_id, ts[i] || ' ' || ts[i+1] || ' ' || ts[i+2] AS s
+  FROM docs, UNNEST(range(1, len(ts) - 1)) AS t(i)
+  WHERE len(ts) >= 3
+),
+cnt AS (SELECT doc_id, COUNT(*) AS n FROM sh GROUP BY 1),
+inter AS (
+  SELECT a.doc_id AS id_a, b.doc_id AS id_b, COUNT(*) AS ni
+  FROM sh a JOIN sh b ON a.s = b.s AND b.doc_id > a.doc_id
+  GROUP BY 1, 2
+),
+pairs AS (
+  SELECT id_a, id_b FROM inter
+  JOIN cnt ca ON ca.doc_id = id_a
+  JOIN cnt cb ON cb.doc_id = id_b
+  WHERE ni * 1.0 / (ca.n + cb.n - ni) >= 0.8
+),
+edges AS (
+  SELECT id_a AS a, id_b AS b FROM pairs
+  UNION ALL SELECT id_b, id_a FROM pairs
+),
+reach(node, r) AS (
+  SELECT DISTINCT a, a FROM edges
+  UNION
+  SELECT e.a, reach.r FROM edges e JOIN reach ON reach.node = e.b
+),
+comp AS (SELECT node, MIN(r) AS component FROM reach GROUP BY node),
+survivors AS (
+  SELECT doc_id FROM documents
+  WHERE doc_id NOT IN (SELECT node FROM comp WHERE node <> component)
+),
+grams AS (
+  SELECT DISTINCT doc_id,
+         ts[i] || ' ' || ts[i+1] || ' ' || ts[i+2] || ' ' || ts[i+3] || ' ' || ts[i+4] AS g
+  FROM docs, UNNEST(range(1, len(ts) - 3)) AS t(i)
+  WHERE len(ts) >= 5
+),
+bench AS (SELECT DISTINCT g FROM grams WHERE doc_id % 17 = 0),
+contaminated AS (
+  SELECT DISTINCT gr.doc_id FROM grams gr JOIN bench b ON gr.g = b.g
+  WHERE gr.doc_id % 17 <> 0
+),
+sig AS (
+  SELECT doc_id, len(ts) AS n,
+         len(list_distinct(ts)) AS nd,
+         len(list_filter(ts, x -> x IN ('the','a','of','and','to','in','is','on','for','with')))
+           * 1.0 / len(ts) AS swr
+  FROM docs WHERE len(ts) > 0
+),
+q AS (
+  SELECT doc_id, n,
+         ((CASE WHEN n BETWEEN 10 AND 10000 THEN 1.0 ELSE 0.0 END)
+          + (CASE WHEN swr >= 0.05 AND swr <= 0.6 THEN 1.0 ELSE 0.0 END)
+          + nd * 1.0 / n) / 3.0 AS quality
+  FROM sig
+)
+SELECT s.doc_id,
+       CAST(q.n AS BIGINT) AS n_tokens,
+       ROUND(q.quality, 6) + 0 AS quality,
+       CASE WHEN ('0x' || substring(md5(CAST(s.doc_id AS VARCHAR)), 1, 8))::UBIGINT % 10 < 8
+            THEN 'train'
+            WHEN ('0x' || substring(md5(CAST(s.doc_id AS VARCHAR)), 1, 8))::UBIGINT % 10 = 8
+            THEN 'val' ELSE 'test' END AS split
+FROM survivors s
+JOIN q ON q.doc_id = s.doc_id
+WHERE s.doc_id % 17 <> 0
+  AND s.doc_id NOT IN (SELECT doc_id FROM contaminated)
+  AND q.quality >= 0.7
+""",
+)
+def training_data_prep_v2(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The FULL modern curation pipeline end-to-end, oracle-pinned as
+    one dataflow: near-dedup survivors (LSH → exact Jaccard → connected
+    components) → benchmark decontamination (5-gram overlap, benchmark
+    docs themselves excluded) → quality floor (the training_data_prep
+    composite signal ≥ 0.7) → deterministic train/val/test assignment.
+    Composed ENTIRELY from the already-gated building blocks — each
+    stage's plan is the one its standalone query exercises; the joins
+    between stages are id-keyed semi/anti joins, so stage outputs
+    (id sets, kilobytes per million docs) are the only inter-stage
+    traffic. This is the per-batch shape of a production corpus
+    refresh at any scale."""
+    from value_at_risk_spark.functions.text import STOPWORDS, tokens
+
+    surv = QUERIES["near_dedup_survivors"](spark, sf_dir)
+    decon = QUERIES["decontaminate_training_docs"](spark, sf_dir)
+    d = _t(spark, sf_dir, "documents")
+    tk = tokens("text")
+    sw = F.array(*[F.lit(w) for w in STOPWORDS])
+    sig = d.select(
+        "doc_id",
+        F.size(tk).alias("n"),
+        F.size(F.array_distinct(tk)).alias("nd"),
+        (
+            F.size(F.filter(tk, lambda t: F.array_contains(sw, t)))
+            / F.size(tk)
+        ).alias("swr"),
+    ).filter(F.col("n") > 0)
+    q = sig.select(
+        "doc_id",
+        "n",
+        (
+            (
+                F.when(F.col("n").between(10, 10000), 1.0).otherwise(0.0)
+                + F.when(
+                    (F.col("swr") >= 0.05) & (F.col("swr") <= 0.6), 1.0
+                ).otherwise(0.0)
+                + F.col("nd") / F.col("n")
+            )
+            / 3.0
+        ).alias("quality"),
+    )
+    bucket = (
+        F.conv(
+            F.substring(F.md5(F.col("doc_id").cast("string")), 1, 8), 16, 10
+        ).cast("bigint")
+        % 10
+    )
+    return (
+        surv.join(q, "doc_id")
+        .join(
+            decon.filter(~F.col("contaminated")).select("doc_id"), "doc_id"
+        )
+        .filter(F.col("quality") >= 0.7)
+        .select(
+            "doc_id",
+            F.col("n").cast("long").alias("n_tokens"),
+            (F.round("quality", 6) + F.lit(0.0)).alias("quality"),
+            F.when(bucket < 8, "train")
+            .when(bucket == 8, "val")
+            .otherwise("test")
+            .alias("split"),
+        )
+    )
+
+
+@query(
     "near_dedup_survivors",
     """
 WITH RECURSIVE docs AS (
