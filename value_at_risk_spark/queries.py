@@ -524,6 +524,100 @@ def var99_by_series(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @query(
+    "rolling_correlation_pairs",
+    "WITH "
+    + SQL_RETS
+    + """,
+j AS (
+  SELECT a.d, a.ret AS ra, b.ret AS rb
+  FROM rets a JOIN rets b ON a.d = b.d
+  WHERE a.series = '1-URGENT' AND b.series = '5-LOW'
+),
+w AS (
+  SELECT d,
+         CORR(ra, rb) OVER (
+           ORDER BY d ROWS BETWEEN 89 PRECEDING AND CURRENT ROW
+         ) AS c,
+         COUNT(*) OVER (
+           ORDER BY d ROWS BETWEEN 89 PRECEDING AND CURRENT ROW
+         ) AS n
+  FROM j
+)
+SELECT CAST(d AS DATE) AS d, ROUND(c, 6) + 0 AS corr_90d
+FROM w WHERE n >= 30
+""",
+)
+def rolling_correlation_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Rolling 90-observation correlation between two return series —
+    the co-movement diagnostic behind every correlation-breakdown
+    story in a risk report. The pair aligns on date with one equi-join
+    (both sides pre-reduced to (date, return)), then a single
+    partition-free window computes CORR over the trailing 90 rows;
+    warm-up rows (<30 obs) are suppressed. With thousands of pairs
+    this becomes a (pair)-partitioned window — same plan, keyed."""
+    rets = daily_returns(spark, sf_dir)
+    a = rets.filter(F.col("series") == "1-URGENT").select(
+        "d", F.col("ret").alias("ra")
+    )
+    b = rets.filter(F.col("series") == "5-LOW").select(
+        "d", F.col("ret").alias("rb")
+    )
+    j = a.join(b, "d")
+    w = Window.orderBy("d").rowsBetween(-89, 0)
+    return (
+        j.select(
+            "d",
+            F.corr("ra", "rb").over(w).alias("c"),
+            F.count(F.lit(1)).over(w).alias("n"),
+        )
+        .filter(F.col("n") >= 30)
+        .select(
+            F.col("d").cast("date").alias("d"),
+            (F.round("c", 6) + F.lit(0.0)).alias("corr_90d"),
+        )
+    )
+
+
+@query(
+    "series_beta_to_market",
+    "WITH "
+    + SQL_RETS
+    + """,
+mkt AS (SELECT d, AVG(ret) AS rm FROM rets GROUP BY 1),
+j AS (
+  SELECT r.series, r.ret, m.rm FROM rets r JOIN mkt m ON r.d = m.d
+)
+SELECT series,
+       ROUND(COVAR_SAMP(ret, rm) / VAR_SAMP(rm), 6) + 0 AS beta,
+       ROUND(CORR(ret, rm), 6) + 0 AS corr_to_market,
+       CAST(COUNT(*) AS BIGINT) AS n_obs
+FROM j GROUP BY series
+""",
+)
+def series_beta_to_market(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """CAPM-style beta per series against the equal-weight market
+    return (the cross-series mean by date): β = cov(r, r_m)/var(r_m)
+    plus the correlation, in one grouped aggregate. The market series
+    is a date-keyed reduction broadcast back onto the return frame —
+    the same two-step shape as every 'relative to the aggregate'
+    risk measure; at 10⁶ series the broadcast side is still one row
+    per date."""
+    rets = daily_returns(spark, sf_dir)
+    mkt = rets.groupBy("d").agg(F.avg("ret").alias("rm"))
+    j = rets.join(F.broadcast(mkt), "d")
+    return j.groupBy("series").agg(
+        (
+            F.round(F.covar_samp("ret", "rm") / F.var_samp("rm"), 6)
+            + F.lit(0.0)
+        ).alias("beta"),
+        (F.round(F.corr("ret", "rm"), 6) + F.lit(0.0)).alias(
+            "corr_to_market"
+        ),
+        F.count(F.lit(1)).alias("n_obs"),
+    )
+
+
+@query(
     "ewma_volatility",
     "WITH "
     + SQL_RETS
