@@ -2125,3 +2125,145 @@ def test_remove_duplicate_spans_hash_keys_identical(spark, sf_dir):
         for r in remove_duplicate_spans(d, hash_gram_keys=True).collect()
     }
     assert a == b and len(a) > 0
+
+
+# ---------------------------------------------------------------------------
+# Round-7 sixth pass: analytics/diagnostics numeric anchors
+# ---------------------------------------------------------------------------
+
+
+def test_theil_sen_robust_to_outliers(spark):
+    """y = 2x exactly, with 2 of 30 points corrupted by +1000: the
+    pairwise-slope median must still say exactly 2.0 (the robustness
+    OLS lacks), and bounding max_gap must not change it here."""
+    import numpy as np
+
+    from value_at_risk_spark.model import fit_ols_per_group, theil_sen_per_group
+
+    rows = [("s", float(i), 2.0 * i) for i in range(30)]
+    rows[7] = ("s", 7.0, 2.0 * 7 + 1000.0)
+    rows[23] = ("s", 23.0, 2.0 * 23 + 1000.0)
+    df = spark.createDataFrame(rows, "g string, x double, y double")
+
+    ts = theil_sen_per_group(df, "g", "x", "y").collect()[0]
+    assert ts.n_pairs == 30 * 29 // 2
+    assert abs(ts.slope - 2.0) < 1e-12
+
+    ts_gapped = theil_sen_per_group(df, "g", "x", "y", max_gap=10).collect()[0]
+    assert abs(ts_gapped.slope - 2.0) < 1e-12
+
+    # OLS on the same data is pulled far off the true slope
+    feat = df.select(
+        "g", F.array(F.col("x")).alias("features"), F.col("y").alias("target")
+    )
+    w = fit_ols_per_group(feat, "g", "features", "target").collect()[0].weights
+    assert abs(w[1] - 2.0) > 0.3
+
+
+def test_ks_two_sample_matches_numpy(spark, sf_dir):
+    """The distributed KS statistic equals the textbook numpy
+    computation on the same two samples (exact CDF evaluation at
+    every distinct value, not a sampled approximation)."""
+    import numpy as np
+
+    from value_at_risk_spark.queries import QUERIES
+
+    row = QUERIES["ks_two_sample_test"](spark, sf_dir).collect()[0]
+
+    import pandas as pd
+
+    ev = pd.read_parquet(f"{sf_dir}/events.parquet", columns=["event_type", "value"])
+    a = np.sort(ev.loc[ev.event_type == "click", "value"].to_numpy())
+    b = np.sort(ev.loc[ev.event_type == "view", "value"].to_numpy())
+    grid = np.unique(np.concatenate([a, b]))
+    fa = np.searchsorted(a, grid, side="right") / len(a)
+    fb = np.searchsorted(b, grid, side="right") / len(b)
+    d_ref = np.max(np.abs(fa - fb))
+
+    assert row.n1 == len(a) and row.n2 == len(b)
+    assert abs(row.ks_stat - d_ref) < 1e-6
+
+
+def test_component_var_euler_additivity(spark, sf_dir):
+    """Euler property: the component VaRs sum to the parametric
+    portfolio VaR (z * sigma_p) and the percentage contributions sum
+    to 1 — the additivity that makes this a risk BUDGET."""
+    from value_at_risk_spark.queries import QUERIES, daily_returns
+
+    rows = QUERIES["component_var_euler"](spark, sf_dir).collect()
+    assert abs(sum(r.pct_of_portfolio for r in rows) - 1.0) < 1e-4
+
+    rets = daily_returns(spark, sf_dir)
+    n_series = rets.select("series").distinct().count()
+    # same densified convention as the query: missing (series, d) -> 0
+    mkt = (
+        rets.groupBy("d")
+        .agg(F.sum("ret").alias("s"))
+        .select((F.col("s") / n_series).alias("rm"))
+    )
+    sigma_p = mkt.agg(F.stddev_samp("rm")).collect()[0][0]
+    var_p = 2.3263478740408408 * sigma_p
+    assert abs(sum(r.component_var99 for r in rows) - var_p) < 1e-4
+
+
+def test_ohlc_bars_equal_window_form(spark, sf_dir):
+    """The single-aggregate struct-argmin OHLC equals the two-window
+    ROW_NUMBER formulation row for row (same tie-break: ts then
+    event_id)."""
+    from pyspark.sql.window import Window as W
+
+    from value_at_risk_spark.queries import QUERIES
+
+    got = {
+        (r.etype, str(r.d)): (r.open, r.high, r.low, r.close, r.n_ticks)
+        for r in QUERIES["ohlc_event_bars"](spark, sf_dir).collect()
+    }
+
+    e = spark.read.parquet(f"{sf_dir}/events.parquet").select(
+        F.col("event_type").alias("etype"),
+        F.col("ts").cast("date").alias("d"),
+        "ts",
+        "event_id",
+        "value",
+    )
+    wa = W.partitionBy("etype", "d").orderBy("ts", "event_id")
+    wd = W.partitionBy("etype", "d").orderBy(F.desc("ts"), F.desc("event_id"))
+    ref = (
+        e.withColumn("ra", F.row_number().over(wa))
+        .withColumn("rd", F.row_number().over(wd))
+        .groupBy("etype", "d")
+        .agg(
+            F.round(F.max(F.when(F.col("ra") == 1, F.col("value"))), 6).alias("open"),
+            F.round(F.max("value"), 6).alias("high"),
+            F.round(F.min("value"), 6).alias("low"),
+            F.round(F.max(F.when(F.col("rd") == 1, F.col("value"))), 6).alias("close"),
+            F.count(F.lit(1)).alias("n_ticks"),
+        )
+        .collect()
+    )
+    assert len(ref) == len(got)
+    for r in ref:
+        assert got[(r.etype, str(r.d))] == (
+            r.open,
+            r.high,
+            r.low,
+            r.close,
+            r.n_ticks,
+        )
+
+
+def test_token_budget_and_skew_diagnostic_invariants(spark, sf_dir):
+    """Structural invariants: truncation losses shrink monotonically
+    with the context length; the skew diagnostic's moments are
+    internally consistent (sum n^2 >= sum n, max >= p99, ratio >= 1)."""
+    from value_at_risk_spark.queries import QUERIES
+
+    for r in QUERIES["token_budget_report"](spark, sf_dir).collect():
+        assert r.docs_over_64 >= r.docs_over_256 >= r.docs_over_1024
+        assert r.lost_frac_64 >= r.lost_frac_256 >= r.lost_frac_1024
+        assert 0.0 <= r.lost_frac_1024 and r.lost_frac_64 <= 1.0
+
+    d = QUERIES["join_skew_diagnostic"](spark, sf_dir).collect()[0]
+    assert d.selfjoin_rows >= d.total_rows
+    assert d.max_key_rows >= d.p99_key_rows
+    assert d.skew_ratio >= 1.0

@@ -530,3 +530,41 @@ def test_round7_third_pass_plan_contracts(spark, sf_dir):
         "parametric_var_comparison",
     ):
         assert "CartesianProduct" not in plan(name), name
+
+
+def test_round7_sixth_pass_plan_contracts(spark, sf_dir):
+    """Physical-plan contracts for the sixth-pass batch:
+    - ohlc_event_bars is ONE hash aggregate — exactly one Exchange, no
+      Window, no Join (the struct-argmin trick vs the oracle's two
+      ROW_NUMBER windows);
+    - benford_price_audit and join_skew_diagnostic never shuffle more
+      than the digit/key reduction (no joins at all);
+    - the risk-attribution/diagnostic joins (component VaR, ACF, KS)
+      are broadcast, never SortMergeJoin;
+    - theil_sen_trend's pair join is an equi-join on series (no
+      CartesianProduct)."""
+    from value_at_risk_spark.queries import QUERIES
+
+    def plan(name):
+        return (
+            QUERIES[name](spark, sf_dir)
+            ._jdf.queryExecution()
+            .executedPlan()
+            .toString()
+        )
+
+    p = plan("ohlc_event_bars")
+    assert p.count("Exchange") == 1
+    assert "Window" not in p and "Join" not in p
+
+    for name in ("benford_price_audit", "join_skew_diagnostic"):
+        assert "Join" not in plan(name), name
+
+    for name in ("component_var_euler", "acf_ljung_box", "ks_two_sample_test"):
+        p = plan(name)
+        assert "SortMergeJoin" not in p, name
+
+    assert "CartesianProduct" not in plan("theil_sen_trend")
+
+    p = plan("token_budget_report")
+    assert "Join" not in p and p.count("Exchange") == 1

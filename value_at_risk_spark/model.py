@@ -104,3 +104,52 @@ def load_weights(spark, registry, name: str = "model_weights") -> DataFrame:
     """Reload persisted weights for scoring — the ``spark_udf`` load
     analogue (02_var_model.py:219-220), minus the Python boundary."""
     return registry.read(spark, name)
+
+
+def theil_sen_per_group(
+    df: DataFrame,
+    group_col: str,
+    x_col: str,
+    y_col: str,
+    max_gap: float | None = None,
+) -> DataFrame:
+    """Theil-Sen robust slope per group: the exact median of pairwise
+    slopes (y2-y1)/(x2-x1) over all x1<x2 pairs — the 29%-breakdown
+    robust alternative to ``fit_ols_per_group`` (same role as the
+    reference's per-ticker trend fit, 02_var_model.py:137-154, but
+    immune to outlier rows). Returns (group, n_pairs, slope).
+
+    Scale: the pair generation is a same-key self-equi-join — never a
+    cartesian across groups. ``max_gap`` bounds |x2-x1|, turning the
+    O(n^2) pair count into O(n * gap) (the windowed Theil-Sen form);
+    for unbounded history sample one side's offsets (the published
+    randomized estimator). Median is Spark's exact interpolating
+    percentile, partial-aggregated per group."""
+    a = df.select(
+        F.col(group_col).alias("_g"),
+        F.col(x_col).cast("double").alias("_xa"),
+        F.col(y_col).cast("double").alias("_ya"),
+    )
+    b = df.select(
+        F.col(group_col).alias("_g"),
+        F.col(x_col).cast("double").alias("_xb"),
+        F.col(y_col).cast("double").alias("_yb"),
+    )
+    cond = F.col("_xa") < F.col("_xb")
+    if max_gap is not None:
+        cond = cond & (F.col("_xb") - F.col("_xa") <= F.lit(float(max_gap)))
+    pairs = (
+        a.join(b, "_g")
+        .filter(cond)
+        .select(
+            "_g",
+            (
+                (F.col("_yb") - F.col("_ya"))
+                / (F.col("_xb") - F.col("_xa"))
+            ).alias("_slope"),
+        )
+    )
+    return pairs.groupBy(F.col("_g").alias(group_col)).agg(
+        F.count(F.lit(1)).alias("n_pairs"),
+        F.median("_slope").alias("slope"),
+    )

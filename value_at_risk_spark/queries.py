@@ -7406,3 +7406,540 @@ def audio_frame_features_demo(spark: SparkSession, sf_dir: str) -> DataFrame:
         (F.round(F.avg("rms"), 4) + F.lit(0.0)).alias("mean_rms"),
         (F.round(F.avg("zcr"), 4) + F.lit(0.0)).alias("mean_zcr"),
     )
+
+
+# --------------------------------------------------------------------------
+# Round-7 sixth pass: market microstructure, risk attribution,
+# distribution testing, and pipeline diagnostics
+# --------------------------------------------------------------------------
+
+_Z99 = 2.3263478740408408  # Phi^-1(0.99), shared literal with the oracles
+
+
+@query(
+    "ohlc_event_bars",
+    """
+WITH ranked AS (
+  SELECT event_type AS etype, CAST(ts AS DATE) AS d, value,
+         ROW_NUMBER() OVER (PARTITION BY event_type, CAST(ts AS DATE)
+                            ORDER BY ts, event_id) AS rn_a,
+         ROW_NUMBER() OVER (PARTITION BY event_type, CAST(ts AS DATE)
+                            ORDER BY ts DESC, event_id DESC) AS rn_d
+  FROM events
+)
+SELECT etype, d,
+       ROUND(MAX(CASE WHEN rn_a = 1 THEN value END), 6) + 0 AS open,
+       ROUND(MAX(value), 6) + 0 AS high,
+       ROUND(MIN(value), 6) + 0 AS low,
+       ROUND(MAX(CASE WHEN rn_d = 1 THEN value END), 6) + 0 AS close,
+       CAST(COUNT(*) AS BIGINT) AS n_ticks,
+       ROUND(SUM(value), 4) + 0 AS volume
+FROM ranked GROUP BY etype, d
+""",
+)
+def ohlc_event_bars(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """OHLC candle bars per (event_type, day) — the canonical tick →
+    bar downsample every market-data store performs (reference market
+    frame: 01_var_market_etl.py:37-47). Open/close are picked with a
+    single min/max over a (ts, event_id, value) struct — lexicographic
+    struct ordering makes "value at earliest/latest tick" an ordinary
+    partial-aggregable min/max, so the whole bar is ONE map-side-
+    combining hash aggregate: no window, no self-join, one shuffle
+    carrying one row per (type, day). The oracle needs two ROW_NUMBER
+    windows to express the same thing — the struct-argmin form is the
+    one that scales. event_id breaks ts ties deterministically."""
+    e = _t(spark, sf_dir, "events")
+    base = e.select(
+        F.col("event_type").alias("etype"),
+        F.col("ts").cast("date").alias("d"),
+        "ts",
+        "event_id",
+        "value",
+    )
+    return (
+        base.groupBy("etype", "d")
+        .agg(
+            F.min(F.struct("ts", "event_id", "value")).alias("_o"),
+            F.max(F.struct("ts", "event_id", "value")).alias("_c"),
+            (F.round(F.max("value"), 6) + F.lit(0.0)).alias("high"),
+            (F.round(F.min("value"), 6) + F.lit(0.0)).alias("low"),
+            F.count(F.lit(1)).alias("n_ticks"),
+            (F.round(F.sum("value"), 4) + F.lit(0.0)).alias("volume"),
+        )
+        .select(
+            "etype",
+            "d",
+            (F.round(F.col("_o.value"), 6) + F.lit(0.0)).alias("open"),
+            "high",
+            "low",
+            (F.round(F.col("_c.value"), 6) + F.lit(0.0)).alias("close"),
+            "n_ticks",
+            "volume",
+        )
+    )
+
+
+@query(
+    "component_var_euler",
+    "WITH "
+    + SQL_RETS
+    + f""",
+ns AS (SELECT CAST(COUNT(DISTINCT series) AS DOUBLE) AS n FROM rets),
+spine AS (
+  SELECT s.series, dd.d
+  FROM (SELECT DISTINCT series FROM rets) s
+  CROSS JOIN (SELECT DISTINCT d FROM rets) dd
+),
+aligned AS (
+  SELECT sp.series, sp.d, COALESCE(r.ret, 0.0) AS ret
+  FROM spine sp LEFT JOIN rets r
+    ON sp.series = r.series AND sp.d = r.d
+),
+mkt AS (SELECT d, AVG(ret) AS rm FROM aligned GROUP BY 1),
+p AS (SELECT VAR_SAMP(rm) AS vp FROM mkt),
+c AS (
+  SELECT a.series, COVAR_SAMP(a.ret, m.rm) AS cv,
+         CAST(COUNT(*) AS BIGINT) AS n_obs
+  FROM aligned a JOIN mkt m USING (d) GROUP BY 1
+)
+SELECT series, n_obs,
+       ROUND({_Z99} * cv / (n * SQRT(vp)), 6) + 0 AS component_var99,
+       ROUND(cv / (n * vp), 6) + 0 AS pct_of_portfolio
+FROM c, p, ns
+""",
+)
+def component_var_euler(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Euler allocation of parametric portfolio VaR-99 across the
+    return series (the risk-attribution step after the reference's
+    portfolio VaR, 03_var_monte_carlo.py:183-196): with equal weights
+    w=1/N, component_i = z * w * cov(r_i, r_p) / sigma_p, and the
+    components sum to the portfolio VaR exactly — the property that
+    makes this THE additive risk budget (pytest-pinned). Additivity
+    requires every series to carry a return on every portfolio date,
+    so the frame is densified onto the (series x date) spine with
+    missing returns as 0.0 — the stale-price convention (a price that
+    didn't print didn't move), exactly what forward-filling the price
+    level implies for log returns. The spine cross-join is between
+    two REDUCTIONS (distinct series x distinct dates — both tiny at
+    any SF) and the densifying join is a broadcast LEFT join against
+    it; the portfolio variance and series count are 1-row aggregates
+    cross-joined in — nothing but the per-series covariance shuffle
+    touches data volume, so the plan operates on a frame that at
+    100 TB is already the tiny (series, date) reduction of the tick
+    store."""
+    rets = daily_returns(spark, sf_dir)
+    ns = rets.agg(
+        F.count_distinct(F.col("series")).cast("double").alias("n")
+    )
+    spine = (
+        rets.select("series")
+        .distinct()
+        .crossJoin(rets.select("d").distinct())
+    )
+    aligned = spine.join(rets, ["series", "d"], "left").select(
+        "series",
+        "d",
+        F.coalesce(F.col("ret"), F.lit(0.0)).alias("ret"),
+    )
+    mkt = aligned.groupBy("d").agg(F.avg("ret").alias("rm"))
+    p = mkt.agg(F.var_samp("rm").alias("vp"))
+    c = (
+        aligned.join(F.broadcast(mkt), "d")
+        .groupBy("series")
+        .agg(
+            F.covar_samp("ret", "rm").alias("cv"),
+            F.count(F.lit(1)).alias("n_obs"),
+        )
+    )
+    return c.crossJoin(F.broadcast(p)).crossJoin(F.broadcast(ns)).select(
+        "series",
+        "n_obs",
+        (
+            F.round(
+                F.lit(_Z99) * F.col("cv") / (F.col("n") * F.sqrt("vp")), 6
+            )
+            + F.lit(0.0)
+        ).alias("component_var99"),
+        (
+            F.round(F.col("cv") / (F.col("n") * F.col("vp")), 6)
+            + F.lit(0.0)
+        ).alias("pct_of_portfolio"),
+    )
+
+
+@query(
+    "ks_two_sample_test",
+    """
+WITH s AS (
+  SELECT value, CASE WHEN event_type = 'click' THEN 1 ELSE 0 END AS f
+  FROM events WHERE event_type IN ('click', 'view')
+),
+n AS (SELECT CAST(SUM(f) AS DOUBLE) AS n1,
+             CAST(SUM(1 - f) AS DOUBLE) AS n2 FROM s),
+g AS (SELECT value, SUM(f) AS c1, SUM(1 - f) AS c2 FROM s GROUP BY 1),
+cdf AS (
+  SELECT SUM(c1) OVER (ORDER BY value ROWS UNBOUNDED PRECEDING) AS a1,
+         SUM(c2) OVER (ORDER BY value ROWS UNBOUNDED PRECEDING) AS a2
+  FROM g
+),
+d AS (SELECT MAX(ABS(a1 / n1 - a2 / n2)) AS ks FROM cdf, n)
+SELECT CAST(n1 AS BIGINT) AS n1, CAST(n2 AS BIGINT) AS n2,
+       ROUND(ks, 6) + 0 AS ks_stat,
+       ROUND(LEAST(1.0, 2 * EXP(-2 * POWER(ks * SQRT(n1 * n2 / (n1 + n2)), 2))), 6) + 0
+         AS p_value
+FROM d, n
+""",
+)
+def ks_two_sample_test(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Two-sample Kolmogorov-Smirnov test between the click and view
+    value distributions — the drift detector a pipeline runs between
+    yesterday's and today's feature distributions before retraining.
+    Exact, not sampled: both empirical CDFs are evaluated at every
+    distinct value via ONE running-sum window over the per-value
+    count aggregate — the groupBy first collapses 100 TB of events to
+    |distinct values| rows, so the unpartitioned window that follows
+    is over the reduced domain, not the raw ticks (at extreme
+    cardinality this becomes the classic two-level prefix-sum: per-
+    partition subtotals broadcast back as offsets). Asymptotic
+    p-value = 2*exp(-2*(D*sqrt(n1 n2/(n1+n2)))^2), clamped to 1."""
+    e = _t(spark, sf_dir, "events")
+    s = e.filter(F.col("event_type").isin("click", "view")).select(
+        "value",
+        F.when(F.col("event_type") == "click", F.lit(1))
+        .otherwise(F.lit(0))
+        .alias("f"),
+    )
+    n = s.agg(
+        F.sum("f").cast("double").alias("n1"),
+        F.sum(F.lit(1) - F.col("f")).cast("double").alias("n2"),
+    )
+    g = s.groupBy("value").agg(
+        F.sum("f").alias("c1"),
+        F.sum(F.lit(1) - F.col("f")).alias("c2"),
+    )
+    w = Window.orderBy("value").rowsBetween(
+        Window.unboundedPreceding, Window.currentRow
+    )
+    cdf = g.select(
+        F.sum("c1").over(w).alias("a1"),
+        F.sum("c2").over(w).alias("a2"),
+    )
+    d = cdf.crossJoin(F.broadcast(n)).agg(
+        F.max(
+            F.abs(F.col("a1") / F.col("n1") - F.col("a2") / F.col("n2"))
+        ).alias("ks")
+    )
+    en = F.sqrt(F.col("n1") * F.col("n2") / (F.col("n1") + F.col("n2")))
+    return d.crossJoin(F.broadcast(n)).select(
+        F.col("n1").cast("long").alias("n1"),
+        F.col("n2").cast("long").alias("n2"),
+        (F.round("ks", 6) + F.lit(0.0)).alias("ks_stat"),
+        (
+            F.round(
+                F.least(
+                    F.lit(1.0),
+                    F.lit(2.0)
+                    * F.exp(F.lit(-2.0) * F.pow(F.col("ks") * en, 2)),
+                ),
+                6,
+            )
+            + F.lit(0.0)
+        ).alias("p_value"),
+    )
+
+
+@query(
+    "acf_ljung_box",
+    "WITH "
+    + SQL_RETS
+    + """,
+m AS (SELECT series, AVG(ret) AS mu FROM rets GROUP BY 1),
+x AS (
+  SELECT r.series, r.d, r.ret - m.mu AS x
+  FROM rets r JOIN m USING (series)
+),
+l AS (
+  SELECT series, x,
+         LAG(x, 1) OVER (PARTITION BY series ORDER BY d) AS x1,
+         LAG(x, 2) OVER (PARTITION BY series ORDER BY d) AS x2,
+         LAG(x, 3) OVER (PARTITION BY series ORDER BY d) AS x3
+  FROM x
+)
+SELECT series,
+       CAST(COUNT(*) AS BIGINT) AS n_obs,
+       ROUND(SUM(x * x1) / SUM(x * x), 6) + 0 AS acf1,
+       ROUND(SUM(x * x2) / SUM(x * x), 6) + 0 AS acf2,
+       ROUND(SUM(x * x3) / SUM(x * x), 6) + 0 AS acf3,
+       ROUND(COUNT(*) * (COUNT(*) + 2.0) * (
+           POWER(SUM(x * x1) / SUM(x * x), 2) / (COUNT(*) - 1)
+         + POWER(SUM(x * x2) / SUM(x * x), 2) / (COUNT(*) - 2)
+         + POWER(SUM(x * x3) / SUM(x * x), 2) / (COUNT(*) - 3)
+       ), 4) + 0 AS ljung_box_q
+FROM l GROUP BY series
+""",
+)
+def acf_ljung_box(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Autocorrelation function (lags 1-3) + Ljung-Box portmanteau
+    statistic per return series — the serial-correlation diagnostic
+    behind the i.i.d. assumption every parametric VaR quietly makes
+    (and the formal cousin of christoffersen_independence_test).
+    rho_k = sum(x_t x_{t-k}) / sum(x_t^2) on the demeaned series; the
+    mean is a per-series 1-row aggregate broadcast back (no second
+    window), the three lags come from ONE partitioned window pass,
+    and everything reduces in a single grouped aggregate — Q =
+    n(n+2) * sum(rho_k^2/(n-k)). SUM skips the NULL warm-up lag rows
+    on both engines, giving the textbook truncated numerator."""
+    rets = daily_returns(spark, sf_dir)
+    mu = rets.groupBy("series").agg(F.avg("ret").alias("mu"))
+    x = rets.join(F.broadcast(mu), "series").select(
+        "series", "d", (F.col("ret") - F.col("mu")).alias("x")
+    )
+    w = Window.partitionBy("series").orderBy("d")
+    lagged = x.select(
+        "series",
+        "x",
+        F.lag("x", 1).over(w).alias("x1"),
+        F.lag("x", 2).over(w).alias("x2"),
+        F.lag("x", 3).over(w).alias("x3"),
+    )
+    agg = lagged.groupBy("series").agg(
+        F.count(F.lit(1)).alias("n_obs"),
+        F.sum(F.col("x") * F.col("x")).alias("sxx"),
+        F.sum(F.col("x") * F.col("x1")).alias("s1"),
+        F.sum(F.col("x") * F.col("x2")).alias("s2"),
+        F.sum(F.col("x") * F.col("x3")).alias("s3"),
+    )
+    n = F.col("n_obs").cast("double")
+    rho = [F.col(f"s{k}") / F.col("sxx") for k in (1, 2, 3)]
+    q = (
+        n
+        * (n + F.lit(2.0))
+        * (
+            F.pow(rho[0], 2) / (n - F.lit(1.0))
+            + F.pow(rho[1], 2) / (n - F.lit(2.0))
+            + F.pow(rho[2], 2) / (n - F.lit(3.0))
+        )
+    )
+    return agg.select(
+        "series",
+        "n_obs",
+        (F.round(rho[0], 6) + F.lit(0.0)).alias("acf1"),
+        (F.round(rho[1], 6) + F.lit(0.0)).alias("acf2"),
+        (F.round(rho[2], 6) + F.lit(0.0)).alias("acf3"),
+        (F.round(q, 4) + F.lit(0.0)).alias("ljung_box_q"),
+    )
+
+
+@query(
+    "theil_sen_trend",
+    "WITH "
+    + SQL_DAILY
+    + """,
+pts AS (
+  SELECT series, DATEDIFF('day', DATE '1990-01-01', d) AS dn, price
+  FROM daily
+),
+pairs AS (
+  SELECT a.series,
+         (b.price - a.price) / (b.dn - a.dn) AS slope
+  FROM pts a JOIN pts b
+    ON a.series = b.series AND a.dn < b.dn AND b.dn - a.dn <= 180
+)
+SELECT series,
+       CAST(COUNT(*) AS BIGINT) AS n_pairs,
+       ROUND(MEDIAN(slope), 6) + 0 AS theil_sen_slope
+FROM pairs GROUP BY series
+""",
+)
+def theil_sen_trend(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Theil-Sen robust trend per price series: the median of all
+    pairwise slopes — a 29%-breakdown-point alternative to the OLS
+    fit in ols_fit_per_flag, immune to the price spikes that wreck a
+    least-squares drift estimate. The pair generation is a same-key
+    self-equi-join with a d1<d2, gap<=180d residual (never a
+    cartesian across series) — the windowed Theil-Sen form: bounding
+    the pair gap makes the per-series pair count O(days * 180)
+    instead of O(days^2) while keeping the 29% breakdown point for
+    trend-local contamination, and the date spine is calendar-
+    bounded anyway, so 100 TB of ticks still reduces to the same
+    (series, day) frame before pairing. For unbounded history the
+    published randomized variant (median over a uniform pair sample)
+    drops in by sampling one side's offsets; exact median via the
+    same interpolating percentile both engines define."""
+    from value_at_risk_spark.model import theil_sen_per_group
+
+    daily = daily_prices(spark, sf_dir)
+    pts = daily.select("series", _daynum("d").alias("dn"), "price")
+    fit = theil_sen_per_group(pts, "series", "dn", "price", max_gap=180)
+    return fit.select(
+        "series",
+        "n_pairs",
+        (F.round("slope", 6) + F.lit(0.0)).alias("theil_sen_slope"),
+    )
+
+
+@query(
+    "benford_price_audit",
+    """
+WITH digits AS (
+  SELECT CAST(regexp_extract(CAST(l_extendedprice AS VARCHAR), '[1-9]') AS INTEGER)
+           AS digit
+  FROM lineitem
+),
+cnt AS (SELECT digit, COUNT(*) AS n FROM digits GROUP BY 1),
+tot AS (
+  SELECT digit, n, SUM(n) OVER () AS total FROM cnt
+)
+SELECT digit,
+       CAST(n AS BIGINT) AS n_obs,
+       ROUND(n / total, 6) + 0 AS obs_freq,
+       ROUND(LN(1.0 + 1.0 / digit) / LN(10.0), 6) + 0 AS benford_freq,
+       ROUND(total * POWER(n / total - LN(1.0 + 1.0 / digit) / LN(10.0), 2)
+             / (LN(1.0 + 1.0 / digit) / LN(10.0)), 4) + 0 AS chi2_term
+FROM tot
+""",
+)
+def benford_price_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Benford's-law first-digit audit over extended prices — the
+    fraud/fabrication screen auditors run on transaction amounts
+    (companion to data_quality_audit's schema checks: this one tests
+    the DISTRIBUTION). First significant digit via regexp on the
+    string form (locale-free, engine-identical; no float log10 edge
+    cases at powers of ten), one map-side-combining count per digit,
+    then the chi-square decomposition against log10(1+1/d) computed
+    over the 9-row aggregate — a window over nine rows, nothing
+    scale-bound. TPC-H prices are uniform-ish so the audit correctly
+    REJECTS Benford here; the value is the measured per-digit
+    deviation, pinned by the oracle."""
+    li = _t(spark, sf_dir, "lineitem")
+    digits = li.select(
+        F.regexp_extract(
+            F.col("l_extendedprice").cast("string"), "[1-9]", 0
+        )
+        .cast("int")
+        .alias("digit")
+    )
+    cnt = digits.groupBy("digit").agg(F.count(F.lit(1)).alias("n"))
+    w = Window.partitionBy(F.lit(1))
+    tot = cnt.select(
+        "digit", "n", F.sum("n").over(w).alias("total")
+    )
+    nd = F.col("n") / F.col("total")
+    bf = F.log(F.lit(1.0) + F.lit(1.0) / F.col("digit")) / F.log(
+        F.lit(10.0)
+    )
+    return tot.select(
+        "digit",
+        F.col("n").cast("long").alias("n_obs"),
+        (F.round(nd, 6) + F.lit(0.0)).alias("obs_freq"),
+        (F.round(bf, 6) + F.lit(0.0)).alias("benford_freq"),
+        (
+            F.round(F.col("total") * F.pow(nd - bf, 2) / bf, 4)
+            + F.lit(0.0)
+        ).alias("chi2_term"),
+    )
+
+
+@query(
+    "token_budget_report",
+    """
+WITH t AS (
+  SELECT lang,
+         CAST(LEN(regexp_extract_all(lower(text), '[a-z0-9]+')) AS BIGINT) AS tok
+  FROM documents
+)
+SELECT lang,
+       CAST(COUNT(*) AS BIGINT) AS n_docs,
+       CAST(SUM(tok) AS BIGINT) AS total_tokens,
+       CAST(SUM(CASE WHEN tok > 64 THEN 1 ELSE 0 END) AS BIGINT) AS docs_over_64,
+       ROUND(SUM(GREATEST(tok - 64, 0)) / CAST(SUM(tok) AS DOUBLE), 6) + 0
+         AS lost_frac_64,
+       CAST(SUM(CASE WHEN tok > 256 THEN 1 ELSE 0 END) AS BIGINT) AS docs_over_256,
+       ROUND(SUM(GREATEST(tok - 256, 0)) / CAST(SUM(tok) AS DOUBLE), 6) + 0
+         AS lost_frac_256,
+       CAST(SUM(CASE WHEN tok > 1024 THEN 1 ELSE 0 END) AS BIGINT) AS docs_over_1024,
+       ROUND(SUM(GREATEST(tok - 1024, 0)) / CAST(SUM(tok) AS DOUBLE), 6) + 0
+         AS lost_frac_1024
+FROM t GROUP BY lang
+""",
+)
+def token_budget_report(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Context-length budget report per language: for each candidate
+    training context length (64 / 256 / 1024 tokens), how many
+    documents exceed it and what fraction of the corpus' tokens a
+    hard truncation would discard — the measurement that decides
+    chunking strategy vs truncation loss before a pretraining run.
+    One scan, one codegen'd token count per row (regexp_count — no
+    array materialization), one map-side-combining aggregate; every
+    cutoff is a conditional sum inside the SAME aggregate, so adding
+    cutoffs costs zero extra passes at 100 TB."""
+    from value_at_risk_spark.functions.text import regex_token_count
+
+    d = _t(spark, sf_dir, "documents").select(
+        "lang", regex_token_count("text").cast("long").alias("tok")
+    )
+    aggs = [
+        F.count(F.lit(1)).alias("n_docs"),
+        F.sum("tok").alias("total_tokens"),
+    ]
+    for cut in (64, 256, 1024):
+        aggs.append(
+            F.sum(
+                F.when(F.col("tok") > cut, F.lit(1)).otherwise(F.lit(0))
+            ).alias(f"docs_over_{cut}")
+        )
+        aggs.append(
+            (
+                F.round(
+                    F.sum(F.greatest(F.col("tok") - cut, F.lit(0)))
+                    / F.sum("tok").cast("double"),
+                    6,
+                )
+                + F.lit(0.0)
+            ).alias(f"lost_frac_{cut}")
+        )
+    return d.groupBy("lang").agg(*aggs)
+
+
+@query(
+    "join_skew_diagnostic",
+    """
+WITH k AS (
+  SELECT l_partkey, CAST(COUNT(*) AS DOUBLE) AS n
+  FROM lineitem GROUP BY 1
+)
+SELECT CAST(COUNT(*) AS BIGINT) AS n_keys,
+       CAST(SUM(n) AS BIGINT) AS total_rows,
+       CAST(SUM(n * n) AS BIGINT) AS selfjoin_rows,
+       CAST(MAX(n) AS BIGINT) AS max_key_rows,
+       ROUND(quantile_cont(n, 0.99), 4) + 0 AS p99_key_rows,
+       ROUND(MAX(n) / AVG(n), 4) + 0 AS skew_ratio
+FROM k
+""",
+)
+def join_skew_diagnostic(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Pre-join skew diagnostic on the l_partkey join key: per-key
+    multiplicities in one map-side-combining count, then key count /
+    exact self-join output cardinality (sum n^2) / max / exact p99 /
+    skew ratio in one 1-row reduction — the report that tells you
+    BEFORE a 100 TB shuffle whether to broadcast, salt
+    (operators/skew.py), or let AQE split the hot key, and what the
+    join's output size will be. The same sum-of-products with a
+    second table's counts estimates any equi-join's cardinality; the
+    interpolating percentile is the exact one both engines define."""
+    li = _t(spark, sf_dir, "lineitem")
+    k = li.groupBy("l_partkey").agg(
+        F.count(F.lit(1)).cast("double").alias("n")
+    )
+    return k.agg(
+        F.count(F.lit(1)).alias("n_keys"),
+        F.sum("n").cast("long").alias("total_rows"),
+        F.sum(F.col("n") * F.col("n")).cast("long").alias("selfjoin_rows"),
+        F.max("n").cast("long").alias("max_key_rows"),
+        (F.round(F.percentile(F.col("n"), F.lit(0.99)), 4) + F.lit(0.0)).alias(
+            "p99_key_rows"
+        ),
+        (F.round(F.max("n") / F.avg("n"), 4) + F.lit(0.0)).alias(
+            "skew_ratio"
+        ),
+    )
