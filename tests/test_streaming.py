@@ -633,3 +633,112 @@ def test_incremental_corpus_stats_exactly_once(spark, sf_dir, tmp_path):
         for r in read_corpus_stats(spark, out).collect()
     }
     assert got2 == exp
+
+
+def test_cdc_apply_batch_boundary_invariance(spark, sf_dir, tmp_path):
+    """The CDC fold's final live table is identical whether the feed
+    arrives as ONE micro-batch or one-file-at-a-time — the seq-ordered
+    apply (not arrival-ordered) is what guarantees it."""
+    from value_at_risk_spark.streaming.cdc import CdcTableSink
+
+    cust = Registry(sf_dir).read(spark, "customer")
+    k = F.col("c_custkey").alias("k")
+    ins = cust.select(
+        k, F.lit(1).alias("seq"), F.lit("I").alias("op"),
+        F.col("c_name").alias("name"), F.round("c_acctbal", 2).alias("bal"),
+    )
+    upd = cust.filter(F.col("c_custkey") % 3 == 0).select(
+        k, F.lit(2).alias("seq"), F.lit("U").alias("op"),
+        F.col("c_name").alias("name"),
+        F.round(F.col("c_acctbal") + 100, 2).alias("bal"),
+    )
+    dele = cust.filter(F.col("c_custkey") % 7 == 0).select(
+        k, F.lit(3).alias("seq"), F.lit("D").alias("op"),
+        F.col("c_name").alias("name"), F.lit(0.0).alias("bal"),
+    )
+    changes = ins.unionByName(upd).unionByName(dele)
+    src = str(tmp_path / "feed")
+    changes.repartition(5).write.parquet(src)
+
+    def run(max_files, tag):
+        reader = spark.readStream.schema(
+            "k long, seq int, op string, name string, bal double"
+        )
+        if max_files:
+            reader = reader.option("maxFilesPerTrigger", max_files)
+        sink = CdcTableSink(str(tmp_path / f"tbl_{tag}"), keys=["k"])
+        q = (
+            reader.parquet(src)
+            .writeStream.foreachBatch(sink)
+            .option("checkpointLocation", str(tmp_path / f"ckpt_{tag}"))
+            .trigger(availableNow=True)
+            .start()
+        )
+        assert q.awaitTermination(180)
+        return sink
+
+    one_shot = run(None, "oneshot")
+    drip = run(1, "drip")
+    assert len(drip.committed_versions()) > len(one_shot.committed_versions())
+
+    def rows(sink):
+        return {
+            (r.k, r.name, r.bal) for r in sink.read(spark).collect()
+        }
+
+    got = rows(drip)
+    assert got == rows(one_shot)
+
+    # equals the batch fold (ROW_NUMBER over seq, drop tombstones)
+    w = Window.partitionBy("k").orderBy(F.desc("seq"))
+    ref = {
+        (r.k, r.name, r.bal)
+        for r in changes.withColumn("rn", F.row_number().over(w))
+        .filter((F.col("rn") == 1) & (F.col("op") != "D"))
+        .select("k", "name", "bal")
+        .collect()
+    }
+    assert got == ref
+    # the deletes really deleted and the updates really repriced
+    assert all(kk % 7 != 0 for kk, _, _ in got)
+
+
+def test_cdc_out_of_order_redelivery_and_vacuum(spark, tmp_path):
+    """Late-arriving earlier-seq changes never resurrect newer state
+    (tombstones included); redelivered batches are skipped; vacuum
+    keeps the tip readable."""
+    from value_at_risk_spark.streaming.cdc import CdcTableSink
+
+    sink = CdcTableSink(str(tmp_path / "tbl"), keys=["k"])
+    schema = "k long, seq int, op string, val string"
+
+    b0 = spark.createDataFrame(
+        [(1, 1, "I", "a"), (2, 1, "I", "b"), (3, 1, "I", "c")], schema
+    )
+    b1 = spark.createDataFrame(
+        [(1, 3, "D", ""), (2, 3, "U", "b3")], schema
+    )
+    # late batch: earlier-seq updates for keys 1 and 2 arrive AFTER
+    b2 = spark.createDataFrame(
+        [(1, 2, "U", "a2"), (2, 2, "U", "b2")], schema
+    )
+    sink(b0, 0)
+    sink(b1, 1)
+    sink(b2, 2)
+
+    live = {r.k: r.val for r in sink.read(spark).collect()}
+    assert live == {2: "b3", 3: "c"}  # 1 stays deleted, 2 keeps seq-3
+
+    # the tombstone is state, not absence
+    state = {r.k: (r.seq, r.op) for r in sink.read_state(spark).collect()}
+    assert state[1] == (3, "D")
+
+    # redelivery of batch 1 (same id): skipped, state unchanged
+    sink(b1, 1)
+    assert sink.skipped == [1]
+    assert {r.k: r.val for r in sink.read(spark).collect()} == live
+
+    # retention: only the tip survives, read still works
+    removed = sink.vacuum(keep_last=1)
+    assert removed == [0, 1]
+    assert {r.k: r.val for r in sink.read(spark).collect()} == live

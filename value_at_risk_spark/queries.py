@@ -7943,3 +7943,105 @@ def join_skew_diagnostic(spark: SparkSession, sf_dir: str) -> DataFrame:
             "skew_ratio"
         ),
     )
+
+
+@query(
+    "streaming_cdc_apply",
+    """
+WITH chg AS (
+  SELECT c_custkey AS k, 1 AS seq, 'I' AS op, c_name AS name,
+         ROUND(c_acctbal, 2) AS bal
+  FROM customer
+  UNION ALL
+  SELECT c_custkey, 2, 'U', c_name, ROUND(c_acctbal + 100, 2)
+  FROM customer WHERE c_custkey % 3 = 0
+  UNION ALL
+  SELECT c_custkey, 3, 'D', c_name, 0.0
+  FROM customer WHERE c_custkey % 7 = 0
+),
+latest AS (
+  SELECT *, ROW_NUMBER() OVER (PARTITION BY k ORDER BY seq DESC) AS rn
+  FROM chg
+)
+SELECT k, name, ROUND(bal, 2) + 0 AS bal
+FROM latest WHERE rn = 1 AND op <> 'D'
+""",
+)
+def streaming_cdc_apply(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Streaming CDC apply, HASH-CHECKED against the oracle's batch
+    fold: a deterministic insert/update/delete change feed derived
+    from the customer table (seq 1 inserts everyone, seq 2 re-prices
+    every 3rd key, seq 3 deletes every 7th) streams through
+    ``CdcTableSink`` (streaming/cdc.py) — file source forced into
+    MULTIPLE micro-batches (maxFilesPerTrigger=1 over a repartitioned
+    feed), each batch folded max-seq-per-key into a new versioned
+    table with tombstones kept as state. The final live view equals
+    the oracle's ROW_NUMBER-over-seq batch application REGARDLESS of
+    how the files landed in batches — that invariance (plus out-of-
+    order and redelivery safety) is what distinguishes a CDC apply
+    from a naive last-write-wins append, and is separately pytest-
+    pinned. The only rows-independent cost is the per-fold state
+    rewrite — partition-overwrite on a key prefix at 100 TB."""
+    import atexit
+    import shutil
+    import tempfile
+
+    from value_at_risk_spark.streaming.cdc import CdcTableSink
+
+    cust = _t(spark, sf_dir, "customer")
+    k = F.col("c_custkey").alias("k")
+    ins = cust.select(
+        k,
+        F.lit(1).alias("seq"),
+        F.lit("I").alias("op"),
+        F.col("c_name").alias("name"),
+        F.round("c_acctbal", 2).alias("bal"),
+    )
+    upd = cust.filter(F.col("c_custkey") % 3 == 0).select(
+        k,
+        F.lit(2).alias("seq"),
+        F.lit("U").alias("op"),
+        F.col("c_name").alias("name"),
+        F.round(F.col("c_acctbal") + 100, 2).alias("bal"),
+    )
+    dele = cust.filter(F.col("c_custkey") % 7 == 0).select(
+        k,
+        F.lit(3).alias("seq"),
+        F.lit("D").alias("op"),
+        F.col("c_name").alias("name"),
+        F.lit(0.0).alias("bal"),
+    )
+    changes = ins.unionByName(upd).unionByName(dele)
+
+    src = tempfile.mkdtemp(prefix="cdc_feed_")
+    ckpt = tempfile.mkdtemp(prefix="cdc_ckpt_")
+    # the returned DataFrame reads the final table version LAZILY, so
+    # the table dir must outlive this call — reclaimed at exit
+    tbl = tempfile.mkdtemp(prefix="cdc_table_")
+    atexit.register(shutil.rmtree, tbl, ignore_errors=True)
+    try:
+        changes.repartition(4).write.mode("overwrite").parquet(src)
+        stream = (
+            spark.readStream.schema(
+                "k long, seq int, op string, name string, bal double"
+            )
+            .option("maxFilesPerTrigger", 1)
+            .parquet(src)
+        )
+        sink = CdcTableSink(tbl, keys=["k"])
+        q = (
+            stream.writeStream.foreachBatch(sink)
+            .option("checkpointLocation", ckpt)
+            .trigger(availableNow=True)
+            .start()
+        )
+        if not q.awaitTermination(180):
+            q.stop()
+            raise TimeoutError("streaming_cdc_apply: replay exceeded 180s")
+        sink.vacuum(keep_last=1)  # stream is done: keep only the tip
+        return sink.read(spark).select(
+            "k", "name", (F.round("bal", 2) + F.lit(0.0)).alias("bal")
+        )
+    finally:
+        shutil.rmtree(src, ignore_errors=True)
+        shutil.rmtree(ckpt, ignore_errors=True)
