@@ -2267,3 +2267,79 @@ def test_token_budget_and_skew_diagnostic_invariants(spark, sf_dir):
     assert d.selfjoin_rows >= d.total_rows
     assert d.max_key_rows >= d.p99_key_rows
     assert d.skew_ratio >= 1.0
+
+
+def test_pagerank_matches_power_iteration(spark):
+    """operators/graph.pagerank equals a dense numpy power iteration
+    on a 5-node digraph with a dangling node and a no-in-edge node —
+    same teleport floor, same no-redistribution semantics."""
+    from value_at_risk_spark.operators.graph import pagerank
+
+    # 0->1, 0->2, 1->2, 2->0, 3->2  (3 has no in-edges; 4 dangles... 
+    # node 4 appears only as a dst so it HAS in-edges but no out)
+    edges = [(0, 1), (0, 2), (1, 2), (2, 0), (3, 2), (1, 4)]
+    df = spark.createDataFrame(edges, "src int, dst int")
+    got = {r.node: r.r for r in pagerank(df, iters=4, damping=0.85).collect()}
+
+    n = 5
+    import numpy as np
+
+    out = {0: [1, 2], 1: [2, 4], 2: [0], 3: [2], 4: []}
+    r = np.full(n, 1.0 / n)
+    for _ in range(4):
+        nxt = np.full(n, 0.15 / n)
+        for u, vs in out.items():
+            for v in vs:
+                nxt[v] += 0.85 * r[u] / len(vs)
+        r = nxt
+    for node in range(n):
+        assert abs(got[node] - r[node]) < 1e-12, node
+
+
+def test_pagerank_mass_conserved_on_closed_graph(spark, sf_dir):
+    """On the bidirectional trade graph (every node has out-edges),
+    total rank mass stays exactly 1 through the iterations."""
+    from value_at_risk_spark.queries import QUERIES
+
+    total = (
+        QUERIES["pagerank_trade_graph"](spark, sf_dir)
+        .agg(F.sum("rank"))
+        .collect()[0][0]
+    )
+    assert abs(total - 1.0) < 1e-4
+
+
+def test_attribution_and_cohort_invariants(spark, sf_dir):
+    """Attribution conserves revenue (channel sums == total purchase
+    value) and every cohort's offset-0 retention is exactly 1."""
+    from value_at_risk_spark.queries import QUERIES
+
+    from value_at_risk_spark.sources.registry import Registry
+
+    rows = QUERIES["attribution_last_touch"](spark, sf_dir).collect()
+    total = (
+        Registry(sf_dir)
+        .read(spark, "events")
+        .filter(F.col("event_type") == "purchase")
+        .agg(F.round(F.sum("value"), 2))
+        .collect()[0][0]
+    )
+    assert abs(sum(r.attributed_revenue for r in rows) - total) < 0.05
+
+    for r in QUERIES["retention_cohorts"](spark, sf_dir).collect():
+        if r.week_offset == 0:
+            assert r.retention == 1.0
+        assert 0.0 < r.retention <= 1.0
+
+
+def test_seasonal_decomposition_invariants(spark, sf_dir):
+    """v == trend + seasonal + resid on every row (up to rounding),
+    and the seasonal profile is zero-mean across the detrended frame."""
+    from value_at_risk_spark.queries import QUERIES
+
+    rows = QUERIES["seasonal_anomaly_days"](spark, sf_dir).collect()
+    assert rows
+    for r in rows:
+        assert abs(r.v - (r.trend + r.seasonal + r.resid)) < 1e-4
+    n_anom = sum(1 for r in rows if r.is_anomaly)
+    assert 0 <= n_anom < len(rows)

@@ -8045,3 +8045,296 @@ def streaming_cdc_apply(spark: SparkSession, sf_dir: str) -> DataFrame:
     finally:
         shutil.rmtree(src, ignore_errors=True)
         shutil.rmtree(ckpt, ignore_errors=True)
+
+
+# --------------------------------------------------------------------------
+# Round-7 eighth pass: graph ranking, cohorts, seasonality, attribution
+# --------------------------------------------------------------------------
+
+
+@query(
+    "pagerank_trade_graph",
+    """
+WITH pair AS (
+  SELECT DISTINCT 'S' || CAST(l_suppkey AS VARCHAR) AS s,
+                  'C' || CAST(o_custkey AS VARCHAR) AS c
+  FROM lineitem JOIN orders ON l_orderkey = o_orderkey
+),
+edges AS (
+  SELECT s AS src, c AS dst FROM pair
+  UNION ALL
+  SELECT c AS src, s AS dst FROM pair
+),
+deg AS (SELECT src, CAST(COUNT(*) AS DOUBLE) AS od FROM edges GROUP BY 1),
+nodes AS (SELECT DISTINCT src AS node FROM edges),
+nn AS (SELECT CAST(COUNT(*) AS DOUBLE) AS n FROM nodes),
+r0 AS (SELECT node, 1.0 / (SELECT n FROM nn) AS r FROM nodes),
+r1 AS (
+  SELECT e.dst AS node,
+         0.15 / (SELECT n FROM nn) + 0.85 * SUM(r0.r / deg.od) AS r
+  FROM edges e JOIN r0 ON e.src = r0.node JOIN deg ON e.src = deg.src
+  GROUP BY e.dst
+),
+r2 AS (
+  SELECT e.dst AS node,
+         0.15 / (SELECT n FROM nn) + 0.85 * SUM(r1.r / deg.od) AS r
+  FROM edges e JOIN r1 ON e.src = r1.node JOIN deg ON e.src = deg.src
+  GROUP BY e.dst
+),
+r3 AS (
+  SELECT e.dst AS node,
+         0.15 / (SELECT n FROM nn) + 0.85 * SUM(r2.r / deg.od) AS r
+  FROM edges e JOIN r2 ON e.src = r2.node JOIN deg ON e.src = deg.src
+  GROUP BY e.dst
+)
+SELECT node, ROUND(r, 8) + 0 AS rank
+FROM r3
+""",
+)
+def pagerank_trade_graph(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """PageRank (3 iterations, damping 0.85) over the supplier <->
+    customer trade graph — the iterative-algorithm representative
+    beside connected components (dedup.py): who the structurally
+    central counterparties are. The graph is the DISTINCT
+    (supplier, customer) pair set from one lineitem x orders join,
+    made bidirectional so mass actually circulates (and so no node
+    dangles: every node has out-edges, keeping total rank mass
+    conserved without a dangling-redistribution term). Each iteration
+    is one (ranks x edges) equi-join + one grouped sum — the classic
+    r' = 0.15/n + 0.85 * sum(r/outdeg) recurrence; the oracle unrolls
+    the same three iterations as CTE stages, so the result is
+    HASH-CHECKED, not rows-only, rare for an iterative algorithm.
+    Scale: persist the edge list partitioned by src so every
+    iteration's join reuses the same layout; checkpoint ranks every
+    ~10 iterations to cut lineage; node count is a 1-row broadcast,
+    never a driver action."""
+    li = _t(spark, sf_dir, "lineitem").select("l_orderkey", "l_suppkey")
+    o = _t(spark, sf_dir, "orders").select("o_orderkey", "o_custkey")
+    pair = (
+        li.join(o, li.l_orderkey == o.o_orderkey)
+        .select(
+            F.concat(F.lit("S"), F.col("l_suppkey").cast("string")).alias("s"),
+            F.concat(F.lit("C"), F.col("o_custkey").cast("string")).alias("c"),
+        )
+        .distinct()
+    )
+    from value_at_risk_spark.operators.graph import pagerank
+
+    edges = pair.select(F.col("s").alias("src"), F.col("c").alias("dst")).unionAll(
+        pair.select(F.col("c").alias("src"), F.col("s").alias("dst"))
+    )
+    ranks = pagerank(edges, iters=3, damping=0.85)
+    return ranks.select(
+        "node", (F.round("r", 8) + F.lit(0.0)).alias("rank")
+    )
+
+
+@query(
+    "retention_cohorts",
+    """
+WITH uw AS (
+  SELECT user_id,
+         CAST(FLOOR(DATEDIFF('day', DATE '1990-01-01', CAST(ts AS DATE)) / 7)
+              AS BIGINT) AS w
+  FROM events GROUP BY 1, 2
+),
+coh AS (SELECT user_id, MIN(w) AS cohort_w FROM uw GROUP BY 1),
+act AS (
+  SELECT c.cohort_w, uw.w - c.cohort_w AS week_offset,
+         COUNT(DISTINCT uw.user_id) AS n_users
+  FROM uw JOIN coh c ON uw.user_id = c.user_id
+  GROUP BY 1, 2
+)
+SELECT cohort_w, CAST(week_offset AS BIGINT) AS week_offset,
+       CAST(n_users AS BIGINT) AS n_users,
+       ROUND(n_users / CAST(MAX(CASE WHEN week_offset = 0 THEN n_users END)
+             OVER (PARTITION BY cohort_w) AS DOUBLE), 6) + 0 AS retention
+FROM act
+""",
+)
+def retention_cohorts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Weekly retention cohort matrix — THE product-analytics query:
+    users grouped by first-activity week, then the fraction of each
+    cohort still active k weeks later. Week numbering is integer
+    arithmetic off a fixed Monday anchor (engine-identical; no
+    date_trunc locale semantics). Dataflow: events reduce to DISTINCT
+    (user, week) FIRST — the only pass over raw volume — then cohort
+    assignment is a per-user min re-joined on user_id (both sides
+    already user-keyed; co-partitioned shuffle), and the retention
+    denominator is a window over each cohort's offset-0 cell, not a
+    second scan. At 100 TB the (user, week) reduction is what makes
+    the rest interactive."""
+    e = _t(spark, sf_dir, "events")
+    week = F.floor(
+        F.datediff(F.col("ts").cast("date"), F.lit("1990-01-01")) / 7
+    ).alias("w")
+    uw = e.select("user_id", week).distinct()
+    coh = uw.groupBy("user_id").agg(F.min("w").alias("cohort_w"))
+    act = (
+        uw.join(coh, "user_id")
+        .groupBy("cohort_w", (F.col("w") - F.col("cohort_w")).alias("week_offset"))
+        .agg(F.count_distinct("user_id").alias("n_users"))
+    )
+    wnd = Window.partitionBy("cohort_w")
+    base = F.max(
+        F.when(F.col("week_offset") == 0, F.col("n_users"))
+    ).over(wnd)
+    return act.select(
+        "cohort_w",
+        F.col("week_offset").cast("long").alias("week_offset"),
+        F.col("n_users").cast("long").alias("n_users"),
+        (
+            F.round(F.col("n_users") / base.cast("double"), 6) + F.lit(0.0)
+        ).alias("retention"),
+    )
+
+
+@query(
+    "seasonal_anomaly_days",
+    """
+WITH daily AS (
+  SELECT CAST(ts AS DATE) AS d, ROUND(SUM(value), 4) AS v
+  FROM events GROUP BY 1
+),
+tr AS (
+  SELECT d, v,
+         AVG(v) OVER (ORDER BY d ROWS BETWEEN 3 PRECEDING AND 3 FOLLOWING)
+           AS trend
+  FROM daily
+),
+det AS (
+  SELECT d, v, trend, v - trend AS detr,
+         DATEDIFF('day', DATE '1990-01-01', d) % 7 AS dow
+  FROM tr
+),
+seas AS (SELECT dow, AVG(detr) AS seasonal FROM det GROUP BY 1),
+res AS (
+  SELECT det.d, det.v, det.trend, seas.seasonal,
+         det.detr - seas.seasonal AS resid
+  FROM det JOIN seas ON det.dow = seas.dow
+),
+sd AS (SELECT STDDEV_SAMP(resid) AS s FROM res)
+SELECT d, ROUND(v, 4) + 0 AS v, ROUND(trend, 6) + 0 AS trend,
+       ROUND(seasonal, 6) + 0 AS seasonal, ROUND(resid, 6) + 0 AS resid,
+       CASE WHEN ABS(resid) > 2 * s THEN TRUE ELSE FALSE END AS is_anomaly
+FROM res, sd
+""",
+)
+def seasonal_anomaly_days(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Seasonal-decomposition anomaly detection (STL-lite) on the
+    daily event-value series: trend = centered 7-observation moving
+    average, weekly seasonal = day-of-week mean of the detrended
+    series, anomaly = |residual| beyond 2 sample sigmas (the full
+    decomposition is emitted per day with the flag, so the output is
+    the diagnostic frame a dashboard plots, not just the exception
+    list). Day-of-week
+    comes from integer day arithmetic off the Monday anchor (no
+    locale-dependent dayofweek). The raw stream reduces to one row
+    per day FIRST; every later step (window, 7-row seasonal profile,
+    1-row sigma broadcast) runs on the ~calendar-sized frame, so the
+    whole diagnostic is one real shuffle at any data scale. The
+    seasonal profile join is a broadcast of 7 rows; complements the
+    per-type 3-sigma screen in event_value_anomalies by removing
+    trend + weekly cycle before thresholding."""
+    e = _t(spark, sf_dir, "events")
+    daily = e.groupBy(F.col("ts").cast("date").alias("d")).agg(
+        F.round(F.sum("value"), 4).alias("v")
+    )
+    wtr = Window.orderBy("d").rowsBetween(-3, 3)
+    tr = daily.select("d", "v", F.avg("v").over(wtr).alias("trend"))
+    det = tr.select(
+        "d",
+        "v",
+        "trend",
+        (F.col("v") - F.col("trend")).alias("detr"),
+        (F.datediff(F.col("d"), F.lit("1990-01-01")) % 7).alias("dow"),
+    )
+    seas = det.groupBy("dow").agg(F.avg("detr").alias("seasonal"))
+    res = det.join(F.broadcast(seas), "dow").select(
+        "d",
+        "v",
+        "trend",
+        "seasonal",
+        (F.col("detr") - F.col("seasonal")).alias("resid"),
+    )
+    sd = res.agg(F.stddev_samp("resid").alias("s"))
+    return res.crossJoin(F.broadcast(sd)).select(
+        "d",
+        (F.round("v", 4) + F.lit(0.0)).alias("v"),
+        (F.round("trend", 6) + F.lit(0.0)).alias("trend"),
+        (F.round("seasonal", 6) + F.lit(0.0)).alias("seasonal"),
+        (F.round("resid", 6) + F.lit(0.0)).alias("resid"),
+        (F.abs(F.col("resid")) > 2 * F.col("s")).alias("is_anomaly"),
+    )
+
+
+@query(
+    "attribution_last_touch",
+    """
+WITH tagged AS (
+  SELECT user_id, ts, event_id, event_type, value,
+         CASE WHEN event_type IN ('click', 'view', 'signup')
+              THEN event_type END AS chan
+  FROM events
+),
+attr AS (
+  SELECT event_type, value,
+         COALESCE(
+           LAST_VALUE(chan IGNORE NULLS) OVER (
+             PARTITION BY user_id ORDER BY ts, event_id
+             ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING),
+           'direct') AS channel
+  FROM tagged
+)
+SELECT channel,
+       CAST(COUNT(*) AS BIGINT) AS n_purchases,
+       ROUND(SUM(value), 4) + 0 AS attributed_revenue
+FROM attr WHERE event_type = 'purchase'
+GROUP BY channel
+""",
+)
+def attribution_last_touch(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Last-touch marketing attribution: every purchase's value is
+    credited to the user's most recent PRIOR touch channel (click /
+    view / signup; 'direct' when none) — the revenue-attribution
+    query behind every campaign dashboard. One user-partitioned
+    window pass: last_value(ignore nulls) over the preceding rows
+    picks the latest non-null channel without a self-join or an
+    as-of join per purchase (both engines define identical IGNORE
+    NULLS semantics; event_id breaks ts ties). The final rollup is a
+    4-row aggregate. At 100 TB this is one shuffle on user_id —
+    the same key the sessionization family already uses."""
+    e = _t(spark, sf_dir, "events")
+    tagged = e.select(
+        "user_id",
+        "ts",
+        "event_id",
+        "event_type",
+        "value",
+        F.when(
+            F.col("event_type").isin("click", "view", "signup"),
+            F.col("event_type"),
+        ).alias("chan"),
+    )
+    w = (
+        Window.partitionBy("user_id")
+        .orderBy("ts", "event_id")
+        .rowsBetween(Window.unboundedPreceding, -1)
+    )
+    attr = tagged.select(
+        "event_type",
+        "value",
+        F.coalesce(
+            F.last("chan", ignorenulls=True).over(w), F.lit("direct")
+        ).alias("channel"),
+    )
+    return (
+        attr.filter(F.col("event_type") == "purchase")
+        .groupBy("channel")
+        .agg(
+            F.count(F.lit(1)).alias("n_purchases"),
+            (F.round(F.sum("value"), 4) + F.lit(0.0)).alias(
+                "attributed_revenue"
+            ),
+        )
+    )
