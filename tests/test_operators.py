@@ -2343,3 +2343,94 @@ def test_seasonal_decomposition_invariants(spark, sf_dir):
         assert abs(r.v - (r.trend + r.seasonal + r.resid)) < 1e-4
     n_anom = sum(1 for r in rows if r.is_anomaly)
     assert 0 <= n_anom < len(rows)
+
+
+def test_transition_matrix_rows_normalize(spark, sf_dir):
+    """Each from_type's outgoing probabilities sum to 1 (up to 6dp
+    rounding x 5 cells)."""
+    from collections import defaultdict
+
+    from value_at_risk_spark.queries import QUERIES
+
+    sums = defaultdict(float)
+    for r in QUERIES["event_transition_matrix"](spark, sf_dir).collect():
+        assert 0.0 < r.p <= 1.0
+        sums[r.from_type] += r.p
+    assert sums and all(abs(s - 1.0) < 5e-6 for s in sums.values())
+
+
+def test_feature_binning_woe_invariants(spark, sf_dir):
+    """All 10 deciles materialize with near-equal mass (value-based
+    edges; ties only), counts reconcile with the scan, and total IV
+    is non-negative."""
+    from value_at_risk_spark.queries import QUERIES
+    from value_at_risk_spark.sources.registry import Registry
+
+    rows = QUERIES["feature_binning_woe"](spark, sf_dir).collect()
+    assert sorted(r.bin for r in rows) == list(range(10))
+    total = Registry(sf_dir).read(spark, "lineitem").count()
+    assert sum(r.n for r in rows) == total
+    lo, hi = min(r.n for r in rows), max(r.n for r in rows)
+    assert hi - lo <= total * 0.02 + 2  # equal-frequency up to ties
+    assert sum(r.iv_term for r in rows) >= 0.0
+
+
+def test_prediction_intervals_cover_90pct(spark, sf_dir):
+    """The [q05, q95] residual band empirically covers ~90% of rows
+    per group — the distribution-free guarantee the query claims."""
+    from value_at_risk_spark.queries import QUERIES
+    from value_at_risk_spark.sources.registry import Registry
+
+    bands = {
+        r.flag: (r.slope, r.intercept, r.resid_q05, r.resid_q95)
+        for r in QUERIES["model_prediction_intervals"](spark, sf_dir).collect()
+    }
+    li = Registry(sf_dir).read(spark, "lineitem")
+    for flag, (b, a, q05, q95) in bands.items():
+        assert q05 < 0.0 < q95
+        cov = (
+            li.filter(F.col("l_returnflag") == flag)
+            .select(
+                (
+                    (F.col("l_extendedprice") - (a + b * F.col("l_quantity")))
+                    .between(q05, q95)
+                ).cast("int").alias("inb")
+            )
+            .agg(F.avg("inb"))
+            .collect()[0][0]
+        )
+        assert 0.88 <= cov <= 0.92, (flag, cov)
+
+
+def test_walk_forward_folds_lookahead_free(spark, sf_dir):
+    """Expanding windows: train sizes strictly increase and each
+    fold's train set is exactly the prior folds' test sets plus
+    segment 0."""
+    from value_at_risk_spark.queries import QUERIES
+    from value_at_risk_spark.sources.registry import Registry
+
+    rows = sorted(
+        QUERIES["walk_forward_folds"](spark, sf_dir).collect(),
+        key=lambda r: r.fold,
+    )
+    assert [r.fold for r in rows] == [1, 2, 3, 4, 5]
+    total = Registry(sf_dir).read(spark, "orders").count()
+    seg0 = rows[0].n_train
+    acc = seg0
+    for r in rows:
+        assert r.n_train == acc
+        acc += r.n_test
+    assert acc == total  # every order lands in exactly one segment
+
+
+def test_source_overlap_matrix_bounds(spark, sf_dir):
+    """Jaccard in (0, 1], pairs canonical (s1 < s2) and unique."""
+    from value_at_risk_spark.queries import QUERIES
+
+    rows = QUERIES["source_overlap_matrix"](spark, sf_dir).collect()
+    assert rows
+    seen = set()
+    for r in rows:
+        assert r.s1 < r.s2 and (r.s1, r.s2) not in seen
+        seen.add((r.s1, r.s2))
+        assert 0.0 < r.jaccard <= 1.0 and r.n_shared >= 1

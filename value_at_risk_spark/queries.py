@@ -8338,3 +8338,388 @@ def attribution_last_touch(spark: SparkSession, sf_dir: str) -> DataFrame:
             ),
         )
     )
+
+
+# --------------------------------------------------------------------------
+# Round-7 ninth pass: corpus cross-contamination, ML feature engineering,
+# behavioral transition structure, walk-forward evaluation
+# --------------------------------------------------------------------------
+
+
+@query(
+    "source_overlap_matrix",
+    """
+WITH toks AS (
+  SELECT source,
+         list_filter(string_split(lower(text),' '), x -> x <> '') AS ts
+  FROM documents
+),
+grams AS (
+  SELECT DISTINCT source, array_to_string(ts[i:i+7], ' ') AS g
+  FROM toks, UNNEST(range(1, greatest(len(ts) - 6, 1))) AS t(i)
+),
+gc AS (
+  SELECT g FROM grams GROUP BY g
+  HAVING COUNT(*) BETWEEN 2 AND 20
+),
+kept AS (SELECT grams.source, grams.g FROM grams JOIN gc USING (g)),
+sizes AS (SELECT source, CAST(COUNT(*) AS DOUBLE) AS sz FROM grams GROUP BY 1),
+inter AS (
+  SELECT a.source AS s1, b.source AS s2, CAST(COUNT(*) AS BIGINT) AS n_shared
+  FROM kept a JOIN kept b ON a.g = b.g AND a.source < b.source
+  GROUP BY 1, 2
+)
+SELECT s1, s2, n_shared,
+       ROUND(n_shared / (za.sz + zb.sz - n_shared), 6) + 0 AS jaccard
+FROM inter
+JOIN sizes za ON inter.s1 = za.source
+JOIN sizes zb ON inter.s2 = zb.source
+""",
+)
+def source_overlap_matrix(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Cross-source contamination matrix: 8-token-shingle Jaccard
+    between every pair of corpus sources — the report that tells you
+    which crawls/dumps overlap BEFORE you weight them in a training
+    mix (companion to decontaminate_training_docs, which screens
+    against benchmarks; this screens sources against each other).
+    Never a pairwise source scan: the inverted (gram -> source) index
+    is built once, ubiquitous grams (shared by >20 sources) are
+    dropped BEFORE pairing — they carry no discrimination signal and
+    are exactly the k^2 blow-up — so the gram-keyed self-join emits
+    at most C(20,2) pairs per gram; intersections reduce per source
+    pair and union sizes come from a per-source count broadcast back.
+    Same candidate-generation discipline as the MinHash LSH family:
+    the only pair enumeration happens inside a bounded bucket."""
+    from value_at_risk_spark.functions.text import tokens
+
+    n = 8
+    d = _t(spark, sf_dir, "documents")
+    toks = d.select("source", tokens("text").alias("ts"))
+    grams = toks.select(
+        "source",
+        F.explode(
+            F.when(
+                F.size("ts") >= n,
+                F.transform(
+                    F.sequence(F.lit(1), F.size("ts") - (n - 1)),
+                    lambda i: F.array_join(F.slice("ts", i, n), " "),
+                ),
+            ).otherwise(F.array().cast("array<string>"))
+        ).alias("g0"),
+    ).select("source", F.xxhash64("g0").alias("g")).distinct()
+    gc = (
+        grams.groupBy("g")
+        .agg(F.count(F.lit(1)).alias("nsrc"))
+        .filter((F.col("nsrc") >= 2) & (F.col("nsrc") <= 20))
+        .select("g")
+    )
+    kept = grams.join(gc, "g")
+    sizes = grams.groupBy("source").agg(
+        F.count(F.lit(1)).cast("double").alias("sz")
+    )
+    a = kept.select("g", F.col("source").alias("s1"))
+    b = kept.select("g", F.col("source").alias("s2"))
+    inter = (
+        a.join(b, "g")
+        .filter(F.col("s1") < F.col("s2"))
+        .groupBy("s1", "s2")
+        .agg(F.count(F.lit(1)).alias("n_shared"))
+    )
+    za = sizes.select(F.col("source").alias("s1"), F.col("sz").alias("sza"))
+    zb = sizes.select(F.col("source").alias("s2"), F.col("sz").alias("szb"))
+    return (
+        inter.join(F.broadcast(za), "s1")
+        .join(F.broadcast(zb), "s2")
+        .select(
+            "s1",
+            "s2",
+            "n_shared",
+            (
+                F.round(
+                    F.col("n_shared")
+                    / (F.col("sza") + F.col("szb") - F.col("n_shared")),
+                    6,
+                )
+                + F.lit(0.0)
+            ).alias("jaccard"),
+        )
+    )
+
+
+@query(
+    "event_transition_matrix",
+    """
+WITH ordered AS (
+  SELECT event_type,
+         LEAD(event_type) OVER (
+           PARTITION BY user_id ORDER BY ts, event_id) AS nxt
+  FROM events
+)
+SELECT event_type AS from_type, nxt AS to_type,
+       CAST(COUNT(*) AS BIGINT) AS n,
+       ROUND(COUNT(*) / CAST(SUM(COUNT(*)) OVER (PARTITION BY event_type)
+             AS DOUBLE), 6) + 0 AS p
+FROM ordered WHERE nxt IS NOT NULL
+GROUP BY event_type, nxt
+""",
+)
+def event_transition_matrix(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """First-order Markov transition matrix over user event sequences
+    — which action follows which, and with what probability (the
+    k-state generalization of christoffersen_independence_test's
+    2-state chain, and the model behind next-action prediction
+    baselines). One user-partitioned LEAD window (same shuffle key as
+    sessionization), one grouped count, and the row-normalizing
+    denominator is a window over the 5x5 transition table — nothing
+    after the first reduction touches data volume. event_id breaks
+    timestamp ties so the chain is deterministic on both engines."""
+    e = _t(spark, sf_dir, "events")
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    ordered = e.select(
+        "event_type", F.lead("event_type").over(w).alias("to_type")
+    ).filter(F.col("to_type").isNotNull())
+    counts = ordered.groupBy(
+        F.col("event_type").alias("from_type"), "to_type"
+    ).agg(F.count(F.lit(1)).alias("n"))
+    wrow = Window.partitionBy("from_type")
+    return counts.select(
+        "from_type",
+        "to_type",
+        "n",
+        (
+            F.round(F.col("n") / F.sum("n").over(wrow).cast("double"), 6)
+            + F.lit(0.0)
+        ).alias("p"),
+    )
+
+
+@query(
+    "feature_binning_woe",
+    """
+WITH b AS (
+  SELECT quantile_cont(l_extendedprice,
+         [0.1, 0.2, 0.3, 0.4, 0.5, 0.6, 0.7, 0.8, 0.9]) AS bs
+  FROM lineitem
+),
+binned AS (
+  SELECT CAST(LEN(list_filter(b.bs, x -> l_extendedprice > x)) AS BIGINT)
+           AS bin,
+         CASE WHEN l_returnflag = 'R' THEN 1 ELSE 0 END AS bad
+  FROM lineitem, b
+),
+agg AS (
+  SELECT bin, CAST(COUNT(*) AS BIGINT) AS n,
+         CAST(SUM(bad) AS BIGINT) AS n_bad,
+         CAST(COUNT(*) - SUM(bad) AS BIGINT) AS n_good
+  FROM binned GROUP BY 1
+),
+tot AS (
+  SELECT bin, n, n_bad, n_good,
+         SUM(n_bad) OVER () AS tb, SUM(n_good) OVER () AS tg
+  FROM agg
+)
+SELECT bin, n, n_bad,
+       ROUND(n_bad / CAST(n AS DOUBLE), 6) + 0 AS bad_rate,
+       ROUND(LN((n_good / CAST(tg AS DOUBLE)) / (n_bad / CAST(tb AS DOUBLE))), 6) + 0
+         AS woe,
+       ROUND((n_good / CAST(tg AS DOUBLE) - n_bad / CAST(tb AS DOUBLE))
+             * LN((n_good / CAST(tg AS DOUBLE)) / (n_bad / CAST(tb AS DOUBLE))), 6) + 0
+         AS iv_term
+FROM tot
+""",
+)
+def feature_binning_woe(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Equal-frequency feature binning + weight-of-evidence — the
+    credit-scoring/feature-engineering transform (bin a numeric
+    feature into deciles, score each bin's log-odds against a binary
+    target, sum information value). Decile EDGES come from ONE exact-
+    percentile aggregate broadcast back as a 9-element array; each
+    row's bin is then a pure codegen expression (count of edges below
+    the value) — no global ROW_NUMBER sort, which is the
+    nondeterministic-under-ties and single-task-at-scale alternative.
+    Value-based edges mean ties land in one bin (slightly uneven bins,
+    deterministic on both engines). The WOE/IV arithmetic runs over
+    the 10-row aggregate."""
+    li = _t(spark, sf_dir, "lineitem")
+    edges = li.agg(
+        F.percentile(
+            "l_extendedprice",
+            F.array(*[F.lit(x / 10.0) for x in range(1, 10)]),
+        ).alias("bs")
+    )
+    binned = li.crossJoin(F.broadcast(edges)).select(
+        F.size(
+            F.filter(
+                F.col("bs"), lambda x: F.col("l_extendedprice") > x
+            )
+        )
+        .cast("long")
+        .alias("bin"),
+        F.when(F.col("l_returnflag") == "R", F.lit(1))
+        .otherwise(F.lit(0))
+        .alias("bad"),
+    )
+    agg = binned.groupBy("bin").agg(
+        F.count(F.lit(1)).alias("n"),
+        F.sum("bad").alias("n_bad"),
+        (F.count(F.lit(1)) - F.sum("bad")).alias("n_good"),
+    )
+    wall = Window.partitionBy(F.lit(1))
+    tot = agg.select(
+        "bin",
+        "n",
+        "n_bad",
+        "n_good",
+        F.sum("n_bad").over(wall).alias("tb"),
+        F.sum("n_good").over(wall).alias("tg"),
+    )
+    dg = F.col("n_good") / F.col("tg").cast("double")
+    db = F.col("n_bad") / F.col("tb").cast("double")
+    woe = F.log(dg / db)
+    return tot.select(
+        "bin",
+        "n",
+        "n_bad",
+        (F.round(F.col("n_bad") / F.col("n").cast("double"), 6) + F.lit(0.0)).alias(
+            "bad_rate"
+        ),
+        (F.round(woe, 6) + F.lit(0.0)).alias("woe"),
+        (F.round((dg - db) * woe, 6) + F.lit(0.0)).alias("iv_term"),
+    )
+
+
+@query(
+    "model_prediction_intervals",
+    """
+WITH params AS (
+  SELECT l_returnflag AS flag,
+         REGR_SLOPE(l_extendedprice, l_quantity) AS slope,
+         REGR_INTERCEPT(l_extendedprice, l_quantity) AS intercept
+  FROM lineitem GROUP BY 1
+),
+resid AS (
+  SELECT l.l_returnflag AS flag, p.slope, p.intercept,
+         l.l_extendedprice - (p.intercept + p.slope * l.l_quantity) AS r
+  FROM lineitem l JOIN params p ON l.l_returnflag = p.flag
+)
+SELECT flag,
+       CAST(COUNT(*) AS BIGINT) AS n,
+       ROUND(MIN(slope), 6) + 0 AS slope,
+       ROUND(MIN(intercept), 6) + 0 AS intercept,
+       ROUND(quantile_cont(r, 0.05), 6) + 0 AS resid_q05,
+       ROUND(quantile_cont(r, 0.95), 6) + 0 AS resid_q95
+FROM resid GROUP BY flag
+""",
+)
+def model_prediction_intervals(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Empirical 90% prediction intervals for the per-flag linear
+    price model — the conformal-style calibration step after a fit
+    (reference fits per-ticker models, 02_var_model.py:137-154; this
+    is the "how wrong is it" companion): slope/intercept per group
+    via the closed-form REGR aggregates (one pass), residuals via a
+    broadcast join of the 3-row parameter table, then exact residual
+    percentiles per group in a second aggregate over the SAME
+    grouping key — two co-keyed shuffles total, no model state
+    outside the frame. Intervals are distribution-free: whatever the
+    residual shape, [q05, q95] covers ~90% by construction."""
+    li = _t(spark, sf_dir, "lineitem")
+    params = li.groupBy(F.col("l_returnflag").alias("flag")).agg(
+        F.expr("regr_slope(l_extendedprice, l_quantity)").alias("slope"),
+        F.expr("regr_intercept(l_extendedprice, l_quantity)").alias(
+            "intercept"
+        ),
+    )
+    resid = li.join(
+        F.broadcast(params), li.l_returnflag == params.flag
+    ).select(
+        "flag",
+        "slope",
+        "intercept",
+        (
+            F.col("l_extendedprice")
+            - (F.col("intercept") + F.col("slope") * F.col("l_quantity"))
+        ).alias("r"),
+    )
+    return resid.groupBy("flag").agg(
+        F.count(F.lit(1)).alias("n"),
+        (F.round(F.min("slope"), 6) + F.lit(0.0)).alias("slope"),
+        (F.round(F.min("intercept"), 6) + F.lit(0.0)).alias("intercept"),
+        (F.round(F.percentile("r", F.lit(0.05)), 6) + F.lit(0.0)).alias(
+            "resid_q05"
+        ),
+        (F.round(F.percentile("r", F.lit(0.95)), 6) + F.lit(0.0)).alias(
+            "resid_q95"
+        ),
+    )
+
+
+@query(
+    "walk_forward_folds",
+    """
+WITH bounds AS (
+  SELECT MIN(CAST(o_orderdate AS DATE)) AS d0,
+         CAST(DATEDIFF('day', MIN(CAST(o_orderdate AS DATE)),
+                        MAX(CAST(o_orderdate AS DATE))) + 1 AS DOUBLE) AS span
+  FROM orders
+),
+seg AS (
+  SELECT CAST(FLOOR(DATEDIFF('day', b.d0, CAST(o_orderdate AS DATE))
+              * 6 / b.span) AS BIGINT) AS s,
+         CAST(COUNT(*) AS BIGINT) AS n
+  FROM orders, bounds b
+  GROUP BY 1
+)
+SELECT s AS fold,
+       CAST(SUM(n) OVER (ORDER BY s ROWS BETWEEN UNBOUNDED PRECEDING
+            AND 1 PRECEDING) AS BIGINT) AS n_train,
+       n AS n_test
+FROM seg
+QUALIFY s >= 1
+""",
+)
+def walk_forward_folds(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Walk-forward (expanding-window) cross-validation fold plan
+    over order time — the split discipline for any time-series model
+    (lookahead-free: fold k trains on segments [0,k) and tests on
+    segment k). Time is divided into 6 equal calendar segments from
+    a 1-row min/max bounds broadcast; per-segment counts are ONE
+    grouped aggregate, and the expanding train sizes are a running
+    sum over the 6-row segment table. The fold boundaries are pure
+    date arithmetic, so the same plan assigns folds to 100 TB of
+    rows with one scan and a 6-row reduction — the assignment
+    expression doubles as the split predicate at training time."""
+    o = _t(spark, sf_dir, "orders")
+    bounds = o.agg(
+        F.min(F.col("o_orderdate").cast("date")).alias("d0"),
+        (
+            F.datediff(
+                F.max(F.col("o_orderdate").cast("date")),
+                F.min(F.col("o_orderdate").cast("date")),
+            )
+            + 1
+        )
+        .cast("double")
+        .alias("span"),
+    )
+    seg = (
+        o.crossJoin(F.broadcast(bounds))
+        .groupBy(
+            F.floor(
+                F.datediff(F.col("o_orderdate").cast("date"), F.col("d0"))
+                * 6
+                / F.col("span")
+            )
+            .cast("long")
+            .alias("s")
+        )
+        .agg(F.count(F.lit(1)).alias("n"))
+    )
+    w = Window.orderBy("s").rowsBetween(Window.unboundedPreceding, -1)
+    return (
+        seg.select(
+            F.col("s").alias("fold"),
+            F.sum("n").over(w).cast("long").alias("n_train"),
+            F.col("n").cast("long").alias("n_test"),
+        )
+        .filter(F.col("fold") >= 1)
+    )
