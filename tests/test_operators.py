@@ -2434,3 +2434,39 @@ def test_source_overlap_matrix_bounds(spark, sf_dir):
         assert r.s1 < r.s2 and (r.s1, r.s2) not in seen
         seen.add((r.s1, r.s2))
         assert 0.0 < r.jaccard <= 1.0 and r.n_shared >= 1
+
+
+def test_cuped_reduces_pooled_variance(spark, sf_dir):
+    """theta = cov/var is the pooled-variance minimizer, so the
+    adjusted metric's pooled variance is mathematically <= the raw
+    one on the same sample; arms stay the same size class."""
+    from value_at_risk_spark.queries import QUERIES
+
+    rows = QUERIES["cuped_experiment_analysis"](spark, sf_dir).collect()
+    assert {r.arm for r in rows} == {0, 1}
+    n = sum(r.n_users for r in rows)
+    pooled_raw = sum(r.var_post * (r.n_users - 1) for r in rows)
+    pooled_adj = sum(r.var_post_adj * (r.n_users - 1) for r in rows)
+    assert pooled_adj <= pooled_raw * 1.001
+    assert all(abs(r.n_users - n / 2) < n * 0.2 for r in rows)
+
+
+def test_dp_noisy_release_perturbs_within_scale(spark, sf_dir):
+    """Every released count is perturbed (never the exact value) and
+    the deterministic Laplace(b=2) draw stays within 20b of truth."""
+    from value_at_risk_spark.queries import QUERIES
+    from value_at_risk_spark.sources.registry import Registry
+
+    truth = {
+        r.event_type: r.n
+        for r in Registry(sf_dir)
+        .read(spark, "events")
+        .groupBy("event_type")
+        .agg(F.count(F.lit(1)).alias("n"))
+        .collect()
+    }
+    rows = QUERIES["dp_noisy_release"](spark, sf_dir).collect()
+    assert len(rows) == len(truth)
+    for r in rows:
+        delta = abs(r.noisy_count - truth[r.event_type])
+        assert 0.0 < delta < 40.0, (r.event_type, delta)

@@ -738,6 +738,14 @@ def test_cdc_out_of_order_redelivery_and_vacuum(spark, tmp_path):
     assert sink.skipped == [1]
     assert {r.k: r.val for r in sink.read(spark).collect()} == live
 
+    # time travel: the state as of each batch is still addressable
+    assert {r.k: r.val for r in sink.read(spark, at=0).collect()} == {
+        1: "a", 2: "b", 3: "c"
+    }
+    assert {r.k: r.val for r in sink.read(spark, at=1).collect()} == {
+        2: "b3", 3: "c"
+    }
+
     # retention: only the tip survives, read still works
     removed = sink.vacuum(keep_last=1)
     assert removed == [0, 1]

@@ -8723,3 +8723,166 @@ def walk_forward_folds(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .filter(F.col("fold") >= 1)
     )
+
+
+@query(
+    "cuped_experiment_analysis",
+    """
+WITH bounds AS (
+  SELECT MIN(CAST(ts AS DATE)) AS d0,
+         CAST(DATEDIFF('day', MIN(CAST(ts AS DATE)),
+                        MAX(CAST(ts AS DATE))) + 1 AS DOUBLE) AS span
+  FROM events
+),
+per_user AS (
+  SELECT user_id,
+         CAST(user_id % 2 AS BIGINT) AS arm,
+         SUM(CASE WHEN DATEDIFF('day', b.d0, CAST(ts AS DATE)) * 2 < b.span
+                  THEN value ELSE 0 END) AS pre,
+         SUM(CASE WHEN DATEDIFF('day', b.d0, CAST(ts AS DATE)) * 2 >= b.span
+                  THEN value ELSE 0 END) AS post
+  FROM events, bounds b
+  GROUP BY 1, 2
+),
+pooled AS (
+  SELECT COVAR_SAMP(post, pre) / VAR_SAMP(pre) AS theta,
+         AVG(pre) AS mu_pre
+  FROM per_user
+),
+adj AS (
+  SELECT arm, post, post - p.theta * (pre - p.mu_pre) AS post_adj
+  FROM per_user, pooled p
+)
+SELECT arm,
+       CAST(COUNT(*) AS BIGINT) AS n_users,
+       ROUND(AVG(post), 6) + 0 AS mean_post,
+       ROUND(AVG(post_adj), 6) + 0 AS mean_post_adj,
+       ROUND(VAR_SAMP(post), 4) + 0 AS var_post,
+       ROUND(VAR_SAMP(post_adj), 4) + 0 AS var_post_adj,
+       ROUND(1 - VAR_SAMP(post_adj) / VAR_SAMP(post), 6) + 0
+         AS variance_reduction
+FROM adj GROUP BY arm
+""",
+)
+def cuped_experiment_analysis(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """CUPED variance reduction for an A/B readout (Deng et al.,
+    WSDM 2013 — the standard trick in every large experimentation
+    platform): per-user post-period value is adjusted by the pre-
+    period covariate, post' = post - theta*(pre - mean(pre)) with
+    theta = cov(post, pre)/var(pre), shrinking metric variance
+    without biasing the treatment difference (theta and the split
+    point are arm-blind). Here the period split is the time-range
+    midpoint from a 1-row bounds broadcast and arms are user_id
+    parity (a hash in production). Dataflow: ONE user-keyed
+    aggregate builds the (pre, post) panel, theta/mean are a 1-row
+    pooled aggregate broadcast back, per-arm stats close it out —
+    three shuffles, each carrying one row per user or less, at any
+    event volume."""
+    e = _t(spark, sf_dir, "events")
+    bounds = e.agg(
+        F.min(F.col("ts").cast("date")).alias("d0"),
+        (
+            F.datediff(
+                F.max(F.col("ts").cast("date")),
+                F.min(F.col("ts").cast("date")),
+            )
+            + 1
+        )
+        .cast("double")
+        .alias("span"),
+    )
+    day = F.datediff(F.col("ts").cast("date"), F.col("d0"))
+    per_user = (
+        e.crossJoin(F.broadcast(bounds))
+        .groupBy("user_id", (F.col("user_id") % 2).cast("long").alias("arm"))
+        .agg(
+            F.sum(
+                F.when(day * 2 < F.col("span"), F.col("value")).otherwise(
+                    F.lit(0.0)
+                )
+            ).alias("pre"),
+            F.sum(
+                F.when(day * 2 >= F.col("span"), F.col("value")).otherwise(
+                    F.lit(0.0)
+                )
+            ).alias("post"),
+        )
+    )
+    pooled = per_user.agg(
+        (F.covar_samp("post", "pre") / F.var_samp("pre")).alias("theta"),
+        F.avg("pre").alias("mu_pre"),
+    )
+    adj = per_user.crossJoin(F.broadcast(pooled)).select(
+        "arm",
+        "post",
+        (
+            F.col("post")
+            - F.col("theta") * (F.col("pre") - F.col("mu_pre"))
+        ).alias("post_adj"),
+    )
+    return adj.groupBy("arm").agg(
+        F.count(F.lit(1)).alias("n_users"),
+        (F.round(F.avg("post"), 6) + F.lit(0.0)).alias("mean_post"),
+        (F.round(F.avg("post_adj"), 6) + F.lit(0.0)).alias("mean_post_adj"),
+        (F.round(F.var_samp("post"), 4) + F.lit(0.0)).alias("var_post"),
+        (F.round(F.var_samp("post_adj"), 4) + F.lit(0.0)).alias(
+            "var_post_adj"
+        ),
+        (
+            F.round(
+                F.lit(1.0) - F.var_samp("post_adj") / F.var_samp("post"), 6
+            )
+            + F.lit(0.0)
+        ).alias("variance_reduction"),
+    )
+
+
+@query(
+    "dp_noisy_release",
+    """
+WITH counts AS (
+  SELECT event_type, CAST(COUNT(*) AS BIGINT) AS n FROM events GROUP BY 1
+),
+noised AS (
+  SELECT event_type, n,
+         (('0x' || substring(md5(event_type), 1, 8))::UBIGINT + 0.5)
+           / 4294967296.0 AS u
+  FROM counts
+)
+SELECT event_type,
+       ROUND(n + (-2.0) * SIGN(u - 0.5) * LN(1.0 - 2.0 * ABS(u - 0.5)), 4) + 0
+         AS noisy_count,
+       0.5 AS epsilon
+FROM noised
+""",
+)
+def dp_noisy_release(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Laplace-mechanism count release (epsilon = 1/b = 0.5,
+    sensitivity 1) — the aggregate-publication step of a privacy-
+    conscious data pipeline: true per-type counts never leave the
+    engine, only counts + Laplace(b=2) noise do. The noise uniform is
+    md5-derived — the DETERMINISTIC-REPLAY form this engine uses for
+    every sampled operator (retry-stable, oracle-checkable, and how
+    you unit-test a DP release pipeline end-to-end); a production
+    release swaps the hash for a sealed RNG draw, changing ONE
+    expression and no dataflow. Inverse-CDF transform
+    (-b*sign(u-1/2)*ln(1-2|u-1/2|)) runs on the 5-row aggregate;
+    the scan only counts."""
+    e = _t(spark, sf_dir, "events")
+    counts = e.groupBy("event_type").agg(F.count(F.lit(1)).alias("n"))
+    u = (
+        F.conv(F.substring(F.md5(F.col("event_type")), 1, 8), 16, 10).cast(
+            "double"
+        )
+        + 0.5
+    ) / F.lit(4294967296.0)
+    noise = (
+        F.lit(-2.0)
+        * F.signum(u - 0.5)
+        * F.log(F.lit(1.0) - 2.0 * F.abs(u - 0.5))
+    )
+    return counts.select(
+        "event_type",
+        (F.round(F.col("n") + noise, 4) + F.lit(0.0)).alias("noisy_count"),
+        F.lit(0.5).alias("epsilon"),
+    )

@@ -118,19 +118,29 @@ class CdcTableSink:
 
     # -- readers ------------------------------------------------------------
 
-    def read_state(self, spark: SparkSession) -> DataFrame:
-        """Latest committed version, tombstones included."""
+    def read_state(
+        self, spark: SparkSession, at: int | None = None
+    ) -> DataFrame:
+        """A committed version, tombstones included. ``at`` time-
+        travels to the state as of batch ``at`` (the newest committed
+        version <= at, since empty triggers may skip batchIds);
+        default is the latest."""
         versions = self.committed_versions()
+        if at is not None:
+            versions = [v for v in versions if v <= at]
         if not versions:
             raise ValueError(
-                f"CdcTableSink.read_state: no committed version under "
-                f"{self.out_dir} (no micro-batch has been applied yet)"
+                f"CdcTableSink.read_state: no committed version"
+                f"{f' at or before batch {at}' if at is not None else ''} "
+                f"under {self.out_dir}"
             )
         return spark.read.parquet(self._version_dir(versions[-1]))
 
-    def read(self, spark: SparkSession) -> DataFrame:
-        """Live rows: latest version minus tombstones, payload only."""
-        return self.read_state(spark).filter(
+    def read(self, spark: SparkSession, at: int | None = None) -> DataFrame:
+        """Live rows: a version minus tombstones, payload only.
+        ``at`` gives Delta-style time travel across retained versions
+        (vacuumed versions are gone — retention bounds the horizon)."""
+        return self.read_state(spark, at=at).filter(
             F.col(self.op_col) != F.lit("D")
         ).drop(self.seq_col, self.op_col)
 
