@@ -2470,3 +2470,67 @@ def test_dp_noisy_release_perturbs_within_scale(spark, sf_dir):
     for r in rows:
         delta = abs(r.noisy_count - truth[r.event_type])
         assert 0.0 < delta < 40.0, (r.event_type, delta)
+
+
+def test_gini_matches_numpy(spark, sf_dir):
+    """The windowed Gini equals the textbook numpy computation on the
+    per-customer revenue vector."""
+    import numpy as np
+
+    from value_at_risk_spark.queries import QUERIES
+    from value_at_risk_spark.sources.registry import Registry
+
+    row = QUERIES["gini_revenue_concentration"](spark, sf_dir).collect()[0]
+    x = np.sort(
+        np.array(
+            [
+                r.x
+                for r in Registry(sf_dir)
+                .read(spark, "orders")
+                .groupBy("o_custkey")
+                .agg(F.sum("o_totalprice").alias("x"))
+                .collect()
+            ]
+        )
+    )
+    n = len(x)
+    i = np.arange(1, n + 1)
+    g_ref = 2.0 * np.sum(i * x) / (n * np.sum(x)) - (n + 1.0) / n
+    assert row.n_customers == n
+    assert abs(row.gini - g_ref) < 1e-6
+    assert 0.0 < row.gini < 1.0
+
+
+def test_pareto_and_survival_invariants(spark, sf_dir):
+    """ABC shares partition revenue (sum to 1, A >= B >= C) and the
+    KM curve is a proper survival function (monotone from a full
+    cohort)."""
+    from value_at_risk_spark.queries import QUERIES
+    from value_at_risk_spark.sources.registry import Registry
+
+    abc = {r.abc: r for r in QUERIES["pareto_abc_parts"](spark, sf_dir).collect()}
+    assert set(abc) == {"A", "B", "C"}
+    assert abs(sum(r.revenue_share for r in abc.values()) - 1.0) < 1e-5
+    assert abc["A"].revenue_share >= abc["B"].revenue_share >= abc["C"].revenue_share
+
+    km = sorted(
+        QUERIES["survival_km_churn"](spark, sf_dir).collect(),
+        key=lambda r: r.t_days,
+    )
+    n_users = Registry(sf_dir).read(spark, "events").select("user_id").distinct().count()
+    assert km[0].n_risk == n_users
+    last = 1.0
+    for r in km:
+        assert 0.0 <= r.survival <= last + 1e-9
+        last = r.survival
+
+
+def test_price_elasticity_accounts_every_line(spark, sf_dir):
+    """Per-brand fits partition the fact table; R^2 well-formed."""
+    from value_at_risk_spark.queries import QUERIES
+    from value_at_risk_spark.sources.registry import Registry
+
+    rows = QUERIES["price_elasticity_by_brand"](spark, sf_dir).collect()
+    total = Registry(sf_dir).read(spark, "lineitem").count()
+    assert sum(r.n for r in rows) == total
+    assert all(0.0 <= r.r2 <= 1.0 for r in rows)

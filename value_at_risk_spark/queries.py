@@ -8886,3 +8886,267 @@ def dp_noisy_release(spark: SparkSession, sf_dir: str) -> DataFrame:
         (F.round(F.col("n") + noise, 4) + F.lit(0.0)).alias("noisy_count"),
         F.lit(0.5).alias("epsilon"),
     )
+
+
+# --------------------------------------------------------------------------
+# Round-7 eleventh pass: concentration, classification, survival, elasticity
+# --------------------------------------------------------------------------
+
+
+@query(
+    "gini_revenue_concentration",
+    """
+WITH rev AS (
+  SELECT o_custkey AS k, SUM(o_totalprice) AS x
+  FROM orders GROUP BY 1
+),
+ranked AS (
+  SELECT x, ROW_NUMBER() OVER (ORDER BY x, k) AS i FROM rev
+)
+SELECT CAST(COUNT(*) AS BIGINT) AS n_customers,
+       ROUND(SUM(x), 2) + 0 AS total_revenue,
+       ROUND(2.0 * SUM(i * x) / (COUNT(*) * SUM(x))
+             - (COUNT(*) + 1.0) / COUNT(*), 6) + 0 AS gini
+FROM ranked
+""",
+)
+def gini_revenue_concentration(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Gini coefficient of customer revenue concentration (the Lorenz
+    -curve summary): G = 2*sum(i*x_i)/(n*sum(x)) - (n+1)/n over
+    revenues ranked ascending — how unequal the book of business is.
+    The raw order volume reduces to one row per customer FIRST; the
+    rank is a window over that reduction (customer-count scale, not
+    order scale — at 10^8 customers swap in the two-pass distributed
+    rank: per-partition counts broadcast as rank offsets, same
+    formula). Ties rank deterministically by key on both engines."""
+    o = _t(spark, sf_dir, "orders")
+    rev = o.groupBy(F.col("o_custkey").alias("k")).agg(
+        F.sum("o_totalprice").alias("x")
+    )
+    w = Window.orderBy("x", "k")
+    ranked = rev.select("x", F.row_number().over(w).alias("i"))
+    n = F.count(F.lit(1))
+    return ranked.agg(
+        n.alias("n_customers"),
+        (F.round(F.sum("x"), 2) + F.lit(0.0)).alias("total_revenue"),
+        (
+            F.round(
+                F.lit(2.0) * F.sum(F.col("i") * F.col("x")) / (n * F.sum("x"))
+                - (n + F.lit(1.0)) / n,
+                6,
+            )
+            + F.lit(0.0)
+        ).alias("gini"),
+    )
+
+
+@query(
+    "pareto_abc_parts",
+    """
+WITH rev AS (
+  SELECT l_partkey AS k, SUM(l_extendedprice * (1 - l_discount)) AS x
+  FROM lineitem GROUP BY 1
+),
+shares AS (
+  SELECT k, x,
+         SUM(x) OVER (ORDER BY x DESC, k ROWS UNBOUNDED PRECEDING)
+           / SUM(x) OVER () AS cum_share
+  FROM rev
+),
+classed AS (
+  SELECT CASE WHEN cum_share <= 0.8 THEN 'A'
+              WHEN cum_share <= 0.95 THEN 'B'
+              ELSE 'C' END AS abc, x
+  FROM shares
+)
+SELECT abc,
+       CAST(COUNT(*) AS BIGINT) AS n_parts,
+       ROUND(SUM(x), 2) + 0 AS revenue,
+       ROUND(SUM(x) / SUM(SUM(x)) OVER (), 6) + 0 AS revenue_share
+FROM classed GROUP BY abc
+""",
+)
+def pareto_abc_parts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ABC / Pareto classification of parts by discounted revenue:
+    the top ~80% of cumulative revenue is class A, the next 15% B,
+    the tail C — the inventory-prioritization cut every supply chain
+    runs. One part-keyed reduction, one descending cumulative-share
+    window over the part-count frame (ties broken by key), and a
+    3-row rollup with a window-total share. The cumulative window is
+    over the REDUCED frame; at extreme part cardinality the same
+    two-pass rank-offset trick as the Gini applies."""
+    li = _t(spark, sf_dir, "lineitem")
+    rev = li.groupBy(F.col("l_partkey").alias("k")).agg(
+        F.sum(F.col("l_extendedprice") * (1 - F.col("l_discount"))).alias("x")
+    )
+    wcum = Window.orderBy(F.desc("x"), F.asc("k")).rowsBetween(
+        Window.unboundedPreceding, Window.currentRow
+    )
+    wall = Window.partitionBy(F.lit(1))
+    shares = rev.select(
+        "x",
+        (F.sum("x").over(wcum) / F.sum("x").over(wall)).alias("cum_share"),
+    )
+    classed = shares.select(
+        F.when(F.col("cum_share") <= 0.8, F.lit("A"))
+        .when(F.col("cum_share") <= 0.95, F.lit("B"))
+        .otherwise(F.lit("C"))
+        .alias("abc"),
+        "x",
+    )
+    wtot = Window.partitionBy(F.lit(1))
+    return (
+        classed.groupBy("abc")
+        .agg(
+            F.count(F.lit(1)).alias("n_parts"),
+            F.sum("x").alias("_rev"),
+        )
+        .select(
+            "abc",
+            "n_parts",
+            (F.round("_rev", 2) + F.lit(0.0)).alias("revenue"),
+            (
+                F.round(F.col("_rev") / F.sum("_rev").over(wtot), 6)
+                + F.lit(0.0)
+            ).alias("revenue_share"),
+        )
+    )
+
+
+@query(
+    "survival_km_churn",
+    """
+WITH ends AS (SELECT MAX(CAST(ts AS DATE)) AS obs_end FROM events),
+u AS (
+  SELECT user_id,
+         MIN(CAST(ts AS DATE)) AS first_d,
+         MAX(CAST(ts AS DATE)) AS last_d
+  FROM events GROUP BY 1
+),
+span AS (
+  SELECT CASE WHEN DATEDIFF('day', last_d, e.obs_end) > 7
+              THEN DATEDIFF('day', first_d, last_d)
+              ELSE DATEDIFF('day', first_d, e.obs_end) END AS t,
+         CASE WHEN DATEDIFF('day', last_d, e.obs_end) > 7
+              THEN 1 ELSE 0 END AS churned
+  FROM u, ends e
+),
+risk AS (
+  SELECT t, CAST(SUM(churned) AS DOUBLE) AS d,
+         CAST(COUNT(*) AS BIGINT) AS leaving
+  FROM span GROUP BY t
+),
+km AS (
+  SELECT t, d,
+         SUM(leaving) OVER (ORDER BY t DESC ROWS UNBOUNDED PRECEDING)
+           AS n_risk
+  FROM risk
+)
+SELECT CAST(t AS BIGINT) AS t_days,
+       CAST(n_risk AS BIGINT) AS n_risk,
+       CAST(d AS BIGINT) AS d_churned,
+       CASE WHEN MAX(CASE WHEN d >= n_risk THEN 1 ELSE 0 END)
+                 OVER (ORDER BY t ROWS UNBOUNDED PRECEDING) = 1
+            THEN 0.0
+            ELSE ROUND(EXP(SUM(LN(1.0 - d / n_risk))
+                 OVER (ORDER BY t ROWS UNBOUNDED PRECEDING)), 6) + 0
+       END AS survival
+FROM km
+""",
+)
+def survival_km_churn(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Kaplan-Meier survival curve for user churn: duration = days
+    from first activity to churn (no events in the final 7 days of
+    the observation window => churned at last activity) or to the
+    censoring horizon. S(t) = prod_{t_i <= t} (1 - d_i/n_i), computed
+    distributively as exp(cumsum(ln(1-d/n))) with the d_i = n_i
+    terminal case forced to exactly 0 via a cumulative flag (no
+    -inf/NaN leakage on either engine). The at-risk counts n_i come
+    from a REVERSE cumulative sum — no per-time re-scan of the
+    cohort. Events reduce to one row per user, then one row per
+    distinct duration: everything after the first aggregate is
+    cohort-sized. The right-censoring bookkeeping (the part naive
+    'avg lifetime' dashboards get wrong) is the point of KM."""
+    e = _t(spark, sf_dir, "events")
+    ends = e.agg(F.max(F.col("ts").cast("date")).alias("obs_end"))
+    u = e.groupBy("user_id").agg(
+        F.min(F.col("ts").cast("date")).alias("first_d"),
+        F.max(F.col("ts").cast("date")).alias("last_d"),
+    )
+    gap = F.datediff(F.col("obs_end"), F.col("last_d"))
+    span = u.crossJoin(F.broadcast(ends)).select(
+        F.when(
+            gap > 7, F.datediff(F.col("last_d"), F.col("first_d"))
+        )
+        .otherwise(F.datediff(F.col("obs_end"), F.col("first_d")))
+        .alias("t"),
+        F.when(gap > 7, F.lit(1)).otherwise(F.lit(0)).alias("churned"),
+    )
+    risk = span.groupBy("t").agg(
+        F.sum("churned").cast("double").alias("d"),
+        F.count(F.lit(1)).alias("leaving"),
+    )
+    wrev = Window.orderBy(F.desc("t")).rowsBetween(
+        Window.unboundedPreceding, Window.currentRow
+    )
+    km = risk.select(
+        "t", "d", F.sum("leaving").over(wrev).alias("n_risk")
+    )
+    wcum = Window.orderBy("t").rowsBetween(
+        Window.unboundedPreceding, Window.currentRow
+    )
+    dead = F.max(
+        F.when(F.col("d") >= F.col("n_risk"), F.lit(1)).otherwise(F.lit(0))
+    ).over(wcum)
+    surv = F.exp(
+        F.sum(F.log(F.lit(1.0) - F.col("d") / F.col("n_risk"))).over(wcum)
+    )
+    return km.select(
+        F.col("t").cast("long").alias("t_days"),
+        F.col("n_risk").cast("long").alias("n_risk"),
+        F.col("d").cast("long").alias("d_churned"),
+        F.when(dead == 1, F.lit(0.0))
+        .otherwise(F.round(surv, 6) + F.lit(0.0))
+        .alias("survival"),
+    )
+
+
+@query(
+    "price_elasticity_by_brand",
+    """
+SELECT p.p_brand AS brand,
+       CAST(COUNT(*) AS BIGINT) AS n,
+       ROUND(REGR_SLOPE(LN(l.l_quantity),
+                        LN(l.l_extendedprice / l.l_quantity)), 6) + 0
+         AS elasticity,
+       ROUND(REGR_R2(LN(l.l_quantity),
+                     LN(l.l_extendedprice / l.l_quantity)), 6) + 0 AS r2
+FROM lineitem l JOIN part p ON l.l_partkey = p.p_partkey
+GROUP BY p.p_brand
+""",
+)
+def price_elasticity_by_brand(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Log-log price elasticity of demand per brand: the slope of
+    ln(quantity) on ln(unit price) IS the elasticity (the %-change
+    ratio), estimated with the closed-form REGR aggregates in ONE
+    grouped pass over the broadcast lineitem x part join — no
+    iterative fit, no per-group collect; R^2 reports fit quality in
+    the same aggregate. The same shape estimates any log-log
+    sensitivity (dose-response, cost curves) at 100 TB: broadcast
+    the dimension, one hash-agg over the facts."""
+    li = _t(spark, sf_dir, "lineitem")
+    p = _t(spark, sf_dir, "part").select("p_partkey", "p_brand")
+    y = F.log(F.col("l_quantity"))
+    x = F.log(F.col("l_extendedprice") / F.col("l_quantity"))
+    return (
+        li.join(F.broadcast(p), li.l_partkey == p.p_partkey)
+        .select(F.col("p_brand").alias("brand"), y.alias("_y"), x.alias("_x"))
+        .groupBy("brand")
+        .agg(
+            F.count(F.lit(1)).alias("n"),
+            (F.round(F.expr("regr_slope(_y, _x)"), 6) + F.lit(0.0)).alias(
+                "elasticity"
+            ),
+            (F.round(F.expr("regr_r2(_y, _x)"), 6) + F.lit(0.0)).alias("r2"),
+        )
+    )
