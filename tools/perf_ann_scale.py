@@ -36,9 +36,10 @@ from value_at_risk_spark.operators.similarity import (  # noqa: E402
 )
 from value_at_risk_spark.session import get_spark  # noqa: E402
 
-REPS = int(os.environ.get("REPS", "10"))
-IVF_K = int(os.environ.get("IVF_K", "64"))
+REPS = int(os.environ.get("REPS", "100"))
+IVF_K = int(os.environ.get("IVF_K", "32"))
 NPROBE = int(os.environ.get("NPROBE", "4"))
+N_QUERIES = int(os.environ.get("N_QUERIES", "100"))
 
 
 def main() -> None:
@@ -56,12 +57,11 @@ def main() -> None:
             out_ids, out_vecs = [], []
             for vid, vec in zip(pdf["vec_id"], pdf["embedding"]):
                 v = np.asarray(vec, dtype=np.float64)
+                rng = np.random.default_rng(int(vid))
+                noise = rng.normal(0.0, 0.05, (REPS, v.shape[0]))
                 for r in range(REPS):
-                    rng = np.random.default_rng(int(vid) * REPS + r)
                     out_ids.append(int(vid) + r * 10**9)
-                    out_vecs.append(
-                        (v + rng.normal(0.0, 0.05, v.shape)).tolist()
-                    )
+                    out_vecs.append((v + noise[r]).tolist())
             yield pd.DataFrame({"vec_id": out_ids, "embedding": out_vecs})
 
     import tempfile, shutil
@@ -75,13 +75,16 @@ def main() -> None:
         build_sec = round(time.time() - t0, 2)
         raw = spark.read.parquet(scaled)
         n = raw.count()
+        n_base = n // REPS
         corpus = raw.select(
             F.col("vec_id").alias("neighbor_id"), "embedding"
         )
 
-        queries = raw.filter(F.col("vec_id") % (n // 100 * REPS) == 0).select(
-            F.col("vec_id").alias("query_id"), "embedding"
-        )
+        # N_QUERIES of the ORIGINAL (r=0) vectors, evenly spaced
+        stride = max(n_base // N_QUERIES, 1)
+        queries = raw.filter(
+            (F.col("vec_id") < n_base) & (F.col("vec_id") % stride == 0)
+        ).select(F.col("vec_id").alias("query_id"), "embedding")
         nq = queries.count()
 
         t0 = time.time()

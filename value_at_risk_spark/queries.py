@@ -9150,3 +9150,240 @@ def price_elasticity_by_brand(spark: SparkSession, sf_dir: str) -> DataFrame:
             (F.round(F.expr("regr_r2(_y, _x)"), 6) + F.lit(0.0)).alias("r2"),
         )
     )
+
+
+# --------------------------------------------------------------------------
+# Round-7 twelfth pass: stressed VaR, leave-one-out VaR, covariance shrinkage
+# --------------------------------------------------------------------------
+
+
+@query(
+    "stressed_var_250d",
+    "WITH "
+    + SQL_RETS
+    + """,
+idx AS (
+  SELECT series, d, ret,
+         ROW_NUMBER() OVER (PARTITION BY series ORDER BY d) AS rn,
+         SUM(ret) OVER (PARTITION BY series ORDER BY d
+                        ROWS BETWEEN 249 PRECEDING AND CURRENT ROW) AS cum250,
+         COUNT(*) OVER (PARTITION BY series ORDER BY d
+                        ROWS BETWEEN 249 PRECEDING AND CURRENT ROW) AS n250
+  FROM rets
+),
+worst AS (
+  SELECT series, rn AS rn_end FROM (
+    SELECT series, rn,
+           ROW_NUMBER() OVER (PARTITION BY series
+                              ORDER BY cum250, rn) AS rk
+    FROM idx WHERE n250 = 250
+  ) WHERE rk = 1
+),
+stressed AS (
+  SELECT i.series, i.ret
+  FROM idx i JOIN worst ON i.series = worst.series
+  WHERE i.rn > worst.rn_end - 250 AND i.rn <= worst.rn_end
+)
+SELECT series,
+       CAST(COUNT(*) AS BIGINT) AS n_obs,
+       ROUND(quantile_cont(ret, 0.01), 6) + 0 AS stressed_var99
+FROM stressed GROUP BY series
+""",
+)
+def stressed_var_250d(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Stressed VaR (Basel 2.5 / FRTB): historical VaR-99 computed
+    over each series' WORST contiguous 250-observation stretch — the
+    capital add-on that keeps models honest after calm years. The
+    worst window is found with one partitioned running-sum window
+    (cumulative 250-obs return), its end row picked by a min over a
+    (sum, rownum) struct — lexicographic argmin again, ties to the
+    earliest window — and the stressed slice is re-selected by row-
+    number range with a broadcast of the 1-row-per-series marker.
+    Running-window sums accumulate in d-order on both engines, so
+    the argmin is deterministic. Same partitioned-window scale story
+    as the Basel breach queries: per-series state, never global."""
+    rets = daily_returns(spark, sf_dir)
+    w = Window.partitionBy("series").orderBy("d")
+    w250 = w.rowsBetween(-249, 0)
+    idx = rets.select(
+        "series",
+        "ret",
+        F.row_number().over(w).alias("rn"),
+        F.sum("ret").over(w250).alias("cum250"),
+        F.count(F.lit(1)).over(w250).alias("n250"),
+    )
+    worst = (
+        idx.filter(F.col("n250") == 250)
+        .groupBy("series")
+        .agg(F.min(F.struct("cum250", "rn")).alias("w"))
+        .select("series", F.col("w.rn").alias("rn_end"))
+    )
+    stressed = idx.join(F.broadcast(worst), "series").filter(
+        (F.col("rn") > F.col("rn_end") - 250)
+        & (F.col("rn") <= F.col("rn_end"))
+    )
+    return stressed.groupBy("series").agg(
+        F.count(F.lit(1)).alias("n_obs"),
+        (F.round(F.percentile("ret", F.lit(0.01)), 6) + F.lit(0.0)).alias(
+            "stressed_var99"
+        ),
+    )
+
+
+@query(
+    "leave_one_out_var",
+    "WITH "
+    + SQL_RETS
+    + f""",
+ns AS (SELECT CAST(COUNT(DISTINCT series) AS DOUBLE) AS n FROM rets),
+spine AS (
+  SELECT s.series, dd.d
+  FROM (SELECT DISTINCT series FROM rets) s
+  CROSS JOIN (SELECT DISTINCT d FROM rets) dd
+),
+aligned AS (
+  SELECT sp.series, sp.d, COALESCE(r.ret, 0.0) AS ret
+  FROM spine sp LEFT JOIN rets r
+    ON sp.series = r.series AND sp.d = r.d
+),
+mkt AS (SELECT d, AVG(ret) AS rm FROM aligned GROUP BY 1),
+full_var AS (SELECT {_Z99} * STDDEV_SAMP(rm) AS v FROM mkt),
+excl AS (
+  SELECT a.series, (ns.n * m.rm - a.ret) / (ns.n - 1) AS rx
+  FROM aligned a JOIN mkt m USING (d), ns
+)
+SELECT series,
+       ROUND(MAX(f.v), 6) + 0 AS var99_full,
+       ROUND({_Z99} * STDDEV_SAMP(rx), 6) + 0 AS var99_excl,
+       ROUND(MAX(f.v) - {_Z99} * STDDEV_SAMP(rx), 6) + 0 AS marginal_var
+FROM excl, full_var f GROUP BY series
+""",
+)
+def leave_one_out_var(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Leave-one-out marginal VaR: for each series, the parametric
+    portfolio VaR with that series REMOVED (the remaining N-1 re-
+    weighted equally: rx = (N*rm - r_i)/(N-1)) against the full
+    portfolio VaR — the what-if companion to component_var_euler
+    (Euler answers 'who contributes', this answers 'what do I save
+    by exiting'). The excluded-portfolio return is pure arithmetic
+    on the (series, date)-aligned frame — no N re-aggregations: ONE
+    join against the date-keyed market reduction computes all N
+    leave-one-out series simultaneously, then one grouped stddev.
+    Same densified stale-price spine as the Euler query."""
+    rets = daily_returns(spark, sf_dir)
+    ns = rets.agg(
+        F.count_distinct(F.col("series")).cast("double").alias("n")
+    )
+    spine = (
+        rets.select("series")
+        .distinct()
+        .crossJoin(rets.select("d").distinct())
+    )
+    aligned = spine.join(rets, ["series", "d"], "left").select(
+        "series", "d", F.coalesce(F.col("ret"), F.lit(0.0)).alias("ret")
+    )
+    mkt = aligned.groupBy("d").agg(F.avg("ret").alias("rm"))
+    full_var = mkt.agg(
+        (F.lit(_Z99) * F.stddev_samp("rm")).alias("v")
+    )
+    excl = (
+        aligned.join(F.broadcast(mkt), "d")
+        .crossJoin(F.broadcast(ns))
+        .select(
+            "series",
+            (
+                (F.col("n") * F.col("rm") - F.col("ret"))
+                / (F.col("n") - 1)
+            ).alias("rx"),
+        )
+    )
+    return excl.crossJoin(F.broadcast(full_var)).groupBy("series").agg(
+        (F.round(F.max("v"), 6) + F.lit(0.0)).alias("var99_full"),
+        (F.round(F.lit(_Z99) * F.stddev_samp("rx"), 6) + F.lit(0.0)).alias(
+            "var99_excl"
+        ),
+        (
+            F.round(
+                F.max("v") - F.lit(_Z99) * F.stddev_samp("rx"), 6
+            )
+            + F.lit(0.0)
+        ).alias("marginal_var"),
+    )
+
+
+@query(
+    "shrunk_covariance_matrix",
+    "WITH "
+    + SQL_RETS
+    + """,
+spine AS (
+  SELECT s.series, dd.d
+  FROM (SELECT DISTINCT series FROM rets) s
+  CROSS JOIN (SELECT DISTINCT d FROM rets) dd
+),
+aligned AS (
+  SELECT sp.series, sp.d, COALESCE(r.ret, 0.0) AS ret
+  FROM spine sp LEFT JOIN rets r
+    ON sp.series = r.series AND sp.d = r.d
+),
+pairs AS (
+  SELECT a.series AS s1, b.series AS s2,
+         COVAR_SAMP(a.ret, b.ret) AS cv
+  FROM aligned a JOIN aligned b ON a.d = b.d AND a.series <= b.series
+  GROUP BY 1, 2
+)
+SELECT s1, s2,
+       ROUND(cv, 8) + 0 AS sample_cov,
+       ROUND(CASE WHEN s1 = s2 THEN cv ELSE 0.8 * cv END, 8) + 0
+         AS shrunk_cov
+FROM pairs
+""",
+)
+def shrunk_covariance_matrix(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Covariance shrinkage toward the diagonal target (lambda=0.2,
+    the fixed-intensity form of Ledoit-Wolf conditioning): off-
+    diagonal sample covariances shrink by (1-lambda), variances stay
+    — the fix for ill-conditioned sample matrices that makes MC
+    factor models invertible when series count approaches observation
+    count (the reference's Cholesky at 03_var_monte_carlo.py:70-75
+    assumes exactly this conditioning exists). The upper triangle
+    comes from ONE date-keyed self-join of the densified return frame
+    with s1<=s2 — N(N+1)/2 grouped covariances in a single shuffle;
+    at large N this becomes the A8 mapInPandas moment kernel
+    (vector_agg.py) with shrinkage applied to the k x k driver-side
+    matrix, same semantics."""
+    rets = daily_returns(spark, sf_dir)
+    spine = (
+        rets.select("series")
+        .distinct()
+        .crossJoin(rets.select("d").distinct())
+    )
+    aligned = spine.join(rets, ["series", "d"], "left").select(
+        "series", "d", F.coalesce(F.col("ret"), F.lit(0.0)).alias("ret")
+    )
+    a = aligned.select(
+        F.col("series").alias("s1"), "d", F.col("ret").alias("ra")
+    )
+    b = aligned.select(
+        F.col("series").alias("s2"), "d", F.col("ret").alias("rb")
+    )
+    pairs = (
+        a.join(b, "d")
+        .filter(F.col("s1") <= F.col("s2"))
+        .groupBy("s1", "s2")
+        .agg(F.covar_samp("ra", "rb").alias("cv"))
+    )
+    return pairs.select(
+        "s1",
+        "s2",
+        (F.round("cv", 8) + F.lit(0.0)).alias("sample_cov"),
+        (
+            F.round(
+                F.when(F.col("s1") == F.col("s2"), F.col("cv")).otherwise(
+                    0.8 * F.col("cv")
+                ),
+                8,
+            )
+            + F.lit(0.0)
+        ).alias("shrunk_cov"),
+    )
