@@ -2589,3 +2589,47 @@ def test_shrunk_covariance_is_better_conditioned(spark, sf_dir):
         else:
             assert abs(r.shrunk_cov - 0.8 * r.sample_cov) < 1e-7
     assert np.linalg.cond(H) < np.linalg.cond(S)
+
+
+def test_operators_degrade_gracefully_on_empty_inputs(spark):
+    """Zero-row inputs (the first day of a new pipeline, a filter
+    that matched nothing) must produce zero-row outputs with the
+    right schema — never a crash. Sweep of the composable operator
+    surface with empty frames on each side."""
+    from value_at_risk_spark.model import theil_sen_per_group
+    from value_at_risk_spark.operators.asof import asof_join
+    from value_at_risk_spark.operators.dedup import (
+        exact_dedup,
+        minhash_lsh_pairs,
+        minhash_signatures,
+        simhash,
+    )
+    from value_at_risk_spark.operators.graph import pagerank
+    from value_at_risk_spark.operators.merge import upsert
+
+    empty_docs = spark.createDataFrame([], "doc_id long, text string")
+    assert exact_dedup(empty_docs).count() == 0
+    assert simhash(empty_docs).count() == 0
+    sigs = minhash_signatures(empty_docs)
+    assert sigs.count() == 0
+    # empty signatures can't reveal the array length: the documented
+    # contract is to pass num_hashes so the plan builds without input
+    assert minhash_lsh_pairs(sigs, num_hashes=32).count() == 0
+
+    left = spark.createDataFrame([], "ts timestamp, k string, v double")
+    right = spark.createDataFrame([(1, "a", 1.0)], "ts_i long, k string, p double").select(
+        F.timestamp_seconds("ts_i").alias("ts"), "k", "p"
+    )
+    assert asof_join(left, right, on="ts", by=["k"]).count() == 0
+    assert asof_join(right, left, on="ts", by=["k"]).count() == 1  # no match -> null fill
+
+    tgt = spark.createDataFrame([(1, "x")], "k long, v string")
+    none = spark.createDataFrame([], "k long, v string")
+    assert upsert(tgt, none, ["k"]).count() == 1
+    assert upsert(none, tgt, ["k"]).count() == 1
+
+    no_edges = spark.createDataFrame([], "src string, dst string")
+    assert pagerank(no_edges, iters=1).count() == 0
+
+    no_pts = spark.createDataFrame([], "g string, x double, y double")
+    assert theil_sen_per_group(no_pts, "g", "x", "y").count() == 0
