@@ -2633,3 +2633,39 @@ def test_operators_degrade_gracefully_on_empty_inputs(spark):
 
     no_pts = spark.createDataFrame([], "g string, x double, y double")
     assert theil_sen_per_group(no_pts, "g", "x", "y").count() == 0
+
+
+def test_cusum_equals_sequential_recursion(spark, sf_dir):
+    """The two-window form (cumsum minus running min) equals the
+    textbook sequential recursion S_t = max(0, S_{t-1} + z_t -+ k)
+    replayed in Python on the same standardized series."""
+    from value_at_risk_spark.queries import QUERIES
+
+    rows = sorted(
+        QUERIES["cusum_changepoints"](spark, sf_dir).collect(),
+        key=lambda r: r.d,
+    )
+    vs = [r.v for r in rows]
+    mu = sum(vs) / len(vs)
+    sd = (sum((v - mu) ** 2 for v in vs) / (len(vs) - 1)) ** 0.5
+    s_hi = s_lo = 0.0
+    for r in rows:
+        z = (r.v - mu) / sd
+        s_hi = max(0.0, s_hi + z - 0.5)
+        s_lo = max(0.0, s_lo - z - 0.5)
+        assert abs(r.cusum_hi - s_hi) < 1e-4
+        assert abs(r.cusum_lo - s_lo) < 1e-4
+        assert r.is_shift == (s_hi > 5.0 or s_lo > 5.0)
+
+
+def test_poisson_bootstrap_ci_well_formed(spark, sf_dir):
+    """CI brackets the point estimate with nonzero width, and the
+    Poisson(1) ladder's realized mean weight is ~1 (resample size
+    concentrates around n)."""
+    from value_at_risk_spark.queries import QUERIES
+
+    r = QUERIES["bootstrap_ci_poisson"](spark, sf_dir).collect()[0]
+    assert r.n_replicates == 50
+    assert r.ci_lo < r.point_mean < r.ci_hi
+    assert (r.ci_hi - r.ci_lo) > 0.0
+    assert (r.ci_hi - r.ci_lo) < r.point_mean  # sane scale

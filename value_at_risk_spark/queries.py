@@ -9387,3 +9387,190 @@ def shrunk_covariance_matrix(spark: SparkSession, sf_dir: str) -> DataFrame:
             + F.lit(0.0)
         ).alias("shrunk_cov"),
     )
+
+
+# --------------------------------------------------------------------------
+# Round-7 thirteenth pass: sequential monitoring + distributed bootstrap
+# --------------------------------------------------------------------------
+
+
+@query(
+    "cusum_changepoints",
+    """
+WITH daily AS (
+  SELECT CAST(o_orderdate AS DATE) AS d, SUM(o_totalprice) AS v
+  FROM orders GROUP BY 1
+),
+m AS (SELECT AVG(v) AS mu, STDDEV_SAMP(v) AS s FROM daily),
+z AS (
+  SELECT d, v, (v - m.mu) / m.s AS z FROM daily, m
+),
+c AS (
+  SELECT d, v, z,
+         SUM(z - 0.5) OVER (ORDER BY d ROWS UNBOUNDED PRECEDING) AS cpos,
+         SUM(z + 0.5) OVER (ORDER BY d ROWS UNBOUNDED PRECEDING) AS cneg
+  FROM z
+),
+s AS (
+  SELECT d, v,
+         cpos - LEAST(0.0, MIN(cpos) OVER (ORDER BY d ROWS UNBOUNDED PRECEDING))
+           AS s_hi,
+         GREATEST(0.0, MAX(cneg) OVER (ORDER BY d ROWS UNBOUNDED PRECEDING))
+           - cneg AS s_lo
+  FROM c
+)
+SELECT d, ROUND(v, 2) + 0 AS v,
+       ROUND(s_hi, 6) + 0 AS cusum_hi,
+       ROUND(s_lo, 6) + 0 AS cusum_lo,
+       (s_hi > 5.0 OR s_lo > 5.0) AS is_shift
+FROM s
+""",
+)
+def cusum_changepoints(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Two-sided CUSUM change-point monitor on daily revenue (Page
+    1954, the sequential drift detector behind manufacturing SPC and
+    model-drift dashboards): S+_t = max(0, S+_{t-1} + z_t - k) with
+    slack k=0.5 sigma, alarm at h=5 sigma. The recursion LOOKS
+    inherently sequential, but max(0, .)-reset CUSUM equals
+    C_t - min_{j<=t} C_j for the drifted cumsum C — so the whole
+    monitor is two running windows (cumsum + running min), no
+    recursion, no UDF. Both sides share one standardization broadcast.
+    The raw volume reduces to one row per day first; the windows run
+    over calendar scale, and at many-series scale they partition by
+    series like every other monitor here."""
+    o = _t(spark, sf_dir, "orders")
+    daily = o.groupBy(F.col("o_orderdate").cast("date").alias("d")).agg(
+        F.sum("o_totalprice").alias("v")
+    )
+    m = daily.agg(
+        F.avg("v").alias("mu"), F.stddev_samp("v").alias("s")
+    )
+    z = daily.crossJoin(F.broadcast(m)).select(
+        "d", "v", ((F.col("v") - F.col("mu")) / F.col("s")).alias("z")
+    )
+    wcum = Window.orderBy("d").rowsBetween(
+        Window.unboundedPreceding, Window.currentRow
+    )
+    c = z.select(
+        "d",
+        "v",
+        F.sum(F.col("z") - 0.5).over(wcum).alias("cpos"),
+        F.sum(F.col("z") + 0.5).over(wcum).alias("cneg"),
+    )
+    s = c.select(
+        "d",
+        "v",
+        (
+            F.col("cpos")
+            - F.least(F.lit(0.0), F.min("cpos").over(wcum))
+        ).alias("s_hi"),
+        (
+            F.greatest(F.lit(0.0), F.max("cneg").over(wcum))
+            - F.col("cneg")
+        ).alias("s_lo"),
+    )
+    return s.select(
+        "d",
+        (F.round("v", 2) + F.lit(0.0)).alias("v"),
+        (F.round("s_hi", 6) + F.lit(0.0)).alias("cusum_hi"),
+        (F.round("s_lo", 6) + F.lit(0.0)).alias("cusum_lo"),
+        ((F.col("s_hi") > 5.0) | (F.col("s_lo") > 5.0)).alias("is_shift"),
+    )
+
+
+@query(
+    "bootstrap_ci_poisson",
+    """
+WITH rev AS (
+  SELECT o_custkey AS k, SUM(o_totalprice) AS x FROM orders GROUP BY 1
+),
+reps AS (
+  SELECT k, x, b,
+         (('0x' || substring(md5(CAST(k AS VARCHAR) || '-' ||
+            CAST(b AS VARCHAR)), 1, 8))::UBIGINT + 0.5) / 4294967296.0 AS u
+  FROM rev, UNNEST(range(1, 51)) AS t(b)
+),
+w AS (
+  SELECT b, x,
+         CASE WHEN u < 0.36787944117144233 THEN 0
+              WHEN u < 0.7357588823428847 THEN 1
+              WHEN u < 0.9196986029286058 THEN 2
+              WHEN u < 0.9810118431238462 THEN 3
+              WHEN u < 0.9963401531726563 THEN 4
+              ELSE 5 END AS wt
+  FROM reps
+),
+means AS (
+  SELECT b, SUM(wt * x) / SUM(wt) AS m FROM w GROUP BY b
+),
+pt AS (SELECT AVG(x) AS point FROM rev)
+SELECT CAST(COUNT(*) AS BIGINT) AS n_replicates,
+       ROUND(MAX(pt.point), 4) + 0 AS point_mean,
+       ROUND(quantile_cont(m, 0.025), 4) + 0 AS ci_lo,
+       ROUND(quantile_cont(m, 0.975), 4) + 0 AS ci_hi
+FROM means, pt
+""",
+)
+def bootstrap_ci_poisson(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Poisson bootstrap confidence interval for mean customer
+    revenue — THE bootstrap that works at 100 TB: instead of
+    resampling n rows with replacement (which needs global
+    coordination), every row independently draws a Poisson(1) weight
+    per replicate (the multinomial's limit), so 50 replicates are one
+    explode + one grouped weighted mean — embarrassingly parallel,
+    no row ever leaves its partition before the replicate reduction.
+    The Poisson draw inverts the CDF ladder on an md5 uniform keyed
+    by (row, replicate): deterministic across engines, retries, and
+    repartitioning, like every sampled operator here. The CI is the
+    2.5/97.5 percentile of the replicate means."""
+    o = _t(spark, sf_dir, "orders")
+    rev = o.groupBy(F.col("o_custkey").alias("k")).agg(
+        F.sum("o_totalprice").alias("x")
+    )
+    reps = rev.select(
+        "k",
+        "x",
+        F.explode(F.sequence(F.lit(1), F.lit(50))).alias("b"),
+    )
+    u = (
+        F.conv(
+            F.substring(
+                F.md5(
+                    F.concat(
+                        F.col("k").cast("string"),
+                        F.lit("-"),
+                        F.col("b").cast("string"),
+                    )
+                ),
+                1,
+                8,
+            ),
+            16,
+            10,
+        ).cast("double")
+        + 0.5
+    ) / F.lit(4294967296.0)
+    ladder = (
+        F.when(u < 0.36787944117144233, F.lit(0))
+        .when(u < 0.7357588823428847, F.lit(1))
+        .when(u < 0.9196986029286058, F.lit(2))
+        .when(u < 0.9810118431238462, F.lit(3))
+        .when(u < 0.9963401531726563, F.lit(4))
+        .otherwise(F.lit(5))
+    )
+    means = (
+        reps.select("b", "x", ladder.alias("wt"))
+        .groupBy("b")
+        .agg((F.sum(F.col("wt") * F.col("x")) / F.sum("wt")).alias("m"))
+    )
+    pt = rev.agg(F.avg("x").alias("point"))
+    return means.crossJoin(F.broadcast(pt)).agg(
+        F.count(F.lit(1)).alias("n_replicates"),
+        (F.round(F.max("point"), 4) + F.lit(0.0)).alias("point_mean"),
+        (F.round(F.percentile("m", F.lit(0.025)), 4) + F.lit(0.0)).alias(
+            "ci_lo"
+        ),
+        (F.round(F.percentile("m", F.lit(0.975)), 4) + F.lit(0.0)).alias(
+            "ci_hi"
+        ),
+    )
