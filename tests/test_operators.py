@@ -2669,3 +2669,20 @@ def test_poisson_bootstrap_ci_well_formed(spark, sf_dir):
     assert r.ci_lo < r.point_mean < r.ci_hi
     assert (r.ci_hi - r.ci_lo) > 0.0
     assert (r.ci_hi - r.ci_lo) < r.point_mean  # sane scale
+
+
+def test_risk_report_consistent_with_components(spark, sf_dir):
+    """The composed one-page report agrees with the standalone
+    queries it reuses (VaR/ES from expected_shortfall_99, drawdown
+    from max_drawdown_by_series)."""
+    from value_at_risk_spark.queries import QUERIES
+
+    rep = {r.series: r for r in QUERIES["risk_report_by_series"](spark, sf_dir).collect()}
+    es = {r.series: r for r in QUERIES["expected_shortfall_99"](spark, sf_dir).collect()}
+    dd = {r.series: r for r in QUERIES["max_drawdown_by_series"](spark, sf_dir).collect()}
+    assert set(rep) == set(es) == set(dd)
+    for s, r in rep.items():
+        assert abs(r.var99 - es[s].var_99) < 2e-6
+        assert abs(r.es99 - es[s].shortfall) < 2e-6
+        assert abs(r.max_drawdown - dd[s].max_drawdown) < 2e-6
+        assert r.es99 <= r.var99 < 0.0

@@ -437,12 +437,20 @@ def ivf_topk(
     query_id: str = "query_id",
     corpus_id: str = "neighbor_id",
     vec_col: str = "embedding",
+    cell_col: str | None = None,
 ) -> DataFrame:
     """IVF search: corpus rows live in their nearest cell; each query
     probes its ``nprobe`` nearest cells (explode) and exact-cosine
     re-ranks only those cells' members — candidate volume is
     corpus/k·nprobe per query instead of the full corpus, and the
-    candidate join is a plain equi-join on the cell id."""
+    candidate join is a plain equi-join on the cell id.
+
+    ``cell_col``: name of a PRECOMPUTED cell-assignment column on the
+    corpus (the prebuilt-index path — see operators/annindex.py). A
+    real index assigns cells once at build time and stores the codes
+    partitioned by cell; recomputing the assignment per search (the
+    default, fine for one-shot jobs) re-pays the k-centroid scoring
+    pass on every query batch."""
     n_cells = len(centroids)
     nprobe = min(nprobe, n_cells)
 
@@ -451,7 +459,11 @@ def ivf_topk(
         F.col(corpus_id),
         F.col(vec_col).alias("_cv"),
         vector_norm(vec_col).alias("_cn"),
-        nearest_cell_expr(vec_col, centroids).alias("_cell"),
+        (
+            F.col(cell_col)
+            if cell_col is not None
+            else nearest_cell_expr(vec_col, centroids)
+        ).alias("_cell"),
     )
 
     # per-query distance to every centroid -> nprobe nearest cells

@@ -9574,3 +9574,142 @@ def bootstrap_ci_poisson(spark: SparkSession, sf_dir: str) -> DataFrame:
             "ci_hi"
         ),
     )
+
+
+@query(
+    "risk_report_by_series",
+    "WITH "
+    + SQL_RETS
+    + """,
+mkt AS (SELECT d, AVG(ret) AS rm FROM rets GROUP BY 1),
+var_t AS (
+  SELECT series, quantile_cont(ret, 0.01) AS var99 FROM rets GROUP BY 1
+),
+var_es AS (
+  SELECT r.series, MIN(v.var99) AS var99,
+         AVG(CASE WHEN r.ret <= v.var99 THEN r.ret END) AS es99
+  FROM rets r JOIN var_t v ON r.series = v.series
+  GROUP BY r.series
+),
+idx AS (
+  SELECT series, ret,
+         ROW_NUMBER() OVER (PARTITION BY series ORDER BY d) AS rn
+  FROM rets
+),
+nmax AS (SELECT series, MAX(rn) AS n FROM idx GROUP BY 1),
+ew AS (
+  SELECT idx.series,
+         SQRT(SUM(POWER(0.94, n - rn) * ret * ret) * 0.06) AS ewma_vol
+  FROM idx JOIN nmax ON idx.series = nmax.series
+  GROUP BY idx.series
+),
+lvl AS (
+  SELECT series, d, price,
+         MAX(price) OVER (PARTITION BY series ORDER BY d
+                          ROWS UNBOUNDED PRECEDING) AS peak
+  FROM daily
+),
+dd AS (
+  SELECT series, MIN(price / peak - 1.0) AS max_drawdown FROM lvl GROUP BY 1
+),
+beta AS (
+  SELECT r.series, COVAR_SAMP(r.ret, m.rm) / VAR_SAMP(m.rm) AS beta
+  FROM rets r JOIN mkt m ON r.d = m.d GROUP BY r.series
+)
+SELECT v.series,
+       ROUND(v.var99, 6) + 0 AS var99,
+       ROUND(v.es99, 6) + 0 AS es99,
+       ROUND(e.ewma_vol, 6) + 0 AS ewma_vol,
+       ROUND(d.max_drawdown, 6) + 0 AS max_drawdown,
+       ROUND(b.beta, 6) + 0 AS beta
+FROM var_es v
+JOIN ew e ON v.series = e.series
+JOIN dd d ON v.series = d.series
+JOIN beta b ON v.series = b.series
+""",
+)
+def risk_report_by_series(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The one-page risk report: historical VaR-99, expected
+    shortfall, RiskMetrics EWMA volatility, maximum drawdown, and
+    CAPM beta per series in a single wide frame — the composition the
+    reference spreads across its 04/05 notebooks' final dashboards
+    (04_var_aggregation.py, 05_var_compliance.py), here as ONE plan
+    over the shared daily-return reduction. Every metric reuses the
+    engine's primitives (risk.py percentile ES, the unrolled EWMA
+    sum, the cummax drawdown window, the broadcast market beta), and
+    Catalyst schedules the five aggregations over the same scan —
+    the point of declaring the report as one DataFrame instead of
+    five separate jobs. Small equi-joins stitch the per-series rows;
+    all of them broadcast."""
+    from value_at_risk_spark.functions.risk import (
+        expected_shortfall_expr,
+        value_at_risk_expr,
+    )
+
+    rets = daily_returns(spark, sf_dir)
+    daily = daily_prices(spark, sf_dir)
+
+    var_t = rets.groupBy("series").agg(
+        value_at_risk_expr("ret", 99.0).alias("_v")
+    )
+    var_es = (
+        rets.join(F.broadcast(var_t), "series")
+        .groupBy("series")
+        .agg(
+            F.min("_v").alias("_var99"),
+            expected_shortfall_expr("ret", F.col("_v")).alias("_es99"),
+        )
+    )
+
+    w = Window.partitionBy("series").orderBy("d")
+    idx = rets.select(
+        "series", "ret", F.row_number().over(w).alias("rn")
+    )
+    nmax = idx.groupBy("series").agg(F.max("rn").alias("n"))
+    ew = (
+        idx.join(F.broadcast(nmax), "series")
+        .groupBy("series")
+        .agg(
+            F.sqrt(
+                F.sum(
+                    F.pow(F.lit(0.94), F.col("n") - F.col("rn"))
+                    * F.col("ret")
+                    * F.col("ret")
+                )
+                * 0.06
+            ).alias("_ewma")
+        )
+    )
+
+    wpeak = w.rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    dd = (
+        daily.select(
+            "series",
+            (F.col("price") / F.max("price").over(wpeak) - 1.0).alias("_dd"),
+        )
+        .groupBy("series")
+        .agg(F.min("_dd").alias("_mdd"))
+    )
+
+    mkt = rets.groupBy("d").agg(F.avg("ret").alias("rm"))
+    beta = (
+        rets.join(F.broadcast(mkt), "d")
+        .groupBy("series")
+        .agg(
+            (F.covar_samp("ret", "rm") / F.var_samp("rm")).alias("_beta")
+        )
+    )
+
+    return (
+        var_es.join(F.broadcast(ew), "series")
+        .join(F.broadcast(dd), "series")
+        .join(F.broadcast(beta), "series")
+        .select(
+            "series",
+            (F.round("_var99", 6) + F.lit(0.0)).alias("var99"),
+            (F.round("_es99", 6) + F.lit(0.0)).alias("es99"),
+            (F.round("_ewma", 6) + F.lit(0.0)).alias("ewma_vol"),
+            (F.round("_mdd", 6) + F.lit(0.0)).alias("max_drawdown"),
+            (F.round("_beta", 6) + F.lit(0.0)).alias("beta"),
+        )
+    )
