@@ -2686,3 +2686,28 @@ def test_risk_report_consistent_with_components(spark, sf_dir):
         assert abs(r.es99 - es[s].shortfall) < 2e-6
         assert abs(r.max_drawdown - dd[s].max_drawdown) < 2e-6
         assert r.es99 <= r.var99 < 0.0
+
+
+def test_basket_paths_stats_invariants(spark, sf_dir):
+    """Association-rule arithmetic is internally consistent; path
+    ranks are dense by count; column stats are ordered."""
+    from value_at_risk_spark.queries import QUERIES
+
+    for r in QUERIES["market_basket_lift"](spark, sf_dir).collect():
+        assert r.together >= 3
+        assert 0.0 < r.support <= r.confidence <= 1.0
+        assert r.lift > 0.0
+
+    paths = sorted(
+        QUERIES["top_event_paths"](spark, sf_dir).collect(),
+        key=lambda r: r.rnk,
+    )
+    assert [r.rnk for r in paths] == list(range(1, len(paths) + 1))
+    assert all(
+        paths[i].n >= paths[i + 1].n for i in range(len(paths) - 1)
+    )
+    assert sum(r.share for r in paths) <= 1.0 + 1e-6
+
+    for r in QUERIES["table_statistics_report"](spark, sf_dir).collect():
+        assert r.ndv <= r.n_nonnull <= r.n_rows
+        assert r.min_v <= r.mean_v <= r.max_v

@@ -9713,3 +9713,217 @@ def risk_report_by_series(spark: SparkSession, sf_dir: str) -> DataFrame:
             (F.round("_beta", 6) + F.lit(0.0)).alias("beta"),
         )
     )
+
+
+# --------------------------------------------------------------------------
+# Round-7 fifteenth pass: association rules, path analysis, optimizer stats
+# --------------------------------------------------------------------------
+
+
+@query(
+    "market_basket_lift",
+    """
+WITH basket AS (
+  SELECT DISTINCT l_orderkey AS o, l_partkey AS p FROM lineitem
+),
+nb AS (SELECT CAST(COUNT(DISTINCT o) AS DOUBLE) AS n FROM basket),
+freq AS (
+  SELECT p, CAST(COUNT(*) AS DOUBLE) AS f FROM basket GROUP BY 1
+),
+pairs AS (
+  SELECT a.p AS p1, b.p AS p2, CAST(COUNT(*) AS BIGINT) AS together
+  FROM basket a JOIN basket b ON a.o = b.o AND a.p < b.p
+  GROUP BY 1, 2
+  HAVING COUNT(*) >= 3
+)
+SELECT p1, p2, together,
+       ROUND(together / nb.n, 6) + 0 AS support,
+       ROUND(together / fa.f, 6) + 0 AS confidence,
+       ROUND(together * nb.n / (fa.f * fb.f), 6) + 0 AS lift
+FROM pairs
+JOIN freq fa ON pairs.p1 = fa.p
+JOIN freq fb ON pairs.p2 = fb.p
+CROSS JOIN nb
+""",
+)
+def market_basket_lift(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Market-basket association rules: support, confidence, and lift
+    for part pairs co-purchased in the same order (the Apriori
+    2-itemset pass every retail stack runs). The pair generation is
+    an order-keyed self-join — pairs are enumerated WITHIN a basket
+    only, so the blow-up is bounded by (lines per order choose 2),
+    never corpus-cartesian (the same bounded-bucket discipline as the
+    LSH and PMI joins; a hot mega-basket would be the skew-salting
+    case). Item frequencies and the basket count broadcast back onto
+    the surviving pairs; the min-support HAVING prunes before any
+    ratio math."""
+    li = _t(spark, sf_dir, "lineitem")
+    basket = li.select(
+        F.col("l_orderkey").alias("o"), F.col("l_partkey").alias("p")
+    ).distinct()
+    nb = basket.agg(
+        F.count_distinct("o").cast("double").alias("n")
+    )
+    freq = basket.groupBy("p").agg(
+        F.count(F.lit(1)).cast("double").alias("f")
+    )
+    a = basket.select("o", F.col("p").alias("p1"))
+    b = basket.select("o", F.col("p").alias("p2"))
+    pairs = (
+        a.join(b, "o")
+        .filter(F.col("p1") < F.col("p2"))
+        .groupBy("p1", "p2")
+        .agg(F.count(F.lit(1)).alias("together"))
+        .filter(F.col("together") >= 3)
+    )
+    fa = freq.select(F.col("p").alias("p1"), F.col("f").alias("fa"))
+    fb = freq.select(F.col("p").alias("p2"), F.col("f").alias("fb"))
+    return (
+        pairs.join(F.broadcast(fa), "p1")
+        .join(F.broadcast(fb), "p2")
+        .crossJoin(F.broadcast(nb))
+        .select(
+            "p1",
+            "p2",
+            "together",
+            (F.round(F.col("together") / F.col("n"), 6) + F.lit(0.0)).alias(
+                "support"
+            ),
+            (F.round(F.col("together") / F.col("fa"), 6) + F.lit(0.0)).alias(
+                "confidence"
+            ),
+            (
+                F.round(
+                    F.col("together") * F.col("n")
+                    / (F.col("fa") * F.col("fb")),
+                    6,
+                )
+                + F.lit(0.0)
+            ).alias("lift"),
+        )
+    )
+
+
+@query(
+    "top_event_paths",
+    """
+WITH seq AS (
+  SELECT event_type AS e1,
+         LEAD(event_type, 1) OVER (PARTITION BY user_id
+                                   ORDER BY ts, event_id) AS e2,
+         LEAD(event_type, 2) OVER (PARTITION BY user_id
+                                   ORDER BY ts, event_id) AS e3
+  FROM events
+),
+paths AS (
+  SELECT e1 || '>' || e2 || '>' || e3 AS path,
+         CAST(COUNT(*) AS BIGINT) AS n
+  FROM seq WHERE e3 IS NOT NULL
+  GROUP BY 1
+),
+ranked AS (
+  SELECT path, n,
+         ROW_NUMBER() OVER (ORDER BY n DESC, path) AS rnk,
+         SUM(n) OVER () AS tot
+  FROM paths
+)
+SELECT path, n, CAST(rnk AS BIGINT) AS rnk,
+       ROUND(n / CAST(tot AS DOUBLE), 6) + 0 AS share
+FROM ranked WHERE rnk <= 15
+""",
+)
+def top_event_paths(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Top 3-step behavioral paths (the click-path sunburst behind
+    product analytics): every consecutive event-type trigram per
+    user, counted and ranked. ONE user-partitioned window pass
+    produces both LEADs — the same shuffle key as sessionization and
+    the transition matrix, so a real pipeline computes all three in
+    one stage — and the ranking runs over the tiny distinct-path
+    table (at most |types|^3 rows). Deterministic rank tie-break on
+    the path string."""
+    e = _t(spark, sf_dir, "events")
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    seq = e.select(
+        F.col("event_type").alias("e1"),
+        F.lead("event_type", 1).over(w).alias("e2"),
+        F.lead("event_type", 2).over(w).alias("e3"),
+    ).filter(F.col("e3").isNotNull())
+    paths = seq.groupBy(
+        F.concat_ws(">", "e1", "e2", "e3").alias("path")
+    ).agg(F.count(F.lit(1)).alias("n"))
+    wrnk = Window.orderBy(F.desc("n"), F.asc("path"))
+    wtot = Window.partitionBy(F.lit(1))
+    return (
+        paths.select(
+            "path",
+            "n",
+            F.row_number().over(wrnk).cast("long").alias("rnk"),
+            F.sum("n").over(wtot).alias("tot"),
+        )
+        .filter(F.col("rnk") <= 15)
+        .select(
+            "path",
+            "n",
+            "rnk",
+            (
+                F.round(F.col("n") / F.col("tot").cast("double"), 6)
+                + F.lit(0.0)
+            ).alias("share"),
+        )
+    )
+
+
+@query(
+    "table_statistics_report",
+    """
+SELECT 'l_quantity' AS col,
+       CAST(COUNT(*) AS BIGINT) AS n_rows,
+       CAST(COUNT(l_quantity) AS BIGINT) AS n_nonnull,
+       CAST(COUNT(DISTINCT l_quantity) AS BIGINT) AS ndv,
+       ROUND(MIN(l_quantity), 4) + 0 AS min_v,
+       ROUND(MAX(l_quantity), 4) + 0 AS max_v,
+       ROUND(AVG(l_quantity), 4) + 0 AS mean_v
+FROM lineitem
+UNION ALL
+SELECT 'l_extendedprice',
+       CAST(COUNT(*) AS BIGINT), CAST(COUNT(l_extendedprice) AS BIGINT),
+       CAST(COUNT(DISTINCT l_extendedprice) AS BIGINT),
+       ROUND(MIN(l_extendedprice), 4) + 0, ROUND(MAX(l_extendedprice), 4) + 0,
+       ROUND(AVG(l_extendedprice), 4) + 0
+FROM lineitem
+UNION ALL
+SELECT 'l_discount',
+       CAST(COUNT(*) AS BIGINT), CAST(COUNT(l_discount) AS BIGINT),
+       CAST(COUNT(DISTINCT l_discount) AS BIGINT),
+       ROUND(MIN(l_discount), 4) + 0, ROUND(MAX(l_discount), 4) + 0,
+       ROUND(AVG(l_discount), 4) + 0
+FROM lineitem
+""",
+)
+def table_statistics_report(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ANALYZE-style column statistics (row count, null count, NDV,
+    min/max/mean) for the optimizer-relevant lineitem measures — the
+    stats that drive join reordering, broadcast decisions, and filter
+    selectivity estimates (Spark: ANALYZE TABLE ... COMPUTE
+    STATISTICS FOR COLUMNS; this is the engine-portable equivalent).
+    All three columns' stats compute in ONE scan: the unpivot-style
+    stack puts (col, value) pairs through a single grouped aggregate
+    — the exact NDV shuffles one row per distinct value per column;
+    swap in approx_count_distinct (HLL) at 100 TB where the oracle
+    comparison no longer applies."""
+    li = _t(spark, sf_dir, "lineitem")
+    stacked = li.select(
+        F.expr(
+            "stack(3, 'l_quantity', l_quantity, "
+            "'l_extendedprice', l_extendedprice, "
+            "'l_discount', l_discount) AS (col, v)"
+        )
+    )
+    return stacked.groupBy("col").agg(
+        F.count(F.lit(1)).alias("n_rows"),
+        F.count("v").alias("n_nonnull"),
+        F.count_distinct("v").alias("ndv"),
+        (F.round(F.min("v"), 4) + F.lit(0.0)).alias("min_v"),
+        (F.round(F.max("v"), 4) + F.lit(0.0)).alias("max_v"),
+        (F.round(F.avg("v"), 4) + F.lit(0.0)).alias("mean_v"),
+    )
