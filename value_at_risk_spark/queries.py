@@ -9633,85 +9633,69 @@ def risk_report_by_series(spark: SparkSession, sf_dir: str) -> DataFrame:
     shortfall, RiskMetrics EWMA volatility, maximum drawdown, and
     CAPM beta per series in a single wide frame — the composition the
     reference spreads across its 04/05 notebooks' final dashboards
-    (04_var_aggregation.py, 05_var_compliance.py), here as ONE plan
-    over the shared daily-return reduction. Every metric reuses the
-    engine's primitives (risk.py percentile ES, the unrolled EWMA
-    sum, the cummax drawdown window, the broadcast market beta), and
-    Catalyst schedules the five aggregations over the same scan —
-    the point of declaring the report as one DataFrame instead of
-    five separate jobs. Small equi-joins stitch the per-series rows;
-    all of them broadcast."""
-    from value_at_risk_spark.functions.risk import (
-        expected_shortfall_expr,
-        value_at_risk_expr,
-    )
-
-    rets = daily_returns(spark, sf_dir)
+    (04_var_aggregation.py, 05_var_compliance.py), here derived from
+    ONE windowed base frame. All per-row state — return, row number,
+    running peak, per-series count — comes out of a single window
+    stage over the daily reduction; the only extra branches are three
+    series- or date-keyed REDUCTIONS broadcast back (VaR thresholds,
+    market return, nothing bigger than series x 1 rows), and every
+    metric then folds in ONE final grouped aggregate. First form of
+    this query naively composed the five standalone metric queries
+    and re-scanned orders 14 times; this form scans it 4 times (base
+    + three 1-row-per-key reductions) — the difference between
+    declaring a report and stapling five jobs together."""
     daily = daily_prices(spark, sf_dir)
-
-    var_t = rets.groupBy("series").agg(
-        value_at_risk_expr("ret", 99.0).alias("_v")
-    )
-    var_es = (
-        rets.join(F.broadcast(var_t), "series")
-        .groupBy("series")
-        .agg(
-            F.min("_v").alias("_var99"),
-            expected_shortfall_expr("ret", F.col("_v")).alias("_es99"),
-        )
-    )
-
     w = Window.partitionBy("series").orderBy("d")
-    idx = rets.select(
-        "series", "ret", F.row_number().over(w).alias("rn")
-    )
-    nmax = idx.groupBy("series").agg(F.max("rn").alias("n"))
-    ew = (
-        idx.join(F.broadcast(nmax), "series")
-        .groupBy("series")
-        .agg(
-            F.sqrt(
-                F.sum(
-                    F.pow(F.lit(0.94), F.col("n") - F.col("rn"))
-                    * F.col("ret")
-                    * F.col("ret")
-                )
-                * 0.06
-            ).alias("_ewma")
-        )
-    )
-
+    wpart = Window.partitionBy("series")
     wpeak = w.rowsBetween(Window.unboundedPreceding, Window.currentRow)
-    dd = (
-        daily.select(
-            "series",
-            (F.col("price") / F.max("price").over(wpeak) - 1.0).alias("_dd"),
-        )
-        .groupBy("series")
-        .agg(F.min("_dd").alias("_mdd"))
+    base = daily.select(
+        "series",
+        "d",
+        "price",
+        (F.round(log_returns_over("price", ["series"], "d"), 6) + F.lit(0.0)).alias(
+            "ret"
+        ),
+        F.row_number().over(w).alias("rn"),
+        F.count(F.lit(1)).over(wpart).alias("n"),
+        F.max("price").over(wpeak).alias("peak"),
     )
-
-    mkt = rets.groupBy("d").agg(F.avg("ret").alias("rm"))
-    beta = (
-        rets.join(F.broadcast(mkt), "d")
-        .groupBy("series")
-        .agg(
-            (F.covar_samp("ret", "rm") / F.var_samp("rm")).alias("_beta")
-        )
+    var_t = base.groupBy("series").agg(
+        F.percentile("ret", F.lit(0.01)).alias("_v")
     )
-
-    return (
-        var_es.join(F.broadcast(ew), "series")
-        .join(F.broadcast(dd), "series")
-        .join(F.broadcast(beta), "series")
-        .select(
-            "series",
-            (F.round("_var99", 6) + F.lit(0.0)).alias("var99"),
-            (F.round("_es99", 6) + F.lit(0.0)).alias("es99"),
-            (F.round("_ewma", 6) + F.lit(0.0)).alias("ewma_vol"),
-            (F.round("_mdd", 6) + F.lit(0.0)).alias("max_drawdown"),
-            (F.round("_beta", 6) + F.lit(0.0)).alias("beta"),
-        )
+    mkt = base.groupBy("d").agg(F.avg("ret").alias("rm"))
+    enriched = base.join(F.broadcast(var_t), "series").join(
+        F.broadcast(mkt), "d"
+    )
+    return enriched.groupBy("series").agg(
+        (F.round(F.min("_v"), 6) + F.lit(0.0)).alias("var99"),
+        (
+            F.round(
+                F.avg(F.when(F.col("ret") <= F.col("_v"), F.col("ret"))), 6
+            )
+            + F.lit(0.0)
+        ).alias("es99"),
+        (
+            F.round(
+                F.sqrt(
+                    F.sum(
+                        F.pow(F.lit(0.94), F.col("n") - F.col("rn"))
+                        * F.col("ret")
+                        * F.col("ret")
+                    )
+                    * 0.06
+                ),
+                6,
+            )
+            + F.lit(0.0)
+        ).alias("ewma_vol"),
+        (
+            F.round(F.min(F.col("price") / F.col("peak") - 1.0), 6)
+            + F.lit(0.0)
+        ).alias("max_drawdown"),
+        (
+            F.round(F.covar_samp("ret", "rm") / F.var_samp("rm"), 6)
+            + F.lit(0.0)
+        ).alias("beta"),
     )
 
 
