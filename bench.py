@@ -82,6 +82,13 @@ BENCH_QUERIES = [
     # round 7 second pass: one-scan constraint sweep + RI anti-join —
     # the audit a pipeline runs before every ingest
     "data_quality_audit",
+    # round 7 late passes: the iterative-join representative (3
+    # PageRank iterations over the bidirectional trade graph) and the
+    # inverted-index pair-generation representative (8-gram source
+    # overlap with ubiquitous-gram pruning) — growth anchors for the
+    # graph and corpus-matrix families
+    "pagerank_trade_graph",
+    "source_overlap_matrix",
 ]
 # (semdedup_planted is deliberately NOT benched: its cost is dominated
 # by seeded k-means training, which would re-run 3x per bench — the
@@ -95,6 +102,7 @@ SUBSETS = {
     "r03_subset_total_sec": BENCH_QUERIES[:19],
     "r04_subset_total_sec": BENCH_QUERIES[:20],
     "r07_subset_total_sec": BENCH_QUERIES[:22],
+    "r07b_subset_total_sec": BENCH_QUERIES[:24],
 }
 
 RUNS_PER_QUERY = 3

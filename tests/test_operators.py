@@ -2711,3 +2711,33 @@ def test_basket_paths_stats_invariants(spark, sf_dir):
     for r in QUERIES["table_statistics_report"](spark, sf_dir).collect():
         assert r.ndv <= r.n_nonnull <= r.n_rows
         assert r.min_v <= r.mean_v <= r.max_v
+
+
+def test_cosine_topk_arrow_equals_expression_form(spark, sf_dir):
+    """The Arrow-matmul fast path returns EXACTLY the expression
+    form's rows (same rounding, same tie-break, self-matches
+    excluded) — it's an execution strategy, not a different
+    operator."""
+    from value_at_risk_spark.operators.similarity import (
+        cosine_topk,
+        cosine_topk_arrow,
+    )
+    from value_at_risk_spark.sources.registry import Registry
+
+    emb = Registry(sf_dir).read(spark, "embeddings").select(
+        "vec_id",
+        F.transform("embedding", lambda x: x.cast("double")).alias("embedding"),
+    )
+    corpus = emb.select(F.col("vec_id").alias("neighbor_id"), "embedding")
+    queries = emb.filter(F.col("vec_id") % 25 == 0).select(
+        F.col("vec_id").alias("query_id"), "embedding"
+    )
+    ref = {
+        (r.query_id, r.rank): (r.neighbor_id, r.cosine)
+        for r in cosine_topk(queries, corpus, k=5).collect()
+    }
+    got = {
+        (r.query_id, r.rank): (r.neighbor_id, r.cosine)
+        for r in cosine_topk_arrow(queries, corpus, k=5).collect()
+    }
+    assert got == ref and len(ref) > 0

@@ -1042,3 +1042,83 @@ def semdedup_survivors(
             "dup_of",
         )
     )
+
+
+def cosine_topk_arrow(
+    queries: "DataFrame",
+    corpus: "DataFrame",
+    k: int = 5,
+    query_id: str = "query_id",
+    corpus_id: str = "neighbor_id",
+    vec_col: str = "embedding",
+    round_to: int | None = 6,
+) -> "DataFrame":
+    """Exact top-k cosine via Arrow-batch matmul — the vectorized
+    fast path for the same contract as ``cosine_topk`` (equality
+    pytest-pinned). The expression form pays an interpreted HOF dot
+    product per (query, row) pair; here the query block is collected
+    once (bounded: a query BATCH is nq x dim floats — the same
+    edge-collect class as the k-means codebooks) and shipped in the
+    task closure, and every Arrow batch of the corpus computes
+    Q @ V^T as ONE BLAS call, emitting only each query's local top-k
+    per batch (nq*k rows per batch, never the pair matrix). A final
+    per-query window merges the per-batch candidates. Measured at
+    200k x 100 x 64: ~50x faster than the pair-expression form
+    (PERF.md round 7).
+
+    Ties and rounding follow cosine_topk exactly: round-then-rank,
+    ascending id tie-break, self-matches excluded."""
+    import numpy as np
+    import pandas as pd
+
+    qrows = queries.select(query_id, vec_col).collect()
+    if not qrows:
+        empty = queries.sparkSession.createDataFrame(
+            [], f"{query_id} long, {corpus_id} long, cosine double, rank int"
+        )
+        return empty
+    qids = np.array([r[0] for r in qrows], dtype=np.int64)
+    Q = np.array([r[1] for r in qrows], dtype=np.float64)
+    Qn = np.linalg.norm(Q, axis=1)
+    Qn[Qn == 0.0] = np.inf  # zero query -> all cosines 0, never NaN
+    nq = len(qids)
+    kk = k
+
+    def _score(batches):
+        for pdf in batches:
+            ids = pdf[corpus_id].to_numpy(dtype=np.int64)
+            V = np.array(list(pdf[vec_col]), dtype=np.float64)
+            if V.size == 0:
+                continue
+            Vn = np.linalg.norm(V, axis=1)
+            Vn[Vn == 0.0] = np.inf
+            sims = (Q @ V.T) / (Qn[:, None] * Vn[None, :])
+            # exclude self-matches before the local cut
+            sims[qids[:, None] == ids[None, :]] = -np.inf
+            take = min(kk, sims.shape[1])
+            part = np.argpartition(-sims, take - 1, axis=1)[:, :take]
+            out_q, out_c, out_s = [], [], []
+            for i in range(nq):
+                cols = part[i]
+                out_q.extend([int(qids[i])] * len(cols))
+                out_c.extend(ids[cols].tolist())
+                out_s.extend(sims[i, cols].tolist())
+            yield pd.DataFrame(
+                {query_id: out_q, corpus_id: out_c, "cosine": out_s}
+            )
+
+    cand = corpus.select(corpus_id, vec_col).mapInPandas(
+        _score, schema=f"{query_id} long, {corpus_id} long, cosine double"
+    )
+    sim = F.col("cosine")
+    if round_to is not None:
+        sim = F.round(sim, round_to) + F.lit(0.0)
+    w = Window.partitionBy(query_id).orderBy(
+        F.desc("cosine"), F.asc(corpus_id)
+    )
+    return (
+        cand.filter(F.col("cosine") != F.lit(float("-inf")))
+        .select(query_id, corpus_id, sim.alias("cosine"))
+        .withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= k)
+    )
