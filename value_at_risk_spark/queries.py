@@ -9911,3 +9911,242 @@ def table_statistics_report(spark: SparkSession, sf_dir: str) -> DataFrame:
         (F.round(F.max("v"), 4) + F.lit(0.0)).alias("max_v"),
         (F.round(F.avg("v"), 4) + F.lit(0.0)).alias("mean_v"),
     )
+
+
+# --------------------------------------------------------------------------
+# Round-7 sixteenth pass: EWMA covariance, volatility cones, underwater spells
+# --------------------------------------------------------------------------
+
+
+@query(
+    "ewma_covariance_matrix",
+    "WITH "
+    + SQL_RETS
+    + """,
+spine AS (
+  SELECT s.series, dd.d,
+         ROW_NUMBER() OVER (PARTITION BY s.series ORDER BY dd.d) AS rn,
+         COUNT(*) OVER (PARTITION BY s.series) AS n
+  FROM (SELECT DISTINCT series FROM rets) s
+  CROSS JOIN (SELECT DISTINCT d FROM rets) dd
+),
+aligned AS (
+  SELECT sp.series, sp.d, sp.rn, sp.n, COALESCE(r.ret, 0.0) AS ret
+  FROM spine sp LEFT JOIN rets r
+    ON sp.series = r.series AND sp.d = r.d
+)
+SELECT a.series AS s1, b.series AS s2,
+       ROUND(SUM(POWER(0.94, a.n - a.rn) * a.ret * b.ret) * 0.06, 9) + 0
+         AS ewma_cov
+FROM aligned a JOIN aligned b ON a.d = b.d AND a.series <= b.series
+GROUP BY 1, 2
+""",
+)
+def ewma_covariance_matrix(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """RiskMetrics EWMA covariance matrix (lambda=0.94, zero-mean
+    daily convention — the multivariate extension of ewma_volatility
+    and the live input to the reference's Cholesky factor,
+    03_var_monte_carlo.py:70-75): cov_xy = (1-l) * sum l^(n-t) x_t
+    y_t, the recursion unrolled to one weighted grouped sum exactly
+    like the univariate case. The date index (rn, n) rides the
+    densified spine so every pair shares the same weight ladder; the
+    upper triangle reduces in ONE date-keyed self-join — same single
+    shuffle as the sample-covariance query, weights folded into the
+    sum, nothing recursive anywhere."""
+    rets = daily_returns(spark, sf_dir)
+    wsp = Window.partitionBy("series").orderBy("d")
+    wn = Window.partitionBy("series")
+    spine = (
+        rets.select("series")
+        .distinct()
+        .crossJoin(rets.select("d").distinct())
+        .select(
+            "series",
+            "d",
+            F.row_number().over(wsp).alias("rn"),
+            F.count(F.lit(1)).over(wn).alias("n"),
+        )
+    )
+    aligned = spine.join(rets, ["series", "d"], "left").select(
+        "series",
+        "d",
+        "rn",
+        "n",
+        F.coalesce(F.col("ret"), F.lit(0.0)).alias("ret"),
+    )
+    a = aligned.select(
+        F.col("series").alias("s1"),
+        "d",
+        F.col("rn").alias("rn_a"),
+        F.col("n").alias("n_a"),
+        F.col("ret").alias("ra"),
+    )
+    b = aligned.select(
+        F.col("series").alias("s2"), "d", F.col("ret").alias("rb")
+    )
+    return (
+        a.join(b, "d")
+        .filter(F.col("s1") <= F.col("s2"))
+        .groupBy("s1", "s2")
+        .agg(
+            (
+                F.round(
+                    F.sum(
+                        F.pow(F.lit(0.94), F.col("n_a") - F.col("rn_a"))
+                        * F.col("ra")
+                        * F.col("rb")
+                    )
+                    * 0.06,
+                    9,
+                )
+                + F.lit(0.0)
+            ).alias("ewma_cov")
+        )
+    )
+
+
+@query(
+    "volatility_cones",
+    "WITH "
+    + SQL_RETS
+    + """,
+h AS (SELECT UNNEST([5, 21, 63]) AS horizon),
+rolled AS (
+  SELECT r.series, h.horizon,
+         STDDEV_SAMP(r.ret) OVER (
+           PARTITION BY r.series, h.horizon ORDER BY r.d
+           ROWS BETWEEN 62 PRECEDING AND CURRENT ROW) AS sd63,
+         STDDEV_SAMP(r.ret) OVER (
+           PARTITION BY r.series, h.horizon ORDER BY r.d
+           ROWS BETWEEN 20 PRECEDING AND CURRENT ROW) AS sd21,
+         STDDEV_SAMP(r.ret) OVER (
+           PARTITION BY r.series, h.horizon ORDER BY r.d
+           ROWS BETWEEN 4 PRECEDING AND CURRENT ROW) AS sd5,
+         ROW_NUMBER() OVER (PARTITION BY r.series, h.horizon
+                            ORDER BY r.d) AS rn
+  FROM rets r, h
+),
+vols AS (
+  SELECT series, horizon,
+         CASE horizon WHEN 5 THEN sd5 WHEN 21 THEN sd21 ELSE sd63 END AS v
+  FROM rolled
+  WHERE rn >= horizon
+)
+SELECT series, CAST(horizon AS BIGINT) AS horizon,
+       CAST(COUNT(*) AS BIGINT) AS n_windows,
+       ROUND(MIN(v), 6) + 0 AS vol_min,
+       ROUND(quantile_cont(v, 0.5), 6) + 0 AS vol_median,
+       ROUND(MAX(v), 6) + 0 AS vol_max
+FROM vols GROUP BY 1, 2
+""",
+)
+def volatility_cones(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Volatility cones (Burghardt-Lane): the min/median/max of
+    rolling realized volatility at 5/21/63-observation horizons per
+    series — the options-desk chart that says whether TODAY'S vol is
+    high for its horizon. One partitioned window pass per horizon
+    over the shared return frame (Spark computes the three rolling
+    stddevs in a single Window stage since they share partitioning
+    and ordering), warm-up rows dropped, then a per-(series, horizon)
+    percentile reduce. The horizon dimension is a 3-row literal
+    frame, not three query copies."""
+    rets = daily_returns(spark, sf_dir)
+    w = Window.partitionBy("series").orderBy("d")
+    rolled = rets.select(
+        "series",
+        F.stddev_samp("ret").over(w.rowsBetween(-4, 0)).alias("sd5"),
+        F.stddev_samp("ret").over(w.rowsBetween(-20, 0)).alias("sd21"),
+        F.stddev_samp("ret").over(w.rowsBetween(-62, 0)).alias("sd63"),
+        F.row_number().over(w).alias("rn"),
+    )
+    horizons = F.array(
+        F.struct(F.lit(5).alias("horizon"), F.col("sd5").alias("v")),
+        F.struct(F.lit(21).alias("horizon"), F.col("sd21").alias("v")),
+        F.struct(F.lit(63).alias("horizon"), F.col("sd63").alias("v")),
+    )
+    vols = (
+        rolled.select("series", "rn", F.explode(horizons).alias("h"))
+        .select("series", "rn", F.col("h.horizon").alias("horizon"), F.col("h.v").alias("v"))
+        .filter(F.col("rn") >= F.col("horizon"))
+    )
+    return vols.groupBy(
+        "series", F.col("horizon").cast("long").alias("horizon")
+    ).agg(
+        F.count(F.lit(1)).alias("n_windows"),
+        (F.round(F.min("v"), 6) + F.lit(0.0)).alias("vol_min"),
+        (F.round(F.percentile("v", F.lit(0.5)), 6) + F.lit(0.0)).alias(
+            "vol_median"
+        ),
+        (F.round(F.max("v"), 6) + F.lit(0.0)).alias("vol_max"),
+    )
+
+
+@query(
+    "drawdown_duration_stats",
+    "WITH "
+    + SQL_DAILY
+    + """,
+lvl AS (
+  SELECT series, d, price,
+         MAX(price) OVER (PARTITION BY series ORDER BY d
+                          ROWS UNBOUNDED PRECEDING) AS peak
+  FROM daily
+),
+flagged AS (
+  SELECT series, d, price < peak AS under,
+         SUM(CASE WHEN price < peak THEN 0 ELSE 1 END)
+           OVER (PARTITION BY series ORDER BY d ROWS UNBOUNDED PRECEDING)
+           AS island
+  FROM lvl
+),
+spells AS (
+  SELECT series, island, CAST(COUNT(*) AS BIGINT) AS len
+  FROM flagged WHERE under GROUP BY 1, 2
+)
+SELECT series,
+       CAST(COUNT(*) AS BIGINT) AS n_spells,
+       CAST(MAX(len) AS BIGINT) AS longest_underwater_days,
+       ROUND(AVG(len), 4) + 0 AS mean_spell_days
+FROM spells GROUP BY series
+""",
+)
+def drawdown_duration_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Underwater-spell statistics: how LONG drawdowns last, not just
+    how deep (max_drawdown_by_series measures depth) — the recovery-
+    time metric allocators actually ask about. Classic gaps-and-
+    islands: a running count of at-peak rows is constant within each
+    underwater stretch, so it IS the island id — consecutive below-
+    peak runs fall out of two ordinary cumulative windows (peak, then
+    island) plus one grouped count, no iteration, no self-join. Same
+    per-series partitioned-window scale story as every monitor in
+    this file."""
+    daily = daily_prices(spark, sf_dir)
+    w = Window.partitionBy("series").orderBy("d")
+    wcum = w.rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    lvl = daily.select(
+        "series",
+        "d",
+        "price",
+        F.max("price").over(wcum).alias("peak"),
+    )
+    flagged = lvl.select(
+        "series",
+        (F.col("price") < F.col("peak")).alias("under"),
+        F.sum(
+            F.when(F.col("price") < F.col("peak"), F.lit(0)).otherwise(
+                F.lit(1)
+            )
+        )
+        .over(wcum)
+        .alias("island"),
+    )
+    spells = (
+        flagged.filter(F.col("under"))
+        .groupBy("series", "island")
+        .agg(F.count(F.lit(1)).alias("len"))
+    )
+    return spells.groupBy("series").agg(
+        F.count(F.lit(1)).alias("n_spells"),
+        F.max("len").alias("longest_underwater_days"),
+        (F.round(F.avg("len"), 4) + F.lit(0.0)).alias("mean_spell_days"),
+    )
