@@ -2769,3 +2769,29 @@ def test_ewma_cov_diag_matches_ewma_vol_and_cones_nest(spark, sf_dir):
 
     for r in QUERIES["drawdown_duration_stats"](spark, sf_dir).collect():
         assert 1 <= r.mean_spell_days <= r.longest_underwater_days
+
+
+def test_hurst_separates_noise_from_trend(spark):
+    """R/S Hurst on seeded iid noise reads ~0.5; on a persistent
+    (trend + tiny noise) increment series it reads near 1 — the
+    separation the diagnostic exists for."""
+    import numpy as np
+
+    from value_at_risk_spark.operators.windows import hurst_rs
+
+    rng = np.random.default_rng(7)
+    noise = rng.standard_normal(512)
+    # persistent = long positive autocorrelation (moving-average of
+    # noise); a constant DRIFT would be removed by the per-chunk mean
+    # subtraction — persistence must live in the correlations
+    persistent = np.convolve(rng.standard_normal(600), np.ones(32) / 32)[
+        32 : 32 + 512
+    ]
+    rows = [("noise", i, float(noise[i])) for i in range(512)] + [
+        ("persistent", i, float(persistent[i])) for i in range(512)
+    ]
+    df = spark.createDataFrame(rows, "k string, t int, x double")
+    got = {r.k: r.hurst for r in hurst_rs(df, "k", "t", "x").collect()}
+    assert 0.35 < got["noise"] < 0.65
+    assert got["persistent"] > 0.75
+    assert got["persistent"] > got["noise"] + 0.2

@@ -10150,3 +10150,73 @@ def drawdown_duration_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.max("len").alias("longest_underwater_days"),
         (F.round(F.avg("len"), 4) + F.lit(0.0)).alias("mean_spell_days"),
     )
+
+
+@query(
+    "hurst_exponent_rs",
+    "WITH "
+    + SQL_RETS
+    + """,
+idx AS (
+  SELECT series, d, ret,
+         ROW_NUMBER() OVER (PARTITION BY series ORDER BY d) AS rn
+  FROM rets
+),
+sized AS (
+  SELECT idx.*, w.w,
+         CAST(FLOOR((rn - 1) / w.w) AS BIGINT) AS chunk
+  FROM idx, (SELECT UNNEST([8, 16, 32, 64]) AS w) w
+),
+stats AS (
+  SELECT series, w, chunk, rn, ret,
+         COUNT(*) OVER (PARTITION BY series, w, chunk) AS n_c,
+         AVG(ret) OVER (PARTITION BY series, w, chunk) AS mu,
+         STDDEV_POP(ret) OVER (PARTITION BY series, w, chunk) AS sp
+  FROM sized
+),
+cum AS (
+  SELECT series, w, chunk, rn, n_c, sp,
+         SUM(ret - mu) OVER (PARTITION BY series, w, chunk ORDER BY rn
+                             ROWS UNBOUNDED PRECEDING) AS c
+  FROM stats
+),
+rng AS (
+  SELECT series, w, chunk, n_c, sp,
+         MAX(c) OVER (PARTITION BY series, w, chunk)
+           - MIN(c) OVER (PARTITION BY series, w, chunk) AS r,
+         ROW_NUMBER() OVER (PARTITION BY series, w, chunk ORDER BY rn) AS pick
+  FROM cum
+),
+rs AS (
+  SELECT series, w, AVG(r / sp) AS avg_rs
+  FROM rng WHERE pick = 1 AND n_c = w AND sp > 0
+  GROUP BY 1, 2
+)
+SELECT series,
+       CAST(COUNT(*) AS BIGINT) AS n_scales,
+       ROUND(REGR_SLOPE(LN(avg_rs), LN(CAST(w AS DOUBLE))), 6) + 0
+         AS hurst
+FROM rs GROUP BY series
+""",
+)
+def hurst_exponent_rs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Hurst exponent via rescaled-range (R/S) analysis — the long-
+    memory diagnostic (H>0.5 trending, H<0.5 mean-reverting, 0.5 a
+    random walk) complementing the short-lag ACF/Ljung-Box tests.
+    Per scale w in {8,16,32,64}: the series splits into complete
+    w-sized chunks (floor((rn-1)/w) — pure arithmetic, no
+    re-partitioning per scale), each chunk's range of cumulative
+    mean-deviations over its population stddev averages into R/S(w),
+    and H is the closed-form regression slope of ln(R/S) on ln(w).
+    Everything is chunk-partitioned windows over an exploded 4-row
+    scale dimension — one shuffle on (series, w, chunk), then two
+    tiny reductions; no iteration, no driver math."""
+    from value_at_risk_spark.operators.windows import hurst_rs
+
+    rets = daily_returns(spark, sf_dir)
+    fit = hurst_rs(rets, "series", "d", "ret", scales=(8, 16, 32, 64))
+    return fit.select(
+        "series",
+        "n_scales",
+        (F.round("hurst", 6) + F.lit(0.0)).alias("hurst"),
+    )
