@@ -2795,3 +2795,18 @@ def test_hurst_separates_noise_from_trend(spark):
     assert 0.35 < got["noise"] < 0.65
     assert got["persistent"] > 0.75
     assert got["persistent"] > got["noise"] + 0.2
+
+
+def test_garch_and_calendar_invariants(spark, sf_dir):
+    """GARCH forecast stays in the neighborhood of the unconditional
+    vol it targets (variance targeting pins the long-run level);
+    calendar t-stats are consistent with their means' signs."""
+    from value_at_risk_spark.queries import QUERIES
+
+    for r in QUERIES["garch_volatility_forecast"](spark, sf_dir).collect():
+        assert 0.0 < r.garch_vol_next < 3.0 * r.uncond_vol
+        assert r.garch_vol_next > 0.3 * r.uncond_vol
+
+    for r in QUERIES["calendar_effects_report"](spark, sf_dir).collect():
+        assert 0 <= r.dow <= 6
+        assert (r.mean_ret_bps >= 0) == (r.t_stat >= 0)

@@ -10220,3 +10220,208 @@ def hurst_exponent_rs(spark: SparkSession, sf_dir: str) -> DataFrame:
         "n_scales",
         (F.round("hurst", 6) + F.lit(0.0)).alias("hurst"),
     )
+
+
+# --------------------------------------------------------------------------
+# Round-7 eighteenth pass: GARCH forecast, microstructure, calendar effects
+# --------------------------------------------------------------------------
+
+
+@query(
+    "garch_volatility_forecast",
+    "WITH "
+    + SQL_RETS
+    + """,
+idx AS (
+  SELECT series, ret,
+         ROW_NUMBER() OVER (PARTITION BY series ORDER BY d) AS rn,
+         COUNT(*) OVER (PARTITION BY series) AS n,
+         VAR_SAMP(ret) OVER (PARTITION BY series) AS v
+  FROM rets
+)
+SELECT series,
+       CAST(MAX(n) AS BIGINT) AS n_obs,
+       ROUND(SQRT(MAX(v)), 6) + 0 AS uncond_vol,
+       ROUND(SQRT(
+         MAX(v) * (1 - 0.09 - 0.90) * (1 - POWER(0.90, MAX(n))) / (1 - 0.90)
+         + 0.09 * SUM(POWER(0.90, n - rn) * ret * ret)
+         + POWER(0.90, MAX(n)) * MAX(v)
+       ), 6) + 0 AS garch_vol_next
+FROM idx GROUP BY series
+""",
+)
+def garch_volatility_forecast(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """GARCH(1,1) next-day volatility forecast with variance
+    targeting (omega = V*(1-alpha-beta), alpha=0.09, beta=0.90 — the
+    textbook daily-equity parameterization): the recursion
+    sigma2_t = omega + alpha*r2_{t-1} + beta*sigma2_{t-1} unrolls,
+    for the FINAL forecast, to omega*(1-beta^n)/(1-beta) + alpha *
+    sum beta^(n-j) r2_j + beta^n * V — one weighted grouped sum with
+    decaying weights (numerically safe; the per-date variant needs
+    beta^(-j) scaling that overflows past ~5k observations, which is
+    why this emits the forecast, exactly like ewma_volatility).
+    Completes the volatility ladder: sample (parametric_var), EWMA,
+    GARCH — same single-pass grouped-sum shape for all three."""
+    rets = daily_returns(spark, sf_dir)
+    wsp = Window.partitionBy("series").orderBy("d")
+    wp = Window.partitionBy("series")
+    idx = rets.select(
+        "series",
+        "ret",
+        F.row_number().over(wsp).alias("rn"),
+        F.count(F.lit(1)).over(wp).alias("n"),
+        F.var_samp("ret").over(wp).alias("v"),
+    )
+    a, b = 0.09, 0.90
+    v = F.max("v")
+    n = F.max("n")
+    s2 = (
+        v * (1 - a - b) * (1 - F.pow(F.lit(b), n)) / (1 - b)
+        + F.lit(a)
+        * F.sum(F.pow(F.lit(b), F.col("n") - F.col("rn")) * F.col("ret") * F.col("ret"))
+        + F.pow(F.lit(b), n) * v
+    )
+    return idx.groupBy("series").agg(
+        n.cast("long").alias("n_obs"),
+        (F.round(F.sqrt(v), 6) + F.lit(0.0)).alias("uncond_vol"),
+        (F.round(F.sqrt(s2), 6) + F.lit(0.0)).alias("garch_vol_next"),
+    )
+
+
+@query(
+    "liquidity_measures",
+    """
+WITH daily AS (
+  SELECT o_orderpriority AS series,
+         CAST(o_orderdate AS DATE) AS d,
+         ROUND(SUM(o_totalprice), 2) AS price,
+         CAST(COUNT(*) AS DOUBLE) AS vol
+  FROM orders GROUP BY 1, 2
+),
+chg AS (
+  SELECT series, d, vol,
+         price - LAG(price) OVER (PARTITION BY series ORDER BY d) AS dp,
+         (ROUND(LN(price / COALESCE(
+             LAG(price) OVER (PARTITION BY series ORDER BY d), price)), 6) + 0)
+           AS ret
+  FROM daily
+),
+lagged AS (
+  SELECT series, vol, dp, ret,
+         LAG(dp) OVER (PARTITION BY series ORDER BY d) AS dp_prev
+  FROM chg
+)
+SELECT series,
+       ROUND(COVAR_SAMP(dp, dp_prev) / 1e6, 4) + 0 AS cov_dp_millions,
+       ROUND(CASE WHEN COVAR_SAMP(dp, dp_prev) < 0
+                  THEN 2 * SQRT(-COVAR_SAMP(dp, dp_prev)) END, 6) + 0
+         AS roll_spread,
+       ROUND(AVG(ABS(ret) / vol) * 1e6, 6) + 0 AS amihud_illiq_x1e6
+FROM lagged GROUP BY series
+""",
+)
+def liquidity_measures(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Microstructure liquidity measures per series: Roll's implied
+    effective spread (2*sqrt(-cov(dp_t, dp_{t-1})) — bid-ask bounce
+    makes consecutive price changes negatively autocorrelated; NULL
+    when the covariance is positive and the model doesn't apply) and
+    the Amihud illiquidity ratio (mean |return| per unit volume,
+    daily order count as the volume proxy). One windowed pass for
+    the lagged price changes, one grouped aggregate for both
+    measures — the pattern extends to any lag-covariance diagnostic.
+    NULL-safe: COVAR_SAMP skips the two warm-up rows on both
+    engines."""
+    o = _t(spark, sf_dir, "orders")
+    daily = o.groupBy(
+        F.col("o_orderpriority").alias("series"),
+        F.col("o_orderdate").cast("date").alias("d"),
+    ).agg(
+        F.round(F.sum("o_totalprice"), 2).alias("price"),
+        F.count(F.lit(1)).cast("double").alias("vol"),
+    )
+    w = Window.partitionBy("series").orderBy("d")
+    chg = daily.select(
+        "series",
+        "d",
+        "vol",
+        (F.col("price") - F.lag("price").over(w)).alias("dp"),
+        (
+            F.round(
+                F.log(
+                    F.col("price")
+                    / F.coalesce(F.lag("price").over(w), F.col("price"))
+                ),
+                6,
+            )
+            + F.lit(0.0)
+        ).alias("ret"),
+    )
+    lagged = chg.select(
+        "series",
+        "vol",
+        "dp",
+        "ret",
+        F.lag("dp").over(w.orderBy("d")).alias("dp_prev"),
+    )
+    cv = F.covar_samp("dp", "dp_prev")
+    return lagged.groupBy("series").agg(
+        # reported in millions: the raw covariance is ~1e10 here and
+        # its final accumulation digits are FP-order-sensitive across
+        # engines — scale before rounding so the hash compares signal
+        (F.round(cv / 1e6, 4) + F.lit(0.0)).alias("cov_dp_millions"),
+        (
+            F.round(
+                F.when(cv < 0, 2 * F.sqrt(-cv)), 6
+            )
+            + F.lit(0.0)
+        ).alias("roll_spread"),
+        (
+            F.round(F.avg(F.abs(F.col("ret")) / F.col("vol")) * 1e6, 6)
+            + F.lit(0.0)
+        ).alias("amihud_illiq_x1e6"),
+    )
+
+
+@query(
+    "calendar_effects_report",
+    "WITH "
+    + SQL_RETS
+    + """,
+dow AS (
+  SELECT DATEDIFF('day', DATE '1990-01-01', d) % 7 AS dow, ret
+  FROM rets
+)
+SELECT CAST(dow AS BIGINT) AS dow,
+       CAST(COUNT(*) AS BIGINT) AS n_obs,
+       ROUND(AVG(ret) * 1e4, 4) + 0 AS mean_ret_bps,
+       ROUND(AVG(ret) / (STDDEV_SAMP(ret) / SQRT(COUNT(*))), 4) + 0
+         AS t_stat
+FROM dow GROUP BY dow
+""",
+)
+def calendar_effects_report(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Day-of-week calendar effects across the pooled return panel:
+    mean return (basis points) and its t-statistic per weekday — the
+    Monday-effect test every seasonality audit starts with (and the
+    return-side companion to seasonal_anomaly_days' level
+    decomposition). Day-of-week is integer arithmetic off the Monday
+    anchor; one map-side-combining aggregate computes mean, stddev,
+    and count together, so the t-stat is pure arithmetic on a 7-row
+    result."""
+    rets = daily_returns(spark, sf_dir)
+    dow = rets.select(
+        (F.datediff(F.col("d"), F.lit("1990-01-01")) % 7).alias("dow"),
+        "ret",
+    )
+    return dow.groupBy(F.col("dow").cast("long").alias("dow")).agg(
+        F.count(F.lit(1)).alias("n_obs"),
+        (F.round(F.avg("ret") * 1e4, 4) + F.lit(0.0)).alias("mean_ret_bps"),
+        (
+            F.round(
+                F.avg("ret")
+                / (F.stddev_samp("ret") / F.sqrt(F.count(F.lit(1)))),
+                4,
+            )
+            + F.lit(0.0)
+        ).alias("t_stat"),
+    )
