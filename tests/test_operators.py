@@ -2810,3 +2810,37 @@ def test_garch_and_calendar_invariants(spark, sf_dir):
     for r in QUERIES["calendar_effects_report"](spark, sf_dir).collect():
         assert 0 <= r.dow <= 6
         assert (r.mean_ret_bps >= 0) == (r.t_stat >= 0)
+
+
+def test_pointer_jumping_depth_closed_form(spark, sf_dir):
+    """For parent(k)=floor(k/2) the true depth is floor(log2(k)) —
+    an independent closed form the log-step join must reproduce for
+    every node, with every root resolved to 1."""
+    from value_at_risk_spark.queries import QUERIES
+
+    rows = QUERIES["hierarchy_depth_pointer_jumping"](spark, sf_dir).collect()
+    assert rows
+    for r in rows:
+        assert r.root == 1
+        # k=0 is its own fixed point at depth 0; otherwise the number
+        # of halvings to reach 1 is floor(log2(k))
+        assert r.depth == max(int(r.k).bit_length() - 1, 0), r.k
+
+
+def test_window_suite_invariants(spark, sf_dir):
+    """first/nth/cume_dist/ntile/lag behave per spec on the sampled
+    customers."""
+    from collections import defaultdict
+
+    from value_at_risk_spark.queries import QUERIES
+
+    rows = QUERIES["order_window_functions_suite"](spark, sf_dir).collect()
+    per_cust = defaultdict(list)
+    for r in rows:
+        per_cust[r.k].append(r)
+        assert 0.0 < r.cume_dist_in_priority <= 1.0
+        assert 1 <= r.quartile <= 4
+        assert r.gap_days is None or r.gap_days >= 0
+    for k, rs in per_cust.items():
+        firsts = {r.first_ord for r in rs}
+        assert len(firsts) == 1  # same first order across the partition

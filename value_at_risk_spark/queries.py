@@ -10425,3 +10425,139 @@ def calendar_effects_report(spark: SparkSession, sf_dir: str) -> DataFrame:
             + F.lit(0.0)
         ).alias("t_stat"),
     )
+
+
+# --------------------------------------------------------------------------
+# Round-7 nineteenth pass: hierarchies by pointer jumping, window suite
+# --------------------------------------------------------------------------
+
+
+@query(
+    "hierarchy_depth_pointer_jumping",
+    """
+WITH RECURSIVE walk(k, ptr, depth) AS (
+  SELECT c_custkey, c_custkey, 0 FROM customer
+  UNION ALL
+  SELECT k, CAST(FLOOR(ptr / 2) AS BIGINT), depth + 1
+  FROM walk WHERE ptr > 1
+)
+SELECT k, CAST(MAX(depth) AS BIGINT) AS depth, CAST(1 AS BIGINT) AS root
+FROM walk GROUP BY k
+""",
+)
+def hierarchy_depth_pointer_jumping(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """Hierarchy depth + root for every node of the synthetic
+    customer tree (parent(k) = floor(k/2), root 1) — computed by
+    POINTER JUMPING: each iteration joins the ancestor table with
+    itself so the known-ancestor distance DOUBLES (anc' = anc[anc],
+    dist' = dist + dist[anc]); 5 iterations resolve any depth <= 32,
+    i.e. 4 billion nodes — O(log depth) shuffles where the naive
+    per-level walk (the oracle's WITH RECURSIVE) needs O(depth).
+    This is the same doubling technique behind the dedup connected-
+    components operator, isolated here as the hierarchy/org-chart/
+    BOM primitive. Each iteration is one self-equi-join on the
+    ancestor key — co-partitioned by construction after the first
+    shuffle. Roots are their own fixed point (dist 0), so the join
+    converges without special-casing."""
+    c = _t(spark, sf_dir, "customer")
+    j = c.select(
+        F.col("c_custkey").alias("k"),
+        F.when(F.col("c_custkey") <= 1, F.lit(1))
+        .otherwise(F.floor(F.col("c_custkey") / 2))
+        .cast("long")
+        .alias("anc"),
+        F.when(F.col("c_custkey") <= 1, F.lit(0))
+        .otherwise(F.lit(1))
+        .cast("long")
+        .alias("dist"),
+    )
+    for _ in range(5):  # 2^5 = 32 levels = 4e9 nodes
+        b = j.select(
+            F.col("k").alias("anc"),
+            F.col("anc").alias("anc2"),
+            F.col("dist").alias("dist2"),
+        )
+        j = j.join(b, "anc").select(
+            "k",
+            F.col("anc2").alias("anc"),
+            (F.col("dist") + F.col("dist2")).alias("dist"),
+        )
+    return j.select(
+        "k",
+        F.col("dist").alias("depth"),
+        F.col("anc").alias("root"),
+    )
+
+
+@query(
+    "order_window_functions_suite",
+    """
+WITH w AS (
+  SELECT o_custkey AS k, o_orderkey AS ord, o_totalprice AS price,
+         CAST(o_orderdate AS DATE) AS d,
+         FIRST_VALUE(o_orderkey) OVER
+           (PARTITION BY o_custkey ORDER BY o_orderdate, o_orderkey) AS first_ord,
+         NTH_VALUE(o_orderkey, 2) OVER
+           (PARTITION BY o_custkey ORDER BY o_orderdate, o_orderkey
+            ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS second_ord,
+         CUME_DIST() OVER
+           (PARTITION BY o_orderpriority ORDER BY o_totalprice) AS cd,
+         NTILE(4) OVER
+           (PARTITION BY o_orderpriority ORDER BY o_totalprice, o_orderkey)
+           AS quartile,
+         DATEDIFF('day',
+           LAG(CAST(o_orderdate AS DATE)) OVER
+             (PARTITION BY o_custkey ORDER BY o_orderdate, o_orderkey),
+           CAST(o_orderdate AS DATE)) AS gap_days
+  FROM orders
+)
+SELECT k, ord, first_ord, second_ord,
+       ROUND(cd, 6) + 0 AS cume_dist_in_priority,
+       CAST(quartile AS BIGINT) AS quartile,
+       CAST(gap_days AS BIGINT) AS gap_days
+FROM w WHERE k % 100 = 0
+""",
+)
+def order_window_functions_suite(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """Window-function completeness sampler (SURVEY §2.5 long tail):
+    FIRST_VALUE / NTH_VALUE(2) with an explicit cumulative frame,
+    CUME_DIST and NTILE over an independent partitioning, and a LAG
+    date gap — all five in the plan together, exercising two window
+    specs that Spark schedules as two Window stages over one scan.
+    NTILE and NTH_VALUE tie-break on the order key; the output
+    filter samples every 100th customer AFTER the windows (the
+    windows must see the full partitions)."""
+    o = _t(spark, sf_dir, "orders")
+    wcust = Window.partitionBy("o_custkey").orderBy(
+        "o_orderdate", "o_orderkey"
+    )
+    wcum = wcust.rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    wprio = Window.partitionBy("o_orderpriority").orderBy("o_totalprice")
+    wprio_tb = Window.partitionBy("o_orderpriority").orderBy(
+        "o_totalprice", "o_orderkey"
+    )
+    w = o.select(
+        F.col("o_custkey").alias("k"),
+        F.col("o_orderkey").alias("ord"),
+        F.first("o_orderkey").over(wcust).alias("first_ord"),
+        F.nth_value("o_orderkey", 2).over(wcum).alias("second_ord"),
+        F.cume_dist().over(wprio).alias("cd"),
+        F.ntile(4).over(wprio_tb).alias("quartile"),
+        F.datediff(
+            F.col("o_orderdate").cast("date"),
+            F.lag(F.col("o_orderdate").cast("date")).over(wcust),
+        ).alias("gap_days"),
+    )
+    return w.filter(F.col("k") % 100 == 0).select(
+        "k",
+        "ord",
+        "first_ord",
+        "second_ord",
+        (F.round("cd", 6) + F.lit(0.0)).alias("cume_dist_in_priority"),
+        F.col("quartile").cast("long").alias("quartile"),
+        F.col("gap_days").cast("long").alias("gap_days"),
+    )
