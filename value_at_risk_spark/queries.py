@@ -10561,3 +10561,257 @@ def order_window_functions_suite(
         F.col("quartile").cast("long").alias("quartile"),
         F.col("gap_days").cast("long").alias("gap_days"),
     )
+
+
+# --------------------------------------------------------------------------
+# Round-7 twentieth pass: HAC inference, cohort value, RFM segmentation
+# --------------------------------------------------------------------------
+
+
+@query(
+    "newey_west_mean_test",
+    "WITH "
+    + SQL_RETS
+    + """,
+mu AS (SELECT series, AVG(ret) AS m, CAST(COUNT(*) AS DOUBLE) AS n
+       FROM rets GROUP BY 1),
+x AS (
+  SELECT r.series, r.d, r.ret - mu.m AS e, mu.m, mu.n
+  FROM rets r JOIN mu USING (series)
+),
+l AS (
+  SELECT series, m, n, e,
+         LAG(e, 1) OVER (PARTITION BY series ORDER BY d) AS e1,
+         LAG(e, 2) OVER (PARTITION BY series ORDER BY d) AS e2,
+         LAG(e, 3) OVER (PARTITION BY series ORDER BY d) AS e3,
+         LAG(e, 4) OVER (PARTITION BY series ORDER BY d) AS e4,
+         LAG(e, 5) OVER (PARTITION BY series ORDER BY d) AS e5
+  FROM x
+),
+v AS (
+  SELECT series, MIN(m) AS m, MIN(n) AS n,
+         (SUM(e * e)
+          + 2 * (5.0/6) * SUM(e * e1) + 2 * (4.0/6) * SUM(e * e2)
+          + 2 * (3.0/6) * SUM(e * e3) + 2 * (2.0/6) * SUM(e * e4)
+          + 2 * (1.0/6) * SUM(e * e5)) / MIN(n) AS lrv
+  FROM l GROUP BY series
+)
+SELECT series,
+       CAST(n AS BIGINT) AS n_obs,
+       ROUND(m * 1e4, 4) + 0 AS mean_ret_bps,
+       ROUND(m / SQRT(lrv / n), 4) + 0 AS nw_t_stat,
+       ROUND(SQRT(lrv), 6) + 0 AS nw_long_run_sd
+FROM v
+""",
+)
+def newey_west_mean_test(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Newey-West HAC t-statistic for each series' mean return
+    (Bartlett kernel, 5 lags): serial correlation makes the naive
+    sd/sqrt(n) error too small, so the long-run variance adds the
+    weighted autocovariances gamma_j with weights 1 - j/(L+1) — the
+    inference-grade companion to calendar_effects_report's iid
+    t-stats and acf_ljung_box's diagnostics. One broadcast mean, one
+    window pass for all 5 lags, one grouped sum for the whole kernel
+    — identical dataflow to the ACF query, just a different linear
+    combination of the same lag products."""
+    rets = daily_returns(spark, sf_dir)
+    mu = rets.groupBy("series").agg(
+        F.avg("ret").alias("m"),
+        F.count(F.lit(1)).cast("double").alias("n"),
+    )
+    x = rets.join(F.broadcast(mu), "series").select(
+        "series", "d", (F.col("ret") - F.col("m")).alias("e"), "m", "n"
+    )
+    w = Window.partitionBy("series").orderBy("d")
+    lagged = x.select(
+        "series",
+        "m",
+        "n",
+        "e",
+        *[F.lag("e", j).over(w).alias(f"e{j}") for j in range(1, 6)],
+    )
+    L = 5
+    lrv = (
+        F.sum(F.col("e") * F.col("e"))
+        + sum(
+            2
+            * ((L + 1.0 - j) / (L + 1.0))
+            * F.sum(F.col("e") * F.col(f"e{j}"))
+            for j in range(1, 6)
+        )
+    ) / F.min("n")
+    return lagged.groupBy("series").agg(
+        F.min("n").cast("long").alias("n_obs"),
+        (F.round(F.min("m") * 1e4, 4) + F.lit(0.0)).alias("mean_ret_bps"),
+        (
+            F.round(F.min("m") / F.sqrt(lrv / F.min("n")), 4) + F.lit(0.0)
+        ).alias("nw_t_stat"),
+        (F.round(F.sqrt(lrv), 6) + F.lit(0.0)).alias("nw_long_run_sd"),
+    )
+
+
+@query(
+    "cohort_ltv_curve",
+    """
+WITH fo AS (
+  SELECT o_custkey AS k,
+         MIN(EXTRACT(YEAR FROM CAST(o_orderdate AS DATE))) AS cohort_year
+  FROM orders GROUP BY 1
+),
+spend AS (
+  SELECT fo.cohort_year,
+         EXTRACT(YEAR FROM CAST(o.o_orderdate AS DATE)) - fo.cohort_year
+           AS yrs_since,
+         SUM(o.o_totalprice) AS rev,
+         COUNT(DISTINCT o.o_custkey) AS active
+  FROM orders o JOIN fo ON o.o_custkey = fo.k
+  GROUP BY 1, 2
+),
+csize AS (SELECT cohort_year, COUNT(*) AS n0 FROM fo GROUP BY 1)
+SELECT s.cohort_year, CAST(s.yrs_since AS BIGINT) AS yrs_since,
+       CAST(s.active AS BIGINT) AS active_customers,
+       ROUND(SUM(s.rev) OVER (PARTITION BY s.cohort_year ORDER BY s.yrs_since
+             ROWS UNBOUNDED PRECEDING) / c.n0, 2) + 0 AS cum_ltv_per_customer
+FROM spend s JOIN csize c ON s.cohort_year = c.cohort_year
+""",
+)
+def cohort_ltv_curve(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Cohort lifetime-value curves: cumulative revenue per ORIGINAL
+    cohort member by years since acquisition — the money companion to
+    retention_cohorts (retention says who's left; LTV says what
+    they're worth). Cohort assignment is a per-customer min-year
+    re-joined customer-keyed; the curve is a running sum over each
+    cohort's ≤7-row year series divided by the frozen cohort size
+    (denominator = acquired customers, NOT survivors — the mistake
+    that inflates naive LTV dashboards). Two customer-keyed shuffles
+    + calendar-scale windows."""
+    o = _t(spark, sf_dir, "orders")
+    yr = F.year(F.col("o_orderdate").cast("date"))
+    fo = o.groupBy(F.col("o_custkey").alias("k")).agg(
+        F.min(yr).alias("cohort_year")
+    )
+    spend = (
+        o.join(fo, o.o_custkey == fo.k)
+        .groupBy(
+            "cohort_year", (yr - F.col("cohort_year")).alias("yrs_since")
+        )
+        .agg(
+            F.sum("o_totalprice").alias("rev"),
+            F.count_distinct("o_custkey").alias("active"),
+        )
+    )
+    csize = fo.groupBy("cohort_year").agg(F.count(F.lit(1)).alias("n0"))
+    wcum = (
+        Window.partitionBy("cohort_year")
+        .orderBy("yrs_since")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    return spend.join(F.broadcast(csize), "cohort_year").select(
+        "cohort_year",
+        F.col("yrs_since").cast("long").alias("yrs_since"),
+        F.col("active").cast("long").alias("active_customers"),
+        (
+            F.round(F.sum("rev").over(wcum) / F.col("n0"), 2) + F.lit(0.0)
+        ).alias("cum_ltv_per_customer"),
+    )
+
+
+@query(
+    "rfm_segmentation",
+    """
+WITH rfm AS (
+  SELECT o_custkey AS k,
+         MAX(CAST(o_orderdate AS DATE)) AS last_d,
+         CAST(COUNT(*) AS DOUBLE) AS freq,
+         SUM(o_totalprice) AS monetary
+  FROM orders GROUP BY 1
+),
+edges AS (
+  SELECT quantile_cont(DATEDIFF('day', last_d, DATE '2000-01-01'),
+                       [0.25, 0.5, 0.75]) AS re,
+         quantile_cont(freq, [0.25, 0.5, 0.75]) AS fe,
+         quantile_cont(monetary, [0.25, 0.5, 0.75]) AS me
+  FROM rfm
+),
+scored AS (
+  SELECT k,
+         4 - LEN(list_filter(e.re,
+             x -> DATEDIFF('day', last_d, DATE '2000-01-01') > x)) AS r_score,
+         1 + LEN(list_filter(e.fe, x -> freq > x)) AS f_score,
+         1 + LEN(list_filter(e.me, x -> monetary > x)) AS m_score
+  FROM rfm, edges e
+)
+SELECT CAST(r_score AS BIGINT) AS r_score,
+       CAST(f_score AS BIGINT) AS f_score,
+       CAST(m_score AS BIGINT) AS m_score,
+       CAST(COUNT(*) AS BIGINT) AS n_customers,
+       CASE WHEN r_score = 4 AND f_score >= 3 AND m_score >= 3
+              THEN 'champions'
+            WHEN r_score <= 2 AND f_score >= 3 THEN 'at_risk_loyal'
+            WHEN r_score = 1 AND f_score <= 2 THEN 'lost'
+            ELSE 'core' END AS segment
+FROM scored
+GROUP BY r_score, f_score, m_score
+""",
+)
+def rfm_segmentation(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """RFM segmentation: quartile scores for recency (days before
+    the fixed anchor), frequency, and monetary value per customer,
+    rolled into the 64-cell scoring cube with named segments — the
+    CRM workhorse. Quartile EDGES come from one exact-percentile
+    aggregate broadcast back (the same deterministic value-based
+    binning as feature_binning_woe: no global sort, ties land
+    deterministically); recency scores invert so 4 = most recent.
+    One customer reduction, one 1-row edge aggregate, one codegen
+    scoring projection, one 64-row rollup."""
+    o = _t(spark, sf_dir, "orders")
+    anchor = F.lit("2000-01-01")
+    rfm = o.groupBy(F.col("o_custkey").alias("k")).agg(
+        F.datediff(anchor, F.max(F.col("o_orderdate").cast("date"))).alias(
+            "rec"
+        ),
+        F.count(F.lit(1)).cast("double").alias("freq"),
+        F.sum("o_totalprice").alias("monetary"),
+    )
+    qs = F.array(*[F.lit(x) for x in (0.25, 0.5, 0.75)])
+    edges = rfm.agg(
+        F.percentile(F.col("rec").cast("double"), qs).alias("re"),
+        F.percentile("freq", qs).alias("fe"),
+        F.percentile("monetary", qs).alias("me"),
+    )
+    def above(col, e):
+        return F.size(F.filter(e, lambda x: col > x))
+
+    scored = rfm.crossJoin(F.broadcast(edges)).select(
+        "k",
+        (F.lit(4) - above(F.col("rec").cast("double"), F.col("re"))).alias(
+            "r_score"
+        ),
+        (F.lit(1) + above(F.col("freq"), F.col("fe"))).alias("f_score"),
+        (F.lit(1) + above(F.col("monetary"), F.col("me"))).alias("m_score"),
+    )
+    seg = (
+        F.when(
+            (F.col("r_score") == 4)
+            & (F.col("f_score") >= 3)
+            & (F.col("m_score") >= 3),
+            F.lit("champions"),
+        )
+        .when(
+            (F.col("r_score") <= 2) & (F.col("f_score") >= 3),
+            F.lit("at_risk_loyal"),
+        )
+        .when(
+            (F.col("r_score") == 1) & (F.col("f_score") <= 2), F.lit("lost")
+        )
+        .otherwise(F.lit("core"))
+    )
+    return scored.groupBy("r_score", "f_score", "m_score").agg(
+        F.count(F.lit(1)).alias("n_customers")
+    ).select(
+        F.col("r_score").cast("long").alias("r_score"),
+        F.col("f_score").cast("long").alias("f_score"),
+        F.col("m_score").cast("long").alias("m_score"),
+        "n_customers",
+        seg.alias("segment"),
+    )
