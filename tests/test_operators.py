@@ -2844,3 +2844,51 @@ def test_window_suite_invariants(spark, sf_dir):
     for k, rs in per_cust.items():
         firsts = {r.first_ord for r in rs}
         assert len(firsts) == 1  # same first order across the partition
+
+
+def test_newey_west_vs_iid_and_ltv_monotone(spark, sf_dir):
+    """The NW long-run sd differs from (and the t-stat is scaled
+    consistently with) the series' naive sd; LTV curves are
+    monotone non-decreasing with a frozen denominator; RFM scores
+    cover quartile cells that sum to the customer count."""
+    from value_at_risk_spark.queries import QUERIES, daily_returns
+
+    naive = {
+        r.series: (r.sd, r.n)
+        for r in daily_returns(spark, sf_dir)
+        .groupBy("series")
+        .agg(F.stddev_samp("ret").alias("sd"), F.count(F.lit(1)).alias("n"))
+        .collect()
+    }
+    for r in QUERIES["newey_west_mean_test"](spark, sf_dir).collect():
+        sd, n = naive[r.series]
+        assert r.n_obs == n
+        assert 0.2 * sd < r.nw_long_run_sd < 5.0 * sd
+
+    curves = {}
+    for r in QUERIES["cohort_ltv_curve"](spark, sf_dir).collect():
+        curves.setdefault(r.cohort_year, []).append(
+            (r.yrs_since, r.cum_ltv_per_customer)
+        )
+    for pts in curves.values():
+        pts.sort()
+        assert all(
+            pts[i][1] <= pts[i + 1][1] + 1e-9 for i in range(len(pts) - 1)
+        )
+
+    from value_at_risk_spark.sources.registry import Registry
+
+    rows = QUERIES["rfm_segmentation"](spark, sf_dir).collect()
+    n_cust = (
+        Registry(sf_dir)
+        .read(spark, "orders")
+        .select("o_custkey")
+        .distinct()
+        .count()
+    )
+    assert sum(r.n_customers for r in rows) == n_cust
+    assert all(
+        1 <= r.r_score <= 4 and 1 <= r.f_score <= 4 and 1 <= r.m_score <= 4
+        for r in rows
+    )
+    assert {r.segment for r in rows} >= {"core"}
