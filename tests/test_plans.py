@@ -568,3 +568,70 @@ def test_round7_sixth_pass_plan_contracts(spark, sf_dir):
 
     p = plan("token_budget_report")
     assert "Join" not in p and p.count("Exchange") == 1
+
+
+def test_round7_late_pass_plan_contracts(spark, sf_dir):
+    """Anti-pattern sweep over the late round-7 batch: no
+    CartesianProduct anywhere (1-row broadcasts plan as
+    BroadcastNestedLoopJoin, which is the intended shape), and the
+    metric queries join their small sides by broadcast, never
+    SortMergeJoin."""
+    from value_at_risk_spark.queries import QUERIES
+
+    def plan(name):
+        return (
+            QUERIES[name](spark, sf_dir)
+            ._jdf.queryExecution()
+            .executedPlan()
+            .toString()
+        )
+
+    no_cartesian = (
+        "pagerank_trade_graph",
+        "retention_cohorts",
+        "seasonal_anomaly_days",
+        "attribution_last_touch",
+        "source_overlap_matrix",
+        "event_transition_matrix",
+        "feature_binning_woe",
+        "model_prediction_intervals",
+        "walk_forward_folds",
+        "cuped_experiment_analysis",
+        "dp_noisy_release",
+        "gini_revenue_concentration",
+        "pareto_abc_parts",
+        "survival_km_churn",
+        "price_elasticity_by_brand",
+        "stressed_var_250d",
+        "leave_one_out_var",
+        "shrunk_covariance_matrix",
+        "cusum_changepoints",
+        "bootstrap_ci_poisson",
+        "risk_report_by_series",
+        "market_basket_lift",
+        "top_event_paths",
+        "table_statistics_report",
+        "ewma_covariance_matrix",
+        "volatility_cones",
+        "drawdown_duration_stats",
+        "hurst_exponent_rs",
+        "garch_volatility_forecast",
+        "liquidity_measures",
+        "calendar_effects_report",
+        "hierarchy_depth_pointer_jumping",
+        "order_window_functions_suite",
+        "newey_west_mean_test",
+        "cohort_ltv_curve",
+        "rfm_segmentation",
+    )
+    for name in no_cartesian:
+        assert "CartesianProduct" not in plan(name), name
+
+    for name in (
+        "risk_report_by_series",
+        "component_var_euler",
+        "newey_west_mean_test",
+        "market_basket_lift",
+    ):
+        p = plan(name)
+        assert "SortMergeJoin" not in p and "BroadcastHashJoin" in p, name
