@@ -10815,3 +10815,109 @@ def rfm_segmentation(spark: SparkSession, sf_dir: str) -> DataFrame:
         "n_customers",
         seg.alias("segment"),
     )
+
+
+# --------------------------------------------------------------------------
+# Round-7 twenty-first pass: SQL text interface, readability scoring
+# --------------------------------------------------------------------------
+
+
+@query(
+    "sql_text_interface",
+    """
+SELECT n_name AS nation,
+       CAST(COUNT(*) AS BIGINT) AS n_customers,
+       ROUND(SUM(c_acctbal), 2) + 0 AS total_balance
+FROM customer JOIN nation ON c_nationkey = n_nationkey
+GROUP BY n_name
+""",
+)
+def sql_text_interface(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The engine's SECOND API surface: the same registry tables
+    exposed as temp views and queried with a raw ANSI-SQL string via
+    ``spark.sql`` — byte-for-byte the oracle's own text (minus
+    dialect-free syntax), proving a reference user can port SQL
+    workloads verbatim, not just DataFrame code. Catalyst plans the
+    text identically to the DataFrame form (same broadcast join,
+    same partial aggregation); view registration is name-spaced per
+    call so concurrent gates don't collide."""
+    import uuid as _uuid
+
+    tag = _uuid.uuid4().hex[:8]
+    _t(spark, sf_dir, "customer").createOrReplaceTempView(f"customer_{tag}")
+    _t(spark, sf_dir, "nation").createOrReplaceTempView(f"nation_{tag}")
+    return spark.sql(
+        f"""
+        SELECT n_name AS nation,
+               CAST(COUNT(*) AS BIGINT) AS n_customers,
+               ROUND(SUM(c_acctbal), 2) + 0 AS total_balance
+        FROM customer_{tag} JOIN nation_{tag} ON c_nationkey = n_nationkey
+        GROUP BY n_name
+        """
+    )
+
+
+@query(
+    "flesch_readability_scores",
+    """
+WITH scored AS (
+  SELECT lang,
+         CAST(LEN(regexp_extract_all(lower(text), '[a-z0-9]+')) AS DOUBLE)
+           AS words,
+         CAST(GREATEST(LEN(regexp_extract_all(text, '[.!?]+')), 1) AS DOUBLE)
+           AS sentences,
+         CAST(GREATEST(LEN(regexp_extract_all(lower(text), '[aeiouy]+')), 1)
+           AS DOUBLE) AS syllables
+  FROM documents
+),
+per_doc AS (
+  SELECT lang,
+         206.835 - 1.015 * (words / sentences)
+                 - 84.6 * (syllables / GREATEST(words, 1)) AS flesch
+  FROM scored
+)
+SELECT lang,
+       CAST(COUNT(*) AS BIGINT) AS n_docs,
+       ROUND(AVG(flesch), 4) + 0 AS mean_flesch,
+       ROUND(quantile_cont(flesch, 0.5), 4) + 0 AS median_flesch,
+       CAST(SUM(CASE WHEN flesch < 30 THEN 1 ELSE 0 END) AS BIGINT)
+         AS n_hard_docs
+FROM per_doc GROUP BY lang
+""",
+)
+def flesch_readability_scores(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Flesch reading-ease per language: 206.835 - 1.015*(words/
+    sentence) - 84.6*(syllables/word), with sentences counted by
+    terminal-punctuation runs and syllables by vowel-group runs (the
+    standard dictionary-free approximation) — the readability band
+    filter curation pipelines run next to quality_score and
+    lm_perplexity (three INDEPENDENT quality axes: heuristic,
+    statistical, readability). Pure regexp_count codegen per row, one
+    grouped aggregate; floors guard the degenerate zero-sentence /
+    zero-word documents instead of NaN-poisoning the mean."""
+    d = _t(spark, sf_dir, "documents")
+    words = F.regexp_count(F.lower("text"), F.lit("[a-z0-9]+")).cast(
+        "double"
+    )
+    sentences = F.greatest(
+        F.regexp_count(F.col("text"), F.lit("[.!?]+")), F.lit(1)
+    ).cast("double")
+    syllables = F.greatest(
+        F.regexp_count(F.lower("text"), F.lit("[aeiouy]+")), F.lit(1)
+    ).cast("double")
+    flesch = (
+        F.lit(206.835)
+        - F.lit(1.015) * (words / sentences)
+        - F.lit(84.6) * (syllables / F.greatest(words, F.lit(1.0)))
+    )
+    per_doc = d.select("lang", flesch.alias("flesch"))
+    return per_doc.groupBy("lang").agg(
+        F.count(F.lit(1)).alias("n_docs"),
+        (F.round(F.avg("flesch"), 4) + F.lit(0.0)).alias("mean_flesch"),
+        (F.round(F.percentile("flesch", F.lit(0.5)), 4) + F.lit(0.0)).alias(
+            "median_flesch"
+        ),
+        F.sum(
+            F.when(F.col("flesch") < 30, F.lit(1)).otherwise(F.lit(0))
+        ).alias("n_hard_docs"),
+    )
