@@ -2892,3 +2892,28 @@ def test_newey_west_vs_iid_and_ltv_monotone(spark, sf_dir):
         for r in rows
     )
     assert {r.segment for r in rows} >= {"core"}
+
+
+def test_hhi_did_dedup_invariants(spark, sf_dir):
+    """HHI lies in (10000/n, 10000]; the DiD decomposition is
+    self-consistent; the dedup report's before/after totals
+    reconcile against the standalone exact_dedup operator."""
+    from value_at_risk_spark.operators.dedup import exact_dedup
+    from value_at_risk_spark.queries import QUERIES
+    from value_at_risk_spark.sources.registry import Registry
+
+    for r in QUERIES["market_concentration_hhi"](spark, sf_dir).collect():
+        assert 10000.0 / r.n_suppliers - 1e-6 <= r.hhi <= 10000.0 + 1e-6
+        assert r.top_share * r.top_share * 10000 <= r.hhi + 1e-6
+
+    d = QUERIES["promo_uplift_did"](spark, sf_dir).collect()[0]
+    assert d.did_se > 0
+    assert abs(d.did_t_stat - round(d.did_estimate / d.did_se, 4)) < 2e-3
+
+    rep = QUERIES["dedup_effectiveness_report"](spark, sf_dir).collect()
+    docs = Registry(sf_dir).read(spark, "documents")
+    assert sum(r.docs_before for r in rep) == docs.count()
+    assert sum(r.docs_after for r in rep) == exact_dedup(docs).count()
+    for r in rep:
+        assert r.docs_after <= r.docs_before
+        assert 0.0 <= r.token_savings < 1.0

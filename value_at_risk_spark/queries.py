@@ -10921,3 +10921,218 @@ def flesch_readability_scores(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.when(F.col("flesch") < 30, F.lit(1)).otherwise(F.lit(0))
         ).alias("n_hard_docs"),
     )
+
+
+# --------------------------------------------------------------------------
+# Round-7 twenty-second pass: market concentration, DiD uplift, dedup ROI
+# --------------------------------------------------------------------------
+
+
+@query(
+    "market_concentration_hhi",
+    """
+WITH rev AS (
+  SELECT s.s_nationkey AS nk, l.l_suppkey AS sk,
+         SUM(l.l_extendedprice * (1 - l.l_discount)) AS r
+  FROM lineitem l JOIN supplier s ON l.l_suppkey = s.s_suppkey
+  GROUP BY 1, 2
+),
+share AS (
+  SELECT nk, r / SUM(r) OVER (PARTITION BY nk) AS sh FROM rev
+)
+SELECT n.n_name AS nation,
+       CAST(COUNT(*) AS BIGINT) AS n_suppliers,
+       ROUND(SUM(sh * sh) * 10000, 4) + 0 AS hhi,
+       ROUND(MAX(sh), 6) + 0 AS top_share
+FROM share JOIN nation n ON share.nk = n.n_nationkey
+GROUP BY n.n_name
+""",
+)
+def market_concentration_hhi(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Herfindahl-Hirschman market concentration per supplier nation
+    (the antitrust screen: HHI > 2500 = highly concentrated, on the
+    x10000 scale): revenue shares within each national market from
+    one lineitem x supplier broadcast join + grouped sum, shares via
+    a nation-partitioned window over the supplier-count frame, HHI
+    and the leader's share in one rollup. The heavy table is touched
+    once; everything after the first aggregate is dimension-scale —
+    the Gini/ABC family's cousin with a market-definition join."""
+    li = _t(spark, sf_dir, "lineitem")
+    s = _t(spark, sf_dir, "supplier").select("s_suppkey", "s_nationkey")
+    n = _t(spark, sf_dir, "nation").select("n_nationkey", "n_name")
+    rev = (
+        li.join(F.broadcast(s), li.l_suppkey == s.s_suppkey)
+        .groupBy(
+            F.col("s_nationkey").alias("nk"),
+            F.col("l_suppkey").alias("sk"),
+        )
+        .agg(
+            F.sum(
+                F.col("l_extendedprice") * (1 - F.col("l_discount"))
+            ).alias("r")
+        )
+    )
+    wnk = Window.partitionBy("nk")
+    share = rev.select(
+        "nk", (F.col("r") / F.sum("r").over(wnk)).alias("sh")
+    )
+    return (
+        share.join(F.broadcast(n), share.nk == n.n_nationkey)
+        .groupBy(F.col("n_name").alias("nation"))
+        .agg(
+            F.count(F.lit(1)).alias("n_suppliers"),
+            (F.round(F.sum(F.col("sh") * F.col("sh")) * 10000, 4) + F.lit(0.0)).alias(
+                "hhi"
+            ),
+            (F.round(F.max("sh"), 6) + F.lit(0.0)).alias("top_share"),
+        )
+    )
+
+
+@query(
+    "promo_uplift_did",
+    """
+WITH bounds AS (
+  SELECT MIN(CAST(ts AS DATE)) AS d0,
+         CAST(DATEDIFF('day', MIN(CAST(ts AS DATE)),
+                        MAX(CAST(ts AS DATE))) + 1 AS DOUBLE) AS span
+  FROM events
+),
+cells AS (
+  SELECT CAST(user_id % 2 AS BIGINT) AS treated,
+         CASE WHEN DATEDIFF('day', b.d0, CAST(ts AS DATE)) * 2 >= b.span
+              THEN 1 ELSE 0 END AS post,
+         value
+  FROM events, bounds b
+),
+agg AS (
+  SELECT treated, post, AVG(value) AS m,
+         VAR_SAMP(value) AS v, CAST(COUNT(*) AS DOUBLE) AS n
+  FROM cells GROUP BY 1, 2
+)
+SELECT CAST(SUM(CASE WHEN treated = 1 AND post = 1 THEN n END) AS BIGINT)
+         AS n_treated_post,
+       ROUND(SUM(CASE WHEN treated = 1 AND post = 1 THEN m END)
+           - SUM(CASE WHEN treated = 1 AND post = 0 THEN m END)
+           - SUM(CASE WHEN treated = 0 AND post = 1 THEN m END)
+           + SUM(CASE WHEN treated = 0 AND post = 0 THEN m END), 6) + 0
+         AS did_estimate,
+       ROUND(SQRT(SUM(v / n)), 6) + 0 AS did_se,
+       ROUND((SUM(CASE WHEN treated = 1 AND post = 1 THEN m END)
+           - SUM(CASE WHEN treated = 1 AND post = 0 THEN m END)
+           - SUM(CASE WHEN treated = 0 AND post = 1 THEN m END)
+           + SUM(CASE WHEN treated = 0 AND post = 0 THEN m END))
+           / SQRT(SUM(v / n)), 4) + 0 AS did_t_stat
+FROM agg
+""",
+)
+def promo_uplift_did(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Difference-in-differences uplift estimate: (treated post -
+    treated pre) - (control post - control pre), the causal design
+    when randomization isn't available and trends are parallel —
+    beside cuped_experiment_analysis these cover the two standard
+    observational/experimental readouts. The four cell means,
+    variances, and counts come from ONE grouped aggregate over the
+    scan; the estimate, its pooled standard error sqrt(sum v_i/n_i),
+    and the t-stat are arithmetic over the 4-row frame. Arms and
+    periods share the CUPED query's parity/midpoint construction so
+    the two readouts are directly comparable."""
+    e = _t(spark, sf_dir, "events")
+    bounds = e.agg(
+        F.min(F.col("ts").cast("date")).alias("d0"),
+        (
+            F.datediff(
+                F.max(F.col("ts").cast("date")),
+                F.min(F.col("ts").cast("date")),
+            )
+            + 1
+        )
+        .cast("double")
+        .alias("span"),
+    )
+    day = F.datediff(F.col("ts").cast("date"), F.col("d0"))
+    cells = e.crossJoin(F.broadcast(bounds)).select(
+        (F.col("user_id") % 2).cast("long").alias("treated"),
+        F.when(day * 2 >= F.col("span"), F.lit(1))
+        .otherwise(F.lit(0))
+        .alias("post"),
+        "value",
+    )
+    agg = cells.groupBy("treated", "post").agg(
+        F.avg("value").alias("m"),
+        F.var_samp("value").alias("v"),
+        F.count(F.lit(1)).cast("double").alias("n"),
+    )
+
+    def cell(t, p, col="m"):
+        return F.sum(
+            F.when(
+                (F.col("treated") == t) & (F.col("post") == p), F.col(col)
+            )
+        )
+
+    did = cell(1, 1) - cell(1, 0) - cell(0, 1) + cell(0, 0)
+    se = F.sqrt(F.sum(F.col("v") / F.col("n")))
+    return agg.agg(
+        cell(1, 1, "n").cast("long").alias("n_treated_post"),
+        (F.round(did, 6) + F.lit(0.0)).alias("did_estimate"),
+        (F.round(se, 6) + F.lit(0.0)).alias("did_se"),
+        (F.round(did / se, 4) + F.lit(0.0)).alias("did_t_stat"),
+    )
+
+
+@query(
+    "dedup_effectiveness_report",
+    """
+WITH toks AS (
+  SELECT source, md5(text) AS h,
+         CAST(LEN(regexp_extract_all(lower(text), '[a-z0-9]+')) AS BIGINT)
+           AS tok,
+         ROW_NUMBER() OVER (PARTITION BY md5(text) ORDER BY doc_id) AS rn
+  FROM documents
+)
+SELECT source,
+       CAST(COUNT(*) AS BIGINT) AS docs_before,
+       CAST(SUM(CASE WHEN rn = 1 THEN 1 ELSE 0 END) AS BIGINT) AS docs_after,
+       CAST(SUM(tok) AS BIGINT) AS tokens_before,
+       CAST(SUM(CASE WHEN rn = 1 THEN tok ELSE 0 END) AS BIGINT)
+         AS tokens_after,
+       ROUND(1.0 - SUM(CASE WHEN rn = 1 THEN tok ELSE 0 END)
+             / CAST(SUM(tok) AS DOUBLE), 6) + 0 AS token_savings
+FROM toks GROUP BY source
+""",
+)
+def dedup_effectiveness_report(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Dedup ROI report per source: documents and tokens before vs
+    after exact dedup (md5 content identity, min-doc_id survivor) and
+    the token savings a dedup pass buys — the number that justifies
+    the pipeline stage to whoever pays for training compute. One
+    hash-partitioned window marks survivors (the same survivor rule
+    as operators/dedup.exact_dedup), then per-source conditional sums
+    in one aggregate; no second scan for the 'before' side because
+    both sides are conditional views of the same marked frame."""
+    from value_at_risk_spark.functions.text import regex_token_count
+
+    d = _t(spark, sf_dir, "documents")
+    w = Window.partitionBy(F.md5("text")).orderBy("doc_id")
+    marked = d.select(
+        "source",
+        regex_token_count("text").cast("long").alias("tok"),
+        F.row_number().over(w).alias("rn"),
+    )
+    keep = F.when(F.col("rn") == 1, F.lit(1)).otherwise(F.lit(0))
+    kept_tok = F.when(F.col("rn") == 1, F.col("tok")).otherwise(F.lit(0))
+    return marked.groupBy("source").agg(
+        F.count(F.lit(1)).alias("docs_before"),
+        F.sum(keep).alias("docs_after"),
+        F.sum("tok").alias("tokens_before"),
+        F.sum(kept_tok).alias("tokens_after"),
+        (
+            F.round(
+                F.lit(1.0)
+                - F.sum(kept_tok) / F.sum("tok").cast("double"),
+                6,
+            )
+            + F.lit(0.0)
+        ).alias("token_savings"),
+    )
