@@ -2917,3 +2917,41 @@ def test_hhi_did_dedup_invariants(spark, sf_dir):
     for r in rep:
         assert r.docs_after <= r.docs_before
         assert 0.0 <= r.token_savings < 1.0
+
+
+def test_es_allocation_sums_to_portfolio_es(spark, sf_dir):
+    """Linearity of the tail-conditional expectation: the series ES
+    contributions sum to the portfolio's own expected shortfall on
+    the same tail days (exact, up to 6dp rounding x N)."""
+    from value_at_risk_spark.queries import QUERIES, daily_returns
+
+    rows = QUERIES["es_contribution_allocation"](spark, sf_dir).collect()
+    n_tail = {r.n_tail_days for r in rows}
+    assert len(n_tail) == 1  # same portfolio tail for every series
+
+    rets = daily_returns(spark, sf_dir)
+    n_series = rets.select("series").distinct().count()
+    mkt = (
+        rets.groupBy("d")
+        .agg((F.sum("ret") / n_series).alias("rp"))
+    )
+    v = mkt.agg(F.percentile("rp", F.lit(0.01))).collect()[0][0]
+    es_p = (
+        mkt.filter(F.col("rp") <= v).agg(F.avg("rp")).collect()[0][0]
+    )
+    assert abs(sum(r.es_contribution for r in rows) - es_p) < 5e-6
+
+    # horizon scaling: the sqrt rule is mechanically more severe than
+    # 1d; the EMPIRICAL 10d is data-dependent — this fixture's series
+    # mean-revert hard (see acf_ljung_box), so overlapping 10-day sums
+    # can be LESS dispersed than sqrt-scaling predicts. That divergence
+    # is the diagnostic's entire point; assert it is measured, not a
+    # particular sign.
+    for r in QUERIES["var_horizon_scaling"](spark, sf_dir).collect():
+        assert r.var99_10d_sqrt < r.var99_1d < 0.0
+        assert r.var99_10d_empirical < 0.0
+        assert r.var99_10d_empirical > r.var99_10d_sqrt  # sub-sqrt here
+
+    ent = QUERIES["corpus_diversity_entropy"](spark, sf_dir).collect()[0]
+    assert 1.0 <= ent.effective_sources_docs <= ent.n_sources
+    assert 1.0 <= ent.effective_sources_tokens <= ent.n_sources

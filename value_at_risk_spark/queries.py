@@ -11136,3 +11136,191 @@ def dedup_effectiveness_report(spark: SparkSession, sf_dir: str) -> DataFrame:
             + F.lit(0.0)
         ).alias("token_savings"),
     )
+
+
+# --------------------------------------------------------------------------
+# Round-7 twenty-third pass: ES allocation, horizon scaling, mix diversity
+# --------------------------------------------------------------------------
+
+
+@query(
+    "es_contribution_allocation",
+    "WITH "
+    + SQL_RETS
+    + """,
+ns AS (SELECT CAST(COUNT(DISTINCT series) AS DOUBLE) AS n FROM rets),
+spine AS (
+  SELECT s.series, dd.d
+  FROM (SELECT DISTINCT series FROM rets) s
+  CROSS JOIN (SELECT DISTINCT d FROM rets) dd
+),
+aligned AS (
+  SELECT sp.series, sp.d, COALESCE(r.ret, 0.0) AS ret
+  FROM spine sp LEFT JOIN rets r
+    ON sp.series = r.series AND sp.d = r.d
+),
+mkt AS (SELECT d, AVG(ret) AS rp FROM aligned GROUP BY 1),
+vt AS (SELECT quantile_cont(rp, 0.01) AS var99 FROM mkt),
+tail AS (SELECT m.d FROM mkt m, vt WHERE m.rp <= vt.var99)
+SELECT a.series,
+       CAST(COUNT(*) AS BIGINT) AS n_tail_days,
+       ROUND(AVG(a.ret) / ns.n, 6) + 0 AS es_contribution
+FROM aligned a JOIN tail t ON a.d = t.d, ns
+GROUP BY a.series, ns.n
+""",
+)
+def es_contribution_allocation(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Expected-shortfall Euler allocation: component ES_i = w_i *
+    E[r_i | r_p <= VaR_p] — the tail-conditional average of each
+    series on the PORTFOLIO's worst days. Unlike variance-based VaR
+    components this needs no distributional assumption, and the
+    components sum EXACTLY to the portfolio ES by linearity of the
+    conditional expectation (pytest-pinned) — the allocation the
+    coherent-risk-measure literature actually recommends. Dataflow:
+    the portfolio tail-day set is a tiny date list semi-joined back
+    onto the aligned frame (broadcast), then one grouped mean per
+    series; same densified spine as the Euler-VaR query so the two
+    attributions are directly comparable."""
+    rets = daily_returns(spark, sf_dir)
+    ns = rets.agg(
+        F.count_distinct(F.col("series")).cast("double").alias("n")
+    )
+    spine = (
+        rets.select("series")
+        .distinct()
+        .crossJoin(rets.select("d").distinct())
+    )
+    aligned = spine.join(rets, ["series", "d"], "left").select(
+        "series", "d", F.coalesce(F.col("ret"), F.lit(0.0)).alias("ret")
+    )
+    mkt = aligned.groupBy("d").agg(F.avg("ret").alias("rp"))
+    vt = mkt.agg(F.percentile("rp", F.lit(0.01)).alias("var99"))
+    tail = (
+        mkt.crossJoin(F.broadcast(vt))
+        .filter(F.col("rp") <= F.col("var99"))
+        .select("d")
+    )
+    return (
+        aligned.join(F.broadcast(tail), "d")
+        .crossJoin(F.broadcast(ns))
+        .groupBy("series", "n")
+        .agg(
+            F.count(F.lit(1)).alias("n_tail_days"),
+            (F.round(F.avg("ret") / F.col("n"), 6) + F.lit(0.0)).alias(
+                "es_contribution"
+            ),
+        )
+        .select("series", "n_tail_days", "es_contribution")
+    )
+
+
+@query(
+    "var_horizon_scaling",
+    "WITH "
+    + SQL_RETS
+    + """,
+multi AS (
+  SELECT series, d,
+         SUM(ret) OVER (PARTITION BY series ORDER BY d
+                        ROWS BETWEEN 9 PRECEDING AND CURRENT ROW) AS r10,
+         COUNT(*) OVER (PARTITION BY series ORDER BY d
+                        ROWS BETWEEN 9 PRECEDING AND CURRENT ROW) AS n10
+  FROM rets
+)
+SELECT r.series,
+       ROUND(quantile_cont(r.ret, 0.01), 6) + 0 AS var99_1d,
+       ROUND(quantile_cont(r.ret, 0.01) * SQRT(10), 6) + 0 AS var99_10d_sqrt,
+       ROUND((SELECT quantile_cont(m.r10, 0.01) FROM multi m
+              WHERE m.series = r.series AND m.n10 = 10), 6) + 0
+         AS var99_10d_empirical
+FROM rets r GROUP BY r.series
+""",
+)
+def var_horizon_scaling(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Square-root-of-time check: 1-day VaR-99 scaled by sqrt(10)
+    against the EMPIRICAL 10-day VaR from overlapping 10-day return
+    windows — the regulatory scaling rule (Basel's sqrt-t) tested
+    rather than assumed (serial correlation or fat tails make the
+    two diverge; acf_ljung_box and hurst_exponent_rs explain WHY
+    when they do). One partitioned running-sum window builds the
+    overlapping multi-day returns, then two grouped percentiles —
+    the correlated-subquery form in the oracle decorrelates to the
+    same grouped aggregate in both engines."""
+    rets = daily_returns(spark, sf_dir)
+    w = Window.partitionBy("series").orderBy("d").rowsBetween(-9, 0)
+    multi = rets.select(
+        "series",
+        F.sum("ret").over(w).alias("r10"),
+        F.count(F.lit(1)).over(w).alias("n10"),
+    ).filter(F.col("n10") == 10)
+    one_d = rets.groupBy("series").agg(
+        F.percentile("ret", F.lit(0.01)).alias("v1")
+    )
+    ten_d = multi.groupBy("series").agg(
+        F.percentile("r10", F.lit(0.01)).alias("v10")
+    )
+    return one_d.join(F.broadcast(ten_d), "series").select(
+        "series",
+        (F.round("v1", 6) + F.lit(0.0)).alias("var99_1d"),
+        (F.round(F.col("v1") * F.sqrt(F.lit(10.0)), 6) + F.lit(0.0)).alias(
+            "var99_10d_sqrt"
+        ),
+        (F.round("v10", 6) + F.lit(0.0)).alias("var99_10d_empirical"),
+    )
+
+
+@query(
+    "corpus_diversity_entropy",
+    """
+WITH mix AS (
+  SELECT source, CAST(COUNT(*) AS DOUBLE) AS n,
+         CAST(SUM(LEN(regexp_extract_all(lower(text), '[a-z0-9]+')))
+              AS DOUBLE) AS tok
+  FROM documents GROUP BY 1
+),
+tot AS (
+  SELECT source, n / SUM(n) OVER () AS p_docs,
+         tok / SUM(tok) OVER () AS p_tok
+  FROM mix
+)
+SELECT CAST(COUNT(*) AS BIGINT) AS n_sources,
+       ROUND(-SUM(p_docs * LN(p_docs)), 6) + 0 AS doc_entropy_nats,
+       ROUND(EXP(-SUM(p_docs * LN(p_docs))), 4) + 0 AS effective_sources_docs,
+       ROUND(-SUM(p_tok * LN(p_tok)), 6) + 0 AS token_entropy_nats,
+       ROUND(EXP(-SUM(p_tok * LN(p_tok))), 4) + 0 AS effective_sources_tokens
+FROM tot
+""",
+)
+def corpus_diversity_entropy(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Training-mix diversity: Shannon entropy of the source
+    distribution (by documents AND by tokens — they diverge when a
+    few sources carry long documents) and its exponential, the
+    'effective number of sources' — the single number that says
+    whether a 500-source corpus is really a 5-source corpus, and the
+    quantity temperature_mix_weights moves when it flattens the mix.
+    One scan for per-source masses, window-normalized shares, one
+    1-row reduction. p*ln(p) is safe: a source present in the group
+    frame has p > 0 by construction."""
+    d = _t(spark, sf_dir, "documents")
+    from value_at_risk_spark.functions.text import regex_token_count
+
+    mix = d.groupBy("source").agg(
+        F.count(F.lit(1)).cast("double").alias("n"),
+        F.sum(regex_token_count("text")).cast("double").alias("tok"),
+    )
+    wall = Window.partitionBy(F.lit(1))
+    tot = mix.select(
+        (F.col("n") / F.sum("n").over(wall)).alias("p_docs"),
+        (F.col("tok") / F.sum("tok").over(wall)).alias("p_tok"),
+    )
+    hd = -F.sum(F.col("p_docs") * F.log("p_docs"))
+    ht = -F.sum(F.col("p_tok") * F.log("p_tok"))
+    return tot.agg(
+        F.count(F.lit(1)).alias("n_sources"),
+        (F.round(hd, 6) + F.lit(0.0)).alias("doc_entropy_nats"),
+        (F.round(F.exp(hd), 4) + F.lit(0.0)).alias("effective_sources_docs"),
+        (F.round(ht, 6) + F.lit(0.0)).alias("token_entropy_nats"),
+        (F.round(F.exp(ht), 4) + F.lit(0.0)).alias(
+            "effective_sources_tokens"
+        ),
+    )
