@@ -2955,3 +2955,68 @@ def test_es_allocation_sums_to_portfolio_es(spark, sf_dir):
     ent = QUERIES["corpus_diversity_entropy"](spark, sf_dir).collect()[0]
     assert 1.0 <= ent.effective_sources_docs <= ent.n_sources
     assert 1.0 <= ent.effective_sources_tokens <= ent.n_sources
+
+
+def test_sweepline_equals_naive_interval_count(spark, sf_dir):
+    """The sweep-line backlog equals the naive per-day interval-
+    membership count on sampled days — the O(intervals x days) form
+    the sweep line replaces."""
+    from value_at_risk_spark.queries import QUERIES
+    from value_at_risk_spark.sources.registry import Registry
+
+    o = Registry(sf_dir).read(spark, "orders").select(
+        "o_orderkey", F.col("o_orderdate").cast("date").alias("open_d")
+    )
+    li = Registry(sf_dir).read(spark, "lineitem").select(
+        "l_orderkey", F.col("l_shipdate").cast("date").alias("ship_d")
+    )
+    spans = (
+        o.join(li, o.o_orderkey == li.l_orderkey)
+        .groupBy("o_orderkey", "open_d")
+        .agg(
+            F.greatest(F.max("ship_d"), F.col("open_d")).alias("close_d")
+        )
+    )
+
+    # recompute the daily running backlog the same way, then compare
+    # a handful of specific days against brute-force interval counts
+    deltas = spans.select(
+        F.col("open_d").alias("d"), F.lit(1).alias("delta")
+    ).unionAll(
+        spans.select(F.date_add("close_d", 1).alias("d"), F.lit(-1).alias("delta"))
+    )
+    from pyspark.sql.window import Window as W
+
+    run = (
+        deltas.groupBy("d")
+        .agg(F.sum("delta").alias("net"))
+        .select(
+            "d",
+            F.sum("net")
+            .over(W.orderBy("d").rowsBetween(W.unboundedPreceding, W.currentRow))
+            .alias("backlog"),
+        )
+    )
+    sample = run.orderBy("d").limit(200).collect()[::40]
+    for row in sample:
+        naive = spans.filter(
+            (F.col("open_d") <= row.d) & (F.col("close_d") >= row.d)
+        ).count()
+        assert naive == row.backlog, str(row.d)
+
+    # and the monthly rollup is consistent with the running series
+    months = {
+        (r.yr, r.mth): r
+        for r in QUERIES["order_backlog_sweepline"](spark, sf_dir).collect()
+    }
+    assert months
+    for r in months.values():
+        assert 0 <= r.mean_backlog <= r.peak_backlog
+
+
+def test_seasonality_strength_bounds(spark, sf_dir):
+    from value_at_risk_spark.queries import QUERIES
+
+    r = QUERIES["seasonality_strength_report"](spark, sf_dir).collect()[0]
+    assert r.n_days > 0
+    assert r.trend_strength <= 1.0 and r.seasonal_strength <= 1.0

@@ -11324,3 +11324,174 @@ def corpus_diversity_entropy(spark: SparkSession, sf_dir: str) -> DataFrame:
             "effective_sources_tokens"
         ),
     )
+
+
+# --------------------------------------------------------------------------
+# Round-7 twenty-fourth pass: sweep-line intervals, seasonality strength
+# --------------------------------------------------------------------------
+
+
+@query(
+    "order_backlog_sweepline",
+    """
+WITH spans AS (
+  SELECT o.o_orderkey,
+         CAST(o.o_orderdate AS DATE) AS open_d,
+         GREATEST(CAST(o.o_orderdate AS DATE),
+                  MAX(CAST(l.l_shipdate AS DATE))) AS close_d
+  FROM orders o JOIN lineitem l ON o.o_orderkey = l.l_orderkey
+  GROUP BY 1, 2
+),
+deltas AS (
+  SELECT open_d AS d, 1 AS delta FROM spans
+  UNION ALL
+  SELECT close_d + INTERVAL 1 DAY, -1 FROM spans
+),
+byday AS (SELECT d, SUM(delta) AS net FROM deltas GROUP BY 1),
+run AS (
+  SELECT d, SUM(net) OVER (ORDER BY d ROWS UNBOUNDED PRECEDING) AS backlog
+  FROM byday
+)
+SELECT CAST(EXTRACT(YEAR FROM d) AS BIGINT) AS yr,
+       CAST(EXTRACT(MONTH FROM d) AS BIGINT) AS mth,
+       CAST(MAX(backlog) AS BIGINT) AS peak_backlog,
+       ROUND(AVG(backlog), 4) + 0 AS mean_backlog
+FROM run GROUP BY 1, 2
+""",
+)
+def order_backlog_sweepline(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Concurrent-interval counting by SWEEP LINE: how many orders
+    are simultaneously open (placed but not fully shipped) each day,
+    rolled up to monthly peak/mean backlog — the pattern behind
+    room-occupancy, concurrent-session, and WIP dashboards. Naive
+    forms join every day against every overlapping interval (a range
+    join that explodes as intervals lengthen); the sweep line instead
+    emits +1/-1 boundary deltas, reduces them to one net per day, and
+    takes ONE running sum over the calendar-scale frame — interval
+    count drops out of the cost entirely after the boundary
+    reduction. Close day comes from the order's LAST shipment (the
+    lineitem max), so the spans query is itself one grouped join."""
+    o = _t(spark, sf_dir, "orders").select(
+        "o_orderkey", F.col("o_orderdate").cast("date").alias("open_d")
+    )
+    li = _t(spark, sf_dir, "lineitem").select(
+        "l_orderkey", F.col("l_shipdate").cast("date").alias("ship_d")
+    )
+    # the synthetic fixture ships some lines BEFORE the order date;
+    # clamp so every interval is well-formed (open at least on the
+    # order day) — without this the -1 delta lands before the +1
+    spans = (
+        o.join(li, o.o_orderkey == li.l_orderkey)
+        .groupBy("o_orderkey", "open_d")
+        .agg(
+            F.greatest(F.max("ship_d"), F.col("open_d")).alias("close_d")
+        )
+    )
+    deltas = spans.select(
+        F.col("open_d").alias("d"), F.lit(1).alias("delta")
+    ).unionAll(
+        spans.select(
+            F.date_add(F.col("close_d"), 1).alias("d"),
+            F.lit(-1).alias("delta"),
+        )
+    )
+    byday = deltas.groupBy("d").agg(F.sum("delta").alias("net"))
+    wrun = Window.orderBy("d").rowsBetween(
+        Window.unboundedPreceding, Window.currentRow
+    )
+    run = byday.select(
+        "d", F.sum("net").over(wrun).alias("backlog")
+    )
+    return run.groupBy(
+        F.year("d").cast("long").alias("yr"),
+        F.month("d").cast("long").alias("mth"),
+    ).agg(
+        F.max("backlog").cast("long").alias("peak_backlog"),
+        (F.round(F.avg("backlog"), 4) + F.lit(0.0)).alias("mean_backlog"),
+    )
+
+
+@query(
+    "seasonality_strength_report",
+    """
+WITH daily AS (
+  SELECT CAST(ts AS DATE) AS d, ROUND(SUM(value), 4) AS v
+  FROM events GROUP BY 1
+),
+tr AS (
+  SELECT d, v,
+         AVG(v) OVER (ORDER BY d ROWS BETWEEN 3 PRECEDING AND 3 FOLLOWING)
+           AS trend
+  FROM daily
+),
+det AS (
+  SELECT d, v, trend, v - trend AS detr,
+         DATEDIFF('day', DATE '1990-01-01', d) % 7 AS dow
+  FROM tr
+),
+seas AS (SELECT dow, AVG(detr) AS seasonal FROM det GROUP BY 1),
+parts AS (
+  SELECT det.v, det.trend, seas.seasonal,
+         det.detr - seas.seasonal AS resid
+  FROM det JOIN seas ON det.dow = seas.dow
+)
+SELECT CAST(COUNT(*) AS BIGINT) AS n_days,
+       ROUND(1 - VAR_SAMP(v - trend) / VAR_SAMP(v), 6) + 0
+         AS trend_strength,
+       ROUND(1 - VAR_SAMP(resid) / VAR_SAMP(seasonal + resid), 6) + 0
+         AS seasonal_strength
+FROM parts
+""",
+)
+def seasonality_strength_report(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """Hyndman-style decomposition strength: trend strength =
+    1 - var(detrended)/var(series), seasonal strength =
+    1 - var(residual)/var(seasonal + residual) — one number each in
+    [~0, 1] saying how much structure the STL-lite decomposition
+    (seasonal_anomaly_days) actually explains, which is what decides
+    whether the seasonal adjustment belongs in a monitoring pipeline
+    at all. Same dataflow as the anomaly query up to the residual,
+    then a single variance reduction."""
+    e = _t(spark, sf_dir, "events")
+    daily = e.groupBy(F.col("ts").cast("date").alias("d")).agg(
+        F.round(F.sum("value"), 4).alias("v")
+    )
+    wtr = Window.orderBy("d").rowsBetween(-3, 3)
+    tr = daily.select("d", "v", F.avg("v").over(wtr).alias("trend"))
+    det = tr.select(
+        "d",
+        "v",
+        "trend",
+        (F.col("v") - F.col("trend")).alias("detr"),
+        (F.datediff(F.col("d"), F.lit("1990-01-01")) % 7).alias("dow"),
+    )
+    seas = det.groupBy("dow").agg(F.avg("detr").alias("seasonal"))
+    parts = det.join(F.broadcast(seas), "dow").select(
+        "v",
+        "trend",
+        "seasonal",
+        (F.col("detr") - F.col("seasonal")).alias("resid"),
+    )
+    return parts.agg(
+        F.count(F.lit(1)).alias("n_days"),
+        (
+            F.round(
+                F.lit(1.0)
+                - F.var_samp(F.col("v") - F.col("trend"))
+                / F.var_samp("v"),
+                6,
+            )
+            + F.lit(0.0)
+        ).alias("trend_strength"),
+        (
+            F.round(
+                F.lit(1.0)
+                - F.var_samp("resid")
+                / F.var_samp(F.col("seasonal") + F.col("resid")),
+                6,
+            )
+            + F.lit(0.0)
+        ).alias("seasonal_strength"),
+    )
