@@ -3043,3 +3043,22 @@ def test_convert_power_index_invariants(spark, sf_dir):
         lo, hi = sorted([r.laspeyres, r.paasche])
         assert lo - 1e-9 <= r.fisher <= hi + 1e-9
         assert r.n_parts > 0 and r.laspeyres > 0 and r.paasche > 0
+
+
+def test_mad_and_tail_dependence_invariants(spark, sf_dir):
+    """MAD screen: robust sd positive, outliers a small minority;
+    tail dependence: all C(5,2) pairs, lambda bounded by the joint
+    count identity and by 1/q."""
+    from value_at_risk_spark.queries import QUERIES
+
+    for r in QUERIES["mad_robust_outliers"](spark, sf_dir).collect():
+        assert r.robust_sd > 0
+        assert 0 <= r.n_outliers < 0.2 * r.n_events
+
+    rows = QUERIES["tail_dependence_pairs"](spark, sf_dir).collect()
+    assert len(rows) == 10  # C(5,2)
+    for r in rows:
+        assert 0.0 <= r.lower_tail_dep <= 10.0 + 1e-9  # 1/q bound
+        assert abs(
+            r.lower_tail_dep - r.n_joint_tail / (0.1 * r.n_days)
+        ) < 1e-5

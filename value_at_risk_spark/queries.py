@@ -11683,3 +11683,134 @@ def price_index_yoy(spark: SparkSession, sf_dir: str) -> DataFrame:
         (F.round(paas, 6) + F.lit(0.0)).alias("paasche"),
         (F.round(F.sqrt(lasp * paas), 6) + F.lit(0.0)).alias("fisher"),
     )
+
+
+# --------------------------------------------------------------------------
+# Round-7 twenty-sixth pass: robust outliers, tail dependence
+# --------------------------------------------------------------------------
+
+
+@query(
+    "mad_robust_outliers",
+    """
+WITH med AS (
+  SELECT event_type, MEDIAN(value) AS m
+  FROM events GROUP BY 1
+),
+dev AS (
+  SELECT e.event_type, e.value, med.m,
+         ABS(e.value - med.m) AS ad
+  FROM events e JOIN med ON e.event_type = med.event_type
+),
+mad AS (
+  SELECT event_type, MIN(m) AS m, MEDIAN(ad) AS mad
+  FROM dev GROUP BY 1
+)
+SELECT d.event_type,
+       CAST(COUNT(*) AS BIGINT) AS n_events,
+       ROUND(MIN(mad.m), 4) + 0 AS median_value,
+       ROUND(MIN(mad.mad) * 1.4826, 4) + 0 AS robust_sd,
+       CAST(SUM(CASE WHEN ABS(d.value - mad.m)
+                          > 3.5 * 1.4826 * mad.mad THEN 1 ELSE 0 END)
+            AS BIGINT) AS n_outliers
+FROM dev d JOIN mad ON d.event_type = mad.event_type
+GROUP BY d.event_type
+""",
+)
+def mad_robust_outliers(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Median-absolute-deviation outlier screen per event type
+    (modified z-score > 3.5, Iglewicz-Hoaglin): the robust
+    completion of the moment-based 3-sigma screen in
+    event_value_anomalies — a 50% contaminated stream still gets a
+    sane threshold because median and MAD have 50% breakdown, where
+    mean/sigma have 0%. Two grouped exact medians with the small
+    per-type frames broadcast back between passes; the 1.4826
+    consistency constant rescales MAD to sigma-equivalents. The
+    count-only output keeps the gate row compact; the flag predicate
+    itself is reusable inline."""
+    e = _t(spark, sf_dir, "events")
+    med = e.groupBy("event_type").agg(F.median("value").alias("m"))
+    dev = e.join(F.broadcast(med), "event_type").select(
+        "event_type",
+        "value",
+        "m",
+        F.abs(F.col("value") - F.col("m")).alias("ad"),
+    )
+    mad = dev.groupBy("event_type").agg(
+        F.min("m").alias("m2"), F.median("ad").alias("mad")
+    )
+    joined = dev.join(F.broadcast(mad), "event_type")
+    return joined.groupBy("event_type").agg(
+        F.count(F.lit(1)).alias("n_events"),
+        (F.round(F.min("m2"), 4) + F.lit(0.0)).alias("median_value"),
+        (F.round(F.min("mad") * 1.4826, 4) + F.lit(0.0)).alias("robust_sd"),
+        F.sum(
+            F.when(
+                F.abs(F.col("value") - F.col("m2"))
+                > 3.5 * 1.4826 * F.col("mad"),
+                F.lit(1),
+            ).otherwise(F.lit(0))
+        ).alias("n_outliers"),
+    )
+
+
+@query(
+    "tail_dependence_pairs",
+    "WITH "
+    + SQL_RETS
+    + """,
+ranked AS (
+  SELECT series, d,
+         PERCENT_RANK() OVER (PARTITION BY series ORDER BY ret, d) AS u
+  FROM rets
+),
+j AS (
+  SELECT a.series AS s1, b.series AS s2, a.u AS u1, b.u AS u2
+  FROM ranked a JOIN ranked b ON a.d = b.d AND a.series < b.series
+)
+SELECT s1, s2,
+       CAST(COUNT(*) AS BIGINT) AS n_days,
+       CAST(SUM(CASE WHEN u1 <= 0.1 AND u2 <= 0.1 THEN 1 ELSE 0 END)
+            AS BIGINT) AS n_joint_tail,
+       ROUND(SUM(CASE WHEN u1 <= 0.1 AND u2 <= 0.1 THEN 1 ELSE 0 END)
+             / (0.1 * COUNT(*)), 6) + 0 AS lower_tail_dep
+FROM j GROUP BY s1, s2
+""",
+)
+def tail_dependence_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Empirical lower-tail dependence per series pair:
+    lambda_L(q) = P(both in their own worst q) / q at q = 0.1 —
+    rank-based (copula-level), so marginal distributions cancel and
+    the number isolates JOINT crash behavior, the thing correlation
+    famously understates in stress (and the reason
+    shrunk_covariance_matrix alone can't answer 'do they crash
+    together?'). Ranks are one percent_rank window per series
+    (deterministic tie-break on date), pairs align on the date key —
+    the same join discipline as rolling_correlation_pairs; under
+    independence lambda -> q, so values well above 0.1 flag
+    dependence that the MC factor model must capture."""
+    rets = daily_returns(spark, sf_dir)
+    w = Window.partitionBy("series").orderBy("ret", "d")
+    ranked = rets.select(
+        "series", "d", F.percent_rank().over(w).alias("u")
+    )
+    a = ranked.select(
+        F.col("series").alias("s1"), "d", F.col("u").alias("u1")
+    )
+    b = ranked.select(
+        F.col("series").alias("s2"), "d", F.col("u").alias("u2")
+    )
+    j = a.join(b, "d").filter(F.col("s1") < F.col("s2"))
+    joint = F.sum(
+        F.when((F.col("u1") <= 0.1) & (F.col("u2") <= 0.1), F.lit(1)).otherwise(
+            F.lit(0)
+        )
+    )
+    return j.groupBy("s1", "s2").agg(
+        F.count(F.lit(1)).alias("n_days"),
+        joint.alias("n_joint_tail"),
+        (
+            F.round(joint / (F.lit(0.1) * F.count(F.lit(1))), 6)
+            + F.lit(0.0)
+        ).alias("lower_tail_dep"),
+    )
