@@ -3062,3 +3062,30 @@ def test_mad_and_tail_dependence_invariants(spark, sf_dir):
         assert abs(
             r.lower_tail_dep - r.n_joint_tail / (0.1 * r.n_days)
         ) < 1e-5
+
+
+def test_keyness_backtest_degree_invariants(spark, sf_dir):
+    """Keyness ranks are dense with 5 rows per source; the backtest's
+    MASE-like ratio is consistent with its MAEs; the degree histogram
+    reconciles with the node count and alpha > 1."""
+    from collections import defaultdict
+
+    from value_at_risk_spark.queries import QUERIES
+
+    per_src = defaultdict(list)
+    for r in QUERIES["top_terms_per_source"](spark, sf_dir).collect():
+        per_src[r.source].append(r.rnk)
+    assert per_src
+    for rnks in per_src.values():
+        assert sorted(rnks) == list(range(1, len(rnks) + 1))
+
+    for r in QUERIES["seasonal_naive_backtest"](spark, sf_dir).collect():
+        assert r.mae_naive1 > 0 and r.mae_seasonal7 > 0
+        assert (
+            abs(r.mase_like_ratio - r.mae_seasonal7 / r.mae_naive1) < 1e-3
+        )
+
+    rows = QUERIES["graph_degree_distribution"](spark, sf_dir).collect()
+    alphas = {r.powerlaw_alpha_mle for r in rows}
+    assert len(alphas) == 1 and alphas.pop() > 1.0
+    assert all(r.degree >= 1 and r.n_nodes >= 1 for r in rows)
