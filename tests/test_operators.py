@@ -3089,3 +3089,32 @@ def test_keyness_backtest_degree_invariants(spark, sf_dir):
     alphas = {r.powerlaw_alpha_mle for r in rows}
     assert len(alphas) == 1 and alphas.pop() > 1.0
     assert all(r.degree >= 1 and r.n_nodes >= 1 for r in rows)
+
+
+def test_xyz_recs_latency_invariants(spark, sf_dir):
+    """XYZ classes partition the qualifying parts; per-nation rec
+    lists are dense rank 1..3 with support summing under 1; latency
+    percentiles are ordered and preship fraction matches the raw
+    count."""
+    from collections import defaultdict
+
+    from value_at_risk_spark.queries import QUERIES
+
+    xyz = QUERIES["demand_variability_xyz"](spark, sf_dir).collect()
+    assert {r.xyz for r in xyz} <= {"X", "Y", "Z"}
+    for r in xyz:
+        assert 0 < r.mean_cv <= r.max_cv
+
+    per_nation = defaultdict(list)
+    for r in QUERIES["popularity_recommendations"](spark, sf_dir).collect():
+        per_nation[r.nation].append(r)
+    assert len(per_nation) == 25
+    for recs in per_nation.values():
+        assert sorted(x.rnk for x in recs) == [1, 2, 3]
+        assert sum(x.support for x in recs) < 1.0
+        ns = [x.n_purchases for x in sorted(recs, key=lambda x: x.rnk)]
+        assert ns == sorted(ns, reverse=True)
+
+    for r in QUERIES["shipping_latency_percentiles"](spark, sf_dir).collect():
+        assert r.p50_days <= r.p90_days <= r.p99_days
+        assert 0.0 <= r.frac_preship < 0.5

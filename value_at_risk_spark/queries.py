@@ -12028,3 +12028,208 @@ def graph_degree_distribution(spark: SparkSession, sf_dir: str) -> DataFrame:
         "n_nodes",
         (F.round("a", 6) + F.lit(0.0)).alias("powerlaw_alpha_mle"),
     )
+
+
+# --------------------------------------------------------------------------
+# Round-7 twenty-eighth pass: XYZ classes, popularity recs, ship latency
+# --------------------------------------------------------------------------
+
+
+@query(
+    "demand_variability_xyz",
+    """
+WITH monthly AS (
+  SELECT l_partkey AS pk,
+         EXTRACT(YEAR FROM CAST(l_shipdate AS DATE)) * 12
+           + EXTRACT(MONTH FROM CAST(l_shipdate AS DATE)) AS m,
+         SUM(l_quantity) AS q
+  FROM lineitem GROUP BY 1, 2
+),
+cv AS (
+  SELECT pk, STDDEV_SAMP(q) / AVG(q) AS cv,
+         CAST(COUNT(*) AS BIGINT) AS n_months
+  FROM monthly GROUP BY 1
+  HAVING COUNT(*) >= 6
+),
+classed AS (
+  SELECT CASE WHEN cv < 0.5 THEN 'X'
+              WHEN cv < 1.0 THEN 'Y'
+              ELSE 'Z' END AS xyz, cv
+  FROM cv
+)
+SELECT xyz,
+       CAST(COUNT(*) AS BIGINT) AS n_parts,
+       ROUND(AVG(cv), 6) + 0 AS mean_cv,
+       ROUND(MAX(cv), 6) + 0 AS max_cv
+FROM classed GROUP BY xyz
+""",
+)
+def demand_variability_xyz(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """XYZ demand-variability classification (the partner axis to
+    pareto_abc_parts: ABC ranks value, XYZ ranks FORECASTABILITY):
+    coefficient of variation of monthly demand per part — X (<0.5)
+    steady, Y (<1) variable, Z (>=1) erratic — with a 6-month history
+    floor so the CV means something. Month keys are integer
+    arithmetic (year*12+month); the whole classification is two
+    grouped aggregates and a 3-row rollup. ABC x XYZ is the 9-cell
+    matrix inventory policy actually keys on."""
+    li = _t(spark, sf_dir, "lineitem")
+    d = F.col("l_shipdate").cast("date")
+    monthly = li.groupBy(
+        F.col("l_partkey").alias("pk"),
+        (F.year(d) * 12 + F.month(d)).alias("m"),
+    ).agg(F.sum("l_quantity").alias("q"))
+    cv = (
+        monthly.groupBy("pk")
+        .agg(
+            (F.stddev_samp("q") / F.avg("q")).alias("cv"),
+            F.count(F.lit(1)).alias("n_months"),
+        )
+        .filter(F.col("n_months") >= 6)
+    )
+    classed = cv.select(
+        F.when(F.col("cv") < 0.5, F.lit("X"))
+        .when(F.col("cv") < 1.0, F.lit("Y"))
+        .otherwise(F.lit("Z"))
+        .alias("xyz"),
+        "cv",
+    )
+    return classed.groupBy("xyz").agg(
+        F.count(F.lit(1)).alias("n_parts"),
+        (F.round(F.avg("cv"), 6) + F.lit(0.0)).alias("mean_cv"),
+        (F.round(F.max("cv"), 6) + F.lit(0.0)).alias("max_cv"),
+    )
+
+
+@query(
+    "popularity_recommendations",
+    """
+WITH buys AS (
+  SELECT c.c_nationkey AS nk, l.l_partkey AS pk,
+         CAST(COUNT(*) AS BIGINT) AS n
+  FROM lineitem l
+  JOIN orders o ON l.l_orderkey = o.o_orderkey
+  JOIN customer c ON o.o_custkey = c.c_custkey
+  GROUP BY 1, 2
+),
+ranked AS (
+  SELECT nk, pk, n,
+         ROW_NUMBER() OVER (PARTITION BY nk ORDER BY n DESC, pk) AS rnk,
+         SUM(n) OVER (PARTITION BY nk) AS tot
+  FROM buys
+)
+SELECT n2.n_name AS nation, r.pk AS part_key, r.n AS n_purchases,
+       CAST(r.rnk AS BIGINT) AS rnk,
+       ROUND(r.n / CAST(r.tot AS DOUBLE), 6) + 0 AS support
+FROM ranked r JOIN nation n2 ON r.nk = n2.n_nationkey
+WHERE r.rnk <= 3
+""",
+)
+def popularity_recommendations(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Cold-start recommendation baseline: the top-3 most-purchased
+    parts per customer nation with their within-segment support —
+    the popularity prior every recommender backs off to when it has
+    no user history (and the baseline any personalized model must
+    beat, the serving-side cousin of market_basket_lift's
+    co-purchase signal). One three-table join reduces to (segment,
+    item) counts; ranking and the support denominator are windows
+    over that reduction; the nation name is a broadcast stitch."""
+    li = _t(spark, sf_dir, "lineitem").select("l_orderkey", "l_partkey")
+    o = _t(spark, sf_dir, "orders").select("o_orderkey", "o_custkey")
+    c = _t(spark, sf_dir, "customer").select("c_custkey", "c_nationkey")
+    n = _t(spark, sf_dir, "nation").select("n_nationkey", "n_name")
+    buys = (
+        li.join(o, li.l_orderkey == o.o_orderkey)
+        .join(F.broadcast(c), o.o_custkey == c.c_custkey)
+        .groupBy(
+            F.col("c_nationkey").alias("nk"),
+            F.col("l_partkey").alias("pk"),
+        )
+        .agg(F.count(F.lit(1)).alias("n"))
+    )
+    wr = Window.partitionBy("nk").orderBy(F.desc("n"), F.asc("pk"))
+    wt = Window.partitionBy("nk")
+    ranked = buys.select(
+        "nk",
+        "pk",
+        "n",
+        F.row_number().over(wr).alias("rnk"),
+        F.sum("n").over(wt).alias("tot"),
+    ).filter(F.col("rnk") <= 3)
+    return ranked.join(F.broadcast(n), ranked.nk == n.n_nationkey).select(
+        F.col("n_name").alias("nation"),
+        F.col("pk").alias("part_key"),
+        F.col("n").alias("n_purchases"),
+        F.col("rnk").cast("long").alias("rnk"),
+        (
+            F.round(F.col("n") / F.col("tot").cast("double"), 6)
+            + F.lit(0.0)
+        ).alias("support"),
+    )
+
+
+@query(
+    "shipping_latency_percentiles",
+    """
+WITH lat AS (
+  SELECT o.o_orderpriority AS priority,
+         CAST(DATEDIFF('day', CAST(o.o_orderdate AS DATE),
+                       CAST(l.l_shipdate AS DATE)) AS DOUBLE) AS days
+  FROM lineitem l JOIN orders o ON l.l_orderkey = o.o_orderkey
+)
+SELECT priority,
+       CAST(COUNT(*) AS BIGINT) AS n_lines,
+       ROUND(quantile_cont(days, 0.5), 4) + 0 AS p50_days,
+       ROUND(quantile_cont(days, 0.9), 4) + 0 AS p90_days,
+       ROUND(quantile_cont(days, 0.99), 4) + 0 AS p99_days,
+       ROUND(AVG(CASE WHEN days < 0 THEN 1.0 ELSE 0.0 END), 6) + 0
+         AS frac_preship
+FROM lat GROUP BY priority
+""",
+)
+def shipping_latency_percentiles(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """Order-to-ship latency SLA percentiles per priority (p50/p90/
+    p99 — the tail is the SLA; the mean hides it), plus the fraction
+    of lines shipping BEFORE their order date — the fixture's
+    inverted-interval anomaly (FIXTURES.md) surfaced as a first-class
+    data-quality measure rather than silently clamped. One fact join,
+    one grouped exact-percentile aggregate; this is the latency twin
+    of the late_shipment count queries."""
+    li = _t(spark, sf_dir, "lineitem").select("l_orderkey", "l_shipdate")
+    o = _t(spark, sf_dir, "orders").select(
+        "o_orderkey", "o_orderdate", "o_orderpriority"
+    )
+    lat = li.join(o, li.l_orderkey == o.o_orderkey).select(
+        F.col("o_orderpriority").alias("priority"),
+        F.datediff(
+            F.col("l_shipdate").cast("date"),
+            F.col("o_orderdate").cast("date"),
+        )
+        .cast("double")
+        .alias("days"),
+    )
+    return lat.groupBy("priority").agg(
+        F.count(F.lit(1)).alias("n_lines"),
+        (F.round(F.percentile("days", F.lit(0.5)), 4) + F.lit(0.0)).alias(
+            "p50_days"
+        ),
+        (F.round(F.percentile("days", F.lit(0.9)), 4) + F.lit(0.0)).alias(
+            "p90_days"
+        ),
+        (F.round(F.percentile("days", F.lit(0.99)), 4) + F.lit(0.0)).alias(
+            "p99_days"
+        ),
+        (
+            F.round(
+                F.avg(
+                    F.when(F.col("days") < 0, F.lit(1.0)).otherwise(
+                        F.lit(0.0)
+                    )
+                ),
+                6,
+            )
+            + F.lit(0.0)
+        ).alias("frac_preship"),
+    )
