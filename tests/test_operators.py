@@ -3118,3 +3118,23 @@ def test_xyz_recs_latency_invariants(spark, sf_dir):
     for r in QUERIES["shipping_latency_percentiles"](spark, sf_dir).collect():
         assert r.p50_days <= r.p90_days <= r.p99_days
         assert 0.0 <= r.frac_preship < 0.5
+
+
+def test_zipf_session_burstiness_invariants(spark, sf_dir):
+    """Zipf alpha positive with a real fit; session-depth shares sum
+    to 1 and event totals reconcile; burstiness in (-1, 1)."""
+    from value_at_risk_spark.queries import QUERIES
+    from value_at_risk_spark.sources.registry import Registry
+
+    z = QUERIES["zipf_fit_tokens"](spark, sf_dir).collect()[0]
+    assert z.n_tokens_fit > 50
+    assert z.zipf_alpha > 0 and 0.0 <= z.fit_r2 <= 1.0
+
+    rows = QUERIES["session_depth_distribution"](spark, sf_dir).collect()
+    assert abs(sum(r.session_share for r in rows) - 1.0) < 1e-5
+    total_events = Registry(sf_dir).read(spark, "events").count()
+    assert sum(r.n_events for r in rows) == total_events
+
+    for r in QUERIES["event_burstiness_memory"](spark, sf_dir).collect():
+        assert -1.0 < r.burstiness < 1.0
+        assert r.memory_coeff is None or -1.0 <= r.memory_coeff <= 1.0

@@ -12233,3 +12233,226 @@ def shipping_latency_percentiles(
             + F.lit(0.0)
         ).alias("frac_preship"),
     )
+
+
+# --------------------------------------------------------------------------
+# Round-7 twenty-ninth pass: Zipf fit, session depth, burstiness
+# --------------------------------------------------------------------------
+
+
+@query(
+    "zipf_fit_tokens",
+    """
+WITH tok AS (
+  SELECT UNNEST(list_filter(string_split(lower(text), ' '),
+                            x -> x <> '')) AS t
+  FROM documents
+),
+freq AS (SELECT t, CAST(COUNT(*) AS DOUBLE) AS f FROM tok GROUP BY 1),
+ranked AS (
+  SELECT f, ROW_NUMBER() OVER (ORDER BY f DESC, t) AS r FROM freq
+)
+SELECT CAST(COUNT(*) AS BIGINT) AS n_tokens_fit,
+       ROUND(-REGR_SLOPE(LN(f), LN(CAST(r AS DOUBLE))), 6) + 0
+         AS zipf_alpha,
+       ROUND(REGR_R2(LN(f), LN(CAST(r AS DOUBLE))), 6) + 0 AS fit_r2
+FROM ranked WHERE r <= 500
+""",
+)
+def zipf_fit_tokens(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Zipf's-law fit over the corpus token frequencies: alpha = the
+    negative slope of ln(freq) on ln(rank) for the top 500 tokens
+    (natural text reads ~1; strong deviation flags synthetic or
+    templated corpora — a one-number corpus-authenticity screen
+    beside the quality/perplexity filters). One token reduction, one
+    rank window over the vocabulary frame (deterministic term tie-
+    break), closed-form regression on the 500-row head — the
+    vocabulary never leaves the cluster, only the 1-row fit does."""
+    from value_at_risk_spark.functions.text import tokens
+
+    d = _t(spark, sf_dir, "documents")
+    freq = d.select(F.explode(tokens("text")).alias("t")).groupBy("t").agg(
+        F.count(F.lit(1)).cast("double").alias("f")
+    )
+    w = Window.orderBy(F.desc("f"), F.asc("t"))
+    ranked = freq.select(
+        "f", F.row_number().over(w).alias("r")
+    ).filter(F.col("r") <= 500)
+    return ranked.select(
+        F.log("f").alias("_lf"),
+        F.log(F.col("r").cast("double")).alias("_lr"),
+    ).agg(
+        F.count(F.lit(1)).alias("n_tokens_fit"),
+        (F.round(-F.expr("regr_slope(_lf, _lr)"), 6) + F.lit(0.0)).alias(
+            "zipf_alpha"
+        ),
+        (F.round(F.expr("regr_r2(_lf, _lr)"), 6) + F.lit(0.0)).alias(
+            "fit_r2"
+        ),
+    )
+
+
+@query(
+    "session_depth_distribution",
+    """
+WITH ordered AS (
+  SELECT user_id, ts,
+         CASE WHEN FLOOR(epoch(ts)) - FLOOR(epoch(LAG(ts) OVER
+                   (PARTITION BY user_id ORDER BY ts))) > 1800
+                   OR LAG(ts) OVER (PARTITION BY user_id ORDER BY ts)
+                      IS NULL
+              THEN 1 ELSE 0 END AS new_sess
+  FROM events
+),
+sess AS (
+  SELECT user_id,
+         SUM(new_sess) OVER (PARTITION BY user_id ORDER BY ts
+              ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS sid
+  FROM ordered
+),
+depth AS (
+  SELECT CAST(COUNT(*) AS BIGINT) AS n_events
+  FROM sess GROUP BY user_id, sid
+),
+bucketed AS (
+  SELECT CASE WHEN n_events = 1 THEN '1'
+              WHEN n_events <= 3 THEN '2-3'
+              WHEN n_events <= 10 THEN '4-10'
+              ELSE '11+' END AS depth_bucket,
+         n_events
+  FROM depth
+)
+SELECT depth_bucket,
+       CAST(COUNT(*) AS BIGINT) AS n_sessions,
+       CAST(SUM(n_events) AS BIGINT) AS n_events,
+       ROUND(COUNT(*) / CAST(SUM(COUNT(*)) OVER () AS DOUBLE), 6) + 0
+         AS session_share
+FROM bucketed GROUP BY depth_bucket
+""",
+)
+def session_depth_distribution(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """Session depth histogram (bounce / shallow / engaged / power
+    buckets) over the same 30-minute-gap sessionization the engine
+    uses everywhere (sessionize_events' exact rule — one lag-gap flag
+    + one running sum; tz-free epoch seconds): the engagement-shape
+    summary a product review starts with, and a reuse proof that the
+    sessionization primitive composes into derived reports without a
+    second definition drifting. Bucket shares normalize via a window
+    over the 4-row histogram."""
+    from value_at_risk_spark.functions.timeutil import epoch_seconds
+
+    e = _t(spark, sf_dir, "events")
+    w = Window.partitionBy("user_id").orderBy("ts")
+    prev = F.lag("ts").over(w)
+    new_sess = F.when(
+        prev.isNull()
+        | (epoch_seconds(F.col("ts")) - epoch_seconds(prev) > 1800),
+        F.lit(1),
+    ).otherwise(F.lit(0))
+    sess = e.select(
+        "user_id",
+        F.sum(new_sess)
+        .over(w.rowsBetween(Window.unboundedPreceding, Window.currentRow))
+        .alias("sid"),
+    )
+    depth = sess.groupBy("user_id", "sid").agg(
+        F.count(F.lit(1)).alias("n_events")
+    )
+    bucket = (
+        F.when(F.col("n_events") == 1, F.lit("1"))
+        .when(F.col("n_events") <= 3, F.lit("2-3"))
+        .when(F.col("n_events") <= 10, F.lit("4-10"))
+        .otherwise(F.lit("11+"))
+    )
+    wall = Window.partitionBy(F.lit(1))
+    return (
+        depth.select(bucket.alias("depth_bucket"), "n_events")
+        .groupBy("depth_bucket")
+        .agg(
+            F.count(F.lit(1)).alias("n_sessions"),
+            F.sum("n_events").alias("n_events"),
+        )
+        .select(
+            "depth_bucket",
+            "n_sessions",
+            "n_events",
+            (
+                F.round(
+                    F.col("n_sessions")
+                    / F.sum("n_sessions").over(wall).cast("double"),
+                    6,
+                )
+                + F.lit(0.0)
+            ).alias("session_share"),
+        )
+    )
+
+
+@query(
+    "event_burstiness_memory",
+    """
+WITH seq AS (
+  SELECT event_type, gap,
+         LAG(gap) OVER (PARTITION BY event_type ORDER BY rn0) AS prev_gap
+  FROM (
+    SELECT event_type,
+           ROW_NUMBER() OVER (PARTITION BY event_type
+                              ORDER BY ts, event_id) AS rn0,
+           CAST(FLOOR(epoch(ts)) - FLOOR(epoch(LAG(ts) OVER
+                (PARTITION BY event_type ORDER BY ts, event_id)))
+                AS DOUBLE) AS gap
+    FROM events
+  ) WHERE gap IS NOT NULL
+)
+SELECT event_type,
+       CAST(COUNT(*) AS BIGINT) AS n_gaps,
+       ROUND((STDDEV_SAMP(gap) - AVG(gap))
+             / (STDDEV_SAMP(gap) + AVG(gap)), 6) + 0 AS burstiness,
+       ROUND(CORR(gap, prev_gap), 6) + 0 AS memory_coeff
+FROM seq GROUP BY event_type
+""",
+)
+def event_burstiness_memory(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Goh-Barabasi burstiness B = (sigma - mu)/(sigma + mu) of
+    inter-event gaps per event type (B ~ 0 Poisson, B -> 1 bursty,
+    B < 0 regular/clock-like) plus the memory coefficient (lag-1
+    correlation of consecutive gaps) — together they place each
+    stream on the burstiness-memory plane that separates human
+    activity from machine heartbeats, the dynamics companion to
+    user_interarrival_stats' magnitude summary. Gaps come from one
+    type-partitioned window; the consecutive-gap pairing is a second
+    LAG over the same ordering; both engines share the tz-free epoch
+    contract."""
+    from value_at_risk_spark.functions.timeutil import epoch_seconds
+
+    e = _t(spark, sf_dir, "events")
+    w = Window.partitionBy("event_type").orderBy("ts", "event_id")
+    gaps = e.select(
+        "event_type",
+        (
+            epoch_seconds(F.col("ts"))
+            - epoch_seconds(F.lag("ts").over(w))
+        )
+        .cast("double")
+        .alias("gap"),
+        F.row_number().over(w).alias("rn0"),
+    ).filter(F.col("gap").isNotNull())
+    w2 = Window.partitionBy("event_type").orderBy("rn0")
+    seq = gaps.select(
+        "event_type",
+        "gap",
+        F.lag("gap").over(w2).alias("prev_gap"),
+    )
+    sd = F.stddev_samp("gap")
+    mu = F.avg("gap")
+    return seq.groupBy("event_type").agg(
+        F.count(F.lit(1)).alias("n_gaps"),
+        (F.round((sd - mu) / (sd + mu), 6) + F.lit(0.0)).alias(
+            "burstiness"
+        ),
+        (F.round(F.corr("gap", "prev_gap"), 6) + F.lit(0.0)).alias(
+            "memory_coeff"
+        ),
+    )
