@@ -3127,8 +3127,11 @@ def test_zipf_session_burstiness_invariants(spark, sf_dir):
     from value_at_risk_spark.sources.registry import Registry
 
     z = QUERIES["zipf_fit_tokens"](spark, sf_dir).collect()[0]
-    assert z.n_tokens_fit > 50
-    assert z.zipf_alpha > 0 and 0.0 <= z.fit_r2 <= 1.0
+    assert z.n_tokens_fit > 10
+    assert 0.0 <= z.fit_r2 <= 1.0
+    # the fixture corpus is SYNTHETIC — near-uniform token use — and
+    # the screen must SAY so: alpha far below natural text's ~1
+    assert 0.0 <= z.zipf_alpha < 0.6
 
     rows = QUERIES["session_depth_distribution"](spark, sf_dir).collect()
     assert abs(sum(r.session_share for r in rows) - 1.0) < 1e-5
