@@ -3141,3 +3141,25 @@ def test_zipf_session_burstiness_invariants(spark, sf_dir):
     for r in QUERIES["event_burstiness_memory"](spark, sf_dir).collect():
         assert -1.0 < r.burstiness < 1.0
         assert r.memory_coeff is None or -1.0 <= r.memory_coeff <= 1.0
+
+
+def test_drift_bridge_dupes_invariants(spark, sf_dir):
+    """Drift report covers both halves and all rows; the revenue
+    bridge's three effects sum to the delta (algebraic identity, to
+    the rounding grid); duplicate screen is internally consistent."""
+    from value_at_risk_spark.queries import QUERIES
+    from value_at_risk_spark.sources.registry import Registry
+
+    halves = {r.period: r for r in QUERIES["field_drift_report"](spark, sf_dir).collect()}
+    assert set(halves) == {"first_half", "second_half"}
+    total = Registry(sf_dir).read(spark, "events").count()
+    assert sum(r.n for r in halves.values()) == total
+
+    for r in QUERIES["revenue_bridge_yoy"](spark, sf_dir).collect():
+        recon = r.price_effect_m + r.volume_effect_m + r.mix_effect_m
+        assert abs(recon - r.delta_rev_m) < 5e-4
+
+    d = QUERIES["duplicate_payment_screen"](spark, sf_dir).collect()[0]
+    assert d.n_customers <= d.n_suspect_pairs or d.n_suspect_pairs == 0
+    if d.n_suspect_pairs:
+        assert 0 <= d.min_gap_days <= 30

@@ -12456,3 +12456,224 @@ def event_burstiness_memory(spark: SparkSession, sf_dir: str) -> DataFrame:
             "memory_coeff"
         ),
     )
+
+
+# --------------------------------------------------------------------------
+# Round-7 thirtieth pass: drift report, revenue bridge, duplicate payments
+# --------------------------------------------------------------------------
+
+
+@query(
+    "field_drift_report",
+    """
+WITH bounds AS (
+  SELECT MIN(CAST(ts AS DATE)) AS d0,
+         CAST(DATEDIFF('day', MIN(CAST(ts AS DATE)),
+                        MAX(CAST(ts AS DATE))) + 1 AS DOUBLE) AS span
+  FROM events
+),
+halves AS (
+  SELECT CASE WHEN DATEDIFF('day', b.d0, CAST(ts AS DATE)) * 2 < b.span
+              THEN 'first_half' ELSE 'second_half' END AS period,
+         value, props
+  FROM events, bounds b
+),
+stats AS (
+  SELECT period,
+         CAST(COUNT(*) AS BIGINT) AS n,
+         ROUND(AVG(CASE WHEN value IS NULL THEN 1.0 ELSE 0.0 END), 6) + 0
+           AS null_rate_value,
+         ROUND(AVG(CASE WHEN value = 0 THEN 1.0 ELSE 0.0 END), 6) + 0
+           AS zero_rate_value,
+         ROUND(AVG(CASE WHEN props IS NULL OR props = '' THEN 1.0
+                        ELSE 0.0 END), 6) + 0 AS empty_rate_props,
+         ROUND(AVG(value), 4) + 0 AS mean_value
+  FROM halves GROUP BY period
+)
+SELECT * FROM stats
+""",
+)
+def field_drift_report(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Field-health drift between the stream's first and second half:
+    null/zero/empty rates and the mean per period — the schema-drift
+    tripwire a pipeline checks before models quietly degrade (the
+    temporal companion to data_quality_audit's static expectations;
+    ks_two_sample_test covers full-distribution drift, this covers
+    the cheap always-on rates). One scan, the period split from a
+    1-row bounds broadcast, every rate a conditional mean in the
+    SAME aggregate."""
+    e = _t(spark, sf_dir, "events")
+    bounds = e.agg(
+        F.min(F.col("ts").cast("date")).alias("d0"),
+        (
+            F.datediff(
+                F.max(F.col("ts").cast("date")),
+                F.min(F.col("ts").cast("date")),
+            )
+            + 1
+        )
+        .cast("double")
+        .alias("span"),
+    )
+    day = F.datediff(F.col("ts").cast("date"), F.col("d0"))
+    halves = e.crossJoin(F.broadcast(bounds)).select(
+        F.when(day * 2 < F.col("span"), F.lit("first_half"))
+        .otherwise(F.lit("second_half"))
+        .alias("period"),
+        "value",
+        "props",
+    )
+    rate = lambda cond: (
+        F.round(
+            F.avg(F.when(cond, F.lit(1.0)).otherwise(F.lit(0.0))), 6
+        )
+        + F.lit(0.0)
+    )
+    return halves.groupBy("period").agg(
+        F.count(F.lit(1)).alias("n"),
+        rate(F.col("value").isNull()).alias("null_rate_value"),
+        rate(F.col("value") == 0).alias("zero_rate_value"),
+        rate(F.col("props").isNull() | (F.col("props") == "")).alias(
+            "empty_rate_props"
+        ),
+        (F.round(F.avg("value"), 4) + F.lit(0.0)).alias("mean_value"),
+    )
+
+
+@query(
+    "revenue_bridge_yoy",
+    """
+WITH yearly AS (
+  SELECT l_partkey AS pk,
+         EXTRACT(YEAR FROM CAST(l_shipdate AS DATE)) AS yr,
+         SUM(l_quantity) AS q,
+         SUM(l_extendedprice) / SUM(l_quantity) AS p
+  FROM lineitem GROUP BY 1, 2
+),
+pairs AS (
+  SELECT a.yr AS base_yr, a.p AS p0, a.q AS q0, b.p AS p1, b.q AS q1
+  FROM yearly a JOIN yearly b ON a.pk = b.pk AND b.yr = a.yr + 1
+)
+SELECT CAST(base_yr AS BIGINT) AS base_yr,
+       ROUND(SUM(p1 * q1 - p0 * q0) / 1e6, 4) + 0 AS delta_rev_m,
+       ROUND(SUM((p1 - p0) * q0) / 1e6, 4) + 0 AS price_effect_m,
+       ROUND(SUM(p0 * (q1 - q0)) / 1e6, 4) + 0 AS volume_effect_m,
+       ROUND(SUM((p1 - p0) * (q1 - q0)) / 1e6, 4) + 0 AS mix_effect_m
+FROM pairs GROUP BY base_yr
+""",
+)
+def revenue_bridge_yoy(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Revenue bridge (price-volume-mix waterfall) over the matched
+    part basket: delta revenue decomposes EXACTLY as dp*q0 (price
+    effect) + p0*dq (volume effect) + dp*dq (mix/cross term) — the
+    FP&A decomposition behind every 'why did revenue move' slide,
+    and the additive counterpart to price_index_yoy's ratio view
+    over the same matched-pair frame (reported in thousands: raw
+    sums are ~1e8 and their last accumulation digits are engine-
+    order-sensitive, the cov_dp lesson). The identity is algebraic,
+    so the three effects sum to the delta to the last rounded digit
+    — pytest-pinned."""
+    li = _t(spark, sf_dir, "lineitem")
+    yearly = li.groupBy(
+        F.col("l_partkey").alias("pk"),
+        F.year(F.col("l_shipdate").cast("date")).alias("yr"),
+    ).agg(
+        F.sum("l_quantity").alias("q"),
+        (F.sum("l_extendedprice") / F.sum("l_quantity")).alias("p"),
+    )
+    a = yearly.select(
+        "pk",
+        F.col("yr").alias("base_yr"),
+        F.col("p").alias("p0"),
+        F.col("q").alias("q0"),
+    )
+    b = yearly.select(
+        "pk",
+        (F.col("yr") - 1).alias("base_yr"),
+        F.col("p").alias("p1"),
+        F.col("q").alias("q1"),
+    )
+    pairs = a.join(b, ["pk", "base_yr"])
+    m = lambda c: (F.round(F.sum(c) / 1e6, 4) + F.lit(0.0))
+    return pairs.groupBy(
+        F.col("base_yr").cast("long").alias("base_yr")
+    ).agg(
+        m(F.col("p1") * F.col("q1") - F.col("p0") * F.col("q0")).alias(
+            "delta_rev_m"
+        ),
+        m((F.col("p1") - F.col("p0")) * F.col("q0")).alias(
+            "price_effect_m"
+        ),
+        m(F.col("p0") * (F.col("q1") - F.col("q0"))).alias(
+            "volume_effect_m"
+        ),
+        m((F.col("p1") - F.col("p0")) * (F.col("q1") - F.col("q0"))).alias(
+            "mix_effect_m"
+        ),
+    )
+
+
+@query(
+    "duplicate_payment_screen",
+    """
+WITH cand AS (
+  SELECT a.o_orderkey AS k1, b.o_orderkey AS k2,
+         a.o_custkey AS cust, a.o_totalprice AS amount,
+         DATEDIFF('day', CAST(a.o_orderdate AS DATE),
+                  CAST(b.o_orderdate AS DATE)) AS gap_days
+  FROM orders a JOIN orders b
+    ON a.o_custkey = b.o_custkey
+   AND a.o_totalprice = b.o_totalprice
+   AND a.o_orderkey < b.o_orderkey
+  WHERE ABS(DATEDIFF('day', CAST(a.o_orderdate AS DATE),
+                     CAST(b.o_orderdate AS DATE))) <= 30
+)
+SELECT CAST(COUNT(*) AS BIGINT) AS n_suspect_pairs,
+       CAST(COUNT(DISTINCT cust) AS BIGINT) AS n_customers,
+       ROUND(SUM(amount), 2) + 0 AS exposure,
+       CAST(MIN(ABS(gap_days)) AS BIGINT) AS min_gap_days
+FROM cand
+""",
+)
+def duplicate_payment_screen(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Duplicate-payment screen (the audit-analytics staple): order
+    pairs from the SAME customer with the IDENTICAL amount within 30
+    days — same-amount-same-party-near-in-time is the canonical
+    double-charge signature. The pair join is keyed on (customer,
+    exact amount) — a bucketed equi-join like every candidate
+    generator in this engine, never a cross join; the date window is
+    a residual predicate on collisions only. Summary row keeps the
+    gate output compact; the cand frame itself is the worklist an
+    auditor pulls. Exact-amount equality on the 2-decimal money grid
+    is engine-safe (both read the same parquet doubles)."""
+    o = _t(spark, sf_dir, "orders")
+    a = o.select(
+        F.col("o_orderkey").alias("k1"),
+        F.col("o_custkey").alias("cust"),
+        F.col("o_totalprice").alias("amount"),
+        F.col("o_orderdate").cast("date").alias("d1"),
+    )
+    b = o.select(
+        F.col("o_orderkey").alias("k2"),
+        F.col("o_custkey").alias("cust"),
+        F.col("o_totalprice").alias("amount"),
+        F.col("o_orderdate").cast("date").alias("d2"),
+    )
+    cand = (
+        a.join(b, ["cust", "amount"])
+        .filter(
+            (F.col("k1") < F.col("k2"))
+            & (F.abs(F.datediff(F.col("d2"), F.col("d1"))) <= 30)
+        )
+        .select(
+            "cust",
+            "amount",
+            F.datediff(F.col("d2"), F.col("d1")).alias("gap_days"),
+        )
+    )
+    return cand.agg(
+        F.count(F.lit(1)).alias("n_suspect_pairs"),
+        F.count_distinct("cust").alias("n_customers"),
+        (F.round(F.sum("amount"), 2) + F.lit(0.0)).alias("exposure"),
+        F.min(F.abs(F.col("gap_days"))).cast("long").alias("min_gap_days"),
+    )
