@@ -3163,3 +3163,27 @@ def test_drift_bridge_dupes_invariants(spark, sf_dir):
     assert d.n_customers <= d.n_suspect_pairs or d.n_suspect_pairs == 0
     if d.n_suspect_pairs:
         assert 0 <= d.min_gap_days <= 30
+
+
+def test_stickiness_and_scorecard_invariants(spark, sf_dir):
+    """DAU <= WAU (stickiness in (0,1]); new+returning == DAU; on the
+    first day everyone is new. Scorecard rates in [0,1], latency
+    medians positive-ish, revenue totals sane."""
+    from value_at_risk_spark.queries import QUERIES
+
+    rows = sorted(
+        QUERIES["dau_wau_stickiness"](spark, sf_dir).collect(),
+        key=lambda r: r.d,
+    )
+    assert rows
+    for r in rows:
+        assert r.dau <= r.wau
+        assert 0.0 < r.stickiness <= 1.0
+        assert r.new_users + r.returning_users == r.dau
+    assert rows[0].new_users == rows[0].dau  # day one: all new
+
+    cards = QUERIES["supplier_reliability_scorecard"](spark, sf_dir).collect()
+    assert cards
+    for c in cards:
+        assert 0.0 <= c.on_time_rate <= 1.0
+        assert c.revenue_m > 0

@@ -12677,3 +12677,156 @@ def duplicate_payment_screen(spark: SparkSession, sf_dir: str) -> DataFrame:
         (F.round(F.sum("amount"), 2) + F.lit(0.0)).alias("exposure"),
         F.min(F.abs(F.col("gap_days"))).cast("long").alias("min_gap_days"),
     )
+
+
+# --------------------------------------------------------------------------
+# Round-7 thirty-first pass: engagement stickiness, supplier scorecard
+# --------------------------------------------------------------------------
+
+
+@query(
+    "dau_wau_stickiness",
+    """
+WITH ud AS (
+  SELECT DISTINCT user_id, CAST(ts AS DATE) AS d FROM events
+),
+firsts AS (SELECT user_id, MIN(d) AS first_d FROM ud GROUP BY 1),
+dau AS (
+  SELECT ud.d,
+         CAST(COUNT(*) AS BIGINT) AS dau,
+         CAST(SUM(CASE WHEN ud.d = f.first_d THEN 1 ELSE 0 END) AS BIGINT)
+           AS new_users
+  FROM ud JOIN firsts f ON ud.user_id = f.user_id
+  GROUP BY ud.d
+),
+att AS (
+  SELECT DISTINCT user_id, d + CAST(k AS INTEGER) AS d
+  FROM ud, UNNEST(range(0, 7)) AS t(k)
+),
+wau AS (SELECT d, CAST(COUNT(*) AS BIGINT) AS wau FROM att GROUP BY 1)
+SELECT dau.d, dau.dau, dau.new_users,
+       CAST(dau.dau - dau.new_users AS BIGINT) AS returning_users,
+       wau.wau,
+       ROUND(dau.dau / CAST(wau.wau AS DOUBLE), 6) + 0 AS stickiness
+FROM dau JOIN wau ON dau.d = wau.d
+""",
+)
+def dau_wau_stickiness(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """DAU/WAU stickiness with the new-vs-returning split — the
+    engagement triplet on every growth dashboard. The WAU side uses
+    the ATTENDANCE-EXPLODE trick: each (user, day) presence emits 7
+    (user, day+k) attendance claims, so the trailing-7-day DISTINCT
+    count becomes an ordinary groupBy — no sliding COUNT(DISTINCT)
+    window (which Spark cannot partial-aggregate) and no 7-way self-
+    join; cost is 7x the (user, day) REDUCTION, not 7x the events.
+    New users fall out of a broadcast first-day join. At 100 TB the
+    (user, day) frame is the only thing that ever shuffles."""
+    e = _t(spark, sf_dir, "events")
+    ud = e.select(
+        "user_id", F.col("ts").cast("date").alias("d")
+    ).distinct()
+    firsts = ud.groupBy("user_id").agg(F.min("d").alias("first_d"))
+    dau = (
+        ud.join(F.broadcast(firsts), "user_id")
+        .groupBy("d")
+        .agg(
+            F.count(F.lit(1)).alias("dau"),
+            F.sum(
+                F.when(F.col("d") == F.col("first_d"), F.lit(1)).otherwise(
+                    F.lit(0)
+                )
+            ).alias("new_users"),
+        )
+    )
+    att = ud.select(
+        "user_id",
+        F.explode(
+            F.transform(
+                F.sequence(F.lit(0), F.lit(6)),
+                lambda k: F.date_add(F.col("d"), k),
+            )
+        ).alias("d"),
+    ).distinct()
+    wau = att.groupBy("d").agg(F.count(F.lit(1)).alias("wau"))
+    return dau.join(wau, "d").select(
+        "d",
+        "dau",
+        "new_users",
+        (F.col("dau") - F.col("new_users")).cast("long").alias(
+            "returning_users"
+        ),
+        "wau",
+        (
+            F.round(F.col("dau") / F.col("wau").cast("double"), 6)
+            + F.lit(0.0)
+        ).alias("stickiness"),
+    )
+
+
+@query(
+    "supplier_reliability_scorecard",
+    """
+WITH lines AS (
+  SELECT l.l_suppkey AS sk,
+         CAST(DATEDIFF('day', CAST(o.o_orderdate AS DATE),
+                       CAST(l.l_shipdate AS DATE)) AS DOUBLE) AS days,
+         l.l_extendedprice * (1 - l.l_discount) AS rev
+  FROM lineitem l JOIN orders o ON l.l_orderkey = o.o_orderkey
+)
+SELECT s.s_name AS supplier,
+       CAST(COUNT(*) AS BIGINT) AS n_lines,
+       ROUND(AVG(CASE WHEN days BETWEEN 0 AND 60 THEN 1.0 ELSE 0.0 END), 6)
+         + 0 AS on_time_rate,
+       ROUND(quantile_cont(days, 0.5), 4) + 0 AS median_latency_days,
+       ROUND(SUM(rev) / 1e6, 4) + 0 AS revenue_m
+FROM lines JOIN supplier s ON lines.sk = s.s_suppkey
+GROUP BY s.s_name
+""",
+)
+def supplier_reliability_scorecard(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """Supplier scorecard: on-time rate (shipped within 60 days of
+    order, the fixture's realistic SLA band), median latency, and
+    discounted revenue per supplier — the vendor-management view
+    stitching the latency percentiles (shipping_latency_percentiles)
+    to WHO, with revenue scaled to millions before rounding (the
+    recurring magnitude rule). One fact join, one grouped aggregate,
+    supplier names by broadcast."""
+    li = _t(spark, sf_dir, "lineitem")
+    o = _t(spark, sf_dir, "orders").select("o_orderkey", "o_orderdate")
+    s = _t(spark, sf_dir, "supplier").select("s_suppkey", "s_name")
+    lines = li.join(o, li.l_orderkey == o.o_orderkey).select(
+        F.col("l_suppkey").alias("sk"),
+        F.datediff(
+            F.col("l_shipdate").cast("date"),
+            F.col("o_orderdate").cast("date"),
+        )
+        .cast("double")
+        .alias("days"),
+        (F.col("l_extendedprice") * (1 - F.col("l_discount"))).alias("rev"),
+    )
+    return (
+        lines.join(F.broadcast(s), lines.sk == s.s_suppkey)
+        .groupBy(F.col("s_name").alias("supplier"))
+        .agg(
+            F.count(F.lit(1)).alias("n_lines"),
+            (
+                F.round(
+                    F.avg(
+                        F.when(
+                            F.col("days").between(0, 60), F.lit(1.0)
+                        ).otherwise(F.lit(0.0))
+                    ),
+                    6,
+                )
+                + F.lit(0.0)
+            ).alias("on_time_rate"),
+            (
+                F.round(F.percentile("days", F.lit(0.5)), 4) + F.lit(0.0)
+            ).alias("median_latency_days"),
+            (F.round(F.sum("rev") / 1e6, 4) + F.lit(0.0)).alias(
+                "revenue_m"
+            ),
+        )
+    )
