@@ -3187,3 +3187,50 @@ def test_stickiness_and_scorecard_invariants(spark, sf_dir):
     for c in cards:
         assert 0.0 <= c.on_time_rate <= 1.0
         assert c.revenue_m > 0
+
+
+def test_compression_discriminates_and_linear_conserves(spark, sf_dir):
+    """zlib ratio separates templated from diverse text by a wide
+    margin (the filter's whole contract); linear multi-touch
+    attribution conserves total purchase revenue and agrees with
+    last-touch on the 'direct' bucket (same no-prior-touch
+    definition)."""
+    import zlib
+
+    from value_at_risk_spark.queries import QUERIES
+    from value_at_risk_spark.sources.registry import Registry
+
+    rep = b"the same line over and over. " * 200
+    div = bytes(
+        " ".join(
+            f"w{i * 2654435761 % 99991}" for i in range(1000)
+        ),
+        "utf-8",
+    )
+    r_rep = len(zlib.compress(rep, 6)) / len(rep)
+    r_div = len(zlib.compress(div, 6)) / len(div)
+    assert r_rep < 0.1 < r_div  # the discrimination the query relies on
+
+    rows = QUERIES["compression_ratio_scores"](spark, sf_dir).collect()
+    assert rows
+    for r in rows:
+        assert 0.0 < r.p10_ratio <= r.p90_ratio <= 1.5
+
+    lin = {
+        r.channel: r.attributed_revenue
+        for r in QUERIES["attribution_linear_multitouch"](spark, sf_dir).collect()
+    }
+    total = (
+        Registry(sf_dir)
+        .read(spark, "events")
+        .filter(F.col("event_type") == "purchase")
+        .agg(F.round(F.sum("value"), 2))
+        .collect()[0][0]
+    )
+    assert abs(sum(lin.values()) - total) < 0.05
+
+    last = {
+        r.channel: r.attributed_revenue
+        for r in QUERIES["attribution_last_touch"](spark, sf_dir).collect()
+    }
+    assert abs(lin.get("direct", 0.0) - last.get("direct", 0.0)) < 0.05

@@ -12830,3 +12830,162 @@ def supplier_reliability_scorecard(
             ),
         )
     )
+
+
+# --------------------------------------------------------------------------
+# Round-7 thirty-second pass: compressibility filter, linear attribution
+# --------------------------------------------------------------------------
+
+
+@query("compression_ratio_scores")
+def compression_ratio_scores(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Compressibility quality filter (rows-only: zlib has no SQL
+    twin; the discrimination contract — templated/repetitive text
+    compresses far better than diverse text — is pytest-anchored):
+    per-language distribution of zlib-compressed/raw size, the cheap
+    repetition detector production curation stacks run beside the
+    token-level repetition_scores (zlib catches LONG-range and
+    structural repetition that n-gram ratios miss). The Python
+    boundary is a mapInPandas batch over (lang, text) only — level-6
+    zlib at ~100 MB/s/core is scan-rate; the per-language reduction
+    happens AFTER the Arrow boundary so only (lang, ratio) rows leave
+    Python."""
+    import pandas as _pd
+    import zlib as _zlib
+    from collections.abc import Iterator as _It
+
+    d = _t(spark, sf_dir, "documents").select("lang", "text")
+
+    def _ratios(batches: _It[_pd.DataFrame]) -> _It[_pd.DataFrame]:
+        for pdf in batches:
+            raw = pdf["text"].str.encode("utf-8")
+            ratios = [
+                (len(_zlib.compress(b, 6)) / max(len(b), 1)) for b in raw
+            ]
+            yield _pd.DataFrame({"lang": pdf["lang"], "ratio": ratios})
+
+    scored = d.mapInPandas(_ratios, schema="lang string, ratio double")
+    return scored.groupBy("lang").agg(
+        F.count(F.lit(1)).alias("n_docs"),
+        (F.round(F.avg("ratio"), 6) + F.lit(0.0)).alias("mean_ratio"),
+        (F.round(F.percentile("ratio", F.lit(0.1)), 6) + F.lit(0.0)).alias(
+            "p10_ratio"
+        ),
+        (F.round(F.percentile("ratio", F.lit(0.9)), 6) + F.lit(0.0)).alias(
+            "p90_ratio"
+        ),
+    )
+
+
+@query(
+    "attribution_linear_multitouch",
+    """
+WITH tagged AS (
+  SELECT user_id, ts, event_id, event_type, value,
+         CASE WHEN event_type IN ('click', 'view', 'signup') THEN 1
+              ELSE 0 END AS is_touch
+  FROM events
+),
+counted AS (
+  SELECT user_id, ts, event_id, event_type, value,
+         SUM(CASE WHEN event_type = 'click' THEN 1 ELSE 0 END) OVER w
+           AS n_click,
+         SUM(CASE WHEN event_type = 'view' THEN 1 ELSE 0 END) OVER w
+           AS n_view,
+         SUM(CASE WHEN event_type = 'signup' THEN 1 ELSE 0 END) OVER w
+           AS n_signup
+  FROM tagged
+  WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id
+               ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING)
+),
+purch AS (
+  SELECT value, n_click, n_view, n_signup,
+         n_click + n_view + n_signup AS n_touch
+  FROM counted WHERE event_type = 'purchase'
+),
+credited AS (
+  SELECT
+    SUM(CASE WHEN n_touch > 0 THEN value * n_click / n_touch ELSE 0 END)
+      AS click_rev,
+    SUM(CASE WHEN n_touch > 0 THEN value * n_view / n_touch ELSE 0 END)
+      AS view_rev,
+    SUM(CASE WHEN n_touch > 0 THEN value * n_signup / n_touch ELSE 0 END)
+      AS signup_rev,
+    SUM(CASE WHEN n_touch = 0 THEN value ELSE 0 END) AS direct_rev
+  FROM purch
+)
+SELECT channel, ROUND(rev, 4) + 0 AS attributed_revenue
+FROM (
+  SELECT 'click' AS channel, click_rev AS rev FROM credited
+  UNION ALL SELECT 'view', view_rev FROM credited
+  UNION ALL SELECT 'signup', signup_rev FROM credited
+  UNION ALL SELECT 'direct', direct_rev FROM credited
+)
+""",
+)
+def attribution_linear_multitouch(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """Linear multi-touch attribution: every purchase's value splits
+    EQUALLY across all the user's prior touches (click/view/signup;
+    'direct' when none) — the fairness-motivated alternative to
+    attribution_last_touch, and the two bracket most production
+    attribution debates. No explode: each channel's credit share is
+    value * n_channel_prior / n_prior, so three conditional window
+    counts over the SAME user ordering (one Window stage) and one
+    4-cell reduction produce the whole report; revenue is conserved
+    by construction (pytest ties it to the last-touch totals)."""
+    e = _t(spark, sf_dir, "events")
+    w = (
+        Window.partitionBy("user_id")
+        .orderBy("ts", "event_id")
+        .rowsBetween(Window.unboundedPreceding, -1)
+    )
+
+    def prior(t):
+        return F.sum(
+            F.when(F.col("event_type") == t, F.lit(1)).otherwise(F.lit(0))
+        ).over(w)
+
+    counted = e.select(
+        "event_type",
+        "value",
+        prior("click").alias("n_click"),
+        prior("view").alias("n_view"),
+        prior("signup").alias("n_signup"),
+    ).filter(F.col("event_type") == "purchase")
+    purch = counted.select(
+        "value",
+        "n_click",
+        "n_view",
+        "n_signup",
+        (F.col("n_click") + F.col("n_view") + F.col("n_signup")).alias(
+            "n_touch"
+        ),
+    )
+
+    def credit(col):
+        return F.sum(
+            F.when(
+                F.col("n_touch") > 0,
+                F.col("value") * F.col(col) / F.col("n_touch"),
+            ).otherwise(F.lit(0.0))
+        )
+
+    credited = purch.agg(
+        credit("n_click").alias("click"),
+        credit("n_view").alias("view"),
+        credit("n_signup").alias("signup"),
+        F.sum(
+            F.when(F.col("n_touch") == 0, F.col("value")).otherwise(
+                F.lit(0.0)
+            )
+        ).alias("direct"),
+    )
+    long = credited.selectExpr(
+        "stack(4, 'click', click, 'view', view, 'signup', signup, "
+        "'direct', direct) AS (channel, rev)"
+    )
+    return long.select(
+        "channel", (F.round("rev", 4) + F.lit(0.0)).alias("attributed_revenue")
+    )
