@@ -12888,12 +12888,12 @@ WITH tagged AS (
 ),
 counted AS (
   SELECT user_id, ts, event_id, event_type, value,
-         SUM(CASE WHEN event_type = 'click' THEN 1 ELSE 0 END) OVER w
-           AS n_click,
-         SUM(CASE WHEN event_type = 'view' THEN 1 ELSE 0 END) OVER w
-           AS n_view,
-         SUM(CASE WHEN event_type = 'signup' THEN 1 ELSE 0 END) OVER w
-           AS n_signup
+         COALESCE(SUM(CASE WHEN event_type = 'click' THEN 1 ELSE 0 END)
+                  OVER w, 0) AS n_click,
+         COALESCE(SUM(CASE WHEN event_type = 'view' THEN 1 ELSE 0 END)
+                  OVER w, 0) AS n_view,
+         COALESCE(SUM(CASE WHEN event_type = 'signup' THEN 1 ELSE 0 END)
+                  OVER w, 0) AS n_signup
   FROM tagged
   WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id
                ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING)
@@ -12943,9 +12943,17 @@ def attribution_linear_multitouch(
     )
 
     def prior(t):
-        return F.sum(
-            F.when(F.col("event_type") == t, F.lit(1)).otherwise(F.lit(0))
-        ).over(w)
+        # an empty preceding frame (the user's FIRST event) yields
+        # NULL, which would fall through BOTH n_touch branches and
+        # silently drop the purchase — coalesce to 0
+        return F.coalesce(
+            F.sum(
+                F.when(F.col("event_type") == t, F.lit(1)).otherwise(
+                    F.lit(0)
+                )
+            ).over(w),
+            F.lit(0),
+        )
 
     counted = e.select(
         "event_type",
