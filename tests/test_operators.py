@@ -3234,3 +3234,22 @@ def test_compression_discriminates_and_linear_conserves(spark, sf_dir):
         for r in QUERIES["attribution_last_touch"](spark, sf_dir).collect()
     }
     assert abs(lin.get("direct", 0.0) - last.get("direct", 0.0)) < 0.05
+
+
+def test_basel_capital_charge_floors_var(spark, sf_dir):
+    """Capital is always at least |VaR| (the max with the multiplied
+    average), the multiplier tracks the breach bands, and charges are
+    positive."""
+    from value_at_risk_spark.queries import QUERIES
+
+    rows = QUERIES["basel_capital_charge"](spark, sf_dir).collect()
+    assert rows
+    for r in rows:
+        assert r.capital_charge >= -r.var99 - 1e-6  # floor: |VaR|
+        assert r.capital_charge > 0
+        if r.breaches_250d <= 4:
+            assert r.multiplier == 3.0
+        elif r.breaches_250d <= 9:
+            assert abs(r.multiplier - (3.0 + 0.1 * (r.breaches_250d - 4))) < 1e-9
+        else:
+            assert r.multiplier == 4.0
