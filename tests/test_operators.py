@@ -3253,3 +3253,32 @@ def test_basel_capital_charge_floors_var(spark, sf_dir):
             assert abs(r.multiplier - (3.0 + 0.1 * (r.breaches_250d - 4))) < 1e-9
         else:
             assert r.multiplier == 4.0
+
+
+def test_evt_extrapolation_brackets_empirical_var(spark, sf_dir):
+    """The GPD-extrapolated VaR-99 must land in the neighborhood of
+    the empirical VaR-99 (same order, correct sign as a loss) and
+    the fitted tail must be valid (beta > 0, exceedance count ~5% of
+    the series)."""
+    from value_at_risk_spark.queries import QUERIES, daily_returns
+
+    emp = {
+        r.series: -r[1]
+        for r in daily_returns(spark, sf_dir)
+        .groupBy("series")
+        .agg(F.percentile("ret", F.lit(0.01)))
+        .collect()
+    }
+    n_by_series = {
+        r.series: r[1]
+        for r in daily_returns(spark, sf_dir)
+        .groupBy("series")
+        .agg(F.count(F.lit(1)))
+        .collect()
+    }
+    for r in QUERIES["evt_tail_fit_pot"](spark, sf_dir).collect():
+        assert r.gpd_beta > 0
+        n = n_by_series[r.series]
+        assert abs(r.n_exceedances - 0.05 * n) <= 0.02 * n + 2
+        # the 1% EVT quantile is in the empirical VaR's neighborhood
+        assert 0.4 * emp[r.series] < r.evt_var99_loss < 2.5 * emp[r.series]

@@ -13130,3 +13130,109 @@ def basel_capital_charge(spark: SparkSession, sf_dir: str) -> DataFrame:
             + F.lit(0.0)
         ).alias("capital_charge"),
     )
+
+
+@query(
+    "evt_tail_fit_pot",
+    "WITH "
+    + SQL_RETS
+    + """,
+loss AS (SELECT series, d, -ret AS x FROM rets),
+thr AS (
+  SELECT series, quantile_cont(x, 0.95) AS u,
+         CAST(COUNT(*) AS DOUBLE) AS n_all
+  FROM loss GROUP BY 1
+),
+exc AS (
+  SELECT l.series, l.x - t.u AS y, t.u, t.n_all
+  FROM loss l JOIN thr t ON l.series = t.series
+  WHERE l.x > t.u
+),
+ranked AS (
+  SELECT series, y, u, n_all,
+         ROW_NUMBER() OVER (PARTITION BY series ORDER BY y, u) AS rn,
+         CAST(COUNT(*) OVER (PARTITION BY series) AS DOUBLE) AS n
+  FROM exc
+),
+pwm AS (
+  SELECT series, MIN(u) AS u, MIN(n_all) AS n_all, MIN(n) AS n,
+         AVG(y) AS b0,
+         SUM((n - rn) / (n - 1) * y) / MIN(n) AS b1
+  FROM ranked GROUP BY series
+),
+fit AS (
+  SELECT series, u, n_all, n, b0, b1,
+         2.0 - b0 / (b0 - 2 * b1) AS xi,
+         2.0 * b0 * b1 / (b0 - 2 * b1) AS beta
+  FROM pwm
+)
+SELECT series,
+       CAST(n AS BIGINT) AS n_exceedances,
+       ROUND(u, 6) + 0 AS threshold_u,
+       ROUND(xi, 6) + 0 AS gpd_xi,
+       ROUND(beta, 6) + 0 AS gpd_beta,
+       ROUND(u + beta / xi * (POWER(n_all / n * 0.01, -xi) - 1.0), 6) + 0
+         AS evt_var99_loss
+FROM fit
+""",
+)
+def evt_tail_fit_pot(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Peaks-over-threshold extreme value fit (McNeil-Frey style):
+    losses beyond the 95th percentile follow a Generalized Pareto
+    tail whose (xi, beta) come CLOSED-FORM from probability-weighted
+    moments (Hosking-Wallis: xi = 2 - b0/(b0-2b1), beta =
+    2 b0 b1/(b0-2b1)) — no MLE iteration, so the whole EVT pipeline
+    is windows + aggregates: threshold per series (exact percentile),
+    exceedances by broadcast join, one rank window for b1's weights,
+    one grouped reduction. The payoff column is the EVT-extrapolated
+    VaR-99 = u + beta/xi*((n/Nu * 0.01)^-xi - 1): a tail estimate
+    that does NOT read the empirical 1% quantile — the thing
+    historical VaR cannot do beyond its sample, and why EVT is the
+    FRTB-era answer to 'what about quantiles you never observed'."""
+    rets = daily_returns(spark, sf_dir)
+    loss = rets.select("series", "d", (-F.col("ret")).alias("x"))
+    thr = loss.groupBy("series").agg(
+        F.percentile("x", F.lit(0.95)).alias("u"),
+        F.count(F.lit(1)).cast("double").alias("n_all"),
+    )
+    exc = (
+        loss.join(F.broadcast(thr), "series")
+        .filter(F.col("x") > F.col("u"))
+        .select("series", (F.col("x") - F.col("u")).alias("y"), "u", "n_all")
+    )
+    wrn = Window.partitionBy("series").orderBy("y", "u")
+    wp = Window.partitionBy("series")
+    ranked = exc.select(
+        "series",
+        "y",
+        "u",
+        "n_all",
+        F.row_number().over(wrn).alias("rn"),
+        F.count(F.lit(1)).over(wp).cast("double").alias("n"),
+    )
+    pwm = ranked.groupBy("series").agg(
+        F.min("u").alias("u"),
+        F.min("n_all").alias("n_all"),
+        F.min("n").alias("n"),
+        F.avg("y").alias("b0"),
+        (
+            F.sum((F.col("n") - F.col("rn")) / (F.col("n") - 1) * F.col("y"))
+            / F.min("n")
+        ).alias("b1"),
+    )
+    xi = F.lit(2.0) - F.col("b0") / (F.col("b0") - 2 * F.col("b1"))
+    beta = 2.0 * F.col("b0") * F.col("b1") / (F.col("b0") - 2 * F.col("b1"))
+    fit = pwm.select(
+        "series", "u", "n_all", "n", xi.alias("xi"), beta.alias("beta")
+    )
+    evt_var = F.col("u") + F.col("beta") / F.col("xi") * (
+        F.pow(F.col("n_all") / F.col("n") * 0.01, -F.col("xi")) - 1.0
+    )
+    return fit.select(
+        "series",
+        F.col("n").cast("long").alias("n_exceedances"),
+        (F.round("u", 6) + F.lit(0.0)).alias("threshold_u"),
+        (F.round("xi", 6) + F.lit(0.0)).alias("gpd_xi"),
+        (F.round("beta", 6) + F.lit(0.0)).alias("gpd_beta"),
+        (F.round(evt_var, 6) + F.lit(0.0)).alias("evt_var99_loss"),
+    )
