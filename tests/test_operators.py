@@ -3282,3 +3282,19 @@ def test_evt_extrapolation_brackets_empirical_var(spark, sf_dir):
         assert abs(r.n_exceedances - 0.05 * n) <= 0.02 * n + 2
         # the 1% EVT quantile is in the empirical VaR's neighborhood
         assert 0.4 * emp[r.series] < r.evt_var99_loss < 2.5 * emp[r.series]
+
+
+def test_var_bands_bracket_point_estimate(spark, sf_dir):
+    """The order-statistic CI must contain the interpolated point
+    VaR, with a nonzero width at fixture n; freshness spans
+    reconcile with their date bounds."""
+    from value_at_risk_spark.queries import QUERIES
+
+    for r in QUERIES["var_confidence_bands"](spark, sf_dir).collect():
+        assert r.ci_lo <= r.var99 <= r.ci_hi
+        assert r.ci_lo < r.ci_hi
+        assert r.rank_width >= 1
+
+    for r in QUERIES["table_freshness_report"](spark, sf_dir).collect():
+        assert r.n_rows > 0
+        assert (r.last_d - r.first_d).days == r.span_days
