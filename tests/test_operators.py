@@ -3298,3 +3298,17 @@ def test_var_bands_bracket_point_estimate(spark, sf_dir):
     for r in QUERIES["table_freshness_report"](spark, sf_dir).collect():
         assert r.n_rows > 0
         assert (r.last_d - r.first_d).days == r.span_days
+
+
+def test_ess_exceeds_n_on_mean_reverting_fixture(spark, sf_dir):
+    """The fixture mean-reverts (negative rho_1 — see acf_ljung_box),
+    so ESS must EXCEED n; NDR joins stay per-cohort consistent."""
+    from value_at_risk_spark.queries import QUERIES
+
+    for r in QUERIES["effective_sample_size"](spark, sf_dir).collect():
+        assert r.ess > r.n_obs  # anticorrelation -> more information
+        assert r.ess_ratio > 1.0
+
+    for r in QUERIES["net_dollar_retention"](spark, sf_dir).collect():
+        assert r.yrs_since >= 1
+        assert r.ndr > 0 and r.revenue_m > 0

@@ -13392,3 +13392,140 @@ def table_freshness_report(spark: SparkSession, sf_dir: str) -> DataFrame:
         .unionByName(one(li, "lineitem", "l_shipdate"))
         .unionByName(one(e, "events", "ts"))
     )
+
+
+# --------------------------------------------------------------------------
+# Round-7 thirty-sixth pass: effective sample size, dollar retention
+# --------------------------------------------------------------------------
+
+
+@query(
+    "effective_sample_size",
+    "WITH "
+    + SQL_RETS
+    + """,
+m AS (SELECT series, AVG(ret) AS mu FROM rets GROUP BY 1),
+x AS (
+  SELECT r.series, r.d, r.ret - m.mu AS x
+  FROM rets r JOIN m USING (series)
+),
+l AS (
+  SELECT series, x,
+         LAG(x, 1) OVER (PARTITION BY series ORDER BY d) AS x1,
+         LAG(x, 2) OVER (PARTITION BY series ORDER BY d) AS x2,
+         LAG(x, 3) OVER (PARTITION BY series ORDER BY d) AS x3
+  FROM x
+)
+SELECT series,
+       CAST(COUNT(*) AS BIGINT) AS n_obs,
+       ROUND(COUNT(*) / (1.0 + 2.0 * (
+           SUM(x * x1) / SUM(x * x)
+         + SUM(x * x2) / SUM(x * x)
+         + SUM(x * x3) / SUM(x * x))), 2) + 0 AS ess,
+       ROUND(COUNT(*) / (1.0 + 2.0 * (
+           SUM(x * x1) / SUM(x * x)
+         + SUM(x * x2) / SUM(x * x)
+         + SUM(x * x3) / SUM(x * x))) / COUNT(*), 6) + 0 AS ess_ratio
+FROM l GROUP BY series
+""",
+)
+def effective_sample_size(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Effective sample size under serial correlation: ESS = n /
+    (1 + 2*sum rho_k), the number of INDEPENDENT observations your n
+    autocorrelated ones are worth — the bridge between the ACF
+    diagnostics (acf_ljung_box) and every n-based inference in this
+    file (calendar t-stats, VaR confidence bands, MDE): an
+    ESS ratio far from 1 says those n's are lying. On this mean-
+    reverting fixture the negative rho_1 makes ESS EXCEED n —
+    anticorrelated draws carry more information than independent
+    ones, the same effect var_horizon_scaling measures in VaR units.
+    Identical dataflow to the ACF query: one mean broadcast, one lag
+    window, one reduction."""
+    rets = daily_returns(spark, sf_dir)
+    mu = rets.groupBy("series").agg(F.avg("ret").alias("mu"))
+    x = rets.join(F.broadcast(mu), "series").select(
+        "series", "d", (F.col("ret") - F.col("mu")).alias("x")
+    )
+    w = Window.partitionBy("series").orderBy("d")
+    lagged = x.select(
+        "series",
+        "x",
+        F.lag("x", 1).over(w).alias("x1"),
+        F.lag("x", 2).over(w).alias("x2"),
+        F.lag("x", 3).over(w).alias("x3"),
+    )
+    sxx = F.sum(F.col("x") * F.col("x"))
+    rho_sum = sum(
+        F.sum(F.col("x") * F.col(f"x{k}")) / sxx for k in (1, 2, 3)
+    )
+    n = F.count(F.lit(1))
+    ess = n / (F.lit(1.0) + 2.0 * rho_sum)
+    return lagged.groupBy("series").agg(
+        n.alias("n_obs"),
+        (F.round(ess, 2) + F.lit(0.0)).alias("ess"),
+        (F.round(ess / n, 6) + F.lit(0.0)).alias("ess_ratio"),
+    )
+
+
+@query(
+    "net_dollar_retention",
+    """
+WITH fo AS (
+  SELECT o_custkey AS k,
+         MIN(EXTRACT(YEAR FROM CAST(o_orderdate AS DATE))) AS cohort_year
+  FROM orders GROUP BY 1
+),
+rev AS (
+  SELECT fo.cohort_year,
+         EXTRACT(YEAR FROM CAST(o.o_orderdate AS DATE)) - fo.cohort_year
+           AS yrs_since,
+         SUM(o.o_totalprice) AS r
+  FROM orders o JOIN fo ON o.o_custkey = fo.k
+  GROUP BY 1, 2
+),
+base AS (
+  SELECT cohort_year, r AS r0 FROM rev WHERE yrs_since = 0
+)
+SELECT rev.cohort_year,
+       CAST(rev.yrs_since AS BIGINT) AS yrs_since,
+       ROUND(rev.r / 1e6, 4) + 0 AS revenue_m,
+       ROUND(rev.r / base.r0, 6) + 0 AS ndr
+FROM rev JOIN base ON rev.cohort_year = base.cohort_year
+WHERE rev.yrs_since >= 1
+""",
+)
+def net_dollar_retention(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Net dollar retention by acquisition cohort: each later year's
+    revenue from a cohort over its FIRST-year revenue — the SaaS
+    metric that distinguishes expansion from churn in money terms
+    (retention_cohorts counts heads, cohort_ltv_curve accumulates;
+    NDR is the year-over-year rate investors quote). Same cohort
+    reduction as the LTV query; the base-year denominator joins back
+    broadcast; revenue surfaced in millions (the magnitude rule)."""
+    o = _t(spark, sf_dir, "orders")
+    yr = F.year(F.col("o_orderdate").cast("date"))
+    fo = o.groupBy(F.col("o_custkey").alias("k")).agg(
+        F.min(yr).alias("cohort_year")
+    )
+    rev = (
+        o.join(fo, o.o_custkey == fo.k)
+        .groupBy(
+            "cohort_year", (yr - F.col("cohort_year")).alias("yrs_since")
+        )
+        .agg(F.sum("o_totalprice").alias("r"))
+    )
+    base = rev.filter(F.col("yrs_since") == 0).select(
+        "cohort_year", F.col("r").alias("r0")
+    )
+    return (
+        rev.filter(F.col("yrs_since") >= 1)
+        .join(F.broadcast(base), "cohort_year")
+        .select(
+            "cohort_year",
+            F.col("yrs_since").cast("long").alias("yrs_since"),
+            (F.round(F.col("r") / 1e6, 4) + F.lit(0.0)).alias("revenue_m"),
+            (F.round(F.col("r") / F.col("r0"), 6) + F.lit(0.0)).alias(
+                "ndr"
+            ),
+        )
+    )
