@@ -13418,14 +13418,14 @@ l AS (
 )
 SELECT series,
        CAST(COUNT(*) AS BIGINT) AS n_obs,
-       ROUND(COUNT(*) / (1.0 + 2.0 * (
+       ROUND(COUNT(*) / GREATEST(1.0 + 2.0 * (
            SUM(x * x1) / SUM(x * x)
          + SUM(x * x2) / SUM(x * x)
-         + SUM(x * x3) / SUM(x * x))), 2) + 0 AS ess,
-       ROUND(COUNT(*) / (1.0 + 2.0 * (
+         + SUM(x * x3) / SUM(x * x)), 0.1), 2) + 0 AS ess,
+       ROUND(1.0 / GREATEST(1.0 + 2.0 * (
            SUM(x * x1) / SUM(x * x)
          + SUM(x * x2) / SUM(x * x)
-         + SUM(x * x3) / SUM(x * x))) / COUNT(*), 6) + 0 AS ess_ratio
+         + SUM(x * x3) / SUM(x * x)), 0.1), 6) + 0 AS ess_ratio
 FROM l GROUP BY series
 """,
 )
@@ -13439,8 +13439,11 @@ def effective_sample_size(spark: SparkSession, sf_dir: str) -> DataFrame:
     reverting fixture the negative rho_1 makes ESS EXCEED n —
     anticorrelated draws carry more information than independent
     ones, the same effect var_horizon_scaling measures in VaR units.
-    Identical dataflow to the ACF query: one mean broadcast, one lag
-    window, one reduction."""
+    The truncated-ACF denominator can cross zero under strong
+    anticorrelation (it did at sf0.001: sum rho ~ -0.5), so it is
+    floored at 0.1 — the standard clip capping ESS at 10n instead of
+    returning a meaningless negative. Identical dataflow to the ACF
+    query: one mean broadcast, one lag window, one reduction."""
     rets = daily_returns(spark, sf_dir)
     mu = rets.groupBy("series").agg(F.avg("ret").alias("mu"))
     x = rets.join(F.broadcast(mu), "series").select(
@@ -13459,11 +13462,11 @@ def effective_sample_size(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.sum(F.col("x") * F.col(f"x{k}")) / sxx for k in (1, 2, 3)
     )
     n = F.count(F.lit(1))
-    ess = n / (F.lit(1.0) + 2.0 * rho_sum)
+    denom = F.greatest(F.lit(1.0) + 2.0 * rho_sum, F.lit(0.1))
     return lagged.groupBy("series").agg(
         n.alias("n_obs"),
-        (F.round(ess, 2) + F.lit(0.0)).alias("ess"),
-        (F.round(ess / n, 6) + F.lit(0.0)).alias("ess_ratio"),
+        (F.round(n / denom, 2) + F.lit(0.0)).alias("ess"),
+        (F.round(F.lit(1.0) / denom, 6) + F.lit(0.0)).alias("ess_ratio"),
     )
 
 
