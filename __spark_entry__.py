@@ -81,10 +81,13 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     # Gate-window ordering (the driver runs only the first ~50 entries):
     #   1. queries whose LATEST official row is a failure — a red row in
     #      the cumulative ledger must be re-gated before anything else;
-    #   2. never-gated queries (oracle-eligible before rows-only, so a
-    #      truncating gate spends its budget on hash-comparable
-    #      coverage first);
-    #   3. previously-green queries, least-recently gated first.
+    #   2. an INTERLEAVE of never-gated queries (oracle-eligible before
+    #      rows-only, so a truncating gate spends its budget on
+    #      hash-comparable coverage first) with previously-green
+    #      queries, least-recently gated first: every 5th post-failed
+    #      slot is reserved for the OLDEST green row, so stale greens
+    #      (e.g. the flagship's r04 vintage) re-verify continuously
+    #      instead of waiting for the fresh backlog to fully drain.
     # The rotation means old green rows don't stand forever: every
     # round the truncating window re-verifies the longest-unchecked
     # slice, so a regression in an already-gated query is caught within
@@ -95,9 +98,20 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     failed.sort(key=lambda k: ledger[k][0])  # stable: ties keep dict order
     fresh_oracle = [k for k in QUERIES if k not in ledger and k in ORACLES]
     fresh_rows = [k for k in QUERIES if k not in ledger and k not in ORACLES]
+    fresh = [*fresh_oracle, *fresh_rows]
     green = [k for k in QUERIES if k in ledger and ledger[k][1]]
     green.sort(key=lambda k: ledger[k][0])
-    ordered = [*failed, *fresh_oracle, *fresh_rows, *green]
+    ordered = [*failed]
+    fi = gi = slot = 0
+    while fi < len(fresh) or gi < len(green):
+        green_slot = slot % 5 == 4
+        if (green_slot and gi < len(green)) or fi >= len(fresh):
+            ordered.append(green[gi])
+            gi += 1
+        else:
+            ordered.append(fresh[fi])
+            fi += 1
+        slot += 1
     return {k: QUERIES[k] for k in ordered}
 
 

@@ -175,6 +175,74 @@ def scaled_near_dedup(spark, sf_dir: str) -> dict:
     }
 
 
+def scaled_heavy_tail(spark, sf_dir: str) -> dict:
+    """Standing ~sf1 heavy-tail subset (round-7 verdict #6): the four
+    heaviest round-7 queries at 10x the bench SF, one timed run each,
+    with work-size denominators — turning the newest operators'
+    designed-for-100x claims into per-round regression numbers.
+
+    The scaled dir replicates documents (shifted doc_ids: dupe-heavy
+    corpus) AND the trade-graph tables with shifted supplier/customer
+    keys per replica, so the PageRank graph genuinely grows 10x in
+    nodes and edges (key-preserving replication would only deepen the
+    same graph's edge multiplicity, which distinct() collapses)."""
+    import shutil
+    import tempfile
+
+    from pyspark.sql import functions as F
+
+    scaled = tempfile.mkdtemp(prefix="bench_scaled_heavy_")
+    reps = 10
+    stride = 10**9
+
+    def replicate(name, shift_cols):
+        base = spark.read.parquet(f"{sf_dir}/{name}.parquet")
+        union = None
+        for i in range(reps):
+            rep = base
+            for c in shift_cols:
+                rep = rep.withColumn(c, F.col(c) + F.lit(i * stride))
+            union = rep if union is None else union.unionByName(rep)
+        union.write.mode("overwrite").parquet(f"{scaled}/{name}.parquet")
+
+    shutil.rmtree(scaled, ignore_errors=True)
+    os.makedirs(scaled)
+    replicate("documents", ["doc_id"])
+    replicate("lineitem", ["l_orderkey", "l_suppkey"])
+    replicate("orders", ["o_orderkey", "o_custkey"])
+
+    out: dict[str, object] = {
+        "scaled10_docs": spark.read.parquet(
+            f"{scaled}/documents.parquet"
+        ).count()
+    }
+    try:
+        for name in (
+            "pagerank_trade_graph",
+            "remove_duplicated_spans",
+            "duplicated_ngram_spans",
+            "source_overlap_matrix",
+        ):
+            t0 = time.time()
+            force(QUERIES[name](spark, scaled))
+            out[f"scaled10_{name}_sec"] = round(time.time() - t0, 3)
+        # work-size denominators: graph nodes (pagerank output is one
+        # row per node), duplicated-span rows, overlap-matrix cells;
+        # remove_duplicated_spans emits one row per doc = scaled10_docs
+        out["scaled10_graph_nodes"] = QUERIES["pagerank_trade_graph"](
+            spark, scaled
+        ).count()
+        out["scaled10_duplicated_span_rows"] = QUERIES[
+            "duplicated_ngram_spans"
+        ](spark, scaled).count()
+        out["scaled10_overlap_matrix_cells"] = QUERIES[
+            "source_overlap_matrix"
+        ](spark, scaled).count()
+    finally:
+        shutil.rmtree(scaled, ignore_errors=True)
+    return out
+
+
 def main() -> None:
     sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     sf = os.path.basename(sf_dir.rstrip("/")).replace("sf", "")
@@ -218,6 +286,10 @@ def main() -> None:
             scaled_stats = scaled_near_dedup(spark, sf_dir)
         except Exception as ex:  # the extra row must never sink the bench
             scaled_stats = {"near_dedup_scaled_error": str(ex)[:200]}
+        try:
+            scaled_stats.update(scaled_heavy_tail(spark, sf_dir))
+        except Exception as ex:
+            scaled_stats["heavy_tail_scaled_error"] = str(ex)[:200]
     print(
         json.dumps(
             {

@@ -3312,3 +3312,78 @@ def test_ess_exceeds_n_on_mean_reverting_fixture(spark, sf_dir):
     for r in QUERIES["net_dollar_retention"](spark, sf_dir).collect():
         assert r.yrs_since >= 1
         assert r.ndr > 0 and r.revenue_m > 0
+
+
+def test_cosine_topk_arrow_keeps_rounding_ties_at_local_cut(spark):
+    """A candidate just below the batch-local raw kth that ROUNDS into
+    a tie with a smaller id must survive the per-batch cut: the final
+    contract ranks on 6dp-rounded cosine with ascending-id tie-break,
+    so id 5 (raw 0.99999955, rounds to 1.0) beats id 10 (raw
+    0.9999996, also rounds to 1.0) even though id 10's raw similarity
+    is higher."""
+    import math
+
+    from value_at_risk_spark.operators.similarity import cosine_topk_arrow
+
+    def unit(c):
+        return [float(c), math.sqrt(max(0.0, 1.0 - c * c))]
+
+    queries = spark.createDataFrame(
+        [(1000, [1.0, 0.0])], "query_id long, embedding array<double>"
+    )
+    corpus = spark.createDataFrame(
+        [(5, unit(0.99999955)), (10, unit(0.9999996)), (3, unit(0.5))],
+        "neighbor_id long, embedding array<double>",
+    )
+    rows = cosine_topk_arrow(queries, corpus, k=1).collect()
+    assert [(r.neighbor_id, r.cosine, r.rank) for r in rows] == [(5, 1.0, 1)]
+
+
+def test_pagerank_default_dedupe_ignores_multi_edges(spark):
+    """Multi-edges must not double-count contributions: the default
+    dedupe=True gives the simple-graph answer for a feed with
+    duplicated rows, and dedupe=False on the same feed diverges
+    (documenting WHY the precondition is now enforced by default)."""
+    from value_at_risk_spark.operators.graph import pagerank
+
+    simple = [(0, 1), (1, 2), (2, 0), (2, 1)]
+    noisy = simple + [(0, 1)] * 3 + [(2, 0)]  # duplicated edges
+    df_simple = spark.createDataFrame(simple, "src int, dst int")
+    df_noisy = spark.createDataFrame(noisy, "src int, dst int")
+
+    ref = {r.node: r.r for r in pagerank(df_simple, iters=3).collect()}
+    got = {r.node: r.r for r in pagerank(df_noisy, iters=3).collect()}
+    assert got == ref
+
+    skewed = {
+        r.node: r.r
+        for r in pagerank(df_noisy, iters=3, dedupe=False).collect()
+    }
+    assert skewed != ref
+
+
+def test_minhash_lsh_pairs_learns_k_from_signature_metadata(spark):
+    """minhash_signatures stamps num_hashes into the signature
+    column's metadata, so a composed flow that omits num_hashes never
+    fires the .first() probe job — it even builds the plan on an
+    EMPTY signatures frame (which the probe path cannot)."""
+    docs = spark.createDataFrame(
+        [(1, "a b c d e f g"), (2, "a b c d e f g"), (3, "x y z w q r s")],
+        "doc_id long, text string",
+    )
+    sigs = minhash_signatures(docs, num_hashes=16)
+    assert sigs.schema["signature"].metadata["num_hashes"] == 16
+    implicit = {
+        (r.id_a, r.id_b)
+        for r in minhash_lsh_pairs(sigs, num_bands=4).collect()
+    }
+    explicit = {
+        (r.id_a, r.id_b)
+        for r in minhash_lsh_pairs(sigs, num_bands=4, num_hashes=16).collect()
+    }
+    assert implicit == explicit and (1, 2) in implicit
+
+    empty = minhash_signatures(
+        spark.createDataFrame([], "doc_id long, text string"), num_hashes=16
+    )
+    assert minhash_lsh_pairs(empty, num_bands=4).count() == 0

@@ -750,3 +750,29 @@ def test_cdc_out_of_order_redelivery_and_vacuum(spark, tmp_path):
     removed = sink.vacuum(keep_last=1)
     assert removed == [0, 1]
     assert {r.k: r.val for r in sink.read(spark).collect()} == live
+
+
+def test_cdc_seq_tie_never_resurrects_a_delete(spark, tmp_path):
+    """A malformed feed that reuses a (key, seq) log position must not
+    let an 'U' beat the 'D' tombstone at the same seq: the fold's
+    tie-break is an explicit op priority (D > U > I), not
+    lexicographic op order."""
+    from value_at_risk_spark.streaming.cdc import CdcTableSink
+
+    sink = CdcTableSink(str(tmp_path / "tbl"), keys=["k"])
+    schema = "k long, seq int, op string, val string"
+    sink(spark.createDataFrame([(1, 1, "I", "a"), (2, 1, "I", "b")], schema), 0)
+    # same batch carries both sides of the malformed tie for key 1,
+    # and key 2's tie arrives split across two batches
+    sink(
+        spark.createDataFrame(
+            [(1, 2, "D", ""), (1, 2, "U", "zombie"), (2, 2, "D", "")], schema
+        ),
+        1,
+    )
+    sink(spark.createDataFrame([(2, 2, "U", "zombie2")], schema), 2)
+
+    live = {r.k: r.val for r in sink.read(spark).collect()}
+    assert live == {}  # both keys stay deleted
+    state = {r.k: (r.seq, r.op) for r in sink.read_state(spark).collect()}
+    assert state == {1: (2, "D"), 2: (2, "D")}

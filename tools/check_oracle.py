@@ -5,6 +5,13 @@ DuckDB at the given sf dir, then compares row count, column names, and
 order-insensitive values (sorted columns, sorted rows, rounded doubles).
 
 Usage: python tools/check_oracle.py [sf_dir] [name ...]
+       python tools/check_oracle.py --json SWEEP.json [sf_dir] [name ...]
+
+``--json OUT`` additionally writes a machine-readable sweep artifact:
+one record per query — {status: pass|fail|rows_only, rows, secs, and
+detail on failure} — so a full local sweep is auditable per round
+(the committed ``SWEEP_r{N}.json`` files) instead of resting on
+commit-message claims.
 """
 
 from __future__ import annotations
@@ -42,8 +49,13 @@ def _norm_rows(cols, rows):
 
 
 def main():
-    sf_dir = sys.argv[1] if len(sys.argv) > 1 else "/root/testdata/sf0.01"
-    only = set(sys.argv[2:])
+    argv = list(sys.argv[1:])
+    json_out = None
+    if argv and argv[0] == "--json":
+        json_out = argv[1]
+        argv = argv[2:]
+    sf_dir = argv[0] if argv else "/root/testdata/sf0.01"
+    only = set(argv[1:])
     spark = get_spark("oracle-check")
     con = duckdb.connect()
     for t in TABLES:
@@ -51,6 +63,7 @@ def main():
             f"CREATE VIEW {t} AS SELECT * FROM read_parquet('{sf_dir}/{t}.parquet')"
         )
     n_pass = n_fail = 0
+    report: dict[str, dict] = {}
     for name, fn in QUERIES.items():
         if only and name not in only:
             continue
@@ -61,12 +74,21 @@ def main():
             srows = [tuple(r) for r in sdf.collect()]
         except Exception as e:  # noqa: BLE001
             print(f"FAIL  {name}: spark error: {e}")
+            report[name] = {"status": "fail", "detail": f"spark error: {e}"}
             n_fail += 1
             continue
         if name not in ORACLES:
-            print(f"rows  {name}: {len(srows)} rows (rows-only, {time.time()-t0:.1f}s)")
+            secs = round(time.time() - t0, 1)
+            print(f"rows  {name}: {len(srows)} rows (rows-only, {secs}s)")
+            report[name] = {
+                "status": "rows_only" if srows else "fail",
+                "rows": len(srows),
+                "secs": secs,
+            }
             if not srows:
                 print(f"WARN  {name}: 0 rows")
+                report[name]["detail"] = "rows-only query returned 0 rows"
+                n_fail += 1
             continue
         try:
             res = con.sql(ORACLES[name])
@@ -74,19 +96,30 @@ def main():
             drows = res.fetchall()
         except Exception as e:  # noqa: BLE001
             print(f"FAIL  {name}: duckdb error: {e}")
+            report[name] = {"status": "fail", "detail": f"duckdb error: {e}"}
             n_fail += 1
             continue
         sc, sr = _norm_rows(scols, srows)
         dc, dr = _norm_rows(dcols, drows)
+        secs = round(time.time() - t0, 1)
         if sc != dc:
             print(f"FAIL  {name}: columns {sc} vs {dc}")
+            report[name] = {"status": "fail", "detail": f"columns {sc} vs {dc}"}
             n_fail += 1
         elif len(sr) != len(dr):
             print(f"FAIL  {name}: rowcount {len(sr)} vs {len(dr)}")
+            report[name] = {
+                "status": "fail",
+                "detail": f"rowcount {len(sr)} vs {len(dr)}",
+            }
             n_fail += 1
         elif sr != dr:
             bad = sum(1 for a, b in zip(sr, dr) if a != b)
             print(f"FAIL  {name}: {bad}/{len(sr)} rows differ")
+            report[name] = {
+                "status": "fail",
+                "detail": f"{bad}/{len(sr)} rows differ",
+            }
             for a, b in list(zip(sr, dr))[:200]:
                 if a != b:
                     print(f"      spark={a}")
@@ -94,10 +127,27 @@ def main():
                     break
             n_fail += 1
         else:
-            print(f"PASS  {name}: {len(sr)} rows ({time.time()-t0:.1f}s)")
+            print(f"PASS  {name}: {len(sr)} rows ({secs}s)")
+            report[name] = {"status": "pass", "rows": len(sr), "secs": secs}
             n_pass += 1
     print(f"\n{n_pass} pass / {n_fail} fail "
           f"/ {len([q for q in QUERIES if q not in ORACLES])} rows-only")
+    if json_out:
+        import json
+
+        summary = {
+            "sf_dir": sf_dir,
+            "n_pass": n_pass,
+            "n_fail": n_fail,
+            "n_rows_only": sum(
+                1 for r in report.values() if r["status"] == "rows_only"
+            ),
+            "n_queries": len(report),
+            "queries": report,
+        }
+        with open(json_out, "w") as fh:
+            json.dump(summary, fh, indent=1, sort_keys=True)
+        print(f"wrote {json_out}")
     return 1 if n_fail else 0
 
 

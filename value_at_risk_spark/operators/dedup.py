@@ -79,7 +79,13 @@ def minhash_signatures(
         ]
     )
     return sig.select(
-        id_col, F.array(*[f"_m{i}" for i in range(num_hashes)]).alias("signature")
+        id_col,
+        F.array(*[f"_m{i}" for i in range(num_hashes)]).alias(
+            # carry k in column metadata so downstream banding can learn
+            # the signature length from the SCHEMA, never from a probe job
+            "signature",
+            metadata={"num_hashes": num_hashes},
+        ),
     )
 
 
@@ -96,10 +102,16 @@ def minhash_lsh_pairs(
     so cost is O(candidates), never O(n²). Self-join is deduped by
     id_a < id_b.
     """
-    # pass num_hashes to avoid materializing the signatures twice just
-    # to learn the array length
+    # signature length resolves without ever running a job: explicit
+    # argument first, then the column metadata stamped by
+    # minhash_signatures; the .first() probe is a last resort for
+    # foreign signature frames only
     if num_hashes is not None:
         k = num_hashes
+    elif "signature" in signatures.columns and signatures.schema[
+        "signature"
+    ].metadata.get("num_hashes"):
+        k = int(signatures.schema["signature"].metadata["num_hashes"])
     else:
         row = signatures.select(F.size("signature")).first()
         if row is None:

@@ -34,13 +34,41 @@ def pagerank(
     damping: float = 0.85,
     src: str = "src",
     dst: str = "dst",
+    dedupe: bool = True,
+    persist_edges: bool = False,
+    checkpoint_every: int | None = None,
+    on_iteration=None,
 ) -> DataFrame:
     """PageRank over a directed edge list -> (node, r).
 
-    ``edges`` must be deduplicated (multi-edges would double-count
-    contributions). Nodes are the union of both endpoint columns;
-    every node starts at 1/n.
+    PRECONDITION (enforced by default): the edge list must be simple —
+    multi-edges silently double-count contributions and skew ranks.
+    ``dedupe=True`` (the default) inserts ``edges.distinct()`` so every
+    caller gets correct semantics; callers that have already deduped
+    (e.g. the trade-graph query, whose edge build ends in distinct())
+    pass ``dedupe=False`` to skip the redundant Exchange.
+    Nodes are the union of both endpoint columns; every node starts at
+    1/n.
+
+    Scale knobs (measured in tools/perf_graph.py; see PERF.md):
+
+    - ``persist_edges=True`` hash-partitions edges (and the derived
+      out-degree and node tables) by ``src`` ONCE and persists them, so
+      every iteration's join moves only the small rank table instead of
+      re-scanning and re-shuffling the edge list per iteration — the
+      dominant cost at 100 TB edge scale. Caller owns unpersist (or
+      lets the session GC it).
+    - ``checkpoint_every=k`` eagerly localCheckpoints the rank table
+      every k iterations, truncating the lineage that otherwise grows
+      by two joins per iteration (and re-executes in full at every
+      downstream action). On a cluster, swap localCheckpoint for a
+      reliable checkpoint dir; the call site is the only change.
+    - ``on_iteration(i, ranks)`` optional hook, called after each
+      iteration (post-checkpoint when one fires) — perf tools use it
+      to force and time iterations without wrapping the loop.
     """
+    if dedupe:
+        edges = edges.select(src, dst).distinct()
     nodes = (
         edges.select(F.col(src).alias("node"))
         .unionAll(edges.select(F.col(dst).alias("node")))
@@ -49,11 +77,16 @@ def pagerank(
     deg = edges.groupBy(src).agg(
         F.count(F.lit(1)).cast("double").alias("_od")
     )
+    if persist_edges:
+        npart = edges.sparkSession.conf.get("spark.sql.shuffle.partitions")
+        edges = edges.repartition(int(npart), src).persist()
+        deg = deg.persist()
+        nodes = nodes.persist()
     nn = nodes.agg(F.count(F.lit(1)).cast("double").alias("_n"))
     ranks = nodes.crossJoin(F.broadcast(nn)).select(
         "node", (F.lit(1.0) / F.col("_n")).alias("r")
     )
-    for _ in range(iters):
+    for i in range(iters):
         contrib = (
             edges.join(ranks, edges[src] == ranks.node)
             .join(deg, src)
@@ -72,4 +105,8 @@ def pagerank(
                 ).alias("r"),
             )
         )
+        if checkpoint_every and (i + 1) % checkpoint_every == 0:
+            ranks = ranks.localCheckpoint(eager=True)
+        if on_iteration is not None:
+            on_iteration(i, ranks)
     return ranks

@@ -1097,9 +1097,18 @@ def cosine_topk_arrow(
             sims[qids[:, None] == ids[None, :]] = -np.inf
             take = min(kk, sims.shape[1])
             part = np.argpartition(-sims, take - 1, axis=1)[:, :take]
+            # the final contract ranks on ROUNDED sims with ascending-id
+            # tie-break, so the batch-local cut keeps every candidate
+            # within one rounding unit of the kth raw value (any c with
+            # round(c) >= round(kth) satisfies c >= kth - 10^-r) — the
+            # emitted sims stay UNROUNDED so Spark's HALF_UP F.round
+            # remains the single authoritative rounding
+            kth = sims[np.arange(nq)[:, None], part].min(axis=1)
+            thr = kth if round_to is None else kth - 10.0 ** (-round_to)
+            mask = sims >= thr[:, None]
             out_q, out_c, out_s = [], [], []
             for i in range(nq):
-                cols = part[i]
+                cols = np.nonzero(mask[i])[0]
                 out_q.extend([int(qids[i])] * len(cols))
                 out_c.extend(ids[cols].tolist())
                 out_s.extend(sims[i, cols].tolist())

@@ -2994,7 +2994,11 @@ SELECT doc_id, t AS term, tfidf FROM (
 def tfidf_top_terms(spark: SparkSession, sf_dir: str) -> DataFrame:
     """TF-IDF with top-3 terms per document — term weighting for
     retrieval/quality pipelines. TF and DF are two hash aggs off one
-    explode; IDF joins back broadcast (term dictionary ≪ corpus)."""
+    explode; IDF joins back broadcast (term dictionary ≪ corpus). The
+    document count enters as a lazy 1-row aggregate broadcast (same
+    pattern as ``token_cooccurrence_pmi``) — no eager driver-side
+    ``count()`` job, and the count subtree prunes to a zero-column
+    parquet metadata scan."""
     d = _t(spark, sf_dir, "documents")
     toks = d.select(
         "doc_id",
@@ -3004,13 +3008,19 @@ def tfidf_top_terms(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     tf = toks.groupBy("doc_id", "t").agg(F.count(F.lit(1)).alias("tf"))
     dfreq = toks.groupBy("t").agg(F.count_distinct("doc_id").alias("df"))
-    n_docs = d.count()
-    scored = tf.join(F.broadcast(dfreq), "t").select(
-        "doc_id",
-        "t",
-        F.round(F.col("tf") * F.log(F.lit(float(n_docs)) / F.col("df")), 6).alias(
-            "tfidf"
-        ),
+    ndocs = d.groupBy().agg(F.count(F.lit(1)).alias("n_docs"))
+    scored = (
+        tf.join(F.broadcast(dfreq), "t")
+        .crossJoin(F.broadcast(ndocs))
+        .select(
+            "doc_id",
+            "t",
+            F.round(
+                F.col("tf")
+                * F.log(F.col("n_docs").cast("double") / F.col("df")),
+                6,
+            ).alias("tfidf"),
+        )
     )
     w = Window.partitionBy("doc_id").orderBy(F.desc("tfidf"), F.asc("t"))
     return (
@@ -7983,6 +7993,7 @@ def streaming_cdc_apply(spark: SparkSession, sf_dir: str) -> DataFrame:
     pinned. The only rows-independent cost is the per-fold state
     rewrite — partition-overwrite on a key prefix at 100 TB."""
     import atexit
+    import os
     import shutil
     import tempfile
 
@@ -8016,9 +8027,18 @@ def streaming_cdc_apply(spark: SparkSession, sf_dir: str) -> DataFrame:
     src = tempfile.mkdtemp(prefix="cdc_feed_")
     ckpt = tempfile.mkdtemp(prefix="cdc_ckpt_")
     # the returned DataFrame reads the final table version LAZILY, so
-    # the table dir must outlive this call — reclaimed at exit
-    tbl = tempfile.mkdtemp(prefix="cdc_table_")
-    atexit.register(shutil.rmtree, tbl, ignore_errors=True)
+    # the table dir must outlive this call. The scratch root is
+    # SESSION-SCOPED (keyed by query name + pid): each invocation
+    # clears the previous one's dir, so repeated gate runs in one
+    # long-lived process hold at most one table copy and one atexit
+    # entry instead of accumulating tempdirs per invocation.
+    tbl = os.path.join(
+        tempfile.gettempdir(), f"vars_cdc_apply_table_{os.getpid()}"
+    )
+    shutil.rmtree(tbl, ignore_errors=True)
+    if not getattr(streaming_cdc_apply, "_scratch_registered", False):
+        atexit.register(shutil.rmtree, tbl, ignore_errors=True)
+        streaming_cdc_apply._scratch_registered = True
     try:
         changes.repartition(4).write.mode("overwrite").parquet(src)
         stream = (
@@ -8123,7 +8143,10 @@ def pagerank_trade_graph(spark: SparkSession, sf_dir: str) -> DataFrame:
     edges = pair.select(F.col("s").alias("src"), F.col("c").alias("dst")).unionAll(
         pair.select(F.col("c").alias("src"), F.col("s").alias("dst"))
     )
-    ranks = pagerank(edges, iters=3, damping=0.85)
+    # the pair set is distinct and the two union branches are disjoint
+    # (S*->C* vs C*->S*), so the edge list is already simple — skip the
+    # operator's default dedupe Exchange
+    ranks = pagerank(edges, iters=3, damping=0.85, dedupe=False)
     return ranks.select(
         "node", (F.round("r", 8) + F.lit(0.0)).alias("rank")
     )
@@ -8852,7 +8875,7 @@ noised AS (
 SELECT event_type,
        ROUND(n + (-2.0) * SIGN(u - 0.5) * LN(1.0 - 2.0 * ABS(u - 0.5)), 4) + 0
          AS noisy_count,
-       0.5 AS epsilon
+       0.5 AS epsilon_nominal
 FROM noised
 """,
 )
@@ -8865,9 +8888,12 @@ def dp_noisy_release(spark: SparkSession, sf_dir: str) -> DataFrame:
     every sampled operator (retry-stable, oracle-checkable, and how
     you unit-test a DP release pipeline end-to-end); a production
     release swaps the hash for a sealed RNG draw, changing ONE
-    expression and no dataflow. Inverse-CDF transform
-    (-b*sign(u-1/2)*ln(1-2|u-1/2|)) runs on the 5-row aggregate;
-    the scan only counts."""
+    expression and no dataflow. Because the hash noise is derived from
+    the released key itself (publicly recomputable, hence strippable),
+    the output column is named ``epsilon_nominal``: it records the
+    mechanism's parameter, NOT a sealed privacy guarantee of this test
+    form. Inverse-CDF transform (-b*sign(u-1/2)*ln(1-2|u-1/2|)) runs
+    on the 5-row aggregate; the scan only counts."""
     e = _t(spark, sf_dir, "events")
     counts = e.groupBy("event_type").agg(F.count(F.lit(1)).alias("n"))
     u = (
@@ -8884,7 +8910,7 @@ def dp_noisy_release(spark: SparkSession, sf_dir: str) -> DataFrame:
     return counts.select(
         "event_type",
         (F.round(F.col("n") + noise, 4) + F.lit(0.0)).alias("noisy_count"),
-        F.lit(0.5).alias("epsilon"),
+        F.lit(0.5).alias("epsilon_nominal"),
     )
 
 
@@ -8915,16 +8941,40 @@ def gini_revenue_concentration(spark: SparkSession, sf_dir: str) -> DataFrame:
     -curve summary): G = 2*sum(i*x_i)/(n*sum(x)) - (n+1)/n over
     revenues ranked ascending — how unequal the book of business is.
     The raw order volume reduces to one row per customer FIRST; the
-    rank is a window over that reduction (customer-count scale, not
-    order scale — at 10^8 customers swap in the two-pass distributed
-    rank: per-partition counts broadcast as rank offsets, same
-    formula). Ties rank deterministically by key on both engines."""
+    global ascending rank is then the two-pass distributed form — no
+    single-partition window anywhere: ``repartitionByRange(x, k)``
+    range-partitions the reduction, per-partition counts (one row per
+    partition) turn into cumulative rank offsets via a triangular
+    self-join over the partition-count frame (bounded: 32×32 rows, so
+    no WindowExec at all), and the final rank is a
+    partition-LOCAL row_number plus the broadcast offset. The identical
+    range Exchange feeds both the count and rank subtrees, so Spark's
+    ReuseExchange dedupes the shuffle. (x, k) is unique per customer,
+    so ranks are deterministic on both engines."""
     o = _t(spark, sf_dir, "orders")
     rev = o.groupBy(F.col("o_custkey").alias("k")).agg(
         F.sum("o_totalprice").alias("x")
     )
-    w = Window.orderBy("x", "k")
-    ranked = rev.select("x", F.row_number().over(w).alias("i"))
+    part = rev.repartitionByRange(32, "x", "k").withColumn(
+        "pid", F.spark_partition_id()
+    )
+    counts = part.groupBy("pid").agg(F.count(F.lit(1)).alias("c"))
+    offs = (
+        counts.alias("a")
+        .join(
+            counts.select(
+                F.col("pid").alias("bpid"), F.col("c").alias("bc")
+            ),
+            F.col("bpid") < F.col("a.pid"),
+            "left",
+        )
+        .groupBy(F.col("a.pid").alias("pid"))
+        .agg(F.coalesce(F.sum("bc"), F.lit(0)).alias("off"))
+    )
+    wlocal = Window.partitionBy("pid").orderBy("x", "k")
+    ranked = part.join(F.broadcast(offs), "pid").select(
+        "x", (F.row_number().over(wlocal) + F.col("off")).alias("i")
+    )
     n = F.count(F.lit(1))
     return ranked.agg(
         n.alias("n_customers"),

@@ -93,10 +93,22 @@ class CdcTableSink:
         if state is not None:
             both = state.select(*cols).unionByName(both)
         # struct comparison orders by seq first; ties (a key re-stating
-        # the same log position) resolve deterministically by op then
-        # payload, but a well-formed feed never reuses a (key, seq).
-        packed = F.max(F.struct(s, o, *payload)).alias("_m")
-        return both.groupBy(*k).agg(packed).select(*k, "_m.*")
+        # the same log position — malformed, but must not resurrect a
+        # deleted key) resolve by an explicit op priority with the
+        # tombstone highest (D > U > I), then payload. Lexicographic op
+        # order alone would let 'U' beat 'D'.
+        pri = (
+            F.when(F.col(o) == "D", 2)
+            .when(F.col(o) == "U", 1)
+            .otherwise(0)
+            .alias("_pri")
+        )
+        packed = F.max(F.struct(F.col(s), pri, F.col(o), *payload)).alias(
+            "_m"
+        )
+        return (
+            both.groupBy(*k).agg(packed).select(*k, "_m.*").drop("_pri")
+        )
 
     def __call__(self, batch_df: DataFrame, batch_id: int) -> None:
         final = self._version_dir(batch_id)
