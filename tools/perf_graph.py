@@ -97,6 +97,28 @@ def run(edges, iters, persist_edges):
     return n, per_iter
 
 
+def run_cc(spark, edges):
+    """Distributed connected components (driver path disabled) on the
+    same synthetic graph: rounds to converge + sec/round. The uniform
+    graph has one giant component, so this exercises the worst-case
+    label-churn regime; the O(log diameter) bound on a path graph is
+    pinned separately by the 1.3M-edge stress pytest."""
+    from value_at_risk_spark.operators.dedup import connected_components
+
+    stats: dict = {}
+    t0 = time.time()
+    n = connected_components(
+        edges, driver_threshold=0, stats=stats
+    ).count()
+    sec = round(time.time() - t0, 2)
+    return {
+        "nodes": n,
+        "rounds": stats.get("rounds"),
+        "total_sec": sec,
+        "sec_per_round": round(sec / max(1, stats.get("rounds", 1)), 2),
+    }
+
+
 def main() -> None:
     spark = get_spark("perf-graph")
     spark.range(1_000_000).selectExpr("sum(id)").collect()  # JVM warm-up
@@ -125,6 +147,8 @@ def main() -> None:
             2,
         )
         out["graphs"][name] = rec
+        if name == "synthetic":
+            rec["connected_components"] = run_cc(spark, edges)
         edges.unpersist()
     print(json.dumps(out))
 
