@@ -635,3 +635,60 @@ def test_round7_late_pass_plan_contracts(spark, sf_dir):
     ):
         p = plan(name)
         assert "SortMergeJoin" not in p and "BroadcastHashJoin" in p, name
+
+
+def test_round8_plan_contracts(spark, sf_dir):
+    """Round-8 hygiene pins. (a) tfidf_top_terms builds its plan with
+    ZERO extra Spark jobs (the old n_docs = d.count() was an eager
+    scan+agg job) and carries the doc count as a broadcast; (b)
+    gini_revenue_concentration contains no unpartitioned Window — its
+    global rank is the two-pass value-bucket + offset form, and every
+    Window operator in the plan has a non-empty partition spec; (c)
+    building LSH pairs from minhash_signatures output without
+    num_hashes launches no probe job (signature length rides in column
+    metadata)."""
+    import uuid
+
+    from value_at_risk_spark.operators.dedup import (
+        minhash_lsh_pairs,
+        minhash_signatures,
+    )
+    from value_at_risk_spark.queries import QUERIES
+    from value_at_risk_spark.sources.registry import Registry
+
+    sc = spark.sparkContext
+    tracker = sc.statusTracker()
+
+    def jobs_during(fn):
+        group = f"r8-lazy-{uuid.uuid4().hex[:8]}"
+        sc.setJobGroup(group, "plan-build probe")
+        fn()
+        n = len(tracker.getJobIdsForGroup(group))
+        sc.setJobGroup(None, None)
+        return n
+
+    # relative to a known-lazy projection query (parquet footer job is
+    # registry behavior common to every query)
+    baseline = jobs_during(lambda: QUERIES["pii_scrub_documents"](spark, sf_dir))
+    assert (
+        jobs_during(lambda: QUERIES["tfidf_top_terms"](spark, sf_dir))
+        <= baseline
+    )
+    p = _plan(spark, "tfidf_top_terms", sf_dir)
+    assert "BroadcastNestedLoopJoin" in p or "BroadcastExchange" in p
+
+    docs = Registry(sf_dir).read(spark, "documents").limit(50)
+    sigs = minhash_signatures(docs, num_hashes=16)
+    assert jobs_during(lambda: minhash_lsh_pairs(sigs, num_bands=4)) == 0
+
+    gp = (
+        QUERIES["gini_revenue_concentration"](spark, sf_dir)
+        ._jdf.queryExecution()
+        .executedPlan()
+        .toString()
+    )
+    for line in gp.splitlines():
+        if "Window" in line and "windowspecdefinition" in line:
+            # "Window [exprs], [partition spec], [order spec]" — the
+            # partition spec list must not be empty
+            assert ", [], [" not in line, line

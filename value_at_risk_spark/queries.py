@@ -8942,21 +8942,40 @@ def gini_revenue_concentration(spark: SparkSession, sf_dir: str) -> DataFrame:
     revenues ranked ascending — how unequal the book of business is.
     The raw order volume reduces to one row per customer FIRST; the
     global ascending rank is then the two-pass distributed form — no
-    single-partition window anywhere: ``repartitionByRange(x, k)``
-    range-partitions the reduction, per-partition counts (one row per
-    partition) turn into cumulative rank offsets via a triangular
-    self-join over the partition-count frame (bounded: 32×32 rows, so
-    no WindowExec at all), and the final rank is a
-    partition-LOCAL row_number plus the broadcast offset. The identical
-    range Exchange feeds both the count and rank subtrees, so Spark's
-    ReuseExchange dedupes the shuffle. (x, k) is unique per customer,
-    so ranks are deterministic on both engines."""
+    single-partition window anywhere. The bucket id is a VALUE-based
+    function of the row (count of broadcast percentile_approx
+    boundaries below x — all lazy, no driver action), NOT
+    spark_partition_id over a range shuffle: physical partition ids
+    would silently depend on the three bucket subtrees resolving to
+    one reused Exchange (AQE stage reuse), where a value bucket is
+    deterministic under any engine config. Per-bucket counts (≤32
+    rows) turn into cumulative rank offsets via a triangular
+    self-join (32×32, no WindowExec), and the final rank is a
+    bucket-LOCAL row_number plus the broadcast offset; equal-x ties
+    all land in one bucket, where (x, k) ordering — unique per
+    customer — keeps ranks deterministic on both engines."""
     o = _t(spark, sf_dir, "orders")
     rev = o.groupBy(F.col("o_custkey").alias("k")).agg(
         F.sum("o_totalprice").alias("x")
     )
-    part = rev.repartitionByRange(32, "x", "k").withColumn(
-        "pid", F.spark_partition_id()
+    nb = 32
+    bounds = rev.groupBy().agg(
+        F.percentile_approx(
+            "x", [i / nb for i in range(1, nb)], 10_000
+        ).alias("_bs")
+    )
+    part = (
+        rev.crossJoin(F.broadcast(bounds))
+        .withColumn(
+            "pid",
+            F.aggregate(
+                "_bs",
+                F.lit(0),
+                lambda acc, b: acc
+                + F.when(F.col("x") > b, 1).otherwise(0),
+            ),
+        )
+        .drop("_bs")
     )
     counts = part.groupBy("pid").agg(F.count(F.lit(1)).alias("c"))
     offs = (
