@@ -3195,13 +3195,25 @@ def lsh_recall_high_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-@query("streaming_daily_events")
+@query(
+    "streaming_daily_events",
+    """
+SELECT CAST(date_trunc('day', ts) AS DATE) AS day,
+       event_type,
+       COUNT(*) AS n_events,
+       ROUND(SUM(value), 4) AS total_value
+FROM events GROUP BY 1, 2
+""",
+)
 def streaming_daily_events(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Streaming tier, exercised at the gate (rows-only by contract —
-    DuckDB has no streaming oracle; batch parity is pytest-asserted in
-    tests/test_streaming.py): watermarked daily windowed aggregate over
-    an availableNow bounded replay of the events fixture. One state row
-    per (day, event_type); the full readStream → window-agg →
+    """Streaming tier, exercised at the gate and HASH-CHECKED against
+    the batch twin (the ``streaming_cdc_apply`` precedent: a bounded
+    availableNow replay of a fixed fixture is deterministic, so the
+    final complete-mode state must equal DuckDB's batch daily
+    aggregate — the parity the replay==batch pytest has always
+    asserted, now enforced by the oracle as well): watermarked daily
+    windowed aggregate over a replay of the events fixture. One state
+    row per (day, event_type); the full readStream → window-agg →
     memory-sink path runs per round."""
     from value_at_risk_spark.streaming.windows import (
         daily_event_aggregates,
@@ -3528,15 +3540,30 @@ def simhash_near_dup_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     return simhash_band_pairs(fps, num_bands=4, max_hamming=8)
 
 
-@query("streaming_interval_join")
+@query(
+    "streaming_interval_join",
+    """
+SELECT l.event_id AS l_event_id,
+       r.event_id AS r_event_id,
+       r.event_type AS r_event_type
+FROM events l
+JOIN events r
+  ON l.user_id = r.user_id
+ AND r.ts >= l.ts - INTERVAL 1 HOUR
+ AND r.ts <= l.ts
+WHERE l.event_type = 'purchase'
+""",
+)
 def streaming_interval_join(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Watermarked stream-stream INTERVAL join at the gate (rows-only
-    by contract — no DuckDB streaming oracle; batch parity is
-    pytest-asserted pair-for-pair): each purchase event paired with the
-    same user's events in the trailing hour, both sides unbounded
-    streams with state evicted by watermark + time bound. Emits the
-    joined pairs in append mode (a stream-stream join supports no
-    other); the row SET is replay-order-stable."""
+    """Watermarked stream-stream INTERVAL join at the gate,
+    HASH-CHECKED against the batch trailing-hour self-join (an inner
+    stream-stream join over a bounded replay emits exactly the batch
+    pair set — the parity the pytest asserts pair-for-pair, now
+    oracle-enforced): each purchase event paired with the same user's
+    events in the trailing hour, both sides unbounded streams with
+    state evicted by watermark + time bound. Emits the joined pairs in
+    append mode (a stream-stream join supports no other); the row SET
+    is replay-order-stable."""
     from value_at_risk_spark.streaming.joins import interval_join_streams
     from value_at_risk_spark.streaming.windows import read_events_stream
 
@@ -4845,17 +4872,25 @@ def heavy_hitter_tokens(spark: SparkSession, sf_dir: str) -> DataFrame:
     return exact_heavy_hitters(toks, "tok", k=100, count_alias="cnt")
 
 
-@query("streaming_dedup_events")
+@query(
+    "streaming_dedup_events",
+    """
+SELECT event_type,
+       COUNT(DISTINCT event_id) AS n_unique_events
+FROM events GROUP BY 1
+""",
+)
 def streaming_dedup_events(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Streaming dedup at the gate (rows-only by contract; batch parity
-    pytest-asserted): the events fixture staged TWICE into one source
-    dir — an at-least-once redelivery — replayed through
-    ``dropDuplicatesWithinWatermark`` on event_id. The deduped stream
-    lands in a memory sink; per-type counts over the sink equal the
-    batch ``distinct`` counts exactly (every duplicate arrives within
-    the horizon in a bounded replay), proving the redelivered copy was
-    dropped. State is one row per in-horizon event_id — bounded, unlike
-    stream ``dropDuplicates``."""
+    """Streaming dedup at the gate, HASH-CHECKED against the batch
+    distinct counts (every duplicate arrives within the horizon in a
+    bounded replay, so the deduped result is deterministic — the
+    parity the pytest asserts, now oracle-enforced): the events
+    fixture staged TWICE into one source dir — an at-least-once
+    redelivery — replayed through ``dropDuplicatesWithinWatermark`` on
+    event_id. The deduped stream lands in a memory sink; per-type
+    counts over the sink equal DuckDB's COUNT(DISTINCT event_id),
+    proving the redelivered copy was dropped. State is one row per
+    in-horizon event_id — bounded, unlike stream ``dropDuplicates``."""
     import shutil
     import tempfile
 

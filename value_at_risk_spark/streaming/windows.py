@@ -9,8 +9,12 @@ event-time windowed aggregation with watermarked late-data handling.
 
 Batch/stream parity contract: ``daily_event_aggregates`` over a
 bounded replay (``availableNow`` trigger) must equal the equivalent
-batch groupBy — asserted in tests/test_streaming.py. This is the
-rows-only tier of the driver contract (DuckDB has no streaming oracle).
+batch groupBy — asserted in tests/test_streaming.py, and since round 8
+ALSO hash-checked at the gate (a bounded replay of a fixed fixture is
+deterministic, so the windowed-agg, dedup, and interval-join gate
+queries carry DuckDB batch twins; only the stateful MG/Basel demos
+remain rows-only, their batch_seq/emission contracts being genuinely
+stream-shaped).
 
 Scale notes: state size is bounded by (watermark horizon × key
 cardinality); shuffle partitioning of the windowed agg follows
