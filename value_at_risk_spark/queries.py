@@ -4160,13 +4160,35 @@ def dedup_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
     return cc.select(F.col("node").alias("doc_id"), "component")
 
 
-@query("streaming_basel_demo")
+@query(
+    "streaming_basel_demo",
+    "WITH "
+    + SQL_RETS
+    + """,
+j AS (
+  SELECT series, datediff('day', DATE '1970-01-01', d) AS day_num, ret
+  FROM rets
+)
+SELECT series, CAST(day_num AS BIGINT) AS day_num,
+       CAST(SUM(CASE WHEN ret <= -0.005 THEN 1 ELSE 0 END) OVER w AS BIGINT)
+         AS breaches,
+       CASE WHEN SUM(CASE WHEN ret <= -0.005 THEN 1 ELSE 0 END) OVER w <= 3 THEN 0
+            WHEN SUM(CASE WHEN ret <= -0.005 THEN 1 ELSE 0 END) OVER w < 10 THEN 1
+            ELSE 2 END AS basel_zone
+FROM j
+WINDOW w AS (PARTITION BY series ORDER BY day_num
+             RANGE BETWEEN 250 PRECEDING AND CURRENT ROW)
+""",
+)
 def streaming_basel_demo(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Incremental Basel compliance at the gate (rows-only by
-    contract): the fixture-derived daily P&L series replayed through
+    """Incremental Basel compliance at the gate, HASH-CHECKED against
+    the batch trailing-window twin (the custom-stateful operator's
+    output is deterministic over a bounded ordered replay — the
+    breach-for-breach parity the pytest asserts, now oracle-enforced;
+    the first applyInPandasWithState operator with a DuckDB twin): the
+    fixture-derived daily P&L series replayed through
     streaming_basel_backtest (trailing-250-day state per series,
-    applyInPandasWithState) via an availableNow bounded run. Batch
-    parity is pytest-asserted breach-for-breach."""
+    applyInPandasWithState) via an availableNow bounded run."""
     import tempfile
 
     from value_at_risk_spark.streaming.stateful import streaming_basel_backtest
