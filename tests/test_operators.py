@@ -3387,3 +3387,13 @@ def test_minhash_lsh_pairs_learns_k_from_signature_metadata(spark):
         spark.createDataFrame([], "doc_id long, text string"), num_hashes=16
     )
     assert minhash_lsh_pairs(empty, num_bands=4).count() == 0
+
+    # the cross-frame (incremental) variant resolves k the same way
+    from value_at_risk_spark.operators.dedup import minhash_lsh_pairs_cross
+
+    cross = {
+        (r.id_left, r.id_right)
+        for r in minhash_lsh_pairs_cross(sigs, sigs, num_bands=4).collect()
+    }
+    assert (1, 2) in cross and (2, 1) in cross
+    assert minhash_lsh_pairs_cross(empty, sigs, num_bands=4).count() == 0

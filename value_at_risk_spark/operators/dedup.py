@@ -174,8 +174,15 @@ def minhash_lsh_pairs_cross(
     the shuffle on the bucket — O(candidates), never O(batch x corpus).
     Returns distinct (id_left, id_right).
     """
+    # same no-probe resolution order as minhash_lsh_pairs: explicit
+    # argument, then the num_hashes column metadata stamped by
+    # minhash_signatures, then (last resort) a .first() probe
     if num_hashes is not None:
         k = num_hashes
+    elif "signature" in left_sigs.columns and left_sigs.schema[
+        "signature"
+    ].metadata.get("num_hashes"):
+        k = int(left_sigs.schema["signature"].metadata["num_hashes"])
     else:
         row = left_sigs.select(F.size("signature")).first()
         if row is None:
