@@ -9010,7 +9010,11 @@ def gini_revenue_concentration(spark: SparkSession, sf_dir: str) -> DataFrame:
     self-join (32×32, no WindowExec), and the final rank is a
     bucket-LOCAL row_number plus the broadcast offset; equal-x ties
     all land in one bucket, where (x, k) ordering — unique per
-    customer — keeps ranks deterministic on both engines."""
+    customer — keeps ranks deterministic on both engines. (Known
+    tradeoff vs physical range partitioning: a value shared by a huge
+    fraction of keys would skew its one bucket — for revenue SUMS
+    exact ties are measure-zero; a genuinely discrete metric would
+    bucket on (x, hash(k) % s) instead.)"""
     o = _t(spark, sf_dir, "orders")
     rev = o.groupBy(F.col("o_custkey").alias("k")).agg(
         F.sum("o_totalprice").alias("x")
