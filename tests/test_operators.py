@@ -3397,3 +3397,81 @@ def test_minhash_lsh_pairs_learns_k_from_signature_metadata(spark):
     }
     assert (1, 2) in cross and (2, 1) in cross
     assert minhash_lsh_pairs_cross(empty, sigs, num_bands=4).count() == 0
+
+
+def test_global_rank_and_running_sum_match_window_forms(spark):
+    """operators/ranks.global_row_number / global_running_sum equal
+    the single-partition window forms exactly — on a fixed adversarial
+    frame (duplicates, negatives, an all-ties block), on empty input,
+    and on hypothesis-random frames. Ranks are integer-exact; running
+    sums compare under rounding (summation order differs by design)."""
+    from hypothesis import HealthCheck, given, settings
+    from hypothesis import strategies as st
+
+    from value_at_risk_spark.operators.ranks import (
+        global_row_number,
+        global_running_sum,
+    )
+
+    def reference(rows, ascending):
+        srt = sorted(rows, key=lambda r: (r[1], r[0]))
+        if not ascending:
+            srt = sorted(rows, key=lambda r: (-r[1], r[0]))
+        ranks = {r[0]: i + 1 for i, r in enumerate(srt)}
+        cums, acc = {}, 0.0
+        for r in srt:
+            acc += r[1]
+            cums[r[0]] = acc
+        return ranks, cums
+
+    def check(rows, ascending):
+        df = spark.createDataFrame(rows, "k long, x double")
+        order = [("x", ascending), ("k", True)]
+        got_rank = {
+            r.k: r.rn
+            for r in global_row_number(df, order, num_buckets=4).collect()
+        }
+        got_cum = {
+            r.k: round(r.cum, 6)
+            for r in global_running_sum(
+                df, "x", order, num_buckets=4
+            ).collect()
+        }
+        exp_rank, exp_cum = reference(rows, ascending)
+        assert got_rank == exp_rank
+        assert got_cum == {k: round(v, 6) for k, v in exp_cum.items()}
+
+    fixed = [
+        (1, 5.0), (2, -3.5), (3, 5.0), (4, 0.0), (5, 0.0), (6, 0.0),
+        (7, 100.25), (8, -3.5), (9, 7.125), (10, 0.0),
+    ]
+    check(fixed, ascending=True)
+    check(fixed, ascending=False)
+
+    # all-ties: everything lands in one bucket; key ordering decides
+    check([(i, 2.5) for i in range(9)], ascending=True)
+
+    empty = spark.createDataFrame([], "k long, x double")
+    assert global_row_number(empty, [("x", True), ("k", True)]).count() == 0
+    assert (
+        global_running_sum(empty, "x", [("x", True), ("k", True)]).count()
+        == 0
+    )
+
+    @settings(
+        max_examples=8,
+        deadline=None,
+        suppress_health_check=[HealthCheck.too_slow],
+    )
+    @given(
+        xs=st.lists(
+            st.integers(-50, 50).map(lambda v: v / 4.0),
+            min_size=1,
+            max_size=40,
+        ),
+        ascending=st.booleans(),
+    )
+    def prop(xs, ascending):
+        check(list(enumerate(xs)), ascending)
+
+    prop()

@@ -1,0 +1,150 @@
+"""Distributed global ordering — rank / running sum without a
+single-partition window.
+
+``Window.orderBy(...)`` with no partition spec moves the WHOLE frame
+through one task; fine on a bounded reduction (a vocabulary head, a
+per-day series), fatal on a frame that grows with a real data
+dimension (customers, parts) at 100 TB. These operators implement the
+classic two-pass form as ordinary DataFrame ops:
+
+1. **value-bucket** each row by its first ordering column — the bucket
+   id is the count of broadcast ``percentile_approx`` boundaries
+   beyond the value, a PURE FUNCTION of the row (deliberately not
+   ``spark_partition_id`` over a range shuffle, whose bucket↔row
+   mapping is only consistent across subtrees when AQE happens to
+   reuse the exchange);
+2. per-bucket counts/sums (≤ ``num_buckets`` rows) become cumulative
+   offsets via a triangular self-join — no WindowExec at all on the
+   tiny frame;
+3. a bucket-LOCAL window (partitioned, parallel) plus the broadcast
+   offset yields the exact global result.
+
+Everything is lazy — no driver action anywhere; the boundary aggregate
+and offsets broadcast into the plan. Ties on the first ordering column
+share a bucket (secondary columns order them inside the local window),
+so results are exact and deterministic; the tradeoff is that a value
+held by a huge fraction of rows skews its one bucket — for continuous
+metrics (revenue sums, scores) ties are measure-zero, and a discrete
+metric should pre-hash a composite ordering column instead.
+
+Used by ``gini_revenue_concentration`` and ``pareto_abc_parts``
+(queries.py); parity with the single-partition window forms is pinned
+in tests/test_operators.py, including all-ties and empty frames.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+from pyspark.sql.window import Window
+
+_PID, _OFF = "_rank_pid", "_rank_off"
+
+
+def _with_value_bucket(
+    df: DataFrame,
+    col: str,
+    ascending: bool,
+    num_buckets: int,
+    accuracy: int = 10_000,
+) -> DataFrame:
+    """Attach a bucket id monotone along the requested ordering of
+    ``col``: the count of approx-quantile boundaries strictly before
+    the row's value. Lazy; boundaries broadcast."""
+    probs = [i / num_buckets for i in range(1, num_buckets)]
+    bounds = df.groupBy().agg(
+        F.percentile_approx(col, probs, accuracy).alias("_bs")
+    )
+
+    def before(b: Column) -> Column:
+        return F.col(col) > b if ascending else F.col(col) < b
+
+    return (
+        df.crossJoin(F.broadcast(bounds))
+        .withColumn(
+            _PID,
+            F.aggregate(
+                "_bs",
+                F.lit(0),
+                lambda acc, b: acc + F.when(before(b), 1).otherwise(0),
+            ),
+        )
+        .drop("_bs")
+    )
+
+
+def _bucket_offsets(per_bucket: DataFrame, agg_col: str) -> DataFrame:
+    """(pid, off) where off = sum of ``agg_col`` over all SMALLER pids
+    — a triangular self-join over the ≤num_buckets-row frame, so the
+    cumulative step needs no window at all."""
+    return (
+        per_bucket.alias("a")
+        .join(
+            per_bucket.select(
+                F.col(_PID).alias("_bpid"), F.col(agg_col).alias("_bv")
+            ),
+            F.col("_bpid") < F.col(f"a.{_PID}"),
+            "left",
+        )
+        .groupBy(F.col(f"a.{_PID}").alias(_PID))
+        .agg(F.coalesce(F.sum("_bv"), F.lit(0)).alias(_OFF))
+    )
+
+
+def _local_window(order_by: list[tuple[str, bool]]) -> Window:
+    return Window.partitionBy(_PID).orderBy(
+        *[
+            F.col(c).asc() if asc else F.col(c).desc()
+            for c, asc in order_by
+        ]
+    )
+
+
+def global_row_number(
+    df: DataFrame,
+    order_by: list[tuple[str, bool]],
+    out: str = "rn",
+    num_buckets: int = 32,
+) -> DataFrame:
+    """``row_number() OVER (ORDER BY ...)`` without the single
+    partition: exact 1-based global rank in the composite ordering.
+
+    ``order_by``: (column, ascending) pairs; the FIRST column drives
+    the value bucketing and must be numeric, the rest break ties
+    inside the bucket-local window.
+    """
+    col0, asc0 = order_by[0]
+    part = _with_value_bucket(df, col0, asc0, num_buckets)
+    counts = part.groupBy(_PID).agg(F.count(F.lit(1)).alias("_c"))
+    offs = _bucket_offsets(counts, "_c")
+    return (
+        part.join(F.broadcast(offs), _PID)
+        .withColumn(
+            out, F.row_number().over(_local_window(order_by)) + F.col(_OFF)
+        )
+        .drop(_PID, _OFF)
+    )
+
+
+def global_running_sum(
+    df: DataFrame,
+    value_col: str,
+    order_by: list[tuple[str, bool]],
+    out: str = "cum",
+    num_buckets: int = 32,
+) -> DataFrame:
+    """``SUM(value) OVER (ORDER BY ... ROWS UNBOUNDED PRECEDING)``
+    without the single partition: exact inclusive running sum in the
+    composite ordering (Pareto / Lorenz cumulative shares)."""
+    col0, asc0 = order_by[0]
+    part = _with_value_bucket(df, col0, asc0, num_buckets)
+    sums = part.groupBy(_PID).agg(F.sum(value_col).alias("_s"))
+    offs = _bucket_offsets(sums, "_s")
+    w = _local_window(order_by).rowsBetween(
+        Window.unboundedPreceding, Window.currentRow
+    )
+    return (
+        part.join(F.broadcast(offs), _PID)
+        .withColumn(out, F.sum(value_col).over(w) + F.col(_OFF))
+        .drop(_PID, _OFF)
+    )

@@ -8998,63 +8998,19 @@ def gini_revenue_concentration(spark: SparkSession, sf_dir: str) -> DataFrame:
     -curve summary): G = 2*sum(i*x_i)/(n*sum(x)) - (n+1)/n over
     revenues ranked ascending — how unequal the book of business is.
     The raw order volume reduces to one row per customer FIRST; the
-    global ascending rank is then the two-pass distributed form — no
-    single-partition window anywhere. The bucket id is a VALUE-based
-    function of the row (count of broadcast percentile_approx
-    boundaries below x — all lazy, no driver action), NOT
-    spark_partition_id over a range shuffle: physical partition ids
-    would silently depend on the three bucket subtrees resolving to
-    one reused Exchange (AQE stage reuse), where a value bucket is
-    deterministic under any engine config. Per-bucket counts (≤32
-    rows) turn into cumulative rank offsets via a triangular
-    self-join (32×32, no WindowExec), and the final rank is a
-    bucket-LOCAL row_number plus the broadcast offset; equal-x ties
-    all land in one bucket, where (x, k) ordering — unique per
-    customer — keeps ranks deterministic on both engines. (Known
-    tradeoff vs physical range partitioning: a value shared by a huge
-    fraction of keys would skew its one bucket — for revenue SUMS
-    exact ties are measure-zero; a genuinely discrete metric would
-    bucket on (x, hash(k) % s) instead.)"""
+    global ascending rank is then ``operators/ranks.global_row_number``
+    — the two-pass value-bucket + offset form, no single-partition
+    window and no driver action anywhere (design rationale, tie
+    semantics, and the deliberate avoidance of spark_partition_id
+    bucketing live in that module's docstring; parity with the plain
+    window form is pytest-pinned)."""
+    from value_at_risk_spark.operators.ranks import global_row_number
+
     o = _t(spark, sf_dir, "orders")
     rev = o.groupBy(F.col("o_custkey").alias("k")).agg(
         F.sum("o_totalprice").alias("x")
     )
-    nb = 32
-    bounds = rev.groupBy().agg(
-        F.percentile_approx(
-            "x", [i / nb for i in range(1, nb)], 10_000
-        ).alias("_bs")
-    )
-    part = (
-        rev.crossJoin(F.broadcast(bounds))
-        .withColumn(
-            "pid",
-            F.aggregate(
-                "_bs",
-                F.lit(0),
-                lambda acc, b: acc
-                + F.when(F.col("x") > b, 1).otherwise(0),
-            ),
-        )
-        .drop("_bs")
-    )
-    counts = part.groupBy("pid").agg(F.count(F.lit(1)).alias("c"))
-    offs = (
-        counts.alias("a")
-        .join(
-            counts.select(
-                F.col("pid").alias("bpid"), F.col("c").alias("bc")
-            ),
-            F.col("bpid") < F.col("a.pid"),
-            "left",
-        )
-        .groupBy(F.col("a.pid").alias("pid"))
-        .agg(F.coalesce(F.sum("bc"), F.lit(0)).alias("off"))
-    )
-    wlocal = Window.partitionBy("pid").orderBy("x", "k")
-    ranked = part.join(F.broadcast(offs), "pid").select(
-        "x", (F.row_number().over(wlocal) + F.col("off")).alias("i")
-    )
+    ranked = global_row_number(rev, [("x", True), ("k", True)], out="i")
     n = F.count(F.lit(1))
     return ranked.agg(
         n.alias("n_customers"),
@@ -9100,22 +9056,25 @@ def pareto_abc_parts(spark: SparkSession, sf_dir: str) -> DataFrame:
     """ABC / Pareto classification of parts by discounted revenue:
     the top ~80% of cumulative revenue is class A, the next 15% B,
     the tail C — the inventory-prioritization cut every supply chain
-    runs. One part-keyed reduction, one descending cumulative-share
-    window over the part-count frame (ties broken by key), and a
-    3-row rollup with a window-total share. The cumulative window is
-    over the REDUCED frame; at extreme part cardinality the same
-    two-pass rank-offset trick as the Gini applies."""
+    runs. One part-keyed reduction, then the descending cumulative
+    share via ``operators/ranks.global_running_sum`` (two-pass
+    value-bucket + offset — the part frame grows with a REAL dimension,
+    so no single-partition window; the total joins as a 1-row
+    broadcast, not a whole-frame window), and a 3-row rollup with a
+    window-total share (bounded: one row per class)."""
+    from value_at_risk_spark.operators.ranks import global_running_sum
+
     li = _t(spark, sf_dir, "lineitem")
     rev = li.groupBy(F.col("l_partkey").alias("k")).agg(
         F.sum(F.col("l_extendedprice") * (1 - F.col("l_discount"))).alias("x")
     )
-    wcum = Window.orderBy(F.desc("x"), F.asc("k")).rowsBetween(
-        Window.unboundedPreceding, Window.currentRow
-    )
-    wall = Window.partitionBy(F.lit(1))
-    shares = rev.select(
-        "x",
-        (F.sum("x").over(wcum) / F.sum("x").over(wall)).alias("cum_share"),
+    tot = rev.groupBy().agg(F.sum("x").alias("_tot"))
+    shares = (
+        global_running_sum(
+            rev, "x", [("x", False), ("k", True)], out="_cum"
+        )
+        .crossJoin(F.broadcast(tot))
+        .select("x", (F.col("_cum") / F.col("_tot")).alias("cum_share"))
     )
     classed = shares.select(
         F.when(F.col("cum_share") <= 0.8, F.lit("A"))
