@@ -73,21 +73,30 @@ def _with_value_bucket(
     )
 
 
-def _bucket_offsets(per_bucket: DataFrame, agg_col: str) -> DataFrame:
-    """(pid, off) where off = sum of ``agg_col`` over all SMALLER pids
-    — a triangular self-join over the ≤num_buckets-row frame, so the
-    cumulative step needs no window at all."""
+def _bucket_offsets(per_bucket: DataFrame, agg_cols: list[str]) -> DataFrame:
+    """(pid, off0..offN) where off_i = sum of ``agg_cols[i]`` over all
+    SMALLER pids — a triangular self-join over the ≤num_buckets-row
+    frame, so the cumulative step needs no window at all."""
     return (
         per_bucket.alias("a")
         .join(
             per_bucket.select(
-                F.col(_PID).alias("_bpid"), F.col(agg_col).alias("_bv")
+                F.col(_PID).alias("_bpid"),
+                *[
+                    F.col(c).alias(f"_bv{i}")
+                    for i, c in enumerate(agg_cols)
+                ],
             ),
             F.col("_bpid") < F.col(f"a.{_PID}"),
             "left",
         )
         .groupBy(F.col(f"a.{_PID}").alias(_PID))
-        .agg(F.coalesce(F.sum("_bv"), F.lit(0)).alias(_OFF))
+        .agg(
+            *[
+                F.coalesce(F.sum(f"_bv{i}"), F.lit(0)).alias(f"{_OFF}{i}")
+                for i in range(len(agg_cols))
+            ]
+        )
     )
 
 
@@ -116,35 +125,45 @@ def global_row_number(
     col0, asc0 = order_by[0]
     part = _with_value_bucket(df, col0, asc0, num_buckets)
     counts = part.groupBy(_PID).agg(F.count(F.lit(1)).alias("_c"))
-    offs = _bucket_offsets(counts, "_c")
+    offs = _bucket_offsets(counts, ["_c"])
     return (
         part.join(F.broadcast(offs), _PID)
         .withColumn(
-            out, F.row_number().over(_local_window(order_by)) + F.col(_OFF)
+            out,
+            F.row_number().over(_local_window(order_by))
+            + F.col(f"{_OFF}0"),
         )
-        .drop(_PID, _OFF)
+        .drop(_PID, f"{_OFF}0")
     )
 
 
 def global_running_sum(
     df: DataFrame,
-    value_col: str,
+    value_col: str | list[str],
     order_by: list[tuple[str, bool]],
-    out: str = "cum",
+    out: str | list[str] = "cum",
     num_buckets: int = 32,
 ) -> DataFrame:
     """``SUM(value) OVER (ORDER BY ... ROWS UNBOUNDED PRECEDING)``
     without the single partition: exact inclusive running sum in the
-    composite ordering (Pareto / Lorenz cumulative shares)."""
+    composite ordering (Pareto / Lorenz cumulative shares, empirical
+    CDFs). Accepts several value columns at once — they share the one
+    bucketing, offset join, and local window (an ECDF pair costs the
+    same plan as a single running sum)."""
+    vcols = [value_col] if isinstance(value_col, str) else list(value_col)
+    outs = [out] if isinstance(out, str) else list(out)
+    if len(vcols) != len(outs):
+        raise ValueError("global_running_sum: len(value_col) != len(out)")
     col0, asc0 = order_by[0]
     part = _with_value_bucket(df, col0, asc0, num_buckets)
-    sums = part.groupBy(_PID).agg(F.sum(value_col).alias("_s"))
-    offs = _bucket_offsets(sums, "_s")
+    sums = part.groupBy(_PID).agg(
+        *[F.sum(v).alias(f"_s{i}") for i, v in enumerate(vcols)]
+    )
+    offs = _bucket_offsets(sums, [f"_s{i}" for i in range(len(vcols))])
     w = _local_window(order_by).rowsBetween(
         Window.unboundedPreceding, Window.currentRow
     )
-    return (
-        part.join(F.broadcast(offs), _PID)
-        .withColumn(out, F.sum(value_col).over(w) + F.col(_OFF))
-        .drop(_PID, _OFF)
-    )
+    res = part.join(F.broadcast(offs), _PID)
+    for i, (v, o) in enumerate(zip(vcols, outs)):
+        res = res.withColumn(o, F.sum(v).over(w) + F.col(f"{_OFF}{i}"))
+    return res.drop(_PID, *[f"{_OFF}{i}" for i in range(len(vcols))])

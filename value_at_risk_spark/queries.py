@@ -2892,7 +2892,10 @@ SELECT bigram, n FROM (
 def top_bigrams(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Corpus-level bigram frequencies, top-20 (n-gram statistics — the
     LM-data staple). Spark: one explode of per-row bigram arrays +
-    hash agg; deterministic tie-break on the bigram string."""
+    hash agg; the top-20 cut is ``orderBy().limit(20)`` —
+    TakeOrderedAndProject's distributed partial top-k, not a rank
+    window over the growing bigram vocabulary; deterministic tie-break
+    on the bigram string."""
     d = _t(spark, sf_dir, "documents")
     toks = F.filter(F.split(F.lower("text"), " "), lambda x: x != "")
     base = d.select(F.col("doc_id"), toks.alias("_tk"))
@@ -2910,10 +2913,9 @@ def top_bigrams(spark: SparkSession, sf_dir: str) -> DataFrame:
         .groupBy("bigram")
         .agg(F.count(F.lit(1)).alias("n"))
     )
-    w = Window.orderBy(F.desc("n"), F.asc("bigram"))
     return (
-        counted.withColumn("rnk", F.row_number().over(w))
-        .filter(F.col("rnk") <= 20)
+        counted.orderBy(F.desc("n"), F.asc("bigram"))
+        .limit(20)
         .select("bigram", "n")
     )
 
@@ -7664,10 +7666,12 @@ def ks_two_sample_test(spark: SparkSession, sf_dir: str) -> DataFrame:
     Exact, not sampled: both empirical CDFs are evaluated at every
     distinct value via ONE running-sum window over the per-value
     count aggregate — the groupBy first collapses 100 TB of events to
-    |distinct values| rows, so the unpartitioned window that follows
-    is over the reduced domain, not the raw ticks (at extreme
-    cardinality this becomes the classic two-level prefix-sum: per-
-    partition subtotals broadcast back as offsets). Asymptotic
+    |distinct values| rows, and both CDF running sums then go through
+    ``operators/ranks.global_running_sum`` (the two-level prefix-sum:
+    value-bucket boundaries broadcast, per-bucket subtotals joined
+    back as offsets, bucket-local windows) in ONE shared bucketing —
+    no single-partition window even over the reduced domain, which for
+    a continuous value column still grows with the data. Asymptotic
     p-value = 2*exp(-2*(D*sqrt(n1 n2/(n1+n2)))^2), clamped to 1."""
     e = _t(spark, sf_dir, "events")
     s = e.filter(F.col("event_type").isin("click", "view")).select(
@@ -7684,13 +7688,11 @@ def ks_two_sample_test(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.sum("f").alias("c1"),
         F.sum(F.lit(1) - F.col("f")).alias("c2"),
     )
-    w = Window.orderBy("value").rowsBetween(
-        Window.unboundedPreceding, Window.currentRow
-    )
-    cdf = g.select(
-        F.sum("c1").over(w).alias("a1"),
-        F.sum("c2").over(w).alias("a2"),
-    )
+    from value_at_risk_spark.operators.ranks import global_running_sum
+
+    cdf = global_running_sum(
+        g, ["c1", "c2"], [("value", True)], out=["a1", "a2"]
+    ).select("a1", "a2")
     d = cdf.crossJoin(F.broadcast(n)).agg(
         F.max(
             F.abs(F.col("a1") / F.col("n1") - F.col("a2") / F.col("n2"))
@@ -11967,14 +11969,18 @@ def top_terms_per_source(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     ws = Window.partitionBy("source")
     wt = Window.partitionBy("t")
-    wall = Window.partitionBy(F.lit(1))
-    tots = tf.select(
+    # the corpus-wide total joins as a 1-row broadcast, not a
+    # partitionBy(lit(1)) window: that window funnels the whole
+    # (source, term) frame — which grows with the vocabulary — through
+    # one task just to compute a scalar
+    tot_all = tf.groupBy().agg(F.sum("tf").alias("tot_all"))
+    tots = tf.crossJoin(F.broadcast(tot_all)).select(
         "source",
         "t",
         "tf",
         F.sum("tf").over(ws).alias("tot_s"),
         F.sum("tf").over(wt).alias("tf_all"),
-        F.sum("tf").over(wall).alias("tot_all"),
+        "tot_all",
     )
     scored = tots.filter(F.col("tf") >= 3).select(
         "source",
@@ -12353,20 +12359,23 @@ def zipf_fit_tokens(spark: SparkSession, sf_dir: str) -> DataFrame:
     negative slope of ln(freq) on ln(rank) for the top 500 tokens
     (natural text reads ~1; strong deviation flags synthetic or
     templated corpora — a one-number corpus-authenticity screen
-    beside the quality/perplexity filters). One token reduction, one
-    rank window over the vocabulary frame (deterministic term tie-
-    break), closed-form regression on the 500-row head — the
-    vocabulary never leaves the cluster, only the 1-row fit does."""
+    beside the quality/perplexity filters). One token reduction, then
+    the 500-row head is cut with ``orderBy().limit(500)`` — Catalyst
+    compiles that to TakeOrderedAndProject (per-partition partial
+    top-k, one bounded merge), so the growing vocabulary frame never
+    funnels through a single-task rank window; the row_number that
+    follows runs on the bounded 500-row head. Closed-form regression
+    on the head — the vocabulary never leaves the cluster, only the
+    1-row fit does."""
     from value_at_risk_spark.functions.text import tokens
 
     d = _t(spark, sf_dir, "documents")
     freq = d.select(F.explode(tokens("text")).alias("t")).groupBy("t").agg(
         F.count(F.lit(1)).cast("double").alias("f")
     )
-    w = Window.orderBy(F.desc("f"), F.asc("t"))
-    ranked = freq.select(
-        "f", F.row_number().over(w).alias("r")
-    ).filter(F.col("r") <= 500)
+    head = freq.orderBy(F.desc("f"), F.asc("t")).limit(500)
+    w = Window.orderBy(F.desc("f"), F.asc("t"))  # bounded: ≤500 rows
+    ranked = head.select("f", F.row_number().over(w).alias("r"))
     return ranked.select(
         F.log("f").alias("_lf"),
         F.log(F.col("r").cast("double")).alias("_lr"),
