@@ -46,11 +46,13 @@ def _with_value_bucket(
     col: str,
     ascending: bool,
     num_buckets: int,
-    accuracy: int = 10_000,
+    accuracy: int = 1_000,
 ) -> DataFrame:
     """Attach a bucket id monotone along the requested ordering of
     ``col``: the count of approx-quantile boundaries strictly before
-    the row's value. Lazy; boundaries broadcast."""
+    the row's value. Lazy; boundaries broadcast. Accuracy only shapes
+    bucket BALANCE, never correctness — any monotone boundary set
+    yields exact ranks — so the default stays low and cheap."""
     probs = [i / num_buckets for i in range(1, num_buckets)]
     bounds = df.groupBy().agg(
         F.percentile_approx(col, probs, accuracy).alias("_bs")
