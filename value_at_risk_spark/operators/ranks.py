@@ -27,9 +27,13 @@ held by a huge fraction of rows skews its one bucket — for continuous
 metrics (revenue sums, scores) ties are measure-zero, and a discrete
 metric should pre-hash a composite ordering column instead.
 
-Used by ``gini_revenue_concentration`` and ``pareto_abc_parts``
-(queries.py); parity with the single-partition window forms is pinned
-in tests/test_operators.py, including all-ties and empty frames.
+Used by ``gini_revenue_concentration`` (rank), ``pareto_abc_parts``
+(descending cumulative share), and ``ks_two_sample_test`` (both ECDF
+running sums in one shared bucketing) in queries.py; parity with the
+single-partition window forms is pinned in tests/test_operators.py,
+including all-ties and empty frames. Measured vs the plain window
+form in PERF.md (wash at 10M rows on one box, 1.8x at 100M, and the
+only form that scales out at all on a cluster).
 """
 
 from __future__ import annotations
