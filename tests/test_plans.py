@@ -692,3 +692,17 @@ def test_round8_plan_contracts(spark, sf_dir):
             # "Window [exprs], [partition spec], [order spec]" — the
             # partition spec list must not be empty
             assert ", [], [" not in line, line
+
+
+def test_vocabulary_head_cuts_compile_to_take_ordered(spark, sf_dir):
+    """zipf_fit_tokens and top_bigrams cut their heads with
+    orderBy().limit() — the plan must show TakeOrderedAndProject (the
+    distributed partial top-k), and no single-partition Window over
+    the full vocabulary (zipf's only Window runs on the bounded
+    500-row head, top_bigrams has none at all)."""
+    p = _plan(spark, "top_bigrams", sf_dir)
+    assert "TakeOrderedAndProject" in p
+    assert "Window" not in p
+
+    p = _plan(spark, "zipf_fit_tokens", sf_dir)
+    assert "TakeOrderedAndProject" in p
