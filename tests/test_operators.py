@@ -3339,6 +3339,47 @@ def test_cosine_topk_arrow_keeps_rounding_ties_at_local_cut(spark):
     assert [(r.neighbor_id, r.cosine, r.rank) for r in rows] == [(5, 1.0, 1)]
 
 
+def test_cosine_topk_arrow_bounded_on_tie_heavy_corpus(spark):
+    """On an exact-duplicate corpus (every candidate identical — the
+    dedup-heavy workload) the batch-local cut must still emit at most
+    k rows per query per batch, ranked by the contract's ascending-id
+    tie-break, and match the expression form exactly. Pre-round-9 the
+    widened rounding-unit mask emitted EVERY tied candidate (the whole
+    batch here); the exact batch-local top-k under (rounded desc, id
+    asc) restores the nq*k bound without changing any answer."""
+    from value_at_risk_spark.operators.similarity import (
+        cosine_topk,
+        cosine_topk_arrow,
+    )
+
+    n = 400
+    corpus = spark.createDataFrame(
+        [(i, [0.6, 0.8]) for i in range(n)],
+        "neighbor_id long, embedding array<double>",
+    ).coalesce(1)  # one Arrow batch: the worst tie case for the cut
+    queries = spark.createDataFrame(
+        [(10_000, [0.6, 0.8]), (10_001, [1.0, 0.0])],
+        "query_id long, embedding array<double>",
+    )
+    fast = cosine_topk_arrow(queries, corpus, k=3)
+    slow = cosine_topk(queries, corpus, k=3)
+    key = lambda r: (r.query_id, r.rank)  # noqa: E731
+    got = [
+        (r.query_id, r.neighbor_id, r.cosine, r.rank)
+        for r in sorted(fast.collect(), key=key)
+    ]
+    exp = [
+        (r.query_id, r.neighbor_id, r.cosine, r.rank)
+        for r in sorted(slow.collect(), key=key)
+    ]
+    assert got == exp
+    # all n candidates tie — the winners are the 3 smallest ids each
+    assert [g[1] for g in got if g[0] == 10_000] == [0, 1, 2]
+    # k = n still returns every candidate exactly once (the cut is a
+    # top-k, not a dedupe — no tied candidate is double-emitted or lost)
+    assert cosine_topk_arrow(queries, corpus, k=n).count() == 2 * n
+
+
 def test_pagerank_default_dedupe_ignores_multi_edges(spark):
     """Multi-edges must not double-count contributions: the default
     dedupe=True gives the simple-graph answer for a feed with
@@ -3475,3 +3516,49 @@ def test_global_rank_and_running_sum_match_window_forms(spark):
         check(list(enumerate(xs)), ascending)
 
     prop()
+
+
+def test_global_rank_correct_without_exchange_reuse(spark):
+    """ranks.py must NOT depend on ReuseExchange for bucket-assignment
+    consistency: the bucketed frame feeds two subtrees (counts/offsets
+    and the row path), and ApproximatePercentile partials are
+    merge-order sensitive — if each subtree recomputed its own
+    boundaries, rows could bucket differently per path and ranks would
+    silently skip/duplicate. The lazy localCheckpoint of the bounds
+    frame pins one materialization; this test disables exchange reuse
+    (and AQE, which has its own reuse pass) and asserts the full
+    1..n rank permutation plus parity with the window form."""
+    from value_at_risk_spark.operators.ranks import (
+        global_row_number,
+        global_running_sum,
+    )
+
+    rows = [(i, float((i * 37) % 101) / 4.0) for i in range(500)]
+    df = spark.createDataFrame(rows, "k long, x double")
+    order = [("x", True), ("k", True)]
+    old_reuse = spark.conf.get("spark.sql.exchangeReuse.enabled", "true")
+    old_aqe = spark.conf.get("spark.sql.adaptive.enabled", "true")
+    try:
+        spark.conf.set("spark.sql.exchangeReuse.enabled", "false")
+        spark.conf.set("spark.sql.adaptive.enabled", "false")
+        got = {
+            r.k: r.rn
+            for r in global_row_number(df, order, num_buckets=8).collect()
+        }
+        cum = {
+            r.k: round(r.cum, 6)
+            for r in global_running_sum(
+                df, "x", order, num_buckets=8
+            ).collect()
+        }
+    finally:
+        spark.conf.set("spark.sql.exchangeReuse.enabled", old_reuse)
+        spark.conf.set("spark.sql.adaptive.enabled", old_aqe)
+    srt = sorted(rows, key=lambda r: (r[1], r[0]))
+    assert sorted(got.values()) == list(range(1, len(rows) + 1))
+    assert got == {r[0]: i + 1 for i, r in enumerate(srt)}
+    acc, exp_cum = 0.0, {}
+    for r in srt:
+        acc += r[1]
+        exp_cum[r[0]] = round(acc, 6)
+    assert cum == exp_cum

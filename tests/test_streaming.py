@@ -776,3 +776,22 @@ def test_cdc_seq_tie_never_resurrects_a_delete(spark, tmp_path):
     assert live == {}  # both keys stay deleted
     state = {r.k: (r.seq, r.op) for r in sink.read_state(spark).collect()}
     assert state == {1: (2, "D"), 2: (2, "D")}
+
+
+def test_cdc_apply_prior_frame_survives_next_invocation(spark, sf_dir):
+    """Round-9 ADVICE fix: the gate query's scratch table is now
+    version-per-invocation, so a frame returned by invocation N stays
+    collectable after invocation N+1 runs (previously N+1 rmtree'd the
+    shared pid-keyed dir at START, silently invalidating N's lazy
+    frame). Retention is depth 1 by contract — the prior version is
+    pruned only after the next one is fully written."""
+    from value_at_risk_spark.queries import QUERIES
+
+    first = QUERIES["streaming_cdc_apply"](spark, sf_dir)
+    second = QUERIES["streaming_cdc_apply"](spark, sf_dir)
+    exp = sorted(
+        (r.k, r.name, r.bal) for r in second.collect()
+    )
+    # collect the FIRST frame after the SECOND invocation completed
+    got = sorted((r.k, r.name, r.bal) for r in first.collect())
+    assert got == exp and len(got) > 0

@@ -105,7 +105,11 @@ def minhash_lsh_pairs(
     # signature length resolves without ever running a job: explicit
     # argument first, then the column metadata stamped by
     # minhash_signatures; the .first() probe is a last resort for
-    # foreign signature frames only
+    # foreign signature frames only. CONTRACT: metadata rides the
+    # schema, not the data — a frame whose signature arrays were
+    # sliced/rebuilt after stamping carries a stale k that silently
+    # shifts band boundaries; such transforms must re-stamp the
+    # metadata or pass num_hashes explicitly (explicit always wins).
     if num_hashes is not None:
         k = num_hashes
     elif "signature" in signatures.columns and signatures.schema[

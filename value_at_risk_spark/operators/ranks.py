@@ -27,6 +27,14 @@ held by a huge fraction of rows skews its one bucket — for continuous
 metrics (revenue sums, scores) ties are measure-zero, and a discrete
 metric should pre-hash a composite ordering column instead.
 
+PRECONDITION: the FIRST ordering column must be non-null. A NULL
+value makes both ``col > b`` and ``col < b`` evaluate NULL, landing
+the row in bucket 0 regardless of direction, while
+``percentile_approx`` ignores NULLs when placing boundaries — a NULL
+row would rank near the global front under a descending order instead
+of globally last. Current callers feed non-null aggregates; filter or
+coalesce NULLs before calling for anything else.
+
 Used by ``gini_revenue_concentration`` (rank), ``pareto_abc_parts``
 (descending cumulative share), and ``ks_two_sample_test`` (both ECDF
 running sums in one shared bucketing) in queries.py; parity with the
@@ -61,6 +69,19 @@ def _with_value_bucket(
     bounds = df.groupBy().agg(
         F.percentile_approx(col, probs, accuracy).alias("_bs")
     )
+    # The bucketed frame is referenced from TWO subtrees (the
+    # per-bucket counts/offsets side and the row side), and
+    # ApproximatePercentile's partial-merge is shuffle-fetch-order
+    # sensitive — relying on ReuseExchange to evaluate the boundary
+    # aggregate once is a config-dependent accident. With
+    # spark.sql.exchangeReuse.enabled=false (or any refactor that makes
+    # the two subtrees non-canonical-equal) each subtree could compute
+    # DIFFERENT boundaries, bucketing a row one way in the counts path
+    # and another in the rank path = silently wrong global ranks. A
+    # LAZY local checkpoint pins the 1-row frame to a single
+    # materialization every subtree reads, while keeping the module's
+    # no-driver-action contract (nothing runs until the query does).
+    bounds = bounds.localCheckpoint(eager=False)
 
     def before(b: Column) -> Column:
         return F.col(col) > b if ascending else F.col(col) < b

@@ -1068,8 +1068,15 @@ def cosine_topk_arrow(
 
     Ties and rounding follow cosine_topk exactly: round-then-rank,
     ascending id tie-break, self-matches excluded."""
+    import math
+    from decimal import ROUND_HALF_UP, Decimal
+
     import numpy as np
     import pandas as pd
+
+    _quant = (
+        Decimal(1).scaleb(-round_to) if round_to is not None else None
+    )
 
     qrows = queries.select(query_id, vec_col).collect()
     if not qrows:
@@ -1098,17 +1105,48 @@ def cosine_topk_arrow(
             take = min(kk, sims.shape[1])
             part = np.argpartition(-sims, take - 1, axis=1)[:, :take]
             # the final contract ranks on ROUNDED sims with ascending-id
-            # tie-break, so the batch-local cut keeps every candidate
-            # within one rounding unit of the kth raw value (any c with
-            # round(c) >= round(kth) satisfies c >= kth - 10^-r) — the
-            # emitted sims stay UNROUNDED so Spark's HALF_UP F.round
-            # remains the single authoritative rounding
+            # tie-break. The raw-kth threshold first narrows to every
+            # candidate within one rounding unit of the kth raw value —
+            # a rigorous superset of the contract's top-k, since any c
+            # with round(c) >= round(kth) satisfies c >= kth - 10^-r.
+            # On a tie-heavy corpus (exact-duplicate embeddings — the
+            # dedup workload) that superset can approach the whole
+            # batch, so the EMISSION is then cut to the exact
+            # batch-local top-k under the contract's own total order
+            # (rounded sim desc, id asc) — bounded by k per query per
+            # batch, and exact because any global winner is a batch
+            # winner under the same order. The cut key replicates
+            # Spark's F.round bit-for-bit (BigDecimal.valueOf ==
+            # Decimal(repr(x)), HALF_UP) — numpy's half-even round can
+            # disagree by one ulp at decimal boundaries and flip the id
+            # tie-break. Emitted sims stay UNROUNDED so Spark's F.round
+            # in the merge window remains the single authoritative
+            # rounding of the OUTPUT value.
             kth = sims[np.arange(nq)[:, None], part].min(axis=1)
             thr = kth if round_to is None else kth - 10.0 ** (-round_to)
             mask = sims >= thr[:, None]
             out_q, out_c, out_s = [], [], []
             for i in range(nq):
                 cols = np.nonzero(mask[i])[0]
+                if len(cols) > kk:
+                    raw = sims[i, cols]
+                    if round_to is None:
+                        key = raw
+                    else:
+                        key = np.array(
+                            [
+                                float(
+                                    Decimal(repr(s)).quantize(
+                                        _quant, rounding=ROUND_HALF_UP
+                                    )
+                                )
+                                if math.isfinite(s)
+                                else s
+                                for s in raw.tolist()
+                            ]
+                        )
+                    # lexsort: last key is primary -> (-sim, id) order
+                    cols = cols[np.lexsort((ids[cols], -key))[:kk]]
                 out_q.extend([int(qids[i])] * len(cols))
                 out_c.extend(ids[cols].tolist())
                 out_s.extend(sims[i, cols].tolist())

@@ -8087,16 +8087,23 @@ def streaming_cdc_apply(spark: SparkSession, sf_dir: str) -> DataFrame:
     ckpt = tempfile.mkdtemp(prefix="cdc_ckpt_")
     # the returned DataFrame reads the final table version LAZILY, so
     # the table dir must outlive this call. The scratch root is
-    # SESSION-SCOPED (keyed by query name + pid): each invocation
-    # clears the previous one's dir, so repeated gate runs in one
-    # long-lived process hold at most one table copy and one atexit
-    # entry instead of accumulating tempdirs per invocation.
-    tbl = os.path.join(
+    # SESSION-SCOPED (keyed by pid, one atexit entry); each invocation
+    # writes a FRESH versioned subdir and only after the stream has
+    # fully written it prunes versions older than the previous one.
+    # Never reusing a path means an earlier invocation's returned frame
+    # can never silently read overwritten data — it either still works
+    # (frames up to one invocation old stay readable) or fails loudly
+    # on a deleted dir. Disk held in a long-lived process is bounded
+    # at two table copies.
+    root = os.path.join(
         tempfile.gettempdir(), f"vars_cdc_apply_table_{os.getpid()}"
     )
-    shutil.rmtree(tbl, ignore_errors=True)
+    os.makedirs(root, exist_ok=True)
+    version = getattr(streaming_cdc_apply, "_scratch_version", 0) + 1
+    streaming_cdc_apply._scratch_version = version
+    tbl = os.path.join(root, f"v{version}")
     if not getattr(streaming_cdc_apply, "_scratch_registered", False):
-        atexit.register(shutil.rmtree, tbl, ignore_errors=True)
+        atexit.register(shutil.rmtree, root, ignore_errors=True)
         streaming_cdc_apply._scratch_registered = True
     try:
         changes.repartition(4).write.mode("overwrite").parquet(src)
@@ -8118,6 +8125,15 @@ def streaming_cdc_apply(spark: SparkSession, sf_dir: str) -> DataFrame:
             q.stop()
             raise TimeoutError("streaming_cdc_apply: replay exceeded 180s")
         sink.vacuum(keep_last=1)  # stream is done: keep only the tip
+        # the new version is fully written: prune everything older than
+        # the PREVIOUS version (kept so a frame returned by the last
+        # invocation remains collectable after this one)
+        for entry in os.listdir(root):
+            if entry.startswith("v") and entry[1:].isdigit():
+                if int(entry[1:]) < version - 1:
+                    shutil.rmtree(
+                        os.path.join(root, entry), ignore_errors=True
+                    )
         return sink.read(spark).select(
             "k", "name", (F.round("bal", 2) + F.lit(0.0)).alias("bal")
         )
