@@ -3562,3 +3562,38 @@ def test_global_rank_correct_without_exchange_reuse(spark):
         acc += r[1]
         exp_cum[r[0]] = round(acc, 6)
     assert cum == exp_cum
+
+
+def test_pq_gate_queries_build_or_load_identical(spark, sf_dir):
+    """Round-9: the PQ-family gate queries train through the index
+    lifecycle (annindex.ensure_index keyed by sf_dir + corpus
+    fingerprint + params) — the first invocation trains and publishes
+    atomically, every later one loads the frozen artifacts. Results
+    must be bit-identical across cold/warm, and the cache dir must
+    exist after the first run."""
+    import os
+
+    from value_at_risk_spark.operators.annindex import index_cache_dir
+    from value_at_risk_spark.queries import QUERIES
+
+    for name, kind, params in (
+        (
+            "pq_ann_topk",
+            "pq",
+            {"m": 4, "ksub": 16, "iters": 1, "seed": 606},
+        ),
+        (
+            "ivfpq_ann_topk",
+            "ivfpq",
+            {"ncells": 8, "m": 4, "ksub": 16, "iters": 1, "seed": 321},
+        ),
+        (
+            "opq_pq_ann_topk",
+            "opq_pq",
+            {"m": 4, "ksub": 16, "iters": 1, "seed": 707, "opq": True},
+        ),
+    ):
+        cold = sorted(map(tuple, QUERIES[name](spark, sf_dir).collect()))
+        assert os.path.isdir(index_cache_dir(kind, sf_dir, params)), name
+        warm = sorted(map(tuple, QUERIES[name](spark, sf_dir).collect()))
+        assert cold == warm and len(cold) > 0, name

@@ -694,6 +694,65 @@ def test_round8_plan_contracts(spark, sf_dir):
             assert ", [], [" not in line, line
 
 
+def test_round9_dim_metadata_kills_probe_jobs(spark, sf_dir):
+    """Round-9 hygiene pin: vector operators resolve dimensionality
+    from the ``dim`` column metadata stamped at the source (queries._t
+    peeks one parquet row driver-side; _planted_embedding_corpus
+    re-stamps its computed columns) — the old per-call
+    ``df.select(F.size(vec)).first()`` probe job is gone. Asserted the
+    same way the minhash num_hashes pin is: building the operator
+    plan from a metadata-bearing frame launches ZERO Spark jobs."""
+    import uuid
+
+    from pyspark.sql import functions as F
+
+    from value_at_risk_spark.functions.vector import resolve_dim
+    from value_at_risk_spark.operators.similarity import kmeans_centroids
+    from value_at_risk_spark.operators.vector_agg import (
+        embedding_covariance,
+    )
+    from value_at_risk_spark.queries import _planted_embedding_corpus, _t
+
+    sc = spark.sparkContext
+    tracker = sc.statusTracker()
+
+    def jobs_during(fn):
+        group = f"r9-dim-{uuid.uuid4().hex[:8]}"
+        sc.setJobGroup(group, "dim-probe audit")
+        fn()
+        n = len(tracker.getJobIdsForGroup(group))
+        sc.setJobGroup(None, None)
+        return n
+
+    e = _t(spark, sf_dir, "embeddings")
+    assert e.schema["embedding"].metadata.get("dim")
+
+    # metadata survives the planted-corpus transforms, a unionByName,
+    # and a rename — the exact path semdedup_planted's corpus takes
+    base, planted = _planted_embedding_corpus(e)
+    corpus = base.unionByName(planted).select(
+        F.col("id").alias("vec_id"), F.col("v").alias("embedding")
+    )
+    assert jobs_during(lambda: resolve_dim(corpus, "embedding")) == 0
+
+    # iters=0 isolates the init path: with metadata the whole build is
+    # jobless (any job here would be the old dimension probe)
+    assert (
+        jobs_during(
+            lambda: kmeans_centroids(corpus, "embedding", k=4, iters=0)
+        )
+        == 0
+    )
+    # covariance plan-build is fully lazy from a stamped frame
+    assert jobs_during(lambda: embedding_covariance(e, "embedding")) == 0
+
+    # a foreign frame without metadata still works (probe fallback)
+    foreign = spark.createDataFrame(
+        [(1, [1.0, 2.0, 3.0])], "vec_id long, embedding array<double>"
+    )
+    assert resolve_dim(foreign, "embedding") == 3
+
+
 def test_vocabulary_head_cuts_compile_to_take_ordered(spark, sf_dir):
     """zipf_fit_tokens and top_bigrams cut their heads with
     orderBy().limit() — the plan must show TakeOrderedAndProject (the

@@ -65,6 +65,39 @@ def vector_norm(a: Column | str, dim: int | None = None) -> Column:
     return F.sqrt(dot_product(a, a, dim=dim))
 
 
+DIM_METADATA_KEY = "dim"
+
+
+def resolve_dim(df, vec_col: str, dim: int | None = None, caller: str = "") -> int:
+    """Vector dimensionality without a Spark job wherever possible —
+    the resolution order minhash's ``num_hashes`` pioneered
+    (operators/dedup.py:107): the explicit argument wins, then the
+    ``dim`` column metadata stamped where the vector column was
+    created, and only a foreign frame with neither pays a ``.first()``
+    probe job (one extra Spark job per training/build call — the class
+    of hidden driver actions the round-8 audit flagged).
+
+    CONTRACT: metadata rides the SCHEMA, not the data. A frame whose
+    vectors were sliced, concatenated, or rebuilt after stamping
+    carries a stale dim that silently mis-sizes downstream plans —
+    such transforms must re-stamp (``df.withMetadata(col, {"dim": d})``)
+    or pass ``dim`` explicitly (explicit always wins).
+    """
+    if dim is not None:
+        return int(dim)
+    if vec_col in df.columns:
+        md = df.schema[vec_col].metadata
+        if md and md.get(DIM_METADATA_KEY):
+            return int(md[DIM_METADATA_KEY])
+    row = df.select(F.size(vec_col).alias("d")).first()
+    if row is None:
+        raise ValueError(
+            f"{caller or 'resolve_dim'}: empty input — pass dim "
+            "explicitly to build the plan without data"
+        )
+    return int(row[0])
+
+
 def cosine_similarity(
     a: Column | str, b: Column | str, dim: int | None = None
 ) -> Column:

@@ -26,6 +26,7 @@ from pyspark.sql.window import Window
 from value_at_risk_spark.functions.vector import (
     cosine_similarity,
     dot_product,
+    resolve_dim,
     vector_norm,
 )
 
@@ -397,11 +398,7 @@ def kmeans_centroids(
     """
     import numpy as np
 
-    if dim is None:
-        row = df.select(F.size(vec_col).alias("d")).first()
-        if row is None:
-            raise ValueError("kmeans_centroids: empty input")
-        dim = row[0]
+    dim = resolve_dim(df, vec_col, dim, caller="kmeans_centroids")
     rng = np.random.default_rng(seed)
     cents = rng.standard_normal((k, dim)).tolist()
     for _ in range(iters):
@@ -538,11 +535,7 @@ def pq_train(
     is the difference between 2 and 8 reads of a 100 TB corpus."""
     import numpy as np
 
-    if dim is None:
-        row = df.select(F.size(vec_col).alias("d")).first()
-        if row is None:
-            raise ValueError("pq_train: empty input")
-        dim = row[0]
+    dim = resolve_dim(df, vec_col, dim, caller="pq_train")
     if dim % m != 0:
         raise ValueError(f"pq_train: dim {dim} not divisible by m {m}")
     sub = dim // m
@@ -692,11 +685,7 @@ def ivfpq_build(
     (corpus_id, _cell, codes): one int for the cell + m ints for the
     residual — the entire per-vector index payload.
     """
-    if dim is None:
-        row = corpus.select(F.size(vec_col).alias("d")).first()
-        if row is None:
-            raise ValueError("ivfpq_build: empty corpus")
-        dim = row[0]
+    dim = resolve_dim(corpus, vec_col, dim, caller="ivfpq_build")
     cents = kmeans_centroids(
         corpus, vec_col=vec_col, k=ncells, iters=iters, seed=seed, dim=dim
     )
@@ -895,12 +884,8 @@ def opq_rotation(
         embedding_covariance,
     )
 
-    if dim is None:
-        row = df.select(F.size(vec_col).alias("d")).first()
-        if row is None:
-            raise ValueError("opq_rotation: empty input")
-        dim = row[0]
-    cov_rows = embedding_covariance(df, vec_col=vec_col).collect()
+    dim = resolve_dim(df, vec_col, dim, caller="opq_rotation")
+    cov_rows = embedding_covariance(df, vec_col=vec_col, dim=dim).collect()
     C = np.zeros((dim, dim))
     for r in cov_rows:
         C[r.i, r.j] = r.cov

