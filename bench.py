@@ -279,26 +279,37 @@ def scaled_semdedup(spark, scaled: str) -> dict:
 
     from value_at_risk_spark.operators.similarity import semdedup_survivors
 
-    corpus = (
-        spark.read.parquet(f"{scaled}/embeddings.parquet")
-        .select(
-            "vec_id",
-            F.transform("embedding", lambda x: x.cast("double")).alias(
-                "embedding"
-            ),
-        )
-        .withMetadata("embedding", {"dim": 64})
+    from value_at_risk_spark.queries import _embedding_dim_peek
+
+    corpus = spark.read.parquet(f"{scaled}/embeddings.parquet").select(
+        "vec_id",
+        F.transform("embedding", lambda x: x.cast("double")).alias(
+            "embedding"
+        ),
     )
+    # dim from the parquet data (zero-job pyarrow peek), never a
+    # hardcoded width: a stale literal would make the unrolled dot
+    # products silently truncate if the fixture's embedding width
+    # changed (the stale-metadata hazard resolve_dim's contract warns
+    # about). The peek reads the UNscaled fixture — replication does
+    # not change the width.
+    dim = _embedding_dim_peek(scaled)
+    if dim is not None:
+        corpus = corpus.withMetadata("embedding", {"dim": int(dim)})
     t0 = time.time()
     out = semdedup_survivors(
         corpus, k=40, threshold=0.99, iters=1, seed=123, nprobe=2
-    )
+    ).persist()
     force(out)
     sec = round(time.time() - t0, 3)
+    # denominators from the PERSISTED result — re-deriving them from
+    # the lazy plan would re-execute the whole assign+pair pipeline a
+    # second time outside the timed window (r9 verdict #6)
     agg = out.groupBy().agg(
         F.count(F.lit(1)).alias("n"),
         F.sum(F.col("is_dup").cast("long")).alias("d"),
     ).first()
+    out.unpersist()
     return {
         "scaled10_semdedup_sec": sec,
         "scaled10_semdedup_vectors": agg.n,

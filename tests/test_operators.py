@@ -1762,6 +1762,65 @@ def test_semdedup_probed_recall_and_bucketed_plan(spark, sf_dir):
     assert all(not r.is_dup for r in rows if r.vec_id < 1000000)
 
 
+def test_semdedup_exact_dup_precollapse_vs_bruteforce(spark):
+    """semdedup_survivors' round-10 exact-dup pre-collapse (groups of
+    identical vectors are collapsed to one min-id representative
+    before any pair work) must be OUTPUT-INVISIBLE: dup_of for every
+    row equals the brute-force unrestricted min-qualifying-lower-id
+    answer on a corpus built to stress the collapse algebra —
+    multiplicity groups with scattered (non-contiguous) ids, planted
+    cross-group near-dups whose min id is BELOW a group's rep, and an
+    identical-zero-vector group (cosine undefined: never dups, even
+    of each other — the try_divide-NULL semantics)."""
+    import math
+    import random
+
+    from value_at_risk_spark.operators.similarity import semdedup_survivors
+
+    rnd = random.Random(11)
+    rows = []
+    base = [[rnd.gauss(0, 1) for _ in range(8)] for _ in range(24)]
+    nid = 0
+    for v in base:
+        for _ in range(rnd.choice([1, 1, 2, 4])):
+            rows.append((nid, v))
+            nid += 1
+    for j in range(0, 24, 3):
+        rows.append((nid, [x + rnd.gauss(0, 0.001) for x in base[j]]))
+        nid += 1
+    rows.append((nid, [0.0] * 8)); nid += 1
+    rows.append((nid, [0.0] * 8)); nid += 1
+    # scatter ids so a group's min id is not insertion-contiguous
+    ids = [r[0] for r in rows]
+    perm = ids[:]
+    rnd.shuffle(perm)
+    rows = [(perm[i], rows[i][1]) for i in range(len(rows))]
+
+    thr = 0.99
+
+    def cos(a, b):
+        na = math.sqrt(sum(x * x for x in a))
+        nb = math.sqrt(sum(x * x for x in b))
+        return None if na == 0 or nb == 0 else (
+            sum(x * y for x, y in zip(a, b)) / (na * nb)
+        )
+
+    expected = {}
+    for ib, vb in rows:
+        lows = [
+            ia
+            for ia, va in rows
+            if ia < ib and (c := cos(va, vb)) is not None and c >= thr
+        ]
+        expected[ib] = min(lows) if lows else None
+
+    df = spark.createDataFrame(rows, "vec_id long, embedding array<double>")
+    out = semdedup_survivors(df, k=4, threshold=thr, iters=3, seed=5, nprobe=2)
+    got = {r.vec_id: r.dup_of for r in out.collect()}
+    assert len(got) == len(rows)
+    assert got == expected
+
+
 def test_remove_duplicate_spans_idempotent_and_canonical(spark):
     """remove_duplicate_spans on a constructed corpus: the shared
     8-token span survives ONLY in its canonical (min doc_id, min pos)

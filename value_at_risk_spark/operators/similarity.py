@@ -950,23 +950,70 @@ def semdedup_survivors(
     threshold's similarity scale). Pair work rises by ~nprobe^2/k,
     still a k/nprobe^2-fold cut over all-pairs.
 
-    Plan shape: one training pass family (kmeans_centroids — each
-    Lloyd iteration a single scan + hash-agg), one probe-assignment
-    projection (distance struct-array sort, pure codegen) + explode,
-    then a self equi-join ON THE CELL KEY; multi-probe pair
-    duplicates collapse in the final min-aggregate. An item is a
-    duplicate iff a LOWER-ID item shares a cell with cosine >=
-    threshold (deterministic min-id survivor rule, matching
-    operators/dedup's conventions).
+    Two scale defenses (round 10 — replacing the per-pair interpreted
+    HOF cosine that cost ~440 µs/pair at 10x):
+
+    1. **Exact-dup pre-collapse.** Identical vectors are grouped
+       FIRST (groupBy on the vector value itself — partial
+       aggregation collapses replicas map-side, so a giant duplicate
+       cluster never lands on one reducer, and there is no hash-
+       collision risk a fingerprint would carry). Cells and pair work
+       run over one min-id representative per distinct vector; a
+       member of a multiplicity group is a dup of min(group rep,
+       best cross-group rep) directly, because identical vectors have
+       cosine exactly 1 and identical probe-cell sets. Without this,
+       within-cell pair work is QUADRATIC in duplicate-cluster size —
+       precisely the dedup-heavy regime the operator exists for.
+
+    2. **Arrow-batched per-cell verify.** Within each cell the exact
+       cosine check is one blocked numpy Q @ V^T per Arrow group
+       (applyInPandas keyed on the cell — the same shuffle key the
+       pair join used), emitting at most ONE row per (rep, cell): the
+       minimum qualifying neighbor rep id. The n_cell x n_cell
+       similarity matrix is never materialized (row blocks of 2048),
+       and no pair row ever carries two vectors through a shuffle.
+       Per-cell memory is n_cell x dim doubles + one block stripe —
+       bounded by the cell size k is chosen to bound anyway.
+
+    Cross-group reduction (why reps suffice): identical vectors share
+    every probe cell, so the qualifying lower-id set of a member x in
+    group g is members(g) below x plus all members of the qualifying
+    neighbor groups Q(g) of its representative. The minimum of the
+    latter is M(g) = min over rep ids of Q(g) (a group's rep IS its
+    minimum id). Hence dup_of(x) = least(rep_g, M(g)) for non-rep x,
+    and M(g) if M(g) < rep_g for the representative itself. Zero-norm
+    vectors never qualify in either direction (cosine undefined —
+    try_divide-NULL semantics preserved), including identical zero
+    vectors.
+
+    FP note: the kernel's numpy dot sums in a different order than
+    the previous HOF fold; pairs within ~1e-12 of the threshold could
+    classify differently. The contract (and the DuckDB oracle, which
+    has its own summation order) is exact-arithmetic cosine; fixtures
+    keep >1e-2 margin. ``threshold`` must be <= 1.0 (identical
+    vectors qualify by exact arithmetic even where floating point
+    yields 1-ulp-below-1).
 
     Output: (id, cell, is_dup, dup_of) — cell is the rank-1
     assignment; dup_of the smallest qualifying lower id, NULL for
     survivors.
     """
+    if threshold > 1.0:
+        raise ValueError("semdedup threshold must be <= 1.0")
+    # centroids still train on the FULL corpus: Lloyd mean updates
+    # weighted by multiplicity == training on all rows, so cells are
+    # identical to the pre-collapse implementation (linear scans; the
+    # quadratic stage below is what runs on representatives).
     centroids = kmeans_centroids(
         df, vec_col=vec_col, k=k, iters=iters, seed=seed, dim=dim
     )
     nprobe = min(nprobe, len(centroids))
+    thr = float(threshold)
+
+    rows = df.select(F.col(id_col), F.col(vec_col))
+    groups = rows.groupBy(vec_col).agg(F.min(id_col).alias("_rep"))
+    reps = groups.select(F.col("_rep").alias(id_col), F.col(vec_col))
+
     col = F.col(vec_col)
     dists = F.array(
         *[
@@ -982,7 +1029,7 @@ def semdedup_survivors(
             for i, cent in enumerate(centroids)
         ]
     )
-    probed = df.select(
+    probed = reps.select(
         F.col(id_col),
         col,
         vector_norm(vec_col, dim=dim).alias("_n"),
@@ -990,41 +1037,64 @@ def semdedup_survivors(
             F.slice(F.array_sort(dists), 1, nprobe), lambda s: s["cell"]
         ).alias("_cells"),
     )
-    exploded = probed.select(
-        id_col, vec_col, "_n", F.explode("_cells").alias("_cell")
+    exploded = probed.filter(F.col("_n") > 0).select(
+        id_col, vec_col, F.explode("_cells").alias("_cell")
     )
-    a = exploded.select(
-        F.col(id_col).alias("id_a"),
-        F.col("_cell"),
-        F.col(vec_col).alias("_va"),
-        F.col("_n").alias("_na"),
+
+    def _cell_min_neighbor(pdf: pd.DataFrame) -> pd.DataFrame:
+        ids = pdf[id_col].to_numpy(dtype=np.int64)
+        V = np.array(list(pdf[vec_col]), dtype=np.float64)
+        if V.ndim != 2 or len(ids) < 2:
+            return pd.DataFrame({"_id": [], "_nbr": []}).astype(
+                {"_id": np.int64, "_nbr": np.int64}
+            )
+        norms = np.linalg.norm(V, axis=1)
+        sentinel = np.int64(2**62)
+        out_id: list[int] = []
+        out_nbr: list[int] = []
+        block = 2048
+        for s in range(0, len(ids), block):
+            e = min(s + block, len(ids))
+            sims = (V[s:e] @ V.T) / (norms[s:e, None] * norms[None, :])
+            qual = sims >= thr
+            qual &= ids[None, :] != ids[s:e, None]
+            best = np.where(qual, ids[None, :], sentinel).min(axis=1)
+            hit = best < sentinel
+            out_id.extend(ids[s:e][hit].tolist())
+            out_nbr.extend(best[hit].tolist())
+        return pd.DataFrame(
+            {"_id": np.asarray(out_id, dtype=np.int64),
+             "_nbr": np.asarray(out_nbr, dtype=np.int64)}
+        )
+
+    rep_links = exploded.groupBy("_cell").applyInPandas(
+        _cell_min_neighbor, schema="_id long, _nbr long"
     )
-    b = exploded.select(
-        F.col(id_col).alias("id_b"),
-        F.col("_cell"),
-        F.col(vec_col).alias("_vb"),
-        F.col("_n").alias("_nb"),
+    m_of_rep = rep_links.groupBy(F.col("_id").alias("_rep")).agg(
+        F.min("_nbr").alias("_m")
     )
-    sim = F.try_divide(
-        dot_product("_va", "_vb", dim=dim), F.col("_na") * F.col("_nb")
+
+    rep_info = (
+        probed.select(
+            F.col(id_col).alias("_rep"),
+            F.element_at("_cells", 1).alias("cell"),
+            (F.col("_n") > 0).alias("_nz"),
+        )
+        .join(m_of_rep, on="_rep", how="left")
     )
-    dup_links = (
-        a.join(b, on="_cell")
-        .filter(F.col("id_a") < F.col("id_b"))
-        .filter(sim >= F.lit(threshold))
-        .groupBy(F.col("id_b").alias(id_col))
-        .agg(F.min("id_a").alias("dup_of"))
+    members = rows.join(groups, on=vec_col).select(id_col, "_rep")
+    i, r, m = F.col(id_col), F.col("_rep"), F.col("_m")
+    dup_of = (
+        F.when(F.col("_nz") & (i == r), F.when(m < r, m))
+        .when(F.col("_nz") & (i != r), F.least(r, m))
     )
     return (
-        probed.select(
-            id_col, F.element_at("_cells", 1).alias("cell")
-        )
-        .join(dup_links, on=id_col, how="left")
+        members.join(rep_info, on="_rep")
         .select(
             id_col,
             "cell",
-            F.col("dup_of").isNotNull().alias("is_dup"),
-            "dup_of",
+            dup_of.isNotNull().alias("is_dup"),
+            dup_of.alias("dup_of"),
         )
     )
 
