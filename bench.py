@@ -379,14 +379,27 @@ def main() -> None:
     spark.range(1_000_000).selectExpr("sum(id)").collect()  # JVM warm-up
     cal, cal_samples = calibration_anchor(spark, sf_dir)
 
+    from value_at_risk_spark.operators import annindex
+
     timings: dict[str, float] = {}
+    # ANN index-cache state per query ("cold" if ANY run trained, else
+    # "warm") — pq-family timings are bimodal and a number without this
+    # flag is unreadable across rounds
+    ann_cache: dict[str, str] = {}
     for name in BENCH_QUERIES:
         fn = QUERIES[name]
         samples = []
+        annindex.BUILD_EVENTS.clear()
         for _ in range(RUNS_PER_QUERY):
             t0 = time.time()
             force(fn(spark, sf_dir))
             samples.append(time.time() - t0)
+        if annindex.BUILD_EVENTS:
+            ann_cache[name] = (
+                "cold"
+                if any(m == "cold" for _, m in annindex.BUILD_EVENTS)
+                else "warm"
+            )
         timings[name] = round(statistics.median(samples), 3)
 
     total = round(sum(timings.values()), 3)
@@ -424,6 +437,7 @@ def main() -> None:
                 "calibration_sec": cal,
                 "calibration_samples": cal_samples,
                 "normalized": normalized,
+                **({"ann_cache": ann_cache} if ann_cache else {}),
                 **scaled_stats,
                 "sf": float(sf) if sf.replace(".", "").isdigit() else sf,
             }

@@ -3558,6 +3558,24 @@ def test_global_rank_and_running_sum_match_window_forms(spark):
         == 0
     )
 
+    # explicit-boundaries path (round 10): same exact results with
+    # caller-supplied boundaries — including deliberately unbalanced
+    # ones — and the plan carries NO percentile aggregate at all (the
+    # bulletproof no-residual-race form for multi-executor callers)
+    df = spark.createDataFrame(fixed, "k long, x double")
+    order = [("x", True), ("k", True)]
+    exp_rank, exp_cum = reference(fixed, True)
+    for bs in ([0.0], [-100.0, 0.0, 5.0, 50.0], [999.0]):
+        rb = global_row_number(df, order, boundaries=bs)
+        got = {r.k: r.rn for r in rb.collect()}
+        assert got == exp_rank, bs
+        cb = global_running_sum(df, "x", order, boundaries=bs)
+        assert {r.k: round(r.cum, 6) for r in cb.collect()} == {
+            k: round(v, 6) for k, v in exp_cum.items()
+        }, bs
+        plan = rb._jdf.queryExecution().executedPlan().toString()
+        assert "percentile" not in plan.lower()
+
     @settings(
         max_examples=8,
         deadline=None,
@@ -3656,3 +3674,65 @@ def test_pq_gate_queries_build_or_load_identical(spark, sf_dir):
         assert os.path.isdir(index_cache_dir(kind, sf_dir, params)), name
         warm = sorted(map(tuple, QUERIES[name](spark, sf_dir).collect()))
         assert cold == warm and len(cold) > 0, name
+
+
+def test_ann_index_cache_salt_events_and_gc(tmp_path, monkeypatch):
+    """Round-10 cache-lifecycle hazards (ADVICE r9):
+    (a) the cache key folds in a CODE salt — changing the trainer code
+    must change the key, so stale artifacts trained by old code are
+    never loaded; (b) ensure_index records cold/warm BUILD_EVENTS so
+    harnesses can stamp which bimodal cost mode a timing measured;
+    (c) the cache is bounded: only the newest CACHE_KEEP_PER_KIND
+    entries per kind survive GC; (d) a publish-rename failure with no
+    winner index present re-raises instead of returning a missing
+    dir."""
+    import os
+    import time as _time
+
+    from value_at_risk_spark.operators import annindex
+
+    # (a) code salt participates in the key
+    monkeypatch.setattr(annindex, "_CODE_SALT", "aaaa")
+    k1 = annindex.index_cache_dir("pq", "/tmp/x", {"m": 4})
+    monkeypatch.setattr(annindex, "_CODE_SALT", "bbbb")
+    k2 = annindex.index_cache_dir("pq", "/tmp/x", {"m": 4})
+    assert k1 != k2
+    # per-user root
+    assert str(getattr(os, "getuid", lambda: "u")()) in os.path.dirname(k1)
+
+    # (b)+(c): build into a scratch root, check events and GC
+    root = tmp_path / "cacheroot"
+    root.mkdir()
+
+    def entry(i):
+        return str(root / f"pq_{i:04d}")
+
+    annindex.BUILD_EVENTS.clear()
+    for i in range(annindex.CACHE_KEEP_PER_KIND + 3):
+        annindex.ensure_index(
+            entry(i), lambda d: os.makedirs(d, exist_ok=True)
+        )
+        _time.sleep(0.01)  # distinct mtimes for GC ordering
+    annindex.ensure_index(
+        entry(annindex.CACHE_KEEP_PER_KIND + 2),
+        lambda d: os.makedirs(d, exist_ok=True),
+    )
+    modes = [m for _, m in annindex.BUILD_EVENTS]
+    assert modes.count("warm") == 1 and modes[-1] == "warm"
+    kept = sorted(d for d in os.listdir(root) if d.startswith("pq_"))
+    assert len(kept) == annindex.CACHE_KEEP_PER_KIND
+    # newest survive
+    assert kept[-1] == f"pq_{annindex.CACHE_KEEP_PER_KIND + 2:04d}"
+
+    # (d) failed publish with no winner present re-raises
+    import pytest as _pytest
+
+    target = str(root / "pq_failpublish")
+
+    def bad_build(d):
+        # build nothing: the publish rename raises ENOENT and there is
+        # no winner index to fall back to — must surface, not swallow
+        pass
+
+    with _pytest.raises(OSError):
+        annindex.ensure_index(target, bad_build)

@@ -62,16 +62,28 @@ def main():
         con.execute(
             f"CREATE VIEW {t} AS SELECT * FROM read_parquet('{sf_dir}/{t}.parquet')"
         )
+    from value_at_risk_spark.operators import annindex
+
     n_pass = n_fail = 0
     report: dict[str, dict] = {}
+    # pq/ivfpq/opq timings are bimodal (train vs load-from-cache);
+    # stamp which mode each row measured so sweep numbers are readable
+    cache_modes: dict[str, str] = {}
     for name, fn in QUERIES.items():
         if only and name not in only:
             continue
+        annindex.BUILD_EVENTS.clear()
         t0 = time.time()
         try:
             sdf = fn(spark, sf_dir)
             scols = [c.lower() for c in sdf.columns]
             srows = [tuple(r) for r in sdf.collect()]
+            if annindex.BUILD_EVENTS:
+                cache_modes[name] = (
+                    "cold"
+                    if any(m == "cold" for _, m in annindex.BUILD_EVENTS)
+                    else "warm"
+                )
         except Exception as e:  # noqa: BLE001
             print(f"FAIL  {name}: spark error: {e}")
             report[name] = {"status": "fail", "detail": f"spark error: {e}"}
@@ -130,6 +142,9 @@ def main():
             print(f"PASS  {name}: {len(sr)} rows ({secs}s)")
             report[name] = {"status": "pass", "rows": len(sr), "secs": secs}
             n_pass += 1
+    for name, mode in cache_modes.items():
+        if name in report:
+            report[name]["ann_cache"] = mode
     print(f"\n{n_pass} pass / {n_fail} fail "
           f"/ {len([q for q in QUERIES if q not in ORACLES])} rows-only")
     if json_out:

@@ -150,15 +150,59 @@ def load_pq_index(
     return books, reg.read(spark, "ann_pq_codes"), rotation
 
 
+#: per-process record of cache outcomes, appended by ensure_index:
+#: (kind_and_key_basename, "cold" | "warm"). Sweep/bench harnesses
+#: drain this so every recorded pq/ivfpq/opq timing says which of the
+#: two bimodal cost modes (train vs load) it measured.
+BUILD_EVENTS: list[tuple[str, str]] = []
+
+_CODE_SALT: str | None = None
+
+#: bounded cache: newest entries kept per kind (GC in ensure_index)
+CACHE_KEEP_PER_KIND = 8
+
+
+def _code_salt() -> str:
+    """Hash of the modules whose training/encoding output the cached
+    artifacts embody. Folded into the cache key so editing pq_train /
+    ivfpq_build / opq_rotation invalidates every prior index — without
+    this, gate runs after a code change silently load artifacts
+    trained by the OLD code, and cold/warm equality tests cannot catch
+    it because both paths read the same stale cache."""
+    global _CODE_SALT
+    if _CODE_SALT is None:
+        h = hashlib.md5()
+        here = os.path.dirname(os.path.abspath(__file__))
+        for mod in ("similarity.py", "annindex.py"):
+            try:
+                with open(os.path.join(here, mod), "rb") as f:
+                    h.update(f.read())
+            except OSError:
+                h.update(mod.encode())
+        _CODE_SALT = h.hexdigest()[:12]
+    return _CODE_SALT
+
+
+def cache_root() -> str:
+    """Per-user cache root: a world-shared /tmp name invites
+    cross-user collisions (EACCES on a root another uid created,
+    or loading an index another user published)."""
+    uid = getattr(os, "getuid", lambda: "u")()
+    return os.path.join(
+        tempfile.gettempdir(), f"vars_ann_index_cache_{uid}"
+    )
+
+
 def index_cache_dir(kind: str, sf_dir: str, params: dict) -> str:
     """Deterministic on-disk location for a trained index over a fixture
-    corpus, keyed by (kind, sf_dir, corpus fingerprint, params). The
-    fingerprint is the embeddings parquet's (mtime_ns, size) so a
-    regenerated fixture invalidates the cache instead of serving stale
-    artifacts. This is what lets the GATE queries train once per box
-    and load thereafter — at 100 TB an index is trained once per
-    corpus, never once per query (the FAISS add/train split the module
-    docstring describes)."""
+    corpus, keyed by (kind, sf_dir, corpus fingerprint, params, code
+    salt). The fingerprint is the embeddings parquet's (mtime_ns, size)
+    so a regenerated fixture invalidates the cache instead of serving
+    stale artifacts; the code salt (hash of similarity.py + annindex.py)
+    does the same for trainer/encoder changes. This is what lets the
+    GATE queries train once per box and load thereafter — at 100 TB an
+    index is trained once per corpus, never once per query (the FAISS
+    add/train split the module docstring describes)."""
     fp: list = []
     emb = os.path.join(sf_dir, "embeddings.parquet")
     try:
@@ -173,14 +217,33 @@ def index_cache_dir(kind: str, sf_dir: str, params: dict) -> str:
         fp.append("unknown")
     key = hashlib.md5(
         json.dumps(
-            {"kind": kind, "sf": os.path.abspath(sf_dir), "fp": fp, **params},
+            {
+                "kind": kind,
+                "sf": os.path.abspath(sf_dir),
+                "fp": fp,
+                "code": _code_salt(),
+                **params,
+            },
             sort_keys=True,
             default=str,
         ).encode()
     ).hexdigest()[:16]
-    return os.path.join(
-        tempfile.gettempdir(), "vars_ann_index_cache", f"{kind}_{key}"
-    )
+    return os.path.join(cache_root(), f"{kind}_{key}")
+
+
+def _gc_cache(root: str, kind: str) -> None:
+    """Keep the newest CACHE_KEEP_PER_KIND published entries for this
+    kind; stale fingerprints/salts otherwise accumulate forever."""
+    try:
+        entries = [
+            (os.path.getmtime(os.path.join(root, d)), d)
+            for d in os.listdir(root)
+            if d.startswith(f"{kind}_") and ".staging." not in d
+        ]
+    except OSError:
+        return
+    for _, d in sorted(entries, reverse=True)[CACHE_KEEP_PER_KIND:]:
+        shutil.rmtree(os.path.join(root, d), ignore_errors=True)
 
 
 def ensure_index(base_dir: str, build: Callable[[str], None]) -> str:
@@ -190,9 +253,13 @@ def ensure_index(base_dir: str, build: Callable[[str], None]) -> str:
     pid-keyed sibling staging dir and atomically rename it into place.
     A concurrent builder losing the rename race discards its staging
     dir and uses the winner's — readers can never observe a torn
-    index."""
+    index. Every call appends (entry name, cold|warm) to BUILD_EVENTS
+    so harnesses can stamp which cost mode a timing measured."""
+    name = os.path.basename(base_dir)
     if os.path.isdir(base_dir):
+        BUILD_EVENTS.append((name, "warm"))
         return base_dir
+    BUILD_EVENTS.append((name, "cold"))
     os.makedirs(os.path.dirname(base_dir), exist_ok=True)
     staging = f"{base_dir}.staging.{os.getpid()}"
     shutil.rmtree(staging, ignore_errors=True)
@@ -201,10 +268,15 @@ def ensure_index(base_dir: str, build: Callable[[str], None]) -> str:
         try:
             os.rename(staging, base_dir)
         except OSError:
-            # lost the publish race — the winner's index is complete
+            # a lost publish race is fine ONLY if the winner's index is
+            # actually there; a genuine failure (EACCES, EXDEV) must
+            # surface here, not as a missing-table error in the loader
+            if not os.path.isdir(base_dir):
+                raise
             shutil.rmtree(staging, ignore_errors=True)
     finally:
         shutil.rmtree(staging, ignore_errors=True)
+    _gc_cache(os.path.dirname(base_dir), name.split("_", 1)[0])
     return base_dir
 
 

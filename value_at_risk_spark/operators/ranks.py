@@ -59,12 +59,32 @@ def _with_value_bucket(
     ascending: bool,
     num_buckets: int,
     accuracy: int = 1_000,
+    boundaries: list[float] | None = None,
 ) -> DataFrame:
     """Attach a bucket id monotone along the requested ordering of
     ``col``: the count of approx-quantile boundaries strictly before
     the row's value. Lazy; boundaries broadcast. Accuracy only shapes
     bucket BALANCE, never correctness — any monotone boundary set
-    yields exact ranks — so the default stays low and cheap."""
+    yields exact ranks — so the default stays low and cheap.
+
+    ``boundaries`` (optional): explicit boundary values. Any sorted
+    list works (balance is the caller's problem); supplying it removes
+    the boundary aggregate from the plan entirely — the bulletproof
+    path for callers that cannot tolerate the residual race below."""
+    if boundaries is not None:
+        bs = F.array(*[F.lit(float(b)) for b in sorted(boundaries)])
+        return df.withColumn(
+            _PID,
+            F.aggregate(
+                bs,
+                F.lit(0),
+                lambda acc, b: acc
+                + F.when(
+                    F.col(col) > b if ascending else F.col(col) < b,
+                    1,
+                ).otherwise(0),
+            ),
+        )
     probs = [i / num_buckets for i in range(1, num_buckets)]
     bounds = df.groupBy().agg(
         F.percentile_approx(col, probs, accuracy).alias("_bs")
@@ -78,9 +98,22 @@ def _with_value_bucket(
     # the two subtrees non-canonical-equal) each subtree could compute
     # DIFFERENT boundaries, bucketing a row one way in the counts path
     # and another in the rank path = silently wrong global ranks. A
-    # LAZY local checkpoint pins the 1-row frame to a single
+    # LAZY local checkpoint pins the 1-row frame to a single cached
     # materialization every subtree reads, while keeping the module's
     # no-driver-action contract (nothing runs until the query does).
+    #
+    # Residual race (documented per ADVICE r9): a lazy checkpoint only
+    # caches on FIRST compute. Single-executor (local mode — the test
+    # and gate environment), BlockManager's per-block write lock
+    # serializes concurrent computes of the 1-row partition: the
+    # second thread blocks, then reads the first's block — no
+    # divergence. On a MULTI-executor cluster, two broadcast-exchange
+    # jobs scheduled concurrently onto different executors can each
+    # compute the partition before either block registers, and the two
+    # replicas may disagree. Callers that must be bulletproof in that
+    # regime pass ``boundaries=`` (precomputed, e.g. from yesterday's
+    # run or a one-off approxQuantile) and the hazard vanishes with
+    # the aggregate.
     bounds = bounds.localCheckpoint(eager=False)
 
     def before(b: Column) -> Column:
@@ -141,16 +174,18 @@ def global_row_number(
     order_by: list[tuple[str, bool]],
     out: str = "rn",
     num_buckets: int = 32,
+    boundaries: list[float] | None = None,
 ) -> DataFrame:
     """``row_number() OVER (ORDER BY ...)`` without the single
     partition: exact 1-based global rank in the composite ordering.
 
     ``order_by``: (column, ascending) pairs; the FIRST column drives
     the value bucketing and must be numeric, the rest break ties
-    inside the bucket-local window.
+    inside the bucket-local window. ``boundaries``: optional explicit
+    bucket boundaries (see _with_value_bucket).
     """
     col0, asc0 = order_by[0]
-    part = _with_value_bucket(df, col0, asc0, num_buckets)
+    part = _with_value_bucket(df, col0, asc0, num_buckets, boundaries=boundaries)
     counts = part.groupBy(_PID).agg(F.count(F.lit(1)).alias("_c"))
     offs = _bucket_offsets(counts, ["_c"])
     return (
@@ -170,19 +205,23 @@ def global_running_sum(
     order_by: list[tuple[str, bool]],
     out: str | list[str] = "cum",
     num_buckets: int = 32,
+    boundaries: list[float] | None = None,
 ) -> DataFrame:
     """``SUM(value) OVER (ORDER BY ... ROWS UNBOUNDED PRECEDING)``
     without the single partition: exact inclusive running sum in the
     composite ordering (Pareto / Lorenz cumulative shares, empirical
     CDFs). Accepts several value columns at once — they share the one
     bucketing, offset join, and local window (an ECDF pair costs the
-    same plan as a single running sum)."""
+    same plan as a single running sum). ``boundaries``: optional
+    explicit bucket boundaries (see _with_value_bucket)."""
     vcols = [value_col] if isinstance(value_col, str) else list(value_col)
     outs = [out] if isinstance(out, str) else list(out)
     if len(vcols) != len(outs):
         raise ValueError("global_running_sum: len(value_col) != len(out)")
     col0, asc0 = order_by[0]
-    part = _with_value_bucket(df, col0, asc0, num_buckets)
+    part = _with_value_bucket(
+        df, col0, asc0, num_buckets, boundaries=boundaries
+    )
     sums = part.groupBy(_PID).agg(
         *[F.sum(v).alias(f"_s{i}") for i, v in enumerate(vcols)]
     )

@@ -8199,6 +8199,14 @@ def streaming_cdc_apply(spark: SparkSession, sf_dir: str) -> DataFrame:
     version = getattr(streaming_cdc_apply, "_scratch_version", 0) + 1
     streaming_cdc_apply._scratch_version = version
     tbl = os.path.join(root, f"v{version}")
+    # pid-keyed roots survive a SIGKILLed process (atexit never ran);
+    # pid reuse would then resurrect a stale v1 whose committed-batch
+    # dirs make CdcTableSink skip the replayed deliveries and silently
+    # serve the dead process's data. The version dir this invocation is
+    # about to write is never a PRIOR invocation's live path, so
+    # clearing it keeps the two-copy retention contract while
+    # restoring the stale-dir guard (ADVICE r9).
+    shutil.rmtree(tbl, ignore_errors=True)
     if not getattr(streaming_cdc_apply, "_scratch_registered", False):
         atexit.register(shutil.rmtree, root, ignore_errors=True)
         streaming_cdc_apply._scratch_registered = True
