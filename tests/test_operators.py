@@ -3700,8 +3700,10 @@ def test_ann_index_cache_salt_events_and_gc(tmp_path, monkeypatch):
     # per-user root
     assert str(getattr(os, "getuid", lambda: "u")()) in os.path.dirname(k1)
 
-    # (b)+(c): build into a scratch root, check events and GC
-    root = tmp_path / "cacheroot"
+    # (b)+(c): build into a scratch root, check events and GC (the
+    # root must carry the managed-cache name — GC refuses to prune
+    # siblings of caller-owned paths)
+    root = tmp_path / "vars_ann_index_cache_test"
     root.mkdir()
 
     def entry(i):

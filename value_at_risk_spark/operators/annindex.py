@@ -276,7 +276,12 @@ def ensure_index(base_dir: str, build: Callable[[str], None]) -> str:
             shutil.rmtree(staging, ignore_errors=True)
     finally:
         shutil.rmtree(staging, ignore_errors=True)
-    _gc_cache(os.path.dirname(base_dir), name.split("_", 1)[0])
+    # GC only inside the managed cache root — ensure_index accepts any
+    # target dir, and pruning siblings of a caller-owned path would be
+    # a destructive surprise
+    parent = os.path.dirname(base_dir)
+    if os.path.basename(parent).startswith("vars_ann_index_cache"):
+        _gc_cache(parent, name.split("_", 1)[0])
     return base_dir
 
 
