@@ -1,0 +1,153 @@
+"""Native Delta transaction-log reader/writer (sources/deltalog.py).
+
+Covers the protocol subset end to end: commit naming, append /
+overwrite with log replay, version time travel, Hive-partitioned
+layout with schema-typed partition recovery (incl. the null-partition
+dir token), single-part checkpoints, optimistic-concurrency conflict
+retry, schema enforcement, and history. Reference tie: Delta
+persistence semantics of /root/reference/config/configure_notebook.py
+:18-27 and 03_var_monte_carlo.py:162, natively."""
+
+import json
+import os
+
+import pytest
+from pyspark.sql import functions as F
+
+from value_at_risk_spark.sources.deltalog import (
+    checkpoint_delta,
+    delta_history,
+    delta_versions,
+    read_delta,
+    snapshot,
+    write_delta,
+)
+
+
+def _rows(df):
+    return sorted(tuple(r) for r in df.collect())
+
+
+def test_append_time_travel_and_protocol_shape(spark, tmp_path):
+    tbl = str(tmp_path / "t1")
+    v0_df = spark.createDataFrame(
+        [(1, "a", 10.5), (2, "b", 20.0)], "id long, k string, v double"
+    )
+    v1_df = spark.createDataFrame(
+        [(3, "c", 30.25)], "id long, k string, v double"
+    )
+    assert write_delta(spark, v0_df, tbl) == 0
+    assert write_delta(spark, v1_df, tbl) == 1
+    assert delta_versions(tbl) == [0, 1]
+
+    # protocol shape: zero-padded 20-digit commit names; v0 carries
+    # protocol + metaData; adds have the required fields
+    names = sorted(os.listdir(os.path.join(tbl, "_delta_log")))
+    assert f"{0:020d}.json" in names and f"{1:020d}.json" in names
+    with open(os.path.join(tbl, "_delta_log", f"{0:020d}.json")) as fh:
+        acts = [json.loads(x) for x in fh if x.strip()]
+    kinds = [next(iter(a)) for a in acts]
+    assert kinds[0] == "commitInfo"
+    assert "protocol" in kinds and "metaData" in kinds and "add" in kinds
+    add = next(a["add"] for a in acts if "add" in a)
+    assert {"path", "partitionValues", "size", "modificationTime",
+            "dataChange"} <= set(add)
+    assert not os.path.isabs(add["path"])
+
+    assert _rows(read_delta(spark, tbl)) == _rows(v0_df.unionByName(v1_df))
+    assert _rows(read_delta(spark, tbl, version=0)) == _rows(v0_df)
+    hist = delta_history(tbl)
+    assert [h["version"] for h in hist] == [0, 1]
+    assert all(h["operation"] == "WRITE" for h in hist)
+
+
+def test_overwrite_replaces_but_history_remains(spark, tmp_path):
+    tbl = str(tmp_path / "t2")
+    a = spark.createDataFrame([(1, "x")], "id long, s string")
+    b = spark.createDataFrame([(9, "y"), (10, "z")], "id long, s string")
+    write_delta(spark, a, tbl)
+    write_delta(spark, b, tbl, mode="overwrite")
+    assert _rows(read_delta(spark, tbl)) == _rows(b)
+    assert _rows(read_delta(spark, tbl, version=0)) == _rows(a)
+    # the overwrite commit carries remove actions for v0's files
+    with open(os.path.join(tbl, "_delta_log", f"{1:020d}.json")) as fh:
+        acts = [json.loads(x) for x in fh if x.strip()]
+    assert any("remove" in a2 for a2 in acts)
+
+
+def test_partitioned_layout_and_typed_recovery(spark, tmp_path):
+    tbl = str(tmp_path / "t3")
+    df = spark.createDataFrame(
+        [(1, 7, "a"), (2, 7, "b"), (3, 8, "c"), (4, None, "d")],
+        "id long, bucket int, s string",
+    )
+    write_delta(spark, df, tbl, partition_by=["bucket"])
+    snap = snapshot(tbl)
+    assert snap.partition_columns == ["bucket"]
+    # Hive-style dirs, null partition token, partitionValues recorded
+    pvals = {a["partitionValues"]["bucket"] for a in snap.files.values()}
+    assert pvals == {"7", "8", None}
+    back = read_delta(spark, tbl)
+    # partition column TYPED from the table schema (int, not string)
+    assert dict(back.dtypes)["bucket"] == "int"
+    assert _rows(back.select("id", "bucket", "s")) == _rows(df)
+    # appends inherit partitioning; partition_by is ignored after v0
+    write_delta(spark, df.limit(1), tbl)
+    assert read_delta(spark, tbl).count() == 5
+
+
+def test_checkpoint_short_circuits_replay(spark, tmp_path):
+    tbl = str(tmp_path / "t4")
+    df = spark.createDataFrame([(1, "a")], "id long, s string")
+    for i in range(4):
+        write_delta(
+            spark,
+            df.withColumn("id", F.col("id") + F.lit(i)),
+            tbl,
+        )
+    assert checkpoint_delta(tbl) == 3
+    # tamper-proof: delete the pre-checkpoint JSON commits' content
+    # influence by comparing snapshots — checkpoint+tail must equal
+    # full replay exactly
+    full = snapshot(tbl)
+    write_delta(
+        spark, df.withColumn("id", F.lit(99).cast("long")), tbl
+    )
+    snap = snapshot(tbl)
+    assert snap.version == 4
+    assert set(full.files) < set(snap.files)
+    got = _rows(read_delta(spark, tbl).select("id"))
+    assert got == sorted([(1,), (2,), (3,), (4,), (99,)])
+    # _last_checkpoint hint exists and points at the checkpoint
+    with open(os.path.join(tbl, "_delta_log", "_last_checkpoint")) as fh:
+        assert json.load(fh)["version"] == 3
+
+
+def test_commit_conflict_retries_to_next_version(spark, tmp_path):
+    tbl = str(tmp_path / "t5")
+    df = spark.createDataFrame([(1,)], "id long")
+    write_delta(spark, df, tbl)
+    # a concurrent writer already owns version 1
+    stolen = os.path.join(tbl, "_delta_log", f"{1:020d}.json")
+    with open(stolen, "w") as fh:
+        fh.write(json.dumps({"commitInfo": {"operation": "WRITE"}}) + "\n")
+    v = write_delta(spark, df, tbl)
+    assert v == 2
+    assert read_delta(spark, tbl).count() == 2  # stolen commit added no files
+
+
+def test_schema_enforcement_and_errors(spark, tmp_path):
+    tbl = str(tmp_path / "t6")
+    write_delta(
+        spark, spark.createDataFrame([(1, "a")], "id long, s string"), tbl
+    )
+    with pytest.raises(ValueError, match="schema mismatch"):
+        write_delta(
+            spark, spark.createDataFrame([(1.5,)], "id double"), tbl
+        )
+    with pytest.raises(ValueError, match="not in log"):
+        read_delta(spark, tbl, version=7)
+    with pytest.raises(FileNotFoundError):
+        read_delta(spark, str(tmp_path / "missing"))
+    with pytest.raises(ValueError, match="mode"):
+        write_delta(spark, spark.range(1), tbl, mode="merge")

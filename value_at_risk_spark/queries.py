@@ -13751,3 +13751,112 @@ def net_dollar_retention(spark: SparkSession, sf_dir: str) -> DataFrame:
             ),
         )
     )
+
+
+# ---------------------------------------------------------------------------
+# Native Delta transaction log (sources/deltalog.py) — the reference's
+# Delta persistence semantics (configure_notebook.py:18-27,
+# 03_var_monte_carlo.py:162) without the delta-spark bindings this
+# environment lacks: JSON commit log, atomic hard-link publish,
+# checkpoints, version time travel, Hive-partitioned layout.
+
+_DELTA_SCRATCH: dict[str, str] = {}
+
+
+def _delta_demo_table(spark: SparkSession, sf_dir: str) -> str:
+    """Session-scoped native Delta table built deterministically from
+    the customer fixture: v0 = even custkeys (partitioned by
+    mktsegment), v1 = append odd custkeys, then a checkpoint — so
+    every later read exercises checkpoint + tail replay. Built once
+    per (process, sf_dir); content is a pure function of the fixture,
+    and the table dir outlives the returned lazy frames (same
+    session-scoped scratch + atexit pattern as streaming_cdc_apply)."""
+    if sf_dir in _DELTA_SCRATCH:
+        return _DELTA_SCRATCH[sf_dir]
+    import atexit
+    import shutil
+    import tempfile
+
+    from value_at_risk_spark.sources.deltalog import (
+        checkpoint_delta,
+        write_delta,
+    )
+
+    tbl = tempfile.mkdtemp(prefix="vars_delta_demo_")
+    shutil.rmtree(tbl, ignore_errors=True)  # write_delta creates v0 fresh
+    atexit.register(shutil.rmtree, tbl, ignore_errors=True)
+    cust = _t(spark, sf_dir, "customer").select(
+        "c_custkey", "c_mktsegment", "c_acctbal"
+    )
+    write_delta(
+        spark,
+        cust.filter(F.col("c_custkey") % 2 == 0),
+        tbl,
+        partition_by=["c_mktsegment"],
+    )
+    write_delta(spark, cust.filter(F.col("c_custkey") % 2 == 1), tbl)
+    checkpoint_delta(tbl)
+    _DELTA_SCRATCH[sf_dir] = tbl
+    return tbl
+
+
+@query(
+    "delta_native_scan",
+    """
+SELECT c_mktsegment,
+       COUNT(*) AS n_customers,
+       ROUND(SUM(c_acctbal), 2) AS total_bal
+FROM customer GROUP BY c_mktsegment
+""",
+)
+def delta_native_scan(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Native Delta round-trip, ORACLE-pinned: two committed versions
+    (even keys at v0, odd appended at v1) + a checkpoint must
+    reconstruct EXACTLY the full customer projection — the oracle
+    reads the original parquet, so hash equality proves the log
+    replay, the checkpoint short-circuit, the atomic commits, and the
+    Hive-partition recovery (c_mktsegment comes from directory names
+    typed by the table schema, not from the data files) lose nothing.
+    The read stays a distributed parquet scan grouped by partition
+    root (sources/deltalog.read_delta)."""
+    from value_at_risk_spark.sources.deltalog import read_delta
+
+    tbl = _delta_demo_table(spark, sf_dir)
+    return (
+        read_delta(spark, tbl)
+        .groupBy("c_mktsegment")
+        .agg(
+            F.count(F.lit(1)).alias("n_customers"),
+            (F.round(F.sum("c_acctbal"), 2) + F.lit(0.0)).alias("total_bal"),
+        )
+    )
+
+
+@query(
+    "delta_time_travel_scan",
+    """
+SELECT c_mktsegment,
+       COUNT(*) AS n_customers,
+       ROUND(SUM(c_acctbal), 2) AS total_bal
+FROM customer WHERE c_custkey % 2 = 0 GROUP BY c_mktsegment
+""",
+)
+def delta_time_travel_scan(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Version time travel on the native Delta log, ORACLE-pinned:
+    reading version 0 of the two-commit table must surface ONLY the
+    even-key writes — the snapshot replays the v0 commit alone even
+    though a later append and a checkpoint exist (the checkpoint is
+    at-or-below constrained, so time travel never reads future
+    state). The oracle recomputes v0's defining predicate against the
+    original parquet."""
+    from value_at_risk_spark.sources.deltalog import read_delta
+
+    tbl = _delta_demo_table(spark, sf_dir)
+    return (
+        read_delta(spark, tbl, version=0)
+        .groupBy("c_mktsegment")
+        .agg(
+            F.count(F.lit(1)).alias("n_customers"),
+            (F.round(F.sum("c_acctbal"), 2) + F.lit(0.0)).alias("total_bal"),
+        )
+    )

@@ -119,6 +119,13 @@ class Registry:
         ``delta_available()``) upgrades the same contract to ACID
         tables: identical layout knobs, plus transactional overwrite
         and a MERGE target (operators/merge.merge_into_delta).
+
+        Without the bindings, ``sources/deltalog.py`` implements the
+        open Delta protocol natively (JSON commit log, atomic
+        hard-link publish, checkpoints, version time travel,
+        partitioned layout) — transactional append/overwrite + time
+        travel with zero extra dependencies; this gate stays for the
+        full delta-spark surface (MERGE, OPTIMIZE).
         """
         if fmt == "delta" and not delta_available():
             raise RuntimeError(
