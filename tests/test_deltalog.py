@@ -151,3 +151,93 @@ def test_schema_enforcement_and_errors(spark, tmp_path):
         read_delta(spark, str(tmp_path / "missing"))
     with pytest.raises(ValueError, match="mode"):
         write_delta(spark, spark.range(1), tbl, mode="merge")
+
+
+def test_optimize_compacts_with_datachange_false(spark, tmp_path):
+    tbl = str(tmp_path / "t7")
+    df = spark.range(0, 200).select(
+        F.col("id"), (F.col("id") % 7).alias("grp"),
+        (F.col("id") * 1.5).alias("v"),
+    )
+    # two deliberately fragmented commits
+    write_delta(spark, df.repartition(8), tbl)
+    write_delta(
+        spark, df.withColumn("id", F.col("id") + 1000).repartition(8), tbl
+    )
+    from value_at_risk_spark.sources.deltalog import optimize_delta
+
+    before = snapshot(tbl)
+    pre_rows = _rows(read_delta(spark, tbl))
+    v = optimize_delta(spark, tbl, target_files=2)
+    after = snapshot(tbl)
+    assert v == after.version == before.version + 1
+    assert len(after.files) < len(before.files)
+    assert len(after.files) <= 2
+    assert _rows(read_delta(spark, tbl)) == pre_rows  # content identical
+    # pre-optimize layout still time-travelable
+    assert _rows(read_delta(spark, tbl, version=before.version)) == pre_rows
+    # the optimize commit is dataChange: false on every add/remove
+    with open(
+        os.path.join(tbl, "_delta_log", f"{v:020d}.json")
+    ) as fh:
+        acts = [json.loads(x) for x in fh if x.strip()]
+    for a in acts:
+        for kind in ("add", "remove"):
+            if a.get(kind):
+                assert a[kind]["dataChange"] is False
+    assert any(
+        a.get("commitInfo", {}).get("operation") == "OPTIMIZE" for a in acts
+    )
+
+    # zorder variant: content still identical
+    v2 = optimize_delta(spark, tbl, zorder_by=["grp", "v"], target_files=2)
+    assert v2 == v + 1
+    assert _rows(read_delta(spark, tbl)) == pre_rows
+
+
+def test_vacuum_deletes_tombstoned_keeps_referenced(spark, tmp_path):
+    from value_at_risk_spark.sources.deltalog import (
+        optimize_delta,
+        vacuum_delta,
+    )
+
+    tbl = str(tmp_path / "t8")
+    df = spark.range(0, 50).select(F.col("id"), (F.col("id") * 2.0).alias("v"))
+    write_delta(spark, df.repartition(4), tbl)
+    optimize_delta(spark, tbl, target_files=1)
+    pre_rows = _rows(read_delta(spark, tbl))
+    deleted = vacuum_delta(tbl, keep_versions=1, retention_seconds=0)
+    assert deleted  # v0's fragmented files are tombstoned -> gone
+    assert _rows(read_delta(spark, tbl)) == pre_rows  # tip intact
+    # time travel to the vacuumed version now fails at scan
+    with pytest.raises(Exception):
+        read_delta(spark, tbl, version=0).collect()
+    # retention guard: nothing young is deleted even when unreferenced
+    write_delta(spark, df, tbl, mode="overwrite")
+    assert vacuum_delta(tbl, keep_versions=1, retention_seconds=3600) == []
+
+
+def test_merge_into_delta_native_upserts_transactionally(spark, tmp_path):
+    from value_at_risk_spark.operators.merge import merge_into_delta_native
+
+    tbl = str(tmp_path / "t9")
+    base = spark.createDataFrame(
+        [(1, "a", 1.0), (2, "b", 2.0), (3, "c", 3.0)],
+        "k long, s string, v double",
+    )
+    write_delta(spark, base, tbl)
+    updates = spark.createDataFrame(
+        [(2, "B", 20.0), (4, "d", 4.0), (2, "B2", 21.0)],
+        "k long, s string, v double",
+    )
+    v = merge_into_delta_native(spark, tbl, updates, ["k"])
+    assert v == 1
+    got = {r.k: (r.s, r.v) for r in read_delta(spark, tbl).collect()}
+    assert got[1] == ("a", 1.0) and got[3] == ("c", 3.0)  # untouched
+    assert got[4] == ("d", 4.0)  # inserted
+    assert got[2][0] in ("B", "B2")  # deduped update won (tie arbitrary)
+    assert len(got) == 4
+    # pre-merge state survives as version 0
+    assert read_delta(spark, tbl, version=0).count() == 3
+    with pytest.raises(ValueError, match="keys"):
+        merge_into_delta_native(spark, tbl, updates, [])

@@ -102,3 +102,32 @@ def merge_into_delta(
         .whenNotMatchedInsertAll()
         .execute()
     )
+
+
+def merge_into_delta_native(
+    spark,
+    target_path: str,
+    updates: DataFrame,
+    keys: list[str],
+) -> int:
+    """MERGE against a NATIVE delta-log table (sources/deltalog.py) —
+    the no-delta-spark counterpart of ``merge_into_delta``: same row
+    semantics as ``upsert`` (deduped updates win on key collision,
+    unmatched target rows pass through), committed as one
+    copy-on-write OVERWRITE version, so readers flip atomically from
+    pre-merge to post-merge state and time travel keeps the pre-merge
+    snapshot. Returns the committed version. Copy-on-write rewrites
+    the whole active set (file-level pruning of untouched files is
+    delta-spark's edge, documented, not silently approximated)."""
+    if not keys:
+        raise ValueError("merge_into_delta_native: keys must be non-empty")
+    missing = [k for k in keys if k not in updates.columns]
+    if missing:
+        raise ValueError(
+            f"merge_into_delta_native: keys not in updates: {missing}"
+        )
+    from value_at_risk_spark.sources.deltalog import read_delta, write_delta
+
+    target = read_delta(spark, target_path)
+    merged = upsert(target, updates.dropDuplicates(keys), keys)
+    return write_delta(spark, merged, target_path, mode="overwrite")

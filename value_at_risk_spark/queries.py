@@ -13779,6 +13779,7 @@ def _delta_demo_table(spark: SparkSession, sf_dir: str) -> str:
 
     from value_at_risk_spark.sources.deltalog import (
         checkpoint_delta,
+        optimize_delta,
         write_delta,
     )
 
@@ -13795,6 +13796,12 @@ def _delta_demo_table(spark: SparkSession, sf_dir: str) -> str:
         partition_by=["c_mktsegment"],
     )
     write_delta(spark, cust.filter(F.col("c_custkey") % 2 == 1), tbl)
+    # OPTIMIZE ZORDER (reference 03_var_monte_carlo.py:162) as v2 —
+    # dataChange=false, so the gate oracle additionally proves the
+    # clustered rewrite loses nothing
+    optimize_delta(
+        spark, tbl, zorder_by=["c_custkey", "c_acctbal"], target_files=4
+    )
     checkpoint_delta(tbl)
     _DELTA_SCRATCH[sf_dir] = tbl
     return tbl

@@ -46,6 +46,7 @@ from dataclasses import dataclass
 from urllib.parse import unquote
 
 from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
 from pyspark.sql.types import StructType
 
 _LOG = "_delta_log"
@@ -239,6 +240,40 @@ def _publish_commit(path: str, version: int, actions: list[dict]) -> bool:
         os.unlink(tmp)
 
 
+def _stage(
+    df: DataFrame, path: str, part_cols: list[str], data_change: bool
+) -> list[dict]:
+    """Stage the frame's parquet files under a unique subdir of the
+    table root and return their ``add`` actions (relative paths —
+    files are never moved afterwards)."""
+    stage_rel = f"stage-{os.getpid()}-{uuid.uuid4().hex[:8]}"
+    stage_abs = os.path.join(path, stage_rel)
+    writer = df.write.mode("error")
+    if part_cols:
+        writer = writer.partitionBy(*part_cols)
+    writer.parquet(stage_abs)
+    adds = []
+    for root, _dirs, names in os.walk(stage_abs):
+        for n in sorted(names):
+            if not n.endswith(".parquet"):
+                continue
+            full = os.path.join(root, n)
+            rel = os.path.relpath(full, path)
+            st = os.stat(full)
+            adds.append(
+                {
+                    "add": {
+                        "path": rel,
+                        "partitionValues": _parse_partition_values(rel),
+                        "size": st.st_size,
+                        "modificationTime": int(st.st_mtime * 1000),
+                        "dataChange": data_change,
+                    }
+                }
+            )
+    return adds
+
+
 def write_delta(
     spark: SparkSession,
     df: DataFrame,
@@ -282,32 +317,7 @@ def write_delta(
     else:
         part_cols = list(partition_by or [])
 
-    stage_rel = f"stage-{os.getpid()}-{uuid.uuid4().hex[:8]}"
-    stage_abs = os.path.join(path, stage_rel)
-    writer = df.write.mode("error")
-    if part_cols:
-        writer = writer.partitionBy(*part_cols)
-    writer.parquet(stage_abs)
-
-    adds = []
-    for root, _dirs, names in os.walk(stage_abs):
-        for n in sorted(names):
-            if not n.endswith(".parquet"):
-                continue
-            full = os.path.join(root, n)
-            rel = os.path.relpath(full, path)
-            st = os.stat(full)
-            adds.append(
-                {
-                    "add": {
-                        "path": rel,
-                        "partitionValues": _parse_partition_values(rel),
-                        "size": st.st_size,
-                        "modificationTime": int(st.st_mtime * 1000),
-                        "dataChange": True,
-                    }
-                }
-            )
+    adds = _stage(df, path, part_cols, data_change=True)
 
     now_ms = int(time.time() * 1000)
     for _attempt in range(64):
@@ -448,3 +458,126 @@ def delta_history(path: str) -> list[dict]:
                         break
         out.append({"version": v, **info})
     return out
+
+
+def optimize_delta(
+    spark: SparkSession,
+    path: str,
+    zorder_by: list[str] | None = None,
+    target_files: int | None = None,
+    bits: int = 16,
+) -> int:
+    """``OPTIMIZE [ZORDER BY ...]`` for native tables (the reference
+    runs ``OPTIMIZE ... ZORDER BY (date, ticker)`` after its
+    Monte-Carlo write, ``03_var_monte_carlo.py:162``): rewrite the
+    active file set — compacted to ``target_files`` per layout root,
+    optionally clustered on the Morton curve of 2-3 numeric columns
+    (sources/layout.zorder_key, the same bit-interleave the parquet
+    layout path uses) — and commit remove(old)+add(new) with
+    ``dataChange: false``: readers see identical rows before and
+    after, streaming consumers know nothing changed, and time travel
+    still reaches the pre-optimize layout. Returns the committed
+    version (or the current one untouched for an empty table)."""
+    snap = snapshot(path)
+    if not snap.files:
+        return snap.version
+    df = read_delta(spark, path)
+    n = target_files or df.sparkSession.sparkContext.defaultParallelism
+    if zorder_by:
+        from value_at_risk_spark.sources.layout import zorder_key
+
+        aggs = []
+        for c in zorder_by:
+            aggs += [
+                F.min(F.col(c).cast("double")).alias(f"_lo_{c}"),
+                F.max(F.col(c).cast("double")).alias(f"_hi_{c}"),
+            ]
+        b = df.agg(*aggs).first()
+        bounds = [(b[f"_lo_{c}"], b[f"_hi_{c}"]) for c in zorder_by]
+        if any(lo is None or hi is None for lo, hi in bounds):
+            raise ValueError(
+                "optimize_delta: all-NULL zorder column; compact without "
+                "zorder_by instead"
+            )
+        z = zorder_key([F.col(c) for c in zorder_by], bounds, bits)
+        df = (
+            df.withColumn("_z", z)
+            .repartitionByRange(n, "_z")
+            .sortWithinPartitions("_z")
+            .drop("_z")
+        )
+    else:
+        df = df.repartition(n)
+    adds = _stage(df, path, snap.partition_columns, data_change=False)
+    now_ms = int(time.time() * 1000)
+    for _attempt in range(64):
+        current = snapshot(path)
+        actions: list[dict] = [
+            {
+                "commitInfo": {
+                    "timestamp": now_ms,
+                    "operation": "OPTIMIZE",
+                    "operationParameters": {
+                        "zOrderBy": list(zorder_by or [])
+                    },
+                    "engineInfo": "value_at_risk_spark.deltalog",
+                }
+            }
+        ]
+        actions.extend(
+            {
+                "remove": {
+                    "path": p,
+                    "deletionTimestamp": now_ms,
+                    "dataChange": False,
+                }
+            }
+            for p in sorted(current.files)
+        )
+        actions.extend(adds)
+        if _publish_commit(path, current.version + 1, actions):
+            return current.version + 1
+    raise RuntimeError(f"optimize_delta: lost the commit race at {path}")
+
+
+def vacuum_delta(
+    path: str, keep_versions: int = 1, retention_seconds: float = 3600.0
+) -> list[str]:
+    """Physically delete data files referenced by NONE of the newest
+    ``keep_versions`` snapshots — tombstoned by overwrite/optimize, or
+    orphaned by failed commits. ``retention_seconds`` (mtime guard)
+    protects a concurrent writer's not-yet-committed staging files,
+    exactly why Delta's own VACUUM has a retention window. Time travel
+    to a vacuumed version subsequently fails at scan time — the
+    documented Delta trade-off. Returns the deleted paths."""
+    import shutil
+
+    versions = delta_versions(path)
+    if not versions:
+        return []
+    keep = versions[-max(1, keep_versions):]
+    referenced: set[str] = set()
+    for v in keep:
+        referenced.update(
+            os.path.normpath(unquote(p)) for p in snapshot(path, v).files
+        )
+    cutoff = time.time() - retention_seconds
+    deleted: list[str] = []
+    for root, dirs, names in os.walk(path, topdown=True):
+        dirs[:] = [d for d in dirs if d != _LOG]
+        for n in names:
+            if not n.endswith(".parquet"):
+                continue
+            full = os.path.join(root, n)
+            rel = os.path.normpath(os.path.relpath(full, path))
+            try:
+                if rel not in referenced and os.stat(full).st_mtime < cutoff:
+                    os.unlink(full)
+                    deleted.append(rel)
+            except OSError:
+                continue
+    # prune now-empty dirs (stage subdirs whose files all vacuumed)
+    for root, dirs, names in os.walk(path, topdown=False):
+        if root != path and _LOG not in root and not dirs and not names:
+            shutil.rmtree(root, ignore_errors=True)
+    return deleted
