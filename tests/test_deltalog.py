@@ -241,3 +241,45 @@ def test_merge_into_delta_native_upserts_transactionally(spark, tmp_path):
     assert read_delta(spark, tbl, version=0).count() == 3
     with pytest.raises(ValueError, match="keys"):
         merge_into_delta_native(spark, tbl, updates, [])
+
+
+def test_delta_txn_sink_exactly_once_and_checkpointed_txn(spark, tmp_path):
+    """streaming/sinks.DeltaTxnSink: (a) a re-delivered batchId is a
+    no-op because the txn action rides in the same atomic commit as
+    the data; (b) the txn high-water mark survives a parquet
+    checkpoint (snapshot reconstructs txns from checkpoint + tail, so
+    idempotence holds even after log truncation by checkpoint
+    short-circuit); (c) distinct appIds track independently."""
+    from value_at_risk_spark.streaming.sinks import DeltaTxnSink
+
+    tbl = str(tmp_path / "sink_tbl")
+    sink = DeltaTxnSink(tbl, app_id="app_a")
+    b0 = spark.createDataFrame([(1, "x")], "id long, s string")
+    b1 = spark.createDataFrame([(2, "y")], "id long, s string")
+    sink(b0, 0)
+    sink(b1, 1)
+    assert sink.read(spark).count() == 2
+    # re-delivery of both batches: skipped, count unchanged
+    sink(b0, 0)
+    sink(b1, 1)
+    assert sink.skipped == [0, 1]
+    assert sink.read(spark).count() == 2
+    assert sink.last_committed() == 1
+
+    # txn state survives a checkpoint
+    checkpoint_delta(tbl)
+    assert snapshot(tbl).txns == {"app_a": 1}
+    sink(b1, 1)  # still skipped post-checkpoint
+    assert sink.read(spark).count() == 2
+
+    # an independent appId is not blocked by app_a's high-water mark
+    other = DeltaTxnSink(tbl, app_id="app_b")
+    other(b0, 0)
+    assert other.skipped == []
+    assert sink.read(spark).count() == 3
+    assert snapshot(tbl).txns == {"app_a": 1, "app_b": 0}
+
+    # a fresh batch advances normally
+    sink(spark.createDataFrame([(3, "z")], "id long, s string"), 2)
+    assert sink.read(spark).count() == 4
+    assert sink.last_committed() == 2

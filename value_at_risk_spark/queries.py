@@ -13867,3 +13867,65 @@ def delta_time_travel_scan(spark: SparkSession, sf_dir: str) -> DataFrame:
             (F.round(F.sum("c_acctbal"), 2) + F.lit(0.0)).alias("total_bal"),
         )
     )
+
+
+@query(
+    "streaming_delta_sink",
+    """
+SELECT event_type,
+       COUNT(*) AS n_events,
+       COUNT(DISTINCT user_id) AS n_users
+FROM events GROUP BY event_type
+""",
+)
+def streaming_delta_sink(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exactly-once streaming ingest into a NATIVE delta-log table,
+    HASH-CHECKED against the batch twin: the events fixture is staged
+    as four files and replayed one file per micro-batch through
+    streaming/sinks.DeltaTxnSink — each batch an atomic delta commit
+    carrying the protocol's ``txn`` (appId, batchId) action — then the
+    TABLE is read back (snapshot over four commits) and aggregated.
+    Equality with DuckDB's batch aggregate proves no batch was lost or
+    doubled across the replay, the same parity contract as
+    streaming_cdc_apply. Scratch dirs are session-scoped (atexit) so
+    the returned lazy frame stays readable."""
+    import atexit
+    import shutil
+    import tempfile
+
+    from value_at_risk_spark.streaming.sinks import DeltaTxnSink
+
+    src = tempfile.mkdtemp(prefix="delta_sink_feed_")
+    ckpt = tempfile.mkdtemp(prefix="delta_sink_ckpt_")
+    tbl = tempfile.mkdtemp(prefix="delta_sink_tbl_")
+    shutil.rmtree(tbl, ignore_errors=True)  # write_delta creates v0
+    for d in (src, ckpt, tbl):
+        atexit.register(shutil.rmtree, d, ignore_errors=True)
+
+    events = _t(spark, sf_dir, "events").select(
+        "event_id", "user_id", "event_type"
+    )
+    events.repartition(4).write.mode("overwrite").parquet(src)
+    stream = (
+        spark.readStream.schema("event_id long, user_id long, event_type string")
+        .option("maxFilesPerTrigger", 1)
+        .parquet(src)
+    )
+    sink = DeltaTxnSink(tbl, app_id="gate_events_ingest")
+    q = (
+        stream.writeStream.foreachBatch(sink)
+        .option("checkpointLocation", ckpt)
+        .trigger(availableNow=True)
+        .start()
+    )
+    if not q.awaitTermination(180):
+        q.stop()
+        raise TimeoutError("streaming_delta_sink: replay exceeded 180s")
+    return (
+        sink.read(spark)
+        .groupBy("event_type")
+        .agg(
+            F.count(F.lit(1)).alias("n_events"),
+            F.count_distinct("user_id").alias("n_users"),
+        )
+    )

@@ -85,6 +85,7 @@ class DeltaSnapshot:
     metadata: dict
     protocol: dict
     files: dict  # add.path -> add action dict
+    txns: dict | None = None  # txn.appId -> highest committed version
 
     @property
     def schema(self) -> StructType:
@@ -113,7 +114,14 @@ def _latest_checkpoint(path: str, version: int) -> int | None:
 
 
 def _apply_actions(snap: DeltaSnapshot, actions) -> None:
+    if snap.txns is None:
+        snap.txns = {}
     for a in actions:
+        if "txn" in a and a["txn"] is not None:
+            t = a["txn"]
+            prev = snap.txns.get(t["appId"])
+            if prev is None or t["version"] > prev:
+                snap.txns[t["appId"]] = t["version"]
         if "metaData" in a and a["metaData"] is not None:
             snap.metadata = a["metaData"]
         if "protocol" in a and a["protocol"] is not None:
@@ -139,7 +147,9 @@ def snapshot(path: str, version: int | None = None) -> DeltaSnapshot:
             f"delta version {version} not in log (have {versions[0]}.."
             f"{versions[-1]})"
         )
-    snap = DeltaSnapshot(version=version, metadata={}, protocol={}, files={})
+    snap = DeltaSnapshot(
+        version=version, metadata={}, protocol={}, files={}, txns={}
+    )
     start = 0
     cp = _latest_checkpoint(path, version)
     if cp is not None:
@@ -280,6 +290,7 @@ def write_delta(
     path: str,
     mode: str = "append",
     partition_by: list[str] | None = None,
+    txn: dict | None = None,
 ) -> int:
     """Transactional append/overwrite; returns the committed version.
 
@@ -333,6 +344,16 @@ def write_delta(
                 }
             }
         ]
+        if txn is not None:
+            actions.append(
+                {
+                    "txn": {
+                        "appId": str(txn["appId"]),
+                        "version": int(txn["version"]),
+                        "lastUpdated": now_ms,
+                    }
+                }
+            )
         if version == 0:
             actions.append(
                 {"protocol": {"minReaderVersion": 1, "minWriterVersion": 2}}
@@ -384,10 +405,15 @@ def checkpoint_delta(path: str, version: int | None = None) -> int:
     snap = snapshot(path, version)
     rows: list[dict] = [
         {"protocol": snap.protocol or None, "metaData": snap.metadata,
-         "add": None},
+         "add": None, "txn": None},
     ]
     rows.extend(
-        {"protocol": None, "metaData": None, "add": add}
+        {"protocol": None, "metaData": None, "add": None,
+         "txn": {"appId": app, "version": v}}
+        for app, v in sorted((snap.txns or {}).items())
+    )
+    rows.extend(
+        {"protocol": None, "metaData": None, "add": add, "txn": None}
         for _p, add in sorted(snap.files.items())
     )
     # explicit types so an empty table still round-trips
@@ -412,6 +438,7 @@ def checkpoint_delta(path: str, version: int | None = None) -> int:
     proto_t = pa.struct(
         [("minReaderVersion", pa.int32()), ("minWriterVersion", pa.int32())]
     )
+    txn_t = pa.struct([("appId", pa.string()), ("version", pa.int64())])
 
     def _conv(row):
         a = row["add"]
@@ -428,13 +455,23 @@ def checkpoint_delta(path: str, version: int | None = None) -> int:
                 "partitionColumns": m.get("partitionColumns"),
                 "createdTime": m.get("createdTime"),
             }
-        return {"protocol": row["protocol"], "metaData": m, "add": a}
+        return {
+            "protocol": row["protocol"],
+            "metaData": m,
+            "add": a,
+            "txn": row.get("txn"),
+        }
 
     conv = [_conv(r) for r in rows]
     tbl = pa.Table.from_pylist(
         conv,
         schema=pa.schema(
-            [("protocol", proto_t), ("metaData", meta_t), ("add", add_t)]
+            [
+                ("protocol", proto_t),
+                ("metaData", meta_t),
+                ("add", add_t),
+                ("txn", txn_t),
+            ]
         ),
     )
     pq.write_table(tbl, _checkpoint_path(path, snap.version))

@@ -126,3 +126,65 @@ class IdempotentParquetSink:
             if e.is_dir() and e.name.startswith("_tmp_batch_"):
                 shutil.rmtree(e.path)
         return doomed
+
+
+class DeltaTxnSink:
+    """``foreachBatch`` sink committing each micro-batch to a NATIVE
+    delta-log table (sources/deltalog.py) with the protocol's ``txn``
+    action — exactly-once the way real Delta streaming sinks do it:
+    the (appId, batchId) transaction identifier rides in the SAME
+    atomic commit as the data, so a re-delivered batch (sink crash
+    after commit, before the stream checkpoint advanced) is detected
+    by ``batchId <= snapshot.txns[appId]`` and skipped. Unlike
+    IdempotentParquetSink's dir-per-batch layout, readers get a real
+    table: snapshot isolation, time travel, OPTIMIZE/VACUUM.
+
+    Usage::
+
+        sink = DeltaTxnSink(table_dir, app_id="events-ingest")
+        stream.writeStream.foreachBatch(sink).option(
+            "checkpointLocation", ckpt
+        ).start()
+    """
+
+    def __init__(
+        self,
+        path: str,
+        app_id: str,
+        partition_by: list[str] | None = None,
+    ):
+        self.path = path
+        self.app_id = app_id
+        self.partition_by = partition_by
+        self.skipped: list[int] = []  # replayed batchIds (observability)
+
+    def last_committed(self) -> int | None:
+        from value_at_risk_spark.sources.deltalog import (
+            delta_versions,
+            snapshot,
+        )
+
+        if not delta_versions(self.path):
+            return None
+        return (snapshot(self.path).txns or {}).get(self.app_id)
+
+    def __call__(self, batch_df: DataFrame, batch_id: int) -> None:
+        from value_at_risk_spark.sources.deltalog import write_delta
+
+        last = self.last_committed()
+        if last is not None and batch_id <= last:
+            self.skipped.append(batch_id)
+            return
+        write_delta(
+            batch_df.sparkSession,
+            batch_df,
+            self.path,
+            mode="append",
+            partition_by=self.partition_by,
+            txn={"appId": self.app_id, "version": batch_id},
+        )
+
+    def read(self, spark) -> DataFrame:
+        from value_at_risk_spark.sources.deltalog import read_delta
+
+        return read_delta(spark, self.path)
