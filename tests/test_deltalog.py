@@ -283,3 +283,83 @@ def test_delta_txn_sink_exactly_once_and_checkpointed_txn(spark, tmp_path):
     sink(spark.createDataFrame([(3, "z")], "id long, s string"), 2)
     assert sink.read(spark).count() == 4
     assert sink.last_committed() == 2
+
+
+def test_restore_rolls_back_atomically(spark, tmp_path):
+    from value_at_risk_spark.sources.deltalog import restore_delta
+
+    tbl = str(tmp_path / "t10")
+    a = spark.createDataFrame([(1, "a")], "id long, s string")
+    b = spark.createDataFrame([(2, "b")], "id long, s string")
+    write_delta(spark, a, tbl)
+    write_delta(spark, b, tbl)
+    write_delta(
+        spark,
+        spark.createDataFrame([(9, "z")], "id long, s string"),
+        tbl,
+        mode="overwrite",
+    )
+    assert _rows(read_delta(spark, tbl)) == [(9, "z")]
+    v = restore_delta(spark, tbl, 1)
+    assert v == 3
+    assert _rows(read_delta(spark, tbl)) == [(1, "a"), (2, "b")]
+    # restore moved no data: the v2 overwrite is itself restorable
+    restore_delta(spark, tbl, 2)
+    assert _rows(read_delta(spark, tbl)) == [(9, "z")]
+    from value_at_risk_spark.sources.deltalog import delta_history
+
+    assert delta_history(tbl)[3]["operation"] == "RESTORE"
+
+
+def test_partition_filters_prune_at_log_level(spark, tmp_path):
+    tbl = str(tmp_path / "t11")
+    df = spark.createDataFrame(
+        [(1, "x", 1.0), (2, "y", 2.0), (3, "x", 3.0), (4, None, 4.0)],
+        "id long, seg string, v double",
+    )
+    write_delta(spark, df, tbl, partition_by=["seg"])
+    got = read_delta(spark, tbl, partition_filters={"seg": ["x"]})
+    assert _rows(got.select("id")) == [(1,), (3,)]
+    # the pruned plan never references the excluded partitions' files
+    plan = got._jdf.queryExecution().executedPlan().toString()
+    assert "seg=y" not in plan
+    # null partition addressed explicitly
+    got_null = read_delta(spark, tbl, partition_filters={"seg": [None]})
+    assert _rows(got_null.select("id")) == [(4,)]
+    with pytest.raises(ValueError, match="non-partition"):
+        read_delta(spark, tbl, partition_filters={"v": ["1.0"]})
+
+
+def test_merge_schema_widens_and_old_files_read_null(spark, tmp_path):
+    tbl = str(tmp_path / "t12")
+    write_delta(
+        spark, spark.createDataFrame([(1, "a")], "id long, s string"), tbl
+    )
+    wide = spark.createDataFrame(
+        [(2, "b", 9.5)], "id long, s string, score double"
+    )
+    # without merge_schema: rejected
+    with pytest.raises(ValueError, match="schema mismatch"):
+        write_delta(spark, wide, tbl)
+    write_delta(spark, wide, tbl, merge_schema=True)
+    out = read_delta(spark, tbl)
+    assert dict(out.dtypes)["score"] == "double"
+    got = {r.id: r.score for r in out.collect()}
+    assert got == {1: None, 2: 9.5}  # old files read the new col as NULL
+    # a frame omitting an existing column reads NULL there
+    write_delta(
+        spark,
+        spark.createDataFrame([(3, 1.25)], "id long, score double"),
+        tbl,
+        merge_schema=True,
+    )
+    got3 = {r.id: (r.s, r.score) for r in read_delta(spark, tbl).collect()}
+    assert got3[3] == (None, 1.25)
+    # type change still rejected
+    with pytest.raises(ValueError, match="cannot change the type"):
+        write_delta(
+            spark,
+            spark.createDataFrame([(4, "nope")], "id long, score string"),
+            tbl,
+            merge_schema=True,
+        )

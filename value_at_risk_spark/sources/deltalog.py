@@ -177,16 +177,40 @@ def snapshot(path: str, version: int | None = None) -> DeltaSnapshot:
 
 
 def read_delta(
-    spark: SparkSession, path: str, version: int | None = None
+    spark: SparkSession,
+    path: str,
+    version: int | None = None,
+    partition_filters: dict[str, list[str]] | None = None,
 ) -> DataFrame:
     """Snapshot-consistent DataFrame over the active file set — a
     plain distributed parquet scan (predicate pushdown, column
     pruning, and partition-dir pruning all intact). Partition column
     values come from the Hive-style directory layout, TYPED by the
-    table schema rather than re-inferred."""
+    table schema rather than re-inferred.
+
+    ``partition_filters``: {col: allowed string values} pruned against
+    ``add.partitionValues`` at the LOG level — files of excluded
+    partitions never even reach the scan plan (Delta's metadata-layer
+    file skipping; a null partition matches the value None)."""
     snap = snapshot(path, version)
     schema = snap.schema
-    files = [os.path.join(path, unquote(p)) for p in sorted(snap.files)]
+    active = sorted(snap.files)
+    if partition_filters:
+        unknown = set(partition_filters) - set(snap.partition_columns)
+        if unknown:
+            raise ValueError(
+                f"read_delta: partition_filters on non-partition "
+                f"columns {sorted(unknown)}"
+            )
+        def _keep(p: str) -> bool:
+            pv = snap.files[p].get("partitionValues") or {}
+            if not isinstance(pv, dict):  # checkpoint map round-trip
+                pv = dict(pv)
+            return all(
+                pv.get(c) in vals for c, vals in partition_filters.items()
+            )
+        active = [p for p in active if _keep(p)]
+    files = [os.path.join(path, unquote(p)) for p in active]
     if not files:
         return spark.createDataFrame([], schema)
     if not snap.partition_columns:
@@ -291,6 +315,7 @@ def write_delta(
     mode: str = "append",
     partition_by: list[str] | None = None,
     txn: dict | None = None,
+    merge_schema: bool = False,
 ) -> int:
     """Transactional append/overwrite; returns the committed version.
 
@@ -305,26 +330,58 @@ def write_delta(
         raise ValueError(f"write_delta mode must be append|overwrite: {mode}")
     versions = delta_versions(path)
     existing = snapshot(path) if versions else None
+    new_metadata = None
     if existing is not None:
         part_cols = existing.partition_columns
         want = existing.schema
         got = df.schema
-        # names + types must match exactly; nullability only one way —
-        # non-nullable data into a nullable column is fine (Delta's own
-        # rule), nullable data into a required column is not
-        ok = [f.name for f in want.fields] == [f.name for f in got.fields]
-        if ok:
-            for wf, gf in zip(want.fields, got.fields):
-                if wf.dataType != gf.dataType or (
-                    gf.nullable and not wf.nullable
-                ):
-                    ok = False
-                    break
-        if not ok:
-            raise ValueError(
-                "write_delta: schema mismatch vs table metaData "
-                f"(table {want.simpleString()}, frame {got.simpleString()})"
-            )
+        if merge_schema:
+            by_name = {f.name: f for f in want.fields}
+            for gf in got.fields:
+                wf = by_name.get(gf.name)
+                if wf is not None and wf.dataType != gf.dataType:
+                    raise ValueError(
+                        "write_delta: merge_schema cannot change the "
+                        f"type of {gf.name} ({wf.dataType.simpleString()}"
+                        f" -> {gf.dataType.simpleString()})"
+                    )
+            new_fields = [
+                gf for gf in got.fields if gf.name not in by_name
+            ]
+            if new_fields:
+                from pyspark.sql.types import StructField
+
+                merged = StructType(
+                    list(want.fields)
+                    + [
+                        StructField(f.name, f.dataType, True)
+                        for f in new_fields
+                    ]
+                )
+                new_metadata = {
+                    **existing.metadata,
+                    "schemaString": merged.json(),
+                }
+        else:
+            # names + types must match exactly; nullability only one
+            # way — non-nullable data into a nullable column is fine
+            # (Delta's own rule), nullable into required is not
+            ok = [f.name for f in want.fields] == [
+                f.name for f in got.fields
+            ]
+            if ok:
+                for wf, gf in zip(want.fields, got.fields):
+                    if wf.dataType != gf.dataType or (
+                        gf.nullable and not wf.nullable
+                    ):
+                        ok = False
+                        break
+            if not ok:
+                raise ValueError(
+                    "write_delta: schema mismatch vs table metaData "
+                    f"(table {want.simpleString()}, "
+                    f"frame {got.simpleString()})"
+                )
     else:
         part_cols = list(partition_by or [])
 
@@ -354,6 +411,8 @@ def write_delta(
                     }
                 }
             )
+        if new_metadata is not None:
+            actions.append({"metaData": new_metadata})
         if version == 0:
             actions.append(
                 {"protocol": {"minReaderVersion": 1, "minWriterVersion": 2}}
@@ -618,3 +677,52 @@ def vacuum_delta(
         if root != path and _LOG not in root and not dirs and not names:
             shutil.rmtree(root, ignore_errors=True)
     return deleted
+
+
+def restore_delta(spark: SparkSession, path: str, version: int) -> int:
+    """``RESTORE TABLE ... TO VERSION AS OF`` — commit a new version
+    whose active file set IS the target version's: removes everything
+    currently active but absent then, re-adds everything active then
+    but absent now (re-referencing the SAME data files — restore moves
+    no data, which is why vacuumed history cannot be restored). The
+    rollback is itself a commit, so it is atomic, auditable in
+    history, and reversible by another restore."""
+    target = snapshot(path, version)
+    now_ms = int(time.time() * 1000)
+    for _attempt in range(64):
+        current = snapshot(path)
+        to_remove = sorted(set(current.files) - set(target.files))
+        to_add = sorted(set(target.files) - set(current.files))
+        missing = [
+            p for p in to_add
+            if not os.path.exists(os.path.join(path, unquote(p)))
+        ]
+        if missing:
+            raise FileNotFoundError(
+                f"restore_delta: {len(missing)} files of version "
+                f"{version} were vacuumed (e.g. {missing[0]})"
+            )
+        actions: list[dict] = [
+            {
+                "commitInfo": {
+                    "timestamp": now_ms,
+                    "operation": "RESTORE",
+                    "operationParameters": {"version": version},
+                    "engineInfo": "value_at_risk_spark.deltalog",
+                }
+            }
+        ]
+        actions.extend(
+            {
+                "remove": {
+                    "path": p,
+                    "deletionTimestamp": now_ms,
+                    "dataChange": True,
+                }
+            }
+            for p in to_remove
+        )
+        actions.extend({"add": target.files[p]} for p in to_add)
+        if _publish_commit(path, current.version + 1, actions):
+            return current.version + 1
+    raise RuntimeError(f"restore_delta: lost the commit race at {path}")
