@@ -363,3 +363,118 @@ def test_merge_schema_widens_and_old_files_read_null(spark, tmp_path):
             tbl,
             merge_schema=True,
         )
+
+
+def test_escaped_partition_values_roundtrip_and_vacuum_safe(spark, tmp_path):
+    """Review r10: Spark %-escapes special chars in partition dir names
+    (':' -> '%3A'); add.path is stored URL-encoded per the protocol and
+    unquoted exactly once on read — so reads resolve, and vacuum's
+    referenced-set comparison matches the on-disk names instead of
+    deleting live files."""
+    from value_at_risk_spark.sources.deltalog import vacuum_delta
+
+    tbl = str(tmp_path / "esc")
+    df = spark.createDataFrame(
+        [(1, "2024-01-01 00:00:00"), (2, "50%"), (3, "plain")],
+        "id long, seg string",
+    )
+    write_delta(spark, df, tbl, partition_by=["seg"])
+    assert _rows(read_delta(spark, tbl).select("id", "seg")) == _rows(df)
+    # nothing is unreferenced: vacuum must delete NOTHING
+    assert vacuum_delta(tbl, keep_versions=1, retention_seconds=0) == []
+    assert _rows(read_delta(spark, tbl).select("id", "seg")) == _rows(df)
+    got = read_delta(spark, tbl, partition_filters={"seg": ["50%"]})
+    assert _rows(got.select("id")) == [(2,)]
+
+
+def test_second_checkpoint_of_partitioned_table(spark, tmp_path):
+    """Review r10: pyarrow map columns round-trip as (k,v) tuple lists;
+    a snapshot reconstructed FROM a checkpoint must be checkpointable
+    again (partitioned tables crashed on the second checkpoint)."""
+    tbl = str(tmp_path / "cp2")
+    df = spark.createDataFrame(
+        [(1, "a"), (2, "b")], "id long, seg string"
+    )
+    write_delta(spark, df, tbl, partition_by=["seg"])
+    checkpoint_delta(tbl)
+    write_delta(spark, df.limit(1), tbl)
+    checkpoint_delta(tbl)  # snapshot sourced from checkpoint + tail
+    assert read_delta(spark, tbl).count() == 3
+    snap = snapshot(tbl)
+    for add in snap.files.values():
+        assert isinstance(add["partitionValues"], dict)
+
+
+def test_optimize_aborts_on_concurrent_append(spark, tmp_path):
+    """Review r10: OPTIMIZE must never erase a concurrent append under
+    a dataChange:false commit — a tip that moved past the optimized
+    snapshot aborts loudly (real Delta's conflict rule), and the
+    concurrent rows survive."""
+    from value_at_risk_spark.sources.deltalog import optimize_delta
+    import value_at_risk_spark.sources.deltalog as dl
+
+    tbl = str(tmp_path / "optrace")
+    df = spark.createDataFrame([(1, 1.0)], "id long, v double")
+    write_delta(spark, df.repartition(4), tbl)
+
+    orig_publish = dl._publish_commit
+    state = {"injected": False}
+
+    def racing_publish(path, version, actions):
+        # a concurrent append lands between optimize's staging and its
+        # publish (once — the injected append itself publishes through
+        # the original to avoid re-entry)
+        if not state["injected"]:
+            state["injected"] = True
+            dl._publish_commit = orig_publish
+            try:
+                write_delta(
+                    spark,
+                    spark.createDataFrame([(99, 9.9)], "id long, v double"),
+                    tbl,
+                )
+            finally:
+                dl._publish_commit = racing_publish
+        return orig_publish(path, version, actions)
+
+    dl._publish_commit = racing_publish
+    try:
+        with pytest.raises(RuntimeError, match="concurrently"):
+            optimize_delta(spark, tbl, target_files=1)
+    finally:
+        dl._publish_commit = orig_publish
+    ids = {r.id for r in read_delta(spark, tbl).collect()}
+    assert 99 in ids and 1 in ids  # nothing erased
+    # re-run on the settled tip succeeds
+    v = optimize_delta(spark, tbl, target_files=1)
+    assert {r.id for r in read_delta(spark, tbl).collect()} == {1, 99}
+    assert v == snapshot(tbl).version
+
+
+def test_conditional_commit_and_txn_in_loop(spark, tmp_path):
+    """Review r10: expected_version turns write_delta into a
+    conditional commit (read-modify-write callers re-read on
+    DeltaConcurrentModification instead of clobbering concurrent
+    appends), and the txn dedup runs inside the commit loop: a second
+    writer re-committing the same (appId, version) gets -1, rows
+    intact."""
+    from value_at_risk_spark.sources.deltalog import (
+        DeltaConcurrentModification,
+    )
+
+    tbl = str(tmp_path / "cond")
+    df = spark.createDataFrame([(1,)], "id long")
+    write_delta(spark, df, tbl)  # v0
+    write_delta(spark, df, tbl)  # v1
+    with pytest.raises(DeltaConcurrentModification):
+        write_delta(
+            spark, df, tbl, mode="overwrite", expected_version=0
+        )
+    assert write_delta(
+        spark, df, tbl, mode="overwrite", expected_version=1
+    ) == 2
+
+    t = {"appId": "app", "version": 5}
+    assert write_delta(spark, df, tbl, txn=t) == 3
+    assert write_delta(spark, df, tbl, txn=t) == -1  # replay: no-op
+    assert read_delta(spark, tbl).count() == 2  # overwrite row + one txn add

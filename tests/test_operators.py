@@ -1790,6 +1790,11 @@ def test_semdedup_exact_dup_precollapse_vs_bruteforce(spark):
         nid += 1
     rows.append((nid, [0.0] * 8)); nid += 1
     rows.append((nid, [0.0] * 8)); nid += 1
+    # NULL embeddings: cosine undefined, never dups — but their rows
+    # must SURVIVE in the output (review r10: the member join must be
+    # null-safe or these ids silently vanish)
+    rows.append((nid, None)); nid += 1
+    rows.append((nid, None)); nid += 1
     # scatter ids so a group's min id is not insertion-contiguous
     ids = [r[0] for r in rows]
     perm = ids[:]
@@ -1799,6 +1804,8 @@ def test_semdedup_exact_dup_precollapse_vs_bruteforce(spark):
     thr = 0.99
 
     def cos(a, b):
+        if a is None or b is None:
+            return None
         na = math.sqrt(sum(x * x for x in a))
         nb = math.sqrt(sum(x * x for x in b))
         return None if na == 0 or nb == 0 else (
@@ -3710,21 +3717,30 @@ def test_ann_index_cache_salt_events_and_gc(tmp_path, monkeypatch):
         return str(root / f"pq_{i:04d}")
 
     annindex.BUILD_EVENTS.clear()
-    for i in range(annindex.CACHE_KEEP_PER_KIND + 3):
+    now = _time.time()
+    n_old = annindex.CACHE_KEEP_PER_KIND + 2
+    for i in range(n_old):
         annindex.ensure_index(
             entry(i), lambda d: os.makedirs(d, exist_ok=True)
         )
-        _time.sleep(0.01)  # distinct mtimes for GC ordering
+        # age past the GC grace window, preserving build order
+        old = now - 4000 + i
+        os.utime(entry(i), (old, old))
+    # the next cold build triggers GC: recently-USED entries survive
+    # (grace window), aged surplus beyond keep-N is evicted
     annindex.ensure_index(
-        entry(annindex.CACHE_KEEP_PER_KIND + 2),
-        lambda d: os.makedirs(d, exist_ok=True),
+        entry(n_old), lambda d: os.makedirs(d, exist_ok=True)
+    )
+    annindex.ensure_index(
+        entry(n_old), lambda d: os.makedirs(d, exist_ok=True)
     )
     modes = [m for _, m in annindex.BUILD_EVENTS]
     assert modes.count("warm") == 1 and modes[-1] == "warm"
     kept = sorted(d for d in os.listdir(root) if d.startswith("pq_"))
     assert len(kept) == annindex.CACHE_KEEP_PER_KIND
-    # newest survive
-    assert kept[-1] == f"pq_{annindex.CACHE_KEEP_PER_KIND + 2:04d}"
+    # the fresh build + the newest aged entries survive; oldest evicted
+    assert f"pq_{n_old:04d}" in kept
+    assert f"pq_{0:04d}" not in kept
 
     # (d) failed publish with no winner present re-raises
     import pytest as _pytest

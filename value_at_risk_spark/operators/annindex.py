@@ -232,8 +232,14 @@ def index_cache_dir(kind: str, sf_dir: str, params: dict) -> str:
 
 
 def _gc_cache(root: str, kind: str) -> None:
-    """Keep the newest CACHE_KEEP_PER_KIND published entries for this
-    kind; stale fingerprints/salts otherwise accumulate forever."""
+    """Keep the most-recently-USED CACHE_KEEP_PER_KIND entries per
+    kind (warm hits touch mtime), and never evict anything used within
+    the grace window — a reader that passed the existence check moments
+    ago must not have its parquet deleted mid-load by a concurrent
+    builder's GC."""
+    import time as _time
+
+    grace = _time.time() - 600
     try:
         entries = [
             (os.path.getmtime(os.path.join(root, d)), d)
@@ -242,8 +248,9 @@ def _gc_cache(root: str, kind: str) -> None:
         ]
     except OSError:
         return
-    for _, d in sorted(entries, reverse=True)[CACHE_KEEP_PER_KIND:]:
-        shutil.rmtree(os.path.join(root, d), ignore_errors=True)
+    for mt, d in sorted(entries, reverse=True)[CACHE_KEEP_PER_KIND:]:
+        if mt < grace:
+            shutil.rmtree(os.path.join(root, d), ignore_errors=True)
 
 
 def ensure_index(base_dir: str, build: Callable[[str], None]) -> str:
@@ -258,6 +265,10 @@ def ensure_index(base_dir: str, build: Callable[[str], None]) -> str:
     name = os.path.basename(base_dir)
     if os.path.isdir(base_dir):
         BUILD_EVENTS.append((name, "warm"))
+        try:
+            os.utime(base_dir)  # LRU signal for the GC below
+        except OSError:
+            pass
         return base_dir
     BUILD_EVENTS.append((name, "cold"))
     os.makedirs(os.path.dirname(base_dir), exist_ok=True)

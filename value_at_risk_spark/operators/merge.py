@@ -126,8 +126,33 @@ def merge_into_delta_native(
         raise ValueError(
             f"merge_into_delta_native: keys not in updates: {missing}"
         )
-    from value_at_risk_spark.sources.deltalog import read_delta, write_delta
+    from value_at_risk_spark.sources.deltalog import (
+        DeltaConcurrentModification,
+        read_delta,
+        snapshot,
+        write_delta,
+    )
 
-    target = read_delta(spark, target_path)
-    merged = upsert(target, updates.dropDuplicates(keys), keys)
-    return write_delta(spark, merged, target_path, mode="overwrite")
+    deduped = updates.dropDuplicates(keys)
+    # read-modify-write with a conditional commit: a concurrent append
+    # landing between our read snapshot and the overwrite would be
+    # silently erased by an unconditional rewrite (MERGE promises
+    # key-level semantics, not last-writer-wins) — so pin the commit
+    # to the read version and re-read + re-merge on conflict
+    for _attempt in range(16):
+        read_v = snapshot(target_path).version
+        target = read_delta(spark, target_path, version=read_v)
+        merged = upsert(target, deduped, keys)
+        try:
+            return write_delta(
+                spark,
+                merged,
+                target_path,
+                mode="overwrite",
+                expected_version=read_v,
+            )
+        except DeltaConcurrentModification:
+            continue
+    raise RuntimeError(
+        f"merge_into_delta_native: conflicted 16 times at {target_path}"
+    )

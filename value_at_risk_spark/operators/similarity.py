@@ -1000,6 +1000,13 @@ def semdedup_survivors(
     """
     if threshold > 1.0:
         raise ValueError("semdedup threshold must be <= 1.0")
+    id_type = df.schema[id_col].dataType.simpleString()
+    if id_type not in ("bigint", "int", "smallint", "tinyint"):
+        raise ValueError(
+            "semdedup_survivors: id_col must be integral (the Arrow "
+            f"cell kernel carries int64 ids); got {id_type} — map your "
+            "ids to a long surrogate first"
+        )
     # centroids still train on the FULL corpus: Lloyd mean updates
     # weighted by multiplicity == training on all rows, so cells are
     # identical to the pre-collapse implementation (linear scans; the
@@ -1043,10 +1050,19 @@ def semdedup_survivors(
 
     def _cell_min_neighbor(pdf: pd.DataFrame) -> pd.DataFrame:
         ids = pdf[id_col].to_numpy(dtype=np.int64)
-        V = np.array(list(pdf[vec_col]), dtype=np.float64)
-        if V.ndim != 2 or len(ids) < 2:
+        if len(ids) < 2:
             return pd.DataFrame({"_id": [], "_nbr": []}).astype(
                 {"_id": np.int64, "_nbr": np.int64}
+            )
+        V = np.array(list(pdf[vec_col]), dtype=np.float64)
+        if V.ndim != 2:
+            # ragged/non-numeric vectors must surface, not silently
+            # report every vector a unique survivor (the stale-width
+            # hazard resolve_dim's contract warns about)
+            raise ValueError(
+                "semdedup_survivors: inconsistent embedding widths "
+                f"within a cell (sample widths: "
+                f"{sorted({len(v) if v is not None else None for v in pdf[vec_col][:50]}, key=str)})"
             )
         norms = np.linalg.norm(V, axis=1)
         sentinel = np.int64(2**62)
@@ -1082,7 +1098,10 @@ def semdedup_survivors(
         )
         .join(m_of_rep, on="_rep", how="left")
     )
-    members = rows.join(groups, on=vec_col).select(id_col, "_rep")
+    g = groups.select(F.col(vec_col).alias("_gv"), F.col("_rep"))
+    members = rows.join(
+        g, F.col(vec_col).eqNullSafe(F.col("_gv"))
+    ).select(id_col, "_rep")
     i, r, m = F.col(id_col), F.col("_rep"), F.col("_m")
     dup_of = (
         F.when(F.col("_nz") & (i == r), F.when(m < r, m))

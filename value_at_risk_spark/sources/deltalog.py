@@ -43,7 +43,7 @@ import os
 import time
 import uuid
 from dataclasses import dataclass
-from urllib.parse import unquote
+from urllib.parse import quote, unquote
 
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
@@ -51,6 +51,12 @@ from pyspark.sql.types import StructType
 
 _LOG = "_delta_log"
 _LAST = "_last_checkpoint"
+
+
+class DeltaConcurrentModification(RuntimeError):
+    """The table tip moved past the caller's read snapshot before the
+    commit could publish (expected_version mismatch). Re-read and
+    retry."""
 
 
 def _log_dir(path: str) -> str:
@@ -157,6 +163,13 @@ def snapshot(path: str, version: int | None = None) -> DeltaSnapshot:
 
         tbl = pq.read_table(_checkpoint_path(path, cp))
         for row in tbl.to_pylist():
+            add = row.get("add")
+            if add is not None and not isinstance(
+                add.get("partitionValues"), (dict, type(None))
+            ):
+                # pyarrow map columns come back as (k, v) tuple lists
+                add = {**add, "partitionValues": dict(add["partitionValues"])}
+                row = {**row, "add": add}
             _apply_actions(snap, [row])
         start = cp + 1
     for v in versions:
@@ -297,7 +310,12 @@ def _stage(
             adds.append(
                 {
                     "add": {
-                        "path": rel,
+                        # URL-encoded per the protocol; readers unquote.
+                        # Without this, Spark's own %-escaped partition
+                        # dir names (ts=..%3A..) would be DOUBLE-decoded
+                        # on read and mismatched by vacuum's referenced
+                        # set — deleting live files.
+                        "path": quote(rel, safe="/"),
                         "partitionValues": _parse_partition_values(rel),
                         "size": st.st_size,
                         "modificationTime": int(st.st_mtime * 1000),
@@ -316,6 +334,7 @@ def write_delta(
     partition_by: list[str] | None = None,
     txn: dict | None = None,
     merge_schema: bool = False,
+    expected_version: int | None = None,
 ) -> int:
     """Transactional append/overwrite; returns the committed version.
 
@@ -391,6 +410,15 @@ def write_delta(
     for _attempt in range(64):
         versions = delta_versions(path)
         version = (versions[-1] + 1) if versions else 0
+        if expected_version is not None and version != expected_version + 1:
+            raise DeltaConcurrentModification(
+                f"write_delta: expected tip v{expected_version}, "
+                f"found v{version - 1} at {path}"
+            )
+        if txn is not None and versions:
+            committed = (snapshot(path).txns or {}).get(str(txn["appId"]))
+            if committed is not None and int(txn["version"]) <= committed:
+                return -1
         actions: list[dict] = [
             {
                 "commitInfo": {
@@ -502,8 +530,9 @@ def checkpoint_delta(path: str, version: int | None = None) -> int:
     def _conv(row):
         a = row["add"]
         if a is not None:
-            a = {**a, "partitionValues": list(
-                (a.get("partitionValues") or {}).items()
+            pv = a.get("partitionValues") or {}
+            a = {**a, "partitionValues": (
+                list(pv.items()) if isinstance(pv, dict) else list(pv)
             )}
         m = row["metaData"]
         if m is not None:
@@ -606,31 +635,42 @@ def optimize_delta(
         df = df.repartition(n)
     adds = _stage(df, path, snap.partition_columns, data_change=False)
     now_ms = int(time.time() * 1000)
+    # removes are the OPTIMIZED snapshot's files, never the moving
+    # tip's: the staged rewrite contains exactly snap's rows, so
+    # removing a concurrent append's files would silently erase its
+    # data under a dataChange:false commit. A tip that gained or lost
+    # files since snap aborts instead (real Delta aborts conflicting
+    # OPTIMIZE the same way); the caller simply re-runs.
+    actions: list[dict] = [
+        {
+            "commitInfo": {
+                "timestamp": now_ms,
+                "operation": "OPTIMIZE",
+                "operationParameters": {
+                    "zOrderBy": list(zorder_by or [])
+                },
+                "engineInfo": "value_at_risk_spark.deltalog",
+            }
+        }
+    ]
+    actions.extend(
+        {
+            "remove": {
+                "path": p,
+                "deletionTimestamp": now_ms,
+                "dataChange": False,
+            }
+        }
+        for p in sorted(snap.files)
+    )
+    actions.extend(adds)
     for _attempt in range(64):
         current = snapshot(path)
-        actions: list[dict] = [
-            {
-                "commitInfo": {
-                    "timestamp": now_ms,
-                    "operation": "OPTIMIZE",
-                    "operationParameters": {
-                        "zOrderBy": list(zorder_by or [])
-                    },
-                    "engineInfo": "value_at_risk_spark.deltalog",
-                }
-            }
-        ]
-        actions.extend(
-            {
-                "remove": {
-                    "path": p,
-                    "deletionTimestamp": now_ms,
-                    "dataChange": False,
-                }
-            }
-            for p in sorted(current.files)
-        )
-        actions.extend(adds)
+        if set(current.files) != set(snap.files):
+            raise RuntimeError(
+                "optimize_delta: table changed concurrently "
+                f"(v{snap.version} -> v{current.version}); re-run"
+            )
         if _publish_commit(path, current.version + 1, actions):
             return current.version + 1
     raise RuntimeError(f"optimize_delta: lost the commit race at {path}")

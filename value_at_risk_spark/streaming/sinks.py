@@ -133,9 +133,11 @@ class DeltaTxnSink:
     delta-log table (sources/deltalog.py) with the protocol's ``txn``
     action — exactly-once the way real Delta streaming sinks do it:
     the (appId, batchId) transaction identifier rides in the SAME
-    atomic commit as the data, so a re-delivered batch (sink crash
-    after commit, before the stream checkpoint advanced) is detected
-    by ``batchId <= snapshot.txns[appId]`` and skipped. Unlike
+    atomic commit as the data, and the dedup check runs inside the
+    commit attempt against a freshly replayed snapshot, so a
+    re-delivered batch (sink crash after commit, before the stream
+    checkpoint advanced — or a zombie driver racing its replacement)
+    is detected by ``batchId <= snapshot.txns[appId]`` and skipped. Unlike
     IdempotentParquetSink's dir-per-batch layout, readers get a real
     table: snapshot isolation, time travel, OPTIMIZE/VACUUM.
 
@@ -168,14 +170,22 @@ class DeltaTxnSink:
             return None
         return (snapshot(self.path).txns or {}).get(self.app_id)
 
-    def __call__(self, batch_df: DataFrame, batch_id: int) -> None:
-        from value_at_risk_spark.sources.deltalog import write_delta
+    #: a parquet checkpoint is written every N commits so log replay
+    #: (and therefore per-batch commit cost) stays O(N), not O(total
+    #: batches ever committed)
+    checkpoint_every = 16
 
-        last = self.last_committed()
-        if last is not None and batch_id <= last:
-            self.skipped.append(batch_id)
-            return
-        write_delta(
+    def __call__(self, batch_df: DataFrame, batch_id: int) -> None:
+        from value_at_risk_spark.sources.deltalog import (
+            checkpoint_delta,
+            write_delta,
+        )
+
+        # the txn dedup runs INSIDE write_delta's commit loop against a
+        # fresh snapshot — a zombie writer racing a recovered one on the
+        # same appId cannot double-commit (the loser re-reads and sees
+        # the winner's txn); -1 = already committed, skip
+        v = write_delta(
             batch_df.sparkSession,
             batch_df,
             self.path,
@@ -183,6 +193,10 @@ class DeltaTxnSink:
             partition_by=self.partition_by,
             txn={"appId": self.app_id, "version": batch_id},
         )
+        if v == -1:
+            self.skipped.append(batch_id)
+        elif v > 0 and v % self.checkpoint_every == 0:
+            checkpoint_delta(self.path)
 
     def read(self, spark) -> DataFrame:
         from value_at_risk_spark.sources.deltalog import read_delta
