@@ -478,3 +478,69 @@ def test_conditional_commit_and_txn_in_loop(spark, tmp_path):
     assert write_delta(spark, df, tbl, txn=t) == 3
     assert write_delta(spark, df, tbl, txn=t) == -1  # replay: no-op
     assert read_delta(spark, tbl).count() == 2  # overwrite row + one txn add
+
+
+def test_stats_recorded_and_file_skipping(spark, tmp_path):
+    """add.stats carries footer-derived numRecords/min/max per file;
+    stats_filters prunes files whose stats PROVE no match (never one
+    that could match), survives checkpoints, and the kept set still
+    contains every matching row (files prune, rows don't)."""
+    tbl = str(tmp_path / "stats")
+    # three commits with disjoint id ranges -> three prunable files
+    for lo in (0, 1000, 2000):
+        df = spark.range(lo, lo + 100).select(
+            F.col("id"), (F.col("id") % 5).alias("m"),
+            F.concat(F.lit("u"), F.col("id")).alias("s"),
+        )
+        write_delta(spark, df.coalesce(1), tbl)
+    snap = snapshot(tbl)
+    assert len(snap.files) == 3
+    for add in snap.files.values():
+        st = json.loads(add["stats"])
+        assert st["numRecords"] == 100
+        assert "id" in st["minValues"] and "id" in st["maxValues"]
+
+    def n_files(**kw):
+        import value_at_risk_spark.sources.deltalog as dl
+
+        snap2 = dl.snapshot(tbl)
+        # count via the pruning logic by reading and checking scan paths
+        got = read_delta(spark, tbl, **kw)
+        plan = got._jdf.queryExecution().executedPlan().toString()
+        return got, plan
+
+    got, plan = n_files(stats_filters=[("id", ">=", 2000)])
+    rows = {r.id for r in got.filter(F.col("id") >= 2000).collect()}
+    assert rows == set(range(2000, 2100))
+    assert plan.count(".parquet") <= 2  # the 0- and 1000- files pruned
+
+    # equality and string stats: pruned-then-filtered must equal
+    # full-scan-filtered for every predicate (files prune, rows don't)
+    got, _ = n_files(stats_filters=[("id", "=", 1050)])
+    assert got.count() == 100  # only the middle file survives pruning
+    full = read_delta(spark, tbl)
+    for op, val in ((">=", "u999"), (">=", "u21"), ("<", "u1")):
+        got, _ = n_files(stats_filters=[("s", op, val)])
+        pred = {
+            ">=": F.col("s") >= val,
+            "<": F.col("s") < val,
+        }[op]
+        assert {r.id for r in got.filter(pred).collect()} == {
+            r.id for r in full.filter(pred).collect()
+        }, (op, val)
+
+    # stats survive a checkpoint
+    checkpoint_delta(tbl)
+    write_delta(
+        spark,
+        spark.range(3000, 3100).select(
+            F.col("id"), (F.col("id") % 5).alias("m"),
+            F.concat(F.lit("u"), F.col("id")).alias("s"),
+        ).coalesce(1),
+        tbl,
+    )
+    got = read_delta(spark, tbl, stats_filters=[("id", "<", 100)])
+    assert got.count() == 100  # one file kept through checkpointed stats
+
+    with pytest.raises(ValueError, match="unknown stats op"):
+        read_delta(spark, tbl, stats_filters=[("id", "!=", 1)])

@@ -194,6 +194,7 @@ def read_delta(
     path: str,
     version: int | None = None,
     partition_filters: dict[str, list[str]] | None = None,
+    stats_filters: list[tuple] | None = None,
 ) -> DataFrame:
     """Snapshot-consistent DataFrame over the active file set — a
     plain distributed parquet scan (predicate pushdown, column
@@ -204,7 +205,15 @@ def read_delta(
     ``partition_filters``: {col: allowed string values} pruned against
     ``add.partitionValues`` at the LOG level — files of excluded
     partitions never even reach the scan plan (Delta's metadata-layer
-    file skipping; a null partition matches the value None)."""
+    file skipping; a null partition matches the value None).
+
+    ``stats_filters``: [(col, op, value)] with op in
+    {'=', '<', '<=', '>', '>='} pruned against each add's footer
+    stats (minValues/maxValues) — a file is dropped only when its
+    stats PROVE no row can match; files without stats are kept. This
+    prunes FILES, not rows: the caller still applies the actual row
+    predicate (same contract as Delta's own data skipping, where the
+    engine does both)."""
     snap = snapshot(path, version)
     schema = snap.schema
     active = sorted(snap.files)
@@ -223,6 +232,41 @@ def read_delta(
                 pv.get(c) in vals for c, vals in partition_filters.items()
             )
         active = [p for p in active if _keep(p)]
+    if stats_filters:
+        ops = {"=", "<", "<=", ">", ">="}
+        for _c, op, _v in stats_filters:
+            if op not in ops:
+                raise ValueError(f"read_delta: unknown stats op {op!r}")
+
+        def _may_match(p: str) -> bool:
+            raw = snap.files[p].get("stats")
+            if not raw:
+                return True  # no stats: conservative keep
+            try:
+                st = json.loads(raw) if isinstance(raw, str) else raw
+            except (TypeError, ValueError):
+                return True
+            for col, op, val in stats_filters:
+                mn = (st.get("minValues") or {}).get(col)
+                mx = (st.get("maxValues") or {}).get(col)
+                if mn is None or mx is None:
+                    continue
+                try:
+                    if op == "=" and (val < mn or val > mx):
+                        return False
+                    if op == ">" and mx <= val:
+                        return False
+                    if op == ">=" and mx < val:
+                        return False
+                    if op == "<" and mn >= val:
+                        return False
+                    if op == "<=" and mn > val:
+                        return False
+                except TypeError:
+                    continue  # incomparable types: keep
+            return True
+
+        active = [p for p in active if _may_match(p)]
     files = [os.path.join(path, unquote(p)) for p in active]
     if not files:
         return spark.createDataFrame([], schema)
@@ -287,12 +331,64 @@ def _publish_commit(path: str, version: int, actions: list[dict]) -> bool:
         os.unlink(tmp)
 
 
+def _file_stats(full_path: str) -> str | None:
+    """Per-file ``add.stats`` JSON (numRecords, minValues, maxValues,
+    nullCount) from the parquet FOOTER — a driver-side metadata read,
+    no data scan. Column-chunk min/max merge across row groups;
+    columns without statistics are simply omitted. This is the
+    protocol's data-skipping payload: read_delta's stats_filters prune
+    files at the LOG level before any executor touches them."""
+    try:
+        import pyarrow.parquet as pq
+
+        md = pq.ParquetFile(full_path).metadata
+        mins: dict = {}
+        maxs: dict = {}
+        nulls: dict = {}
+        for rg in range(md.num_row_groups):
+            g = md.row_group(rg)
+            for ci in range(g.num_columns):
+                col = g.column(ci)
+                name = col.path_in_schema
+                if "." in name:  # nested: skip (protocol allows subset)
+                    continue
+                st = col.statistics
+                if st is None or not st.has_min_max:
+                    continue
+                mn, mx = st.min, st.max
+                if isinstance(mn, bytes):
+                    try:
+                        mn, mx = mn.decode(), mx.decode()
+                    except UnicodeDecodeError:
+                        continue
+                if hasattr(mn, "isoformat"):
+                    mn, mx = mn.isoformat(), mx.isoformat()
+                if name not in mins or mn < mins[name]:
+                    mins[name] = mn
+                if name not in maxs or mx > maxs[name]:
+                    maxs[name] = mx
+                if st.null_count is not None:
+                    nulls[name] = nulls.get(name, 0) + st.null_count
+        return json.dumps(
+            {
+                "numRecords": md.num_rows,
+                "minValues": mins,
+                "maxValues": maxs,
+                "nullCount": nulls,
+            },
+            separators=(",", ":"),
+        )
+    except Exception:
+        return None  # stats are an optimization, never a correctness gate
+
+
 def _stage(
     df: DataFrame, path: str, part_cols: list[str], data_change: bool
 ) -> list[dict]:
     """Stage the frame's parquet files under a unique subdir of the
     table root and return their ``add`` actions (relative paths —
-    files are never moved afterwards)."""
+    files are never moved afterwards; per-file footer stats recorded
+    for data skipping)."""
     stage_rel = f"stage-{os.getpid()}-{uuid.uuid4().hex[:8]}"
     stage_abs = os.path.join(path, stage_rel)
     writer = df.write.mode("error")
@@ -307,6 +403,7 @@ def _stage(
             full = os.path.join(root, n)
             rel = os.path.relpath(full, path)
             st = os.stat(full)
+            stats = _file_stats(full)
             adds.append(
                 {
                     "add": {
@@ -320,6 +417,7 @@ def _stage(
                         "size": st.st_size,
                         "modificationTime": int(st.st_mtime * 1000),
                         "dataChange": data_change,
+                        **({"stats": stats} if stats else {}),
                     }
                 }
             )
@@ -511,6 +609,7 @@ def checkpoint_delta(path: str, version: int | None = None) -> int:
             ("size", pa.int64()),
             ("modificationTime", pa.int64()),
             ("dataChange", pa.bool_()),
+            ("stats", pa.string()),
         ]
     )
     meta_t = pa.struct(
@@ -531,9 +630,16 @@ def checkpoint_delta(path: str, version: int | None = None) -> int:
         a = row["add"]
         if a is not None:
             pv = a.get("partitionValues") or {}
-            a = {**a, "partitionValues": (
-                list(pv.items()) if isinstance(pv, dict) else list(pv)
-            )}
+            a = {
+                "path": a.get("path"),
+                "partitionValues": (
+                    list(pv.items()) if isinstance(pv, dict) else list(pv)
+                ),
+                "size": a.get("size"),
+                "modificationTime": a.get("modificationTime"),
+                "dataChange": a.get("dataChange"),
+                "stats": a.get("stats"),
+            }
         m = row["metaData"]
         if m is not None:
             m = {
