@@ -311,3 +311,46 @@ def test_weights_save_load_rescore(spark, fixtures, tmp_path):
     }
     assert a == b
     assert len(a) > 100
+
+
+def test_pipeline_persisted_through_native_delta(spark, fixtures, tmp_path):
+    """The reference's storage architecture — every stage persists to
+    Delta and the next stage reads the TABLE back
+    (01_var_market_etl.py:56-64, 03_var_monte_carlo.py:162) — run
+    through sources/deltalog.py: stocks, indicators, and portfolio are
+    written as native delta tables, read back, and the full pipeline's
+    VaR output must agree with the direct in-memory run to 1e-12 (the
+    same tolerance as the determinism test: aggregation partial order
+    may differ by a ULP; every draw is seeded). This pins that the
+    delta round-trip (commit JSON, stats, schema re-typing) is
+    loss-free for the engine's own flagship pipeline."""
+    from value_at_risk_spark.sources.deltalog import read_delta, write_delta
+
+    stocks, indicators, portfolio = fixtures
+    cfg = VarConfig(runs=50, factor_cols=tuple(FACTORS))
+
+    tables = {}
+    for name, df in (
+        ("stocks", stocks),
+        ("indicators", indicators),
+        ("portfolio", portfolio),
+    ):
+        path = str(tmp_path / name)
+        write_delta(spark, df, path)
+        tables[name] = read_delta(spark, path)
+
+    direct = run_pipeline(spark, stocks, indicators, portfolio, cfg)
+    via_delta = run_pipeline(
+        spark,
+        tables["stocks"],
+        tables["indicators"],
+        tables["portfolio"],
+        cfg,
+    )
+    a = sorted(map(tuple, direct["var"].collect()))
+    b = sorted(map(tuple, via_delta["var"].collect()))
+    assert len(a) == len(b) > 0
+    for ra, rb in zip(a, b):
+        assert ra[0] == rb[0]
+        for xa, xb in zip(ra[1:], rb[1:]):
+            assert abs(xa - xb) < 1e-12
