@@ -114,9 +114,46 @@ def main() -> None:
     shutil.rmtree(out_dir, ignore_errors=True)
 
     results.update(sustained_batches(spark, scaled, schema, ts_ntz))
+    results.update(delta_sink_sustained(spark))
     shutil.rmtree(src, ignore_errors=True)
 
     print(json.dumps(results))
+
+
+SINK_BATCHES = int(os.environ.get("SINK_BATCHES", "48"))
+
+
+def delta_sink_sustained(spark) -> dict:
+    """Per-commit latency of the exactly-once native-delta streaming
+    sink over SINK_BATCHES direct foreachBatch deliveries (round-10:
+    the txn dedup runs inside write_delta's commit loop, and the sink
+    auto-checkpoints every 16 commits, so this series must be FLAT —
+    replay cost is O(commits since checkpoint), not O(total commits)).
+    Reported as 8-batch bucket medians; the PERF.md round-10 entry is
+    regenerated from this."""
+    import statistics
+
+    from value_at_risk_spark.streaming.sinks import DeltaTxnSink
+
+    tbl = tempfile.mkdtemp(prefix="perf_delta_sink_")
+    shutil.rmtree(tbl, ignore_errors=True)
+    df = spark.range(10_000).selectExpr("id", "id % 7 as k")
+    sink = DeltaTxnSink(tbl, app_id="perf_sustained")
+    lat = []
+    for b in range(SINK_BATCHES):
+        t0 = time.time()
+        sink(df, b)
+        lat.append(round(time.time() - t0, 3))
+    rows = sink.read(spark).count()
+    shutil.rmtree(tbl, ignore_errors=True)
+    return {
+        "delta_sink_batches": SINK_BATCHES,
+        "delta_sink_rows": rows,
+        "delta_sink_bucket_medians": [
+            round(statistics.median(lat[i : i + 8]), 3)
+            for i in range(0, len(lat), 8)
+        ],
+    }
 
 
 N_BATCHES = int(os.environ.get("N_BATCHES", "12"))
