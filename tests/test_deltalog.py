@@ -544,3 +544,27 @@ def test_stats_recorded_and_file_skipping(spark, tmp_path):
 
     with pytest.raises(ValueError, match="unknown stats op"):
         read_delta(spark, tbl, stats_filters=[("id", "!=", 1)])
+
+
+def test_many_commit_partitioned_read_uses_single_scan(spark, tmp_path):
+    """Past 16 commits, the partitioned read switches from per-commit
+    basePath unions (plan branches grow with commit count) to ONE scan
+    + a broadcast basename->partitionValues join typed from the log —
+    content identical, no Union in the plan."""
+    tbl = str(tmp_path / "many")
+    expect = []
+    for i in range(18):
+        df = spark.createDataFrame(
+            [(i * 10 + j, i % 3, f"r{i}_{j}") for j in range(4)],
+            "id long, seg int, s string",
+        )
+        write_delta(spark, df, tbl, partition_by=["seg"])
+        expect.extend((i * 10 + j, i % 3, f"r{i}_{j}") for j in range(4))
+    got = read_delta(spark, tbl)
+    assert dict(got.dtypes)["seg"] == "int"  # typed from the log schema
+    assert _rows(got.select("id", "seg", "s")) == sorted(expect)
+    plan = got._jdf.queryExecution().executedPlan().toString()
+    assert "Union" not in plan
+    # partition/stats filters compose with the join path
+    only1 = read_delta(spark, tbl, partition_filters={"seg": ["1"]})
+    assert {r.seg for r in only1.collect()} == {1}

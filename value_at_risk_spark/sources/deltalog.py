@@ -288,13 +288,57 @@ def read_delta(
         )
         root = os.path.join(path, *rel[:idx]) if idx else path
         groups.setdefault(root, []).append(ap)
-    parts = [
-        spark.read.schema(schema).option("basePath", root).parquet(*fs)
-        for root, fs in sorted(groups.items())
-    ]
-    out = parts[0]
-    for p in parts[1:]:
-        out = out.unionByName(p)
+    basenames = [os.path.basename(f) for f in files]
+    if len(groups) <= 16 or len(set(basenames)) != len(basenames):
+        # few commits (or a foreign table with colliding file names —
+        # the join path below keys on basenames): per-root basePath
+        # scans unioned, keeping native partition-dir pruning
+        parts = [
+            spark.read.schema(schema).option("basePath", root).parquet(*fs)
+            for root, fs in sorted(groups.items())
+        ]
+        out = parts[0]
+        for p in parts[1:]:
+            out = out.unionByName(p)
+        return out.select(*[f.name for f in schema.fields])
+    # many commits: the union's plan branches grow with commit count.
+    # Scale path (delta-spark's FileIndex idea, log-authoritative):
+    # ONE scan of the data files + a broadcast (file basename ->
+    # partitionValues) join; partition values come from the LOG, typed
+    # by the declared schema. Basenames are unique per write job
+    # (Spark part files embed a job uuid) — verified above, with the
+    # union fallback if a foreign table violates it.
+    part_set = set(snap.partition_columns)
+    data_schema = StructType(
+        [f for f in schema.fields if f.name not in part_set]
+    )
+    rows = []
+    for p in sorted(snap.files):
+        pv = snap.files[p].get("partitionValues") or {}
+        if not isinstance(pv, dict):
+            pv = dict(pv)
+        rows.append(
+            (os.path.basename(unquote(p)),)
+            + tuple(pv.get(c) for c in snap.partition_columns)
+        )
+    mdf = spark.createDataFrame(
+        rows,
+        ", ".join(
+            ["_fname string"]
+            + [f"`_pv_{c}` string" for c in snap.partition_columns]
+        ),
+    )
+    out = (
+        spark.read.schema(data_schema)
+        .parquet(*files)
+        .withColumn(
+            "_fname",
+            F.element_at(F.split(F.input_file_name(), "/"), -1),
+        )
+        .join(F.broadcast(mdf), "_fname")
+    )
+    for c in snap.partition_columns:
+        out = out.withColumn(c, F.col(f"_pv_{c}").cast(schema[c].dataType))
     return out.select(*[f.name for f in schema.fields])
 
 
