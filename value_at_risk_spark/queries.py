@@ -13929,3 +13929,45 @@ def streaming_delta_sink(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.count_distinct("user_id").alias("n_users"),
         )
     )
+
+
+@query(
+    "delta_pruned_scan",
+    """
+SELECT c_mktsegment,
+       COUNT(*) AS n_customers,
+       ROUND(SUM(c_acctbal), 2) AS total_bal
+FROM customer
+WHERE c_mktsegment IN ('BUILDING', 'MACHINERY') AND c_custkey <= 1000
+GROUP BY c_mktsegment
+""",
+)
+def delta_pruned_scan(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Metadata-layer file skipping on the native delta table,
+    ORACLE-pinned: the read prunes files through BOTH log-level paths
+    — partition_filters against add.partitionValues and stats_filters
+    against the footer-derived add.stats — and then applies the SAME
+    predicates as row filters (files prune, rows don't: the two-layer
+    contract). Equality with DuckDB over the original parquet proves
+    pruning never drops a matching row, at whichever file layout the
+    demo table's three commits produced."""
+    from value_at_risk_spark.sources.deltalog import read_delta
+
+    tbl = _delta_demo_table(spark, sf_dir)
+    segs = ["BUILDING", "MACHINERY"]
+    df = read_delta(
+        spark,
+        tbl,
+        partition_filters={"c_mktsegment": segs},
+        stats_filters=[("c_custkey", "<=", 1000)],
+    )
+    return (
+        df.filter(
+            F.col("c_mktsegment").isin(segs) & (F.col("c_custkey") <= 1000)
+        )
+        .groupBy("c_mktsegment")
+        .agg(
+            F.count(F.lit(1)).alias("n_customers"),
+            (F.round(F.sum("c_acctbal"), 2) + F.lit(0.0)).alias("total_bal"),
+        )
+    )
