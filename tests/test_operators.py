@@ -3754,3 +3754,48 @@ def test_ann_index_cache_salt_events_and_gc(tmp_path, monkeypatch):
 
     with _pytest.raises(OSError):
         annindex.ensure_index(target, bad_build)
+
+
+def test_mp4_demux_sample_tables_and_sampling(spark):
+    """MP4 demuxer (operators/multimodal): the stts/stsc/stsz/stco
+    expansion locates every frame byte-exactly in a two-chunk
+    synthetic container (frame i's payload is a known pattern),
+    timestamps follow the mdhd timescale, every_ms sampling keeps the
+    greedy first-of-interval frames, and malformed input raises
+    instead of returning silent emptiness."""
+    import pytest as _pytest
+
+    from value_at_risk_spark.operators.multimodal import (
+        demux_mp4_frames,
+        mp4_sample_table,
+        synth_mp4,
+    )
+
+    sizes = [(i % 7) + 8 for i in range(9)]
+    payload = synth_mp4(sizes, fps=10, first_chunk_samples=3)
+    table = mp4_sample_table(payload)
+    assert [sz for _o, sz, _t in table] == sizes
+    assert [t for _o, _s, t in table] == [i * 100.0 for i in range(9)]
+    for i, (off, sz, _t) in enumerate(table):
+        assert payload[off : off + sz] == bytes(
+            (i * 31 + j) % 256 for j in range(sz)
+        )
+
+    media = spark.createDataFrame(
+        [(7, bytearray(payload))], "media_id long, payload_bytes binary"
+    )
+    all_frames = demux_mp4_frames(media).collect()
+    assert [r.frame_index for r in all_frames] == list(range(9))
+    assert all(
+        bytes(r.frame_bytes)
+        == bytes((r.frame_index * 31 + j) % 256 for j in range(r.frame_size))
+        for r in all_frames
+    )
+    sampled = demux_mp4_frames(media, every_ms=300).collect()
+    assert [r.frame_index for r in sampled] == [0, 3, 6]
+
+    with _pytest.raises(ValueError, match="moov"):
+        mp4_sample_table(b"\x00\x00\x00\x08free")
+    # single-chunk layout too
+    one = synth_mp4([16, 16], fps=5)
+    assert [t for _o, _s, t in mp4_sample_table(one)] == [0.0, 200.0]

@@ -604,3 +604,278 @@ def write_media_fixture_dir(base_dir: str) -> dict[str, bytes]:
         with open(path, "wb") as fh:
             fh.write(payload)
     return files
+
+
+# ---------------------------------------------------------------------------
+# MP4 (ISO-BMFF) DEMUXING — container-level frame extraction, no codec.
+# The sample tables (stts/stsc/stsz/stco) locate every frame's byte
+# range and timestamp inside mdat; extracting sampled frame PAYLOADS is
+# pure box arithmetic — the real "frame-sample" stage of a video ingest
+# pipeline (the brief's multimodal contract), with only the pixel
+# DECODE of each extracted frame left to a codec library this
+# container lacks. Box format per the public ISO/IEC 14496-12 spec.
+
+
+def _box(typ: bytes, payload: bytes) -> bytes:
+    import struct
+
+    return struct.pack(">I", 8 + len(payload)) + typ + payload
+
+
+def _full(typ: bytes, payload: bytes, version: int = 0, flags: int = 0) -> bytes:
+    import struct
+
+    return _box(typ, struct.pack(">B3s", version, flags.to_bytes(3, "big")) + payload)
+
+
+def synth_mp4(
+    frame_sizes: list[int],
+    fps: int = 10,
+    timescale: int = 1000,
+    first_chunk_samples: int | None = None,
+) -> bytes:
+    """Minimal valid single-video-track MP4: ftyp + mdat (frame i's
+    payload is the deterministic pattern byte[(i*31 + j) % 256]) +
+    moov with full stts/stsc/stsz/stco sample tables. With
+    ``first_chunk_samples`` the frames split into two chunks so the
+    stsc chunk-mapping expansion is exercised, not just the trivial
+    one-chunk case. Used by tests and the oracle-pinned demux query —
+    the synthetic is deterministic, so expected frame counts/sizes/
+    timestamps have closed forms."""
+    import struct
+
+    n = len(frame_sizes)
+    frames = [
+        bytes((i * 31 + j) % 256 for j in range(sz))
+        for i, sz in enumerate(frame_sizes)
+    ]
+    ftyp = _box(b"ftyp", b"isom" + struct.pack(">I", 512) + b"isomiso2mp41")
+    mdat = _box(b"mdat", b"".join(frames))
+    delta = timescale // fps
+    duration = n * delta
+
+    split = first_chunk_samples if first_chunk_samples and n > first_chunk_samples else None
+    base = len(ftyp) + 8  # first frame's file offset inside mdat
+    if split is None:
+        chunk_offsets = [base]
+        stsc_entries = [(1, n, 1)]
+    else:
+        chunk_offsets = [base, base + sum(frame_sizes[:split])]
+        stsc_entries = [(1, split, 1), (2, n - split, 1)]
+
+    stsd_entry = (
+        struct.pack(">I4s", 86, b"mp4v")
+        + b"\x00" * 6
+        + struct.pack(">H", 1)
+        + b"\x00" * 70
+    )
+    stbl = _box(
+        b"stbl",
+        _full(b"stsd", struct.pack(">I", 1) + stsd_entry)
+        + _full(b"stts", struct.pack(">III", 1, n, delta))
+        + _full(
+            b"stsc",
+            struct.pack(">I", len(stsc_entries))
+            + b"".join(struct.pack(">III", *e) for e in stsc_entries),
+        )
+        + _full(
+            b"stsz",
+            struct.pack(">II", 0, n)
+            + b"".join(struct.pack(">I", s) for s in frame_sizes),
+        )
+        + _full(
+            b"stco",
+            struct.pack(">I", len(chunk_offsets))
+            + b"".join(struct.pack(">I", o) for o in chunk_offsets),
+        ),
+    )
+    dinf = _box(b"dinf", _full(b"dref", struct.pack(">I", 1) + _full(b"url ", b"", flags=1)))
+    vmhd = _full(b"vmhd", struct.pack(">HHHH", 0, 0, 0, 0), flags=1)
+    minf = _box(b"minf", vmhd + dinf + stbl)
+    hdlr = _full(b"hdlr", struct.pack(">I", 0) + b"vide" + b"\x00" * 12 + b"\x00")
+    mdhd = _full(
+        b"mdhd", struct.pack(">IIIIHH", 0, 0, timescale, duration, 0x55C4, 0)
+    )
+    mdia = _box(b"mdia", mdhd + hdlr + minf)
+    tkhd = _full(
+        b"tkhd",
+        struct.pack(">IIII", 0, 0, 1, 0)
+        + struct.pack(">I", duration)
+        + b"\x00" * 8
+        + struct.pack(">HHHH", 0, 0, 0, 0)
+        + struct.pack(">9I", 0x10000, 0, 0, 0, 0x10000, 0, 0, 0, 0x40000000)
+        + struct.pack(">II", 64 << 16, 64 << 16),
+        flags=3,
+    )
+    mvhd = _full(
+        b"mvhd",
+        struct.pack(">IIII", 0, 0, timescale, duration)
+        + struct.pack(">IHH", 0x10000, 0x0100, 0)
+        + b"\x00" * 8
+        + struct.pack(">9I", 0x10000, 0, 0, 0, 0x10000, 0, 0, 0, 0x40000000)
+        + b"\x00" * 24
+        + struct.pack(">I", 2),
+    )
+    moov = _box(b"moov", mvhd + _box(b"trak", tkhd + mdia))
+    return ftyp + mdat + moov
+
+
+def _iter_boxes(buf: bytes, start: int, end: int):
+    import struct
+
+    off = start
+    while off + 8 <= end:
+        size, typ = struct.unpack_from(">I4s", buf, off)
+        hdr = 8
+        if size == 1:
+            (size,) = struct.unpack_from(">Q", buf, off + 8)
+            hdr = 16
+        elif size == 0:
+            size = end - off
+        if size < hdr or off + size > end:
+            raise ValueError(f"mp4: malformed box {typ!r} at {off}")
+        yield typ, off + hdr, off + size
+        off += size
+
+
+def _find_box(buf: bytes, start: int, end: int, typ: bytes):
+    for t, s, e in _iter_boxes(buf, start, end):
+        if t == typ:
+            return s, e
+    return None
+
+
+def mp4_sample_table(payload: bytes) -> list[tuple[int, int, float]]:
+    """(file_offset, size, ts_ms) per sample of the first VIDEO track,
+    derived purely from the stts/stsc/stsz/stco(co64) tables — the
+    standard chunk-mapping expansion. Raises ValueError on malformed
+    or trackless input (loud, never a silent empty)."""
+    import struct
+
+    moov = _find_box(payload, 0, len(payload), b"moov")
+    if moov is None:
+        raise ValueError("mp4: no moov box")
+    for t, ts_, te_ in _iter_boxes(payload, *moov):
+        if t != b"trak":
+            continue
+        mdia = _find_box(payload, ts_, te_, b"mdia")
+        if mdia is None:
+            continue
+        hdlr = _find_box(payload, *mdia, b"hdlr")
+        if hdlr is None or payload[hdlr[0] + 8 : hdlr[0] + 12] != b"vide":
+            continue
+        mdhd = _find_box(payload, *mdia, b"mdhd")
+        version = payload[mdhd[0]]
+        timescale = struct.unpack_from(
+            ">I", payload, mdhd[0] + (20 if version == 1 else 12)
+        )[0]
+        minf = _find_box(payload, *mdia, b"minf")
+        stbl = _find_box(payload, *minf, b"stbl")
+
+        def full(typ: bytes, required: bool = True):
+            b = _find_box(payload, *stbl, typ)
+            if b is None and required:
+                raise ValueError(f"mp4: missing {typ!r}")
+            return None if b is None else (b[0] + 4, b[1])  # skip version+flags
+
+        s, _e = full(b"stsz")
+        uniform, count = struct.unpack_from(">II", payload, s)
+        sizes = (
+            [uniform] * count
+            if uniform
+            else list(struct.unpack_from(f">{count}I", payload, s + 8))
+        )
+        co = full(b"stco", required=False)
+        if co is not None:
+            s, _e = co
+            (nchunks,) = struct.unpack_from(">I", payload, s)
+            offsets = list(struct.unpack_from(f">{nchunks}I", payload, s + 4))
+        else:
+            s, _e = full(b"co64")
+            (nchunks,) = struct.unpack_from(">I", payload, s)
+            offsets = list(struct.unpack_from(f">{nchunks}Q", payload, s + 4))
+        s, _e = full(b"stsc")
+        (nents,) = struct.unpack_from(">I", payload, s)
+        ents = [
+            struct.unpack_from(">III", payload, s + 4 + 12 * i)
+            for i in range(nents)
+        ]
+        s, _e = full(b"stts")
+        (ntts,) = struct.unpack_from(">I", payload, s)
+        deltas: list[int] = []
+        for i in range(ntts):
+            cnt, d = struct.unpack_from(">II", payload, s + 4 + 8 * i)
+            deltas.extend([d] * cnt)
+
+        # expand stsc: samples-per-chunk for each chunk 1..nchunks
+        per_chunk = []
+        for i, (first, spc, _desc) in enumerate(ents):
+            last = ents[i + 1][0] - 1 if i + 1 < len(ents) else nchunks
+            per_chunk.extend([spc] * (last - first + 1))
+        out: list[tuple[int, int, float]] = []
+        ts = 0
+        si = 0
+        for ci, chunk_off in enumerate(offsets):
+            off = chunk_off
+            for _ in range(per_chunk[ci] if ci < len(per_chunk) else 0):
+                if si >= count:
+                    break
+                out.append((off, sizes[si], ts * 1000.0 / timescale))
+                off += sizes[si]
+                ts += deltas[si] if si < len(deltas) else 0
+                si += 1
+        if si != count:
+            raise ValueError(
+                f"mp4: sample tables disagree ({si} mapped vs stsz {count})"
+            )
+        return out
+    raise ValueError("mp4: no video track")
+
+
+def demux_mp4_frames(
+    media: DataFrame,
+    every_ms: float = 0.0,
+    payload_col: str = "payload_bytes",
+) -> DataFrame:
+    """One row per (sampled) frame of each MP4 payload: (media_id,
+    frame_index, ts_ms, frame_size, frame_bytes) — the extraction is a
+    byte-slice of mdat located by the sample tables, Arrow-batched via
+    mapInPandas (only the binary column crosses the boundary; emitted
+    rows carry exactly the sampled frames, never the whole mdat per
+    frame). ``every_ms`` keeps the first frame of each interval
+    (greedy: a frame is kept when its ts is >= the last kept ts +
+    every_ms); 0 keeps all."""
+    import pandas as pd
+
+    def _demux(batches):
+        for pdf in batches:
+            ids, idxs, tss, szs, fbs = [], [], [], [], []
+            for mid, payload in zip(pdf["media_id"], pdf[payload_col]):
+                buf = bytes(payload)
+                last = None
+                for i, (off, sz, ts) in enumerate(mp4_sample_table(buf)):
+                    if last is not None and ts < last + every_ms:
+                        continue
+                    last = ts
+                    ids.append(mid)
+                    idxs.append(i)
+                    tss.append(ts)
+                    szs.append(sz)
+                    fbs.append(buf[off : off + sz])
+            yield pd.DataFrame(
+                {
+                    "media_id": ids,
+                    "frame_index": idxs,
+                    "ts_ms": tss,
+                    "frame_size": szs,
+                    "frame_bytes": fbs,
+                }
+            )
+
+    return media.select("media_id", payload_col).mapInPandas(
+        _demux,
+        schema=(
+            "media_id long, frame_index int, ts_ms double, "
+            "frame_size long, frame_bytes binary"
+        ),
+    )

@@ -13971,3 +13971,72 @@ def delta_pruned_scan(spark: SparkSession, sf_dir: str) -> DataFrame:
             (F.round(F.sum("c_acctbal"), 2) + F.lit(0.0)).alias("total_bal"),
         )
     )
+
+
+@query(
+    "mp4_frame_extraction",
+    """
+WITH v AS (
+  SELECT doc_id, (doc_id % 16) + 4 AS n
+  FROM documents WHERE doc_id % 50 = 0
+),
+idx AS (SELECT doc_id, UNNEST(range(0, n, 3)) AS i FROM v)
+SELECT doc_id AS media_id,
+       COUNT(*) AS n_frames,
+       CAST(SUM((i % 7) + 8) AS BIGINT) AS sampled_bytes,
+       CAST(MAX(i) * 100.0 AS DOUBLE) AS last_ts_ms
+FROM idx GROUP BY doc_id
+""",
+)
+def mp4_frame_extraction(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Container-level MP4 frame sampling, ORACLE-pinned end to end:
+    each selected document becomes a deterministic synthetic MP4
+    (operators/multimodal.synth_mp4 — real ISO-BMFF boxes, two-chunk
+    stsc, (doc_id %% 16)+4 frames of (i %% 7)+8 bytes at 10 fps), the
+    demuxer derives every frame's byte range from the
+    stts/stsc/stsz/stco sample tables and extracts the frames at
+    >=300 ms spacing (indexes 0,3,6,...), and the per-video aggregate
+    must equal DuckDB's CLOSED-FORM arithmetic over the same
+    parameters — a demuxer that mis-expands any sample table breaks
+    the hash. The pixel decode of each extracted frame is the one
+    stage left to absent codec libraries; the byte-accurate frame
+    extraction itself is pinned here and in the roundtrip pytest."""
+    import pandas as pd
+
+    from value_at_risk_spark.operators.multimodal import (
+        demux_mp4_frames,
+        synth_mp4,
+    )
+
+    d = (
+        _t(spark, sf_dir, "documents")
+        .filter(F.col("doc_id") % 50 == 0)
+        .select(
+            F.col("doc_id").alias("media_id"),
+            ((F.col("doc_id") % 16) + 4).cast("int").alias("_n"),
+        )
+    )
+
+    def _synth(batches):
+        for pdf in batches:
+            yield pd.DataFrame(
+                {
+                    "media_id": pdf["media_id"],
+                    "payload_bytes": [
+                        synth_mp4(
+                            [(i % 7) + 8 for i in range(int(n))],
+                            fps=10,
+                            first_chunk_samples=3,
+                        )
+                        for n in pdf["_n"]
+                    ],
+                }
+            )
+
+    media = d.mapInPandas(_synth, "media_id long, payload_bytes binary")
+    frames = demux_mp4_frames(media, every_ms=300)
+    return frames.groupBy("media_id").agg(
+        F.count(F.lit(1)).alias("n_frames"),
+        F.sum("frame_size").alias("sampled_bytes"),
+        F.max("ts_ms").alias("last_ts_ms"),
+    )
