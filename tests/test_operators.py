@@ -3799,3 +3799,43 @@ def test_mp4_demux_sample_tables_and_sampling(spark):
     # single-chunk layout too
     one = synth_mp4([16, 16], fps=5)
     assert [t for _o, _s, t in mp4_sample_table(one)] == [0.0, 200.0]
+
+
+def test_media_headers_jpeg_and_mp4(spark):
+    """parse_media_headers round 10 additions: JPEG SOF marker walk
+    (dims + component count, no entropy decode) and MP4 ftyp sniff
+    with sample-table-derived duration; truncated JPEG stays
+    'unknown' instead of crashing the batch."""
+    import struct
+
+    from value_at_risk_spark.operators.multimodal import (
+        parse_media_headers,
+        synth_mp4,
+    )
+
+    app0 = (
+        b"\xff\xe0" + struct.pack(">H", 16) + b"JFIF\x00\x01\x01\x00"
+        + struct.pack(">HH", 1, 1) + b"\x00\x00"
+    )
+    sof = (
+        b"\xff\xc0" + struct.pack(">H", 17) + bytes([8])
+        + struct.pack(">HH", 80, 120) + bytes([3])
+        + b"\x01\x22\x00\x02\x11\x01\x03\x11\x01"
+    )
+    jpg = b"\xff\xd8" + app0 + sof + b"\xff\xd9"
+    mp4 = synth_mp4([8, 8, 8, 8], fps=4)
+    media = spark.createDataFrame(
+        [
+            (1, bytearray(jpg)),
+            (2, bytearray(mp4)),
+            (3, bytearray(b"\xff\xd8\xff")),
+        ],
+        "media_id long, payload_bytes binary",
+    )
+    got = {r.media_id: r for r in parse_media_headers(media).collect()}
+    assert (got[1].format, got[1].width, got[1].height, got[1].channels) == (
+        "jpeg", 120, 80, 3,
+    )
+    assert got[2].format == "mp4"
+    assert got[2].duration_ms == 750  # last frame ts at 4 fps, 4 frames
+    assert got[3].format == "unknown"

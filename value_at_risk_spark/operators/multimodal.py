@@ -473,7 +473,8 @@ def parse_media_headers(
     media: DataFrame, payload_col: str = "payload_bytes"
 ) -> DataFrame:
     """REAL binary metadata extraction (no codec libraries needed):
-    sniff and parse WAV (RIFF) and BMP headers from a ``binary``
+    sniff and parse WAV (RIFF), BMP, PNG, JPEG (SOF marker walk), and
+    MP4 (sample tables) headers from a ``binary``
     column with stdlib ``struct`` — the metadata-harvest stage of a
     multimodal ingest pipeline (dims, sample rate, duration) that runs
     before any pixel/sample decode. Arrow-batched ``mapInPandas``;
@@ -514,6 +515,36 @@ def parse_media_headers(
             if len(b) >= 24 and b[0:8] == PNG_SIG and b[12:16] == b"IHDR":
                 w, h = struct.unpack(">II", b[16:24])
                 return ("png", w, h, None, None, None)
+            if len(b) >= 4 and b[0:2] == b"\xff\xd8":
+                # JPEG: walk markers to the first SOF (C0-CF minus the
+                # non-SOF C4/C8/CC) — dimensions + component count live
+                # there; no entropy decode needed for the harvest
+                i = 2
+                while i + 4 <= len(b):
+                    if b[i] != 0xFF:
+                        break
+                    marker = b[i + 1]
+                    if marker in (0xD8, 0x01) or 0xD0 <= marker <= 0xD7:
+                        i += 2
+                        continue
+                    if marker == 0xD9:  # EOI before any SOF
+                        break
+                    (seg,) = struct.unpack(">H", b[i + 2 : i + 4])
+                    if (
+                        0xC0 <= marker <= 0xCF
+                        and marker not in (0xC4, 0xC8, 0xCC)
+                        and i + 9 <= len(b)
+                    ):
+                        h, w = struct.unpack(">HH", b[i + 5 : i + 9])
+                        return ("jpeg", w, h, None, int(b[i + 9]), None)
+                    i += 2 + seg
+            if len(b) >= 12 and b[4:8] == b"ftyp":
+                try:
+                    table = mp4_sample_table(b)
+                except ValueError:
+                    return ("mp4", None, None, None, None, None)
+                dur = int(table[-1][2]) if table else 0
+                return ("mp4", None, None, None, None, dur)
         except (struct.error, IndexError):
             pass
         return ("unknown", None, None, None, None, None)
