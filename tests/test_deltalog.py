@@ -568,3 +568,43 @@ def test_many_commit_partitioned_read_uses_single_scan(spark, tmp_path):
     # partition/stats filters compose with the join path
     only1 = read_delta(spark, tbl, partition_filters={"seg": ["1"]})
     assert {r.seg for r in only1.collect()} == {1}
+
+
+def test_incremental_changes_and_log_cleanup(spark, tmp_path):
+    from value_at_risk_spark.sources.deltalog import (
+        cleanup_delta_log,
+        optimize_delta,
+        read_delta_changes,
+    )
+
+    tbl = str(tmp_path / "incr")
+    mk = lambda lo: spark.range(lo, lo + 10).select(
+        F.col("id"), (F.col("id") * 2.0).alias("v")
+    )
+    write_delta(spark, mk(0), tbl)      # v0
+    write_delta(spark, mk(100), tbl)    # v1
+    write_delta(spark, mk(200), tbl)    # v2
+    # changes (0, 2] = the v1 + v2 appends only
+    got = {r.id for r in read_delta_changes(spark, tbl, 0).collect()}
+    assert got == set(range(100, 110)) | set(range(200, 210))
+    assert read_delta_changes(spark, tbl, 0, 1).count() == 10
+    assert read_delta_changes(spark, tbl, 2, 2).count() == 0
+    # OPTIMIZE commits are invisible to incremental consumers
+    v_opt = optimize_delta(spark, tbl, target_files=1)
+    assert read_delta_changes(spark, tbl, 2, v_opt).count() == 0
+    write_delta(spark, mk(300), tbl)
+    assert {
+        r.id for r in read_delta_changes(spark, tbl, v_opt).collect()
+    } == set(range(300, 310))
+    # a data-removing commit (overwrite) breaks the append-only contract
+    write_delta(spark, mk(900), tbl, mode="overwrite")
+    with pytest.raises(ValueError, match="removes data"):
+        read_delta_changes(spark, tbl, v_opt).count()
+
+    # log cleanup: checkpoint, then drop superseded commit JSONs
+    cp_v = checkpoint_delta(tbl)
+    deleted = cleanup_delta_log(tbl, keep_last=1)
+    assert deleted and max(deleted) < cp_v
+    assert read_delta(spark, tbl).count() == 10  # snapshot via checkpoint
+    with pytest.raises(ValueError, match="not in log"):
+        read_delta(spark, tbl, version=deleted[0])

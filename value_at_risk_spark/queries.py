@@ -14040,3 +14040,34 @@ def mp4_frame_extraction(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.sum("frame_size").alias("sampled_bytes"),
         F.max("ts_ms").alias("last_ts_ms"),
     )
+
+
+@query(
+    "delta_incremental_scan",
+    """
+SELECT c_mktsegment,
+       COUNT(*) AS n_customers,
+       ROUND(SUM(c_acctbal), 2) AS total_bal
+FROM customer WHERE c_custkey % 2 = 1 GROUP BY c_mktsegment
+""",
+)
+def delta_incremental_scan(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Incremental consumption of the native delta table,
+    ORACLE-pinned: read_delta_changes over (v0, v1] must surface
+    EXACTLY the rows the v1 append committed — the odd custkeys — and
+    nothing from v0 or the later OPTIMIZE (whose dataChange:false
+    commit is invisible to incremental consumers by design). This is
+    the nightly-pipeline read pattern at 100 TB: one bounded scan of
+    the new files, never a table rescan; the oracle recomputes the
+    append's defining predicate against the original parquet."""
+    from value_at_risk_spark.sources.deltalog import read_delta_changes
+
+    tbl = _delta_demo_table(spark, sf_dir)
+    return (
+        read_delta_changes(spark, tbl, from_version=0, to_version=1)
+        .groupBy("c_mktsegment")
+        .agg(
+            F.count(F.lit(1)).alias("n_customers"),
+            (F.round(F.sum("c_acctbal"), 2) + F.lit(0.0)).alias("total_bal"),
+        )
+    )

@@ -916,3 +916,92 @@ def restore_delta(spark: SparkSession, path: str, version: int) -> int:
         if _publish_commit(path, current.version + 1, actions):
             return current.version + 1
     raise RuntimeError(f"restore_delta: lost the commit race at {path}")
+
+
+def read_delta_changes(
+    spark: SparkSession,
+    path: str,
+    from_version: int,
+    to_version: int | None = None,
+) -> DataFrame:
+    """Incremental reads — the batch form of Delta's streaming source:
+    the rows ADDED by commits in (from_version, to_version] (add
+    actions with ``dataChange: true``; OPTIMIZE rewrites are invisible
+    by construction, exactly why they commit dataChange:false). This
+    is how a downstream pipeline consumes a 100 TB table nightly —
+    one bounded scan of the new files, never a rescan of the table.
+    Append-only contract: a commit that REMOVES data-changing files
+    (overwrite/restore) raises, because its delta cannot be expressed
+    as added rows (use snapshot reads across such boundaries)."""
+    versions = delta_versions(path)
+    if to_version is None:
+        to_version = versions[-1] if versions else from_version
+    snap = snapshot(path, to_version)  # schema/partition metadata
+    schema = snap.schema
+    new_files: list[str] = []
+    for v in versions:
+        if not (from_version < v <= to_version):
+            continue
+        with open(_commit_path(path, v)) as fh:
+            for line in fh:
+                if not line.strip():
+                    continue
+                a = json.loads(line)
+                if a.get("remove") and a["remove"].get("dataChange", True):
+                    raise ValueError(
+                        f"read_delta_changes: version {v} removes data "
+                        "(overwrite/restore) — not expressible as "
+                        "appended rows; read full snapshots across it"
+                    )
+                add = a.get("add")
+                if add and add.get("dataChange", True):
+                    new_files.append(os.path.join(path, unquote(add["path"])))
+    if not new_files:
+        return spark.createDataFrame([], schema)
+    if not snap.partition_columns:
+        return spark.read.schema(schema).parquet(*new_files)
+    # same per-root union as read_delta (changed files span few commits)
+    groups: dict[str, list[str]] = {}
+    for ap in new_files:
+        rel = os.path.relpath(ap, path).split(os.sep)
+        idx = next(
+            (i for i, seg in enumerate(rel[:-1]) if "=" in seg), len(rel) - 1
+        )
+        root = os.path.join(path, *rel[:idx]) if idx else path
+        groups.setdefault(root, []).append(ap)
+    parts = [
+        spark.read.schema(schema).option("basePath", root).parquet(*fs)
+        for root, fs in sorted(groups.items())
+    ]
+    out = parts[0]
+    for p in parts[1:]:
+        out = out.unionByName(p)
+    return out.select(*[f.name for f in schema.fields])
+
+
+def cleanup_delta_log(path: str, keep_last: int = 0) -> list[int]:
+    """Delete commit JSONs fully superseded by the newest checkpoint
+    (optionally keeping the trailing ``keep_last`` of them for
+    history) — the log-retention half of table maintenance, bounding
+    `_delta_log` listings on long-lived tables. Snapshot replay never
+    needs a deleted commit (it starts at the checkpoint); time travel
+    to a cleaned version subsequently raises not-in-log, and
+    delta_history loses those entries — Delta's own documented
+    logRetention trade-off. Returns the deleted versions."""
+    versions = delta_versions(path)
+    if not versions:
+        return []
+    cp = _latest_checkpoint(path, versions[-1])
+    if cp is None:
+        return []
+    cutoff = [v for v in versions if v <= cp]
+    if keep_last:
+        cutoff = cutoff[:-keep_last] if keep_last < len(cutoff) else []
+    deleted = []
+    for v in cutoff:
+        try:
+            os.unlink(_commit_path(path, v))
+            deleted.append(v)
+        except OSError:
+            continue
+    return deleted
