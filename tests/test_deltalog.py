@@ -608,3 +608,35 @@ def test_incremental_changes_and_log_cleanup(spark, tmp_path):
     assert read_delta(spark, tbl).count() == 10  # snapshot via checkpoint
     with pytest.raises(ValueError, match="not in log"):
         read_delta(spark, tbl, version=deleted[0])
+
+
+def test_sink_to_incremental_consumer_chain(spark, tmp_path):
+    """End-to-end incremental pipeline over the native log: an
+    exactly-once DeltaTxnSink produces versions, a downstream
+    consumer tracks its own offset (last seen version) and reads only
+    the delta with read_delta_changes — re-delivered batches commit
+    nothing, so the consumer sees each row exactly once."""
+    from value_at_risk_spark.sources.deltalog import read_delta_changes
+    from value_at_risk_spark.streaming.sinks import DeltaTxnSink
+
+    tbl = str(tmp_path / "chain")
+    sink = DeltaTxnSink(tbl, app_id="chain")
+    seen: set[int] = set()
+    offset = -1
+    for batch_id, lo in enumerate((0, 100, 100, 200)):  # 100 re-delivered
+        sink(
+            spark.range(lo, lo + 5).select(F.col("id")),
+            batch_id if lo != 100 or batch_id == 1 else 1,  # same batchId
+        )
+        tip = snapshot(tbl).version
+        if tip > offset:
+            new = {
+                r.id
+                for r in read_delta_changes(spark, tbl, offset, tip).collect()
+            }
+            assert not (new & seen), "duplicate delivery reached consumer"
+            seen |= new
+            offset = tip
+    assert seen == set(range(0, 5)) | set(range(100, 105)) | set(
+        range(200, 205)
+    )
