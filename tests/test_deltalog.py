@@ -640,3 +640,39 @@ def test_sink_to_incremental_consumer_chain(spark, tmp_path):
     assert seen == set(range(0, 5)) | set(range(100, 105)) | set(
         range(200, 205)
     )
+
+
+def test_registry_deltalog_roundtrip(spark, tmp_path):
+    """Registry.write(fmt='deltalog') / read: the table layer's
+    native-delta route — transactional overwrite + append through the
+    open-protocol log with zero extra dependencies, auto-detected on
+    read by the _delta_log dir even from a fresh Registry instance."""
+    from value_at_risk_spark.sources.registry import Registry
+
+    reg = Registry(str(tmp_path))
+    df = spark.createDataFrame(
+        [(1, "a", 1.5), (2, "b", 2.5)], "id long, s string, v double"
+    )
+    reg.write(df, "tbl", fmt="deltalog")
+    assert _rows(reg.read(spark, "tbl")) == _rows(df)
+    reg.write(
+        spark.createDataFrame([(3, "c", 3.5)], "id long, s string, v double"),
+        "tbl",
+        mode="append",
+        fmt="deltalog",
+    )
+    assert reg.read(spark, "tbl").count() == 3
+    assert delta_versions(reg.path("tbl")) == [0, 1]
+    # a FRESH registry (no format memory) still reads it as delta
+    fresh = Registry(str(tmp_path))
+    fresh.register("tbl", reg.path("tbl"))
+    assert fresh.read(spark, "tbl").count() == 3
+    # overwrite replaces transactionally; history remains
+    reg.write(
+        spark.createDataFrame([(9, "z", 9.0)], "id long, s string, v double"),
+        "tbl",
+        mode="overwrite",
+        fmt="deltalog",
+    )
+    assert _rows(reg.read(spark, "tbl")) == [(9, "z", 9.0)]
+    assert read_delta(spark, reg.path("tbl"), version=1).count() == 3

@@ -86,6 +86,21 @@ class Registry:
         # their own SparkSession without our session.py defaults.
         spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
         fmt = self._formats.get(name, "parquet")
+        path = self.path(name)
+        # auto-detect a native delta table by its transaction log so a
+        # fresh Registry over an existing base_dir reads it correctly
+        if fmt == "deltalog" or (
+            fmt == "parquet"
+            and os.path.isdir(os.path.join(path, "_delta_log"))
+        ):
+            from value_at_risk_spark.sources.deltalog import read_delta
+
+            df = read_delta(spark, path)
+            if name == "events" and dict(df.dtypes).get("ts") == "bigint":
+                df = df.withColumn(
+                    "ts", F.timestamp_micros(F.expr("ts div 1000"))
+                )
+            return df
         reader = spark.read.format(fmt)
         if merge_schema:
             reader = reader.option("mergeSchema", "true")
@@ -120,17 +135,18 @@ class Registry:
         tables: identical layout knobs, plus transactional overwrite
         and a MERGE target (operators/merge.merge_into_delta).
 
-        Without the bindings, ``sources/deltalog.py`` implements the
-        open Delta protocol natively (JSON commit log, atomic
-        hard-link publish, checkpoints, version time travel,
-        partitioned layout) — transactional append/overwrite + time
-        travel with zero extra dependencies; this gate stays for the
-        full delta-spark surface (MERGE, OPTIMIZE).
+        ``fmt="deltalog"`` routes through ``sources/deltalog.py`` —
+        the native open-protocol implementation (JSON commit log,
+        atomic hard-link publish, checkpoints, time travel,
+        incremental reads) — giving transactional append/overwrite
+        with ZERO extra dependencies; the ``delta`` gate stays for
+        the delta-spark binding surface.
         """
         if fmt == "delta" and not delta_available():
             raise RuntimeError(
                 "Registry.write(fmt='delta'): delta-spark is not "
-                "installed in this environment; use parquet"
+                "installed in this environment; use parquet or the "
+                "native fmt='deltalog'"
             )
         if sort_by:
             df = df.repartition(num_files or df.sparkSession.sparkContext.defaultParallelism, sort_by[0])
@@ -138,6 +154,27 @@ class Registry:
         elif num_files:
             df = df.repartition(num_files)
         self._formats[name] = fmt
+        if fmt == "deltalog":
+            import shutil
+
+            from value_at_risk_spark.sources.deltalog import write_delta
+
+            path = os.path.join(self.base_dir, name)
+            self._paths[name] = path
+            if mode == "overwrite" and not os.path.isdir(
+                os.path.join(path, "_delta_log")
+            ):
+                # a fresh table: clear any non-delta leftovers so v0
+                # creation is unambiguous
+                shutil.rmtree(path, ignore_errors=True)
+            write_delta(
+                df.sparkSession,
+                df,
+                path,
+                mode=mode if mode in ("append", "overwrite") else "append",
+                partition_by=partition_keys,
+            )
+            return
         writer = df.write.mode(mode).format(fmt)
         if partition_keys:
             writer = writer.partitionBy(*partition_keys)
