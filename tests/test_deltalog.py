@@ -676,3 +676,69 @@ def test_registry_deltalog_roundtrip(spark, tmp_path):
     )
     assert _rows(reg.read(spark, "tbl")) == [(9, "z", 9.0)]
     assert read_delta(spark, reg.path("tbl"), version=1).count() == 3
+
+
+def test_delta_log_model_based_random_walks(spark, tmp_path):
+    """Model-based check: random sequences of append / overwrite /
+    optimize / checkpoint / restore, replayed against a pure-Python
+    model of (version -> expected multiset of rows). After every op,
+    the latest snapshot AND a time-travel read of a random earlier
+    version must equal the model — the strongest single guard against
+    action-replay bugs (mis-ordered adds/removes, checkpoint drift,
+    restore re-reference errors). Seeded walks, deterministic."""
+    import random
+
+    from value_at_risk_spark.sources.deltalog import (
+        checkpoint_delta,
+        optimize_delta,
+        restore_delta,
+    )
+
+    for seed in (1, 7, 23):
+        rnd = random.Random(seed)
+        tbl = str(tmp_path / f"walk{seed}")
+        model: list[list[tuple]] = []  # model[v] = rows at version v
+        next_id = 0
+
+        def fresh_rows(k):
+            nonlocal next_id
+            rows = [(next_id + i, float(next_id + i) * 0.5) for i in range(k)]
+            next_id += k
+            return rows
+
+        def df_of(rows):
+            return spark.createDataFrame(rows, "id long, v double")
+
+        # v0
+        rows = fresh_rows(rnd.randint(1, 4))
+        write_delta(spark, df_of(rows), tbl)
+        model.append(sorted(rows))
+
+        for _step in range(8):
+            op = rnd.choice(
+                ["append", "append", "overwrite", "optimize",
+                 "checkpoint", "restore"]
+            )
+            if op == "append":
+                rows = fresh_rows(rnd.randint(1, 4))
+                write_delta(spark, df_of(rows), tbl)
+                model.append(sorted(model[-1] + rows))
+            elif op == "overwrite":
+                rows = fresh_rows(rnd.randint(1, 3))
+                write_delta(spark, df_of(rows), tbl, mode="overwrite")
+                model.append(sorted(rows))
+            elif op == "optimize":
+                optimize_delta(spark, tbl, target_files=2)
+                model.append(model[-1])  # content-invisible
+            elif op == "checkpoint":
+                checkpoint_delta(tbl)
+                continue  # no new version
+            else:
+                target = rnd.randrange(len(model))
+                restore_delta(spark, tbl, target)
+                model.append(model[target])
+            assert _rows(read_delta(spark, tbl)) == model[-1], (seed, _step, op)
+            probe = rnd.randrange(len(model))
+            assert _rows(read_delta(spark, tbl, version=probe)) == model[
+                probe
+            ], (seed, _step, "time-travel", probe)
