@@ -742,3 +742,139 @@ def test_delta_log_model_based_random_walks(spark, tmp_path):
             assert _rows(read_delta(spark, tbl, version=probe)) == model[
                 probe
             ], (seed, _step, "time-travel", probe)
+
+
+def test_checkpoint_anchors_version_after_full_cleanup(spark, tmp_path):
+    """ADVICE r10 (high): checkpoint at the tip + cleanup_delta_log
+    (keep_last=0) removes every commit JSON <= the checkpoint — the
+    natural checkpoint-then-clean maintenance sequence. The table must
+    stay readable from the checkpoint alone (real Delta bootstraps a
+    snapshot from a checkpoint with no JSON commits), the next write
+    must continue the version sequence, and the txn dedup state must
+    survive (it rides in the checkpoint)."""
+    from value_at_risk_spark.sources.deltalog import (
+        cleanup_delta_log,
+        read_delta_changes,
+    )
+
+    tbl = str(tmp_path / "anchor")
+    mk = lambda lo: spark.range(lo, lo + 4).select(
+        F.col("id"), (F.col("id") * 1.5).alias("v")
+    )
+    write_delta(spark, mk(0), tbl)    # v0
+    write_delta(spark, mk(10), tbl)   # v1
+    write_delta(
+        spark, mk(20), tbl, txn={"appId": "app", "version": 7}
+    )                                  # v2
+    cp = checkpoint_delta(tbl)         # checkpoint AT the tip
+    assert cp == 2
+    deleted = cleanup_delta_log(tbl)   # keep_last=0: drops v0..v2 JSONs
+    assert deleted == [0, 1, 2]
+
+    # the checkpoint anchors its version: still a table, still readable
+    assert delta_versions(tbl) == [2]
+    snap = snapshot(tbl)
+    assert snap.version == 2
+    assert snap.txns == {"app": 7}     # exactly-once state survives
+    assert read_delta(spark, tbl).count() == 12
+    assert delta_history(tbl) == []    # commitInfo gone — documented
+
+    # writes continue the sequence from the anchor
+    assert write_delta(spark, mk(30), tbl) == 3
+    assert delta_versions(tbl) == [2, 3]
+    assert read_delta(spark, tbl).count() == 16
+    assert _rows(read_delta(spark, tbl, version=2)) == _rows(
+        mk(0).unionByName(mk(10)).unionByName(mk(20))
+    )
+
+    # incremental reads across the cleaned range fail LOUDLY
+    with pytest.raises(ValueError, match="cleaned"):
+        read_delta_changes(spark, tbl, 0, 3).count()
+    # ...but from the anchor forward they work
+    assert {
+        r.id for r in read_delta_changes(spark, tbl, 2, 3).collect()
+    } == set(range(30, 34))
+
+
+def test_cleaned_gap_below_checkpoint_raises_not_silently_replays(
+    spark, tmp_path
+):
+    """Time travel to a kept-tail JSON version whose predecessor
+    commits were cleaned and which no checkpoint covers must raise —
+    replaying only the surviving commits would silently produce a
+    WRONG partial snapshot."""
+    from value_at_risk_spark.sources.deltalog import cleanup_delta_log
+
+    tbl = str(tmp_path / "gap")
+    for lo in (0, 10, 20, 30):
+        write_delta(
+            spark,
+            spark.range(lo, lo + 2).select("id"),
+            tbl,
+        )                                   # v0..v3
+    assert checkpoint_delta(tbl) == 3
+    # keep the two newest JSONs (v2, v3); clean v0, v1
+    assert cleanup_delta_log(tbl, keep_last=2) == [0, 1]
+    assert delta_versions(tbl) == [2, 3]
+    # v3: covered by the checkpoint — fine
+    assert read_delta(spark, tbl, version=3).count() == 8
+    # v2: replay needs v0..v2 but v0/v1 are gone and the only
+    # checkpoint is at 3 — must be loud, not a 2-row "snapshot"
+    with pytest.raises(ValueError, match="not replayable"):
+        read_delta(spark, tbl, version=2)
+
+
+def test_broadcast_partition_map_built_from_pruned_active_set(
+    spark, tmp_path
+):
+    """ADVICE r10 (medium): on the >16-commit broadcast-join read
+    path, the basename->partitionValues map must come from the SAME
+    pruned file set the scan reads. A foreign table can hold two
+    files sharing a basename; when pruning removes one, the surviving
+    file must not be joined against BOTH partition rows (row
+    duplication)."""
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    from value_at_risk_spark.sources.deltalog import _publish_commit
+
+    tbl = str(tmp_path / "foreign")
+    # 17 normal single-row commits -> >16 partition roots, so the
+    # scale (broadcast-join) path triggers
+    for k in range(17):
+        write_delta(
+            spark,
+            spark.createDataFrame([(k, k * 1.0)], "k int, v double"),
+            tbl,
+            partition_by=["k"],
+        )
+    # a foreign 18th commit: two files with the SAME basename in
+    # different partition dirs (legal for a non-Spark writer)
+    rows_written = []
+    for part, sub in ((100, "xa"), (101, "xb")):
+        d = os.path.join(tbl, sub, f"k={part}")
+        os.makedirs(d)
+        f = os.path.join(d, "dup-000.parquet")
+        pq.write_table(pa.table({"v": pa.array([float(part)])}), f)
+        rows_written.append(
+            {
+                "add": {
+                    "path": f"{sub}/k={part}/dup-000.parquet",
+                    "partitionValues": {"k": str(part)},
+                    "size": os.path.getsize(f),
+                    "modificationTime": 0,
+                    "dataChange": True,
+                }
+            }
+        )
+    assert _publish_commit(tbl, 17, rows_written)
+
+    # prune k=101: its dup-basename twin leaves the active set, so the
+    # uniqueness guard passes and the broadcast path runs. The k=100
+    # row must appear exactly ONCE with its own partition value.
+    keep = [str(k) for k in range(17)] + ["100"]
+    got = read_delta(spark, tbl, partition_filters={"k": keep})
+    rows = got.collect()
+    assert len(rows) == 18
+    assert sorted(r.k for r in rows) == sorted(list(range(17)) + [100])
+    assert [r.v for r in rows if r.k == 100] == [100.0]

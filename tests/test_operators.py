@@ -3839,3 +3839,66 @@ def test_media_headers_jpeg_and_mp4(spark):
     assert got[2].format == "mp4"
     assert got[2].duration_ms == 750  # last frame ts at 4 fps, 4 frames
     assert got[3].format == "unknown"
+
+
+def test_media_header_guards_for_malformed_mp4_and_truncated_jpeg(spark):
+    """ADVICE r10 (low x2): a video trak missing mdhd/minf/stbl must
+    raise mp4_sample_table's documented ValueError (not a TypeError
+    that escapes parse_media_headers' except and fails the whole
+    job), and the JPEG SOF reader's bounds guard must cover every
+    byte it reads (b[i+5:i+9] AND b[i+9] need i+10 <= len)."""
+    import struct
+
+    import pytest as _pytest
+
+    from value_at_risk_spark.operators.multimodal import (
+        _box,
+        mp4_sample_table,
+        parse_media_headers,
+    )
+
+    hdlr = _box(b"hdlr", b"\x00" * 8 + b"vide" + b"\x00" * 12)
+    no_mdhd = _box(b"ftyp", b"isom\x00\x00\x00\x00isom") + _box(
+        b"moov", _box(b"trak", _box(b"mdia", hdlr))
+    )
+    with _pytest.raises(ValueError, match="mdhd"):
+        mp4_sample_table(no_mdhd)
+
+    # a JPEG truncated exactly after height/width (no component byte)
+    sof_payload = struct.pack(">HBHH", 7, 8, 12, 34)  # len prec h w
+    trunc_jpeg = b"\xff\xd8\xff\xc0" + sof_payload
+    full_jpeg = trunc_jpeg + b"\x03"  # 3 components
+
+    media = spark.createDataFrame(
+        [
+            (1, bytearray(no_mdhd)),
+            (2, bytearray(trunc_jpeg)),
+            (3, bytearray(full_jpeg)),
+        ],
+        "media_id long, payload_bytes binary",
+    )
+    got = {r.media_id: r for r in parse_media_headers(media).collect()}
+    # the malformed mp4 degrades to a (mp4, NULL...) row — the batch
+    # and the other rows still succeed
+    assert got[1].format == "mp4" and got[1].duration_ms is None
+    assert got[2].format == "unknown"
+    assert (got[3].format, got[3].width, got[3].height, got[3].channels) == (
+        "jpeg", 34, 12, 3,
+    )
+
+
+def test_registry_deltalog_rejects_unsupported_modes(spark, tmp_path):
+    """ADVICE r10 (low): Registry.write(fmt='deltalog') must not
+    coerce mode='error'/'ignore' into a silent transactional append."""
+    import pytest as _pytest
+
+    from value_at_risk_spark.sources.registry import Registry
+
+    reg = Registry(str(tmp_path))
+    df = spark.createDataFrame([(1,)], "id long")
+    reg.write(df, "t", fmt="deltalog")
+    for bad in ("error", "errorifexists", "ignore"):
+        with _pytest.raises(ValueError, match="deltalog"):
+            reg.write(df, "t", mode=bad, fmt="deltalog")
+    # the table is untouched by the rejected writes
+    assert reg.read(spark, "t").count() == 1

@@ -533,7 +533,7 @@ def parse_media_headers(
                     if (
                         0xC0 <= marker <= 0xCF
                         and marker not in (0xC4, 0xC8, 0xCC)
-                        and i + 9 <= len(b)
+                        and i + 10 <= len(b)  # reads b[i+5:i+9] AND b[i+9]
                     ):
                         h, w = struct.unpack(">HH", b[i + 5 : i + 9])
                         return ("jpeg", w, h, None, int(b[i + 9]), None)
@@ -796,12 +796,18 @@ def mp4_sample_table(payload: bytes) -> list[tuple[int, int, float]]:
         if hdlr is None or payload[hdlr[0] + 8 : hdlr[0] + 12] != b"vide":
             continue
         mdhd = _find_box(payload, *mdia, b"mdhd")
+        if mdhd is None:
+            raise ValueError("mp4: video trak missing mdhd")
         version = payload[mdhd[0]]
         timescale = struct.unpack_from(
             ">I", payload, mdhd[0] + (20 if version == 1 else 12)
         )[0]
         minf = _find_box(payload, *mdia, b"minf")
+        if minf is None:
+            raise ValueError("mp4: video trak missing minf")
         stbl = _find_box(payload, *minf, b"stbl")
+        if stbl is None:
+            raise ValueError("mp4: video trak missing stbl")
 
         def full(typ: bytes, required: bool = True):
             b = _find_box(payload, *stbl, typ)

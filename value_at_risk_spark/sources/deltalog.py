@@ -71,8 +71,8 @@ def _checkpoint_path(path: str, version: int) -> str:
     return os.path.join(_log_dir(path), f"{version:020d}.checkpoint.parquet")
 
 
-def delta_versions(path: str) -> list[int]:
-    """Committed versions, ascending. Empty list = not a delta table."""
+def _json_versions(path: str) -> list[int]:
+    """Versions with a commit JSON present, ascending."""
     try:
         names = os.listdir(_log_dir(path))
     except OSError:
@@ -83,6 +83,29 @@ def delta_versions(path: str) -> list[int]:
         if ext == ".json" and len(stem) == 20 and stem.isdigit():
             out.append(int(stem))
     return sorted(out)
+
+
+def _checkpoint_versions(path: str) -> list[int]:
+    """Versions with a checkpoint parquet present, ascending."""
+    try:
+        names = os.listdir(_log_dir(path))
+    except OSError:
+        return []
+    out = []
+    for n in names:
+        if n.endswith(".checkpoint.parquet"):
+            stem = n[: -len(".checkpoint.parquet")]
+            if len(stem) == 20 and stem.isdigit():
+                out.append(int(stem))
+    return sorted(out)
+
+
+def delta_versions(path: str) -> list[int]:
+    """Addressable versions, ascending: commit JSONs plus checkpoint
+    anchors (a checkpoint alone bootstraps its version even after
+    ``cleanup_delta_log`` removed the superseded JSONs — real Delta's
+    behavior). Empty list = not a delta table."""
+    return sorted(set(_json_versions(path)) | set(_checkpoint_versions(path)))
 
 
 @dataclass
@@ -141,9 +164,13 @@ def _apply_actions(snap: DeltaSnapshot, actions) -> None:
 def snapshot(path: str, version: int | None = None) -> DeltaSnapshot:
     """Reconstruct table state at ``version`` (default: latest) by
     replaying the newest checkpoint at-or-below it plus the JSON
-    commits after it. Raises FileNotFoundError for a non-table and
-    ValueError for a version that was never committed."""
-    versions = delta_versions(path)
+    commits after it. A checkpoint alone anchors its version (commit
+    JSONs at or below it may have been removed by
+    ``cleanup_delta_log``). Raises FileNotFoundError for a non-table,
+    ValueError for a version that was never committed or whose replay
+    chain was cleaned away."""
+    jsons = set(_json_versions(path))
+    versions = sorted(jsons | set(_checkpoint_versions(path)))
     if not versions:
         raise FileNotFoundError(f"not a delta table (no {_LOG}): {path}")
     if version is None:
@@ -172,12 +199,19 @@ def snapshot(path: str, version: int | None = None) -> DeltaSnapshot:
                 row = {**row, "add": add}
             _apply_actions(snap, [row])
         start = cp + 1
-    for v in versions:
-        if start <= v <= version:
-            with open(_commit_path(path, v)) as fh:
-                _apply_actions(
-                    snap, (json.loads(line) for line in fh if line.strip())
-                )
+    # versions are contiguous integers by construction (each commit is
+    # tip+1), so replay the exact range and fail LOUDLY on a gap — a
+    # cleaned commit must never silently drop actions from the replay
+    for v in range(start, version + 1):
+        if v not in jsons:
+            raise ValueError(
+                f"delta version {version} not replayable at {path}: "
+                f"commit {v} was cleaned and no checkpoint covers it"
+            )
+        with open(_commit_path(path, v)) as fh:
+            _apply_actions(
+                snap, (json.loads(line) for line in fh if line.strip())
+            )
     rv = int(snap.protocol.get("minReaderVersion", 1) or 1)
     if rv > 2:
         raise NotImplementedError(
@@ -312,8 +346,12 @@ def read_delta(
     data_schema = StructType(
         [f for f in schema.fields if f.name not in part_set]
     )
+    # build the map from the SAME pruned `active` set the scan reads —
+    # the basename-uniqueness guard above checked `active`, so rows
+    # from pruned-away files (which could share a basename on a
+    # foreign table) must not reach the join map
     rows = []
-    for p in sorted(snap.files):
+    for p in active:
         pv = snap.files[p].get("partitionValues") or {}
         if not isinstance(pv, dict):
             pv = dict(pv)
@@ -720,9 +758,12 @@ def checkpoint_delta(path: str, version: int | None = None) -> int:
 
 def delta_history(path: str) -> list[dict]:
     """commitInfo per version, ascending — the DESCRIBE HISTORY
-    surface (version, timestamp, operation)."""
+    surface (version, timestamp, operation). Versions whose commit
+    JSON was removed by ``cleanup_delta_log`` (checkpoint-only
+    anchors) have no commitInfo to report and are skipped — Delta's
+    own documented logRetention trade-off."""
     out = []
-    for v in delta_versions(path):
+    for v in _json_versions(path):
         info = {}
         with open(_commit_path(path, v)) as fh:
             for line in fh:
@@ -938,10 +979,19 @@ def read_delta_changes(
         to_version = versions[-1] if versions else from_version
     snap = snapshot(path, to_version)  # schema/partition metadata
     schema = snap.schema
+    jsons = set(_json_versions(path))
     new_files: list[str] = []
     for v in versions:
         if not (from_version < v <= to_version):
             continue
+        if v not in jsons:
+            # checkpoint-only anchor: the per-commit change record was
+            # removed by cleanup_delta_log — the delta is unknowable
+            raise ValueError(
+                f"read_delta_changes: commit {v} was cleaned from the "
+                "log; its changes are no longer recoverable (start "
+                "from a snapshot instead)"
+            )
         with open(_commit_path(path, v)) as fh:
             for line in fh:
                 if not line.strip():
@@ -994,7 +1044,9 @@ def cleanup_delta_log(path: str, keep_last: int = 0) -> list[int]:
     cp = _latest_checkpoint(path, versions[-1])
     if cp is None:
         return []
-    cutoff = [v for v in versions if v <= cp]
+    # only commit JSONs are deletable; the checkpoint itself anchors
+    # its version for snapshot()/delta_versions() afterwards
+    cutoff = [v for v in _json_versions(path) if v <= cp]
     if keep_last:
         cutoff = cutoff[:-keep_last] if keep_last < len(cutoff) else []
     deleted = []

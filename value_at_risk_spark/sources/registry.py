@@ -167,11 +167,19 @@ class Registry:
                 # a fresh table: clear any non-delta leftovers so v0
                 # creation is unambiguous
                 shutil.rmtree(path, ignore_errors=True)
+            if mode not in ("append", "overwrite"):
+                # mirror write_delta's own validation — silently
+                # appending under mode='error'/'ignore' would violate
+                # the caller's existence contract
+                raise ValueError(
+                    "Registry.write(fmt='deltalog') supports mode="
+                    f"append|overwrite, got {mode!r}"
+                )
             write_delta(
                 df.sparkSession,
                 df,
                 path,
-                mode=mode if mode in ("append", "overwrite") else "append",
+                mode=mode,
                 partition_by=partition_keys,
             )
             return
