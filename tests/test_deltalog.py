@@ -878,3 +878,129 @@ def test_broadcast_partition_map_built_from_pruned_active_set(
     assert len(rows) == 18
     assert sorted(r.k for r in rows) == sorted(list(range(17)) + [100])
     assert [r.v for r in rows if r.k == 100] == [100.0]
+
+
+def test_delete_from_delta_file_level_copy_on_write(spark, tmp_path):
+    """DELETE rewrites ONLY files holding matching rows: untouched
+    files keep their add actions verbatim (same relative path — the
+    100 TB contract: a 0.1%-selective DELETE rewrites 0.1% of the
+    table), SQL NULL semantics keep NULL-condition rows, time travel
+    preserves the pre-delete snapshot, and a no-match DELETE commits
+    nothing."""
+    from value_at_risk_spark.sources.deltalog import delete_from_delta
+
+    tbl = str(tmp_path / "del")
+    # two commits, clearly separated key ranges -> per-file stats make
+    # the untouched set knowable
+    a = spark.createDataFrame(
+        [(i, float(i)) for i in range(10)] + [(None, 99.0)],
+        "id long, v double",
+    ).coalesce(1)
+    b = spark.createDataFrame(
+        [(i, float(i)) for i in range(100, 110)], "id long, v double"
+    ).coalesce(1)
+    write_delta(spark, a, tbl)   # v0: ids 0..9 + NULL
+    write_delta(spark, b, tbl)   # v1: ids 100..109
+    files_before = dict(snapshot(tbl).files)
+
+    res = delete_from_delta(spark, tbl, "id >= 100 AND id < 105")
+    assert res["rows_deleted"] == 5 and res["files_rewritten"] == 1
+    after = snapshot(tbl)
+    # the v0 file is byte-identical state: same add path survives
+    untouched = [p for p in files_before if p in after.files]
+    assert len(untouched) == 1
+    got = read_delta(spark, tbl)
+    assert got.count() == 11 + 5  # NULL row kept (condition NULL -> keep)
+    assert got.filter("id >= 100 AND id < 105").count() == 0
+    assert got.filter("id IS NULL").count() == 1
+    # time travel: pre-delete state intact
+    assert read_delta(spark, tbl, version=1).count() == 21
+    # no-match: zero commits
+    v = snapshot(tbl).version
+    res2 = delete_from_delta(spark, tbl, "id = -42")
+    assert res2["rows_deleted"] == 0 and snapshot(tbl).version == v
+
+
+def test_update_delta_casts_and_moves_partitions(spark, tmp_path):
+    """UPDATE rewrites only touched files, casts SET expressions back
+    to the table schema, and an update of a PARTITION column restages
+    moved rows under their new Hive directories (readable via
+    partition_filters)."""
+    from value_at_risk_spark.sources.deltalog import update_delta
+
+    tbl = str(tmp_path / "upd")
+    df = spark.createDataFrame(
+        [(i, i % 3, float(i)) for i in range(30)],
+        "id long, seg int, v double",
+    )
+    write_delta(spark, df, tbl, partition_by=["seg"])
+
+    res = update_delta(spark, tbl, "id < 10", {"v": "v + 0.25"})
+    assert res["rows_updated"] == 10
+    got = {r.id: r.v for r in read_delta(spark, tbl).collect()}
+    assert all(
+        got[i] == (i + 0.25 if i < 10 else float(i)) for i in range(30)
+    )
+    # schema stays the declared one (cast back to double)
+    assert dict(read_delta(spark, tbl).dtypes)["v"] == "double"
+
+    # partition-column update: rows move across partition dirs
+    res2 = update_delta(spark, tbl, "seg = 2", {"seg": "7"})
+    assert res2["rows_updated"] == 10
+    moved = read_delta(spark, tbl, partition_filters={"seg": ["7"]})
+    assert moved.count() == 10
+    assert read_delta(
+        spark, tbl, partition_filters={"seg": ["2"]}
+    ).count() == 0
+    # unknown SET column is loud
+    with pytest.raises(ValueError, match="unknown columns"):
+        update_delta(spark, tbl, "id = 0", {"nope": "1"})
+
+
+def test_dml_conflict_pins_to_read_version(spark, tmp_path):
+    """A commit landing between DML identification and publish must
+    not be clobbered: the rewrite pins to the read version, loses the
+    race, re-identifies, and the concurrent append's rows survive the
+    retried DELETE iff they don't match the predicate."""
+    from value_at_risk_spark.sources import deltalog
+    from value_at_risk_spark.sources.deltalog import delete_from_delta
+
+    tbl = str(tmp_path / "race")
+    write_delta(
+        spark,
+        spark.createDataFrame(
+            [(i, float(i)) for i in range(10)], "id long, v double"
+        ),
+        tbl,
+    )
+
+    real_publish = deltalog._publish_commit
+    fired = {"n": 0}
+
+    def racing_publish(path, version, actions):
+        # first DML publish attempt: sneak a concurrent append in
+        # first, stealing the version
+        if fired["n"] == 0 and any(
+            a.get("commitInfo", {}).get("operation") == "DELETE"
+            for a in actions
+        ):
+            fired["n"] = 1
+            write_delta(
+                spark,
+                spark.createDataFrame(
+                    [(1000, 1.0), (5, -5.0)], "id long, v double"
+                ),
+                tbl,
+            )
+        return real_publish(path, version, actions)
+
+    deltalog._publish_commit = racing_publish
+    try:
+        res = delete_from_delta(spark, tbl, "id >= 5 AND id < 10")
+    finally:
+        deltalog._publish_commit = real_publish
+    # re-identification saw the racing append: its id=5 row matches
+    # the predicate and is deleted too; id=1000 survives
+    assert res["rows_deleted"] == 6
+    ids = sorted(r.id for r in read_delta(spark, tbl).collect())
+    assert ids == [0, 1, 2, 3, 4, 1000]

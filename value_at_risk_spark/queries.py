@@ -14071,3 +14071,123 @@ def delta_incremental_scan(spark: SparkSession, sf_dir: str) -> DataFrame:
             (F.round(F.sum("c_acctbal"), 2) + F.lit(0.0)).alias("total_bal"),
         )
     )
+
+
+_DELTA_DML_SCRATCH: dict[str, str] = {}
+
+
+def _delta_dml_table(spark: SparkSession, sf_dir: str) -> str:
+    """Session-scoped native Delta table exercising the DML surface,
+    built deterministically from the orders fixture: v0 = even
+    orderkeys (partitioned by o_orderstatus), v1 = append odd, v2 =
+    DELETE WHERE o_totalprice < 50000 (file-level copy-on-write), v3 =
+    UPDATE o_totalprice *= 2 WHERE o_orderpriority = '1-URGENT'. Both
+    mutations are pure functions of the fixture, so DuckDB can
+    recompute the final state from the original parquet. Cached per
+    (process, sf_dir); same scratch + atexit pattern as
+    _delta_demo_table."""
+    if sf_dir in _DELTA_DML_SCRATCH:
+        return _DELTA_DML_SCRATCH[sf_dir]
+    import atexit
+    import shutil
+    import tempfile
+
+    from value_at_risk_spark.sources.deltalog import (
+        delete_from_delta,
+        update_delta,
+        write_delta,
+    )
+
+    tbl = tempfile.mkdtemp(prefix="vars_delta_dml_")
+    shutil.rmtree(tbl, ignore_errors=True)
+    atexit.register(shutil.rmtree, tbl, ignore_errors=True)
+    orders = _t(spark, sf_dir, "orders").select(
+        "o_orderkey", "o_orderstatus", "o_orderpriority", "o_totalprice"
+    )
+    write_delta(
+        spark,
+        orders.filter(F.col("o_orderkey") % 2 == 0),
+        tbl,
+        partition_by=["o_orderstatus"],
+    )
+    write_delta(spark, orders.filter(F.col("o_orderkey") % 2 == 1), tbl)
+    delete_from_delta(spark, tbl, "o_totalprice < 50000.0")
+    # *2 is exact in binary floating point — no cross-engine rounding
+    # grid to manage on the product itself
+    update_delta(
+        spark,
+        tbl,
+        "o_orderpriority = '1-URGENT'",
+        {"o_totalprice": "o_totalprice * 2"},
+    )
+    _DELTA_DML_SCRATCH[sf_dir] = tbl
+    return tbl
+
+
+@query(
+    "delta_delete_update_scan",
+    """
+SELECT o_orderpriority,
+       COUNT(*) AS n_orders,
+       ROUND(SUM(CASE WHEN o_orderpriority = '1-URGENT'
+                      THEN o_totalprice * 2
+                      ELSE o_totalprice END), 2) AS total_price
+FROM orders
+WHERE NOT (o_totalprice < 50000.0)
+GROUP BY o_orderpriority
+""",
+)
+def delta_delete_update_scan(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """DELETE + UPDATE on the native delta log, ORACLE-pinned: after a
+    file-level copy-on-write DELETE (o_totalprice < 50000) and UPDATE
+    (urgent orders' price doubled), the table must equal DuckDB's
+    recomputation of both mutations from the original parquet — hash
+    equality proves touched-file identification dropped/retained
+    exactly the right rows, untouched files passed through verbatim,
+    and the partition layout survived the rewrites
+    (sources/deltalog.delete_from_delta / update_delta)."""
+    from value_at_risk_spark.sources.deltalog import read_delta
+
+    tbl = _delta_dml_table(spark, sf_dir)
+    return (
+        read_delta(spark, tbl)
+        .groupBy("o_orderpriority")
+        .agg(
+            F.count(F.lit(1)).alias("n_orders"),
+            (F.round(F.sum("o_totalprice"), 2) + F.lit(0.0)).alias(
+                "total_price"
+            ),
+        )
+    )
+
+
+@query(
+    "delta_dml_time_travel",
+    """
+SELECT o_orderstatus,
+       COUNT(*) AS n_orders,
+       ROUND(SUM(o_totalprice), 2) AS total_price
+FROM orders
+GROUP BY o_orderstatus
+""",
+)
+def delta_dml_time_travel(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Time travel across DML commits, ORACLE-pinned: version 1 (the
+    last pre-DELETE append) must reconstruct the COMPLETE original
+    order set even though two copy-on-write rewrites landed after it —
+    the DELETE/UPDATE commits remove+re-add files but never touch
+    history, so the v1 snapshot still references every original file
+    (sources/deltalog.snapshot version replay)."""
+    from value_at_risk_spark.sources.deltalog import read_delta
+
+    tbl = _delta_dml_table(spark, sf_dir)
+    return (
+        read_delta(spark, tbl, version=1)
+        .groupBy("o_orderstatus")
+        .agg(
+            F.count(F.lit(1)).alias("n_orders"),
+            (F.round(F.sum("o_totalprice"), 2) + F.lit(0.0)).alias(
+                "total_price"
+            ),
+        )
+    )

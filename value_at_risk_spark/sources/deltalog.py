@@ -223,33 +223,15 @@ def snapshot(path: str, version: int | None = None) -> DeltaSnapshot:
     return snap
 
 
-def read_delta(
-    spark: SparkSession,
-    path: str,
-    version: int | None = None,
+def _pruned_active(
+    snap: DeltaSnapshot,
     partition_filters: dict[str, list[str]] | None = None,
     stats_filters: list[tuple] | None = None,
-) -> DataFrame:
-    """Snapshot-consistent DataFrame over the active file set — a
-    plain distributed parquet scan (predicate pushdown, column
-    pruning, and partition-dir pruning all intact). Partition column
-    values come from the Hive-style directory layout, TYPED by the
-    table schema rather than re-inferred.
-
-    ``partition_filters``: {col: allowed string values} pruned against
-    ``add.partitionValues`` at the LOG level — files of excluded
-    partitions never even reach the scan plan (Delta's metadata-layer
-    file skipping; a null partition matches the value None).
-
-    ``stats_filters``: [(col, op, value)] with op in
-    {'=', '<', '<=', '>', '>='} pruned against each add's footer
-    stats (minValues/maxValues) — a file is dropped only when its
-    stats PROVE no row can match; files without stats are kept. This
-    prunes FILES, not rows: the caller still applies the actual row
-    predicate (same contract as Delta's own data skipping, where the
-    engine does both)."""
-    snap = snapshot(path, version)
-    schema = snap.schema
+) -> list[str]:
+    """The snapshot's active file list (sorted) after metadata-layer
+    pruning — partition_filters against ``add.partitionValues`` and
+    stats_filters against per-file footer stats. Shared by read_delta
+    and the copy-on-write DML (DELETE/UPDATE candidate selection)."""
     active = sorted(snap.files)
     if partition_filters:
         unknown = set(partition_filters) - set(snap.partition_columns)
@@ -301,6 +283,37 @@ def read_delta(
             return True
 
         active = [p for p in active if _may_match(p)]
+    return active
+
+
+def read_delta(
+    spark: SparkSession,
+    path: str,
+    version: int | None = None,
+    partition_filters: dict[str, list[str]] | None = None,
+    stats_filters: list[tuple] | None = None,
+) -> DataFrame:
+    """Snapshot-consistent DataFrame over the active file set — a
+    plain distributed parquet scan (predicate pushdown, column
+    pruning, and partition-dir pruning all intact). Partition column
+    values come from the Hive-style directory layout, TYPED by the
+    table schema rather than re-inferred.
+
+    ``partition_filters``: {col: allowed string values} pruned against
+    ``add.partitionValues`` at the LOG level — files of excluded
+    partitions never even reach the scan plan (Delta's metadata-layer
+    file skipping; a null partition matches the value None).
+
+    ``stats_filters``: [(col, op, value)] with op in
+    {'=', '<', '<=', '>', '>='} pruned against each add's footer
+    stats (minValues/maxValues) — a file is dropped only when its
+    stats PROVE no row can match; files without stats are kept. This
+    prunes FILES, not rows: the caller still applies the actual row
+    predicate (same contract as Delta's own data skipping, where the
+    engine does both)."""
+    snap = snapshot(path, version)
+    schema = snap.schema
+    active = _pruned_active(snap, partition_filters, stats_filters)
     files = [os.path.join(path, unquote(p)) for p in active]
     if not files:
         return spark.createDataFrame([], schema)
@@ -314,27 +327,13 @@ def read_delta(
     # the union stays a small plan while each branch keeps full
     # partition-dir pruning. Types come from the declared schema, not
     # re-inference.
-    groups: dict[str, list[str]] = {}
-    for ap in files:
-        rel = os.path.relpath(ap, path).split(os.sep)
-        idx = next(
-            (i for i, seg in enumerate(rel[:-1]) if "=" in seg), len(rel) - 1
-        )
-        root = os.path.join(path, *rel[:idx]) if idx else path
-        groups.setdefault(root, []).append(ap)
+    groups = _group_by_partition_root(path, files)
     basenames = [os.path.basename(f) for f in files]
     if len(groups) <= 16 or len(set(basenames)) != len(basenames):
         # few commits (or a foreign table with colliding file names —
         # the join path below keys on basenames): per-root basePath
         # scans unioned, keeping native partition-dir pruning
-        parts = [
-            spark.read.schema(schema).option("basePath", root).parquet(*fs)
-            for root, fs in sorted(groups.items())
-        ]
-        out = parts[0]
-        for p in parts[1:]:
-            out = out.unionByName(p)
-        return out.select(*[f.name for f in schema.fields])
+        return _union_scan(spark, schema, groups)
     # many commits: the union's plan branches grow with commit count.
     # Scale path (delta-spark's FileIndex idea, log-authoritative):
     # ONE scan of the data files + a broadcast (file basename ->
@@ -378,6 +377,59 @@ def read_delta(
     for c in snap.partition_columns:
         out = out.withColumn(c, F.col(f"_pv_{c}").cast(schema[c].dataType))
     return out.select(*[f.name for f in schema.fields])
+
+
+def _union_scan(
+    spark: SparkSession, schema: StructType, groups: dict[str, list[str]]
+) -> DataFrame:
+    """Per-partition-root basePath scans unioned — each branch keeps
+    native partition-dir recovery typed by the declared schema."""
+    parts = [
+        spark.read.schema(schema).option("basePath", root).parquet(*fs)
+        for root, fs in sorted(groups.items())
+    ]
+    out = parts[0]
+    for p in parts[1:]:
+        out = out.unionByName(p)
+    return out.select(*[f.name for f in schema.fields])
+
+
+def _group_by_partition_root(
+    path: str, files: list[str]
+) -> dict[str, list[str]]:
+    """Group absolute file paths by their partition root (the path up
+    to the first ``k=v`` segment) — the basePath each group scans
+    under. Group count is bounded by COMMITS (each commit stages under
+    one subdir), not by files or partitions."""
+    groups: dict[str, list[str]] = {}
+    for ap in files:
+        rel = os.path.relpath(ap, path).split(os.sep)
+        idx = next(
+            (i for i, seg in enumerate(rel[:-1]) if "=" in seg), len(rel) - 1
+        )
+        root = os.path.join(path, *rel[:idx]) if idx else path
+        groups.setdefault(root, []).append(ap)
+    return groups
+
+
+def _scan_files(
+    spark: SparkSession,
+    path: str,
+    snap: DeltaSnapshot,
+    rel_paths: list[str],
+) -> DataFrame:
+    """Full-schema scan over an explicit subset of a snapshot's files
+    (partition columns recovered from the Hive layout, typed by the
+    table schema). The DML identification/rewrite scans ride on this —
+    ``F.input_file_name()`` stays resolvable because no shuffle sits
+    between the scan and the caller's first aggregation."""
+    schema = snap.schema
+    files = [os.path.join(path, unquote(p)) for p in rel_paths]
+    if not files:
+        return spark.createDataFrame([], schema)
+    if not snap.partition_columns:
+        return spark.read.schema(schema).parquet(*files)
+    return _union_scan(spark, schema, _group_by_partition_root(path, files))
 
 
 def _parse_partition_values(rel_path: str) -> dict:
@@ -1011,22 +1063,9 @@ def read_delta_changes(
     if not snap.partition_columns:
         return spark.read.schema(schema).parquet(*new_files)
     # same per-root union as read_delta (changed files span few commits)
-    groups: dict[str, list[str]] = {}
-    for ap in new_files:
-        rel = os.path.relpath(ap, path).split(os.sep)
-        idx = next(
-            (i for i, seg in enumerate(rel[:-1]) if "=" in seg), len(rel) - 1
-        )
-        root = os.path.join(path, *rel[:idx]) if idx else path
-        groups.setdefault(root, []).append(ap)
-    parts = [
-        spark.read.schema(schema).option("basePath", root).parquet(*fs)
-        for root, fs in sorted(groups.items())
-    ]
-    out = parts[0]
-    for p in parts[1:]:
-        out = out.unionByName(p)
-    return out.select(*[f.name for f in schema.fields])
+    return _union_scan(
+        spark, schema, _group_by_partition_root(path, new_files)
+    )
 
 
 def cleanup_delta_log(path: str, keep_last: int = 0) -> list[int]:
@@ -1057,3 +1096,221 @@ def cleanup_delta_log(path: str, keep_last: int = 0) -> list[int]:
         except OSError:
             continue
     return deleted
+
+
+def _touched_files(
+    spark: SparkSession,
+    path: str,
+    snap: DeltaSnapshot,
+    candidates: list[str],
+    cond,
+) -> tuple[list[str], int]:
+    """Identify which candidate files hold rows matching ``cond`` —
+    Delta's own two-phase DML shape: ONE distributed scan aggregating
+    (file, match_count), a driver result bounded by the file count,
+    never by rows. Returns (touched rel paths, total matching rows).
+    ``input_file_name`` is resolved in the scan stage (the partial
+    aggregation pipelines into it, no shuffle in between)."""
+    hits = (
+        _scan_files(spark, path, snap, candidates)
+        .filter(F.coalesce(cond, F.lit(False)))
+        .groupBy(F.input_file_name().alias("_delta_file"))
+        .agg(F.count(F.lit(1)).alias("_n"))
+        .collect()
+    )
+    abs2rel = {
+        os.path.normpath(os.path.join(path, unquote(p))): p
+        for p in candidates
+    }
+    touched: list[str] = []
+    total = 0
+    for r in hits:
+        a = r._delta_file
+        if a.startswith("file:"):
+            a = a[len("file:"):]
+            # file:///x and file:/x both normalize to /x
+            a = "/" + a.lstrip("/")
+        touched.append(abs2rel[os.path.normpath(unquote(a))])
+        total += r._n
+    return sorted(touched), total
+
+
+def _commit_rewrite(
+    path: str,
+    read_version: int,
+    operation: str,
+    op_params: dict,
+    removed: list[str],
+    adds: list[dict],
+    snap: DeltaSnapshot,
+) -> bool:
+    now_ms = int(time.time() * 1000)
+    actions: list[dict] = [
+        {
+            "commitInfo": {
+                "timestamp": now_ms,
+                "operation": operation,
+                "operationParameters": op_params,
+                "engineInfo": "value_at_risk_spark.deltalog",
+            }
+        }
+    ]
+    actions.extend(
+        {
+            "remove": {
+                "path": p,
+                "deletionTimestamp": now_ms,
+                "dataChange": True,
+                "partitionValues": snap.files[p].get("partitionValues"),
+            }
+        }
+        for p in removed
+    )
+    actions.extend(adds)
+    return _publish_commit(path, read_version + 1, actions)
+
+
+def delete_from_delta(
+    spark: SparkSession,
+    path: str,
+    condition: str,
+    partition_filters: dict[str, list[str]] | None = None,
+    stats_filters: list[tuple] | None = None,
+) -> dict:
+    """``DELETE FROM <table> WHERE condition`` — file-level
+    copy-on-write, the shape real Delta uses: (1) prune candidate
+    files at the LOG level (optional partition/stats filters), (2) one
+    scan finds which files actually hold matching rows, (3) ONLY those
+    files are rewritten with their surviving rows; every untouched
+    file keeps its add action verbatim. At 100 TB a DELETE matching
+    0.1% of files rewrites 0.1% of the table, not all of it. SQL
+    semantics: a row is deleted iff the condition evaluates TRUE
+    (NULL keeps the row). The rewrite commits atomically, pinned to
+    the read version — any concurrent commit forces re-identification
+    and retry, so a racing append is never clobbered. Returns
+    {version, rows_deleted, files_rewritten, files_added}; no commit
+    is made when nothing matches.
+
+    Reference tie: the reference relies on Delta DML over its
+    Monte-Carlo tables (config/configure_notebook.py:18-27); this is
+    the native-log equivalent with delta-spark's file-skipping edge
+    implemented rather than documented away (contrast
+    merge_into_delta_native's whole-set rewrite)."""
+    cond = F.expr(condition)
+    for _attempt in range(16):
+        snap = snapshot(path)
+        candidates = _pruned_active(snap, partition_filters, stats_filters)
+        touched, n_rows = _touched_files(spark, path, snap, candidates, cond)
+        if not touched:
+            return {
+                "version": snap.version,
+                "rows_deleted": 0,
+                "files_rewritten": 0,
+                "files_added": 0,
+            }
+        survivors = _scan_files(spark, path, snap, touched).filter(
+            ~F.coalesce(cond, F.lit(False))
+        )
+        # bound the restage task count by the touched-file count so a
+        # 3-file DELETE doesn't shatter into shuffle-partition-many
+        # small files (rewrite granularity ≈ input granularity)
+        adds = _stage(
+            survivors.repartition(len(touched)),
+            path,
+            snap.partition_columns,
+            data_change=True,
+        )
+        if _commit_rewrite(
+            path,
+            snap.version,
+            "DELETE",
+            {"predicate": condition},
+            touched,
+            adds,
+            snap,
+        ):
+            return {
+                "version": snap.version + 1,
+                "rows_deleted": n_rows,
+                "files_rewritten": len(touched),
+                "files_added": len(adds),
+            }
+        # conflict: staged files become vacuum-collectable orphans
+        # (same torn-state story as any failed commit); re-identify
+        # against the new tip and retry
+    raise RuntimeError(f"delete_from_delta: conflicted 16 times at {path}")
+
+
+def update_delta(
+    spark: SparkSession,
+    path: str,
+    condition: str,
+    set_exprs: dict[str, str],
+    partition_filters: dict[str, list[str]] | None = None,
+    stats_filters: list[tuple] | None = None,
+) -> dict:
+    """``UPDATE <table> SET col = expr, ... WHERE condition`` — the
+    same file-level copy-on-write as delete_from_delta: only files
+    holding matching rows are rewritten; non-matching rows in a
+    touched file pass through bit-identical, and updated values are
+    cast back to the table schema so the metaData contract never
+    drifts. Updating a PARTITION column works naturally: the rewrite
+    restages touched files under the Hive layout, so moved rows land
+    in their new partition directories. Returns {version,
+    rows_updated, files_rewritten, files_added}."""
+    schema = snapshot(path).schema
+    known = {f.name: f.dataType for f in schema.fields}
+    unknown = [c for c in set_exprs if c not in known]
+    if unknown:
+        raise ValueError(f"update_delta: SET on unknown columns {unknown}")
+    cond = F.expr(condition)
+    for _attempt in range(16):
+        snap = snapshot(path)
+        candidates = _pruned_active(snap, partition_filters, stats_filters)
+        touched, n_rows = _touched_files(spark, path, snap, candidates, cond)
+        if not touched:
+            return {
+                "version": snap.version,
+                "rows_updated": 0,
+                "files_rewritten": 0,
+                "files_added": 0,
+            }
+        base = _scan_files(spark, path, snap, touched)
+        rewritten = base.select(
+            *[
+                (
+                    F.when(
+                        F.coalesce(cond, F.lit(False)),
+                        F.expr(set_exprs[f.name]).cast(f.dataType),
+                    )
+                    .otherwise(F.col(f.name))
+                    .alias(f.name)
+                    if f.name in set_exprs
+                    else F.col(f.name)
+                )
+                for f in snap.schema.fields
+            ]
+        )
+        adds = _stage(
+            rewritten.repartition(len(touched)),
+            path,
+            snap.partition_columns,
+            data_change=True,
+        )
+        if _commit_rewrite(
+            path,
+            snap.version,
+            "UPDATE",
+            {"predicate": condition,
+             "set": {k: v for k, v in sorted(set_exprs.items())}},
+            touched,
+            adds,
+            snap,
+        ):
+            return {
+                "version": snap.version + 1,
+                "rows_updated": n_rows,
+                "files_rewritten": len(touched),
+                "files_added": len(adds),
+            }
+    raise RuntimeError(f"update_delta: conflicted 16 times at {path}")
