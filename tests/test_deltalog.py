@@ -1004,3 +1004,98 @@ def test_dml_conflict_pins_to_read_version(spark, tmp_path):
     assert res["rows_deleted"] == 6
     ids = sorted(r.id for r in read_delta(spark, tbl).collect())
     assert ids == [0, 1, 2, 3, 4, 1000]
+
+
+def test_deltalog_python_datasource_batch(spark, tmp_path):
+    """The ``deltalog`` Python Data Source (sources/delta_datasource):
+    spark.read.format('deltalog') snapshots the table with one input
+    partition per active file (Arrow RecordBatches, partition columns
+    typed from the LOG), versionAsOf time-travels, and a missing path
+    is loud."""
+    from value_at_risk_spark.sources.delta_datasource import (
+        register_deltalog_source,
+    )
+    from value_at_risk_spark.sources.deltalog import optimize_delta
+
+    register_deltalog_source(spark)
+    tbl = str(tmp_path / "ds")
+    df = spark.createDataFrame(
+        [(i, i % 3, float(i) / 2) for i in range(40)],
+        "id long, k int, v double",
+    )
+    write_delta(spark, df, tbl, partition_by=["k"])
+    write_delta(
+        spark,
+        spark.createDataFrame(
+            [(i, i % 3, float(i) / 2) for i in range(40, 60)],
+            "id long, k int, v double",
+        ),
+        tbl,
+    )
+    optimize_delta(spark, tbl, target_files=2)
+    checkpoint_delta(tbl)
+
+    got = spark.read.format("deltalog").load(tbl)
+    assert got.schema.simpleString() == "struct<id:bigint,k:int,v:double>"
+    assert _rows(got) == _rows(read_delta(spark, tbl))
+    assert got.count() == 60
+    # time travel through the option surface
+    v0 = spark.read.format("deltalog").option("versionAsOf", 0).load(tbl)
+    assert v0.count() == 40
+    # the scan parallelism is the file count (post-OPTIMIZE snapshot)
+    n_files = len(snapshot(tbl).files)
+    assert got.rdd.getNumPartitions() == n_files
+
+    with pytest.raises(Exception, match="path"):
+        spark.read.format("deltalog").load()
+
+
+def test_deltalog_python_datasource_stream_exactly_once(spark, tmp_path):
+    """spark.readStream.format('deltalog'): version offsets ride the
+    query checkpoint — the first batch snapshots the table, appends
+    surface exactly once across a QUERY RESTART, and a data-removing
+    commit (DML/overwrite) inside the offset range fails loudly
+    instead of emitting wrong rows."""
+    from value_at_risk_spark.sources.delta_datasource import (
+        register_deltalog_source,
+    )
+    from value_at_risk_spark.sources.deltalog import delete_from_delta
+
+    register_deltalog_source(spark)
+    tbl = str(tmp_path / "dss")
+    ckpt = str(tmp_path / "ckpt")
+    write_delta(spark, spark.range(0, 10).select("id"), tbl)
+    write_delta(spark, spark.range(10, 20).select("id"), tbl)
+
+    seen: list[int] = []
+
+    def sink(bdf, _bid):
+        seen.extend(r.id for r in bdf.collect())
+
+    def run_once():
+        q = (
+            spark.readStream.format("deltalog")
+            .load(tbl)
+            .writeStream.foreachBatch(sink)
+            .option("checkpointLocation", ckpt)
+            .trigger(availableNow=True)
+            .start()
+        )
+        assert q.awaitTermination(120)
+
+    run_once()
+    assert sorted(seen) == list(range(20))  # initial snapshot batch
+
+    write_delta(spark, spark.range(20, 30).select("id"), tbl)
+    run_once()  # restart from the checkpoint: only the new commit
+    assert sorted(seen) == list(range(30)) and len(seen) == 30
+
+    # a DELETE breaks the append-only stream contract — loud, not wrong
+    delete_from_delta(spark, tbl, "id < 5")
+    write_delta(spark, spark.range(30, 35).select("id"), tbl)
+    import py4j.protocol
+
+    with pytest.raises(
+        (Exception, py4j.protocol.Py4JJavaError), match="removes data"
+    ):
+        run_once()

@@ -14191,3 +14191,112 @@ def delta_dml_time_travel(spark: SparkSession, sf_dir: str) -> DataFrame:
             ),
         )
     )
+
+
+@query(
+    "delta_datasource_scan",
+    """
+SELECT c_mktsegment,
+       COUNT(*) AS n_customers,
+       ROUND(SUM(c_acctbal), 2) AS total_bal
+FROM customer GROUP BY c_mktsegment
+""",
+)
+def delta_datasource_scan(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The ``deltalog`` Python Data Source batch path, ORACLE-pinned:
+    spark.read.format('deltalog') over the demo table (two commits +
+    OPTIMIZE ZORDER + checkpoint) must equal DuckDB's full customer
+    projection — hash equality proves the per-file input partitions,
+    the Arrow RecordBatch emission, and the log-typed partition-column
+    materialization (c_mktsegment comes from add.partitionValues cast
+    by the table schema, never inferred) lose nothing
+    (sources/delta_datasource.DeltaLogDataSource)."""
+    from value_at_risk_spark.sources.delta_datasource import (
+        register_deltalog_source,
+    )
+
+    register_deltalog_source(spark)
+    tbl = _delta_demo_table(spark, sf_dir)
+    return (
+        spark.read.format("deltalog")
+        .load(tbl)
+        .groupBy("c_mktsegment")
+        .agg(
+            F.count(F.lit(1)).alias("n_customers"),
+            (F.round(F.sum("c_acctbal"), 2) + F.lit(0.0)).alias("total_bal"),
+        )
+    )
+
+
+@query(
+    "streaming_delta_source_roundtrip",
+    """
+SELECT event_type,
+       COUNT(*) AS n_events,
+       COUNT(DISTINCT user_id) AS n_users
+FROM events GROUP BY event_type
+""",
+)
+def streaming_delta_source_roundtrip(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """Structured Streaming FROM the native delta log INTO the native
+    delta log, HASH-CHECKED against the batch twin: the events fixture
+    lands in an upstream table as three append commits,
+    spark.readStream.format('deltalog') consumes it (initial snapshot
+    + version offsets), and every micro-batch commits exactly-once
+    through DeltaTxnSink into a downstream table, which is read back
+    and aggregated. Equality with DuckDB's batch aggregate proves the
+    source emitted every committed row exactly once AND the sink
+    deduplicated replays — the full source->sink exactly-once chain on
+    one log implementation (sources/delta_datasource +
+    streaming/sinks.DeltaTxnSink)."""
+    import atexit
+    import shutil
+    import tempfile
+
+    from value_at_risk_spark.sources.delta_datasource import (
+        register_deltalog_source,
+    )
+    from value_at_risk_spark.sources.deltalog import write_delta
+    from value_at_risk_spark.streaming.sinks import DeltaTxnSink
+
+    register_deltalog_source(spark)
+    src = tempfile.mkdtemp(prefix="delta_src_tbl_")
+    ckpt = tempfile.mkdtemp(prefix="delta_src_ckpt_")
+    dst = tempfile.mkdtemp(prefix="delta_src_dst_")
+    for d in (src, dst):
+        shutil.rmtree(d, ignore_errors=True)  # write_delta creates v0
+    for d in (src, ckpt, dst):
+        atexit.register(shutil.rmtree, d, ignore_errors=True)
+
+    events = _t(spark, sf_dir, "events").select(
+        "event_id", "user_id", "event_type"
+    )
+    # three deterministic commits upstream
+    for part in range(3):
+        write_delta(
+            spark, events.filter(F.col("event_id") % 3 == part), src
+        )
+    sink = DeltaTxnSink(dst, app_id="gate_delta_source")
+    q = (
+        spark.readStream.format("deltalog")
+        .load(src)
+        .writeStream.foreachBatch(sink)
+        .option("checkpointLocation", ckpt)
+        .trigger(availableNow=True)
+        .start()
+    )
+    if not q.awaitTermination(180):
+        q.stop()
+        raise TimeoutError(
+            "streaming_delta_source_roundtrip: replay exceeded 180s"
+        )
+    return (
+        sink.read(spark)
+        .groupBy("event_type")
+        .agg(
+            F.count(F.lit(1)).alias("n_events"),
+            F.count_distinct("user_id").alias("n_users"),
+        )
+    )

@@ -1,0 +1,291 @@
+"""PySpark Python Data Source over the native delta log.
+
+Registers the ``deltalog`` format with Spark's Python Data Source API
+(public since Spark 4.0), so the native transaction log
+(sources/deltalog.py) plugs into the ordinary reader surfaces:
+
+- ``spark.read.format("deltalog").load(path)`` — batch snapshot read,
+  one input partition per active data file, Arrow RecordBatches
+  straight off the parquet footers (zero row-at-a-time Python);
+  ``option("versionAsOf", n)`` time-travels.
+- ``spark.readStream.format("deltalog").load(path)`` — a Structured
+  Streaming SOURCE: version numbers are the offsets, the first batch
+  is the current snapshot, every subsequent micro-batch is exactly the
+  rows appended by new commits (OPTIMIZE's dataChange:false rewrites
+  are invisible), and the checkpoint's offset log gives end-to-end
+  exactly-once with any idempotent sink. This is the consumer half of
+  streaming/sinks.DeltaTxnSink.
+
+The streaming reader uses SimpleDataSourceStreamReader — reads happen
+on the driver, which Spark documents as the lightweight-rate path; the
+batch reader is the distributed path (one task per file). Reference
+tie: the reference streams FROM Delta tables via
+``spark.readStream.format('delta')`` (config/configure_notebook.py:
+18-27); this is that surface on the native log.
+"""
+
+from __future__ import annotations
+
+import os
+from typing import Iterator, Tuple
+from urllib.parse import unquote
+
+from pyspark.sql.datasource import (
+    DataSource,
+    DataSourceReader,
+    InputPartition,
+    SimpleDataSourceStreamReader,
+)
+from pyspark.sql.types import StructType
+
+
+def _required_path(options: dict) -> str:
+    path = options.get("path")
+    if not path:
+        raise ValueError(
+            "deltalog data source requires a path: "
+            ".format('deltalog').load('/table/dir')"
+        )
+    return path
+
+
+def _arrow_schema(schema: StructType):
+    from pyspark.sql.pandas.types import to_arrow_schema
+
+    return to_arrow_schema(schema)
+
+
+def _file_to_batches(
+    abs_path: str,
+    part_values: dict,
+    schema: StructType,
+    partition_columns: list[str],
+):
+    """One data file -> Arrow RecordBatches in the declared column
+    order, with partition columns materialized as constant arrays cast
+    from their Hive string values by the TABLE schema (never
+    re-inferred)."""
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    want = _arrow_schema(schema)
+    tbl = pq.read_table(abs_path)
+    n = tbl.num_rows
+    cols = []
+    for field in want:
+        if field.name in partition_columns:
+            raw = part_values.get(field.name)
+            if raw is None:
+                arr = pa.nulls(n, type=field.type)
+            else:
+                arr = pa.array([raw] * n, type=pa.string()).cast(field.type)
+        else:
+            arr = tbl.column(field.name).cast(field.type)
+        cols.append(arr)
+    out = pa.table(cols, schema=want)
+    yield from out.to_batches()
+
+
+class _DeltaFilePartition(InputPartition):
+    def __init__(self, abs_path: str, part_values: dict):
+        self.abs_path = abs_path
+        self.part_values = part_values
+
+
+class _DeltaBatchReader(DataSourceReader):
+    """One input partition per active data file — the natural Delta
+    split: parallelism scales with the file count, partition values
+    ride in the partition descriptor (from the LOG, not the paths), so
+    workers never list directories."""
+
+    def __init__(self, options: dict, schema: StructType):
+        from value_at_risk_spark.sources.deltalog import snapshot
+
+        path = _required_path(options)
+        v = options.get("versionAsOf")
+        snap = snapshot(path, int(v) if v is not None else None)
+        self._schema = schema
+        self._partition_columns = snap.partition_columns
+        self._parts = []
+        for rel in sorted(snap.files):
+            pv = snap.files[rel].get("partitionValues") or {}
+            if not isinstance(pv, dict):
+                pv = dict(pv)
+            self._parts.append(
+                _DeltaFilePartition(
+                    os.path.normpath(os.path.join(path, unquote(rel))), pv
+                )
+            )
+
+    def partitions(self):
+        return self._parts
+
+    def read(self, partition: _DeltaFilePartition):
+        yield from _file_to_batches(
+            partition.abs_path,
+            partition.part_values,
+            self._schema,
+            self._partition_columns,
+        )
+
+
+def _added_files_between(path: str, from_v: int, to_v: int):
+    """(abs_path, partitionValues) for every data-changing add in
+    commits (from_v, to_v] — the streaming delta. Data-removing
+    commits raise (append-only streaming contract, same as
+    read_delta_changes); cleaned commits raise (the change record is
+    gone)."""
+    import json
+
+    from value_at_risk_spark.sources.deltalog import (
+        _commit_path,
+        _json_versions,
+    )
+
+    jsons = set(_json_versions(path))
+    out = []
+    for v in range(from_v + 1, to_v + 1):
+        if v not in jsons:
+            raise ValueError(
+                f"deltalog stream: commit {v} was cleaned from the log; "
+                "its changes are no longer recoverable"
+            )
+        with open(_commit_path(path, v)) as fh:
+            for line in fh:
+                if not line.strip():
+                    continue
+                a = json.loads(line)
+                if a.get("remove") and a["remove"].get("dataChange", True):
+                    raise ValueError(
+                        f"deltalog stream: version {v} removes data "
+                        "(overwrite/restore/DML) — not expressible as "
+                        "appended rows"
+                    )
+                add = a.get("add")
+                if add and add.get("dataChange", True):
+                    pv = add.get("partitionValues") or {}
+                    out.append(
+                        (
+                            os.path.normpath(
+                                os.path.join(path, unquote(add["path"]))
+                            ),
+                            dict(pv) if not isinstance(pv, dict) else pv,
+                        )
+                    )
+    return out
+
+
+class _DeltaStreamReader(SimpleDataSourceStreamReader):
+    """Structured Streaming source over the native log. Offsets are
+    {"version": n}: the initial batch snapshots the table as of the
+    stream's start, then each micro-batch carries exactly the rows
+    added by commits in (start, tip]. readBetweenOffsets re-reads a
+    range deterministically from the immutable log, which is what
+    makes checkpoint recovery exactly-once."""
+
+    def __init__(self, options: dict, schema: StructType):
+        self._path = _required_path(options)
+        self._schema = schema
+
+    def initialOffset(self) -> dict:
+        return {"version": -1}
+
+    def _rows_for_files(self, files) -> Iterator[Tuple]:
+        from value_at_risk_spark.sources.deltalog import snapshot
+
+        part_cols = snapshot(self._path).partition_columns
+        names = [f.name for f in self._schema.fields]
+        for abs_path, pv in files:
+            for batch in _file_to_batches(
+                abs_path, pv, self._schema, part_cols
+            ):
+                for row in batch.to_pylist():
+                    yield tuple(row[n] for n in names)
+
+    def _snapshot_files(self, version: int):
+        from value_at_risk_spark.sources.deltalog import snapshot
+
+        snap = snapshot(self._path, version)
+        out = []
+        for rel in sorted(snap.files):
+            pv = snap.files[rel].get("partitionValues") or {}
+            if not isinstance(pv, dict):
+                pv = dict(pv)
+            out.append(
+                (
+                    os.path.normpath(
+                        os.path.join(self._path, unquote(rel))
+                    ),
+                    pv,
+                )
+            )
+        return out
+
+    def _files_between(self, start_v: int, end_v: int):
+        if end_v <= start_v:
+            return []
+        if start_v < 0:
+            # initial load: the full snapshot at end_v (adds-only replay
+            # of history could double rows rewritten by OPTIMIZE)
+            return self._snapshot_files(end_v)
+        return _added_files_between(self._path, start_v, end_v)
+
+    def read(self, start: dict) -> Tuple[Iterator[Tuple], dict]:
+        from value_at_risk_spark.sources.deltalog import delta_versions
+
+        versions = delta_versions(self._path)
+        tip = versions[-1] if versions else -1
+        start_v = int(start["version"])
+        if tip <= start_v:
+            return [], start
+        end = {"version": tip}
+        # a LIST, not a generator: Spark's prefetch cache copy.copies
+        # the returned iterator to replay it on commit
+        rows = list(
+            self._rows_for_files(self._files_between(start_v, tip))
+        )
+        return rows, end
+
+    def readBetweenOffsets(
+        self, start: dict, end: dict
+    ) -> Iterator[Tuple]:
+        return list(
+            self._rows_for_files(
+                self._files_between(
+                    int(start["version"]), int(end["version"])
+                )
+            )
+        )
+
+    def commit(self, end: dict) -> None:
+        pass
+
+
+class DeltaLogDataSource(DataSource):
+    """``deltalog`` format for spark.read / spark.readStream — see the
+    module docstring. Register once per session with
+    :func:`register_deltalog_source`."""
+
+    @classmethod
+    def name(cls) -> str:
+        return "deltalog"
+
+    def schema(self) -> StructType:
+        from value_at_risk_spark.sources.deltalog import snapshot
+
+        path = _required_path(self.options)
+        v = self.options.get("versionAsOf")
+        return snapshot(path, int(v) if v is not None else None).schema
+
+    def reader(self, schema: StructType) -> DataSourceReader:
+        return _DeltaBatchReader(self.options, schema)
+
+    def simpleStreamReader(
+        self, schema: StructType
+    ) -> SimpleDataSourceStreamReader:
+        return _DeltaStreamReader(self.options, schema)
+
+
+def register_deltalog_source(spark) -> None:
+    """Idempotently register the ``deltalog`` format on a session."""
+    spark.dataSource.register(DeltaLogDataSource)
