@@ -1099,3 +1099,95 @@ def test_deltalog_python_datasource_stream_exactly_once(spark, tmp_path):
         (Exception, py4j.protocol.Py4JJavaError), match="removes data"
     ):
         run_once()
+
+
+def test_deltalog_python_datasource_writer_batch(spark, tmp_path):
+    """df.write.format('deltalog'): tasks stage parquet directly and
+    the driver publishes one atomic commit — create (with
+    partitionBy), append with schema enforcement at PLANNING time,
+    overwrite, and full read-back parity with read_delta."""
+    from value_at_risk_spark.sources.delta_datasource import (
+        register_deltalog_source,
+    )
+
+    register_deltalog_source(spark)
+    tbl = str(tmp_path / "dsw")
+    df = spark.createDataFrame(
+        [(i, i % 3, float(i)) for i in range(60)],
+        "id long, k int, v double",
+    )
+    # Python data sources accept only Append/Overwrite (Spark rejects
+    # ErrorIfExists at the API layer before our writer is consulted)
+    df.write.format("deltalog").option("partitionBy", "k").mode(
+        "append"
+    ).save(tbl)
+    assert _rows(read_delta(spark, tbl)) == _rows(df)
+    assert snapshot(tbl).partition_columns == ["k"]
+    # partition values came from the log, typed
+    assert read_delta(
+        spark, tbl, partition_filters={"k": ["1"]}
+    ).count() == 20
+    # file stats landed (data skipping works on DS-written files)
+    assert all(
+        a.get("stats") for a in snapshot(tbl).files.values()
+    )
+
+    more = spark.createDataFrame(
+        [(i, i % 3, float(i)) for i in range(60, 90)],
+        "id long, k int, v double",
+    )
+    more.write.format("deltalog").mode("append").save(tbl)
+    assert read_delta(spark, tbl).count() == 90
+
+    # schema mismatch fails before any task runs
+    with pytest.raises(Exception, match="schema mismatch"):
+        spark.createDataFrame([(1,)], "id int").write.format(
+            "deltalog"
+        ).mode("append").save(tbl)
+
+    small = spark.createDataFrame(
+        [(0, 0, 0.0)], "id long, k int, v double"
+    )
+    small.write.format("deltalog").mode("overwrite").save(tbl)
+    assert read_delta(spark, tbl).count() == 1
+    # history intact: overwrite is one version, time travel works
+    assert read_delta(spark, tbl, version=1).count() == 90
+
+
+def test_deltalog_python_datasource_writer_stream(spark, tmp_path):
+    """writeStream.format('deltalog'): each micro-batch is one atomic
+    commit carrying the protocol txn action, so a restarted query
+    re-delivering batches commits nothing twice (exactly-once without
+    foreachBatch)."""
+    from value_at_risk_spark.sources.delta_datasource import (
+        register_deltalog_source,
+    )
+
+    register_deltalog_source(spark)
+    src = str(tmp_path / "src")
+    ckpt = str(tmp_path / "ckpt")
+    dst = str(tmp_path / "dst")
+    spark.range(0, 40).select("id").repartition(4).write.parquet(src)
+
+    def run():
+        q = (
+            spark.readStream.schema("id long")
+            .option("maxFilesPerTrigger", 1)
+            .parquet(src)
+            .writeStream.format("deltalog")
+            .option("path", dst)
+            .option("appId", "pytest_stream_writer")
+            .option("checkpointLocation", ckpt)
+            .trigger(availableNow=True)
+            .start()
+        )
+        assert q.awaitTermination(120)
+
+    run()
+    got = read_delta(spark, dst)
+    assert sorted(r.id for r in got.collect()) == list(range(40))
+    v = snapshot(dst).version
+    assert snapshot(dst).txns == {"pytest_stream_writer": v}
+    run()  # replay from the same checkpoint: nothing new
+    assert read_delta(spark, dst).count() == 40
+    assert snapshot(dst).version == v

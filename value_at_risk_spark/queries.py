@@ -14300,3 +14300,60 @@ def streaming_delta_source_roundtrip(
             F.count_distinct("user_id").alias("n_users"),
         )
     )
+
+
+@query(
+    "delta_datasource_write_scan",
+    """
+SELECT s_nationkey,
+       COUNT(*) AS n_suppliers,
+       ROUND(SUM(s_acctbal), 2) AS total_bal
+FROM supplier GROUP BY s_nationkey
+""",
+)
+def delta_datasource_write_scan(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """The ``deltalog`` Python Data Source WRITE path, ORACLE-pinned:
+    df.write.format('deltalog') stages parquet in tasks (partitioned
+    by s_nationkey via the Hive layout, with footer stats for data
+    skipping) and publishes ONE atomic commit; a second append lands
+    as v1. Reading the two-commit table back must equal DuckDB's
+    supplier aggregate — hash equality proves the task-side staging,
+    the partition encoding, and the metadata-only commit lose nothing
+    (sources/delta_datasource._DeltaBatchWriter). Scratch is
+    session-scoped (atexit), a pure function of the fixture."""
+    import atexit
+    import shutil
+    import tempfile
+
+    from value_at_risk_spark.sources.delta_datasource import (
+        register_deltalog_source,
+    )
+    from value_at_risk_spark.sources.deltalog import read_delta
+
+    register_deltalog_source(spark)
+    key = ("_dsw", sf_dir)
+    tbl = _DELTA_DML_SCRATCH.get(key)
+    if tbl is None:
+        tbl = tempfile.mkdtemp(prefix="vars_delta_dsw_")
+        shutil.rmtree(tbl, ignore_errors=True)
+        atexit.register(shutil.rmtree, tbl, ignore_errors=True)
+        sup = _t(spark, sf_dir, "supplier").select(
+            "s_suppkey", "s_nationkey", "s_acctbal"
+        )
+        sup.filter(F.col("s_suppkey") % 2 == 0).write.format(
+            "deltalog"
+        ).option("partitionBy", "s_nationkey").mode("append").save(tbl)
+        sup.filter(F.col("s_suppkey") % 2 == 1).write.format(
+            "deltalog"
+        ).mode("append").save(tbl)
+        _DELTA_DML_SCRATCH[key] = tbl
+    return (
+        read_delta(spark, tbl)
+        .groupBy("s_nationkey")
+        .agg(
+            F.count(F.lit(1)).alias("n_suppliers"),
+            (F.round(F.sum("s_acctbal"), 2) + F.lit(0.0)).alias("total_bal"),
+        )
+    )

@@ -33,8 +33,11 @@ from urllib.parse import unquote
 from pyspark.sql.datasource import (
     DataSource,
     DataSourceReader,
+    DataSourceStreamWriter,
+    DataSourceWriter,
     InputPartition,
     SimpleDataSourceStreamReader,
+    WriterCommitMessage,
 )
 from pyspark.sql.types import StructType
 
@@ -285,7 +288,258 @@ class DeltaLogDataSource(DataSource):
     ) -> SimpleDataSourceStreamReader:
         return _DeltaStreamReader(self.options, schema)
 
+    def writer(self, schema: StructType, overwrite: bool):
+        return _DeltaBatchWriter(self.options, schema, overwrite)
+
+    def streamWriter(self, schema: StructType, overwrite: bool):
+        return _DeltaStreamWriter(self.options, schema, overwrite)
+
 
 def register_deltalog_source(spark) -> None:
     """Idempotently register the ``deltalog`` format on a session."""
     spark.dataSource.register(DeltaLogDataSource)
+
+
+class _AddsMessage(WriterCommitMessage):
+    """Per-task commit message: the add actions for the files this
+    task staged (paths relative to the table root, protocol-encoded)."""
+
+    def __init__(self, adds: list):
+        self.adds = adds
+
+
+def _hive_segment(col: str, val) -> str:
+    from urllib.parse import quote as _q
+
+    if val is None:
+        return f"{col}=__HIVE_DEFAULT_PARTITION__"
+    return f"{col}={_q(str(val), safe='')}"
+
+
+def _write_task_files(
+    iterator,
+    table_path: str,
+    stage_rel: str,
+    schema: StructType,
+    part_cols: list[str],
+    rows_per_file: int = 1 << 20,
+):
+    """Executor half of the Python Data Source write: bucket this
+    task's rows by partition value, write parquet under the staged
+    Hive layout, and return protocol add actions (with footer stats,
+    same payload as deltalog._stage). Bounded memory: buckets flush
+    every ``rows_per_file`` rows."""
+    import uuid as _uuid
+    from urllib.parse import quote as _q
+
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    from value_at_risk_spark.sources.deltalog import _file_stats
+
+    data_fields = [f for f in schema.fields if f.name not in part_cols]
+    data_schema = StructType(data_fields)
+    arrow_schema = _arrow_schema(data_schema)
+    task_id = _uuid.uuid4().hex[:12]
+    adds: list[dict] = []
+    buckets: dict[tuple, list[dict]] = {}
+    counters: dict[tuple, int] = {}
+
+    def _flush(key: tuple, rows: list[dict]) -> None:
+        if not rows:
+            return
+        seq = counters.get(key, 0)
+        counters[key] = seq + 1
+        segs = [_hive_segment(c, v) for c, v in zip(part_cols, key)]
+        rel_dir = os.path.join(stage_rel, *segs) if segs else stage_rel
+        abs_dir = os.path.join(table_path, rel_dir)
+        os.makedirs(abs_dir, exist_ok=True)
+        name = f"part-{task_id}-{seq:05d}.parquet"
+        full = os.path.join(abs_dir, name)
+        tbl = pa.Table.from_pylist(
+            [{f.name: r[f.name] for f in data_fields} for r in rows],
+            schema=arrow_schema,
+        )
+        pq.write_table(tbl, full)
+        st = os.stat(full)
+        adds.append(
+            {
+                "add": {
+                    "path": _q(f"{rel_dir}/{name}".replace(os.sep, "/"),
+                               safe="/"),
+                    "partitionValues": {
+                        c: (None if v is None else str(v))
+                        for c, v in zip(part_cols, key)
+                    },
+                    "size": st.st_size,
+                    "modificationTime": int(st.st_mtime * 1000),
+                    "dataChange": True,
+                    "stats": _file_stats(full),
+                }
+            }
+        )
+
+    for row in iterator:
+        d = row.asDict()
+        key = tuple(d.get(c) for c in part_cols)
+        bucket = buckets.setdefault(key, [])
+        bucket.append(d)
+        if len(bucket) >= rows_per_file:
+            _flush(key, bucket)
+            buckets[key] = []
+    for key, rows in buckets.items():
+        _flush(key, rows)
+    return _AddsMessage(adds)
+
+
+def _unlink_staged(table_path: str, messages) -> None:
+    for m in messages:
+        if m is None:
+            continue
+        for a in m.adds:
+            try:
+                os.unlink(os.path.join(table_path, unquote(a["add"]["path"])))
+            except OSError:
+                pass
+
+
+class _DeltaBatchWriter(DataSourceWriter):
+    """df.write.format('deltalog'): tasks stage parquet directly (no
+    second shuffle through an intermediate format), the driver
+    publishes ONE atomic commit from the collected add actions —
+    task-parallel data writes, metadata-only commit, exactly Delta's
+    write shape. Schema/partition validation runs at planning time so
+    a mismatch fails before any task launches."""
+
+    def __init__(self, options: dict, schema: StructType, overwrite: bool):
+        import uuid as _uuid
+
+        from value_at_risk_spark.sources.deltalog import (
+            _validate_write_schema,
+        )
+
+        self._path = _required_path(options)
+        self._schema = schema
+        self._mode = "overwrite" if overwrite else "append"
+        part_opt = options.get("partitionby") or options.get("partitionBy")
+        partition_by = (
+            [c.strip() for c in part_opt.split(",") if c.strip()]
+            if part_opt
+            else None
+        )
+        os.makedirs(self._path, exist_ok=True)
+        self._part_cols, self._new_metadata = _validate_write_schema(
+            self._path, schema, partition_by, merge_schema=False
+        )
+        self._stage_rel = f"stage-dsw-{os.getpid()}-{_uuid.uuid4().hex[:8]}"
+
+    def write(self, iterator):
+        return _write_task_files(
+            iterator,
+            self._path,
+            self._stage_rel,
+            self._schema,
+            self._part_cols,
+        )
+
+    def commit(self, messages) -> None:
+        from value_at_risk_spark.sources.deltalog import commit_staged_adds
+
+        adds = [a for m in messages if m is not None for a in m.adds]
+        commit_staged_adds(
+            self._path,
+            adds,
+            self._schema,
+            mode=self._mode,
+            part_cols=self._part_cols,
+            new_metadata=self._new_metadata,
+        )
+
+    def abort(self, messages) -> None:
+        _unlink_staged(self._path, messages)
+
+
+class _DeltaStreamWriter(DataSourceStreamWriter):
+    """writeStream.format('deltalog'): each micro-batch commits
+    atomically with the protocol's txn action keyed on
+    (option 'appId', batchId) — a replayed batch after failure
+    recovery publishes nothing and its staged files are unlinked, so
+    the sink is exactly-once end to end (the declarative twin of
+    streaming/sinks.DeltaTxnSink)."""
+
+    def __init__(self, options: dict, schema: StructType, overwrite: bool):
+        from value_at_risk_spark.sources.deltalog import (
+            _validate_write_schema,
+        )
+
+        self._path = _required_path(options)
+        self._schema = schema
+        self._mode = "overwrite" if overwrite else "append"
+        self._app_id = options.get("appid") or options.get(
+            "appId", "deltalog_stream_writer"
+        )
+        part_opt = options.get("partitionby") or options.get("partitionBy")
+        self._partition_by = (
+            [c.strip() for c in part_opt.split(",") if c.strip()]
+            if part_opt
+            else None
+        )
+        os.makedirs(self._path, exist_ok=True)
+        # the table may not exist until the first batch commits; the
+        # per-batch commit re-validates, this is the fail-fast pass
+        from value_at_risk_spark.sources.deltalog import delta_versions
+
+        if delta_versions(self._path):
+            _validate_write_schema(
+                self._path, schema, self._partition_by, merge_schema=False
+            )
+
+    def write(self, iterator):
+        import uuid as _uuid
+
+        from value_at_risk_spark.sources.deltalog import (
+            _validate_write_schema,
+            delta_versions,
+        )
+
+        part_cols = (
+            _validate_write_schema(
+                self._path, self._schema, self._partition_by, False
+            )[0]
+            if delta_versions(self._path)
+            else list(self._partition_by or [])
+        )
+        stage_rel = f"stage-dsw-{os.getpid()}-{_uuid.uuid4().hex[:8]}"
+        return _write_task_files(
+            iterator, self._path, stage_rel, self._schema, part_cols
+        )
+
+    def commit(self, messages, batchId: int) -> None:
+        from value_at_risk_spark.sources.deltalog import (
+            _validate_write_schema,
+            commit_staged_adds,
+            delta_versions,
+        )
+
+        adds = [a for m in messages if m is not None for a in m.adds]
+        part_cols, new_metadata = (
+            _validate_write_schema(
+                self._path, self._schema, self._partition_by, False
+            )
+            if delta_versions(self._path)
+            else (list(self._partition_by or []), None)
+        )
+        v = commit_staged_adds(
+            self._path,
+            adds,
+            self._schema,
+            mode=self._mode,
+            part_cols=part_cols,
+            txn={"appId": self._app_id, "version": batchId},
+            new_metadata=new_metadata,
+        )
+        if v == -1:  # replayed batch: the txn dedup dropped it
+            _unlink_staged(self._path, messages)
+
+    def abort(self, messages, batchId: int) -> None:
+        _unlink_staged(self._path, messages)

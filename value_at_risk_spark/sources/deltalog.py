@@ -579,13 +579,41 @@ def write_delta(
     table creation."""
     if mode not in ("append", "overwrite"):
         raise ValueError(f"write_delta mode must be append|overwrite: {mode}")
+    part_cols, new_metadata = _validate_write_schema(
+        path, df.schema, partition_by, merge_schema
+    )
+
+    adds = _stage(df, path, part_cols, data_change=True)
+    return commit_staged_adds(
+        path,
+        adds,
+        df.schema,
+        mode=mode,
+        part_cols=part_cols,
+        txn=txn,
+        expected_version=expected_version,
+        new_metadata=new_metadata,
+    )
+
+
+def _validate_write_schema(
+    path: str,
+    got: StructType,
+    partition_by: list[str] | None,
+    merge_schema: bool,
+) -> tuple[list[str], dict | None]:
+    """write_delta's pre-flight half, shared with the Python Data
+    Source writers (which must fail BEFORE launching tasks): returns
+    (partition columns to stage under, merged metaData action or
+    None). Appends to an existing table enforce schema and
+    partition-column equality; ``partition_by`` is only consulted at
+    table creation."""
     versions = delta_versions(path)
     existing = snapshot(path) if versions else None
     new_metadata = None
     if existing is not None:
         part_cols = existing.partition_columns
         want = existing.schema
-        got = df.schema
         if merge_schema:
             by_name = {f.name: f for f in want.fields}
             for gf in got.fields:
@@ -635,9 +663,25 @@ def write_delta(
                 )
     else:
         part_cols = list(partition_by or [])
+    return part_cols, new_metadata
 
-    adds = _stage(df, path, part_cols, data_change=True)
 
+def commit_staged_adds(
+    path: str,
+    adds: list[dict],
+    schema: StructType,
+    mode: str = "append",
+    part_cols: list[str] | None = None,
+    txn: dict | None = None,
+    expected_version: int | None = None,
+    new_metadata: dict | None = None,
+) -> int:
+    """write_delta's commit half: publish already-staged add actions
+    as one transactional version (optimistic retry; the protocol txn
+    action dedups replays; overwrite recomputes removes against the
+    CURRENT tip each attempt). Shared with the Python Data Source
+    writers, whose tasks stage files themselves."""
+    part_cols = list(part_cols or [])
     now_ms = int(time.time() * 1000)
     for _attempt in range(64):
         versions = delta_versions(path)
@@ -682,7 +726,7 @@ def write_delta(
                     "metaData": {
                         "id": str(uuid.uuid4()),
                         "format": {"provider": "parquet", "options": {}},
-                        "schemaString": df.schema.json(),
+                        "schemaString": schema.json(),
                         "partitionColumns": part_cols,
                         "configuration": {},
                         "createdTime": now_ms,
