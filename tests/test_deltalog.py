@@ -1191,3 +1191,54 @@ def test_deltalog_python_datasource_writer_stream(spark, tmp_path):
     run()  # replay from the same checkpoint: nothing new
     assert read_delta(spark, dst).count() == 40
     assert snapshot(dst).version == v
+
+
+def test_deltalog_datasource_filter_pushdown_prunes_files(spark, tmp_path):
+    """Catalyst predicates reach the deltalog reader via pushFilters
+    and prune FILES at the log level: partition equality/IN prunes by
+    add.partitionValues, comparisons prune by footer stats, all
+    filters stay residual (row-level semantics unchanged), and the
+    scan's input-partition count equals the pruned file count."""
+    from pyspark.sql.datasource import EqualTo, GreaterThan, In
+
+    from value_at_risk_spark.sources.delta_datasource import (
+        _DeltaBatchReader,
+        register_deltalog_source,
+    )
+
+    register_deltalog_source(spark)
+    tbl = str(tmp_path / "pf")
+    mk = lambda lo, hi: spark.range(lo, hi).select(
+        F.col("id"),
+        (F.col("id") % 4).cast("int").alias("k"),
+        (F.col("id") * 0.5).alias("v"),
+    )
+    mk(0, 100).coalesce(2).write.format("deltalog").option(
+        "partitionBy", "k"
+    ).mode("append").save(tbl)
+    mk(1000, 1100).coalesce(2).write.format("deltalog").mode(
+        "append"
+    ).save(tbl)
+
+    base = _DeltaBatchReader({"path": tbl}, None)
+    total = len(base.partitions())
+
+    r_part = _DeltaBatchReader({"path": tbl}, None)
+    residual = r_part.pushFilters([EqualTo(("k",), 1), In(("k",), (1, 2))])
+    assert list(residual) == [EqualTo(("k",), 1), In(("k",), (1, 2))]
+    # AND-intersection of the two partition predicates: only k=1 files
+    assert 0 < len(r_part.partitions()) <= total // 4 + 1
+
+    r_stats = _DeltaBatchReader({"path": tbl}, None)
+    r_stats.pushFilters([GreaterThan(("id",), 999)])
+    assert 0 < len(r_stats.partitions()) < total  # stats skipping
+
+    # end-to-end: pruned scan, correct rows, partition count == files
+    got = spark.read.format("deltalog").load(tbl).filter(
+        "k = 1 AND id > 999"
+    )
+    rows = got.collect()
+    assert sorted(r.id for r in rows) == [
+        i for i in range(1000, 1100) if i % 4 == 1
+    ]
+    assert got.rdd.getNumPartitions() < total

@@ -95,33 +95,112 @@ class _DeltaFilePartition(InputPartition):
         self.part_values = part_values
 
 
+def _hive_value_str(v) -> str | None:
+    """A filter value in the string form _stage/Spark write into
+    ``add.partitionValues``; None = unrepresentable (don't push)."""
+    import datetime
+
+    if isinstance(v, bool):
+        return "true" if v else "false"
+    if isinstance(v, (int, str)):
+        return str(v)
+    if isinstance(v, (datetime.date, datetime.datetime)):
+        return v.isoformat()
+    return None
+
+
 class _DeltaBatchReader(DataSourceReader):
     """One input partition per active data file — the natural Delta
     split: parallelism scales with the file count, partition values
     ride in the partition descriptor (from the LOG, not the paths), so
-    workers never list directories."""
+    workers never list directories. Catalyst predicates arrive via
+    pushFilters and prune FILES at the log level (partition values +
+    footer stats); every filter is returned as residual because the
+    kept files still contain non-matching rows."""
 
     def __init__(self, options: dict, schema: StructType):
         from value_at_risk_spark.sources.deltalog import snapshot
 
-        path = _required_path(options)
+        self._path = _required_path(options)
         v = options.get("versionAsOf")
-        snap = snapshot(path, int(v) if v is not None else None)
+        self._snap = snapshot(self._path, int(v) if v is not None else None)
         self._schema = schema
-        self._partition_columns = snap.partition_columns
-        self._parts = []
-        for rel in sorted(snap.files):
-            pv = snap.files[rel].get("partitionValues") or {}
-            if not isinstance(pv, dict):
-                pv = dict(pv)
-            self._parts.append(
-                _DeltaFilePartition(
-                    os.path.normpath(os.path.join(path, unquote(rel))), pv
-                )
-            )
+        self._partition_columns = self._snap.partition_columns
+        self._partition_filters: dict[str, list] = {}
+        self._stats_filters: list[tuple] = []
+
+    def pushFilters(self, filters):
+        from pyspark.sql.datasource import (
+            EqualTo,
+            GreaterThan,
+            GreaterThanOrEqual,
+            In,
+            IsNull,
+            LessThan,
+            LessThanOrEqual,
+        )
+
+        ops = {
+            EqualTo: "=",
+            GreaterThan: ">",
+            GreaterThanOrEqual: ">=",
+            LessThan: "<",
+            LessThanOrEqual: "<=",
+        }
+        part_set = set(self._partition_columns)
+        for f in filters:
+            attr = getattr(f, "attribute", None)
+            if not attr or len(attr) != 1:
+                continue
+            col = attr[0]
+            if col in part_set:
+                vals = None
+                if isinstance(f, EqualTo):
+                    vals = [_hive_value_str(f.value)]
+                elif isinstance(f, In):
+                    vals = [_hive_value_str(v) for v in f.value]
+                elif isinstance(f, IsNull):
+                    vals = [None]
+                if vals is not None and all(
+                    v is not None or isinstance(f, IsNull) for v in vals
+                ):
+                    # AND semantics: intersect with any earlier filter
+                    prev = self._partition_filters.get(col)
+                    self._partition_filters[col] = (
+                        vals
+                        if prev is None
+                        else [v for v in vals if v in prev]
+                    )
+            elif type(f) in ops and isinstance(
+                f.value, (int, float, str)
+            ) and not isinstance(f.value, bool):
+                self._stats_filters.append((col, ops[type(f)], f.value))
+        # file-level pruning only: Spark must still evaluate every
+        # predicate on the surviving rows
+        return filters
 
     def partitions(self):
-        return self._parts
+        from value_at_risk_spark.sources.deltalog import _pruned_active
+
+        active = _pruned_active(
+            self._snap,
+            self._partition_filters or None,
+            self._stats_filters or None,
+        )
+        parts = []
+        for rel in active:
+            pv = self._snap.files[rel].get("partitionValues") or {}
+            if not isinstance(pv, dict):
+                pv = dict(pv)
+            parts.append(
+                _DeltaFilePartition(
+                    os.path.normpath(
+                        os.path.join(self._path, unquote(rel))
+                    ),
+                    pv,
+                )
+            )
+        return parts
 
     def read(self, partition: _DeltaFilePartition):
         yield from _file_to_batches(
@@ -296,7 +375,11 @@ class DeltaLogDataSource(DataSource):
 
 
 def register_deltalog_source(spark) -> None:
-    """Idempotently register the ``deltalog`` format on a session."""
+    """Idempotently register the ``deltalog`` format on a session.
+    Python-side filter pushdown is opt-in in Spark (and a reader that
+    implements pushFilters is REJECTED while the flag is off), so
+    registration enables it."""
+    spark.conf.set("spark.sql.python.filterPushdown.enabled", "true")
     spark.dataSource.register(DeltaLogDataSource)
 
 
