@@ -32,9 +32,9 @@ from urllib.parse import unquote
 
 from pyspark.sql.datasource import (
     DataSource,
+    DataSourceArrowWriter,
     DataSourceReader,
-    DataSourceStreamWriter,
-    DataSourceWriter,
+    DataSourceStreamArrowWriter,
     InputPartition,
     SimpleDataSourceStreamReader,
     WriterCommitMessage,
@@ -400,56 +400,77 @@ def _hive_segment(col: str, val) -> str:
 
 
 def _write_task_files(
-    iterator,
+    batch_iterator,
     table_path: str,
     stage_rel: str,
     schema: StructType,
     part_cols: list[str],
-    rows_per_file: int = 1 << 20,
 ):
-    """Executor half of the Python Data Source write: bucket this
-    task's rows by partition value, write parquet under the staged
-    Hive layout, and return protocol add actions (with footer stats,
-    same payload as deltalog._stage). Bounded memory: buckets flush
-    every ``rows_per_file`` rows."""
+    """Executor half of the Python Data Source write, Arrow end to
+    end: each incoming RecordBatch is split by partition value with
+    vectorized kernels (group_by for the distinct combos, compute
+    masks for the split — no per-row Python), and streamed into one
+    open ParquetWriter per partition key, so task memory is bounded by
+    a batch, not the task's data. Returns protocol add actions with
+    footer stats, the same payload as deltalog._stage."""
     import uuid as _uuid
     from urllib.parse import quote as _q
 
     import pyarrow as pa
+    import pyarrow.compute as pc
     import pyarrow.parquet as pq
 
     from value_at_risk_spark.sources.deltalog import _file_stats
 
     data_fields = [f for f in schema.fields if f.name not in part_cols]
-    data_schema = StructType(data_fields)
-    arrow_schema = _arrow_schema(data_schema)
+    data_names = [f.name for f in data_fields]
+    data_schema = _arrow_schema(StructType(data_fields))
     task_id = _uuid.uuid4().hex[:12]
-    adds: list[dict] = []
-    buckets: dict[tuple, list[dict]] = {}
-    counters: dict[tuple, int] = {}
+    writers: dict[tuple, tuple] = {}  # key -> (ParquetWriter, rel, full)
 
-    def _flush(key: tuple, rows: list[dict]) -> None:
-        if not rows:
-            return
-        seq = counters.get(key, 0)
-        counters[key] = seq + 1
+    def _writer_for(key: tuple):
+        got = writers.get(key)
+        if got is not None:
+            return got[0]
         segs = [_hive_segment(c, v) for c, v in zip(part_cols, key)]
-        rel_dir = os.path.join(stage_rel, *segs) if segs else stage_rel
-        abs_dir = os.path.join(table_path, rel_dir)
+        rel_dir = "/".join([stage_rel, *segs]) if segs else stage_rel
+        abs_dir = os.path.join(table_path, *rel_dir.split("/"))
         os.makedirs(abs_dir, exist_ok=True)
-        name = f"part-{task_id}-{seq:05d}.parquet"
+        name = f"part-{task_id}-{len(writers):05d}.parquet"
         full = os.path.join(abs_dir, name)
-        tbl = pa.Table.from_pylist(
-            [{f.name: r[f.name] for f in data_fields} for r in rows],
-            schema=arrow_schema,
-        )
-        pq.write_table(tbl, full)
+        w = pq.ParquetWriter(full, data_schema)
+        writers[key] = (w, f"{rel_dir}/{name}", full)
+        return w
+
+    for batch in batch_iterator:
+        tbl = pa.Table.from_batches([batch])
+        if not part_cols:
+            _writer_for(()).write_table(
+                tbl.select(data_names).cast(data_schema)
+            )
+            continue
+        for combo in tbl.group_by(part_cols).aggregate([]).to_pylist():
+            mask = None
+            for c in part_cols:
+                v = combo[c]
+                col = tbl[c]
+                cond = (
+                    pc.is_null(col)
+                    if v is None
+                    else pc.equal(col, pa.scalar(v, type=col.type))
+                )
+                mask = cond if mask is None else pc.and_(mask, cond)
+            sub = tbl.filter(mask).select(data_names).cast(data_schema)
+            _writer_for(tuple(combo[c] for c in part_cols)).write_table(sub)
+
+    adds: list[dict] = []
+    for key, (w, rel, full) in writers.items():
+        w.close()
         st = os.stat(full)
         adds.append(
             {
                 "add": {
-                    "path": _q(f"{rel_dir}/{name}".replace(os.sep, "/"),
-                               safe="/"),
+                    "path": _q(rel, safe="/"),
                     "partitionValues": {
                         c: (None if v is None else str(v))
                         for c, v in zip(part_cols, key)
@@ -461,17 +482,6 @@ def _write_task_files(
                 }
             }
         )
-
-    for row in iterator:
-        d = row.asDict()
-        key = tuple(d.get(c) for c in part_cols)
-        bucket = buckets.setdefault(key, [])
-        bucket.append(d)
-        if len(bucket) >= rows_per_file:
-            _flush(key, bucket)
-            buckets[key] = []
-    for key, rows in buckets.items():
-        _flush(key, rows)
     return _AddsMessage(adds)
 
 
@@ -486,7 +496,7 @@ def _unlink_staged(table_path: str, messages) -> None:
                 pass
 
 
-class _DeltaBatchWriter(DataSourceWriter):
+class _DeltaBatchWriter(DataSourceArrowWriter):
     """df.write.format('deltalog'): tasks stage parquet directly (no
     second shuffle through an intermediate format), the driver
     publishes ONE atomic commit from the collected add actions —
@@ -542,7 +552,7 @@ class _DeltaBatchWriter(DataSourceWriter):
         _unlink_staged(self._path, messages)
 
 
-class _DeltaStreamWriter(DataSourceStreamWriter):
+class _DeltaStreamWriter(DataSourceStreamArrowWriter):
     """writeStream.format('deltalog'): each micro-batch commits
     atomically with the protocol's txn action keyed on
     (option 'appId', batchId) — a replayed batch after failure
