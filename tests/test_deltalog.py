@@ -1242,3 +1242,87 @@ def test_deltalog_datasource_filter_pushdown_prunes_files(spark, tmp_path):
         i for i in range(1000, 1100) if i % 4 == 1
     ]
     assert got.rdd.getNumPartitions() < total
+
+
+def test_check_constraints_enforced_across_write_paths(spark, tmp_path):
+    """CHECK constraints (protocol writer feature 3): ADD CONSTRAINT
+    validates existing data and bumps minWriterVersion; violating
+    appends/updates fail with the violating row; NULL evaluations pass
+    (SQL CHECK); the Python Data Source writer REFUSES a constrained
+    table (it cannot enforce SQL on staged batches); DROP restores
+    writability; a foreign table demanding a higher writer version is
+    refused."""
+    from value_at_risk_spark.sources.delta_datasource import (
+        register_deltalog_source,
+    )
+    from value_at_risk_spark.sources.deltalog import (
+        add_check_constraint,
+        drop_check_constraint,
+        table_constraints,
+        update_delta,
+    )
+
+    register_deltalog_source(spark)
+    tbl = str(tmp_path / "cons")
+    write_delta(
+        spark,
+        spark.createDataFrame(
+            [(1, 10.0), (2, 20.0), (3, None)], "id long, v double"
+        ),
+        tbl,
+    )
+    # existing data violates -> ADD fails, nothing committed
+    with pytest.raises(ValueError, match="violated"):
+        add_check_constraint(spark, tbl, "v_big", "v > 15")
+    assert snapshot(tbl).version == 0
+
+    v = add_check_constraint(spark, tbl, "v_pos", "v > 0")  # NULL passes
+    snap = snapshot(tbl)
+    assert v == 1 and table_constraints(snap) == {"v_pos": "v > 0"}
+    assert int(snap.protocol["minWriterVersion"]) == 3
+
+    # valid append passes; violating append fails with the row shown
+    write_delta(
+        spark, spark.createDataFrame([(4, 1.5)], "id long, v double"), tbl
+    )
+    with pytest.raises(ValueError, match="v_pos"):
+        write_delta(
+            spark,
+            spark.createDataFrame([(5, -1.0)], "id long, v double"),
+            tbl,
+        )
+    # UPDATE that would break the invariant fails before committing
+    with pytest.raises(ValueError, match="v_pos"):
+        update_delta(spark, tbl, "id = 1", {"v": "-9.0"})
+    assert read_delta(spark, tbl).count() == 4
+
+    # the DS writer refuses constrained tables up front
+    with pytest.raises(Exception, match="cannot enforce"):
+        spark.createDataFrame([(9, 9.0)], "id long, v double").write.format(
+            "deltalog"
+        ).mode("append").save(tbl)
+
+    drop_check_constraint(spark, tbl, "v_pos")
+    write_delta(
+        spark, spark.createDataFrame([(5, -1.0)], "id long, v double"), tbl
+    )
+    assert read_delta(spark, tbl).count() == 5
+
+    # foreign higher writer version: refuse to write, still readable
+    import json as _json
+
+    tip = snapshot(tbl).version
+    with open(
+        os.path.join(tbl, "_delta_log", f"{tip + 1:020d}.json"), "w"
+    ) as fh:
+        fh.write(
+            _json.dumps(
+                {"protocol": {"minReaderVersion": 1, "minWriterVersion": 7}}
+            )
+            + "\n"
+        )
+    assert read_delta(spark, tbl).count() == 5
+    with pytest.raises(NotImplementedError, match="minWriterVersion"):
+        write_delta(
+            spark, spark.createDataFrame([(6, 1.0)], "id long, v double"), tbl
+        )

@@ -14357,3 +14357,68 @@ def delta_datasource_write_scan(
             (F.round(F.sum("s_acctbal"), 2) + F.lit(0.0)).alias("total_bal"),
         )
     )
+
+
+@query(
+    "delta_constraint_scan",
+    """
+SELECT p_brand,
+       COUNT(*) AS n_parts,
+       ROUND(SUM(p_retailprice), 2) AS total_price
+FROM part GROUP BY p_brand
+""",
+)
+def delta_constraint_scan(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """CHECK constraints on the native delta log, ORACLE-pinned: the
+    part fixture lands in two appends around an ADD CONSTRAINT
+    (p_size >= 1, validated against v0's data by a real scan; the
+    second append re-validated row-by-row at write time) and a proven
+    REJECTION (a violating frame must fail and commit nothing). The
+    final table equals DuckDB's full part aggregate — the constraint
+    machinery admitted every valid row and nothing else
+    (sources/deltalog.add_check_constraint / _check_constraints)."""
+    import atexit
+    import shutil
+    import tempfile
+
+    from value_at_risk_spark.sources.deltalog import (
+        add_check_constraint,
+        read_delta,
+        write_delta,
+    )
+
+    key = ("_constraint", sf_dir)
+    tbl = _DELTA_DML_SCRATCH.get(key)
+    if tbl is None:
+        tbl = tempfile.mkdtemp(prefix="vars_delta_cons_")
+        shutil.rmtree(tbl, ignore_errors=True)
+        atexit.register(shutil.rmtree, tbl, ignore_errors=True)
+        part = _t(spark, sf_dir, "part").select(
+            "p_partkey", "p_brand", "p_size", "p_retailprice"
+        )
+        write_delta(spark, part.filter(F.col("p_partkey") % 2 == 0), tbl)
+        add_check_constraint(spark, tbl, "size_pos", "p_size >= 1")
+        write_delta(spark, part.filter(F.col("p_partkey") % 2 == 1), tbl)
+        # a violating write must be rejected atomically (no partial rows)
+        try:
+            write_delta(
+                spark,
+                part.limit(3).withColumn("p_size", F.lit(-1)),
+                tbl,
+            )
+            raise AssertionError(
+                "delta_constraint_scan: violating write was accepted"
+            )
+        except ValueError:
+            pass
+        _DELTA_DML_SCRATCH[key] = tbl
+    return (
+        read_delta(spark, tbl)
+        .groupBy("p_brand")
+        .agg(
+            F.count(F.lit(1)).alias("n_parts"),
+            (F.round(F.sum("p_retailprice"), 2) + F.lit(0.0)).alias(
+                "total_price"
+            ),
+        )
+    )

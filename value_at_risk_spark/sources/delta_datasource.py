@@ -383,6 +383,25 @@ def register_deltalog_source(spark) -> None:
     spark.dataSource.register(DeltaLogDataSource)
 
 
+def _refuse_constrained(path: str) -> None:
+    """Protocol writer-version discipline: this writer stages data in
+    tasks that cannot evaluate SQL CHECK constraints, so a constrained
+    table is refused up front (exactly what minWriterVersion exists
+    for) — write through write_delta, which enforces them."""
+    from value_at_risk_spark.sources.deltalog import (
+        delta_versions,
+        snapshot,
+        table_constraints,
+    )
+
+    if delta_versions(path) and table_constraints(snapshot(path)):
+        raise ValueError(
+            f"delta table at {path} has CHECK constraints the "
+            "deltalog data source writer cannot enforce — use "
+            "write_delta"
+        )
+
+
 class _AddsMessage(WriterCommitMessage):
     """Per-task commit message: the add actions for the files this
     task staged (paths relative to the table root, protocol-encoded)."""
@@ -524,6 +543,7 @@ class _DeltaBatchWriter(DataSourceArrowWriter):
         self._part_cols, self._new_metadata = _validate_write_schema(
             self._path, schema, partition_by, merge_schema=False
         )
+        _refuse_constrained(self._path)  # fail before any task launches
         self._stage_rel = f"stage-dsw-{os.getpid()}-{_uuid.uuid4().hex[:8]}"
 
     def write(self, iterator):
@@ -586,6 +606,7 @@ class _DeltaStreamWriter(DataSourceStreamArrowWriter):
             _validate_write_schema(
                 self._path, schema, self._partition_by, merge_schema=False
             )
+            _refuse_constrained(self._path)
 
     def write(self, iterator):
         import uuid as _uuid

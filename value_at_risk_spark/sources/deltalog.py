@@ -582,6 +582,10 @@ def write_delta(
     part_cols, new_metadata = _validate_write_schema(
         path, df.schema, partition_by, merge_schema
     )
+    if delta_versions(path):
+        cons = table_constraints(snapshot(path))
+        if cons:
+            _check_constraints(df, cons, "write_delta")
 
     adds = _stage(df, path, part_cols, data_change=True)
     return commit_staged_adds(
@@ -593,6 +597,7 @@ def write_delta(
         txn=txn,
         expected_version=expected_version,
         new_metadata=new_metadata,
+        constraints_ok=True,
     )
 
 
@@ -675,13 +680,35 @@ def commit_staged_adds(
     txn: dict | None = None,
     expected_version: int | None = None,
     new_metadata: dict | None = None,
+    constraints_ok: bool = False,
 ) -> int:
     """write_delta's commit half: publish already-staged add actions
     as one transactional version (optimistic retry; the protocol txn
     action dedups replays; overwrite recomputes removes against the
     CURRENT tip each attempt). Shared with the Python Data Source
-    writers, whose tasks stage files themselves."""
+    writers, whose tasks stage files themselves.
+
+    Protocol writer-version discipline: a table whose
+    ``minWriterVersion`` exceeds what this module implements (3:
+    CHECK constraints) is refused, and a constrained table is refused
+    unless the caller enforced the constraints on the data it staged
+    (``constraints_ok``) — writing blind would corrupt the table's
+    invariant, exactly what the protocol's writer version exists to
+    prevent."""
     part_cols = list(part_cols or [])
+    if delta_versions(path):
+        snap0 = snapshot(path)
+        wv = int(snap0.protocol.get("minWriterVersion", 2) or 2)
+        if wv > 3:
+            raise NotImplementedError(
+                f"delta table at {path} requires minWriterVersion {wv}; "
+                "this writer implements up to 3 (CHECK constraints)"
+            )
+        if table_constraints(snap0) and not constraints_ok:
+            raise ValueError(
+                f"delta table at {path} has CHECK constraints this "
+                "write path cannot enforce — write through write_delta"
+            )
     now_ms = int(time.time() * 1000)
     for _attempt in range(64):
         versions = delta_versions(path)
@@ -1320,6 +1347,7 @@ def update_delta(
                 "files_added": 0,
             }
         base = _scan_files(spark, path, snap, touched)
+        cons = table_constraints(snap)
         rewritten = base.select(
             *[
                 (
@@ -1335,6 +1363,8 @@ def update_delta(
                 for f in snap.schema.fields
             ]
         )
+        if cons:
+            _check_constraints(rewritten, cons, "update_delta")
         adds = _stage(
             rewritten.repartition(len(touched)),
             path,
@@ -1358,3 +1388,110 @@ def update_delta(
                 "files_added": len(adds),
             }
     raise RuntimeError(f"update_delta: conflicted 16 times at {path}")
+
+
+def table_constraints(snap: DeltaSnapshot) -> dict[str, str]:
+    """CHECK constraints from ``metaData.configuration`` — the
+    protocol's ``delta.constraints.<name> = <sql expr>`` entries."""
+    conf = snap.metadata.get("configuration") or {}
+    pre = "delta.constraints."
+    return {
+        k[len(pre):]: v for k, v in conf.items() if k.startswith(pre)
+    }
+
+
+def _check_constraints(
+    df: DataFrame, constraints: dict[str, str], context: str
+) -> None:
+    """Enforce CHECK constraints on a frame about to be written: one
+    job, short-circuited by limit(1); the error carries the violating
+    row (Delta's own UX). A constraint evaluating to NULL passes
+    (SQL CHECK semantics)."""
+    for name, expr in sorted(constraints.items()):
+        bad = (
+            df.filter(~F.coalesce(F.expr(expr), F.lit(True)))
+            .limit(1)
+            .collect()
+        )
+        if bad:
+            raise ValueError(
+                f"{context}: CHECK constraint {name} ({expr}) violated "
+                f"by row {bad[0].asDict()}"
+            )
+
+
+def add_check_constraint(
+    spark: SparkSession, path: str, name: str, expr: str
+) -> int:
+    """``ALTER TABLE ADD CONSTRAINT name CHECK (expr)``: validates the
+    EXISTING data first (one scan, as Delta does), then commits a
+    metaData action carrying ``delta.constraints.name`` and bumps
+    ``minWriterVersion`` to 3 — the protocol's contract that a writer
+    which cannot enforce the constraint must refuse to write the
+    table. Returns the committed version."""
+    if not name.replace("_", "").isalnum() or name != name.lower():
+        raise ValueError(
+            f"constraint name must be lower_snake_case alnum: {name!r}"
+        )
+    existing = read_delta(spark, path)
+    _check_constraints(
+        existing, {name: expr}, "add_check_constraint"
+    )
+    now_ms = int(time.time() * 1000)
+    for _attempt in range(16):
+        snap = snapshot(path)
+        if name in table_constraints(snap):
+            raise ValueError(f"constraint {name} already exists at {path}")
+        conf = dict(snap.metadata.get("configuration") or {})
+        conf[f"delta.constraints.{name}"] = expr
+        wv = max(3, int(snap.protocol.get("minWriterVersion", 2) or 2))
+        actions = [
+            {
+                "commitInfo": {
+                    "timestamp": now_ms,
+                    "operation": "ADD CONSTRAINT",
+                    "operationParameters": {"name": name, "expr": expr},
+                    "engineInfo": "value_at_risk_spark.deltalog",
+                }
+            },
+            {
+                "protocol": {
+                    "minReaderVersion": int(
+                        snap.protocol.get("minReaderVersion", 1) or 1
+                    ),
+                    "minWriterVersion": wv,
+                }
+            },
+            {"metaData": {**snap.metadata, "configuration": conf}},
+        ]
+        if _publish_commit(path, snap.version + 1, actions):
+            return snap.version + 1
+    raise RuntimeError(f"add_check_constraint: lost the race at {path}")
+
+
+def drop_check_constraint(
+    spark: SparkSession, path: str, name: str
+) -> int:
+    """``ALTER TABLE DROP CONSTRAINT name`` — metaData-only commit."""
+    now_ms = int(time.time() * 1000)
+    for _attempt in range(16):
+        snap = snapshot(path)
+        key = f"delta.constraints.{name}"
+        conf = dict(snap.metadata.get("configuration") or {})
+        if key not in conf:
+            raise ValueError(f"no constraint {name} at {path}")
+        del conf[key]
+        actions = [
+            {
+                "commitInfo": {
+                    "timestamp": now_ms,
+                    "operation": "DROP CONSTRAINT",
+                    "operationParameters": {"name": name},
+                    "engineInfo": "value_at_risk_spark.deltalog",
+                }
+            },
+            {"metaData": {**snap.metadata, "configuration": conf}},
+        ]
+        if _publish_commit(path, snap.version + 1, actions):
+            return snap.version + 1
+    raise RuntimeError(f"drop_check_constraint: lost the race at {path}")
