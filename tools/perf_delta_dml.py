@@ -1,0 +1,160 @@
+"""Delta DML scale study: the file-level copy-on-write payoff.
+
+Builds a ~1.5M-row native delta table (lineitem at sf0.1 replicated
+10x with shifted keys, like the bench's other scaled10 rows) committed
+as 20 appends so the active set holds enough files for selective DML
+to show its shape, then measures:
+
+1. delete_narrow  — DELETE matching ~1 file (one key range): the
+   identification scan + a rewrite of ONLY the touched files;
+2. delete_broad   — DELETE matching every file (a global predicate):
+   the worst case, bounded below by one full rewrite;
+3. update_narrow  — UPDATE of one key range;
+4. full_rewrite   — merge_into_delta_native-style whole-set overwrite
+   of the same table (the no-file-skipping baseline the narrow ops
+   must beat);
+5. ds_write / native_write — the Python Data Source write path vs
+   write_delta on the same 1.5M rows (stage-parallel parity check);
+6. ds_read / native_read — full-scan counts through both read paths.
+
+Prints one JSON line. One run each — a regression tracker, not a
+micro-benchmark.
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import shutil
+import sys
+import tempfile
+import time
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
+from pyspark.sql import functions as F  # noqa: E402
+
+from value_at_risk_spark.session import get_spark  # noqa: E402
+from value_at_risk_spark.sources.delta_datasource import (  # noqa: E402
+    register_deltalog_source,
+)
+from value_at_risk_spark.sources.deltalog import (  # noqa: E402
+    delete_from_delta,
+    read_delta,
+    snapshot,
+    update_delta,
+    write_delta,
+)
+
+SF_DIR = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
+REPS = int(os.environ.get("PERF_DELTA_REPS", "10"))
+COMMITS = int(os.environ.get("PERF_DELTA_COMMITS", "20"))
+
+
+def main() -> None:
+    spark = get_spark()
+    register_deltalog_source(spark)
+    out: dict = {"sf_dir": SF_DIR, "reps": REPS, "commits": COMMITS}
+
+    li = (
+        spark.read.parquet(os.path.join(SF_DIR, "lineitem.parquet"))
+        .select("l_orderkey", "l_partkey", "l_quantity", "l_extendedprice")
+    )
+    n_src = li.count()
+    rep = spark.range(REPS).select(F.col("id").alias("_rep"))
+    big = (
+        li.crossJoin(F.broadcast(rep))
+        .select(
+            (F.col("l_orderkey") + F.col("_rep") * 10_000_000).alias("k"),
+            "l_partkey",
+            "l_quantity",
+            "l_extendedprice",
+        )
+    ).persist()
+    n = big.count()
+    out["rows"] = n
+    assert n == n_src * REPS
+
+    tbl = tempfile.mkdtemp(prefix="perf_dml_")
+    shutil.rmtree(tbl, ignore_errors=True)
+    try:
+        # native write, COMMITS appends of CONTIGUOUS key ranges — the
+        # clustered layout ZORDER/ingest-time ordering gives a real
+        # table, so per-file stats can actually prune
+        t0 = time.perf_counter()
+        lo, hi = 0, REPS * 10_000_000
+        step = (hi - lo) // COMMITS
+        for c in range(COMMITS):
+            write_delta(
+                spark,
+                big.filter(
+                    (F.col("k") >= lo + c * step)
+                    & (F.col("k") < (hi if c == COMMITS - 1 else lo + (c + 1) * step))
+                ),
+                tbl,
+            )
+        out["native_write_sec"] = round(time.perf_counter() - t0, 3)
+        out["files"] = len(snapshot(tbl).files)
+
+        t0 = time.perf_counter()
+        out["native_read_rows"] = read_delta(spark, tbl).count()
+        out["native_read_sec"] = round(time.perf_counter() - t0, 3)
+
+        t0 = time.perf_counter()
+        out["ds_read_rows"] = (
+            spark.read.format("deltalog").load(tbl).count()
+        )
+        out["ds_read_sec"] = round(time.perf_counter() - t0, 3)
+
+        # narrow DELETE: one replica's low-key slice (~1/200 of rows,
+        # localized in the files of a few commits)
+        t0 = time.perf_counter()
+        r = delete_from_delta(
+            spark, tbl, "k < 30000", stats_filters=[("k", "<", 30000)]
+        )
+        out["delete_narrow_sec"] = round(time.perf_counter() - t0, 3)
+        out["delete_narrow"] = r
+
+        # narrow UPDATE on another slice
+        t0 = time.perf_counter()
+        r = update_delta(
+            spark,
+            tbl,
+            "k >= 10000000 AND k < 10030000",
+            {"l_quantity": "l_quantity + 1"},
+            stats_filters=[("k", ">=", 10000000), ("k", "<", 10030000)],
+        )
+        out["update_narrow_sec"] = round(time.perf_counter() - t0, 3)
+        out["update_narrow"] = r
+
+        # broad DELETE: a predicate touching every file
+        t0 = time.perf_counter()
+        r = delete_from_delta(spark, tbl, "k % 97 = 0")
+        out["delete_broad_sec"] = round(time.perf_counter() - t0, 3)
+        out["delete_broad"] = r
+
+        # the no-skipping baseline: whole-active-set rewrite
+        t0 = time.perf_counter()
+        cur = read_delta(spark, tbl)
+        write_delta(spark, cur, tbl, mode="overwrite")
+        out["full_rewrite_sec"] = round(time.perf_counter() - t0, 3)
+    finally:
+        shutil.rmtree(tbl, ignore_errors=True)
+
+    # DS write parity on the same rows (fresh table, single commit)
+    tbl2 = tempfile.mkdtemp(prefix="perf_dsw_")
+    shutil.rmtree(tbl2, ignore_errors=True)
+    try:
+        t0 = time.perf_counter()
+        big.write.format("deltalog").mode("append").save(tbl2)
+        out["ds_write_sec"] = round(time.perf_counter() - t0, 3)
+        out["ds_write_rows"] = read_delta(spark, tbl2).count()
+    finally:
+        shutil.rmtree(tbl2, ignore_errors=True)
+    big.unpersist()
+
+    print(json.dumps(out))
+
+
+if __name__ == "__main__":
+    main()
