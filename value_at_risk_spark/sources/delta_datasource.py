@@ -263,13 +263,44 @@ class _DeltaStreamReader(SimpleDataSourceStreamReader):
     stream's start, then each micro-batch carries exactly the rows
     added by commits in (start, tip]. readBetweenOffsets re-reads a
     range deterministically from the immutable log, which is what
-    makes checkpoint recovery exactly-once."""
+    makes checkpoint recovery exactly-once.
+
+    Scale knobs (the same levers Delta's own source exposes):
+
+    - ``option("startingVersion", n | "latest")`` — skip the initial
+      table snapshot and consume only commits AFTER n (or after the
+      tip at stream start). At 100 TB the snapshot batch is the whole
+      table through the driver; a tailing consumer should start at
+      the tip.
+    - ``option("maxVersionsPerBatch", n)`` — cap each micro-batch at
+      n commits, so a consumer catching up after downtime drains the
+      backlog in bounded batches instead of one giant one."""
 
     def __init__(self, options: dict, schema: StructType):
         self._path = _required_path(options)
         self._schema = schema
+        sv = options.get("startingversion") or options.get(
+            "startingVersion"
+        )
+        if sv is None:
+            self._starting = None
+        elif str(sv).lower() == "latest":
+            from value_at_risk_spark.sources.deltalog import delta_versions
+
+            vs = delta_versions(self._path)
+            self._starting = vs[-1] if vs else -1
+        else:
+            self._starting = int(sv)
+        mv = options.get("maxversionsperbatch") or options.get(
+            "maxVersionsPerBatch"
+        )
+        self._max_versions = int(mv) if mv is not None else None
+        if self._max_versions is not None and self._max_versions < 1:
+            raise ValueError("maxVersionsPerBatch must be >= 1")
 
     def initialOffset(self) -> dict:
+        if self._starting is not None:
+            return {"version": self._starting}
         return {"version": -1}
 
     def _rows_for_files(self, files) -> Iterator[Tuple]:
@@ -319,22 +350,29 @@ class _DeltaStreamReader(SimpleDataSourceStreamReader):
         tip = versions[-1] if versions else -1
         start_v = int(start["version"])
         if tip <= start_v:
-            return [], start
+            return iter(()), start
+        if self._max_versions is not None and start_v >= 0:
+            # bounded catch-up: never more than N commits per batch
+            # (the initial snapshot batch is version-atomic and exempt)
+            tip = min(tip, start_v + self._max_versions)
         end = {"version": tip}
-        # a LIST, not a generator: Spark's prefetch cache copy.copies
-        # the returned iterator to replay it on commit
+        # a LIST ITERATOR, not a generator: Spark's prefetch cache both
+        # copy.copies the returned iterator (generators can't) and
+        # next()s it (bare lists can't) — iter(list) satisfies both
         rows = list(
             self._rows_for_files(self._files_between(start_v, tip))
         )
-        return rows, end
+        return iter(rows), end
 
     def readBetweenOffsets(
         self, start: dict, end: dict
     ) -> Iterator[Tuple]:
-        return list(
-            self._rows_for_files(
-                self._files_between(
-                    int(start["version"]), int(end["version"])
+        return iter(
+            list(
+                self._rows_for_files(
+                    self._files_between(
+                        int(start["version"]), int(end["version"])
+                    )
                 )
             )
         )
