@@ -1403,3 +1403,111 @@ def test_deltalog_stream_starting_version_and_rate_limit(spark, tmp_path):
     # three commits after v0, never more than one commit (10 rows)
     # per micro-batch
     assert [b for b in batches if b] == [10, 10, 10]
+
+
+def test_delta_sql_text_surface(spark, tmp_path):
+    """delta_sql (sources/delta_sql): the reference's Delta-SQL
+    statement shapes dispatch to the native log — SELECT with
+    VERSION AS OF via view substitution, DELETE/UPDATE, upsert-star
+    MERGE (through the runtime NOT NULL invariant, since MERGE plans
+    are statically nullable), OPTIMIZE ZORDER, DESCRIBE HISTORY,
+    ADD/DROP CONSTRAINT, RESTORE; unsupported text is loud."""
+    from value_at_risk_spark.sources.delta_sql import delta_sql
+
+    tbl = str(tmp_path / "sqlt")
+    df = spark.range(0, 50).select(
+        F.col("id"),
+        (F.col("id") % 3).cast("int").alias("k"),
+        (F.col("id") * 2.0).alias("v"),
+    )
+    write_delta(spark, df, tbl)
+
+    assert delta_sql(
+        spark, f"SELECT COUNT(*) AS n FROM delta.`{tbl}`"
+    ).first().n == 50
+    r = delta_sql(spark, f"DELETE FROM delta.`{tbl}` WHERE id >= 40")
+    assert r["rows_deleted"] == 10
+    r = delta_sql(
+        spark, f"UPDATE delta.`{tbl}` SET v = v + 1, k = 9 WHERE id < 5"
+    )
+    assert r["rows_updated"] == 5
+    # the pre-DML snapshot through SQL time travel
+    assert delta_sql(
+        spark, f"SELECT COUNT(*) AS n FROM delta.`{tbl}` VERSION AS OF 0"
+    ).first().n == 50
+
+    delta_sql(spark, f"OPTIMIZE delta.`{tbl}` ZORDER BY (k, id)")
+    spark.createDataFrame(
+        [(1, 5, 100.0), (999, 5, 100.0)], "id long, k int, v double"
+    ).createOrReplaceTempView("sql_updates_v")
+    delta_sql(
+        spark,
+        f"MERGE INTO delta.`{tbl}` AS t USING sql_updates_v AS s "
+        "ON t.id = s.id WHEN MATCHED THEN UPDATE SET * "
+        "WHEN NOT MATCHED THEN INSERT *",
+    )
+    got = {r.id: (r.k, r.v) for r in read_delta(spark, tbl).collect()}
+    assert got[1] == (5, 100.0) and got[999] == (5, 100.0)
+    assert len(got) == 41
+
+    hist = delta_sql(spark, f"DESCRIBE HISTORY delta.`{tbl}`")
+    ops = [r.operation for r in hist.collect()]
+    assert "DELETE" in ops and "UPDATE" in ops and "OPTIMIZE" in ops
+
+    delta_sql(
+        spark,
+        f"ALTER TABLE delta.`{tbl}` ADD CONSTRAINT v_ok CHECK (v >= 0)",
+    )
+    with pytest.raises(ValueError, match="v_ok"):
+        write_delta(
+            spark,
+            spark.createDataFrame(
+                [(7, 7, -1.0)], "id long, k int, v double"
+            ),
+            tbl,
+        )
+    delta_sql(spark, f"ALTER TABLE delta.`{tbl}` DROP CONSTRAINT v_ok")
+
+    v_target = 1
+    delta_sql(
+        spark, f"RESTORE TABLE delta.`{tbl}` TO VERSION AS OF {v_target}"
+    )
+    assert read_delta(spark, tbl).count() == 40
+
+    with pytest.raises(ValueError, match="unsupported"):
+        delta_sql(spark, f"TRUNCATE delta.`{tbl}`")
+    # a join between a delta table and a temp view plans through
+    # Catalyst as ordinary SQL
+    spark.createDataFrame(
+        [(0, "zero"), (1, "one")], "id long, name string"
+    ).createOrReplaceTempView("names_v")
+    joined = delta_sql(
+        spark,
+        f"SELECT n.name, COUNT(*) AS c FROM delta.`{tbl}` d "
+        "JOIN names_v n ON d.id = n.id GROUP BY n.name",
+    )
+    assert {r.name for r in joined.collect()} == {"zero", "one"}
+
+
+def test_not_null_invariant_runtime_enforced(spark, tmp_path):
+    """Delta's NOT NULL invariant: a statically-nullable frame may
+    target a required column IF no actual null reaches it — proven at
+    write time; a real null fails with the row; the DS writer (no
+    session to run the check) refuses up front."""
+    from value_at_risk_spark.sources.delta_datasource import (
+        register_deltalog_source,
+    )
+
+    register_deltalog_source(spark)
+    tbl = str(tmp_path / "nn")
+    write_delta(spark, spark.range(0, 5).select("id"), tbl)  # id NOT NULL
+    nullable = spark.createDataFrame([(5,), (6,)], "id long")  # nullable
+    assert nullable.schema["id"].nullable
+    write_delta(spark, nullable, tbl)  # no actual nulls: accepted
+    assert read_delta(spark, tbl).count() == 7
+    with pytest.raises(ValueError, match="NOT NULL"):
+        write_delta(
+            spark, spark.createDataFrame([(None,)], "id long"), tbl
+        )
+    with pytest.raises(Exception, match="NOT NULL"):
+        nullable.write.format("deltalog").mode("append").save(tbl)

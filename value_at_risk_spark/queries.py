@@ -14422,3 +14422,67 @@ def delta_constraint_scan(spark: SparkSession, sf_dir: str) -> DataFrame:
             ),
         )
     )
+
+
+@query(
+    "delta_sql_dml_scan",
+    """
+SELECT n_regionkey,
+       COUNT(*) AS n_nations,
+       SUM(LENGTH(n_name)) AS name_chars
+FROM (
+  SELECT n_regionkey,
+         CASE WHEN n_nationkey < 10 THEN UPPER(n_name) ELSE n_name END
+           AS n_name
+  FROM nation
+  WHERE NOT (n_regionkey = 4)
+)
+GROUP BY n_regionkey
+""",
+)
+def delta_sql_dml_scan(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The Delta-SQL TEXT surface end to end, ORACLE-pinned: nation
+    lands in a native table, then the reference's statement shapes run
+    as raw SQL strings — ``DELETE FROM delta.`p` WHERE n_regionkey=4``
+    and ``UPDATE delta.`p` SET n_name = UPPER(n_name) WHERE
+    n_nationkey < 10`` — and the final SELECT (also through
+    delta_sql's view substitution) must equal DuckDB recomputing both
+    mutations from the original parquet
+    (sources/delta_sql.delta_sql)."""
+    import atexit
+    import shutil
+    import tempfile
+
+    from value_at_risk_spark.sources.delta_sql import delta_sql
+    from value_at_risk_spark.sources.deltalog import write_delta
+
+    key = ("_sqldml", sf_dir)
+    tbl = _DELTA_DML_SCRATCH.get(key)
+    if tbl is None:
+        tbl = tempfile.mkdtemp(prefix="vars_delta_sql_")
+        shutil.rmtree(tbl, ignore_errors=True)
+        atexit.register(shutil.rmtree, tbl, ignore_errors=True)
+        write_delta(
+            spark,
+            _t(spark, sf_dir, "nation").select(
+                "n_nationkey", "n_regionkey", "n_name"
+            ),
+            tbl,
+        )
+        delta_sql(spark, f"DELETE FROM delta.`{tbl}` WHERE n_regionkey = 4")
+        delta_sql(
+            spark,
+            f"UPDATE delta.`{tbl}` SET n_name = UPPER(n_name) "
+            "WHERE n_nationkey < 10",
+        )
+        _DELTA_DML_SCRATCH[key] = tbl
+    return delta_sql(
+        spark,
+        f"""
+        SELECT n_regionkey,
+               COUNT(*) AS n_nations,
+               SUM(LENGTH(n_name)) AS name_chars
+        FROM delta.`{tbl}`
+        GROUP BY n_regionkey
+        """,
+    )

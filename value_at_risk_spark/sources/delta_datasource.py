@@ -421,6 +421,20 @@ def register_deltalog_source(spark) -> None:
     spark.dataSource.register(DeltaLogDataSource)
 
 
+def _refuse_nullable_into_required(path: str, null_checks: list) -> None:
+    """This writer's tasks cannot run the runtime NOT NULL invariant
+    check (no session at staging time), so a statically-nullable frame
+    targeting required columns is refused up front — write through
+    write_delta, which proves the invariant before committing."""
+    if null_checks:
+        raise ValueError(
+            f"delta table at {path}: column(s) {null_checks} are NOT "
+            "NULL but the incoming frame is statically nullable — the "
+            "deltalog data source writer cannot run the runtime "
+            "invariant check; use write_delta"
+        )
+
+
 def _refuse_constrained(path: str) -> None:
     """Protocol writer-version discipline: this writer stages data in
     tasks that cannot evaluate SQL CHECK constraints, so a constrained
@@ -578,9 +592,12 @@ class _DeltaBatchWriter(DataSourceArrowWriter):
             else None
         )
         os.makedirs(self._path, exist_ok=True)
-        self._part_cols, self._new_metadata = _validate_write_schema(
-            self._path, schema, partition_by, merge_schema=False
+        self._part_cols, self._new_metadata, null_checks = (
+            _validate_write_schema(
+                self._path, schema, partition_by, merge_schema=False
+            )
         )
+        _refuse_nullable_into_required(self._path, null_checks)
         _refuse_constrained(self._path)  # fail before any task launches
         self._stage_rel = f"stage-dsw-{os.getpid()}-{_uuid.uuid4().hex[:8]}"
 
@@ -641,9 +658,10 @@ class _DeltaStreamWriter(DataSourceStreamArrowWriter):
         from value_at_risk_spark.sources.deltalog import delta_versions
 
         if delta_versions(self._path):
-            _validate_write_schema(
+            _, _, null_checks = _validate_write_schema(
                 self._path, schema, self._partition_by, merge_schema=False
             )
+            _refuse_nullable_into_required(self._path, null_checks)
             _refuse_constrained(self._path)
 
     def write(self, iterator):
@@ -674,13 +692,13 @@ class _DeltaStreamWriter(DataSourceStreamArrowWriter):
         )
 
         adds = [a for m in messages if m is not None for a in m.adds]
-        part_cols, new_metadata = (
-            _validate_write_schema(
+        if delta_versions(self._path):
+            part_cols, new_metadata, null_checks = _validate_write_schema(
                 self._path, self._schema, self._partition_by, False
             )
-            if delta_versions(self._path)
-            else (list(self._partition_by or []), None)
-        )
+            _refuse_nullable_into_required(self._path, null_checks)
+        else:
+            part_cols, new_metadata = list(self._partition_by or []), None
         v = commit_staged_adds(
             self._path,
             adds,

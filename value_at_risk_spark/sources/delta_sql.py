@@ -1,0 +1,267 @@
+"""SQL text surface for the native delta log.
+
+The reference drives its Delta tables through SQL statements —
+``OPTIMIZE ... ZORDER BY (date, ticker)`` after the Monte-Carlo write
+(``/root/reference/03_var_monte_carlo.py:162``), DML and MERGE over
+the market tables (``config/configure_notebook.py:18-27``) — so a
+user porting those workloads needs the TEXT form, not just the
+function calls. ``delta_sql(spark, stmt)`` parses the Delta-SQL
+statement shapes those workloads use and dispatches to the native-log
+implementations, with tables addressed as ``delta.`/path``` exactly
+like delta-spark's path syntax:
+
+- ``SELECT ... FROM delta.`/p` [VERSION AS OF n] ...`` — every
+  ``delta.`path``` reference is swapped for a snapshot temp view and
+  the rest of the text is handed to Catalyst verbatim (joins between
+  delta tables and registered views work);
+- ``DELETE FROM delta.`/p` WHERE cond``;
+- ``UPDATE delta.`/p` SET c = expr[, ...] [WHERE cond]``;
+- ``MERGE INTO delta.`/p` [AS] t USING view [AS] s ON t.k = s.k
+  [AND ...] WHEN MATCHED THEN UPDATE SET * WHEN NOT MATCHED THEN
+  INSERT *`` — the upsert-star form (key-level update-or-insert);
+- ``OPTIMIZE delta.`/p` [ZORDER BY (c1, c2)]``;
+- ``VACUUM delta.`/p` [RETAIN n HOURS]``;
+- ``RESTORE [TABLE] delta.`/p` TO VERSION AS OF n``;
+- ``DESCRIBE HISTORY delta.`/p``` — returned as a DataFrame;
+- ``ALTER TABLE delta.`/p` ADD CONSTRAINT name CHECK (expr)`` /
+  ``DROP CONSTRAINT name``.
+
+Anything else raises ValueError with the unsupported text — loud,
+never silently re-interpreted. Statements that mutate return the
+underlying function's result (dict/int/list); queries return a
+DataFrame.
+"""
+
+from __future__ import annotations
+
+import re
+import uuid
+
+from pyspark.sql import DataFrame, SparkSession
+
+_DELTA_REF = re.compile(r"delta\.`([^`]+)`", re.IGNORECASE)
+
+
+def _one_path(stmt: str, context: str) -> str:
+    refs = _DELTA_REF.findall(stmt)
+    if len(refs) != 1:
+        raise ValueError(
+            f"delta_sql {context}: expected exactly one delta.`path` "
+            f"reference, found {len(refs)}"
+        )
+    return refs[0]
+
+
+def delta_sql(spark: SparkSession, stmt: str):
+    from value_at_risk_spark.sources import deltalog as dl
+
+    s = stmt.strip().rstrip(";").strip()
+    head = s.split(None, 1)[0].upper() if s else ""
+
+    if head == "SELECT" or head == "WITH":
+        # swap every delta.`path` [VERSION AS OF n] for a snapshot view
+        def _sub(m: re.Match) -> str:
+            path = m.group(1)
+            rest = s[m.end():]
+            vm = re.match(
+                r"\s+VERSION\s+AS\s+OF\s+(\d+)", rest, re.IGNORECASE
+            )
+            version = int(vm.group(1)) if vm else None
+            view = f"delta_{uuid.uuid4().hex[:8]}"
+            dl.read_delta(spark, path, version=version).createOrReplaceTempView(view)
+            return view
+
+        out = []
+        pos = 0
+        for m in _DELTA_REF.finditer(s):
+            out.append(s[pos:m.start()])
+            out.append(_sub(m))
+            pos = m.end()
+            vm = re.match(
+                r"\s+VERSION\s+AS\s+OF\s+\d+", s[pos:], re.IGNORECASE
+            )
+            if vm:
+                pos += vm.end()  # the view already pins the version
+        out.append(s[pos:])
+        return spark.sql("".join(out))
+
+    if head == "DELETE":
+        m = re.match(
+            r"DELETE\s+FROM\s+delta\.`[^`]+`\s+WHERE\s+(.+)$",
+            s,
+            re.IGNORECASE | re.DOTALL,
+        )
+        if not m:
+            raise ValueError(f"delta_sql: unsupported DELETE shape: {stmt!r}")
+        return dl.delete_from_delta(
+            spark, _one_path(s, "DELETE"), m.group(1).strip()
+        )
+
+    if head == "UPDATE":
+        m = re.match(
+            r"UPDATE\s+delta\.`[^`]+`\s+SET\s+(.+?)"
+            r"(?:\s+WHERE\s+(.+))?$",
+            s,
+            re.IGNORECASE | re.DOTALL,
+        )
+        if not m:
+            raise ValueError(f"delta_sql: unsupported UPDATE shape: {stmt!r}")
+        sets: dict[str, str] = {}
+        # split assignments on top-level commas (no nesting tracking
+        # needed for the supported scalar expressions beyond parens)
+        depth = 0
+        buf = ""
+        parts = []
+        for ch in m.group(1):
+            if ch == "(":
+                depth += 1
+            elif ch == ")":
+                depth -= 1
+            if ch == "," and depth == 0:
+                parts.append(buf)
+                buf = ""
+            else:
+                buf += ch
+        if buf.strip():
+            parts.append(buf)
+        for p in parts:
+            col, eq, expr = p.partition("=")
+            if not eq:
+                raise ValueError(
+                    f"delta_sql: bad SET assignment {p.strip()!r}"
+                )
+            sets[col.strip()] = expr.strip()
+        cond = (m.group(2) or "1=1").strip()
+        return dl.update_delta(spark, _one_path(s, "UPDATE"), cond, sets)
+
+    if head == "MERGE":
+        m = re.match(
+            r"MERGE\s+INTO\s+delta\.`[^`]+`\s+(?:AS\s+)?(\w+)\s+"
+            r"USING\s+(\w+)\s+(?:AS\s+)?(\w+)\s+ON\s+(.+?)\s+"
+            r"WHEN\s+MATCHED\s+THEN\s+UPDATE\s+SET\s+\*\s+"
+            r"WHEN\s+NOT\s+MATCHED\s+THEN\s+INSERT\s+\*$",
+            s,
+            re.IGNORECASE | re.DOTALL,
+        )
+        if not m:
+            raise ValueError(
+                "delta_sql: MERGE supports the upsert-star form "
+                "(UPDATE SET * / INSERT *) with equality ON keys: "
+                f"{stmt!r}"
+            )
+        t_alias, source, s_alias, on = m.groups()
+        keys = []
+        for clause in re.split(r"\s+AND\s+", on, flags=re.IGNORECASE):
+            em = re.match(
+                rf"\s*(?:{t_alias}|{s_alias})\.(\w+)\s*=\s*"
+                rf"(?:{t_alias}|{s_alias})\.(\w+)\s*$",
+                clause,
+                re.IGNORECASE,
+            )
+            if not em or em.group(1).lower() != em.group(2).lower():
+                raise ValueError(
+                    f"delta_sql MERGE: ON must be t.k = s.k equalities, "
+                    f"got {clause.strip()!r}"
+                )
+            keys.append(em.group(1))
+        from value_at_risk_spark.operators.merge import (
+            merge_into_delta_native,
+        )
+
+        return merge_into_delta_native(
+            spark, _one_path(s, "MERGE"), spark.table(source), keys
+        )
+
+    if head == "OPTIMIZE":
+        m = re.match(
+            r"OPTIMIZE\s+delta\.`[^`]+`"
+            r"(?:\s+ZORDER\s+BY\s+\(([^)]+)\))?$",
+            s,
+            re.IGNORECASE,
+        )
+        if not m:
+            raise ValueError(
+                f"delta_sql: unsupported OPTIMIZE shape: {stmt!r}"
+            )
+        zcols = (
+            [c.strip() for c in m.group(1).split(",")] if m.group(1) else None
+        )
+        return dl.optimize_delta(
+            spark, _one_path(s, "OPTIMIZE"), zorder_by=zcols
+        )
+
+    if head == "VACUUM":
+        m = re.match(
+            r"VACUUM\s+delta\.`[^`]+`"
+            r"(?:\s+RETAIN\s+(\d+)\s+HOURS)?$",
+            s,
+            re.IGNORECASE,
+        )
+        if not m:
+            raise ValueError(f"delta_sql: unsupported VACUUM shape: {stmt!r}")
+        retention = (
+            float(m.group(1)) * 3600.0 if m.group(1) else 3600.0
+        )
+        return dl.vacuum_delta(
+            _one_path(s, "VACUUM"), retention_seconds=retention
+        )
+
+    if head == "RESTORE":
+        m = re.match(
+            r"RESTORE\s+(?:TABLE\s+)?delta\.`[^`]+`\s+"
+            r"TO\s+VERSION\s+AS\s+OF\s+(\d+)$",
+            s,
+            re.IGNORECASE,
+        )
+        if not m:
+            raise ValueError(
+                f"delta_sql: unsupported RESTORE shape: {stmt!r}"
+            )
+        return dl.restore_delta(
+            spark, _one_path(s, "RESTORE"), int(m.group(1))
+        )
+
+    if head == "DESCRIBE":
+        m = re.match(
+            r"DESCRIBE\s+HISTORY\s+delta\.`[^`]+`$", s, re.IGNORECASE
+        )
+        if not m:
+            raise ValueError(
+                f"delta_sql: unsupported DESCRIBE shape: {stmt!r}"
+            )
+        hist = dl.delta_history(_one_path(s, "DESCRIBE HISTORY"))
+        return spark.createDataFrame(
+            [
+                (
+                    int(h["version"]),
+                    h.get("operation"),
+                    str(h.get("operationParameters") or {}),
+                )
+                for h in hist
+            ],
+            "version long, operation string, operation_parameters string",
+        )
+
+    if head == "ALTER":
+        m = re.match(
+            r"ALTER\s+TABLE\s+delta\.`[^`]+`\s+ADD\s+CONSTRAINT\s+"
+            r"(\w+)\s+CHECK\s*\((.+)\)$",
+            s,
+            re.IGNORECASE | re.DOTALL,
+        )
+        if m:
+            return dl.add_check_constraint(
+                spark, _one_path(s, "ALTER"), m.group(1), m.group(2).strip()
+            )
+        m = re.match(
+            r"ALTER\s+TABLE\s+delta\.`[^`]+`\s+DROP\s+CONSTRAINT\s+(\w+)$",
+            s,
+            re.IGNORECASE,
+        )
+        if m:
+            return dl.drop_check_constraint(
+                spark, _one_path(s, "ALTER"), m.group(1)
+            )
+        raise ValueError(f"delta_sql: unsupported ALTER shape: {stmt!r}")
+
+    raise ValueError(f"delta_sql: unsupported statement: {stmt!r}")

@@ -579,9 +579,22 @@ def write_delta(
     table creation."""
     if mode not in ("append", "overwrite"):
         raise ValueError(f"write_delta mode must be append|overwrite: {mode}")
-    part_cols, new_metadata = _validate_write_schema(
+    part_cols, new_metadata, null_checks = _validate_write_schema(
         path, df.schema, partition_by, merge_schema
     )
+    if null_checks:
+        # Delta's NOT NULL invariant: the frame is only STATICALLY
+        # nullable (plans are conservative); prove no actual null
+        # reaches a required column — one short-circuited job
+        cond = F.lit(False)
+        for c in null_checks:
+            cond = cond | F.col(c).isNull()
+        bad = df.filter(cond).limit(1).collect()
+        if bad:
+            raise ValueError(
+                f"write_delta: NOT NULL invariant violated for "
+                f"column(s) {null_checks} by row {bad[0].asDict()}"
+            )
     if delta_versions(path):
         cons = table_constraints(snapshot(path))
         if cons:
@@ -606,16 +619,17 @@ def _validate_write_schema(
     got: StructType,
     partition_by: list[str] | None,
     merge_schema: bool,
-) -> tuple[list[str], dict | None]:
+) -> tuple[list[str], dict | None, list[str]]:
     """write_delta's pre-flight half, shared with the Python Data
     Source writers (which must fail BEFORE launching tasks): returns
     (partition columns to stage under, merged metaData action or
-    None). Appends to an existing table enforce schema and
-    partition-column equality; ``partition_by`` is only consulted at
-    table creation."""
+    None, columns needing a runtime NOT NULL check). Appends to an
+    existing table enforce schema and partition-column equality;
+    ``partition_by`` is only consulted at table creation."""
     versions = delta_versions(path)
     existing = snapshot(path) if versions else None
     new_metadata = None
+    null_checks: list[str] = []
     if existing is not None:
         part_cols = existing.partition_columns
         want = existing.schema
@@ -647,19 +661,24 @@ def _validate_write_schema(
                     "schemaString": merged.json(),
                 }
         else:
-            # names + types must match exactly; nullability only one
-            # way — non-nullable data into a nullable column is fine
-            # (Delta's own rule), nullable into required is not
+            # names + types must match exactly. Nullability follows
+            # Delta's NOT NULL invariant semantics: a STATICALLY
+            # nullable frame may target a required column (plan-level
+            # nullability is conservative — e.g. any MERGE/union makes
+            # columns nullable), but the WRITE must then prove no
+            # actual null at runtime — those columns are returned for
+            # the caller to check (write paths without a session to
+            # run the check must refuse, same as CHECK constraints).
             ok = [f.name for f in want.fields] == [
                 f.name for f in got.fields
             ]
             if ok:
                 for wf, gf in zip(want.fields, got.fields):
-                    if wf.dataType != gf.dataType or (
-                        gf.nullable and not wf.nullable
-                    ):
+                    if wf.dataType != gf.dataType:
                         ok = False
                         break
+                    if gf.nullable and not wf.nullable:
+                        null_checks.append(gf.name)
             if not ok:
                 raise ValueError(
                     "write_delta: schema mismatch vs table metaData "
@@ -668,7 +687,7 @@ def _validate_write_schema(
                 )
     else:
         part_cols = list(partition_by or [])
-    return part_cols, new_metadata
+    return part_cols, new_metadata, null_checks
 
 
 def commit_staged_adds(
