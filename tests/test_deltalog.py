@@ -1511,3 +1511,37 @@ def test_not_null_invariant_runtime_enforced(spark, tmp_path):
         )
     with pytest.raises(Exception, match="NOT NULL"):
         nullable.write.format("deltalog").mode("append").save(tbl)
+
+
+def test_datasource_row_group_split_and_sized_groups(spark, tmp_path):
+    """Few big files must not starve the scan: the batch reader splits
+    files into per-row-group input partitions (driver-side footer
+    reads, only for small file counts), and the Arrow task writer
+    buffers Spark's ~10k-row batches into ~1M-row row groups so the
+    written footers stay scan-efficient."""
+    import pyarrow.parquet as pq
+    from urllib.parse import unquote
+
+    from value_at_risk_spark.sources.delta_datasource import (
+        register_deltalog_source,
+    )
+
+    register_deltalog_source(spark)
+    tbl = str(tmp_path / "rg")
+    spark.range(0, 2_000_000).select(
+        F.col("id"), (F.col("id") * 1.5).alias("v")
+    ).coalesce(1).write.format("deltalog").mode("append").save(tbl)
+
+    snap = snapshot(tbl)
+    assert len(snap.files) == 1
+    rel = next(iter(snap.files))
+    ngr = pq.ParquetFile(
+        os.path.join(tbl, unquote(rel))
+    ).metadata.num_row_groups
+    assert 2 <= ngr <= 4  # 1M-row flushes, not hundreds of 10k groups
+
+    got = spark.read.format("deltalog").load(tbl)
+    assert got.rdd.getNumPartitions() == ngr  # one task per row group
+    assert got.count() == 2_000_000
+    agg = got.agg(F.sum("id")).first()[0]
+    assert agg == 1_999_999 * 2_000_000 // 2

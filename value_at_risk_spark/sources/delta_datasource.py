@@ -63,6 +63,7 @@ def _file_to_batches(
     part_values: dict,
     schema: StructType,
     partition_columns: list[str],
+    row_groups: list[int] | None = None,
 ):
     """One data file -> Arrow RecordBatches in the declared column
     order, with partition columns materialized as constant arrays cast
@@ -72,7 +73,10 @@ def _file_to_batches(
     import pyarrow.parquet as pq
 
     want = _arrow_schema(schema)
-    tbl = pq.read_table(abs_path)
+    if row_groups is None:
+        tbl = pq.read_table(abs_path)
+    else:
+        tbl = pq.ParquetFile(abs_path).read_row_groups(row_groups)
     n = tbl.num_rows
     cols = []
     for field in want:
@@ -90,9 +94,15 @@ def _file_to_batches(
 
 
 class _DeltaFilePartition(InputPartition):
-    def __init__(self, abs_path: str, part_values: dict):
+    def __init__(
+        self,
+        abs_path: str,
+        part_values: dict,
+        row_groups: list[int] | None = None,
+    ):
         self.abs_path = abs_path
         self.part_values = part_values
+        self.row_groups = row_groups  # None = whole file
 
 
 def _hive_value_str(v) -> str | None:
@@ -200,6 +210,27 @@ class _DeltaBatchReader(DataSourceReader):
                     pv,
                 )
             )
+        # few big files starve the cluster at one task per file —
+        # split by parquet row group (a driver-side footer read per
+        # file, so only when the file count is small enough that the
+        # extra metadata reads are trivially bounded)
+        if 0 < len(parts) <= 64:
+            import pyarrow.parquet as pq
+
+            split = []
+            for p in parts:
+                try:
+                    ngr = pq.ParquetFile(p.abs_path).metadata.num_row_groups
+                except Exception:
+                    ngr = 1
+                if ngr <= 1:
+                    split.append(p)
+                else:
+                    split.extend(
+                        _DeltaFilePartition(p.abs_path, p.part_values, [g])
+                        for g in range(ngr)
+                    )
+            parts = split
         return parts
 
     def read(self, partition: _DeltaFilePartition):
@@ -208,6 +239,7 @@ class _DeltaBatchReader(DataSourceReader):
             partition.part_values,
             self._schema,
             self._partition_columns,
+            getattr(partition, "row_groups", None),
         )
 
 
@@ -498,6 +530,14 @@ def _write_task_files(
     data_schema = _arrow_schema(StructType(data_fields))
     task_id = _uuid.uuid4().hex[:12]
     writers: dict[tuple, tuple] = {}  # key -> (ParquetWriter, rel, full)
+    # Spark hands ~10k-row Arrow batches; writing each as its own row
+    # group would produce footers with hundreds of tiny groups (bad
+    # for scan/skip efficiency), so buffer per key and flush in
+    # ~64 MB / 1M-row chunks — Delta-sized row groups
+    pending: dict[tuple, list] = {}
+    pending_bytes: dict[tuple, int] = {}
+    FLUSH_BYTES = 64 << 20
+    FLUSH_ROWS = 1 << 20
 
     def _writer_for(key: tuple):
         got = writers.get(key)
@@ -513,12 +553,27 @@ def _write_task_files(
         writers[key] = (w, f"{rel_dir}/{name}", full)
         return w
 
+    def _push(key: tuple, sub) -> None:
+        buf = pending.setdefault(key, [])
+        buf.append(sub)
+        pending_bytes[key] = pending_bytes.get(key, 0) + sub.nbytes
+        if (
+            pending_bytes[key] >= FLUSH_BYTES
+            or sum(t.num_rows for t in buf) >= FLUSH_ROWS
+        ):
+            _flush(key)
+
+    def _flush(key: tuple) -> None:
+        buf = pending.pop(key, None)
+        if not buf:
+            return
+        pending_bytes.pop(key, None)
+        _writer_for(key).write_table(pa.concat_tables(buf))
+
     for batch in batch_iterator:
         tbl = pa.Table.from_batches([batch])
         if not part_cols:
-            _writer_for(()).write_table(
-                tbl.select(data_names).cast(data_schema)
-            )
+            _push((), tbl.select(data_names).cast(data_schema))
             continue
         for combo in tbl.group_by(part_cols).aggregate([]).to_pylist():
             mask = None
@@ -532,8 +587,10 @@ def _write_task_files(
                 )
                 mask = cond if mask is None else pc.and_(mask, cond)
             sub = tbl.filter(mask).select(data_names).cast(data_schema)
-            _writer_for(tuple(combo[c] for c in part_cols)).write_table(sub)
+            _push(tuple(combo[c] for c in part_cols), sub)
 
+    for key in list(pending):
+        _flush(key)
     adds: list[dict] = []
     for key, (w, rel, full) in writers.items():
         w.close()
