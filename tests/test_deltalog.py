@@ -1545,3 +1545,170 @@ def test_datasource_row_group_split_and_sized_groups(spark, tmp_path):
     assert got.count() == 2_000_000
     agg = got.agg(F.sum("id")).first()[0]
     assert agg == 1_999_999 * 2_000_000 // 2
+
+
+def _make_mapped_table(tmp_path) -> str:
+    """A FOREIGN column-mapped table (delta.columnMapping.mode=name):
+    data files and partitionValues carry physical col-<n> names, the
+    schemaString maps them to logical names."""
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    from value_at_risk_spark.sources.deltalog import _publish_commit
+
+    tbl = str(tmp_path / "mapped")
+    schema_string = json.dumps(
+        {
+            "type": "struct",
+            "fields": [
+                {
+                    "name": "id",
+                    "type": "long",
+                    "nullable": True,
+                    "metadata": {
+                        "delta.columnMapping.id": 1,
+                        "delta.columnMapping.physicalName": "col-aaa",
+                    },
+                },
+                {
+                    "name": "seg",
+                    "type": "integer",
+                    "nullable": True,
+                    "metadata": {
+                        "delta.columnMapping.id": 2,
+                        "delta.columnMapping.physicalName": "col-bbb",
+                    },
+                },
+                {
+                    "name": "v",
+                    "type": "double",
+                    "nullable": True,
+                    "metadata": {
+                        "delta.columnMapping.id": 3,
+                        "delta.columnMapping.physicalName": "col-ccc",
+                    },
+                },
+            ],
+        }
+    )
+    adds = []
+    for seg in (0, 1):
+        d = os.path.join(tbl, f"col-bbb={seg}")
+        os.makedirs(d)
+        f = os.path.join(d, f"part-{seg}.parquet")
+        pq.write_table(
+            pa.table(
+                {
+                    "col-aaa": pa.array(
+                        [seg * 10 + i for i in range(5)], pa.int64()
+                    ),
+                    "col-ccc": pa.array(
+                        [float(seg * 10 + i) / 2 for i in range(5)]
+                    ),
+                }
+            ),
+            f,
+        )
+        adds.append(
+            {
+                "add": {
+                    "path": f"col-bbb={seg}/part-{seg}.parquet",
+                    "partitionValues": {"col-bbb": str(seg)},
+                    "size": os.path.getsize(f),
+                    "modificationTime": 0,
+                    "dataChange": True,
+                }
+            }
+        )
+    actions = [
+        {"commitInfo": {"operation": "WRITE"}},
+        {"protocol": {"minReaderVersion": 2, "minWriterVersion": 5}},
+        {
+            "metaData": {
+                "id": "m-1",
+                "format": {"provider": "parquet"},
+                "schemaString": schema_string,
+                "partitionColumns": ["seg"],
+                "configuration": {"delta.columnMapping.mode": "name"},
+            }
+        },
+        *adds,
+    ]
+    assert _publish_commit(tbl, 0, actions)
+    return tbl
+
+
+def test_column_mapping_name_mode_read_and_write_refusal(spark, tmp_path):
+    """Foreign tables with delta.columnMapping.mode=name READ
+    correctly (physical-name scan renamed to the logical schema,
+    logical filters translated, DS reader + pushdown included) and
+    every mutation path refuses them — previously such a table slipped
+    past the reader-version check and read silently wrong."""
+    from value_at_risk_spark.sources.delta_datasource import (
+        register_deltalog_source,
+    )
+    from value_at_risk_spark.sources.deltalog import (
+        delete_from_delta,
+        optimize_delta,
+        update_delta,
+    )
+
+    register_deltalog_source(spark)
+    tbl = _make_mapped_table(tmp_path)
+
+    got = read_delta(spark, tbl)
+    assert [f.name for f in got.schema.fields] == ["id", "seg", "v"]
+    rows = {r.id: (r.seg, r.v) for r in got.collect()}
+    assert len(rows) == 10
+    assert rows[13] == (1, 6.5) and rows[2] == (0, 1.0)
+    # logical-name partition filter translated to the physical key
+    only1 = read_delta(spark, tbl, partition_filters={"seg": ["1"]})
+    assert {r.seg for r in only1.collect()} == {1}
+
+    ds = spark.read.format("deltalog").load(tbl)
+    assert sorted(tuple(r) for r in ds.collect()) == sorted(
+        tuple(r) for r in got.collect()
+    )
+    pruned = ds.filter("seg = 0")
+    assert {r.id for r in pruned.collect()} == {0, 1, 2, 3, 4}
+    assert pruned.rdd.getNumPartitions() == 1  # pushdown pruned seg=1
+
+    # every mutation refuses: the table is never corrupted
+    frame = spark.createDataFrame(
+        [(99, 0, 1.0)], "id long, seg int, v double"
+    )
+    with pytest.raises(NotImplementedError, match="column mapping"):
+        write_delta(spark, frame, tbl)
+    with pytest.raises(NotImplementedError, match="column mapping"):
+        delete_from_delta(spark, tbl, "id = 1")
+    with pytest.raises(NotImplementedError, match="column mapping"):
+        update_delta(spark, tbl, "id = 1", {"v": "2.0"})
+    with pytest.raises(NotImplementedError, match="column mapping"):
+        optimize_delta(spark, tbl)
+    with pytest.raises(Exception, match="column mapping"):
+        frame.write.format("deltalog").mode("append").save(tbl)
+    # readStream.load() is lazy — the reader refusal fires at reader
+    # construction (query start); pin it at the class level
+    from value_at_risk_spark.sources.delta_datasource import (
+        _DeltaStreamReader,
+    )
+
+    with pytest.raises(NotImplementedError, match="batch-read only"):
+        _DeltaStreamReader({"path": tbl}, None)
+    # 'id' mode is refused loudly, never a silent misread
+    import json as _json
+
+    with open(os.path.join(tbl, "_delta_log", f"{0:020d}.json")) as fh:
+        acts = [_json.loads(x) for x in fh if x.strip()]
+    for a in acts:
+        if a.get("metaData"):
+            a["metaData"]["configuration"][
+                "delta.columnMapping.mode"
+            ] = "id"
+    with open(
+        os.path.join(tbl, "_delta_log", f"{0:020d}.json"), "w"
+    ) as fh:
+        for a in acts:
+            fh.write(_json.dumps(a) + "\n")
+    with pytest.raises(NotImplementedError, match="columnMapping"):
+        read_delta(spark, tbl).collect()

@@ -64,6 +64,7 @@ def _file_to_batches(
     schema: StructType,
     partition_columns: list[str],
     row_groups: list[int] | None = None,
+    l2p: dict | None = None,
 ):
     """One data file -> Arrow RecordBatches in the declared column
     order, with partition columns materialized as constant arrays cast
@@ -80,14 +81,17 @@ def _file_to_batches(
     n = tbl.num_rows
     cols = []
     for field in want:
-        if field.name in partition_columns:
-            raw = part_values.get(field.name)
+        # column-mapped tables: the file and partitionValues carry the
+        # PHYSICAL name; the emitted schema stays logical
+        src = (l2p or {}).get(field.name, field.name)
+        if src in partition_columns:
+            raw = part_values.get(src)
             if raw is None:
                 arr = pa.nulls(n, type=field.type)
             else:
                 arr = pa.array([raw] * n, type=pa.string()).cast(field.type)
         else:
-            arr = tbl.column(field.name).cast(field.type)
+            arr = tbl.column(src).cast(field.type)
         cols.append(arr)
     out = pa.table(cols, schema=want)
     yield from out.to_batches()
@@ -134,6 +138,14 @@ class _DeltaBatchReader(DataSourceReader):
         self._path = _required_path(options)
         v = options.get("versionAsOf")
         self._snap = snapshot(self._path, int(v) if v is not None else None)
+        from value_at_risk_spark.sources.deltalog import (
+            _column_mapping,
+            _physicalized,
+        )
+
+        self._l2p = _column_mapping(self._snap)
+        if self._l2p is not None:
+            self._snap = _physicalized(self._snap, self._l2p)
         self._schema = schema
         self._partition_columns = self._snap.partition_columns
         self._partition_filters: dict[str, list] = {}
@@ -163,6 +175,8 @@ class _DeltaBatchReader(DataSourceReader):
             if not attr or len(attr) != 1:
                 continue
             col = attr[0]
+            if self._l2p:
+                col = self._l2p.get(col, col)  # filters arrive logical
             if col in part_set:
                 vals = None
                 if isinstance(f, EqualTo):
@@ -240,6 +254,7 @@ class _DeltaBatchReader(DataSourceReader):
             self._schema,
             self._partition_columns,
             getattr(partition, "row_groups", None),
+            self._l2p,
         )
 
 
@@ -309,8 +324,18 @@ class _DeltaStreamReader(SimpleDataSourceStreamReader):
       backlog in bounded batches instead of one giant one."""
 
     def __init__(self, options: dict, schema: StructType):
+        from value_at_risk_spark.sources.deltalog import (
+            _column_mapping,
+            snapshot as _snap_fn,
+        )
+
         self._path = _required_path(options)
         self._schema = schema
+        if _column_mapping(_snap_fn(self._path)) is not None:
+            raise NotImplementedError(
+                "deltalog stream source: column-mapped tables are "
+                "batch-read only (use spark.read or read_delta)"
+            )
         sv = options.get("startingversion") or options.get(
             "startingVersion"
         )

@@ -29,11 +29,14 @@ with nothing but PySpark + stdlib:
   recovered through Spark's partition discovery against the declared
   schema (types come from ``metaData.schemaString``, not inference).
 
-Out of scope (documented, not silently wrong): multi-part
-checkpoints, deletion vectors, column mapping, generated columns —
-readers of THIS module's tables need none of them, and foreign tables
-using those features fail loudly (unknown action fields are ignored
-per protocol; unsupported reader-version asserts).
+Column mapping mode 'name' is READ-supported (physical-name scan,
+logical rename; every mutation refuses a mapped table so it is never
+corrupted). Out of scope (documented, not silently wrong): multi-part
+checkpoints, deletion vectors, column mapping mode 'id', generated
+columns — readers of THIS module's tables need none of them, and
+foreign tables using those features fail loudly (unknown action
+fields are ignored per protocol; unsupported reader-version
+asserts).
 """
 
 from __future__ import annotations
@@ -310,8 +313,116 @@ def read_delta(
     stats PROVE no row can match; files without stats are kept. This
     prunes FILES, not rows: the caller still applies the actual row
     predicate (same contract as Delta's own data skipping, where the
-    engine does both)."""
+    engine does both).
+
+    Foreign tables with ``delta.columnMapping.mode = name`` (reader
+    version 2) are supported: the scan runs against the PHYSICAL
+    column names the data files carry, then renames to the logical
+    schema; filters arrive in logical names and are translated. Mode
+    'id' (field-id resolution) raises loudly."""
     snap = snapshot(path, version)
+    l2p = _column_mapping(snap)
+    if l2p is not None:
+        logical = [f.name for f in snap.schema.fields]
+        snap = _physicalized(snap, l2p)
+        if partition_filters:
+            partition_filters = {
+                l2p.get(c, c): v for c, v in partition_filters.items()
+            }
+        if stats_filters:
+            stats_filters = [
+                (l2p.get(c, c), op, v) for c, op, v in stats_filters
+            ]
+        phys = _read_snapshot(
+            spark, path, snap, partition_filters, stats_filters
+        )
+        return phys.select(
+            *[F.col(l2p[name]).alias(name) for name in logical]
+        )
+    return _read_snapshot(spark, path, snap, partition_filters, stats_filters)
+
+
+def _column_mapping(snap: DeltaSnapshot) -> dict[str, str] | None:
+    """logical -> physical name map when the table uses
+    ``delta.columnMapping.mode = name``; None when unmapped. 'id'
+    mode and NESTED physical names are refused loudly — silent
+    misreads are the one unforgivable failure here."""
+    mode = (snap.metadata.get("configuration") or {}).get(
+        "delta.columnMapping.mode", "none"
+    )
+    if mode in ("none", ""):
+        return None
+    if mode != "name":
+        raise NotImplementedError(
+            f"delta.columnMapping.mode={mode!r} not supported "
+            "(only 'name' and 'none')"
+        )
+    sch = json.loads(snap.metadata["schemaString"])
+    l2p: dict[str, str] = {}
+    for f in sch["fields"]:
+        md = f.get("metadata") or {}
+        l2p[f["name"]] = md.get(
+            "delta.columnMapping.physicalName", f["name"]
+        )
+        t = f.get("type")
+        if isinstance(t, dict) and t.get("type") == "struct":
+            for nf in t.get("fields", []):
+                if (nf.get("metadata") or {}).get(
+                    "delta.columnMapping.physicalName"
+                ):
+                    raise NotImplementedError(
+                        "nested column mapping not supported "
+                        f"(field {f['name']}.{nf['name']})"
+                    )
+    return l2p
+
+
+def _physicalized(snap: DeltaSnapshot, l2p: dict[str, str]) -> DeltaSnapshot:
+    """A snapshot whose schema/partitionColumns carry the PHYSICAL
+    names — what the data files and add.partitionValues actually use —
+    so the ordinary scan machinery runs unchanged."""
+    sch = json.loads(snap.metadata["schemaString"])
+    for f in sch["fields"]:
+        f["name"] = l2p[f["name"]]
+        # the mapping metadata has served its purpose
+        f["metadata"] = {}
+    md = {
+        **snap.metadata,
+        "schemaString": json.dumps(sch),
+        "partitionColumns": [
+            l2p.get(c, c) for c in (snap.metadata.get("partitionColumns") or [])
+        ],
+    }
+    return DeltaSnapshot(
+        version=snap.version,
+        metadata=md,
+        protocol=snap.protocol,
+        files=snap.files,
+        txns=snap.txns,
+    )
+
+
+def _refuse_mapped_write(snap: DeltaSnapshot, context: str) -> None:
+    """Column-mapped tables need physical-name staging (writer
+    feature 5, not implemented) — refuse every mutation up front so a
+    foreign table is never corrupted, even if its protocol action
+    under-declares the writer version."""
+    if _column_mapping(snap) is not None:
+        raise NotImplementedError(
+            f"delta {context}: table uses column mapping "
+            "(delta.columnMapping.mode); this writer stages logical "
+            "column names and would corrupt it — read-only support"
+        )
+
+
+def _read_snapshot(
+    spark: SparkSession,
+    path: str,
+    snap: DeltaSnapshot,
+    partition_filters: dict[str, list[str]] | None = None,
+    stats_filters: list[tuple] | None = None,
+) -> DataFrame:
+    """read_delta's scan half over an already-resolved snapshot."""
     schema = snap.schema
     active = _pruned_active(snap, partition_filters, stats_filters)
     files = [os.path.join(path, unquote(p)) for p in active]
@@ -631,6 +742,7 @@ def _validate_write_schema(
     new_metadata = None
     null_checks: list[str] = []
     if existing is not None:
+        _refuse_mapped_write(existing, "write")
         part_cols = existing.partition_columns
         want = existing.schema
         if merge_schema:
@@ -937,6 +1049,7 @@ def optimize_delta(
     still reaches the pre-optimize layout. Returns the committed
     version (or the current one untouched for an empty table)."""
     snap = snapshot(path)
+    _refuse_mapped_write(snap, "OPTIMIZE")
     if not snap.files:
         return snap.version
     df = read_delta(spark, path)
@@ -1289,6 +1402,7 @@ def delete_from_delta(
     cond = F.expr(condition)
     for _attempt in range(16):
         snap = snapshot(path)
+        _refuse_mapped_write(snap, "DELETE")
         candidates = _pruned_active(snap, partition_filters, stats_filters)
         touched, n_rows = _touched_files(spark, path, snap, candidates, cond)
         if not touched:
@@ -1356,6 +1470,7 @@ def update_delta(
     cond = F.expr(condition)
     for _attempt in range(16):
         snap = snapshot(path)
+        _refuse_mapped_write(snap, "UPDATE")
         candidates = _pruned_active(snap, partition_filters, stats_filters)
         touched, n_rows = _touched_files(spark, path, snap, candidates, cond)
         if not touched:
