@@ -1712,3 +1712,40 @@ def test_column_mapping_name_mode_read_and_write_refusal(spark, tmp_path):
             fh.write(_json.dumps(a) + "\n")
     with pytest.raises(NotImplementedError, match="columnMapping"):
         read_delta(spark, tbl).collect()
+
+
+def test_checkpoint_preserves_table_configuration(spark, tmp_path):
+    """The table configuration (CHECK constraints, column-mapping
+    mode) must survive a checkpoint: after checkpoint + full log
+    cleanup the snapshot bootstraps from the checkpoint ALONE, and a
+    violating write must still be rejected — a checkpoint that drops
+    configuration would silently un-constrain the table."""
+    from value_at_risk_spark.sources.deltalog import (
+        add_check_constraint,
+        cleanup_delta_log,
+        table_constraints,
+    )
+
+    tbl = str(tmp_path / "cpc")
+    write_delta(
+        spark,
+        spark.createDataFrame([(1, 5.0)], "id long, v double"),
+        tbl,
+    )
+    add_check_constraint(spark, tbl, "v_pos", "v > 0")
+    checkpoint_delta(tbl)
+    assert cleanup_delta_log(tbl) != []  # checkpoint is the only anchor
+
+    snap = snapshot(tbl)
+    assert table_constraints(snap) == {"v_pos": "v > 0"}
+    assert int(snap.protocol["minWriterVersion"]) == 3
+    with pytest.raises(ValueError, match="v_pos"):
+        write_delta(
+            spark,
+            spark.createDataFrame([(2, -1.0)], "id long, v double"),
+            tbl,
+        )
+    write_delta(
+        spark, spark.createDataFrame([(2, 1.0)], "id long, v double"), tbl
+    )
+    assert read_delta(spark, tbl).count() == 2

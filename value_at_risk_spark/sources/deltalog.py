@@ -200,6 +200,15 @@ def snapshot(path: str, version: int | None = None) -> DeltaSnapshot:
                 # pyarrow map columns come back as (k, v) tuple lists
                 add = {**add, "partitionValues": dict(add["partitionValues"])}
                 row = {**row, "add": add}
+            meta = row.get("metaData")
+            if meta is not None and not isinstance(
+                meta.get("configuration"), (dict, type(None))
+            ):
+                meta = {
+                    **meta,
+                    "configuration": dict(meta["configuration"]),
+                }
+                row = {**row, "metaData": meta}
             _apply_actions(snap, [row])
         start = cp + 1
     # versions are contiguous integers by construction (each commit is
@@ -954,6 +963,7 @@ def checkpoint_delta(path: str, version: int | None = None) -> int:
             ("format", pa.struct([("provider", pa.string())])),
             ("schemaString", pa.string()),
             ("partitionColumns", pa.list_(pa.string())),
+            ("configuration", pa.map_(pa.string(), pa.string())),
             ("createdTime", pa.int64()),
         ]
     )
@@ -978,11 +988,18 @@ def checkpoint_delta(path: str, version: int | None = None) -> int:
             }
         m = row["metaData"]
         if m is not None:
+            conf = m.get("configuration") or {}
             m = {
                 "id": m.get("id"),
                 "format": {"provider": (m.get("format") or {}).get("provider")},
                 "schemaString": m.get("schemaString"),
                 "partitionColumns": m.get("partitionColumns"),
+                # the protocol's table config (constraints, column
+                # mapping) MUST survive the checkpoint — losing it on
+                # replay would silently drop invariants
+                "configuration": (
+                    list(conf.items()) if isinstance(conf, dict) else list(conf)
+                ),
                 "createdTime": m.get("createdTime"),
             }
         return {
