@@ -1749,3 +1749,35 @@ def test_checkpoint_preserves_table_configuration(spark, tmp_path):
         spark, spark.createDataFrame([(2, 1.0)], "id long, v double"), tbl
     )
     assert read_delta(spark, tbl).count() == 2
+
+
+def test_dml_refuses_foreign_high_writer_version(spark, tmp_path):
+    """DML/OPTIMIZE must honor minWriterVersion just like append does:
+    a foreign table demanding writer features above 3 is never
+    mutated through any path."""
+    from value_at_risk_spark.sources.deltalog import (
+        delete_from_delta,
+        optimize_delta,
+        update_delta,
+    )
+
+    tbl = str(tmp_path / "wv")
+    write_delta(spark, spark.range(0, 5).select("id"), tbl)
+    tip = snapshot(tbl).version
+    with open(
+        os.path.join(tbl, "_delta_log", f"{tip + 1:020d}.json"), "w"
+    ) as fh:
+        fh.write(
+            json.dumps(
+                {"protocol": {"minReaderVersion": 1, "minWriterVersion": 7}}
+            )
+            + "\n"
+        )
+    assert read_delta(spark, tbl).count() == 5  # reads stay fine
+    for op in (
+        lambda: delete_from_delta(spark, tbl, "id = 1"),
+        lambda: update_delta(spark, tbl, "id = 1", {"id": "2"}),
+        lambda: optimize_delta(spark, tbl),
+    ):
+        with pytest.raises(NotImplementedError, match="minWriterVersion"):
+            op()

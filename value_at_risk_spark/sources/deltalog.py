@@ -411,6 +411,20 @@ def _physicalized(snap: DeltaSnapshot, l2p: dict[str, str]) -> DeltaSnapshot:
     )
 
 
+def _refuse_high_writer_version(snap: DeltaSnapshot, context: str) -> None:
+    """Protocol rule: a writer must not commit to a table whose
+    minWriterVersion exceeds what it implements (3: CHECK
+    constraints) — mutating a table with writer features we don't
+    understand (identity columns, deletion vectors, ...) corrupts
+    their guarantees."""
+    wv = int(snap.protocol.get("minWriterVersion", 2) or 2)
+    if wv > 3:
+        raise NotImplementedError(
+            f"delta {context}: table requires minWriterVersion {wv}; "
+            "this writer implements up to 3"
+        )
+
+
 def _refuse_mapped_write(snap: DeltaSnapshot, context: str) -> None:
     """Column-mapped tables need physical-name staging (writer
     feature 5, not implemented) — refuse every mutation up front so a
@@ -1067,6 +1081,7 @@ def optimize_delta(
     version (or the current one untouched for an empty table)."""
     snap = snapshot(path)
     _refuse_mapped_write(snap, "OPTIMIZE")
+    _refuse_high_writer_version(snap, "OPTIMIZE")
     if not snap.files:
         return snap.version
     df = read_delta(spark, path)
@@ -1420,6 +1435,7 @@ def delete_from_delta(
     for _attempt in range(16):
         snap = snapshot(path)
         _refuse_mapped_write(snap, "DELETE")
+        _refuse_high_writer_version(snap, "DELETE")
         candidates = _pruned_active(snap, partition_filters, stats_filters)
         touched, n_rows = _touched_files(spark, path, snap, candidates, cond)
         if not touched:
@@ -1488,6 +1504,7 @@ def update_delta(
     for _attempt in range(16):
         snap = snapshot(path)
         _refuse_mapped_write(snap, "UPDATE")
+        _refuse_high_writer_version(snap, "UPDATE")
         candidates = _pruned_active(snap, partition_filters, stats_filters)
         touched, n_rows = _touched_files(spark, path, snap, candidates, cond)
         if not touched:
