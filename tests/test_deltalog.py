@@ -680,18 +680,21 @@ def test_registry_deltalog_roundtrip(spark, tmp_path):
 
 def test_delta_log_model_based_random_walks(spark, tmp_path):
     """Model-based check: random sequences of append / overwrite /
-    optimize / checkpoint / restore, replayed against a pure-Python
-    model of (version -> expected multiset of rows). After every op,
-    the latest snapshot AND a time-travel read of a random earlier
-    version must equal the model — the strongest single guard against
-    action-replay bugs (mis-ordered adds/removes, checkpoint drift,
-    restore re-reference errors). Seeded walks, deterministic."""
+    optimize / checkpoint / restore / DELETE / UPDATE, replayed
+    against a pure-Python model of (version -> expected multiset of
+    rows). After every op, the latest snapshot AND a time-travel read
+    of a random earlier version must equal the model — the strongest
+    single guard against action-replay bugs (mis-ordered adds/removes,
+    checkpoint drift, restore re-reference errors, DML touched-file
+    mis-identification). Seeded walks, deterministic."""
     import random
 
     from value_at_risk_spark.sources.deltalog import (
         checkpoint_delta,
+        delete_from_delta,
         optimize_delta,
         restore_delta,
+        update_delta,
     )
 
     for seed in (1, 7, 23):
@@ -714,12 +717,35 @@ def test_delta_log_model_based_random_walks(spark, tmp_path):
         write_delta(spark, df_of(rows), tbl)
         model.append(sorted(rows))
 
-        for _step in range(8):
+        for _step in range(10):
             op = rnd.choice(
                 ["append", "append", "overwrite", "optimize",
-                 "checkpoint", "restore"]
+                 "checkpoint", "restore", "delete", "update"]
             )
-            if op == "append":
+            if op == "delete":
+                m, r = rnd.choice([(2, 0), (3, 1), (5, 2)])
+                res = delete_from_delta(spark, tbl, f"id % {m} = {r}")
+                kept = [t for t in model[-1] if t[0] % m != r]
+                assert res["rows_deleted"] == len(model[-1]) - len(kept)
+                if res["rows_deleted"] == 0:
+                    continue  # no commit published
+                model.append(kept)
+            elif op == "update":
+                m, r = rnd.choice([(2, 1), (3, 0), (4, 3)])
+                res = update_delta(
+                    spark, tbl, f"id % {m} = {r}", {"v": "v + 10"}
+                )
+                hit = [t for t in model[-1] if t[0] % m == r]
+                assert res["rows_updated"] == len(hit)
+                if not hit:
+                    continue
+                model.append(
+                    sorted(
+                        (i, v + 10.0) if i % m == r else (i, v)
+                        for i, v in model[-1]
+                    )
+                )
+            elif op == "append":
                 rows = fresh_rows(rnd.randint(1, 4))
                 write_delta(spark, df_of(rows), tbl)
                 model.append(sorted(model[-1] + rows))

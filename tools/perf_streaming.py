@@ -115,6 +115,7 @@ def main() -> None:
 
     results.update(sustained_batches(spark, scaled, schema, ts_ntz))
     results.update(delta_sink_sustained(spark))
+    results.update(delta_source_sustained(spark))
     shutil.rmtree(src, ignore_errors=True)
 
     print(json.dumps(results))
@@ -150,6 +151,88 @@ def delta_sink_sustained(spark) -> dict:
         "delta_sink_batches": SINK_BATCHES,
         "delta_sink_rows": rows,
         "delta_sink_bucket_medians": [
+            round(statistics.median(lat[i : i + 8]), 3)
+            for i in range(0, len(lat), 8)
+        ],
+    }
+
+
+SOURCE_COMMITS = int(os.environ.get("SOURCE_COMMITS", "24"))
+
+
+def delta_source_sustained(spark) -> dict:
+    """Sustained consumption through the deltalog STREAM SOURCE
+    (round-11): a table takes SOURCE_COMMITS appends, then one
+    availableNow query with maxVersionsPerBatch=1 drains it — one
+    micro-batch per commit. Reports per-batch trigger latency bucket
+    medians and total rows/sec; the series must be flat (each batch
+    reads only its commit's files; snapshot resolution is O(commits
+    since checkpoint), and a checkpoint lands mid-way to prove the
+    replay-cost reset)."""
+    import statistics
+
+    from value_at_risk_spark.sources.delta_datasource import (
+        register_deltalog_source,
+    )
+    from value_at_risk_spark.sources.deltalog import (
+        checkpoint_delta,
+        write_delta,
+    )
+
+    register_deltalog_source(spark)
+    tbl = tempfile.mkdtemp(prefix="perf_delta_source_")
+    shutil.rmtree(tbl, ignore_errors=True)
+    ckpt = tempfile.mkdtemp(prefix="perf_delta_source_ckpt_")
+    per_commit = 25_000
+    base = spark.range(per_commit).selectExpr("id", "id % 7 as k")
+    for c in range(SOURCE_COMMITS):
+        write_delta(
+            spark, base.selectExpr(f"id + {c * per_commit} as id", "k"), tbl
+        )
+        if c == SOURCE_COMMITS // 2:
+            checkpoint_delta(tbl)
+
+    seen = {"rows": 0, "batches": 0}
+    lat: list[float] = []
+
+    def sink(bdf, _bid):
+        t0 = time.time()
+        seen["rows"] += bdf.count()
+        seen["batches"] += 1
+        lat.append(round(time.time() - t0, 3))
+
+    t_all = time.time()
+    # ONE continuous query (availableNow would restart per capped
+    # batch, measuring query startup instead of the source): the
+    # processingTime trigger keeps pulling capped micro-batches until
+    # the backlog drains, then we stop it
+    q = (
+        spark.readStream.format("deltalog")
+        .option("startingVersion", 0)
+        .option("maxVersionsPerBatch", 1)
+        .load(tbl)
+        .writeStream.foreachBatch(sink)
+        .option("checkpointLocation", ckpt)
+        .trigger(processingTime="0 seconds")
+        .start()
+    )
+    deadline = time.time() + 300
+    while (
+        seen["rows"] < per_commit * (SOURCE_COMMITS - 1)
+        and time.time() < deadline
+    ):
+        time.sleep(0.25)
+    q.stop()
+    wall = time.time() - t_all
+    shutil.rmtree(tbl, ignore_errors=True)
+    shutil.rmtree(ckpt, ignore_errors=True)
+    return {
+        "delta_source_commits": SOURCE_COMMITS,
+        "delta_source_rows": seen["rows"],
+        "delta_source_batches": seen["batches"],
+        "delta_source_wall_sec": round(wall, 2),
+        "delta_source_rows_per_sec": int(seen["rows"] / wall),
+        "delta_source_bucket_medians": [
             round(statistics.median(lat[i : i + 8]), 3)
             for i in range(0, len(lat), 8)
         ],
