@@ -1807,3 +1807,38 @@ def test_dml_refuses_foreign_high_writer_version(spark, tmp_path):
     ):
         with pytest.raises(NotImplementedError, match="minWriterVersion"):
             op()
+
+
+def test_registry_delta_dml_and_sql_surface(spark, tmp_path):
+    """The table layer exposes the native-delta DML/SQL surface by
+    NAME: Registry.delete/update/sql/add_constraint route to the
+    deltalog implementations; non-delta tables are refused loudly."""
+    from value_at_risk_spark.sources.registry import Registry
+
+    reg = Registry(str(tmp_path))
+    df = spark.createDataFrame(
+        [(i, float(i)) for i in range(20)], "id long, v double"
+    )
+    reg.write(df, "t", fmt="deltalog")
+    assert reg.delete(spark, "t", "id >= 15")["rows_deleted"] == 5
+    assert reg.update(spark, "t", "id < 5", {"v": "v * 10"})[
+        "rows_updated"
+    ] == 5
+    got = {r.id: r.v for r in reg.read(spark, "t").collect()}
+    assert len(got) == 15 and got[2] == 20.0 and got[10] == 10.0
+    n = reg.sql(
+        spark, "t", "SELECT COUNT(*) AS n FROM delta.table"
+    ).first().n
+    assert n == 15
+    reg.add_constraint(spark, "t", "v_ok", "v >= 0")
+    with pytest.raises(ValueError, match="v_ok"):
+        reg.write(
+            spark.createDataFrame([(99, -1.0)], "id long, v double"),
+            "t",
+            mode="append",
+            fmt="deltalog",
+        )
+    # non-delta tables are refused
+    reg.write(df, "plain")
+    with pytest.raises(ValueError, match="not a native delta"):
+        reg.delete(spark, "plain", "id = 1")

@@ -188,6 +188,62 @@ class Registry:
             writer = writer.partitionBy(*partition_keys)
         writer.save(self.path(name))
 
+    def _delta_path(self, name: str) -> str:
+        """The table's directory for native-delta operations; loud
+        when the table isn't a deltalog table."""
+        path = self.path(name)
+        if not os.path.isdir(os.path.join(path, "_delta_log")):
+            raise ValueError(
+                f"Registry table {name!r} is not a native delta table "
+                f"(no _delta_log at {path})"
+            )
+        return path
+
+    def delete(self, spark: SparkSession, name: str, condition: str) -> dict:
+        """``DELETE FROM name WHERE condition`` on a deltalog table —
+        file-level copy-on-write (sources/deltalog.delete_from_delta)."""
+        from value_at_risk_spark.sources.deltalog import delete_from_delta
+
+        return delete_from_delta(spark, self._delta_path(name), condition)
+
+    def update(
+        self,
+        spark: SparkSession,
+        name: str,
+        condition: str,
+        set_exprs: dict[str, str],
+    ) -> dict:
+        """``UPDATE name SET ... WHERE condition`` on a deltalog
+        table (sources/deltalog.update_delta)."""
+        from value_at_risk_spark.sources.deltalog import update_delta
+
+        return update_delta(
+            spark, self._delta_path(name), condition, set_exprs
+        )
+
+    def sql(self, spark: SparkSession, name: str, stmt: str):
+        """Run a Delta-SQL statement against a registered deltalog
+        table: every ``delta.table`` token in ``stmt`` is replaced
+        with the table's ``delta.`/path``` reference, then dispatched
+        through sources/delta_sql.delta_sql."""
+        from value_at_risk_spark.sources.delta_sql import delta_sql
+
+        path = self._delta_path(name)
+        return delta_sql(
+            spark, stmt.replace("delta.table", f"delta.`{path}`")
+        )
+
+    def add_constraint(
+        self, spark: SparkSession, name: str, cname: str, expr: str
+    ) -> int:
+        from value_at_risk_spark.sources.deltalog import (
+            add_check_constraint,
+        )
+
+        return add_check_constraint(
+            spark, self._delta_path(name), cname, expr
+        )
+
     def compact(
         self,
         spark: SparkSession,
