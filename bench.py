@@ -259,6 +259,10 @@ def scaled_heavy_tail(spark, sf_dir: str) -> dict:
         ](spark, scaled).count()
         out.update(scaled_semdedup(spark, scaled))
         out.update(scaled_asof_bucketed(spark, scaled))
+        try:
+            out.update(scaled_delta_dml(spark, scaled))
+        except Exception as ex:  # never sink the sibling rows
+            out["scaled10_delta_dml_error"] = str(ex)[:200]
     finally:
         shutil.rmtree(scaled, ignore_errors=True)
     return out
@@ -315,6 +319,88 @@ def scaled_semdedup(spark, scaled: str) -> dict:
         "scaled10_semdedup_vectors": agg.n,
         "scaled10_semdedup_dups": agg.d,
     }
+
+
+def scaled_delta_dml(spark, scaled: str) -> dict:
+    """Standing 10x row for the native delta log's file-level
+    copy-on-write DML (round 11): the 1.5M-row scaled orders land in a
+    native table as 12 CONTIGUOUS key-range commits (the clustered
+    ingest layout), then a narrow DELETE (one key slice, stats-pruned
+    candidates) and a narrow UPDATE run against it, with the
+    whole-active-set rewrite as the no-skipping baseline. The DML rows
+    must rewrite ~1 file regardless of table size; the baseline grows
+    with the table (PERF.md round-11 scaling table)."""
+    import shutil
+    import tempfile
+
+    from pyspark.sql import functions as F
+
+    from value_at_risk_spark.sources.deltalog import (
+        delete_from_delta,
+        read_delta,
+        snapshot,
+        update_delta,
+        write_delta,
+    )
+
+    tbl = tempfile.mkdtemp(prefix="bench_delta_dml_")
+    shutil.rmtree(tbl, ignore_errors=True)
+    try:
+        orders = spark.read.parquet(f"{scaled}/orders.parquet").select(
+            "o_orderkey", "o_orderstatus", "o_totalprice"
+        )
+        hi = orders.agg(F.max("o_orderkey")).first()[0] + 1
+        commits = 12
+        step = hi // commits + 1
+        t0 = time.time()
+        for c in range(commits):
+            write_delta(
+                spark,
+                orders.filter(
+                    (F.col("o_orderkey") >= c * step)
+                    & (F.col("o_orderkey") < (c + 1) * step)
+                ),
+                tbl,
+            )
+        build_sec = round(time.time() - t0, 3)
+        n_files = len(snapshot(tbl).files)
+
+        cut = step // 2
+        t0 = time.time()
+        d = delete_from_delta(
+            spark,
+            tbl,
+            f"o_orderkey < {cut}",
+            stats_filters=[("o_orderkey", "<", cut)],
+        )
+        delete_sec = round(time.time() - t0, 3)
+        t0 = time.time()
+        u = update_delta(
+            spark,
+            tbl,
+            f"o_orderkey >= {step} AND o_orderkey < {step + cut}",
+            {"o_totalprice": "o_totalprice * 2"},
+            stats_filters=[
+                ("o_orderkey", ">=", step),
+                ("o_orderkey", "<", step + cut),
+            ],
+        )
+        update_sec = round(time.time() - t0, 3)
+        t0 = time.time()
+        write_delta(spark, read_delta(spark, tbl), tbl, mode="overwrite")
+        rewrite_sec = round(time.time() - t0, 3)
+        return {
+            "scaled10_delta_build_sec": build_sec,
+            "scaled10_delta_files": n_files,
+            "scaled10_delta_delete_sec": delete_sec,
+            "scaled10_delta_delete_files_rewritten": d["files_rewritten"],
+            "scaled10_delta_delete_rows": d["rows_deleted"],
+            "scaled10_delta_update_sec": update_sec,
+            "scaled10_delta_update_files_rewritten": u["files_rewritten"],
+            "scaled10_delta_full_rewrite_sec": rewrite_sec,
+        }
+    finally:
+        shutil.rmtree(tbl, ignore_errors=True)
 
 
 def scaled_asof_bucketed(spark, scaled: str) -> dict:
