@@ -25,6 +25,8 @@ import time
 
 sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
 
+from pyspark.sql import functions as F  # noqa: E402
+
 from value_at_risk_spark.queries import QUERIES  # noqa: E402
 from value_at_risk_spark.session import get_spark  # noqa: E402
 
@@ -136,6 +138,29 @@ def calibration_anchor(spark, sf_dir: str) -> tuple[float, list[float]]:
     )
     samples = []
     for _ in range(CALIBRATION_RUNS):
+        t0 = time.time()
+        force(df)
+        samples.append(round(time.time() - t0, 4))
+    return round(statistics.median(samples), 4), samples
+
+
+def calibration_anchor2(spark, sf_dir: str) -> tuple[float, list[float]]:
+    """Second, HEAVIER anchor (round 11): the ~0.2 s scan anchor still
+    wobbled ±25% within a single round (0.145/0.181/0.166 across three
+    same-HEAD runs), because sub-second jobs are dominated by
+    scheduler/JIT noise. This one runs a fixed ~1.5 s shuffle+agg
+    (groupBy over a synthetic 8M-row range) whose longer duration
+    amortizes that noise; recorded ALONGSIDE the original so historical
+    normalized series stay comparable while future rounds can divide
+    by the quieter anchor (normalized2)."""
+    df = (
+        spark.range(8_000_000)
+        .selectExpr("id % 100000 as k", "id as v")
+        .groupBy("k")
+        .agg(F.sum("v").alias("s"), F.count("*").alias("n"))
+    )
+    samples = []
+    for _ in range(3):
         t0 = time.time()
         force(df)
         samples.append(round(time.time() - t0, 4))
@@ -464,6 +489,7 @@ def main() -> None:
     spark = get_spark("bench")
     spark.range(1_000_000).selectExpr("sum(id)").collect()  # JVM warm-up
     cal, cal_samples = calibration_anchor(spark, sf_dir)
+    cal2, cal2_samples = calibration_anchor2(spark, sf_dir)
 
     from value_at_risk_spark.operators import annindex
 
@@ -522,7 +548,12 @@ def main() -> None:
                 "subtotals": subtotals,
                 "calibration_sec": cal,
                 "calibration_samples": cal_samples,
+                "calibration2_sec": cal2,
+                "calibration2_samples": cal2_samples,
                 "normalized": normalized,
+                "normalized2_total_x_cal2": (
+                    round(total / cal2, 2) if cal2 else None
+                ),
                 **({"ann_cache": ann_cache} if ann_cache else {}),
                 **scaled_stats,
                 "sf": float(sf) if sf.replace(".", "").isdigit() else sf,
