@@ -1842,3 +1842,77 @@ def test_registry_delta_dml_and_sql_surface(spark, tmp_path):
     reg.write(df, "plain")
     with pytest.raises(ValueError, match="not a native delta"):
         reg.delete(spark, "plain", "id = 1")
+
+
+def test_generated_columns_computed_validated_and_enforced(spark, tmp_path):
+    """Generated columns (protocol writer feature 4): declared at
+    creation (expression in schema metadata, minWriterVersion 4),
+    COMPUTED when a later write omits them, VALIDATED when provided
+    (null-safe equality, violating row in the error), re-validated on
+    UPDATE, and refused by the staging writers that cannot evaluate
+    SQL."""
+    from value_at_risk_spark.sources.delta_datasource import (
+        register_deltalog_source,
+    )
+    from value_at_risk_spark.sources.deltalog import (
+        table_generated_columns,
+        update_delta,
+    )
+
+    register_deltalog_source(spark)
+    tbl = str(tmp_path / "gen")
+    base = spark.createDataFrame(
+        [(1, 10.0), (2, 20.0)], "id long, v double"
+    )
+    write_delta(
+        spark, base, tbl, generated_columns={"v2": "v * 2"}
+    )
+    snap = snapshot(tbl)
+    assert table_generated_columns(snap) == {"v2": "v * 2"}
+    assert int(snap.protocol["minWriterVersion"]) == 4
+    got = {r.id: r.v2 for r in read_delta(spark, tbl).collect()}
+    assert got == {1: 20.0, 2: 40.0}
+
+    # append WITHOUT the generated column: computed
+    write_delta(
+        spark, spark.createDataFrame([(3, 30.0)], "id long, v double"), tbl
+    )
+    assert {
+        r.id: r.v2 for r in read_delta(spark, tbl).collect()
+    }[3] == 60.0
+    # append WITH correct values: validated, accepted
+    write_delta(
+        spark,
+        spark.createDataFrame(
+            [(4, 5.0, 10.0)], "id long, v double, v2 double"
+        ),
+        tbl,
+    )
+    # append with WRONG values: rejected with the row
+    with pytest.raises(ValueError, match="generated column v2"):
+        write_delta(
+            spark,
+            spark.createDataFrame(
+                [(5, 5.0, 99.0)], "id long, v double, v2 double"
+            ),
+            tbl,
+        )
+    # UPDATE keeping the invariant passes; breaking it fails
+    update_delta(
+        spark, tbl, "id = 1", {"v": "7.0", "v2": "14.0"}
+    )
+    assert {
+        r.id: (r.v, r.v2) for r in read_delta(spark, tbl).collect()
+    }[1] == (7.0, 14.0)
+    with pytest.raises(ValueError, match="generated column v2"):
+        update_delta(spark, tbl, "id = 2", {"v": "9.0"})  # v2 now stale
+    # staging writers refuse (cannot evaluate the expression)
+    with pytest.raises(Exception, match="invariants"):
+        spark.createDataFrame(
+            [(9, 1.0, 2.0)], "id long, v double, v2 double"
+        ).write.format("deltalog").mode("append").save(tbl)
+    # generated_columns after creation is a loud error
+    with pytest.raises(ValueError, match="table-creation"):
+        write_delta(
+            spark, base, tbl, generated_columns={"v3": "v * 3"}
+        )

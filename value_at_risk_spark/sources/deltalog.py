@@ -31,12 +31,13 @@ with nothing but PySpark + stdlib:
 
 Column mapping mode 'name' is READ-supported (physical-name scan,
 logical rename; every mutation refuses a mapped table so it is never
-corrupted). Out of scope (documented, not silently wrong): multi-part
-checkpoints, deletion vectors, column mapping mode 'id', generated
-columns — readers of THIS module's tables need none of them, and
-foreign tables using those features fail loudly (unknown action
-fields are ignored per protocol; unsupported reader-version
-asserts).
+corrupted). Generated columns (writer feature 4) are supported:
+missing values computed, provided values validated, UPDATE
+re-validated. Out of scope (documented, not silently wrong):
+multi-part checkpoints, deletion vectors, column mapping mode 'id' —
+readers of THIS module's tables need none of them, and foreign tables
+using those features fail loudly (unknown action fields are ignored
+per protocol; unsupported reader-version asserts).
 """
 
 from __future__ import annotations
@@ -418,10 +419,10 @@ def _refuse_high_writer_version(snap: DeltaSnapshot, context: str) -> None:
     understand (identity columns, deletion vectors, ...) corrupts
     their guarantees."""
     wv = int(snap.protocol.get("minWriterVersion", 2) or 2)
-    if wv > 3:
+    if wv > 4:
         raise NotImplementedError(
             f"delta {context}: table requires minWriterVersion {wv}; "
-            "this writer implements up to 3"
+            "this writer implements up to 4"
         )
 
 
@@ -701,6 +702,7 @@ def write_delta(
     txn: dict | None = None,
     merge_schema: bool = False,
     expected_version: int | None = None,
+    generated_columns: dict[str, str] | None = None,
 ) -> int:
     """Transactional append/overwrite; returns the committed version.
 
@@ -710,9 +712,64 @@ def write_delta(
     invisible to readers, exactly how delta-spark leaves uncommitted
     parquet behind). Appends to an existing table enforce schema and
     partition-column equality; ``partition_by`` is only consulted at
-    table creation."""
+    table creation.
+
+    ``generated_columns`` ({col: sql_expr}, creation only) declares
+    GENERATED ALWAYS AS columns (protocol writer feature 4): the
+    expression lands in the column's schema metadata and
+    minWriterVersion becomes 4. On every later write, a missing
+    generated column is COMPUTED from its expression, and a provided
+    one is VALIDATED against it (one short-circuited job) — exactly
+    Delta's generated-column contract."""
     if mode not in ("append", "overwrite"):
         raise ValueError(f"write_delta mode must be append|overwrite: {mode}")
+    exists = bool(delta_versions(path))
+    gen: dict[str, str] = {}
+    schema_for_commit = None
+    min_writer = 2
+    if exists:
+        if generated_columns:
+            raise ValueError(
+                "write_delta: generated_columns is a table-creation "
+                "option; the table's own schema metadata governs "
+                "later writes"
+            )
+        snap0 = snapshot(path)
+        gen = table_generated_columns(snap0)
+        if gen:
+            table_order = [f.name for f in snap0.schema.fields]
+            provided = set(df.columns)
+            for col, expr in gen.items():
+                if col not in provided:
+                    df = df.withColumn(col, F.expr(expr))
+            df = df.select(*[c for c in table_order if c in df.columns])
+            _check_generated(
+                df, {c: e for c, e in gen.items() if c in provided},
+                "write_delta",
+            )
+    elif generated_columns:
+        unknown_refs = [
+            c for c in generated_columns if c in df.columns
+        ]  # provided at creation: still validated below
+        for col, expr in generated_columns.items():
+            if col not in df.columns:
+                df = df.withColumn(col, F.expr(expr))
+        _check_generated(
+            df,
+            {c: generated_columns[c] for c in unknown_refs},
+            "write_delta",
+        )
+        sch = df.schema.jsonValue()
+        for f in sch["fields"]:
+            if f["name"] in generated_columns:
+                f["metadata"] = {
+                    **(f.get("metadata") or {}),
+                    "delta.generationExpression": generated_columns[
+                        f["name"]
+                    ],
+                }
+        schema_for_commit = StructType.fromJson(sch)
+        min_writer = 4
     part_cols, new_metadata, null_checks = _validate_write_schema(
         path, df.schema, partition_by, merge_schema
     )
@@ -738,14 +795,45 @@ def write_delta(
     return commit_staged_adds(
         path,
         adds,
-        df.schema,
+        schema_for_commit or df.schema,
         mode=mode,
         part_cols=part_cols,
         txn=txn,
         expected_version=expected_version,
         new_metadata=new_metadata,
         constraints_ok=True,
+        min_writer_version=min_writer,
     )
+
+
+def table_generated_columns(snap: DeltaSnapshot) -> dict[str, str]:
+    """{column: generation expression} from the schema field metadata
+    (``delta.generationExpression`` — protocol writer feature 4)."""
+    out: dict[str, str] = {}
+    for f in json.loads(snap.metadata["schemaString"])["fields"]:
+        expr = (f.get("metadata") or {}).get("delta.generationExpression")
+        if expr:
+            out[f["name"]] = expr
+    return out
+
+
+def _check_generated(
+    df: DataFrame, gen: dict[str, str], context: str
+) -> None:
+    """Caller-provided values for a generated column must equal the
+    generation expression on every row (null-safe) — Delta rejects the
+    write otherwise."""
+    for col, expr in sorted(gen.items()):
+        bad = (
+            df.filter(~F.col(col).eqNullSafe(F.expr(expr)))
+            .limit(1)
+            .collect()
+        )
+        if bad:
+            raise ValueError(
+                f"{context}: generated column {col} must equal "
+                f"({expr}); row {bad[0].asDict()} disagrees"
+            )
 
 
 def _validate_write_schema(
@@ -835,6 +923,7 @@ def commit_staged_adds(
     expected_version: int | None = None,
     new_metadata: dict | None = None,
     constraints_ok: bool = False,
+    min_writer_version: int = 2,
 ) -> int:
     """write_delta's commit half: publish already-staged add actions
     as one transactional version (optimistic retry; the protocol txn
@@ -853,15 +942,21 @@ def commit_staged_adds(
     if delta_versions(path):
         snap0 = snapshot(path)
         wv = int(snap0.protocol.get("minWriterVersion", 2) or 2)
-        if wv > 3:
+        if wv > 4:
             raise NotImplementedError(
                 f"delta table at {path} requires minWriterVersion {wv}; "
-                "this writer implements up to 3 (CHECK constraints)"
+                "this writer implements up to 4 (CHECK constraints, "
+                "generated columns)"
             )
-        if table_constraints(snap0) and not constraints_ok:
+        if not constraints_ok and (
+            wv == 4
+            or table_constraints(snap0)
+            or table_generated_columns(snap0)
+        ):
             raise ValueError(
-                f"delta table at {path} has CHECK constraints this "
-                "write path cannot enforce — write through write_delta"
+                f"delta table at {path} has invariants (CHECK "
+                "constraints / generated columns) this write path "
+                "cannot enforce — write through write_delta"
             )
     now_ms = int(time.time() * 1000)
     for _attempt in range(64):
@@ -900,7 +995,12 @@ def commit_staged_adds(
             actions.append({"metaData": new_metadata})
         if version == 0:
             actions.append(
-                {"protocol": {"minReaderVersion": 1, "minWriterVersion": 2}}
+                {
+                    "protocol": {
+                        "minReaderVersion": 1,
+                        "minWriterVersion": max(2, min_writer_version),
+                    }
+                }
             )
             actions.append(
                 {
@@ -1533,6 +1633,11 @@ def update_delta(
         )
         if cons:
             _check_constraints(rewritten, cons, "update_delta")
+        gen = table_generated_columns(snap)
+        if gen:
+            # an UPDATE touching a generated column or its inputs must
+            # leave the generation invariant intact on every row
+            _check_generated(rewritten, gen, "update_delta")
         adds = _stage(
             rewritten.repartition(len(touched)),
             path,
