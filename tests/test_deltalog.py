@@ -1916,3 +1916,25 @@ def test_generated_columns_computed_validated_and_enforced(spark, tmp_path):
         write_delta(
             spark, base, tbl, generated_columns={"v3": "v * 3"}
         )
+
+
+def test_datasource_bin_packs_many_small_files(spark, tmp_path):
+    """>256 small files bin-pack into ~128MB input partitions using
+    the add.size the log already carries (maxPartitionBytes
+    semantics) — per-task Python overhead stops scaling with file
+    count, and no row is lost or duplicated."""
+    from value_at_risk_spark.sources.delta_datasource import (
+        register_deltalog_source,
+    )
+
+    register_deltalog_source(spark)
+    tbl = str(tmp_path / "many")
+    spark.range(0, 3000).select(
+        F.col("id"), (F.col("id") * 2.0).alias("v")
+    ).repartition(300).write.format("deltalog").mode("append").save(tbl)
+    assert len(snapshot(tbl).files) == 300
+
+    got = spark.read.format("deltalog").load(tbl)
+    assert got.rdd.getNumPartitions() < 32  # 300 tiny files pack tight
+    assert got.count() == 3000
+    assert got.agg(F.sum("id")).first()[0] == 2999 * 3000 // 2

@@ -109,6 +109,13 @@ class _DeltaFilePartition(InputPartition):
         self.row_groups = row_groups  # None = whole file
 
 
+class _DeltaMultiFilePartition(InputPartition):
+    """A bin-packed group of small files read by one task."""
+
+    def __init__(self, files: list[_DeltaFilePartition]):
+        self.files = files
+
+
 def _hive_value_str(v) -> str | None:
     """A filter value in the string form _stage/Spark write into
     ``add.partitionValues``; None = unrepresentable (don't push)."""
@@ -224,6 +231,27 @@ class _DeltaBatchReader(DataSourceReader):
                     pv,
                 )
             )
+        # many SMALL files drown the scan in per-task Python worker
+        # overhead — bin-pack them into ~128 MB input partitions using
+        # the add.size the log already carries (no file I/O at all)
+        if len(parts) > 256:
+            target = 128 << 20
+            sizes = [
+                int(self._snap.files[rel].get("size") or 1)
+                for rel in active
+            ]
+            packed: list[_DeltaFilePartition] = []
+            bucket: list[_DeltaFilePartition] = []
+            bucket_bytes = 0
+            for p, sz in zip(parts, sizes):
+                bucket.append(p)
+                bucket_bytes += sz
+                if bucket_bytes >= target:
+                    packed.append(_DeltaMultiFilePartition(bucket))
+                    bucket, bucket_bytes = [], 0
+            if bucket:
+                packed.append(_DeltaMultiFilePartition(bucket))
+            return packed
         # few big files starve the cluster at one task per file —
         # split by parquet row group (a driver-side footer read per
         # file, so only when the file count is small enough that the
@@ -247,15 +275,21 @@ class _DeltaBatchReader(DataSourceReader):
             parts = split
         return parts
 
-    def read(self, partition: _DeltaFilePartition):
-        yield from _file_to_batches(
-            partition.abs_path,
-            partition.part_values,
-            self._schema,
-            self._partition_columns,
-            getattr(partition, "row_groups", None),
-            self._l2p,
+    def read(self, partition):
+        subs = (
+            partition.files
+            if isinstance(partition, _DeltaMultiFilePartition)
+            else [partition]
         )
+        for sub in subs:
+            yield from _file_to_batches(
+                sub.abs_path,
+                sub.part_values,
+                self._schema,
+                self._partition_columns,
+                getattr(sub, "row_groups", None),
+                self._l2p,
+            )
 
 
 def _added_files_between(path: str, from_v: int, to_v: int):
