@@ -1938,3 +1938,258 @@ def test_datasource_bin_packs_many_small_files(spark, tmp_path):
     assert got.rdd.getNumPartitions() < 32  # 300 tiny files pack tight
     assert got.count() == 3000
     assert got.agg(F.sum("id")).first()[0] == 2999 * 3000 // 2
+
+
+def test_cdf_dml_records_exact_changes(spark, tmp_path):
+    """Change Data Feed (writer feature 4): DML on a CDF-enabled table
+    commits cdc actions under _change_data/ holding the exact row
+    changes — delete rows, update_preimage/update_postimage pairs —
+    and table_changes prefers them over add/remove derivation (the
+    rewritten survivors in the same commit must NOT surface)."""
+    from value_at_risk_spark.sources.deltalog import (
+        cdf_enabled,
+        delete_from_delta,
+        table_changes,
+        update_delta,
+    )
+
+    tbl = str(tmp_path / "cdf")
+    df = spark.range(8).select(
+        "id",
+        (F.col("id") % 2).cast("string").alias("p"),
+        (F.col("id") * 1.0).alias("v"),
+    )
+    write_delta(
+        spark,
+        df,
+        tbl,
+        partition_by=["p"],
+        configuration={"delta.enableChangeDataFeed": "true"},
+    )
+    snap = snapshot(tbl)
+    assert cdf_enabled(snap)
+    assert snap.protocol["minWriterVersion"] == 4
+    delete_from_delta(spark, tbl, "id >= 6")
+    update_delta(spark, tbl, "id < 2", {"v": "v + 100"})
+
+    ch = table_changes(spark, tbl, 1, 2)
+    got = sorted(
+        (r["_commit_version"], r["_change_type"], r["id"], r["v"])
+        for r in ch.collect()
+    )
+    assert got == [
+        (1, "delete", 6, 6.0),
+        (1, "delete", 7, 7.0),
+        (2, "update_postimage", 0, 100.0),
+        (2, "update_postimage", 1, 101.0),
+        (2, "update_preimage", 0, 0.0),
+        (2, "update_preimage", 1, 1.0),
+    ]
+    # the cdc files live under _change_data and are cited by action
+    with open(os.path.join(tbl, "_delta_log", f"{1:020d}.json")) as fh:
+        acts = [json.loads(ln) for ln in fh if ln.strip()]
+    cdcs = [a["cdc"] for a in acts if "cdc" in a]
+    assert cdcs and all(c["path"].startswith("_change_data/") for c in cdcs)
+    assert all(c["dataChange"] is False for c in cdcs)
+    # version 0 (the creating append) derives inserts from its adds
+    ins = table_changes(spark, tbl, 0, 0)
+    assert sorted(r["id"] for r in ins.collect()) == list(range(8))
+    assert {r["_change_type"] for r in ins.collect()} == {"insert"}
+
+
+def test_cdf_enablement_derivation_and_refusals(spark, tmp_path):
+    """CDF enabled mid-life via set_table_properties: versions before
+    enablement raise through table_changes, later appends derive
+    inserts, an overwrite derives delete+insert, OPTIMIZE stays
+    invisible, and a range crossing the pre-CDF version fails loudly."""
+    from value_at_risk_spark.sources.deltalog import (
+        optimize_delta,
+        set_table_properties,
+        table_changes,
+    )
+
+    tbl = str(tmp_path / "mid")
+    mk = lambda lo, hi: spark.range(lo, hi).select(
+        "id", (F.col("id") * 2.0).alias("v")
+    )
+    write_delta(spark, mk(0, 4), tbl)  # v0: pre-CDF
+    v = set_table_properties(
+        tbl, {"delta.enableChangeDataFeed": "true"}
+    )  # v1
+    assert v == 1
+    assert snapshot(tbl).protocol["minWriterVersion"] == 4
+    write_delta(spark, mk(4, 6), tbl)  # v2: derived inserts
+    optimize_delta(spark, tbl)  # v3: dataChange false, invisible
+    write_delta(spark, mk(0, 3), tbl, mode="overwrite")  # v4
+
+    ch = table_changes(spark, tbl, 2, 3)
+    assert sorted((r["_change_type"], r["id"]) for r in ch.collect()) == [
+        ("insert", 4),
+        ("insert", 5),
+    ]
+    ov = table_changes(spark, tbl, 4, 4)
+    by_type = {
+        t: sorted(r["id"] for r in rows)
+        for t, rows in __import__("itertools").groupby(
+            sorted(ov.collect(), key=lambda r: (r["_change_type"], r["id"])),
+            key=lambda r: r["_change_type"],
+        )
+    }
+    assert by_type == {
+        "delete": [0, 1, 2, 3, 4, 5],
+        "insert": [0, 1, 2],
+    }
+    with pytest.raises(ValueError, match="not recorded"):
+        table_changes(spark, tbl, 0, 2)
+
+
+def test_cdf_merge_reports_merge_not_overwrite(spark, tmp_path):
+    """MERGE into a CDF table commits cdc actions carrying MERGE
+    semantics — matched keys as pre/post pairs, new keys as inserts,
+    untouched rows ABSENT — even though the underlying commit is a
+    whole-set overwrite whose derivation would report everything."""
+    from value_at_risk_spark.operators.merge import merge_into_delta_native
+    from value_at_risk_spark.sources.deltalog import table_changes
+
+    tbl = str(tmp_path / "mrg")
+    base = spark.createDataFrame(
+        [(1, "a"), (2, "b"), (3, "c")], "k long, s string"
+    )
+    write_delta(
+        spark, base, tbl,
+        configuration={"delta.enableChangeDataFeed": "true"},
+    )
+    upd = spark.createDataFrame([(2, "B"), (9, "z")], "k long, s string")
+    v = merge_into_delta_native(spark, tbl, upd, ["k"])
+    ch = table_changes(spark, tbl, v, v)
+    got = sorted((r["_change_type"], r["k"], r["s"]) for r in ch.collect())
+    assert got == [
+        ("insert", 9, "z"),
+        ("update_postimage", 2, "B"),
+        ("update_preimage", 2, "b"),
+    ]
+    # rows 1/3 pass through the overwrite untouched and unreported
+    assert {r["k"] for r in ch.collect()} == {2, 9}
+
+
+def test_cdf_vacuum_retention_and_log_cleanup(spark, tmp_path):
+    """Vacuum must never collect a cdc file whose commit JSON is still
+    in the log (even past the mtime window); after checkpoint + log
+    cleanup the commit is gone, table_changes over it raises, and the
+    orphaned cdc file becomes collectable."""
+    from value_at_risk_spark.sources.deltalog import (
+        cleanup_delta_log,
+        delete_from_delta,
+        table_changes,
+        vacuum_delta,
+    )
+
+    tbl = str(tmp_path / "vac")
+    write_delta(
+        spark,
+        spark.range(6).select("id", (F.col("id") * 1.0).alias("v")),
+        tbl,
+        configuration={"delta.enableChangeDataFeed": "true"},
+    )
+    dv = delete_from_delta(spark, tbl, "id >= 4")["version"]
+    deleted = vacuum_delta(tbl, keep_versions=1, retention_seconds=0)
+    assert not [d for d in deleted if d.startswith("_change_data")]
+    assert table_changes(spark, tbl, dv, dv).count() == 2
+
+    checkpoint_delta(tbl)
+    cleaned = cleanup_delta_log(tbl)
+    assert dv in cleaned
+    with pytest.raises(ValueError, match="cleaned"):
+        table_changes(spark, tbl, dv, dv)
+    deleted2 = vacuum_delta(tbl, keep_versions=1, retention_seconds=0)
+    assert [d for d in deleted2 if d.startswith("_change_data")]
+
+
+def test_timestamp_as_of_resolution(spark, tmp_path):
+    """TIMESTAMP AS OF: the newest version committed at or before the
+    timestamp (commitInfo.timestamp), ISO/epoch/datetime accepted,
+    pre-creation timestamps raise, version+timestamp is refused."""
+    from value_at_risk_spark.sources.deltalog import (
+        delta_history,
+        version_at_timestamp,
+    )
+
+    tbl = str(tmp_path / "ts")
+    for lo, hi in [(0, 3), (3, 5), (5, 9)]:
+        write_delta(
+            spark, spark.range(lo, hi).select("id"), tbl
+        )
+    hist = {h["version"]: h["timestamp"] for h in delta_history(tbl)}
+    t1 = hist[1] / 1000.0
+    assert version_at_timestamp(tbl, t1) == 1
+    # epsilon before v1's commit resolves to v0
+    assert version_at_timestamp(tbl, t1 - 0.001) == 0
+    assert read_delta(spark, tbl, timestamp=t1).count() == 5
+    from datetime import datetime, timezone
+
+    dt = datetime.fromtimestamp(hist[2] / 1000.0, tz=timezone.utc)
+    assert version_at_timestamp(tbl, dt) == 2
+    assert version_at_timestamp(tbl, dt.isoformat()) == 2
+    with pytest.raises(ValueError, match="predates"):
+        version_at_timestamp(tbl, hist[0] / 1000.0 - 10)
+    with pytest.raises(ValueError, match="mutually exclusive"):
+        read_delta(spark, tbl, version=1, timestamp=t1)
+
+
+def test_delta_sql_cdf_timestamp_and_tblproperties(spark, tmp_path):
+    """The SQL text surface covers the round-11 additions: SET
+    TBLPROPERTIES enables CDF, TABLE_CHANGES(...) reads it, and
+    TIMESTAMP AS OF time-travels a SELECT."""
+    from value_at_risk_spark.sources.delta_sql import delta_sql
+    from value_at_risk_spark.sources.deltalog import delta_history
+
+    tbl = str(tmp_path / "sqlcdf")
+    write_delta(
+        spark,
+        spark.createDataFrame([(1, 10.0), (2, 20.0)], "k long, v double"),
+        tbl,
+    )
+    delta_sql(
+        spark,
+        f"ALTER TABLE delta.`{tbl}` SET TBLPROPERTIES "
+        "('delta.enableChangeDataFeed'='true')",
+    )
+    assert snapshot(tbl).protocol["minWriterVersion"] == 4
+    delta_sql(spark, f"DELETE FROM delta.`{tbl}` WHERE k = 2")
+    rows = delta_sql(
+        spark,
+        f"SELECT _change_type, k FROM TABLE_CHANGES(delta.`{tbl}`, 2, 2)",
+    ).collect()
+    assert [(r["_change_type"], r["k"]) for r in rows] == [("delete", 2)]
+    ts = delta_history(tbl)[0]["timestamp"] / 1000.0  # v0 commit time
+    # ascending history: [0] is v0 (the pre-DML snapshot)
+    n = delta_sql(
+        spark,
+        f"SELECT COUNT(*) AS n FROM delta.`{tbl}` TIMESTAMP AS OF {ts}",
+    ).collect()[0]["n"]
+    assert n == 2
+
+
+def test_staged_writes_allowed_on_cdf_only_v4_table(spark, tmp_path):
+    """A table that is minWriterVersion 4 ONLY because of CDF accepts
+    staged (Data Source) appends — changes derive from the adds — while
+    generated-column tables keep refusing blind staged writes."""
+    from value_at_risk_spark.sources.deltalog import (
+        commit_staged_adds,
+        _stage,
+        table_changes,
+    )
+
+    tbl = str(tmp_path / "dsw")
+    write_delta(
+        spark,
+        spark.range(3).select("id"),
+        tbl,
+        configuration={"delta.enableChangeDataFeed": "true"},
+    )
+    df = spark.range(3, 5).select("id")
+    adds = _stage(df, tbl, [], data_change=True)
+    v = commit_staged_adds(tbl, adds, df.schema)
+    assert sorted(
+        r["id"] for r in table_changes(spark, tbl, v, v).collect()
+    ) == [3, 4]

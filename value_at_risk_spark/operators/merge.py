@@ -118,7 +118,14 @@ def merge_into_delta_native(
     pre-merge to post-merge state and time travel keeps the pre-merge
     snapshot. Returns the committed version. Copy-on-write rewrites
     the whole active set (file-level pruning of untouched files is
-    delta-spark's edge, documented, not silently approximated)."""
+    delta-spark's edge, documented, not silently approximated).
+
+    On a CDF table (``delta.enableChangeDataFeed``) the commit also
+    records exact row-level changes as cdc actions — matched target
+    rows as update_preimage/update_postimage pairs, unmatched update
+    rows as insert — so table_changes readers see MERGE semantics,
+    not the overwrite's remove-all/add-all derivation (which would
+    misreport every untouched row as deleted + reinserted)."""
     if not keys:
         raise ValueError("merge_into_delta_native: keys must be non-empty")
     missing = [k for k in keys if k not in updates.columns]
@@ -128,6 +135,8 @@ def merge_into_delta_native(
         )
     from value_at_risk_spark.sources.deltalog import (
         DeltaConcurrentModification,
+        _stage_cdc,
+        cdf_enabled,
         read_delta,
         snapshot,
         write_delta,
@@ -140,9 +149,33 @@ def merge_into_delta_native(
     # key-level semantics, not last-writer-wins) — so pin the commit
     # to the read version and re-read + re-merge on conflict
     for _attempt in range(16):
-        read_v = snapshot(target_path).version
+        snap0 = snapshot(target_path)
+        read_v = snap0.version
         target = read_delta(spark, target_path, version=read_v)
         merged = upsert(target, deduped, keys)
+        extra = None
+        if cdf_enabled(snap0):
+            aligned = deduped.select(
+                *[
+                    F.col(f.name).cast(f.dataType).alias(f.name)
+                    for f in snap0.schema.fields
+                ]
+            )
+            target_keys = target.select(*keys)
+            pre = target.join(
+                deduped.select(*keys), on=keys, how="left_semi"
+            ).withColumn("_change_type", F.lit("update_preimage"))
+            post = aligned.join(
+                target_keys, on=keys, how="left_semi"
+            ).withColumn("_change_type", F.lit("update_postimage"))
+            ins = aligned.join(
+                target_keys, on=keys, how="left_anti"
+            ).withColumn("_change_type", F.lit("insert"))
+            extra = _stage_cdc(
+                pre.unionByName(post).unionByName(ins),
+                target_path,
+                snap0.partition_columns,
+            )
         try:
             return write_delta(
                 spark,
@@ -150,6 +183,7 @@ def merge_into_delta_native(
                 target_path,
                 mode="overwrite",
                 expected_version=read_v,
+                extra_actions=extra,
             )
         except DeltaConcurrentModification:
             continue

@@ -14486,3 +14486,146 @@ def delta_sql_dml_scan(spark: SparkSession, sf_dir: str) -> DataFrame:
         GROUP BY n_regionkey
         """,
     )
+
+
+def _delta_cdf_table(spark: SparkSession, sf_dir: str) -> str:
+    """Session-scoped CDF-enabled native Delta table: the same
+    deterministic DML walk as _delta_dml_table (v0 even orderkeys, v1
+    append odd, v2 DELETE o_totalprice < 50000, v3 UPDATE urgent
+    price *= 2) with ``delta.enableChangeDataFeed`` set at creation,
+    so every commit's row-level changes are recoverable through
+    table_changes — inserts derived from the appends' add actions,
+    delete/update_preimage/update_postimage from the DML's cdc files
+    (sources/deltalog: _stage_cdc / table_changes)."""
+    key = ("_cdf", sf_dir)
+    tbl = _DELTA_DML_SCRATCH.get(key)
+    if tbl is not None:
+        return tbl
+    import atexit
+    import shutil
+    import tempfile
+
+    from value_at_risk_spark.sources.deltalog import (
+        delete_from_delta,
+        update_delta,
+        write_delta,
+    )
+
+    tbl = tempfile.mkdtemp(prefix="vars_delta_cdf_")
+    shutil.rmtree(tbl, ignore_errors=True)
+    atexit.register(shutil.rmtree, tbl, ignore_errors=True)
+    orders = _t(spark, sf_dir, "orders").select(
+        "o_orderkey", "o_orderstatus", "o_orderpriority", "o_totalprice"
+    )
+    write_delta(
+        spark,
+        orders.filter(F.col("o_orderkey") % 2 == 0),
+        tbl,
+        partition_by=["o_orderstatus"],
+        configuration={"delta.enableChangeDataFeed": "true"},
+    )
+    write_delta(spark, orders.filter(F.col("o_orderkey") % 2 == 1), tbl)
+    delete_from_delta(spark, tbl, "o_totalprice < 50000.0")
+    update_delta(
+        spark,
+        tbl,
+        "o_orderpriority = '1-URGENT'",
+        {"o_totalprice": "o_totalprice * 2"},
+    )
+    _DELTA_DML_SCRATCH[key] = tbl
+    return tbl
+
+
+@query(
+    "delta_cdf_scan",
+    """
+SELECT _change_type,
+       _commit_version,
+       COUNT(*) AS n_rows,
+       ROUND(SUM(o_totalprice), 2) AS total_price
+FROM (
+  SELECT 'insert' AS _change_type, CAST(0 AS BIGINT) AS _commit_version,
+         o_totalprice
+  FROM orders WHERE o_orderkey % 2 = 0
+  UNION ALL
+  SELECT 'insert', CAST(1 AS BIGINT), o_totalprice
+  FROM orders WHERE o_orderkey % 2 = 1
+  UNION ALL
+  SELECT 'delete', CAST(2 AS BIGINT), o_totalprice
+  FROM orders WHERE o_totalprice < 50000.0
+  UNION ALL
+  SELECT 'update_preimage', CAST(3 AS BIGINT), o_totalprice
+  FROM orders
+  WHERE o_orderpriority = '1-URGENT' AND NOT o_totalprice < 50000.0
+  UNION ALL
+  SELECT 'update_postimage', CAST(3 AS BIGINT), o_totalprice * 2
+  FROM orders
+  WHERE o_orderpriority = '1-URGENT' AND NOT o_totalprice < 50000.0
+)
+GROUP BY _change_type, _commit_version
+""",
+)
+def delta_cdf_scan(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Change Data Feed end to end, ORACLE-pinned: after two appends,
+    a file-level DELETE, and an UPDATE on a CDF table, table_changes
+    over the whole history must reproduce EXACTLY the row-level
+    change stream DuckDB computes closed-form from the original
+    parquet — appends as derived inserts, the DELETE's victims from
+    its cdc files, the UPDATE as preimage/postimage pairs. Hash
+    equality proves the cdc staging lost no rows, derivation and cdc
+    branches agree on schema, and rewritten SURVIVORS never leak into
+    the feed (sources/deltalog.table_changes; Delta protocol 'Add CDC
+    File')."""
+    from value_at_risk_spark.sources.deltalog import table_changes
+
+    tbl = _delta_cdf_table(spark, sf_dir)
+    return (
+        table_changes(spark, tbl, 0)
+        .groupBy("_change_type", "_commit_version")
+        .agg(
+            F.count(F.lit(1)).alias("n_rows"),
+            (F.round(F.sum("o_totalprice"), 2) + F.lit(0.0)).alias(
+                "total_price"
+            ),
+        )
+    )
+
+
+@query(
+    "delta_timestamp_travel",
+    """
+SELECT o_orderstatus,
+       COUNT(*) AS n_orders,
+       ROUND(SUM(o_totalprice), 2) AS total_price
+FROM orders
+GROUP BY o_orderstatus
+""",
+)
+def delta_timestamp_travel(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TIMESTAMP AS OF resolution, ORACLE-pinned: reading the CDF
+    table at version 1's COMMIT TIMESTAMP (taken from the log's own
+    commitInfo, resolved through version_at_timestamp) must
+    reconstruct the complete original order set — the newest version
+    at-or-before the timestamp is v1, the last pre-DML append — so
+    hash equality against DuckDB's full-orders aggregate pins both
+    the timestamp→version mapping and the snapshot replay under it
+    (sources/deltalog.version_at_timestamp / read_delta)."""
+    from value_at_risk_spark.sources.deltalog import (
+        delta_history,
+        read_delta,
+    )
+
+    tbl = _delta_cdf_table(spark, sf_dir)
+    ts_v1 = next(
+        h["timestamp"] for h in delta_history(tbl) if h["version"] == 1
+    )
+    return (
+        read_delta(spark, tbl, timestamp=ts_v1 / 1000.0)
+        .groupBy("o_orderstatus")
+        .agg(
+            F.count(F.lit(1)).alias("n_orders"),
+            (F.round(F.sum("o_totalprice"), 2) + F.lit(0.0)).alias(
+                "total_price"
+            ),
+        )
+    )

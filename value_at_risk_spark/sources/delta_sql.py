@@ -10,10 +10,12 @@ statement shapes those workloads use and dispatches to the native-log
 implementations, with tables addressed as ``delta.`/path``` exactly
 like delta-spark's path syntax:
 
-- ``SELECT ... FROM delta.`/p` [VERSION AS OF n] ...`` — every
-  ``delta.`path``` reference is swapped for a snapshot temp view and
-  the rest of the text is handed to Catalyst verbatim (joins between
-  delta tables and registered views work);
+- ``SELECT ... FROM delta.`/p` [VERSION AS OF n | TIMESTAMP AS OF
+  'ts'] ...`` — every ``delta.`path``` reference is swapped for a
+  snapshot temp view and the rest of the text is handed to Catalyst
+  verbatim (joins between delta tables and registered views work);
+  ``TABLE_CHANGES(delta.`/p`, from[, to])`` relations read the
+  Change Data Feed (deltalog.table_changes);
 - ``DELETE FROM delta.`/p` WHERE cond``;
 - ``UPDATE delta.`/p` SET c = expr[, ...] [WHERE cond]``;
 - ``MERGE INTO delta.`/p` [AS] t USING view [AS] s ON t.k = s.k
@@ -24,7 +26,8 @@ like delta-spark's path syntax:
 - ``RESTORE [TABLE] delta.`/p` TO VERSION AS OF n``;
 - ``DESCRIBE HISTORY delta.`/p``` — returned as a DataFrame;
 - ``ALTER TABLE delta.`/p` ADD CONSTRAINT name CHECK (expr)`` /
-  ``DROP CONSTRAINT name``.
+  ``DROP CONSTRAINT name`` /
+  ``SET TBLPROPERTIES ('k'='v', ...)``.
 
 Anything else raises ValueError with the unsupported text — loud,
 never silently re-interpreted. Statements that mutate return the
@@ -59,16 +62,48 @@ def delta_sql(spark: SparkSession, stmt: str):
     head = s.split(None, 1)[0].upper() if s else ""
 
     if head == "SELECT" or head == "WITH":
-        # swap every delta.`path` [VERSION AS OF n] for a snapshot view
+        # table_changes(delta.`/p`, from[, to]) relations become CDF
+        # views first, so the generic substitution below never sees
+        # their inner delta.`path`
+        def _cdf_sub(m: re.Match) -> str:
+            view = f"delta_cdf_{uuid.uuid4().hex[:8]}"
+            dl.table_changes(
+                spark,
+                m.group(1),
+                int(m.group(2)),
+                int(m.group(3)) if m.group(3) else None,
+            ).createOrReplaceTempView(view)
+            return view
+
+        s = re.sub(
+            r"TABLE_CHANGES\s*\(\s*delta\.`([^`]+)`\s*,\s*(\d+)"
+            r"(?:\s*,\s*(\d+))?\s*\)",
+            _cdf_sub,
+            s,
+            flags=re.IGNORECASE,
+        )
+
+        # swap every remaining delta.`path` [VERSION AS OF n |
+        # TIMESTAMP AS OF 'ts'] for a snapshot view
         def _sub(m: re.Match) -> str:
             path = m.group(1)
             rest = s[m.end():]
             vm = re.match(
                 r"\s+VERSION\s+AS\s+OF\s+(\d+)", rest, re.IGNORECASE
             )
+            tm = re.match(
+                r"\s+TIMESTAMP\s+AS\s+OF\s+(?:'([^']+)'|(\d+(?:\.\d+)?))",
+                rest,
+                re.IGNORECASE,
+            )
             version = int(vm.group(1)) if vm else None
+            ts = None
+            if tm is not None:
+                ts = tm.group(1) if tm.group(1) else float(tm.group(2))
             view = f"delta_{uuid.uuid4().hex[:8]}"
-            dl.read_delta(spark, path, version=version).createOrReplaceTempView(view)
+            dl.read_delta(
+                spark, path, version=version, timestamp=ts
+            ).createOrReplaceTempView(view)
             return view
 
         out = []
@@ -78,7 +113,10 @@ def delta_sql(spark: SparkSession, stmt: str):
             out.append(_sub(m))
             pos = m.end()
             vm = re.match(
-                r"\s+VERSION\s+AS\s+OF\s+\d+", s[pos:], re.IGNORECASE
+                r"\s+(?:VERSION\s+AS\s+OF\s+\d+"
+                r"|TIMESTAMP\s+AS\s+OF\s+(?:'[^']+'|\d+(?:\.\d+)?))",
+                s[pos:],
+                re.IGNORECASE,
             )
             if vm:
                 pos += vm.end()  # the view already pins the version
@@ -262,6 +300,24 @@ def delta_sql(spark: SparkSession, stmt: str):
             return dl.drop_check_constraint(
                 spark, _one_path(s, "ALTER"), m.group(1)
             )
+        m = re.match(
+            r"ALTER\s+TABLE\s+delta\.`[^`]+`\s+SET\s+TBLPROPERTIES\s*"
+            r"\((.+)\)$",
+            s,
+            re.IGNORECASE | re.DOTALL,
+        )
+        if m:
+            props: dict[str, str] = {}
+            for pm in re.finditer(
+                r"'([^']+)'\s*=\s*'([^']*)'", m.group(1)
+            ):
+                props[pm.group(1)] = pm.group(2)
+            if not props:
+                raise ValueError(
+                    f"delta_sql: no 'k'='v' pairs in TBLPROPERTIES: "
+                    f"{stmt!r}"
+                )
+            return dl.set_table_properties(_one_path(s, "ALTER"), props)
         raise ValueError(f"delta_sql: unsupported ALTER shape: {stmt!r}")
 
     raise ValueError(f"delta_sql: unsupported statement: {stmt!r}")

@@ -51,7 +51,13 @@ from urllib.parse import quote, unquote
 
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
-from pyspark.sql.types import StructType
+from pyspark.sql.types import (
+    LongType,
+    StringType,
+    StructField,
+    StructType,
+    TimestampType,
+)
 
 _LOG = "_delta_log"
 _LAST = "_last_checkpoint"
@@ -305,6 +311,7 @@ def read_delta(
     version: int | None = None,
     partition_filters: dict[str, list[str]] | None = None,
     stats_filters: list[tuple] | None = None,
+    timestamp=None,
 ) -> DataFrame:
     """Snapshot-consistent DataFrame over the active file set — a
     plain distributed parquet scan (predicate pushdown, column
@@ -329,7 +336,18 @@ def read_delta(
     version 2) are supported: the scan runs against the PHYSICAL
     column names the data files carry, then renames to the logical
     schema; filters arrive in logical names and are translated. Mode
-    'id' (field-id resolution) raises loudly."""
+    'id' (field-id resolution) raises loudly.
+
+    ``timestamp`` (TIMESTAMP AS OF; exclusive with ``version``):
+    epoch seconds, datetime, or ISO-8601 string — resolved to the
+    newest version committed at or before it (version_at_timestamp)."""
+    if timestamp is not None:
+        if version is not None:
+            raise ValueError(
+                "read_delta: version and timestamp are mutually "
+                "exclusive"
+            )
+        version = version_at_timestamp(path, timestamp)
     snap = snapshot(path, version)
     l2p = _column_mapping(snap)
     if l2p is not None:
@@ -703,6 +721,8 @@ def write_delta(
     merge_schema: bool = False,
     expected_version: int | None = None,
     generated_columns: dict[str, str] | None = None,
+    configuration: dict[str, str] | None = None,
+    extra_actions: list[dict] | None = None,
 ) -> int:
     """Transactional append/overwrite; returns the committed version.
 
@@ -720,19 +740,45 @@ def write_delta(
     minWriterVersion becomes 4. On every later write, a missing
     generated column is COMPUTED from its expression, and a provided
     one is VALIDATED against it (one short-circuited job) — exactly
-    Delta's generated-column contract."""
+    Delta's generated-column contract.
+
+    ``configuration`` ({property: value}, creation only) lands in
+    ``metaData.configuration``; ``delta.enableChangeDataFeed=true``
+    (protocol writer feature 4) makes every later DML commit record
+    its row-level changes under ``_change_data/`` for
+    ``table_changes`` readers. ``extra_actions`` (already-built
+    protocol actions, e.g. staged ``cdc`` entries) are appended to
+    the commit verbatim."""
     if mode not in ("append", "overwrite"):
         raise ValueError(f"write_delta mode must be append|overwrite: {mode}")
     exists = bool(delta_versions(path))
     gen: dict[str, str] = {}
     schema_for_commit = None
     min_writer = 2
+    if configuration:
+        for k, v in configuration.items():
+            if not isinstance(k, str) or not isinstance(v, str):
+                raise ValueError(
+                    "write_delta: configuration must be a str->str map"
+                )
+        if _truthy(configuration.get("delta.enableChangeDataFeed")):
+            min_writer = 4
+        if "delta.columnMapping.mode" in configuration:
+            raise NotImplementedError(
+                "write_delta: column-mapped tables are read-only in "
+                "this writer; cannot create one"
+            )
     if exists:
         if generated_columns:
             raise ValueError(
                 "write_delta: generated_columns is a table-creation "
                 "option; the table's own schema metadata governs "
                 "later writes"
+            )
+        if configuration:
+            raise ValueError(
+                "write_delta: configuration is a table-creation "
+                "option; use set_table_properties on an existing table"
             )
         snap0 = snapshot(path)
         gen = table_generated_columns(snap0)
@@ -803,7 +849,74 @@ def write_delta(
         new_metadata=new_metadata,
         constraints_ok=True,
         min_writer_version=min_writer,
+        configuration=configuration,
+        extra_actions=extra_actions,
     )
+
+
+def _truthy(v) -> bool:
+    return isinstance(v, str) and v.strip().lower() == "true"
+
+
+def cdf_enabled(snap: DeltaSnapshot) -> bool:
+    """Whether ``delta.enableChangeDataFeed`` is set on the snapshot's
+    metadata — the gate for DML cdc emission and table_changes."""
+    cfg = snap.metadata.get("configuration") or {}
+    return _truthy(cfg.get("delta.enableChangeDataFeed"))
+
+
+def set_table_properties(path: str, props: dict[str, str]) -> int:
+    """``ALTER TABLE SET TBLPROPERTIES`` — commit a metaData update
+    merging ``props`` into the table configuration (optimistic retry).
+    Enabling ``delta.enableChangeDataFeed`` bumps minWriterVersion to
+    4 (protocol writer feature: Change Data Feed); changes are
+    recorded from the NEXT commit on — versions at or before this one
+    stay unreadable through table_changes, exactly Delta's own
+    enablement semantics. Returns the committed version."""
+    for k, v in props.items():
+        if not isinstance(k, str) or not isinstance(v, str):
+            raise ValueError("set_table_properties: str->str map required")
+    if "delta.columnMapping.mode" in props:
+        raise NotImplementedError(
+            "set_table_properties: enabling column mapping would make "
+            "the table unwritable by this module (read-only support)"
+        )
+    now_ms = int(time.time() * 1000)
+    for _attempt in range(64):
+        snap = snapshot(path)
+        _refuse_mapped_write(snap, "SET TBLPROPERTIES")
+        _refuse_high_writer_version(snap, "SET TBLPROPERTIES")
+        cfg = dict(snap.metadata.get("configuration") or {})
+        cfg.update(props)
+        meta = {**snap.metadata, "configuration": cfg}
+        actions: list[dict] = [
+            {
+                "commitInfo": {
+                    "timestamp": now_ms,
+                    "operation": "SET TBLPROPERTIES",
+                    "operationParameters": {
+                        "properties": dict(sorted(props.items()))
+                    },
+                    "engineInfo": "value_at_risk_spark.deltalog",
+                }
+            },
+            {"metaData": meta},
+        ]
+        wv = int(snap.protocol.get("minWriterVersion", 2) or 2)
+        if _truthy(cfg.get("delta.enableChangeDataFeed")) and wv < 4:
+            actions.append(
+                {
+                    "protocol": {
+                        "minReaderVersion": int(
+                            snap.protocol.get("minReaderVersion", 1) or 1
+                        ),
+                        "minWriterVersion": 4,
+                    }
+                }
+            )
+        if _publish_commit(path, snap.version + 1, actions):
+            return snap.version + 1
+    raise RuntimeError(f"set_table_properties: lost the commit race at {path}")
 
 
 def table_generated_columns(snap: DeltaSnapshot) -> dict[str, str]:
@@ -924,6 +1037,8 @@ def commit_staged_adds(
     new_metadata: dict | None = None,
     constraints_ok: bool = False,
     min_writer_version: int = 2,
+    configuration: dict[str, str] | None = None,
+    extra_actions: list[dict] | None = None,
 ) -> int:
     """write_delta's commit half: publish already-staged add actions
     as one transactional version (optimistic retry; the protocol txn
@@ -948,16 +1063,22 @@ def commit_staged_adds(
                 "this writer implements up to 4 (CHECK constraints, "
                 "generated columns)"
             )
-        if not constraints_ok and (
-            wv == 4
-            or table_constraints(snap0)
-            or table_generated_columns(snap0)
-        ):
-            raise ValueError(
-                f"delta table at {path} has invariants (CHECK "
-                "constraints / generated columns) this write path "
-                "cannot enforce — write through write_delta"
-            )
+        if not constraints_ok:
+            if table_constraints(snap0) or table_generated_columns(snap0):
+                raise ValueError(
+                    f"delta table at {path} has invariants (CHECK "
+                    "constraints / generated columns) this write path "
+                    "cannot enforce — write through write_delta"
+                )
+            if wv == 4 and not cdf_enabled(snap0):
+                # v4 for a reason we cannot see (identity columns, …)
+                # — CDF alone is append-safe (changes derive from the
+                # adds), any other v4 feature is not
+                raise ValueError(
+                    f"delta table at {path} declares minWriterVersion 4 "
+                    "with no visible CDF/constraint/generated-column "
+                    "metadata — refusing a blind staged write"
+                )
     now_ms = int(time.time() * 1000)
     for _attempt in range(64):
         versions = delta_versions(path)
@@ -1009,7 +1130,7 @@ def commit_staged_adds(
                         "format": {"provider": "parquet", "options": {}},
                         "schemaString": schema.json(),
                         "partitionColumns": part_cols,
-                        "configuration": {},
+                        "configuration": dict(configuration or {}),
                         "createdTime": now_ms,
                     }
                 }
@@ -1030,6 +1151,8 @@ def commit_staged_adds(
                 for p in sorted(current.files)
             )
         actions.extend(adds)
+        if extra_actions:
+            actions.extend(extra_actions)
         if _publish_commit(path, version, actions):
             return version
     raise RuntimeError(
@@ -1275,6 +1398,19 @@ def vacuum_delta(
         referenced.update(
             os.path.normpath(unquote(p)) for p in snapshot(path, v).files
         )
+    # change-data files are referenced by their COMMIT, not by any
+    # snapshot — keep every cdc file whose commit JSON is still in the
+    # log (cleanup_delta_log is the retention boundary: once the
+    # commit is pruned its changes are unreadable anyway, and the cdc
+    # file becomes collectable)
+    for v in _json_versions(path):
+        with open(_commit_path(path, v)) as fh:
+            for line in fh:
+                if not line.strip():
+                    continue
+                c = json.loads(line).get("cdc")
+                if c is not None:
+                    referenced.add(os.path.normpath(unquote(c["path"])))
     cutoff = time.time() - retention_seconds
     deleted: list[str] = []
     for root, dirs, names in os.walk(path, topdown=True):
@@ -1403,6 +1539,225 @@ def read_delta_changes(
     )
 
 
+def _scan_rel_paths(
+    spark: SparkSession,
+    path: str,
+    schema: StructType,
+    part_cols: list[str],
+    rel_paths: list[str],
+) -> DataFrame:
+    """Typed scan over explicit relative paths — the _scan_files
+    machinery without a snapshot (table_changes reads cdc and
+    REMOVED files, neither of which is in the active set)."""
+    files = [os.path.join(path, unquote(p)) for p in rel_paths]
+    if not files:
+        return spark.createDataFrame([], schema)
+    if not part_cols:
+        return spark.read.schema(schema).parquet(*files)
+    return _union_scan(spark, schema, _group_by_partition_root(path, files))
+
+
+def table_changes(
+    spark: SparkSession,
+    path: str,
+    from_version: int,
+    to_version: int | None = None,
+) -> DataFrame:
+    """Change Data Feed read — the batch form of Delta's own
+    ``table_changes``: every row-level change committed in versions
+    ``[from_version, to_version]`` (INCLUSIVE bounds, Delta's
+    convention — contrast read_delta_changes' exclusive ``from``),
+    as the table columns plus ``_change_type`` (insert | delete |
+    update_preimage | update_postimage), ``_commit_version``, and
+    ``_commit_timestamp``.
+
+    Per the protocol, a version that carries ``cdc`` actions is read
+    from those files ONLY; a version without them derives its changes
+    from the data-changing ``add``/``remove`` actions (adds → insert
+    rows, removes → delete rows, read from the still-on-disk removed
+    files) — so blind appends need no cdc files, while copy-on-write
+    DML (which rewrites survivors) records exact row changes.
+    OPTIMIZE commits (``dataChange: false``) are invisible. This is
+    the incremental-consumption contract at 100 TB: each version
+    contributes a scan bounded by ITS changed files, never a rescan
+    of the table; the plan unions one branch per changed version
+    (bounded by commits in the range, the same shape as Delta's own
+    CDF scan).
+
+    Raises when a data-changing version in range predates CDF
+    enablement (``delta.enableChangeDataFeed``), when a commit JSON
+    in range was cleaned from the log, or when a derivation needs a
+    vacuumed file.
+
+    Reference tie: the reference's pipeline tables are Delta
+    (config/configure_notebook.py:18-27); CDF is how its downstream
+    consumers would subscribe to DML incrementally."""
+    versions = delta_versions(path)
+    if to_version is None:
+        to_version = versions[-1] if versions else from_version
+    if from_version > to_version:
+        raise ValueError(
+            f"table_changes: from_version {from_version} > to_version "
+            f"{to_version}"
+        )
+    snap_to = snapshot(path, to_version)
+    if _column_mapping(snap_to) is not None:
+        raise NotImplementedError(
+            "table_changes: column-mapped tables are not supported"
+        )
+    schema = snap_to.schema
+    part_cols = snap_to.partition_columns
+    cdc_schema = StructType(
+        [*schema.fields, StructField("_change_type", StringType())]
+    )
+    jsons = set(_json_versions(path))
+    # configuration AS OF from_version seeds the enablement walk; a
+    # metaData action inside the range flips it mid-walk (idempotent
+    # re-application at from_version itself)
+    cfg = dict(
+        snapshot(path, from_version).metadata.get("configuration") or {}
+    )
+    branches: list[DataFrame] = []
+    for v in versions:
+        if not (from_version <= v <= to_version):
+            continue
+        if v not in jsons:
+            raise ValueError(
+                f"table_changes: commit {v} was cleaned from the log; "
+                "its changes are no longer recoverable"
+            )
+        cdc_files: list[str] = []
+        add_files: list[str] = []
+        rm_files: list[str] = []
+        ts_ms = None
+        with open(_commit_path(path, v)) as fh:
+            for line in fh:
+                if not line.strip():
+                    continue
+                a = json.loads(line)
+                if a.get("metaData") is not None:
+                    cfg = dict(a["metaData"].get("configuration") or {})
+                if a.get("commitInfo") is not None:
+                    ts_ms = a["commitInfo"].get("timestamp", ts_ms)
+                if a.get("cdc") is not None:
+                    cdc_files.append(a["cdc"]["path"])
+                add = a.get("add")
+                if add is not None and add.get("dataChange", True):
+                    add_files.append(add["path"])
+                rm = a.get("remove")
+                if rm is not None and rm.get("dataChange", True):
+                    rm_files.append(rm["path"])
+        if not cdc_files and not add_files and not rm_files:
+            continue  # metadata-only / OPTIMIZE commit: no changes
+        if not _truthy(cfg.get("delta.enableChangeDataFeed")):
+            raise ValueError(
+                f"table_changes: change data was not recorded for "
+                f"version {v} (delta.enableChangeDataFeed was not set "
+                "when it committed)"
+            )
+        if ts_ms is None:
+            ts_ms = int(os.stat(_commit_path(path, v)).st_mtime * 1000)
+        if cdc_files:
+            parts = [_scan_rel_paths(spark, path, cdc_schema, part_cols,
+                                     cdc_files)]
+        else:
+            missing = [
+                p for p in (*add_files, *rm_files)
+                if not os.path.exists(os.path.join(path, unquote(p)))
+            ]
+            if missing:
+                raise FileNotFoundError(
+                    f"table_changes: version {v} derivation needs "
+                    f"{len(missing)} vacuumed file(s), e.g. {missing[0]}"
+                )
+            parts = []
+            if add_files:
+                parts.append(
+                    _scan_rel_paths(spark, path, schema, part_cols,
+                                    add_files)
+                    .withColumn("_change_type", F.lit("insert"))
+                )
+            if rm_files:
+                parts.append(
+                    _scan_rel_paths(spark, path, schema, part_cols,
+                                    rm_files)
+                    .withColumn("_change_type", F.lit("delete"))
+                )
+        for p in parts:
+            branches.append(
+                p.withColumn(
+                    "_commit_version", F.lit(v).cast("bigint")
+                ).withColumn(
+                    "_commit_timestamp",
+                    F.timestamp_millis(F.lit(ts_ms)),
+                )
+            )
+    out_schema = StructType(
+        [
+            *cdc_schema.fields,
+            StructField("_commit_version", LongType()),
+            StructField("_commit_timestamp", TimestampType()),
+        ]
+    )
+    if not branches:
+        return spark.createDataFrame([], out_schema)
+    out = branches[0]
+    for b in branches[1:]:
+        out = out.unionByName(b)
+    return out.select(*[f.name for f in out_schema.fields])
+
+
+def version_at_timestamp(path: str, ts) -> int:
+    """The newest version whose commit timestamp is <= ``ts`` —
+    ``TIMESTAMP AS OF`` resolution. ``ts`` is epoch seconds (int or
+    float), a ``datetime``, or an ISO-8601 string (naive values are
+    taken as UTC — commit timestamps are epoch milliseconds).
+    Timestamps come from ``commitInfo.timestamp`` with the commit
+    file's mtime as fallback; checkpoint-anchored versions whose
+    commit JSON was cleaned use the checkpoint file's mtime. Raises
+    when ``ts`` predates the table's first version."""
+    from datetime import datetime, timezone
+
+    if isinstance(ts, str):
+        ts = datetime.fromisoformat(ts)
+    if isinstance(ts, datetime):
+        if ts.tzinfo is None:
+            ts = ts.replace(tzinfo=timezone.utc)
+        target_ms = int(ts.timestamp() * 1000)
+    else:
+        target_ms = int(float(ts) * 1000)
+    jsons = set(_json_versions(path))
+    best = None
+    earliest_ms = None
+    for v in delta_versions(path):
+        if v in jsons:
+            ts_ms = None
+            with open(_commit_path(path, v)) as fh:
+                for line in fh:
+                    if not line.strip():
+                        continue
+                    ci = json.loads(line).get("commitInfo")
+                    if ci is not None:
+                        ts_ms = ci.get("timestamp")
+                        break
+            if ts_ms is None:
+                ts_ms = int(os.stat(_commit_path(path, v)).st_mtime * 1000)
+        else:
+            ts_ms = int(
+                os.stat(_checkpoint_path(path, v)).st_mtime * 1000
+            )
+        if earliest_ms is None:
+            earliest_ms = ts_ms
+        if ts_ms <= target_ms:
+            best = v
+    if best is None:
+        raise ValueError(
+            f"version_at_timestamp: {target_ms} ms predates the "
+            f"table's first commit ({earliest_ms} ms) at {path}"
+        )
+    return best
+
+
 def cleanup_delta_log(path: str, keep_last: int = 0) -> list[int]:
     """Delete commit JSONs fully superseded by the newest checkpoint
     (optionally keeping the trailing ``keep_last`` of them for
@@ -1470,6 +1825,40 @@ def _touched_files(
     return sorted(touched), total
 
 
+def _stage_cdc(
+    df: DataFrame, path: str, part_cols: list[str]
+) -> list[dict]:
+    """Stage change-data rows (table columns + ``_change_type``) as
+    parquet under ``_change_data/`` and return their ``cdc`` actions
+    (protocol: Add CDC File — ``dataChange: false``, partitionValues
+    like any add). The underscore prefix keeps the files invisible to
+    plain directory scans; table_changes reads them by action."""
+    rel = os.path.join("_change_data", f"cdc-{uuid.uuid4().hex[:12]}")
+    stage_abs = os.path.join(path, rel)
+    writer = df.write.mode("error")
+    if part_cols:
+        writer = writer.partitionBy(*part_cols)
+    writer.parquet(stage_abs)
+    actions = []
+    for root, _dirs, names in os.walk(stage_abs):
+        for n in sorted(names):
+            if not n.endswith(".parquet"):
+                continue
+            full = os.path.join(root, n)
+            fr = os.path.relpath(full, path)
+            actions.append(
+                {
+                    "cdc": {
+                        "path": quote(fr, safe="/"),
+                        "partitionValues": _parse_partition_values(fr),
+                        "size": os.stat(full).st_size,
+                        "dataChange": False,
+                    }
+                }
+            )
+    return actions
+
+
 def _commit_rewrite(
     path: str,
     read_version: int,
@@ -1478,6 +1867,7 @@ def _commit_rewrite(
     removed: list[str],
     adds: list[dict],
     snap: DeltaSnapshot,
+    cdc_actions: list[dict] | None = None,
 ) -> bool:
     now_ms = int(time.time() * 1000)
     actions: list[dict] = [
@@ -1502,6 +1892,8 @@ def _commit_rewrite(
         for p in removed
     )
     actions.extend(adds)
+    if cdc_actions:
+        actions.extend(cdc_actions)
     return _publish_commit(path, read_version + 1, actions)
 
 
@@ -1557,6 +1949,21 @@ def delete_from_delta(
             snap.partition_columns,
             data_change=True,
         )
+        cdc_actions = None
+        if cdf_enabled(snap):
+            # CDF: the deleted rows themselves, one extra bounded scan
+            # of ONLY the touched files (Delta's own DML pays the same
+            # second pass to materialize change data)
+            deleted_rows = (
+                _scan_files(spark, path, snap, touched)
+                .filter(F.coalesce(cond, F.lit(False)))
+                .withColumn("_change_type", F.lit("delete"))
+            )
+            cdc_actions = _stage_cdc(
+                deleted_rows.repartition(len(touched)),
+                path,
+                snap.partition_columns,
+            )
         if _commit_rewrite(
             path,
             snap.version,
@@ -1565,6 +1972,7 @@ def delete_from_delta(
             touched,
             adds,
             snap,
+            cdc_actions=cdc_actions,
         ):
             return {
                 "version": snap.version + 1,
@@ -1644,6 +2052,34 @@ def update_delta(
             snap.partition_columns,
             data_change=True,
         )
+        cdc_actions = None
+        if cdf_enabled(snap):
+            # CDF: matched rows before and after the SET. The
+            # postimage is computed from the PRE-update scan (the set
+            # expressions must see original values — a self-referencing
+            # SET like price = price * 2 would double twice if applied
+            # to the rewritten frame)
+            matched = base.filter(F.coalesce(cond, F.lit(False)))
+            pre = matched.withColumn(
+                "_change_type", F.lit("update_preimage")
+            )
+            post = matched.select(
+                *[
+                    (
+                        F.expr(set_exprs[f.name]).cast(f.dataType).alias(
+                            f.name
+                        )
+                        if f.name in set_exprs
+                        else F.col(f.name)
+                    )
+                    for f in snap.schema.fields
+                ]
+            ).withColumn("_change_type", F.lit("update_postimage"))
+            cdc_actions = _stage_cdc(
+                pre.unionByName(post).repartition(len(touched)),
+                path,
+                snap.partition_columns,
+            )
         if _commit_rewrite(
             path,
             snap.version,
@@ -1653,6 +2089,7 @@ def update_delta(
             touched,
             adds,
             snap,
+            cdc_actions=cdc_actions,
         ):
             return {
                 "version": snap.version + 1,

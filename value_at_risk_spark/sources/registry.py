@@ -244,6 +244,33 @@ class Registry:
             spark, self._delta_path(name), cname, expr
         )
 
+    def set_properties(self, name: str, props: dict[str, str]) -> int:
+        """``ALTER TABLE name SET TBLPROPERTIES`` on a deltalog table
+        (sources/deltalog.set_table_properties) — e.g.
+        ``{'delta.enableChangeDataFeed': 'true'}``."""
+        from value_at_risk_spark.sources.deltalog import (
+            set_table_properties,
+        )
+
+        return set_table_properties(self._delta_path(name), props)
+
+    def changes(
+        self,
+        spark: SparkSession,
+        name: str,
+        from_version: int,
+        to_version: int | None = None,
+    ) -> DataFrame:
+        """Change Data Feed over a registered deltalog table
+        (sources/deltalog.table_changes): rows + _change_type /
+        _commit_version / _commit_timestamp for versions
+        [from_version, to_version]."""
+        from value_at_risk_spark.sources.deltalog import table_changes
+
+        return table_changes(
+            spark, self._delta_path(name), from_version, to_version
+        )
+
     def compact(
         self,
         spark: SparkSession,
