@@ -2193,3 +2193,126 @@ def test_staged_writes_allowed_on_cdf_only_v4_table(spark, tmp_path):
     assert sorted(
         r["id"] for r in table_changes(spark, tbl, v, v).collect()
     ) == [3, 4]
+
+
+def test_append_only_tables_refuse_data_removal(spark, tmp_path):
+    """delta.appendOnly (THE minWriterVersion-2 feature, previously
+    declared but unenforced): overwrite, DELETE, UPDATE, MERGE, and
+    RESTORE are refused; appends and dataChange:false OPTIMIZE still
+    commit."""
+    from value_at_risk_spark.operators.merge import merge_into_delta_native
+    from value_at_risk_spark.sources.deltalog import (
+        delete_from_delta,
+        optimize_delta,
+        restore_delta,
+        update_delta,
+    )
+
+    tbl = str(tmp_path / "ao")
+    write_delta(
+        spark,
+        spark.range(4).select("id"),
+        tbl,
+        configuration={"delta.appendOnly": "true"},
+    )
+    write_delta(spark, spark.range(4, 6).select("id"), tbl)  # append ok
+    optimize_delta(spark, tbl)  # dataChange:false ok
+    with pytest.raises(ValueError, match="appendOnly"):
+        write_delta(spark, spark.range(2).select("id"), tbl,
+                    mode="overwrite")
+    with pytest.raises(ValueError, match="appendOnly"):
+        delete_from_delta(spark, tbl, "id = 0")
+    with pytest.raises(ValueError, match="appendOnly"):
+        update_delta(spark, tbl, "id = 0", {"id": "id + 100"})
+    with pytest.raises(ValueError, match="appendOnly"):
+        merge_into_delta_native(
+            spark, tbl, spark.range(1).select("id"), ["id"]
+        )
+    with pytest.raises(ValueError, match="appendOnly"):
+        restore_delta(spark, tbl, 0)
+    assert read_delta(spark, tbl).count() == 6
+
+
+def test_datasource_cdf_batch_and_stream(spark, tmp_path):
+    """readChangeFeed on the deltalog Data Source: the batch read
+    (inclusive startingVersion/endingVersion) equals table_changes
+    row for row; the stream emits each commit's changes as
+    micro-batches (AFTER-n offsets) and DML commits no longer
+    raise."""
+    from value_at_risk_spark.sources.delta_datasource import (
+        register_deltalog_source,
+    )
+    from value_at_risk_spark.sources.deltalog import (
+        delete_from_delta,
+        table_changes,
+        update_delta,
+    )
+
+    register_deltalog_source(spark)
+    tbl = str(tmp_path / "dscdf")
+    df = spark.range(8).select(
+        "id",
+        (F.col("id") % 2).cast("string").alias("p"),
+        (F.col("id") * 1.0).alias("v"),
+    )
+    write_delta(
+        spark, df, tbl, partition_by=["p"],
+        configuration={"delta.enableChangeDataFeed": "true"},
+    )
+    delete_from_delta(spark, tbl, "id >= 6")
+    update_delta(spark, tbl, "id < 2", {"v": "v + 100"})
+
+    cdf = (
+        spark.read.format("deltalog")
+        .option("readChangeFeed", "true")
+        .option("startingVersion", "0")
+        .load(tbl)
+    )
+    key = lambda frame: sorted(
+        (r["_commit_version"], r["_change_type"], r["id"], r["v"])
+        for r in frame.collect()
+    )
+    assert key(cdf) == key(table_changes(spark, tbl, 0))
+    # endingVersion bounds the range inclusively
+    only_del = (
+        spark.read.format("deltalog")
+        .option("readChangeFeed", "true")
+        .option("startingVersion", "1")
+        .option("endingVersion", "1")
+        .load(tbl)
+    )
+    assert {r["_change_type"] for r in only_del.collect()} == {"delete"}
+
+    q = (
+        spark.readStream.format("deltalog")
+        .option("readChangeFeed", "true")
+        .option("startingVersion", "0")
+        .load(tbl)
+        .writeStream.format("memory")
+        .queryName("dscdf_stream")
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(120)
+    got = sorted(
+        (r["_commit_version"], r["_change_type"], r["id"])
+        for r in spark.sql("select * from dscdf_stream").collect()
+    )
+    # AFTER-0: versions 1 and 2 only
+    assert got == [
+        (1, "delete", 6),
+        (1, "delete", 7),
+        (2, "update_postimage", 0),
+        (2, "update_postimage", 1),
+        (2, "update_preimage", 0),
+        (2, "update_preimage", 1),
+    ]
+    with pytest.raises(Exception, match="mutually exclusive"):
+        (
+            spark.read.format("deltalog")
+            .option("readChangeFeed", "true")
+            .option("versionAsOf", "1")
+            .option("startingVersion", "0")
+            .load(tbl)
+            .collect()
+        )

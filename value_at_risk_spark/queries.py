@@ -14592,6 +14592,64 @@ def delta_cdf_scan(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @query(
+    "delta_cdf_datasource_scan",
+    """
+SELECT _change_type,
+       _commit_version,
+       COUNT(*) AS n_rows,
+       ROUND(SUM(o_totalprice), 2) AS total_price
+FROM (
+  SELECT 'insert' AS _change_type, CAST(0 AS BIGINT) AS _commit_version,
+         o_totalprice
+  FROM orders WHERE o_orderkey % 2 = 0
+  UNION ALL
+  SELECT 'insert', CAST(1 AS BIGINT), o_totalprice
+  FROM orders WHERE o_orderkey % 2 = 1
+  UNION ALL
+  SELECT 'delete', CAST(2 AS BIGINT), o_totalprice
+  FROM orders WHERE o_totalprice < 50000.0
+  UNION ALL
+  SELECT 'update_preimage', CAST(3 AS BIGINT), o_totalprice
+  FROM orders
+  WHERE o_orderpriority = '1-URGENT' AND NOT o_totalprice < 50000.0
+  UNION ALL
+  SELECT 'update_postimage', CAST(3 AS BIGINT), o_totalprice * 2
+  FROM orders
+  WHERE o_orderpriority = '1-URGENT' AND NOT o_totalprice < 50000.0
+)
+GROUP BY _change_type, _commit_version
+""",
+)
+def delta_cdf_datasource_scan(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The DISTRIBUTED Change Data Feed path, ORACLE-pinned:
+    ``spark.read.format('deltalog').option('readChangeFeed', 'true')``
+    over the same CDF table must reproduce the identical change
+    stream as table_changes — one input partition per change file,
+    the _change_type/_commit_version/_commit_timestamp columns
+    materialized as Arrow constants in the task, never a driver-side
+    row loop (sources/delta_datasource._DeltaCdfBatchReader)."""
+    from value_at_risk_spark.sources.delta_datasource import (
+        register_deltalog_source,
+    )
+
+    register_deltalog_source(spark)
+    tbl = _delta_cdf_table(spark, sf_dir)
+    return (
+        spark.read.format("deltalog")
+        .option("readChangeFeed", "true")
+        .option("startingVersion", "0")
+        .load(tbl)
+        .groupBy("_change_type", "_commit_version")
+        .agg(
+            F.count(F.lit(1)).alias("n_rows"),
+            (F.round(F.sum("o_totalprice"), 2) + F.lit(0.0)).alias(
+                "total_price"
+            ),
+        )
+    )
+
+
+@query(
     "delta_timestamp_travel",
     """
 SELECT o_orderstatus,

@@ -109,6 +109,151 @@ class _DeltaFilePartition(InputPartition):
         self.row_groups = row_groups  # None = whole file
 
 
+class _DeltaCdfPartition(InputPartition):
+    """One change-data file of one commit: ``kind`` is 'cdc' (the
+    _change_type column is IN the file) or 'insert'/'delete' (derived
+    from an add/remove — the constant _change_type)."""
+
+    def __init__(
+        self,
+        abs_path: str,
+        part_values: dict,
+        kind: str,
+        version: int,
+        ts_ms: int,
+    ):
+        self.abs_path = abs_path
+        self.part_values = part_values
+        self.kind = kind
+        self.version = version
+        self.ts_ms = ts_ms
+
+
+def _cdf_file_to_batches(
+    part: "_DeltaCdfPartition",
+    out_schema: StructType,
+    partition_columns: list[str],
+):
+    """One change file -> Arrow batches in the CDF output schema:
+    data columns from the file, partition columns from the log's
+    partitionValues, _change_type from the file (cdc) or the
+    partition's constant kind, _commit_version/_commit_timestamp as
+    constants (epoch-micros cast, so the session tz never touches
+    the stored instant)."""
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    want = _arrow_schema(out_schema)
+    tbl = pq.read_table(part.abs_path)
+    n = tbl.num_rows
+    cols = []
+    for field in want:
+        if field.name == "_commit_version":
+            arr = pa.array([part.version] * n, type=pa.int64()).cast(
+                field.type
+            )
+        elif field.name == "_commit_timestamp":
+            arr = pa.array(
+                [part.ts_ms * 1000] * n, type=pa.int64()
+            ).cast(field.type)
+        elif field.name == "_change_type" and part.kind != "cdc":
+            arr = pa.array([part.kind] * n, type=field.type)
+        elif field.name in partition_columns:
+            raw = part.part_values.get(field.name)
+            if raw is None:
+                arr = pa.nulls(n, type=field.type)
+            else:
+                arr = pa.array([raw] * n, type=pa.string()).cast(field.type)
+        else:
+            arr = tbl.column(field.name).cast(field.type)
+        cols.append(arr)
+    yield from pa.table(cols, schema=want).to_batches()
+
+
+def _cdf_partitions_for_range(
+    path: str, from_v: int, to_v: int
+) -> list[_DeltaCdfPartition]:
+    """Flatten a _change_plan into per-file CDF partitions (the batch
+    reader's split; also the stream reader's per-batch file list)."""
+    from value_at_risk_spark.sources.deltalog import _change_plan
+
+    parts: list[_DeltaCdfPartition] = []
+    for entry in _change_plan(path, from_v, to_v):
+        v, ts = entry["version"], entry["ts_ms"]
+        for kind, rels in (
+            ("cdc", entry["cdc_files"]),
+            ("insert", entry["add_files"]),
+            ("delete", entry["rm_files"]),
+        ):
+            for rel, pv in rels:
+                parts.append(
+                    _DeltaCdfPartition(
+                        os.path.normpath(
+                            os.path.join(path, unquote(rel))
+                        ),
+                        pv,
+                        kind,
+                        v,
+                        ts,
+                    )
+                )
+    return parts
+
+
+def _cdf_requested(options: dict) -> bool:
+    v = options.get("readchangefeed") or options.get("readChangeFeed")
+    return isinstance(v, str) and v.strip().lower() == "true"
+
+
+class _DeltaCdfBatchReader(DataSourceReader):
+    """Batch Change Data Feed read —
+    ``spark.read.format("deltalog").option("readChangeFeed", "true")
+    .option("startingVersion", n)[.option("endingVersion", m)]`` —
+    one input partition per CHANGE file of each commit in range (cdc
+    files, or derived add/remove files), so parallelism scales with
+    the changed-file count and a version's cost is bounded by ITS
+    changes, never the table. The distributed twin of
+    deltalog.table_changes with identical semantics (same
+    _change_plan)."""
+
+    def __init__(self, options: dict, schema: StructType):
+        from value_at_risk_spark.sources.deltalog import (
+            delta_versions,
+            snapshot,
+        )
+
+        self._path = _required_path(options)
+        if options.get("versionAsOf") is not None:
+            raise ValueError(
+                "deltalog: readChangeFeed and versionAsOf are mutually "
+                "exclusive (use startingVersion/endingVersion)"
+            )
+        sv = options.get("startingversion") or options.get(
+            "startingVersion"
+        )
+        if sv is None:
+            raise ValueError(
+                "deltalog: readChangeFeed batch reads require "
+                "option('startingVersion', n)"
+            )
+        ev = options.get("endingversion") or options.get("endingVersion")
+        versions = delta_versions(self._path)
+        self._from_v = int(sv)
+        self._to_v = int(ev) if ev is not None else versions[-1]
+        self._schema = schema
+        self._partition_columns = snapshot(self._path).partition_columns
+
+    def partitions(self):
+        return _cdf_partitions_for_range(
+            self._path, self._from_v, self._to_v
+        )
+
+    def read(self, partition):
+        yield from _cdf_file_to_batches(
+            partition, self._schema, self._partition_columns
+        )
+
+
 class _DeltaMultiFilePartition(InputPartition):
     """A bin-packed group of small files read by one task."""
 
@@ -355,7 +500,17 @@ class _DeltaStreamReader(SimpleDataSourceStreamReader):
       the tip.
     - ``option("maxVersionsPerBatch", n)`` — cap each micro-batch at
       n commits, so a consumer catching up after downtime drains the
-      backlog in bounded batches instead of one giant one."""
+      backlog in bounded batches instead of one giant one.
+    - ``option("readChangeFeed", "true")`` — emit the Change Data
+      Feed instead of appended rows: table columns + _change_type /
+      _commit_version / _commit_timestamp per commit (cdc actions
+      preferred, add/remove derivation otherwise — same _change_plan
+      as table_changes), so DML commits stream as row-level changes
+      instead of raising. Without startingVersion a CDF stream tails
+      from the CURRENT tip (Delta's own default for CDF streams);
+      with it, this source's AFTER-n offset semantics apply in CDF
+      mode too (the batch CDF reader, like table_changes, is
+      inclusive of startingVersion)."""
 
     def __init__(self, options: dict, schema: StructType):
         from value_at_risk_spark.sources.deltalog import (
@@ -365,16 +520,21 @@ class _DeltaStreamReader(SimpleDataSourceStreamReader):
 
         self._path = _required_path(options)
         self._schema = schema
-        if _column_mapping(_snap_fn(self._path)) is not None:
+        self._cdf = _cdf_requested(options)
+        snap0 = _snap_fn(self._path)
+        if _column_mapping(snap0) is not None:
             raise NotImplementedError(
                 "deltalog stream source: column-mapped tables are "
                 "batch-read only (use spark.read or read_delta)"
             )
+        self._part_cols = snap0.partition_columns
         sv = options.get("startingversion") or options.get(
             "startingVersion"
         )
         if sv is None:
-            self._starting = None
+            # CDF streams tail from the tip by default — the "initial
+            # whole-table snapshot" batch has no change-typed meaning
+            self._starting = snap0.version if self._cdf else None
         elif str(sv).lower() == "latest":
             from value_at_risk_spark.sources.deltalog import delta_versions
 
@@ -434,6 +594,17 @@ class _DeltaStreamReader(SimpleDataSourceStreamReader):
             return self._snapshot_files(end_v)
         return _added_files_between(self._path, start_v, end_v)
 
+    def _rows_for_cdf(self, start_v: int, end_v: int) -> Iterator[Tuple]:
+        names = [f.name for f in self._schema.fields]
+        for part in _cdf_partitions_for_range(
+            self._path, start_v + 1, end_v
+        ):
+            for batch in _cdf_file_to_batches(
+                part, self._schema, self._part_cols
+            ):
+                for row in batch.to_pylist():
+                    yield tuple(row[n] for n in names)
+
     def read(self, start: dict) -> Tuple[Iterator[Tuple], dict]:
         from value_at_risk_spark.sources.deltalog import delta_versions
 
@@ -450,22 +621,22 @@ class _DeltaStreamReader(SimpleDataSourceStreamReader):
         # a LIST ITERATOR, not a generator: Spark's prefetch cache both
         # copy.copies the returned iterator (generators can't) and
         # next()s it (bare lists can't) — iter(list) satisfies both
-        rows = list(
-            self._rows_for_files(self._files_between(start_v, tip))
-        )
+        if self._cdf:
+            rows = list(self._rows_for_cdf(start_v, tip))
+        else:
+            rows = list(
+                self._rows_for_files(self._files_between(start_v, tip))
+            )
         return iter(rows), end
 
     def readBetweenOffsets(
         self, start: dict, end: dict
     ) -> Iterator[Tuple]:
+        s_v, e_v = int(start["version"]), int(end["version"])
+        if self._cdf:
+            return iter(list(self._rows_for_cdf(s_v, e_v)))
         return iter(
-            list(
-                self._rows_for_files(
-                    self._files_between(
-                        int(start["version"]), int(end["version"])
-                    )
-                )
-            )
+            list(self._rows_for_files(self._files_between(s_v, e_v)))
         )
 
     def commit(self, end: dict) -> None:
@@ -486,9 +657,28 @@ class DeltaLogDataSource(DataSource):
 
         path = _required_path(self.options)
         v = self.options.get("versionAsOf")
-        return snapshot(path, int(v) if v is not None else None).schema
+        base = snapshot(path, int(v) if v is not None else None).schema
+        if _cdf_requested(self.options):
+            from pyspark.sql.types import (
+                LongType,
+                StringType,
+                StructField,
+                TimestampType,
+            )
+
+            return StructType(
+                [
+                    *base.fields,
+                    StructField("_change_type", StringType()),
+                    StructField("_commit_version", LongType()),
+                    StructField("_commit_timestamp", TimestampType()),
+                ]
+            )
+        return base
 
     def reader(self, schema: StructType) -> DataSourceReader:
+        if _cdf_requested(self.options):
+            return _DeltaCdfBatchReader(self.options, schema)
         return _DeltaBatchReader(self.options, schema)
 
     def simpleStreamReader(

@@ -865,6 +865,19 @@ def cdf_enabled(snap: DeltaSnapshot) -> bool:
     return _truthy(cfg.get("delta.enableChangeDataFeed"))
 
 
+def _refuse_append_only(snap: DeltaSnapshot, context: str) -> None:
+    """``delta.appendOnly`` — THE writer-version-2 feature: when set,
+    any commit that removes data files (overwrite, DELETE, UPDATE,
+    MERGE, RESTORE) must be refused; only appends and
+    dataChange:false maintenance (OPTIMIZE) may commit."""
+    cfg = snap.metadata.get("configuration") or {}
+    if _truthy(cfg.get("delta.appendOnly")):
+        raise ValueError(
+            f"delta {context}: table has delta.appendOnly=true — "
+            "data-removing commits are forbidden"
+        )
+
+
 def set_table_properties(path: str, props: dict[str, str]) -> int:
     """``ALTER TABLE SET TBLPROPERTIES`` — commit a metaData update
     merging ``props`` into the table configuration (optimistic retry).
@@ -1079,6 +1092,8 @@ def commit_staged_adds(
                     "with no visible CDF/constraint/generated-column "
                     "metadata — refusing a blind staged write"
                 )
+        if mode == "overwrite":
+            _refuse_append_only(snap0, "overwrite")
     now_ms = int(time.time() * 1000)
     for _attempt in range(64):
         versions = delta_versions(path)
@@ -1445,6 +1460,7 @@ def restore_delta(spark: SparkSession, path: str, version: int) -> int:
     now_ms = int(time.time() * 1000)
     for _attempt in range(64):
         current = snapshot(path)
+        _refuse_append_only(current, "RESTORE")
         to_remove = sorted(set(current.files) - set(target.files))
         to_add = sorted(set(target.files) - set(current.files))
         missing = [
@@ -1557,6 +1573,93 @@ def _scan_rel_paths(
     return _union_scan(spark, schema, _group_by_partition_root(path, files))
 
 
+def _change_plan(
+    path: str, from_version: int, to_version: int
+) -> list[dict]:
+    """Driver-side CDF plan shared by table_changes and the Data
+    Source CDF readers: one record per data-changing version in
+    [from_version, to_version] —
+    ``{version, ts_ms, cdc_files, add_files, rm_files}`` — each a
+    list of (rel path, partitionValues); ``cdc_files`` non-empty
+    means the others are ignored, per the protocol's reader rule. Validates enablement per version,
+    cleaned commits, and vacuumed derivation inputs; bounded by
+    commit count, no data I/O."""
+    if from_version > to_version:
+        raise ValueError(
+            f"table_changes: from_version {from_version} > to_version "
+            f"{to_version}"
+        )
+    jsons = set(_json_versions(path))
+    cfg = dict(
+        snapshot(path, from_version).metadata.get("configuration") or {}
+    )
+    plan: list[dict] = []
+    for v in delta_versions(path):
+        if not (from_version <= v <= to_version):
+            continue
+        if v not in jsons:
+            raise ValueError(
+                f"table_changes: commit {v} was cleaned from the log; "
+                "its changes are no longer recoverable"
+            )
+        cdc_files: list[tuple] = []
+        add_files: list[tuple] = []
+        rm_files: list[tuple] = []
+        ts_ms = None
+
+        def _pv(action: dict) -> dict:
+            pv = action.get("partitionValues") or {}
+            return pv if isinstance(pv, dict) else dict(pv)
+
+        with open(_commit_path(path, v)) as fh:
+            for line in fh:
+                if not line.strip():
+                    continue
+                a = json.loads(line)
+                if a.get("metaData") is not None:
+                    cfg = dict(a["metaData"].get("configuration") or {})
+                if a.get("commitInfo") is not None:
+                    ts_ms = a["commitInfo"].get("timestamp", ts_ms)
+                if a.get("cdc") is not None:
+                    cdc_files.append((a["cdc"]["path"], _pv(a["cdc"])))
+                add = a.get("add")
+                if add is not None and add.get("dataChange", True):
+                    add_files.append((add["path"], _pv(add)))
+                rm = a.get("remove")
+                if rm is not None and rm.get("dataChange", True):
+                    rm_files.append((rm["path"], _pv(rm)))
+        if not cdc_files and not add_files and not rm_files:
+            continue  # metadata-only / OPTIMIZE commit: no changes
+        if not _truthy(cfg.get("delta.enableChangeDataFeed")):
+            raise ValueError(
+                f"table_changes: change data was not recorded for "
+                f"version {v} (delta.enableChangeDataFeed was not set "
+                "when it committed)"
+            )
+        if ts_ms is None:
+            ts_ms = int(os.stat(_commit_path(path, v)).st_mtime * 1000)
+        if not cdc_files:
+            missing = [
+                p for p, _ in (*add_files, *rm_files)
+                if not os.path.exists(os.path.join(path, unquote(p)))
+            ]
+            if missing:
+                raise FileNotFoundError(
+                    f"table_changes: version {v} derivation needs "
+                    f"{len(missing)} vacuumed file(s), e.g. {missing[0]}"
+                )
+        plan.append(
+            {
+                "version": v,
+                "ts_ms": ts_ms,
+                "cdc_files": cdc_files,
+                "add_files": [] if cdc_files else add_files,
+                "rm_files": [] if cdc_files else rm_files,
+            }
+        )
+    return plan
+
+
 def table_changes(
     spark: SparkSession,
     path: str,
@@ -1595,11 +1698,6 @@ def table_changes(
     versions = delta_versions(path)
     if to_version is None:
         to_version = versions[-1] if versions else from_version
-    if from_version > to_version:
-        raise ValueError(
-            f"table_changes: from_version {from_version} > to_version "
-            f"{to_version}"
-        )
     snap_to = snapshot(path, to_version)
     if _column_mapping(snap_to) is not None:
         raise NotImplementedError(
@@ -1610,77 +1708,28 @@ def table_changes(
     cdc_schema = StructType(
         [*schema.fields, StructField("_change_type", StringType())]
     )
-    jsons = set(_json_versions(path))
-    # configuration AS OF from_version seeds the enablement walk; a
-    # metaData action inside the range flips it mid-walk (idempotent
-    # re-application at from_version itself)
-    cfg = dict(
-        snapshot(path, from_version).metadata.get("configuration") or {}
-    )
     branches: list[DataFrame] = []
-    for v in versions:
-        if not (from_version <= v <= to_version):
-            continue
-        if v not in jsons:
-            raise ValueError(
-                f"table_changes: commit {v} was cleaned from the log; "
-                "its changes are no longer recoverable"
-            )
-        cdc_files: list[str] = []
-        add_files: list[str] = []
-        rm_files: list[str] = []
-        ts_ms = None
-        with open(_commit_path(path, v)) as fh:
-            for line in fh:
-                if not line.strip():
-                    continue
-                a = json.loads(line)
-                if a.get("metaData") is not None:
-                    cfg = dict(a["metaData"].get("configuration") or {})
-                if a.get("commitInfo") is not None:
-                    ts_ms = a["commitInfo"].get("timestamp", ts_ms)
-                if a.get("cdc") is not None:
-                    cdc_files.append(a["cdc"]["path"])
-                add = a.get("add")
-                if add is not None and add.get("dataChange", True):
-                    add_files.append(add["path"])
-                rm = a.get("remove")
-                if rm is not None and rm.get("dataChange", True):
-                    rm_files.append(rm["path"])
-        if not cdc_files and not add_files and not rm_files:
-            continue  # metadata-only / OPTIMIZE commit: no changes
-        if not _truthy(cfg.get("delta.enableChangeDataFeed")):
-            raise ValueError(
-                f"table_changes: change data was not recorded for "
-                f"version {v} (delta.enableChangeDataFeed was not set "
-                "when it committed)"
-            )
-        if ts_ms is None:
-            ts_ms = int(os.stat(_commit_path(path, v)).st_mtime * 1000)
-        if cdc_files:
-            parts = [_scan_rel_paths(spark, path, cdc_schema, part_cols,
-                                     cdc_files)]
-        else:
-            missing = [
-                p for p in (*add_files, *rm_files)
-                if not os.path.exists(os.path.join(path, unquote(p)))
-            ]
-            if missing:
-                raise FileNotFoundError(
-                    f"table_changes: version {v} derivation needs "
-                    f"{len(missing)} vacuumed file(s), e.g. {missing[0]}"
+    for entry in _change_plan(path, from_version, to_version):
+        v, ts_ms = entry["version"], entry["ts_ms"]
+        if entry["cdc_files"]:
+            parts = [
+                _scan_rel_paths(
+                    spark, path, cdc_schema, part_cols,
+                    [p for p, _ in entry["cdc_files"]],
                 )
+            ]
+        else:
             parts = []
-            if add_files:
+            if entry["add_files"]:
                 parts.append(
                     _scan_rel_paths(spark, path, schema, part_cols,
-                                    add_files)
+                                    [p for p, _ in entry["add_files"]])
                     .withColumn("_change_type", F.lit("insert"))
                 )
-            if rm_files:
+            if entry["rm_files"]:
                 parts.append(
                     _scan_rel_paths(spark, path, schema, part_cols,
-                                    rm_files)
+                                    [p for p, _ in entry["rm_files"]])
                     .withColumn("_change_type", F.lit("delete"))
                 )
         for p in parts:
@@ -1928,6 +1977,7 @@ def delete_from_delta(
         snap = snapshot(path)
         _refuse_mapped_write(snap, "DELETE")
         _refuse_high_writer_version(snap, "DELETE")
+        _refuse_append_only(snap, "DELETE")
         candidates = _pruned_active(snap, partition_filters, stats_filters)
         touched, n_rows = _touched_files(spark, path, snap, candidates, cond)
         if not touched:
@@ -2013,6 +2063,7 @@ def update_delta(
         snap = snapshot(path)
         _refuse_mapped_write(snap, "UPDATE")
         _refuse_high_writer_version(snap, "UPDATE")
+        _refuse_append_only(snap, "UPDATE")
         candidates = _pruned_active(snap, partition_filters, stats_filters)
         touched, n_rows = _touched_files(spark, path, snap, candidates, cond)
         if not touched:
