@@ -141,6 +141,70 @@ def main() -> None:
     finally:
         shutil.rmtree(tbl, ignore_errors=True)
 
+    # CDF overhead: the SAME 20-commit table with
+    # delta.enableChangeDataFeed, the SAME narrow DML predicates — the
+    # delta vs the rows above is the cost of staging change files
+    # (one extra bounded scan of the touched files per DML), then the
+    # change-feed read itself (bounded by the DML's change files)
+    tbl3 = tempfile.mkdtemp(prefix="perf_dml_cdf_")
+    shutil.rmtree(tbl3, ignore_errors=True)
+    try:
+        lo, hi = 0, REPS * 10_000_000
+        step = (hi - lo) // COMMITS
+        for c in range(COMMITS):
+            write_delta(
+                spark,
+                big.filter(
+                    (F.col("k") >= lo + c * step)
+                    & (
+                        F.col("k")
+                        < (hi if c == COMMITS - 1 else lo + (c + 1) * step)
+                    )
+                ),
+                tbl3,
+                configuration=(
+                    {"delta.enableChangeDataFeed": "true"}
+                    if c == 0
+                    else None
+                ),
+            )
+        t0 = time.perf_counter()
+        r = delete_from_delta(
+            spark, tbl3, "k < 30000", stats_filters=[("k", "<", 30000)]
+        )
+        out["cdf_delete_narrow_sec"] = round(time.perf_counter() - t0, 3)
+        out["cdf_delete_narrow"] = r
+        t0 = time.perf_counter()
+        r = update_delta(
+            spark,
+            tbl3,
+            "k >= 10000000 AND k < 10030000",
+            {"l_quantity": "l_quantity + 1"},
+            stats_filters=[("k", ">=", 10000000), ("k", "<", 10030000)],
+        )
+        out["cdf_update_narrow_sec"] = round(time.perf_counter() - t0, 3)
+        out["cdf_update_narrow"] = r
+        from value_at_risk_spark.sources.deltalog import table_changes
+
+        dml_lo = COMMITS  # first DML version
+        tip = snapshot(tbl3).version
+        t0 = time.perf_counter()
+        out["cdf_read_changes_rows"] = table_changes(
+            spark, tbl3, dml_lo, tip
+        ).count()
+        out["cdf_read_changes_sec"] = round(time.perf_counter() - t0, 3)
+        t0 = time.perf_counter()
+        out["cdf_ds_read_rows"] = (
+            spark.read.format("deltalog")
+            .option("readChangeFeed", "true")
+            .option("startingVersion", str(dml_lo))
+            .load(tbl3)
+            .count()
+        )
+        out["cdf_ds_read_sec"] = round(time.perf_counter() - t0, 3)
+    finally:
+        shutil.rmtree(tbl3, ignore_errors=True)
+
     # DS write parity on the same rows (fresh table, single commit)
     tbl2 = tempfile.mkdtemp(prefix="perf_dsw_")
     shutil.rmtree(tbl2, ignore_errors=True)
