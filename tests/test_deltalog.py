@@ -2316,3 +2316,55 @@ def test_datasource_cdf_batch_and_stream(spark, tmp_path):
             .load(tbl)
             .collect()
         )
+
+
+def test_cdf_incremental_aggregate_maintenance(spark, tmp_path):
+    """operators/cdf.maintain_sum_count: a (sum, count) state advanced
+    by CDF rows equals the full recompute — updates land as (-pre,
+    +post) pairs, emptied groups disappear, new groups appear."""
+    from value_at_risk_spark.operators.cdf import maintain_sum_count
+    from value_at_risk_spark.sources.deltalog import (
+        delete_from_delta,
+        snapshot,
+        table_changes,
+        update_delta,
+    )
+
+    tbl = str(tmp_path / "inc")
+    df = spark.createDataFrame(
+        [(1, "a", 10.0), (2, "a", 20.0), (3, "b", 30.0), (4, "c", 5.0)],
+        "id long, g string, v double",
+    )
+    write_delta(
+        spark, df, tbl,
+        configuration={"delta.enableChangeDataFeed": "true"},
+    )
+    base = spark.createDataFrame(
+        [("a", 30.0, 2), ("b", 30.0, 1), ("c", 5.0, 1)],
+        "g string, total double, n long",
+    )
+    delete_from_delta(spark, tbl, "g = 'c'")  # group disappears
+    update_delta(spark, tbl, "id = 1", {"g": "'d'", "v": "100.0"})  # moves
+    write_delta(
+        spark,
+        spark.createDataFrame([(9, "b", 1.0)], "id long, g string, v double"),
+        tbl,
+    )
+    ch = table_changes(spark, tbl, 1, snapshot(tbl).version)
+    got = sorted(
+        tuple(r)
+        for r in maintain_sum_count(base, ch, ["g"], "v").collect()
+    )
+    # recompute from the final table state
+    from value_at_risk_spark.sources.deltalog import read_delta
+
+    want = sorted(
+        tuple(r)
+        for r in read_delta(spark, tbl)
+        .groupBy("g")
+        .agg(F.sum("v").alias("total"), F.count(F.lit(1)).alias("n"))
+        .collect()
+    )
+    assert got == want
+    assert not any(r[0] == "c" for r in got)  # emptied group gone
+    assert any(r[0] == "d" for r in got)  # new group present

@@ -14650,6 +14650,56 @@ def delta_cdf_datasource_scan(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @query(
+    "delta_cdf_incremental_agg",
+    """
+SELECT o_orderpriority,
+       COUNT(*) AS n_orders,
+       ROUND(SUM(CASE WHEN o_orderpriority = '1-URGENT'
+                      THEN o_totalprice * 2
+                      ELSE o_totalprice END), 2) AS total_price
+FROM orders
+WHERE NOT (o_totalprice < 50000.0)
+GROUP BY o_orderpriority
+""",
+)
+def delta_cdf_incremental_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Incremental aggregate maintenance from the CDF, ORACLE-pinned:
+    the per-priority (count, sum) state computed at version 1 (the
+    full pre-DML table), advanced by applying ONLY the change rows of
+    the DELETE and UPDATE commits (+post/-pre signing,
+    operators/cdf.maintain_sum_count), must equal DuckDB's full
+    recompute of the FINAL table state — the 100 TB consumption
+    pattern where a downstream aggregate is maintained from bounded
+    change volume instead of a table rescan."""
+    from value_at_risk_spark.operators.cdf import maintain_sum_count
+    from value_at_risk_spark.sources.deltalog import (
+        read_delta,
+        snapshot,
+        table_changes,
+    )
+
+    tbl = _delta_cdf_table(spark, sf_dir)
+    base = (
+        read_delta(spark, tbl, version=1)
+        .groupBy("o_orderpriority")
+        .agg(
+            F.sum("o_totalprice").alias("total"),
+            F.count(F.lit(1)).alias("n"),
+        )
+    )
+    changes = table_changes(spark, tbl, 2, snapshot(tbl).version)
+    maintained = maintain_sum_count(
+        base, changes, ["o_orderpriority"], "o_totalprice",
+        sum_col="total", cnt_col="n",
+    )
+    return maintained.select(
+        "o_orderpriority",
+        F.col("n").alias("n_orders"),
+        (F.round(F.col("total"), 2) + F.lit(0.0)).alias("total_price"),
+    )
+
+
+@query(
     "delta_timestamp_travel",
     """
 SELECT o_orderstatus,
