@@ -2368,3 +2368,137 @@ def test_cdf_incremental_aggregate_maintenance(spark, tmp_path):
     assert got == want
     assert not any(r[0] == "c" for r in got)  # emptied group gone
     assert any(r[0] == "d" for r in got)  # new group present
+
+
+def test_table_features_protocol_v3_v7(spark, tmp_path):
+    """Table features (protocol reader v3 / writer v7): a foreign
+    table whose listed features are all implemented reads and writes;
+    unsupported features refuse loudly; protocol upgrades (ADD
+    CONSTRAINT, CDF enablement) extend writerFeatures instead of
+    clobbering the lists; checkpoints round-trip the lists."""
+    from value_at_risk_spark.sources.deltalog import (
+        _publish_commit,
+        add_check_constraint,
+        cleanup_delta_log,
+        delete_from_delta,
+        set_table_properties,
+        table_constraints,
+    )
+
+    tbl = str(tmp_path / "feat")
+    write_delta(spark, spark.range(4).select("id"), tbl)
+    _publish_commit(
+        tbl,
+        1,
+        [
+            {"commitInfo": {"timestamp": 0, "operation": "UPGRADE"}},
+            {
+                "protocol": {
+                    "minReaderVersion": 3,
+                    "minWriterVersion": 7,
+                    "readerFeatures": ["timestampNtz"],
+                    "writerFeatures": [
+                        "appendOnly",
+                        "invariants",
+                        "timestampNtz",
+                    ],
+                }
+            },
+        ],
+    )
+    # supported features: read and append both work
+    assert read_delta(spark, tbl).count() == 4
+    write_delta(spark, spark.range(4, 6).select("id"), tbl)
+    # constraint upgrade extends the feature list, preserving others
+    add_check_constraint(spark, tbl, "nonneg", "id >= 0")
+    snap = snapshot(tbl)
+    feats = set(snap.protocol["writerFeatures"])
+    assert {"appendOnly", "invariants", "checkConstraints"} <= feats
+    assert snap.protocol["minWriterVersion"] == 7
+    # CDF enablement adds its feature the same way
+    set_table_properties(tbl, {"delta.enableChangeDataFeed": "true"})
+    assert "changeDataFeed" in set(
+        snapshot(tbl).protocol["writerFeatures"]
+    )
+    # appendOnly is enforced when its PROPERTY is set
+    set_table_properties(tbl, {"delta.appendOnly": "true"})
+    with pytest.raises(ValueError, match="appendOnly"):
+        delete_from_delta(spark, tbl, "id = 0")
+    # checkpoint + full cleanup must not lose the feature lists
+    checkpoint_delta(tbl)
+    cleanup_delta_log(tbl)
+    snap2 = snapshot(tbl)
+    assert snap2.protocol["minReaderVersion"] == 3
+    assert "checkConstraints" in set(snap2.protocol["writerFeatures"])
+    assert table_constraints(snap2) == {"nonneg": "id >= 0"}
+
+    # unsupported WRITER feature: mutations refuse, reads still fine
+    v = snap2.version
+    _publish_commit(
+        tbl,
+        v + 1,
+        [
+            {"commitInfo": {"timestamp": 0, "operation": "UPGRADE"}},
+            {
+                "protocol": {
+                    "minReaderVersion": 3,
+                    "minWriterVersion": 7,
+                    "readerFeatures": ["timestampNtz"],
+                    "writerFeatures": ["identityColumns"],
+                }
+            },
+        ],
+    )
+    assert read_delta(spark, tbl).count() == 6
+    with pytest.raises(NotImplementedError, match="identityColumns"):
+        write_delta(spark, spark.range(1).select("id"), tbl)
+
+    # unsupported READER feature: even the snapshot refuses
+    tbl2 = str(tmp_path / "dv")
+    write_delta(spark, spark.range(2).select("id"), tbl2)
+    _publish_commit(
+        tbl2,
+        1,
+        [
+            {"commitInfo": {"timestamp": 0, "operation": "UPGRADE"}},
+            {
+                "protocol": {
+                    "minReaderVersion": 3,
+                    "minWriterVersion": 7,
+                    "readerFeatures": ["deletionVectors"],
+                    "writerFeatures": ["deletionVectors"],
+                }
+            },
+        ],
+    )
+    with pytest.raises(NotImplementedError, match="deletionVectors"):
+        read_delta(spark, tbl2).count()
+
+
+def test_checkpoint_interval_auto_checkpoints(spark, tmp_path):
+    """delta.checkpointInterval: every Nth commit writes a checkpoint
+    automatically (post-commit hook), so log replay stays O(interval)
+    without manual checkpoint_delta calls."""
+    from value_at_risk_spark.sources.deltalog import (
+        _checkpoint_versions,
+    )
+
+    tbl = str(tmp_path / "ivl")
+    write_delta(
+        spark,
+        spark.range(2).select("id"),
+        tbl,
+        configuration={"delta.checkpointInterval": "3"},
+    )
+    for lo in range(2, 16, 2):
+        write_delta(
+            spark, spark.range(lo, lo + 2).select("id"), tbl
+        )
+    # versions 0..7 committed; checkpoints at 3 and 6
+    assert _checkpoint_versions(tbl) == [3, 6]
+    assert read_delta(spark, tbl).count() == 16
+    # and a table WITHOUT the property gets none
+    tbl2 = str(tmp_path / "noivl")
+    for lo in range(0, 8, 2):
+        write_delta(spark, spark.range(lo, lo + 2).select("id"), tbl2)
+    assert _checkpoint_versions(tbl2) == []

@@ -14700,6 +14700,101 @@ def delta_cdf_incremental_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @query(
+    "streaming_cdf_maintenance",
+    """
+SELECT o_orderpriority,
+       COUNT(*) AS n_orders,
+       ROUND(SUM(CASE WHEN o_orderpriority = '1-URGENT'
+                      THEN o_totalprice * 2
+                      ELSE o_totalprice END), 2) AS total_price
+FROM orders
+WHERE NOT (o_totalprice < 50000.0)
+GROUP BY o_orderpriority
+""",
+)
+def streaming_cdf_maintenance(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The full CDC pipeline on the native log, ORACLE-pinned: a
+    materialized per-priority (count, sum) aggregate seeded at
+    version 1 is kept current by a STREAMING consumer of the Change
+    Data Feed — readStream(readChangeFeed) drains the DELETE and
+    UPDATE commits' change rows, each foreachBatch applies
+    maintain_sum_count and overwrites the view table transactionally
+    (txn-action idempotence keyed by batchId, so a replayed batch
+    cannot double-apply; the +post/-pre algebra is order-insensitive,
+    so any batch partitioning of the commits yields the same view). The final view must equal DuckDB's
+    recompute of the final table state. This is the 100 TB downstream
+    pattern end to end: the view advances on change volume, never a
+    base-table rescan (sources/delta_datasource._DeltaStreamReader
+    CDF mode; operators/cdf.maintain_sum_count)."""
+    import tempfile
+
+    from value_at_risk_spark.operators.cdf import maintain_sum_count
+    from value_at_risk_spark.sources.delta_datasource import (
+        register_deltalog_source,
+    )
+    from value_at_risk_spark.sources.deltalog import (
+        read_delta,
+        write_delta,
+    )
+
+    register_deltalog_source(spark)
+    tbl = _delta_cdf_table(spark, sf_dir)
+    mv = tempfile.mkdtemp(prefix="vars_cdf_mv_")
+    import shutil
+
+    shutil.rmtree(mv, ignore_errors=True)
+    base = (
+        read_delta(spark, tbl, version=1)
+        .groupBy("o_orderpriority")
+        .agg(
+            F.sum("o_totalprice").alias("total"),
+            F.count(F.lit(1)).alias("n"),
+        )
+    )
+    write_delta(spark, base, mv)
+
+    def _apply(batch_df, batch_id: int) -> None:
+        updated = maintain_sum_count(
+            read_delta(batch_df.sparkSession, mv),
+            batch_df,
+            ["o_orderpriority"],
+            "o_totalprice",
+            sum_col="total",
+            cnt_col="n",
+        )
+        write_delta(
+            batch_df.sparkSession,
+            updated,
+            mv,
+            mode="overwrite",
+            txn={"appId": f"cdf_mv_{mv}", "version": batch_id},
+        )
+
+    ckpt = tempfile.mkdtemp(prefix="vars_cdf_mv_ckpt_")
+    q = (
+        spark.readStream.format("deltalog")
+        .option("readChangeFeed", "true")
+        .option("startingVersion", "1")  # AFTER v1: the DML commits
+        .load(tbl)
+        .writeStream.foreachBatch(_apply)
+        .option("checkpointLocation", ckpt)
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(300)
+    out = read_delta(spark, mv).select(
+        "o_orderpriority",
+        F.col("n").alias("n_orders"),
+        (F.round(F.col("total"), 2) + F.lit(0.0)).alias("total_price"),
+    )
+    import atexit
+
+    atexit.register(shutil.rmtree, mv, ignore_errors=True)
+    atexit.register(shutil.rmtree, ckpt, ignore_errors=True)
+    return out
+
+
+@query(
     "delta_timestamp_travel",
     """
 SELECT o_orderstatus,

@@ -232,7 +232,23 @@ def snapshot(path: str, version: int | None = None) -> DeltaSnapshot:
                 snap, (json.loads(line) for line in fh if line.strip())
             )
     rv = int(snap.protocol.get("minReaderVersion", 1) or 1)
-    if rv > 2:
+    if rv == 3:
+        # table features (protocol v3): readable iff every listed
+        # reader feature is one this module implements; a missing
+        # list is malformed (the spec requires it) — refuse
+        feats = snap.protocol.get("readerFeatures")
+        unsupported = (
+            set(feats) - _SUPPORTED_READER_FEATURES
+            if feats is not None
+            else {"<missing readerFeatures list>"}
+        )
+        if unsupported:
+            raise NotImplementedError(
+                f"delta table at {path} requires reader features "
+                f"{sorted(unsupported)} this native reader does not "
+                "implement"
+            )
+    elif rv > 2:
         raise NotImplementedError(
             f"delta reader version {rv} requires features this native "
             "reader does not implement"
@@ -240,6 +256,49 @@ def snapshot(path: str, version: int | None = None) -> DeltaSnapshot:
     if not snap.metadata:
         raise ValueError(f"delta log at {path} has no metaData action")
     return snap
+
+
+# table-features support matrix (protocol reader v3 / writer v7):
+# every feature named here is implemented by this module; anything
+# else fails loudly rather than silently mis-reading/corrupting.
+_SUPPORTED_READER_FEATURES = frozenset(
+    {"columnMapping", "timestampNtz", "vacuumProtocolCheck"}
+)
+_SUPPORTED_WRITER_FEATURES = frozenset(
+    {
+        "appendOnly",
+        "invariants",
+        "checkConstraints",
+        "changeDataFeed",
+        "generatedColumns",
+        "timestampNtz",
+    }
+)
+
+
+def _protocol_action(
+    snap: DeltaSnapshot,
+    min_writer: int,
+    need_feature: str | None = None,
+) -> dict:
+    """A protocol action that RAISES a table's writer requirement
+    without dropping anything it already declares: legacy tables bump
+    minWriterVersion; feature-listed tables (wv 7) add
+    ``need_feature`` to writerFeatures. Never downgrades."""
+    # checkpoint-replayed protocols carry explicit None for absent
+    # feature lists — drop them so legacy protocols stay legacy-shaped
+    p = {k: v for k, v in dict(snap.protocol).items() if v is not None}
+    p["minReaderVersion"] = int(p.get("minReaderVersion", 1) or 1)
+    wv = int(p.get("minWriterVersion", 2) or 2)
+    if wv == 7:
+        if need_feature:
+            feats = set(p.get("writerFeatures") or [])
+            feats.add(need_feature)
+            p["writerFeatures"] = sorted(feats)
+        p["minWriterVersion"] = 7
+    else:
+        p["minWriterVersion"] = max(wv, min_writer)
+    return {"protocol": p}
 
 
 def _pruned_active(
@@ -432,15 +491,33 @@ def _physicalized(snap: DeltaSnapshot, l2p: dict[str, str]) -> DeltaSnapshot:
 
 def _refuse_high_writer_version(snap: DeltaSnapshot, context: str) -> None:
     """Protocol rule: a writer must not commit to a table whose
-    minWriterVersion exceeds what it implements (3: CHECK
-    constraints) — mutating a table with writer features we don't
-    understand (identity columns, deletion vectors, ...) corrupts
-    their guarantees."""
+    writer requirement exceeds what it implements — mutating a table
+    with writer features we don't understand (identity columns,
+    deletion vectors, ...) corrupts their guarantees. Legacy versions
+    up to 4 are implemented; version 7 (table features) is writable
+    iff every listed writer feature is implemented (columnMapping is
+    deliberately unlisted — mapped tables stay read-only)."""
     wv = int(snap.protocol.get("minWriterVersion", 2) or 2)
-    if wv > 4:
+    if wv == 7:
+        feats = snap.protocol.get("writerFeatures")
+        if feats is None:
+            # spec: minWriterVersion 7 REQUIRES a writerFeatures list;
+            # without one the table's requirements are unknowable
+            raise NotImplementedError(
+                f"delta {context}: table declares minWriterVersion 7 "
+                "with no writerFeatures list — requirements unknowable"
+            )
+        unsupported = set(feats) - _SUPPORTED_WRITER_FEATURES
+        if unsupported:
+            raise NotImplementedError(
+                f"delta {context}: table requires writer features "
+                f"{sorted(unsupported)} this writer does not implement"
+            )
+    elif wv > 4:
         raise NotImplementedError(
             f"delta {context}: table requires minWriterVersion {wv}; "
-            "this writer implements up to 4"
+            "this writer implements up to 4 (or 7 with supported "
+            "features)"
         )
 
 
@@ -611,11 +688,34 @@ def _publish_commit(path: str, version: int, actions: list[dict]) -> bool:
         os.fsync(fh.fileno())
     try:
         os.link(tmp, _commit_path(path, version))
+        _maybe_auto_checkpoint(path, version)
         return True
     except FileExistsError:
         return False
     finally:
         os.unlink(tmp)
+
+
+def _maybe_auto_checkpoint(path: str, version: int) -> None:
+    """``delta.checkpointInterval``: after every Nth commit, write a
+    checkpoint automatically — delta-spark's own post-commit hook, the
+    thing that keeps log-replay cost O(interval) on long-lived tables
+    without manual maintenance. Post-commit and best-effort: a
+    checkpoint failure never fails the already-published commit."""
+    if version <= 0:
+        return
+    try:
+        snap = snapshot(path, version)
+        iv = int(
+            (snap.metadata.get("configuration") or {}).get(
+                "delta.checkpointInterval", 0
+            )
+            or 0
+        )
+        if iv > 0 and version % iv == 0:
+            checkpoint_delta(path, version)
+    except Exception:
+        return
 
 
 def _file_stats(full_path: str) -> str | None:
@@ -916,17 +1016,15 @@ def set_table_properties(path: str, props: dict[str, str]) -> int:
             {"metaData": meta},
         ]
         wv = int(snap.protocol.get("minWriterVersion", 2) or 2)
-        if _truthy(cfg.get("delta.enableChangeDataFeed")) and wv < 4:
-            actions.append(
-                {
-                    "protocol": {
-                        "minReaderVersion": int(
-                            snap.protocol.get("minReaderVersion", 1) or 1
-                        ),
-                        "minWriterVersion": 4,
-                    }
-                }
+        if _truthy(cfg.get("delta.enableChangeDataFeed")) and (
+            wv < 4
+            or (
+                wv == 7
+                and "changeDataFeed"
+                not in (snap.protocol.get("writerFeatures") or [])
             )
+        ):
+            actions.append(_protocol_action(snap, 4, "changeDataFeed"))
         if _publish_commit(path, snap.version + 1, actions):
             return snap.version + 1
     raise RuntimeError(f"set_table_properties: lost the commit race at {path}")
@@ -1069,13 +1167,8 @@ def commit_staged_adds(
     part_cols = list(part_cols or [])
     if delta_versions(path):
         snap0 = snapshot(path)
+        _refuse_high_writer_version(snap0, "staged write")
         wv = int(snap0.protocol.get("minWriterVersion", 2) or 2)
-        if wv > 4:
-            raise NotImplementedError(
-                f"delta table at {path} requires minWriterVersion {wv}; "
-                "this writer implements up to 4 (CHECK constraints, "
-                "generated columns)"
-            )
         if not constraints_ok:
             if table_constraints(snap0) or table_generated_columns(snap0):
                 raise ValueError(
@@ -1220,7 +1313,15 @@ def checkpoint_delta(path: str, version: int | None = None) -> int:
         ]
     )
     proto_t = pa.struct(
-        [("minReaderVersion", pa.int32()), ("minWriterVersion", pa.int32())]
+        [
+            ("minReaderVersion", pa.int32()),
+            ("minWriterVersion", pa.int32()),
+            # table-features lists (protocol v3/v7) must survive the
+            # checkpoint or log cleanup would silently downgrade the
+            # table's declared requirements
+            ("readerFeatures", pa.list_(pa.string())),
+            ("writerFeatures", pa.list_(pa.string())),
+        ]
     )
     txn_t = pa.struct([("appId", pa.string()), ("version", pa.int64())])
 
@@ -2203,9 +2304,10 @@ def add_check_constraint(
         snap = snapshot(path)
         if name in table_constraints(snap):
             raise ValueError(f"constraint {name} already exists at {path}")
+        _refuse_mapped_write(snap, "ADD CONSTRAINT")
+        _refuse_high_writer_version(snap, "ADD CONSTRAINT")
         conf = dict(snap.metadata.get("configuration") or {})
         conf[f"delta.constraints.{name}"] = expr
-        wv = max(3, int(snap.protocol.get("minWriterVersion", 2) or 2))
         actions = [
             {
                 "commitInfo": {
@@ -2215,14 +2317,9 @@ def add_check_constraint(
                     "engineInfo": "value_at_risk_spark.deltalog",
                 }
             },
-            {
-                "protocol": {
-                    "minReaderVersion": int(
-                        snap.protocol.get("minReaderVersion", 1) or 1
-                    ),
-                    "minWriterVersion": wv,
-                }
-            },
+            # never drops declared features: feature-listed tables
+            # gain checkConstraints, legacy tables bump to wv 3
+            _protocol_action(snap, 3, "checkConstraints"),
             {"metaData": {**snap.metadata, "configuration": conf}},
         ]
         if _publish_commit(path, snap.version + 1, actions):
