@@ -2454,7 +2454,9 @@ def test_table_features_protocol_v3_v7(spark, tmp_path):
         write_delta(spark, spark.range(1).select("id"), tbl)
 
     # unsupported READER feature: even the snapshot refuses
-    tbl2 = str(tmp_path / "dv")
+    # (deletionVectors moved to the SUPPORTED list in round 11 —
+    # v2Checkpoint stands in as a feature this reader does not have)
+    tbl2 = str(tmp_path / "v2cp")
     write_delta(spark, spark.range(2).select("id"), tbl2)
     _publish_commit(
         tbl2,
@@ -2465,13 +2467,13 @@ def test_table_features_protocol_v3_v7(spark, tmp_path):
                 "protocol": {
                     "minReaderVersion": 3,
                     "minWriterVersion": 7,
-                    "readerFeatures": ["deletionVectors"],
-                    "writerFeatures": ["deletionVectors"],
+                    "readerFeatures": ["v2Checkpoint"],
+                    "writerFeatures": ["v2Checkpoint"],
                 }
             },
         ],
     )
-    with pytest.raises(NotImplementedError, match="deletionVectors"):
+    with pytest.raises(NotImplementedError, match="v2Checkpoint"):
         read_delta(spark, tbl2).count()
 
 

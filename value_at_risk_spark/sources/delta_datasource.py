@@ -65,11 +65,16 @@ def _file_to_batches(
     partition_columns: list[str],
     row_groups: list[int] | None = None,
     l2p: dict | None = None,
+    dv_deleted=None,
+    row_offset: int = 0,
 ):
     """One data file -> Arrow RecordBatches in the declared column
     order, with partition columns materialized as constant arrays cast
     from their Hive string values by the TABLE schema (never
-    re-inferred)."""
+    re-inferred). ``dv_deleted`` (sorted uint64 physical row indexes)
+    masks deletion-vector rows out of the batch; ``row_offset`` is the
+    physical index of this slice's first row (non-zero for row-group
+    splits)."""
     import pyarrow as pa
     import pyarrow.parquet as pq
 
@@ -78,6 +83,16 @@ def _file_to_batches(
         tbl = pq.read_table(abs_path)
     else:
         tbl = pq.ParquetFile(abs_path).read_row_groups(row_groups)
+    if dv_deleted is not None and len(dv_deleted):
+        import numpy as np
+
+        from value_at_risk_spark.sources.dv import keep_mask
+
+        mask = keep_mask(
+            np.arange(row_offset, row_offset + tbl.num_rows, dtype=np.uint64),
+            dv_deleted,
+        )
+        tbl = tbl.filter(pa.array(mask))
     n = tbl.num_rows
     cols = []
     for field in want:
@@ -103,10 +118,17 @@ class _DeltaFilePartition(InputPartition):
         abs_path: str,
         part_values: dict,
         row_groups: list[int] | None = None,
+        dv_deleted=None,
+        row_offset: int = 0,
     ):
         self.abs_path = abs_path
         self.part_values = part_values
         self.row_groups = row_groups  # None = whole file
+        # deletion vector: sorted uint64 deleted PHYSICAL row indexes
+        # (decoded once on the driver — compact, rides the pickled
+        # partition descriptor) + this slice's first physical row
+        self.dv_deleted = dv_deleted
+        self.row_offset = row_offset
 
 
 class _DeltaCdfPartition(InputPartition):
@@ -121,12 +143,16 @@ class _DeltaCdfPartition(InputPartition):
         kind: str,
         version: int,
         ts_ms: int,
+        dv_deleted=None,
     ):
         self.abs_path = abs_path
         self.part_values = part_values
         self.kind = kind
         self.version = version
         self.ts_ms = ts_ms
+        # the file VERSION's deletion vector: rows it masks were not
+        # logically present, so derived inserts/deletes exclude them
+        self.dv_deleted = dv_deleted
 
 
 def _cdf_file_to_batches(
@@ -145,6 +171,15 @@ def _cdf_file_to_batches(
 
     want = _arrow_schema(out_schema)
     tbl = pq.read_table(part.abs_path)
+    dvd = getattr(part, "dv_deleted", None)
+    if dvd is not None and len(dvd):
+        import numpy as np
+
+        from value_at_risk_spark.sources.dv import keep_mask
+
+        tbl = tbl.filter(
+            pa.array(keep_mask(np.arange(tbl.num_rows, dtype=np.uint64), dvd))
+        )
     n = tbl.num_rows
     cols = []
     for field in want:
@@ -176,6 +211,7 @@ def _cdf_partitions_for_range(
     """Flatten a _change_plan into per-file CDF partitions (the batch
     reader's split; also the stream reader's per-batch file list)."""
     from value_at_risk_spark.sources.deltalog import _change_plan
+    from value_at_risk_spark.sources.dv import read_dv
 
     parts: list[_DeltaCdfPartition] = []
     for entry in _change_plan(path, from_v, to_v):
@@ -185,7 +221,9 @@ def _cdf_partitions_for_range(
             ("insert", entry["add_files"]),
             ("delete", entry["rm_files"]),
         ):
-            for rel, pv in rels:
+            for e in rels:
+                rel, pv = e[0], e[1]
+                desc = e[2] if len(e) > 2 else None
                 parts.append(
                     _DeltaCdfPartition(
                         os.path.normpath(
@@ -195,6 +233,9 @@ def _cdf_partitions_for_range(
                         kind,
                         v,
                         ts,
+                        dv_deleted=(
+                            read_dv(path, desc) if desc else None
+                        ),
                     )
                 )
     return parts
@@ -363,17 +404,23 @@ class _DeltaBatchReader(DataSourceReader):
             self._partition_filters or None,
             self._stats_filters or None,
         )
+        from value_at_risk_spark.sources.dv import read_dv
+
         parts = []
         for rel in active:
             pv = self._snap.files[rel].get("partitionValues") or {}
             if not isinstance(pv, dict):
                 pv = dict(pv)
+            desc = self._snap.files[rel].get("deletionVector")
             parts.append(
                 _DeltaFilePartition(
                     os.path.normpath(
                         os.path.join(self._path, unquote(rel))
                     ),
                     pv,
+                    dv_deleted=(
+                        read_dv(self._path, desc) if desc else None
+                    ),
                 )
             )
         # many SMALL files drown the scan in per-task Python worker
@@ -407,16 +454,27 @@ class _DeltaBatchReader(DataSourceReader):
             split = []
             for p in parts:
                 try:
-                    ngr = pq.ParquetFile(p.abs_path).metadata.num_row_groups
+                    md = pq.ParquetFile(p.abs_path).metadata
+                    ngr = md.num_row_groups
                 except Exception:
                     ngr = 1
                 if ngr <= 1:
                     split.append(p)
                 else:
-                    split.extend(
-                        _DeltaFilePartition(p.abs_path, p.part_values, [g])
-                        for g in range(ngr)
-                    )
+                    # each row-group slice needs its first PHYSICAL row
+                    # index so a deletion vector still lines up
+                    offset = 0
+                    for g in range(ngr):
+                        split.append(
+                            _DeltaFilePartition(
+                                p.abs_path,
+                                p.part_values,
+                                [g],
+                                dv_deleted=p.dv_deleted,
+                                row_offset=offset,
+                            )
+                        )
+                        offset += md.row_group(g).num_rows
             parts = split
         return parts
 
@@ -434,6 +492,8 @@ class _DeltaBatchReader(DataSourceReader):
                 self._partition_columns,
                 getattr(sub, "row_groups", None),
                 self._l2p,
+                getattr(sub, "dv_deleted", None),
+                getattr(sub, "row_offset", 0),
             )
 
 
@@ -470,6 +530,13 @@ def _added_files_between(path: str, from_v: int, to_v: int):
                         "appended rows"
                     )
                 add = a.get("add")
+                if add and add.get("deletionVector"):
+                    # a DV-carrying add is a data REMOVAL in disguise
+                    raise ValueError(
+                        f"deltalog stream: version {v} attaches a "
+                        "deletion vector — not expressible as appended "
+                        "rows"
+                    )
                 if add and add.get("dataChange", True):
                     pv = add.get("partitionValues") or {}
                     out.append(
@@ -559,15 +626,19 @@ class _DeltaStreamReader(SimpleDataSourceStreamReader):
 
         part_cols = snapshot(self._path).partition_columns
         names = [f.name for f in self._schema.fields]
-        for abs_path, pv in files:
+        for entry in files:
+            abs_path, pv = entry[0], entry[1]
+            dv_deleted = entry[2] if len(entry) > 2 else None
             for batch in _file_to_batches(
-                abs_path, pv, self._schema, part_cols
+                abs_path, pv, self._schema, part_cols,
+                dv_deleted=dv_deleted,
             ):
                 for row in batch.to_pylist():
                     yield tuple(row[n] for n in names)
 
     def _snapshot_files(self, version: int):
         from value_at_risk_spark.sources.deltalog import snapshot
+        from value_at_risk_spark.sources.dv import read_dv
 
         snap = snapshot(self._path, version)
         out = []
@@ -575,12 +646,14 @@ class _DeltaStreamReader(SimpleDataSourceStreamReader):
             pv = snap.files[rel].get("partitionValues") or {}
             if not isinstance(pv, dict):
                 pv = dict(pv)
+            desc = snap.files[rel].get("deletionVector")
             out.append(
                 (
                     os.path.normpath(
                         os.path.join(self._path, unquote(rel))
                     ),
                     pv,
+                    read_dv(self._path, desc) if desc else None,
                 )
             )
         return out

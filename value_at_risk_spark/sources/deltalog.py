@@ -49,6 +49,7 @@ import uuid
 from dataclasses import dataclass
 from urllib.parse import quote, unquote
 
+import pandas as pd
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 from pyspark.sql.types import (
@@ -262,7 +263,12 @@ def snapshot(path: str, version: int | None = None) -> DeltaSnapshot:
 # every feature named here is implemented by this module; anything
 # else fails loudly rather than silently mis-reading/corrupting.
 _SUPPORTED_READER_FEATURES = frozenset(
-    {"columnMapping", "timestampNtz", "vacuumProtocolCheck"}
+    {
+        "columnMapping",
+        "timestampNtz",
+        "vacuumProtocolCheck",
+        "deletionVectors",
+    }
 )
 _SUPPORTED_WRITER_FEATURES = frozenset(
     {
@@ -272,6 +278,7 @@ _SUPPORTED_WRITER_FEATURES = frozenset(
         "changeDataFeed",
         "generatedColumns",
         "timestampNtz",
+        "deletionVectors",
     }
 )
 
@@ -541,9 +548,33 @@ def _read_snapshot(
     partition_filters: dict[str, list[str]] | None = None,
     stats_filters: list[tuple] | None = None,
 ) -> DataFrame:
-    """read_delta's scan half over an already-resolved snapshot."""
+    """read_delta's scan half over an already-resolved snapshot.
+    Files carrying a deletion vector scan through the metadata-column
+    branch (their deleted row indexes masked out, Arrow-batched, no
+    shuffle) and union with the plain scan of the clean files — a
+    table with no DVs pays nothing."""
     schema = snap.schema
     active = _pruned_active(snap, partition_filters, stats_filters)
+    dvm = _dv_map(snap, active)
+    if dvm:
+        clean = [p for p in active if p not in dvm]
+        dv_df = _scan_files_dv(spark, path, snap, sorted(dvm))
+        if not clean:
+            return dv_df
+        return _read_active(spark, path, snap, clean).unionByName(dv_df)
+    return _read_active(spark, path, snap, active)
+
+
+def _read_active(
+    spark: SparkSession,
+    path: str,
+    snap: DeltaSnapshot,
+    active: list[str],
+) -> DataFrame:
+    """The plain (no-DV) scan over an explicit active-file subset —
+    union-by-partition-root for few commits, the broadcast
+    basename->partitionValues join for many."""
+    schema = snap.schema
     files = [os.path.join(path, unquote(p)) for p in active]
     if not files:
         return spark.createDataFrame([], schema)
@@ -660,6 +691,136 @@ def _scan_files(
     if not snap.partition_columns:
         return spark.read.schema(schema).parquet(*files)
     return _union_scan(spark, schema, _group_by_partition_root(path, files))
+
+
+def _dv_map(snap: DeltaSnapshot, rel_paths) -> dict[str, dict]:
+    """rel path -> ``deletionVector`` descriptor, for the subset of
+    ``rel_paths`` whose add action carries one."""
+    out = {}
+    for p in rel_paths:
+        d = snap.files[p].get("deletionVector")
+        if d:
+            out[p] = d
+    return out
+
+
+def _dv_uid(add: dict):
+    """Identity of a file's deletion-vector state — (path-or-inline,
+    offset) per the protocol's uniqueness rule; None when undeleted.
+    Concurrency checks compare these so a racing DV DELETE (same file
+    paths, different bitmaps) is never mistaken for 'unchanged'."""
+    d = add.get("deletionVector")
+    return (d["pathOrInlineDv"], d.get("offset")) if d else None
+
+
+_DV_META_COLS = ("__dv_fp", "__dv_ri")
+
+
+def _scan_files_meta(
+    spark: SparkSession,
+    path: str,
+    snap: DeltaSnapshot,
+    rel_paths: list[str],
+) -> DataFrame:
+    """Full-schema scan over explicit files PLUS the hidden parquet
+    ``_metadata`` identity columns (``__dv_fp`` = file path, ``__dv_ri``
+    = physical row index within the file) — the coordinates deletion
+    vectors are defined over. Captured at scan construction because
+    the hidden column is only resolvable on the source relation."""
+    schema = snap.schema
+    files = [os.path.join(path, unquote(p)) for p in rel_paths]
+    meta = [
+        F.col("_metadata.file_path").alias("__dv_fp"),
+        F.col("_metadata.row_index").alias("__dv_ri"),
+    ]
+    names = [f.name for f in schema.fields]
+    if not snap.partition_columns:
+        return spark.read.schema(schema).parquet(*files).select(*names, *meta)
+    groups = _group_by_partition_root(path, files)
+    parts = [
+        spark.read.schema(schema)
+        .option("basePath", root)
+        .parquet(*fs)
+        .select(*names, *meta)
+        for root, fs in sorted(groups.items())
+    ]
+    out = parts[0]
+    for p in parts[1:]:
+        out = out.unionByName(p)
+    return out
+
+
+def _dv_keep_filter(
+    spark: SparkSession, path: str, dvm: dict[str, dict], df: DataFrame
+) -> DataFrame:
+    """Drop each file's DV-deleted rows from a ``_scan_files_meta``
+    frame. The bitmaps are decoded once on the driver (memory bounded
+    by DELETED-row count, not table size), broadcast, and applied as
+    an Arrow-batched searchsorted membership test — no shuffle, no
+    join; the big side streams through untouched."""
+    from pyspark.sql.functions import pandas_udf
+
+    from value_at_risk_spark.sources import dv as dvmod
+
+    by_name: dict[str, "object"] = {}
+    for rel, desc in dvm.items():
+        bn = os.path.basename(unquote(rel))
+        if bn in by_name:
+            raise ValueError(
+                "deletion-vector scan: colliding data-file basenames "
+                f"({bn}) — cannot key bitmaps by file"
+            )
+        by_name[bn] = dvmod.read_dv(path, desc)
+    b = spark.sparkContext.broadcast(by_name)
+
+    @pandas_udf("boolean")
+    def _dv_keep(fp: pd.Series, ri: pd.Series) -> pd.Series:
+        import numpy as np
+
+        m = b.value
+        n = len(fp)
+        out = np.ones(n, dtype=bool)
+        if n:
+            names = np.asarray([s.rsplit("/", 1)[-1] for s in fp])
+            riv = ri.to_numpy().astype(np.uint64)
+            for name in np.unique(names):
+                deleted = m.get(name)
+                if deleted is None:
+                    continue
+                sel = names == name
+                out[sel] = dvmod.keep_mask(riv[sel], deleted)
+        return pd.Series(out)
+
+    return df.filter(_dv_keep(F.col("__dv_fp"), F.col("__dv_ri")))
+
+
+def _scan_files_dv(
+    spark: SparkSession,
+    path: str,
+    snap: DeltaSnapshot,
+    rel_paths: list[str],
+    keep_meta: bool = False,
+) -> DataFrame:
+    """``_scan_files`` with deletion vectors APPLIED — the correct
+    row set for every reader and every copy-on-write rewrite over
+    files that may carry DVs. Files without DVs take the plain scan
+    (zero overhead when the table has none)."""
+    dvm = _dv_map(snap, rel_paths)
+    if not dvm and not keep_meta:
+        return _scan_files(spark, path, snap, rel_paths)
+    if not rel_paths:
+        df = spark.createDataFrame([], snap.schema)
+        if keep_meta:
+            df = df.withColumn("__dv_fp", F.lit(None).cast("string")).withColumn(
+                "__dv_ri", F.lit(None).cast("long")
+            )
+        return df
+    df = _scan_files_meta(spark, path, snap, rel_paths)
+    if dvm:
+        df = _dv_keep_filter(spark, path, dvm, df)
+    if keep_meta:
+        return df
+    return df.select(*[f.name for f in snap.schema.fields])
 
 
 def _parse_partition_values(rel_path: str) -> dict:
@@ -1025,6 +1186,22 @@ def set_table_properties(path: str, props: dict[str, str]) -> int:
             )
         ):
             actions.append(_protocol_action(snap, 4, "changeDataFeed"))
+        if _truthy(
+            cfg.get("delta.enableDeletionVectors")
+        ) and not _has_dv_feature(snap):
+            # spec: deletionVectors is BOTH a reader and a writer
+            # feature — enabling the property lifts the protocol to
+            # v3/v7 with it in both lists. Replay keeps only the LAST
+            # protocol action, so this one must also carry any CDF
+            # requirement enabled in the same call.
+            wfeats = {"deletionVectors"}
+            if _truthy(cfg.get("delta.enableChangeDataFeed")):
+                wfeats.add("changeDataFeed")
+            actions.append(
+                _upgrade_protocol_features(
+                    snap, ("deletionVectors",), sorted(wfeats)
+                )
+            )
         if _publish_commit(path, snap.version + 1, actions):
             return snap.version + 1
     raise RuntimeError(f"set_table_properties: lost the commit race at {path}")
@@ -1254,6 +1431,11 @@ def commit_staged_adds(
                         "path": p,
                         "deletionTimestamp": now_ms,
                         "dataChange": True,
+                        **(
+                            {"deletionVector": current.files[p]["deletionVector"]}
+                            if current.files[p].get("deletionVector")
+                            else {}
+                        ),
                     }
                 }
                 for p in sorted(current.files)
@@ -1292,6 +1474,15 @@ def checkpoint_delta(path: str, version: int | None = None) -> int:
         for _p, add in sorted(snap.files.items())
     )
     # explicit types so an empty table still round-trips
+    dv_t = pa.struct(
+        [
+            ("storageType", pa.string()),
+            ("pathOrInlineDv", pa.string()),
+            ("offset", pa.int64()),
+            ("sizeInBytes", pa.int64()),
+            ("cardinality", pa.int64()),
+        ]
+    )
     add_t = pa.struct(
         [
             ("path", pa.string()),
@@ -1300,6 +1491,9 @@ def checkpoint_delta(path: str, version: int | None = None) -> int:
             ("modificationTime", pa.int64()),
             ("dataChange", pa.bool_()),
             ("stats", pa.string()),
+            # a checkpoint that dropped deletionVector would resurrect
+            # every DV-deleted row after log cleanup
+            ("deletionVector", dv_t),
         ]
     )
     meta_t = pa.struct(
@@ -1338,6 +1532,7 @@ def checkpoint_delta(path: str, version: int | None = None) -> int:
                 "modificationTime": a.get("modificationTime"),
                 "dataChange": a.get("dataChange"),
                 "stats": a.get("stats"),
+                "deletionVector": a.get("deletionVector"),
             }
         m = row["metaData"]
         if m is not None:
@@ -1423,7 +1618,10 @@ def optimize_delta(
     _refuse_high_writer_version(snap, "OPTIMIZE")
     if not snap.files:
         return snap.version
-    df = read_delta(spark, path)
+    # pinned to the resolved snapshot (not the moving tip); deletion
+    # vectors are APPLIED by the scan, so compaction materializes
+    # them — the compacted files carry no DV
+    df = _read_snapshot(spark, path, snap)
     n = target_files or df.sparkSession.sparkContext.defaultParallelism
     if zorder_by:
         from value_at_risk_spark.sources.layout import zorder_key
@@ -1476,6 +1674,11 @@ def optimize_delta(
                 "path": p,
                 "deletionTimestamp": now_ms,
                 "dataChange": False,
+                **(
+                    {"deletionVector": snap.files[p]["deletionVector"]}
+                    if snap.files[p].get("deletionVector")
+                    else {}
+                ),
             }
         }
         for p in sorted(snap.files)
@@ -1483,7 +1686,13 @@ def optimize_delta(
     actions.extend(adds)
     for _attempt in range(64):
         current = snapshot(path)
-        if set(current.files) != set(snap.files):
+        # compare (path, DV identity), not just paths: a concurrent
+        # merge-on-read DELETE changes bitmaps without changing any
+        # file path, and a dataChange:false rewrite over it would
+        # silently resurrect its deleted rows
+        if {p: _dv_uid(a) for p, a in current.files.items()} != {
+            p: _dv_uid(a) for p, a in snap.files.items()
+        }:
             raise RuntimeError(
                 "optimize_delta: table changed concurrently "
                 f"(v{snap.version} -> v{current.version}); re-run"
@@ -1511,9 +1720,22 @@ def vacuum_delta(
     keep = versions[-max(1, keep_versions):]
     referenced: set[str] = set()
     for v in keep:
+        ksnap = snapshot(path, v)
         referenced.update(
-            os.path.normpath(unquote(p)) for p in snapshot(path, v).files
+            os.path.normpath(unquote(p)) for p in ksnap.files
         )
+        # deletion-vector files referenced by a kept snapshot's adds
+        # must survive — deleting one resurrects its deleted rows
+        from value_at_risk_spark.sources.dv import dv_abs_path
+
+        for a in ksnap.files.values():
+            d = a.get("deletionVector")
+            if d and d.get("storageType") == "u":
+                referenced.add(
+                    os.path.normpath(
+                        os.path.relpath(dv_abs_path(path, d), path)
+                    )
+                )
     # change-data files are referenced by their COMMIT, not by any
     # snapshot — keep every cdc file whose commit JSON is still in the
     # log (cleanup_delta_log is the retention boundary: once the
@@ -1532,7 +1754,10 @@ def vacuum_delta(
     for root, dirs, names in os.walk(path, topdown=True):
         dirs[:] = [d for d in dirs if d != _LOG]
         for n in names:
-            if not n.endswith(".parquet"):
+            if not (
+                n.endswith(".parquet")
+                or (n.startswith("deletion_vector_") and n.endswith(".bin"))
+            ):
                 continue
             full = os.path.join(root, n)
             rel = os.path.normpath(os.path.relpath(full, path))
@@ -1562,8 +1787,22 @@ def restore_delta(spark: SparkSession, path: str, version: int) -> int:
     for _attempt in range(64):
         current = snapshot(path)
         _refuse_append_only(current, "RESTORE")
-        to_remove = sorted(set(current.files) - set(target.files))
-        to_add = sorted(set(target.files) - set(current.files))
+        # same file = same path AND same deletion-vector identity: a
+        # path whose DV changed between the versions must be
+        # re-referenced at the TARGET's DV state or the restore would
+        # keep the newer bitmap
+        to_remove = sorted(
+            p
+            for p, a in current.files.items()
+            if p not in target.files
+            or _dv_uid(a) != _dv_uid(target.files[p])
+        )
+        to_add = sorted(
+            p
+            for p, a in target.files.items()
+            if p not in current.files
+            or _dv_uid(a) != _dv_uid(current.files[p])
+        )
         missing = [
             p for p in to_add
             if not os.path.exists(os.path.join(path, unquote(p)))
@@ -1589,6 +1828,11 @@ def restore_delta(spark: SparkSession, path: str, version: int) -> int:
                     "path": p,
                     "deletionTimestamp": now_ms,
                     "dataChange": True,
+                    **(
+                        {"deletionVector": current.files[p]["deletionVector"]}
+                        if current.files[p].get("deletionVector")
+                        else {}
+                    ),
                 }
             }
             for p in to_remove
@@ -1644,6 +1888,12 @@ def read_delta_changes(
                         "appended rows; read full snapshots across it"
                     )
                 add = a.get("add")
+                if add and add.get("deletionVector"):
+                    raise ValueError(
+                        f"read_delta_changes: version {v} attaches a "
+                        "deletion vector — a data removal, not "
+                        "expressible as appended rows"
+                    )
                 if add and add.get("dataChange", True):
                     new_files.append(os.path.join(path, unquote(add["path"])))
     if not new_files:
@@ -1672,6 +1922,43 @@ def _scan_rel_paths(
     if not part_cols:
         return spark.read.schema(schema).parquet(*files)
     return _union_scan(spark, schema, _group_by_partition_root(path, files))
+
+
+def _scan_rel_paths_dv(
+    spark: SparkSession,
+    path: str,
+    schema: StructType,
+    part_cols: list[str],
+    entries: list[tuple],
+) -> DataFrame:
+    """_scan_rel_paths over (rel, partitionValues, deletionVector)
+    change-plan entries, masking each file version's DV rows out —
+    zero overhead when no entry carries one."""
+    rels = [e[0] for e in entries]
+    dvm = {e[0]: e[2] for e in entries if len(e) > 2 and e[2]}
+    if not dvm:
+        return _scan_rel_paths(spark, path, schema, part_cols, rels)
+    files = [os.path.join(path, unquote(p)) for p in rels]
+    meta = [
+        F.col("_metadata.file_path").alias("__dv_fp"),
+        F.col("_metadata.row_index").alias("__dv_ri"),
+    ]
+    names = [f.name for f in schema.fields]
+    if not part_cols:
+        df = spark.read.schema(schema).parquet(*files).select(*names, *meta)
+    else:
+        groups = _group_by_partition_root(path, files)
+        branches = [
+            spark.read.schema(schema)
+            .option("basePath", root)
+            .parquet(*fs)
+            .select(*names, *meta)
+            for root, fs in sorted(groups.items())
+        ]
+        df = branches[0]
+        for b in branches[1:]:
+            df = df.unionByName(b)
+    return _dv_keep_filter(spark, path, dvm, df).select(*names)
 
 
 def _change_plan(
@@ -1725,10 +2012,18 @@ def _change_plan(
                     cdc_files.append((a["cdc"]["path"], _pv(a["cdc"])))
                 add = a.get("add")
                 if add is not None and add.get("dataChange", True):
-                    add_files.append((add["path"], _pv(add)))
+                    add_files.append(
+                        (add["path"], _pv(add), add.get("deletionVector"))
+                    )
                 rm = a.get("remove")
                 if rm is not None and rm.get("dataChange", True):
-                    rm_files.append((rm["path"], _pv(rm)))
+                    # derivation must honor the removed file VERSION's
+                    # deletion vector: rows it had already masked out
+                    # were never logically present, so they are neither
+                    # inserts nor deletes
+                    rm_files.append(
+                        (rm["path"], _pv(rm), rm.get("deletionVector"))
+                    )
         if not cdc_files and not add_files and not rm_files:
             continue  # metadata-only / OPTIMIZE commit: no changes
         if not _truthy(cfg.get("delta.enableChangeDataFeed")):
@@ -1741,8 +2036,8 @@ def _change_plan(
             ts_ms = int(os.stat(_commit_path(path, v)).st_mtime * 1000)
         if not cdc_files:
             missing = [
-                p for p, _ in (*add_files, *rm_files)
-                if not os.path.exists(os.path.join(path, unquote(p)))
+                e[0] for e in (*add_files, *rm_files)
+                if not os.path.exists(os.path.join(path, unquote(e[0])))
             ]
             if missing:
                 raise FileNotFoundError(
@@ -1823,14 +2118,14 @@ def table_changes(
             parts = []
             if entry["add_files"]:
                 parts.append(
-                    _scan_rel_paths(spark, path, schema, part_cols,
-                                    [p for p, _ in entry["add_files"]])
+                    _scan_rel_paths_dv(spark, path, schema, part_cols,
+                                       entry["add_files"])
                     .withColumn("_change_type", F.lit("insert"))
                 )
             if entry["rm_files"]:
                 parts.append(
-                    _scan_rel_paths(spark, path, schema, part_cols,
-                                    [p for p, _ in entry["rm_files"]])
+                    _scan_rel_paths_dv(spark, path, schema, part_cols,
+                                       entry["rm_files"])
                     .withColumn("_change_type", F.lit("delete"))
                 )
         for p in parts:
@@ -1950,14 +2245,25 @@ def _touched_files(
     (file, match_count), a driver result bounded by the file count,
     never by rows. Returns (touched rel paths, total matching rows).
     ``input_file_name`` is resolved in the scan stage (the partial
-    aggregation pipelines into it, no shuffle in between)."""
-    hits = (
-        _scan_files(spark, path, snap, candidates)
-        .filter(F.coalesce(cond, F.lit(False)))
-        .groupBy(F.input_file_name().alias("_delta_file"))
-        .agg(F.count(F.lit(1)).alias("_n"))
-        .collect()
-    )
+    aggregation pipelines into it, no shuffle in between). Candidates
+    that carry a deletion vector are counted through the DV-applied
+    metadata scan instead — already-deleted rows must never re-match."""
+    if _dv_map(snap, candidates):
+        hits = (
+            _scan_files_dv(spark, path, snap, candidates, keep_meta=True)
+            .filter(F.coalesce(cond, F.lit(False)))
+            .groupBy(F.col("__dv_fp").alias("_delta_file"))
+            .agg(F.count(F.lit(1)).alias("_n"))
+            .collect()
+        )
+    else:
+        hits = (
+            _scan_files(spark, path, snap, candidates)
+            .filter(F.coalesce(cond, F.lit(False)))
+            .groupBy(F.input_file_name().alias("_delta_file"))
+            .agg(F.count(F.lit(1)).alias("_n"))
+            .collect()
+        )
     abs2rel = {
         os.path.normpath(os.path.join(path, unquote(p))): p
         for p in candidates
@@ -2037,6 +2343,11 @@ def _commit_rewrite(
                 "deletionTimestamp": now_ms,
                 "dataChange": True,
                 "partitionValues": snap.files[p].get("partitionValues"),
+                **(
+                    {"deletionVector": snap.files[p]["deletionVector"]}
+                    if snap.files[p].get("deletionVector")
+                    else {}
+                ),
             }
         }
         for p in removed
@@ -2053,6 +2364,7 @@ def delete_from_delta(
     condition: str,
     partition_filters: dict[str, list[str]] | None = None,
     stats_filters: list[tuple] | None = None,
+    use_dv: bool | None = None,
 ) -> dict:
     """``DELETE FROM <table> WHERE condition`` — file-level
     copy-on-write, the shape real Delta uses: (1) prune candidate
@@ -2068,12 +2380,26 @@ def delete_from_delta(
     {version, rows_deleted, files_rewritten, files_added}; no commit
     is made when nothing matches.
 
+    ``use_dv`` selects merge-on-read DELETE via deletion vectors
+    (rewrite NOTHING; commit a bitmap of deleted row positions per
+    touched file). Default None = automatic from the table property
+    ``delta.enableDeletionVectors`` — Delta's own switch. At 100 TB
+    this is the difference between a small DELETE writing kilobytes
+    of bitmap and re-writing every touched gigabyte file.
+
     Reference tie: the reference relies on Delta DML over its
     Monte-Carlo tables (config/configure_notebook.py:18-27); this is
     the native-log equivalent with delta-spark's file-skipping edge
     implemented rather than documented away (contrast
     merge_into_delta_native's whole-set rewrite)."""
     cond = F.expr(condition)
+    if use_dv is None:
+        cfg = snapshot(path).metadata.get("configuration") or {}
+        use_dv = _truthy(cfg.get("delta.enableDeletionVectors"))
+    if use_dv:
+        return _delete_with_dv(
+            spark, path, condition, cond, partition_filters, stats_filters
+        )
     for _attempt in range(16):
         snap = snapshot(path)
         _refuse_mapped_write(snap, "DELETE")
@@ -2088,7 +2414,7 @@ def delete_from_delta(
                 "files_rewritten": 0,
                 "files_added": 0,
             }
-        survivors = _scan_files(spark, path, snap, touched).filter(
+        survivors = _scan_files_dv(spark, path, snap, touched).filter(
             ~F.coalesce(cond, F.lit(False))
         )
         # bound the restage task count by the touched-file count so a
@@ -2106,7 +2432,7 @@ def delete_from_delta(
             # of ONLY the touched files (Delta's own DML pays the same
             # second pass to materialize change data)
             deleted_rows = (
-                _scan_files(spark, path, snap, touched)
+                _scan_files_dv(spark, path, snap, touched)
                 .filter(F.coalesce(cond, F.lit(False)))
                 .withColumn("_change_type", F.lit("delete"))
             )
@@ -2135,6 +2461,289 @@ def delete_from_delta(
         # (same torn-state story as any failed commit); re-identify
         # against the new tip and retry
     raise RuntimeError(f"delete_from_delta: conflicted 16 times at {path}")
+
+
+def _upgrade_protocol_features(
+    snap: DeltaSnapshot,
+    reader_feats=(),
+    writer_feats=(),
+) -> dict:
+    """A protocol action lifting the table to reader v3 / writer v7
+    with explicit feature lists. Legacy version numbers carry IMPLIED
+    features (spec: upgrading must enumerate them, or the upgrade
+    silently drops requirements other writers relied on)."""
+    p = {k: v for k, v in dict(snap.protocol).items() if v is not None}
+    rv = int(p.get("minReaderVersion", 1) or 1)
+    wv = int(p.get("minWriterVersion", 2) or 2)
+    rfeats = set(p.get("readerFeatures") or [])
+    wfeats = set(p.get("writerFeatures") or [])
+    if rv < 3 and rv >= 2:
+        rfeats.add("columnMapping")
+    if wv < 7:
+        for v, fs in (
+            (2, ("appendOnly", "invariants")),
+            (3, ("checkConstraints",)),
+            (4, ("changeDataFeed", "generatedColumns")),
+            (5, ("columnMapping",)),
+            (6, ("identityColumns",)),
+        ):
+            if wv >= v:
+                wfeats.update(fs)
+    rfeats.update(reader_feats)
+    wfeats.update(writer_feats)
+    return {
+        "protocol": {
+            "minReaderVersion": 3,
+            "minWriterVersion": 7,
+            "readerFeatures": sorted(rfeats),
+            "writerFeatures": sorted(wfeats),
+        }
+    }
+
+
+def _has_dv_feature(snap: DeltaSnapshot) -> bool:
+    return (
+        "deletionVectors" in (snap.protocol.get("readerFeatures") or [])
+        and "deletionVectors" in (snap.protocol.get("writerFeatures") or [])
+    )
+
+
+def _stats_num_records(add: dict) -> int | None:
+    s = add.get("stats")
+    if not s:
+        return None
+    try:
+        n = json.loads(s).get("numRecords")
+        return int(n) if n is not None else None
+    except (ValueError, TypeError):
+        return None
+
+
+def _delete_with_dv(
+    spark: SparkSession,
+    path: str,
+    condition: str,
+    cond,
+    partition_filters: dict[str, list[str]] | None,
+    stats_filters: list[tuple] | None,
+) -> dict:
+    """Merge-on-read DELETE: one identification scan collects the
+    matching PHYSICAL row indexes per file (driver memory bounded by
+    deleted-row count — 8 bytes each — never table size), unions them
+    with any existing DV, and commits remove(old add) + add(same
+    path, new ``deletionVector`` descriptor). ONE DV file holds every
+    touched file's bitmap (one object-store write per DELETE). A file
+    whose DV reaches its physical numRecords is dropped outright.
+    No data file is read twice, none is rewritten.
+
+    Protocol: first DV on a table lifts it to reader v3 / writer v7
+    with ``deletionVectors`` in BOTH feature lists (spec requirement),
+    in the same commit as the DVs themselves."""
+    import numpy as np
+
+    from value_at_risk_spark.sources import dv as dvmod
+
+    for _attempt in range(16):
+        snap = snapshot(path)
+        _refuse_mapped_write(snap, "DELETE")
+        _refuse_high_writer_version(snap, "DELETE")
+        _refuse_append_only(snap, "DELETE")
+        candidates = _pruned_active(snap, partition_filters, stats_filters)
+        zero = {
+            "version": snap.version,
+            "rows_deleted": 0,
+            "files_rewritten": 0,
+            "files_added": 0,
+            "dv_files": 0,
+            "files_fully_removed": 0,
+        }
+        if not candidates:
+            return zero
+        hits = (
+            _scan_files_dv(spark, path, snap, candidates, keep_meta=True)
+            .filter(F.coalesce(cond, F.lit(False)))
+            .groupBy("__dv_fp")
+            .agg(F.sort_array(F.collect_list("__dv_ri")).alias("_ris"))
+            .collect()
+        )
+        if not hits:
+            return zero
+        abs2rel = {
+            os.path.normpath(os.path.join(path, unquote(p))): p
+            for p in candidates
+        }
+        touched: list[tuple[str, "np.ndarray"]] = []
+        n_rows = 0
+        for r in hits:
+            a = r["__dv_fp"]
+            if a.startswith("file:"):
+                a = "/" + a[len("file:"):].lstrip("/")
+            rel = abs2rel[os.path.normpath(unquote(a))]
+            idx = np.asarray(r["_ris"], dtype=np.uint64)
+            n_rows += len(idx)
+            old = snap.files[rel].get("deletionVector")
+            if old:
+                idx = np.union1d(idx, dvmod.read_dv(path, old))
+            touched.append((rel, idx))
+        touched.sort()
+        fully_removed = [
+            rel
+            for rel, idx in touched
+            if _stats_num_records(snap.files[rel]) == len(idx)
+        ]
+        dv_keep = [
+            (rel, idx) for rel, idx in touched if rel not in set(fully_removed)
+        ]
+        adds: list[dict] = []
+        if dv_keep:
+            descs = dvmod.write_dv_file(path, [idx for _rel, idx in dv_keep])
+            for (rel, _idx), desc in zip(dv_keep, descs):
+                old_add = snap.files[rel]
+                adds.append(
+                    {
+                        "add": {
+                            **{
+                                k: old_add[k]
+                                for k in (
+                                    "path",
+                                    "partitionValues",
+                                    "size",
+                                    "modificationTime",
+                                    "stats",
+                                )
+                                if k in old_add
+                            },
+                            "dataChange": True,
+                            "deletionVector": desc,
+                        }
+                    }
+                )
+        now_ms = int(time.time() * 1000)
+        actions: list[dict] = [
+            {
+                "commitInfo": {
+                    "timestamp": now_ms,
+                    "operation": "DELETE",
+                    "operationParameters": {
+                        "predicate": condition,
+                        "mode": "deletionVectors",
+                    },
+                    "engineInfo": "value_at_risk_spark.deltalog",
+                }
+            }
+        ]
+        if not _has_dv_feature(snap):
+            actions.append(
+                _upgrade_protocol_features(
+                    snap, ("deletionVectors",), ("deletionVectors",)
+                )
+            )
+        for rel, _idx in touched:
+            old_add = snap.files[rel]
+            rm = {
+                "path": rel,
+                "deletionTimestamp": now_ms,
+                "dataChange": True,
+                "partitionValues": old_add.get("partitionValues"),
+            }
+            if old_add.get("deletionVector"):
+                # spec: a remove names the file version it removes,
+                # DV included
+                rm["deletionVector"] = old_add["deletionVector"]
+            actions.append({"remove": rm})
+        actions.extend(adds)
+        if cdf_enabled(snap):
+            deleted_rows = (
+                _scan_files_dv(
+                    spark, path, snap, [rel for rel, _ in touched]
+                )
+                .filter(F.coalesce(cond, F.lit(False)))
+                .withColumn("_change_type", F.lit("delete"))
+            )
+            actions.extend(
+                _stage_cdc(
+                    deleted_rows.repartition(len(touched)),
+                    path,
+                    snap.partition_columns,
+                )
+            )
+        if _publish_commit(path, snap.version + 1, actions):
+            return {
+                "version": snap.version + 1,
+                "rows_deleted": n_rows,
+                "files_rewritten": 0,
+                "files_added": 0,
+                "dv_files": len(dv_keep),
+                "files_fully_removed": len(fully_removed),
+            }
+        # conflict: the written DV file becomes a vacuum-collectable
+        # orphan; re-identify against the new tip and retry
+    raise RuntimeError(f"delete_from_delta(dv): conflicted 16 times at {path}")
+
+
+def purge_deletion_vectors(spark: SparkSession, path: str) -> dict:
+    """``REORG TABLE ... APPLY (PURGE)`` — materialize every deletion
+    vector: rewrite ONLY the files that carry one (surviving rows,
+    restage task count bounded by DV'd-file count) and commit with
+    ``dataChange: false`` — the logical row set is unchanged, so
+    streaming consumers see nothing. The periodic compaction step
+    that keeps merge-on-read DELETE from accreting bitmap debt."""
+    for _attempt in range(16):
+        snap = snapshot(path)
+        _refuse_mapped_write(snap, "REORG PURGE")
+        _refuse_high_writer_version(snap, "REORG PURGE")
+        dvm = _dv_map(snap, sorted(snap.files))
+        if not dvm:
+            return {
+                "version": snap.version,
+                "files_rewritten": 0,
+                "files_added": 0,
+            }
+        rels = sorted(dvm)
+        survivors = _scan_files_dv(spark, path, snap, rels)
+        adds = _stage(
+            survivors.repartition(len(rels)),
+            path,
+            snap.partition_columns,
+            data_change=False,
+        )
+        now_ms = int(time.time() * 1000)
+        actions: list[dict] = [
+            {
+                "commitInfo": {
+                    "timestamp": now_ms,
+                    "operation": "REORG",
+                    "operationParameters": {"applyPurge": True},
+                    "engineInfo": "value_at_risk_spark.deltalog",
+                }
+            }
+        ]
+        actions.extend(
+            {
+                "remove": {
+                    "path": rel,
+                    "deletionTimestamp": now_ms,
+                    "dataChange": False,
+                    "partitionValues": snap.files[rel].get("partitionValues"),
+                    "deletionVector": dvm[rel],
+                }
+            }
+            for rel in rels
+        )
+        actions.extend(adds)
+        current = snapshot(path)
+        if current.version != snap.version or any(
+            _dv_uid(current.files.get(rel) or {}) != _dv_uid(snap.files[rel])
+            for rel in rels
+        ):
+            continue  # a racing DELETE touched our inputs; re-read
+        if _publish_commit(path, snap.version + 1, actions):
+            return {
+                "version": snap.version + 1,
+                "files_rewritten": len(rels),
+                "files_added": len(adds),
+            }
+    raise RuntimeError(f"purge_deletion_vectors: conflicted 16 times at {path}")
 
 
 def update_delta(
@@ -2174,7 +2783,7 @@ def update_delta(
                 "files_rewritten": 0,
                 "files_added": 0,
             }
-        base = _scan_files(spark, path, snap, touched)
+        base = _scan_files_dv(spark, path, snap, touched)
         cons = table_constraints(snap)
         rewritten = base.select(
             *[
