@@ -411,6 +411,39 @@ def scaled_delta_dml(spark, scaled: str) -> dict:
             ],
         )
         update_sec = round(time.time() - t0, 3)
+
+        # deletion-vector arm (round 11): the merge-on-read DELETEs on
+        # the SAME table — narrow (one key slice) and broad (a
+        # predicate matching rows in EVERY file). Both write bitmaps
+        # only; broad-vs-full_rewrite is the 100 TB payoff (a CoW
+        # broad delete is bounded below by the full rewrite)
+        from value_at_risk_spark.sources.deltalog import (
+            purge_deletion_vectors,
+            set_table_properties,
+        )
+
+        set_table_properties(tbl, {"delta.enableDeletionVectors": "true"})
+        t0 = time.time()
+        dv_n = delete_from_delta(
+            spark,
+            tbl,
+            f"o_orderkey >= {2 * step} AND o_orderkey < {2 * step + cut}",
+            stats_filters=[
+                ("o_orderkey", ">=", 2 * step),
+                ("o_orderkey", "<", 2 * step + cut),
+            ],
+        )
+        dv_narrow_sec = round(time.time() - t0, 3)
+        t0 = time.time()
+        dv_b = delete_from_delta(spark, tbl, "o_orderkey % 97 = 0")
+        dv_broad_sec = round(time.time() - t0, 3)
+        t0 = time.time()
+        dv_read_rows = read_delta(spark, tbl).count()
+        dv_read_sec = round(time.time() - t0, 3)
+        t0 = time.time()
+        pg = purge_deletion_vectors(spark, tbl)
+        purge_sec = round(time.time() - t0, 3)
+
         t0 = time.time()
         write_delta(spark, read_delta(spark, tbl), tbl, mode="overwrite")
         rewrite_sec = round(time.time() - t0, 3)
@@ -422,6 +455,15 @@ def scaled_delta_dml(spark, scaled: str) -> dict:
             "scaled10_delta_delete_rows": d["rows_deleted"],
             "scaled10_delta_update_sec": update_sec,
             "scaled10_delta_update_files_rewritten": u["files_rewritten"],
+            "scaled10_delta_dv_delete_narrow_sec": dv_narrow_sec,
+            "scaled10_delta_dv_delete_narrow_rows": dv_n["rows_deleted"],
+            "scaled10_delta_dv_delete_broad_sec": dv_broad_sec,
+            "scaled10_delta_dv_delete_broad_rows": dv_b["rows_deleted"],
+            "scaled10_delta_dv_delete_broad_files": dv_b["dv_files"],
+            "scaled10_delta_dv_read_sec": dv_read_sec,
+            "scaled10_delta_dv_read_rows": dv_read_rows,
+            "scaled10_delta_dv_purge_sec": purge_sec,
+            "scaled10_delta_dv_purge_files": pg["files_rewritten"],
             "scaled10_delta_full_rewrite_sec": rewrite_sec,
         }
     finally:

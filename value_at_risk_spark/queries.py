@@ -14193,6 +14193,119 @@ def delta_dml_time_travel(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+_DELTA_DV_SCRATCH: dict[str, str] = {}
+
+
+def _delta_dv_table(spark: SparkSession, sf_dir: str, purged: bool) -> str:
+    """Session-scoped DV-enabled native Delta table: v0 = even
+    orderkeys partitioned by o_orderstatus (delta.enableDeletionVectors
+    set at creation), v1 = append odd, v2 = merge-on-read DELETE
+    (o_totalprice < 50000: bitmaps committed, zero files rewritten),
+    v3 = second DV DELETE (o_orderpriority = '5-LOW': bitmap UNION on
+    already-DV'd files). The ``purged`` variant additionally runs
+    REORG APPLY (PURGE) to materialize every bitmap — same logical
+    rows, no descriptors left. Both mutations are pure functions of
+    the orders fixture, so DuckDB recomputes the final state from the
+    original parquet."""
+    key = f"dv:{purged}:{sf_dir}"
+    if key in _DELTA_DV_SCRATCH:
+        return _DELTA_DV_SCRATCH[key]
+    import atexit
+    import shutil
+    import tempfile
+
+    from value_at_risk_spark.sources.deltalog import (
+        delete_from_delta,
+        purge_deletion_vectors,
+        write_delta,
+    )
+
+    tbl = tempfile.mkdtemp(prefix="vars_delta_dv_")
+    shutil.rmtree(tbl, ignore_errors=True)
+    atexit.register(shutil.rmtree, tbl, ignore_errors=True)
+    orders = _t(spark, sf_dir, "orders").select(
+        "o_orderkey", "o_orderstatus", "o_orderpriority", "o_totalprice"
+    )
+    write_delta(
+        spark,
+        orders.filter(F.col("o_orderkey") % 2 == 0),
+        tbl,
+        partition_by=["o_orderstatus"],
+        configuration={"delta.enableDeletionVectors": "true"},
+    )
+    write_delta(spark, orders.filter(F.col("o_orderkey") % 2 == 1), tbl)
+    r1 = delete_from_delta(spark, tbl, "o_totalprice < 50000.0")
+    r2 = delete_from_delta(spark, tbl, "o_orderpriority = '5-LOW'")
+    # the point of the fixture: merge-on-read rewrote NOTHING
+    assert r1["files_rewritten"] == 0 and r2["files_rewritten"] == 0
+    if purged:
+        purge_deletion_vectors(spark, tbl)
+    _DELTA_DV_SCRATCH[key] = tbl
+    return tbl
+
+
+_DELTA_DV_ORACLE = """
+SELECT o_orderstatus,
+       COUNT(*) AS n_orders,
+       ROUND(SUM(o_totalprice), 2) AS total_price
+FROM orders
+WHERE NOT (o_totalprice < 50000.0)
+  AND NOT (o_orderpriority = '5-LOW')
+GROUP BY o_orderstatus
+"""
+
+
+@query("delta_dv_delete_scan", _DELTA_DV_ORACLE)
+def delta_dv_delete_scan(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Merge-on-read DELETE via deletion vectors, ORACLE-pinned: two
+    stacked DV DELETEs (the second unions bitmaps on already-DV'd
+    files) rewrite ZERO data files — the fixture asserts it — yet the
+    scan must equal DuckDB's recomputation of both predicates from
+    the original parquet. Hash equality proves the roaring row-index
+    bitmaps, the broadcast searchsorted mask, and the physical
+    row_index alignment drop exactly the deleted rows
+    (sources/dv.py; deltalog._delete_with_dv/_scan_files_dv). At
+    100 TB this is the difference between a small DELETE writing
+    kilobytes of bitmap and rewriting every touched gigabyte file."""
+    from value_at_risk_spark.sources.deltalog import read_delta
+
+    tbl = _delta_dv_table(spark, sf_dir, purged=False)
+    return (
+        read_delta(spark, tbl)
+        .groupBy("o_orderstatus")
+        .agg(
+            F.count(F.lit(1)).alias("n_orders"),
+            (F.round(F.sum("o_totalprice"), 2) + F.lit(0.0)).alias(
+                "total_price"
+            ),
+        )
+    )
+
+
+@query("delta_dv_purge_scan", _DELTA_DV_ORACLE)
+def delta_dv_purge_scan(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """REORG APPLY (PURGE) after DV DELETEs, ORACLE-pinned on its own
+    scratch table: materializing the bitmaps (rewrite ONLY the DV'd
+    files, dataChange:false) must preserve the logical row set
+    bit-for-bit — the same DuckDB twin as delta_dv_delete_scan, now
+    over a table with no descriptors left
+    (sources/deltalog.purge_deletion_vectors). The compaction step
+    that keeps merge-on-read from accreting bitmap debt."""
+    from value_at_risk_spark.sources.deltalog import read_delta
+
+    tbl = _delta_dv_table(spark, sf_dir, purged=True)
+    return (
+        read_delta(spark, tbl)
+        .groupBy("o_orderstatus")
+        .agg(
+            F.count(F.lit(1)).alias("n_orders"),
+            (F.round(F.sum("o_totalprice"), 2) + F.lit(0.0)).alias(
+                "total_price"
+            ),
+        )
+    )
+
+
 @query(
     "delta_datasource_scan",
     """

@@ -23,6 +23,8 @@ like delta-spark's path syntax:
   INSERT *`` — the upsert-star form (key-level update-or-insert);
 - ``OPTIMIZE delta.`/p` [ZORDER BY (c1, c2)]``;
 - ``VACUUM delta.`/p` [RETAIN n HOURS]``;
+- ``REORG [TABLE] delta.`/p` APPLY (PURGE)`` — materialize deletion
+  vectors;
 - ``RESTORE [TABLE] delta.`/p` TO VERSION AS OF n``;
 - ``DESCRIBE HISTORY delta.`/p``` — returned as a DataFrame;
 - ``ALTER TABLE delta.`/p` ADD CONSTRAINT name CHECK (expr)`` /
@@ -243,6 +245,19 @@ def delta_sql(spark: SparkSession, stmt: str):
         return dl.vacuum_delta(
             _one_path(s, "VACUUM"), retention_seconds=retention
         )
+
+    if head == "REORG":
+        m = re.match(
+            r"REORG\s+(?:TABLE\s+)?delta\.`[^`]+`\s+"
+            r"APPLY\s+\(\s*PURGE\s*\)$",
+            s,
+            re.IGNORECASE,
+        )
+        if not m:
+            raise ValueError(
+                f"delta_sql: unsupported REORG shape: {stmt!r}"
+            )
+        return dl.purge_deletion_vectors(spark, _one_path(s, "REORG"))
 
     if head == "RESTORE":
         m = re.match(

@@ -762,26 +762,30 @@ def _dv_keep_filter(
 
     from value_at_risk_spark.sources import dv as dvmod
 
-    by_name: dict[str, "object"] = {}
+    # keyed by normalized ABSOLUTE path — partitioned writes reuse one
+    # basename across partition dirs, so basenames are not unique here
+    by_path: dict[str, "object"] = {}
     for rel, desc in dvm.items():
-        bn = os.path.basename(unquote(rel))
-        if bn in by_name:
-            raise ValueError(
-                "deletion-vector scan: colliding data-file basenames "
-                f"({bn}) — cannot key bitmaps by file"
-            )
-        by_name[bn] = dvmod.read_dv(path, desc)
-    b = spark.sparkContext.broadcast(by_name)
+        by_path[
+            os.path.normpath(os.path.join(path, unquote(rel)))
+        ] = dvmod.read_dv(path, desc)
+    b = spark.sparkContext.broadcast(by_path)
 
     @pandas_udf("boolean")
     def _dv_keep(fp: pd.Series, ri: pd.Series) -> pd.Series:
         import numpy as np
+        from urllib.parse import unquote as _uq
 
         m = b.value
         n = len(fp)
         out = np.ones(n, dtype=bool)
         if n:
-            names = np.asarray([s.rsplit("/", 1)[-1] for s in fp])
+            def _norm(s: str) -> str:
+                if s.startswith("file:"):
+                    s = "/" + s[len("file:"):].lstrip("/")
+                return os.path.normpath(_uq(s))
+
+            names = np.asarray([_norm(s) for s in fp])
             riv = ri.to_numpy().astype(np.uint64)
             for name in np.unique(names):
                 deleted = m.get(name)
