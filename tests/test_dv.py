@@ -254,8 +254,8 @@ def test_cow_dml_over_dv_files_does_not_resurrect(spark, tmp_path):
     tbl, _ = _mk(spark, tmp_path)
     delete_from_delta(spark, tbl, "g = 3")
     # copy-on-write UPDATE of a DV'd file must carry the mask through
-    r = update_delta(spark, tbl, "id = 501", {"v": "v + 1"})
-    assert r["rows_updated"] == 1
+    r = update_delta(spark, tbl, "id = 501", {"v": "v + 1"}, use_dv=False)
+    assert r["rows_updated"] == 1 and r["files_rewritten"] == 1
     out = read_delta(spark, tbl)
     assert out.count() == 857
     assert out.filter("id = 501").first().v == 1003
@@ -265,6 +265,72 @@ def test_cow_dml_over_dv_files_does_not_resurrect(spark, tmp_path):
     r2 = delete_from_delta(spark, tbl, "id < 14", use_dv=False)
     assert r2["rows_deleted"] == 12  # ids 3 and 10 were g=3, already gone
     assert read_delta(spark, tbl).count() == 857 - 12
+
+
+def test_dv_update_merge_on_read(spark, tmp_path):
+    """UPDATE under deletion vectors: matched rows are masked out of
+    their files (zero rewrites) and the updated rows append as new
+    files — including across a partition-column SET, since the moved
+    rows are simply new files in their new Hive dirs."""
+    tbl, df = _mk(spark, tmp_path)
+    r = update_delta(spark, tbl, "g = 2", {"v": "v + 1000000"})
+    assert r["files_rewritten"] == 0 and r["rows_updated"] == 143
+    assert r["files_added"] >= 1 and r["dv_files"] == 4
+    out = read_delta(spark, tbl)
+    assert out.count() == 1000  # updates never change cardinality
+    got = _rows(out.groupBy("g").agg(F.sum("v")))
+    want = _rows(
+        df.withColumn(
+            "v",
+            F.when(F.col("g") == 2, F.col("v") + 1000000).otherwise(
+                F.col("v")
+            ),
+        )
+        .groupBy("g")
+        .agg(F.sum("v"))
+    )
+    assert got == want
+    # second DV UPDATE touching both DV'd old files and the new ones
+    r2 = update_delta(spark, tbl, "id < 20", {"v": "0"})
+    assert r2["files_rewritten"] == 0 and r2["rows_updated"] == 20
+    out2 = read_delta(spark, tbl)
+    assert out2.count() == 1000
+    assert out2.filter("id < 20 and v != 0").count() == 0
+    # time travel reaches the pre-update state
+    assert read_delta(spark, tbl, version=1).filter(
+        "g = 2 and v >= 1000000"
+    ).count() == 143
+
+
+def test_dv_update_partition_move_and_cdf(spark, tmp_path):
+    tbl = str(tmp_path / "pm")
+    write_delta(
+        spark,
+        spark.range(0, 300).select(
+            "id", (F.col("id") % 3).alias("p"), (F.col("id") * 2).alias("v")
+        ),
+        tbl,
+        partition_by=["p"],
+        configuration={
+            "delta.enableDeletionVectors": "true",
+            "delta.enableChangeDataFeed": "true",
+        },
+    )
+    r = update_delta(spark, tbl, "id < 30 AND p = 1", {"p": "2"})
+    assert r["files_rewritten"] == 0 and r["rows_updated"] == 10
+    out = read_delta(spark, tbl)
+    assert out.count() == 300
+    assert out.filter("p = 2").count() == 110
+    ch = table_changes(spark, tbl, 1, 1)
+    from collections import Counter
+
+    cnt = Counter(x["_change_type"] for x in ch.collect())
+    assert cnt == {"update_preimage": 10, "update_postimage": 10}
+    # postimages carry the new partition value
+    assert all(
+        x["p"] == 2
+        for x in ch.filter("_change_type = 'update_postimage'").collect()
+    )
 
 
 def test_purge_and_optimize_materialize(spark, tmp_path):
