@@ -2433,6 +2433,8 @@ def test_table_features_protocol_v3_v7(spark, tmp_path):
     assert table_constraints(snap2) == {"nonneg": "id >= 0"}
 
     # unsupported WRITER feature: mutations refuse, reads still fine
+    # (identityColumns joined the SUPPORTED set in round 11 —
+    # rowTracking stands in as a feature this writer does not have)
     v = snap2.version
     _publish_commit(
         tbl,
@@ -2444,13 +2446,13 @@ def test_table_features_protocol_v3_v7(spark, tmp_path):
                     "minReaderVersion": 3,
                     "minWriterVersion": 7,
                     "readerFeatures": ["timestampNtz"],
-                    "writerFeatures": ["identityColumns"],
+                    "writerFeatures": ["rowTracking"],
                 }
             },
         ],
     )
     assert read_delta(spark, tbl).count() == 6
-    with pytest.raises(NotImplementedError, match="identityColumns"):
+    with pytest.raises(NotImplementedError, match="rowTracking"):
         write_delta(spark, spark.range(1).select("id"), tbl)
 
     # unsupported READER feature: even the snapshot refuses
@@ -2504,3 +2506,126 @@ def test_checkpoint_interval_auto_checkpoints(spark, tmp_path):
     for lo in range(0, 8, 2):
         write_delta(spark, spark.range(lo, lo + 2).select("id"), tbl2)
     assert _checkpoint_versions(tbl2) == []
+
+
+def test_identity_columns_lifecycle(spark, tmp_path):
+    """Identity columns (protocol writer feature 6): distributed
+    generation on the (start + k*step) grid, uniqueness across
+    appends via the high-water mark advancing IN the add commit,
+    GENERATED ALWAYS refusal of explicit appends, allowExplicitInsert
+    + SYNC IDENTITY, UPDATE SET refusal, staged-write refusal, and
+    wv6 protocol shape."""
+    from value_at_risk_spark.sources.deltalog import (
+        commit_staged_adds,
+        sync_identity,
+        table_identity_columns,
+        update_delta,
+    )
+
+    tbl = str(tmp_path / "idt")
+    df = spark.range(0, 500).select(
+        (F.col("id") % 5).alias("g"), (F.col("id") * 2).alias("v")
+    )
+    write_delta(
+        spark, df, tbl,
+        identity_columns={"rid": {"start": 100, "step": 3}},
+    )
+    snap = snapshot(tbl)
+    assert snap.protocol["minWriterVersion"] == 6
+    spec = table_identity_columns(snap)["rid"]
+    assert spec["start"] == 100 and spec["step"] == 3
+    hwm1 = spec["high_water_mark"]
+    assert hwm1 is not None
+    out = read_delta(spark, tbl)
+    rids = [r.rid for r in out.select("rid").collect()]
+    assert len(set(rids)) == 500  # unique
+    assert all(r >= 100 and (r - 100) % 3 == 0 for r in rids)  # on grid
+    assert max(rids) == hwm1  # the mark is the actual extreme
+
+    # second append starts beyond the mark — no overlap, mark advances
+    write_delta(spark, df, tbl)
+    out2 = read_delta(spark, tbl)
+    rids2 = [r.rid for r in out2.select("rid").collect()]
+    assert len(set(rids2)) == 1000
+    spec2 = table_identity_columns(snapshot(tbl))["rid"]
+    assert spec2["high_water_mark"] > hwm1
+
+    # GENERATED ALWAYS: explicit append refused; staged writes refused
+    with pytest.raises(ValueError, match="GENERATED"):
+        write_delta(
+            spark,
+            spark.createDataFrame([(0, 0, 1)], "g long, v long, rid long"),
+            tbl,
+        )
+    with pytest.raises(ValueError, match="identity"):
+        commit_staged_adds(tbl, [], out2.schema)
+    # UPDATE must not touch the identity column (either DML mode)
+    with pytest.raises(ValueError, match="identity"):
+        update_delta(spark, tbl, "g = 0", {"rid": "0"})
+    # but other columns update fine, values survive the rewrite
+    update_delta(spark, tbl, "g = 0", {"v": "v + 1"})
+    assert read_delta(spark, tbl).select("rid").distinct().count() == 1000
+
+    # allowExplicitInsert table: explicit values land, mark unmoved
+    # until SYNC IDENTITY recomputes it
+    tbl2 = str(tmp_path / "idt2")
+    write_delta(
+        spark,
+        spark.range(3).select(F.col("id").alias("g")),
+        tbl2,
+        identity_columns={
+            "rid": {"start": 1, "step": 1, "allow_explicit": True}
+        },
+    )
+    before = table_identity_columns(snapshot(tbl2))["rid"][
+        "high_water_mark"
+    ]
+    explicit = before + 500000  # beyond anything generated so far
+    write_delta(
+        spark,
+        spark.createDataFrame(
+            [(99, explicit)], "g long, rid long"
+        ),
+        tbl2,
+    )
+    assert (
+        table_identity_columns(snapshot(tbl2))["rid"]["high_water_mark"]
+        == before
+    )
+    got = sync_identity(spark, tbl2)
+    assert got == {"rid": explicit}
+    # generation resumes beyond the synced mark
+    write_delta(spark, spark.range(2).select(F.col("id").alias("g")), tbl2)
+    rids3 = [
+        r.rid for r in read_delta(spark, tbl2).select("rid").collect()
+    ]
+    assert len(set(rids3)) == 6 and max(rids3) > explicit
+
+
+def test_identity_sync_sql_and_checkpoint_durability(spark, tmp_path):
+    from value_at_risk_spark.sources.delta_sql import delta_sql
+    from value_at_risk_spark.sources.deltalog import (
+        checkpoint_delta,
+        cleanup_delta_log,
+        table_identity_columns,
+    )
+
+    tbl = str(tmp_path / "ids")
+    write_delta(
+        spark,
+        spark.range(10).select(F.col("id").alias("g")),
+        tbl,
+        identity_columns={
+            "rid": {"start": 1, "step": 2, "allow_explicit": True}
+        },
+    )
+    r = delta_sql(spark, f"ALTER TABLE delta.`{tbl}` SYNC IDENTITY")
+    assert r["rid"] >= 1
+    checkpoint_delta(tbl)
+    cleanup_delta_log(tbl)
+    spec = table_identity_columns(snapshot(tbl))["rid"]
+    assert spec["step"] == 2 and spec["high_water_mark"] == r["rid"]
+    write_delta(spark, spark.range(5).select(F.col("id").alias("g")), tbl)
+    rids = [r2.rid for r2 in read_delta(spark, tbl).select("rid").collect()]
+    assert len(set(rids)) == 15
+    assert all((x - 1) % 2 == 0 for x in rids)

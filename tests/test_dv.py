@@ -267,6 +267,20 @@ def test_cow_dml_over_dv_files_does_not_resurrect(spark, tmp_path):
     assert read_delta(spark, tbl).count() == 857 - 12
 
 
+def test_dv_filter_both_plans_agree(spark, tmp_path, monkeypatch):
+    """The DV mask has two plans — broadcast anti-join (small deleted
+    counts, whole-stage codegen) and broadcast-bitmap Arrow UDF (the
+    scale path). Force each and pin identical output."""
+    from value_at_risk_spark.sources import deltalog as dl
+
+    tbl, _ = _mk(spark, tmp_path)
+    delete_from_delta(spark, tbl, "g = 3")
+    anti = _rows(read_delta(spark, tbl))
+    monkeypatch.setattr(dl, "_DV_ANTI_JOIN_MAX_ROWS", 0)
+    udf = _rows(read_delta(spark, tbl))
+    assert anti == udf and len(anti) == 857
+
+
 def test_dv_update_merge_on_read(spark, tmp_path):
     """UPDATE under deletion vectors: matched rows are masked out of
     their files (zero rewrites) and the updated rows append as new

@@ -205,6 +205,74 @@ def main() -> None:
     finally:
         shutil.rmtree(tbl3, ignore_errors=True)
 
+    # deletion-vector arm (round 11): the SAME 20-commit clustered
+    # table with delta.enableDeletionVectors, the SAME narrow/broad
+    # predicates — merge-on-read writes bitmaps + (for UPDATE) the
+    # matched rows only, so narrow DML drops the restage cost and
+    # BROAD delete escapes the full-rewrite lower bound entirely.
+    # Then the read-side price (mask application on a full scan) and
+    # the purge that clears the debt.
+    tbl4 = tempfile.mkdtemp(prefix="perf_dml_dv_")
+    shutil.rmtree(tbl4, ignore_errors=True)
+    try:
+        from value_at_risk_spark.sources.deltalog import (
+            purge_deletion_vectors,
+        )
+
+        lo, hi = 0, REPS * 10_000_000
+        step = (hi - lo) // COMMITS
+        for c in range(COMMITS):
+            write_delta(
+                spark,
+                big.filter(
+                    (F.col("k") >= lo + c * step)
+                    & (
+                        F.col("k")
+                        < (hi if c == COMMITS - 1 else lo + (c + 1) * step)
+                    )
+                ),
+                tbl4,
+                configuration=(
+                    {"delta.enableDeletionVectors": "true"}
+                    if c == 0
+                    else None
+                ),
+            )
+        t0 = time.perf_counter()
+        r = delete_from_delta(
+            spark, tbl4, "k < 30000", stats_filters=[("k", "<", 30000)]
+        )
+        out["dv_delete_narrow_sec"] = round(time.perf_counter() - t0, 3)
+        out["dv_delete_narrow"] = r
+        t0 = time.perf_counter()
+        r = update_delta(
+            spark,
+            tbl4,
+            "k >= 10000000 AND k < 10030000",
+            {"l_quantity": "l_quantity + 1"},
+            stats_filters=[("k", ">=", 10000000), ("k", "<", 10030000)],
+        )
+        out["dv_update_narrow_sec"] = round(time.perf_counter() - t0, 3)
+        out["dv_update_narrow"] = r
+        t0 = time.perf_counter()
+        r = delete_from_delta(spark, tbl4, "k % 97 = 0")
+        out["dv_delete_broad_sec"] = round(time.perf_counter() - t0, 3)
+        out["dv_delete_broad"] = r
+        t0 = time.perf_counter()
+        out["dv_read_rows"] = read_delta(spark, tbl4).count()
+        out["dv_read_sec"] = round(time.perf_counter() - t0, 3)
+        t0 = time.perf_counter()
+        out["dv_ds_read_rows"] = (
+            spark.read.format("deltalog").load(tbl4).count()
+        )
+        out["dv_ds_read_sec"] = round(time.perf_counter() - t0, 3)
+        t0 = time.perf_counter()
+        r = purge_deletion_vectors(spark, tbl4)
+        out["dv_purge_sec"] = round(time.perf_counter() - t0, 3)
+        out["dv_purge_files"] = r["files_rewritten"]
+    finally:
+        shutil.rmtree(tbl4, ignore_errors=True)
+
     # DS write parity on the same rows (fresh table, single commit)
     tbl2 = tempfile.mkdtemp(prefix="perf_dsw_")
     shutil.rmtree(tbl2, ignore_errors=True)

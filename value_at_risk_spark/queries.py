@@ -14306,6 +14306,66 @@ def delta_dv_purge_scan(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+_DELTA_IDENTITY_SCRATCH: dict[str, str] = {}
+
+
+@query(
+    "delta_identity_scan",
+    """
+SELECT 2 * COUNT(*) AS n_rows,
+       2 * COUNT(*) AS n_ids,
+       CAST(0 AS BIGINT) AS off_grid
+FROM orders
+""",
+)
+def delta_identity_scan(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Identity columns (protocol writer feature 6), ORACLE-pinned on
+    the INVARIANTS (the generated values themselves are
+    partition-layout-dependent, so the contract is what the protocol
+    guarantees): after two appends to a GENERATED ALWAYS AS IDENTITY
+    (START WITH 100 STEP 3) table, every row has a rid, all rids are
+    UNIQUE across both appends (the high-water mark advanced in the
+    first commit), and every rid sits on the start + k*step grid —
+    n_ids equals the row count and off_grid is zero
+    (sources/deltalog.table_identity_columns/_generate_identity)."""
+    from value_at_risk_spark.sources.deltalog import (
+        read_delta,
+        write_delta,
+    )
+
+    key = f"identity:{sf_dir}"
+    tbl = _DELTA_IDENTITY_SCRATCH.get(key)
+    if tbl is None:
+        import atexit
+        import shutil
+        import tempfile
+
+        tbl = tempfile.mkdtemp(prefix="vars_delta_id_")
+        shutil.rmtree(tbl, ignore_errors=True)
+        atexit.register(shutil.rmtree, tbl, ignore_errors=True)
+        orders = _t(spark, sf_dir, "orders").select(
+            "o_orderkey", "o_orderstatus", "o_totalprice"
+        )
+        write_delta(
+            spark,
+            orders,
+            tbl,
+            identity_columns={"rid": {"start": 100, "step": 3}},
+        )
+        write_delta(spark, orders, tbl)
+        _DELTA_IDENTITY_SCRATCH[key] = tbl
+    return read_delta(spark, tbl).agg(
+        F.count(F.lit(1)).alias("n_rows"),
+        F.countDistinct("rid").alias("n_ids"),
+        F.sum(
+            F.when(
+                (F.col("rid") < 100) | ((F.col("rid") - 100) % 3 != 0),
+                F.lit(1),
+            ).otherwise(F.lit(0))
+        ).cast("bigint").alias("off_grid"),
+    )
+
+
 @query(
     "delta_datasource_scan",
     """

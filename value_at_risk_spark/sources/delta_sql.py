@@ -316,6 +316,13 @@ def delta_sql(spark: SparkSession, stmt: str):
                 spark, _one_path(s, "ALTER"), m.group(1)
             )
         m = re.match(
+            r"ALTER\s+TABLE\s+delta\.`[^`]+`\s+SYNC\s+IDENTITY$",
+            s,
+            re.IGNORECASE,
+        )
+        if m:
+            return dl.sync_identity(spark, _one_path(s, "ALTER"))
+        m = re.match(
             r"ALTER\s+TABLE\s+delta\.`[^`]+`\s+SET\s+TBLPROPERTIES\s*"
             r"\((.+)\)$",
             s,
