@@ -2629,3 +2629,82 @@ def test_identity_sync_sql_and_checkpoint_durability(spark, tmp_path):
     rids = [r2.rid for r2 in read_delta(spark, tbl).select("rid").collect()]
     assert len(set(rids)) == 15
     assert all((x - 1) % 2 == 0 for x in rids)
+
+
+def test_in_commit_timestamps(spark, tmp_path):
+    """inCommitTimestamp (writer feature, no legacy version): stamped
+    monotonically in every commit of an enabled table by the
+    _publish_commit choke point, authoritative for TIMESTAMP AS OF
+    (file mtimes deliberately falsified), mid-life enablement records
+    provenance + upgrades to a writer-v7 feature table WITHOUT
+    raising the reader version, and stamping survives a
+    checkpoint-cleaned predecessor."""
+    import json as _json
+
+    from value_at_risk_spark.sources.deltalog import (
+        _commit_path,
+        _json_versions,
+        checkpoint_delta,
+        cleanup_delta_log,
+        delete_from_delta,
+        delta_history,
+        set_table_properties,
+        version_at_timestamp,
+    )
+
+    def _ict(tbl, v):
+        with open(_commit_path(tbl, v)) as fh:
+            for line in fh:
+                ci = _json.loads(line).get("commitInfo")
+                if ci is not None:
+                    return ci.get("inCommitTimestamp")
+
+    t = str(tmp_path / "ict")
+    write_delta(
+        spark,
+        spark.range(5).select("id"),
+        t,
+        configuration={"delta.enableInCommitTimestamps": "true"},
+    )
+    p = snapshot(t).protocol
+    assert p["minWriterVersion"] == 7
+    assert "inCommitTimestamp" in p["writerFeatures"]
+    # a writer-only feature must not raise the reader bar
+    assert p["minReaderVersion"] == 1 and "readerFeatures" not in p
+    for _ in range(4):
+        write_delta(spark, spark.range(5).select("id"), t)
+    icts = [_ict(t, v) for v in _json_versions(t)]
+    assert all(x is not None for x in icts)
+    assert all(b > a for a, b in zip(icts, icts[1:]))
+    # the ICT is the clock: falsify every commit file's mtime
+    for v in _json_versions(t):
+        os.utime(_commit_path(t, v), (0, 0))
+    # target HALF A MILLISECOND past the commit: ict/1000.0 alone can
+    # round below the true millisecond in float64 and resolve one
+    # version early; +0.5 ms stays strictly before the next commit
+    # (monotonicity guarantees >= +1 ms spacing)
+    assert version_at_timestamp(t, (icts[3] + 0.5) / 1000.0) == 3
+    assert read_delta(
+        spark, t, timestamp=(icts[2] + 0.5) / 1000.0
+    ).count() == 15
+
+    # mid-life enablement: provenance + protocol, then stamping holds
+    # across DML and a checkpoint-cleaned predecessor
+    t2 = str(tmp_path / "ict2")
+    write_delta(spark, spark.range(3).select("id"), t2)
+    write_delta(spark, spark.range(3).select("id"), t2)
+    set_table_properties(t2, {"delta.enableInCommitTimestamps": "true"})
+    cfg = snapshot(t2).metadata["configuration"]
+    assert cfg["delta.inCommitTimestampEnablementVersion"] == "2"
+    ev = int(cfg["delta.inCommitTimestampEnablementTimestamp"])
+    assert _ict(t2, 2) == ev
+    p2 = snapshot(t2).protocol
+    assert "inCommitTimestamp" in p2["writerFeatures"]
+    assert "appendOnly" in p2["writerFeatures"]  # legacy implied kept
+    delete_from_delta(spark, t2, "id = 0")
+    checkpoint_delta(t2)
+    cleanup_delta_log(t2)
+    write_delta(spark, spark.range(2).select("id"), t2)
+    tip = _json_versions(t2)[-1]
+    assert _ict(t2, tip) > ev
+    assert any("inCommitTimestamp" in h for h in delta_history(t2))

@@ -14306,6 +14306,78 @@ def delta_dv_purge_scan(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+@query(
+    "delta_ict_timestamp_travel",
+    """
+SELECT o_orderstatus,
+       COUNT(*) AS n_orders,
+       ROUND(SUM(o_totalprice), 2) AS total_price
+FROM orders
+WHERE o_orderkey % 2 = 0
+GROUP BY o_orderstatus
+""",
+)
+def delta_ict_timestamp_travel(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """In-commit timestamps (writer feature), ORACLE-pinned: on a
+    table created with ``delta.enableInCommitTimestamps``, TIMESTAMP
+    AS OF the FIRST commit's own inCommitTimestamp — read from the
+    log, with every commit file's mtime deliberately falsified to
+    epoch 0 — must reconstruct exactly the even-orderkey half that
+    commit wrote. Proves the monotonic log-internal clock, not the
+    filesystem, resolves time travel
+    (sources/deltalog._publish_commit/_next_ict/version_at_timestamp)."""
+    import atexit
+    import json as _json
+    import shutil
+    import tempfile
+
+    from value_at_risk_spark.sources.deltalog import (
+        _commit_path,
+        read_delta,
+        write_delta,
+    )
+
+    key = f"ict:{sf_dir}"
+    tbl = _DELTA_DML_SCRATCH.get(key)
+    if tbl is None:
+        tbl = tempfile.mkdtemp(prefix="vars_delta_ict_")
+        shutil.rmtree(tbl, ignore_errors=True)
+        atexit.register(shutil.rmtree, tbl, ignore_errors=True)
+        orders = _t(spark, sf_dir, "orders").select(
+            "o_orderkey", "o_orderstatus", "o_totalprice"
+        )
+        write_delta(
+            spark,
+            orders.filter(F.col("o_orderkey") % 2 == 0),
+            tbl,
+            configuration={"delta.enableInCommitTimestamps": "true"},
+        )
+        write_delta(spark, orders.filter(F.col("o_orderkey") % 2 == 1), tbl)
+        import os as _os
+
+        for v in (0, 1):
+            _os.utime(_commit_path(tbl, v), (0, 0))
+        _DELTA_DML_SCRATCH[key] = tbl
+    with open(_commit_path(tbl, 0)) as fh:
+        ict0 = next(
+            _json.loads(line)["commitInfo"]["inCommitTimestamp"]
+            for line in fh
+            if '"commitInfo"' in line
+        )
+    # +0.5 ms: epoch-seconds floats can round below the true
+    # millisecond; the next commit is >= 1 ms away by monotonicity
+    return (
+        read_delta(spark, tbl, timestamp=(ict0 + 0.5) / 1000.0)
+        .groupBy("o_orderstatus")
+        .agg(
+            F.count(F.lit(1)).alias("n_orders"),
+            (F.round(F.sum("o_totalprice"), 2) + F.lit(0.0)).alias(
+                "total_price"
+            ),
+        )
+    )
+
+
 _DELTA_IDENTITY_SCRATCH: dict[str, str] = {}
 
 

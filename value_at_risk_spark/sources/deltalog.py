@@ -280,6 +280,7 @@ _SUPPORTED_WRITER_FEATURES = frozenset(
         "timestampNtz",
         "deletionVectors",
         "identityColumns",
+        "inCommitTimestamp",
     }
 )
 
@@ -885,11 +886,109 @@ def _parse_partition_values(rel_path: str) -> dict:
     return vals
 
 
+def _prev_commit_ict(path: str, prev_version: int) -> int | None:
+    """The previous commit's inCommitTimestamp (reads ONE commit
+    JSON). None when the commit predates enablement, carries no ICT,
+    or was cleaned — the caller floors on the checkpoint mtime then."""
+    if prev_version < 0:
+        return None
+    try:
+        with open(_commit_path(path, prev_version)) as fh:
+            for line in fh:
+                if not line.strip():
+                    continue
+                ci = json.loads(line).get("commitInfo")
+                if ci is not None:
+                    v = ci.get("inCommitTimestamp")
+                    return int(v) if v is not None else None
+    except OSError:
+        return None
+    return None
+
+
+def _next_ict(path: str, version: int) -> int:
+    """The in-commit timestamp for ``version``: wall clock, floored
+    STRICTLY above the previous commit's ICT (the protocol's
+    monotonicity rule — a clock that went backwards must not produce
+    a time-travel ordering violation). A cleaned predecessor floors
+    on the newest checkpoint's mtime instead."""
+    now_ms = int(time.time() * 1000)
+    prev = _prev_commit_ict(path, version - 1)
+    if prev is None and version > 0:
+        cp = _latest_checkpoint(path, version - 1)
+        if cp is not None:
+            try:
+                prev = int(
+                    os.stat(_checkpoint_path(path, cp)).st_mtime * 1000
+                )
+            except OSError:
+                prev = None
+    return max(now_ms, prev + 1 if prev is not None else 0)
+
+
+# (path -> (last published version, ICT enabled)) — valid only while
+# this process publishes CONSECUTIVE versions; any interleaved foreign
+# commit breaks the version chain and forces a re-snapshot, so a
+# property change by another writer is never missed
+_ICT_CACHE: dict[str, tuple[int, bool]] = {}
+
+
+def _ict_enabled_for_commit(path: str, version: int, actions) -> bool:
+    """Whether THIS commit must carry an inCommitTimestamp: the
+    commit's own metaData action is authoritative (the enablement
+    commit itself is stamped, per spec); otherwise the table's
+    current configuration decides (cached per consecutive publish so
+    the common non-ICT table pays no extra log replay)."""
+    for a in actions:
+        m = a.get("metaData")
+        if m is not None:
+            return _truthy(
+                (m.get("configuration") or {}).get(
+                    "delta.enableInCommitTimestamps"
+                )
+            )
+    if version == 0:
+        return False
+    cached = _ICT_CACHE.get(os.path.normpath(path))
+    if cached is not None and cached[0] == version - 1:
+        return cached[1]
+    try:
+        snap = snapshot(path)
+    except (FileNotFoundError, ValueError):
+        return False
+    return _truthy(
+        (snap.metadata.get("configuration") or {}).get(
+            "delta.enableInCommitTimestamps"
+        )
+    )
+
+
 def _publish_commit(path: str, version: int, actions: list[dict]) -> bool:
     """Atomically publish a commit: write a temp file, hard-link it to
     the versioned name (fails if a concurrent writer already owns the
     version — the protocol's optimistic concurrency), unlink the temp.
-    Returns False on version conflict."""
+    Returns False on version conflict. Tables with
+    ``delta.enableInCommitTimestamps`` get their monotonic
+    ``commitInfo.inCommitTimestamp`` stamped here — the one choke
+    point every commit kind passes through."""
+    enabled = _ict_enabled_for_commit(path, version, actions)
+    if enabled:
+        ict = _next_ict(path, version)
+        stamped = False
+        for a in actions:
+            ci = a.get("commitInfo")
+            if ci is not None:
+                # an explicitly pre-set value (enablement provenance)
+                # is honored but still floored monotonic
+                ci["inCommitTimestamp"] = max(
+                    int(ci.get("inCommitTimestamp") or 0), ict
+                )
+                stamped = True
+                break
+        if not stamped:
+            actions = [
+                {"commitInfo": {"timestamp": ict, "inCommitTimestamp": ict}}
+            ] + list(actions)
     log = _log_dir(path)
     os.makedirs(log, exist_ok=True)
     tmp = os.path.join(log, f".tmp.{os.getpid()}.{uuid.uuid4().hex[:8]}")
@@ -900,6 +999,9 @@ def _publish_commit(path: str, version: int, actions: list[dict]) -> bool:
         os.fsync(fh.fileno())
     try:
         os.link(tmp, _commit_path(path, version))
+        # cache the published state only on SUCCESS — a conflicting
+        # foreign commit may have changed the property
+        _ICT_CACHE[os.path.normpath(path)] = (version, enabled)
         _maybe_auto_checkpoint(path, version)
         return True
     except FileExistsError:
@@ -1377,6 +1479,32 @@ def set_table_properties(path: str, props: dict[str, str]) -> int:
             },
             {"metaData": meta},
         ]
+        if _truthy(
+            cfg.get("delta.enableInCommitTimestamps")
+        ) and not _truthy(
+            (snap.metadata.get("configuration") or {}).get(
+                "delta.enableInCommitTimestamps"
+            )
+        ):
+            # spec: enabling ICT mid-life records WHERE the clock
+            # switches — timestamp queries at or before the
+            # enablement version keep using commit-file semantics
+            ict = _next_ict(path, snap.version + 1)
+            cfg["delta.inCommitTimestampEnablementVersion"] = str(
+                snap.version + 1
+            )
+            cfg["delta.inCommitTimestampEnablementTimestamp"] = str(ict)
+            meta = {**snap.metadata, "configuration": cfg}
+            actions[0]["commitInfo"]["inCommitTimestamp"] = ict
+            actions[1] = {"metaData": meta}
+            if "inCommitTimestamp" not in (
+                snap.protocol.get("writerFeatures") or []
+            ):
+                actions.append(
+                    _upgrade_protocol_features(
+                        snap, (), ("inCommitTimestamp",)
+                    )
+                )
         wv = int(snap.protocol.get("minWriterVersion", 2) or 2)
         if _truthy(cfg.get("delta.enableChangeDataFeed")) and (
             wv < 4
@@ -1709,14 +1837,37 @@ def commit_staged_adds(
         if new_metadata is not None:
             actions.append({"metaData": new_metadata})
         if version == 0:
-            actions.append(
-                {
-                    "protocol": {
+            if _truthy(
+                dict(configuration or {}).get(
+                    "delta.enableInCommitTimestamps"
+                )
+            ):
+                # inCommitTimestamp has no legacy writer version — the
+                # table is born as a feature table (writer v7) with
+                # the legacy features its min_writer_version implies
+                fake = DeltaSnapshot(
+                    version=-1,
+                    metadata={},
+                    protocol={
                         "minReaderVersion": 1,
                         "minWriterVersion": max(2, min_writer_version),
+                    },
+                    files={},
+                )
+                actions.append(
+                    _upgrade_protocol_features(
+                        fake, (), ("inCommitTimestamp",)
+                    )
+                )
+            else:
+                actions.append(
+                    {
+                        "protocol": {
+                            "minReaderVersion": 1,
+                            "minWriterVersion": max(2, min_writer_version),
+                        }
                     }
-                }
-            )
+                )
             actions.append(
                 {
                     "metaData": {
@@ -2316,7 +2467,10 @@ def _change_plan(
                 if a.get("metaData") is not None:
                     cfg = dict(a["metaData"].get("configuration") or {})
                 if a.get("commitInfo") is not None:
-                    ts_ms = a["commitInfo"].get("timestamp", ts_ms)
+                    ci = a["commitInfo"]
+                    ts_ms = ci.get(
+                        "inCommitTimestamp", ci.get("timestamp", ts_ms)
+                    )
                 if a.get("cdc") is not None:
                     cdc_files.append((a["cdc"]["path"], _pv(a["cdc"])))
                 add = a.get("add")
@@ -2492,7 +2646,11 @@ def version_at_timestamp(path: str, ts) -> int:
                         continue
                     ci = json.loads(line).get("commitInfo")
                     if ci is not None:
-                        ts_ms = ci.get("timestamp")
+                        # in-commit timestamps are the authoritative
+                        # clock when present (monotonic by protocol)
+                        ts_ms = ci.get(
+                            "inCommitTimestamp", ci.get("timestamp")
+                        )
                         break
             if ts_ms is None:
                 ts_ms = int(os.stat(_commit_path(path, v)).st_mtime * 1000)
@@ -2800,14 +2958,15 @@ def _upgrade_protocol_features(
                 wfeats.update(fs)
     rfeats.update(reader_feats)
     wfeats.update(writer_feats)
-    return {
-        "protocol": {
-            "minReaderVersion": 3,
-            "minWriterVersion": 7,
-            "readerFeatures": sorted(rfeats),
-            "writerFeatures": sorted(wfeats),
-        }
-    }
+    p_out: dict = {"minWriterVersion": 7, "writerFeatures": sorted(wfeats)}
+    if reader_feats or rv >= 3:
+        p_out["minReaderVersion"] = 3
+        p_out["readerFeatures"] = sorted(rfeats)
+    else:
+        # a writer-only feature (inCommitTimestamp) must not force
+        # readers to understand anything new
+        p_out["minReaderVersion"] = rv
+    return {"protocol": p_out}
 
 
 def _has_dv_feature(snap: DeltaSnapshot) -> bool:
