@@ -2708,3 +2708,76 @@ def test_in_commit_timestamps(spark, tmp_path):
     tip = _json_versions(t2)[-1]
     assert _ict(t2, tip) > ev
     assert any("inCommitTimestamp" in h for h in delta_history(t2))
+
+
+def test_multipart_checkpoint(spark, tmp_path):
+    """Multi-part classic checkpoints: past max_rows_per_part the
+    checkpoint splits into <v>.checkpoint.<part>.<numParts>.parquet;
+    only a COMPLETE set anchors a version (a torn writer's partial
+    set is invisible), and replay from a multipart anchor after full
+    log cleanup reconstructs the table."""
+    import glob as _glob
+
+    from value_at_risk_spark.sources.deltalog import (
+        _checkpoint_versions,
+        checkpoint_delta,
+        cleanup_delta_log,
+    )
+
+    t = str(tmp_path / "mp")
+    for i in range(3):
+        write_delta(
+            spark,
+            spark.range(i * 100, (i + 1) * 100).repartition(8).select("id"),
+            t,
+        )
+    n_files = len(snapshot(t).files)
+    checkpoint_delta(t, max_rows_per_part=5)
+    parts = _glob.glob(
+        os.path.join(t, "_delta_log", "*.checkpoint.*.parquet")
+    )
+    assert len(parts) > 1
+    last = json.load(
+        open(os.path.join(t, "_delta_log", "_last_checkpoint"))
+    )
+    assert last["parts"] == len(parts)
+    cleanup_delta_log(t)
+    assert read_delta(spark, t).count() == 300
+    assert len(snapshot(t).files) == n_files
+    # torn multipart set at v3: not an anchor, replay unharmed
+    write_delta(spark, spark.range(300, 400).select("id"), t)
+    checkpoint_delta(t, max_rows_per_part=5)
+    v3parts = sorted(
+        _glob.glob(
+            os.path.join(
+                t, "_delta_log",
+                "00000000000000000003.checkpoint.*.parquet",
+            )
+        )
+    )
+    os.unlink(v3parts[1])
+    assert _checkpoint_versions(t) == [2]
+    assert read_delta(spark, t).count() == 400
+
+
+def test_describe_detail(spark, tmp_path):
+    from value_at_risk_spark.sources.delta_sql import delta_sql
+    from value_at_risk_spark.sources.deltalog import describe_detail
+
+    t = str(tmp_path / "dd")
+    write_delta(
+        spark,
+        spark.range(100).select("id", (F.col("id") % 2).alias("p")),
+        t,
+        partition_by=["p"],
+        configuration={"delta.enableDeletionVectors": "true"},
+    )
+    d = describe_detail(t)
+    assert d["numFiles"] == len(snapshot(t).files) and d["numFiles"] > 0
+    assert d["sizeInBytes"] > 0
+    assert d["partitionColumns"] == ["p"]
+    assert d["properties"]["delta.enableDeletionVectors"] == "true"
+    assert "deletionVectors" in d["tableFeatures"]
+    assert d["format"] == "parquet" and d["lastModified"] is not None
+    d2 = delta_sql(spark, f"DESCRIBE DETAIL delta.`{t}`")
+    assert d2 == describe_detail(t)

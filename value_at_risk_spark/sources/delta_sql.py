@@ -276,6 +276,11 @@ def delta_sql(spark: SparkSession, stmt: str):
 
     if head == "DESCRIBE":
         m = re.match(
+            r"DESCRIBE\s+DETAIL\s+delta\.`[^`]+`$", s, re.IGNORECASE
+        )
+        if m:
+            return dl.describe_detail(_one_path(s, "DESCRIBE DETAIL"))
+        m = re.match(
             r"DESCRIBE\s+HISTORY\s+delta\.`[^`]+`$", s, re.IGNORECASE
         )
         if not m:

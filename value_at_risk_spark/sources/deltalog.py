@@ -82,6 +82,48 @@ def _checkpoint_path(path: str, version: int) -> str:
     return os.path.join(_log_dir(path), f"{version:020d}.checkpoint.parquet")
 
 
+def _checkpoint_part_path(
+    path: str, version: int, part: int, num_parts: int
+) -> str:
+    """Classic multi-part checkpoint name (protocol:
+    ``<v>.checkpoint.<part>.<numParts>.parquet``, 1-indexed)."""
+    return os.path.join(
+        _log_dir(path),
+        f"{version:020d}.checkpoint.{part:010d}.{num_parts:010d}.parquet",
+    )
+
+
+def _checkpoint_files(path: str, version: int) -> list[str]:
+    """The COMPLETE checkpoint file set for ``version`` — the
+    single-part file, or every part of a complete multi-part set
+    (readers must ignore partial sets; a torn writer leaves one)."""
+    single = _checkpoint_path(path, version)
+    if os.path.exists(single):
+        return [single]
+    try:
+        names = os.listdir(_log_dir(path))
+    except OSError:
+        return []
+    prefix = f"{version:020d}.checkpoint."
+    parts: dict[int, str] = {}
+    num_parts = None
+    for n in names:
+        if not (n.startswith(prefix) and n.endswith(".parquet")):
+            continue
+        mid = n[len(prefix):-len(".parquet")]
+        bits = mid.split(".")
+        if len(bits) != 2 or not all(b.isdigit() for b in bits):
+            continue
+        p, np_ = int(bits[0]), int(bits[1])
+        if num_parts is None:
+            num_parts = np_
+        if np_ == num_parts:
+            parts[p] = os.path.join(_log_dir(path), n)
+    if num_parts and len(parts) == num_parts:
+        return [parts[i] for i in range(1, num_parts + 1)]
+    return []
+
+
 def _json_versions(path: str) -> list[int]:
     """Versions with a commit JSON present, ascending."""
     try:
@@ -102,12 +144,21 @@ def _checkpoint_versions(path: str) -> list[int]:
         names = os.listdir(_log_dir(path))
     except OSError:
         return []
-    out = []
+    out = set()
+    maybe_multi = set()
     for n in names:
         if n.endswith(".checkpoint.parquet"):
             stem = n[: -len(".checkpoint.parquet")]
             if len(stem) == 20 and stem.isdigit():
-                out.append(int(stem))
+                out.add(int(stem))
+        elif ".checkpoint." in n and n.endswith(".parquet"):
+            stem = n.split(".checkpoint.", 1)[0]
+            if len(stem) == 20 and stem.isdigit():
+                maybe_multi.add(int(stem))
+    for v in maybe_multi - out:
+        # only COMPLETE multi-part sets anchor a version
+        if _checkpoint_files(path, v):
+            out.add(v)
     return sorted(out)
 
 
@@ -144,12 +195,20 @@ def _latest_checkpoint(path: str, version: int) -> int | None:
     except OSError:
         return None
     best = None
+    maybe_multi = set()
     for n in names:
         if n.endswith(".checkpoint.parquet"):
             stem = n[: -len(".checkpoint.parquet")]
             if len(stem) == 20 and stem.isdigit() and int(stem) <= version:
                 v = int(stem)
                 best = v if best is None or v > best else best
+        elif ".checkpoint." in n and n.endswith(".parquet"):
+            stem = n.split(".checkpoint.", 1)[0]
+            if len(stem) == 20 and stem.isdigit() and int(stem) <= version:
+                maybe_multi.add(int(stem))
+    for v in maybe_multi:
+        if (best is None or v > best) and _checkpoint_files(path, v):
+            best = v
     return best
 
 
@@ -199,7 +258,11 @@ def snapshot(path: str, version: int | None = None) -> DeltaSnapshot:
     if cp is not None:
         import pyarrow.parquet as pq
 
-        tbl = pq.read_table(_checkpoint_path(path, cp))
+        import pyarrow as pa
+
+        tbl = pa.concat_tables(
+            [pq.read_table(f) for f in _checkpoint_files(path, cp)]
+        )
         for row in tbl.to_pylist():
             add = row.get("add")
             if add is not None and not isinstance(
@@ -918,8 +981,9 @@ def _next_ict(path: str, version: int) -> int:
         cp = _latest_checkpoint(path, version - 1)
         if cp is not None:
             try:
-                prev = int(
-                    os.stat(_checkpoint_path(path, cp)).st_mtime * 1000
+                cps = _checkpoint_files(path, cp)
+                prev = (
+                    int(os.stat(cps[0]).st_mtime * 1000) if cps else None
                 )
             except OSError:
                 prev = None
@@ -1837,13 +1901,19 @@ def commit_staged_adds(
         if new_metadata is not None:
             actions.append({"metaData": new_metadata})
         if version == 0:
-            if _truthy(
-                dict(configuration or {}).get(
-                    "delta.enableInCommitTimestamps"
-                )
-            ):
-                # inCommitTimestamp has no legacy writer version — the
-                # table is born as a feature table (writer v7) with
+            cfg0 = dict(configuration or {})
+            rfeats: list[str] = []
+            wfeats: list[str] = []
+            if _truthy(cfg0.get("delta.enableInCommitTimestamps")):
+                # no legacy writer version exists for ICT
+                wfeats.append("inCommitTimestamp")
+            if _truthy(cfg0.get("delta.enableDeletionVectors")):
+                # spec: the property requires the feature in BOTH
+                # lists from the moment it is set
+                rfeats.append("deletionVectors")
+                wfeats.append("deletionVectors")
+            if rfeats or wfeats:
+                # the table is born as a feature table (v3/v7) with
                 # the legacy features its min_writer_version implies
                 fake = DeltaSnapshot(
                     version=-1,
@@ -1855,9 +1925,7 @@ def commit_staged_adds(
                     files={},
                 )
                 actions.append(
-                    _upgrade_protocol_features(
-                        fake, (), ("inCommitTimestamp",)
-                    )
+                    _upgrade_protocol_features(fake, rfeats, wfeats)
                 )
             else:
                 actions.append(
@@ -1910,12 +1978,20 @@ def commit_staged_adds(
     )
 
 
-def checkpoint_delta(path: str, version: int | None = None) -> int:
-    """Write a single-part parquet checkpoint of the snapshot at
-    ``version`` (default latest) + the ``_last_checkpoint`` hint;
-    returns the checkpointed version. Replay afterwards is
-    O(commits since checkpoint). Driver-side pyarrow write — the
-    checkpoint is metadata (one row per active file)."""
+def checkpoint_delta(
+    path: str,
+    version: int | None = None,
+    max_rows_per_part: int = 1_000_000,
+) -> int:
+    """Write a parquet checkpoint of the snapshot at ``version``
+    (default latest) + the ``_last_checkpoint`` hint; returns the
+    checkpointed version. Replay afterwards is O(commits since
+    checkpoint). Driver-side pyarrow write — the checkpoint is
+    metadata (one row per active file). Past ``max_rows_per_part``
+    rows the classic MULTI-PART form is written
+    (``<v>.checkpoint.<part>.<numParts>.parquet``) so no single
+    object carries the whole million-file action list; readers use
+    only COMPLETE part sets, so a torn writer is invisible."""
     import pyarrow as pa
     import pyarrow.parquet as pq
 
@@ -2029,10 +2105,68 @@ def checkpoint_delta(path: str, version: int | None = None) -> int:
             ]
         ),
     )
-    pq.write_table(tbl, _checkpoint_path(path, snap.version))
+    n_parts = max(1, -(-len(conv) // max(1, max_rows_per_part)))
+    if n_parts == 1:
+        pq.write_table(tbl, _checkpoint_path(path, snap.version))
+    else:
+        per = -(-len(conv) // n_parts)
+        for i in range(n_parts):
+            part = tbl.slice(i * per, per)
+            dest = _checkpoint_part_path(
+                path, snap.version, i + 1, n_parts
+            )
+            tmp = dest + f".tmp-{os.getpid()}"
+            pq.write_table(part, tmp)
+            os.replace(tmp, dest)
+    last = {"version": snap.version, "size": len(conv)}
+    if n_parts > 1:
+        last["parts"] = n_parts
     with open(os.path.join(_log_dir(path), _LAST), "w") as fh:
-        json.dump({"version": snap.version, "size": len(conv)}, fh)
+        json.dump(last, fh)
     return snap.version
+
+
+def describe_detail(path: str) -> dict:
+    """``DESCRIBE DETAIL`` — the table's current physical summary,
+    computed from the LOG alone (no data I/O): format, id, location,
+    createdTime, lastModified (commit clock, ICT-aware), numFiles,
+    sizeInBytes (sum of add.size), partitionColumns, properties, and
+    the protocol versions/features."""
+    snap = snapshot(path)
+    vs = _json_versions(path)
+    last_ms = None
+    if vs:
+        with open(_commit_path(path, vs[-1])) as fh:
+            for line in fh:
+                if not line.strip():
+                    continue
+                ci = json.loads(line).get("commitInfo")
+                if ci is not None:
+                    last_ms = ci.get(
+                        "inCommitTimestamp", ci.get("timestamp")
+                    )
+                    break
+    return {
+        "format": (snap.metadata.get("format") or {}).get(
+            "provider", "parquet"
+        ),
+        "id": snap.metadata.get("id"),
+        "location": os.path.abspath(path),
+        "createdAt": snap.metadata.get("createdTime"),
+        "lastModified": last_ms,
+        "numFiles": len(snap.files),
+        "sizeInBytes": sum(
+            int(a.get("size") or 0) for a in snap.files.values()
+        ),
+        "partitionColumns": snap.partition_columns,
+        "properties": dict(snap.metadata.get("configuration") or {}),
+        "minReaderVersion": snap.protocol.get("minReaderVersion"),
+        "minWriterVersion": snap.protocol.get("minWriterVersion"),
+        "tableFeatures": sorted(
+            set(snap.protocol.get("readerFeatures") or [])
+            | set(snap.protocol.get("writerFeatures") or [])
+        ),
+    }
 
 
 def delta_history(path: str) -> list[dict]:
@@ -2655,9 +2789,8 @@ def version_at_timestamp(path: str, ts) -> int:
             if ts_ms is None:
                 ts_ms = int(os.stat(_commit_path(path, v)).st_mtime * 1000)
         else:
-            ts_ms = int(
-                os.stat(_checkpoint_path(path, v)).st_mtime * 1000
-            )
+            cps = _checkpoint_files(path, v)
+            ts_ms = int(os.stat(cps[0]).st_mtime * 1000) if cps else 0
         if earliest_ms is None:
             earliest_ms = ts_ms
         if ts_ms <= target_ms:
