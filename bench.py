@@ -423,14 +423,20 @@ def scaled_delta_dml(spark, scaled: str) -> dict:
         )
 
         set_table_properties(tbl, {"delta.enableDeletionVectors": "true"})
+        # slice INSIDE an occupied key range: the scaled orders keys
+        # live in per-replica chunks with gaps between them, so a
+        # step-aligned range can land on pure gap (measured 0 rows) —
+        # [cut, 1.1*cut) sits in replica 0's occupied span, above the
+        # CoW delete's < cut and disjoint from the update's slice
+        lo2, hi2 = cut, cut + max(1, cut // 10)
         t0 = time.time()
         dv_n = delete_from_delta(
             spark,
             tbl,
-            f"o_orderkey >= {2 * step} AND o_orderkey < {2 * step + cut}",
+            f"o_orderkey >= {lo2} AND o_orderkey < {hi2}",
             stats_filters=[
-                ("o_orderkey", ">=", 2 * step),
-                ("o_orderkey", "<", 2 * step + cut),
+                ("o_orderkey", ">=", lo2),
+                ("o_orderkey", "<", hi2),
             ],
         )
         dv_narrow_sec = round(time.time() - t0, 3)

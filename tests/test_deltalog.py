@@ -2781,3 +2781,58 @@ def test_describe_detail(spark, tmp_path):
     assert d["format"] == "parquet" and d["lastModified"] is not None
     d2 = delta_sql(spark, f"DESCRIBE DETAIL delta.`{t}`")
     assert d2 == describe_detail(t)
+
+
+def test_domain_metadata_and_clustering(spark, tmp_path):
+    """domainMetadata actions (writer feature): transactional named
+    domains with checkpoint durability and tombstone removal; CLUSTER
+    BY stores the delta.clustering domain at creation and OPTIMIZE
+    re-clusters on it without being told."""
+    from value_at_risk_spark.sources.deltalog import (
+        checkpoint_delta,
+        cleanup_delta_log,
+        optimize_delta,
+        set_domain_metadata,
+        table_clustering_columns,
+    )
+
+    t = str(tmp_path / "dm")
+    write_delta(spark, spark.range(10).select("id"), t)
+    set_domain_metadata(t, "app.owner", '{"team":"risk"}')
+    snap = snapshot(t)
+    assert snap.domains["app.owner"] == '{"team":"risk"}'
+    assert "domainMetadata" in snap.protocol["writerFeatures"]
+    # durable through checkpoint + full log cleanup
+    checkpoint_delta(t)
+    cleanup_delta_log(t)
+    assert snapshot(t).domains["app.owner"] == '{"team":"risk"}'
+    # tombstone removes
+    set_domain_metadata(t, "app.owner", removed=True)
+    assert "app.owner" not in snapshot(t).domains
+
+    # CLUSTER BY at creation -> OPTIMIZE clusters on it
+    t2 = str(tmp_path / "cl")
+    df = spark.range(0, 4000).select(
+        "id",
+        (F.col("id") * 37 % 1000).alias("x"),
+        (F.col("id") * 11 % 1000).alias("y"),
+    )
+    write_delta(spark, df.repartition(8), t2, cluster_by=["x", "y"])
+    snap2 = snapshot(t2)
+    assert table_clustering_columns(snap2) == ["x", "y"]
+    assert {"clustering", "domainMetadata"} <= set(
+        snap2.protocol["writerFeatures"]
+    )
+    optimize_delta(spark, t2, target_files=8)
+    # clustered output: per-file x-ranges must be far tighter than the
+    # global range (Morton interleave localizes both dims)
+    spans = []
+    for a in snapshot(t2).files.values():
+        st = json.loads(a["stats"])
+        spans.append(
+            int(st["maxValues"]["x"]) - int(st["minValues"]["x"])
+        )
+    assert sorted(spans)[len(spans) // 2] < 600  # median well under 1000
+    assert read_delta(spark, t2).count() == 4000
+    with pytest.raises(ValueError, match="creation"):
+        write_delta(spark, df, t2, cluster_by=["x"])

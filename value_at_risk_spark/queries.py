@@ -14378,6 +14378,71 @@ def delta_ict_timestamp_travel(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+@query(
+    "delta_clustered_scan",
+    """
+SELECT COUNT(*) AS n_rows,
+       ROUND(SUM(l_extendedprice), 2) AS total_price
+FROM lineitem
+WHERE l_quantity >= 10 AND l_quantity < 20
+""",
+)
+def delta_clustered_scan(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """CLUSTER BY (liquid-clustering shape), ORACLE-pinned: a table
+    created with ``cluster_by=[l_quantity, l_extendedprice]`` (the
+    ``delta.clustering`` metadata domain + writer features
+    domainMetadata/clustering), OPTIMIZE'd with NO explicit zorder —
+    it re-clusters on the declared columns — then range-scanned with
+    stats_filters that prune at the LOG level. The clustered layout
+    is what makes the file skipping effective; the value hash proves
+    pruning dropped no qualifying row
+    (sources/deltalog.set_domain_metadata/table_clustering_columns)."""
+    import atexit
+    import shutil
+    import tempfile
+
+    from value_at_risk_spark.sources.deltalog import (
+        optimize_delta,
+        read_delta,
+        write_delta,
+    )
+
+    key = f"clustered:{sf_dir}"
+    tbl = _DELTA_DML_SCRATCH.get(key)
+    if tbl is None:
+        tbl = tempfile.mkdtemp(prefix="vars_delta_cl_")
+        shutil.rmtree(tbl, ignore_errors=True)
+        atexit.register(shutil.rmtree, tbl, ignore_errors=True)
+        li = _t(spark, sf_dir, "lineitem").select(
+            "l_orderkey", "l_quantity", "l_extendedprice"
+        )
+        write_delta(
+            spark,
+            li.repartition(8),
+            tbl,
+            cluster_by=["l_quantity", "l_extendedprice"],
+        )
+        optimize_delta(spark, tbl, target_files=8)
+        _DELTA_DML_SCRATCH[key] = tbl
+    return (
+        read_delta(
+            spark,
+            tbl,
+            stats_filters=[
+                ("l_quantity", ">=", 10.0),
+                ("l_quantity", "<", 20.0),
+            ],
+        )
+        .filter((F.col("l_quantity") >= 10) & (F.col("l_quantity") < 20))
+        .agg(
+            F.count(F.lit(1)).alias("n_rows"),
+            (F.round(F.sum("l_extendedprice"), 2) + F.lit(0.0)).alias(
+                "total_price"
+            ),
+        )
+    )
+
+
 _DELTA_IDENTITY_SCRATCH: dict[str, str] = {}
 
 

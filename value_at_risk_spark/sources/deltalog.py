@@ -177,6 +177,7 @@ class DeltaSnapshot:
     protocol: dict
     files: dict  # add.path -> add action dict
     txns: dict | None = None  # txn.appId -> highest committed version
+    domains: dict | None = None  # domainMetadata: domain -> configuration
 
     @property
     def schema(self) -> StructType:
@@ -215,7 +216,15 @@ def _latest_checkpoint(path: str, version: int) -> int | None:
 def _apply_actions(snap: DeltaSnapshot, actions) -> None:
     if snap.txns is None:
         snap.txns = {}
+    if snap.domains is None:
+        snap.domains = {}
     for a in actions:
+        if "domainMetadata" in a and a["domainMetadata"] is not None:
+            dm = a["domainMetadata"]
+            if dm.get("removed"):
+                snap.domains.pop(dm["domain"], None)
+            else:
+                snap.domains[dm["domain"]] = dm.get("configuration", "")
         if "txn" in a and a["txn"] is not None:
             t = a["txn"]
             prev = snap.txns.get(t["appId"])
@@ -251,7 +260,8 @@ def snapshot(path: str, version: int | None = None) -> DeltaSnapshot:
             f"{versions[-1]})"
         )
     snap = DeltaSnapshot(
-        version=version, metadata={}, protocol={}, files={}, txns={}
+        version=version, metadata={}, protocol={}, files={}, txns={},
+        domains={},
     )
     start = 0
     cp = _latest_checkpoint(path, version)
@@ -344,6 +354,8 @@ _SUPPORTED_WRITER_FEATURES = frozenset(
         "deletionVectors",
         "identityColumns",
         "inCommitTimestamp",
+        "domainMetadata",
+        "clustering",
     }
 )
 
@@ -558,6 +570,7 @@ def _physicalized(snap: DeltaSnapshot, l2p: dict[str, str]) -> DeltaSnapshot:
         protocol=snap.protocol,
         files=snap.files,
         txns=snap.txns,
+        domains=snap.domains,
     )
 
 
@@ -1202,6 +1215,7 @@ def write_delta(
     configuration: dict[str, str] | None = None,
     extra_actions: list[dict] | None = None,
     identity_columns: dict[str, dict] | None = None,
+    cluster_by: list[str] | None = None,
 ) -> int:
     """Transactional append/overwrite; returns the committed version.
 
@@ -1228,6 +1242,12 @@ def write_delta(
     ``table_changes`` readers. ``extra_actions`` (already-built
     protocol actions, e.g. staged ``cdc`` entries) are appended to
     the commit verbatim.
+
+    ``cluster_by`` ([col, ...], creation only) declares clustering
+    columns the liquid-clustering way: a ``delta.clustering``
+    metadata domain (writer features domainMetadata + clustering) —
+    ``optimize_delta`` with no explicit zorder_by then clusters on
+    them (Morton interleave, this engine's clustering kernel).
 
     ``identity_columns`` ({col: {start, step, allow_explicit}},
     creation only) declares IDENTITY columns (protocol writer feature
@@ -1258,6 +1278,29 @@ def write_delta(
                 "this writer; cannot create one"
             )
     identity_generated: list[str] = []
+    writer_features: list[str] = []
+    if cluster_by:
+        if exists:
+            raise ValueError(
+                "write_delta: cluster_by is a table-creation option"
+            )
+        missing = [c for c in cluster_by if c not in df.columns]
+        if missing:
+            raise ValueError(
+                f"write_delta: cluster_by columns not in frame: {missing}"
+            )
+        writer_features += ["domainMetadata", "clustering"]
+        extra_actions = list(extra_actions or []) + [
+            {
+                "domainMetadata": {
+                    "domain": "delta.clustering",
+                    "configuration": json.dumps(
+                        {"clusteringColumns": [[c] for c in cluster_by]}
+                    ),
+                    "removed": False,
+                }
+            }
+        ]
     if exists:
         if generated_columns:
             raise ValueError(
@@ -1479,6 +1522,7 @@ def write_delta(
         min_writer_version=min_writer,
         configuration=configuration,
         extra_actions=extra_actions,
+        writer_features=writer_features,
     )
 
 
@@ -1701,6 +1745,60 @@ def sync_identity(spark: SparkSession, path: str) -> dict[str, int]:
     raise RuntimeError(f"sync_identity: lost the commit race at {path}")
 
 
+def set_domain_metadata(
+    path: str, domain: str, configuration: str = "", removed: bool = False
+) -> int:
+    """Commit a ``domainMetadata`` action (protocol writer feature):
+    named, checkpoint-durable metadata domains riding the log's own
+    transactional guarantees — the mechanism clustering state uses.
+    ``removed=True`` tombstones the domain. Upgrades the protocol to
+    writer v7 + domainMetadata on first use."""
+    for _attempt in range(64):
+        snap = snapshot(path)
+        _refuse_mapped_write(snap, "SET DOMAIN METADATA")
+        _refuse_high_writer_version(snap, "SET DOMAIN METADATA")
+        actions: list[dict] = [
+            {
+                "commitInfo": {
+                    "timestamp": int(time.time() * 1000),
+                    "operation": "SET DOMAIN METADATA",
+                    "operationParameters": {"domain": domain},
+                    "engineInfo": "value_at_risk_spark.deltalog",
+                }
+            }
+        ]
+        if "domainMetadata" not in (
+            snap.protocol.get("writerFeatures") or []
+        ):
+            actions.append(
+                _upgrade_protocol_features(snap, (), ("domainMetadata",))
+            )
+        actions.append(
+            {
+                "domainMetadata": {
+                    "domain": domain,
+                    "configuration": configuration,
+                    "removed": bool(removed),
+                }
+            }
+        )
+        if _publish_commit(path, snap.version + 1, actions):
+            return snap.version + 1
+    raise RuntimeError(f"set_domain_metadata: lost the commit race at {path}")
+
+
+def table_clustering_columns(snap: DeltaSnapshot) -> list[str] | None:
+    """CLUSTER BY columns from the ``delta.clustering`` metadata
+    domain (liquid clustering's storage shape: clusteringColumns as a
+    list of single-element physical-name paths); None when the table
+    is not clustered."""
+    cfg = (snap.domains or {}).get("delta.clustering")
+    if not cfg:
+        return None
+    cols = json.loads(cfg).get("clusteringColumns") or []
+    return [c[0] if isinstance(c, list) else c for c in cols]
+
+
 def table_generated_columns(snap: DeltaSnapshot) -> dict[str, str]:
     """{column: generation expression} from the schema field metadata
     (``delta.generationExpression`` — protocol writer feature 4)."""
@@ -1821,6 +1919,7 @@ def commit_staged_adds(
     min_writer_version: int = 2,
     configuration: dict[str, str] | None = None,
     extra_actions: list[dict] | None = None,
+    writer_features: list[str] | None = None,
 ) -> int:
     """write_delta's commit half: publish already-staged add actions
     as one transactional version (optimistic retry; the protocol txn
@@ -1903,7 +2002,7 @@ def commit_staged_adds(
         if version == 0:
             cfg0 = dict(configuration or {})
             rfeats: list[str] = []
-            wfeats: list[str] = []
+            wfeats: list[str] = list(writer_features or [])
             if _truthy(cfg0.get("delta.enableInCommitTimestamps")):
                 # no legacy writer version exists for ICT
                 wfeats.append("inCommitTimestamp")
@@ -2006,6 +2105,12 @@ def checkpoint_delta(
         for app, v in sorted((snap.txns or {}).items())
     )
     rows.extend(
+        {"protocol": None, "metaData": None, "add": None, "txn": None,
+         "domainMetadata": {"domain": d, "configuration": c,
+                            "removed": False}}
+        for d, c in sorted((snap.domains or {}).items())
+    )
+    rows.extend(
         {"protocol": None, "metaData": None, "add": add, "txn": None}
         for _p, add in sorted(snap.files.items())
     )
@@ -2054,6 +2159,13 @@ def checkpoint_delta(
         ]
     )
     txn_t = pa.struct([("appId", pa.string()), ("version", pa.int64())])
+    domain_t = pa.struct(
+        [
+            ("domain", pa.string()),
+            ("configuration", pa.string()),
+            ("removed", pa.bool_()),
+        ]
+    )
 
     def _conv(row):
         a = row["add"]
@@ -2091,6 +2203,7 @@ def checkpoint_delta(
             "metaData": m,
             "add": a,
             "txn": row.get("txn"),
+            "domainMetadata": row.get("domainMetadata"),
         }
 
     conv = [_conv(r) for r in rows]
@@ -2102,6 +2215,7 @@ def checkpoint_delta(
                 ("metaData", meta_t),
                 ("add", add_t),
                 ("txn", txn_t),
+                ("domainMetadata", domain_t),
             ]
         ),
     )
@@ -2159,6 +2273,7 @@ def describe_detail(path: str) -> dict:
             int(a.get("size") or 0) for a in snap.files.values()
         ),
         "partitionColumns": snap.partition_columns,
+        "clusteringColumns": table_clustering_columns(snap) or [],
         "properties": dict(snap.metadata.get("configuration") or {}),
         "minReaderVersion": snap.protocol.get("minReaderVersion"),
         "minWriterVersion": snap.protocol.get("minWriterVersion"),
@@ -2212,6 +2327,10 @@ def optimize_delta(
     _refuse_high_writer_version(snap, "OPTIMIZE")
     if not snap.files:
         return snap.version
+    if zorder_by is None:
+        # liquid-clustering shape: a clustered table's OPTIMIZE
+        # re-clusters on its declared columns without being told
+        zorder_by = table_clustering_columns(snap)
     # pinned to the resolved snapshot (not the moving tip); deletion
     # vectors are APPLIED by the scan, so compaction materializes
     # them — the compacted files carry no DV
