@@ -2456,9 +2456,10 @@ def test_table_features_protocol_v3_v7(spark, tmp_path):
         write_delta(spark, spark.range(1).select("id"), tbl)
 
     # unsupported READER feature: even the snapshot refuses
-    # (deletionVectors moved to the SUPPORTED list in round 11 —
-    # v2Checkpoint stands in as a feature this reader does not have)
-    tbl2 = str(tmp_path / "v2cp")
+    # (deletionVectors and v2Checkpoint both moved to the SUPPORTED
+    # list in round 11 — typeWidening stands in as a reader feature
+    # this engine does not have)
+    tbl2 = str(tmp_path / "tw")
     write_delta(spark, spark.range(2).select("id"), tbl2)
     _publish_commit(
         tbl2,
@@ -2469,13 +2470,13 @@ def test_table_features_protocol_v3_v7(spark, tmp_path):
                 "protocol": {
                     "minReaderVersion": 3,
                     "minWriterVersion": 7,
-                    "readerFeatures": ["v2Checkpoint"],
-                    "writerFeatures": ["v2Checkpoint"],
+                    "readerFeatures": ["typeWidening"],
+                    "writerFeatures": ["typeWidening"],
                 }
             },
         ],
     )
-    with pytest.raises(NotImplementedError, match="v2Checkpoint"):
+    with pytest.raises(NotImplementedError, match="typeWidening"):
         read_delta(spark, tbl2).count()
 
 
@@ -2836,3 +2837,136 @@ def test_domain_metadata_and_clustering(spark, tmp_path):
     assert read_delta(spark, t2).count() == 4000
     with pytest.raises(ValueError, match="creation"):
         write_delta(spark, df, t2, cluster_by=["x"])
+
+
+def test_v2_checkpoint_read(spark, tmp_path):
+    """V2 checkpoints (reader feature): a foreign table whose only
+    anchor is a manifest (<v>.checkpoint.<uuid>.parquet) with file
+    actions split across _sidecars parquets must bootstrap — commit
+    JSONs deleted — and mutations must refuse when the table requires
+    v2 checkpoint WRITES (not implemented; we write classic)."""
+    import glob as _glob
+    import uuid as _uuid
+
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    from value_at_risk_spark.sources.deltalog import (
+        _commit_path,
+        _json_versions,
+        _log_dir,
+    )
+
+    t = str(tmp_path / "v2")
+    for i in range(2):
+        write_delta(
+            spark,
+            spark.range(i * 50, (i + 1) * 50).repartition(2).select("id"),
+            t,
+        )
+    snap = snapshot(t)
+    adds = [dict(a) for _, a in sorted(snap.files.items())]
+    meta = snap.metadata
+    proto = {
+        "minReaderVersion": 3,
+        "minWriterVersion": 7,
+        "readerFeatures": ["v2Checkpoint"],
+        "writerFeatures": ["v2Checkpoint", "appendOnly", "invariants"],
+    }
+    log = _log_dir(t)
+    os.makedirs(os.path.join(log, "_sidecars"), exist_ok=True)
+
+    def _tbl(rows, schema_cols):
+        return pa.Table.from_pylist(rows)
+
+    # two sidecars carrying two adds each
+    side_names = []
+    for half in (adds[:2], adds[2:]):
+        name = f"{_uuid.uuid4()}.parquet"
+        side_names.append(name)
+        rows = [
+            {
+                "add": {
+                    "path": a["path"],
+                    "partitionValues": [],
+                    "size": a["size"],
+                    "modificationTime": a["modificationTime"],
+                    "dataChange": True,
+                    "stats": a.get("stats"),
+                }
+            }
+            for a in half
+        ]
+        pq.write_table(
+            pa.Table.from_pylist(rows),
+            os.path.join(log, "_sidecars", name),
+        )
+    proto_t = pa.struct(
+        [
+            ("minReaderVersion", pa.int32()),
+            ("minWriterVersion", pa.int32()),
+            ("readerFeatures", pa.list_(pa.string())),
+            ("writerFeatures", pa.list_(pa.string())),
+        ]
+    )
+    meta_t = pa.struct(
+        [
+            ("id", pa.string()),
+            ("format", pa.struct([("provider", pa.string())])),
+            ("schemaString", pa.string()),
+            ("partitionColumns", pa.list_(pa.string())),
+            ("configuration", pa.map_(pa.string(), pa.string())),
+            ("createdTime", pa.int64()),
+        ]
+    )
+    cpm_t = pa.struct([("version", pa.int64())])
+    side_t = pa.struct([("path", pa.string()), ("sizeInBytes", pa.int64())])
+    manifest_rows = [
+        {"protocol": proto, "metaData": None, "checkpointMetadata": None,
+         "sidecar": None},
+        {
+            "protocol": None,
+            "metaData": {
+                "id": meta.get("id"),
+                "format": {"provider": "parquet"},
+                "schemaString": meta["schemaString"],
+                "partitionColumns": [],
+                "configuration": [],
+                "createdTime": meta.get("createdTime"),
+            },
+            "checkpointMetadata": None,
+            "sidecar": None,
+        },
+        {"protocol": None, "metaData": None,
+         "checkpointMetadata": {"version": 1}, "sidecar": None},
+        *(
+            {"protocol": None, "metaData": None, "checkpointMetadata": None,
+             "sidecar": {"path": n, "sizeInBytes": 1}}
+            for n in side_names
+        ),
+    ]
+    pq.write_table(
+        pa.Table.from_pylist(
+            manifest_rows,
+            schema=pa.schema(
+                [
+                    ("protocol", proto_t),
+                    ("metaData", meta_t),
+                    ("checkpointMetadata", cpm_t),
+                    ("sidecar", side_t),
+                ]
+            ),
+        ),
+        os.path.join(log, f"{1:020d}.checkpoint.{_uuid.uuid4()}.parquet"),
+    )
+    for v in _json_versions(t):
+        os.unlink(_commit_path(t, v))
+    # bootstrap purely from manifest + sidecars
+    got = read_delta(spark, t)
+    assert got.count() == 100
+    assert sorted(r.id for r in got.collect()) == list(range(100))
+    snap2 = snapshot(t)
+    assert len(snap2.files) == 4
+    # v2Checkpoint writer requirement -> mutation refused, read fine
+    with pytest.raises(NotImplementedError, match="v2Checkpoint"):
+        write_delta(spark, spark.range(1).select("id"), t)

@@ -107,20 +107,26 @@ def _checkpoint_files(path: str, version: int) -> list[str]:
     prefix = f"{version:020d}.checkpoint."
     parts: dict[int, str] = {}
     num_parts = None
+    v2_manifests: list[str] = []
     for n in names:
         if not (n.startswith(prefix) and n.endswith(".parquet")):
             continue
         mid = n[len(prefix):-len(".parquet")]
         bits = mid.split(".")
-        if len(bits) != 2 or not all(b.isdigit() for b in bits):
-            continue
-        p, np_ = int(bits[0]), int(bits[1])
-        if num_parts is None:
-            num_parts = np_
-        if np_ == num_parts:
-            parts[p] = os.path.join(_log_dir(path), n)
+        if len(bits) == 2 and all(b.isdigit() for b in bits):
+            p, np_ = int(bits[0]), int(bits[1])
+            if num_parts is None:
+                num_parts = np_
+            if np_ == num_parts:
+                parts[p] = os.path.join(_log_dir(path), n)
+        elif len(bits) == 1 and bits[0]:
+            # V2 checkpoint manifest (<v>.checkpoint.<uniqueStr>.parquet);
+            # several may coexist — any complete one is usable
+            v2_manifests.append(os.path.join(_log_dir(path), n))
     if num_parts and len(parts) == num_parts:
         return [parts[i] for i in range(1, num_parts + 1)]
+    if v2_manifests:
+        return [sorted(v2_manifests)[0]]
     return []
 
 
@@ -240,6 +246,55 @@ def _apply_actions(snap: DeltaSnapshot, actions) -> None:
             snap.files[a["add"]["path"]] = a["add"]
 
 
+def _apply_checkpoint_row(snap: DeltaSnapshot, row: dict) -> None:
+    """One checkpoint parquet row -> snapshot state (pyarrow map
+    columns arrive as (k, v) tuple lists and are normalized here)."""
+    add = row.get("add")
+    if add is not None and not isinstance(
+        add.get("partitionValues"), (dict, type(None))
+    ):
+        add = {**add, "partitionValues": dict(add["partitionValues"])}
+        row = {**row, "add": add}
+    meta = row.get("metaData")
+    if meta is not None and not isinstance(
+        meta.get("configuration"), (dict, type(None))
+    ):
+        meta = {**meta, "configuration": dict(meta["configuration"])}
+        row = {**row, "metaData": meta}
+    _apply_actions(snap, [row])
+
+
+def _replay_checkpoint(snap: DeltaSnapshot, path: str, cp: int) -> None:
+    """Bootstrap snapshot state from the checkpoint at version ``cp``:
+    classic single/multi-part files, or a V2 manifest whose file
+    actions may live in SIDECAR parquets under ``_delta_log/_sidecars``
+    (reader feature v2Checkpoint — read support; this engine writes
+    the classic form)."""
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    files = _checkpoint_files(path, cp)
+    tbl = pa.concat_tables(
+        [pq.read_table(f) for f in files], promote_options="permissive"
+    )
+    sidecars: list[str] = []
+    for row in tbl.to_pylist():
+        sc = row.get("sidecar")
+        if sc is not None and sc.get("path"):
+            sidecars.append(sc["path"])
+            continue
+        _apply_checkpoint_row(snap, row)
+    for rel in sidecars:
+        full = os.path.join(_log_dir(path), "_sidecars", unquote(rel))
+        if not os.path.exists(full):
+            raise FileNotFoundError(
+                f"v2 checkpoint at version {cp}: sidecar {rel} missing "
+                f"from {path}"
+            )
+        for row in pq.read_table(full).to_pylist():
+            _apply_checkpoint_row(snap, row)
+
+
 def snapshot(path: str, version: int | None = None) -> DeltaSnapshot:
     """Reconstruct table state at ``version`` (default: latest) by
     replaying the newest checkpoint at-or-below it plus the JSON
@@ -266,31 +321,7 @@ def snapshot(path: str, version: int | None = None) -> DeltaSnapshot:
     start = 0
     cp = _latest_checkpoint(path, version)
     if cp is not None:
-        import pyarrow.parquet as pq
-
-        import pyarrow as pa
-
-        tbl = pa.concat_tables(
-            [pq.read_table(f) for f in _checkpoint_files(path, cp)]
-        )
-        for row in tbl.to_pylist():
-            add = row.get("add")
-            if add is not None and not isinstance(
-                add.get("partitionValues"), (dict, type(None))
-            ):
-                # pyarrow map columns come back as (k, v) tuple lists
-                add = {**add, "partitionValues": dict(add["partitionValues"])}
-                row = {**row, "add": add}
-            meta = row.get("metaData")
-            if meta is not None and not isinstance(
-                meta.get("configuration"), (dict, type(None))
-            ):
-                meta = {
-                    **meta,
-                    "configuration": dict(meta["configuration"]),
-                }
-                row = {**row, "metaData": meta}
-            _apply_actions(snap, [row])
+        _replay_checkpoint(snap, path, cp)
         start = cp + 1
     # versions are contiguous integers by construction (each commit is
     # tip+1), so replay the exact range and fail LOUDLY on a gap — a
@@ -341,6 +372,11 @@ _SUPPORTED_READER_FEATURES = frozenset(
         "timestampNtz",
         "vacuumProtocolCheck",
         "deletionVectors",
+        # read support: manifest + sidecar replay (_replay_checkpoint);
+        # deliberately absent from the WRITER set — a table requiring
+        # v2 checkpoint WRITES refuses mutation rather than regressing
+        # its checkpoint form
+        "v2Checkpoint",
     }
 )
 _SUPPORTED_WRITER_FEATURES = frozenset(
