@@ -1018,13 +1018,10 @@ def _prev_commit_ict(path: str, prev_version: int) -> int | None:
     return None
 
 
-def _next_ict(path: str, version: int) -> int:
-    """The in-commit timestamp for ``version``: wall clock, floored
-    STRICTLY above the previous commit's ICT (the protocol's
-    monotonicity rule — a clock that went backwards must not produce
-    a time-travel ordering violation). A cleaned predecessor floors
-    on the newest checkpoint's mtime instead."""
-    now_ms = int(time.time() * 1000)
+def _ict_floor(path: str, version: int) -> int:
+    """The minimum legal ICT for ``version``: strictly above the
+    previous commit's (the protocol's monotonicity rule); a cleaned
+    predecessor floors on the newest checkpoint's mtime instead."""
     prev = _prev_commit_ict(path, version - 1)
     if prev is None and version > 0:
         cp = _latest_checkpoint(path, version - 1)
@@ -1036,7 +1033,14 @@ def _next_ict(path: str, version: int) -> int:
                 )
             except OSError:
                 prev = None
-    return max(now_ms, prev + 1 if prev is not None else 0)
+    return prev + 1 if prev is not None else 0
+
+
+def _next_ict(path: str, version: int) -> int:
+    """The in-commit timestamp for ``version``: wall clock, floored
+    by _ict_floor (a clock that went backwards must not produce a
+    time-travel ordering violation)."""
+    return max(int(time.time() * 1000), _ict_floor(path, version))
 
 
 # (path -> (last published version, ICT enabled)) — valid only while
@@ -1086,19 +1090,24 @@ def _publish_commit(path: str, version: int, actions: list[dict]) -> bool:
     point every commit kind passes through."""
     enabled = _ict_enabled_for_commit(path, version, actions)
     if enabled:
-        ict = _next_ict(path, version)
         stamped = False
         for a in actions:
             ci = a.get("commitInfo")
             if ci is not None:
-                # an explicitly pre-set value (enablement provenance)
-                # is honored but still floored monotonic
+                pre = ci.get("inCommitTimestamp")
+                # an explicitly pre-set value (enablement provenance:
+                # the SAME number must land in the commit AND the
+                # metaData properties) is honored verbatim, floored
+                # only by monotonicity — NOT re-read from the wall
+                # clock, which may have ticked since the caller chose
                 ci["inCommitTimestamp"] = max(
-                    int(ci.get("inCommitTimestamp") or 0), ict
+                    int(pre) if pre else int(time.time() * 1000),
+                    _ict_floor(path, version),
                 )
                 stamped = True
                 break
         if not stamped:
+            ict = _next_ict(path, version)
             actions = [
                 {"commitInfo": {"timestamp": ict, "inCommitTimestamp": ict}}
             ] + list(actions)
