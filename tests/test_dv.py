@@ -519,3 +519,17 @@ def test_dv_datasource_batch_and_rowgroup_offsets(spark, tmp_path):
         .filter("id % 7 != 2")
         .agg(F.sum(F.col("id")))
     )
+
+
+def test_restore_refuses_vacuumed_dv(spark, tmp_path):
+    """RESTORE to a version whose deletion-vector file was vacuumed
+    fails EARLY with a clear message (same contract as vacuumed data
+    files), never silently resurrecting the deleted rows."""
+    tbl, _ = _mk(spark, tmp_path)
+    delete_from_delta(spark, tbl, "g = 3")   # v1: same data files + DV A
+    delete_from_delta(spark, tbl, "g = 5")   # v2: same data files + DV B
+    # vacuum keeps only v2's references: the DATA files survive (v2
+    # still points at them) but DV file A is collectable
+    vacuum_delta(tbl, keep_versions=1, retention_seconds=0)
+    with pytest.raises(FileNotFoundError, match="deletion-vector"):
+        restore_delta(spark, tbl, 1)

@@ -2570,6 +2570,24 @@ def restore_delta(spark: SparkSession, path: str, version: int) -> int:
                 f"restore_delta: {len(missing)} files of version "
                 f"{version} were vacuumed (e.g. {missing[0]})"
             )
+        # same early-failure contract for the target adds' deletion
+        # vectors: a vacuumed DV bin would otherwise surface later as
+        # a scan-time error (or worse, resurrect rows if ignored)
+        from value_at_risk_spark.sources.dv import dv_abs_path
+
+        missing_dv = [
+            p
+            for p in to_add
+            if (d := target.files[p].get("deletionVector"))
+            and d.get("storageType") == "u"
+            and not os.path.exists(dv_abs_path(path, d))
+        ]
+        if missing_dv:
+            raise FileNotFoundError(
+                f"restore_delta: {len(missing_dv)} deletion-vector "
+                f"files of version {version} were vacuumed "
+                f"(e.g. for {missing_dv[0]})"
+            )
         actions: list[dict] = [
             {
                 "commitInfo": {
