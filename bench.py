@@ -423,12 +423,17 @@ def scaled_delta_dml(spark, scaled: str) -> dict:
         )
 
         set_table_properties(tbl, {"delta.enableDeletionVectors": "true"})
-        # slice INSIDE an occupied key range: the scaled orders keys
-        # live in per-replica chunks with gaps between them, so a
-        # step-aligned range can land on pure gap (measured 0 rows) —
-        # [cut, 1.1*cut) sits in replica 0's occupied span, above the
-        # CoW delete's < cut and disjoint from the update's slice
-        lo2, hi2 = cut, cut + max(1, cut // 10)
+        # slice anchored on ACTUAL keys: the scaled orders keyspace is
+        # sparse with SF-dependent per-replica gaps, so any guessed
+        # range can land on pure gap (measured 0 matched rows twice) —
+        # instead take the smallest surviving key >= cut and a short
+        # window after it (>= 1 row by construction)
+        lo2 = (
+            orders.filter(F.col("o_orderkey") >= cut)
+            .agg(F.min("o_orderkey"))
+            .first()[0]
+        )
+        hi2 = lo2 + max(1, step // 20)
         t0 = time.time()
         dv_n = delete_from_delta(
             spark,
