@@ -2456,10 +2456,10 @@ def test_table_features_protocol_v3_v7(spark, tmp_path):
         write_delta(spark, spark.range(1).select("id"), tbl)
 
     # unsupported READER feature: even the snapshot refuses
-    # (deletionVectors and v2Checkpoint both moved to the SUPPORTED
-    # list in round 11 — typeWidening stands in as a reader feature
-    # this engine does not have)
-    tbl2 = str(tmp_path / "tw")
+    # (deletionVectors, v2Checkpoint and typeWidening all moved to
+    # the SUPPORTED list in round 11 — variantType stands in as a
+    # reader feature this engine does not have)
+    tbl2 = str(tmp_path / "vt")
     write_delta(spark, spark.range(2).select("id"), tbl2)
     _publish_commit(
         tbl2,
@@ -2470,13 +2470,13 @@ def test_table_features_protocol_v3_v7(spark, tmp_path):
                 "protocol": {
                     "minReaderVersion": 3,
                     "minWriterVersion": 7,
-                    "readerFeatures": ["typeWidening"],
-                    "writerFeatures": ["typeWidening"],
+                    "readerFeatures": ["variantType"],
+                    "writerFeatures": ["variantType"],
                 }
             },
         ],
     )
-    with pytest.raises(NotImplementedError, match="typeWidening"):
+    with pytest.raises(NotImplementedError, match="variantType"):
         read_delta(spark, tbl2).count()
 
 
@@ -2970,3 +2970,124 @@ def test_v2_checkpoint_read(spark, tmp_path):
     # v2Checkpoint writer requirement -> mutation refused, read fine
     with pytest.raises(NotImplementedError, match="v2Checkpoint"):
         write_delta(spark, spark.range(1).select("id"), t)
+
+
+def test_type_widening_read(spark, tmp_path):
+    """typeWidening (reader feature): a foreign table whose files
+    carry NARROWER physical types than the logical schema (int32
+    under long, float under double) reads correctly through BOTH
+    paths — the native scan (Spark's parquet reader upcasts under
+    the declared schema) and the Data Source (pyarrow cast)."""
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    from value_at_risk_spark.sources.delta_datasource import (
+        register_deltalog_source,
+    )
+    from value_at_risk_spark.sources.deltalog import commit_staged_adds
+
+    register_deltalog_source(spark)
+    t = str(tmp_path / "tw")
+    os.makedirs(t)
+    pq.write_table(
+        pa.table(
+            {
+                "id": pa.array(range(10), type=pa.int32()),
+                "v": pa.array(
+                    [float(i) for i in range(10)], type=pa.float32()
+                ),
+            }
+        ),
+        os.path.join(t, "part-0.parquet"),
+    )
+    st = os.stat(os.path.join(t, "part-0.parquet"))
+    commit_staged_adds(
+        t,
+        [
+            {
+                "add": {
+                    "path": "part-0.parquet",
+                    "partitionValues": {},
+                    "size": st.st_size,
+                    "modificationTime": int(st.st_mtime * 1000),
+                    "dataChange": True,
+                }
+            }
+        ],
+        spark.createDataFrame([], "id long, v double").schema,
+    )
+    # declare the feature the way a foreign widening writer would
+    from value_at_risk_spark.sources.deltalog import _publish_commit
+
+    _publish_commit(
+        t,
+        1,
+        [
+            {"commitInfo": {"timestamp": 0, "operation": "UPGRADE"}},
+            {
+                "protocol": {
+                    "minReaderVersion": 3,
+                    "minWriterVersion": 7,
+                    "readerFeatures": ["typeWidening"],
+                    "writerFeatures": ["typeWidening"],
+                }
+            },
+        ],
+    )
+    out = read_delta(spark, t)
+    assert out.schema["id"].dataType.simpleString() == "bigint"
+    got = out.agg(F.sum("id"), F.sum("v")).first()
+    assert (got[0], got[1]) == (45, 45.0)
+    ds = spark.read.format("deltalog").load(t)
+    assert ds.count() == 10
+    assert ds.agg(F.sum("id")).first()[0] == 45
+
+
+def test_streaming_cdf_dv_delete_and_tip_start(spark, tmp_path):
+    """The streaming CDF source streams a merge-on-read DELETE's cdc
+    rows, and a stream whose startingVersion equals the tip drains
+    empty instead of erroring (the degenerate same-offset range)."""
+    from value_at_risk_spark.sources.delta_datasource import (
+        register_deltalog_source,
+    )
+    from value_at_risk_spark.sources.deltalog import delete_from_delta
+
+    register_deltalog_source(spark)
+    t = str(tmp_path / "sc")
+    write_delta(
+        spark,
+        spark.range(100).select("id", (F.col("id") % 5).alias("g")),
+        t,
+        configuration={
+            "delta.enableDeletionVectors": "true",
+            "delta.enableChangeDataFeed": "true",
+        },
+    )
+    delete_from_delta(spark, t, "g = 2")
+    q = (
+        spark.readStream.format("deltalog")
+        .option("readChangeFeed", "true")
+        .option("startingVersion", "0")
+        .load(t)
+        .writeStream.format("memory")
+        .queryName("cdf_dv_a")
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(120)
+    rows = spark.sql(
+        "select _change_type, count(*) c from cdf_dv_a group by 1"
+    ).collect()
+    assert sorted((r[0], r.c) for r in rows) == [("delete", 20)]
+    q2 = (
+        spark.readStream.format("deltalog")
+        .option("readChangeFeed", "true")
+        .option("startingVersion", "1")
+        .load(t)
+        .writeStream.format("memory")
+        .queryName("cdf_dv_b")
+        .trigger(availableNow=True)
+        .start()
+    )
+    q2.awaitTermination(120)
+    assert spark.sql("select count(*) c from cdf_dv_b").first().c == 0

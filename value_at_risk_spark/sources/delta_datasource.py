@@ -668,6 +668,10 @@ class _DeltaStreamReader(SimpleDataSourceStreamReader):
         return _added_files_between(self._path, start_v, end_v)
 
     def _rows_for_cdf(self, start_v: int, end_v: int) -> Iterator[Tuple]:
+        if end_v <= start_v:
+            # degenerate same-offset range (e.g. availableNow with
+            # startingVersion == tip): nothing to emit, not an error
+            return
         names = [f.name for f in self._schema.fields]
         for part in _cdf_partitions_for_range(
             self._path, start_v + 1, end_v

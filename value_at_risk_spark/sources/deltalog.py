@@ -377,6 +377,14 @@ _SUPPORTED_READER_FEATURES = frozenset(
         # v2 checkpoint WRITES refuses mutation rather than regressing
         # its checkpoint form
         "v2Checkpoint",
+        # widened logical schemas over narrower physical files: both
+        # scan paths read under the DECLARED schema (Spark's parquet
+        # reader / pyarrow cast upcast int->long, float->double, ...);
+        # a widening neither can express fails LOUDLY at scan, never
+        # silently misreads. Absent from the writer set (ALTER COLUMN
+        # TYPE is not implemented).
+        "typeWidening",
+        "typeWidening-preview",
     }
 )
 _SUPPORTED_WRITER_FEATURES = frozenset(
