@@ -882,8 +882,12 @@ def _scan_files_meta(
 # below this many deleted rows the (file, row_index) pairs broadcast
 # as a JVM-side anti-join (whole-stage codegen, no Python in the scan);
 # above it, the roaring bitmaps broadcast instead (8 B/row vs
-# pair-rows) and an Arrow-batched searchsorted UDF applies them
-_DV_ANTI_JOIN_MAX_ROWS = 4_000_000
+# pair-rows) and an Arrow-batched searchsorted UDF applies them.
+# Measured crossover (tools/perf_dv_read.py, 6M-row table): the
+# anti-join's pair-frame + broadcast cost grows with DELETED count
+# (10.1 s at 2.4M pairs) while the bitmap UDF stays flat (~2-3 s at
+# any fraction), so the threshold sits where the pair plan still wins
+_DV_ANTI_JOIN_MAX_ROWS = 500_000
 
 
 def _dv_keep_filter(
@@ -915,12 +919,27 @@ def _dv_keep_filter(
         ] = dvmod.read_dv(path, desc)
     total = sum(len(v) for v in by_path.values())
     if total <= _DV_ANTI_JOIN_MAX_ROWS:
+        import numpy as np
+
+        # Arrow path, not a Python row list: the pair frame is the
+        # dominant driver cost at large deleted counts
         deleted = spark.createDataFrame(
-            [
-                (p, int(ri))
-                for p, arr in sorted(by_path.items())
-                for ri in arr
-            ],
+            pd.DataFrame(
+                {
+                    "__dv_key": np.repeat(
+                        np.array(sorted(by_path), dtype=object),
+                        [len(by_path[p]) for p in sorted(by_path)],
+                    ),
+                    "__dv_ri": np.concatenate(
+                        [
+                            by_path[p].astype(np.int64)
+                            for p in sorted(by_path)
+                        ]
+                    )
+                    if by_path
+                    else np.empty(0, dtype=np.int64),
+                }
+            ),
             "__dv_key string, __dv_ri bigint",
         )
         # normalize _metadata.file_path (a percent-encoded file: URI)
