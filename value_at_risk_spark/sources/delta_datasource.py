@@ -279,10 +279,19 @@ class _DeltaCdfBatchReader(DataSourceReader):
             )
         ev = options.get("endingversion") or options.get("endingVersion")
         versions = delta_versions(self._path)
+        if not versions:
+            raise ValueError(
+                f"deltalog: not a delta table (no _delta_log commits) "
+                f"at {self._path}"
+            )
         self._from_v = int(sv)
         self._to_v = int(ev) if ev is not None else versions[-1]
         self._schema = schema
-        self._partition_columns = snapshot(self._path).partition_columns
+        # partition layout AT THE END OF THE RANGE being read, not the
+        # tip: a later repartitioning must not re-shape older changes
+        self._partition_columns = snapshot(
+            self._path, version=min(self._to_v, versions[-1])
+        ).partition_columns
 
     def partitions(self):
         return _cdf_partitions_for_range(

@@ -911,12 +911,23 @@ def _dv_keep_filter(
     from value_at_risk_spark.sources import dv as dvmod
 
     # keyed by normalized ABSOLUTE path — partitioned writes reuse one
-    # basename across partition dirs, so basenames are not unique here
+    # basename across partition dirs, so basenames are not unique here;
+    # abspath so a caller's relative table path can't diverge from the
+    # absolute file: URI in _metadata.file_path
+    apath = os.path.abspath(path)
     by_path: dict[str, "object"] = {}
     for rel, desc in dvm.items():
-        by_path[
-            os.path.normpath(os.path.join(path, unquote(rel)))
-        ] = dvmod.read_dv(path, desc)
+        key = os.path.normpath(os.path.join(apath, unquote(rel)))
+        if not os.path.exists(key):
+            # a DV'd file whose driver key resolves nowhere would fail
+            # OPEN in the anti-join (mismatched keys keep every row,
+            # silently resurrecting deleted rows) — fail LOUD instead
+            raise ValueError(
+                f"deletion vector references data file {key!r} that "
+                "does not exist under the table root — path "
+                "normalization mismatch or corrupted log"
+            )
+        by_path[key] = dvmod.read_dv(path, desc)
     total = sum(len(v) for v in by_path.values())
     if total <= _DV_ANTI_JOIN_MAX_ROWS:
         import numpy as np
@@ -943,9 +954,18 @@ def _dv_keep_filter(
             "__dv_key string, __dv_ri bigint",
         )
         # normalize _metadata.file_path (a percent-encoded file: URI)
-        # to the driver's absolute-path key, all JVM-side
+        # to the driver's absolute-path key, all JVM-side. url_decode
+        # is x-www-form-urlencoded ('+' -> space) while the driver
+        # keys use percent-only unquote ('+' preserved) — re-escape
+        # literal '+' first so both sides decode identically and a
+        # partition value containing '+' can't silently resurrect
+        # DV-deleted rows via a failed-open key mismatch
         key = F.url_decode(
-            F.regexp_replace(F.col("__dv_fp"), "^file:/+", "/")
+            F.regexp_replace(
+                F.regexp_replace(F.col("__dv_fp"), "^file:/+", "/"),
+                r"\+",
+                "%2B",
+            )
         )
         return (
             df.withColumn("__dv_key", key)
@@ -1118,21 +1138,30 @@ def _publish_commit(path: str, version: int, actions: list[dict]) -> bool:
     enabled = _ict_enabled_for_commit(path, version, actions)
     if enabled:
         stamped = False
+        out: list[dict] = []
         for a in actions:
             ci = a.get("commitInfo")
-            if ci is not None:
+            if ci is not None and not stamped:
                 pre = ci.get("inCommitTimestamp")
                 # an explicitly pre-set value (enablement provenance:
                 # the SAME number must land in the commit AND the
                 # metaData properties) is honored verbatim, floored
                 # only by monotonicity — NOT re-read from the wall
-                # clock, which may have ticked since the caller chose
+                # clock, which may have ticked since the caller chose.
+                # 'is not None', not truthiness: an explicit 0 preset
+                # must not be silently replaced by the wall clock. Stamp
+                # a COPY — a failed attempt must not leak a stale stamp
+                # into the caller's reused action objects.
+                ci = dict(ci)
                 ci["inCommitTimestamp"] = max(
-                    int(pre) if pre else int(time.time() * 1000),
+                    int(pre) if pre is not None else int(time.time() * 1000),
                     _ict_floor(path, version),
                 )
+                a = dict(a)
+                a["commitInfo"] = ci
                 stamped = True
-                break
+            out.append(a)
+        actions = out
         if not stamped:
             ict = _next_ict(path, version)
             actions = [
@@ -2007,8 +2036,8 @@ def commit_staged_adds(
     invariant, exactly what the protocol's writer version exists to
     prevent."""
     part_cols = list(part_cols or [])
-    if delta_versions(path):
-        snap0 = snapshot(path)
+
+    def _validate_tip(snap0: "DeltaSnapshot") -> None:
         _refuse_mapped_write(snap0, "staged write")
         _refuse_high_writer_version(snap0, "staged write")
         wv = int(snap0.protocol.get("minWriterVersion", 2) or 2)
@@ -2036,10 +2065,20 @@ def commit_staged_adds(
                 )
         if mode == "overwrite":
             _refuse_append_only(snap0, "overwrite")
+
     now_ms = int(time.time() * 1000)
+    validated_version: int | None = None
     for _attempt in range(64):
         versions = delta_versions(path)
         version = (versions[-1] + 1) if versions else 0
+        if versions and validated_version != versions[-1]:
+            # re-validate against the CURRENT tip on every (re)try:
+            # the protocol's conflict rules treat concurrent metaData /
+            # protocol changes (ADD CONSTRAINT, appendOnly, upgrades)
+            # as conflicting with every transaction — a retry that
+            # kept the pre-loop validation would publish unchecked data
+            _validate_tip(snapshot(path))
+            validated_version = versions[-1]
         if expected_version is not None and version != expected_version + 1:
             raise DeltaConcurrentModification(
                 f"write_delta: expected tip v{expected_version}, "

@@ -124,10 +124,13 @@ def serialize_roaring32(values: np.ndarray) -> bytes:
 def deserialize_roaring32(buf: bytes, pos: int = 0) -> tuple[np.ndarray, int]:
     """Portable bytes -> (sorted uint32 values, next offset). Accepts
     both cookies, including run containers."""
-    (cookie,) = struct.unpack_from("<i", buf, pos)
+    # unsigned: a run-format bitmap with >= 0x8001 containers packs a
+    # container count into the cookie's high 16 bits; a signed '<i'
+    # read would shift-extend the sign and derive a negative count
+    (cookie,) = struct.unpack_from("<I", buf, pos)
     run_flags = None
     if (cookie & 0xFFFF) == _SERIAL_COOKIE:
-        n = (cookie >> 16) + 1
+        n = ((cookie >> 16) & 0xFFFF) + 1
         pos += 4
         nbytes = (n + 7) // 8
         run_flags = np.unpackbits(
@@ -137,7 +140,7 @@ def deserialize_roaring32(buf: bytes, pos: int = 0) -> tuple[np.ndarray, int]:
         pos += nbytes
         has_offsets = n >= _NO_OFFSET_THRESHOLD
     elif cookie == _SERIAL_COOKIE_NO_RUN:
-        (n,) = struct.unpack_from("<i", buf, pos + 4)
+        (n,) = struct.unpack_from("<I", buf, pos + 4)
         pos += 8
         has_offsets = True
     else:
