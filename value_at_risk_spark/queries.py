@@ -13760,51 +13760,86 @@ def net_dollar_retention(spark: SparkSession, sf_dir: str) -> DataFrame:
 # environment lacks: JSON commit log, atomic hard-link publish,
 # checkpoints, version time travel, Hive-partitioned layout.
 
-_DELTA_SCRATCH: dict[str, str] = {}
+def _scratch_delta_table(
+    kind: str, sf_dir: str, recipe: str, build: Callable[[str], None]
+) -> str:
+    """Atomic build-or-load for the native-delta demo tables the gate
+    queries read. The table lands under a DETERMINISTIC content-keyed
+    path ({tmp}/vars_delta_scratch_cache/{kind}_{md5}) through
+    annindex.ensure_index: ``build`` runs the FULL commit sequence
+    (create + appends + DML) into a pid-keyed staging dir, which is
+    atomically renamed into place only when complete — so a concurrent
+    or re-entrant evaluation can never observe a half-mutated table
+    (the r11 gate flake: the old per-process mkdtemp memo let a second
+    evaluation read mid-mutation). ``recipe`` fingerprints the build
+    steps, so editing a builder invalidates prior cached tables
+    instead of silently reusing stale semantics. No atexit rmtree —
+    a published table may be shared by a sibling process; instead
+    siblings untouched for >6h are grace-GC'd here."""
+    import hashlib
+    import os
+    import shutil
+    import tempfile
+    import time as _time
+
+    from value_at_risk_spark.operators.annindex import ensure_index
+
+    root = os.path.join(tempfile.gettempdir(), "vars_delta_scratch_cache")
+    digest = hashlib.md5(
+        f"{kind}|{os.path.abspath(sf_dir)}|{recipe}".encode()
+    ).hexdigest()[:16]
+    base = os.path.join(root, f"{kind}_{digest}")
+    out = ensure_index(base, build)
+    try:
+        cutoff = _time.time() - 6 * 3600
+        for d in os.listdir(root):
+            p = os.path.join(root, d)
+            if (
+                p != base
+                and ".staging." not in d
+                and os.path.getmtime(p) < cutoff
+            ):
+                shutil.rmtree(p, ignore_errors=True)
+    except OSError:
+        pass
+    return out
 
 
 def _delta_demo_table(spark: SparkSession, sf_dir: str) -> str:
-    """Session-scoped native Delta table built deterministically from
-    the customer fixture: v0 = even custkeys (partitioned by
-    mktsegment), v1 = append odd custkeys, then a checkpoint — so
-    every later read exercises checkpoint + tail replay. Built once
-    per (process, sf_dir); content is a pure function of the fixture,
-    and the table dir outlives the returned lazy frames (same
-    session-scoped scratch + atexit pattern as streaming_cdc_apply)."""
-    if sf_dir in _DELTA_SCRATCH:
-        return _DELTA_SCRATCH[sf_dir]
-    import atexit
-    import shutil
-    import tempfile
+    """Native Delta table built deterministically from the customer
+    fixture: v0 = even custkeys (partitioned by mktsegment), v1 =
+    append odd custkeys, then a checkpoint — so every later read
+    exercises checkpoint + tail replay. Content is a pure function of
+    the fixture; cached through the atomic build-or-load scratch."""
 
-    from value_at_risk_spark.sources.deltalog import (
-        checkpoint_delta,
-        optimize_delta,
-        write_delta,
-    )
+    def build(tbl: str) -> None:
+        from value_at_risk_spark.sources.deltalog import (
+            checkpoint_delta,
+            optimize_delta,
+            write_delta,
+        )
 
-    tbl = tempfile.mkdtemp(prefix="vars_delta_demo_")
-    shutil.rmtree(tbl, ignore_errors=True)  # write_delta creates v0 fresh
-    atexit.register(shutil.rmtree, tbl, ignore_errors=True)
-    cust = _t(spark, sf_dir, "customer").select(
-        "c_custkey", "c_mktsegment", "c_acctbal"
+        cust = _t(spark, sf_dir, "customer").select(
+            "c_custkey", "c_mktsegment", "c_acctbal"
+        )
+        write_delta(
+            spark,
+            cust.filter(F.col("c_custkey") % 2 == 0),
+            tbl,
+            partition_by=["c_mktsegment"],
+        )
+        write_delta(spark, cust.filter(F.col("c_custkey") % 2 == 1), tbl)
+        # OPTIMIZE ZORDER (reference 03_var_monte_carlo.py:162) as v2 —
+        # dataChange=false, so the gate oracle additionally proves the
+        # clustered rewrite loses nothing
+        optimize_delta(
+            spark, tbl, zorder_by=["c_custkey", "c_acctbal"], target_files=4
+        )
+        checkpoint_delta(tbl)
+
+    return _scratch_delta_table(
+        "demo", sf_dir, "customer even/odd + zorder + checkpoint v1", build
     )
-    write_delta(
-        spark,
-        cust.filter(F.col("c_custkey") % 2 == 0),
-        tbl,
-        partition_by=["c_mktsegment"],
-    )
-    write_delta(spark, cust.filter(F.col("c_custkey") % 2 == 1), tbl)
-    # OPTIMIZE ZORDER (reference 03_var_monte_carlo.py:162) as v2 —
-    # dataChange=false, so the gate oracle additionally proves the
-    # clustered rewrite loses nothing
-    optimize_delta(
-        spark, tbl, zorder_by=["c_custkey", "c_acctbal"], target_files=4
-    )
-    checkpoint_delta(tbl)
-    _DELTA_SCRATCH[sf_dir] = tbl
-    return tbl
 
 
 @query(
@@ -14073,55 +14108,47 @@ def delta_incremental_scan(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-_DELTA_DML_SCRATCH: dict[str, str] = {}
-
-
 def _delta_dml_table(spark: SparkSession, sf_dir: str) -> str:
-    """Session-scoped native Delta table exercising the DML surface,
-    built deterministically from the orders fixture: v0 = even
-    orderkeys (partitioned by o_orderstatus), v1 = append odd, v2 =
-    DELETE WHERE o_totalprice < 50000 (file-level copy-on-write), v3 =
-    UPDATE o_totalprice *= 2 WHERE o_orderpriority = '1-URGENT'. Both
+    """Native Delta table exercising the DML surface, built
+    deterministically from the orders fixture: v0 = even orderkeys
+    (partitioned by o_orderstatus), v1 = append odd, v2 = DELETE WHERE
+    o_totalprice < 50000 (file-level copy-on-write), v3 = UPDATE
+    o_totalprice *= 2 WHERE o_orderpriority = '1-URGENT'. Both
     mutations are pure functions of the fixture, so DuckDB can
-    recompute the final state from the original parquet. Cached per
-    (process, sf_dir); same scratch + atexit pattern as
-    _delta_demo_table."""
-    if sf_dir in _DELTA_DML_SCRATCH:
-        return _DELTA_DML_SCRATCH[sf_dir]
-    import atexit
-    import shutil
-    import tempfile
+    recompute the final state from the original parquet. Published
+    atomically (_scratch_delta_table) — no reader can see the table
+    between v2 and v3."""
 
-    from value_at_risk_spark.sources.deltalog import (
-        delete_from_delta,
-        update_delta,
-        write_delta,
-    )
+    def build(tbl: str) -> None:
+        from value_at_risk_spark.sources.deltalog import (
+            delete_from_delta,
+            update_delta,
+            write_delta,
+        )
 
-    tbl = tempfile.mkdtemp(prefix="vars_delta_dml_")
-    shutil.rmtree(tbl, ignore_errors=True)
-    atexit.register(shutil.rmtree, tbl, ignore_errors=True)
-    orders = _t(spark, sf_dir, "orders").select(
-        "o_orderkey", "o_orderstatus", "o_orderpriority", "o_totalprice"
+        orders = _t(spark, sf_dir, "orders").select(
+            "o_orderkey", "o_orderstatus", "o_orderpriority", "o_totalprice"
+        )
+        write_delta(
+            spark,
+            orders.filter(F.col("o_orderkey") % 2 == 0),
+            tbl,
+            partition_by=["o_orderstatus"],
+        )
+        write_delta(spark, orders.filter(F.col("o_orderkey") % 2 == 1), tbl)
+        delete_from_delta(spark, tbl, "o_totalprice < 50000.0")
+        # *2 is exact in binary floating point — no cross-engine
+        # rounding grid to manage on the product itself
+        update_delta(
+            spark,
+            tbl,
+            "o_orderpriority = '1-URGENT'",
+            {"o_totalprice": "o_totalprice * 2"},
+        )
+
+    return _scratch_delta_table(
+        "dml", sf_dir, "orders even/odd + del<50000 + upd urgent*2", build
     )
-    write_delta(
-        spark,
-        orders.filter(F.col("o_orderkey") % 2 == 0),
-        tbl,
-        partition_by=["o_orderstatus"],
-    )
-    write_delta(spark, orders.filter(F.col("o_orderkey") % 2 == 1), tbl)
-    delete_from_delta(spark, tbl, "o_totalprice < 50000.0")
-    # *2 is exact in binary floating point — no cross-engine rounding
-    # grid to manage on the product itself
-    update_delta(
-        spark,
-        tbl,
-        "o_orderpriority = '1-URGENT'",
-        {"o_totalprice": "o_totalprice * 2"},
-    )
-    _DELTA_DML_SCRATCH[sf_dir] = tbl
-    return tbl
 
 
 @query(
@@ -14193,55 +14220,50 @@ def delta_dml_time_travel(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-_DELTA_DV_SCRATCH: dict[str, str] = {}
-
-
 def _delta_dv_table(spark: SparkSession, sf_dir: str, purged: bool) -> str:
-    """Session-scoped DV-enabled native Delta table: v0 = even
-    orderkeys partitioned by o_orderstatus (delta.enableDeletionVectors
-    set at creation), v1 = append odd, v2 = merge-on-read DELETE
-    (o_totalprice < 50000: bitmaps committed, zero files rewritten),
-    v3 = second DV DELETE (o_orderpriority = '5-LOW': bitmap UNION on
-    already-DV'd files). The ``purged`` variant additionally runs
-    REORG APPLY (PURGE) to materialize every bitmap — same logical
-    rows, no descriptors left. Both mutations are pure functions of
-    the orders fixture, so DuckDB recomputes the final state from the
-    original parquet."""
-    key = f"dv:{purged}:{sf_dir}"
-    if key in _DELTA_DV_SCRATCH:
-        return _DELTA_DV_SCRATCH[key]
-    import atexit
-    import shutil
-    import tempfile
+    """DV-enabled native Delta table: v0 = even orderkeys partitioned
+    by o_orderstatus (delta.enableDeletionVectors set at creation),
+    v1 = append odd, v2 = merge-on-read DELETE (o_totalprice < 50000:
+    bitmaps committed, zero files rewritten), v3 = second DV DELETE
+    (o_orderpriority = '5-LOW': bitmap UNION on already-DV'd files).
+    The ``purged`` variant additionally runs REORG APPLY (PURGE) to
+    materialize every bitmap — same logical rows, no descriptors left.
+    Both mutations are pure functions of the orders fixture, so DuckDB
+    recomputes the final state from the original parquet. Published
+    atomically via _scratch_delta_table."""
 
-    from value_at_risk_spark.sources.deltalog import (
-        delete_from_delta,
-        purge_deletion_vectors,
-        write_delta,
-    )
+    def build(tbl: str) -> None:
+        from value_at_risk_spark.sources.deltalog import (
+            delete_from_delta,
+            purge_deletion_vectors,
+            write_delta,
+        )
 
-    tbl = tempfile.mkdtemp(prefix="vars_delta_dv_")
-    shutil.rmtree(tbl, ignore_errors=True)
-    atexit.register(shutil.rmtree, tbl, ignore_errors=True)
-    orders = _t(spark, sf_dir, "orders").select(
-        "o_orderkey", "o_orderstatus", "o_orderpriority", "o_totalprice"
+        orders = _t(spark, sf_dir, "orders").select(
+            "o_orderkey", "o_orderstatus", "o_orderpriority", "o_totalprice"
+        )
+        write_delta(
+            spark,
+            orders.filter(F.col("o_orderkey") % 2 == 0),
+            tbl,
+            partition_by=["o_orderstatus"],
+            configuration={"delta.enableDeletionVectors": "true"},
+        )
+        write_delta(spark, orders.filter(F.col("o_orderkey") % 2 == 1), tbl)
+        r1 = delete_from_delta(spark, tbl, "o_totalprice < 50000.0")
+        r2 = delete_from_delta(spark, tbl, "o_orderpriority = '5-LOW'")
+        # the point of the fixture: merge-on-read rewrote NOTHING
+        assert r1["files_rewritten"] == 0 and r2["files_rewritten"] == 0
+        if purged:
+            purge_deletion_vectors(spark, tbl)
+
+    return _scratch_delta_table(
+        f"dv{'p' if purged else ''}",
+        sf_dir,
+        "orders even/odd dv del<50000 + del 5-LOW"
+        + (" + purge" if purged else ""),
+        build,
     )
-    write_delta(
-        spark,
-        orders.filter(F.col("o_orderkey") % 2 == 0),
-        tbl,
-        partition_by=["o_orderstatus"],
-        configuration={"delta.enableDeletionVectors": "true"},
-    )
-    write_delta(spark, orders.filter(F.col("o_orderkey") % 2 == 1), tbl)
-    r1 = delete_from_delta(spark, tbl, "o_totalprice < 50000.0")
-    r2 = delete_from_delta(spark, tbl, "o_orderpriority = '5-LOW'")
-    # the point of the fixture: merge-on-read rewrote NOTHING
-    assert r1["files_rewritten"] == 0 and r2["files_rewritten"] == 0
-    if purged:
-        purge_deletion_vectors(spark, tbl)
-    _DELTA_DV_SCRATCH[key] = tbl
-    return tbl
 
 
 _DELTA_DV_ORACLE = """
@@ -14326,10 +14348,7 @@ def delta_ict_timestamp_travel(spark: SparkSession, sf_dir: str) -> DataFrame:
     commit wrote. Proves the monotonic log-internal clock, not the
     filesystem, resolves time travel
     (sources/deltalog._publish_commit/_next_ict/version_at_timestamp)."""
-    import atexit
     import json as _json
-    import shutil
-    import tempfile
 
     from value_at_risk_spark.sources.deltalog import (
         _commit_path,
@@ -14337,12 +14356,9 @@ def delta_ict_timestamp_travel(spark: SparkSession, sf_dir: str) -> DataFrame:
         write_delta,
     )
 
-    key = f"ict:{sf_dir}"
-    tbl = _DELTA_DML_SCRATCH.get(key)
-    if tbl is None:
-        tbl = tempfile.mkdtemp(prefix="vars_delta_ict_")
-        shutil.rmtree(tbl, ignore_errors=True)
-        atexit.register(shutil.rmtree, tbl, ignore_errors=True)
+    def build(tbl: str) -> None:
+        import os as _os
+
         orders = _t(spark, sf_dir, "orders").select(
             "o_orderkey", "o_orderstatus", "o_totalprice"
         )
@@ -14353,11 +14369,12 @@ def delta_ict_timestamp_travel(spark: SparkSession, sf_dir: str) -> DataFrame:
             configuration={"delta.enableInCommitTimestamps": "true"},
         )
         write_delta(spark, orders.filter(F.col("o_orderkey") % 2 == 1), tbl)
-        import os as _os
-
         for v in (0, 1):
             _os.utime(_commit_path(tbl, v), (0, 0))
-        _DELTA_DML_SCRATCH[key] = tbl
+
+    tbl = _scratch_delta_table(
+        "ict", sf_dir, "orders even/odd ict, commit mtimes zeroed", build
+    )
     with open(_commit_path(tbl, 0)) as fh:
         ict0 = next(
             _json.loads(line)["commitInfo"]["inCommitTimestamp"]
@@ -14397,22 +14414,13 @@ def delta_clustered_scan(spark: SparkSession, sf_dir: str) -> DataFrame:
     is what makes the file skipping effective; the value hash proves
     pruning dropped no qualifying row
     (sources/deltalog.set_domain_metadata/table_clustering_columns)."""
-    import atexit
-    import shutil
-    import tempfile
-
     from value_at_risk_spark.sources.deltalog import (
         optimize_delta,
         read_delta,
         write_delta,
     )
 
-    key = f"clustered:{sf_dir}"
-    tbl = _DELTA_DML_SCRATCH.get(key)
-    if tbl is None:
-        tbl = tempfile.mkdtemp(prefix="vars_delta_cl_")
-        shutil.rmtree(tbl, ignore_errors=True)
-        atexit.register(shutil.rmtree, tbl, ignore_errors=True)
+    def build(tbl: str) -> None:
         li = _t(spark, sf_dir, "lineitem").select(
             "l_orderkey", "l_quantity", "l_extendedprice"
         )
@@ -14423,7 +14431,10 @@ def delta_clustered_scan(spark: SparkSession, sf_dir: str) -> DataFrame:
             cluster_by=["l_quantity", "l_extendedprice"],
         )
         optimize_delta(spark, tbl, target_files=8)
-        _DELTA_DML_SCRATCH[key] = tbl
+
+    tbl = _scratch_delta_table(
+        "clustered", sf_dir, "lineitem cluster_by qty/price opt8", build
+    )
     return (
         read_delta(
             spark,
@@ -14441,9 +14452,6 @@ def delta_clustered_scan(spark: SparkSession, sf_dir: str) -> DataFrame:
             ),
         )
     )
-
-
-_DELTA_IDENTITY_SCRATCH: dict[str, str] = {}
 
 
 @query(
@@ -14470,16 +14478,7 @@ def delta_identity_scan(spark: SparkSession, sf_dir: str) -> DataFrame:
         write_delta,
     )
 
-    key = f"identity:{sf_dir}"
-    tbl = _DELTA_IDENTITY_SCRATCH.get(key)
-    if tbl is None:
-        import atexit
-        import shutil
-        import tempfile
-
-        tbl = tempfile.mkdtemp(prefix="vars_delta_id_")
-        shutil.rmtree(tbl, ignore_errors=True)
-        atexit.register(shutil.rmtree, tbl, ignore_errors=True)
+    def build(tbl: str) -> None:
         orders = _t(spark, sf_dir, "orders").select(
             "o_orderkey", "o_orderstatus", "o_totalprice"
         )
@@ -14490,7 +14489,10 @@ def delta_identity_scan(spark: SparkSession, sf_dir: str) -> DataFrame:
             identity_columns={"rid": {"start": 100, "step": 3}},
         )
         write_delta(spark, orders, tbl)
-        _DELTA_IDENTITY_SCRATCH[key] = tbl
+
+    tbl = _scratch_delta_table(
+        "identity", sf_dir, "orders x2 identity rid 100+3k", build
+    )
     return read_delta(spark, tbl).agg(
         F.count(F.lit(1)).alias("n_rows"),
         F.countDistinct("rid").alias("n_ids"),
@@ -14633,22 +14635,14 @@ def delta_datasource_write_scan(
     the partition encoding, and the metadata-only commit lose nothing
     (sources/delta_datasource._DeltaBatchWriter). Scratch is
     session-scoped (atexit), a pure function of the fixture."""
-    import atexit
-    import shutil
-    import tempfile
-
     from value_at_risk_spark.sources.delta_datasource import (
         register_deltalog_source,
     )
     from value_at_risk_spark.sources.deltalog import read_delta
 
     register_deltalog_source(spark)
-    key = ("_dsw", sf_dir)
-    tbl = _DELTA_DML_SCRATCH.get(key)
-    if tbl is None:
-        tbl = tempfile.mkdtemp(prefix="vars_delta_dsw_")
-        shutil.rmtree(tbl, ignore_errors=True)
-        atexit.register(shutil.rmtree, tbl, ignore_errors=True)
+
+    def build(tbl: str) -> None:
         sup = _t(spark, sf_dir, "supplier").select(
             "s_suppkey", "s_nationkey", "s_acctbal"
         )
@@ -14658,7 +14652,10 @@ def delta_datasource_write_scan(
         sup.filter(F.col("s_suppkey") % 2 == 1).write.format(
             "deltalog"
         ).mode("append").save(tbl)
-        _DELTA_DML_SCRATCH[key] = tbl
+
+    tbl = _scratch_delta_table(
+        "dsw", sf_dir, "supplier even/odd via deltalog DataSource", build
+    )
     return (
         read_delta(spark, tbl)
         .groupBy("s_nationkey")
@@ -14687,22 +14684,13 @@ def delta_constraint_scan(spark: SparkSession, sf_dir: str) -> DataFrame:
     final table equals DuckDB's full part aggregate — the constraint
     machinery admitted every valid row and nothing else
     (sources/deltalog.add_check_constraint / _check_constraints)."""
-    import atexit
-    import shutil
-    import tempfile
-
     from value_at_risk_spark.sources.deltalog import (
         add_check_constraint,
         read_delta,
         write_delta,
     )
 
-    key = ("_constraint", sf_dir)
-    tbl = _DELTA_DML_SCRATCH.get(key)
-    if tbl is None:
-        tbl = tempfile.mkdtemp(prefix="vars_delta_cons_")
-        shutil.rmtree(tbl, ignore_errors=True)
-        atexit.register(shutil.rmtree, tbl, ignore_errors=True)
+    def build(tbl: str) -> None:
         part = _t(spark, sf_dir, "part").select(
             "p_partkey", "p_brand", "p_size", "p_retailprice"
         )
@@ -14721,7 +14709,10 @@ def delta_constraint_scan(spark: SparkSession, sf_dir: str) -> DataFrame:
             )
         except ValueError:
             pass
-        _DELTA_DML_SCRATCH[key] = tbl
+
+    tbl = _scratch_delta_table(
+        "constraint", sf_dir, "part even/odd + CHECK p_size>=1", build
+    )
     return (
         read_delta(spark, tbl)
         .groupBy("p_brand")
@@ -14759,19 +14750,10 @@ def delta_sql_dml_scan(spark: SparkSession, sf_dir: str) -> DataFrame:
     delta_sql's view substitution) must equal DuckDB recomputing both
     mutations from the original parquet
     (sources/delta_sql.delta_sql)."""
-    import atexit
-    import shutil
-    import tempfile
-
     from value_at_risk_spark.sources.delta_sql import delta_sql
     from value_at_risk_spark.sources.deltalog import write_delta
 
-    key = ("_sqldml", sf_dir)
-    tbl = _DELTA_DML_SCRATCH.get(key)
-    if tbl is None:
-        tbl = tempfile.mkdtemp(prefix="vars_delta_sql_")
-        shutil.rmtree(tbl, ignore_errors=True)
-        atexit.register(shutil.rmtree, tbl, ignore_errors=True)
+    def build(tbl: str) -> None:
         write_delta(
             spark,
             _t(spark, sf_dir, "nation").select(
@@ -14785,7 +14767,10 @@ def delta_sql_dml_scan(spark: SparkSession, sf_dir: str) -> DataFrame:
             f"UPDATE delta.`{tbl}` SET n_name = UPPER(n_name) "
             "WHERE n_nationkey < 10",
         )
-        _DELTA_DML_SCRATCH[key] = tbl
+
+    tbl = _scratch_delta_table(
+        "sqldml", sf_dir, "nation sql del reg4 + upper <10", build
+    )
     return delta_sql(
         spark,
         f"""
@@ -14807,43 +14792,36 @@ def _delta_cdf_table(spark: SparkSession, sf_dir: str) -> str:
     table_changes — inserts derived from the appends' add actions,
     delete/update_preimage/update_postimage from the DML's cdc files
     (sources/deltalog: _stage_cdc / table_changes)."""
-    key = ("_cdf", sf_dir)
-    tbl = _DELTA_DML_SCRATCH.get(key)
-    if tbl is not None:
-        return tbl
-    import atexit
-    import shutil
-    import tempfile
+    def build(tbl: str) -> None:
+        from value_at_risk_spark.sources.deltalog import (
+            delete_from_delta,
+            update_delta,
+            write_delta,
+        )
 
-    from value_at_risk_spark.sources.deltalog import (
-        delete_from_delta,
-        update_delta,
-        write_delta,
-    )
+        orders = _t(spark, sf_dir, "orders").select(
+            "o_orderkey", "o_orderstatus", "o_orderpriority", "o_totalprice"
+        )
+        write_delta(
+            spark,
+            orders.filter(F.col("o_orderkey") % 2 == 0),
+            tbl,
+            partition_by=["o_orderstatus"],
+            configuration={"delta.enableChangeDataFeed": "true"},
+        )
+        write_delta(spark, orders.filter(F.col("o_orderkey") % 2 == 1), tbl)
+        delete_from_delta(spark, tbl, "o_totalprice < 50000.0")
+        update_delta(
+            spark,
+            tbl,
+            "o_orderpriority = '1-URGENT'",
+            {"o_totalprice": "o_totalprice * 2"},
+        )
 
-    tbl = tempfile.mkdtemp(prefix="vars_delta_cdf_")
-    shutil.rmtree(tbl, ignore_errors=True)
-    atexit.register(shutil.rmtree, tbl, ignore_errors=True)
-    orders = _t(spark, sf_dir, "orders").select(
-        "o_orderkey", "o_orderstatus", "o_orderpriority", "o_totalprice"
+    return _scratch_delta_table(
+        "cdf", sf_dir, "orders even/odd cdf + del<50000 + upd urgent*2",
+        build,
     )
-    write_delta(
-        spark,
-        orders.filter(F.col("o_orderkey") % 2 == 0),
-        tbl,
-        partition_by=["o_orderstatus"],
-        configuration={"delta.enableChangeDataFeed": "true"},
-    )
-    write_delta(spark, orders.filter(F.col("o_orderkey") % 2 == 1), tbl)
-    delete_from_delta(spark, tbl, "o_totalprice < 50000.0")
-    update_delta(
-        spark,
-        tbl,
-        "o_orderpriority = '1-URGENT'",
-        {"o_totalprice": "o_totalprice * 2"},
-    )
-    _DELTA_DML_SCRATCH[key] = tbl
-    return tbl
 
 
 @query(
