@@ -1667,8 +1667,9 @@ def _make_mapped_table(tmp_path) -> str:
 def test_column_mapping_name_mode_read_and_write_refusal(spark, tmp_path):
     """Foreign tables with delta.columnMapping.mode=name READ
     correctly (physical-name scan renamed to the logical schema,
-    logical filters translated, DS reader + pushdown included) and
-    every mutation path refuses them — previously such a table slipped
+    logical filters translated, DS reader + pushdown included);
+    write_delta appends through physical-name translation while every
+    OTHER mutation path refuses them — previously such a table slipped
     past the reader-version check and read silently wrong."""
     from value_at_risk_spark.sources.delta_datasource import (
         register_deltalog_source,
@@ -1699,12 +1700,18 @@ def test_column_mapping_name_mode_read_and_write_refusal(spark, tmp_path):
     assert {r.id for r in pruned.collect()} == {0, 1, 2, 3, 4}
     assert pruned.rdd.getNumPartitions() == 1  # pushdown pruned seg=1
 
-    # every mutation refuses: the table is never corrupted
+    # write_delta now APPENDS through logical->physical translation;
+    # the staged file must carry physical names and partition dirs
     frame = spark.createDataFrame(
         [(99, 0, 1.0)], "id long, seg int, v double"
     )
-    with pytest.raises(NotImplementedError, match="column mapping"):
-        write_delta(spark, frame, tbl)
+    write_delta(spark, frame, tbl)
+    after = read_delta(spark, tbl)
+    assert after.count() == 11
+    assert {r.id for r in after.filter("seg = 0").collect()} == {
+        0, 1, 2, 3, 4, 99,
+    }
+    # every DML path still refuses: those stage logical names
     with pytest.raises(NotImplementedError, match="column mapping"):
         delete_from_delta(spark, tbl, "id = 1")
     with pytest.raises(NotImplementedError, match="column mapping"):
@@ -3091,3 +3098,150 @@ def test_streaming_cdf_dv_delete_and_tip_start(spark, tmp_path):
     )
     q2.awaitTermination(120)
     assert spark.sql("select count(*) c from cdf_dv_b").first().c == 0
+
+
+def test_column_mapping_write_lifecycle(spark, tmp_path):
+    """Native column-mapping writes: CREATE with mode=name assigns
+    physical col-<uuid> names + field ids (data files and partition
+    dirs carry physical names, metadata stays logical), appends
+    translate, RENAME COLUMN is metadata-only, and the protocol lists
+    columnMapping in BOTH feature sets. Rename is refused on unmapped
+    tables and when a constraint references the column."""
+    from value_at_risk_spark.sources.deltalog import (
+        add_check_constraint,
+        rename_delta_column,
+        snapshot,
+    )
+
+    tbl = str(tmp_path / "m")
+    df = spark.createDataFrame(
+        [(i, i % 2, float(i)) for i in range(20)],
+        "id long, seg int, v double",
+    )
+    write_delta(
+        spark,
+        df.filter("id % 2 = 0"),
+        tbl,
+        partition_by=["seg"],
+        configuration={"delta.columnMapping.mode": "name"},
+    )
+    snap = snapshot(tbl)
+    assert "columnMapping" in (snap.protocol.get("readerFeatures") or [])
+    assert "columnMapping" in (snap.protocol.get("writerFeatures") or [])
+    cfg = snap.metadata["configuration"]
+    assert cfg["delta.columnMapping.maxColumnId"] == "3"
+    sch = json.loads(snap.metadata["schemaString"])
+    phys = {
+        f["name"]: f["metadata"]["delta.columnMapping.physicalName"]
+        for f in sch["fields"]
+    }
+    assert all(p.startswith("col-") for p in phys.values())
+    assert sorted(
+        f["metadata"]["delta.columnMapping.id"] for f in sch["fields"]
+    ) == [1, 2, 3]
+    # partition dirs on disk (under the staging subdir) use the
+    # PHYSICAL name; no LOGICAL-name dir exists anywhere
+    all_dirs = [
+        d for root, dirs, _f in os.walk(tbl) for d in dirs
+    ]
+    assert any(d.startswith(f"{phys['seg']}=") for d in all_dirs)
+    assert not any(d.startswith("seg=") for d in all_dirs)
+    write_delta(spark, df.filter("id % 2 = 1"), tbl)
+    got = read_delta(spark, tbl)
+    assert got.columns == ["id", "seg", "v"]
+    assert got.count() == 20
+    assert read_delta(
+        spark, tbl, partition_filters={"seg": ["1"]}
+    ).count() == 10
+
+    rename_delta_column(tbl, "v", "value")
+    after = read_delta(spark, tbl)
+    assert after.columns == ["id", "seg", "value"]
+    assert after.agg(F.sum("value")).first()[0] == sum(range(20))
+    # rename is metadata-only: no new data files vs the pre-rename set
+    pre = snapshot(tbl, version=1).files.keys()
+    assert snapshot(tbl).files.keys() == pre
+    # time travel shows the OLD logical name
+    assert read_delta(spark, tbl, version=1).columns == ["id", "seg", "v"]
+
+    with pytest.raises(ValueError, match="already exists"):
+        rename_delta_column(tbl, "id", "seg")
+    with pytest.raises(ValueError, match="no column"):
+        rename_delta_column(tbl, "nope", "x")
+    # constraint referencing the column blocks the rename
+    add_check_constraint(spark, tbl, "v_pos", "value >= 0")
+    with pytest.raises(NotImplementedError, match="referenced"):
+        rename_delta_column(tbl, "value", "v2")
+    # unmapped table refuses outright
+    plain = str(tmp_path / "plain")
+    write_delta(spark, df, plain)
+    with pytest.raises(NotImplementedError, match="column mapping"):
+        rename_delta_column(plain, "v", "value")
+    # 'id' mode creation refused
+    with pytest.raises(NotImplementedError, match="not"):
+        write_delta(
+            spark,
+            df,
+            str(tmp_path / "idm"),
+            configuration={"delta.columnMapping.mode": "id"},
+        )
+
+
+def test_widen_column_type_lifecycle(spark, tmp_path):
+    """ALTER COLUMN TYPE widening: metadata-only commit (no parquet
+    rewritten), typeWidening feature added to both protocol lists,
+    delta.typeWidening change history recorded on the field, mixed
+    narrow/wide physical files unify under the declared schema, and
+    narrowing / partition columns / unknown conversions refuse."""
+    from value_at_risk_spark.sources.deltalog import (
+        snapshot,
+        widen_column_type,
+    )
+
+    tbl = str(tmp_path / "w")
+    df = spark.createDataFrame(
+        [(i, i % 3, i * 1.5) for i in range(30)], "id int, seg int, v float"
+    ).withColumn("v", F.col("v").cast("float"))
+    write_delta(spark, df, tbl, partition_by=["seg"])
+    files_v0 = set(snapshot(tbl).files.keys())
+    widen_column_type(tbl, "id", "long")
+    widen_column_type(tbl, "v", "double")
+    snap = snapshot(tbl)
+    assert set(snap.files.keys()) == files_v0  # metadata-only
+    assert "typeWidening" in (snap.protocol.get("readerFeatures") or [])
+    assert "typeWidening" in (snap.protocol.get("writerFeatures") or [])
+    sch = json.loads(snap.metadata["schemaString"])
+    fid = next(f for f in sch["fields"] if f["name"] == "id")
+    assert fid["type"] == "long"
+    assert fid["metadata"]["delta.typeWidening"] == [
+        {"fromType": "integer", "toType": "long", "tableVersion": 1}
+    ]
+    # append stages the WIDE type; the scan unifies old+new files
+    df2 = spark.createDataFrame(
+        [(100 + i, i % 3, float(i)) for i in range(6)],
+        "id long, seg int, v double",
+    )
+    write_delta(spark, df2, tbl)
+    got = read_delta(spark, tbl)
+    assert got.schema.simpleString() == (
+        "struct<id:bigint,seg:int,v:double>"
+    )
+    assert got.count() == 36
+    assert got.agg(F.sum("id")).first()[0] == sum(range(30)) + sum(
+        range(100, 106)
+    )
+    # time travel to v0 reads the NARROW declared schema
+    assert (
+        read_delta(spark, tbl, version=0).schema["id"].dataType.simpleString()
+        == "int"
+    )
+    with pytest.raises(ValueError, match="not a supported"):
+        widen_column_type(tbl, "id", "integer")
+    with pytest.raises(NotImplementedError, match="partition"):
+        widen_column_type(tbl, "seg", "long")
+    with pytest.raises(ValueError, match="no column"):
+        widen_column_type(tbl, "nope", "long")
+    # no-op widen to the same type commits nothing
+    v = snapshot(tbl).version
+    assert widen_column_type(tbl, "id", "long") == v
+    assert snapshot(tbl).version == v

@@ -14783,6 +14783,128 @@ def delta_sql_dml_scan(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+@query(
+    "delta_mapped_write_scan",
+    """
+SELECT s_nationkey,
+       COUNT(*) AS n_suppliers,
+       ROUND(SUM(s_acctbal), 2) AS total_bal
+FROM supplier GROUP BY s_nationkey
+""",
+)
+def delta_mapped_write_scan(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Column-mapping WRITES ('name' mode), ORACLE-pinned: the table
+    is CREATED with delta.columnMapping.mode=name (physical col-<uuid>
+    names assigned at create; data files and partition dirs carry
+    physical names, metadata stays logical), a second append stages
+    through the same translation, and RENAME COLUMN s_acctbal ->
+    acct_bal lands as a metadata-only commit — the one operation
+    mapping exists to make free. Reading back (logical names, renamed
+    column aliased to the original for the twin) must equal DuckDB's
+    supplier aggregate: hash equality proves the physical staging,
+    partitionValues keyed by physical name, and the rename lost
+    nothing (sources/deltalog.write_delta l2p_write /
+    rename_delta_column)."""
+    from value_at_risk_spark.sources.deltalog import (
+        read_delta,
+        rename_delta_column,
+        write_delta,
+    )
+
+    def build(tbl: str) -> None:
+        sup = _t(spark, sf_dir, "supplier").select(
+            "s_suppkey", "s_nationkey", "s_acctbal"
+        )
+        write_delta(
+            spark,
+            sup.filter(F.col("s_suppkey") % 2 == 0),
+            tbl,
+            partition_by=["s_nationkey"],
+            configuration={"delta.columnMapping.mode": "name"},
+        )
+        write_delta(spark, sup.filter(F.col("s_suppkey") % 2 == 1), tbl)
+        rename_delta_column(tbl, "s_acctbal", "acct_bal")
+
+    tbl = _scratch_delta_table(
+        "mapped", sf_dir, "supplier even/odd mapped + rename acctbal", build
+    )
+    return (
+        read_delta(spark, tbl)
+        .groupBy("s_nationkey")
+        .agg(
+            F.count(F.lit(1)).alias("n_suppliers"),
+            (F.round(F.sum("acct_bal"), 2) + F.lit(0.0)).alias("total_bal"),
+        )
+    )
+
+
+@query(
+    "delta_widen_scan",
+    """
+SELECT p_brand,
+       COUNT(*) AS n_parts,
+       CAST(SUM(CAST(p_size AS BIGINT)) AS BIGINT) AS total_size,
+       ROUND(SUM(CAST(CAST(p_retailprice AS REAL) AS DOUBLE)), 2)
+         AS total_price
+FROM part GROUP BY p_brand
+""",
+)
+def delta_widen_scan(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ALTER COLUMN TYPE widening, ORACLE-pinned: the table is created
+    with NARROW types (p_size int32, p_retailprice float32), widened
+    to long/double by two METADATA-ONLY commits (no parquet touched;
+    protocol gains the typeWidening reader+writer feature), then a
+    second append stages the WIDE types the schema now declares. The
+    scan reads old narrow files and new wide files under ONE declared
+    schema; DuckDB recomputes the same values by casting the fixture
+    through the identical narrow grid (REAL == float32), so hash
+    equality proves the upcast is lossless and the mixed-physical-type
+    file set unifies correctly (sources/deltalog.widen_column_type)."""
+    from value_at_risk_spark.sources.deltalog import (
+        read_delta,
+        widen_column_type,
+        write_delta,
+    )
+
+    def build(tbl: str) -> None:
+        part = (
+            _t(spark, sf_dir, "part")
+            .select("p_partkey", "p_brand", "p_size", "p_retailprice")
+            .withColumn("p_size", F.col("p_size").cast("int"))
+            .withColumn(
+                "p_retailprice", F.col("p_retailprice").cast("float")
+            )
+        )
+        write_delta(spark, part.filter(F.col("p_partkey") % 2 == 0), tbl)
+        widen_column_type(tbl, "p_size", "long")
+        widen_column_type(tbl, "p_retailprice", "double")
+        write_delta(
+            spark,
+            part.filter(F.col("p_partkey") % 2 == 1)
+            .withColumn("p_size", F.col("p_size").cast("long"))
+            .withColumn(
+                "p_retailprice", F.col("p_retailprice").cast("double")
+            ),
+            tbl,
+        )
+
+    tbl = _scratch_delta_table(
+        "widen", sf_dir, "part narrow create + widen size/price + append",
+        build,
+    )
+    return (
+        read_delta(spark, tbl)
+        .groupBy("p_brand")
+        .agg(
+            F.count(F.lit(1)).alias("n_parts"),
+            F.sum("p_size").alias("total_size"),
+            (F.round(F.sum("p_retailprice"), 2) + F.lit(0.0)).alias(
+                "total_price"
+            ),
+        )
+    )
+
+
 def _delta_cdf_table(spark: SparkSession, sf_dir: str) -> str:
     """Session-scoped CDF-enabled native Delta table: the same
     deterministic DML walk as _delta_dml_table (v0 even orderkeys, v1

@@ -400,6 +400,14 @@ _SUPPORTED_WRITER_FEATURES = frozenset(
         "inCommitTimestamp",
         "domainMetadata",
         "clustering",
+        # 'name'-mode writes: create/append stage PHYSICAL column
+        # names (write_delta translates), RENAME COLUMN is a
+        # metadata-only commit; DML still refuses per-mutation
+        "columnMapping",
+        # ALTER COLUMN TYPE widening commits are metadata-only; later
+        # appends stage the WIDE type the schema declares
+        "typeWidening",
+        "typeWidening-preview",
     }
 )
 
@@ -658,15 +666,17 @@ def _refuse_high_writer_version(snap: DeltaSnapshot, context: str) -> None:
 
 
 def _refuse_mapped_write(snap: DeltaSnapshot, context: str) -> None:
-    """Column-mapped tables need physical-name staging (writer
-    feature 5, not implemented) — refuse every mutation up front so a
-    foreign table is never corrupted, even if its protocol action
-    under-declares the writer version."""
+    """Column-mapped tables need physical-name staging: write_delta
+    translates (create/append/rename supported); every OTHER mutation
+    path stages logical names and refuses up front so a foreign table
+    is never corrupted, even if its protocol action under-declares
+    the writer version."""
     if _column_mapping(snap) is not None:
         raise NotImplementedError(
             f"delta {context}: table uses column mapping "
-            "(delta.columnMapping.mode); this writer stages logical "
-            "column names and would corrupt it — read-only support"
+            "(delta.columnMapping.mode); this mutation path stages "
+            "logical column names and would corrupt it — use "
+            "write_delta (append/overwrite) or rename_delta_column"
         )
 
 
@@ -1373,10 +1383,11 @@ def write_delta(
                 )
         if _truthy(configuration.get("delta.enableChangeDataFeed")):
             min_writer = 4
-        if "delta.columnMapping.mode" in configuration:
+        cm_mode = configuration.get("delta.columnMapping.mode", "none")
+        if cm_mode not in ("none", "", "name"):
             raise NotImplementedError(
-                "write_delta: column-mapped tables are read-only in "
-                "this writer; cannot create one"
+                f"write_delta: delta.columnMapping.mode={cm_mode!r} not "
+                "supported (only 'name')"
             )
     identity_generated: list[str] = []
     writer_features: list[str] = []
@@ -1524,8 +1535,45 @@ def write_delta(
                 }
         schema_for_commit = StructType.fromJson(sch)
         min_writer = max(min_writer, 6)
+    # column mapping ('name' mode): all validation above ran in
+    # LOGICAL names; data files must carry PHYSICAL names
+    l2p_write: dict[str, str] | None = None
+    if exists:
+        l2p_write = _column_mapping(snapshot(path))
+        if l2p_write is not None and merge_schema:
+            raise NotImplementedError(
+                "write_delta: merge_schema on a column-mapped table "
+                "requires field-id assignment — not supported"
+            )
+    elif configuration and configuration.get(
+        "delta.columnMapping.mode"
+    ) == "name":
+        sch = (schema_for_commit or df.schema).jsonValue()
+        l2p_write = {}
+        next_id = 0
+        for f in sch["fields"]:
+            t = f.get("type")
+            if isinstance(t, dict):
+                raise NotImplementedError(
+                    "write_delta: column mapping over nested/complex "
+                    f"column {f['name']} not supported"
+                )
+            next_id += 1
+            pn = f"col-{uuid.uuid4()}"
+            f["metadata"] = {
+                **(f.get("metadata") or {}),
+                "delta.columnMapping.id": next_id,
+                "delta.columnMapping.physicalName": pn,
+            }
+            l2p_write[f["name"]] = pn
+        schema_for_commit = StructType.fromJson(sch)
+        configuration = {
+            **configuration,
+            "delta.columnMapping.maxColumnId": str(next_id),
+        }
     part_cols, new_metadata, null_checks = _validate_write_schema(
-        path, df.schema, partition_by, merge_schema
+        path, df.schema, partition_by, merge_schema,
+        mapped_ok=l2p_write is not None,
     )
     if null_checks:
         # Delta's NOT NULL invariant: the frame is only STATICALLY
@@ -1545,7 +1593,17 @@ def write_delta(
         if cons:
             _check_constraints(df, cons, "write_delta")
 
-    adds = _stage(df, path, part_cols, data_change=True)
+    if l2p_write is not None:
+        # stage under PHYSICAL names (columns and partition dirs);
+        # everything logical — metadata schema, partitionColumns,
+        # reads — stays in logical space
+        stage_df = df.select(
+            *[F.col(n).alias(l2p_write[n]) for n in df.columns]
+        )
+        stage_parts = [l2p_write.get(c, c) for c in part_cols]
+        adds = _stage(stage_df, path, stage_parts, data_change=True)
+    else:
+        adds = _stage(df, path, part_cols, data_change=True)
     if identity_generated:
         # advance each generated column's high-water mark IN THIS
         # commit, read from the staged files' own footer stats — no
@@ -1555,11 +1613,14 @@ def write_delta(
         for col in identity_generated:
             step = id_specs[col]["step"]
             key = "maxValues" if step > 0 else "minValues"
+            # staged files (and their footer stats) carry PHYSICAL
+            # names on mapped tables
+            pcol = (l2p_write or {}).get(col, col)
             vals: list[int] = []
             complete = True
             for a in adds:
                 s = a["add"].get("stats")
-                v = (json.loads(s).get(key) or {}).get(col) if s else None
+                v = (json.loads(s).get(key) or {}).get(pcol) if s else None
                 if v is None:
                     complete = False
                     break
@@ -1569,7 +1630,7 @@ def write_delta(
                     os.path.join(path, unquote(a["add"]["path"]))
                     for a in adds
                 ]
-                agg = F.max(col) if step > 0 else F.min(col)
+                agg = F.max(pcol) if step > 0 else F.min(pcol)
                 v = spark.read.parquet(*staged).agg(agg).first()[0]
                 vals = [int(v)] if v is not None else []
             if vals:
@@ -1624,6 +1685,7 @@ def write_delta(
         configuration=configuration,
         extra_actions=extra_actions,
         writer_features=writer_features,
+        mapped_ok=l2p_write is not None,
     )
 
 
@@ -1743,6 +1805,169 @@ def set_table_properties(path: str, props: dict[str, str]) -> int:
         if _publish_commit(path, snap.version + 1, actions):
             return snap.version + 1
     raise RuntimeError(f"set_table_properties: lost the commit race at {path}")
+
+
+def rename_delta_column(path: str, old: str, new: str) -> int:
+    """``ALTER TABLE RENAME COLUMN`` — a METADATA-ONLY commit, legal
+    exactly because the table uses column mapping: data files carry
+    the stable physicalName, so changing the LOGICAL name touches no
+    parquet (the whole point of delta.columnMapping.mode='name';
+    reference tie: configure_notebook.py's managed Delta tables get
+    this from the runtime). Refused on unmapped tables (there the
+    logical name IS the file column name — a rename would orphan the
+    data) and when any CHECK constraint / generated-column expression
+    references the old name (this writer will not rewrite SQL).
+    Returns the committed version."""
+    if not delta_versions(path):
+        raise ValueError(f"not a delta table at {path}")
+    now_ms = int(time.time() * 1000)
+    for _attempt in range(64):
+        snap = snapshot(path)
+        _refuse_high_writer_version(snap, "RENAME COLUMN")
+        if _column_mapping(snap) is None:
+            raise NotImplementedError(
+                "rename_delta_column: table does not use column "
+                "mapping — renaming would orphan the physical column"
+            )
+        sch = json.loads(snap.metadata["schemaString"])
+        names = [f["name"] for f in sch["fields"]]
+        if old not in names:
+            raise ValueError(f"rename_delta_column: no column {old!r}")
+        if new in names:
+            raise ValueError(
+                f"rename_delta_column: column {new!r} already exists"
+            )
+        refs = dict(table_constraints(snap))
+        refs.update(table_generated_columns(snap))
+        hit = [n for n, e in refs.items() if old in str(e)]
+        if hit:
+            raise NotImplementedError(
+                f"rename_delta_column: {old!r} is referenced by "
+                f"constraint/generation expression(s) {sorted(hit)} — "
+                "drop them first"
+            )
+        for f in sch["fields"]:
+            if f["name"] == old:
+                f["name"] = new
+        meta = {
+            **snap.metadata,
+            "schemaString": json.dumps(sch),
+            "partitionColumns": [
+                new if c == old else c
+                for c in (snap.metadata.get("partitionColumns") or [])
+            ],
+        }
+        actions = [
+            {
+                "commitInfo": {
+                    "timestamp": now_ms,
+                    "operation": "RENAME COLUMN",
+                    "operationParameters": {"from": old, "to": new},
+                    "engineInfo": "value_at_risk_spark.deltalog",
+                }
+            },
+            {"metaData": meta},
+        ]
+        if _publish_commit(path, snap.version + 1, actions):
+            return snap.version + 1
+    raise RuntimeError(f"rename_delta_column: lost the commit race at {path}")
+
+
+# ALTER COLUMN TYPE widenings this writer will commit: exactly the
+# conversions both scan paths (Spark parquet reader / pyarrow cast)
+# upcast losslessly from the narrower physical files.
+_TYPE_WIDENINGS = {
+    ("byte", "short"),
+    ("byte", "integer"),
+    ("byte", "long"),
+    ("short", "integer"),
+    ("short", "long"),
+    ("integer", "long"),
+    ("float", "double"),
+}
+
+
+def widen_column_type(path: str, col: str, new_type: str) -> int:
+    """``ALTER TABLE ALTER COLUMN TYPE`` (widening only) — a
+    METADATA-ONLY commit: the logical schema's field becomes the wider
+    type, existing parquet files keep their narrow physical type and
+    upcast at scan, and later appends stage the wide type the schema
+    now declares. The change is recorded in the field's
+    ``delta.typeWidening`` metadata (fromType/toType/tableVersion) and
+    the protocol gains the typeWidening reader+writer feature — a
+    reader that cannot upcast must refuse rather than misread.
+    Narrowing or any conversion outside _TYPE_WIDENINGS is refused.
+    Returns the committed version."""
+    if not delta_versions(path):
+        raise ValueError(f"not a delta table at {path}")
+    now_ms = int(time.time() * 1000)
+    for _attempt in range(64):
+        snap = snapshot(path)
+        _refuse_high_writer_version(snap, "ALTER COLUMN TYPE")
+        sch = json.loads(snap.metadata["schemaString"])
+        field = next((f for f in sch["fields"] if f["name"] == col), None)
+        if field is None:
+            raise ValueError(f"widen_column_type: no column {col!r}")
+        old_type = field["type"]
+        if not isinstance(old_type, str):
+            raise NotImplementedError(
+                "widen_column_type: nested/complex columns not supported"
+            )
+        if old_type == new_type:
+            return snap.version  # no-op, nothing to commit
+        if (old_type, new_type) not in _TYPE_WIDENINGS:
+            raise ValueError(
+                f"widen_column_type: {old_type} -> {new_type} is not a "
+                f"supported lossless widening {sorted(_TYPE_WIDENINGS)}"
+            )
+        if col in (snap.metadata.get("partitionColumns") or []):
+            raise NotImplementedError(
+                "widen_column_type: partition columns derive values "
+                "from directory names — widening them is not supported"
+            )
+        field["type"] = new_type
+        changes = list(
+            (field.get("metadata") or {}).get("delta.typeWidening") or []
+        )
+        changes.append(
+            {
+                "fromType": old_type,
+                "toType": new_type,
+                "tableVersion": snap.version + 1,
+            }
+        )
+        field["metadata"] = {
+            **(field.get("metadata") or {}),
+            "delta.typeWidening": changes,
+        }
+        meta = {**snap.metadata, "schemaString": json.dumps(sch)}
+        actions = [
+            {
+                "commitInfo": {
+                    "timestamp": now_ms,
+                    "operation": "CHANGE COLUMN",
+                    "operationParameters": {
+                        "column": col,
+                        "from": old_type,
+                        "to": new_type,
+                    },
+                    "engineInfo": "value_at_risk_spark.deltalog",
+                }
+            },
+            {"metaData": meta},
+        ]
+        feats = set(snap.protocol.get("readerFeatures") or []) | set(
+            snap.protocol.get("writerFeatures") or []
+        )
+        if "typeWidening" not in feats:
+            actions.append(
+                _upgrade_protocol_features(
+                    snap, ("typeWidening",), ("typeWidening",)
+                )
+            )
+        if _publish_commit(path, snap.version + 1, actions):
+            return snap.version + 1
+    raise RuntimeError(f"widen_column_type: lost the commit race at {path}")
 
 
 def table_identity_columns(snap: DeltaSnapshot) -> dict[str, dict]:
@@ -1935,19 +2160,23 @@ def _validate_write_schema(
     got: StructType,
     partition_by: list[str] | None,
     merge_schema: bool,
+    mapped_ok: bool = False,
 ) -> tuple[list[str], dict | None, list[str]]:
     """write_delta's pre-flight half, shared with the Python Data
     Source writers (which must fail BEFORE launching tasks): returns
     (partition columns to stage under, merged metaData action or
     None, columns needing a runtime NOT NULL check). Appends to an
     existing table enforce schema and partition-column equality;
-    ``partition_by`` is only consulted at table creation."""
+    ``partition_by`` is only consulted at table creation.
+    ``mapped_ok``: the caller translates logical->physical names
+    itself (write_delta); everyone else refuses mapped tables."""
     versions = delta_versions(path)
     existing = snapshot(path) if versions else None
     new_metadata = None
     null_checks: list[str] = []
     if existing is not None:
-        _refuse_mapped_write(existing, "write")
+        if not mapped_ok:
+            _refuse_mapped_write(existing, "write")
         part_cols = existing.partition_columns
         want = existing.schema
         if merge_schema:
@@ -2021,6 +2250,7 @@ def commit_staged_adds(
     configuration: dict[str, str] | None = None,
     extra_actions: list[dict] | None = None,
     writer_features: list[str] | None = None,
+    mapped_ok: bool = False,
 ) -> int:
     """write_delta's commit half: publish already-staged add actions
     as one transactional version (optimistic retry; the protocol txn
@@ -2038,7 +2268,8 @@ def commit_staged_adds(
     part_cols = list(part_cols or [])
 
     def _validate_tip(snap0: "DeltaSnapshot") -> None:
-        _refuse_mapped_write(snap0, "staged write")
+        if not mapped_ok:
+            _refuse_mapped_write(snap0, "staged write")
         _refuse_high_writer_version(snap0, "staged write")
         wv = int(snap0.protocol.get("minWriterVersion", 2) or 2)
         if not constraints_ok:
@@ -2122,6 +2353,12 @@ def commit_staged_adds(
                 # lists from the moment it is set
                 rfeats.append("deletionVectors")
                 wfeats.append("deletionVectors")
+            if cfg0.get("delta.columnMapping.mode", "none") not in (
+                "none",
+                "",
+            ):
+                rfeats.append("columnMapping")
+                wfeats.append("columnMapping")
             if rfeats or wfeats:
                 # the table is born as a feature table (v3/v7) with
                 # the legacy features its min_writer_version implies
@@ -3967,7 +4204,10 @@ def add_check_constraint(
         snap = snapshot(path)
         if name in table_constraints(snap):
             raise ValueError(f"constraint {name} already exists at {path}")
-        _refuse_mapped_write(snap, "ADD CONSTRAINT")
+        # mapped tables are fine here: the validation scan above reads
+        # through the mapping (logical space), the commit is
+        # metadata-only, and write_delta enforces constraints on the
+        # logical frame BEFORE physical-name translation
         _refuse_high_writer_version(snap, "ADD CONSTRAINT")
         conf = dict(snap.metadata.get("configuration") or {})
         conf[f"delta.constraints.{name}"] = expr
