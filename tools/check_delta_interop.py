@@ -1,0 +1,537 @@
+#!/usr/bin/env python3
+"""Third-party interop evidence for the native delta log.
+
+The format (sources/deltalog.py, sources/dv.py) claims conformance to
+the PUBLIC Delta transaction-log protocol (delta.io PROTOCOL.md) —
+this tool checks that claim with every independent implementation the
+environment offers, and records an artifact (INTEROP_r{N}.json):
+
+arm A — independent DELTA reader: DuckDB's `delta` extension
+  (`delta_scan`) opened against natively-written tables, row counts +
+  aggregates compared to `read_delta`. The extension needs a network
+  download; when unavailable the arm records SKIPPED (not passed).
+
+arm B — independent PARQUET reader over the log's file lists: DuckDB
+  (a from-scratch C++ parquet implementation, not Spark's Java one)
+  reads exactly the ACTIVE data files our log enumerates and must
+  reproduce `read_delta`'s row counts and sums; for DV tables the raw
+  foreign read must exceed the masked read by exactly the committed
+  cardinality. This proves the data plane (parquet files, Hive
+  partition encoding, url-encoded add.path) is consumable by a second
+  engine given the log's manifest.
+
+arm C — structural spec conformance (always runs): commit naming,
+  single-action JSON lines, url-encoded relative add.path,
+  string-typed partitionValues, protocol/metaData required fields,
+  checkpoint parquet action columns + _last_checkpoint, DV descriptor
+  fields, z85 alphabet + the ZeroMQ RFC-32 published test vector
+  ("HelloWorld"), DV bin magic/version/CRC-32 recomputed with zlib,
+  CDF _change_data readability.
+
+Usage: python3 tools/check_delta_interop.py [sf_dir] [out.json]
+"""
+from __future__ import annotations
+
+import json
+import os
+import re
+import shutil
+import struct
+import sys
+import tempfile
+import zlib
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
+RESULTS: dict[str, dict] = {}
+
+
+def record(check: str, status: str, detail: str = "") -> None:
+    RESULTS[check] = {"status": status, "detail": detail}
+    print(f"{status:7s} {check}" + (f": {detail}" if detail else ""))
+
+
+def _duckdb_delta_ext():
+    import duckdb
+
+    con = duckdb.connect()
+    try:
+        con.execute("INSTALL delta")
+        con.execute("LOAD delta")
+        return con
+    except Exception as e:  # offline: the extension is a download
+        record(
+            "duckdb_delta_extension",
+            "SKIP",
+            f"unavailable in this environment: {type(e).__name__}",
+        )
+        return None
+
+
+def build_tables(spark, sf_dir: str, root: str) -> dict[str, dict]:
+    """Natively-written tables covering each table feature; returns
+    {name: {path, features...}}."""
+    from pyspark.sql import functions as F
+
+    from value_at_risk_spark.sources.deltalog import (
+        checkpoint_delta,
+        delete_from_delta,
+        rename_delta_column,
+        update_delta,
+        widen_column_type,
+        write_delta,
+    )
+
+    sup = spark.read.parquet(os.path.join(sf_dir, "supplier.parquet")).select(
+        "s_suppkey", "s_nationkey", "s_acctbal"
+    )
+    out: dict[str, dict] = {}
+
+    p = os.path.join(root, "plain")
+    write_delta(spark, sup.filter(F.col("s_suppkey") % 2 == 0), p)
+    write_delta(spark, sup.filter(F.col("s_suppkey") % 2 == 1), p)
+    out["plain"] = {"path": p}
+
+    p = os.path.join(root, "partitioned")
+    write_delta(spark, sup, p, partition_by=["s_nationkey"])
+    out["partitioned"] = {"path": p}
+
+    p = os.path.join(root, "checkpointed")
+    for k in range(4):
+        write_delta(spark, sup.filter(F.col("s_suppkey") % 4 == k), p)
+    checkpoint_delta(p)
+    write_delta(spark, sup.limit(0), p)  # a post-checkpoint tail commit
+    out["checkpointed"] = {"path": p, "checkpoint": True}
+
+    p = os.path.join(root, "dv")
+    write_delta(
+        spark,
+        sup,
+        p,
+        configuration={"delta.enableDeletionVectors": "true"},
+    )
+    r = delete_from_delta(spark, p, "s_acctbal < 0")
+    assert r["files_rewritten"] == 0, "fixture must be merge-on-read"
+    out["dv"] = {"path": p, "dv": True, "deleted": r["rows_deleted"]}
+
+    p = os.path.join(root, "cdf")
+    write_delta(
+        spark, sup, p, configuration={"delta.enableChangeDataFeed": "true"}
+    )
+    update_delta(
+        spark, p, "s_nationkey = 3", {"s_acctbal": "s_acctbal + 1.0"}
+    )
+    out["cdf"] = {"path": p, "cdf": True}
+
+    p = os.path.join(root, "mapped")
+    write_delta(
+        spark,
+        sup,
+        p,
+        partition_by=["s_nationkey"],
+        configuration={"delta.columnMapping.mode": "name"},
+    )
+    rename_delta_column(p, "s_acctbal", "acct_bal")
+    out["mapped"] = {"path": p, "mapped": True}
+
+    p = os.path.join(root, "widened")
+    narrow = sup.withColumn(
+        "s_suppkey", F.col("s_suppkey").cast("int")
+    ).withColumn("s_acctbal", F.col("s_acctbal").cast("float"))
+    write_delta(spark, narrow, p)
+    widen_column_type(p, "s_suppkey", "long")
+    widen_column_type(p, "s_acctbal", "double")
+    write_delta(
+        spark,
+        narrow.withColumn("s_suppkey", F.col("s_suppkey").cast("long") + 100000)
+        .withColumn("s_acctbal", F.col("s_acctbal").cast("double")),
+        p,
+    )
+    out["widened"] = {"path": p, "widened": True}
+    return out
+
+
+def arm_a_delta_scan(spark, tables: dict[str, dict]) -> None:
+    con = _duckdb_delta_ext()
+    if con is None:
+        for name in tables:
+            record(f"delta_scan:{name}", "SKIP", "extension unavailable")
+        return
+    from value_at_risk_spark.sources.deltalog import read_delta
+
+    for name, t in tables.items():
+        try:
+            foreign = con.execute(
+                f"SELECT COUNT(*) FROM delta_scan('{t['path']}')"
+            ).fetchone()[0]
+            ours = read_delta(spark, t["path"]).count()
+            record(
+                f"delta_scan:{name}",
+                "PASS" if foreign == ours else "FAIL",
+                f"duckdb={foreign} native={ours}",
+            )
+        except Exception as e:
+            record(f"delta_scan:{name}", "FAIL", f"{type(e).__name__}: {e}")
+
+
+def arm_b_foreign_parquet(spark, tables: dict[str, dict]) -> None:
+    """DuckDB (independent parquet impl) reads the exact file list our
+    log publishes and must reproduce the native scan."""
+    import duckdb
+    from urllib.parse import unquote
+
+    from value_at_risk_spark.sources.deltalog import read_delta, snapshot
+
+    con = duckdb.connect()
+    for name, t in tables.items():
+        try:
+            snap = snapshot(t["path"])
+            files = [
+                os.path.join(t["path"], unquote(rel))
+                for rel in sorted(snap.files)
+            ]
+            missing = [f for f in files if not os.path.exists(f)]
+            if missing:
+                record(
+                    f"foreign_parquet:{name}", "FAIL",
+                    f"log references missing files: {missing[:3]}",
+                )
+                continue
+            fl = ", ".join(f"'{f}'" for f in files)
+            # hive_partitioning reconstructs partition columns from the
+            # url-DECODED dir names — the same contract add.path encodes
+            raw = con.execute(
+                f"SELECT COUNT(*) FROM read_parquet([{fl}], "
+                "hive_partitioning=true, union_by_name=true)"
+            ).fetchone()[0]
+            ours_df = read_delta(spark, t["path"])
+            ours = ours_df.count()
+            if t.get("dv"):
+                ok = raw == ours + t["deleted"]
+                detail = (
+                    f"raw={raw} masked={ours} deleted={t['deleted']} "
+                    "(raw - masked == committed DV cardinality)"
+                )
+            else:
+                ok = raw == ours
+                detail = f"duckdb={raw} native={ours}"
+                # value-level: sum the first double col both sides
+                dcol = next(
+                    (
+                        f.name
+                        for f in ours_df.schema.fields
+                        if f.dataType.simpleString() == "double"
+                    ),
+                    None,
+                )
+                if ok and dcol is not None and not t.get("mapped"):
+                    fsum = con.execute(
+                        f"SELECT ROUND(SUM({dcol}), 2) FROM "
+                        f"read_parquet([{fl}], hive_partitioning=true, "
+                        "union_by_name=true)"
+                    ).fetchone()[0]
+                    from pyspark.sql import functions as F
+
+                    nsum = ours_df.agg(
+                        F.round(F.sum(dcol), 2)
+                    ).first()[0]
+                    ok = abs(float(fsum) - float(nsum)) < 1e-6
+                    detail += f"; sum({dcol}) duckdb={fsum} native={nsum}"
+            record(
+                f"foreign_parquet:{name}", "PASS" if ok else "FAIL", detail
+            )
+        except Exception as e:
+            record(
+                f"foreign_parquet:{name}", "FAIL",
+                f"{type(e).__name__}: {e}",
+            )
+
+
+_ACTION_KEYS = {
+    "txn", "add", "remove", "metaData", "protocol", "cdc",
+    "commitInfo", "domainMetadata", "checkpointMetadata", "sidecar",
+}
+_Z85_RE = re.compile(
+    r"^[0-9a-zA-Z.\-:+=^!/*?&<>()\[\]{}@%$#]+$"
+)
+
+
+def arm_c_structural(tables: dict[str, dict]) -> None:
+    from urllib.parse import unquote
+
+    from value_at_risk_spark.sources import dv as dvmod
+
+    # z85: the ZeroMQ RFC-32 published test vector
+    vec = bytes([0x86, 0x4F, 0xD2, 0x6F, 0xB5, 0x59, 0xF7, 0x5B])
+    ok = (
+        dvmod.z85_encode(vec) == "HelloWorld"
+        and dvmod.z85_decode("HelloWorld") == vec
+    )
+    record(
+        "z85_rfc32_vector", "PASS" if ok else "FAIL",
+        "encode/decode of the published 'HelloWorld' vector",
+    )
+
+    for name, t in tables.items():
+        path = t["path"]
+        log = os.path.join(path, "_delta_log")
+        problems: list[str] = []
+        commits = sorted(
+            f for f in os.listdir(log) if f.endswith(".json")
+            and not f.startswith("_")
+        )
+        want = [f"{i:020d}.json" for i in range(len(commits))]
+        if commits != want:
+            problems.append(f"commit names {commits} != {want}")
+        for c in commits:
+            with open(os.path.join(log, c)) as fh:
+                for ln, line in enumerate(fh):
+                    if not line.strip():
+                        continue
+                    try:
+                        act = json.loads(line)
+                    except ValueError:
+                        problems.append(f"{c}:{ln} not JSON")
+                        continue
+                    keys = set(act)
+                    if len(keys) != 1 or not keys <= _ACTION_KEYS:
+                        problems.append(f"{c}:{ln} action keys {keys}")
+                    if "add" in act:
+                        a = act["add"]
+                        rel = a["path"]
+                        if rel.startswith("/") or "://" in rel:
+                            problems.append(f"{c}:{ln} add.path not relative")
+                        if not os.path.exists(
+                            os.path.join(path, unquote(rel))
+                        ):
+                            problems.append(
+                                f"{c}:{ln} add.path does not resolve"
+                            )
+                        pv = a.get("partitionValues")
+                        if not isinstance(pv, dict) or any(
+                            v is not None and not isinstance(v, str)
+                            for v in pv.values()
+                        ):
+                            problems.append(
+                                f"{c}:{ln} partitionValues not map[str,str]"
+                            )
+                        if not isinstance(a.get("size"), int) or not (
+                            isinstance(a.get("modificationTime"), int)
+                        ):
+                            problems.append(f"{c}:{ln} add size/mtime types")
+                        if "dataChange" not in a:
+                            problems.append(f"{c}:{ln} add missing dataChange")
+                        dv = a.get("deletionVector")
+                        if dv is not None:
+                            for k in (
+                                "storageType", "pathOrInlineDv",
+                                "sizeInBytes", "cardinality",
+                            ):
+                                if k not in dv:
+                                    problems.append(
+                                        f"{c}:{ln} DV missing {k}"
+                                    )
+                            if dv.get("storageType") not in ("u", "i", "p"):
+                                problems.append(
+                                    f"{c}:{ln} DV storageType "
+                                    f"{dv.get('storageType')}"
+                                )
+                            if dv.get("storageType") == "u" and not (
+                                _Z85_RE.match(dv["pathOrInlineDv"])
+                            ):
+                                problems.append(
+                                    f"{c}:{ln} DV path not z85 alphabet"
+                                )
+                    if "protocol" in act:
+                        pr = act["protocol"]
+                        if not isinstance(
+                            pr.get("minReaderVersion"), int
+                        ) or not isinstance(pr.get("minWriterVersion"), int):
+                            problems.append(f"{c}:{ln} protocol versions")
+                        if pr.get("minWriterVersion") == 7 and not isinstance(
+                            pr.get("writerFeatures"), list
+                        ):
+                            problems.append(
+                                f"{c}:{ln} wv7 without writerFeatures"
+                            )
+                    if "metaData" in act:
+                        md = act["metaData"]
+                        for k in (
+                            "id", "format", "schemaString",
+                            "partitionColumns",
+                        ):
+                            if k not in md:
+                                problems.append(f"{c}:{ln} metaData no {k}")
+                        try:
+                            json.loads(md.get("schemaString", ""))
+                        except ValueError:
+                            problems.append(
+                                f"{c}:{ln} schemaString not JSON"
+                            )
+        record(
+            f"log_structure:{name}",
+            "FAIL" if problems else "PASS",
+            "; ".join(problems[:4]) or f"{len(commits)} commits clean",
+        )
+
+        if t.get("checkpoint"):
+            _check_checkpoint(path, log, name)
+        if t.get("dv"):
+            _check_dv_bins(path, log, name)
+        if t.get("cdf"):
+            _check_cdf_files(path, name)
+
+
+def _check_checkpoint(path: str, log: str, name: str) -> None:
+    import pyarrow.parquet as pq
+
+    problems: list[str] = []
+    lc = os.path.join(log, "_last_checkpoint")
+    if not os.path.exists(lc):
+        problems.append("no _last_checkpoint")
+    else:
+        hint = json.load(open(lc))
+        if not isinstance(hint.get("version"), int) or not isinstance(
+            hint.get("size"), int
+        ):
+            problems.append(f"_last_checkpoint fields {hint}")
+        cps = [
+            f for f in os.listdir(log)
+            if ".checkpoint" in f and f.endswith(".parquet")
+        ]
+        if not cps:
+            problems.append("no checkpoint parquet")
+        for cp in cps:
+            # pyarrow: an independent parquet reader for the CHECKPOINT
+            tbl = pq.read_table(os.path.join(log, cp))
+            cols = set(tbl.schema.names)
+            missing = {"add", "metaData", "protocol", "txn"} - cols
+            if missing:
+                problems.append(f"{cp} missing action columns {missing}")
+            n_add = sum(
+                1 for v in tbl.column("add").to_pylist() if v is not None
+            )
+            if hint.get("size") is not None and n_add + sum(
+                1
+                for c in ("metaData", "protocol", "txn", "domainMetadata")
+                if c in cols
+                for v in tbl.column(c).to_pylist()
+                if v is not None
+            ) != hint["size"] and "parts" not in hint:
+                problems.append(
+                    f"{cp} action rows != _last_checkpoint.size"
+                )
+    record(
+        f"checkpoint_structure:{name}",
+        "FAIL" if problems else "PASS",
+        "; ".join(problems[:3]) or "pyarrow-read checkpoint conforms",
+    )
+
+
+def _check_dv_bins(path: str, log: str, name: str) -> None:
+    from value_at_risk_spark.sources import dv as dvmod
+
+    problems: list[str] = []
+    checked = 0
+    for c in sorted(os.listdir(log)):
+        if not c.endswith(".json"):
+            continue
+        with open(os.path.join(log, c)) as fh:
+            for line in fh:
+                if '"deletionVector"' not in line:
+                    continue
+                act = json.loads(line)
+                a = act.get("add") or act.get("remove") or {}
+                desc = a.get("deletionVector")
+                if not desc or desc["storageType"] != "u":
+                    continue
+                bin_path = dvmod.dv_abs_path(path, desc)
+                if bin_path is None or not os.path.exists(bin_path):
+                    problems.append(f"{c}: DV bin missing")
+                    continue
+                raw = open(bin_path, "rb").read()
+                if raw[0] != 1:
+                    problems.append(f"{c}: DV format version {raw[0]} != 1")
+                off = desc["offset"]
+                (size,) = struct.unpack_from(">i", raw, off)
+                data = raw[off + 4 : off + 4 + size]
+                (crc,) = struct.unpack_from(">I", raw, off + 4 + size)
+                if zlib.crc32(data) & 0xFFFFFFFF != crc:
+                    problems.append(f"{c}: DV CRC-32 mismatch")
+                (magic,) = struct.unpack_from("<i", data, 0)
+                if magic != dvmod.MAGIC_NUMBER:
+                    problems.append(f"{c}: DV magic {magic}")
+                vals = dvmod.deserialize_rbm_array(data)
+                if len(vals) != desc["cardinality"]:
+                    problems.append(
+                        f"{c}: cardinality {desc['cardinality']} != "
+                        f"decoded {len(vals)}"
+                    )
+                checked += 1
+    record(
+        f"dv_bin_structure:{name}",
+        "FAIL" if problems or not checked else "PASS",
+        "; ".join(problems[:3])
+        or f"{checked} DV bins: version/magic/CRC-32/cardinality conform",
+    )
+
+
+def _check_cdf_files(path: str, name: str) -> None:
+    import duckdb
+
+    cd = os.path.join(path, "_change_data")
+    problems: list[str] = []
+    if not os.path.isdir(cd):
+        problems.append("no _change_data dir")
+    else:
+        files = [
+            os.path.join(r, f)
+            for r, _d, fs in os.walk(cd)
+            for f in fs
+            if f.endswith(".parquet")
+        ]
+        if not files:
+            problems.append("no cdc parquet files")
+        con = duckdb.connect()
+        for f in files:
+            cols = [
+                r[0]
+                for r in con.execute(
+                    f"DESCRIBE SELECT * FROM read_parquet('{f}')"
+                ).fetchall()
+            ]
+            if "_change_type" not in cols:
+                problems.append(f"{os.path.basename(f)} no _change_type")
+    record(
+        f"cdf_structure:{name}",
+        "FAIL" if problems else "PASS",
+        "; ".join(problems[:3]) or "cdc parquet readable by duckdb",
+    )
+
+
+def main() -> int:
+    sf_dir = sys.argv[1] if len(sys.argv) > 1 else "/root/testdata/sf0.01"
+    out = sys.argv[2] if len(sys.argv) > 2 else None
+    from value_at_risk_spark.session import get_spark
+
+    spark = get_spark()
+    root = tempfile.mkdtemp(prefix="delta_interop_")
+    try:
+        tables = build_tables(spark, sf_dir, root)
+        arm_a_delta_scan(spark, tables)
+        arm_b_foreign_parquet(spark, tables)
+        arm_c_structural(tables)
+    finally:
+        shutil.rmtree(root, ignore_errors=True)
+    fails = [k for k, v in RESULTS.items() if v["status"] == "FAIL"]
+    passes = [k for k, v in RESULTS.items() if v["status"] == "PASS"]
+    skips = [k for k, v in RESULTS.items() if v["status"] == "SKIP"]
+    print(f"{len(passes)} pass / {len(fails)} fail / {len(skips)} skip")
+    if out:
+        with open(out, "w") as fh:
+            json.dump(RESULTS, fh, indent=1, sort_keys=True)
+    return 1 if fails else 0
+
+
+if __name__ == "__main__":
+    raise SystemExit(main())

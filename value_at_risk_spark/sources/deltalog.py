@@ -2443,8 +2443,14 @@ def checkpoint_delta(
     import pyarrow.parquet as pq
 
     snap = snapshot(path, version)
+    # spec: each checkpoint row represents exactly ONE action —
+    # protocol and metaData must land as separate rows (a foreign
+    # row-iterating reader converts each row to one action; packing
+    # two into a row drops one of them)
     rows: list[dict] = [
-        {"protocol": snap.protocol or None, "metaData": snap.metadata,
+        {"protocol": snap.protocol or None, "metaData": None,
+         "add": None, "txn": None},
+        {"protocol": None, "metaData": snap.metadata,
          "add": None, "txn": None},
     ]
     rows.extend(
