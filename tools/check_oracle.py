@@ -48,6 +48,26 @@ def _norm_rows(cols, rows):
     return sorted(cols), sorted(out, key=lambda t: tuple(str(x) for x in t))
 
 
+def _retime(row: dict, fn, spark, sf_dir: str, extra_runs: int = 2) -> None:
+    """Single-run sweep timings > 5 s proved too noisy to distinguish
+    regression from a noisy neighbor (the box's documented 2-3x
+    variance produced a phantom 2x 'regression' in r11) — re-run the
+    Spark side and record the MEDIAN plus every sample, stamping the
+    first run 'cold' (any scratch/index builds happen there) and the
+    re-runs 'warm'."""
+    runs = [row["secs"]]
+    for _ in range(extra_runs):
+        t0 = time.time()
+        try:
+            fn(spark, sf_dir).collect()
+        except Exception:  # noqa: BLE001 — keep the first run's verdict
+            break
+        runs.append(round(time.time() - t0, 1))
+    row["secs_runs"] = runs  # runs[0] is cold, the rest warm
+    row["secs"] = sorted(runs)[len(runs) // 2]
+    row["timing"] = f"median-of-{len(runs)}, first-run-cold"
+
+
 def main():
     argv = list(sys.argv[1:])
     json_out = None
@@ -97,6 +117,8 @@ def main():
                 "rows": len(srows),
                 "secs": secs,
             }
+            if json_out and secs > 5.0:
+                _retime(report[name], fn, spark, sf_dir)
             if not srows:
                 print(f"WARN  {name}: 0 rows")
                 report[name]["detail"] = "rows-only query returned 0 rows"
@@ -142,6 +164,8 @@ def main():
             print(f"PASS  {name}: {len(sr)} rows ({secs}s)")
             report[name] = {"status": "pass", "rows": len(sr), "secs": secs}
             n_pass += 1
+            if json_out and secs > 5.0:
+                _retime(report[name], fn, spark, sf_dir)
     for name, mode in cache_modes.items():
         if name in report:
             report[name]["ann_cache"] = mode
