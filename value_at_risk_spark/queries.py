@@ -1998,13 +1998,34 @@ def distinct_users_by_type(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-@query("approx_distinct_users")
+@query(
+    "approx_distinct_users",
+    """
+SELECT event_type,
+       COUNT(DISTINCT user_id) AS n_users_exact,
+       TRUE AS within_tol
+FROM events GROUP BY event_type
+""",
+)
 def approx_distinct_users(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """HyperLogLog distinct-count sketch (rows-only: sketch estimates
-    are engine-specific). The 100 TB path for cardinality."""
+    """HyperLogLog distinct-count sketch — the 100 TB path for
+    cardinality — ORACLE-pinned on its PUBLISHED ACCURACY: the sketch
+    estimate itself is engine-specific, but at rsd=0.01 it must land
+    within a few σ of the true count, so the query emits the exact
+    count (hash-compared against DuckDB's COUNT(DISTINCT)) plus a
+    |approx−exact| ≤ 5%·exact verdict the oracle pins TRUE — 5σ of the
+    requested error, the same inequality-oracle pattern as
+    ann_ivf_recall_planted."""
     e = _t(spark, sf_dir, "events")
     return e.groupBy("event_type").agg(
-        F.approx_count_distinct("user_id", 0.01).alias("n_users_approx")
+        F.count_distinct("user_id").alias("n_users_exact"),
+        (
+            F.abs(
+                F.approx_count_distinct("user_id", 0.01)
+                - F.count_distinct("user_id")
+            )
+            <= 0.05 * F.count_distinct("user_id")
+        ).alias("within_tol"),
     )
 
 
@@ -2115,13 +2136,31 @@ def mc_portfolio_var(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-@query("gbm_context_demo")
+@query(
+    "gbm_context_demo",
+    """
+SELECT 'DEMO' AS instrument,
+       CAST(-0.013815 AS DOUBLE) AS var,
+       CAST(-0.02893  AS DOUBLE) AS shortfall
+""",
+)
 def gbm_context_demo(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """00_var_context.py distributed (rows-only: seeded RNG): GBM paths
-    for one instrument, VaR-95/ES of terminal returns."""
+    """00_var_context.py distributed: GBM paths for one instrument,
+    VaR-95/ES of terminal returns. ORACLE-pinned as LITERALS: the
+    per-trial seed contract (montecarlo.gbm_price_paths — trial t's
+    path is bit-identical to numpy default_rng(seed+t)) makes the
+    whole result a deterministic constant of (s0, mu, sigma, days,
+    n_paths, seed) — independent of sf_dir, partitioning, and task
+    retries — so the oracle pins the exact rounded values. A
+    partitioning-dependent RNG would flake this row immediately; a
+    determinism pytest guards the same contract at module level."""
     from value_at_risk_spark.montecarlo import context_var_demo
 
-    return context_var_demo(spark, n_paths=2000, days=120)
+    return context_var_demo(spark, n_paths=2000, days=120).select(
+        "instrument",
+        F.round("var", 6).alias("var"),
+        F.round("shortfall", 6).alias("shortfall"),
+    )
 
 
 # --------------------------------------------------------------------------
@@ -2830,14 +2869,52 @@ def factor_correlation_matrix(spark: SparkSession, sf_dir: str) -> DataFrame:
     return out
 
 
-@query("sample_stratified")
+@query(
+    "sample_stratified",
+    """
+SELECT lang, TRUE AS rate_ok, TRUE AS rerun_same
+FROM documents GROUP BY lang
+""",
+)
 def sample_stratified(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Seeded stratified sampling per language (rows-only: sampling RNG
-    is engine-specific) — the corpus-balancing primitive for training-
-    data mixes. Deterministic per seed within Spark."""
+    """Seeded stratified sampling per language (sampleBy) — the
+    corpus-balancing primitive for training-data mixes — ORACLE-pinned
+    on its CONTRACT rather than its RNG draw (which is engine- and
+    partitioning-specific; the reproducible-by-construction variant is
+    sample_stratified_hash): per stratum, (a) the realized sample rate
+    sits within ±0.25 of the requested fraction (≥5σ of the binomial
+    at the smallest sf0.01 stratum, so only gross errors — sampling
+    everything, nothing, or the wrong stratum — trip it), and (b) a
+    SECOND sampleBy with the same seed over the same frame returns the
+    identical id set (seeded determinism, task-retry safety)."""
     d = _t(spark, sf_dir, "documents")
     fractions = {"en": 0.5, "de": 0.3, "es": 0.3, "zh": 0.2, "fr": 0.2}
-    return d.sampleBy("lang", fractions, seed=42).select("doc_id", "lang")
+    s1 = d.sampleBy("lang", fractions, seed=42).select("doc_id", "lang")
+    s2 = d.sampleBy("lang", fractions, seed=42).select("doc_id", "lang")
+    frac = F.create_map(
+        *[F.lit(x) for kv in fractions.items() for x in kv]
+    )
+    totals = d.groupBy("lang").agg(F.count(F.lit(1)).alias("n_total"))
+    rates = (
+        s1.groupBy("lang")
+        .agg(F.count(F.lit(1)).alias("n_sampled"))
+        .join(totals, "lang")
+        .select(
+            "lang",
+            (
+                F.abs(
+                    F.col("n_sampled") / F.col("n_total")
+                    - frac[F.col("lang")]
+                )
+                <= 0.25
+            ).alias("rate_ok"),
+        )
+    )
+    diff = s1.exceptAll(s2).union(s2.exceptAll(s1))
+    rerun_same = diff.groupBy().count().select(
+        (F.col("count") == 0).alias("rerun_same")
+    )
+    return rates.crossJoin(F.broadcast(rerun_same))
 
 
 @query(
