@@ -2440,8 +2440,9 @@ def test_table_features_protocol_v3_v7(spark, tmp_path):
     assert table_constraints(snap2) == {"nonneg": "id >= 0"}
 
     # unsupported WRITER feature: mutations refuse, reads still fine
-    # (identityColumns joined the SUPPORTED set in round 11 —
-    # rowTracking stands in as a feature this writer does not have)
+    # (identityColumns joined the SUPPORTED set in round 11 and
+    # rowTracking in round 12 — icebergCompatV2 stands in as a
+    # feature this writer does not have)
     v = snap2.version
     _publish_commit(
         tbl,
@@ -2453,13 +2454,13 @@ def test_table_features_protocol_v3_v7(spark, tmp_path):
                     "minReaderVersion": 3,
                     "minWriterVersion": 7,
                     "readerFeatures": ["timestampNtz"],
-                    "writerFeatures": ["rowTracking"],
+                    "writerFeatures": ["icebergCompatV2"],
                 }
             },
         ],
     )
     assert read_delta(spark, tbl).count() == 6
-    with pytest.raises(NotImplementedError, match="rowTracking"):
+    with pytest.raises(NotImplementedError, match="icebergCompatV2"):
         write_delta(spark, spark.range(1).select("id"), tbl)
 
     # unsupported READER feature: even the snapshot refuses
@@ -3245,3 +3246,101 @@ def test_widen_column_type_lifecycle(spark, tmp_path):
     v = snapshot(tbl).version
     assert widen_column_type(tbl, "id", "long") == v
     assert snapshot(tbl).version == v
+
+
+def test_row_tracking_lifecycle(spark, tmp_path):
+    """Row tracking end to end: fresh baseRowId ranges + high-water
+    mark domain on appends; ids PRESERVED across copy-on-write
+    UPDATE/DELETE, OPTIMIZE (dataChange:false), merge-on-read DV
+    DELETE/UPDATE, REORG PURGE, and a checkpoint replay; plain reads
+    never leak the materialized column; enabling on an existing table
+    refuses (backfill required)."""
+    from value_at_risk_spark.sources.deltalog import (
+        checkpoint_delta,
+        delete_from_delta,
+        optimize_delta,
+        purge_deletion_vectors,
+        read_delta_row_ids,
+        set_table_properties,
+        snapshot,
+        update_delta,
+    )
+
+    df = spark.createDataFrame(
+        [(i, i % 3, float(i)) for i in range(30)],
+        "id long, seg int, v double",
+    )
+    tbl = str(tmp_path / "rt")
+    write_delta(
+        spark,
+        df.filter("id < 15"),
+        tbl,
+        configuration={"delta.enableRowTracking": "true"},
+    )
+    write_delta(spark, df.filter("id >= 15"), tbl)
+    snap = snapshot(tbl)
+    assert "rowTracking" in (snap.protocol.get("writerFeatures") or [])
+    assert all(
+        a.get("baseRowId") is not None for a in snap.files.values()
+    )
+    assert json.loads(snap.domains["delta.rowTracking"])[
+        "rowIdHighWaterMark"
+    ] == 29
+    base = {r.id: r.row_id for r in read_delta_row_ids(spark, tbl).collect()}
+    assert len(base) == 30 and len(set(base.values())) == 30
+    update_delta(spark, tbl, "id % 5 = 0", {"v": "v + 100"})
+    assert {
+        r.id: r.row_id for r in read_delta_row_ids(spark, tbl).collect()
+    } == base
+    delete_from_delta(spark, tbl, "id >= 25")
+    kept = {k: v for k, v in base.items() if k < 25}
+    assert {
+        r.id: r.row_id for r in read_delta_row_ids(spark, tbl).collect()
+    } == kept
+    optimize_delta(spark, tbl, target_files=2)
+    assert {
+        r.id: r.row_id for r in read_delta_row_ids(spark, tbl).collect()
+    } == kept
+    checkpoint_delta(tbl)
+    write_delta(spark, df.filter("id >= 25"), tbl)
+    after = {r.id: r.row_id for r in read_delta_row_ids(spark, tbl).collect()}
+    assert all(after[k] == kept[k] for k in kept)
+    assert len(set(after.values())) == len(after)  # fresh ids unique
+    # fresh ids carved ABOVE the mark: never recycled from deleted rows
+    assert min(after[k] for k in range(25, 30)) > max(base.values())
+    assert read_delta(spark, tbl).columns == ["id", "seg", "v"]
+    with pytest.raises(NotImplementedError, match="CREATION"):
+        set_table_properties(tbl, {"delta.enableRowTracking": "true"})
+
+    # merge-on-read arm: DV delete masks (ids trivially stable), DV
+    # update moves rows to new files (ids survive via materialization)
+    t2 = str(tmp_path / "rtdv")
+    write_delta(
+        spark,
+        df,
+        t2,
+        configuration={
+            "delta.enableRowTracking": "true",
+            "delta.enableDeletionVectors": "true",
+        },
+    )
+    b2 = {r.id: r.row_id for r in read_delta_row_ids(spark, t2).collect()}
+    r = delete_from_delta(spark, t2, "id % 3 = 0")
+    assert r["files_rewritten"] == 0
+    expect = {k: v for k, v in b2.items() if k % 3 != 0}
+    assert {
+        r.id: r.row_id for r in read_delta_row_ids(spark, t2).collect()
+    } == expect
+    update_delta(spark, t2, "id = 1", {"v": "999.0"})
+    assert {
+        r.id: r.row_id for r in read_delta_row_ids(spark, t2).collect()
+    } == expect
+    purge_deletion_vectors(spark, t2)
+    assert {
+        r.id: r.row_id for r in read_delta_row_ids(spark, t2).collect()
+    } == expect
+    # untracked tables refuse the row-id read loudly
+    t3 = str(tmp_path / "plainrt")
+    write_delta(spark, df, t3)
+    with pytest.raises(ValueError, match="enableRowTracking"):
+        read_delta_row_ids(spark, t3)

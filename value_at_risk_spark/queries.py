@@ -14982,6 +14982,69 @@ def delta_widen_scan(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+@query(
+    "delta_row_tracking_scan",
+    """
+SELECT n_nationkey,
+       CASE WHEN n_nationkey % 2 = 0 THEN CAST(n_nationkey / 2 AS BIGINT)
+            ELSE CAST(13 + (n_nationkey - 1) / 2 AS BIGINT) END AS row_id,
+       CASE WHEN n_regionkey = 2 THEN n_name || '!' ELSE n_name END AS n_name
+FROM nation
+""",
+)
+def delta_row_tracking_scan(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Row tracking (protocol writer feature rowTracking),
+    ORACLE-pinned on exact id VALUES: two single-file sorted appends
+    make the fresh-id assignment deterministic (append 1 = even
+    nationkeys sorted -> ids 0..12, append 2 = odd -> ids 13..24),
+    then a copy-on-write UPDATE rewrites every touched file — ids
+    survive ONLY through the materialized row-id column the rewrite
+    stages. DuckDB recomputes both the ids (closed form of the sorted
+    ranks) and the mutation from the fixture; hash equality proves
+    baseRowId carving, the high-water-mark domain, and rewrite
+    materialization all hold (sources/deltalog._rt_assign /
+    _files_with_row_ids; read_delta_row_ids)."""
+    from value_at_risk_spark.sources.deltalog import (
+        read_delta_row_ids,
+        update_delta,
+        write_delta,
+    )
+
+    def build(tbl: str) -> None:
+        nation = _t(spark, sf_dir, "nation").select(
+            "n_nationkey", "n_regionkey", "n_name"
+        )
+        write_delta(
+            spark,
+            nation.filter(F.col("n_nationkey") % 2 == 0)
+            .orderBy("n_nationkey")
+            .coalesce(1),
+            tbl,
+            configuration={"delta.enableRowTracking": "true"},
+        )
+        write_delta(
+            spark,
+            nation.filter(F.col("n_nationkey") % 2 == 1)
+            .orderBy("n_nationkey")
+            .coalesce(1),
+            tbl,
+        )
+        update_delta(
+            spark,
+            tbl,
+            "n_regionkey = 2",
+            {"n_name": "concat(n_name, '!')"},
+        )
+
+    tbl = _scratch_delta_table(
+        "rowtrack", sf_dir, "nation even/odd sorted 1-file + upd reg2",
+        build,
+    )
+    return read_delta_row_ids(spark, tbl).select(
+        "n_nationkey", "row_id", "n_name"
+    )
+
+
 def _delta_cdf_table(spark: SparkSession, sf_dir: str) -> str:
     """Session-scoped CDF-enabled native Delta table: the same
     deterministic DML walk as _delta_dml_table (v0 even orderkeys, v1

@@ -408,6 +408,10 @@ _SUPPORTED_WRITER_FEATURES = frozenset(
         # appends stage the WIDE type the schema declares
         "typeWidening",
         "typeWidening-preview",
+        # baseRowId/defaultRowCommitVersion on every add, high-water
+        # mark in the delta.rowTracking domain, materialized row-id
+        # column on rewrites (commit_staged_adds._rt_assign et al.)
+        "rowTracking",
     }
 )
 
@@ -843,6 +847,85 @@ def _dv_map(snap: DeltaSnapshot, rel_paths) -> dict[str, dict]:
     return out
 
 
+_RT_DOMAIN = "delta.rowTracking"
+_RT_MATCOL_KEY = "delta.rowTracking.materializedRowIdColumnName"
+
+
+def row_tracking_enabled(snap: DeltaSnapshot) -> bool:
+    """``delta.enableRowTracking`` — every add action must carry a
+    ``baseRowId``/``defaultRowCommitVersion`` and rewrites must
+    preserve row ids (protocol writer feature rowTracking)."""
+    cfg = snap.metadata.get("configuration") or {}
+    return _truthy(cfg.get("delta.enableRowTracking"))
+
+
+def _rt_hwm(snap: DeltaSnapshot) -> int:
+    """Row-id high-water mark from the ``delta.rowTracking`` metadata
+    domain; -1 before the first tracked commit."""
+    dom = (snap.domains or {}).get(_RT_DOMAIN)
+    if not dom:
+        return -1
+    return int(json.loads(dom).get("rowIdHighWaterMark", -1))
+
+
+def _rt_matcol(snap: DeltaSnapshot) -> str | None:
+    cfg = snap.metadata.get("configuration") or {}
+    return cfg.get(_RT_MATCOL_KEY)
+
+
+def _rt_matcol_required(snap: DeltaSnapshot, context: str) -> str:
+    """Rewrites on a tracked table can only preserve ids through the
+    materialized column; a foreign table that enabled tracking
+    without naming one refuses loudly rather than minting new ids."""
+    matcol = _rt_matcol(snap)
+    if not matcol:
+        raise NotImplementedError(
+            f"delta {context}: row-tracked table has no "
+            f"{_RT_MATCOL_KEY} — cannot preserve row ids on rewrite"
+        )
+    return matcol
+
+
+def _rt_assign(
+    snap: DeltaSnapshot | None, adds: list[dict], version: int
+) -> tuple[list[dict], list[dict]]:
+    """Row-tracking commit half: COPIES of ``adds`` with fresh
+    ``baseRowId`` ranges carved above the current high-water mark and
+    ``defaultRowCommitVersion`` = this commit, plus the
+    domainMetadata action advancing the mark IN THE SAME COMMIT (the
+    protocol's atomicity requirement — a mark trailing its ids would
+    let a concurrent writer mint colliding ids). Fresh ids per file
+    are baseRowId + row position; files whose stats lack numRecords
+    cannot be assigned a disjoint range and refuse loudly."""
+    hwm = _rt_hwm(snap) if snap is not None else -1
+    out: list[dict] = []
+    for a in adds:
+        add = dict(a["add"])
+        # '.get() is None', not 'in': checkpoint-replayed adds carry
+        # explicit None for absent struct fields
+        if add.get("baseRowId") is None:
+            s = add.get("stats")
+            n = json.loads(s).get("numRecords") if s else None
+            if n is None:
+                raise ValueError(
+                    "row tracking: staged file "
+                    f"{add.get('path')!r} has no numRecords stat — "
+                    "cannot carve a disjoint row-id range"
+                )
+            add["baseRowId"] = hwm + 1
+            add["defaultRowCommitVersion"] = version
+            hwm += int(n)
+        out.append({"add": add})
+    dm = {
+        "domainMetadata": {
+            "domain": _RT_DOMAIN,
+            "configuration": json.dumps({"rowIdHighWaterMark": hwm}),
+            "removed": False,
+        }
+    }
+    return out, [dm]
+
+
 def _dv_uid(add: dict):
     """Identity of a file's deletion-vector state — (path-or-inline,
     offset) per the protocol's uniqueness rule; None when undeleted.
@@ -1042,6 +1125,100 @@ def _scan_files_dv(
     if keep_meta:
         return df
     return df.select(*[f.name for f in snap.schema.fields])
+
+
+def read_delta_row_ids(
+    spark: SparkSession, path: str, version: int | None = None
+) -> DataFrame:
+    """Snapshot scan PLUS the table's row ids (``row_id`` bigint):
+    per the protocol, a row's id is the file's materialized row-id
+    column value when present (rewritten files preserve ids that way)
+    else ``add.baseRowId + row position`` (fresh ids). Stable across
+    appends, OPTIMIZE, copy-on-write UPDATE/DELETE, and merge-on-read
+    DV deletes — the identity a 100 TB incremental pipeline keys
+    downstream state on. Requires ``delta.enableRowTracking``."""
+    snap = snapshot(path, version)
+    if not row_tracking_enabled(snap):
+        raise ValueError(
+            f"delta table at {path} does not have "
+            "delta.enableRowTracking — no row ids to read"
+        )
+    return _files_with_row_ids(
+        spark, path, snap, sorted(snap.files), "row_id"
+    )
+
+
+def _files_with_row_ids(
+    spark: SparkSession,
+    path: str,
+    snap: DeltaSnapshot,
+    rel_paths: list[str],
+    out_col: str,
+) -> DataFrame:
+    """The row-id scan core: logical columns + ``out_col`` holding
+    each row's id (materialized column value when the file carries
+    one, else baseRowId + physical row position), deletion vectors
+    applied. Also the frame an id-preserving rewrite stages (with
+    ``out_col`` = the materialized column name)."""
+    matcol = _rt_matcol(snap)
+    missing = [p for p in rel_paths if snap.files[p].get("baseRowId") is None]
+    if missing:
+        raise ValueError(
+            "row tracking: active file(s) without baseRowId "
+            f"(e.g. {missing[0]!r}) — a foreign writer committed "
+            "untracked adds; ids are not derivable"
+        )
+    logical = [f.name for f in snap.schema.fields]
+    # scan under an AUGMENTED schema so rewritten files surface their
+    # materialized row-id column (absent in fresh files -> NULL)
+    sch = json.loads(snap.metadata["schemaString"])
+    if matcol:
+        sch["fields"].append(
+            {
+                "name": matcol,
+                "type": "long",
+                "nullable": True,
+                "metadata": {},
+            }
+        )
+    aug = DeltaSnapshot(
+        version=snap.version,
+        metadata={**snap.metadata, "schemaString": json.dumps(sch)},
+        protocol=snap.protocol,
+        files=snap.files,
+        txns=snap.txns,
+        domains=snap.domains,
+    )
+    df = _scan_files_dv(spark, path, aug, list(rel_paths), keep_meta=True)
+    apath = os.path.abspath(path)
+    base_map = spark.createDataFrame(
+        [
+            (
+                os.path.normpath(os.path.join(apath, unquote(p))),
+                int(snap.files[p]["baseRowId"]),
+            )
+            for p in sorted(rel_paths)
+        ],
+        "__rt_key string, __rt_base bigint",
+    )
+    # the same percent-only file_path normalization the DV anti-join
+    # uses ('+' re-escaped so url_decode matches unquote)
+    key = F.url_decode(
+        F.regexp_replace(
+            F.regexp_replace(F.col("__dv_fp"), "^file:/+", "/"),
+            r"\+",
+            "%2B",
+        )
+    )
+    df = df.withColumn("__rt_key", key).join(
+        F.broadcast(base_map), "__rt_key", "inner"
+    )
+    rid = (
+        F.coalesce(F.col(matcol), F.col("__rt_base") + F.col("__dv_ri"))
+        if matcol
+        else (F.col("__rt_base") + F.col("__dv_ri"))
+    )
+    return df.select(*logical, rid.cast("long").alias(out_col))
 
 
 def _parse_partition_values(rel_path: str) -> dict:
@@ -1729,6 +1906,12 @@ def set_table_properties(path: str, props: dict[str, str]) -> int:
             "set_table_properties: enabling column mapping would make "
             "the table unwritable by this module (read-only support)"
         )
+    if "delta.enableRowTracking" in props:
+        raise NotImplementedError(
+            "set_table_properties: row tracking is a table-CREATION "
+            "option here — enabling it later requires backfilling "
+            "baseRowId on every existing file"
+        )
     now_ms = int(time.time() * 1000)
     for _attempt in range(64):
         snap = snapshot(path)
@@ -2302,23 +2485,38 @@ def commit_staged_adds(
     for _attempt in range(64):
         versions = delta_versions(path)
         version = (versions[-1] + 1) if versions else 0
+        snap_tip = snapshot(path) if versions else None
         if versions and validated_version != versions[-1]:
             # re-validate against the CURRENT tip on every (re)try:
             # the protocol's conflict rules treat concurrent metaData /
             # protocol changes (ADD CONSTRAINT, appendOnly, upgrades)
             # as conflicting with every transaction — a retry that
             # kept the pre-loop validation would publish unchecked data
-            _validate_tip(snapshot(path))
+            _validate_tip(snap_tip)
             validated_version = versions[-1]
         if expected_version is not None and version != expected_version + 1:
             raise DeltaConcurrentModification(
                 f"write_delta: expected tip v{expected_version}, "
                 f"found v{version - 1} at {path}"
             )
-        if txn is not None and versions:
-            committed = (snapshot(path).txns or {}).get(str(txn["appId"]))
+        if txn is not None and snap_tip is not None:
+            committed = (snap_tip.txns or {}).get(str(txn["appId"]))
             if committed is not None and int(txn["version"]) <= committed:
                 return -1
+        # row tracking: carve fresh baseRowId ranges against THIS
+        # attempt's tip (a retry against a moved tip re-carves above
+        # the new high-water mark)
+        if (
+            snap_tip is not None and row_tracking_enabled(snap_tip)
+        ) or (
+            snap_tip is None
+            and _truthy(
+                (configuration or {}).get("delta.enableRowTracking")
+            )
+        ):
+            adds_use, rt_actions = _rt_assign(snap_tip, adds, version)
+        else:
+            adds_use, rt_actions = adds, []
         actions: list[dict] = [
             {
                 "commitInfo": {
@@ -2359,6 +2557,15 @@ def commit_staged_adds(
             ):
                 rfeats.append("columnMapping")
                 wfeats.append("columnMapping")
+            if _truthy(cfg0.get("delta.enableRowTracking")):
+                # rowTracking rides on domainMetadata (the high-water
+                # mark lives in a metadata domain); name the
+                # materialized row-id column at birth so every later
+                # rewrite materializes under one stable physical name
+                wfeats += ["rowTracking", "domainMetadata"]
+                cfg0.setdefault(
+                    _RT_MATCOL_KEY, f"_row-id-col-{uuid.uuid4()}"
+                )
             if rfeats or wfeats:
                 # the table is born as a feature table (v3/v7) with
                 # the legacy features its min_writer_version implies
@@ -2390,7 +2597,7 @@ def commit_staged_adds(
                         "format": {"provider": "parquet", "options": {}},
                         "schemaString": schema.json(),
                         "partitionColumns": part_cols,
-                        "configuration": dict(configuration or {}),
+                        "configuration": cfg0,
                         "createdTime": now_ms,
                     }
                 }
@@ -2415,7 +2622,8 @@ def commit_staged_adds(
                 }
                 for p in sorted(current.files)
             )
-        actions.extend(adds)
+        actions.extend(adds_use)
+        actions.extend(rt_actions)
         if extra_actions:
             actions.extend(extra_actions)
         if _publish_commit(path, version, actions):
@@ -2489,6 +2697,10 @@ def checkpoint_delta(
             # a checkpoint that dropped deletionVector would resurrect
             # every DV-deleted row after log cleanup
             ("deletionVector", dv_t),
+            # row tracking: ids derive from baseRowId + position — a
+            # checkpoint that dropped them would orphan every fresh id
+            ("baseRowId", pa.int64()),
+            ("defaultRowCommitVersion", pa.int64()),
         ]
     )
     meta_t = pa.struct(
@@ -2535,6 +2747,10 @@ def checkpoint_delta(
                 "dataChange": a.get("dataChange"),
                 "stats": a.get("stats"),
                 "deletionVector": a.get("deletionVector"),
+                "baseRowId": a.get("baseRowId"),
+                "defaultRowCommitVersion": a.get(
+                    "defaultRowCommitVersion"
+                ),
             }
         m = row["metaData"]
         if m is not None:
@@ -2688,7 +2904,16 @@ def optimize_delta(
     # pinned to the resolved snapshot (not the moving tip); deletion
     # vectors are APPLIED by the scan, so compaction materializes
     # them — the compacted files carry no DV
-    df = _read_snapshot(spark, path, snap)
+    tracked = row_tracking_enabled(snap)
+    if tracked:
+        # a dataChange:false rewrite must PRESERVE row ids: scan with
+        # ids resolved and stage them as the materialized column
+        df = _files_with_row_ids(
+            spark, path, snap, sorted(snap.files),
+            _rt_matcol_required(snap, "OPTIMIZE"),
+        )
+    else:
+        df = _read_snapshot(spark, path, snap)
     n = target_files or df.sparkSession.sparkContext.defaultParallelism
     if zorder_by:
         from value_at_risk_spark.sources.layout import zorder_key
@@ -2750,7 +2975,6 @@ def optimize_delta(
         }
         for p in sorted(snap.files)
     )
-    actions.extend(adds)
     for _attempt in range(64):
         current = snapshot(path)
         # compare (path, DV identity), not just paths: a concurrent
@@ -2764,7 +2988,19 @@ def optimize_delta(
                 "optimize_delta: table changed concurrently "
                 f"(v{snap.version} -> v{current.version}); re-run"
             )
-        if _publish_commit(path, current.version + 1, actions):
+        if tracked:
+            # logical row ids ride in the materialized column; the
+            # rewritten files still get fresh baseRowId ranges (the
+            # protocol requires every tracked add to carry one) and
+            # the high-water mark advances in this commit
+            adds_use, rt_actions = _rt_assign(
+                current, adds, current.version + 1
+            )
+        else:
+            adds_use, rt_actions = adds, []
+        if _publish_commit(
+            path, current.version + 1, actions + adds_use + rt_actions
+        ):
             return current.version + 1
     raise RuntimeError(f"optimize_delta: lost the commit race at {path}")
 
@@ -3443,7 +3679,15 @@ def _commit_rewrite(
         }
         for p in removed
     )
+    if row_tracking_enabled(snap):
+        # every tracked add needs a fresh baseRowId range + the
+        # advanced high-water mark IN THIS COMMIT (logical ids ride
+        # in the materialized column the caller staged)
+        adds, rt_actions = _rt_assign(snap, adds, read_version + 1)
+    else:
+        rt_actions = []
     actions.extend(adds)
+    actions.extend(rt_actions)
     if cdc_actions:
         actions.extend(cdc_actions)
     return _publish_commit(path, read_version + 1, actions)
@@ -3505,9 +3749,17 @@ def delete_from_delta(
                 "files_rewritten": 0,
                 "files_added": 0,
             }
-        survivors = _scan_files_dv(spark, path, snap, touched).filter(
-            ~F.coalesce(cond, F.lit(False))
-        )
+        if row_tracking_enabled(snap):
+            # surviving rows must KEEP their ids: rewrite with the
+            # materialized row-id column populated
+            survivors = _files_with_row_ids(
+                spark, path, snap, touched,
+                _rt_matcol_required(snap, "DELETE"),
+            ).filter(~F.coalesce(cond, F.lit(False)))
+        else:
+            survivors = _scan_files_dv(spark, path, snap, touched).filter(
+                ~F.coalesce(cond, F.lit(False))
+            )
         # bound the restage task count by the touched-file count so a
         # 3-file DELETE doesn't shatter into shuffle-partition-many
         # small files (rewrite granularity ≈ input granularity)
@@ -3702,8 +3954,14 @@ def _delete_with_dv(
                                     "size",
                                     "modificationTime",
                                     "stats",
+                                    # row tracking: the file is
+                                    # UNTOUCHED (only masked), so its
+                                    # id range — baseRowId + position
+                                    # — stays valid verbatim
+                                    "baseRowId",
+                                    "defaultRowCommitVersion",
                                 )
-                                if k in old_add
+                                if old_add.get(k) is not None
                             },
                             "dataChange": True,
                             "deletionVector": desc,
@@ -3846,9 +4104,19 @@ def _update_with_dv(
         }
         dv_keep = [(rel, idx) for rel, idx in touched if rel not in fully_removed]
 
-        matched = _scan_files_dv(spark, path, snap, touched_rels).filter(
-            F.coalesce(cond, F.lit(False))
-        )
+        tracked = row_tracking_enabled(snap)
+        if tracked:
+            # the updated rows move to NEW files but keep their ids:
+            # resolve each matched row's id and materialize it in the
+            # appended files
+            matcol = _rt_matcol_required(snap, "UPDATE")
+            matched = _files_with_row_ids(
+                spark, path, snap, touched_rels, matcol
+            ).filter(F.coalesce(cond, F.lit(False)))
+        else:
+            matched = _scan_files_dv(spark, path, snap, touched_rels).filter(
+                F.coalesce(cond, F.lit(False))
+            )
         updated = matched.select(
             *[
                 (
@@ -3857,7 +4125,8 @@ def _update_with_dv(
                     else F.col(f.name)
                 )
                 for f in snap.schema.fields
-            ]
+            ],
+            *([F.col(matcol)] if tracked else []),
         )
         cons = table_constraints(snap)
         if cons:
@@ -3887,8 +4156,14 @@ def _update_with_dv(
                                     "size",
                                     "modificationTime",
                                     "stats",
+                                    # row tracking: the file is
+                                    # UNTOUCHED (only masked), so its
+                                    # id range — baseRowId + position
+                                    # — stays valid verbatim
+                                    "baseRowId",
+                                    "defaultRowCommitVersion",
                                 )
-                                if k in old_add
+                                if old_add.get(k) is not None
                             },
                             "dataChange": True,
                             "deletionVector": desc,
@@ -3928,12 +4203,23 @@ def _update_with_dv(
                 rm["deletionVector"] = old_add["deletionVector"]
             actions.append({"remove": rm})
         actions.extend(dv_adds)
-        actions.extend(new_adds)
+        if tracked:
+            # fresh baseRowId ranges for the NEW files only (dv_adds
+            # carry their original ranges verbatim) + the advanced
+            # high-water mark in this commit
+            new_adds, rt_actions = _rt_assign(
+                snap, new_adds, snap.version + 1
+            )
+            actions.extend(new_adds)
+            actions.extend(rt_actions)
+        else:
+            actions.extend(new_adds)
         if cdf_enabled(snap):
-            pre = matched.withColumn(
+            logical = [f.name for f in snap.schema.fields]
+            pre = matched.select(*logical).withColumn(
                 "_change_type", F.lit("update_preimage")
             )
-            post = updated.withColumn(
+            post = updated.select(*logical).withColumn(
                 "_change_type", F.lit("update_postimage")
             )
             actions.extend(
@@ -3975,7 +4261,16 @@ def purge_deletion_vectors(spark: SparkSession, path: str) -> dict:
                 "files_added": 0,
             }
         rels = sorted(dvm)
-        survivors = _scan_files_dv(spark, path, snap, rels)
+        tracked = row_tracking_enabled(snap)
+        if tracked:
+            # dataChange:false rewrite — surviving rows keep their ids
+            # through the materialized column
+            survivors = _files_with_row_ids(
+                spark, path, snap, rels,
+                _rt_matcol_required(snap, "REORG PURGE"),
+            )
+        else:
+            survivors = _scan_files_dv(spark, path, snap, rels)
         adds = _stage(
             survivors.repartition(len(rels)),
             path,
@@ -4005,7 +4300,12 @@ def purge_deletion_vectors(spark: SparkSession, path: str) -> dict:
             }
             for rel in rels
         )
-        actions.extend(adds)
+        if tracked:
+            adds, rt_actions = _rt_assign(snap, adds, snap.version + 1)
+            actions.extend(adds)
+            actions.extend(rt_actions)
+        else:
+            actions.extend(adds)
         current = snapshot(path)
         if current.version != snap.version or any(
             _dv_uid(current.files.get(rel) or {}) != _dv_uid(snap.files[rel])
@@ -4080,7 +4380,15 @@ def update_delta(
                 "files_rewritten": 0,
                 "files_added": 0,
             }
-        base = _scan_files_dv(spark, path, snap, touched)
+        tracked = row_tracking_enabled(snap)
+        if tracked:
+            # an UPDATE preserves every row's id — matched rows
+            # included — so the rewrite carries the materialized
+            # row-id column through the SET untouched
+            matcol = _rt_matcol_required(snap, "UPDATE")
+            base = _files_with_row_ids(spark, path, snap, touched, matcol)
+        else:
+            base = _scan_files_dv(spark, path, snap, touched)
         cons = table_constraints(snap)
         rewritten = base.select(
             *[
@@ -4095,7 +4403,8 @@ def update_delta(
                     else F.col(f.name)
                 )
                 for f in snap.schema.fields
-            ]
+            ],
+            *([F.col(matcol)] if tracked else []),
         )
         if cons:
             _check_constraints(rewritten, cons, "update_delta")
@@ -4117,7 +4426,11 @@ def update_delta(
             # expressions must see original values — a self-referencing
             # SET like price = price * 2 would double twice if applied
             # to the rewritten frame)
-            matched = base.filter(F.coalesce(cond, F.lit(False)))
+            # cdc rows carry LOGICAL columns only (drop any
+            # materialized row-id column the tracked base scan added)
+            matched = base.filter(F.coalesce(cond, F.lit(False))).select(
+                *[f.name for f in snap.schema.fields]
+            )
             pre = matched.withColumn(
                 "_change_type", F.lit("update_preimage")
             )
