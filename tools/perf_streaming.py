@@ -116,6 +116,7 @@ def main() -> None:
     results.update(sustained_batches(spark, scaled, schema, ts_ntz))
     results.update(delta_sink_sustained(spark))
     results.update(delta_source_sustained(spark))
+    results.update(delta_cdf_dv_sustained(spark))
     shutil.rmtree(src, ignore_errors=True)
 
     print(json.dumps(results))
@@ -235,6 +236,112 @@ def delta_source_sustained(spark) -> dict:
         "delta_source_bucket_medians": [
             round(statistics.median(lat[i : i + 8]), 3)
             for i in range(0, len(lat), 8)
+        ],
+    }
+
+
+def delta_cdf_dv_sustained(spark) -> dict:
+    """Round-12 arm: a CDF stream off a native delta table RECEIVING
+    MERGE-ON-READ DV DELETES between appends — the shape the r11
+    streaming-CDF fixes (DV-delete cdc derivation) are gated for but
+    never measured under sustained load. The table takes an
+    append/DV-delete/append/... commit walk (every delete masks rows
+    via bitmaps, zero files rewritten), then ONE continuous CDF query
+    with maxVersionsPerBatch=1 drains it commit-by-commit. Reports
+    per-batch latency bucket medians (must stay flat — a delete
+    batch's cdc derivation reads only the DV'd files), change-row
+    throughput, and the per-change-type row counts (inserts from the
+    appends + exactly the deleted rows as 'delete' changes)."""
+    import statistics
+
+    from value_at_risk_spark.sources.delta_datasource import (
+        register_deltalog_source,
+    )
+    from value_at_risk_spark.sources.deltalog import (
+        delete_from_delta,
+        write_delta,
+    )
+
+    register_deltalog_source(spark)
+    tbl = tempfile.mkdtemp(prefix="perf_delta_cdfdv_")
+    shutil.rmtree(tbl, ignore_errors=True)
+    ckpt = tempfile.mkdtemp(prefix="perf_delta_cdfdv_ckpt_")
+    per_commit = 25_000
+    appends = SOURCE_COMMITS // 2
+    base = spark.range(per_commit).selectExpr("id", "id % 7 as k")
+    expect_changes = 0
+    n_deletes = 0
+    for c in range(appends):
+        write_delta(
+            spark,
+            base.selectExpr(f"id + {c * per_commit} as id", "k"),
+            tbl,
+            configuration=(
+                {
+                    "delta.enableChangeDataFeed": "true",
+                    "delta.enableDeletionVectors": "true",
+                }
+                if c == 0
+                else None
+            ),
+        )
+        if c > 0:
+            # the streaming source's startingVersion=n consumes
+            # commits AFTER n (documented offset semantics) — v0's
+            # snapshot rows are not part of the change stream
+            expect_changes += per_commit
+        if c % 2 == 1:
+            # mask ~1/7 of the two newest appends' rows, bitmaps only
+            lo, hi = (c - 1) * per_commit, (c + 1) * per_commit
+            r = delete_from_delta(
+                spark, tbl, f"k = {c % 7} and id >= {lo} and id < {hi}"
+            )
+            assert r["files_rewritten"] == 0
+            expect_changes += r["rows_deleted"]
+            n_deletes += 1
+
+    seen = {"rows": 0, "batches": 0}
+    by_type: dict[str, int] = {}
+    lat: list[float] = []
+
+    def sink(bdf, _bid):
+        t0 = time.time()
+        for row in bdf.groupBy("_change_type").count().collect():
+            by_type[row[0]] = by_type.get(row[0], 0) + row[1]
+            seen["rows"] += row[1]
+        seen["batches"] += 1
+        lat.append(round(time.time() - t0, 3))
+
+    t_all = time.time()
+    q = (
+        spark.readStream.format("deltalog")
+        .option("readChangeFeed", "true")
+        .option("startingVersion", 0)
+        .option("maxVersionsPerBatch", 1)
+        .load(tbl)
+        .writeStream.foreachBatch(sink)
+        .option("checkpointLocation", ckpt)
+        .trigger(processingTime="0 seconds")
+        .start()
+    )
+    deadline = time.time() + 300
+    while seen["rows"] < expect_changes and time.time() < deadline:
+        time.sleep(0.25)
+    q.stop()
+    wall = time.time() - t_all
+    shutil.rmtree(tbl, ignore_errors=True)
+    shutil.rmtree(ckpt, ignore_errors=True)
+    return {
+        "cdfdv_commits": appends + n_deletes,
+        "cdfdv_expected_change_rows": expect_changes,
+        "cdfdv_change_rows": seen["rows"],
+        "cdfdv_rows_by_type": dict(sorted(by_type.items())),
+        "cdfdv_batches": seen["batches"],
+        "cdfdv_wall_sec": round(wall, 2),
+        "cdfdv_change_rows_per_sec": int(seen["rows"] / max(wall, 1e-9)),
+        "cdfdv_bucket_medians": [
+            round(statistics.median(lat[i : i + 4]), 3)
+            for i in range(0, len(lat), 4)
         ],
     }
 

@@ -91,6 +91,13 @@ def load_ivfpq_index(
     for r in sorted(cb_rows, key=lambda r: (r.j, r.code)):
         books[r.j].append(list(r.v))
     codes = reg.read(spark, "ann_codes")
+    # merge-on-read deletes: tombstoned ids never reach a search
+    # (broadcast anti-join — the tombstone side is deleted-count sized)
+    tomb = _tombstones(spark, base_dir)
+    if tomb is not None:
+        codes = codes.join(
+            F.broadcast(tomb), tomb.columns[0], "left_anti"
+        )
     return cents, books, codes
 
 
@@ -335,3 +342,277 @@ def append_to_ivfpq(
     Registry(base_dir).write(
         codes_df, "ann_codes", mode="append", partition_keys=["_cell"]
     )
+
+
+# --------------------------------------------------------------------------
+# Index maintenance under churn (round 12): deletes as tombstones (the
+# DV idea applied to the vector index — no partition rewrite per
+# delete), bounded purge, and hot-cell splitting so a skewed ingest
+# cannot degrade probe selectivity forever.
+# --------------------------------------------------------------------------
+
+
+def delete_from_ivfpq(
+    spark: SparkSession,
+    base_dir: str,
+    ids: DataFrame,
+    corpus_id: str = "vec_id",
+) -> None:
+    """Delete vectors from the index WITHOUT touching the codes table:
+    the ids append to a tiny ``ann_tombstones`` table and every
+    ``load_ivfpq_index`` scan anti-joins them out (broadcast — the
+    tombstone side is deleted-count sized, never corpus sized). The
+    merge-on-read shape deletion vectors use on the delta log, applied
+    to the vector index; ``purge_ivfpq`` is the compaction arm."""
+    Registry(base_dir).write(
+        ids.select(F.col(corpus_id)).distinct(),
+        "ann_tombstones",
+        mode="append",
+        num_files=1,
+    )
+
+
+def _tombstones(spark: SparkSession, base_dir: str) -> DataFrame | None:
+    reg = Registry(base_dir)
+    if not os.path.isdir(reg.path("ann_tombstones")):
+        return None
+    return reg.read(spark, "ann_tombstones")
+
+
+def purge_ivfpq(
+    spark: SparkSession, base_dir: str, corpus_id: str = "vec_id"
+) -> dict:
+    """Materialize the tombstones: rewrite ONLY the cell partitions
+    that hold deleted vectors (dynamic partition overwrite — untouched
+    cells' files are never read or written), drop cells left empty,
+    and clear the tombstone table. Bounded by the DELETED rows' cell
+    count, not the corpus — the same cost contract as REORG PURGE on
+    the delta log."""
+    tomb = _tombstones(spark, base_dir)
+    if tomb is None:
+        return {"cells_rewritten": 0, "cells_dropped": 0, "purged": 0}
+    reg = Registry(base_dir)
+    codes_path = reg.path("ann_codes")
+    raw = spark.read.parquet(codes_path)  # tombstones NOT applied
+    hit = raw.join(F.broadcast(tomb), corpus_id, "inner")
+    affected = [r._cell for r in hit.select("_cell").distinct().collect()]
+    n_purged = hit.count()
+    if affected:
+        survivors = raw.filter(F.col("_cell").isin(affected)).join(
+            F.broadcast(tomb), corpus_id, "left_anti"
+        ).localCheckpoint()  # lineage reads the partitions we replace
+        live_cells = {
+            r._cell for r in survivors.select("_cell").distinct().collect()
+        }
+        (
+            survivors.repartition(max(1, len(live_cells)))
+            .write.mode("overwrite")
+            .option("partitionOverwriteMode", "dynamic")
+            .partitionBy("_cell")
+            .parquet(codes_path)
+        )
+        # dynamic overwrite only replaces partitions PRESENT in the
+        # written frame — a cell whose every row died must be dropped
+        # explicitly or its stale files would resurrect the deletes
+        for c in set(affected) - live_cells:
+            shutil.rmtree(
+                os.path.join(codes_path, f"_cell={c}"), ignore_errors=True
+            )
+    shutil.rmtree(reg.path("ann_tombstones"), ignore_errors=True)
+    return {
+        "cells_rewritten": len(affected),
+        "cells_dropped": len(
+            set(affected)
+            - {
+                r._cell
+                for r in spark.read.parquet(codes_path)
+                .select("_cell")
+                .distinct()
+                .collect()
+            }
+        ),
+        "purged": n_purged,
+    }
+
+
+def _two_means(
+    df: DataFrame, vec_col: str, iters: int = 2, seed: int = 7
+) -> list[list[float]] | None:
+    """Distributed 2-means with DATA-driven init: the two vectors at
+    the extremes of a seeded random projection (random-gaussian init —
+    kmeans_centroids' choice, fine for a coarse quantizer over the
+    whole corpus — collapses on a single tight cell: one centroid
+    captures everything and the split becomes a no-op). Lloyd steps
+    are the same one-pass posexplode/avg aggregation. Returns None
+    when the cell is degenerate (both extremes identical)."""
+    import numpy as np
+
+    from value_at_risk_spark.operators.similarity import nearest_cell_expr
+
+    first = df.select(vec_col).first()
+    if first is None:
+        return None
+    dim = len(first[0])
+    g = np.random.default_rng(seed).standard_normal(dim)
+    proj = sum(
+        F.element_at(F.col(vec_col), i + 1) * float(g[i]) for i in range(dim)
+    )
+    ends = df.select(
+        F.min_by(vec_col, proj).alias("lo"), F.max_by(vec_col, proj).alias("hi")
+    ).first()
+    pair = [[float(x) for x in ends.lo], [float(x) for x in ends.hi]]
+    if pair[0] == pair[1]:
+        return None
+    for _ in range(iters):
+        # assignment and posexplode in SEPARATE selects: a generator
+        # in the same projection as the struct-literal distance array
+        # strips the struct field names (analyzer quirk)
+        assigned = df.select(
+            nearest_cell_expr(vec_col, pair).alias("_p"),
+            F.col(vec_col).alias("_v"),
+        )
+        means = (
+            assigned.select("_p", F.posexplode("_v").alias("_i", "_x"))
+            .groupBy("_p", "_i")
+            .agg(F.avg("_x").alias("_m"))
+            .groupBy("_p")
+            .agg(
+                F.array_sort(F.collect_list(F.struct("_i", "_m"))).alias(
+                    "_ms"
+                )
+            )
+            .select("_p", F.transform("_ms", lambda s: s["_m"]).alias("_mean"))
+            .collect()
+        )
+        for r in means:
+            pair[r._p] = [float(x) for x in r._mean]
+    if pair[0] == pair[1]:
+        return None
+    return pair
+
+
+def rebalance_ivfpq(
+    spark: SparkSession,
+    base_dir: str,
+    hot_factor: float = 4.0,
+    iters: int = 2,
+    corpus_id: str = "vec_id",
+) -> dict:
+    """Split HOT cells — cells whose population exceeds ``hot_factor``
+    × the mean — so skewed ingest cannot degrade probe selectivity: a
+    probe of a cell holding half the corpus rescans half the corpus.
+
+    Per hot cell: reconstruct its vectors from their codes (centroid +
+    PQ decode — the quantization-bounded approximation; originals are
+    not stored, by design), train TWO sub-centroids with the same
+    distributed Lloyd pass as the coarse quantizer, re-assign each row
+    to its nearer sub-centroid, and re-encode residuals against it.
+    The split cell keeps its id (sub-centroid A replaces it in place);
+    sub-centroid B appends at the end — cell ids stay POSITIONAL into
+    the centroid list, which is what ivfpq_topk's element_at decode
+    requires. Storage cost: dynamic partition overwrite of the hot
+    cells + the new cells only; cold partitions are never touched.
+    PQ codebooks are frozen (residual geometry barely moves under a
+    mean split; recall is pinned by the caller's floor test)."""
+    from value_at_risk_spark.operators.similarity import (
+        pq_decode_expr,
+        pq_encode,
+    )
+
+    cents, books, codes = load_ivfpq_index(spark, base_dir)
+    counts = {r._cell: r["count"] for r in codes.groupBy("_cell").count().collect()}
+    total = sum(counts.values())
+    if not total:
+        return {"cells_split": 0}
+    mean = total / max(1, len(cents))
+    hot = sorted(
+        c for c, n in counts.items() if n > hot_factor * mean and n >= 4
+    )
+    if not hot:
+        return {"cells_split": 0}
+    new_cents = [list(c) for c in cents]
+    out_frames = []
+    for c in hot:
+        # reconstruct ≈ originals: centroid + decoded residual
+        vecs = codes.filter(F.col("_cell") == c).select(
+            corpus_id,
+            F.zip_with(
+                F.array(*[F.lit(float(x)) for x in cents[c]]),
+                pq_decode_expr(books),
+                lambda a, b: a + b,
+            ).alias("embedding"),
+        )
+        sub = _two_means(vecs, "embedding", iters=iters, seed=1000 + c)
+        if sub is None:
+            # degenerate cell (all vectors identical) — splitting
+            # cannot reduce it; leave it alone
+            continue
+        new_id = len(new_cents)
+        new_cents[c] = sub[0]
+        new_cents.append(sub[1])
+        pair = [sub[0], sub[1]]
+        assigned = vecs.withColumn(
+            "_pick", nearest_cell_expr("embedding", pair)
+        ).withColumn(
+            "_cell",
+            F.when(F.col("_pick") == 0, F.lit(c)).otherwise(F.lit(new_id)),
+        ).withColumn(
+            "_resid",
+            F.zip_with(
+                F.col("embedding"),
+                F.element_at(
+                    F.array(
+                        *[
+                            F.array(*[F.lit(float(x)) for x in s])
+                            for s in pair
+                        ]
+                    ),
+                    F.col("_pick") + 1,
+                ),
+                lambda a, b: a - b,
+            ),
+        )
+        recoded = pq_encode(
+            assigned.select(
+                corpus_id, "_cell", F.col("_resid").alias("embedding")
+            ),
+            books,
+            id_col=corpus_id,
+            vec_col="embedding",
+        )
+        out_frames.append(
+            assigned.select(corpus_id, "_cell").join(recoded, corpus_id)
+        )
+    if not out_frames:
+        return {"cells_split": 0}
+    allnew = out_frames[0]
+    for f in out_frames[1:]:
+        allnew = allnew.unionByName(f)
+    # materialize BEFORE overwriting: the lineage reads the very
+    # partitions the dynamic overwrite replaces (bounded: hot-cell
+    # rows only, the same rows being rewritten)
+    allnew = allnew.localCheckpoint()
+    reg = Registry(base_dir)
+    (
+        allnew.repartition(2 * len(hot))
+        .write.mode("overwrite")
+        .option("partitionOverwriteMode", "dynamic")
+        .partitionBy("_cell")
+        .parquet(reg.path("ann_codes"))
+    )
+    # centroid table: tiny, rewritten whole (it IS the cell id space)
+    reg.write(
+        spark.createDataFrame(
+            [(i, [float(x) for x in v]) for i, v in enumerate(new_cents)],
+            "cell int, v array<double>",
+        ),
+        "ann_centroids",
+        num_files=1,
+    )
+    return {
+        "cells_split": len(out_frames),
+        "hot_cells": hot,
+        "n_cells_before": len(cents),
+        "n_cells_after": len(new_cents),
+        "max_cell_before": max(counts.values()),
+    }
