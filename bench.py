@@ -288,6 +288,10 @@ def scaled_heavy_tail(spark, sf_dir: str) -> dict:
             out.update(scaled_delta_dml(spark, scaled))
         except Exception as ex:  # never sink the sibling rows
             out["scaled10_delta_dml_error"] = str(ex)[:200]
+        try:
+            out.update(scaled_row_tracking(spark, scaled))
+        except Exception as ex:
+            out["scaled10_rowtrack_error"] = str(ex)[:200]
     finally:
         shutil.rmtree(scaled, ignore_errors=True)
     return out
@@ -344,6 +348,91 @@ def scaled_semdedup(spark, scaled: str) -> dict:
         "scaled10_semdedup_vectors": agg.n,
         "scaled10_semdedup_dups": agg.d,
     }
+
+
+def scaled_row_tracking(spark, scaled: str) -> dict:
+    """Standing 10x row for row tracking (round 12): the 1.5M-row
+    scaled orders land in a TRACKED native table (4 commits — fresh
+    baseRowId carving + hwm domain per commit), then three reads are
+    timed against each other: the plain scan (row tracking must cost
+    untracked readers nothing), the row-id scan (adds one broadcast
+    file→baseRowId join + the _metadata row_index materialization),
+    and the row-id scan AFTER a narrow copy-on-write UPDATE (ids now
+    come from the rewritten file's materialized column through
+    coalesce). The update row itself times the id-preserving rewrite."""
+    import shutil
+    import tempfile
+
+    from pyspark.sql import functions as F
+
+    from value_at_risk_spark.sources.deltalog import (
+        read_delta,
+        read_delta_row_ids,
+        update_delta,
+        write_delta,
+    )
+
+    tbl = tempfile.mkdtemp(prefix="bench_rowtrack_")
+    shutil.rmtree(tbl, ignore_errors=True)
+    try:
+        orders = spark.read.parquet(f"{scaled}/orders.parquet").select(
+            "o_orderkey", "o_orderstatus", "o_totalprice"
+        )
+        hi = orders.agg(F.max("o_orderkey")).first()[0] + 1
+        step = hi // 4 + 1
+        t0 = time.time()
+        for c in range(4):
+            write_delta(
+                spark,
+                orders.filter(
+                    (F.col("o_orderkey") >= c * step)
+                    & (F.col("o_orderkey") < (c + 1) * step)
+                ),
+                tbl,
+                configuration=(
+                    {"delta.enableRowTracking": "true"} if c == 0 else None
+                ),
+            )
+        build_sec = round(time.time() - t0, 3)
+        t0 = time.time()
+        n_plain = read_delta(spark, tbl).count()
+        plain_sec = round(time.time() - t0, 3)
+        t0 = time.time()
+        rid = read_delta_row_ids(spark, tbl)
+        agg = rid.agg(
+            F.count(F.lit(1)).alias("n"),
+            F.count_distinct("row_id").alias("d"),
+        ).first()
+        rowid_sec = round(time.time() - t0, 3)
+        cut = step // 8
+        t0 = time.time()
+        u = update_delta(
+            spark,
+            tbl,
+            f"o_orderkey < {cut}",
+            {"o_totalprice": "o_totalprice * 2"},
+            stats_filters=[("o_orderkey", "<", cut)],
+        )
+        update_sec = round(time.time() - t0, 3)
+        t0 = time.time()
+        d2 = read_delta_row_ids(spark, tbl).agg(
+            F.count_distinct("row_id")
+        ).first()[0]
+        rowid_after_sec = round(time.time() - t0, 3)
+        return {
+            "scaled10_rowtrack_rows": n_plain,
+            "scaled10_rowtrack_ids_unique": bool(
+                agg.d == agg.n == n_plain and d2 == n_plain
+            ),
+            "scaled10_rowtrack_build_sec": build_sec,
+            "scaled10_rowtrack_plain_read_sec": plain_sec,
+            "scaled10_rowtrack_rowid_read_sec": rowid_sec,
+            "scaled10_rowtrack_update_sec": update_sec,
+            "scaled10_rowtrack_update_files": u["files_rewritten"],
+            "scaled10_rowtrack_rowid_read_after_update_sec": rowid_after_sec,
+        }
+    finally:
+        shutil.rmtree(tbl, ignore_errors=True)
 
 
 def scaled_delta_dml(spark, scaled: str) -> dict:
