@@ -3344,3 +3344,31 @@ def test_row_tracking_lifecycle(spark, tmp_path):
     write_delta(spark, df, t3)
     with pytest.raises(ValueError, match="enableRowTracking"):
         read_delta_row_ids(spark, t3)
+
+
+def test_delta_sql_rename_and_widen_forms(spark, tmp_path):
+    """The ALTER TABLE RENAME COLUMN / ALTER COLUMN TYPE text forms
+    route to rename_delta_column / widen_column_type with SQL type
+    names mapped to schemaString primitives."""
+    from value_at_risk_spark.sources.delta_sql import delta_sql
+
+    tbl = str(tmp_path / "sqlddl")
+    df = spark.createDataFrame(
+        [(i, float(i)) for i in range(6)], "id int, v double"
+    )
+    write_delta(
+        spark,
+        df.withColumn("v", F.col("v").cast("float")),
+        tbl,
+        configuration={"delta.columnMapping.mode": "name"},
+    )
+    delta_sql(spark, f"ALTER TABLE delta.`{tbl}` ALTER COLUMN id TYPE bigint")
+    delta_sql(spark, f"ALTER TABLE delta.`{tbl}` ALTER COLUMN v TYPE double")
+    delta_sql(spark, f"ALTER TABLE delta.`{tbl}` RENAME COLUMN v TO value")
+    got = read_delta(spark, tbl)
+    assert got.schema.simpleString() == "struct<id:bigint,value:double>"
+    assert got.count() == 6
+    with pytest.raises(ValueError, match="not a supported"):
+        delta_sql(
+            spark, f"ALTER TABLE delta.`{tbl}` ALTER COLUMN id TYPE int"
+        )

@@ -29,7 +29,9 @@ like delta-spark's path syntax:
 - ``DESCRIBE HISTORY delta.`/p``` — returned as a DataFrame;
 - ``ALTER TABLE delta.`/p` ADD CONSTRAINT name CHECK (expr)`` /
   ``DROP CONSTRAINT name`` /
-  ``SET TBLPROPERTIES ('k'='v', ...)``.
+  ``SET TBLPROPERTIES ('k'='v', ...)`` /
+  ``RENAME COLUMN old TO new`` (column-mapped tables) /
+  ``ALTER COLUMN col TYPE bigint`` (lossless widening only).
 
 Anything else raises ValueError with the unsupported text — loud,
 never silently re-interpreted. Statements that mutate return the
@@ -327,6 +329,36 @@ def delta_sql(spark: SparkSession, stmt: str):
         )
         if m:
             return dl.sync_identity(spark, _one_path(s, "ALTER"))
+        m = re.match(
+            r"ALTER\s+TABLE\s+delta\.`[^`]+`\s+RENAME\s+COLUMN\s+"
+            r"(\w+)\s+TO\s+(\w+)$",
+            s,
+            re.IGNORECASE,
+        )
+        if m:
+            return dl.rename_delta_column(
+                _one_path(s, "ALTER"), m.group(1), m.group(2)
+            )
+        m = re.match(
+            r"ALTER\s+TABLE\s+delta\.`[^`]+`\s+ALTER\s+COLUMN\s+"
+            r"(\w+)\s+TYPE\s+(\w+)$",
+            s,
+            re.IGNORECASE,
+        )
+        if m:
+            # SQL type names -> schemaString primitive names
+            t = {
+                "tinyint": "byte",
+                "smallint": "short",
+                "int": "integer",
+                "integer": "integer",
+                "bigint": "long",
+                "long": "long",
+                "float": "float",
+                "real": "float",
+                "double": "double",
+            }.get(m.group(2).lower(), m.group(2).lower())
+            return dl.widen_column_type(_one_path(s, "ALTER"), m.group(1), t)
         m = re.match(
             r"ALTER\s+TABLE\s+delta\.`[^`]+`\s+SET\s+TBLPROPERTIES\s*"
             r"\((.+)\)$",
