@@ -2975,9 +2975,11 @@ def test_v2_checkpoint_read(spark, tmp_path):
     assert sorted(r.id for r in got.collect()) == list(range(100))
     snap2 = snapshot(t)
     assert len(snap2.files) == 4
-    # v2Checkpoint writer requirement -> mutation refused, read fine
-    with pytest.raises(NotImplementedError, match="v2Checkpoint"):
-        write_delta(spark, spark.range(1).select("id"), t)
+    # v2Checkpoint joined the writer set in r12 (checkpoint_delta
+    # writes the v2 form under delta.checkpointPolicy=v2): appends to
+    # a foreign v2 table now work
+    write_delta(spark, spark.range(1000, 1001).select("id"), t)
+    assert read_delta(spark, t).count() == 101
 
 
 def test_type_widening_read(spark, tmp_path):
@@ -3372,3 +3374,68 @@ def test_delta_sql_rename_and_widen_forms(spark, tmp_path):
         delta_sql(
             spark, f"ALTER TABLE delta.`{tbl}` ALTER COLUMN id TYPE int"
         )
+
+
+def test_v2_checkpoint_write_lifecycle(spark, tmp_path):
+    """V2 checkpoint WRITES (round 12): delta.checkpointPolicy=v2 at
+    creation (or via SET TBLPROPERTIES) puts v2Checkpoint in both
+    protocol lists and checkpoint_delta emits the manifest+sidecar
+    form — uuid-named manifest, file actions split across sidecar
+    parquets, NO classic-named file. The table bootstraps from the
+    manifest alone after log cleanup, appends keep working, DV
+    descriptors survive the sidecar round-trip."""
+    import glob as _glob
+
+    from value_at_risk_spark.sources.deltalog import (
+        cleanup_delta_log,
+        delete_from_delta,
+        set_table_properties,
+    )
+
+    df = spark.createDataFrame(
+        [(i, float(i)) for i in range(100)], "id long, v double"
+    )
+    t = str(tmp_path / "v2w")
+    write_delta(
+        spark,
+        df.filter("id < 50").repartition(3),
+        t,
+        configuration={
+            "delta.checkpointPolicy": "v2",
+            "delta.enableDeletionVectors": "true",
+        },
+    )
+    write_delta(spark, df.filter("id >= 50").repartition(3), t)
+    snap = snapshot(t)
+    assert "v2Checkpoint" in (snap.protocol.get("readerFeatures") or [])
+    assert "v2Checkpoint" in (snap.protocol.get("writerFeatures") or [])
+    r = delete_from_delta(spark, t, "id % 10 = 0")
+    assert r["files_rewritten"] == 0  # merge-on-read: DVs in sidecars
+    checkpoint_delta(t, max_rows_per_part=3)
+    log = os.path.join(t, "_delta_log")
+    manifests = _glob.glob(os.path.join(log, "*.checkpoint.*.parquet"))
+    sidecars = _glob.glob(os.path.join(log, "_sidecars", "*.parquet"))
+    assert len(manifests) == 1
+    assert len(sidecars) == 2  # 6 file actions / 3 per sidecar
+    assert not _glob.glob(os.path.join(log, "*.checkpoint.parquet"))
+    lc = json.load(open(os.path.join(log, "_last_checkpoint")))
+    assert lc.get("v2Checkpoint") is True
+    cleanup_delta_log(t)
+    got = read_delta(spark, t)
+    assert got.count() == 90
+    assert sorted(r.id for r in got.collect()) == [
+        i for i in range(100) if i % 10 != 0
+    ]
+    write_delta(spark, df.limit(2).selectExpr("id + 1000 as id", "v"), t)
+    assert read_delta(spark, t).count() == 92
+
+    # mid-life enablement: SET TBLPROPERTIES upgrades the protocol
+    t2 = str(tmp_path / "v2mid")
+    write_delta(spark, df, t2)
+    set_table_properties(t2, {"delta.checkpointPolicy": "v2"})
+    checkpoint_delta(t2)
+    assert _glob.glob(
+        os.path.join(t2, "_delta_log", "*.checkpoint.*.parquet")
+    )
+    cleanup_delta_log(t2)
+    assert read_delta(spark, t2).count() == 100

@@ -103,6 +103,14 @@ def build_tables(spark, sf_dir: str, root: str) -> dict[str, dict]:
     write_delta(spark, sup.limit(0), p)  # a post-checkpoint tail commit
     out["checkpointed"] = {"path": p, "checkpoint": True}
 
+    p = os.path.join(root, "v2checkpointed")
+    write_delta(
+        spark, sup, p, configuration={"delta.checkpointPolicy": "v2"}
+    )
+    write_delta(spark, sup.limit(0), p)
+    checkpoint_delta(p)
+    out["v2checkpointed"] = {"path": p, "checkpoint": True, "v2": True}
+
     p = os.path.join(root, "dv")
     write_delta(
         spark,
@@ -408,18 +416,44 @@ def _check_checkpoint(path: str, log: str, name: str) -> None:
             missing = {"add", "metaData", "protocol", "txn"} - cols
             if missing:
                 problems.append(f"{cp} missing action columns {missing}")
-            n_add = sum(
-                1 for v in tbl.column("add").to_pylist() if v is not None
-            )
-            if hint.get("size") is not None and n_add + sum(
+            n_actions = sum(
                 1
-                for c in ("metaData", "protocol", "txn", "domainMetadata")
+                for c in (
+                    "add", "metaData", "protocol", "txn",
+                    "domainMetadata", "checkpointMetadata",
+                )
                 if c in cols
                 for v in tbl.column(c).to_pylist()
                 if v is not None
-            ) != hint["size"] and "parts" not in hint:
+            )
+            if hint.get("v2Checkpoint"):
+                # v2: file actions live in sidecars named by the
+                # manifest — each must be pyarrow-readable and their
+                # add rows count toward _last_checkpoint.size
+                if "sidecar" not in cols:
+                    problems.append(f"{cp} v2 manifest without sidecar col")
+                    continue
+                for sc in tbl.column("sidecar").to_pylist():
+                    if sc is None:
+                        continue
+                    sp = os.path.join(log, "_sidecars", sc["path"])
+                    if not os.path.exists(sp):
+                        problems.append(f"sidecar {sc['path']} missing")
+                        continue
+                    stbl = pq.read_table(sp)
+                    n_actions += sum(
+                        1
+                        for v in stbl.column("add").to_pylist()
+                        if v is not None
+                    )
+            if (
+                hint.get("size") is not None
+                and "parts" not in hint
+                and n_actions != hint["size"]
+            ):
                 problems.append(
-                    f"{cp} action rows != _last_checkpoint.size"
+                    f"{cp} action rows {n_actions} != "
+                    f"_last_checkpoint.size {hint['size']}"
                 )
     record(
         f"checkpoint_structure:{name}",

@@ -268,8 +268,8 @@ def _replay_checkpoint(snap: DeltaSnapshot, path: str, cp: int) -> None:
     """Bootstrap snapshot state from the checkpoint at version ``cp``:
     classic single/multi-part files, or a V2 manifest whose file
     actions may live in SIDECAR parquets under ``_delta_log/_sidecars``
-    (reader feature v2Checkpoint — read support; this engine writes
-    the classic form)."""
+    (v2Checkpoint table feature; this engine also WRITES the v2 form
+    when delta.checkpointPolicy=v2 — _write_v2_checkpoint)."""
     import pyarrow as pa
     import pyarrow.parquet as pq
 
@@ -372,10 +372,9 @@ _SUPPORTED_READER_FEATURES = frozenset(
         "timestampNtz",
         "vacuumProtocolCheck",
         "deletionVectors",
-        # read support: manifest + sidecar replay (_replay_checkpoint);
-        # deliberately absent from the WRITER set — a table requiring
-        # v2 checkpoint WRITES refuses mutation rather than regressing
-        # its checkpoint form
+        # manifest + sidecar replay (_replay_checkpoint) on read;
+        # the v2 form is also WRITTEN when delta.checkpointPolicy=v2
+        # (_write_v2_checkpoint)
         "v2Checkpoint",
         # widened logical schemas over narrower physical files: both
         # scan paths read under the DECLARED schema (Spark's parquet
@@ -412,6 +411,9 @@ _SUPPORTED_WRITER_FEATURES = frozenset(
         # mark in the delta.rowTracking domain, materialized row-id
         # column on rewrites (commit_staged_adds._rt_assign et al.)
         "rowTracking",
+        # checkpoint_delta dispatches on delta.checkpointPolicy and
+        # writes the manifest+sidecar form for v2 tables
+        "v2Checkpoint",
     }
 )
 
@@ -1969,6 +1971,17 @@ def set_table_properties(path: str, props: dict[str, str]) -> int:
             )
         ):
             actions.append(_protocol_action(snap, 4, "changeDataFeed"))
+        if cfg.get("delta.checkpointPolicy") == "v2" and (
+            "v2Checkpoint" not in (snap.protocol.get("readerFeatures") or [])
+        ):
+            # spec: the v2 policy requires the v2Checkpoint feature in
+            # both lists from the moment it is set — the next
+            # checkpoint will be manifest+sidecar named
+            actions.append(
+                _upgrade_protocol_features(
+                    snap, ("v2Checkpoint",), ("v2Checkpoint",)
+                )
+            )
         if _truthy(
             cfg.get("delta.enableDeletionVectors")
         ) and not _has_dv_feature(snap):
@@ -1978,11 +1991,17 @@ def set_table_properties(path: str, props: dict[str, str]) -> int:
             # protocol action, so this one must also carry any CDF
             # requirement enabled in the same call.
             wfeats = {"deletionVectors"}
+            rfeats = {"deletionVectors"}
             if _truthy(cfg.get("delta.enableChangeDataFeed")):
                 wfeats.add("changeDataFeed")
+            if cfg.get("delta.checkpointPolicy") == "v2":
+                # replay keeps only the LAST protocol action: a
+                # same-call policy enablement must ride along
+                wfeats.add("v2Checkpoint")
+                rfeats.add("v2Checkpoint")
             actions.append(
                 _upgrade_protocol_features(
-                    snap, ("deletionVectors",), sorted(wfeats)
+                    snap, sorted(rfeats), sorted(wfeats)
                 )
             )
         if _publish_commit(path, snap.version + 1, actions):
@@ -2557,6 +2576,9 @@ def commit_staged_adds(
             ):
                 rfeats.append("columnMapping")
                 wfeats.append("columnMapping")
+            if cfg0.get("delta.checkpointPolicy") == "v2":
+                rfeats.append("v2Checkpoint")
+                wfeats.append("v2Checkpoint")
             if _truthy(cfg0.get("delta.enableRowTracking")):
                 # rowTracking rides on domainMetadata (the high-water
                 # mark lives in a metadata domain); name the
@@ -2777,18 +2799,26 @@ def checkpoint_delta(
         }
 
     conv = [_conv(r) for r in rows]
-    tbl = pa.Table.from_pylist(
-        conv,
-        schema=pa.schema(
-            [
-                ("protocol", proto_t),
-                ("metaData", meta_t),
-                ("add", add_t),
-                ("txn", txn_t),
-                ("domainMetadata", domain_t),
-            ]
-        ),
+    action_schema = pa.schema(
+        [
+            ("protocol", proto_t),
+            ("metaData", meta_t),
+            ("add", add_t),
+            ("txn", txn_t),
+            ("domainMetadata", domain_t),
+        ]
     )
+    policy = (snap.metadata.get("configuration") or {}).get(
+        "delta.checkpointPolicy", "classic"
+    )
+    if policy == "v2":
+        # spec: a table whose checkpointPolicy is v2 must get
+        # V2-NAMED checkpoints (manifest + sidecars) — classic naming
+        # is no longer legal for it
+        return _write_v2_checkpoint(
+            path, snap, conv, action_schema, max_rows_per_part
+        )
+    tbl = pa.Table.from_pylist(conv, schema=action_schema)
     n_parts = max(1, -(-len(conv) // max(1, max_rows_per_part)))
     if n_parts == 1:
         pq.write_table(tbl, _checkpoint_path(path, snap.version))
@@ -2806,6 +2836,95 @@ def checkpoint_delta(
     if n_parts > 1:
         last["parts"] = n_parts
     with open(os.path.join(_log_dir(path), _LAST), "w") as fh:
+        json.dump(last, fh)
+    return snap.version
+
+
+def _write_v2_checkpoint(
+    path: str,
+    snap: DeltaSnapshot,
+    conv: list[dict],
+    action_schema,
+    max_rows_per_sidecar: int,
+) -> int:
+    """The V2 checkpoint form (writer side of the v2Checkpoint table
+    feature, round 12 — read support landed in r11): file actions
+    land in SIDECAR parquets under ``_delta_log/_sidecars/``, the
+    uuid-named MANIFEST (``<v>.checkpoint.<uuid>.parquet``) carries
+    checkpointMetadata + protocol/metaData/txn/domainMetadata + one
+    sidecar action per sidecar file. Sidecars write FIRST — readers
+    resolve checkpoints by manifest, so a torn writer (sidecars
+    without a manifest) is invisible, the same publication order the
+    classic multi-part form gets from complete-set resolution."""
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    log = _log_dir(path)
+    side_dir = os.path.join(log, "_sidecars")
+    os.makedirs(side_dir, exist_ok=True)
+    file_rows = [r for r in conv if r.get("add") is not None]
+    other_rows = [r for r in conv if r.get("add") is None]
+    n_side = max(
+        1, -(-len(file_rows) // max(1, max_rows_per_sidecar))
+    ) if file_rows else 0
+    per = -(-len(file_rows) // n_side) if n_side else 0
+    sidecars: list[dict] = []
+    for i in range(n_side):
+        part = file_rows[i * per : (i + 1) * per]
+        if not part:
+            continue
+        name = f"{uuid.uuid4()}.parquet"
+        dest = os.path.join(side_dir, name)
+        tmp = dest + f".tmp-{os.getpid()}"
+        pq.write_table(
+            pa.Table.from_pylist(part, schema=action_schema), tmp
+        )
+        os.replace(tmp, dest)
+        st = os.stat(dest)
+        sidecars.append(
+            {
+                "path": name,
+                "sizeInBytes": st.st_size,
+                "modificationTime": int(st.st_mtime * 1000),
+            }
+        )
+    cpm_t = pa.struct([("version", pa.int64())])
+    side_t = pa.struct(
+        [
+            ("path", pa.string()),
+            ("sizeInBytes", pa.int64()),
+            ("modificationTime", pa.int64()),
+        ]
+    )
+    manifest_schema = pa.schema(
+        list(action_schema)
+        + [("checkpointMetadata", cpm_t), ("sidecar", side_t)]
+    )
+    blank = {f.name: None for f in action_schema}
+    manifest_rows = [
+        {**blank, "checkpointMetadata": {"version": snap.version},
+         "sidecar": None},
+        *({**r, "checkpointMetadata": None, "sidecar": None}
+          for r in other_rows),
+        *({**blank, "checkpointMetadata": None, "sidecar": sc}
+          for sc in sidecars),
+    ]
+    dest = os.path.join(
+        log, f"{snap.version:020d}.checkpoint.{uuid.uuid4()}.parquet"
+    )
+    tmp = dest + f".tmp-{os.getpid()}"
+    pq.write_table(
+        pa.Table.from_pylist(manifest_rows, schema=manifest_schema), tmp
+    )
+    os.replace(tmp, dest)
+    # size counts every ACTION the checkpoint carries (sidecar file
+    # actions included — they ARE the checkpoint's adds)
+    last = {
+        "version": snap.version,
+        "size": len(conv) + 1,  # + checkpointMetadata
+        "v2Checkpoint": True,
+    }
+    with open(os.path.join(log, _LAST), "w") as fh:
         json.dump(last, fh)
     return snap.version
 
