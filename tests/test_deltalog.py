@@ -1728,7 +1728,9 @@ def test_column_mapping_name_mode_read_and_write_refusal(spark, tmp_path):
 
     with pytest.raises(NotImplementedError, match="batch-read only"):
         _DeltaStreamReader({"path": tbl}, None)
-    # 'id' mode is refused loudly, never a silent misread
+    # 'id' mode reads resolve by parquet FIELD ID (r12); this foreign
+    # table's original files carry NO field ids, so the read must
+    # fail LOUD (ignoreMissing=false), never silently match by name
     import json as _json
 
     with open(os.path.join(tbl, "_delta_log", f"{0:020d}.json")) as fh:
@@ -1743,8 +1745,12 @@ def test_column_mapping_name_mode_read_and_write_refusal(spark, tmp_path):
     ) as fh:
         for a in acts:
             fh.write(_json.dumps(a) + "\n")
-    with pytest.raises(NotImplementedError, match="columnMapping"):
+    with pytest.raises(Exception):  # noqa: B017 — loudness is the contract
         read_delta(spark, tbl).collect()
+    # the pyarrow DataSource reader resolves by NAME — it must refuse
+    # (Spark wraps the reader's NotImplementedError in AnalysisException)
+    with pytest.raises(Exception, match="mode=id"):
+        spark.read.format("deltalog").load(tbl).collect()
 
 
 def test_checkpoint_preserves_table_configuration(spark, tmp_path):
@@ -3439,3 +3445,132 @@ def test_v2_checkpoint_write_lifecycle(spark, tmp_path):
     )
     cleanup_delta_log(t2)
     assert read_delta(spark, t2).count() == 100
+
+
+def test_column_mapping_id_mode_read_and_append(spark, tmp_path):
+    """columnMapping.mode='id' (r12): DATA columns resolve by parquet
+    FIELD ID, not by name — a foreign table whose file column names
+    differ from both the logical and physical names still reads
+    correctly because the files carry field ids; appends stage field
+    ids so the table stays id-resolvable."""
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    from value_at_risk_spark.sources.deltalog import _publish_commit
+
+    t = str(tmp_path / "idmode")
+    os.makedirs(t)
+    # file column names deliberately DIFFERENT from the physicalName
+    # in the schema — only the field ids line up
+    fields = [
+        pa.field(
+            "weird_a", pa.int64(), metadata={b"PARQUET:field_id": b"1"}
+        ),
+        pa.field(
+            "weird_b", pa.float64(), metadata={b"PARQUET:field_id": b"2"}
+        ),
+    ]
+    pq.write_table(
+        pa.table(
+            [pa.array([1, 2, 3], pa.int64()), pa.array([1.5, 2.5, 3.5])],
+            schema=pa.schema(fields),
+        ),
+        os.path.join(t, "part-0.parquet"),
+    )
+    schema_string = json.dumps(
+        {
+            "type": "struct",
+            "fields": [
+                {
+                    "name": "id",
+                    "type": "long",
+                    "nullable": True,
+                    "metadata": {
+                        "delta.columnMapping.id": 1,
+                        "delta.columnMapping.physicalName": "col-xyz1",
+                    },
+                },
+                {
+                    "name": "v",
+                    "type": "double",
+                    "nullable": True,
+                    "metadata": {
+                        "delta.columnMapping.id": 2,
+                        "delta.columnMapping.physicalName": "col-xyz2",
+                    },
+                },
+            ],
+        }
+    )
+    st = os.stat(os.path.join(t, "part-0.parquet"))
+    assert _publish_commit(
+        t,
+        0,
+        [
+            {"commitInfo": {"timestamp": 0, "operation": "WRITE"}},
+            {
+                "protocol": {
+                    "minReaderVersion": 3,
+                    "minWriterVersion": 7,
+                    "readerFeatures": ["columnMapping"],
+                    "writerFeatures": ["columnMapping"],
+                }
+            },
+            {
+                "metaData": {
+                    "id": "idmode-test",
+                    "format": {"provider": "parquet", "options": {}},
+                    "schemaString": schema_string,
+                    "partitionColumns": [],
+                    "configuration": {
+                        "delta.columnMapping.mode": "id",
+                        "delta.columnMapping.maxColumnId": "2",
+                    },
+                }
+            },
+            {
+                "add": {
+                    "path": "part-0.parquet",
+                    "partitionValues": {},
+                    "size": st.st_size,
+                    "modificationTime": int(st.st_mtime * 1000),
+                    "dataChange": True,
+                }
+            },
+        ],
+    )
+    got = read_delta(spark, t)
+    assert got.columns == ["id", "v"]
+    assert sorted((r.id, r.v) for r in got.collect()) == [
+        (1, 1.5), (2, 2.5), (3, 3.5),
+    ]
+    # append through write_delta: logical names in, field ids staged
+    write_delta(
+        spark,
+        spark.createDataFrame([(10, 10.5)], "id long, v double"),
+        t,
+    )
+    after = read_delta(spark, t)
+    assert sorted((r.id, r.v) for r in after.collect()) == [
+        (1, 1.5), (2, 2.5), (3, 3.5), (10, 10.5),
+    ]
+    # staged file: physical NAME differs from the foreign file's, but
+    # both resolve by the same ids — verify the id metadata landed
+    snap = snapshot(t)
+    staged = [p for p in snap.files if p != "part-0.parquet"]
+    assert staged
+    import pyarrow.parquet as _pq
+    from urllib.parse import unquote as _uq
+
+    for rel in staged:
+        sch = _pq.read_schema(os.path.join(t, _uq(rel)))
+        ids = {
+            f.name: (f.metadata or {}).get(b"PARQUET:field_id")
+            for f in sch
+        }
+        assert set(ids.values()) == {b"1", b"2"}
+    # DML still refuses mapped tables in either mode
+    from value_at_risk_spark.sources.deltalog import delete_from_delta
+
+    with pytest.raises(NotImplementedError, match="column mapping"):
+        delete_from_delta(spark, t, "id = 1")

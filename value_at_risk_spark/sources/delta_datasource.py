@@ -341,10 +341,19 @@ class _DeltaBatchReader(DataSourceReader):
         v = options.get("versionAsOf")
         self._snap = snapshot(self._path, int(v) if v is not None else None)
         from value_at_risk_spark.sources.deltalog import (
+            _cm_mode,
             _column_mapping,
             _physicalized,
         )
 
+        if _cm_mode(self._snap) == "id":
+            # 'id' mode resolves DATA columns by parquet field id;
+            # this pyarrow reader resolves by name — refusing beats a
+            # silent misread (read_delta wires field-id resolution)
+            raise NotImplementedError(
+                "deltalog DataSource: columnMapping.mode=id tables "
+                "are readable through read_delta only"
+            )
         self._l2p = _column_mapping(self._snap)
         if self._l2p is not None:
             self._snap = _physicalized(self._snap, self._l2p)

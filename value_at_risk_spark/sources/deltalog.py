@@ -553,7 +553,15 @@ def read_delta(
     l2p = _column_mapping(snap)
     if l2p is not None:
         logical = [f.name for f in snap.schema.fields]
-        snap = _physicalized(snap, l2p)
+        fids = None
+        if _cm_mode(snap) == "id":
+            # 'id' mode: data columns resolve by parquet FIELD ID —
+            # the schema carries parquet.field.id metadata and the
+            # reader-side conf turns id matching on (files lacking
+            # ids then fail loud instead of matching by name)
+            fids = _column_field_ids(snap)
+            spark.conf.set("spark.sql.parquet.fieldId.read.enabled", "true")
+        snap = _physicalized(snap, l2p, fids)
         if partition_filters:
             partition_filters = {
                 l2p.get(c, c): v for c, v in partition_filters.items()
@@ -571,20 +579,40 @@ def read_delta(
     return _read_snapshot(spark, path, snap, partition_filters, stats_filters)
 
 
-def _column_mapping(snap: DeltaSnapshot) -> dict[str, str] | None:
-    """logical -> physical name map when the table uses
-    ``delta.columnMapping.mode = name``; None when unmapped. 'id'
-    mode and NESTED physical names are refused loudly — silent
-    misreads are the one unforgivable failure here."""
-    mode = (snap.metadata.get("configuration") or {}).get(
+def _cm_mode(snap: DeltaSnapshot) -> str:
+    """The table's column-mapping mode: 'none', 'name', or 'id'."""
+    return (snap.metadata.get("configuration") or {}).get(
         "delta.columnMapping.mode", "none"
-    )
-    if mode in ("none", ""):
+    ) or "none"
+
+
+def _column_field_ids(snap: DeltaSnapshot) -> dict[str, int]:
+    """logical name -> ``delta.columnMapping.id`` (the parquet field
+    id data columns resolve by in 'id' mode)."""
+    sch = json.loads(snap.metadata["schemaString"])
+    out: dict[str, int] = {}
+    for f in sch["fields"]:
+        md = f.get("metadata") or {}
+        if "delta.columnMapping.id" in md:
+            out[f["name"]] = int(md["delta.columnMapping.id"])
+    return out
+
+
+def _column_mapping(snap: DeltaSnapshot) -> dict[str, str] | None:
+    """logical -> physical name map when the table uses column
+    mapping ('name' OR 'id' mode — the spec requires physicalName in
+    both; 'id' mode readers must additionally resolve DATA columns by
+    parquet field id, which read_delta wires via the schema's
+    ``parquet.field.id`` metadata); None when unmapped. NESTED
+    physical names are refused loudly — silent misreads are the one
+    unforgivable failure here."""
+    mode = _cm_mode(snap)
+    if mode == "none":
         return None
-    if mode != "name":
+    if mode not in ("name", "id"):
         raise NotImplementedError(
             f"delta.columnMapping.mode={mode!r} not supported "
-            "(only 'name' and 'none')"
+            "(only 'name', 'id' and 'none')"
         )
     sch = json.loads(snap.metadata["schemaString"])
     l2p: dict[str, str] = {}
@@ -606,15 +634,28 @@ def _column_mapping(snap: DeltaSnapshot) -> dict[str, str] | None:
     return l2p
 
 
-def _physicalized(snap: DeltaSnapshot, l2p: dict[str, str]) -> DeltaSnapshot:
+def _physicalized(
+    snap: DeltaSnapshot,
+    l2p: dict[str, str],
+    field_ids: dict[str, int] | None = None,
+) -> DeltaSnapshot:
     """A snapshot whose schema/partitionColumns carry the PHYSICAL
     names — what the data files and add.partitionValues actually use —
-    so the ordinary scan machinery runs unchanged."""
+    so the ordinary scan machinery runs unchanged. ``field_ids``
+    ('id' mode): each field keeps a ``parquet.field.id`` metadata
+    entry so Spark's parquet reader resolves DATA columns by field id
+    rather than by name (the file's column names are not trustworthy
+    in that mode)."""
     sch = json.loads(snap.metadata["schemaString"])
     for f in sch["fields"]:
-        f["name"] = l2p[f["name"]]
+        logical = f["name"]
+        f["name"] = l2p[logical]
         # the mapping metadata has served its purpose
-        f["metadata"] = {}
+        f["metadata"] = (
+            {"parquet.field.id": field_ids[logical]}
+            if field_ids and logical in field_ids
+            else {}
+        )
     md = {
         **snap.metadata,
         "schemaString": json.dumps(sch),
@@ -1714,16 +1755,22 @@ def write_delta(
                 }
         schema_for_commit = StructType.fromJson(sch)
         min_writer = max(min_writer, 6)
-    # column mapping ('name' mode): all validation above ran in
-    # LOGICAL names; data files must carry PHYSICAL names
+    # column mapping: all validation above ran in LOGICAL names; data
+    # files must carry PHYSICAL names (and parquet field ids — 'id'
+    # mode resolves by them, and writing them in 'name' mode too is
+    # what delta-spark does for forward interop)
     l2p_write: dict[str, str] | None = None
+    fids_write: dict[str, int] = {}
     if exists:
-        l2p_write = _column_mapping(snapshot(path))
-        if l2p_write is not None and merge_schema:
-            raise NotImplementedError(
-                "write_delta: merge_schema on a column-mapped table "
-                "requires field-id assignment — not supported"
-            )
+        snap_map = snapshot(path)
+        l2p_write = _column_mapping(snap_map)
+        if l2p_write is not None:
+            fids_write = _column_field_ids(snap_map)
+            if merge_schema:
+                raise NotImplementedError(
+                    "write_delta: merge_schema on a column-mapped table "
+                    "requires field-id assignment — not supported"
+                )
     elif configuration and configuration.get(
         "delta.columnMapping.mode"
     ) == "name":
@@ -1745,6 +1792,7 @@ def write_delta(
                 "delta.columnMapping.physicalName": pn,
             }
             l2p_write[f["name"]] = pn
+            fids_write[f["name"]] = next_id
         schema_for_commit = StructType.fromJson(sch)
         configuration = {
             **configuration,
@@ -1773,11 +1821,24 @@ def write_delta(
             _check_constraints(df, cons, "write_delta")
 
     if l2p_write is not None:
-        # stage under PHYSICAL names (columns and partition dirs);
-        # everything logical — metadata schema, partitionColumns,
-        # reads — stays in logical space
+        # stage under PHYSICAL names (columns and partition dirs) with
+        # parquet field ids attached (the write conf defaults on, but
+        # an environment override would silently strip 'id'-mode
+        # resolvability); everything logical — metadata schema,
+        # partitionColumns, reads — stays in logical space
+        spark.conf.set("spark.sql.parquet.fieldId.write.enabled", "true")
         stage_df = df.select(
-            *[F.col(n).alias(l2p_write[n]) for n in df.columns]
+            *[
+                F.col(n).alias(
+                    l2p_write[n],
+                    metadata=(
+                        {"parquet.field.id": fids_write[n]}
+                        if n in fids_write
+                        else {}
+                    ),
+                )
+                for n in df.columns
+            ]
         )
         stage_parts = [l2p_write.get(c, c) for c in part_cols]
         adds = _stage(stage_df, path, stage_parts, data_change=True)
