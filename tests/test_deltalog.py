@@ -3574,3 +3574,70 @@ def test_column_mapping_id_mode_read_and_append(spark, tmp_path):
 
     with pytest.raises(NotImplementedError, match="column mapping"):
         delete_from_delta(spark, t, "id = 1")
+
+
+def test_shallow_clone_lifecycle(spark, tmp_path):
+    """SHALLOW CLONE: metadata-only (absolute add paths, zero data
+    copied, own table id), reads equal the source incl. partition
+    filters and DV masks, mutations copy-on-write into the CLONE root
+    only, vacuum on the clone never touches source files, the SQL
+    form routes, and cloning onto an existing table refuses."""
+    from value_at_risk_spark.sources.delta_sql import delta_sql
+    from value_at_risk_spark.sources.deltalog import (
+        delete_from_delta,
+        shallow_clone,
+        update_delta,
+        vacuum_delta,
+    )
+
+    df = spark.createDataFrame(
+        [(i, i % 3, float(i)) for i in range(60)],
+        "id long, seg int, v double",
+    )
+    src = str(tmp_path / "csrc")
+    write_delta(spark, df.filter("id < 30"), src, partition_by=["seg"])
+    write_delta(spark, df.filter("id >= 30"), src)
+    dst = str(tmp_path / "cdst")
+    assert shallow_clone(src, dst) == 0
+    # zero data bytes in the clone dir, own id
+    assert not [
+        f
+        for r, _d, fs in os.walk(dst)
+        for f in fs
+        if f.endswith(".parquet") and "_delta_log" not in r
+    ]
+    assert (
+        snapshot(dst).metadata["id"] != snapshot(src).metadata["id"]
+    )
+    got = read_delta(spark, dst)
+    assert got.count() == 60
+    assert read_delta(
+        spark, dst, partition_filters={"seg": ["1"]}
+    ).count() == 20
+    delete_from_delta(spark, dst, "id < 10")
+    update_delta(spark, dst, "id = 59", {"v": "999.0"})
+    assert read_delta(spark, dst).count() == 50
+    assert read_delta(spark, src).count() == 60  # source untouched
+    assert read_delta(spark, src).filter("id = 59").first().v == 59.0
+    vacuum_delta(dst, retention_seconds=0)
+    assert read_delta(spark, src).count() == 60  # src files survive
+    # DV source: descriptors convert to absolute 'p' storage
+    s2 = str(tmp_path / "cdv")
+    write_delta(
+        spark, df, s2,
+        configuration={"delta.enableDeletionVectors": "true"},
+    )
+    delete_from_delta(spark, s2, "id % 4 = 0")
+    d2 = str(tmp_path / "cdvd")
+    delta_sql(
+        spark, f"CREATE TABLE delta.`{d2}` SHALLOW CLONE delta.`{s2}`"
+    )
+    assert read_delta(spark, d2).count() == read_delta(spark, s2).count()
+    dvs = [
+        a["deletionVector"]
+        for a in snapshot(d2).files.values()
+        if a.get("deletionVector")
+    ]
+    assert dvs and all(d["storageType"] == "p" for d in dvs)
+    with pytest.raises(ValueError, match="already a delta table"):
+        shallow_clone(src, dst)

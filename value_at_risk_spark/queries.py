@@ -14983,6 +14983,59 @@ def delta_widen_scan(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @query(
+    "delta_shallow_clone_scan",
+    """
+SELECT c_mktsegment,
+       COUNT(*) AS n_customers,
+       ROUND(SUM(CASE WHEN c_mktsegment = 'BUILDING'
+                      THEN c_acctbal + 10 ELSE c_acctbal END), 2)
+         AS total_bal
+FROM customer GROUP BY c_mktsegment
+""",
+)
+def delta_shallow_clone_scan(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SHALLOW CLONE, ORACLE-pinned: the clone's v0 re-publishes the
+    demo table's adds as ABSOLUTE paths (zero data bytes move), then
+    an UPDATE mutates the CLONE only — its copy-on-write rewrite lands
+    under the clone's root while the source files stay shared and
+    untouched. Reading the mutated clone must equal DuckDB recomputing
+    the mutation from the original fixture; the source table's own
+    gate query (delta_native_scan) keeps pinning that the source is
+    unchanged (sources/deltalog.shallow_clone)."""
+    from value_at_risk_spark.sources.deltalog import (
+        read_delta,
+        shallow_clone,
+        update_delta,
+    )
+
+    # re-ensure the SOURCE exists before touching the clone: the
+    # clone references its files absolutely, and the scratch GC could
+    # in principle collect one without the other
+    src = _delta_demo_table(spark, sf_dir)
+
+    def build(tbl: str) -> None:
+        shallow_clone(src, tbl)
+        update_delta(
+            spark,
+            tbl,
+            "c_mktsegment = 'BUILDING'",
+            {"c_acctbal": "c_acctbal + 10"},
+        )
+
+    tbl = _scratch_delta_table(
+        "clone", sf_dir, "demo shallow clone + bump BUILDING", build
+    )
+    return (
+        read_delta(spark, tbl)
+        .groupBy("c_mktsegment")
+        .agg(
+            F.count(F.lit(1)).alias("n_customers"),
+            (F.round(F.sum("c_acctbal"), 2) + F.lit(0.0)).alias("total_bal"),
+        )
+    )
+
+
+@query(
     "delta_row_tracking_scan",
     """
 SELECT n_nationkey,

@@ -27,6 +27,8 @@ like delta-spark's path syntax:
   vectors;
 - ``RESTORE [TABLE] delta.`/p` TO VERSION AS OF n``;
 - ``DESCRIBE HISTORY delta.`/p``` — returned as a DataFrame;
+- ``CREATE TABLE delta.`/dst` SHALLOW CLONE delta.`/src`
+  [VERSION AS OF n]``;
 - ``ALTER TABLE delta.`/p` ADD CONSTRAINT name CHECK (expr)`` /
   ``DROP CONSTRAINT name`` /
   ``SET TBLPROPERTIES ('k'='v', ...)`` /
@@ -301,6 +303,20 @@ def delta_sql(spark: SparkSession, stmt: str):
             ],
             "version long, operation string, operation_parameters string",
         )
+
+    if head == "CREATE":
+        m = re.match(
+            r"CREATE\s+TABLE\s+delta\.`([^`]+)`\s+SHALLOW\s+CLONE\s+"
+            r"delta\.`([^`]+)`(?:\s+VERSION\s+AS\s+OF\s+(\d+))?$",
+            s,
+            re.IGNORECASE,
+        )
+        if m:
+            return dl.shallow_clone(
+                m.group(2),
+                m.group(1),
+                int(m.group(3)) if m.group(3) else None,
+            )
 
     if head == "ALTER":
         m = re.match(

@@ -2136,6 +2136,83 @@ def rename_delta_column(path: str, old: str, new: str) -> int:
     raise RuntimeError(f"rename_delta_column: lost the commit race at {path}")
 
 
+def shallow_clone(src: str, dst: str, version: int | None = None) -> int:
+    """``CREATE TABLE dst SHALLOW CLONE src [VERSION AS OF n]`` — a
+    METADATA-ONLY copy: the clone's v0 commit re-publishes the source
+    snapshot's add actions with ABSOLUTE data-file paths (the protocol
+    allows absolute ``add.path``; this engine stores plain filesystem
+    paths, percent-encoded), so ZERO data bytes move. Deletion-vector
+    descriptors convert to absolute 'p' storage so the clone resolves
+    the source's bins. The clone gets its OWN table id and log;
+    mutations copy-on-write into the clone's directory and never touch
+    the source (vacuum on either side is scoped to its own root — the
+    clone's absolute references live outside it). Returns 0 (the
+    clone's first version)."""
+    from value_at_risk_spark.sources.dv import dv_abs_path
+
+    if delta_versions(dst):
+        raise ValueError(f"shallow_clone: {dst} is already a delta table")
+    snap = snapshot(src, version)
+    src_abs = os.path.abspath(src)
+    now_ms = int(time.time() * 1000)
+    adds: list[dict] = []
+    for rel in sorted(snap.files):
+        a = dict(snap.files[rel])
+        a["path"] = quote(
+            os.path.normpath(os.path.join(src_abs, unquote(rel))),
+            safe="/",
+        )
+        a["dataChange"] = True
+        dv = a.get("deletionVector")
+        if dv is not None and dv.get("storageType") == "u":
+            a["deletionVector"] = {
+                **dv,
+                "storageType": "p",
+                "pathOrInlineDv": dv_abs_path(src_abs, dv),
+            }
+        a = {k: v for k, v in a.items() if v is not None}
+        adds.append({"add": a})
+    meta = {
+        **snap.metadata,
+        "id": str(uuid.uuid4()),  # a clone is its OWN table
+        "createdTime": now_ms,
+    }
+    actions: list[dict] = [
+        {
+            "commitInfo": {
+                "timestamp": now_ms,
+                "operation": "CLONE",
+                "operationParameters": {
+                    "source": src_abs,
+                    "sourceVersion": snap.version,
+                    "isShallow": True,
+                },
+                "engineInfo": "value_at_risk_spark.deltalog",
+            }
+        },
+        {"protocol": dict(snap.protocol)},
+        {"metaData": meta},
+        *adds,
+    ]
+    # carry the row-tracking high-water mark so the clone's future
+    # commits keep carving ids above the copied ranges
+    if (snap.domains or {}).get(_RT_DOMAIN):
+        actions.append(
+            {
+                "domainMetadata": {
+                    "domain": _RT_DOMAIN,
+                    "configuration": snap.domains[_RT_DOMAIN],
+                    "removed": False,
+                }
+            }
+        )
+    if not _publish_commit(dst, 0, actions):
+        raise DeltaConcurrentModification(
+            f"shallow_clone: {dst} gained a v0 concurrently"
+        )
+    return 0
+
+
 # ALTER COLUMN TYPE widenings this writer will commit: exactly the
 # conversions both scan paths (Spark parquet reader / pyarrow cast)
 # upcast losslessly from the narrower physical files.
