@@ -3641,3 +3641,51 @@ def test_shallow_clone_lifecycle(spark, tmp_path):
     assert dvs and all(d["storageType"] == "p" for d in dvs)
     with pytest.raises(ValueError, match="already a delta table"):
         shallow_clone(src, dst)
+
+
+def test_drop_column_mapped_metadata_only(spark, tmp_path):
+    """DROP COLUMN on a mapped table: metadata-only (files keep the
+    physical column, no parquet touched), later appends stage without
+    it, time travel still sees it; refusals on unmapped tables,
+    partition columns, the last column, and constraint references."""
+    from value_at_risk_spark.sources.delta_sql import delta_sql
+    from value_at_risk_spark.sources.deltalog import (
+        add_check_constraint,
+        drop_delta_column,
+    )
+
+    df = spark.createDataFrame(
+        [(i, i % 2, float(i)) for i in range(10)],
+        "id long, seg int, v double",
+    )
+    t = str(tmp_path / "dropm")
+    write_delta(
+        spark, df, t,
+        partition_by=["seg"],
+        configuration={"delta.columnMapping.mode": "name"},
+    )
+    files0 = set(snapshot(t).files)
+    delta_sql(spark, f"ALTER TABLE delta.`{t}` DROP COLUMN v")
+    assert set(snapshot(t).files) == files0  # metadata-only
+    got = read_delta(spark, t)
+    assert got.columns == ["id", "seg"]
+    assert got.count() == 10
+    assert read_delta(spark, t, version=0).columns == ["id", "seg", "v"]
+    # appends now carry the narrower schema
+    write_delta(
+        spark,
+        spark.createDataFrame([(100, 0)], "id long, seg int"),
+        t,
+    )
+    assert read_delta(spark, t).count() == 11
+    with pytest.raises(ValueError, match="partition column"):
+        drop_delta_column(t, "seg")
+    with pytest.raises(ValueError, match="no column"):
+        drop_delta_column(t, "nope")
+    add_check_constraint(spark, t, "id_pos", "id >= 0")
+    with pytest.raises(NotImplementedError, match="referenced"):
+        drop_delta_column(t, "id")
+    plain = str(tmp_path / "dropp")
+    write_delta(spark, df, plain)
+    with pytest.raises(NotImplementedError, match="column mapping"):
+        drop_delta_column(plain, "v")

@@ -356,6 +356,13 @@ def delta_sql(spark: SparkSession, stmt: str):
                 _one_path(s, "ALTER"), m.group(1), m.group(2)
             )
         m = re.match(
+            r"ALTER\s+TABLE\s+delta\.`[^`]+`\s+DROP\s+COLUMN\s+(\w+)$",
+            s,
+            re.IGNORECASE,
+        )
+        if m:
+            return dl.drop_delta_column(_one_path(s, "ALTER"), m.group(1))
+        m = re.match(
             r"ALTER\s+TABLE\s+delta\.`[^`]+`\s+ALTER\s+COLUMN\s+"
             r"(\w+)\s+TYPE\s+(\w+)$",
             s,

@@ -2136,6 +2136,65 @@ def rename_delta_column(path: str, old: str, new: str) -> int:
     raise RuntimeError(f"rename_delta_column: lost the commit race at {path}")
 
 
+def drop_delta_column(path: str, col: str) -> int:
+    """``ALTER TABLE DROP COLUMN`` — metadata-only, legal exactly
+    because the table uses column mapping: the physical column stays
+    in the data files (readers simply no longer project it), so no
+    parquet is touched — the same contract as rename_delta_column.
+    Refused on unmapped tables, on partition columns, on the last
+    remaining column, and when a CHECK constraint or generation
+    expression references the column. Time travel before the drop
+    still sees it. Returns the committed version."""
+    if not delta_versions(path):
+        raise ValueError(f"not a delta table at {path}")
+    now_ms = int(time.time() * 1000)
+    for _attempt in range(64):
+        snap = snapshot(path)
+        _refuse_high_writer_version(snap, "DROP COLUMN")
+        if _column_mapping(snap) is None:
+            raise NotImplementedError(
+                "drop_delta_column: table does not use column mapping "
+                "— dropping would require rewriting every data file"
+            )
+        sch = json.loads(snap.metadata["schemaString"])
+        names = [f["name"] for f in sch["fields"]]
+        if col not in names:
+            raise ValueError(f"drop_delta_column: no column {col!r}")
+        if len(names) == 1:
+            raise ValueError(
+                "drop_delta_column: cannot drop the only column"
+            )
+        if col in (snap.metadata.get("partitionColumns") or []):
+            raise ValueError(
+                f"drop_delta_column: {col!r} is a partition column"
+            )
+        refs = dict(table_constraints(snap))
+        refs.update(table_generated_columns(snap))
+        hit = [n for n, e in refs.items() if col in str(e)]
+        if hit:
+            raise NotImplementedError(
+                f"drop_delta_column: {col!r} is referenced by "
+                f"constraint/generation expression(s) {sorted(hit)} — "
+                "drop them first"
+            )
+        sch["fields"] = [f for f in sch["fields"] if f["name"] != col]
+        meta = {**snap.metadata, "schemaString": json.dumps(sch)}
+        actions = [
+            {
+                "commitInfo": {
+                    "timestamp": now_ms,
+                    "operation": "DROP COLUMNS",
+                    "operationParameters": {"columns": [col]},
+                    "engineInfo": "value_at_risk_spark.deltalog",
+                }
+            },
+            {"metaData": meta},
+        ]
+        if _publish_commit(path, snap.version + 1, actions):
+            return snap.version + 1
+    raise RuntimeError(f"drop_delta_column: lost the commit race at {path}")
+
+
 def shallow_clone(src: str, dst: str, version: int | None = None) -> int:
     """``CREATE TABLE dst SHALLOW CLONE src [VERSION AS OF n]`` — a
     METADATA-ONLY copy: the clone's v0 commit re-publishes the source
