@@ -5136,23 +5136,45 @@ def time_weighted_avg_price(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-@query("approx_revenue_quantiles")
+@query(
+    "approx_revenue_quantiles",
+    """
+SELECT o_orderpriority AS priority,
+       ROUND(quantile_cont(o_totalprice, 0.5), 4) AS p50_exact,
+       ROUND(quantile_cont(o_totalprice, 0.9), 4) AS p90_exact,
+       TRUE AS p50_ok, TRUE AS p90_ok, TRUE AS p99_ok
+FROM orders GROUP BY 1
+""",
+)
 def approx_revenue_quantiles(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Approximate grouped quantiles via the KLL-style sketch behind
-    percentile_approx (rows-only: sketch outputs are engine-specific;
-    the 1%-relative-error bound vs exact percentile is pytest-asserted
-    in tests/test_functions.py). The 100 TB path for quantiles: the
-    sketch is a fixed-size mergeable summary, vs exact percentile's
-    per-group sort. Exact remains the oracle-compared default
-    (var99_by_series, revenue_quantiles_by_nation)."""
+    percentile_approx — the 100 TB path (fixed-size mergeable summary
+    vs exact percentile's per-group sort) — ORACLE-pinned on the
+    sketch's PUBLISHED RANK-ERROR bound (r12 graduation, same pattern
+    as approx_distinct_users): the sketch value is engine-specific,
+    but at accuracy=10000 it must land between the exact percentiles
+    at rank p ± 50/accuracy (a 50x margin on the guaranteed
+    1/accuracy), so the query emits exact p50/p90 (hash-compared to
+    DuckDB's quantile_cont) plus per-quantile band verdicts the
+    oracle pins TRUE."""
     o = _t(spark, sf_dir, "orders")
     q = F.percentile_approx(
         "o_totalprice", F.array(F.lit(0.5), F.lit(0.9), F.lit(0.99)), 10000
     )
+    tol = 50.0 / 10000
+
+    def band(i: int, p: float):
+        lo = F.percentile("o_totalprice", max(0.0, p - tol))
+        hi = F.percentile("o_totalprice", min(1.0, p + tol))
+        a = F.element_at(q, i)
+        return (a >= lo) & (a <= hi)
+
     return o.groupBy(F.col("o_orderpriority").alias("priority")).agg(
-        F.round(F.element_at(q, 1), 4).alias("p50_approx"),
-        F.round(F.element_at(q, 2), 4).alias("p90_approx"),
-        F.round(F.element_at(q, 3), 4).alias("p99_approx"),
+        F.round(F.percentile("o_totalprice", 0.5), 4).alias("p50_exact"),
+        F.round(F.percentile("o_totalprice", 0.9), 4).alias("p90_exact"),
+        band(1, 0.5).alias("p50_ok"),
+        band(2, 0.9).alias("p90_ok"),
+        band(3, 0.99).alias("p99_ok"),
     )
 
 
