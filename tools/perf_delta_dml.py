@@ -273,6 +273,57 @@ def main() -> None:
     finally:
         shutil.rmtree(tbl4, ignore_errors=True)
 
+    # CDF + DV UPDATE probe (round 12, the r11 leftover): with Change
+    # Data Feed on, a merge-on-read UPDATE must ALSO materialize
+    # pre/postimage cdc rows — that second bounded scan is the CDF
+    # cost arm at 10x, and the change volume must equal exactly
+    # 2 x matched rows (no preimage duplication from DV-masked files)
+    tbl5 = tempfile.mkdtemp(prefix="perf_dml_cdfdv_")
+    shutil.rmtree(tbl5, ignore_errors=True)
+    try:
+        from value_at_risk_spark.sources.deltalog import table_changes
+
+        write_delta(
+            spark,
+            big,
+            tbl5,
+            configuration={
+                "delta.enableDeletionVectors": "true",
+                "delta.enableChangeDataFeed": "true",
+            },
+        )
+        t0 = time.perf_counter()
+        r = update_delta(
+            spark,
+            tbl5,
+            "k >= 10000000 AND k < 10030000",
+            {"l_quantity": "l_quantity + 1"},
+            stats_filters=[("k", ">=", 10000000), ("k", "<", 10030000)],
+        )
+        out["cdfdv_update_narrow_sec"] = round(time.perf_counter() - t0, 3)
+        out["cdfdv_update_narrow_rows"] = r["rows_updated"]
+        t0 = time.perf_counter()
+        r2 = update_delta(spark, tbl5, "k % 211 = 0", {"l_quantity": "0.0"})
+        out["cdfdv_update_broad_sec"] = round(time.perf_counter() - t0, 3)
+        out["cdfdv_update_broad_rows"] = r2["rows_updated"]
+        t0 = time.perf_counter()
+        ch = (
+            table_changes(spark, tbl5, 1, 2)
+            .groupBy("_change_type")
+            .count()
+            .collect()
+        )
+        out["cdfdv_changes_read_sec"] = round(time.perf_counter() - t0, 3)
+        by = {row[0]: row["count"] for row in ch}
+        out["cdfdv_changes_by_type"] = by
+        out["cdfdv_change_volume_exact"] = (
+            by.get("update_preimage", 0)
+            == by.get("update_postimage", 0)
+            == r["rows_updated"] + r2["rows_updated"]
+        )
+    finally:
+        shutil.rmtree(tbl5, ignore_errors=True)
+
     # DS write parity on the same rows (fresh table, single commit)
     tbl2 = tempfile.mkdtemp(prefix="perf_dsw_")
     shutil.rmtree(tbl2, ignore_errors=True)
