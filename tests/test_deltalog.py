@@ -3689,3 +3689,70 @@ def test_drop_column_mapped_metadata_only(spark, tmp_path):
     write_delta(spark, df, plain)
     with pytest.raises(NotImplementedError, match="column mapping"):
         drop_delta_column(plain, "v")
+
+
+def test_optimize_min_file_size_incremental(spark, tmp_path):
+    """OPTIMIZE with min_file_size: ONLY files below the threshold are
+    compacted — right-sized files keep their add actions verbatim —
+    rows are identical before/after, DV'd small files materialize in
+    passing, row-tracked tables keep their ids, and the zorder combo
+    refuses."""
+    from value_at_risk_spark.sources.deltalog import (
+        delete_from_delta,
+        optimize_delta,
+        read_delta_row_ids,
+    )
+
+    t = str(tmp_path / "inc")
+    big = spark.createDataFrame(
+        [(i, float(i)) for i in range(20000)], "id long, v double"
+    )
+    write_delta(
+        spark, big.coalesce(1), t,
+        configuration={
+            "delta.enableRowTracking": "true",
+            "delta.enableDeletionVectors": "true",
+        },
+    )
+    for k in range(4):  # four tiny single-file commits
+        write_delta(
+            spark,
+            spark.createDataFrame(
+                [(100000 + k * 10 + j, 1.0) for j in range(5)],
+                "id long, v double",
+            ).coalesce(1),
+            t,
+        )
+    # DV-delete a row inside one of the small files
+    delete_from_delta(spark, t, "id = 100001")
+    snap0 = snapshot(t)
+    sizes = {p: a["size"] for p, a in snap0.files.items()}
+    big_files = {p for p, s in sizes.items() if s == max(sizes.values())}
+    ids0 = {
+        r.id: r.row_id for r in read_delta_row_ids(spark, t).collect()
+    }
+    threshold = max(sizes.values())  # strictly-below keeps the max file
+    v = optimize_delta(spark, t, min_file_size=threshold)
+    snap1 = snapshot(t)
+    assert v == snap1.version
+    # the big file survived VERBATIM; all small files were replaced
+    assert big_files <= set(snap1.files)
+    assert not (set(snap1.files) - big_files) & set(snap0.files)
+    # small files compacted to fewer than they were
+    assert len(snap1.files) < len(snap0.files)
+    got = read_delta(spark, t)
+    assert got.count() == 20000 + 19
+    # no DV descriptors remain on the compacted files
+    assert not any(
+        a.get("deletionVector")
+        for p, a in snap1.files.items()
+        if p not in big_files
+    )
+    # row ids preserved through the incremental compaction
+    assert {
+        r.id: r.row_id for r in read_delta_row_ids(spark, t).collect()
+    } == ids0
+    with pytest.raises(ValueError, match="exclusive"):
+        optimize_delta(spark, t, zorder_by=["id"], min_file_size=100)
+    # nothing-to-gain fast path: a second sweep is a no-op version
+    assert optimize_delta(spark, t, min_file_size=10) == snap1.version

@@ -3196,6 +3196,7 @@ def optimize_delta(
     zorder_by: list[str] | None = None,
     target_files: int | None = None,
     bits: int = 16,
+    min_file_size: int | None = None,
 ) -> int:
     """``OPTIMIZE [ZORDER BY ...]`` for native tables (the reference
     runs ``OPTIMIZE ... ZORDER BY (date, ticker)`` after its
@@ -3207,16 +3208,39 @@ def optimize_delta(
     ``dataChange: false``: readers see identical rows before and
     after, streaming consumers know nothing changed, and time travel
     still reaches the pre-optimize layout. Returns the committed
-    version (or the current one untouched for an empty table)."""
+    version (or the current one untouched for an empty table).
+
+    ``min_file_size`` (bytes; exclusive with zorder_by) selects
+    INCREMENTAL compaction — real OPTIMIZE's default shape at scale:
+    only files SMALLER than the threshold are rewritten (their DVs
+    materialize in passing), every right-sized file keeps its add
+    action verbatim. A daily small-file sweep on a 100 TB table
+    rewrites megabytes, not the table; full-rewrite OPTIMIZE stays
+    available for re-layout."""
     snap = snapshot(path)
     _refuse_mapped_write(snap, "OPTIMIZE")
     _refuse_high_writer_version(snap, "OPTIMIZE")
     if not snap.files:
         return snap.version
-    if zorder_by is None:
+    if zorder_by is None and min_file_size is None:
         # liquid-clustering shape: a clustered table's OPTIMIZE
         # re-clusters on its declared columns without being told
         zorder_by = table_clustering_columns(snap)
+    if min_file_size is not None:
+        if zorder_by:
+            raise ValueError(
+                "optimize_delta: min_file_size (incremental compaction) "
+                "and zorder_by (full re-layout) are exclusive"
+            )
+        rewrite_set = sorted(
+            p
+            for p, a in snap.files.items()
+            if int(a.get("size", 0) or 0) < min_file_size
+        )
+        if len(rewrite_set) < 2:
+            return snap.version  # nothing to gain from compacting <2
+    else:
+        rewrite_set = sorted(snap.files)
     # pinned to the resolved snapshot (not the moving tip); deletion
     # vectors are APPLIED by the scan, so compaction materializes
     # them — the compacted files carry no DV
@@ -3225,12 +3249,16 @@ def optimize_delta(
         # a dataChange:false rewrite must PRESERVE row ids: scan with
         # ids resolved and stage them as the materialized column
         df = _files_with_row_ids(
-            spark, path, snap, sorted(snap.files),
+            spark, path, snap, rewrite_set,
             _rt_matcol_required(snap, "OPTIMIZE"),
         )
     else:
-        df = _read_snapshot(spark, path, snap)
-    n = target_files or df.sparkSession.sparkContext.defaultParallelism
+        df = _scan_files_dv(spark, path, snap, rewrite_set)
+    if min_file_size is not None:
+        total = sum(int(snap.files[p].get("size", 0) or 0) for p in rewrite_set)
+        n = target_files or max(1, -(-total // (128 << 20)))
+    else:
+        n = target_files or df.sparkSession.sparkContext.defaultParallelism
     if zorder_by:
         from value_at_risk_spark.sources.layout import zorder_key
 
@@ -3270,7 +3298,12 @@ def optimize_delta(
                 "timestamp": now_ms,
                 "operation": "OPTIMIZE",
                 "operationParameters": {
-                    "zOrderBy": list(zorder_by or [])
+                    "zOrderBy": list(zorder_by or []),
+                    **(
+                        {"minFileSize": int(min_file_size)}
+                        if min_file_size is not None
+                        else {}
+                    ),
                 },
                 "engineInfo": "value_at_risk_spark.deltalog",
             }
@@ -3289,7 +3322,7 @@ def optimize_delta(
                 ),
             }
         }
-        for p in sorted(snap.files)
+        for p in rewrite_set
     )
     for _attempt in range(64):
         current = snapshot(path)
