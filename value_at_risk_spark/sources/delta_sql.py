@@ -21,7 +21,7 @@ like delta-spark's path syntax:
 - ``MERGE INTO delta.`/p` [AS] t USING view [AS] s ON t.k = s.k
   [AND ...] WHEN MATCHED THEN UPDATE SET * WHEN NOT MATCHED THEN
   INSERT *`` — the upsert-star form (key-level update-or-insert);
-- ``OPTIMIZE delta.`/p` [ZORDER BY (c1, c2)]``;
+- ``OPTIMIZE delta.`/p` [MIN FILE SIZE n] [ZORDER BY (c1, c2)]``;
 - ``VACUUM delta.`/p` [RETAIN n HOURS]``;
 - ``REORG [TABLE] delta.`/p` APPLY (PURGE)`` — materialize deletion
   vectors;
@@ -219,6 +219,7 @@ def delta_sql(spark: SparkSession, stmt: str):
     if head == "OPTIMIZE":
         m = re.match(
             r"OPTIMIZE\s+delta\.`[^`]+`"
+            r"(?:\s+MIN\s+FILE\s+SIZE\s+(\d+))?"
             r"(?:\s+ZORDER\s+BY\s+\(([^)]+)\))?$",
             s,
             re.IGNORECASE,
@@ -228,10 +229,13 @@ def delta_sql(spark: SparkSession, stmt: str):
                 f"delta_sql: unsupported OPTIMIZE shape: {stmt!r}"
             )
         zcols = (
-            [c.strip() for c in m.group(1).split(",")] if m.group(1) else None
+            [c.strip() for c in m.group(2).split(",")] if m.group(2) else None
         )
         return dl.optimize_delta(
-            spark, _one_path(s, "OPTIMIZE"), zorder_by=zcols
+            spark,
+            _one_path(s, "OPTIMIZE"),
+            zorder_by=zcols,
+            min_file_size=int(m.group(1)) if m.group(1) else None,
         )
 
     if head == "VACUUM":
