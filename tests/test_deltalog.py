@@ -3756,3 +3756,51 @@ def test_optimize_min_file_size_incremental(spark, tmp_path):
         optimize_delta(spark, t, zorder_by=["id"], min_file_size=100)
     # nothing-to-gain fast path: a second sweep is a no-op version
     assert optimize_delta(spark, t, min_file_size=10) == snap1.version
+
+
+def test_row_tracking_streaming_sink_and_restore(spark, tmp_path):
+    """Row tracking x the exactly-once streaming sink and RESTORE:
+    every micro-batch commit carves a fresh disjoint id range, a
+    REPLAYED batch (same txn appId/batchId) is skipped without
+    consuming ids or duplicating rows, and RESTORE re-references the
+    target version's adds VERBATIM — restored rows get their original
+    ids back and a post-restore append still carves ABOVE the
+    high-water mark (deleted ranges are never recycled)."""
+    from value_at_risk_spark.sources.deltalog import (
+        delete_from_delta,
+        read_delta_row_ids,
+        restore_delta,
+    )
+    from value_at_risk_spark.streaming.sinks import DeltaTxnSink
+
+    t = str(tmp_path / "rtsink")
+    mk = lambda lo: spark.createDataFrame(  # noqa: E731
+        [(lo + j, float(lo + j)) for j in range(10)], "id long, v double"
+    )
+    write_delta(
+        spark, mk(0), t,
+        configuration={"delta.enableRowTracking": "true"},
+    )
+    sink = DeltaTxnSink(t, app_id="rt-ingest")
+    for b, lo in enumerate((100, 200, 300)):
+        sink(mk(lo), b)
+    sink(mk(200), 1)  # replay of batch 1 — must skip, not re-commit
+    assert sink.skipped == [1]
+    ids = {r.id: r.row_id for r in read_delta_row_ids(spark, t).collect()}
+    assert len(ids) == 40  # 4 x 10, replay added nothing
+    assert len(set(ids.values())) == 40  # all ids unique
+    mark_before = max(ids.values())
+
+    v_pre_delete = snapshot(t).version
+    delete_from_delta(spark, t, "id >= 200 AND id < 210")
+    assert read_delta(spark, t).count() == 30
+    restore_delta(spark, t, v_pre_delete)
+    restored = {
+        r.id: r.row_id for r in read_delta_row_ids(spark, t).collect()
+    }
+    assert restored == ids  # originals back, ids verbatim
+    sink(mk(400), 4)
+    after = {r.id: r.row_id for r in read_delta_row_ids(spark, t).collect()}
+    new_ids = {v for k, v in after.items() if k >= 400}
+    assert min(new_ids) > mark_before  # carved above the mark
+    assert len(set(after.values())) == 50

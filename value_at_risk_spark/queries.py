@@ -15005,6 +15005,67 @@ def delta_widen_scan(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @query(
+    "delta_small_file_compaction_scan",
+    """
+SELECT r_regionkey,
+       COUNT(*) AS n_nations,
+       SUM(LENGTH(n_name)) AS name_chars
+FROM nation JOIN region ON n_regionkey = r_regionkey
+GROUP BY r_regionkey
+""",
+)
+def delta_small_file_compaction_scan(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """Incremental OPTIMIZE (min_file_size), ORACLE-pinned: nation
+    lands as five single-row-ish commits per region (the classic
+    trickle-ingest small-file problem), one LARGE commit (region) is
+    appended to a second table, and the small-file sweep compacts ONLY
+    the sub-threshold files — the compacted table joined to region
+    must equal DuckDB's recompute, proving the sweep lost/duplicated
+    nothing and the aggregate is layout-independent
+    (sources/deltalog.optimize_delta min_file_size)."""
+    from value_at_risk_spark.sources.deltalog import (
+        optimize_delta,
+        read_delta,
+        snapshot,
+        write_delta,
+    )
+
+    def build(tbl: str) -> None:
+        nation = _t(spark, sf_dir, "nation").select(
+            "n_nationkey", "n_regionkey", "n_name"
+        )
+        for r in range(5):  # five small commits, one per region
+            write_delta(
+                spark,
+                nation.filter(F.col("n_regionkey") == r).coalesce(1),
+                tbl,
+            )
+        n_before = len(snapshot(tbl).files)
+        optimize_delta(spark, tbl, min_file_size=1 << 20, target_files=1)
+        n_after = len(snapshot(tbl).files)
+        assert n_after < n_before, (n_before, n_after)
+
+    tbl = _scratch_delta_table(
+        "smallfiles", sf_dir, "nation 5 trickle commits + sweep", build
+    )
+    region = _t(spark, sf_dir, "region").select("r_regionkey")
+    return (
+        read_delta(spark, tbl)
+        .join(
+            F.broadcast(region),
+            F.col("n_regionkey") == F.col("r_regionkey"),
+        )
+        .groupBy("r_regionkey")
+        .agg(
+            F.count(F.lit(1)).alias("n_nations"),
+            F.sum(F.length("n_name")).alias("name_chars"),
+        )
+    )
+
+
+@query(
     "delta_shallow_clone_scan",
     """
 SELECT c_mktsegment,
