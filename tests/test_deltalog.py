@@ -3804,3 +3804,33 @@ def test_row_tracking_streaming_sink_and_restore(spark, tmp_path):
     new_ids = {v for k, v in after.items() if k >= 400}
     assert min(new_ids) > mark_before  # carved above the mark
     assert len(set(after.values())) == 50
+
+
+def test_row_tracking_on_mapped_table_reads_through_mapping(spark, tmp_path):
+    """Mapped + row-tracked (creatable in one write_delta call): the
+    row-id read must physicalize the scan like read_delta does — a
+    logical-schema scan against physical-name files would return
+    all-NULL data columns silently (the review-caught misread)."""
+    from value_at_risk_spark.sources.deltalog import read_delta_row_ids
+
+    t = str(tmp_path / "maprt")
+    df = spark.createDataFrame(
+        [(i, float(i)) for i in range(12)], "id long, v double"
+    )
+    write_delta(
+        spark,
+        df.filter("id < 6"),
+        t,
+        configuration={
+            "delta.columnMapping.mode": "name",
+            "delta.enableRowTracking": "true",
+        },
+    )
+    write_delta(spark, df.filter("id >= 6"), t)
+    got = read_delta_row_ids(spark, t)
+    assert got.columns == ["id", "v", "row_id"]
+    rows = {r.id: (r.v, r.row_id) for r in got.collect()}
+    assert len(rows) == 12
+    assert all(r.id is not None for r in got.collect())
+    assert {v for v, _ in rows.values()} == {float(i) for i in range(12)}
+    assert len({rid for _, rid in rows.values()}) == 12

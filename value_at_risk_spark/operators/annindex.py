@@ -419,18 +419,13 @@ def purge_ivfpq(
                 os.path.join(codes_path, f"_cell={c}"), ignore_errors=True
             )
     shutil.rmtree(reg.path("ann_tombstones"), ignore_errors=True)
+    # report from driver-side state already in hand — a corpus rescan
+    # here would break the deleted-rows-bounded cost contract and
+    # crash (UNABLE_TO_INFER_SCHEMA) when the purge emptied the table
+    dropped = len(set(affected) - live_cells) if affected else 0
     return {
         "cells_rewritten": len(affected),
-        "cells_dropped": len(
-            set(affected)
-            - {
-                r._cell
-                for r in spark.read.parquet(codes_path)
-                .select("_cell")
-                .distinct()
-                .collect()
-            }
-        ),
+        "cells_dropped": dropped,
         "purged": n_purged,
     }
 
@@ -593,14 +588,10 @@ def rebalance_ivfpq(
     # rows only, the same rows being rewritten)
     allnew = allnew.localCheckpoint()
     reg = Registry(base_dir)
-    (
-        allnew.repartition(2 * len(hot))
-        .write.mode("overwrite")
-        .option("partitionOverwriteMode", "dynamic")
-        .partitionBy("_cell")
-        .parquet(reg.path("ann_codes"))
-    )
-    # centroid table: tiny, rewritten whole (it IS the cell id space)
+    # centroid table FIRST (tiny, it IS the cell id space): a crash
+    # between the two writes then leaves extra centroids with no
+    # codes (harmless — empty cells) instead of codes whose cell ids
+    # index past the centroid list (silent recall loss + OOB decode)
     reg.write(
         spark.createDataFrame(
             [(i, [float(x) for x in v]) for i, v in enumerate(new_cents)],
@@ -608,6 +599,13 @@ def rebalance_ivfpq(
         ),
         "ann_centroids",
         num_files=1,
+    )
+    (
+        allnew.repartition(2 * len(hot))
+        .write.mode("overwrite")
+        .option("partitionOverwriteMode", "dynamic")
+        .partitionBy("_cell")
+        .parquet(reg.path("ann_codes"))
     )
     return {
         "cells_split": len(out_frames),

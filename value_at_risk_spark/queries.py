@@ -15008,8 +15008,8 @@ def delta_widen_scan(spark: SparkSession, sf_dir: str) -> DataFrame:
     "delta_small_file_compaction_scan",
     """
 SELECT r_regionkey,
-       COUNT(*) AS n_nations,
-       SUM(LENGTH(n_name)) AS name_chars
+       2 * COUNT(*) AS n_nations,
+       2 * SUM(LENGTH(n_name)) AS name_chars
 FROM nation JOIN region ON n_regionkey = r_regionkey
 GROUP BY r_regionkey
 """,
@@ -15017,13 +15017,16 @@ GROUP BY r_regionkey
 def delta_small_file_compaction_scan(
     spark: SparkSession, sf_dir: str
 ) -> DataFrame:
-    """Incremental OPTIMIZE (min_file_size), ORACLE-pinned: nation
-    lands as five single-row-ish commits per region (the classic
-    trickle-ingest small-file problem), one LARGE commit (region) is
-    appended to a second table, and the small-file sweep compacts ONLY
-    the sub-threshold files — the compacted table joined to region
-    must equal DuckDB's recompute, proving the sweep lost/duplicated
-    nothing and the aggregate is layout-independent
+    """Incremental OPTIMIZE (min_file_size), ORACLE-pinned on its
+    SELECTIVITY: one LARGE commit (the full nation in a single file)
+    plus five trickle per-region commits (the classic small-file
+    problem) land in one table (nation x2 logically), then the sweep
+    with threshold = the large file's size compacts ONLY the small
+    files — the build asserts the large file's add action survives
+    VERBATIM while every small file is replaced, so a regression that
+    rewrote (or worse, removed) right-sized files fails the build, and
+    the hash vs DuckDB's doubled-nation recompute proves the sweep
+    lost/duplicated nothing
     (sources/deltalog.optimize_delta min_file_size)."""
     from value_at_risk_spark.sources.deltalog import (
         optimize_delta,
@@ -15036,19 +15039,33 @@ def delta_small_file_compaction_scan(
         nation = _t(spark, sf_dir, "nation").select(
             "n_nationkey", "n_regionkey", "n_name"
         )
-        for r in range(5):  # five small commits, one per region
+        write_delta(spark, nation.coalesce(1), tbl)  # the LARGE file
+        for r in range(5):  # five small trickle commits
             write_delta(
                 spark,
                 nation.filter(F.col("n_regionkey") == r).coalesce(1),
                 tbl,
             )
-        n_before = len(snapshot(tbl).files)
-        optimize_delta(spark, tbl, min_file_size=1 << 20, target_files=1)
-        n_after = len(snapshot(tbl).files)
-        assert n_after < n_before, (n_before, n_after)
+        snap0 = snapshot(tbl)
+        sizes = {p: int(a["size"]) for p, a in snap0.files.items()}
+        big = max(sizes, key=sizes.get)
+        assert all(
+            sizes[p] < sizes[big] for p in sizes if p != big
+        ), "fixture: the full-nation file must be strictly largest"
+        optimize_delta(
+            spark, tbl, min_file_size=sizes[big], target_files=1
+        )
+        snap1 = snapshot(tbl)
+        # selectivity contract: big file untouched, small replaced
+        assert snap1.files[big] == snap0.files[big], "big file rewritten"
+        assert not (set(snap1.files) - {big}) & set(snap0.files), (
+            "a small file survived the sweep"
+        )
+        assert len(snap1.files) < len(snap0.files)
 
     tbl = _scratch_delta_table(
-        "smallfiles", sf_dir, "nation 5 trickle commits + sweep", build
+        "smallfiles", sf_dir,
+        "nation full + 5 trickle commits, size-selective sweep", build,
     )
     region = _t(spark, sf_dir, "region").select("r_regionkey")
     return (
@@ -15105,8 +15122,19 @@ def delta_shallow_clone_scan(spark: SparkSession, sf_dir: str) -> DataFrame:
             {"c_acctbal": "c_acctbal + 10"},
         )
 
+    # the source's table id (a fresh uuid per build) rides in the
+    # clone's cache key: a GC'd-and-rebuilt source gets NEW random
+    # file names, and a stale cached clone would point at deleted
+    # files forever — keying on the id invalidates the clone whenever
+    # the source rebuilds
+    from value_at_risk_spark.sources.deltalog import snapshot as _snap
+
+    src_id = _snap(src).metadata["id"]
     tbl = _scratch_delta_table(
-        "clone", sf_dir, "demo shallow clone + bump BUILDING", build
+        "clone",
+        sf_dir,
+        f"demo shallow clone + bump BUILDING @src:{src_id}",
+        build,
     )
     return (
         read_delta(spark, tbl)

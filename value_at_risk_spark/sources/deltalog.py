@@ -533,11 +533,14 @@ def read_delta(
     predicate (same contract as Delta's own data skipping, where the
     engine does both).
 
-    Foreign tables with ``delta.columnMapping.mode = name`` (reader
-    version 2) are supported: the scan runs against the PHYSICAL
-    column names the data files carry, then renames to the logical
-    schema; filters arrive in logical names and are translated. Mode
-    'id' (field-id resolution) raises loudly.
+    Column-mapped tables are supported in BOTH modes: the scan runs
+    against the PHYSICAL column names the data files carry, then
+    renames to the logical schema; filters arrive in logical names
+    and are translated. Mode 'id' additionally resolves data columns
+    by parquet FIELD ID (the schema carries ``parquet.field.id``
+    metadata and this call enables the session's fieldId.read conf —
+    left on afterwards, which only affects reads whose requested
+    schema itself carries field-id metadata).
 
     ``timestamp`` (TIMESTAMP AS OF; exclusive with ``version``):
     epoch seconds, datetime, or ISO-8601 string — resolved to the
@@ -1186,6 +1189,26 @@ def read_delta_row_ids(
             f"delta table at {path} does not have "
             "delta.enableRowTracking — no row ids to read"
         )
+    l2p = _column_mapping(snap)
+    if l2p is not None:
+        # mapped + tracked: same physicalization read_delta does —
+        # scanning the logical schema against physical-name files
+        # would return all-NULL columns (the silent-misread failure)
+        logical = [f.name for f in snap.schema.fields]
+        fids = None
+        if _cm_mode(snap) == "id":
+            fids = _column_field_ids(snap)
+            spark.conf.set("spark.sql.parquet.fieldId.read.enabled", "true")
+        phys = _files_with_row_ids(
+            spark,
+            path,
+            _physicalized(snap, l2p, fids),
+            sorted(snap.files),
+            "row_id",
+        )
+        return phys.select(
+            *[F.col(l2p[n]).alias(n) for n in logical], "row_id"
+        )
     return _files_with_row_ids(
         spark, path, snap, sorted(snap.files), "row_id"
     )
@@ -1253,14 +1276,23 @@ def _files_with_row_ids(
             "%2B",
         )
     )
+    # LEFT join + raise_error, never inner: this frame is what
+    # id-preserving REWRITES stage, so a file-path key mismatch must
+    # fail LOUD — an inner join would silently drop that file's rows
+    # and the rewrite would commit the truncated set (data loss)
     df = df.withColumn("__rt_key", key).join(
-        F.broadcast(base_map), "__rt_key", "inner"
+        F.broadcast(base_map), "__rt_key", "left"
     )
-    rid = (
-        F.coalesce(F.col(matcol), F.col("__rt_base") + F.col("__dv_ri"))
-        if matcol
-        else (F.col("__rt_base") + F.col("__dv_ri"))
-    )
+    fresh = F.when(
+        F.col("__rt_base").isNull(),
+        F.raise_error(
+            F.concat(
+                F.lit("row tracking: no baseRowId key matched file "),
+                F.col("__dv_fp"),
+            )
+        ).cast("long"),
+    ).otherwise(F.col("__rt_base") + F.col("__dv_ri"))
+    rid = F.coalesce(F.col(matcol), fresh) if matcol else fresh
     return df.select(*logical, rid.cast("long").alias(out_col))
 
 
@@ -1825,8 +1857,13 @@ def write_delta(
         # parquet field ids attached (the write conf defaults on, but
         # an environment override would silently strip 'id'-mode
         # resolvability); everything logical — metadata schema,
-        # partitionColumns, reads — stays in logical space
-        spark.conf.set("spark.sql.parquet.fieldId.write.enabled", "true")
+        # partitionColumns, reads — stays in logical space. The conf
+        # flip is scoped to this EAGER write and restored after — a
+        # session-global leak would change how unrelated writes treat
+        # schemas that happen to carry field-id metadata.
+        _fid_key = "spark.sql.parquet.fieldId.write.enabled"
+        _fid_prev = spark.conf.get(_fid_key, None)
+        spark.conf.set(_fid_key, "true")
         stage_df = df.select(
             *[
                 F.col(n).alias(
@@ -1841,7 +1878,11 @@ def write_delta(
             ]
         )
         stage_parts = [l2p_write.get(c, c) for c in part_cols]
-        adds = _stage(stage_df, path, stage_parts, data_change=True)
+        try:
+            adds = _stage(stage_df, path, stage_parts, data_change=True)
+        finally:
+            if _fid_prev is not None:
+                spark.conf.set(_fid_key, _fid_prev)
     else:
         adds = _stage(df, path, part_cols, data_change=True)
     if identity_generated:
@@ -1966,8 +2007,10 @@ def set_table_properties(path: str, props: dict[str, str]) -> int:
             raise ValueError("set_table_properties: str->str map required")
     if "delta.columnMapping.mode" in props:
         raise NotImplementedError(
-            "set_table_properties: enabling column mapping would make "
-            "the table unwritable by this module (read-only support)"
+            "set_table_properties: enabling column mapping on an "
+            "EXISTING table requires assigning field ids/physical "
+            "names to its files — create the table mapped instead "
+            "(write_delta configuration)"
         )
     if "delta.enableRowTracking" in props:
         raise NotImplementedError(
@@ -2822,10 +2865,10 @@ def commit_staged_adds(
                 }
             )
         elif mode == "overwrite":
-            # recompute removes against the CURRENT tip each attempt —
-            # a conflicting concurrent append must not survive an
-            # overwrite that committed after it
-            current = snapshot(path)
+            # removes against THIS attempt's tip (snap_tip) — a
+            # conflicting concurrent append must not survive an
+            # overwrite that committed after it; a tip that moves
+            # after this read fails _publish_commit and retries
             actions.extend(
                 {
                     "remove": {
@@ -2833,13 +2876,13 @@ def commit_staged_adds(
                         "deletionTimestamp": now_ms,
                         "dataChange": True,
                         **(
-                            {"deletionVector": current.files[p]["deletionVector"]}
-                            if current.files[p].get("deletionVector")
+                            {"deletionVector": snap_tip.files[p]["deletionVector"]}
+                            if snap_tip.files[p].get("deletionVector")
                             else {}
                         ),
                     }
                 }
-                for p in sorted(current.files)
+                for p in sorted(snap_tip.files)
             )
         actions.extend(adds_use)
         actions.extend(rt_actions)
