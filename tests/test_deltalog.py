@@ -3834,3 +3834,35 @@ def test_row_tracking_on_mapped_table_reads_through_mapping(spark, tmp_path):
     assert all(r.id is not None for r in got.collect())
     assert {v for v, _ in rows.values()} == {float(i) for i in range(12)}
     assert len({rid for _, rid in rows.values()}) == 12
+
+
+def test_vacuum_retention_table_property(spark, tmp_path):
+    """VACUUM's default retention comes from the table's
+    delta.deletedFileRetentionDuration property: a generous interval
+    keeps just-tombstoned files alive; an explicit retention_seconds
+    overrides; malformed values refuse loudly."""
+    from value_at_risk_spark.sources.deltalog import (
+        set_table_properties,
+        vacuum_delta,
+    )
+
+    t = str(tmp_path / "ret")
+    df = spark.createDataFrame([(1, 1.0), (2, 2.0)], "id long, v double")
+    write_delta(
+        spark, df, t,
+        configuration={
+            "delta.deletedFileRetentionDuration": "interval 2 hours"
+        },
+    )
+    write_delta(spark, df, t, mode="overwrite")  # tombstones v0's files
+    # property default (2h) protects the fresh tombstones
+    assert vacuum_delta(t, keep_versions=1) == []
+    # explicit retention overrides the property
+    deleted = vacuum_delta(t, keep_versions=1, retention_seconds=0)
+    assert deleted
+    assert read_delta(spark, t).count() == 2
+    set_table_properties(
+        t, {"delta.deletedFileRetentionDuration": "sometimes"}
+    )
+    with pytest.raises(ValueError, match="malformed"):
+        vacuum_delta(t, keep_versions=1)

@@ -247,9 +247,9 @@ def delta_sql(spark: SparkSession, stmt: str):
         )
         if not m:
             raise ValueError(f"delta_sql: unsupported VACUUM shape: {stmt!r}")
-        retention = (
-            float(m.group(1)) * 3600.0 if m.group(1) else 3600.0
-        )
+        # no RETAIN clause -> the table's own
+        # delta.deletedFileRetentionDuration property (or 1h default)
+        retention = float(m.group(1)) * 3600.0 if m.group(1) else None
         return dl.vacuum_delta(
             _one_path(s, "VACUUM"), retention_seconds=retention
         )

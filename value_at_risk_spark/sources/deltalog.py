@@ -44,6 +44,7 @@ from __future__ import annotations
 
 import json
 import os
+import re
 import time
 import uuid
 from dataclasses import dataclass
@@ -3397,21 +3398,62 @@ def optimize_delta(
     raise RuntimeError(f"optimize_delta: lost the commit race at {path}")
 
 
+_INTERVAL_RE = re.compile(
+    r"^\s*interval\s+(\d+)\s+(second|minute|hour|day|week)s?\s*$",
+    re.IGNORECASE,
+)
+_INTERVAL_SECONDS = {
+    "second": 1,
+    "minute": 60,
+    "hour": 3600,
+    "day": 86400,
+    "week": 604800,
+}
+
+
+def _retention_from_properties(snap: DeltaSnapshot) -> float | None:
+    """``delta.deletedFileRetentionDuration`` ('interval N hours' per
+    the spec) -> seconds; None when unset. Malformed values refuse
+    loudly — a silently-ignored retention property is how files get
+    vacuumed out from under a reader that trusted it."""
+    raw = (snap.metadata.get("configuration") or {}).get(
+        "delta.deletedFileRetentionDuration"
+    )
+    if raw is None:
+        return None
+    m = _INTERVAL_RE.match(raw)
+    if not m:
+        raise ValueError(
+            "vacuum_delta: malformed "
+            f"delta.deletedFileRetentionDuration {raw!r} (want "
+            "'interval N hours|days|...')"
+        )
+    return int(m.group(1)) * _INTERVAL_SECONDS[m.group(2).lower()]
+
+
 def vacuum_delta(
-    path: str, keep_versions: int = 1, retention_seconds: float = 3600.0
+    path: str,
+    keep_versions: int = 1,
+    retention_seconds: float | None = None,
 ) -> list[str]:
     """Physically delete data files referenced by NONE of the newest
     ``keep_versions`` snapshots — tombstoned by overwrite/optimize, or
     orphaned by failed commits. ``retention_seconds`` (mtime guard)
     protects a concurrent writer's not-yet-committed staging files,
-    exactly why Delta's own VACUUM has a retention window. Time travel
-    to a vacuumed version subsequently fails at scan time — the
-    documented Delta trade-off. Returns the deleted paths."""
+    exactly why Delta's own VACUUM has a retention window; when not
+    given explicitly it comes from the table's
+    ``delta.deletedFileRetentionDuration`` property (the spec's knob),
+    defaulting to 1 hour. Time travel to a vacuumed version
+    subsequently fails at scan time — the documented Delta trade-off.
+    Returns the deleted paths."""
     import shutil
 
     versions = delta_versions(path)
     if not versions:
         return []
+    if retention_seconds is None:
+        prop = _retention_from_properties(snapshot(path))
+        retention_seconds = prop if prop is not None else 3600.0
     keep = versions[-max(1, keep_versions):]
     referenced: set[str] = set()
     for v in keep:
