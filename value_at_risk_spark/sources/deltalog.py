@@ -106,8 +106,10 @@ def _checkpoint_files(path: str, version: int) -> list[str]:
     except OSError:
         return []
     prefix = f"{version:020d}.checkpoint."
-    parts: dict[int, str] = {}
-    num_parts = None
+    # group parts by their numParts value: a torn writer's leftover
+    # set (different numParts) in listdir order must never mask a
+    # COMPLETE set for the same version
+    by_np: dict[int, dict[int, str]] = {}
     v2_manifests: list[str] = []
     for n in names:
         if not (n.startswith(prefix) and n.endswith(".parquet")):
@@ -116,16 +118,14 @@ def _checkpoint_files(path: str, version: int) -> list[str]:
         bits = mid.split(".")
         if len(bits) == 2 and all(b.isdigit() for b in bits):
             p, np_ = int(bits[0]), int(bits[1])
-            if num_parts is None:
-                num_parts = np_
-            if np_ == num_parts:
-                parts[p] = os.path.join(_log_dir(path), n)
+            by_np.setdefault(np_, {})[p] = os.path.join(_log_dir(path), n)
         elif len(bits) == 1 and bits[0]:
             # V2 checkpoint manifest (<v>.checkpoint.<uniqueStr>.parquet);
             # several may coexist — any complete one is usable
             v2_manifests.append(os.path.join(_log_dir(path), n))
-    if num_parts and len(parts) == num_parts:
-        return [parts[i] for i in range(1, num_parts + 1)]
+    for np_, parts in sorted(by_np.items()):
+        if len(parts) == np_:
+            return [parts[i] for i in range(1, np_ + 1)]
     if v2_manifests:
         return [sorted(v2_manifests)[0]]
     return []
@@ -1625,6 +1625,12 @@ def write_delta(
     if mode not in ("append", "overwrite"):
         raise ValueError(f"write_delta mode must be append|overwrite: {mode}")
     exists = bool(delta_versions(path))
+    # ONE pre-flight snapshot for every enforcement read below (a
+    # fresh replay per consult was 3-5x the log I/O per write and,
+    # worse, let the enforced invariants drift BETWEEN consults); the
+    # commit loop re-snapshots the moving tip itself and conflicts if
+    # the invariants changed since this one
+    snap_pre = snapshot(path) if exists else None
     gen: dict[str, str] = {}
     schema_for_commit = None
     min_writer = 2
@@ -1684,7 +1690,7 @@ def write_delta(
                 "option; the table's own schema metadata governs "
                 "later writes"
             )
-        snap0 = snapshot(path)
+        snap0 = snap_pre
         ids = table_identity_columns(snap0)
         if ids:
             for col, spec in ids.items():
@@ -1746,7 +1752,7 @@ def write_delta(
         min_writer = 4
     id_specs: dict[str, dict] = {}
     if exists:
-        id_specs = table_identity_columns(snapshot(path))
+        id_specs = table_identity_columns(snap_pre)
     elif identity_columns:
         for col, spec in identity_columns.items():
             step = int(spec.get("step", 1))
@@ -1795,10 +1801,9 @@ def write_delta(
     l2p_write: dict[str, str] | None = None
     fids_write: dict[str, int] = {}
     if exists:
-        snap_map = snapshot(path)
-        l2p_write = _column_mapping(snap_map)
+        l2p_write = _column_mapping(snap_pre)
         if l2p_write is not None:
-            fids_write = _column_field_ids(snap_map)
+            fids_write = _column_field_ids(snap_pre)
             if merge_schema:
                 raise NotImplementedError(
                     "write_delta: merge_schema on a column-mapped table "
@@ -1848,8 +1853,8 @@ def write_delta(
                 f"write_delta: NOT NULL invariant violated for "
                 f"column(s) {null_checks} by row {bad[0].asDict()}"
             )
-    if delta_versions(path):
-        cons = table_constraints(snapshot(path))
+    if exists:
+        cons = table_constraints(snap_pre)
         if cons:
             _check_constraints(df, cons, "write_delta")
 
@@ -1935,7 +1940,7 @@ def write_delta(
                 base_meta = (
                     new_metadata
                     if new_metadata is not None
-                    else snapshot(path).metadata
+                    else snap_pre.metadata
                 )
                 new_metadata = _identity_metadata_update(
                     base_meta, new_hwms
@@ -1953,6 +1958,28 @@ def write_delta(
                         )["schemaString"]
                     )
                 )
+    # what THIS write enforced (constraints/generation/identity from
+    # snap_pre, or the creation declarations) — the commit loop
+    # conflicts if the tip's invariants drifted since
+    inv_seen = (
+        _inv_fingerprint(snap_pre)
+        if snap_pre is not None
+        else (
+            (),
+            tuple(sorted((generated_columns or {}).items())),
+            tuple(
+                sorted(
+                    (
+                        k,
+                        int(v.get("start", 1)),
+                        int(v.get("step", 1)),
+                        bool(v.get("allow_explicit", False)),
+                    )
+                    for k, v in (identity_columns or {}).items()
+                )
+            ),
+        )
+    )
     return commit_staged_adds(
         path,
         adds,
@@ -1968,6 +1995,7 @@ def write_delta(
         extra_actions=extra_actions,
         writer_features=writer_features,
         mapped_ok=l2p_write is not None,
+        invariants_seen=inv_seen,
     )
 
 
@@ -2293,7 +2321,15 @@ def shallow_clone(src: str, dst: str, version: int | None = None) -> int:
                 "engineInfo": "value_at_risk_spark.deltalog",
             }
         },
-        {"protocol": dict(snap.protocol)},
+        # checkpoint-replayed protocols carry explicit None for absent
+        # feature lists — strip them (feature lists exist only at
+        # rv3/wv7 per the spec; a null list is malformed to strict
+        # foreign readers), same as _protocol_action does
+        {
+            "protocol": {
+                k: v for k, v in dict(snap.protocol).items() if v is not None
+            }
+        },
         {"metaData": meta},
         *adds,
     ]
@@ -2679,6 +2715,27 @@ def _validate_write_schema(
     return part_cols, new_metadata, null_checks
 
 
+def _inv_fingerprint(snap: DeltaSnapshot) -> tuple:
+    """The table invariants a writer must have ENFORCED before
+    committing: CHECK constraints, generation expressions, and
+    identity declarations (start/step/allowExplicit — NOT the
+    high-water mark, which legitimately moves under concurrency).
+    Compared per commit attempt so a concurrent ADD CONSTRAINT /
+    schema-invariant change conflicts instead of publishing
+    unchecked data."""
+    ids = table_identity_columns(snap)
+    return (
+        tuple(sorted(table_constraints(snap).items())),
+        tuple(sorted(table_generated_columns(snap).items())),
+        tuple(
+            sorted(
+                (k, v["start"], v["step"], v["allow_explicit"])
+                for k, v in ids.items()
+            )
+        ),
+    )
+
+
 def commit_staged_adds(
     path: str,
     adds: list[dict],
@@ -2694,6 +2751,7 @@ def commit_staged_adds(
     extra_actions: list[dict] | None = None,
     writer_features: list[str] | None = None,
     mapped_ok: bool = False,
+    invariants_seen: tuple | None = None,
 ) -> int:
     """write_delta's commit half: publish already-staged add actions
     as one transactional version (optimistic retry; the protocol txn
@@ -2714,6 +2772,46 @@ def commit_staged_adds(
         if not mapped_ok:
             _refuse_mapped_write(snap0, "staged write")
         _refuse_high_writer_version(snap0, "staged write")
+        # schema must still match THIS tip: a lost create race (two
+        # writers both staged v0-shaped files; the loser lands as an
+        # append) or a concurrent schema change would otherwise
+        # publish files readers silently null-fill or misread.
+        # new_metadata carries an intended schema change (merge_schema)
+        # and skips the check; nullability/metadata are compared by
+        # the pre-flight, only name+type identity matters here.
+        if new_metadata is None:
+            # SUBSET compatibility, not exact equality: merge_schema
+            # appends legitimately stage fewer columns than the tip
+            # declares (old/new files null-fill each other under
+            # parquet's additive evolution) — but every staged column
+            # must exist on the tip with the identical type
+            tip_types = {f.name: f.dataType for f in snap0.schema.fields}
+            bad = [
+                f.name
+                for f in schema.fields
+                if tip_types.get(f.name) != f.dataType
+            ]
+            if bad:
+                raise DeltaConcurrentModification(
+                    f"staged write at {path}: the table's schema "
+                    "changed concurrently (or a create race was lost "
+                    "to a differently-shaped table) — staged "
+                    f"column(s) {bad} do not match the tip's "
+                    f"{snap0.schema.simpleString()}"
+                )
+        if constraints_ok and invariants_seen is not None:
+            # the caller enforced constraints/generation/identity
+            # against an earlier snapshot — a tip whose invariant SET
+            # moved since (concurrent ADD CONSTRAINT, ...) makes that
+            # enforcement stale; the protocol treats metaData changes
+            # as conflicting with every transaction
+            if _inv_fingerprint(snap0) != invariants_seen:
+                raise DeltaConcurrentModification(
+                    f"staged write at {path}: table invariants "
+                    "(constraints/generated/identity) changed "
+                    "concurrently — re-run the write so they are "
+                    "enforced against the current metadata"
+                )
         wv = int(snap0.protocol.get("minWriterVersion", 2) or 2)
         if not constraints_ok:
             if table_identity_columns(snap0):
@@ -3062,7 +3160,15 @@ def checkpoint_delta(
     tbl = pa.Table.from_pylist(conv, schema=action_schema)
     n_parts = max(1, -(-len(conv) // max(1, max_rows_per_part)))
     if n_parts == 1:
-        pq.write_table(tbl, _checkpoint_path(path, snap.version))
+        # tmp + atomic replace, same as the multi-part and v2 forms: a
+        # crash mid-write must never leave a torn checkpoint at the
+        # FINAL name — _checkpoint_files anchors on existence, and a
+        # torn anchor bricks every later snapshot() (and, after log
+        # cleanup, bricks the table permanently)
+        dest = _checkpoint_path(path, snap.version)
+        tmp = dest + f".tmp-{os.getpid()}"
+        pq.write_table(tbl, tmp)
+        os.replace(tmp, dest)
     else:
         per = -(-len(conv) // n_parts)
         for i in range(n_parts):
@@ -3524,6 +3630,10 @@ def restore_delta(spark: SparkSession, path: str, version: int) -> int:
     for _attempt in range(64):
         current = snapshot(path)
         _refuse_append_only(current, "RESTORE")
+        # same writer-version discipline as every other mutation: a
+        # table requiring features this module does not implement must
+        # not receive remove/add commits that could violate them
+        _refuse_high_writer_version(current, "RESTORE")
         # same file = same path AND same deletion-vector identity: a
         # path whose DV changed between the versions must be
         # re-referenced at the TARGET's DV state or the restore would
@@ -3592,7 +3702,25 @@ def restore_delta(spark: SparkSession, path: str, version: int) -> int:
             }
             for p in to_remove
         )
-        actions.extend({"add": target.files[p]} for p in to_add)
+        # re-adds are a DATA change regardless of how the target
+        # version produced the file: an OPTIMIZE-born add carries
+        # dataChange:false, and re-publishing it verbatim would hide
+        # the restored rows from CDF/incremental readers (which skip
+        # non-data-change adds). None fields from checkpoint-replayed
+        # adds are stripped rather than serialized as JSON nulls.
+        actions.extend(
+            {
+                "add": {
+                    **{
+                        k: v
+                        for k, v in target.files[p].items()
+                        if v is not None
+                    },
+                    "dataChange": True,
+                }
+            }
+            for p in to_add
+        )
         if _publish_commit(path, current.version + 1, actions):
             return current.version + 1
     raise RuntimeError(f"restore_delta: lost the commit race at {path}")
@@ -4025,8 +4153,12 @@ def _touched_files(
             .agg(F.count(F.lit(1)).alias("_n"))
             .collect()
         )
+    # abspath, not the caller's possibly-RELATIVE table path: the
+    # scan-side file paths are always absolute file: URIs, and a
+    # relative key here would KeyError the lookup (same hazard class
+    # _dv_keep_filter guards against)
     abs2rel = {
-        os.path.normpath(os.path.join(path, unquote(p))): p
+        os.path.normpath(os.path.join(os.path.abspath(path), unquote(p))): p
         for p in candidates
     }
     touched: list[str] = []
@@ -4347,7 +4479,9 @@ def _delete_with_dv(
         if not hits:
             return zero
         abs2rel = {
-            os.path.normpath(os.path.join(path, unquote(p))): p
+            os.path.normpath(
+                os.path.join(os.path.abspath(path), unquote(p))
+            ): p
             for p in candidates
         }
         touched: list[tuple[str, "np.ndarray"]] = []
@@ -4513,7 +4647,9 @@ def _update_with_dv(
         if not hits:
             return zero
         abs2rel = {
-            os.path.normpath(os.path.join(path, unquote(p))): p
+            os.path.normpath(
+                os.path.join(os.path.abspath(path), unquote(p))
+            ): p
             for p in candidates
         }
         touched: list[tuple[str, "np.ndarray"]] = []
@@ -4780,12 +4916,16 @@ def update_delta(
     updated rows append as new files — write volume scales with the
     MATCHED rows, never with the touched files' sizes (real Delta's
     own UPDATE-under-DV shape)."""
-    schema = snapshot(path).schema
+    # one pre-flight snapshot for the cheap argument checks (each
+    # consult was a full log replay); the DML loops re-snapshot the
+    # moving tip themselves
+    snap_pre = snapshot(path)
+    schema = snap_pre.schema
     known = {f.name: f.dataType for f in schema.fields}
     unknown = [c for c in set_exprs if c not in known]
     if unknown:
         raise ValueError(f"update_delta: SET on unknown columns {unknown}")
-    id_cols = set(table_identity_columns(snapshot(path))) & set(set_exprs)
+    id_cols = set(table_identity_columns(snap_pre)) & set(set_exprs)
     if id_cols:
         raise ValueError(
             f"update_delta: SET on identity column(s) {sorted(id_cols)} "
@@ -4793,7 +4933,7 @@ def update_delta(
         )
     cond = F.expr(condition)
     if use_dv is None:
-        cfg = snapshot(path).metadata.get("configuration") or {}
+        cfg = snap_pre.metadata.get("configuration") or {}
         use_dv = _truthy(cfg.get("delta.enableDeletionVectors"))
     if use_dv:
         return _update_with_dv(
