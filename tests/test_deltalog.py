@@ -3866,3 +3866,43 @@ def test_vacuum_retention_table_property(spark, tmp_path):
     )
     with pytest.raises(ValueError, match="malformed"):
         vacuum_delta(t, keep_versions=1)
+
+
+def test_generated_column_partition_pruning(spark, tmp_path):
+    """Generated-column partition pruning (DS reader): a table
+    partitioned by a GENERATED date column prunes at the PARTITION
+    layer when the filter is an equality on the SOURCE timestamp —
+    the date-partition-from-timestamp layout every event pipeline
+    uses. Non-derivable shapes are simply not pruned (never wrong)."""
+    import datetime
+
+    from value_at_risk_spark.sources.delta_datasource import (
+        register_deltalog_source,
+    )
+
+    register_deltalog_source(spark)
+    t = str(tmp_path / "genpart")
+    rows = [
+        (i, datetime.datetime(2026, 1, 1 + (i % 4), 12, 0, 0), float(i))
+        for i in range(40)
+    ]
+    df = spark.createDataFrame(rows, "id long, ts timestamp, v double")
+    write_delta(
+        spark,
+        df.repartition(4),
+        t,
+        partition_by=["d"],
+        generated_columns={"d": "CAST(ts AS DATE)"},
+    )
+    ds = spark.read.format("deltalog").load(t)
+    full_parts = ds.rdd.getNumPartitions()
+    one = ds.filter(
+        F.col("ts") == datetime.datetime(2026, 1, 2, 12, 0, 0)
+    )
+    assert one.count() == 10
+    pruned_parts = one.rdd.getNumPartitions()
+    assert pruned_parts < full_parts  # partition-layer pruning fired
+    # and the derived filter never drops matching rows elsewhere:
+    # a range filter (non-derivable) still returns everything
+    rng = ds.filter(F.col("ts") >= datetime.datetime(2026, 1, 1))
+    assert rng.count() == 40

@@ -406,13 +406,88 @@ class _DeltaBatchReader(DataSourceReader):
                         if prev is None
                         else [v for v in vals if v in prev]
                     )
-            elif type(f) in ops and isinstance(
-                f.value, (int, float, str)
-            ) and not isinstance(f.value, bool):
-                self._stats_filters.append((col, ops[type(f)], f.value))
+            else:
+                if (
+                    type(f) in ops
+                    and isinstance(f.value, (int, float, str))
+                    and not isinstance(f.value, bool)
+                ):
+                    self._stats_filters.append((col, ops[type(f)], f.value))
+                if isinstance(f, EqualTo):
+                    # generated-column partition pruning: an equality
+                    # on the SOURCE column of a generated partition
+                    # column implies an equality on the partition
+                    # value (Delta's own optimization for the
+                    # date-partition-from-timestamp layout) —
+                    # independent of the stats branch, whose
+                    # numeric/str gate excludes timestamp values
+                    self._derive_generated_partition(col, f.value, part_set)
         # file-level pruning only: Spark must still evaluate every
         # predicate on the surviving rows
         return filters
+
+    def _derive_generated_partition(self, col, value, part_set) -> None:
+        """If a partition column is GENERATED from ``col`` by one of
+        the derivable expression shapes, an EqualTo on ``col`` prunes
+        at the partition layer too — the whole point of partitioning a
+        100 TB table by day(ts) while queries filter on ts. Only
+        shapes whose value we can compute driver-side are derived;
+        anything else is simply not pruned (never wrong, just less
+        selective)."""
+        import datetime
+        import re as _re
+
+        from value_at_risk_spark.sources.deltalog import (
+            table_generated_columns,
+        )
+
+        def _as_dt(v):
+            if isinstance(v, datetime.datetime):
+                return v
+            if isinstance(v, datetime.date):
+                return datetime.datetime(v.year, v.month, v.day)
+            if isinstance(v, str):
+                try:
+                    return datetime.datetime.fromisoformat(v)
+                except ValueError:
+                    return None
+            return None
+
+        for g, expr in table_generated_columns(self._snap).items():
+            gp = self._l2p.get(g, g) if self._l2p else g
+            if gp not in part_set or gp in self._partition_filters:
+                continue
+            e = expr.strip()
+            out = None
+            m = _re.match(
+                rf"^(?:CAST\s*\(\s*{col}\s+AS\s+DATE\s*\)|"
+                rf"to_date\s*\(\s*{col}\s*\))$",
+                e,
+                _re.IGNORECASE,
+            )
+            if m:
+                dt = _as_dt(value)
+                out = dt.date().isoformat() if dt else None
+            if out is None:
+                m = _re.match(
+                    rf"^(year|month|day)\s*\(\s*{col}\s*\)$",
+                    e,
+                    _re.IGNORECASE,
+                )
+                if m:
+                    dt = _as_dt(value)
+                    if dt:
+                        out = str(getattr(dt, m.group(1).lower()))
+            if out is None:
+                m = _re.match(
+                    rf"^substring\s*\(\s*{col}\s*,\s*1\s*,\s*(\d+)\s*\)$",
+                    e,
+                    _re.IGNORECASE,
+                )
+                if m and isinstance(value, str):
+                    out = value[: int(m.group(1))]
+            if out is not None:
+                self._partition_filters[gp] = [out]
 
     def partitions(self):
         from value_at_risk_spark.sources.deltalog import _pruned_active
