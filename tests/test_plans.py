@@ -765,3 +765,35 @@ def test_vocabulary_head_cuts_compile_to_take_ordered(spark, sf_dir):
 
     p = _plan(spark, "zipf_fit_tokens", sf_dir)
     assert "TakeOrderedAndProject" in p
+
+
+def test_row_id_read_plan_broadcast_no_shuffle(spark, tmp_path):
+    """read_delta_row_ids' physical plan: the file->baseRowId map
+    joins as a BROADCAST hash join (metadata-sized side) with NO
+    shuffle exchange — a sort-merge join here would shuffle the whole
+    table to attach ids at 100 TB."""
+    from pyspark.sql import functions as F
+
+    from value_at_risk_spark.sources.deltalog import (
+        read_delta_row_ids,
+        write_delta,
+    )
+
+    t = str(tmp_path / "rtplan")
+    df = spark.createDataFrame(
+        [(i, float(i)) for i in range(1000)], "id long, v double"
+    )
+    write_delta(
+        spark, df.repartition(4), t,
+        configuration={"delta.enableRowTracking": "true"},
+    )
+    out = read_delta_row_ids(spark, t)
+    p = out._jdf.queryExecution().executedPlan().toString()
+    assert "BroadcastHashJoin" in p
+    assert "SortMergeJoin" not in p
+    # no shuffle on the table side: the only exchange is the broadcast
+    assert "Exchange hashpartitioning" not in p
+    # and a downstream filter on a data column still reaches the scan
+    f = out.filter(F.col("id") >= 500)
+    pf = f._jdf.queryExecution().executedPlan().toString()
+    assert "PushedFilters: [" in pf and "GreaterThanOrEqual(id" in pf
