@@ -105,8 +105,13 @@ def _file_to_batches(
                 arr = pa.nulls(n, type=field.type)
             else:
                 arr = pa.array([raw] * n, type=pa.string()).cast(field.type)
-        else:
+        elif src in tbl.schema.names:
             arr = tbl.column(src).cast(field.type)
+        else:
+            # schema evolution: files written before a merge_schema
+            # column add lack the column — null-fill like read_delta
+            # (parquet's additive evolution), never KeyError
+            arr = pa.nulls(n, type=field.type)
         cols.append(arr)
     out = pa.table(cols, schema=want)
     yield from out.to_batches()
@@ -199,8 +204,11 @@ def _cdf_file_to_batches(
                 arr = pa.nulls(n, type=field.type)
             else:
                 arr = pa.array([raw] * n, type=pa.string()).cast(field.type)
-        else:
+        elif field.name in tbl.schema.names:
             arr = tbl.column(field.name).cast(field.type)
+        else:
+            # pre-schema-evolution change files lack the column
+            arr = pa.nulls(n, type=field.type)
         cols.append(arr)
     yield from pa.table(cols, schema=want).to_batches()
 
@@ -289,9 +297,21 @@ class _DeltaCdfBatchReader(DataSourceReader):
         self._schema = schema
         # partition layout AT THE END OF THE RANGE being read, not the
         # tip: a later repartitioning must not re-shape older changes
-        self._partition_columns = snapshot(
+        end_snap = snapshot(
             self._path, version=min(self._to_v, versions[-1])
-        ).partition_columns
+        )
+        from value_at_risk_spark.sources.deltalog import _column_mapping
+
+        if _column_mapping(end_snap) is not None:
+            # same refusal as table_changes: this reader looks up
+            # LOGICAL names against physical-named files and
+            # partitionValues — NULL-filled partition columns and
+            # KeyErrors, never a correct read
+            raise NotImplementedError(
+                "deltalog readChangeFeed: column-mapped tables are "
+                "not supported"
+            )
+        self._partition_columns = end_snap.partition_columns
 
     def partitions(self):
         return _cdf_partitions_for_range(
@@ -313,14 +333,25 @@ class _DeltaMultiFilePartition(InputPartition):
 
 def _hive_value_str(v) -> str | None:
     """A filter value in the string form _stage/Spark write into
-    ``add.partitionValues``; None = unrepresentable (don't push)."""
+    ``add.partitionValues``; None = unrepresentable (don't push).
+    Timestamps use Spark's space-separated offset-free form (the
+    session is pinned UTC; a tz-aware value is converted first) —
+    isoformat's 'T'+offset would match no stored partition value and
+    silently prune EVERY file."""
     import datetime
 
     if isinstance(v, bool):
         return "true" if v else "false"
     if isinstance(v, (int, str)):
         return str(v)
-    if isinstance(v, (datetime.date, datetime.datetime)):
+    if isinstance(v, datetime.datetime):
+        if v.tzinfo is not None:
+            v = v.astimezone(datetime.timezone.utc).replace(tzinfo=None)
+        out = v.strftime("%Y-%m-%d %H:%M:%S")
+        if v.microsecond:
+            out += f".{v.microsecond:06d}".rstrip("0")
+        return out
+    if isinstance(v, datetime.date):
         return v.isoformat()
     return None
 
@@ -441,8 +472,18 @@ class _DeltaBatchReader(DataSourceReader):
             table_generated_columns,
         )
 
+        colp = _re.escape(col)  # delta allows '.'/'+' in column names
+
         def _as_dt(v):
             if isinstance(v, datetime.datetime):
+                # tz-aware values arrive as UTC instants; the
+                # generation expression evaluated in the writer's
+                # session tz (pinned UTC by session.py) — normalize
+                # so the derived partition value matches
+                if v.tzinfo is not None:
+                    v = v.astimezone(datetime.timezone.utc).replace(
+                        tzinfo=None
+                    )
                 return v
             if isinstance(v, datetime.date):
                 return datetime.datetime(v.year, v.month, v.day)
@@ -460,8 +501,8 @@ class _DeltaBatchReader(DataSourceReader):
             e = expr.strip()
             out = None
             m = _re.match(
-                rf"^(?:CAST\s*\(\s*{col}\s+AS\s+DATE\s*\)|"
-                rf"to_date\s*\(\s*{col}\s*\))$",
+                rf"^(?:CAST\s*\(\s*{colp}\s+AS\s+DATE\s*\)|"
+                rf"to_date\s*\(\s*{colp}\s*\))$",
                 e,
                 _re.IGNORECASE,
             )
@@ -470,7 +511,7 @@ class _DeltaBatchReader(DataSourceReader):
                 out = dt.date().isoformat() if dt else None
             if out is None:
                 m = _re.match(
-                    rf"^(year|month|day)\s*\(\s*{col}\s*\)$",
+                    rf"^(year|month|day)\s*\(\s*{colp}\s*\)$",
                     e,
                     _re.IGNORECASE,
                 )
@@ -480,7 +521,7 @@ class _DeltaBatchReader(DataSourceReader):
                         out = str(getattr(dt, m.group(1).lower()))
             if out is None:
                 m = _re.match(
-                    rf"^substring\s*\(\s*{col}\s*,\s*1\s*,\s*(\d+)\s*\)$",
+                    rf"^substring\s*\(\s*{colp}\s*,\s*1\s*,\s*(\d+)\s*\)$",
                     e,
                     _re.IGNORECASE,
                 )
@@ -715,9 +756,11 @@ class _DeltaStreamReader(SimpleDataSourceStreamReader):
         return {"version": -1}
 
     def _rows_for_files(self, files) -> Iterator[Tuple]:
-        from value_at_risk_spark.sources.deltalog import snapshot
-
-        part_cols = snapshot(self._path).partition_columns
+        # partitioning cannot change under this append-only stream
+        # (overwrites are rejected) — re-snapshotting the whole log
+        # per micro-batch just for this list grows driver latency
+        # with table history for nothing
+        part_cols = self._part_cols
         names = [f.name for f in self._schema.fields]
         for entry in files:
             abs_path, pv = entry[0], entry[1]
@@ -895,9 +938,21 @@ def _refuse_constrained(path: str) -> None:
         delta_versions,
         snapshot,
         table_constraints,
+        table_generated_columns,
+        table_identity_columns,
     )
 
-    if delta_versions(path) and table_constraints(snapshot(path)):
+    if not delta_versions(path):
+        return
+    snap = snapshot(path)
+    if table_identity_columns(snap) or table_generated_columns(snap):
+        raise ValueError(
+            f"delta table at {path} has generated/identity column "
+            "invariants the deltalog data source writer cannot "
+            "compute — use write_delta (refusing BEFORE any task "
+            "launches)"
+        )
+    if table_constraints(snap):
         raise ValueError(
             f"delta table at {path} has CHECK constraints the "
             "deltalog data source writer cannot enforce — use "
@@ -918,7 +973,7 @@ def _hive_segment(col: str, val) -> str:
 
     if val is None:
         return f"{col}=__HIVE_DEFAULT_PARTITION__"
-    return f"{col}={_q(str(val), safe='')}"
+    return f"{col}={_q(_hive_value_str(val) or str(val), safe='')}"
 
 
 def _write_task_files(
@@ -1019,7 +1074,15 @@ def _write_task_files(
                 "add": {
                     "path": _q(rel, safe="/"),
                     "partitionValues": {
-                        c: (None if v is None else str(v))
+                        # canonical strings ('true', space-separated
+                        # timestamps) — str() would store 'True' /
+                        # isoformat and split the logical partition
+                        # from write_delta's layout and reader pushdown
+                        c: (
+                            None
+                            if v is None
+                            else (_hive_value_str(v) or str(v))
+                        )
                         for c, v in zip(part_cols, key)
                     },
                     "size": st.st_size,
@@ -1134,30 +1197,25 @@ class _DeltaStreamWriter(DataSourceStreamArrowWriter):
         from value_at_risk_spark.sources.deltalog import delta_versions
 
         if delta_versions(self._path):
-            _, _, null_checks = _validate_write_schema(
+            pc_, _, null_checks = _validate_write_schema(
                 self._path, schema, self._partition_by, merge_schema=False
             )
             _refuse_nullable_into_required(self._path, null_checks)
             _refuse_constrained(self._path)
+            self._part_cols = pc_
+        else:
+            self._part_cols = list(self._partition_by or [])
 
     def write(self, iterator):
         import uuid as _uuid
 
-        from value_at_risk_spark.sources.deltalog import (
-            _validate_write_schema,
-            delta_versions,
-        )
-
-        part_cols = (
-            _validate_write_schema(
-                self._path, self._schema, self._partition_by, False
-            )[0]
-            if delta_versions(self._path)
-            else list(self._partition_by or [])
-        )
+        # partition columns were resolved ONCE on the driver at init
+        # (they cannot change under this sink; the per-batch commit
+        # re-validates and conflicts if the table moved) — previously
+        # EVERY task of EVERY micro-batch replayed the whole log here
         stage_rel = f"stage-dsw-{os.getpid()}-{_uuid.uuid4().hex[:8]}"
         return _write_task_files(
-            iterator, self._path, stage_rel, self._schema, part_cols
+            iterator, self._path, stage_rel, self._schema, self._part_cols
         )
 
     def commit(self, messages, batchId: int) -> None:
