@@ -25,6 +25,7 @@ table (/root/reference/01_var_market_etl.py:37-47).
 
 from __future__ import annotations
 
+import threading
 import uuid
 from collections.abc import Callable
 
@@ -13859,49 +13860,58 @@ def net_dollar_retention(spark: SparkSession, sf_dir: str) -> DataFrame:
 # environment lacks: JSON commit log, atomic hard-link publish,
 # checkpoints, version time travel, Hive-partitioned layout.
 
+_SCRATCH_MEMO: dict = {}
+_SCRATCH_LOCK = threading.Lock()
+_SCRATCH_ROOTS: list = []
+
+
+def _scratch_cleanup() -> None:
+    import shutil
+
+    for p in _SCRATCH_ROOTS:
+        shutil.rmtree(p, ignore_errors=True)
+
+
 def _scratch_delta_table(
     kind: str, sf_dir: str, recipe: str, build: Callable[[str], None]
 ) -> str:
-    """Atomic build-or-load for the native-delta demo tables the gate
-    queries read. The table lands under a DETERMINISTIC content-keyed
-    path ({tmp}/vars_delta_scratch_cache/{kind}_{md5}) through
-    annindex.ensure_index: ``build`` runs the FULL commit sequence
-    (create + appends + DML) into a pid-keyed staging dir, which is
-    atomically renamed into place only when complete — so a concurrent
-    or re-entrant evaluation can never observe a half-mutated table
-    (the r11 gate flake: the old per-process mkdtemp memo let a second
-    evaluation read mid-mutation). ``recipe`` fingerprints the build
-    steps, so editing a builder invalidates prior cached tables
-    instead of silently reusing stale semantics. No atexit rmtree —
-    a published table may be shared by a sibling process; instead
-    siblings untouched for >6h are grace-GC'd here."""
-    import hashlib
+    """HERMETIC per-process build of the native-delta demo tables the
+    gate queries read. Each (kind, sf_dir, recipe) builds exactly once
+    per process into a fresh ``mkdtemp`` owned exclusively by this
+    process; nothing is ever loaded from (or published to) shared
+    cross-process /tmp state, and no GC runs on the query path.
+
+    Rationale (round-13): two consecutive gate-red rounds on
+    `delta_sql_dml_scan` + a red `delta_small_file_compaction_scan`
+    traced to the previous shared content-keyed cache — a sibling
+    process's grace-GC `rmtree` could race a warm load that trusted
+    directory-existence as completeness, and the digest omitted
+    fixture CONTENT, so a stale table could silently serve old data
+    after a fixture regen. Cold builds cost 0.5-1.8 s at sf0.01, so
+    caching bought little on the gate path; bench/scale arms build
+    their own tables into their own mkdtemps (bench.py) and are
+    unaffected. The in-process memo is guarded by a lock and the path
+    is memoized only AFTER ``build`` returns, so a concurrent
+    evaluation in the same process can never observe a half-built
+    table; the memo makes repeated same-process reads (sweeps, pytest
+    sessions) warm. All roots are rmtree'd at interpreter exit."""
+    import atexit
     import os
-    import shutil
     import tempfile
-    import time as _time
 
-    from value_at_risk_spark.operators.annindex import ensure_index
-
-    root = os.path.join(tempfile.gettempdir(), "vars_delta_scratch_cache")
-    digest = hashlib.md5(
-        f"{kind}|{os.path.abspath(sf_dir)}|{recipe}".encode()
-    ).hexdigest()[:16]
-    base = os.path.join(root, f"{kind}_{digest}")
-    out = ensure_index(base, build)
-    try:
-        cutoff = _time.time() - 6 * 3600
-        for d in os.listdir(root):
-            p = os.path.join(root, d)
-            if (
-                p != base
-                and ".staging." not in d
-                and os.path.getmtime(p) < cutoff
-            ):
-                shutil.rmtree(p, ignore_errors=True)
-    except OSError:
-        pass
-    return out
+    key = (kind, os.path.abspath(sf_dir), recipe)
+    with _SCRATCH_LOCK:
+        got = _SCRATCH_MEMO.get(key)
+        if got is not None and os.path.isdir(got):
+            return got
+        if not _SCRATCH_ROOTS:
+            atexit.register(_scratch_cleanup)
+        root = tempfile.mkdtemp(prefix=f"vars_delta_{kind}_")
+        _SCRATCH_ROOTS.append(root)
+        tbl = os.path.join(root, "table")
+        build(tbl)
+        _SCRATCH_MEMO[key] = tbl
+        return tbl
 
 
 def _delta_demo_table(spark: SparkSession, sf_dir: str) -> str:
