@@ -1668,9 +1668,10 @@ def test_column_mapping_name_mode_read_and_write_refusal(spark, tmp_path):
     """Foreign tables with delta.columnMapping.mode=name READ
     correctly (physical-name scan renamed to the logical schema,
     logical filters translated, DS reader + pushdown included);
-    write_delta appends through physical-name translation while every
-    OTHER mutation path refuses them — previously such a table slipped
-    past the reader-version check and read silently wrong."""
+    write_delta appends and DELETE/UPDATE/OPTIMIZE mutate through
+    physical-name translation, while the staged DS writer still
+    refuses — previously such a table slipped past the
+    reader-version check and read silently wrong."""
     from value_at_risk_spark.sources.delta_datasource import (
         register_deltalog_source,
     )
@@ -1711,13 +1712,18 @@ def test_column_mapping_name_mode_read_and_write_refusal(spark, tmp_path):
     assert {r.id for r in after.filter("seg = 0").collect()} == {
         0, 1, 2, 3, 4, 99,
     }
-    # every DML path still refuses: those stage logical names
-    with pytest.raises(NotImplementedError, match="column mapping"):
-        delete_from_delta(spark, tbl, "id = 1")
-    with pytest.raises(NotImplementedError, match="column mapping"):
-        update_delta(spark, tbl, "id = 1", {"v": "2.0"})
-    with pytest.raises(NotImplementedError, match="column mapping"):
-        optimize_delta(spark, tbl)
+    # DML runs through the _mapping_planes logical->physical adapter
+    # (r13): conditions/SETs bind logical names, restaged files carry
+    # physical names, and the table stays mapped-readable throughout
+    d = delete_from_delta(spark, tbl, "id = 1")
+    assert d["rows_deleted"] == 1
+    u = update_delta(spark, tbl, "id = 2", {"v": "v + 100.0"})
+    assert u["rows_updated"] == 1
+    optimize_delta(spark, tbl, target_files=1)
+    after2 = read_delta(spark, tbl)
+    assert after2.count() == 10
+    assert after2.filter("id = 2").collect()[0].v == 101.0
+    # the staged DS writer still refuses: its tasks stage logical names
     with pytest.raises(Exception, match="column mapping"):
         frame.write.format("deltalog").mode("append").save(tbl)
     # readStream.load() is lazy — the reader refusal fires at reader
@@ -3186,20 +3192,27 @@ def test_column_mapping_write_lifecycle(spark, tmp_path):
     write_delta(spark, df, plain)
     with pytest.raises(NotImplementedError, match="column mapping"):
         rename_delta_column(plain, "v", "value")
-    # 'id' mode creation refused
+    # 'id' mode creation (r13): same staging as 'name', mode recorded
+    # as 'id' — the created files carry field ids and resolve by them
+    idm = str(tmp_path / "idm")
+    write_delta(
+        spark, df, idm, configuration={"delta.columnMapping.mode": "id"}
+    )
+    assert read_delta(spark, idm).count() == df.count()
+    # unknown modes still refuse
     with pytest.raises(NotImplementedError, match="not"):
         write_delta(
             spark,
             df,
-            str(tmp_path / "idm"),
-            configuration={"delta.columnMapping.mode": "id"},
+            str(tmp_path / "badmode"),
+            configuration={"delta.columnMapping.mode": "weird"},
         )
 
 
 def test_widen_column_type_lifecycle(spark, tmp_path):
     """ALTER COLUMN TYPE widening: metadata-only commit (no parquet
     rewritten), typeWidening feature added to both protocol lists,
-    delta.typeWidening change history recorded on the field, mixed
+    delta.typeChanges change history recorded on the field, mixed
     narrow/wide physical files unify under the declared schema, and
     narrowing / partition columns / unknown conversions refuse."""
     from value_at_risk_spark.sources.deltalog import (
@@ -3222,8 +3235,10 @@ def test_widen_column_type_lifecycle(spark, tmp_path):
     sch = json.loads(snap.metadata["schemaString"])
     fid = next(f for f in sch["fields"] if f["name"] == "id")
     assert fid["type"] == "long"
-    assert fid["metadata"]["delta.typeWidening"] == [
-        {"fromType": "integer", "toType": "long", "tableVersion": 1}
+    # spec: history under 'delta.typeChanges', fromType/toType only
+    # (tableVersion is typeWidening-preview-only)
+    assert fid["metadata"]["delta.typeChanges"] == [
+        {"fromType": "integer", "toType": "long"}
     ]
     # append stages the WIDE type; the scan unifies old+new files
     df2 = spark.createDataFrame(
@@ -3447,6 +3462,129 @@ def test_v2_checkpoint_write_lifecycle(spark, tmp_path):
     assert read_delta(spark, t2).count() == 100
 
 
+def test_mapped_dml_lifecycle_all_modes(spark, tmp_path):
+    """DML on column-mapped tables (r13, _mapping_planes): for BOTH
+    mapping modes — copy-on-write DELETE/UPDATE, merge-on-read
+    DV DELETE/UPDATE, MERGE, CDF capture + table_changes read-back,
+    row-id stability across mapped COW DML, partition-moving UPDATE,
+    and DML on a RENAMED logical column. Conditions and SET
+    expressions bind logical names; every restaged file carries
+    physical names (and field ids in 'id' mode)."""
+    from value_at_risk_spark.operators.merge import merge_into_delta_native
+    from value_at_risk_spark.sources.deltalog import (
+        delete_from_delta,
+        read_delta_row_ids,
+        rename_delta_column,
+        table_changes,
+        update_delta,
+    )
+
+    def base_df():
+        return spark.range(0, 120).select(
+            F.col("id").alias("k"),
+            (F.col("id") % 4).cast("string").alias("seg"),
+            (F.col("id") * 2.0).alias("val"),
+        )
+
+    # --- COW DML + MERGE + CDF + rename, mode=name ---
+    t = str(tmp_path / "cow_name")
+    write_delta(
+        spark,
+        base_df(),
+        t,
+        partition_by=["seg"],
+        configuration={
+            "delta.columnMapping.mode": "name",
+            "delta.enableChangeDataFeed": "true",
+        },
+    )
+    d = delete_from_delta(spark, t, "k % 10 = 3")
+    assert d["rows_deleted"] == 12
+    u = update_delta(spark, t, "k < 20", {"val": "val + 1000"})
+    assert u["rows_updated"] == 18  # 20 minus the two deleted 3s
+    got = read_delta(spark, t)
+    keys = [k for k in range(120) if k % 10 != 3]
+    exp = sum(k * 2.0 + (1000 if k < 20 else 0) for k in keys)
+    assert got.count() == len(keys)
+    assert abs(got.agg(F.sum("val")).first()[0] - exp) < 1e-6
+    up = spark.range(115, 125).select(
+        F.col("id").alias("k"),
+        (F.col("id") % 4).cast("string").alias("seg"),
+        F.lit(-1.0).alias("val"),
+    )
+    merge_into_delta_native(spark, t, up, ["k"])
+    assert read_delta(spark, t).filter("val = -1.0").count() == 10
+    # CDF read-back over a mapped table (cdc files carry physical
+    # names; table_changes logicalizes)
+    ch = {
+        r["_change_type"]: r["count"]
+        for r in table_changes(spark, t, 1)
+        .groupBy("_change_type")
+        .count()
+        .collect()
+    }
+    assert ch["delete"] == 12
+    # 18 from the UPDATE + 5 matched by the MERGE (115..119 survive)
+    assert ch["update_preimage"] == ch["update_postimage"] == 23
+    assert ch["insert"] == 5  # 120,121,122,124 + the re-inserted 123
+    # DML on a renamed logical column: rename touches metadata only,
+    # the condition binds the NEW name
+    rename_delta_column(t, "val", "value")
+    d = delete_from_delta(spark, t, "value = -1.0")
+    assert d["rows_deleted"] == 10
+    assert read_delta(spark, t).filter("value = -1.0").count() == 0
+
+    # --- DV DML, mode=id ---
+    t2 = str(tmp_path / "dv_id")
+    write_delta(
+        spark,
+        base_df(),
+        t2,
+        partition_by=["seg"],
+        configuration={
+            "delta.columnMapping.mode": "id",
+            "delta.enableDeletionVectors": "true",
+        },
+    )
+    d = delete_from_delta(spark, t2, "k % 7 = 0")
+    assert d["files_rewritten"] == 0 and d["rows_deleted"] == 18
+    u = update_delta(spark, t2, "k % 7 = 1", {"val": "val * 10"})
+    assert u["files_rewritten"] == 0 and u["rows_updated"] == 17
+    keys2 = [k for k in range(120) if k % 7 != 0]
+    exp2 = sum(k * 2.0 * (10 if k % 7 == 1 else 1) for k in keys2)
+    got2 = read_delta(spark, t2)
+    assert got2.count() == len(keys2)
+    assert abs(got2.agg(F.sum("val")).first()[0] - exp2) < 1e-6
+
+    # --- row-id stability across mapped COW DML + partition move ---
+    t3 = str(tmp_path / "rt_name")
+    write_delta(
+        spark,
+        base_df(),
+        t3,
+        partition_by=["seg"],
+        configuration={
+            "delta.columnMapping.mode": "name",
+            "delta.enableRowTracking": "true",
+        },
+    )
+    rid0 = {
+        r["k"]: r["row_id"]
+        for r in read_delta_row_ids(spark, t3).collect()
+    }
+    update_delta(spark, t3, "k >= 60", {"val": "val + 0.5"})
+    delete_from_delta(spark, t3, "k % 2 = 0")
+    rid1 = {
+        r["k"]: r["row_id"]
+        for r in read_delta_row_ids(spark, t3).collect()
+    }
+    assert set(rid1) == {k for k in range(120) if k % 2 == 1}
+    assert all(rid1[k] == rid0[k] for k in rid1)
+    update_delta(spark, t3, "k = 61", {"seg": "'9'"})
+    moved = read_delta(spark, t3).filter("k = 61").collect()
+    assert moved[0]["seg"] == "9"
+
+
 def test_column_mapping_id_mode_read_and_append(spark, tmp_path):
     """columnMapping.mode='id' (r12): DATA columns resolve by parquet
     FIELD ID, not by name — a foreign table whose file column names
@@ -3569,11 +3707,13 @@ def test_column_mapping_id_mode_read_and_append(spark, tmp_path):
             for f in sch
         }
         assert set(ids.values()) == {b"1", b"2"}
-    # DML still refuses mapped tables in either mode
+    # DML on an 'id'-mode foreign table (r13): the condition binds the
+    # LOGICAL name, the rewrite stays field-id-resolvable
     from value_at_risk_spark.sources.deltalog import delete_from_delta
 
-    with pytest.raises(NotImplementedError, match="column mapping"):
-        delete_from_delta(spark, t, "id = 1")
+    d = delete_from_delta(spark, t, "id = 1")
+    assert d["rows_deleted"] == 1
+    assert sorted(r.id for r in read_delta(spark, t).collect()) == [2, 3, 10]
 
 
 def test_shallow_clone_lifecycle(spark, tmp_path):

@@ -135,6 +135,7 @@ def merge_into_delta_native(
         )
     from value_at_risk_spark.sources.deltalog import (
         DeltaConcurrentModification,
+        _mapping_planes,
         _stage_cdc,
         cdf_enabled,
         read_delta,
@@ -171,10 +172,13 @@ def merge_into_delta_native(
             ins = aligned.join(
                 target_keys, on=keys, how="left_anti"
             ).withColumn("_change_type", F.lit("insert"))
+            # cdc files carry PHYSICAL names on column-mapped tables,
+            # like any data file (identity planes when unmapped)
+            io_snap, _to_log, to_phys, _l2p = _mapping_planes(spark, snap0)
             extra = _stage_cdc(
-                pre.unionByName(post).unionByName(ins),
+                to_phys(pre.unionByName(post).unionByName(ins)),
                 target_path,
-                snap0.partition_columns,
+                io_snap.partition_columns,
             )
         try:
             return write_delta(

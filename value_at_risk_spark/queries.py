@@ -14948,6 +14948,76 @@ def delta_mapped_write_scan(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @query(
+    "delta_mapped_dml_scan",
+    """
+SELECT c_mktsegment,
+       COUNT(*) AS n_customers,
+       ROUND(SUM(CASE WHEN c_acctbal < 0 THEN c_acctbal + 500
+                      ELSE c_acctbal END), 2) AS total_bal
+FROM customer
+WHERE c_custkey % 7 <> 0
+GROUP BY c_mktsegment
+""",
+)
+def delta_mapped_dml_scan(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """DML on a COLUMN-MAPPED table, ORACLE-pinned (r13,
+    _mapping_planes): the table is created with
+    delta.columnMapping.mode=name (physical col-<uuid> names in data
+    files and partition dirs), appended, then mutated with the
+    reference's DML statement shapes — ``DELETE WHERE c_custkey % 7 =
+    0`` and ``UPDATE SET c_acctbal = c_acctbal + 500 WHERE c_acctbal
+    < 0`` — both binding LOGICAL names while every restaged file
+    carries PHYSICAL names; finally the mutated column is RENAMED
+    (metadata-only). Read-back must equal DuckDB recomputing both
+    mutations from the original parquet: hash equality proves the
+    logical->physical condition/SET translation, the physical
+    restaging, and the post-DML rename lose nothing
+    (sources/deltalog._mapping_planes, delete_from_delta,
+    update_delta; reference tie: the DML shapes of
+    01_var_market_etl.py:56-64 over saveAsTable layouts)."""
+    from value_at_risk_spark.sources.deltalog import (
+        delete_from_delta,
+        read_delta,
+        rename_delta_column,
+        update_delta,
+        write_delta,
+    )
+
+    def build(tbl: str) -> None:
+        cust = _t(spark, sf_dir, "customer").select(
+            "c_custkey", "c_mktsegment", "c_acctbal"
+        )
+        write_delta(
+            spark,
+            cust.filter(F.col("c_custkey") % 2 == 0),
+            tbl,
+            partition_by=["c_mktsegment"],
+            configuration={"delta.columnMapping.mode": "name"},
+        )
+        write_delta(spark, cust.filter(F.col("c_custkey") % 2 == 1), tbl)
+        delete_from_delta(spark, tbl, "c_custkey % 7 = 0")
+        update_delta(
+            spark, tbl, "c_acctbal < 0", {"c_acctbal": "c_acctbal + 500"}
+        )
+        rename_delta_column(tbl, "c_acctbal", "bal")
+
+    tbl = _scratch_delta_table(
+        "mappeddml",
+        sf_dir,
+        "customer mapped dml: del %7, update neg+500, rename bal",
+        build,
+    )
+    return (
+        read_delta(spark, tbl)
+        .groupBy("c_mktsegment")
+        .agg(
+            F.count(F.lit(1)).alias("n_customers"),
+            (F.round(F.sum("bal"), 2) + F.lit(0.0)).alias("total_bal"),
+        )
+    )
+
+
+@query(
     "delta_widen_scan",
     """
 SELECT p_brand,

@@ -41,6 +41,13 @@ def get_spark(
         .config("spark.sql.adaptive.coalescePartitions.enabled", "true")
         .config("spark.sql.adaptive.skewJoin.enabled", "true")
         .config("spark.sql.execution.arrow.pyspark.enabled", "true")
+        # session default for delta column-mapping 'id' mode: requested
+        # schemas carrying parquet.field.id metadata resolve by field
+        # id (schemas without it are unaffected). A default here —
+        # rather than a per-read toggle in deltalog — because read
+        # frames are LAZY: a scoped set/restore around read_delta
+        # would strip the conf before the caller's collect() runs.
+        .config("spark.sql.parquet.fieldId.read.enabled", "true")
         .config("spark.sql.session.timeZone", "UTC")
         # The events fixture carries TIMESTAMP(NANOS) parquet fields, which
         # Spark only reads as long; sources.registry re-derives the proper

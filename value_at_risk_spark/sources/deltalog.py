@@ -381,8 +381,8 @@ _SUPPORTED_READER_FEATURES = frozenset(
         # scan paths read under the DECLARED schema (Spark's parquet
         # reader / pyarrow cast upcast int->long, float->double, ...);
         # a widening neither can express fails LOUDLY at scan, never
-        # silently misreads. Absent from the writer set (ALTER COLUMN
-        # TYPE is not implemented).
+        # silently misreads. Writer-side: widen_column_type commits
+        # the metadata-only change (delta.typeChanges history).
         "typeWidening",
         "typeWidening-preview",
     }
@@ -400,9 +400,12 @@ _SUPPORTED_WRITER_FEATURES = frozenset(
         "inCommitTimestamp",
         "domainMetadata",
         "clustering",
-        # 'name'-mode writes: create/append stage PHYSICAL column
-        # names (write_delta translates), RENAME COLUMN is a
-        # metadata-only commit; DML still refuses per-mutation
+        # 'name'/'id'-mode writes: create/append stage PHYSICAL
+        # column names (write_delta translates), RENAME/DROP COLUMN
+        # are metadata-only commits, and DELETE/UPDATE/MERGE/OPTIMIZE/
+        # REORG run through the _mapping_planes logical<->physical
+        # adapter; the few remaining logical-name mutations refuse
+        # per-mutation (_refuse_mapped_write)
         "columnMapping",
         # ALTER COLUMN TYPE widening commits are metadata-only; later
         # appends stage the WIDE type the schema declares
@@ -539,9 +542,11 @@ def read_delta(
     renames to the logical schema; filters arrive in logical names
     and are translated. Mode 'id' additionally resolves data columns
     by parquet FIELD ID (the schema carries ``parquet.field.id``
-    metadata and this call enables the session's fieldId.read conf —
-    left on afterwards, which only affects reads whose requested
-    schema itself carries field-id metadata).
+    metadata; the fieldId.read conf is a get_spark session DEFAULT,
+    re-asserted here for foreign sessions and deliberately not
+    restored — the returned frame is LAZY, so a scoped set/restore
+    would strip the conf before the caller's action runs; it only
+    affects reads whose requested schema carries field-id metadata).
 
     ``timestamp`` (TIMESTAMP AS OF; exclusive with ``version``):
     epoch seconds, datetime, or ISO-8601 string — resolved to the
@@ -677,6 +682,80 @@ def _physicalized(
     )
 
 
+def _mapping_planes(spark: SparkSession, snap: DeltaSnapshot):
+    """The logical/physical plane adapter DML paths run through on
+    column-mapped tables: returns ``(io_snap, to_logical,
+    to_physical, l2p)``. ``io_snap`` carries PHYSICAL names (what the
+    data files, add.partitionValues, and footer stats actually use)
+    so the ordinary scan/stage machinery runs unchanged; ``to_logical``
+    renames a physically-scanned frame to logical names (condition
+    and SET expressions evaluate there); ``to_physical`` renames back
+    for staging, re-attaching ``parquet.field.id`` metadata in 'id'
+    mode so restaged files stay field-id-resolvable. Non-table
+    columns (``__dv_fp``/``__dv_ri`` scan metadata, the materialized
+    row-id column, ``_change_type``) pass through both directions
+    untouched. On an unmapped table returns ``(snap, identity,
+    identity, None)`` so callers need no branching."""
+    l2p = _column_mapping(snap)
+    if l2p is None:
+        ident = lambda df: df  # noqa: E731
+        return snap, ident, ident, None
+    fids = None
+    if _cm_mode(snap) == "id":
+        fids = _column_field_ids(snap)
+        # session default (get_spark) — re-assert for foreign sessions;
+        # the restage scans below execute eagerly inside the DML call,
+        # but the conf must survive for any still-lazy reader frames,
+        # so no restore (see read_delta's docstring)
+        spark.conf.set("spark.sql.parquet.fieldId.read.enabled", "true")
+    io_snap = _physicalized(snap, l2p, fids)
+    p2l = {v: k for k, v in l2p.items()}
+
+    def to_logical(df: DataFrame) -> DataFrame:
+        return df.select(
+            *[F.col(c).alias(p2l.get(c, c)) for c in df.columns]
+        )
+
+    def to_physical(df: DataFrame) -> DataFrame:
+        cols = []
+        for c in df.columns:
+            if c in l2p:
+                md = (
+                    {"parquet.field.id": fids[c]}
+                    if fids and c in fids
+                    else {}
+                )
+                cols.append(F.col(c).alias(l2p[c], metadata=md))
+            else:
+                cols.append(F.col(c))
+        return df.select(*cols)
+
+    return io_snap, to_logical, to_physical, l2p
+
+
+def _map_filter_names(
+    l2p: dict[str, str] | None,
+    partition_filters: dict[str, list[str]] | None,
+    stats_filters: list[tuple] | None,
+) -> tuple[dict[str, list[str]] | None, list[tuple] | None]:
+    """Caller-provided pruning filters name LOGICAL columns; the log's
+    add.partitionValues and footer stats use PHYSICAL names on mapped
+    tables — translate the keys (no-op when unmapped)."""
+    if l2p is None:
+        return partition_filters, stats_filters
+    pf = (
+        {l2p.get(c, c): v for c, v in partition_filters.items()}
+        if partition_filters
+        else partition_filters
+    )
+    sf = (
+        [(l2p.get(c, c), op, v) for c, op, v in stats_filters]
+        if stats_filters
+        else stats_filters
+    )
+    return pf, sf
+
+
 def _refuse_high_writer_version(snap: DeltaSnapshot, context: str) -> None:
     """Protocol rule: a writer must not commit to a table whose
     writer requirement exceeds what it implements — mutating a table
@@ -711,23 +790,25 @@ def _refuse_high_writer_version(snap: DeltaSnapshot, context: str) -> None:
             "features)"
         )
     # legacy 5 (column mapping) binds only when the mapping is
-    # CONFIGURED — and every mutation separately refuses mapped
-    # tables (_refuse_mapped_write); legacy 6 (identity columns) is
+    # CONFIGURED — write/DML paths translate through _mapping_planes;
+    # the remaining unmapped-only mutations refuse via
+    # _refuse_mapped_write; legacy 6 (identity columns) is
     # implemented (table_identity_columns + write-path generation)
 
 
 def _refuse_mapped_write(snap: DeltaSnapshot, context: str) -> None:
     """Column-mapped tables need physical-name staging: write_delta
-    translates (create/append/rename supported); every OTHER mutation
-    path stages logical names and refuses up front so a foreign table
-    is never corrupted, even if its protocol action under-declares
-    the writer version."""
+    and the DELETE/UPDATE/MERGE paths translate through
+    _mapping_planes; the mutation paths that still stage logical
+    names refuse up front so a foreign table is never corrupted, even
+    if its protocol action under-declares the writer version."""
     if _column_mapping(snap) is not None:
         raise NotImplementedError(
             f"delta {context}: table uses column mapping "
             "(delta.columnMapping.mode); this mutation path stages "
             "logical column names and would corrupt it — use "
-            "write_delta (append/overwrite) or rename_delta_column"
+            "write_delta (append/overwrite), DELETE/UPDATE/MERGE, or "
+            "rename_delta_column"
         )
 
 
@@ -1643,10 +1724,10 @@ def write_delta(
         if _truthy(configuration.get("delta.enableChangeDataFeed")):
             min_writer = 4
         cm_mode = configuration.get("delta.columnMapping.mode", "none")
-        if cm_mode not in ("none", "", "name"):
+        if cm_mode not in ("none", "", "name", "id"):
             raise NotImplementedError(
                 f"write_delta: delta.columnMapping.mode={cm_mode!r} not "
-                "supported (only 'name')"
+                "supported (only 'name' or 'id')"
             )
     identity_generated: list[str] = []
     writer_features: list[str] = []
@@ -1811,7 +1892,11 @@ def write_delta(
                 )
     elif configuration and configuration.get(
         "delta.columnMapping.mode"
-    ) == "name":
+    ) in ("name", "id"):
+        # creation in either mode stages the same way: physical names
+        # + parquet field ids in the files ('id' mode resolves data
+        # columns by those ids; 'name' mode ignores them — writing
+        # them anyway is what delta-spark does for forward interop)
         sch = (schema_for_commit or df.schema).jsonValue()
         l2p_write = {}
         next_id = 0
@@ -1887,8 +1972,15 @@ def write_delta(
         try:
             adds = _stage(stage_df, path, stage_parts, data_change=True)
         finally:
+            # full restore incl. the previously-UNSET case (a bare
+            # "restore if prev is not None" would leak the flip)
             if _fid_prev is not None:
                 spark.conf.set(_fid_key, _fid_prev)
+            else:
+                try:
+                    spark.conf.unset(_fid_key)
+                except Exception:  # noqa: BLE001 — restore best-effort
+                    pass
     else:
         adds = _stage(df, path, part_cols, data_change=True)
     if identity_generated:
@@ -2372,7 +2464,8 @@ def widen_column_type(path: str, col: str, new_type: str) -> int:
     type, existing parquet files keep their narrow physical type and
     upcast at scan, and later appends stage the wide type the schema
     now declares. The change is recorded in the field's
-    ``delta.typeWidening`` metadata (fromType/toType/tableVersion) and
+    ``delta.typeChanges`` metadata (fromType/toType, per the spec's
+    stable typeWidening feature — tableVersion is -preview-only) and
     the protocol gains the typeWidening reader+writer feature — a
     reader that cannot upcast must refuse rather than misread.
     Narrowing or any conversion outside _TYPE_WIDENINGS is refused.
@@ -2405,19 +2498,17 @@ def widen_column_type(path: str, col: str, new_type: str) -> int:
                 "from directory names — widening them is not supported"
             )
         field["type"] = new_type
+        # spec (PROTOCOL.md Type Widening): change history lives under
+        # the field-metadata key 'delta.typeChanges' — entries carry
+        # fromType/toType; tableVersion belongs ONLY to the -preview
+        # feature, and this writer declares the stable one
         changes = list(
-            (field.get("metadata") or {}).get("delta.typeWidening") or []
+            (field.get("metadata") or {}).get("delta.typeChanges") or []
         )
-        changes.append(
-            {
-                "fromType": old_type,
-                "toType": new_type,
-                "tableVersion": snap.version + 1,
-            }
-        )
+        changes.append({"fromType": old_type, "toType": new_type})
         field["metadata"] = {
             **(field.get("metadata") or {}),
-            "delta.typeWidening": changes,
+            "delta.typeChanges": changes,
         }
         meta = {**snap.metadata, "schemaString": json.dumps(sch)}
         actions = [
@@ -3368,10 +3459,12 @@ def optimize_delta(
     rewrites megabytes, not the table; full-rewrite OPTIMIZE stays
     available for re-layout."""
     snap = snapshot(path)
-    _refuse_mapped_write(snap, "OPTIMIZE")
     _refuse_high_writer_version(snap, "OPTIMIZE")
     if not snap.files:
         return snap.version
+    # column-mapped tables: scan/stage physical, evaluate zorder
+    # expressions (logical column names) in logical space
+    io_snap, to_log, to_phys, _l2p = _mapping_planes(spark, snap)
     if zorder_by is None and min_file_size is None:
         # liquid-clustering shape: a clustered table's OPTIMIZE
         # re-clusters on its declared columns without being told
@@ -3398,12 +3491,14 @@ def optimize_delta(
     if tracked:
         # a dataChange:false rewrite must PRESERVE row ids: scan with
         # ids resolved and stage them as the materialized column
-        df = _files_with_row_ids(
-            spark, path, snap, rewrite_set,
-            _rt_matcol_required(snap, "OPTIMIZE"),
+        df = to_log(
+            _files_with_row_ids(
+                spark, path, io_snap, rewrite_set,
+                _rt_matcol_required(snap, "OPTIMIZE"),
+            )
         )
     else:
-        df = _scan_files_dv(spark, path, snap, rewrite_set)
+        df = to_log(_scan_files_dv(spark, path, io_snap, rewrite_set))
     if min_file_size is not None:
         total = sum(int(snap.files[p].get("size", 0) or 0) for p in rewrite_set)
         n = target_files or max(1, -(-total // (128 << 20)))
@@ -3434,7 +3529,9 @@ def optimize_delta(
         )
     else:
         df = df.repartition(n)
-    adds = _stage(df, path, snap.partition_columns, data_change=False)
+    adds = _stage(
+        to_phys(df), path, io_snap.partition_columns, data_change=False
+    )
     now_ms = int(time.time() * 1000)
     # removes are the OPTIMIZED snapshot's files, never the moving
     # tip's: the staged rewrite contains exactly snap's rows, so
@@ -3981,12 +4078,12 @@ def table_changes(
     if to_version is None:
         to_version = versions[-1] if versions else from_version
     snap_to = snapshot(path, to_version)
-    if _column_mapping(snap_to) is not None:
-        raise NotImplementedError(
-            "table_changes: column-mapped tables are not supported"
-        )
-    schema = snap_to.schema
-    part_cols = snap_to.partition_columns
+    # column-mapped tables: data files AND cdc files carry physical
+    # names — scan in physical space, alias to logical at the end
+    # (the metadata columns _change_type/_commit_* are unmapped)
+    io_to, to_log, _to_phys, _l2p = _mapping_planes(spark, snap_to)
+    schema = io_to.schema
+    part_cols = io_to.partition_columns
     cdc_schema = StructType(
         [*schema.fields, StructField("_change_type", StringType())]
     )
@@ -4031,11 +4128,11 @@ def table_changes(
         ]
     )
     if not branches:
-        return spark.createDataFrame([], out_schema)
+        return to_log(spark.createDataFrame([], out_schema))
     out = branches[0]
     for b in branches[1:]:
         out = out.unionByName(b)
-    return out.select(*[f.name for f in out_schema.fields])
+    return to_log(out.select(*[f.name for f in out_schema.fields]))
 
 
 def version_at_timestamp(path: str, ts) -> int:
@@ -4128,6 +4225,7 @@ def _touched_files(
     snap: DeltaSnapshot,
     candidates: list[str],
     cond,
+    view=None,
 ) -> tuple[list[str], int]:
     """Identify which candidate files hold rows matching ``cond`` —
     Delta's own two-phase DML shape: ONE distributed scan aggregating
@@ -4136,10 +4234,15 @@ def _touched_files(
     ``input_file_name`` is resolved in the scan stage (the partial
     aggregation pipelines into it, no shuffle in between). Candidates
     that carry a deletion vector are counted through the DV-applied
-    metadata scan instead — already-deleted rows must never re-match."""
+    metadata scan instead — already-deleted rows must never re-match.
+    ``view`` (mapped tables): post-scan rename to LOGICAL names so
+    ``cond`` — written in logical names — binds; the ``__dv_fp``
+    grouping key and ``input_file_name`` are unaffected by it."""
+    if view is None:
+        view = lambda df: df  # noqa: E731
     if _dv_map(snap, candidates):
         hits = (
-            _scan_files_dv(spark, path, snap, candidates, keep_meta=True)
+            view(_scan_files_dv(spark, path, snap, candidates, keep_meta=True))
             .filter(F.coalesce(cond, F.lit(False)))
             .groupBy(F.col("__dv_fp").alias("_delta_file"))
             .agg(F.count(F.lit(1)).alias("_n"))
@@ -4147,7 +4250,7 @@ def _touched_files(
         )
     else:
         hits = (
-            _scan_files(spark, path, snap, candidates)
+            view(_scan_files(spark, path, snap, candidates))
             .filter(F.coalesce(cond, F.lit(False)))
             .groupBy(F.input_file_name().alias("_delta_file"))
             .agg(F.count(F.lit(1)).alias("_n"))
@@ -4303,11 +4406,16 @@ def delete_from_delta(
         )
     for _attempt in range(16):
         snap = snapshot(path)
-        _refuse_mapped_write(snap, "DELETE")
         _refuse_high_writer_version(snap, "DELETE")
         _refuse_append_only(snap, "DELETE")
-        candidates = _pruned_active(snap, partition_filters, stats_filters)
-        touched, n_rows = _touched_files(spark, path, snap, candidates, cond)
+        # column-mapped tables: scan/stage in PHYSICAL names, evaluate
+        # the condition in LOGICAL names (identity planes if unmapped)
+        io_snap, to_log, to_phys, l2p = _mapping_planes(spark, snap)
+        pf, sf = _map_filter_names(l2p, partition_filters, stats_filters)
+        candidates = _pruned_active(io_snap, pf, sf)
+        touched, n_rows = _touched_files(
+            spark, path, io_snap, candidates, cond, view=to_log
+        )
         if not touched:
             return {
                 "version": snap.version,
@@ -4318,37 +4426,40 @@ def delete_from_delta(
         if row_tracking_enabled(snap):
             # surviving rows must KEEP their ids: rewrite with the
             # materialized row-id column populated
-            survivors = _files_with_row_ids(
-                spark, path, snap, touched,
-                _rt_matcol_required(snap, "DELETE"),
+            survivors = to_log(
+                _files_with_row_ids(
+                    spark, path, io_snap, touched,
+                    _rt_matcol_required(snap, "DELETE"),
+                )
             ).filter(~F.coalesce(cond, F.lit(False)))
         else:
-            survivors = _scan_files_dv(spark, path, snap, touched).filter(
-                ~F.coalesce(cond, F.lit(False))
-            )
+            survivors = to_log(
+                _scan_files_dv(spark, path, io_snap, touched)
+            ).filter(~F.coalesce(cond, F.lit(False)))
         # bound the restage task count by the touched-file count so a
         # 3-file DELETE doesn't shatter into shuffle-partition-many
         # small files (rewrite granularity ≈ input granularity)
         adds = _stage(
-            survivors.repartition(len(touched)),
+            to_phys(survivors).repartition(len(touched)),
             path,
-            snap.partition_columns,
+            io_snap.partition_columns,
             data_change=True,
         )
         cdc_actions = None
         if cdf_enabled(snap):
             # CDF: the deleted rows themselves, one extra bounded scan
             # of ONLY the touched files (Delta's own DML pays the same
-            # second pass to materialize change data)
+            # second pass to materialize change data); cdc files carry
+            # physical names on mapped tables, like any data file
             deleted_rows = (
-                _scan_files_dv(spark, path, snap, touched)
+                to_log(_scan_files_dv(spark, path, io_snap, touched))
                 .filter(F.coalesce(cond, F.lit(False)))
                 .withColumn("_change_type", F.lit("delete"))
             )
             cdc_actions = _stage_cdc(
-                deleted_rows.repartition(len(touched)),
+                to_phys(deleted_rows).repartition(len(touched)),
                 path,
-                snap.partition_columns,
+                io_snap.partition_columns,
             )
         if _commit_rewrite(
             path,
@@ -4455,10 +4566,11 @@ def _delete_with_dv(
 
     for _attempt in range(16):
         snap = snapshot(path)
-        _refuse_mapped_write(snap, "DELETE")
         _refuse_high_writer_version(snap, "DELETE")
         _refuse_append_only(snap, "DELETE")
-        candidates = _pruned_active(snap, partition_filters, stats_filters)
+        io_snap, to_log, to_phys, l2p = _mapping_planes(spark, snap)
+        pf, sf = _map_filter_names(l2p, partition_filters, stats_filters)
+        candidates = _pruned_active(io_snap, pf, sf)
         zero = {
             "version": snap.version,
             "rows_deleted": 0,
@@ -4470,7 +4582,9 @@ def _delete_with_dv(
         if not candidates:
             return zero
         hits = (
-            _scan_files_dv(spark, path, snap, candidates, keep_meta=True)
+            to_log(
+                _scan_files_dv(spark, path, io_snap, candidates, keep_meta=True)
+            )
             .filter(F.coalesce(cond, F.lit(False)))
             .groupBy("__dv_fp")
             .agg(F.sort_array(F.collect_list("__dv_ri")).alias("_ris"))
@@ -4572,17 +4686,19 @@ def _delete_with_dv(
         actions.extend(adds)
         if cdf_enabled(snap):
             deleted_rows = (
-                _scan_files_dv(
-                    spark, path, snap, [rel for rel, _ in touched]
+                to_log(
+                    _scan_files_dv(
+                        spark, path, io_snap, [rel for rel, _ in touched]
+                    )
                 )
                 .filter(F.coalesce(cond, F.lit(False)))
                 .withColumn("_change_type", F.lit("delete"))
             )
             actions.extend(
                 _stage_cdc(
-                    deleted_rows.repartition(len(touched)),
+                    to_phys(deleted_rows).repartition(len(touched)),
                     path,
-                    snap.partition_columns,
+                    io_snap.partition_columns,
                 )
             )
         if _publish_commit(path, snap.version + 1, actions):
@@ -4624,10 +4740,11 @@ def _update_with_dv(
 
     for _attempt in range(16):
         snap = snapshot(path)
-        _refuse_mapped_write(snap, "UPDATE")
         _refuse_high_writer_version(snap, "UPDATE")
         _refuse_append_only(snap, "UPDATE")
-        candidates = _pruned_active(snap, partition_filters, stats_filters)
+        io_snap, to_log, to_phys, l2p = _mapping_planes(spark, snap)
+        pf, sf = _map_filter_names(l2p, partition_filters, stats_filters)
+        candidates = _pruned_active(io_snap, pf, sf)
         zero = {
             "version": snap.version,
             "rows_updated": 0,
@@ -4638,7 +4755,9 @@ def _update_with_dv(
         if not candidates:
             return zero
         hits = (
-            _scan_files_dv(spark, path, snap, candidates, keep_meta=True)
+            to_log(
+                _scan_files_dv(spark, path, io_snap, candidates, keep_meta=True)
+            )
             .filter(F.coalesce(cond, F.lit(False)))
             .groupBy("__dv_fp")
             .agg(F.sort_array(F.collect_list("__dv_ri")).alias("_ris"))
@@ -4680,13 +4799,13 @@ def _update_with_dv(
             # resolve each matched row's id and materialize it in the
             # appended files
             matcol = _rt_matcol_required(snap, "UPDATE")
-            matched = _files_with_row_ids(
-                spark, path, snap, touched_rels, matcol
+            matched = to_log(
+                _files_with_row_ids(spark, path, io_snap, touched_rels, matcol)
             ).filter(F.coalesce(cond, F.lit(False)))
         else:
-            matched = _scan_files_dv(spark, path, snap, touched_rels).filter(
-                F.coalesce(cond, F.lit(False))
-            )
+            matched = to_log(
+                _scan_files_dv(spark, path, io_snap, touched_rels)
+            ).filter(F.coalesce(cond, F.lit(False)))
         updated = matched.select(
             *[
                 (
@@ -4705,9 +4824,9 @@ def _update_with_dv(
         if gen:
             _check_generated(updated, gen, "update_delta")
         new_adds = _stage(
-            updated.repartition(max(1, len(touched_rels))),
+            to_phys(updated).repartition(max(1, len(touched_rels))),
             path,
-            snap.partition_columns,
+            io_snap.partition_columns,
             data_change=True,
         )
         dv_adds: list[dict] = []
@@ -4794,11 +4913,11 @@ def _update_with_dv(
             )
             actions.extend(
                 _stage_cdc(
-                    pre.unionByName(post).repartition(
+                    to_phys(pre.unionByName(post)).repartition(
                         max(1, len(touched_rels))
                     ),
                     path,
-                    snap.partition_columns,
+                    io_snap.partition_columns,
                 )
             )
         if _publish_commit(path, snap.version + 1, actions):
@@ -4821,7 +4940,6 @@ def purge_deletion_vectors(spark: SparkSession, path: str) -> dict:
     that keeps merge-on-read DELETE from accreting bitmap debt."""
     for _attempt in range(16):
         snap = snapshot(path)
-        _refuse_mapped_write(snap, "REORG PURGE")
         _refuse_high_writer_version(snap, "REORG PURGE")
         dvm = _dv_map(snap, sorted(snap.files))
         if not dvm:
@@ -4830,21 +4948,24 @@ def purge_deletion_vectors(spark: SparkSession, path: str) -> dict:
                 "files_rewritten": 0,
                 "files_added": 0,
             }
+        # mapped tables: the whole rewrite is name-agnostic — scan
+        # and restage in PHYSICAL space, no logical plane needed
+        io_snap, _to_log, _to_phys, _l2p = _mapping_planes(spark, snap)
         rels = sorted(dvm)
         tracked = row_tracking_enabled(snap)
         if tracked:
             # dataChange:false rewrite — surviving rows keep their ids
             # through the materialized column
             survivors = _files_with_row_ids(
-                spark, path, snap, rels,
+                spark, path, io_snap, rels,
                 _rt_matcol_required(snap, "REORG PURGE"),
             )
         else:
-            survivors = _scan_files_dv(spark, path, snap, rels)
+            survivors = _scan_files_dv(spark, path, io_snap, rels)
         adds = _stage(
             survivors.repartition(len(rels)),
             path,
-            snap.partition_columns,
+            io_snap.partition_columns,
             data_change=False,
         )
         now_ms = int(time.time() * 1000)
@@ -4942,11 +5063,14 @@ def update_delta(
         )
     for _attempt in range(16):
         snap = snapshot(path)
-        _refuse_mapped_write(snap, "UPDATE")
         _refuse_high_writer_version(snap, "UPDATE")
         _refuse_append_only(snap, "UPDATE")
-        candidates = _pruned_active(snap, partition_filters, stats_filters)
-        touched, n_rows = _touched_files(spark, path, snap, candidates, cond)
+        io_snap, to_log, to_phys, l2p = _mapping_planes(spark, snap)
+        pf, sf = _map_filter_names(l2p, partition_filters, stats_filters)
+        candidates = _pruned_active(io_snap, pf, sf)
+        touched, n_rows = _touched_files(
+            spark, path, io_snap, candidates, cond, view=to_log
+        )
         if not touched:
             return {
                 "version": snap.version,
@@ -4960,9 +5084,11 @@ def update_delta(
             # included — so the rewrite carries the materialized
             # row-id column through the SET untouched
             matcol = _rt_matcol_required(snap, "UPDATE")
-            base = _files_with_row_ids(spark, path, snap, touched, matcol)
+            base = to_log(
+                _files_with_row_ids(spark, path, io_snap, touched, matcol)
+            )
         else:
-            base = _scan_files_dv(spark, path, snap, touched)
+            base = to_log(_scan_files_dv(spark, path, io_snap, touched))
         cons = table_constraints(snap)
         rewritten = base.select(
             *[
@@ -4988,9 +5114,9 @@ def update_delta(
             # leave the generation invariant intact on every row
             _check_generated(rewritten, gen, "update_delta")
         adds = _stage(
-            rewritten.repartition(len(touched)),
+            to_phys(rewritten).repartition(len(touched)),
             path,
-            snap.partition_columns,
+            io_snap.partition_columns,
             data_change=True,
         )
         cdc_actions = None
@@ -5021,9 +5147,9 @@ def update_delta(
                 ]
             ).withColumn("_change_type", F.lit("update_postimage"))
             cdc_actions = _stage_cdc(
-                pre.unionByName(post).repartition(len(touched)),
+                to_phys(pre.unionByName(post)).repartition(len(touched)),
                 path,
-                snap.partition_columns,
+                io_snap.partition_columns,
             )
         if _commit_rewrite(
             path,
