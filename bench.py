@@ -397,13 +397,18 @@ def scaled_row_tracking(spark, scaled: str) -> dict:
         t0 = time.time()
         n_plain = read_delta(spark, tbl).count()
         plain_sec = round(time.time() - t0, 3)
+        # time the SAME action as the plain read (count — no shuffle)
+        # so the metric isolates the row-id scan's cost: the old form
+        # timed a count_distinct whose shuffle/codegen overhead (~1.2s
+        # at any size) swamped the per-row cost being measured
         t0 = time.time()
         rid = read_delta_row_ids(spark, tbl)
+        n_rid = rid.count()
+        rowid_sec = round(time.time() - t0, 3)
         agg = rid.agg(
             F.count(F.lit(1)).alias("n"),
             F.count_distinct("row_id").alias("d"),
         ).first()
-        rowid_sec = round(time.time() - t0, 3)
         cut = step // 8
         t0 = time.time()
         u = update_delta(
@@ -415,10 +420,10 @@ def scaled_row_tracking(spark, scaled: str) -> dict:
         )
         update_sec = round(time.time() - t0, 3)
         t0 = time.time()
-        d2 = read_delta_row_ids(spark, tbl).agg(
-            F.count_distinct("row_id")
-        ).first()[0]
+        rid2 = read_delta_row_ids(spark, tbl)
+        rid2.count()
         rowid_after_sec = round(time.time() - t0, 3)
+        d2 = rid2.agg(F.count_distinct("row_id")).first()[0]
         return {
             "scaled10_rowtrack_rows": n_plain,
             "scaled10_rowtrack_ids_unique": bool(

@@ -533,3 +533,110 @@ def test_restore_refuses_vacuumed_dv(spark, tmp_path):
     vacuum_delta(tbl, keep_versions=1, retention_seconds=0)
     with pytest.raises(FileNotFoundError, match="deletion-vector"):
         restore_delta(spark, tbl, 1)
+
+
+def test_spark_file_uri_matches_metadata(spark, tmp_path):
+    """The driver-side _spark_file_uri predictor must reproduce
+    Spark's _metadata.file_path EXACTLY — the DV anti-join and the
+    row-id base join key on it, and an anti-join mismatch would fail
+    OPEN (resurrect deleted rows), so this pin IS the guard. Nasty
+    partition values included: colon/space/percent ('%'->'%25' in the
+    URI, space->'%20') and a literal '+' (kept verbatim — NOT
+    x-www-form-urlencoded). Non-ASCII paths must return None (the
+    callers then fall back to the per-row decode plan)."""
+    from value_at_risk_spark.sources.deltalog import _spark_file_uri
+
+    d = str(tmp_path / "urip")
+    df = spark.createDataFrame(
+        [(1, "a:b c%d+e"), (2, "plain"), (3, "x=y,z")],
+        "id long, seg string",
+    )
+    df.write.partitionBy("seg").parquet(d)
+    actual = {
+        r[0]
+        for r in spark.read.option("basePath", d)
+        .parquet(d)
+        .select(F.col("_metadata.file_path"))
+        .collect()
+    }
+    predicted = set()
+    for root, _dirs, names in os.walk(d):
+        for n in names:
+            if n.endswith(".parquet"):
+                u = _spark_file_uri(os.path.join(root, n))
+                assert u is not None
+                predicted.add(u)
+    assert predicted == actual
+    assert _spark_file_uri("/tmp/café/x.parquet") is None
+    assert _spark_file_uri("/tmp/a\tb/x.parquet") is None
+
+
+def test_dv_read_and_row_ids_raw_key_plans(spark, tmp_path):
+    """End-to-end correctness of the raw-URI key plans over nasty
+    partition-value paths: DV delete + read-back (anti-join branch)
+    and row-id reads both produce exact results when the join key is
+    the raw __dv_fp (no per-row normalization)."""
+    from value_at_risk_spark.sources.deltalog import read_delta_row_ids
+
+    tbl = str(tmp_path / "nasty")
+    df = spark.createDataFrame(
+        [(i, "a:b c%d+e" if i % 2 else "pl ain", float(i)) for i in range(40)],
+        "id long, seg string, v double",
+    )
+    write_delta(
+        spark,
+        df,
+        tbl,
+        partition_by=["seg"],
+        configuration={
+            "delta.enableDeletionVectors": "true",
+            "delta.enableRowTracking": "true",
+        },
+    )
+    rid0 = {r["id"]: r["row_id"] for r in read_delta_row_ids(spark, tbl).collect()}
+    assert len(rid0) == 40 and len(set(rid0.values())) == 40
+    r = delete_from_delta(spark, tbl, "id % 5 = 0")
+    assert r["rows_deleted"] == 8 and r["files_rewritten"] == 0
+    got = read_delta(spark, tbl)
+    assert sorted(x.id for x in got.collect()) == [
+        i for i in range(40) if i % 5 != 0
+    ]
+    rid1 = {r["id"]: r["row_id"] for r in read_delta_row_ids(spark, tbl).collect()}
+    assert set(rid1) == {i for i in range(40) if i % 5 != 0}
+    assert all(rid1[k] == rid0[k] for k in rid1)
+
+
+def test_row_id_broadcast_join_path(spark, tmp_path, monkeypatch):
+    """Above _RT_LOOKUP_MAX_FILES the row-id scan switches from the
+    literal-map lookup to the broadcast file->baseRowId join; force
+    the threshold down and pin that both plans produce identical
+    ids (incl. after a DV delete) and that a corrupted key still
+    fails LOUD on the join plan."""
+    from value_at_risk_spark.sources import deltalog
+    from value_at_risk_spark.sources.deltalog import read_delta_row_ids
+
+    tbl = str(tmp_path / "rtjoin")
+    df = spark.createDataFrame(
+        [(i, float(i)) for i in range(60)], "id long, v double"
+    )
+    write_delta(
+        spark,
+        df,
+        tbl,
+        configuration={
+            "delta.enableRowTracking": "true",
+            "delta.enableDeletionVectors": "true",
+        },
+    )
+    delete_from_delta(spark, tbl, "id % 6 = 1")
+    map_ids = {
+        r["id"]: r["row_id"]
+        for r in read_delta_row_ids(spark, tbl).collect()
+    }
+    monkeypatch.setattr(deltalog, "_RT_LOOKUP_MAX_FILES", 0)
+    join_ids = {
+        r["id"]: r["row_id"]
+        for r in read_delta_row_ids(spark, tbl).collect()
+    }
+    assert join_ids == map_ids
+    assert set(join_ids) == {i for i in range(60) if i % 6 != 1}

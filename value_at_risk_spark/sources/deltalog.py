@@ -1100,6 +1100,39 @@ def _scan_files_meta(
     return out
 
 
+# characters Hadoop's Path/java.net.URI leave VERBATIM in a file-URI
+# path component (unreserved + sub-delims + ":@/"); everything else
+# printable-ASCII percent-encodes byte-wise. Empirically pinned against
+# Spark's _metadata.file_path (test_spark_file_uri_matches_metadata):
+# 'file:' + single slash, on-disk '%' -> '%25', space -> '%20',
+# '+'/'='/':'-in-path verbatim.
+_URI_VERBATIM = frozenset(
+    "abcdefghijklmnopqrstuvwxyzABCDEFGHIJKLMNOPQRSTUVWXYZ0123456789"
+    "-_.~!$&'()*+,;=:@/"
+)
+
+
+def _spark_file_uri(abs_path: str) -> str | None:
+    """Predict the EXACT ``_metadata.file_path`` string Spark reports
+    for a local file — so per-file join keys can be pre-encoded ON THE
+    DRIVER (file-count-sized work) instead of normalizing the URI with
+    string ops on EVERY ROW of the scan (the r12 13x row-id read
+    multiplier). Returns None for paths containing non-ASCII or
+    control characters, whose java.net.URI treatment we do not pin —
+    callers fall back to the per-row decode plan. Spark-written
+    tables are always predictable: escapePathName keeps partition
+    dirs in safe ASCII, and part-file names are alphanumeric."""
+    out = []
+    for ch in abs_path:
+        if ch in _URI_VERBATIM:
+            out.append(ch)
+        elif " " <= ch <= "~":
+            out.append("%%%02X" % ord(ch))
+        else:
+            return None
+    return "file:" + "".join(out)
+
+
 # below this many deleted rows the (file, row_index) pairs broadcast
 # as a JVM-side anti-join (whole-stage codegen, no Python in the scan);
 # above it, the roaring bitmaps broadcast instead (8 B/row vs
@@ -1149,6 +1182,17 @@ def _dv_keep_filter(
                 "normalization mismatch or corrupted log"
             )
         by_path[key] = dvmod.read_dv(path, desc)
+    # pre-encode driver keys to Spark's exact file-URI form so the
+    # per-row plans below compare the RAW __dv_fp (zero string ops per
+    # row); unpredictable paths (non-ASCII) keep the decode plan. The
+    # encoding is pinned against Spark's actual _metadata.file_path by
+    # test_spark_file_uri_matches_metadata (nasty partition values
+    # included) — an anti-join key mismatch would fail OPEN, so the
+    # predictable-ASCII gate + that pin ARE the guard.
+    uri_keys = {k: _spark_file_uri(k) for k in by_path}
+    predictable = all(u is not None for u in uri_keys.values())
+    if predictable:
+        by_path = {uri_keys[k]: v for k, v in by_path.items()}
     total = sum(len(v) for v in by_path.values())
     if total <= _DV_ANTI_JOIN_MAX_ROWS:
         import numpy as np
@@ -1174,20 +1218,24 @@ def _dv_keep_filter(
             ),
             "__dv_key string, __dv_ri bigint",
         )
-        # normalize _metadata.file_path (a percent-encoded file: URI)
-        # to the driver's absolute-path key, all JVM-side. url_decode
-        # is x-www-form-urlencoded ('+' -> space) while the driver
-        # keys use percent-only unquote ('+' preserved) — re-escape
-        # literal '+' first so both sides decode identically and a
-        # partition value containing '+' can't silently resurrect
-        # DV-deleted rows via a failed-open key mismatch
-        key = F.url_decode(
-            F.regexp_replace(
-                F.regexp_replace(F.col("__dv_fp"), "^file:/+", "/"),
-                r"\+",
-                "%2B",
+        if predictable:
+            key = F.col("__dv_fp")
+        else:
+            # normalize _metadata.file_path (a percent-encoded file:
+            # URI) to the driver's absolute-path key, all JVM-side.
+            # url_decode is x-www-form-urlencoded ('+' -> space) while
+            # the driver keys use percent-only unquote ('+'
+            # preserved) — re-escape literal '+' first so both sides
+            # decode identically and a partition value containing '+'
+            # can't silently resurrect DV-deleted rows via a
+            # failed-open key mismatch
+            key = F.url_decode(
+                F.regexp_replace(
+                    F.regexp_replace(F.col("__dv_fp"), "^file:/+", "/"),
+                    r"\+",
+                    "%2B",
+                )
             )
-        )
         return (
             df.withColumn("__dv_key", key)
             .join(
@@ -1198,6 +1246,7 @@ def _dv_keep_filter(
             .drop("__dv_key")
         )
     b = spark.sparkContext.broadcast(by_path)
+    raw_keys = predictable
 
     @pandas_udf("boolean")
     def _dv_keep(fp: pd.Series, ri: pd.Series) -> pd.Series:
@@ -1208,12 +1257,17 @@ def _dv_keep_filter(
         n = len(fp)
         out = np.ones(n, dtype=bool)
         if n:
-            def _norm(s: str) -> str:
-                if s.startswith("file:"):
-                    s = "/" + s[len("file:"):].lstrip("/")
-                return os.path.normpath(_uq(s))
+            if raw_keys:
+                # broadcast keys are pre-encoded to the URI form fp
+                # already carries — no per-row decode at all
+                names = fp.to_numpy()
+            else:
+                def _norm(s: str) -> str:
+                    if s.startswith("file:"):
+                        s = "/" + s[len("file:"):].lstrip("/")
+                    return os.path.normpath(_uq(s))
 
-            names = np.asarray([_norm(s) for s in fp])
+                names = np.asarray([_norm(s) for s in fp])
             riv = ri.to_numpy().astype(np.uint64)
             for name in np.unique(names):
                 deleted = m.get(name)
@@ -1296,6 +1350,15 @@ def read_delta_row_ids(
     )
 
 
+# row-id scans switch from a literal-map lookup (zero extra jobs, but
+# GetMapValue probes the entry list linearly per row) to a broadcast
+# file->baseRowId join above this many files: at small N the map's
+# compiled-in lookup avoids the join's fixed costs (createDataFrame +
+# broadcast exchange made a 4-file table's row-id read 10x its plain
+# read); at large N the hash join's O(1) probe wins
+_RT_LOOKUP_MAX_FILES = 1024
+
+
 def _files_with_row_ids(
     spark: SparkSession,
     path: str,
@@ -1339,32 +1402,70 @@ def _files_with_row_ids(
     )
     df = _scan_files_dv(spark, path, aug, list(rel_paths), keep_meta=True)
     apath = os.path.abspath(path)
-    base_map = spark.createDataFrame(
-        [
-            (
-                os.path.normpath(os.path.join(apath, unquote(p))),
-                int(snap.files[p]["baseRowId"]),
+    # pre-encode each file's key to Spark's exact file-URI form ON THE
+    # DRIVER and join the raw __dv_fp — the old per-row
+    # url_decode(regexp x2) normalization ran three string ops on a
+    # long URI for EVERY row of the table (the r12 13x row-id read
+    # multiplier); this is file-count-sized driver work instead.
+    # Unpredictable paths (non-ASCII) fall back to the decoded key.
+    decoded = {
+        p: os.path.normpath(os.path.join(apath, unquote(p)))
+        for p in rel_paths
+    }
+    uris = {p: _spark_file_uri(decoded[p]) for p in rel_paths}
+    predictable = all(u is not None for u in uris.values())
+    keys = {
+        p: (uris[p] if predictable else decoded[p]) for p in rel_paths
+    }
+    if predictable:
+        key = F.col("__dv_fp")
+    else:
+        # percent-only normalization ('+' re-escaped so url_decode
+        # matches unquote)
+        key = F.url_decode(
+            F.regexp_replace(
+                F.regexp_replace(F.col("__dv_fp"), "^file:/+", "/"),
+                r"\+",
+                "%2B",
             )
-            for p in sorted(rel_paths)
-        ],
-        "__rt_key string, __rt_base bigint",
-    )
-    # the same percent-only file_path normalization the DV anti-join
-    # uses ('+' re-escaped so url_decode matches unquote)
-    key = F.url_decode(
-        F.regexp_replace(
-            F.regexp_replace(F.col("__dv_fp"), "^file:/+", "/"),
-            r"\+",
-            "%2B",
         )
-    )
-    # LEFT join + raise_error, never inner: this frame is what
-    # id-preserving REWRITES stage, so a file-path key mismatch must
-    # fail LOUD — an inner join would silently drop that file's rows
-    # and the rewrite would commit the truncated set (data loss)
-    df = df.withColumn("__rt_key", key).join(
-        F.broadcast(base_map), "__rt_key", "left"
-    )
+    if len(rel_paths) <= _RT_LOOKUP_MAX_FILES:
+        # literal-map lookup compiled into the scan projection: no
+        # createDataFrame job, no broadcast exchange, no join — the
+        # cold-read fixed costs that made a small table's row-id scan
+        # 10x its plain read. A missing key still fails LOUD below.
+        lookup = F.element_at(
+            F.create_map(
+                *[
+                    x
+                    for p in sorted(rel_paths)
+                    for x in (
+                        F.lit(keys[p]),
+                        F.lit(int(snap.files[p]["baseRowId"])),
+                    )
+                ]
+            ),
+            key,
+        )
+        df = df.withColumn("__rt_base", lookup)
+    else:
+        # big tables: broadcast file->baseRowId join (file-count-sized
+        # build side; the per-row probe keys on the RAW path when
+        # predictable). LEFT join + raise_error below, never inner:
+        # this frame is what id-preserving REWRITES stage, so a
+        # file-path key mismatch must fail LOUD — an inner join would
+        # silently drop that file's rows and the rewrite would commit
+        # the truncated set (data loss)
+        base_map = spark.createDataFrame(
+            [
+                (keys[p], int(snap.files[p]["baseRowId"]))
+                for p in sorted(rel_paths)
+            ],
+            "__rt_key string, __rt_base bigint",
+        )
+        df = df.withColumn("__rt_key", key).join(
+            F.broadcast(base_map), "__rt_key", "left"
+        )
     fresh = F.when(
         F.col("__rt_base").isNull(),
         F.raise_error(
