@@ -767,13 +767,16 @@ def test_vocabulary_head_cuts_compile_to_take_ordered(spark, sf_dir):
     assert "TakeOrderedAndProject" in p
 
 
-def test_row_id_read_plan_broadcast_no_shuffle(spark, tmp_path):
-    """read_delta_row_ids' physical plan: the file->baseRowId map
-    joins as a BROADCAST hash join (metadata-sized side) with NO
-    shuffle exchange — a sort-merge join here would shuffle the whole
-    table to attach ids at 100 TB."""
+def test_row_id_read_plan_broadcast_no_shuffle(spark, tmp_path, monkeypatch):
+    """read_delta_row_ids' physical plan, both file-count regimes
+    (r13): small tables compile the file->baseRowId map INTO the scan
+    projection — no join, no exchange of any kind; above
+    _RT_LOOKUP_MAX_FILES the map joins as a BROADCAST hash join
+    (metadata-sized side) with NO table-side shuffle — a sort-merge
+    join here would shuffle the whole table to attach ids at 100 TB."""
     from pyspark.sql import functions as F
 
+    from value_at_risk_spark.sources import deltalog
     from value_at_risk_spark.sources.deltalog import (
         read_delta_row_ids,
         write_delta,
@@ -787,13 +790,20 @@ def test_row_id_read_plan_broadcast_no_shuffle(spark, tmp_path):
         spark, df.repartition(4), t,
         configuration={"delta.enableRowTracking": "true"},
     )
+    # small-file regime: literal-map lookup, ZERO joins and exchanges
     out = read_delta_row_ids(spark, t)
     p = out._jdf.queryExecution().executedPlan().toString()
-    assert "BroadcastHashJoin" in p
-    assert "SortMergeJoin" not in p
-    # no shuffle on the table side: the only exchange is the broadcast
-    assert "Exchange hashpartitioning" not in p
+    assert "Join" not in p
+    assert "Exchange" not in p
     # and a downstream filter on a data column still reaches the scan
     f = out.filter(F.col("id") >= 500)
     pf = f._jdf.queryExecution().executedPlan().toString()
     assert "PushedFilters: [" in pf and "GreaterThanOrEqual(id" in pf
+
+    # large-file regime (forced): broadcast join, no table-side shuffle
+    monkeypatch.setattr(deltalog, "_RT_LOOKUP_MAX_FILES", 0)
+    out2 = read_delta_row_ids(spark, t)
+    p2 = out2._jdf.queryExecution().executedPlan().toString()
+    assert "BroadcastHashJoin" in p2
+    assert "SortMergeJoin" not in p2
+    assert "Exchange hashpartitioning" not in p2

@@ -1695,14 +1695,64 @@ def minhash_signatures_md5(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-@query("minhash_lsh_pairs")
+@query(
+    "minhash_lsh_pairs",
+    """
+WITH docs AS (
+  SELECT doc_id, list_filter(string_split(lower(text),' '), x -> x <> '') AS ts
+  FROM documents
+),
+sh AS (
+  SELECT DISTINCT doc_id, ts[i] || ' ' || ts[i+1] || ' ' || ts[i+2] AS s
+  FROM docs, UNNEST(range(1, len(ts) - 1)) AS t(i)
+  WHERE len(ts) >= 3
+),
+cnt AS (SELECT doc_id, COUNT(*) AS n FROM sh GROUP BY 1),
+inter AS (
+  SELECT a.doc_id AS id_a, b.doc_id AS id_b, COUNT(*) AS ni
+  FROM sh a JOIN sh b ON a.s = b.s AND b.doc_id > a.doc_id
+  GROUP BY 1, 2
+)
+SELECT id_a, id_b,
+       ROUND(ni * 1.0 / (ca.n + cb.n - ni), 6) AS jaccard
+FROM inter
+JOIN cnt ca ON ca.doc_id = id_a
+JOIN cnt cb ON cb.doc_id = id_b
+WHERE ni * 1.0 / (ca.n + cb.n - ni) >= 0.9
+""",
+)
 def minhash_lsh_pairs_q(spark: SparkSession, sf_dir: str) -> DataFrame:
     """MinHash + LSH banding near-dup candidates (north-star dedup):
     32-hash signatures over 3-gram shingles (xxhash64, JVM-side), 8
-    bands; candidates from bucket equi-join — never O(n²)."""
+    bands of 4 rows; candidates from bucket equi-join — never O(n²).
+
+    GRADUATED to a recall-pinned oracle (r13, the
+    lsh_recall_high_jaccard pattern at this coarser operating point):
+    candidates are verified with EXACT shingle Jaccard and only pairs
+    at J >= 0.9 survive; the DuckDB twin computes ALL J >= 0.9 pairs
+    exactly (inverted-index join). Hash equality asserts 100% recall
+    at 8x4 banding on the fixture — deterministic, not probabilistic:
+    the xxhash64 signature family is seeded, so whether a fixture
+    pair escapes is a fixed property of the frozen fixture (an escape
+    probability of (1-0.9^4)^8 ~ 2e-4 per pair would make a flaky
+    family visible immediately)."""
     d = _t(spark, sf_dir, "documents")
     sigs = minhash_signatures(d, num_hashes=32, shingle_n=3)
-    return minhash_lsh_pairs(sigs, num_bands=8, num_hashes=32)
+    pairs = minhash_lsh_pairs(sigs, num_bands=8, num_hashes=32)
+    from value_at_risk_spark.functions.text import shingles
+
+    sh = d.select(
+        "doc_id", F.array_distinct(shingles("text", 3)).alias("sh")
+    )
+    a = sh.select(F.col("doc_id").alias("id_a"), F.col("sh").alias("sh_a"))
+    b = sh.select(F.col("doc_id").alias("id_b"), F.col("sh").alias("sh_b"))
+    cand = pairs.join(a, "id_a").join(b, "id_b")
+    verified = jaccard_similarity(
+        cand, "sh_a", "sh_b", out_col="jacc", tokenize=False
+    ).filter(F.col("jacc") >= 0.9)
+    return verified.select(
+        "id_a", "id_b", F.round("jacc", 6).alias("jaccard")
+    )
 
 
 @query("simhash_fingerprints")
@@ -3064,11 +3114,29 @@ def price_rank_distribution(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-@query("video_frame_sampling")
+@query(
+    "video_frame_sampling",
+    """
+WITH v AS (
+  SELECT doc_id AS media_id, GREATEST(n_chars * 10 - 1, 0) AS stop
+  FROM documents WHERE doc_id % 3 = 2
+)
+SELECT media_id,
+       CAST(UNNEST(range(0, stop + 1, 500)) AS BIGINT) AS frame_offset_ms
+FROM v
+""",
+)
 def video_frame_sampling(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Multimodal frame-sampling plumbing (rows-only): one output row
-    per sampled frame offset per synthetic video; the decode of each
-    frame is the stubbed mapInPandas stage."""
+    """Multimodal frame-sampling plumbing, GRADUATED to an arithmetic
+    oracle (r13, the mp4_frame_extraction pattern): one output row per
+    sampled frame offset per synthetic video. The offset sequence is
+    CLOSED-FORM in the media metadata — sequence(0, duration_ms-1,
+    every_ms) over the doc_id%3==2 'video' rows with duration =
+    n_chars*10 — so DuckDB recomputes it exactly with a range
+    expansion (Spark's sequence() is stop-INCLUSIVE, hence range(...,
+    stop+1, ...)). The decode of each frame remains the stubbed
+    mapInPandas stage (no codec libs); the sampling plumbing itself
+    is hash-pinned."""
     from value_at_risk_spark.operators.multimodal import sample_frames
 
     d = _t(spark, sf_dir, "documents")
@@ -7611,18 +7679,53 @@ def opq_pq_ann_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-@query("audio_frame_features_demo")
+@query(
+    "audio_frame_features_demo",
+    """
+WITH m AS (
+  SELECT doc_id AS media_id, 200.0 + (doc_id % 20) * 40.0 AS freq
+  FROM documents WHERE doc_id < 40
+),
+s AS (
+  SELECT media_id, i // 200 AS frame_idx, i,
+         ROUND(32767 * 0.8 * SIN(2 * PI() * freq * (i / 8000.0) + 0.5))
+           / 32768.0 AS x
+  FROM m, UNNEST(range(0, 1600)) AS t(i)
+),
+lagged AS (
+  SELECT *, LAG(x) OVER (PARTITION BY media_id, frame_idx ORDER BY i) AS lx
+  FROM s
+),
+fr AS (
+  SELECT media_id, frame_idx,
+         ROUND(SQRT(AVG(x * x)), 6) AS rms,
+         ROUND(SUM(CASE WHEN (x < 0) <> (lx < 0) THEN 1 ELSE 0 END)
+               * 1.0 / 199, 6) AS zcr
+  FROM lagged GROUP BY 1, 2
+)
+SELECT media_id,
+       COUNT(*) AS n_frames,
+       ROUND(AVG(rms), 4) AS mean_rms,
+       ROUND(AVG(zcr), 4) AS mean_zcr
+FROM fr GROUP BY media_id
+""",
+)
 def audio_frame_features_demo(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Audio feature extraction at the gate (rows-only: WAV byte
-    synthesis + frame features are mapInPandas plumbing with no SQL
-    twin; the numeric contracts — sine RMS = A/sqrt(2), ZCR = 2f/rate,
-    exact-zero silence, NULL degradation — are pytest-asserted):
-    deterministic per-doc sine WAVs (frequency keyed on doc_id) are
-    REALLY encoded to 16-bit PCM RIFF bytes and REALLY decoded back by
-    the stdlib WAV walk, then framed into RMS / zero-crossing rows —
-    the VAD-style pass a speech pipeline runs before any model. Only
-    (id, payload) crosses the Arrow boundary; per-media aggregation
-    keeps the gate output bounded."""
+    """Audio feature extraction at the gate, GRADUATED to a
+    trig-replay oracle (r13): deterministic per-doc sine WAVs
+    (frequency keyed on doc_id, phase 0.5 rad) are REALLY encoded to
+    16-bit PCM RIFF bytes and REALLY decoded back by the stdlib WAV
+    walk, then framed into RMS / zero-crossing rows — the VAD-style
+    pass a speech pipeline runs before any model. DuckDB replays the
+    IDENTICAL synthesis arithmetic (same double-op order, ROUND ->
+    /32768 quantization, 200-sample frames, lag-based sign-flip ZCR),
+    so hash equality pins the WAV encode -> RIFF-walk decode -> frame
+    feature chain end to end. The 0.5 rad phase keeps every quantized
+    sample far from 0 and from .5 rounding boundaries — without it,
+    samples at exact sine zeros land on +/-0.0 where numpy's signbit
+    and SQL's ``x < 0`` disagree. Only (id, payload) crosses the
+    Arrow boundary; per-media aggregation keeps the gate output
+    bounded."""
     import struct as _struct
     from collections.abc import Iterator as _It
 
@@ -7645,7 +7748,7 @@ def audio_frame_features_demo(spark: SparkSession, sf_dir: str) -> DataFrame:
             for did in pdf["doc_id"]:
                 freq = 200.0 + float(did % 20) * 40.0
                 mono = _np.round(
-                    32767 * 0.8 * _np.sin(2 * _np.pi * freq * t)
+                    32767 * 0.8 * _np.sin(2 * _np.pi * freq * t + 0.5)
                 ).astype("<i2")
                 data = mono.reshape(-1, 1).tobytes()
                 payloads.append(
