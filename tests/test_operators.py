@@ -3984,3 +3984,69 @@ def test_ivfpq_churn_delete_purge_rebalance(spark, sf_dir, tmp_path):
         r.query_id for r in hits2 if r.neighbor_id == r.query_id - 1000000
     }
     assert len(found) >= 0.7 * pq.count()
+
+
+def test_purge_ivfpq_snapshot_spares_concurrent_tombstones(
+    spark, sf_dir, tmp_path, monkeypatch
+):
+    """purge_ivfpq must clear ONLY the tombstone files it read: ids
+    appended by a concurrent delete between the purge's snapshot and
+    its clear would otherwise be dropped silently and those vectors
+    would RESURRECT. Simulate the race by pinning the purge's file
+    snapshot to the first tombstone file while a second exists."""
+    import glob as _glob_mod
+    import os as _os
+
+    from value_at_risk_spark.operators.annindex import (
+        delete_from_ivfpq,
+        load_ivfpq_index,
+        purge_ivfpq,
+        save_ivfpq_index,
+    )
+    from value_at_risk_spark.operators.similarity import ivfpq_build
+
+    e = spark.read.parquet(f"{sf_dir}/embeddings.parquet").limit(300)
+    corpus = e.select(
+        F.col("vec_id"), F.col("embedding")
+    ) if "vec_id" in e.columns else e.selectExpr(
+        "id as vec_id", "v as embedding"
+    )
+    cents, books, codes = ivfpq_build(
+        corpus, ncells=2, m=4, ksub=16, iters=1, seed=9
+    )
+    idx = str(tmp_path / "raceidx")
+    save_ivfpq_index(spark, idx, cents, books, codes)
+    n0 = load_ivfpq_index(spark, idx)[2].count()
+
+    set_a = corpus.filter(F.col("vec_id") % 7 == 0).select("vec_id")
+    set_b = corpus.filter(F.col("vec_id") % 7 == 1).select("vec_id")
+    n_a, n_b = set_a.count(), set_b.count()
+    delete_from_ivfpq(spark, idx, set_a)   # tombstone file 1
+    delete_from_ivfpq(spark, idx, set_b)   # tombstone file 2 ("late")
+
+    tomb_dir_frag = "ann_tombstones"
+    real_glob = _glob_mod.glob
+    state = {"snapshotted": False}
+
+    def fake_glob(pattern, **kw):
+        res = real_glob(pattern, **kw)
+        if tomb_dir_frag in pattern and not state["snapshotted"]:
+            state["snapshotted"] = True
+            return sorted(res)[:1]  # the purge saw only file 1
+        return res
+
+    monkeypatch.setattr(_glob_mod, "glob", fake_glob)
+    stats = purge_ivfpq(spark, idx)
+    monkeypatch.setattr(_glob_mod, "glob", real_glob)
+    assert stats["purged"] == n_a
+
+    # set_b must NOT resurrect: its tombstone file survived the clear
+    _, _, live = load_ivfpq_index(spark, idx)
+    live_ids = {r.vec_id for r in live.select("vec_id").collect()}
+    assert not live_ids & {r.vec_id for r in set_b.collect()}
+    assert not live_ids & {r.vec_id for r in set_a.collect()}
+    # and a second purge materializes it
+    stats2 = purge_ivfpq(spark, idx)
+    assert stats2["purged"] == n_b
+    raw = spark.read.parquet(_os.path.join(idx, "ann_codes.parquet"))
+    assert raw.count() == n0 - n_a - n_b

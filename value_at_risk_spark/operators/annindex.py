@@ -385,13 +385,26 @@ def purge_ivfpq(
     """Materialize the tombstones: rewrite ONLY the cell partitions
     that hold deleted vectors (dynamic partition overwrite — untouched
     cells' files are never read or written), drop cells left empty,
-    and clear the tombstone table. Bounded by the DELETED rows' cell
-    count, not the corpus — the same cost contract as REORG PURGE on
-    the delta log."""
-    tomb = _tombstones(spark, base_dir)
-    if tomb is None:
-        return {"cells_rewritten": 0, "cells_dropped": 0, "purged": 0}
+    and clear EXACTLY the tombstone files this purge read. Bounded by
+    the DELETED rows' cell count, not the corpus — the same cost
+    contract as REORG PURGE on the delta log.
+
+    The tombstone read is FILE-SNAPSHOTTED: delete_from_ivfpq appends
+    concurrently, and an rmtree of the whole tombstone dir after
+    materializing would silently drop ids appended between this
+    purge's read and the clear — those vectors would resurrect. Only
+    the snapshotted files are removed; later appends survive for the
+    next purge."""
+    import glob as _glob
+
     reg = Registry(base_dir)
+    tomb_dir = reg.path("ann_tombstones")
+    if not os.path.isdir(tomb_dir):
+        return {"cells_rewritten": 0, "cells_dropped": 0, "purged": 0}
+    tomb_files = sorted(_glob.glob(os.path.join(tomb_dir, "*.parquet")))
+    if not tomb_files:
+        return {"cells_rewritten": 0, "cells_dropped": 0, "purged": 0}
+    tomb = spark.read.parquet(*tomb_files).select(corpus_id).distinct()
     codes_path = reg.path("ann_codes")
     raw = spark.read.parquet(codes_path)  # tombstones NOT applied
     hit = raw.join(F.broadcast(tomb), corpus_id, "inner")
@@ -418,7 +431,15 @@ def purge_ivfpq(
             shutil.rmtree(
                 os.path.join(codes_path, f"_cell={c}"), ignore_errors=True
             )
-    shutil.rmtree(reg.path("ann_tombstones"), ignore_errors=True)
+    # clear ONLY the snapshotted files (concurrent appends survive);
+    # drop the dir itself only if nothing else landed meanwhile
+    for f in tomb_files:
+        try:
+            os.remove(f)
+        except OSError:
+            pass
+    if not _glob.glob(os.path.join(tomb_dir, "*.parquet")):
+        shutil.rmtree(tomb_dir, ignore_errors=True)
     # report from driver-side state already in hand — a corpus rescan
     # here would break the deleted-rows-bounded cost contract and
     # crash (UNABLE_TO_INFER_SCHEMA) when the purge emptied the table
@@ -527,6 +548,7 @@ def rebalance_ivfpq(
         return {"cells_split": 0}
     new_cents = [list(c) for c in cents]
     out_frames = []
+    split_cells = []
     for c in hot:
         # reconstruct ≈ originals: centroid + decoded residual
         vecs = codes.filter(F.col("_cell") == c).select(
@@ -545,6 +567,7 @@ def rebalance_ivfpq(
         new_id = len(new_cents)
         new_cents[c] = sub[0]
         new_cents.append(sub[1])
+        split_cells.append(c)
         pair = [sub[0], sub[1]]
         assigned = vecs.withColumn(
             "_pick", nearest_cell_expr("embedding", pair)
@@ -589,9 +612,15 @@ def rebalance_ivfpq(
     allnew = allnew.localCheckpoint()
     reg = Registry(base_dir)
     # centroid table FIRST (tiny, it IS the cell id space): a crash
-    # between the two writes then leaves extra centroids with no
-    # codes (harmless — empty cells) instead of codes whose cell ids
-    # index past the centroid list (silent recall loss + OOB decode)
+    # between the two writes leaves NEW centroids with no codes
+    # (harmless — empty cells) instead of codes whose cell ids index
+    # past the centroid list (silent recall loss + OOB decode). The
+    # residual window: each REPLACED cell c's existing codes decode
+    # against sub[0] until the codes write lands — reconstructions in
+    # that window are off by (old_centroid - sub[0]), degraded recall
+    # for the hot cells only, self-healing at the codes write; the
+    # reverse order would corrupt ALL split-cell probes permanently
+    # on crash, so this is the right side of the trade
     reg.write(
         spark.createDataFrame(
             [(i, [float(x) for x in v]) for i, v in enumerate(new_cents)],
@@ -607,6 +636,19 @@ def rebalance_ivfpq(
         .partitionBy("_cell")
         .parquet(reg.path("ann_codes"))
     )
+    # dynamic overwrite only replaces partitions PRESENT in the
+    # written frame: if a split's final re-assignment put zero rows
+    # in a kept (or new) sub-cell, its old partition would survive
+    # with stale codes that duplicate the re-encoded rows AND decode
+    # against the replaced centroid — drop the absent ones explicitly
+    # (same hazard purge_ivfpq handles for emptied cells)
+    written = {r._cell for r in allnew.select("_cell").distinct().collect()}
+    expected = set(split_cells) | set(range(len(cents), len(new_cents)))
+    for c in sorted(expected - written):
+        shutil.rmtree(
+            os.path.join(reg.path("ann_codes"), f"_cell={c}"),
+            ignore_errors=True,
+        )
     return {
         "cells_split": len(out_frames),
         "hot_cells": hot,
