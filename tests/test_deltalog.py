@@ -1726,14 +1726,33 @@ def test_column_mapping_name_mode_read_and_write_refusal(spark, tmp_path):
     # the staged DS writer still refuses: its tasks stage logical names
     with pytest.raises(Exception, match="column mapping"):
         frame.write.format("deltalog").mode("append").save(tbl)
-    # readStream.load() is lazy — the reader refusal fires at reader
-    # construction (query start); pin it at the class level
+    # readStream over a 'name'-mode table (r13): the stream reader
+    # physicalizes like the batch DS reader — the initial snapshot
+    # batch must equal the batch read, in LOGICAL names
+    seen: list[tuple] = []
+
+    def _sink(bdf, _bid):
+        seen.extend(tuple(r) for r in bdf.collect())
+
+    q = (
+        spark.readStream.format("deltalog")
+        .load(tbl)
+        .writeStream.foreachBatch(_sink)
+        .option(
+            "checkpointLocation", str(tmp_path / "mapped_stream_ckpt")
+        )
+        .trigger(availableNow=True)
+        .start()
+    )
+    assert q.awaitTermination(120)
+    assert sorted(seen) == sorted(
+        tuple(r) for r in read_delta(spark, tbl).collect()
+    )
+    # 'id' mode still refuses at reader construction (pyarrow resolves
+    # by name; read_delta wires field-id resolution)
     from value_at_risk_spark.sources.delta_datasource import (
         _DeltaStreamReader,
     )
-
-    with pytest.raises(NotImplementedError, match="batch-read only"):
-        _DeltaStreamReader({"path": tbl}, None)
     # 'id' mode reads resolve by parquet FIELD ID (r12); this foreign
     # table's original files carry NO field ids, so the read must
     # fail LOUD (ignoreMissing=false), never silently match by name
@@ -1757,6 +1776,9 @@ def test_column_mapping_name_mode_read_and_write_refusal(spark, tmp_path):
     # (Spark wraps the reader's NotImplementedError in AnalysisException)
     with pytest.raises(Exception, match="mode=id"):
         spark.read.format("deltalog").load(tbl).collect()
+    # ...and the stream reader refuses 'id' mode at construction
+    with pytest.raises(NotImplementedError, match="mode=id"):
+        _DeltaStreamReader({"path": tbl}, None)
 
 
 def test_checkpoint_preserves_table_configuration(spark, tmp_path):
@@ -4046,3 +4068,87 @@ def test_generated_column_partition_pruning(spark, tmp_path):
     # a range filter (non-derivable) still returns everything
     rng = ds.filter(F.col("ts") >= datetime.datetime(2026, 1, 1))
     assert rng.count() == 40
+
+
+def test_datasource_cdf_and_stream_mapped_table(spark, tmp_path):
+    """The deltalog DS readers over a COLUMN-MAPPED ('name' mode)
+    table (r13): plain stream, batch CDF, and streaming CDF all
+    physicalize internally and emit LOGICAL names — batch CDF equals
+    table_changes row for row; 'id'-mode CDF refuses."""
+    from value_at_risk_spark.sources.delta_datasource import (
+        register_deltalog_source,
+    )
+    from value_at_risk_spark.sources.deltalog import (
+        delete_from_delta,
+        table_changes,
+        update_delta,
+    )
+
+    register_deltalog_source(spark)
+    tbl = str(tmp_path / "dscdfmap")
+    df = spark.range(8).select(
+        "id",
+        (F.col("id") % 2).cast("string").alias("p"),
+        (F.col("id") * 1.0).alias("v"),
+    )
+    write_delta(
+        spark, df, tbl, partition_by=["p"],
+        configuration={
+            "delta.enableChangeDataFeed": "true",
+            "delta.columnMapping.mode": "name",
+        },
+    )
+    delete_from_delta(spark, tbl, "id >= 6")
+    update_delta(spark, tbl, "id < 2", {"v": "v + 100"})
+
+    cdf = (
+        spark.read.format("deltalog")
+        .option("readChangeFeed", "true")
+        .option("startingVersion", "0")
+        .load(tbl)
+    )
+    assert cdf.columns[:3] == ["id", "p", "v"]  # logical names
+    key = lambda frame: sorted(  # noqa: E731
+        (r["_commit_version"], r["_change_type"], r["id"], r["p"], r["v"])
+        for r in frame.collect()
+    )
+    assert key(cdf) == key(table_changes(spark, tbl, 0))
+
+    q = (
+        spark.readStream.format("deltalog")
+        .option("readChangeFeed", "true")
+        .option("startingVersion", "0")
+        .load(tbl)
+        .writeStream.format("memory")
+        .queryName("dscdfmap_stream")
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(120)
+    got = sorted(
+        (r["_commit_version"], r["_change_type"], r["id"], r["p"])
+        for r in spark.sql("select * from dscdfmap_stream").collect()
+    )
+    exp = sorted(
+        (r["_commit_version"], r["_change_type"], r["id"], r["p"])
+        for r in table_changes(spark, tbl, 1).collect()
+    )
+    assert got == exp
+
+    # 'id' mode refuses CDF DS reads at reader construction
+    tbl2 = str(tmp_path / "dscdfid")
+    write_delta(
+        spark, df, tbl2,
+        configuration={
+            "delta.enableChangeDataFeed": "true",
+            "delta.columnMapping.mode": "id",
+        },
+    )
+    with pytest.raises(Exception, match="mode=id"):
+        (
+            spark.read.format("deltalog")
+            .option("readChangeFeed", "true")
+            .option("startingVersion", "0")
+            .load(tbl2)
+            .collect()
+        )

@@ -164,13 +164,17 @@ def _cdf_file_to_batches(
     part: "_DeltaCdfPartition",
     out_schema: StructType,
     partition_columns: list[str],
+    l2p: dict | None = None,
 ):
     """One change file -> Arrow batches in the CDF output schema:
     data columns from the file, partition columns from the log's
     partitionValues, _change_type from the file (cdc) or the
     partition's constant kind, _commit_version/_commit_timestamp as
     constants (epoch-micros cast, so the session tz never touches
-    the stored instant)."""
+    the stored instant). ``l2p`` (column-mapped tables, 'name' mode):
+    data/cdc files and partitionValues carry PHYSICAL names; the
+    emitted schema stays logical (the CDF metadata columns are
+    unmapped)."""
     import pyarrow as pa
     import pyarrow.parquet as pq
 
@@ -198,17 +202,21 @@ def _cdf_file_to_batches(
             ).cast(field.type)
         elif field.name == "_change_type" and part.kind != "cdc":
             arr = pa.array([part.kind] * n, type=field.type)
-        elif field.name in partition_columns:
-            raw = part.part_values.get(field.name)
-            if raw is None:
-                arr = pa.nulls(n, type=field.type)
-            else:
-                arr = pa.array([raw] * n, type=pa.string()).cast(field.type)
-        elif field.name in tbl.schema.names:
-            arr = tbl.column(field.name).cast(field.type)
         else:
-            # pre-schema-evolution change files lack the column
-            arr = pa.nulls(n, type=field.type)
+            src = (l2p or {}).get(field.name, field.name)
+            if src in partition_columns:
+                raw = part.part_values.get(src)
+                if raw is None:
+                    arr = pa.nulls(n, type=field.type)
+                else:
+                    arr = pa.array([raw] * n, type=pa.string()).cast(
+                        field.type
+                    )
+            elif src in tbl.schema.names:
+                arr = tbl.column(src).cast(field.type)
+            else:
+                # pre-schema-evolution change files lack the column
+                arr = pa.nulls(n, type=field.type)
         cols.append(arr)
     yield from pa.table(cols, schema=want).to_batches()
 
@@ -300,18 +308,28 @@ class _DeltaCdfBatchReader(DataSourceReader):
         end_snap = snapshot(
             self._path, version=min(self._to_v, versions[-1])
         )
-        from value_at_risk_spark.sources.deltalog import _column_mapping
+        from value_at_risk_spark.sources.deltalog import (
+            _cm_mode,
+            _column_mapping,
+            _physicalized,
+        )
 
-        if _column_mapping(end_snap) is not None:
-            # same refusal as table_changes: this reader looks up
-            # LOGICAL names against physical-named files and
-            # partitionValues — NULL-filled partition columns and
-            # KeyErrors, never a correct read
+        if _cm_mode(end_snap) == "id":
+            # 'id' mode resolves data columns by parquet field id;
+            # this pyarrow reader resolves by name — refuse like the
+            # plain DS reader
             raise NotImplementedError(
-                "deltalog readChangeFeed: column-mapped tables are "
-                "not supported"
+                "deltalog readChangeFeed: columnMapping.mode=id "
+                "tables are readable through table_changes only"
             )
-        self._partition_columns = end_snap.partition_columns
+        # 'name' mode (r13): change files and partitionValues carry
+        # PHYSICAL names; emit logical through the l2p lookup
+        self._l2p = _column_mapping(end_snap)
+        self._partition_columns = (
+            _physicalized(end_snap, self._l2p).partition_columns
+            if self._l2p is not None
+            else end_snap.partition_columns
+        )
 
     def partitions(self):
         return _cdf_partitions_for_range(
@@ -320,7 +338,8 @@ class _DeltaCdfBatchReader(DataSourceReader):
 
     def read(self, partition):
         yield from _cdf_file_to_batches(
-            partition, self._schema, self._partition_columns
+            partition, self._schema, self._partition_columns,
+            l2p=self._l2p,
         )
 
 
@@ -715,7 +734,9 @@ class _DeltaStreamReader(SimpleDataSourceStreamReader):
 
     def __init__(self, options: dict, schema: StructType):
         from value_at_risk_spark.sources.deltalog import (
+            _cm_mode,
             _column_mapping,
+            _physicalized,
             snapshot as _snap_fn,
         )
 
@@ -723,12 +744,23 @@ class _DeltaStreamReader(SimpleDataSourceStreamReader):
         self._schema = schema
         self._cdf = _cdf_requested(options)
         snap0 = _snap_fn(self._path)
-        if _column_mapping(snap0) is not None:
+        if _cm_mode(snap0) == "id":
+            # 'id' mode resolves DATA columns by parquet field id;
+            # this pyarrow reader resolves by name — refuse like the
+            # batch DS reader (read_delta wires field-id resolution)
             raise NotImplementedError(
-                "deltalog stream source: column-mapped tables are "
-                "batch-read only (use spark.read or read_delta)"
+                "deltalog stream source: columnMapping.mode=id tables "
+                "are readable through read_delta only"
             )
-        self._part_cols = snap0.partition_columns
+        # 'name' mode (r13): physicalize like the batch DS reader —
+        # files and partitionValues carry physical names; emitted
+        # rows stay logical (the l2p lookup in _file_to_batches)
+        self._l2p = _column_mapping(snap0)
+        self._part_cols = (
+            _physicalized(snap0, self._l2p).partition_columns
+            if self._l2p is not None
+            else snap0.partition_columns
+        )
         sv = options.get("startingversion") or options.get(
             "startingVersion"
         )
@@ -767,7 +799,7 @@ class _DeltaStreamReader(SimpleDataSourceStreamReader):
             dv_deleted = entry[2] if len(entry) > 2 else None
             for batch in _file_to_batches(
                 abs_path, pv, self._schema, part_cols,
-                dv_deleted=dv_deleted,
+                l2p=self._l2p, dv_deleted=dv_deleted,
             ):
                 for row in batch.to_pylist():
                     yield tuple(row[n] for n in names)
@@ -813,7 +845,7 @@ class _DeltaStreamReader(SimpleDataSourceStreamReader):
             self._path, start_v + 1, end_v
         ):
             for batch in _cdf_file_to_batches(
-                part, self._schema, self._part_cols
+                part, self._schema, self._part_cols, l2p=self._l2p
             ):
                 for row in batch.to_pylist():
                     yield tuple(row[n] for n in names)
@@ -866,11 +898,21 @@ class DeltaLogDataSource(DataSource):
         return "deltalog"
 
     def schema(self) -> StructType:
+        from pyspark.sql.types import StructField
+
         from value_at_risk_spark.sources.deltalog import snapshot
 
         path = _required_path(self.options)
         v = self.options.get("versionAsOf")
-        base = snapshot(path, int(v) if v is not None else None).schema
+        raw = snapshot(path, int(v) if v is not None else None).schema
+        # strip field METADATA (column-mapping ids/physicalNames,
+        # identity specs): it's writer-side bookkeeping, and the
+        # streaming runner asserts Arrow schema equality — metadata
+        # does not survive the Python->Arrow->JVM round-trip, so a
+        # mapped table's stream would die on that assert
+        base = StructType(
+            [StructField(f.name, f.dataType, f.nullable) for f in raw.fields]
+        )
         if _cdf_requested(self.options):
             from pyspark.sql.types import (
                 LongType,
