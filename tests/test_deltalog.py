@@ -4152,3 +4152,159 @@ def test_datasource_cdf_and_stream_mapped_table(spark, tmp_path):
             .load(tbl2)
             .collect()
         )
+
+
+def test_optimize_where_partition_scoped(spark, tmp_path):
+    """OPTIMIZE ... WHERE (r13): the rewrite is scoped to matching
+    partitions — files outside the scope keep their add actions
+    VERBATIM (the 100 TB daily-sweep contract: compact yesterday's
+    partition, not the table); composes with MIN FILE SIZE; rows are
+    identical before/after; the SQL text surface parses = and IN
+    conjunctions and refuses row-level predicates."""
+    from value_at_risk_spark.sources.delta_sql import delta_sql
+    from value_at_risk_spark.sources.deltalog import optimize_delta
+
+    tbl = str(tmp_path / "ow")
+    df = spark.range(300).select(
+        "id",
+        (F.col("id") % 3).cast("string").alias("seg"),
+        (F.col("id") * 1.0).alias("v"),
+    )
+    # many small files per partition
+    for c in range(4):
+        write_delta(
+            spark,
+            df.filter(F.col("id") % 4 == c).repartition(3),
+            tbl,
+            partition_by=["seg"] if c == 0 else None,
+        )
+    snap0 = snapshot(tbl)
+    before_by_seg = {}
+    for p, a in snap0.files.items():
+        seg = (a.get("partitionValues") or {}).get("seg")
+        before_by_seg.setdefault(seg, set()).add(p)
+    total0 = read_delta(spark, tbl).agg(F.sum("id"), F.count("*")).first()
+
+    v = optimize_delta(
+        spark, tbl, target_files=1, partition_filters={"seg": ["1"]}
+    )
+    snap1 = snapshot(tbl)
+    assert v == snap1.version
+    after_by_seg = {}
+    for p, a in snap1.files.items():
+        seg = (a.get("partitionValues") or {}).get("seg")
+        after_by_seg.setdefault(seg, set()).add(p)
+    # untouched partitions keep their files verbatim
+    assert after_by_seg["0"] == before_by_seg["0"]
+    assert after_by_seg["2"] == before_by_seg["2"]
+    # scoped partition compacted
+    assert len(after_by_seg["1"]) < len(before_by_seg["1"])
+    assert read_delta(spark, tbl).agg(
+        F.sum("id"), F.count("*")
+    ).first() == total0
+
+    # SQL surface: WHERE + MIN FILE SIZE composes (every seg=2 file is
+    # tiny here, so they all compact; seg=0 untouched)
+    r = delta_sql(
+        spark,
+        f"OPTIMIZE delta.`{tbl}` WHERE seg IN ('2') MIN FILE SIZE 10485760",
+    )
+    snap2 = snapshot(tbl)
+    after2 = {
+        p
+        for p, a in snap2.files.items()
+        if (a.get("partitionValues") or {}).get("seg") == "0"
+    }
+    assert after2 == before_by_seg["0"]
+    assert read_delta(spark, tbl).agg(
+        F.sum("id"), F.count("*")
+    ).first() == total0
+    assert r == snap2.version
+    # row-level predicates refuse
+    with pytest.raises(ValueError, match="partition predicates"):
+        delta_sql(spark, f"OPTIMIZE delta.`{tbl}` WHERE v > 5 OR seg = '1'")
+    # predicate recorded in the commit's operationParameters
+    with open(
+        os.path.join(tbl, "_delta_log", f"{snap2.version:020d}.json")
+    ) as fh:
+        acts = [json.loads(x) for x in fh if x.strip()]
+    ci = next(a["commitInfo"] for a in acts if a.get("commitInfo"))
+    assert ci["operationParameters"]["predicate"] == {"seg": ["2"]}
+
+
+def test_nested_column_mapping_refuses_loud(spark, tmp_path):
+    """Nested-struct column mapping is the one remaining mapping gap:
+    creation with a struct column under columnMapping.mode refuses,
+    and a FOREIGN table whose nested fields carry physicalName
+    metadata refuses at read — loud, never a silent misread of
+    physical-named nested fields."""
+    t = str(tmp_path / "nested_map")
+    df = spark.createDataFrame(
+        [(1, (2, 3.0))], "id long, s struct<a:long,b:double>"
+    )
+    with pytest.raises(NotImplementedError, match="nested"):
+        write_delta(
+            spark, df, t,
+            configuration={"delta.columnMapping.mode": "name"},
+        )
+    # foreign table: nested physicalName in the schemaString
+    t2 = str(tmp_path / "nested_foreign")
+    os.makedirs(os.path.join(t2, "_delta_log"))
+    schema_string = json.dumps(
+        {
+            "type": "struct",
+            "fields": [
+                {
+                    "name": "s",
+                    "type": {
+                        "type": "struct",
+                        "fields": [
+                            {
+                                "name": "a",
+                                "type": "long",
+                                "nullable": True,
+                                "metadata": {
+                                    "delta.columnMapping.id": 2,
+                                    "delta.columnMapping.physicalName":
+                                        "col-x",
+                                },
+                            }
+                        ],
+                    },
+                    "nullable": True,
+                    "metadata": {
+                        "delta.columnMapping.id": 1,
+                        "delta.columnMapping.physicalName": "col-s",
+                    },
+                }
+            ],
+        }
+    )
+    from value_at_risk_spark.sources.deltalog import _publish_commit
+
+    _publish_commit(
+        t2,
+        0,
+        [
+            {"commitInfo": {"timestamp": 0, "operation": "WRITE"}},
+            {
+                "protocol": {
+                    "minReaderVersion": 2,
+                    "minWriterVersion": 5,
+                }
+            },
+            {
+                "metaData": {
+                    "id": "nested-map-test",
+                    "format": {"provider": "parquet", "options": {}},
+                    "schemaString": schema_string,
+                    "partitionColumns": [],
+                    "configuration": {
+                        "delta.columnMapping.mode": "name",
+                    },
+                }
+            },
+        ],
+    )
+    with pytest.raises(NotImplementedError, match="nested"):
+        read_delta(spark, t2)

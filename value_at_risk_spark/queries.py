@@ -15266,6 +15266,86 @@ def delta_small_file_compaction_scan(
 
 
 @query(
+    "delta_optimize_where_scan",
+    """
+SELECT s_nationkey,
+       COUNT(*) AS n_suppliers,
+       ROUND(SUM(s_acctbal), 2) AS total_bal
+FROM supplier GROUP BY s_nationkey
+""",
+)
+def delta_optimize_where_scan(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """OPTIMIZE ... WHERE (r13), ORACLE-pinned on its SCOPE: supplier
+    lands Hive-partitioned by nation in three trickle commits (small
+    files in every partition), then the SQL text surface runs
+    ``OPTIMIZE delta.`p` WHERE s_nationkey IN ('0','1')`` — the build
+    asserts every OUT-of-scope partition's add actions survive
+    VERBATIM while the scoped partitions compact (the 100 TB
+    daily-sweep contract: compact yesterday's partition, not the
+    table), and the hash vs DuckDB's supplier recompute proves the
+    scoped rewrite lost/duplicated nothing
+    (sources/deltalog.optimize_delta partition_filters;
+    delta_sql._parse_partition_predicate)."""
+    from value_at_risk_spark.sources.delta_sql import delta_sql
+    from value_at_risk_spark.sources.deltalog import (
+        read_delta,
+        snapshot,
+        write_delta,
+    )
+
+    def build(tbl: str) -> None:
+        sup = _t(spark, sf_dir, "supplier").select(
+            "s_suppkey", "s_nationkey", "s_acctbal"
+        )
+        for c in range(3):  # trickle: small files in every partition
+            write_delta(
+                spark,
+                sup.filter(F.col("s_suppkey") % 3 == c),
+                tbl,
+                partition_by=["s_nationkey"] if c == 0 else None,
+            )
+        snap0 = snapshot(tbl)
+
+        def by_part(snap):
+            out: dict[str, set] = {}
+            for p, a in snap.files.items():
+                k = (a.get("partitionValues") or {}).get("s_nationkey")
+                out.setdefault(k, set()).add(p)
+            return out
+
+        before = by_part(snap0)
+        delta_sql(
+            spark,
+            f"OPTIMIZE delta.`{tbl}` WHERE s_nationkey IN ('0','1')",
+        )
+        after = by_part(snapshot(tbl))
+        for k in before:
+            if k in ("0", "1"):
+                assert after[k] != before[k], f"scope {k} not compacted"
+            else:
+                assert after[k] == before[k], (
+                    f"out-of-scope partition {k} was rewritten"
+                )
+
+    tbl = _scratch_delta_table(
+        "optwhere",
+        sf_dir,
+        "supplier 3 trickle commits, OPTIMIZE WHERE nation 0,1",
+        build,
+    )
+    return (
+        read_delta(spark, tbl)
+        .groupBy("s_nationkey")
+        .agg(
+            F.count(F.lit(1)).alias("n_suppliers"),
+            (F.round(F.sum("s_acctbal"), 2) + F.lit(0.0)).alias(
+                "total_bal"
+            ),
+        )
+    )
+
+
+@query(
     "delta_shallow_clone_scan",
     """
 SELECT c_mktsegment,

@@ -21,7 +21,8 @@ like delta-spark's path syntax:
 - ``MERGE INTO delta.`/p` [AS] t USING view [AS] s ON t.k = s.k
   [AND ...] WHEN MATCHED THEN UPDATE SET * WHEN NOT MATCHED THEN
   INSERT *`` — the upsert-star form (key-level update-or-insert);
-- ``OPTIMIZE delta.`/p` [MIN FILE SIZE n] [ZORDER BY (c1, c2)]``;
+- ``OPTIMIZE delta.`/p` [WHERE part = 'v' [AND ...]] [MIN FILE SIZE n]
+  [ZORDER BY (c1, c2)]``;
 - ``VACUUM delta.`/p` [RETAIN n HOURS]``;
 - ``REORG [TABLE] delta.`/p` APPLY (PURGE)`` — materialize deletion
   vectors;
@@ -49,6 +50,39 @@ import uuid
 from pyspark.sql import DataFrame, SparkSession
 
 _DELTA_REF = re.compile(r"delta\.`([^`]+)`", re.IGNORECASE)
+
+
+def _parse_partition_predicate(text: str) -> dict[str, list[str]]:
+    """``OPTIMIZE ... WHERE`` predicate -> partition_filters: AND-ed
+    conjunctions of ``col = 'v'`` / ``col = n`` / ``col IN (...)``
+    over PARTITION columns only (real OPTIMIZE WHERE accepts exactly
+    that). Anything else raises — loud, never re-interpreted as a
+    row-level filter."""
+    out: dict[str, list[str]] = {}
+    for clause in re.split(r"\s+AND\s+", text.strip(), flags=re.IGNORECASE):
+        m = re.match(
+            r"^(\w+)\s*=\s*(?:'([^']*)'|(\S+))$", clause.strip()
+        )
+        if m:
+            out.setdefault(m.group(1), []).append(
+                m.group(2) if m.group(2) is not None else m.group(3)
+            )
+            continue
+        m = re.match(
+            r"^(\w+)\s+IN\s*\(([^)]+)\)$", clause.strip(), re.IGNORECASE
+        )
+        if m:
+            vals = [
+                v.strip().strip("'") for v in m.group(2).split(",")
+            ]
+            out.setdefault(m.group(1), []).extend(vals)
+            continue
+        raise ValueError(
+            "delta_sql OPTIMIZE WHERE: only partition predicates "
+            f"(col = value / col IN (...), AND-ed) are supported: "
+            f"{clause!r}"
+        )
+    return out
 
 
 def _one_path(stmt: str, context: str) -> str:
@@ -219,6 +253,7 @@ def delta_sql(spark: SparkSession, stmt: str):
     if head == "OPTIMIZE":
         m = re.match(
             r"OPTIMIZE\s+delta\.`[^`]+`"
+            r"(?:\s+WHERE\s+(.+?))?"
             r"(?:\s+MIN\s+FILE\s+SIZE\s+(\d+))?"
             r"(?:\s+ZORDER\s+BY\s+\(([^)]+)\))?$",
             s,
@@ -229,13 +264,18 @@ def delta_sql(spark: SparkSession, stmt: str):
                 f"delta_sql: unsupported OPTIMIZE shape: {stmt!r}"
             )
         zcols = (
-            [c.strip() for c in m.group(2).split(",")] if m.group(2) else None
+            [c.strip() for c in m.group(3).split(",")] if m.group(3) else None
         )
         return dl.optimize_delta(
             spark,
             _one_path(s, "OPTIMIZE"),
             zorder_by=zcols,
-            min_file_size=int(m.group(1)) if m.group(1) else None,
+            min_file_size=int(m.group(2)) if m.group(2) else None,
+            partition_filters=(
+                _parse_partition_predicate(m.group(1))
+                if m.group(1)
+                else None
+            ),
         )
 
     if head == "VACUUM":

@@ -3539,6 +3539,7 @@ def optimize_delta(
     target_files: int | None = None,
     bits: int = 16,
     min_file_size: int | None = None,
+    partition_filters: dict[str, list[str]] | None = None,
 ) -> int:
     """``OPTIMIZE [ZORDER BY ...]`` for native tables (the reference
     runs ``OPTIMIZE ... ZORDER BY (date, ticker)`` after its
@@ -3558,18 +3559,29 @@ def optimize_delta(
     materialize in passing), every right-sized file keeps its add
     action verbatim. A daily small-file sweep on a 100 TB table
     rewrites megabytes, not the table; full-rewrite OPTIMIZE stays
-    available for re-layout."""
+    available for re-layout.
+
+    ``partition_filters`` ({col: [values]}, LOGICAL names) scopes the
+    rewrite to matching partitions — ``OPTIMIZE ... WHERE`` — so the
+    100 TB daily sweep compacts yesterday's partition, not the table;
+    composes with min_file_size (small files within the scope) and
+    zorder_by (re-layout of the scope only)."""
     snap = snapshot(path)
     _refuse_high_writer_version(snap, "OPTIMIZE")
     if not snap.files:
         return snap.version
     # column-mapped tables: scan/stage physical, evaluate zorder
     # expressions (logical column names) in logical space
-    io_snap, to_log, to_phys, _l2p = _mapping_planes(spark, snap)
+    io_snap, to_log, to_phys, l2p = _mapping_planes(spark, snap)
     if zorder_by is None and min_file_size is None:
         # liquid-clustering shape: a clustered table's OPTIMIZE
         # re-clusters on its declared columns without being told
         zorder_by = table_clustering_columns(snap)
+    if partition_filters:
+        pf, _sf = _map_filter_names(l2p, partition_filters, None)
+        scope = _pruned_active(io_snap, pf, None)
+    else:
+        scope = sorted(snap.files)
     if min_file_size is not None:
         if zorder_by:
             raise ValueError(
@@ -3578,13 +3590,15 @@ def optimize_delta(
             )
         rewrite_set = sorted(
             p
-            for p, a in snap.files.items()
-            if int(a.get("size", 0) or 0) < min_file_size
+            for p in scope
+            if int(snap.files[p].get("size", 0) or 0) < min_file_size
         )
         if len(rewrite_set) < 2:
             return snap.version  # nothing to gain from compacting <2
     else:
-        rewrite_set = sorted(snap.files)
+        rewrite_set = scope
+        if not rewrite_set:
+            return snap.version  # empty scope: nothing to commit
     # pinned to the resolved snapshot (not the moving tip); deletion
     # vectors are APPLIED by the scan, so compaction materializes
     # them — the compacted files carry no DV
@@ -3650,6 +3664,16 @@ def optimize_delta(
                     **(
                         {"minFileSize": int(min_file_size)}
                         if min_file_size is not None
+                        else {}
+                    ),
+                    **(
+                        {
+                            "predicate": {
+                                c: sorted(v)
+                                for c, v in partition_filters.items()
+                            }
+                        }
+                        if partition_filters
                         else {}
                     ),
                 },
