@@ -543,6 +543,445 @@ def _check_cdf_files(path: str, name: str) -> None:
     )
 
 
+def _pq_write(path: str, cols: dict, schema=None) -> int:
+    """Write a small parquet data file with pyarrow (NOT through the
+    engine's writer) and return its size."""
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    t = pa.table(cols, schema=schema)
+    os.makedirs(os.path.dirname(path), exist_ok=True)
+    pq.write_table(t, path)
+    return os.stat(path).st_size
+
+
+def _log_write(table: str, version: int, actions: list[dict]) -> None:
+    log = os.path.join(table, "_delta_log")
+    os.makedirs(log, exist_ok=True)
+    with open(os.path.join(log, f"{version:020d}.json"), "w") as fh:
+        for a in actions:
+            fh.write(json.dumps(a) + "\n")
+
+
+def _meta(schema_fields: list[dict], part_cols=None, conf=None) -> dict:
+    return {
+        "metaData": {
+            "id": "foreign-fixture",
+            "format": {"provider": "parquet", "options": {}},
+            "schemaString": json.dumps(
+                {"type": "struct", "fields": schema_fields}
+            ),
+            "partitionColumns": part_cols or [],
+            "configuration": conf or {},
+        }
+    }
+
+
+def _plain_fields(*nts) -> list[dict]:
+    return [
+        {"name": n, "type": t, "nullable": True, "metadata": {}}
+        for n, t in nts
+    ]
+
+
+def arm_d_foreign_fixtures(spark, root: str) -> None:
+    """arm D — spec-derived FOREIGN-SHAPED fixtures, read by the
+    native reader. A genuinely foreign engine (delta-rs, delta-spark,
+    DuckDB's delta extension) is unavailable in this environment
+    (network-blocked), so these fixtures are authored DIRECTLY from
+    PROTOCOL.md with pyarrow + hand-written JSON — never through this
+    engine's writer — using representational choices our writer does
+    not emit (inline and absolute-path DV descriptors, multi-part
+    checkpoints with no surviving JSON commits, checkpoint rows with
+    foreign *_parsed extra columns, misleading file column names under
+    field-id mapping, a custom materialized row-id column name,
+    foreign-ordered stats JSON with unknown extra keys). PASS means
+    the READER consumes layouts it has never produced — the inverse
+    direction of arms A-C's writer-side checks."""
+    import numpy as np
+
+    from value_at_risk_spark.sources import dv as dvmod
+    from value_at_risk_spark.sources.deltalog import (
+        read_delta,
+        read_delta_row_ids,
+    )
+
+    # --- 1. inline DV (storageType "i") ---------------------------------
+    try:
+        t = os.path.join(root, "fix_inline_dv")
+        size = _pq_write(
+            os.path.join(t, "part-0.parquet"),
+            {"id": list(range(10)), "v": [float(i) for i in range(10)]},
+        )
+        data = dvmod.serialize_rbm_array(np.array([1, 3], dtype=np.uint64))
+        pad = (-len(data)) % 4
+        desc = {
+            "storageType": "i",
+            "pathOrInlineDv": dvmod.z85_encode(data + b"\x00" * pad),
+            "offset": None,
+            "sizeInBytes": len(data),
+            "cardinality": 2,
+        }
+        _log_write(t, 0, [
+            {"commitInfo": {"timestamp": 0, "operation": "WRITE"}},
+            {"protocol": {
+                "minReaderVersion": 3, "minWriterVersion": 7,
+                "readerFeatures": ["deletionVectors"],
+                "writerFeatures": ["deletionVectors"],
+            }},
+            _meta(_plain_fields(("id", "long"), ("v", "double"))),
+            {"add": {
+                "path": "part-0.parquet", "partitionValues": {},
+                "size": size, "modificationTime": 0, "dataChange": True,
+                "deletionVector": desc,
+            }},
+        ])
+        got = sorted(r.id for r in read_delta(spark, t).collect())
+        assert got == [i for i in range(10) if i not in (1, 3)], got
+        record("foreign_fixture_read:inline_dv", "PASS", "8 rows masked")
+    except Exception as e:  # noqa: BLE001
+        record("foreign_fixture_read:inline_dv", "FAIL", f"{e!r}"[:200])
+
+    # --- 2. absolute-path DV (storageType "p"), foreign bin bytes -------
+    try:
+        t = os.path.join(root, "fix_abs_dv")
+        size = _pq_write(
+            os.path.join(t, "part-0.parquet"),
+            {"id": list(range(6))},
+        )
+        data = dvmod.serialize_rbm_array(np.array([0, 5], dtype=np.uint64))
+        dv_abs = os.path.join(root, "external_dv.bin")
+        with open(dv_abs, "wb") as fh:  # format: ver byte @0, then @off
+            fh.write(b"\x01")
+            fh.write(struct.pack(">i", len(data)))
+            fh.write(data)
+            fh.write(struct.pack(">I", zlib.crc32(data) & 0xFFFFFFFF))
+        _log_write(t, 0, [
+            {"commitInfo": {"timestamp": 0, "operation": "WRITE"}},
+            {"protocol": {
+                "minReaderVersion": 3, "minWriterVersion": 7,
+                "readerFeatures": ["deletionVectors"],
+                "writerFeatures": ["deletionVectors"],
+            }},
+            _meta(_plain_fields(("id", "long"))),
+            {"add": {
+                "path": "part-0.parquet", "partitionValues": {},
+                "size": size, "modificationTime": 0, "dataChange": True,
+                "deletionVector": {
+                    "storageType": "p", "pathOrInlineDv": dv_abs,
+                    "offset": 1, "sizeInBytes": len(data),
+                    "cardinality": 2,
+                },
+            }},
+        ])
+        got = sorted(r.id for r in read_delta(spark, t).collect())
+        assert got == [1, 2, 3, 4], got
+        record("foreign_fixture_read:abs_path_dv", "PASS", "masked via p")
+    except Exception as e:  # noqa: BLE001
+        record("foreign_fixture_read:abs_path_dv", "FAIL", f"{e!r}"[:200])
+
+    # --- 3. 'name' mapping, physical partition dir key ------------------
+    try:
+        t = os.path.join(root, "fix_mapped_name")
+        size = _pq_write(
+            os.path.join(t, "pcol-7aa=5", "part-0.parquet"),
+            {"col-xy.z": [1, 2, 3], "col-w w": [1.5, 2.5, 3.5]},
+        )
+        fields = [
+            {"name": "id", "type": "long", "nullable": True,
+             "metadata": {"delta.columnMapping.id": 1,
+                          "delta.columnMapping.physicalName": "col-xy.z"}},
+            {"name": "val", "type": "double", "nullable": True,
+             "metadata": {"delta.columnMapping.id": 2,
+                          "delta.columnMapping.physicalName": "col-w w"}},
+            {"name": "part", "type": "integer", "nullable": True,
+             "metadata": {"delta.columnMapping.id": 3,
+                          "delta.columnMapping.physicalName": "pcol-7aa"}},
+        ]
+        _log_write(t, 0, [
+            {"commitInfo": {"timestamp": 0, "operation": "WRITE"}},
+            {"protocol": {
+                "minReaderVersion": 2, "minWriterVersion": 5,
+            }},
+            {**_meta(fields, part_cols=["part"],
+                     conf={"delta.columnMapping.mode": "name",
+                           "delta.columnMapping.maxColumnId": "3"})},
+            {"add": {
+                "path": "pcol-7aa%3D5/part-0.parquet",
+                "partitionValues": {"pcol-7aa": "5"},
+                "size": size, "modificationTime": 0, "dataChange": True,
+            }},
+        ])
+        rows = sorted(
+            (r.id, r.val, r.part)
+            for r in read_delta(spark, t).collect()
+        )
+        assert rows == [(1, 1.5, 5), (2, 2.5, 5), (3, 3.5, 5)], rows
+        record(
+            "foreign_fixture_read:mapped_name_partitioned", "PASS",
+            "physical cols + physical partition key resolved",
+        )
+    except Exception as e:  # noqa: BLE001
+        record(
+            "foreign_fixture_read:mapped_name_partitioned", "FAIL",
+            f"{e!r}"[:200],
+        )
+
+    # --- 4. 'id' mapping, misleading file column names ------------------
+    try:
+        import pyarrow as pa
+
+        t = os.path.join(root, "fix_mapped_id")
+        schema = pa.schema([
+            pa.field("totally_wrong", pa.int64(),
+                     metadata={b"PARQUET:field_id": b"1"}),
+            pa.field("also_wrong", pa.float64(),
+                     metadata={b"PARQUET:field_id": b"2"}),
+        ])
+        size = _pq_write(
+            os.path.join(t, "part-0.parquet"),
+            {"totally_wrong": [7, 8], "also_wrong": [0.5, 1.5]},
+            schema=schema,
+        )
+        fields = [
+            {"name": "id", "type": "long", "nullable": True,
+             "metadata": {"delta.columnMapping.id": 1,
+                          "delta.columnMapping.physicalName": "col-a"}},
+            {"name": "v", "type": "double", "nullable": True,
+             "metadata": {"delta.columnMapping.id": 2,
+                          "delta.columnMapping.physicalName": "col-b"}},
+        ]
+        _log_write(t, 0, [
+            {"commitInfo": {"timestamp": 0, "operation": "WRITE"}},
+            {"protocol": {
+                "minReaderVersion": 3, "minWriterVersion": 7,
+                "readerFeatures": ["columnMapping"],
+                "writerFeatures": ["columnMapping"],
+            }},
+            {**_meta(fields,
+                     conf={"delta.columnMapping.mode": "id",
+                           "delta.columnMapping.maxColumnId": "2"})},
+            {"add": {
+                "path": "part-0.parquet", "partitionValues": {},
+                "size": size, "modificationTime": 0, "dataChange": True,
+            }},
+        ])
+        rows = sorted((r.id, r.v) for r in read_delta(spark, t).collect())
+        assert rows == [(7, 0.5), (8, 1.5)], rows
+        record(
+            "foreign_fixture_read:mapped_id_wrong_names", "PASS",
+            "resolved by field id, not name",
+        )
+    except Exception as e:  # noqa: BLE001
+        record(
+            "foreign_fixture_read:mapped_id_wrong_names", "FAIL",
+            f"{e!r}"[:200],
+        )
+
+    # --- 5. multi-part checkpoint, no JSON commits ----------------------
+    try:
+        import pyarrow as pa
+        import pyarrow.parquet as pq
+
+        t = os.path.join(root, "fix_multipart_cp")
+        size = _pq_write(
+            os.path.join(t, "part-0.parquet"), {"id": [1, 2, 3]}
+        )
+        log = os.path.join(t, "_delta_log")
+        os.makedirs(log)
+        # explicit Arrow schema: partitionValues/configuration as
+        # map<string,string> like real checkpoints (inference would
+        # type an empty dict as a zero-field struct, unwritable)
+        smap = pa.map_(pa.string(), pa.string())
+        proto_schema = pa.schema([
+            pa.field("protocol", pa.struct([
+                pa.field("minReaderVersion", pa.int32()),
+                pa.field("minWriterVersion", pa.int32()),
+            ])),
+            pa.field("metaData", pa.struct([
+                pa.field("id", pa.string()),
+                pa.field("format", pa.struct(
+                    [pa.field("provider", pa.string())]
+                )),
+                pa.field("schemaString", pa.string()),
+                pa.field("partitionColumns", pa.list_(pa.string())),
+                pa.field("configuration", smap),
+            ])),
+        ])
+        proto_t = pa.table(
+            {
+                "protocol": [
+                    {"minReaderVersion": 1, "minWriterVersion": 2},
+                    None,
+                ],
+                "metaData": [
+                    None,
+                    {"id": "mp", "format": {"provider": "parquet"},
+                     "schemaString": json.dumps({
+                         "type": "struct",
+                         "fields": _plain_fields(("id", "long"))}),
+                     "partitionColumns": [], "configuration": []},
+                ],
+            },
+            schema=proto_schema,
+        )
+        adds_schema = pa.schema([
+            pa.field("add", pa.struct([
+                pa.field("path", pa.string()),
+                pa.field("partitionValues", smap),
+                pa.field("size", pa.int64()),
+                pa.field("modificationTime", pa.int64()),
+                pa.field("dataChange", pa.bool_()),
+                # foreign writers add *_parsed columns — must be ignored
+                pa.field("partitionValues_parsed", pa.struct(
+                    [pa.field("__dummy", pa.string())]
+                )),
+            ])),
+        ])
+        adds_t = pa.table(
+            {
+                "add": [{
+                    "path": "part-0.parquet", "partitionValues": [],
+                    "size": size, "modificationTime": 0,
+                    "dataChange": True,
+                    "partitionValues_parsed": {"__dummy": None},
+                }],
+            },
+            schema=adds_schema,
+        )
+        pq.write_table(
+            proto_t,
+            os.path.join(
+                log, f"{3:020d}.checkpoint.{1:010d}.{2:010d}.parquet"
+            ),
+        )
+        pq.write_table(
+            adds_t,
+            os.path.join(
+                log, f"{3:020d}.checkpoint.{2:010d}.{2:010d}.parquet"
+            ),
+        )
+        with open(os.path.join(log, "_last_checkpoint"), "w") as fh:
+            json.dump({"version": 3, "size": 3, "parts": 2}, fh)
+        got = sorted(r.id for r in read_delta(spark, t).collect())
+        assert got == [1, 2, 3], got
+        record(
+            "foreign_fixture_read:multipart_checkpoint_bootstrap",
+            "PASS", "2-part checkpoint, zero JSON commits",
+        )
+    except Exception as e:  # noqa: BLE001
+        record(
+            "foreign_fixture_read:multipart_checkpoint_bootstrap",
+            "FAIL", f"{e!r}"[:200],
+        )
+
+    # --- 6. row tracking: foreign materialized column name --------------
+    try:
+        t = os.path.join(root, "fix_rowtrack")
+        s1 = _pq_write(
+            os.path.join(t, "fresh.parquet"), {"id": [10, 11]}
+        )
+        s2 = _pq_write(
+            os.path.join(t, "rewritten.parquet"),
+            {"id": [20, 21], "_weird_rid_col": [900, 901]},
+        )
+        _log_write(t, 0, [
+            {"commitInfo": {"timestamp": 0, "operation": "WRITE"}},
+            # rowTracking is a WRITER feature per the spec: readers
+            # that don't understand row ids can still read the data
+            {"protocol": {
+                "minReaderVersion": 1, "minWriterVersion": 7,
+                "writerFeatures": ["rowTracking", "domainMetadata"],
+            }},
+            _meta(
+                _plain_fields(("id", "long")),
+                conf={
+                    "delta.enableRowTracking": "true",
+                    "delta.rowTracking.materializedRowIdColumnName":
+                        "_weird_rid_col",
+                },
+            ),
+            {"domainMetadata": {
+                "domain": "delta.rowTracking",
+                "configuration": json.dumps({"rowIdHighWaterMark": 901}),
+                "removed": False,
+            }},
+            {"add": {"path": "fresh.parquet", "partitionValues": {},
+                     "size": s1, "modificationTime": 0,
+                     "dataChange": True, "baseRowId": 0,
+                     "defaultRowCommitVersion": 0}},
+            {"add": {"path": "rewritten.parquet", "partitionValues": {},
+                     "size": s2, "modificationTime": 0,
+                     "dataChange": True, "baseRowId": 100,
+                     "defaultRowCommitVersion": 0}},
+        ])
+        rid = {
+            r.id: r.row_id
+            for r in read_delta_row_ids(spark, t).collect()
+        }
+        assert rid == {10: 0, 11: 1, 20: 900, 21: 901}, rid
+        record(
+            "foreign_fixture_read:rowtracking_foreign_matcol", "PASS",
+            "fresh=base+pos, rewritten=materialized column",
+        )
+    except Exception as e:  # noqa: BLE001
+        record(
+            "foreign_fixture_read:rowtracking_foreign_matcol", "FAIL",
+            f"{e!r}"[:200],
+        )
+
+    # --- 7. foreign stats JSON: extra keys, unusual order ---------------
+    try:
+        t = os.path.join(root, "fix_stats")
+        sizes = []
+        for i, lo in enumerate((0, 100)):
+            sizes.append(_pq_write(
+                os.path.join(t, f"part-{i}.parquet"),
+                {"id": list(range(lo, lo + 10))},
+            ))
+        stats = [
+            # delta-rs-style order + unknown extra keys
+            json.dumps({
+                "nullCount": {"id": 0},
+                "maxValues": {"id": 9},
+                "minValues": {"id": 0},
+                "numRecords": 10,
+                "tightBounds": True,
+                "someFutureKey": {"x": 1},
+            }),
+            json.dumps({
+                "numRecords": 10,
+                "minValues": {"id": 100},
+                "maxValues": {"id": 109},
+                "nullCount": {"id": 0},
+            }),
+        ]
+        _log_write(t, 0, [
+            {"commitInfo": {"timestamp": 0, "operation": "WRITE"}},
+            {"protocol": {"minReaderVersion": 1, "minWriterVersion": 2}},
+            _meta(_plain_fields(("id", "long"))),
+            *[{"add": {
+                "path": f"part-{i}.parquet", "partitionValues": {},
+                "size": sizes[i], "modificationTime": 0,
+                "dataChange": True, "stats": stats[i],
+            }} for i in range(2)],
+        ])
+        pruned = read_delta(
+            spark, t, stats_filters=[("id", ">=", 100)]
+        )
+        assert pruned.count() == 10
+        assert read_delta(spark, t).count() == 20
+        record(
+            "foreign_fixture_read:foreign_stats_pruning", "PASS",
+            "extra keys ignored, pruning exact",
+        )
+    except Exception as e:  # noqa: BLE001
+        record(
+            "foreign_fixture_read:foreign_stats_pruning", "FAIL",
+            f"{e!r}"[:200],
+        )
+
+
 def main() -> int:
     sf_dir = sys.argv[1] if len(sys.argv) > 1 else "/root/testdata/sf0.01"
     out = sys.argv[2] if len(sys.argv) > 2 else None
@@ -555,6 +994,7 @@ def main() -> int:
         arm_a_delta_scan(spark, tables)
         arm_b_foreign_parquet(spark, tables)
         arm_c_structural(tables)
+        arm_d_foreign_fixtures(spark, root)
     finally:
         shutil.rmtree(root, ignore_errors=True)
     fails = [k for k, v in RESULTS.items() if v["status"] == "FAIL"]

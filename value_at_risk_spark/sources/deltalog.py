@@ -583,7 +583,7 @@ def read_delta(
             spark, path, snap, partition_filters, stats_filters
         )
         return phys.select(
-            *[F.col(l2p[name]).alias(name) for name in logical]
+            *[_qcol(l2p[name]).alias(name) for name in logical]
         )
     return _read_snapshot(spark, path, snap, partition_filters, stats_filters)
 
@@ -682,6 +682,18 @@ def _physicalized(
     )
 
 
+def _q(name: str) -> str:
+    """Backtick-quote a column name for string-based resolution: a
+    foreign writer may assign physicalNames containing dots or spaces
+    (the spec allows any string), and an unquoted ``select("col-x.y")``
+    would resolve the dot as struct access."""
+    return "`" + name.replace("`", "``") + "`"
+
+
+def _qcol(name: str):
+    return F.col(_q(name))
+
+
 def _mapping_planes(spark: SparkSession, snap: DeltaSnapshot):
     """The logical/physical plane adapter DML paths run through on
     column-mapped tables: returns ``(io_snap, to_logical,
@@ -713,7 +725,7 @@ def _mapping_planes(spark: SparkSession, snap: DeltaSnapshot):
 
     def to_logical(df: DataFrame) -> DataFrame:
         return df.select(
-            *[F.col(c).alias(p2l.get(c, c)) for c in df.columns]
+            *[_qcol(c).alias(p2l.get(c, c)) for c in df.columns]
         )
 
     def to_physical(df: DataFrame) -> DataFrame:
@@ -725,9 +737,9 @@ def _mapping_planes(spark: SparkSession, snap: DeltaSnapshot):
                     if fids and c in fids
                     else {}
                 )
-                cols.append(F.col(c).alias(l2p[c], metadata=md))
+                cols.append(_qcol(c).alias(l2p[c], metadata=md))
             else:
-                cols.append(F.col(c))
+                cols.append(_qcol(c))
         return df.select(*cols)
 
     return io_snap, to_logical, to_physical, l2p
@@ -908,7 +920,7 @@ def _read_active(
     )
     for c in snap.partition_columns:
         out = out.withColumn(c, F.col(f"_pv_{c}").cast(schema[c].dataType))
-    return out.select(*[f.name for f in schema.fields])
+    return out.select(*[_q(f.name) for f in schema.fields])
 
 
 def _union_scan(
@@ -923,7 +935,7 @@ def _union_scan(
     out = parts[0]
     for p in parts[1:]:
         out = out.unionByName(p)
-    return out.select(*[f.name for f in schema.fields])
+    return out.select(*[_q(f.name) for f in schema.fields])
 
 
 def _group_by_partition_root(
@@ -1085,13 +1097,14 @@ def _scan_files_meta(
     ]
     names = [f.name for f in schema.fields]
     if not snap.partition_columns:
-        return spark.read.schema(schema).parquet(*files).select(*names, *meta)
+        return (spark.read.schema(schema).parquet(*files)
+                .select(*[_q(n) for n in names], *meta))
     groups = _group_by_partition_root(path, files)
     parts = [
         spark.read.schema(schema)
         .option("basePath", root)
         .parquet(*fs)
-        .select(*names, *meta)
+        .select(*[_q(n) for n in names], *meta)
         for root, fs in sorted(groups.items())
     ]
     out = parts[0]
@@ -1306,7 +1319,7 @@ def _scan_files_dv(
         df = _dv_keep_filter(spark, path, dvm, df)
     if keep_meta:
         return df
-    return df.select(*[f.name for f in snap.schema.fields])
+    return df.select(*[_q(f.name) for f in snap.schema.fields])
 
 
 def read_delta_row_ids(
@@ -1343,7 +1356,7 @@ def read_delta_row_ids(
             "row_id",
         )
         return phys.select(
-            *[F.col(l2p[n]).alias(n) for n in logical], "row_id"
+            *[_qcol(l2p[n]).alias(n) for n in logical], "row_id"
         )
     return _files_with_row_ids(
         spark, path, snap, sorted(snap.files), "row_id"
