@@ -32,9 +32,10 @@ def entry(spark: SparkSession) -> DataFrame:
     return QUERIES["expected_shortfall_99"](spark, "/root/testdata/sf0.001")
 
 
-def _gate_ledger() -> dict[str, tuple[int, bool]]:
+def _gate_ledger() -> dict[str, tuple[int, bool, bool]]:
     """Map query name -> (most recent driver-gate round that recorded a
-    row for it, whether that latest row PASSED), from committed
+    row for it, whether that latest row PASSED, whether that row was
+    ROWS-ONLY — ``err == "no_oracle"``), from committed
     ``CORRECTNESS_r*.json`` files.
 
     A row passes when the oracle compare hash-matched, or — for
@@ -61,9 +62,10 @@ def _gate_ledger() -> dict[str, tuple[int, bool]]:
         except (OSError, ValueError):
             continue
         for name, row in rows.items():
+            rows_only = isinstance(row, dict) and row.get("err") == "no_oracle"
             if not isinstance(row, dict):
                 passed = False
-            elif row.get("err") == "no_oracle":
+            elif rows_only:
                 passed = row.get("spark_rows") is not None
             else:
                 passed = (
@@ -73,7 +75,7 @@ def _gate_ledger() -> dict[str, tuple[int, bool]]:
                 )
             prev = ledger.get(name)
             if prev is None or rnd >= prev[0]:
-                ledger[name] = (rnd, passed)
+                ledger[name] = (rnd, passed, rows_only)
     return ledger
 
 
@@ -97,9 +99,23 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     failed = [k for k in QUERIES if k in ledger and not ledger[k][1]]
     failed.sort(key=lambda k: ledger[k][0])  # stable: ties keep dict order
     fresh_oracle = [k for k in QUERIES if k not in ledger and k in ORACLES]
+    # GRADUATED: last gated rows-only but NOW oracle-backed — the
+    # contract changed, so the green row in the ledger never verified
+    # the hash; re-gate alongside never-gated oracle coverage
+    graduated = [
+        k
+        for k in QUERIES
+        if k in ledger and ledger[k][1] and ledger[k][2] and k in ORACLES
+    ]
+    graduated.sort(key=lambda k: ledger[k][0])
     fresh_rows = [k for k in QUERIES if k not in ledger and k not in ORACLES]
-    fresh = [*fresh_oracle, *fresh_rows]
-    green = [k for k in QUERIES if k in ledger and ledger[k][1]]
+    fresh = [*fresh_oracle, *graduated, *fresh_rows]
+    graduated_set = set(graduated)
+    green = [
+        k
+        for k in QUERIES
+        if k in ledger and ledger[k][1] and k not in graduated_set
+    ]
     green.sort(key=lambda k: ledger[k][0])
     ordered = [*failed]
     fi = gi = slot = 0

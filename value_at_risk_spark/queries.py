@@ -13964,7 +13964,9 @@ def net_dollar_retention(spark: SparkSession, sf_dir: str) -> DataFrame:
 # checkpoints, version time travel, Hive-partitioned layout.
 
 _SCRATCH_MEMO: dict = {}
-_SCRATCH_LOCK = threading.Lock()
+# RLock: a builder that (today or later) composes another scratch
+# table re-enters on the same thread — a plain Lock would deadlock
+_SCRATCH_LOCK = threading.RLock()
 _SCRATCH_ROOTS: list = []
 
 
