@@ -1741,7 +1741,18 @@ def minhash_lsh_pairs_q(spark: SparkSession, sf_dir: str) -> DataFrame:
     pairs = minhash_lsh_pairs(sigs, num_bands=8, num_hashes=32)
     from value_at_risk_spark.functions.text import shingles
 
-    sh = d.select(
+    # verify ONLY the candidate docs: the shingle arrays feeding the
+    # exact-Jaccard check are built after a semi-join on the (tiny)
+    # candidate id set — without it both join branches recomputed
+    # shingles for the WHOLE corpus (3x the query's cost at sf0.1;
+    # at 100 TB the difference between candidate-bounded and
+    # corpus-bounded verify)
+    cand_ids = (
+        pairs.select(F.col("id_a").alias("doc_id"))
+        .union(pairs.select(F.col("id_b").alias("doc_id")))
+        .distinct()
+    )
+    sh = d.join(F.broadcast(cand_ids), "doc_id", "left_semi").select(
         "doc_id", F.array_distinct(shingles("text", 3)).alias("sh")
     )
     a = sh.select(F.col("doc_id").alias("id_a"), F.col("sh").alias("sh_a"))
@@ -3371,7 +3382,14 @@ def lsh_recall_high_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
     d = _t(spark, sf_dir, "documents")
     sigs = minhash_signatures(d, num_hashes=32, shingle_n=3)
     pairs = minhash_lsh_pairs(sigs, num_bands=16, num_hashes=32)
-    sh = d.select(
+    # candidate-bounded verify (see minhash_lsh_pairs): shingle arrays
+    # only for docs that appear in a candidate pair
+    cand_ids = (
+        pairs.select(F.col("id_a").alias("doc_id"))
+        .union(pairs.select(F.col("id_b").alias("doc_id")))
+        .distinct()
+    )
+    sh = d.join(F.broadcast(cand_ids), "doc_id", "left_semi").select(
         "doc_id", F.array_distinct(shingles("text", 3)).alias("sh")
     )
     a = sh.select(F.col("doc_id").alias("id_a"), F.col("sh").alias("sh_a"))
