@@ -1753,12 +1753,17 @@ def test_column_mapping_name_mode_read_and_write_refusal(spark, tmp_path):
     from value_at_risk_spark.sources.delta_datasource import (
         _DeltaStreamReader,
     )
-    # 'id' mode reads resolve by parquet FIELD ID (r12); this foreign
-    # table's original files carry NO field ids, so the read must
-    # fail LOUD (ignoreMissing=false), never silently match by name
+    # 'id' mode reads resolve by parquet FIELD ID (r12); a FRESH
+    # foreign table whose files carry NO field ids must fail LOUD
+    # (ignoreMissing=false), never silently match by name. (The first
+    # table no longer qualifies: this engine's own appends/DML/
+    # OPTIMIZE restaged its live files WITH field ids in both modes —
+    # delta-spark's forward-interop stance — so an id-mode read of it
+    # now legitimately succeeds.)
     import json as _json
 
-    with open(os.path.join(tbl, "_delta_log", f"{0:020d}.json")) as fh:
+    tbl2 = _make_mapped_table(tmp_path / "second")
+    with open(os.path.join(tbl2, "_delta_log", f"{0:020d}.json")) as fh:
         acts = [_json.loads(x) for x in fh if x.strip()]
     for a in acts:
         if a.get("metaData"):
@@ -1766,19 +1771,19 @@ def test_column_mapping_name_mode_read_and_write_refusal(spark, tmp_path):
                 "delta.columnMapping.mode"
             ] = "id"
     with open(
-        os.path.join(tbl, "_delta_log", f"{0:020d}.json"), "w"
+        os.path.join(tbl2, "_delta_log", f"{0:020d}.json"), "w"
     ) as fh:
         for a in acts:
             fh.write(_json.dumps(a) + "\n")
     with pytest.raises(Exception):  # noqa: B017 — loudness is the contract
-        read_delta(spark, tbl).collect()
+        read_delta(spark, tbl2).collect()
     # the pyarrow DataSource reader resolves by NAME — it must refuse
     # (Spark wraps the reader's NotImplementedError in AnalysisException)
     with pytest.raises(Exception, match="mode=id"):
-        spark.read.format("deltalog").load(tbl).collect()
+        spark.read.format("deltalog").load(tbl2).collect()
     # ...and the stream reader refuses 'id' mode at construction
     with pytest.raises(NotImplementedError, match="mode=id"):
-        _DeltaStreamReader({"path": tbl}, None)
+        _DeltaStreamReader({"path": tbl2}, None)
 
 
 def test_checkpoint_preserves_table_configuration(spark, tmp_path):
@@ -4154,6 +4159,62 @@ def test_datasource_cdf_and_stream_mapped_table(spark, tmp_path):
         )
 
 
+def test_datasource_nested_mapped_table(spark, tmp_path):
+    """The pyarrow DS readers over a NESTED column-mapped table: the
+    file's struct children carry physical names, pyarrow's name-based
+    cast can't rename them — the positional rebuild does. Batch read
+    equals read_delta; batch CDF equals table_changes."""
+    from value_at_risk_spark.sources.delta_datasource import (
+        register_deltalog_source,
+    )
+    from value_at_risk_spark.sources.deltalog import (
+        table_changes,
+        update_delta,
+    )
+
+    register_deltalog_source(spark)
+    tbl = str(tmp_path / "dsnested")
+    df = spark.createDataFrame(
+        [
+            (1, "a", (10, "x"), [(1.5, 2)]),
+            (2, "b", (20, "y"), [(3.5, 4)]),
+        ],
+        "id long, seg string, s struct<a:long,b:string>, "
+        "arr array<struct<p:double,q:long>>",
+    )
+    write_delta(
+        spark, df, tbl, partition_by=["seg"],
+        configuration={
+            "delta.enableChangeDataFeed": "true",
+            "delta.columnMapping.mode": "name",
+        },
+    )
+    update_delta(
+        spark, tbl, "s.a = 20",
+        {"s": "named_struct('a', s.a + 1, 'b', s.b)"},
+    )
+    ds = spark.read.format("deltalog").load(tbl)
+    assert ds.schema["s"].dataType.fieldNames() == ["a", "b"]
+    assert sorted(
+        (r.id, r.seg, tuple(r.s), tuple(map(tuple, r.arr)))
+        for r in ds.collect()
+    ) == sorted(
+        (r.id, r.seg, tuple(r.s), tuple(map(tuple, r.arr)))
+        for r in read_delta(spark, tbl).collect()
+    )
+    cdf = (
+        spark.read.format("deltalog")
+        .option("readChangeFeed", "true")
+        .option("startingVersion", "0")
+        .load(tbl)
+    )
+    key = lambda fr: sorted(  # noqa: E731
+        (r["_commit_version"], r["_change_type"], r["id"], tuple(r["s"]))
+        for r in fr.collect()
+    )
+    assert key(cdf) == key(table_changes(spark, tbl, 0))
+
+
 def test_optimize_where_partition_scoped(spark, tmp_path):
     """OPTIMIZE ... WHERE (r13): the rewrite is scoped to matching
     partitions — files outside the scope keep their add actions
@@ -4232,24 +4293,120 @@ def test_optimize_where_partition_scoped(spark, tmp_path):
     assert ci["operationParameters"]["predicate"] == {"seg": ["2"]}
 
 
-def test_nested_column_mapping_refuses_loud(spark, tmp_path):
-    """Nested-struct column mapping is the one remaining mapping gap:
-    creation with a struct column under columnMapping.mode refuses,
-    and a FOREIGN table whose nested fields carry physicalName
-    metadata refuses at read — loud, never a silent misread of
-    physical-named nested fields."""
-    t = str(tmp_path / "nested_map")
-    df = spark.createDataFrame(
-        [(1, (2, 3.0))], "id long, s struct<a:long,b:double>"
+@pytest.mark.parametrize("mode", ["name", "id"])
+def test_nested_column_mapping_lifecycle(spark, tmp_path, mode):
+    """Nested-struct column mapping, both modes: creation assigns
+    ids/physicalNames at EVERY nesting level (struct-in-struct,
+    array-of-struct), data files carry physical nested names (+
+    nested parquet field ids), reads rename back via positional
+    struct casts, DML binds logical nested names, and RENAME of a
+    nested field is metadata-only."""
+    import glob as _glob
+
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    from value_at_risk_spark.sources.deltalog import (
+        delete_from_delta,
+        rename_delta_column,
+        update_delta,
     )
-    with pytest.raises(NotImplementedError, match="nested"):
-        write_delta(
-            spark, df, t,
-            configuration={"delta.columnMapping.mode": "name"},
-        )
-    # foreign table: nested physicalName in the schemaString
+
+    t = str(tmp_path / f"nested_map_{mode}")
+    kind = (
+        "id long, seg string, s struct<a:long,b:string>, "
+        "arr array<struct<p:double,q:long>>"
+    )
+    df = spark.createDataFrame(
+        [
+            (1, "a", (10, "x"), [(1.5, 2)]),
+            (2, "b", (20, "y"), [(3.5, 4)]),
+            (3, "a", (30, "z"), [(5.5, 6)]),
+        ],
+        kind,
+    )
+    write_delta(
+        spark,
+        df,
+        t,
+        partition_by=["seg"],
+        configuration={"delta.columnMapping.mode": mode},
+    )
+    # maxColumnId counts NESTED fields too: id, seg, s, s.a, s.b,
+    # arr, arr.p, arr.q = 8
+    snap = snapshot(t)
+    assert snap.metadata["configuration"][
+        "delta.columnMapping.maxColumnId"
+    ] == "8"
+    # data files: physical top-level AND nested names; nested parquet
+    # field ids present (what 'id' mode resolves by)
+    files = _glob.glob(f"{t}/**/*.parquet", recursive=True)
+    fsch = pq.ParquetFile(files[0]).schema_arrow
+    assert all(n.startswith("col-") for n in fsch.names)
+    sfield = next(
+        f for f in fsch if pa.types.is_struct(f.type)
+    )
+    for i in range(sfield.type.num_fields):
+        nf = sfield.type.field(i)
+        assert nf.name.startswith("col-")
+        assert (nf.metadata or {}).get(b"PARQUET:field_id") is not None
+    # read-back: logical names at every level, values exact
+    got = read_delta(spark, t)
+    assert got.schema["s"].dataType.fieldNames() == ["a", "b"]
+    assert _rows(got) == _rows(df)
+    # append through the same planes
+    write_delta(
+        spark,
+        spark.createDataFrame([(4, "c", (40, "w"), [(7.5, 8)])], kind),
+        t,
+        mode="append",
+    )
+    # DML with NESTED conditions / whole-struct SET
+    delete_from_delta(spark, t, "s.a = 20")
+    update_delta(
+        spark, t, "s.a = 30", {"s": "named_struct('a', s.a + 100, 'b', 'Z')"}
+    )
+    r = {x.id: x.s for x in read_delta(spark, t).collect()}
+    assert set(r) == {1, 3, 4} and r[3].a == 130 and r[3].b == "Z"
+    # nested RENAME: metadata-only, time travel keeps the old name
+    v = rename_delta_column(t, "s.a", "alpha")
+    got2 = read_delta(spark, t)
+    assert got2.schema["s"].dataType.fieldNames() == ["alpha", "b"]
+    assert {x.s.alpha for x in got2.collect()} == {10, 130, 40}
+    old = read_delta(spark, t, version=v - 1)
+    assert old.schema["s"].dataType.fieldNames() == ["a", "b"]
+    with pytest.raises(ValueError, match="no column"):
+        rename_delta_column(t, "s.missing", "zz")
+    with pytest.raises(ValueError, match="not a struct"):
+        rename_delta_column(t, "id.x", "zz")
+
+
+def test_nested_column_mapping_foreign_read(spark, tmp_path):
+    """A FOREIGN 'name'-mode table whose nested physicalNames contain
+    dots and spaces (the spec allows any string) reads back logical —
+    the positional-cast rename, not string resolution, carries it."""
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    from value_at_risk_spark.sources.deltalog import _publish_commit
+
     t2 = str(tmp_path / "nested_foreign")
     os.makedirs(os.path.join(t2, "_delta_log"))
+    # physical file: struct column 'col-s' with nested 'col x.y'
+    data = pa.table(
+        {
+            "col-s": pa.array(
+                [{"col x.y": 7, "col sp ace": "u"},
+                 {"col x.y": 8, "col sp ace": "v"}],
+                type=pa.struct(
+                    [("col x.y", pa.int64()), ("col sp ace", pa.string())]
+                ),
+            )
+        }
+    )
+    fname = "part-00000-foreign.parquet"
+    pq.write_table(data, os.path.join(t2, fname))
+    n_bytes = os.path.getsize(os.path.join(t2, fname))
     schema_string = json.dumps(
         {
             "type": "struct",
@@ -4266,9 +4423,19 @@ def test_nested_column_mapping_refuses_loud(spark, tmp_path):
                                 "metadata": {
                                     "delta.columnMapping.id": 2,
                                     "delta.columnMapping.physicalName":
-                                        "col-x",
+                                        "col x.y",
                                 },
-                            }
+                            },
+                            {
+                                "name": "b",
+                                "type": "string",
+                                "nullable": True,
+                                "metadata": {
+                                    "delta.columnMapping.id": 3,
+                                    "delta.columnMapping.physicalName":
+                                        "col sp ace",
+                                },
+                            },
                         ],
                     },
                     "nullable": True,
@@ -4280,8 +4447,6 @@ def test_nested_column_mapping_refuses_loud(spark, tmp_path):
             ],
         }
     )
-    from value_at_risk_spark.sources.deltalog import _publish_commit
-
     _publish_commit(
         t2,
         0,
@@ -4304,7 +4469,20 @@ def test_nested_column_mapping_refuses_loud(spark, tmp_path):
                     },
                 }
             },
+            {
+                "add": {
+                    "path": fname,
+                    "partitionValues": {},
+                    "size": n_bytes,
+                    "modificationTime": 0,
+                    "dataChange": True,
+                }
+            },
         ],
     )
-    with pytest.raises(NotImplementedError, match="nested"):
-        read_delta(spark, t2)
+    got = read_delta(spark, t2)
+    assert got.schema["s"].dataType.fieldNames() == ["a", "b"]
+    assert sorted((x.s.a, x.s.b) for x in got.collect()) == [
+        (7, "u"),
+        (8, "v"),
+    ]

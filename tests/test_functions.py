@@ -715,3 +715,54 @@ def test_classification_report_edge_classes(spark):
     )
     for r in classification_report(perfect).collect():
         assert r.precision == 1.0 and r.recall == 1.0 and r.f1 == 1.0
+
+
+def test_xxh64_sql_parity(spark):
+    """The DuckDB-SQL XXH64 replay (functions/xxh64_sql.py — the r13
+    SimHash oracle graduation) equals Spark's ``F.xxhash64`` (seed
+    42, UTF-8 bytes) BIT FOR BIT across every length class the
+    algorithm branches on: empty, 1-byte tail, 4-byte tail, exact
+    8/32-byte boundaries, multi-stripe (>64 bytes), and multibyte
+    UTF-8 (hashing is over encoded bytes, not code points)."""
+    import random
+    import string
+
+    import duckdb
+
+    from value_at_risk_spark.functions.xxh64_sql import (
+        xxh64_cte,
+        xxh64_signed,
+    )
+
+    tests = [
+        "", "a", "ab", "abc", "1234", "12345", "1234567", "12345678",
+        "123456789012", "abcdefghijklmnop", "x" * 31, "x" * 32,
+        "x" * 33, "x" * 39, "x" * 40, "x" * 64, "x" * 65, "0" * 100,
+        "the quick brown fox jumps over the lazy dog and keeps going",
+        "café", "naïve-ütf8-строка", "emoji \U0001f600 bytes",
+    ]
+    rng = random.Random(11)
+    tests += [
+        "".join(
+            rng.choice(string.ascii_letters + "äöü§ ")
+            for _ in range(rng.randint(0, 90))
+        )
+        for _ in range(40)
+    ]
+    tests = sorted(set(tests))
+    want = {
+        r.s: r.h
+        for r in spark.createDataFrame([(t,) for t in tests], "s string")
+        .select("s", F.xxhash64("s").alias("h"))
+        .collect()
+    }
+    con = duckdb.connect()
+    con.execute("CREATE TABLE toks(t VARCHAR)")
+    con.executemany("INSERT INTO toks VALUES (?)", [(t,) for t in tests])
+    sql = (
+        "WITH "
+        + xxh64_cte("toks")
+        + f"SELECT t, {xxh64_signed()} AS h FROM hsh"
+    )
+    got = dict(con.sql(sql).fetchall())
+    assert got == want

@@ -778,6 +778,86 @@ def arm_d_foreign_fixtures(spark, root: str) -> None:
             f"{e!r}"[:200],
         )
 
+    # --- 4b. 'name' mapping with NESTED physical names ------------------
+    try:
+        import pyarrow as pa
+
+        t = os.path.join(root, "fix_mapped_nested")
+        size = _pq_write(
+            os.path.join(t, "part-0.parquet"),
+            {
+                "col-s": pa.array(
+                    [
+                        {"n.x y": 10, "n z": "u"},
+                        {"n.x y": 20, "n z": "v"},
+                    ],
+                    type=pa.struct(
+                        [("n.x y", pa.int64()), ("n z", pa.string())]
+                    ),
+                ),
+                "col-l": pa.array(
+                    [[{"q 1": 1.5}], [{"q 1": 2.5}]],
+                    type=pa.list_(pa.struct([("q 1", pa.float64())])),
+                ),
+            },
+        )
+        fields = [
+            {"name": "s", "nullable": True,
+             "metadata": {"delta.columnMapping.id": 1,
+                          "delta.columnMapping.physicalName": "col-s"},
+             "type": {"type": "struct", "fields": [
+                 {"name": "a", "type": "long", "nullable": True,
+                  "metadata": {"delta.columnMapping.id": 2,
+                               "delta.columnMapping.physicalName":
+                                   "n.x y"}},
+                 {"name": "b", "type": "string", "nullable": True,
+                  "metadata": {"delta.columnMapping.id": 3,
+                               "delta.columnMapping.physicalName":
+                                   "n z"}},
+             ]}},
+            {"name": "lst", "nullable": True,
+             "metadata": {"delta.columnMapping.id": 4,
+                          "delta.columnMapping.physicalName": "col-l"},
+             "type": {"type": "array", "containsNull": True,
+                      "elementType": {"type": "struct", "fields": [
+                          {"name": "p", "type": "double",
+                           "nullable": True,
+                           "metadata": {
+                               "delta.columnMapping.id": 5,
+                               "delta.columnMapping.physicalName":
+                                   "q 1"}},
+                      ]}}},
+        ]
+        _log_write(t, 0, [
+            {"commitInfo": {"timestamp": 0, "operation": "WRITE"}},
+            {"protocol": {
+                "minReaderVersion": 2, "minWriterVersion": 5,
+            }},
+            {**_meta(fields,
+                     conf={"delta.columnMapping.mode": "name",
+                           "delta.columnMapping.maxColumnId": "5"})},
+            {"add": {
+                "path": "part-0.parquet", "partitionValues": {},
+                "size": size, "modificationTime": 0, "dataChange": True,
+            }},
+        ])
+        got = read_delta(spark, t)
+        assert got.schema["s"].dataType.fieldNames() == ["a", "b"]
+        assert got.schema["lst"].dataType.elementType.fieldNames() == ["p"]
+        rows = sorted(
+            (r.s.a, r.s.b, r.lst[0].p) for r in got.collect()
+        )
+        assert rows == [(10, "u", 1.5), (20, "v", 2.5)], rows
+        record(
+            "foreign_fixture_read:mapped_nested_struct", "PASS",
+            "nested physical names (dots/spaces) renamed logically",
+        )
+    except Exception as e:  # noqa: BLE001
+        record(
+            "foreign_fixture_read:mapped_nested_struct", "FAIL",
+            f"{e!r}"[:200],
+        )
+
     # --- 5. multi-part checkpoint, no JSON commits ----------------------
     try:
         import pyarrow as pa

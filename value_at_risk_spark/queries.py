@@ -38,6 +38,7 @@ from value_at_risk_spark.functions.returns import log_returns_over
 from value_at_risk_spark.functions.risk import basel_zone, value_at_risk_expr
 from value_at_risk_spark.functions.text import STOPWORDS
 from value_at_risk_spark.functions.timeutil import epoch_micros, epoch_seconds
+from value_at_risk_spark.functions.xxh64_sql import xxh64_cte
 from value_at_risk_spark.functions.vector import dot_product
 from value_at_risk_spark.model import fit_ols_per_group
 from value_at_risk_spark.operators.asof import asof_join
@@ -1766,10 +1767,58 @@ def minhash_lsh_pairs_q(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-@query("simhash_fingerprints")
+# Shared oracle scaffold for the xxhash64-backed SimHash queries
+# (r13 graduation): DuckDB has no xxhash64 builtin and the gate runs
+# ONE statement (no CREATE MACRO prelude), so XXH64 seed-42 itself is
+# re-expressed as a CTE chain over HUGEINT wrapping arithmetic
+# (functions/xxh64_sql.py, parity pytest-pinned against F.xxhash64 on
+# every length class). vocab hashes each DISTINCT token once; votes/
+# fingerprint mirror operators/dedup.simhash bit for bit.
+_SIMHASH_FP_CTES = f"""
+toks AS (
+  SELECT DISTINCT doc_id, t
+  FROM (SELECT doc_id,
+               UNNEST(list_filter(string_split(lower(text),' '),
+                      x -> x <> '')) AS t
+        FROM documents)
+),
+vocab AS (SELECT DISTINCT t FROM toks),
+{xxh64_cte("vocab")},
+th AS (SELECT toks.doc_id, hsh.hu FROM toks JOIN hsh USING (t)),
+votes AS (
+  SELECT doc_id, b,
+         SUM(CASE WHEN (hu // (1::HUGEINT << b)) % 2 = 1
+                  THEN 1 ELSE -1 END) AS v
+  FROM th, UNNEST(range(0, 64)) AS q(b)
+  GROUP BY 1, 2
+),
+fpu AS (
+  SELECT doc_id,
+         SUM(CASE WHEN v > 0 THEN (1::HUGEINT << b)
+                  ELSE 0::HUGEINT END)::HUGEINT AS fp
+  FROM votes GROUP BY doc_id
+)
+"""
+
+
+@query(
+    "simhash_fingerprints",
+    f"""
+WITH {_SIMHASH_FP_CTES}
+SELECT doc_id,
+       (CASE WHEN fp >= 9223372036854775808::HUGEINT
+             THEN fp - 18446744073709551616::HUGEINT
+             ELSE fp END)::BIGINT AS simhash
+FROM fpu
+""",
+)
 def simhash_fingerprints(spark: SparkSession, sf_dir: str) -> DataFrame:
     """64-bit SimHash fingerprints (north-star dedup) via per-token
-    xxhash64 bit votes in higher-order functions."""
+    xxhash64 bit votes in higher-order functions. ORACLE-checked
+    value-for-value (r13 graduation, was rows-only): the oracle
+    replays XXH64 seed-42 itself in DuckDB SQL
+    (functions/xxh64_sql.py) — hash equality pins the exact 64-bit
+    fingerprints, not just the row count."""
     return simhash(_t(spark, sf_dir, "documents"))
 
 
@@ -3738,16 +3787,39 @@ def salted_distinct_users_by_type(spark: SparkSession, sf_dir: str) -> DataFrame
     )
 
 
-@query("simhash_near_dup_pairs")
+@query(
+    "simhash_near_dup_pairs",
+    f"""
+WITH {_SIMHASH_FP_CTES},
+bands AS (
+  SELECT doc_id, fp, b AS band,
+         ((fp // (1::HUGEINT << (16 * b))) % 65536)::BIGINT AS band_val
+  FROM fpu, UNNEST(range(0, 4)) AS q(b)
+),
+cand AS (
+  SELECT DISTINCT a.doc_id AS id_a, b.doc_id AS id_b,
+         a.fp AS fa, b.fp AS fb
+  FROM bands a JOIN bands b
+    ON a.band = b.band AND a.band_val = b.band_val
+   AND a.doc_id < b.doc_id
+)
+SELECT id_a, id_b,
+       bit_count(xor(fa::UBIGINT, fb::UBIGINT))::INT AS hamming
+FROM cand
+WHERE bit_count(xor(fa::UBIGINT, fb::UBIGINT)) <= 8
+""",
+)
 def simhash_near_dup_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     """SimHash-banded near-dup candidate pairs with exact-Hamming
-    verification (rows-only: xxhash64 fingerprints have no DuckDB
-    twin; the band recall guarantee is pigeonhole-EXACT and pytest-
-    pinned, not probabilistic): 4 bands over 64 bits catch every pair
-    within Hamming distance 3 by construction; the popcount verify
-    keeps pairs at distance ≤ 8 that banding surfaced. Completes the
-    SimHash modality from fingerprints to pairs — same bucketed
-    (band, value) equi-join shape as MinHash and sign-LSH."""
+    verification, ORACLE-checked value-for-value (r13 graduation via
+    the DuckDB XXH64 replay — the oracle recomputes the xxhash64
+    fingerprints, re-bands them 4x16 bits, and verifies the identical
+    popcount-Hamming cut): 4 bands over 64 bits catch every pair
+    within Hamming distance 3 by construction (pigeonhole-EXACT,
+    pytest-pinned); the popcount verify keeps pairs at distance ≤ 8
+    that banding surfaced. Completes the SimHash modality from
+    fingerprints to pairs — same bucketed (band, value) equi-join
+    shape as MinHash and sign-LSH."""
     from value_at_risk_spark.operators.dedup import simhash_band_pairs
 
     d = _t(spark, sf_dir, "documents")
@@ -15136,6 +15208,110 @@ def delta_mapped_dml_scan(spark: SparkSession, sf_dir: str) -> DataFrame:
         .agg(
             F.count(F.lit(1)).alias("n_customers"),
             (F.round(F.sum("bal"), 2) + F.lit(0.0)).alias("total_bal"),
+        )
+    )
+
+
+@query(
+    "delta_nested_mapping_scan",
+    """
+SELECT o_orderstatus,
+       COUNT(*) AS n_orders,
+       ROUND(SUM(CASE WHEN o_orderpriority = '1-URGENT'
+                      THEN o_totalprice + 100.0
+                      ELSE o_totalprice END) / 1000000.0, 2) AS total_amt,
+       ROUND(SUM(o_totalprice * 0.5) / 1000000.0, 2) AS arr_amt
+FROM orders
+WHERE o_orderkey % 5 <> 0
+GROUP BY o_orderstatus
+""",
+)
+def delta_nested_mapping_scan(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """NESTED-STRUCT column mapping, ORACLE-pinned (r13, closes the
+    last mapping gap): the table is created in 'id' mode with a
+    struct column AND an array<struct> column — every nested field
+    gets its own delta.columnMapping.id/physicalName, data files
+    carry physical nested names + nested parquet field ids
+    (positional-cast staging), and reads resolve data columns BY
+    FIELD ID then rename nested fields back logically. The DML binds
+    NESTED logical names (``DELETE WHERE o_orderkey % 5 = 0``,
+    ``UPDATE SET info = named_struct(...) WHERE info.prio =
+    '1-URGENT'``), and the struct field is then RENAMED
+    (``info.price`` -> ``info.amt``, metadata-only). Read-back must
+    equal DuckDB recomputing both mutations from the flat fixture:
+    hash equality proves the recursive id assignment, the positional
+    rename planes, and the nested rename lose nothing
+    (sources/deltalog._phys_field_json/_assign_mapping_ids/
+    _to_logical_cols; reference tie: saveAsTable layouts of
+    01_var_market_etl.py:56-64 under modern mapped-table defaults)."""
+    from value_at_risk_spark.sources.deltalog import (
+        delete_from_delta,
+        read_delta,
+        rename_delta_column,
+        update_delta,
+        write_delta,
+    )
+
+    def build(tbl: str) -> None:
+        orders = _t(spark, sf_dir, "orders").select(
+            "o_orderkey",
+            "o_orderstatus",
+            F.struct(
+                F.col("o_totalprice").alias("price"),
+                F.col("o_orderpriority").alias("prio"),
+            ).alias("info"),
+            F.array(
+                F.struct(
+                    (F.col("o_totalprice") * 0.5).alias("p"),
+                    F.col("o_custkey").cast("long").alias("q"),
+                )
+            ).alias("arr"),
+        )
+        write_delta(
+            spark,
+            orders.filter(F.col("o_orderkey") % 2 == 0),
+            tbl,
+            partition_by=["o_orderstatus"],
+            configuration={"delta.columnMapping.mode": "id"},
+        )
+        write_delta(spark, orders.filter(F.col("o_orderkey") % 2 == 1), tbl)
+        delete_from_delta(spark, tbl, "o_orderkey % 5 = 0")
+        update_delta(
+            spark,
+            tbl,
+            "info.prio = '1-URGENT'",
+            {"info": "named_struct('price', info.price + 100.0, "
+                     "'prio', info.prio)"},
+        )
+        rename_delta_column(tbl, "info.price", "amt")
+
+    tbl = _scratch_delta_table(
+        "nestedmap",
+        sf_dir,
+        "orders nested mapped id-mode: del %5, update urgent+100, "
+        "rename info.price->amt",
+        build,
+    )
+    return (
+        read_delta(spark, tbl)
+        .groupBy("o_orderstatus")
+        .agg(
+            F.count(F.lit(1)).alias("n_orders"),
+            # scaled before rounding: the group sums reach 1e10 at
+            # sf0.1 where a cents-level round sits inside the float
+            # accumulation-order noise between engines
+            (
+                F.round(F.sum(F.col("info.amt")) / F.lit(1000000.0), 2)
+                + F.lit(0.0)
+            ).alias("total_amt"),
+            (
+                F.round(
+                    F.sum(F.element_at("arr", 1).getField("p"))
+                    / F.lit(1000000.0),
+                    2,
+                )
+                + F.lit(0.0)
+            ).alias("arr_amt"),
         )
     )
 

@@ -58,6 +58,72 @@ def _arrow_schema(schema: StructType):
     return to_arrow_schema(schema)
 
 
+def _positional_cast(arr, target_type):
+    """Cast a pyarrow array to ``target_type`` POSITIONALLY: a
+    column-mapped file carries PHYSICAL nested field names and
+    pyarrow's ``cast`` matches struct fields by NAME (it would raise
+    on the rename) — so struct/list children are rebuilt in order
+    under the target names instead. Mapping renames, never reorders,
+    so positional layout is exact; a child-count mismatch (foreign
+    nested schema evolution this reader does not implement) raises
+    rather than misaligning values."""
+    import pyarrow as pa
+
+    if isinstance(arr, pa.ChunkedArray):
+        arr = arr.combine_chunks()
+    t = target_type
+    if pa.types.is_struct(t):
+        if arr.type.num_fields != t.num_fields:
+            raise ValueError(
+                "column-mapped nested read: file struct has "
+                f"{arr.type.num_fields} fields, table declares "
+                f"{t.num_fields} — nested schema evolution is not "
+                "supported"
+            )
+        kids = [
+            _positional_cast(arr.field(i), t.field(i).type)
+            for i in range(t.num_fields)
+        ]
+        return pa.StructArray.from_arrays(
+            kids,
+            fields=[t.field(i) for i in range(t.num_fields)],
+            mask=arr.is_null() if arr.null_count else None,
+        )
+    if pa.types.is_list(t) or pa.types.is_large_list(t):
+        vals = _positional_cast(arr.values, t.value_type)
+        return pa.ListArray.from_arrays(
+            arr.offsets,
+            vals,
+            mask=arr.is_null() if arr.null_count else None,
+        )
+    if pa.types.is_map(t):
+        keys = _positional_cast(arr.keys, t.key_type)
+        items = _positional_cast(arr.items, t.item_type)
+        return pa.MapArray.from_arrays(
+            arr.offsets,
+            keys,
+            items,
+            mask=arr.is_null() if arr.null_count else None,
+        )
+    return arr.cast(t)
+
+
+def _col_to(arr, field_type, mapped: bool):
+    """File column -> declared type: plain ``cast`` normally; the
+    positional rebuild on column-mapped tables whose complex columns
+    hide physical nested names."""
+    import pyarrow as pa
+
+    if mapped and (
+        pa.types.is_struct(field_type)
+        or pa.types.is_list(field_type)
+        or pa.types.is_large_list(field_type)
+        or pa.types.is_map(field_type)
+    ):
+        return _positional_cast(arr, field_type)
+    return arr.cast(field_type)
+
+
 def _file_to_batches(
     abs_path: str,
     part_values: dict,
@@ -106,7 +172,7 @@ def _file_to_batches(
             else:
                 arr = pa.array([raw] * n, type=pa.string()).cast(field.type)
         elif src in tbl.schema.names:
-            arr = tbl.column(src).cast(field.type)
+            arr = _col_to(tbl.column(src), field.type, mapped=l2p is not None)
         else:
             # schema evolution: files written before a merge_schema
             # column add lack the column — null-fill like read_delta
@@ -213,7 +279,9 @@ def _cdf_file_to_batches(
                         field.type
                     )
             elif src in tbl.schema.names:
-                arr = tbl.column(src).cast(field.type)
+                arr = _col_to(
+                    tbl.column(src), field.type, mapped=l2p is not None
+                )
             else:
                 # pre-schema-evolution change files lack the column
                 arr = pa.nulls(n, type=field.type)
@@ -905,13 +973,22 @@ class DeltaLogDataSource(DataSource):
         path = _required_path(self.options)
         v = self.options.get("versionAsOf")
         raw = snapshot(path, int(v) if v is not None else None).schema
-        # strip field METADATA (column-mapping ids/physicalNames,
-        # identity specs): it's writer-side bookkeeping, and the
-        # streaming runner asserts Arrow schema equality — metadata
-        # does not survive the Python->Arrow->JVM round-trip, so a
-        # mapped table's stream would die on that assert
+        # strip field METADATA at EVERY nesting level (column-mapping
+        # ids/physicalNames, identity specs): it's writer-side
+        # bookkeeping, and the streaming runner asserts Arrow schema
+        # equality — metadata does not survive the Python->Arrow->JVM
+        # round-trip, so a mapped table's stream would die on that
+        # assert (nested metadata included — it rides the dataType)
+        from value_at_risk_spark.sources.deltalog import (
+            _clean_field_json,
+            _field_from_json,
+        )
+
         base = StructType(
-            [StructField(f.name, f.dataType, f.nullable) for f in raw.fields]
+            [
+                _field_from_json(_clean_field_json(f.jsonValue()))
+                for f in raw.fields
+            ]
         )
         if _cdf_requested(self.options):
             from pyspark.sql.types import (

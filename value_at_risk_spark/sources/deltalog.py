@@ -561,7 +561,7 @@ def read_delta(
     snap = snapshot(path, version)
     l2p = _column_mapping(snap)
     if l2p is not None:
-        logical = [f.name for f in snap.schema.fields]
+        logical_cols = _to_logical_cols(snap, l2p)
         fids = None
         if _cm_mode(snap) == "id":
             # 'id' mode: data columns resolve by parquet FIELD ID —
@@ -582,9 +582,7 @@ def read_delta(
         phys = _read_snapshot(
             spark, path, snap, partition_filters, stats_filters
         )
-        return phys.select(
-            *[_qcol(l2p[name]).alias(name) for name in logical]
-        )
+        return phys.select(*logical_cols)
     return _read_snapshot(spark, path, snap, partition_filters, stats_filters)
 
 
@@ -608,13 +606,15 @@ def _column_field_ids(snap: DeltaSnapshot) -> dict[str, int]:
 
 
 def _column_mapping(snap: DeltaSnapshot) -> dict[str, str] | None:
-    """logical -> physical name map when the table uses column
-    mapping ('name' OR 'id' mode — the spec requires physicalName in
-    both; 'id' mode readers must additionally resolve DATA columns by
-    parquet field id, which read_delta wires via the schema's
-    ``parquet.field.id`` metadata); None when unmapped. NESTED
-    physical names are refused loudly — silent misreads are the one
-    unforgivable failure here."""
+    """TOP-LEVEL logical -> physical name map when the table uses
+    column mapping ('name' OR 'id' mode — the spec requires
+    physicalName in both; 'id' mode readers must additionally resolve
+    DATA columns by parquet field id, which read_delta wires via the
+    schema's ``parquet.field.id`` metadata); None when unmapped.
+    NESTED physical names are handled by the cast planes
+    (``_phys_field_json`` + positional struct casts), not this map —
+    its consumers (partition/stats filter translation, add-file
+    partitionValues) only ever see top-level names."""
     mode = _cm_mode(snap)
     if mode == "none":
         return None
@@ -630,17 +630,201 @@ def _column_mapping(snap: DeltaSnapshot) -> dict[str, str] | None:
         l2p[f["name"]] = md.get(
             "delta.columnMapping.physicalName", f["name"]
         )
-        t = f.get("type")
-        if isinstance(t, dict) and t.get("type") == "struct":
-            for nf in t.get("fields", []):
-                if (nf.get("metadata") or {}).get(
-                    "delta.columnMapping.physicalName"
-                ):
-                    raise NotImplementedError(
-                        "nested column mapping not supported "
-                        f"(field {f['name']}.{nf['name']})"
-                    )
     return l2p
+
+
+def _phys_field_json(f: dict, keep_ids: bool) -> dict:
+    """The PHYSICAL twin of one schemaString field json: renamed to
+    its ``delta.columnMapping.physicalName`` at EVERY nesting level
+    (struct fields inside structs, array elements, map keys/values),
+    mapping metadata replaced by ``parquet.field.id`` when
+    ``keep_ids`` — the id Spark's parquet field-id writer emits and
+    its reader resolves by. Positional layout is preserved exactly
+    (mapping renames, never reorders), which is what lets the read
+    side rename back with a positional struct cast."""
+
+    def _type(t):
+        if isinstance(t, dict):
+            k = t.get("type")
+            if k == "struct":
+                return {
+                    "type": "struct",
+                    "fields": [_field(nf) for nf in t.get("fields", [])],
+                }
+            if k == "array":
+                return {**t, "elementType": _type(t["elementType"])}
+            if k == "map":
+                return {
+                    **t,
+                    "keyType": _type(t["keyType"]),
+                    "valueType": _type(t["valueType"]),
+                }
+        return t
+
+    def _field(f: dict) -> dict:
+        md = f.get("metadata") or {}
+        out_md: dict = {}
+        if keep_ids and "delta.columnMapping.id" in md:
+            out_md["parquet.field.id"] = int(md["delta.columnMapping.id"])
+        return {
+            "name": md.get("delta.columnMapping.physicalName", f["name"]),
+            "type": _type(f.get("type")),
+            "nullable": f.get("nullable", True),
+            "metadata": out_md,
+        }
+
+    return _field(f)
+
+
+def _clean_field_json(f: dict) -> dict:
+    """The LOGICAL field json with writer bookkeeping metadata
+    (column-mapping ids/physicalNames, identity specs) stripped at
+    every nesting level — the clean cast target for renaming a
+    physically-scanned frame back to logical names without leaking
+    log-internal metadata into user-facing schemas."""
+
+    def _type(t):
+        if isinstance(t, dict):
+            k = t.get("type")
+            if k == "struct":
+                return {
+                    "type": "struct",
+                    "fields": [_field(nf) for nf in t.get("fields", [])],
+                }
+            if k == "array":
+                return {**t, "elementType": _type(t["elementType"])}
+            if k == "map":
+                return {
+                    **t,
+                    "keyType": _type(t["keyType"]),
+                    "valueType": _type(t["valueType"]),
+                }
+        return t
+
+    def _field(f: dict) -> dict:
+        return {
+            "name": f["name"],
+            "type": _type(f.get("type")),
+            "nullable": f.get("nullable", True),
+            "metadata": {},
+        }
+
+    return _field(f)
+
+
+def _field_from_json(f_json: dict):
+    """One schemaString field json -> pyspark StructField."""
+    from pyspark.sql.types import StructType as _ST
+
+    return _ST.fromJson({"type": "struct", "fields": [f_json]}).fields[0]
+
+
+def _relax_nulls_json(f: dict) -> dict:
+    """A field json with nullable/containsNull/valueContainsNull
+    forced TRUE at every nesting level (metadata untouched). Rename
+    casts need this: Spark's file scans mark everything nullable
+    regardless of the declared schema, and a cast from a nullable
+    container to a non-null one is refused (CAST_WITHOUT_SUGGESTION)
+    — so a schemaString that recorded containsNull=false (non-null
+    build expressions) would break the logical<->physical rename.
+    Nullability ENFORCEMENT stays with the write-side null checks;
+    the cast only renames."""
+
+    def _type(t):
+        if isinstance(t, dict):
+            k = t.get("type")
+            if k == "struct":
+                return {
+                    "type": "struct",
+                    "fields": [_field(nf) for nf in t.get("fields", [])],
+                }
+            if k == "array":
+                return {
+                    **t,
+                    "elementType": _type(t["elementType"]),
+                    "containsNull": True,
+                }
+            if k == "map":
+                return {
+                    **t,
+                    "keyType": _type(t["keyType"]),
+                    "valueType": _type(t["valueType"]),
+                    "valueContainsNull": True,
+                }
+        return t
+
+    def _field(f: dict) -> dict:
+        return {**f, "type": _type(f.get("type")), "nullable": True}
+
+    return _field(f)
+
+
+def _bare_type_json(dt) -> object:
+    """A DataType's json with field METADATA stripped at every
+    nesting level — the shape schema-equality checks compare, so
+    column-mapping/identity bookkeeping on nested StructFields never
+    false-fails an append whose frame carries clean types."""
+    return _clean_field_json(
+        {"name": "_", "type": dt.jsonValue(), "nullable": True}
+    )["type"]
+
+
+def _assign_mapping_ids(sch: dict) -> int:
+    """Column-mapping bootstrap at table creation: walk a
+    schemaString json depth-first assigning ``delta.columnMapping.id``
+    (dense from 1) and a fresh ``col-<uuid>`` physicalName to EVERY
+    struct field at every nesting level (struct-in-struct, array
+    elements, map values — anywhere the protocol attaches field
+    metadata). Mutates ``sch`` in place; returns the max id for
+    ``delta.columnMapping.maxColumnId``."""
+    next_id = 0
+
+    def _type(t):
+        if isinstance(t, dict):
+            k = t.get("type")
+            if k == "struct":
+                for nf in t.get("fields", []):
+                    _field(nf)
+            elif k == "array":
+                _type(t.get("elementType"))
+            elif k == "map":
+                _type(t.get("keyType"))
+                _type(t.get("valueType"))
+
+    def _field(f: dict) -> None:
+        nonlocal next_id
+        next_id += 1
+        f["metadata"] = {
+            **(f.get("metadata") or {}),
+            "delta.columnMapping.id": next_id,
+            "delta.columnMapping.physicalName": f"col-{uuid.uuid4()}",
+        }
+        _type(f.get("type"))
+
+    for f in sch["fields"]:
+        _field(f)
+    return next_id
+
+
+def _to_logical_cols(snap: DeltaSnapshot, l2p: dict[str, str]) -> list:
+    """Projection renaming a PHYSICALLY-scanned frame of ``snap``'s
+    data columns back to logical names: flat columns alias straight
+    across; complex columns (struct / array / map — anywhere a nested
+    physicalName can hide) go through a positional cast to the clean
+    logical type, which renames nested fields in place (struct casts
+    bind by position in Spark, and mapping never reorders)."""
+    sch = json.loads(snap.metadata["schemaString"])
+    cols = []
+    for f in sch["fields"]:
+        c = _qcol(l2p[f["name"]])
+        if isinstance(f.get("type"), dict):
+            c = c.cast(
+                _field_from_json(
+                    _relax_nulls_json(_clean_field_json(f))
+                ).dataType
+            )
+        cols.append(c.alias(f["name"]))
+    return cols
 
 
 def _physicalized(
@@ -650,21 +834,17 @@ def _physicalized(
 ) -> DeltaSnapshot:
     """A snapshot whose schema/partitionColumns carry the PHYSICAL
     names — what the data files and add.partitionValues actually use —
-    so the ordinary scan machinery runs unchanged. ``field_ids``
-    ('id' mode): each field keeps a ``parquet.field.id`` metadata
-    entry so Spark's parquet reader resolves DATA columns by field id
-    rather than by name (the file's column names are not trustworthy
-    in that mode)."""
+    so the ordinary scan machinery runs unchanged. Nested fields are
+    renamed too (``_phys_field_json``). ``field_ids`` ('id' mode):
+    each field keeps a ``parquet.field.id`` metadata entry at every
+    nesting level so Spark's parquet reader resolves DATA columns by
+    field id rather than by name (the file's column names are not
+    trustworthy in that mode)."""
     sch = json.loads(snap.metadata["schemaString"])
-    for f in sch["fields"]:
-        logical = f["name"]
-        f["name"] = l2p[logical]
-        # the mapping metadata has served its purpose
-        f["metadata"] = (
-            {"parquet.field.id": field_ids[logical]}
-            if field_ids and logical in field_ids
-            else {}
-        )
+    sch["fields"] = [
+        _phys_field_json(f, keep_ids=field_ids is not None)
+        for f in sch["fields"]
+    ]
     md = {
         **snap.metadata,
         "schemaString": json.dumps(sch),
@@ -721,25 +901,51 @@ def _mapping_planes(spark: SparkSession, snap: DeltaSnapshot):
         # so no restore (see read_delta's docstring)
         spark.conf.set("spark.sql.parquet.fieldId.read.enabled", "true")
     io_snap = _physicalized(snap, l2p, fids)
-    p2l = {v: k for k, v in l2p.items()}
+    sch = json.loads(snap.metadata["schemaString"])
+    # per-column cast-plane entries: complex columns rename nested
+    # fields via positional casts; flat columns alias straight across
+    by_logical: dict[str, tuple] = {}
+    by_physical: dict[str, tuple] = {}
+    for f in sch["fields"]:
+        # rename-cast targets are nullability-relaxed: the scan side
+        # is always nullable (file sources), and enforcement lives
+        # with the write-side null checks, not the rename
+        pf = _relax_nulls_json(_phys_field_json(f, keep_ids=True))
+        lf = _relax_nulls_json(_clean_field_json(f))
+        complex_ = isinstance(f.get("type"), dict)
+        by_logical[f["name"]] = (pf, complex_)
+        by_physical[pf["name"]] = (lf, complex_)
 
     def to_logical(df: DataFrame) -> DataFrame:
-        return df.select(
-            *[_qcol(c).alias(p2l.get(c, c)) for c in df.columns]
-        )
+        cols = []
+        for c in df.columns:
+            hit = by_physical.get(c)
+            if hit is None:
+                cols.append(_qcol(c))
+                continue
+            lf, complex_ = hit
+            col = _qcol(c)
+            if complex_:
+                col = col.cast(_field_from_json(lf).dataType)
+            cols.append(col.alias(lf["name"]))
+        return df.select(*cols)
 
     def to_physical(df: DataFrame) -> DataFrame:
         cols = []
         for c in df.columns:
-            if c in l2p:
-                md = (
-                    {"parquet.field.id": fids[c]}
-                    if fids and c in fids
-                    else {}
-                )
-                cols.append(_qcol(c).alias(l2p[c], metadata=md))
-            else:
+            hit = by_logical.get(c)
+            if hit is None:
                 cols.append(_qcol(c))
+                continue
+            pf, complex_ = hit
+            col = _qcol(c)
+            if complex_:
+                # the cast target carries nested parquet.field.id
+                # metadata — Spark's field-id writer emits those into
+                # restaged files, keeping 'id'-mode resolvability at
+                # every nesting level
+                col = col.cast(_field_from_json(pf).dataType)
+            cols.append(col.alias(pf["name"], metadata=pf["metadata"]))
         return df.select(*cols)
 
     return io_snap, to_logical, to_physical, l2p
@@ -1343,7 +1549,7 @@ def read_delta_row_ids(
         # mapped + tracked: same physicalization read_delta does —
         # scanning the logical schema against physical-name files
         # would return all-NULL columns (the silent-misread failure)
-        logical = [f.name for f in snap.schema.fields]
+        logical_cols = _to_logical_cols(snap, l2p)
         fids = None
         if _cm_mode(snap) == "id":
             fids = _column_field_ids(snap)
@@ -1355,9 +1561,7 @@ def read_delta_row_ids(
             sorted(snap.files),
             "row_id",
         )
-        return phys.select(
-            *[_qcol(l2p[n]).alias(n) for n in logical], "row_id"
-        )
+        return phys.select(*logical_cols, "row_id")
     return _files_with_row_ids(
         spark, path, snap, sorted(snap.files), "row_id"
     )
@@ -1995,10 +2199,14 @@ def write_delta(
     # what delta-spark does for forward interop)
     l2p_write: dict[str, str] | None = None
     fids_write: dict[str, int] = {}
+    mapped_fields_json: list[dict] | None = None
     if exists:
         l2p_write = _column_mapping(snap_pre)
         if l2p_write is not None:
             fids_write = _column_field_ids(snap_pre)
+            mapped_fields_json = json.loads(
+                snap_pre.metadata["schemaString"]
+            )["fields"]
             if merge_schema:
                 raise NotImplementedError(
                     "write_delta: merge_schema on a column-mapped table "
@@ -2012,28 +2220,17 @@ def write_delta(
         # columns by those ids; 'name' mode ignores them — writing
         # them anyway is what delta-spark does for forward interop)
         sch = (schema_for_commit or df.schema).jsonValue()
+        max_id = _assign_mapping_ids(sch)
         l2p_write = {}
-        next_id = 0
+        mapped_fields_json = sch["fields"]
         for f in sch["fields"]:
-            t = f.get("type")
-            if isinstance(t, dict):
-                raise NotImplementedError(
-                    "write_delta: column mapping over nested/complex "
-                    f"column {f['name']} not supported"
-                )
-            next_id += 1
-            pn = f"col-{uuid.uuid4()}"
-            f["metadata"] = {
-                **(f.get("metadata") or {}),
-                "delta.columnMapping.id": next_id,
-                "delta.columnMapping.physicalName": pn,
-            }
-            l2p_write[f["name"]] = pn
-            fids_write[f["name"]] = next_id
+            md = f["metadata"]
+            l2p_write[f["name"]] = md["delta.columnMapping.physicalName"]
+            fids_write[f["name"]] = md["delta.columnMapping.id"]
         schema_for_commit = StructType.fromJson(sch)
         configuration = {
             **configuration,
-            "delta.columnMapping.maxColumnId": str(next_id),
+            "delta.columnMapping.maxColumnId": str(max_id),
         }
     part_cols, new_metadata, null_checks = _validate_write_schema(
         path, df.schema, partition_by, merge_schema,
@@ -2069,19 +2266,22 @@ def write_delta(
         _fid_key = "spark.sql.parquet.fieldId.write.enabled"
         _fid_prev = spark.conf.get(_fid_key, None)
         spark.conf.set(_fid_key, "true")
-        stage_df = df.select(
-            *[
-                F.col(n).alias(
-                    l2p_write[n],
-                    metadata=(
-                        {"parquet.field.id": fids_write[n]}
-                        if n in fids_write
-                        else {}
-                    ),
-                )
-                for n in df.columns
-            ]
-        )
+        phys_by_logical = {
+            f["name"]: _relax_nulls_json(_phys_field_json(f, keep_ids=True))
+            for f in (mapped_fields_json or [])
+        }
+        stage_cols = []
+        for n in df.columns:
+            pf = phys_by_logical[n]
+            col = F.col(_q(n))
+            if isinstance(pf["type"], dict):
+                # complex column: positional cast renames NESTED
+                # fields to their physicalNames; the cast target's
+                # field metadata carries nested parquet.field.ids
+                # for Spark's field-id writer
+                col = col.cast(_field_from_json(pf).dataType)
+            stage_cols.append(col.alias(pf["name"], metadata=pf["metadata"]))
+        stage_df = df.select(*stage_cols)
         stage_parts = [l2p_write.get(c, c) for c in part_cols]
         try:
             adds = _stage(stage_df, path, stage_parts, data_change=True)
@@ -2348,6 +2548,27 @@ def set_table_properties(path: str, props: dict[str, str]) -> int:
     raise RuntimeError(f"set_table_properties: lost the commit race at {path}")
 
 
+def _nested_sibling_fields(sch: dict, parts: list[str]) -> list[dict]:
+    """The schemaString ``fields`` list holding a dotted path's LAST
+    segment: descends struct fields (unwrapping array-of-struct
+    layers) for each preceding segment. Raises on missing parents or
+    non-struct hops — never guesses."""
+    fields = sch["fields"]
+    for seg in parts[:-1]:
+        f = next((x for x in fields if x["name"] == seg), None)
+        if f is None:
+            raise ValueError(f"no column {'.'.join(parts)!r}")
+        t = f.get("type")
+        while isinstance(t, dict) and t.get("type") == "array":
+            t = t.get("elementType")
+        if not (isinstance(t, dict) and t.get("type") == "struct"):
+            raise ValueError(
+                f"{'.'.join(parts)!r}: {seg!r} is not a struct column"
+            )
+        fields = t["fields"]
+    return fields
+
+
 def rename_delta_column(path: str, old: str, new: str) -> int:
     """``ALTER TABLE RENAME COLUMN`` — a METADATA-ONLY commit, legal
     exactly because the table uses column mapping: data files carry
@@ -2371,9 +2592,25 @@ def rename_delta_column(path: str, old: str, new: str) -> int:
                 "mapping — renaming would orphan the physical column"
             )
         sch = json.loads(snap.metadata["schemaString"])
-        names = [f["name"] for f in sch["fields"]]
-        if old not in names:
+        # nested rename: 'parent.child' descends struct fields (and
+        # array elements) — legal for the same reason the top-level
+        # rename is: nested fields carry their own stable
+        # physicalName, so only the schemaString changes
+        parts = old.split(".")
+        fields = (
+            _nested_sibling_fields(sch, parts)
+            if len(parts) > 1
+            else sch["fields"]
+        )
+        leaf = parts[-1]
+        names = [f["name"] for f in fields]
+        if leaf not in names:
             raise ValueError(f"rename_delta_column: no column {old!r}")
+        if "." in new:
+            raise ValueError(
+                f"rename_delta_column: new name {new!r} must be a "
+                "bare field name (the parent path stays)"
+            )
         if new in names:
             raise ValueError(
                 f"rename_delta_column: column {new!r} already exists"
@@ -2387,8 +2624,8 @@ def rename_delta_column(path: str, old: str, new: str) -> int:
                 f"constraint/generation expression(s) {sorted(hit)} — "
                 "drop them first"
             )
-        for f in sch["fields"]:
-            if f["name"] == old:
+        for f in fields:
+            if f["name"] == leaf:
                 f["name"] = new
         meta = {
             **snap.metadata,
@@ -2867,7 +3104,9 @@ def _validate_write_schema(
             by_name = {f.name: f for f in want.fields}
             for gf in got.fields:
                 wf = by_name.get(gf.name)
-                if wf is not None and wf.dataType != gf.dataType:
+                if wf is not None and _bare_type_json(
+                    wf.dataType
+                ) != _bare_type_json(gf.dataType):
                     raise ValueError(
                         "write_delta: merge_schema cannot change the "
                         f"type of {gf.name} ({wf.dataType.simpleString()}"
@@ -2904,7 +3143,13 @@ def _validate_write_schema(
             ]
             if ok:
                 for wf, gf in zip(want.fields, got.fields):
-                    if wf.dataType != gf.dataType:
+                    # compare metadata-stripped types: the table's
+                    # NESTED fields carry column-mapping bookkeeping
+                    # in their StructField.metadata (which rides the
+                    # dataType), the incoming frame's don't
+                    if _bare_type_json(wf.dataType) != _bare_type_json(
+                        gf.dataType
+                    ):
                         ok = False
                         break
                     if gf.nullable and not wf.nullable:
@@ -2990,11 +3235,14 @@ def commit_staged_adds(
             # declares (old/new files null-fill each other under
             # parquet's additive evolution) — but every staged column
             # must exist on the tip with the identical type
-            tip_types = {f.name: f.dataType for f in snap0.schema.fields}
+            tip_types = {
+                f.name: _bare_type_json(f.dataType)
+                for f in snap0.schema.fields
+            }
             bad = [
                 f.name
                 for f in schema.fields
-                if tip_types.get(f.name) != f.dataType
+                if tip_types.get(f.name) != _bare_type_json(f.dataType)
             ]
             if bad:
                 raise DeltaConcurrentModification(
