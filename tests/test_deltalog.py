@@ -1777,13 +1777,32 @@ def test_column_mapping_name_mode_read_and_write_refusal(spark, tmp_path):
             fh.write(_json.dumps(a) + "\n")
     with pytest.raises(Exception):  # noqa: B017 — loudness is the contract
         read_delta(spark, tbl2).collect()
-    # the pyarrow DataSource reader resolves by NAME — it must refuse
-    # (Spark wraps the reader's NotImplementedError in AnalysisException)
-    with pytest.raises(Exception, match="mode=id"):
+    # the pyarrow DataSource reader now resolves 'id' mode by parquet
+    # field id (r13) — id-less files fail LOUD there too, never
+    # name-matched
+    with pytest.raises(Exception, match="field id"):
         spark.read.format("deltalog").load(tbl2).collect()
-    # ...and the stream reader refuses 'id' mode at construction
-    with pytest.raises(NotImplementedError, match="mode=id"):
-        _DeltaStreamReader({"path": tbl2}, None)
+    # ...and on a table whose files DO carry field ids (this engine's
+    # appends/DML/OPTIMIZE restaged tbl with ids in both modes), an
+    # id-mode DS read succeeds and equals the native reader
+    with open(os.path.join(tbl, "_delta_log", f"{0:020d}.json")) as fh:
+        acts0 = [_json.loads(x) for x in fh if x.strip()]
+    for a in acts0:
+        if a.get("metaData"):
+            a["metaData"]["configuration"][
+                "delta.columnMapping.mode"
+            ] = "id"
+    with open(
+        os.path.join(tbl, "_delta_log", f"{0:020d}.json"), "w"
+    ) as fh:
+        for a in acts0:
+            fh.write(_json.dumps(a) + "\n")
+    ds_id = spark.read.format("deltalog").load(tbl)
+    assert sorted(tuple(r) for r in ds_id.collect()) == sorted(
+        tuple(r) for r in read_delta(spark, tbl).collect()
+    )
+    # the stream reader constructs over 'id' mode now as well
+    _DeltaStreamReader({"path": tbl}, None)
 
 
 def test_checkpoint_preserves_table_configuration(spark, tmp_path):
@@ -4141,6 +4160,8 @@ def test_datasource_cdf_and_stream_mapped_table(spark, tmp_path):
     assert got == exp
 
     # 'id' mode refuses CDF DS reads at reader construction
+    # 'id' mode (r13): the DS readers resolve by parquet FIELD ID now
+    # — CDF and DML changes over an id-mode table stream logically
     tbl2 = str(tmp_path / "dscdfid")
     write_delta(
         spark, df, tbl2,
@@ -4149,21 +4170,26 @@ def test_datasource_cdf_and_stream_mapped_table(spark, tmp_path):
             "delta.columnMapping.mode": "id",
         },
     )
-    with pytest.raises(Exception, match="mode=id"):
-        (
-            spark.read.format("deltalog")
-            .option("readChangeFeed", "true")
-            .option("startingVersion", "0")
-            .load(tbl2)
-            .collect()
-        )
+    delete_from_delta(spark, tbl2, "id = 3")
+    cdf2 = (
+        spark.read.format("deltalog")
+        .option("readChangeFeed", "true")
+        .option("startingVersion", "0")
+        .load(tbl2)
+    )
+    assert key(cdf2) == key(table_changes(spark, tbl2, 0))
+    ds2 = spark.read.format("deltalog").load(tbl2)
+    assert sorted(tuple(r) for r in ds2.collect()) == sorted(
+        tuple(r) for r in read_delta(spark, tbl2).collect()
+    )
 
 
 def test_datasource_nested_mapped_table(spark, tmp_path):
     """The pyarrow DS readers over a NESTED column-mapped table: the
     file's struct children carry physical names, pyarrow's name-based
-    cast can't rename them — the positional rebuild does. Batch read
-    equals read_delta; batch CDF equals table_changes."""
+    cast can't rename them — the name-resolving rebuild
+    (_mapped_rebuild) does. Batch read equals read_delta; batch CDF
+    equals table_changes."""
     from value_at_risk_spark.sources.delta_datasource import (
         register_deltalog_source,
     )
@@ -4213,6 +4239,21 @@ def test_datasource_nested_mapped_table(spark, tmp_path):
         for r in fr.collect()
     )
     assert key(cdf) == key(table_changes(spark, tbl, 0))
+    # 'id' mode nested: the DS resolves nested children by PARQUET
+    # field id (_child_index by-id path)
+    tbl_id = str(tmp_path / "dsnested_id")
+    write_delta(
+        spark, df, tbl_id,
+        configuration={"delta.columnMapping.mode": "id"},
+    )
+    ds_id = spark.read.format("deltalog").load(tbl_id)
+    assert sorted(
+        (r.id, r.seg, tuple(r.s), tuple(map(tuple, r.arr)))
+        for r in ds_id.collect()
+    ) == sorted(
+        (r.id, r.seg, tuple(r.s), tuple(map(tuple, r.arr)))
+        for r in read_delta(spark, tbl_id).collect()
+    )
 
 
 def test_optimize_where_partition_scoped(spark, tmp_path):
@@ -4486,3 +4527,108 @@ def test_nested_column_mapping_foreign_read(spark, tmp_path):
         (7, "u"),
         (8, "v"),
     ]
+
+
+def test_mapped_schema_evolution_and_nested_drop(spark, tmp_path):
+    """Schema evolution on COLUMN-MAPPED tables (r13): merge_schema
+    appends assign fresh ids/physicalNames to NEW fields (maxColumnId
+    advances in the same commit), ADD COLUMNS is metadata-only on
+    mapped AND unmapped tables, nested DROP COLUMN stops projecting a
+    struct child (files untouched), and the pyarrow DS resolves
+    nested children BY PHYSICAL NAME — so a drop+add sequence
+    null-fills instead of misaligning positions."""
+    from value_at_risk_spark.sources.delta_datasource import (
+        register_deltalog_source,
+    )
+    from value_at_risk_spark.sources.delta_sql import delta_sql
+    from value_at_risk_spark.sources.deltalog import (
+        add_delta_columns,
+        drop_delta_column,
+        snapshot as _snap,
+    )
+
+    register_deltalog_source(spark)
+    t = str(tmp_path / "evolve")
+    df = spark.createDataFrame(
+        [(1, (10, "x")), (2, (20, "y"))],
+        "id long, s struct<a:long,b:string>",
+    )
+    write_delta(
+        spark, df, t, configuration={"delta.columnMapping.mode": "name"}
+    )
+    assert _snap(t).metadata["configuration"][
+        "delta.columnMapping.maxColumnId"
+    ] == "4"
+    # merge_schema append with a new flat AND a new struct column
+    df2 = spark.createDataFrame(
+        [(3, (30, "z"), 7.5, (1, 2))],
+        "id long, s struct<a:long,b:string>, v double, "
+        "t2 struct<p:long,q:long>",
+    )
+    write_delta(spark, df2, t, mode="append", merge_schema=True)
+    conf = _snap(t).metadata["configuration"]
+    assert conf["delta.columnMapping.maxColumnId"] == "8"  # +v,t2,p,q
+    got = {r.id: (r.v, r.t2) for r in read_delta(spark, t).collect()}
+    assert got[1] == (None, None) and got[3] == (7.5, (1, 2))
+    # ADD COLUMNS metadata-only (mapped): ids keep advancing
+    add_delta_columns(t, {"w": "long", "nst": {
+        "type": "struct",
+        "fields": [
+            {"name": "k", "type": "string", "nullable": True,
+             "metadata": {}}
+        ],
+    }})
+    conf = _snap(t).metadata["configuration"]
+    assert conf["delta.columnMapping.maxColumnId"] == "11"  # +w,nst,k
+    got = read_delta(spark, t)
+    assert got.schema["nst"].dataType.fieldNames() == ["k"]
+    assert all(r.w is None and r.nst is None for r in got.collect())
+    # DML on an added column
+    from value_at_risk_spark.sources.deltalog import update_delta
+
+    update_delta(spark, t, "id = 1", {"w": "100"})
+    assert {
+        r.id: r.w for r in read_delta(spark, t).collect()
+    } == {1: 100, 2: None, 3: None}
+    # nested DROP: s.b disappears from reads, files untouched
+    v_before = _snap(t).version
+    drop_delta_column(t, "s.b")
+    assert _snap(t).version == v_before + 1
+    got = read_delta(spark, t)
+    assert got.schema["s"].dataType.fieldNames() == ["a"]
+    assert {r.id: r.s.a for r in got.collect()} == {1: 10, 2: 20, 3: 30}
+    # time travel still sees the dropped child
+    old = read_delta(spark, t, version=v_before)
+    assert old.schema["s"].dataType.fieldNames() == ["a", "b"]
+    # the DS reader resolves nested children by PHYSICAL NAME: after
+    # the drop, a new nested child with the same LOGICAL name must
+    # null-fill on old files, never read the dropped column's values
+    add_delta_columns(t, {"s2": {
+        "type": "struct",
+        "fields": [
+            {"name": "b", "type": "string", "nullable": True,
+             "metadata": {}}
+        ],
+    }})
+    ds = spark.read.format("deltalog").load(t)
+    assert sorted(
+        (r.id, r.s.a, r.w, r.s2) for r in ds.collect()
+    ) == sorted(
+        (r.id, r.s.a, r.w, r.s2)
+        for r in read_delta(spark, t).collect()
+    )
+    # SQL form + unmapped table
+    t2 = str(tmp_path / "evolve_unmapped")
+    write_delta(
+        spark,
+        spark.createDataFrame([(1, "a")], "id long, k string"),
+        t2,
+    )
+    delta_sql(spark, f"ALTER TABLE delta.`{t2}` ADD COLUMNS (x bigint, y double)")
+    got2 = read_delta(spark, t2)
+    assert got2.columns == ["id", "k", "x", "y"]
+    assert got2.collect()[0].x is None
+    with pytest.raises(ValueError, match="already exists"):
+        add_delta_columns(t2, {"x": "long"})
+    with pytest.raises(NotImplementedError, match="nested position"):
+        add_delta_columns(t2, {"s.inner": "long"})

@@ -58,47 +58,109 @@ def _arrow_schema(schema: StructType):
     return to_arrow_schema(schema)
 
 
-def _positional_cast(arr, target_type):
-    """Cast a pyarrow array to ``target_type`` POSITIONALLY: a
-    column-mapped file carries PHYSICAL nested field names and
-    pyarrow's ``cast`` matches struct fields by NAME (it would raise
-    on the rename) — so struct/list children are rebuilt in order
-    under the target names instead. Mapping renames, never reorders,
-    so positional layout is exact; a child-count mismatch (foreign
-    nested schema evolution this reader does not implement) raises
-    rather than misaligning values."""
+def _field_id_of(field) -> int | None:
+    """The ``PARQUET:field_id`` of a pyarrow field, or None."""
+    raw = (field.metadata or {}).get(b"PARQUET:field_id")
+    if raw is None:
+        return None
+    try:
+        return int(raw)
+    except (TypeError, ValueError):
+        return None
+
+
+def _child_index(struct_type, pj_field: dict, by_id: bool) -> int:
+    """Resolve one declared child inside a file struct type: by
+    PARQUET field id in 'id' mode (names are not trustworthy there —
+    a file whose children carry no ids at all fails LOUD, never
+    name-matched), by physical name in 'name' mode. -1 = child absent
+    (nested ADD COLUMN evolution -> null-fill)."""
+    if not by_id:
+        return struct_type.get_field_index(pj_field["name"])
+    want = (pj_field.get("metadata") or {}).get("parquet.field.id")
+    any_id = False
+    for i in range(struct_type.num_fields):
+        fid = _field_id_of(struct_type.field(i))
+        if fid is not None:
+            any_id = True
+            if fid == want:
+                return i
+    if not any_id and struct_type.num_fields:
+        raise ValueError(
+            "columnMapping.mode=id: file struct carries no parquet "
+            "field ids — cannot resolve children (name matching is "
+            "forbidden in 'id' mode)"
+        )
+    return -1
+
+
+def _mapped_rebuild(arr, pj, t, by_id: bool = False):
+    """File column -> declared type on a COLUMN-MAPPED table: nested
+    children resolve BY PHYSICAL NAME ('name' mode) or BY PARQUET
+    FIELD ID ('id' mode) against the schemaString's physical twin
+    (``pj``, a field json), missing children null-fill (nested
+    ADD/DROP COLUMN evolution — the files keep dropped physical
+    columns and lack added ones), and the rebuilt arrays take the
+    declared LOGICAL names. pyarrow's own ``cast`` binds struct
+    fields by name so it cannot perform the rename, and a purely
+    positional rebuild would misalign values after a nested drop+add
+    — hence resolve, then rename. ``pj['type']`` and ``t`` pair
+    positionally: both derive from the same schemaString field
+    list."""
     import pyarrow as pa
 
     if isinstance(arr, pa.ChunkedArray):
         arr = arr.combine_chunks()
-    t = target_type
+    # pj is either a FIELD json ({"name","type",...} — unwrap) or a
+    # bare TYPE json ({"type":"struct"/"array"/"map",...} — only
+    # field jsons carry "name")
+    pj_type = pj["type"] if isinstance(pj, dict) and "name" in pj else pj
     if pa.types.is_struct(t):
-        if arr.type.num_fields != t.num_fields:
+        fields_json = pj_type["fields"]
+        if len(fields_json) != t.num_fields:
             raise ValueError(
-                "column-mapped nested read: file struct has "
-                f"{arr.type.num_fields} fields, table declares "
-                f"{t.num_fields} — nested schema evolution is not "
-                "supported"
+                "column-mapped nested read: declared struct and its "
+                "physical twin disagree on field count — corrupt "
+                "schemaString?"
             )
-        kids = [
-            _positional_cast(arr.field(i), t.field(i).type)
-            for i in range(t.num_fields)
-        ]
+        kids = []
+        n = len(arr)
+        for i in range(t.num_fields):
+            tf = t.field(i)
+            idx = (
+                _child_index(arr.type, fields_json[i], by_id)
+                if pa.types.is_struct(arr.type)
+                else -1
+            )
+            if idx >= 0:
+                kids.append(
+                    _mapped_rebuild(
+                        arr.field(idx), fields_json[i], tf.type, by_id
+                    )
+                )
+            else:
+                kids.append(pa.nulls(n, type=tf.type))
         return pa.StructArray.from_arrays(
             kids,
             fields=[t.field(i) for i in range(t.num_fields)],
             mask=arr.is_null() if arr.null_count else None,
         )
     if pa.types.is_list(t) or pa.types.is_large_list(t):
-        vals = _positional_cast(arr.values, t.value_type)
+        vals = _mapped_rebuild(
+            arr.values, pj_type["elementType"], t.value_type, by_id
+        )
         return pa.ListArray.from_arrays(
             arr.offsets,
             vals,
             mask=arr.is_null() if arr.null_count else None,
         )
     if pa.types.is_map(t):
-        keys = _positional_cast(arr.keys, t.key_type)
-        items = _positional_cast(arr.items, t.item_type)
+        keys = _mapped_rebuild(
+            arr.keys, pj_type["keyType"], t.key_type, by_id
+        )
+        items = _mapped_rebuild(
+            arr.items, pj_type["valueType"], t.item_type, by_id
+        )
         return pa.MapArray.from_arrays(
             arr.offsets,
             keys,
@@ -108,20 +170,71 @@ def _positional_cast(arr, target_type):
     return arr.cast(t)
 
 
-def _col_to(arr, field_type, mapped: bool):
+def _col_to(arr, field_type, phys_field_json, by_id: bool = False):
     """File column -> declared type: plain ``cast`` normally; the
-    positional rebuild on column-mapped tables whose complex columns
-    hide physical nested names."""
+    resolve-and-rename rebuild on column-mapped tables whose complex
+    columns hide physical nested names (``phys_field_json`` = the
+    column's physical twin field json, None when unmapped)."""
     import pyarrow as pa
 
-    if mapped and (
+    if phys_field_json is not None and (
         pa.types.is_struct(field_type)
         or pa.types.is_list(field_type)
         or pa.types.is_large_list(field_type)
         or pa.types.is_map(field_type)
     ):
-        return _positional_cast(arr, field_type)
+        return _mapped_rebuild(arr, phys_field_json, field_type, by_id)
     return arr.cast(field_type)
+
+
+def _phys_field_map(snap) -> dict | None:
+    """``{"mode": 'name'|'id', "fields": {logical top name ->
+    physical twin field json}}`` for a column-mapped snapshot (what
+    the batch builders resolve file columns and nested children by —
+    'id' mode resolves by parquet field id). None when the table is
+    unmapped."""
+    import json as _json
+
+    from value_at_risk_spark.sources.deltalog import (
+        _cm_mode,
+        _phys_field_json,
+    )
+
+    mode = _cm_mode(snap)
+    if mode == "none":
+        return None
+    return {
+        "mode": mode,
+        "fields": {
+            f["name"]: _phys_field_json(f, keep_ids=True)
+            for f in _json.loads(snap.metadata["schemaString"])["fields"]
+        },
+    }
+
+
+def _resolve_file_column(tbl, pf: dict, by_id: bool):
+    """Top-level file column for a physical twin field json, or None
+    (schema evolution -> null-fill). 'id' mode resolves by parquet
+    field id and fails LOUD on files carrying no ids at all."""
+    if not by_id:
+        if pf["name"] in tbl.schema.names:
+            return tbl.column(pf["name"])
+        return None
+    want = (pf.get("metadata") or {}).get("parquet.field.id")
+    any_id = False
+    for i, f in enumerate(tbl.schema):
+        fid = _field_id_of(f)
+        if fid is not None:
+            any_id = True
+            if fid == want:
+                return tbl.column(i)
+    if not any_id and len(tbl.schema):
+        raise ValueError(
+            "columnMapping.mode=id: data file carries no parquet "
+            "field ids — cannot resolve columns (name matching is "
+            "forbidden in 'id' mode)"
+        )
+    return None
 
 
 def _file_to_batches(
@@ -130,15 +243,18 @@ def _file_to_batches(
     schema: StructType,
     partition_columns: list[str],
     row_groups: list[int] | None = None,
-    l2p: dict | None = None,
+    phys_map: dict | None = None,
     dv_deleted=None,
     row_offset: int = 0,
 ):
     """One data file -> Arrow RecordBatches in the declared column
     order, with partition columns materialized as constant arrays cast
     from their Hive string values by the TABLE schema (never
-    re-inferred). ``dv_deleted`` (sorted uint64 physical row indexes)
-    masks deletion-vector rows out of the batch; ``row_offset`` is the
+    re-inferred). ``phys_map`` (column-mapped tables): logical top
+    name -> physical twin field json — file columns resolve by its
+    physical names (nested children included via _mapped_rebuild).
+    ``dv_deleted`` (sorted uint64 physical row indexes) masks
+    deletion-vector rows out of the batch; ``row_offset`` is the
     physical index of this slice's first row (non-zero for row-group
     splits)."""
     import pyarrow as pa
@@ -160,24 +276,37 @@ def _file_to_batches(
         )
         tbl = tbl.filter(pa.array(mask))
     n = tbl.num_rows
+    by_id = phys_map is not None and phys_map["mode"] == "id"
     cols = []
     for field in want:
         # column-mapped tables: the file and partitionValues carry the
         # PHYSICAL name; the emitted schema stays logical
-        src = (l2p or {}).get(field.name, field.name)
+        pf = (phys_map["fields"] if phys_map else {}).get(field.name)
+        src = pf["name"] if pf is not None else field.name
         if src in partition_columns:
             raw = part_values.get(src)
             if raw is None:
                 arr = pa.nulls(n, type=field.type)
             else:
                 arr = pa.array([raw] * n, type=pa.string()).cast(field.type)
-        elif src in tbl.schema.names:
-            arr = _col_to(tbl.column(src), field.type, mapped=l2p is not None)
         else:
-            # schema evolution: files written before a merge_schema
-            # column add lack the column — null-fill like read_delta
-            # (parquet's additive evolution), never KeyError
-            arr = pa.nulls(n, type=field.type)
+            raw_col = (
+                _resolve_file_column(tbl, pf, by_id)
+                if pf is not None
+                else (
+                    tbl.column(field.name)
+                    if field.name in tbl.schema.names
+                    else None
+                )
+            )
+            if raw_col is not None:
+                arr = _col_to(raw_col, field.type, pf, by_id)
+            else:
+                # schema evolution: files written before a
+                # merge_schema / ADD COLUMNS lack the column —
+                # null-fill like read_delta (parquet's additive
+                # evolution), never KeyError
+                arr = pa.nulls(n, type=field.type)
         cols.append(arr)
     out = pa.table(cols, schema=want)
     yield from out.to_batches()
@@ -230,17 +359,17 @@ def _cdf_file_to_batches(
     part: "_DeltaCdfPartition",
     out_schema: StructType,
     partition_columns: list[str],
-    l2p: dict | None = None,
+    phys_map: dict | None = None,
 ):
     """One change file -> Arrow batches in the CDF output schema:
     data columns from the file, partition columns from the log's
     partitionValues, _change_type from the file (cdc) or the
     partition's constant kind, _commit_version/_commit_timestamp as
     constants (epoch-micros cast, so the session tz never touches
-    the stored instant). ``l2p`` (column-mapped tables, 'name' mode):
-    data/cdc files and partitionValues carry PHYSICAL names; the
-    emitted schema stays logical (the CDF metadata columns are
-    unmapped)."""
+    the stored instant). ``phys_map`` (column-mapped tables, 'name'
+    mode): data/cdc files and partitionValues carry PHYSICAL names —
+    logical top name -> physical twin field json; the emitted schema
+    stays logical (the CDF metadata columns are unmapped)."""
     import pyarrow as pa
     import pyarrow.parquet as pq
 
@@ -269,7 +398,9 @@ def _cdf_file_to_batches(
         elif field.name == "_change_type" and part.kind != "cdc":
             arr = pa.array([part.kind] * n, type=field.type)
         else:
-            src = (l2p or {}).get(field.name, field.name)
+            pf = (phys_map["fields"] if phys_map else {}).get(field.name)
+            by_id = phys_map is not None and phys_map["mode"] == "id"
+            src = pf["name"] if pf is not None else field.name
             if src in partition_columns:
                 raw = part.part_values.get(src)
                 if raw is None:
@@ -278,13 +409,21 @@ def _cdf_file_to_batches(
                     arr = pa.array([raw] * n, type=pa.string()).cast(
                         field.type
                     )
-            elif src in tbl.schema.names:
-                arr = _col_to(
-                    tbl.column(src), field.type, mapped=l2p is not None
-                )
             else:
-                # pre-schema-evolution change files lack the column
-                arr = pa.nulls(n, type=field.type)
+                raw_col = (
+                    _resolve_file_column(tbl, pf, by_id)
+                    if pf is not None
+                    else (
+                        tbl.column(field.name)
+                        if field.name in tbl.schema.names
+                        else None
+                    )
+                )
+                if raw_col is not None:
+                    arr = _col_to(raw_col, field.type, pf, by_id)
+                else:
+                    # pre-schema-evolution change files lack the column
+                    arr = pa.nulls(n, type=field.type)
         cols.append(arr)
     yield from pa.table(cols, schema=want).to_batches()
 
@@ -382,17 +521,14 @@ class _DeltaCdfBatchReader(DataSourceReader):
             _physicalized,
         )
 
-        if _cm_mode(end_snap) == "id":
-            # 'id' mode resolves data columns by parquet field id;
-            # this pyarrow reader resolves by name — refuse like the
-            # plain DS reader
-            raise NotImplementedError(
-                "deltalog readChangeFeed: columnMapping.mode=id "
-                "tables are readable through table_changes only"
-            )
-        # 'name' mode (r13): change files and partitionValues carry
-        # PHYSICAL names; emit logical through the l2p lookup
+        # mapped tables (r13): change files and partitionValues carry
+        # PHYSICAL names; emit logical through the physical-twin map
+        # ('name' mode resolves nested children by physical name,
+        # 'id' mode by parquet field id — _resolve_file_column)
         self._l2p = _column_mapping(end_snap)
+        self._phys_map = (
+            _phys_field_map(end_snap) if self._l2p is not None else None
+        )
         self._partition_columns = (
             _physicalized(end_snap, self._l2p).partition_columns
             if self._l2p is not None
@@ -407,7 +543,7 @@ class _DeltaCdfBatchReader(DataSourceReader):
     def read(self, partition):
         yield from _cdf_file_to_batches(
             partition, self._schema, self._partition_columns,
-            l2p=self._l2p,
+            phys_map=self._phys_map,
         )
 
 
@@ -464,15 +600,13 @@ class _DeltaBatchReader(DataSourceReader):
             _physicalized,
         )
 
-        if _cm_mode(self._snap) == "id":
-            # 'id' mode resolves DATA columns by parquet field id;
-            # this pyarrow reader resolves by name — refusing beats a
-            # silent misread (read_delta wires field-id resolution)
-            raise NotImplementedError(
-                "deltalog DataSource: columnMapping.mode=id tables "
-                "are readable through read_delta only"
-            )
+        # mapped tables: 'name' mode resolves file columns by
+        # physical name, 'id' mode by parquet field id (files lacking
+        # ids fail LOUD in _resolve_file_column, never name-matched)
         self._l2p = _column_mapping(self._snap)
+        self._phys_map = (
+            _phys_field_map(self._snap) if self._l2p is not None else None
+        )
         if self._l2p is not None:
             self._snap = _physicalized(self._snap, self._l2p)
         self._schema = schema
@@ -712,7 +846,7 @@ class _DeltaBatchReader(DataSourceReader):
                 self._schema,
                 self._partition_columns,
                 getattr(sub, "row_groups", None),
-                self._l2p,
+                self._phys_map,
                 getattr(sub, "dv_deleted", None),
                 getattr(sub, "row_offset", 0),
             )
@@ -812,18 +946,14 @@ class _DeltaStreamReader(SimpleDataSourceStreamReader):
         self._schema = schema
         self._cdf = _cdf_requested(options)
         snap0 = _snap_fn(self._path)
-        if _cm_mode(snap0) == "id":
-            # 'id' mode resolves DATA columns by parquet field id;
-            # this pyarrow reader resolves by name — refuse like the
-            # batch DS reader (read_delta wires field-id resolution)
-            raise NotImplementedError(
-                "deltalog stream source: columnMapping.mode=id tables "
-                "are readable through read_delta only"
-            )
-        # 'name' mode (r13): physicalize like the batch DS reader —
-        # files and partitionValues carry physical names; emitted
-        # rows stay logical (the l2p lookup in _file_to_batches)
+        # mapped tables (r13): physicalize like the batch DS reader —
+        # files and partitionValues carry physical names; emitted rows
+        # stay logical via the physical-twin map ('id' mode resolves
+        # by parquet field id in _resolve_file_column)
         self._l2p = _column_mapping(snap0)
+        self._phys_map = (
+            _phys_field_map(snap0) if self._l2p is not None else None
+        )
         self._part_cols = (
             _physicalized(snap0, self._l2p).partition_columns
             if self._l2p is not None
@@ -867,7 +997,7 @@ class _DeltaStreamReader(SimpleDataSourceStreamReader):
             dv_deleted = entry[2] if len(entry) > 2 else None
             for batch in _file_to_batches(
                 abs_path, pv, self._schema, part_cols,
-                l2p=self._l2p, dv_deleted=dv_deleted,
+                phys_map=self._phys_map, dv_deleted=dv_deleted,
             ):
                 for row in batch.to_pylist():
                     yield tuple(row[n] for n in names)
@@ -913,7 +1043,8 @@ class _DeltaStreamReader(SimpleDataSourceStreamReader):
             self._path, start_v + 1, end_v
         ):
             for batch in _cdf_file_to_batches(
-                part, self._schema, self._part_cols, l2p=self._l2p
+                part, self._schema, self._part_cols,
+                phys_map=self._phys_map,
             ):
                 for row in batch.to_pylist():
                     yield tuple(row[n] for n in names)

@@ -391,7 +391,7 @@ def delta_sql(spark: SparkSession, stmt: str):
             return dl.sync_identity(spark, _one_path(s, "ALTER"))
         m = re.match(
             r"ALTER\s+TABLE\s+delta\.`[^`]+`\s+RENAME\s+COLUMN\s+"
-            r"(\w+)\s+TO\s+(\w+)$",
+            r"([\w.]+)\s+TO\s+(\w+)$",
             s,
             re.IGNORECASE,
         )
@@ -400,7 +400,7 @@ def delta_sql(spark: SparkSession, stmt: str):
                 _one_path(s, "ALTER"), m.group(1), m.group(2)
             )
         m = re.match(
-            r"ALTER\s+TABLE\s+delta\.`[^`]+`\s+DROP\s+COLUMN\s+(\w+)$",
+            r"ALTER\s+TABLE\s+delta\.`[^`]+`\s+DROP\s+COLUMN\s+([\w.]+)$",
             s,
             re.IGNORECASE,
         )
@@ -426,6 +426,41 @@ def delta_sql(spark: SparkSession, stmt: str):
                 "double": "double",
             }.get(m.group(2).lower(), m.group(2).lower())
             return dl.widen_column_type(_one_path(s, "ALTER"), m.group(1), t)
+        m = re.match(
+            r"ALTER\s+TABLE\s+delta\.`[^`]+`\s+ADD\s+COLUMNS?\s*"
+            r"\(?\s*(.+?)\s*\)?$",
+            s,
+            re.IGNORECASE,
+        )
+        if m and not re.match(
+            r"ALTER\s+TABLE\s+delta\.`[^`]+`\s+ADD\s+CONSTRAINT",
+            s,
+            re.IGNORECASE,
+        ):
+            sql2json = {
+                "tinyint": "byte", "smallint": "short", "int": "integer",
+                "integer": "integer", "bigint": "long", "long": "long",
+                "float": "float", "real": "float", "double": "double",
+                "string": "string", "boolean": "boolean", "date": "date",
+                "timestamp": "timestamp",
+            }
+            cols: dict[str, str] = {}
+            for part in m.group(1).split(","):
+                cm = re.match(r"^\s*(\w+)\s+(\w+)\s*$", part)
+                if not cm:
+                    raise ValueError(
+                        f"delta_sql: unsupported ADD COLUMNS item "
+                        f"{part.strip()!r} (scalar 'name TYPE' only — "
+                        "complex types via add_delta_columns)"
+                    )
+                t = sql2json.get(cm.group(2).lower())
+                if t is None:
+                    raise ValueError(
+                        f"delta_sql: unsupported ADD COLUMNS type "
+                        f"{cm.group(2)!r}"
+                    )
+                cols[cm.group(1)] = t
+            return dl.add_delta_columns(_one_path(s, "ALTER"), cols)
         m = re.match(
             r"ALTER\s+TABLE\s+delta\.`[^`]+`\s+SET\s+TBLPROPERTIES\s*"
             r"\((.+)\)$",

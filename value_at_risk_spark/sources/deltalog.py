@@ -769,15 +769,19 @@ def _bare_type_json(dt) -> object:
     )["type"]
 
 
-def _assign_mapping_ids(sch: dict) -> int:
-    """Column-mapping bootstrap at table creation: walk a
-    schemaString json depth-first assigning ``delta.columnMapping.id``
-    (dense from 1) and a fresh ``col-<uuid>`` physicalName to EVERY
+def _assign_mapping_ids(
+    sch: dict, start: int = 0, only_missing: bool = False
+) -> int:
+    """Column-mapping id/physicalName assignment: walk a schemaString
+    json depth-first assigning ``delta.columnMapping.id`` (dense from
+    ``start + 1``) and a fresh ``col-<uuid>`` physicalName to EVERY
     struct field at every nesting level (struct-in-struct, array
     elements, map values — anywhere the protocol attaches field
-    metadata). Mutates ``sch`` in place; returns the max id for
-    ``delta.columnMapping.maxColumnId``."""
-    next_id = 0
+    metadata). ``only_missing`` (schema evolution): fields that
+    already carry an id keep it untouched — only NEW fields (and
+    their nested children) get assignments. Mutates ``sch`` in place;
+    returns the new max id for ``delta.columnMapping.maxColumnId``."""
+    next_id = start
 
     def _type(t):
         if isinstance(t, dict):
@@ -793,12 +797,14 @@ def _assign_mapping_ids(sch: dict) -> int:
 
     def _field(f: dict) -> None:
         nonlocal next_id
-        next_id += 1
-        f["metadata"] = {
-            **(f.get("metadata") or {}),
-            "delta.columnMapping.id": next_id,
-            "delta.columnMapping.physicalName": f"col-{uuid.uuid4()}",
-        }
+        md = f.get("metadata") or {}
+        if not (only_missing and "delta.columnMapping.id" in md):
+            next_id += 1
+            f["metadata"] = {
+                **md,
+                "delta.columnMapping.id": next_id,
+                "delta.columnMapping.physicalName": f"col-{uuid.uuid4()}",
+            }
         _type(f.get("type"))
 
     for f in sch["fields"]:
@@ -2207,11 +2213,6 @@ def write_delta(
             mapped_fields_json = json.loads(
                 snap_pre.metadata["schemaString"]
             )["fields"]
-            if merge_schema:
-                raise NotImplementedError(
-                    "write_delta: merge_schema on a column-mapped table "
-                    "requires field-id assignment — not supported"
-                )
     elif configuration and configuration.get(
         "delta.columnMapping.mode"
     ) in ("name", "id"):
@@ -2236,6 +2237,34 @@ def write_delta(
         path, df.schema, partition_by, merge_schema,
         mapped_ok=l2p_write is not None,
     )
+    if l2p_write is not None and new_metadata is not None:
+        # merge_schema on a mapped table: the merged schemaString kept
+        # the existing fields' mapping metadata (it rides the
+        # StructFields) — assign fresh ids/physicalNames to the NEW
+        # fields only, continuing from the table's maxColumnId, and
+        # advance it in the same metaData action
+        msch = json.loads(new_metadata["schemaString"])
+        prev_max = int(
+            (snap_pre.metadata.get("configuration") or {}).get(
+                "delta.columnMapping.maxColumnId", "0"
+            )
+        )
+        new_max = _assign_mapping_ids(
+            msch, start=prev_max, only_missing=True
+        )
+        new_metadata = {
+            **new_metadata,
+            "schemaString": json.dumps(msch),
+            "configuration": {
+                **(new_metadata.get("configuration") or {}),
+                "delta.columnMapping.maxColumnId": str(new_max),
+            },
+        }
+        mapped_fields_json = msch["fields"]
+        for f in msch["fields"]:
+            md = f["metadata"]
+            l2p_write[f["name"]] = md["delta.columnMapping.physicalName"]
+            fids_write[f["name"]] = int(md["delta.columnMapping.id"])
     if null_checks:
         # Delta's NOT NULL invariant: the frame is only STATICALLY
         # nullable (plans are conservative); prove no actual null
@@ -2672,12 +2701,24 @@ def drop_delta_column(path: str, col: str) -> int:
                 "— dropping would require rewriting every data file"
             )
         sch = json.loads(snap.metadata["schemaString"])
-        names = [f["name"] for f in sch["fields"]]
-        if col not in names:
+        # nested drop: 'parent.child' descends struct fields (and
+        # array elements) — the nested physical column stays in the
+        # files, readers stop projecting it (same contract as the
+        # top-level drop)
+        parts = col.split(".")
+        fields = (
+            _nested_sibling_fields(sch, parts)
+            if len(parts) > 1
+            else sch["fields"]
+        )
+        leaf = parts[-1]
+        names = [f["name"] for f in fields]
+        if leaf not in names:
             raise ValueError(f"drop_delta_column: no column {col!r}")
         if len(names) == 1:
             raise ValueError(
                 "drop_delta_column: cannot drop the only column"
+                + (" of a struct" if len(parts) > 1 else "")
             )
         if col in (snap.metadata.get("partitionColumns") or []):
             raise ValueError(
@@ -2692,7 +2733,7 @@ def drop_delta_column(path: str, col: str) -> int:
                 f"constraint/generation expression(s) {sorted(hit)} — "
                 "drop them first"
             )
-        sch["fields"] = [f for f in sch["fields"] if f["name"] != col]
+        fields[:] = [f for f in fields if f["name"] != leaf]
         meta = {**snap.metadata, "schemaString": json.dumps(sch)}
         actions = [
             {
@@ -2708,6 +2749,84 @@ def drop_delta_column(path: str, col: str) -> int:
         if _publish_commit(path, snap.version + 1, actions):
             return snap.version + 1
     raise RuntimeError(f"drop_delta_column: lost the commit race at {path}")
+
+
+def add_delta_columns(path: str, columns: dict[str, object]) -> int:
+    """``ALTER TABLE ADD COLUMNS`` — a METADATA-ONLY commit appending
+    new nullable columns to the end of the schema. Legal on mapped AND
+    unmapped tables alike: existing data files simply lack the new
+    columns, and every scan path null-fills missing columns (parquet's
+    additive evolution — the same contract merge_schema appends rely
+    on). On mapped tables the new fields (and their nested children)
+    get fresh ids/physicalNames continuing from ``maxColumnId``.
+    ``columns`` maps name -> type as a schemaString type value (``
+    "long"``, a nested type dict) or a pyspark DataType. Top-level
+    adds only (no dotted paths). Returns the committed version."""
+    if not delta_versions(path):
+        raise ValueError(f"not a delta table at {path}")
+    if not columns:
+        raise ValueError("add_delta_columns: no columns given")
+    now_ms = int(time.time() * 1000)
+    for _attempt in range(64):
+        snap = snapshot(path)
+        _refuse_high_writer_version(snap, "ADD COLUMNS")
+        sch = json.loads(snap.metadata["schemaString"])
+        names = {f["name"] for f in sch["fields"]}
+        new_fields: list[dict] = []
+        for name, typ in columns.items():
+            if "." in name:
+                raise NotImplementedError(
+                    f"add_delta_columns: nested position {name!r} not "
+                    "supported — add a top-level column"
+                )
+            if name in names:
+                raise ValueError(
+                    f"add_delta_columns: column {name!r} already exists"
+                )
+            if hasattr(typ, "jsonValue"):
+                typ = typ.jsonValue()
+            new_fields.append(
+                {
+                    "name": name,
+                    "type": typ,
+                    "nullable": True,
+                    "metadata": {},
+                }
+            )
+        conf = dict(snap.metadata.get("configuration") or {})
+        if _column_mapping(snap) is not None:
+            tmp = {"fields": new_fields}
+            new_max = _assign_mapping_ids(
+                tmp,
+                start=int(conf.get("delta.columnMapping.maxColumnId", "0")),
+                only_missing=False,
+            )
+            conf["delta.columnMapping.maxColumnId"] = str(new_max)
+        sch["fields"] = sch["fields"] + new_fields
+        # fail loud on types the schema parser can't represent before
+        # committing garbage
+        StructType.fromJson(sch)
+        meta = {
+            **snap.metadata,
+            "schemaString": json.dumps(sch),
+            "configuration": conf,
+        }
+        actions = [
+            {
+                "commitInfo": {
+                    "timestamp": now_ms,
+                    "operation": "ADD COLUMNS",
+                    "operationParameters": {
+                        "columns": sorted(columns.keys())
+                    },
+                    "engineInfo": "value_at_risk_spark.deltalog",
+                }
+            },
+            {"metaData": meta},
+        ]
+        if _publish_commit(path, snap.version + 1, actions):
+            return snap.version + 1
+    raise RuntimeError(f"add_delta_columns: lost the commit race at {path}")
 
 
 def shallow_clone(src: str, dst: str, version: int | None = None) -> int:
