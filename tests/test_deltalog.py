@@ -4632,3 +4632,131 @@ def test_mapped_schema_evolution_and_nested_drop(spark, tmp_path):
         add_delta_columns(t2, {"x": "long"})
     with pytest.raises(NotImplementedError, match="nested position"):
         add_delta_columns(t2, {"s.inner": "long"})
+
+
+def test_mapped_map_column_and_dotted_name_precedence(spark, tmp_path):
+    """Review fixes (r13): (1) MAP columns on mapped tables read
+    through BOTH readers incl. null map entries (pyarrow's
+    MapArray.from_arrays takes no mask kwarg — null entries ride the
+    offsets); (2) a top-level logical name containing a dot wins over
+    nested resolution in RENAME/DROP (mapped tables legally hold
+    dotted logical names — resolving into a same-named struct would
+    silently rename the wrong field); (3) an 'id'-mode declared field
+    with no delta.columnMapping.id fails LOUD in the DS, never
+    null-fills."""
+    import json as _json
+
+    from value_at_risk_spark.sources.delta_datasource import (
+        register_deltalog_source,
+    )
+    from value_at_risk_spark.sources.deltalog import (
+        _publish_commit,
+        rename_delta_column,
+    )
+
+    register_deltalog_source(spark)
+    for mode in ("name", "id"):
+        t = str(tmp_path / f"map_{mode}")
+        df = spark.createDataFrame(
+            [(1, {"a": 10, "b": 20}), (2, None), (3, {"c": 30})],
+            "id long, m map<string,long>",
+        )
+        write_delta(
+            spark, df, t, configuration={"delta.columnMapping.mode": mode}
+        )
+        want = sorted(
+            (r.id, None if r.m is None else sorted(r.m.items()))
+            for r in df.collect()
+        )
+        got_native = sorted(
+            (r.id, None if r.m is None else sorted(r.m.items()))
+            for r in read_delta(spark, t).collect()
+        )
+        got_ds = sorted(
+            (r.id, None if r.m is None else sorted(r.m.items()))
+            for r in spark.read.format("deltalog").load(t).collect()
+        )
+        assert got_native == want and got_ds == want, (mode, got_ds)
+
+    # (2) dotted top-level logical name shadows a same-shaped struct
+    t2 = str(tmp_path / "dotted")
+    os.makedirs(os.path.join(t2, "_delta_log"))
+    fields = [
+        {"name": "a.b", "type": "long", "nullable": True,
+         "metadata": {"delta.columnMapping.id": 1,
+                      "delta.columnMapping.physicalName": "col-flat"}},
+        {"name": "a", "nullable": True,
+         "metadata": {"delta.columnMapping.id": 2,
+                      "delta.columnMapping.physicalName": "col-s"},
+         "type": {"type": "struct", "fields": [
+             {"name": "b", "type": "long", "nullable": True,
+              "metadata": {"delta.columnMapping.id": 3,
+                           "delta.columnMapping.physicalName": "col-sb"}},
+             {"name": "c", "type": "long", "nullable": True,
+              "metadata": {"delta.columnMapping.id": 4,
+                           "delta.columnMapping.physicalName": "col-sc"}},
+         ]}},
+    ]
+    _publish_commit(t2, 0, [
+        {"commitInfo": {"timestamp": 0, "operation": "WRITE"}},
+        {"protocol": {"minReaderVersion": 2, "minWriterVersion": 5}},
+        {"metaData": {
+            "id": "dotted-test",
+            "format": {"provider": "parquet", "options": {}},
+            "schemaString": _json.dumps(
+                {"type": "struct", "fields": fields}
+            ),
+            "partitionColumns": [],
+            "configuration": {"delta.columnMapping.mode": "name"},
+        }},
+    ])
+    rename_delta_column(t2, "a.b", "flat2")
+    sch = _json.loads(
+        snapshot(t2).metadata["schemaString"]
+    )
+    assert [f["name"] for f in sch["fields"]] == ["flat2", "a"]
+    # the struct child is untouched
+    assert [
+        nf["name"] for nf in sch["fields"][1]["type"]["fields"]
+    ] == ["b", "c"]
+    # with the flat name gone, the dotted path now reaches the child
+    rename_delta_column(t2, "a.b", "bb")
+    sch = _json.loads(snapshot(t2).metadata["schemaString"])
+    assert [
+        nf["name"] for nf in sch["fields"][1]["type"]["fields"]
+    ] == ["bb", "c"]
+
+    # (3) 'id' mode with a declared field missing its id: LOUD
+    t3 = str(tmp_path / "noid")
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    fname = os.path.join(t3, "part-0.parquet")
+    os.makedirs(t3)
+    sch_pa = pa.schema(
+        [pa.field("col-x", pa.int64(), metadata={b"PARQUET:field_id": b"1"})]
+    )
+    pq.write_table(
+        pa.table({"col-x": pa.array([5], pa.int64())}).cast(sch_pa), fname
+    )
+    _publish_commit(t3, 0, [
+        {"commitInfo": {"timestamp": 0, "operation": "WRITE"}},
+        {"protocol": {"minReaderVersion": 2, "minWriterVersion": 5}},
+        {"metaData": {
+            "id": "noid-test",
+            "format": {"provider": "parquet", "options": {}},
+            "schemaString": _json.dumps({"type": "struct", "fields": [
+                {"name": "x", "type": "long", "nullable": True,
+                 "metadata": {
+                     "delta.columnMapping.physicalName": "col-x"
+                 }},  # id MISSING — spec-invalid
+            ]}),
+            "partitionColumns": [],
+            "configuration": {"delta.columnMapping.mode": "id"},
+        }},
+        {"add": {"path": "part-0.parquet", "partitionValues": {},
+                 "size": os.path.getsize(fname), "modificationTime": 0,
+                 "dataChange": True}},
+    ])
+    with pytest.raises(Exception, match="delta.columnMapping.id"):
+        spark.read.format("deltalog").load(t3).collect()

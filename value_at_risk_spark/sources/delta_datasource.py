@@ -78,6 +78,15 @@ def _child_index(struct_type, pj_field: dict, by_id: bool) -> int:
     if not by_id:
         return struct_type.get_field_index(pj_field["name"])
     want = (pj_field.get("metadata") or {}).get("parquet.field.id")
+    if want is None:
+        # a declared field with NO delta.columnMapping.id in an
+        # 'id'-mode schemaString is spec-invalid — null-filling here
+        # would silently misread; fail loud like read_delta's path
+        raise ValueError(
+            "columnMapping.mode=id: declared field "
+            f"{pj_field.get('name')!r} carries no "
+            "delta.columnMapping.id — cannot resolve by field id"
+        )
     any_id = False
     for i in range(struct_type.num_fields):
         fid = _field_id_of(struct_type.field(i))
@@ -161,12 +170,22 @@ def _mapped_rebuild(arr, pj, t, by_id: bool = False):
         items = _mapped_rebuild(
             arr.items, pj_type["valueType"], t.item_type, by_id
         )
-        return pa.MapArray.from_arrays(
-            arr.offsets,
-            keys,
-            items,
-            mask=arr.is_null() if arr.null_count else None,
-        )
+        offsets = arr.offsets
+        if arr.null_count:
+            # MapArray.from_arrays accepts no mask kwarg (unlike
+            # ListArray) and .offsets drops the validity bitmap — a
+            # null OFFSET entry is the documented way to mark a null
+            # map; rebuild the offsets with Nones at invalid slots
+            valid = arr.is_valid().to_pylist()
+            raw = offsets.to_pylist()
+            offsets = pa.array(
+                [
+                    raw[i] if i >= len(valid) or valid[i] else None
+                    for i in range(len(raw))
+                ],
+                type=pa.int32(),
+            )
+        return pa.MapArray.from_arrays(offsets, keys, items).cast(t)
     return arr.cast(t)
 
 
@@ -221,6 +240,12 @@ def _resolve_file_column(tbl, pf: dict, by_id: bool):
             return tbl.column(pf["name"])
         return None
     want = (pf.get("metadata") or {}).get("parquet.field.id")
+    if want is None:
+        raise ValueError(
+            "columnMapping.mode=id: declared column "
+            f"{pf.get('name')!r} carries no delta.columnMapping.id "
+            "— cannot resolve by field id"
+        )
     any_id = False
     for i, f in enumerate(tbl.schema):
         fid = _field_id_of(f)

@@ -562,15 +562,14 @@ def read_delta(
     l2p = _column_mapping(snap)
     if l2p is not None:
         logical_cols = _to_logical_cols(snap, l2p)
-        fids = None
-        if _cm_mode(snap) == "id":
+        by_id = _cm_mode(snap) == "id"
+        if by_id:
             # 'id' mode: data columns resolve by parquet FIELD ID —
             # the schema carries parquet.field.id metadata and the
             # reader-side conf turns id matching on (files lacking
             # ids then fail loud instead of matching by name)
-            fids = _column_field_ids(snap)
             spark.conf.set("spark.sql.parquet.fieldId.read.enabled", "true")
-        snap = _physicalized(snap, l2p, fids)
+        snap = _physicalized(snap, l2p, keep_ids=by_id)
         if partition_filters:
             partition_filters = {
                 l2p.get(c, c): v for c, v in partition_filters.items()
@@ -591,18 +590,6 @@ def _cm_mode(snap: DeltaSnapshot) -> str:
     return (snap.metadata.get("configuration") or {}).get(
         "delta.columnMapping.mode", "none"
     ) or "none"
-
-
-def _column_field_ids(snap: DeltaSnapshot) -> dict[str, int]:
-    """logical name -> ``delta.columnMapping.id`` (the parquet field
-    id data columns resolve by in 'id' mode)."""
-    sch = json.loads(snap.metadata["schemaString"])
-    out: dict[str, int] = {}
-    for f in sch["fields"]:
-        md = f.get("metadata") or {}
-        if "delta.columnMapping.id" in md:
-            out[f["name"]] = int(md["delta.columnMapping.id"])
-    return out
 
 
 def _column_mapping(snap: DeltaSnapshot) -> dict[str, str] | None:
@@ -633,6 +620,41 @@ def _column_mapping(snap: DeltaSnapshot) -> dict[str, str] | None:
     return l2p
 
 
+def _walk_field_json(f: dict, field_fn, type_fn=None) -> dict:
+    """THE schemaString walker every field-json transform shares:
+    containers recurse first (struct fields, array elements, map
+    keys/values), ``type_fn`` (optional) rewrites each rebuilt
+    container dict, then ``field_fn(field) -> field`` runs at EVERY
+    field level with the rebuilt type already in place. One walker so
+    the physical/clean/relaxed planes can never silently diverge on
+    a container kind."""
+
+    def _type(t):
+        if isinstance(t, dict):
+            k = t.get("type")
+            if k == "struct":
+                t = {
+                    "type": "struct",
+                    "fields": [_field(nf) for nf in t.get("fields", [])],
+                }
+            elif k == "array":
+                t = {**t, "elementType": _type(t["elementType"])}
+            elif k == "map":
+                t = {
+                    **t,
+                    "keyType": _type(t["keyType"]),
+                    "valueType": _type(t["valueType"]),
+                }
+            if type_fn is not None:
+                t = type_fn(t)
+        return t
+
+    def _field(f: dict) -> dict:
+        return field_fn({**f, "type": _type(f.get("type"))})
+
+    return _field(f)
+
+
 def _phys_field_json(f: dict, keep_ids: bool) -> dict:
     """The PHYSICAL twin of one schemaString field json: renamed to
     its ``delta.columnMapping.physicalName`` at EVERY nesting level
@@ -643,37 +665,19 @@ def _phys_field_json(f: dict, keep_ids: bool) -> dict:
     (mapping renames, never reorders), which is what lets the read
     side rename back with a positional struct cast."""
 
-    def _type(t):
-        if isinstance(t, dict):
-            k = t.get("type")
-            if k == "struct":
-                return {
-                    "type": "struct",
-                    "fields": [_field(nf) for nf in t.get("fields", [])],
-                }
-            if k == "array":
-                return {**t, "elementType": _type(t["elementType"])}
-            if k == "map":
-                return {
-                    **t,
-                    "keyType": _type(t["keyType"]),
-                    "valueType": _type(t["valueType"]),
-                }
-        return t
-
-    def _field(f: dict) -> dict:
+    def fn(f: dict) -> dict:
         md = f.get("metadata") or {}
         out_md: dict = {}
         if keep_ids and "delta.columnMapping.id" in md:
             out_md["parquet.field.id"] = int(md["delta.columnMapping.id"])
         return {
             "name": md.get("delta.columnMapping.physicalName", f["name"]),
-            "type": _type(f.get("type")),
+            "type": f["type"],
             "nullable": f.get("nullable", True),
             "metadata": out_md,
         }
 
-    return _field(f)
+    return _walk_field_json(f, fn)
 
 
 def _clean_field_json(f: dict) -> dict:
@@ -682,34 +686,15 @@ def _clean_field_json(f: dict) -> dict:
     every nesting level — the clean cast target for renaming a
     physically-scanned frame back to logical names without leaking
     log-internal metadata into user-facing schemas."""
-
-    def _type(t):
-        if isinstance(t, dict):
-            k = t.get("type")
-            if k == "struct":
-                return {
-                    "type": "struct",
-                    "fields": [_field(nf) for nf in t.get("fields", [])],
-                }
-            if k == "array":
-                return {**t, "elementType": _type(t["elementType"])}
-            if k == "map":
-                return {
-                    **t,
-                    "keyType": _type(t["keyType"]),
-                    "valueType": _type(t["valueType"]),
-                }
-        return t
-
-    def _field(f: dict) -> dict:
-        return {
+    return _walk_field_json(
+        f,
+        lambda f: {
             "name": f["name"],
-            "type": _type(f.get("type")),
+            "type": f["type"],
             "nullable": f.get("nullable", True),
             "metadata": {},
-        }
-
-    return _field(f)
+        },
+    )
 
 
 def _field_from_json(f_json: dict):
@@ -730,33 +715,16 @@ def _relax_nulls_json(f: dict) -> dict:
     Nullability ENFORCEMENT stays with the write-side null checks;
     the cast only renames."""
 
-    def _type(t):
-        if isinstance(t, dict):
-            k = t.get("type")
-            if k == "struct":
-                return {
-                    "type": "struct",
-                    "fields": [_field(nf) for nf in t.get("fields", [])],
-                }
-            if k == "array":
-                return {
-                    **t,
-                    "elementType": _type(t["elementType"]),
-                    "containsNull": True,
-                }
-            if k == "map":
-                return {
-                    **t,
-                    "keyType": _type(t["keyType"]),
-                    "valueType": _type(t["valueType"]),
-                    "valueContainsNull": True,
-                }
+    def type_fn(t: dict) -> dict:
+        if t.get("type") == "array":
+            return {**t, "containsNull": True}
+        if t.get("type") == "map":
+            return {**t, "valueContainsNull": True}
         return t
 
-    def _field(f: dict) -> dict:
-        return {**f, "type": _type(f.get("type")), "nullable": True}
-
-    return _field(f)
+    return _walk_field_json(
+        f, lambda f: {**f, "nullable": True}, type_fn=type_fn
+    )
 
 
 def _bare_type_json(dt) -> object:
@@ -780,7 +748,10 @@ def _assign_mapping_ids(
     metadata). ``only_missing`` (schema evolution): fields that
     already carry an id keep it untouched — only NEW fields (and
     their nested children) get assignments. Mutates ``sch`` in place;
-    returns the new max id for ``delta.columnMapping.maxColumnId``."""
+    returns the new max id for ``delta.columnMapping.maxColumnId``.
+    Keeps its own PRE-ORDER walk (parent ids before children —
+    delta-spark's assignment order) rather than composing with the
+    post-order ``_walk_field_json``."""
     next_id = start
 
     def _type(t):
@@ -836,20 +807,20 @@ def _to_logical_cols(snap: DeltaSnapshot, l2p: dict[str, str]) -> list:
 def _physicalized(
     snap: DeltaSnapshot,
     l2p: dict[str, str],
-    field_ids: dict[str, int] | None = None,
+    keep_ids: bool = False,
 ) -> DeltaSnapshot:
     """A snapshot whose schema/partitionColumns carry the PHYSICAL
     names — what the data files and add.partitionValues actually use —
     so the ordinary scan machinery runs unchanged. Nested fields are
-    renamed too (``_phys_field_json``). ``field_ids`` ('id' mode):
+    renamed too (``_phys_field_json``). ``keep_ids`` ('id' mode):
     each field keeps a ``parquet.field.id`` metadata entry at every
-    nesting level so Spark's parquet reader resolves DATA columns by
-    field id rather than by name (the file's column names are not
-    trustworthy in that mode)."""
+    nesting level (sourced from its own ``delta.columnMapping.id``)
+    so Spark's parquet reader resolves DATA columns by field id
+    rather than by name (the file's column names are not trustworthy
+    in that mode)."""
     sch = json.loads(snap.metadata["schemaString"])
     sch["fields"] = [
-        _phys_field_json(f, keep_ids=field_ids is not None)
-        for f in sch["fields"]
+        _phys_field_json(f, keep_ids=keep_ids) for f in sch["fields"]
     ]
     md = {
         **snap.metadata,
@@ -898,15 +869,14 @@ def _mapping_planes(spark: SparkSession, snap: DeltaSnapshot):
     if l2p is None:
         ident = lambda df: df  # noqa: E731
         return snap, ident, ident, None
-    fids = None
-    if _cm_mode(snap) == "id":
-        fids = _column_field_ids(snap)
+    by_id = _cm_mode(snap) == "id"
+    if by_id:
         # session default (get_spark) — re-assert for foreign sessions;
         # the restage scans below execute eagerly inside the DML call,
         # but the conf must survive for any still-lazy reader frames,
         # so no restore (see read_delta's docstring)
         spark.conf.set("spark.sql.parquet.fieldId.read.enabled", "true")
-    io_snap = _physicalized(snap, l2p, fids)
+    io_snap = _physicalized(snap, l2p, keep_ids=by_id)
     sch = json.loads(snap.metadata["schemaString"])
     # per-column cast-plane entries: complex columns rename nested
     # fields via positional casts; flat columns alias straight across
@@ -1556,14 +1526,13 @@ def read_delta_row_ids(
         # scanning the logical schema against physical-name files
         # would return all-NULL columns (the silent-misread failure)
         logical_cols = _to_logical_cols(snap, l2p)
-        fids = None
-        if _cm_mode(snap) == "id":
-            fids = _column_field_ids(snap)
+        by_id = _cm_mode(snap) == "id"
+        if by_id:
             spark.conf.set("spark.sql.parquet.fieldId.read.enabled", "true")
         phys = _files_with_row_ids(
             spark,
             path,
-            _physicalized(snap, l2p, fids),
+            _physicalized(snap, l2p, keep_ids=by_id),
             sorted(snap.files),
             "row_id",
         )
@@ -2204,12 +2173,10 @@ def write_delta(
     # mode resolves by them, and writing them in 'name' mode too is
     # what delta-spark does for forward interop)
     l2p_write: dict[str, str] | None = None
-    fids_write: dict[str, int] = {}
     mapped_fields_json: list[dict] | None = None
     if exists:
         l2p_write = _column_mapping(snap_pre)
         if l2p_write is not None:
-            fids_write = _column_field_ids(snap_pre)
             mapped_fields_json = json.loads(
                 snap_pre.metadata["schemaString"]
             )["fields"]
@@ -2227,7 +2194,6 @@ def write_delta(
         for f in sch["fields"]:
             md = f["metadata"]
             l2p_write[f["name"]] = md["delta.columnMapping.physicalName"]
-            fids_write[f["name"]] = md["delta.columnMapping.id"]
         schema_for_commit = StructType.fromJson(sch)
         configuration = {
             **configuration,
@@ -2264,7 +2230,6 @@ def write_delta(
         for f in msch["fields"]:
             md = f["metadata"]
             l2p_write[f["name"]] = md["delta.columnMapping.physicalName"]
-            fids_write[f["name"]] = int(md["delta.columnMapping.id"])
     if null_checks:
         # Delta's NOT NULL invariant: the frame is only STATICALLY
         # nullable (plans are conservative); prove no actual null
@@ -2624,8 +2589,16 @@ def rename_delta_column(path: str, old: str, new: str) -> int:
         # nested rename: 'parent.child' descends struct fields (and
         # array elements) — legal for the same reason the top-level
         # rename is: nested fields carry their own stable
-        # physicalName, so only the schemaString changes
-        parts = old.split(".")
+        # physicalName, so only the schemaString changes. An EXACT
+        # top-level match wins before '.' is read as nesting: mapped
+        # tables legally hold logical names containing dots, and
+        # resolving 'a.b' into a struct 'a' when a top-level 'a.b'
+        # exists would rename the wrong field silently
+        parts = (
+            [old]
+            if old in {f["name"] for f in sch["fields"]}
+            else old.split(".")
+        )
         fields = (
             _nested_sibling_fields(sch, parts)
             if len(parts) > 1
@@ -2704,8 +2677,14 @@ def drop_delta_column(path: str, col: str) -> int:
         # nested drop: 'parent.child' descends struct fields (and
         # array elements) — the nested physical column stays in the
         # files, readers stop projecting it (same contract as the
-        # top-level drop)
-        parts = col.split(".")
+        # top-level drop). Exact top-level match wins before '.' is
+        # read as nesting (mapped logical names may contain dots —
+        # see rename_delta_column)
+        parts = (
+            [col]
+            if col in {f["name"] for f in sch["fields"]}
+            else col.split(".")
+        )
         fields = (
             _nested_sibling_fields(sch, parts)
             if len(parts) > 1
