@@ -4760,3 +4760,76 @@ def test_mapped_map_column_and_dotted_name_precedence(spark, tmp_path):
     ])
     with pytest.raises(Exception, match="delta.columnMapping.id"):
         spark.read.format("deltalog").load(t3).collect()
+
+
+def test_update_nested_field_set(spark, tmp_path):
+    """``UPDATE SET s.a = expr`` (r13): nested SET targets rewrite
+    into whole-struct named_struct assignments with delta-spark's
+    UpdateExpressionsSupport semantics — untouched siblings pass
+    through, a NULL struct row becomes NON-null with NULLs in the
+    unassigned fields, deeper nesting recurses, and the same surface
+    works over CoW, merge-on-read (DV), column-mapped tables, and the
+    SQL text form. Exact top-level dotted names still win."""
+    from value_at_risk_spark.sources.delta_sql import delta_sql
+    from value_at_risk_spark.sources.deltalog import update_delta
+
+    t = str(tmp_path / "nset")
+    df = spark.createDataFrame(
+        [
+            (1, (10, "x", (100,))),
+            (2, (20, "y", (200,))),
+            (3, None),
+        ],
+        "id long, s struct<a:long,b:string,d:struct<e:long>>",
+    )
+    write_delta(spark, df, t)
+    r = update_delta(spark, t, "id = 1", {"s.a": "s.a + 5"})
+    assert r["rows_updated"] == 1
+    got = {x.id: x.s for x in read_delta(spark, t).collect()}
+    assert got[1].a == 15 and got[1].b == "x" and got[1].d.e == 100
+    assert got[2].a == 20  # untouched row
+    # deeper nesting + NULL struct row: becomes non-null, others NULL
+    update_delta(spark, t, "id = 3", {"s.d.e": "777"})
+    got = {x.id: x.s for x in read_delta(spark, t).collect()}
+    assert got[3] is not None
+    assert got[3].a is None and got[3].b is None and got[3].d.e == 777
+    # SQL form
+    delta_sql(spark, f"UPDATE delta.`{t}` SET s.b = 'Z' WHERE id = 2")
+    got = {x.id: x.s for x in read_delta(spark, t).collect()}
+    assert got[2].b == "Z" and got[2].a == 20
+    # errors: unknown leaf, non-struct hop, conflicting assignments
+    with pytest.raises(ValueError, match="no field"):
+        update_delta(spark, t, "id = 1", {"s.nope": "1"})
+    with pytest.raises(ValueError, match="not a struct"):
+        update_delta(spark, t, "id = 1", {"id.x": "1"})
+    with pytest.raises(ValueError, match="conflicting"):
+        update_delta(
+            spark, t, "id = 1",
+            {"s": "named_struct('a', 1L, 'b', 'q', 'd', s.d)",
+             "s.a": "2"},
+        )
+    # DV (merge-on-read) path
+    t2 = str(tmp_path / "nset_dv")
+    write_delta(
+        spark, df, t2,
+        configuration={"delta.enableDeletionVectors": "true"},
+    )
+    rr = update_delta(spark, t2, "id = 2", {"s.a": "s.a * 2"})
+    assert rr["files_rewritten"] == 0  # masked, not rewritten
+    got2 = {x.id: x.s for x in read_delta(spark, t2).collect()}
+    assert got2[2].a == 40 and got2[2].b == "y"
+    # column-mapped table: nested SET binds LOGICAL names
+    t3 = str(tmp_path / "nset_map")
+    write_delta(
+        spark, df, t3,
+        configuration={"delta.columnMapping.mode": "name"},
+    )
+    update_delta(spark, t3, "s.b = 'y'", {"s.a": "s.a + 1000"})
+    got3 = {x.id: x.s for x in read_delta(spark, t3).collect()}
+    assert got3[2].a == 1020 and got3[1].a == 10
+    # exact dotted TOP-LEVEL name beats nesting
+    t4 = str(tmp_path / "nset_dotted")
+    df4 = spark.createDataFrame([(1, 5)], "id long, `s.a` long")
+    write_delta(spark, df4, t4)
+    update_delta(spark, t4, "id = 1", {"s.a": "99"})
+    assert read_delta(spark, t4).collect()[0]["s.a"] == 99

@@ -5293,9 +5293,9 @@ def _update_with_dv(
         updated = matched.select(
             *[
                 (
-                    F.expr(set_exprs[f.name]).cast(f.dataType).alias(f.name)
+                    F.expr(set_exprs[f.name]).cast(_set_cast_type(f)).alias(f.name)
                     if f.name in set_exprs
-                    else F.col(f.name)
+                    else _qcol(f.name)
                 )
                 for f in snap.schema.fields
             ],
@@ -5496,6 +5496,115 @@ def purge_deletion_vectors(spark: SparkSession, path: str) -> dict:
     raise RuntimeError(f"purge_deletion_vectors: conflicted 16 times at {path}")
 
 
+def _set_cast_type(f):
+    """SET-expression cast target: the field's clean type with
+    nullability relaxed at every nesting level — a named_struct
+    rebuild produces nullable children, and a cast into a non-null
+    container is refused (same CAST_WITHOUT_SUGGESTION class the
+    rename planes hit). Type identity is still enforced; only
+    nullability relaxes, and NOT NULL enforcement stays with the
+    write-side null checks."""
+    return _field_from_json(
+        _relax_nulls_json(_clean_field_json(f.jsonValue()))
+    ).dataType
+
+
+def _struct_set_expr(prefix: str, fields: list[dict], sets: dict) -> str:
+    """SQL expression rebuilding a struct with some fields assigned:
+    ``named_struct('a', (expr), 'b', prefix.b, ...)`` — delta-spark's
+    UpdateExpressionsSupport shape, where unassigned fields pass
+    through as extracts (so a NULL struct row becomes NON-null with
+    NULLs in the untouched fields, matching real Delta's UPDATE on
+    nested fields). ``sets`` keys are paths relative to this struct;
+    an exact field-name match wins before '.' is read as deeper
+    nesting."""
+    names = {f["name"] for f in fields}
+    direct: dict[str, str] = {}
+    deeper: dict[str, dict[str, str]] = {}
+    for k, v in sets.items():
+        if k in names:
+            if k in direct:
+                raise ValueError(f"update_delta: duplicate SET on {k!r}")
+            direct[k] = v
+        elif "." in k:
+            h, rest = k.split(".", 1)
+            deeper.setdefault(h, {})[rest] = v
+        else:
+            raise ValueError(
+                f"update_delta: no field {k!r} under {prefix}"
+            )
+    bad = set(deeper) - names
+    if bad:
+        raise ValueError(
+            f"update_delta: no field(s) {sorted(bad)} under {prefix}"
+        )
+    parts = []
+    for f in fields:
+        nm = f["name"]
+        acc = f"{prefix}.`" + nm.replace("`", "``") + "`"
+        if nm in direct and nm in deeper:
+            raise ValueError(
+                f"update_delta: conflicting SET on {nm!r} and its "
+                "nested field(s)"
+            )
+        if nm in direct:
+            val = f"({direct[nm]})"
+        elif nm in deeper:
+            t = f.get("type")
+            if not (isinstance(t, dict) and t.get("type") == "struct"):
+                raise ValueError(
+                    f"update_delta: {nm!r} is not a struct — cannot "
+                    "SET a nested field inside it"
+                )
+            val = _struct_set_expr(acc, t["fields"], deeper[nm])
+        else:
+            val = acc
+        lit = nm.replace("'", "\\'")
+        parts.append(f"'{lit}', {val}")
+    return "named_struct(" + ", ".join(parts) + ")"
+
+
+def _expand_nested_sets(
+    sch_fields: list[dict], set_exprs: dict[str, str]
+) -> dict[str, str]:
+    """``UPDATE SET s.a = expr`` support: nested SET targets rewrite
+    into a whole-struct named_struct over the enclosing column(s)
+    (``_struct_set_expr`` — delta-spark semantics). Exact TOP-LEVEL
+    names win before '.' is read as nesting (mapped tables legally
+    hold dotted logical names). Returns a purely top-level map; flat
+    assignments pass through untouched."""
+    tops = {f["name"]: f for f in sch_fields}
+    flat: dict[str, str] = {}
+    nested: dict[str, dict[str, str]] = {}
+    for k, v in set_exprs.items():
+        if k in tops or "." not in k:
+            flat[k] = v
+        else:
+            top, rest = k.split(".", 1)
+            nested.setdefault(top, {})[rest] = v
+    for top, sets in nested.items():
+        f = tops.get(top)
+        if f is None:
+            raise ValueError(
+                f"update_delta: SET on unknown columns ['{top}']"
+            )
+        if top in flat:
+            raise ValueError(
+                f"update_delta: conflicting SET on {top!r} and its "
+                "nested field(s)"
+            )
+        t = f.get("type")
+        if not (isinstance(t, dict) and t.get("type") == "struct"):
+            raise ValueError(
+                f"update_delta: {top!r} is not a struct — cannot SET "
+                "a nested field inside it"
+            )
+        flat[top] = _struct_set_expr(
+            "`" + top.replace("`", "``") + "`", t["fields"], sets
+        )
+    return flat
+
+
 def update_delta(
     spark: SparkSession,
     path: str,
@@ -5526,6 +5635,11 @@ def update_delta(
     # moving tip themselves
     snap_pre = snapshot(path)
     schema = snap_pre.schema
+    # nested SET targets ('s.a') rewrite into whole-struct
+    # named_struct assignments on the enclosing column
+    set_exprs = _expand_nested_sets(
+        json.loads(snap_pre.metadata["schemaString"])["fields"], set_exprs
+    )
     known = {f.name: f.dataType for f in schema.fields}
     unknown = [c for c in set_exprs if c not in known]
     if unknown:
@@ -5579,12 +5693,12 @@ def update_delta(
                 (
                     F.when(
                         F.coalesce(cond, F.lit(False)),
-                        F.expr(set_exprs[f.name]).cast(f.dataType),
+                        F.expr(set_exprs[f.name]).cast(_set_cast_type(f)),
                     )
-                    .otherwise(F.col(f.name))
+                    .otherwise(_qcol(f.name))
                     .alias(f.name)
                     if f.name in set_exprs
-                    else F.col(f.name)
+                    else _qcol(f.name)
                 )
                 for f in snap.schema.fields
             ],
@@ -5613,7 +5727,7 @@ def update_delta(
             # cdc rows carry LOGICAL columns only (drop any
             # materialized row-id column the tracked base scan added)
             matched = base.filter(F.coalesce(cond, F.lit(False))).select(
-                *[f.name for f in snap.schema.fields]
+                *[_qcol(f.name) for f in snap.schema.fields]
             )
             pre = matched.withColumn(
                 "_change_type", F.lit("update_preimage")
@@ -5621,11 +5735,11 @@ def update_delta(
             post = matched.select(
                 *[
                     (
-                        F.expr(set_exprs[f.name]).cast(f.dataType).alias(
+                        F.expr(set_exprs[f.name]).cast(_set_cast_type(f)).alias(
                             f.name
                         )
                         if f.name in set_exprs
-                        else F.col(f.name)
+                        else _qcol(f.name)
                     )
                     for f in snap.schema.fields
                 ]
