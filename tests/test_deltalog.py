@@ -1723,9 +1723,15 @@ def test_column_mapping_name_mode_read_and_write_refusal(spark, tmp_path):
     after2 = read_delta(spark, tbl)
     assert after2.count() == 10
     assert after2.filter("id = 2").collect()[0].v == 101.0
-    # the staged DS writer still refuses: its tasks stage logical names
-    with pytest.raises(Exception, match="column mapping"):
-        frame.write.format("deltalog").mode("append").save(tbl)
+    # the staged DS writer now stages PHYSICAL names (r13): an append
+    # through spark.write lands readable by both readers
+    frame2 = spark.createDataFrame(
+        [(98, 0, 2.5)], "id long, seg int, v double"
+    )
+    frame2.write.format("deltalog").mode("append").save(tbl)
+    after3 = read_delta(spark, tbl)
+    assert after3.filter("id = 98").collect()[0].v == 2.5
+    assert after3.count() == 11
     # readStream over a 'name'-mode table (r13): the stream reader
     # physicalizes like the batch DS reader — the initial snapshot
     # batch must equal the batch read, in LOGICAL names
@@ -4833,3 +4839,241 @@ def test_update_nested_field_set(spark, tmp_path):
     write_delta(spark, df4, t4)
     update_delta(spark, t4, "id = 1", {"s.a": "99"})
     assert read_delta(spark, t4).collect()[0]["s.a"] == 99
+
+
+def test_merge_clause_engine(spark, tmp_path):
+    """Full MERGE clause semantics (r13): ordered WHEN MATCHED
+    [AND cond] UPDATE SET/DELETE, WHEN NOT MATCHED [AND cond] INSERT,
+    WHEN NOT MATCHED BY SOURCE UPDATE/DELETE — first matching clause
+    wins, unclaimed matched/target rows KEEP, unclaimed source rows
+    are NOT inserted; expressions bind t./s.; CDF records exact MERGE
+    changes (pre/post pairs, deletes, inserts, untouched absent)."""
+    from value_at_risk_spark.operators.merge import merge_into_delta_native
+    from value_at_risk_spark.sources.deltalog import table_changes
+
+    t = str(tmp_path / "mclause")
+    target = spark.createDataFrame(
+        [(1, 10.0, "keep"), (2, 20.0, "upd"), (3, 30.0, "del"),
+         (4, 40.0, "stale"), (5, 50.0, "hold")],
+        "k long, v double, tag string",
+    )
+    write_delta(
+        spark, target, t,
+        configuration={"delta.enableChangeDataFeed": "true"},
+    )
+    src = spark.createDataFrame(
+        [(2, 200.0), (3, 300.0), (6, 600.0), (7, 7.0)],
+        "k long, nv double",
+    )
+    v = merge_into_delta_native(
+        spark, t, src, ["k"],
+        matched=[
+            {"condition": "s.nv > 100", "update": {"v": "s.nv + t.v"}},
+            {"delete": True},
+        ],
+        not_matched=[
+            {"condition": "s.nv >= 100",
+             "insert": {"k": "s.k", "v": "s.nv", "tag": "'new'"}},
+        ],
+        not_matched_by_source=[
+            {"condition": "t.tag = 'stale'", "delete": True},
+        ],
+    )
+    got = {r.k: (r.v, r.tag) for r in read_delta(spark, t).collect()}
+    # k=2 matched, nv=200>100 -> v=220, tag kept; k=3 matched nv=300>100
+    # -> also UPDATE (first clause wins), v=330
+    assert got[2] == (220.0, "upd") and got[3] == (330.0, "del")
+    # k=6 inserted (nv>=100), k=7 NOT inserted (condition false)
+    assert got[6] == (600.0, "new") and 7 not in got
+    # k=4 deleted by-source; k=1, k=5 keep
+    assert 4 not in got and got[1] == (10.0, "keep") and got[5] == (50.0, "hold")
+    # CDF: exact change set for the merge version
+    ch = table_changes(spark, t, v)
+    rows = sorted(
+        (r["_change_type"], r.k, r.v) for r in ch.collect()
+    )
+    assert rows == sorted([
+        ("update_preimage", 2, 20.0), ("update_postimage", 2, 220.0),
+        ("update_preimage", 3, 30.0), ("update_postimage", 3, 330.0),
+        ("insert", 6, 600.0),
+        ("delete", 4, 40.0),
+    ])
+    # matched DELETE actually deletes when the first clause misses
+    t2 = str(tmp_path / "mclause2")
+    write_delta(spark, target, t2)
+    merge_into_delta_native(
+        spark, t2, src, ["k"],
+        matched=[
+            {"condition": "s.nv > 250", "update": {"v": "s.nv"}},
+            {"delete": True},
+        ],
+    )
+    got2 = {r.k: r.v for r in read_delta(spark, t2).collect()}
+    # k=3: nv=300>250 -> updated; k=2: nv=200 not >250 -> deleted;
+    # no not_matched clause -> 6,7 NOT inserted
+    assert got2[3] == 300.0 and 2 not in got2 and 6 not in got2
+    assert got2[1] == 10.0 and got2[4] == 40.0
+    # errors
+    with pytest.raises(ValueError, match="cannot use '\\*'"):
+        merge_into_delta_native(
+            spark, t2, src, ["k"],
+            not_matched_by_source=[{"update": "*"}],
+        )
+    with pytest.raises(ValueError, match="unknown/nested"):
+        merge_into_delta_native(
+            spark, t2, src, ["k"], matched=[{"update": {"nope": "1"}}]
+        )
+    with pytest.raises(ValueError, match="LAST"):
+        merge_into_delta_native(
+            spark, t2, src, ["k"],
+            matched=[{"delete": True}, {"condition": "1=1", "delete": True}],
+        )
+    # column-mapped target: clause expressions bind LOGICAL names
+    t3 = str(tmp_path / "mclause_map")
+    write_delta(
+        spark, target, t3,
+        configuration={"delta.columnMapping.mode": "name"},
+    )
+    merge_into_delta_native(
+        spark, t3, src, ["k"],
+        matched=[{"update": {"v": "s.nv"}}],
+        not_matched=[{"insert": {"k": "s.k", "v": "s.nv", "tag": "'m'"}}],
+    )
+    got3 = {r.k: r.v for r in read_delta(spark, t3).collect()}
+    assert got3[2] == 200.0 and got3[6] == 600.0 and got3[1] == 10.0
+
+
+def test_merge_sql_clause_forms(spark, tmp_path):
+    """The SQL MERGE surface (r13): beyond upsert-star, conditioned
+    WHEN MATCHED UPDATE SET a = expr / DELETE, WHEN NOT MATCHED
+    INSERT (cols) VALUES (exprs), and WHEN NOT MATCHED BY SOURCE
+    DELETE parse into the clause engine; user aliases normalize to
+    the engine's t./s. planes."""
+    from value_at_risk_spark.sources.delta_sql import delta_sql
+
+    t = str(tmp_path / "msql")
+    write_delta(
+        spark,
+        spark.createDataFrame(
+            [(1, 10.0), (2, 20.0), (3, 30.0)], "k long, v double"
+        ),
+        t,
+    )
+    spark.createDataFrame(
+        [(2, 200.0), (3, 3.0), (9, 900.0), (8, 8.0)], "k long, nv double"
+    ).createOrReplaceTempView("msql_src")
+    delta_sql(
+        spark,
+        f"""MERGE INTO delta.`{t}` AS tgt USING msql_src AS src
+            ON tgt.k = src.k
+            WHEN MATCHED AND src.nv > 100 THEN UPDATE SET v = src.nv + tgt.v
+            WHEN MATCHED THEN DELETE
+            WHEN NOT MATCHED AND src.nv > 100
+                 THEN INSERT (k, v) VALUES (src.k, src.nv * 2)""",
+    )
+    got = {r.k: r.v for r in read_delta(spark, t).collect()}
+    # k=2 updated (220), k=3 deleted (nv=3 not >100), k=9 inserted
+    # (1800), k=8 not inserted, k=1 kept
+    assert got == {1: 10.0, 2: 220.0, 9: 1800.0}
+    # upsert-star still parses (the cheap plan)
+    spark.createDataFrame(
+        [(1, 111.0)], "k long, v double"
+    ).createOrReplaceTempView("msql_src2")
+    delta_sql(
+        spark,
+        f"MERGE INTO delta.`{t}` t USING msql_src2 s ON t.k = s.k "
+        "WHEN MATCHED THEN UPDATE SET * "
+        "WHEN NOT MATCHED THEN INSERT *",
+    )
+    assert {
+        r.k: r.v for r in read_delta(spark, t).collect()
+    }[1] == 111.0
+    # BY SOURCE delete
+    delta_sql(
+        spark,
+        f"MERGE INTO delta.`{t}` t USING msql_src2 s ON t.k = s.k "
+        "WHEN NOT MATCHED BY SOURCE THEN DELETE",
+    )
+    assert {r.k for r in read_delta(spark, t).collect()} == {1}
+
+
+def test_ds_writer_mapped_tables(spark, tmp_path):
+    """The DS Arrow writers over COLUMN-MAPPED tables (r13): task-
+    staged files carry physical names at every nesting level plus
+    parquet field ids (pyarrow emits PARQUET:field_id from the arrow
+    field metadata), partition dirs and partitionValues use physical
+    names, and reads through BOTH readers stay logical — 'name' and
+    'id' modes, nested struct + array<struct> columns, and the
+    exactly-once stream sink."""
+    import glob as _glob
+
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    from value_at_risk_spark.sources.delta_datasource import (
+        register_deltalog_source,
+    )
+
+    register_deltalog_source(spark)
+    kind = (
+        "id long, seg string, s struct<a:long,b:string>, "
+        "arr array<struct<p:double,q:long>>"
+    )
+    base = spark.createDataFrame(
+        [(1, "a", (10, "x"), [(1.5, 2)]), (2, "b", (20, "y"), [(3.5, 4)])],
+        kind,
+    )
+    more = spark.createDataFrame([(3, "a", (30, "z"), [(5.5, 6)])], kind)
+    for mode in ("name", "id"):
+        t = str(tmp_path / f"dsw_{mode}")
+        write_delta(
+            spark, base, t, partition_by=["seg"],
+            configuration={"delta.columnMapping.mode": mode},
+        )
+        more.write.format("deltalog").mode("append").save(t)
+        got = read_delta(spark, t)
+        assert sorted(
+            (r.id, r.seg, tuple(r.s), tuple(map(tuple, r.arr)))
+            for r in got.collect()
+        ) == sorted(
+            (r.id, r.seg, tuple(r.s), tuple(map(tuple, r.arr)))
+            for r in base.unionByName(more).collect()
+        )
+        # DS round trip too
+        ds = spark.read.format("deltalog").load(t)
+        assert ds.count() == 3
+        # the DS-staged file carries physical nested names + field ids
+        newest = max(
+            _glob.glob(f"{t}/**/part-*.parquet", recursive=True),
+            key=os.path.getmtime,
+        )
+        fsch = pq.ParquetFile(newest).schema_arrow
+        assert all(n.startswith("col-") for n in fsch.names)
+        sf = next(f for f in fsch if pa.types.is_struct(f.type))
+        for i in range(sf.type.num_fields):
+            nf = sf.type.field(i)
+            assert nf.name.startswith("col-")
+            assert (nf.metadata or {}).get(b"PARQUET:field_id")
+    # stream sink into a mapped table: exactly-once append, logical
+    # read-back
+    t2 = str(tmp_path / "dsw_stream")
+    write_delta(
+        spark, base, t2,
+        configuration={"delta.columnMapping.mode": "name"},
+    )
+    src_dir = str(tmp_path / "stream_src")
+    more.coalesce(1).write.json(src_dir)
+    q = (
+        spark.readStream.schema(more.schema)
+        .json(src_dir)
+        .writeStream.format("deltalog")
+        .option("path", t2)
+        .option("appId", "dsw_mapped_test")
+        .option(
+            "checkpointLocation", str(tmp_path / "dsw_stream_ckpt")
+        )
+        .trigger(availableNow=True)
+        .start()
+    )
+    assert q.awaitTermination(120)
+    assert read_delta(spark, t2).count() == 3

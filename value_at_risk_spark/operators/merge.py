@@ -104,28 +104,221 @@ def merge_into_delta(
     )
 
 
+def _check_merge_clauses(
+    name: str, clauses: list[dict], allowed: tuple[str, ...]
+) -> None:
+    for i, c in enumerate(clauses):
+        acts = [a for a in ("update", "delete", "insert") if c.get(a)]
+        if len(acts) != 1 or acts[0] not in allowed:
+            raise ValueError(
+                f"merge_into_delta_native: each {name} clause needs "
+                f"exactly one of {allowed}, got {sorted(c)}"
+            )
+        if c.get("condition") is None and i != len(clauses) - 1:
+            raise ValueError(
+                f"merge_into_delta_native: only the LAST {name} clause "
+                "may omit its condition (later clauses would be "
+                "unreachable)"
+            )
+
+
+def _merge_with_clauses(
+    target: DataFrame,
+    deduped: DataFrame,
+    keys: list[str],
+    fields,
+    matched: list[dict],
+    not_matched: list[dict],
+    by_source: list[dict],
+    want_cdc: bool,
+):
+    """The general MERGE row engine: ONE full-outer join of target and
+    (deduped) source on the keys, an action tag picked by the FIRST
+    clause whose condition holds (Delta's clause-order rule), output
+    columns as CASE over the tag, deletes/non-inserts filtered out.
+    Clause conditions and update/insert expressions are SQL strings
+    resolving ``t.<col>`` / ``s.<col>`` (nested SET targets are not
+    supported here — assign the whole struct). Returns (merged_df,
+    cdc_df | None): cdc rows carry MERGE semantics (update pre/post
+    pairs, deletes, inserts; untouched rows absent)."""
+    from value_at_risk_spark.sources.deltalog import _set_cast_type
+
+    tcols = [f.name for f in fields]
+
+    def tq(c: str) -> str:
+        return "t.`" + c.replace("`", "``") + "`"
+
+    def sq(c: str) -> str:
+        return "s.`" + c.replace("`", "``") + "`"
+
+    j = (
+        target.withColumn("_t_p", F.lit(True))
+        .alias("t")
+        .join(
+            deduped.withColumn("_s_p", F.lit(True)).alias("s"),
+            on=[F.col(tq(k)) == F.col(sq(k)) for k in keys],
+            how="full_outer",
+        )
+    )
+    is_m = F.col("t._t_p").isNotNull() & F.col("s._s_p").isNotNull()
+    is_src = F.col("t._t_p").isNull()
+    is_tgt = F.col("s._s_p").isNull()
+
+    def _cond(c: dict):
+        if c.get("condition") is None:
+            return F.lit(True)
+        return F.coalesce(F.expr(c["condition"]), F.lit(False))
+
+    act = None
+    del_tags: list[str] = []
+    upd_specs: dict[str, dict] = {}
+    ins_specs: dict[str, dict] = {}
+
+    def _spec(spec, star_ok: bool, what: str) -> dict:
+        if spec == "*":
+            if not star_ok:
+                raise ValueError(
+                    f"merge_into_delta_native: {what} cannot use '*' "
+                    "(no source row to copy from)"
+                )
+            return {c: F.col(sq(c)) for c in tcols}
+        unknown = set(spec) - set(tcols)
+        if unknown:
+            raise ValueError(
+                f"merge_into_delta_native: {what} on unknown/nested "
+                f"column(s) {sorted(unknown)} (nested targets are not "
+                "supported in MERGE — assign the whole struct)"
+            )
+        return {c: F.expr(e) for c, e in spec.items()}
+
+    chain: list[tuple] = []
+    for i, c in enumerate(matched):
+        tag = f"u{i}" if c.get("update") else f"d{i}"
+        if c.get("update"):
+            upd_specs[tag] = _spec(c["update"], True, "matched UPDATE SET")
+        else:
+            del_tags.append(tag)
+        chain.append((is_m & _cond(c), tag))
+    for i, c in enumerate(not_matched):
+        tag = f"i{i}"
+        ins_specs[tag] = _spec(c["insert"], True, "NOT MATCHED INSERT")
+        chain.append((is_src & _cond(c), tag))
+    for i, c in enumerate(by_source):
+        tag = f"bu{i}" if c.get("update") else f"bd{i}"
+        if c.get("update"):
+            upd_specs[tag] = _spec(
+                c["update"], False, "NOT MATCHED BY SOURCE UPDATE SET"
+            )
+        else:
+            del_tags.append(tag)
+        chain.append((is_tgt & _cond(c), tag))
+    # defaults: unmatched-by-any-clause matched/target rows KEEP,
+    # source-only rows are NOT inserted
+    for pred, tag in chain:
+        act = F.when(pred, tag) if act is None else act.when(pred, tag)
+    act = (
+        (act.when(is_src, "noins") if act is not None else F.when(is_src, "noins"))
+        .otherwise("keep")
+    )
+
+    out_cols = []
+    for f in fields:
+        c = f.name
+        col = None
+        for tag, spec in list(upd_specs.items()) + list(ins_specs.items()):
+            if tag.startswith("i"):
+                val = spec.get(c, F.lit(None))
+            else:
+                val = spec.get(c, F.col(tq(c)))
+            w = F.col("_act") == tag
+            col = F.when(w, val) if col is None else col.when(w, val)
+        col = col.otherwise(F.col(tq(c))) if col is not None else F.col(tq(c))
+        out_cols.append(col.cast(_set_cast_type(f)).alias(c))
+    tagged = j.withColumn("_act", act).select(
+        "_act",
+        *out_cols,
+        *[F.col(tq(c)).alias(f"_pre_{c}") for c in tcols],
+    )
+    drop = set(del_tags) | {"noins"}
+    merged = tagged.filter(~F.col("_act").isin(*drop)).select(*[
+        "`" + c.replace("`", "``") + "`" for c in tcols
+    ])
+    cdc = None
+    if want_cdc:
+        upd = F.col("_act").startswith("u") | F.col("_act").startswith("bu")
+        pre_cols = [
+            F.col(f"`_pre_{c}`").alias(c) for c in tcols
+        ]
+        out_sel = ["`" + c.replace("`", "``") + "`" for c in tcols]
+        pre = tagged.filter(upd).select(*pre_cols).withColumn(
+            "_change_type", F.lit("update_preimage")
+        )
+        post = tagged.filter(upd).select(*out_sel).withColumn(
+            "_change_type", F.lit("update_postimage")
+        )
+        dels = (
+            tagged.filter(F.col("_act").isin(*del_tags))
+            .select(*pre_cols)
+            .withColumn("_change_type", F.lit("delete"))
+            if del_tags
+            else None
+        )
+        ins = tagged.filter(F.col("_act").startswith("i")).select(
+            *out_sel
+        ).withColumn("_change_type", F.lit("insert"))
+        cdc = pre.unionByName(post).unionByName(ins)
+        if dels is not None:
+            cdc = cdc.unionByName(dels)
+    return merged, cdc
+
+
 def merge_into_delta_native(
     spark,
     target_path: str,
     updates: DataFrame,
     keys: list[str],
+    *,
+    matched: list[dict] | None = None,
+    not_matched: list[dict] | None = None,
+    not_matched_by_source: list[dict] | None = None,
 ) -> int:
     """MERGE against a NATIVE delta-log table (sources/deltalog.py) —
-    the no-delta-spark counterpart of ``merge_into_delta``: same row
-    semantics as ``upsert`` (deduped updates win on key collision,
-    unmatched target rows pass through), committed as one
-    copy-on-write OVERWRITE version, so readers flip atomically from
-    pre-merge to post-merge state and time travel keeps the pre-merge
-    snapshot. Returns the committed version. Copy-on-write rewrites
-    the whole active set (file-level pruning of untouched files is
-    delta-spark's edge, documented, not silently approximated).
+    the no-delta-spark counterpart of ``merge_into_delta``, committed
+    as one copy-on-write OVERWRITE version, so readers flip atomically
+    from pre-merge to post-merge state and time travel keeps the
+    pre-merge snapshot. Returns the committed version. Copy-on-write
+    rewrites the whole active set (file-level pruning of untouched
+    files is delta-spark's edge, documented, not silently
+    approximated).
+
+    Default (no clause arguments) is the upsert-star form — ``WHEN
+    MATCHED THEN UPDATE SET * WHEN NOT MATCHED THEN INSERT *`` — via
+    the cheap anti-join + union plan. Passing any of ``matched`` /
+    ``not_matched`` / ``not_matched_by_source`` selects the GENERAL
+    clause engine (full Delta MERGE semantics): each is an ordered
+    clause list, first-condition-wins, only the last clause of a list
+    may omit its ``condition``; rows no clause claims KEEP (matched /
+    by-source) or are NOT inserted (not-matched). Clause shapes::
+
+        matched=[{"condition": "s.v > t.v", "update": {"v": "s.v"}},
+                 {"delete": True}]
+        not_matched=[{"insert": "*"}]          # or {"insert": {col: expr}}
+        not_matched_by_source=[{"condition": "t.stale", "delete": True}]
+
+    Conditions and expressions are SQL over ``t.<col>`` / ``s.<col>``.
+    ``update``/``insert`` accept ``"*"`` (all columns from the
+    source) or an explicit {column: expr} map (unassigned insert
+    columns become NULL; unassigned update columns keep the target
+    value). Source rows are deduped on the keys first (Delta raises
+    on multiple source matches; dedup-first is this engine's
+    documented contract).
 
     On a CDF table (``delta.enableChangeDataFeed``) the commit also
-    records exact row-level changes as cdc actions — matched target
-    rows as update_preimage/update_postimage pairs, unmatched update
-    rows as insert — so table_changes readers see MERGE semantics,
-    not the overwrite's remove-all/add-all derivation (which would
-    misreport every untouched row as deleted + reinserted)."""
+    records exact row-level changes as cdc actions — updated rows as
+    update_preimage/update_postimage pairs, deleted rows as delete,
+    inserted rows as insert; untouched rows absent — so table_changes
+    readers see MERGE semantics, not the overwrite's
+    remove-all/add-all derivation."""
     if not keys:
         raise ValueError("merge_into_delta_native: keys must be non-empty")
     missing = [k for k in keys if k not in updates.columns]
@@ -143,6 +336,21 @@ def merge_into_delta_native(
         write_delta,
     )
 
+    general = (
+        matched is not None
+        or not_matched is not None
+        or not_matched_by_source is not None
+    )
+    m_cl = list(matched or [])
+    nm_cl = list(not_matched or [])
+    bs_cl = list(not_matched_by_source or [])
+    if general:
+        _check_merge_clauses("matched", m_cl, ("update", "delete"))
+        _check_merge_clauses("not_matched", nm_cl, ("insert",))
+        _check_merge_clauses(
+            "not_matched_by_source", bs_cl, ("update", "delete")
+        )
+
     deduped = updates.dropDuplicates(keys)
     # read-modify-write with a conditional commit: a concurrent append
     # landing between our read snapshot and the overwrite would be
@@ -153,30 +361,45 @@ def merge_into_delta_native(
         snap0 = snapshot(target_path)
         read_v = snap0.version
         target = read_delta(spark, target_path, version=read_v)
-        merged = upsert(target, deduped, keys)
-        extra = None
-        if cdf_enabled(snap0):
-            aligned = deduped.select(
-                *[
-                    F.col(f.name).cast(f.dataType).alias(f.name)
-                    for f in snap0.schema.fields
-                ]
+        cdc_df = None
+        if general:
+            merged, cdc_df = _merge_with_clauses(
+                target,
+                deduped,
+                keys,
+                snap0.schema.fields,
+                m_cl,
+                nm_cl,
+                bs_cl,
+                want_cdc=cdf_enabled(snap0),
             )
-            target_keys = target.select(*keys)
-            pre = target.join(
-                deduped.select(*keys), on=keys, how="left_semi"
-            ).withColumn("_change_type", F.lit("update_preimage"))
-            post = aligned.join(
-                target_keys, on=keys, how="left_semi"
-            ).withColumn("_change_type", F.lit("update_postimage"))
-            ins = aligned.join(
-                target_keys, on=keys, how="left_anti"
-            ).withColumn("_change_type", F.lit("insert"))
+        else:
+            merged = upsert(target, deduped, keys)
+            if cdf_enabled(snap0):
+                aligned = deduped.select(
+                    *[
+                        F.col(f.name).cast(f.dataType).alias(f.name)
+                        for f in snap0.schema.fields
+                    ]
+                )
+                target_keys = target.select(*keys)
+                pre = target.join(
+                    deduped.select(*keys), on=keys, how="left_semi"
+                ).withColumn("_change_type", F.lit("update_preimage"))
+                post = aligned.join(
+                    target_keys, on=keys, how="left_semi"
+                ).withColumn("_change_type", F.lit("update_postimage"))
+                ins = aligned.join(
+                    target_keys, on=keys, how="left_anti"
+                ).withColumn("_change_type", F.lit("insert"))
+                cdc_df = pre.unionByName(post).unionByName(ins)
+        extra = None
+        if cdc_df is not None:
             # cdc files carry PHYSICAL names on column-mapped tables,
             # like any data file (identity planes when unmapped)
             io_snap, _to_log, to_phys, _l2p = _mapping_planes(spark, snap0)
             extra = _stage_cdc(
-                to_phys(pre.unionByName(post).unionByName(ins)),
+                to_phys(cdc_df),
                 target_path,
                 io_snap.partition_columns,
             )

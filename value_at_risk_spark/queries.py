@@ -15213,6 +15213,98 @@ def delta_mapped_dml_scan(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @query(
+    "delta_merge_clauses_scan",
+    """
+WITH t AS (
+  SELECT c_custkey AS k, c_acctbal AS bal, c_mktsegment AS seg
+  FROM customer WHERE c_custkey % 3 = 0
+),
+s AS (
+  SELECT c_custkey AS k, c_acctbal * 2 AS nb
+  FROM customer WHERE c_custkey % 2 = 0
+),
+merged AS (
+  SELECT t.k, s.nb AS bal, t.seg
+  FROM t JOIN s ON t.k = s.k WHERE s.nb > 5000
+  UNION ALL
+  SELECT t.k, t.bal, t.seg
+  FROM t LEFT JOIN s ON t.k = s.k
+  WHERE s.k IS NULL AND t.bal >= 0
+  UNION ALL
+  SELECT s.k, s.nb, 'SRC' AS seg
+  FROM s LEFT JOIN t ON t.k = s.k
+  WHERE t.k IS NULL AND s.nb < 0
+)
+SELECT seg, COUNT(*) AS n_rows, ROUND(SUM(bal), 2) AS total_bal
+FROM merged GROUP BY seg
+""",
+)
+def delta_merge_clauses_scan(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Full MERGE clause semantics, ORACLE-pinned (r13,
+    operators/merge._merge_with_clauses): conditioned ``WHEN MATCHED
+    UPDATE SET`` with a ``WHEN MATCHED DELETE`` fallback, a
+    conditioned ``WHEN NOT MATCHED INSERT (cols) VALUES``, and a
+    conditioned ``WHEN NOT MATCHED BY SOURCE DELETE`` — first clause
+    wins, unclaimed source rows are NOT inserted, unclaimed target
+    rows keep. DuckDB recomputes the identical row algebra from the
+    flat fixture (three-way union of updates / keeps / inserts);
+    hash equality proves the full-outer-join tag engine, the
+    t./s. expression binding, and the atomic overwrite commit lose
+    nothing (reference tie: the incremental-upsert anticipation of
+    application.yaml:2-3 generalized to the full DML matrix)."""
+    from value_at_risk_spark.operators.merge import merge_into_delta_native
+    from value_at_risk_spark.sources.deltalog import read_delta, write_delta
+
+    def build(tbl: str) -> None:
+        cust = _t(spark, sf_dir, "customer")
+        target = cust.filter(F.col("c_custkey") % 3 == 0).select(
+            F.col("c_custkey").alias("k"),
+            F.col("c_acctbal").alias("bal"),
+            F.col("c_mktsegment").alias("seg"),
+        )
+        source = cust.filter(F.col("c_custkey") % 2 == 0).select(
+            F.col("c_custkey").alias("k"),
+            (F.col("c_acctbal") * 2).alias("nb"),
+        )
+        write_delta(spark, target, tbl)
+        merge_into_delta_native(
+            spark,
+            tbl,
+            source,
+            ["k"],
+            matched=[
+                {"condition": "s.nb > 5000", "update": {"bal": "s.nb"}},
+                {"delete": True},
+            ],
+            not_matched=[
+                {
+                    "condition": "s.nb < 0",
+                    "insert": {"k": "s.k", "bal": "s.nb", "seg": "'SRC'"},
+                },
+            ],
+            not_matched_by_source=[
+                {"condition": "t.bal < 0", "delete": True},
+            ],
+        )
+
+    tbl = _scratch_delta_table(
+        "mergecl",
+        sf_dir,
+        "customer clause merge: cond update/delete, cond insert, "
+        "by-source delete",
+        build,
+    )
+    return (
+        read_delta(spark, tbl)
+        .groupBy("seg")
+        .agg(
+            F.count(F.lit(1)).alias("n_rows"),
+            (F.round(F.sum("bal"), 2) + F.lit(0.0)).alias("total_bal"),
+        )
+    )
+
+
+@query(
     "delta_nested_mapping_scan",
     """
 SELECT o_orderstatus,

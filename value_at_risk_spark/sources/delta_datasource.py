@@ -1235,6 +1235,97 @@ def _refuse_constrained(path: str) -> None:
         )
 
 
+def _fid_type(pa_type, type_json):
+    """Rebuild a pyarrow type with ``PARQUET:field_id`` metadata from
+    the schemaString's physical twin at every nesting level — what
+    makes pyarrow's ParquetWriter emit the field ids 'id'-mode readers
+    resolve by (to_arrow_schema drops Spark-side field metadata)."""
+    import pyarrow as pa
+
+    if pa.types.is_struct(pa_type):
+        return pa.struct(
+            [
+                _fid_field(pa_type.field(i), type_json["fields"][i])
+                for i in range(pa_type.num_fields)
+            ]
+        )
+    if pa.types.is_list(pa_type) or pa.types.is_large_list(pa_type):
+        vf = pa_type.value_field
+        return pa.list_(
+            pa.field(
+                vf.name,
+                _fid_type(vf.type, type_json["elementType"]),
+                vf.nullable,
+            )
+        )
+    if pa.types.is_map(pa_type):
+        return pa.map_(
+            _fid_type(pa_type.key_type, type_json["keyType"]),
+            _fid_type(pa_type.item_type, type_json["valueType"]),
+        )
+    return pa_type
+
+
+def _fid_field(pa_field, f_json):
+    import pyarrow as pa
+
+    md = dict(pa_field.metadata or {})
+    fid = (f_json.get("metadata") or {}).get("parquet.field.id")
+    if fid is not None:
+        md[b"PARQUET:field_id"] = str(fid).encode()
+    return pa.field(
+        pa_field.name,
+        _fid_type(pa_field.type, f_json.get("type")),
+        pa_field.nullable,
+        metadata=md or None,
+    )
+
+
+def _mapped_write_pack(snap) -> dict | None:
+    """Everything a mapped DS WRITE task needs, picklable: per-column
+    (clean logical json, physical twin json with ids) pairs — the
+    rename source and target — plus the logical->physical partition
+    name map. None when unmapped."""
+    import json as _json
+
+    from value_at_risk_spark.sources.deltalog import (
+        _clean_field_json,
+        _cm_mode,
+        _phys_field_json,
+    )
+
+    if _cm_mode(snap) == "none":
+        return None
+    fields = _json.loads(snap.metadata["schemaString"])["fields"]
+    pairs = {
+        f["name"]: (
+            _clean_field_json(f),
+            _phys_field_json(f, keep_ids=True),
+        )
+        for f in fields
+    }
+    return {
+        "pairs": pairs,
+        "part_phys": {
+            name: pj["name"] for name, (_, pj) in pairs.items()
+        },
+    }
+
+
+def _mapped_pack_if_table(path: str) -> dict | None:
+    """_mapped_write_pack of the current snapshot, or None when the
+    table does not exist yet (stream sinks create on first batch) or
+    is unmapped."""
+    from value_at_risk_spark.sources.deltalog import (
+        delta_versions,
+        snapshot,
+    )
+
+    if not delta_versions(path):
+        return None
+    return _mapped_write_pack(snapshot(path))
+
+
 class _AddsMessage(WriterCommitMessage):
     """Per-task commit message: the add actions for the files this
     task staged (paths relative to the table root, protocol-encoded)."""
@@ -1257,14 +1348,19 @@ def _write_task_files(
     stage_rel: str,
     schema: StructType,
     part_cols: list[str],
+    mapped: dict | None = None,
 ):
     """Executor half of the Python Data Source write, Arrow end to
     end: each incoming RecordBatch is split by partition value with
     vectorized kernels (group_by for the distinct combos, compute
     masks for the split — no per-row Python), and streamed into one
     open ParquetWriter per partition key, so task memory is bounded by
-    a batch, not the task's data. Returns protocol add actions with
-    footer stats, the same payload as deltalog._stage."""
+    a batch, not the task's data. ``mapped`` (_mapped_write_pack):
+    column-mapped targets — staged files carry PHYSICAL names (nested
+    included, via the name-resolving rebuild) and parquet field ids;
+    partition dirs and partitionValues use physical names; the split
+    itself runs on the incoming LOGICAL columns. Returns protocol add
+    actions with footer stats, the same payload as deltalog._stage."""
     import uuid as _uuid
     from urllib.parse import quote as _q
 
@@ -1272,11 +1368,48 @@ def _write_task_files(
     import pyarrow.compute as pc
     import pyarrow.parquet as pq
 
-    from value_at_risk_spark.sources.deltalog import _file_stats
+    from value_at_risk_spark.sources.deltalog import (
+        _field_from_json,
+        _file_stats,
+    )
 
     data_fields = [f for f in schema.fields if f.name not in part_cols]
     data_names = [f.name for f in data_fields]
-    data_schema = _arrow_schema(StructType(data_fields))
+    if mapped is not None:
+        pairs = mapped["pairs"]
+        phys_struct = StructType(
+            [_field_from_json(pairs[n][1]) for n in data_names]
+        )
+        base_arrow = _arrow_schema(phys_struct)
+        data_schema = pa.schema(
+            [
+                _fid_field(base_arrow.field(i), pairs[n][1])
+                for i, n in enumerate(data_names)
+            ]
+        )
+
+        def _to_phys(tbl: "pa.Table") -> "pa.Table":
+            # logical batch -> physical file layout: resolve children
+            # by the CLEAN logical json (names match the incoming
+            # batch exactly — Spark's writer contract), rename to the
+            # physical arrow field types
+            return pa.table(
+                {
+                    data_schema.field(i).name: _mapped_rebuild(
+                        tbl.column(n), pairs[n][0], data_schema.field(i).type
+                    )
+                    for i, n in enumerate(data_names)
+                }
+            ).cast(data_schema)
+
+        dir_cols = [mapped["part_phys"][c] for c in part_cols]
+    else:
+        data_schema = _arrow_schema(StructType(data_fields))
+
+        def _to_phys(tbl: "pa.Table") -> "pa.Table":
+            return tbl.select(data_names).cast(data_schema)
+
+        dir_cols = list(part_cols)
     task_id = _uuid.uuid4().hex[:12]
     writers: dict[tuple, tuple] = {}  # key -> (ParquetWriter, rel, full)
     # Spark hands ~10k-row Arrow batches; writing each as its own row
@@ -1292,7 +1425,7 @@ def _write_task_files(
         got = writers.get(key)
         if got is not None:
             return got[0]
-        segs = [_hive_segment(c, v) for c, v in zip(part_cols, key)]
+        segs = [_hive_segment(c, v) for c, v in zip(dir_cols, key)]
         rel_dir = "/".join([stage_rel, *segs]) if segs else stage_rel
         abs_dir = os.path.join(table_path, *rel_dir.split("/"))
         os.makedirs(abs_dir, exist_ok=True)
@@ -1322,7 +1455,7 @@ def _write_task_files(
     for batch in batch_iterator:
         tbl = pa.Table.from_batches([batch])
         if not part_cols:
-            _push((), tbl.select(data_names).cast(data_schema))
+            _push((), _to_phys(tbl))
             continue
         for combo in tbl.group_by(part_cols).aggregate([]).to_pylist():
             mask = None
@@ -1335,7 +1468,7 @@ def _write_task_files(
                     else pc.equal(col, pa.scalar(v, type=col.type))
                 )
                 mask = cond if mask is None else pc.and_(mask, cond)
-            sub = tbl.filter(mask).select(data_names).cast(data_schema)
+            sub = _to_phys(tbl.filter(mask))
             _push(tuple(combo[c] for c in part_cols), sub)
 
     for key in list(pending):
@@ -1358,7 +1491,7 @@ def _write_task_files(
                             if v is None
                             else (_hive_value_str(v) or str(v))
                         )
-                        for c, v in zip(part_cols, key)
+                        for c, v in zip(dir_cols, key)
                     },
                     "size": st.st_size,
                     "modificationTime": int(st.st_mtime * 1000),
@@ -1408,11 +1541,13 @@ class _DeltaBatchWriter(DataSourceArrowWriter):
         os.makedirs(self._path, exist_ok=True)
         self._part_cols, self._new_metadata, null_checks = (
             _validate_write_schema(
-                self._path, schema, partition_by, merge_schema=False
+                self._path, schema, partition_by, merge_schema=False,
+                mapped_ok=True,
             )
         )
         _refuse_nullable_into_required(self._path, null_checks)
         _refuse_constrained(self._path)  # fail before any task launches
+        self._mapped = _mapped_pack_if_table(self._path)
         self._stage_rel = f"stage-dsw-{os.getpid()}-{_uuid.uuid4().hex[:8]}"
 
     def write(self, iterator):
@@ -1422,11 +1557,21 @@ class _DeltaBatchWriter(DataSourceArrowWriter):
             self._stage_rel,
             self._schema,
             self._part_cols,
+            mapped=self._mapped,
         )
 
     def commit(self, messages) -> None:
         from value_at_risk_spark.sources.deltalog import commit_staged_adds
 
+        # tasks staged under the PLANNING-time mapping state; a table
+        # whose mapping changed since would misread those files —
+        # conflict instead of publishing them
+        if _mapped_pack_if_table(self._path) != self._mapped:
+            _unlink_staged(self._path, messages)
+            raise ValueError(
+                f"deltalog write at {self._path}: the table's column-"
+                "mapping state changed between planning and commit"
+            )
         adds = [a for m in messages if m is not None for a in m.adds]
         commit_staged_adds(
             self._path,
@@ -1435,6 +1580,7 @@ class _DeltaBatchWriter(DataSourceArrowWriter):
             mode=self._mode,
             part_cols=self._part_cols,
             new_metadata=self._new_metadata,
+            mapped_ok=self._mapped is not None,
         )
 
     def abort(self, messages) -> None:
@@ -1473,13 +1619,15 @@ class _DeltaStreamWriter(DataSourceStreamArrowWriter):
 
         if delta_versions(self._path):
             pc_, _, null_checks = _validate_write_schema(
-                self._path, schema, self._partition_by, merge_schema=False
+                self._path, schema, self._partition_by, merge_schema=False,
+                mapped_ok=True,
             )
             _refuse_nullable_into_required(self._path, null_checks)
             _refuse_constrained(self._path)
             self._part_cols = pc_
         else:
             self._part_cols = list(self._partition_by or [])
+        self._mapped = _mapped_pack_if_table(self._path)
 
     def write(self, iterator):
         import uuid as _uuid
@@ -1490,7 +1638,8 @@ class _DeltaStreamWriter(DataSourceStreamArrowWriter):
         # EVERY task of EVERY micro-batch replayed the whole log here
         stage_rel = f"stage-dsw-{os.getpid()}-{_uuid.uuid4().hex[:8]}"
         return _write_task_files(
-            iterator, self._path, stage_rel, self._schema, self._part_cols
+            iterator, self._path, stage_rel, self._schema,
+            self._part_cols, mapped=self._mapped,
         )
 
     def commit(self, messages, batchId: int) -> None:
@@ -1501,9 +1650,16 @@ class _DeltaStreamWriter(DataSourceStreamArrowWriter):
         )
 
         adds = [a for m in messages if m is not None for a in m.adds]
+        if _mapped_pack_if_table(self._path) != self._mapped:
+            _unlink_staged(self._path, messages)
+            raise ValueError(
+                f"deltalog stream write at {self._path}: the table's "
+                "column-mapping state changed under the running sink"
+            )
         if delta_versions(self._path):
             part_cols, new_metadata, null_checks = _validate_write_schema(
-                self._path, self._schema, self._partition_by, False
+                self._path, self._schema, self._partition_by, False,
+                mapped_ok=True,
             )
             _refuse_nullable_into_required(self._path, null_checks)
         else:
@@ -1516,6 +1672,7 @@ class _DeltaStreamWriter(DataSourceStreamArrowWriter):
             part_cols=part_cols,
             txn={"appId": self._app_id, "version": batchId},
             new_metadata=new_metadata,
+            mapped_ok=self._mapped is not None,
         )
         if v == -1:  # replayed batch: the txn dedup dropped it
             _unlink_staged(self._path, messages)

@@ -216,18 +216,17 @@ def delta_sql(spark: SparkSession, stmt: str):
         m = re.match(
             r"MERGE\s+INTO\s+delta\.`[^`]+`\s+(?:AS\s+)?(\w+)\s+"
             r"USING\s+(\w+)\s+(?:AS\s+)?(\w+)\s+ON\s+(.+?)\s+"
-            r"WHEN\s+MATCHED\s+THEN\s+UPDATE\s+SET\s+\*\s+"
-            r"WHEN\s+NOT\s+MATCHED\s+THEN\s+INSERT\s+\*$",
+            r"(WHEN\s+.+)$",
             s,
             re.IGNORECASE | re.DOTALL,
         )
         if not m:
             raise ValueError(
-                "delta_sql: MERGE supports the upsert-star form "
-                "(UPDATE SET * / INSERT *) with equality ON keys: "
+                "delta_sql: unsupported MERGE shape (MERGE INTO "
+                "delta.`p` t USING view s ON t.k = s.k WHEN ...): "
                 f"{stmt!r}"
             )
-        t_alias, source, s_alias, on = m.groups()
+        t_alias, source, s_alias, on, when_text = m.groups()
         keys = []
         for clause in re.split(r"\s+AND\s+", on, flags=re.IGNORECASE):
             em = re.match(
@@ -242,12 +241,154 @@ def delta_sql(spark: SparkSession, stmt: str):
                     f"got {clause.strip()!r}"
                 )
             keys.append(em.group(1))
+
+        def _norm(expr: str) -> str:
+            # clause expressions bind the engine's fixed t./s. planes
+            expr = re.sub(
+                rf"\b{re.escape(t_alias)}\.", "t.", expr, flags=re.IGNORECASE
+            )
+            return re.sub(
+                rf"\b{re.escape(s_alias)}\.", "s.", expr, flags=re.IGNORECASE
+            )
+
+        def _split_commas(text: str) -> list[str]:
+            depth, buf, out = 0, "", []
+            for ch in text:
+                if ch == "(":
+                    depth += 1
+                elif ch == ")":
+                    depth -= 1
+                if ch == "," and depth == 0:
+                    out.append(buf)
+                    buf = ""
+                else:
+                    buf += ch
+            if buf.strip():
+                out.append(buf)
+            return out
+
+        def _set_map(text: str) -> dict:
+            sets: dict[str, str] = {}
+            for p in _split_commas(text):
+                col, eq, expr = p.partition("=")
+                if not eq:
+                    raise ValueError(
+                        f"delta_sql MERGE: bad SET assignment {p.strip()!r}"
+                    )
+                sets[col.strip().split(".")[-1]] = _norm(expr.strip())
+            return sets
+
+        matched: list[dict] = []
+        not_matched: list[dict] = []
+        by_source: list[dict] = []
+        # split the clause tail on WHEN boundaries (never inside a
+        # CASE WHEN: the boundary requires [NOT] MATCHED right after)
+        parts = re.split(
+            r"\bWHEN\s+(?=(?:NOT\s+)?MATCHED\b)",
+            when_text,
+            flags=re.IGNORECASE,
+        )
+        upsert_star = True
+        for part in parts:
+            part = part.strip()
+            if not part:
+                continue
+            cm = re.match(
+                r"(NOT\s+MATCHED(?:\s+BY\s+SOURCE)?|MATCHED)\s*"
+                r"(?:AND\s+(.+?)\s+)?THEN\s+(.+)$",
+                part,
+                re.IGNORECASE | re.DOTALL,
+            )
+            if not cm:
+                raise ValueError(
+                    f"delta_sql MERGE: unsupported clause {part!r}"
+                )
+            kind = re.sub(r"\s+", " ", cm.group(1).upper())
+            cond = _norm(cm.group(2).strip()) if cm.group(2) else None
+            action = cm.group(3).strip()
+            clause: dict = {}
+            if cond is not None:
+                clause["condition"] = cond
+                upsert_star = False
+            am = re.match(
+                r"UPDATE\s+SET\s+(\*|.+)$", action, re.IGNORECASE | re.DOTALL
+            )
+            if am and kind in ("MATCHED", "NOT MATCHED BY SOURCE"):
+                spec = am.group(1).strip()
+                clause["update"] = "*" if spec == "*" else _set_map(spec)
+                if spec != "*":
+                    upsert_star = False
+            elif re.fullmatch(r"DELETE", action, re.IGNORECASE) and kind in (
+                "MATCHED",
+                "NOT MATCHED BY SOURCE",
+            ):
+                clause["delete"] = True
+                upsert_star = False
+            elif kind == "NOT MATCHED":
+                im = re.match(
+                    r"INSERT\s+(\*|\(([^)]+)\)\s+VALUES\s*\((.+)\))$",
+                    action,
+                    re.IGNORECASE | re.DOTALL,
+                )
+                if not im:
+                    raise ValueError(
+                        f"delta_sql MERGE: unsupported INSERT form "
+                        f"{action!r}"
+                    )
+                if im.group(1).strip() == "*":
+                    clause["insert"] = "*"
+                else:
+                    cols = [
+                        c.strip().split(".")[-1]
+                        for c in im.group(2).split(",")
+                    ]
+                    vals = _split_commas(im.group(3))
+                    if len(cols) != len(vals):
+                        raise ValueError(
+                            "delta_sql MERGE: INSERT column/value "
+                            "count mismatch"
+                        )
+                    clause["insert"] = {
+                        c: _norm(v.strip()) for c, v in zip(cols, vals)
+                    }
+                    upsert_star = False
+            else:
+                raise ValueError(
+                    f"delta_sql MERGE: action {action!r} is not valid "
+                    f"for WHEN {kind}"
+                )
+            if kind == "MATCHED":
+                matched.append(clause)
+            elif kind == "NOT MATCHED":
+                not_matched.append(clause)
+            else:
+                by_source.append(clause)
+                upsert_star = False
         from value_at_risk_spark.operators.merge import (
             merge_into_delta_native,
         )
 
+        if (
+            upsert_star
+            and len(matched) == 1
+            and matched[0].get("update") == "*"
+            and len(not_matched) == 1
+            and not_matched[0].get("insert") == "*"
+            and not by_source
+        ):
+            # the classic upsert-star form keeps the cheap
+            # anti-join + union plan
+            return merge_into_delta_native(
+                spark, _one_path(s, "MERGE"), spark.table(source), keys
+            )
         return merge_into_delta_native(
-            spark, _one_path(s, "MERGE"), spark.table(source), keys
+            spark,
+            _one_path(s, "MERGE"),
+            spark.table(source),
+            keys,
+            matched=matched or None,
+            not_matched=not_matched or None,
+            not_matched_by_source=by_source or None,
         )
 
     if head == "OPTIMIZE":
