@@ -5077,3 +5077,78 @@ def test_ds_writer_mapped_tables(spark, tmp_path):
     )
     assert q.awaitTermination(120)
     assert read_delta(spark, t2).count() == 3
+
+
+def test_merge_sql_parser_hardening(spark, tmp_path):
+    """Review fixes (r13): MERGE SQL parsing is literal-masked (commas
+    / WHEN / alias-lookalikes inside '...' never split or rewrite),
+    alias normalization is ONE-pass (a source alias literally 't'
+    cannot cascade target refs onto the source plane), nested SET
+    targets refuse instead of silently retargeting a same-named
+    top-level column, CASE WHEN ... THEN inside a clause condition
+    parses, and the clause engine's helper columns are
+    collision-proof."""
+    from value_at_risk_spark.operators.merge import merge_into_delta_native
+    from value_at_risk_spark.sources.delta_sql import delta_sql
+
+    t = str(tmp_path / "msqlh")
+    write_delta(
+        spark,
+        spark.createDataFrame(
+            [(1, 10.0, "x"), (2, 20.0, "y")], "k long, v double, tag string"
+        ),
+        t,
+    )
+    spark.createDataFrame(
+        [(2, 5.0), (9, 9.0)], "k long, nv double"
+    ).createOrReplaceTempView("msqlh_src")
+    # literal with comma + alias-lookalike inside; source alias is 't'
+    # (the target alias 'tgt' must NOT cascade onto the source plane);
+    # CASE WHEN ... THEN inside the clause condition
+    delta_sql(
+        spark,
+        f"""MERGE INTO delta.`{t}` AS tgt USING msqlh_src AS t
+            ON tgt.k = t.k
+            WHEN MATCHED AND (CASE WHEN t.nv < tgt.v THEN true
+                              ELSE false END) THEN
+                 UPDATE SET v = tgt.v + t.nv, tag = 't.abc, WHEN MATCHED'
+            WHEN NOT MATCHED THEN INSERT (k, v, tag)
+                 VALUES (t.k, t.nv, 'a,b')""",
+    )
+    got = {r.k: (r.v, r.tag) for r in read_delta(spark, t).collect()}
+    assert got[2] == (25.0, "t.abc, WHEN MATCHED")
+    assert got[9] == (9.0, "a,b") and got[1] == (10.0, "x")
+    # nested SET target refuses loudly (never retargets a same-named
+    # top-level column)
+    with pytest.raises(NotImplementedError, match="nested SET"):
+        delta_sql(
+            spark,
+            f"MERGE INTO delta.`{t}` a USING msqlh_src b ON a.k = b.k "
+            "WHEN MATCHED THEN UPDATE SET s.a = 1",
+        )
+    # same aliases refuse
+    with pytest.raises(ValueError, match="aliases must differ"):
+        delta_sql(
+            spark,
+            f"MERGE INTO delta.`{t}` x USING msqlh_src x ON x.k = x.k "
+            "WHEN MATCHED THEN DELETE",
+        )
+    # clause-engine helper names cannot collide with user columns
+    t2 = str(tmp_path / "msqlh2")
+    write_delta(
+        spark,
+        spark.createDataFrame(
+            [(1, "real")], "k long, _t_p string"
+        ),
+        t2,
+    )
+    merge_into_delta_native(
+        spark, t2,
+        spark.createDataFrame([(1, "upd"), (2, "new")], "k long, _t_p string"),
+        ["k"],
+        matched=[{"update": {"_t_p": "s._t_p"}}],
+        not_matched=[{"insert": "*"}],
+    )
+    assert {r.k: r._t_p for r in read_delta(spark, t2).collect()} == {
+        1: "upd", 2: "new",
+    }

@@ -139,11 +139,23 @@ def _merge_with_clauses(
     Clause conditions and update/insert expressions are SQL strings
     resolving ``t.<col>`` / ``s.<col>`` (nested SET targets are not
     supported here — assign the whole struct). Returns (merged_df,
-    cdc_df | None): cdc rows carry MERGE semantics (update pre/post
-    pairs, deletes, inserts; untouched rows absent)."""
+    cdc_df | None, tagged_df): the caller should persist/unpersist
+    ``tagged_df`` around consumption — merged and the four cdc
+    branches all derive from the same full-outer join, which would
+    otherwise recompute per consumer. cdc rows carry MERGE semantics
+    (update pre/post pairs, deletes, inserts; untouched rows
+    absent)."""
+    import uuid as _uuid
+
     from value_at_risk_spark.sources.deltalog import _set_cast_type
 
     tcols = [f.name for f in fields]
+    # helper columns carry a per-call random suffix: a user column
+    # literally named _t_p/_act/_pre_<col> must never be clobbered
+    # or collide
+    tok = _uuid.uuid4().hex[:6]
+    t_p, s_p, act_col = f"_t_p_{tok}", f"_s_p_{tok}", f"_act_{tok}"
+    pre_pfx = f"_pre{tok}_"
 
     def tq(c: str) -> str:
         return "t.`" + c.replace("`", "``") + "`"
@@ -152,17 +164,17 @@ def _merge_with_clauses(
         return "s.`" + c.replace("`", "``") + "`"
 
     j = (
-        target.withColumn("_t_p", F.lit(True))
+        target.withColumn(t_p, F.lit(True))
         .alias("t")
         .join(
-            deduped.withColumn("_s_p", F.lit(True)).alias("s"),
+            deduped.withColumn(s_p, F.lit(True)).alias("s"),
             on=[F.col(tq(k)) == F.col(sq(k)) for k in keys],
             how="full_outer",
         )
     )
-    is_m = F.col("t._t_p").isNotNull() & F.col("s._s_p").isNotNull()
-    is_src = F.col("t._t_p").isNull()
-    is_tgt = F.col("s._s_p").isNull()
+    is_m = F.col(f"t.{t_p}").isNotNull() & F.col(f"s.{s_p}").isNotNull()
+    is_src = F.col(f"t.{t_p}").isNull()
+    is_tgt = F.col(f"s.{s_p}").isNull()
 
     def _cond(c: dict):
         if c.get("condition") is None:
@@ -230,24 +242,25 @@ def _merge_with_clauses(
                 val = spec.get(c, F.lit(None))
             else:
                 val = spec.get(c, F.col(tq(c)))
-            w = F.col("_act") == tag
+            w = F.col(act_col) == tag
             col = F.when(w, val) if col is None else col.when(w, val)
         col = col.otherwise(F.col(tq(c))) if col is not None else F.col(tq(c))
         out_cols.append(col.cast(_set_cast_type(f)).alias(c))
-    tagged = j.withColumn("_act", act).select(
-        "_act",
+    tagged = j.withColumn(act_col, act).select(
+        act_col,
         *out_cols,
-        *[F.col(tq(c)).alias(f"_pre_{c}") for c in tcols],
+        *[F.col(tq(c)).alias(f"{pre_pfx}{c}") for c in tcols],
     )
     drop = set(del_tags) | {"noins"}
-    merged = tagged.filter(~F.col("_act").isin(*drop)).select(*[
+    merged = tagged.filter(~F.col(act_col).isin(*drop)).select(*[
         "`" + c.replace("`", "``") + "`" for c in tcols
     ])
     cdc = None
     if want_cdc:
-        upd = F.col("_act").startswith("u") | F.col("_act").startswith("bu")
+        upd = F.col(act_col).startswith("u") | F.col(act_col).startswith("bu")
         pre_cols = [
-            F.col(f"`_pre_{c}`").alias(c) for c in tcols
+            F.col("`" + f"{pre_pfx}{c}".replace("`", "``") + "`").alias(c)
+            for c in tcols
         ]
         out_sel = ["`" + c.replace("`", "``") + "`" for c in tcols]
         pre = tagged.filter(upd).select(*pre_cols).withColumn(
@@ -257,19 +270,19 @@ def _merge_with_clauses(
             "_change_type", F.lit("update_postimage")
         )
         dels = (
-            tagged.filter(F.col("_act").isin(*del_tags))
+            tagged.filter(F.col(act_col).isin(*del_tags))
             .select(*pre_cols)
             .withColumn("_change_type", F.lit("delete"))
             if del_tags
             else None
         )
-        ins = tagged.filter(F.col("_act").startswith("i")).select(
+        ins = tagged.filter(F.col(act_col).startswith("i")).select(
             *out_sel
         ).withColumn("_change_type", F.lit("insert"))
         cdc = pre.unionByName(post).unionByName(ins)
         if dels is not None:
             cdc = cdc.unionByName(dels)
-    return merged, cdc
+    return merged, cdc, tagged
 
 
 def merge_into_delta_native(
@@ -362,8 +375,9 @@ def merge_into_delta_native(
         read_v = snap0.version
         target = read_delta(spark, target_path, version=read_v)
         cdc_df = None
+        tagged = None
         if general:
-            merged, cdc_df = _merge_with_clauses(
+            merged, cdc_df, tagged = _merge_with_clauses(
                 target,
                 deduped,
                 keys,
@@ -373,6 +387,10 @@ def merge_into_delta_native(
                 bs_cl,
                 want_cdc=cdf_enabled(snap0),
             )
+            # merged + the cdc branches all derive from ONE full-outer
+            # join: persist it so the write and the cdc staging do not
+            # recompute the join per consumer
+            tagged.persist()
         else:
             merged = upsert(target, deduped, keys)
             if cdf_enabled(snap0):
@@ -414,6 +432,9 @@ def merge_into_delta_native(
             )
         except DeltaConcurrentModification:
             continue
+        finally:
+            if tagged is not None:
+                tagged.unpersist()
     raise RuntimeError(
         f"merge_into_delta_native: conflicted 16 times at {target_path}"
     )

@@ -1563,10 +1563,15 @@ class _DeltaBatchWriter(DataSourceArrowWriter):
     def commit(self, messages) -> None:
         from value_at_risk_spark.sources.deltalog import commit_staged_adds
 
-        # tasks staged under the PLANNING-time mapping state; a table
-        # whose mapping changed since would misread those files —
-        # conflict instead of publishing them
-        if _mapped_pack_if_table(self._path) != self._mapped:
+        # tasks staged under the PLANNING-time mapping state; a MAPPED
+        # table whose mapping changed since would misread those files —
+        # conflict instead of publishing them. (The unmapped->mapped
+        # direction needs no extra replay here: commit_staged_adds is
+        # called with mapped_ok=False then, and its tip re-validation
+        # refuses mapped tables loudly.)
+        if self._mapped is not None and (
+            _mapped_pack_if_table(self._path) != self._mapped
+        ):
             _unlink_staged(self._path, messages)
             raise ValueError(
                 f"deltalog write at {self._path}: the table's column-"
@@ -1650,7 +1655,12 @@ class _DeltaStreamWriter(DataSourceStreamArrowWriter):
         )
 
         adds = [a for m in messages if m is not None for a in m.adds]
-        if _mapped_pack_if_table(self._path) != self._mapped:
+        # only MAPPED sinks pay the extra log replay per micro-batch:
+        # an unmapped sink commits with mapped_ok=False, whose tip
+        # re-validation already refuses a table that became mapped
+        if self._mapped is not None and (
+            _mapped_pack_if_table(self._path) != self._mapped
+        ):
             _unlink_staged(self._path, messages)
             raise ValueError(
                 f"deltalog stream write at {self._path}: the table's "

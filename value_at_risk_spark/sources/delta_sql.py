@@ -52,6 +52,66 @@ from pyspark.sql import DataFrame, SparkSession
 _DELTA_REF = re.compile(r"delta\.`([^`]+)`", re.IGNORECASE)
 
 
+def _mask_literals(text: str) -> tuple[str, list[str]]:
+    """Replace single-quoted SQL string literals ('' escapes included)
+    with ``\\x00<idx>\\x00`` placeholders so STRUCTURAL parsing —
+    comma splits, keyword boundaries, alias rewrites — never fires
+    inside a literal ("'a,b'" must not split a VALUES list; "'WHEN
+    MATCHED'" must not start a clause). ``_unmask`` restores them on
+    the extracted fragments."""
+    out: list[str] = []
+    lits: list[str] = []
+    i, n = 0, len(text)
+    while i < n:
+        ch = text[i]
+        if ch == "'":
+            j = i + 1
+            while j < n:
+                if text[j] == "'":
+                    if j + 1 < n and text[j + 1] == "'":
+                        j += 2
+                        continue
+                    break
+                j += 1
+            if j >= n:
+                raise ValueError(
+                    f"delta_sql: unterminated string literal in {text!r}"
+                )
+            lits.append(text[i : j + 1])
+            out.append(f"\x00{len(lits) - 1}\x00")
+            i = j + 1
+        else:
+            out.append(ch)
+            i += 1
+    return "".join(out), lits
+
+
+def _unmask(text: str, lits: list[str]) -> str:
+    return re.sub(
+        "\x00(\\d+)\x00", lambda m: lits[int(m.group(1))], text
+    )
+
+
+def _split_top_commas(text: str) -> list[str]:
+    """Split on commas at paren depth 0 (call on MASKED text — string
+    literals are already placeholders, so their commas/parens are
+    invisible here)."""
+    depth, buf, out = 0, "", []
+    for ch in text:
+        if ch == "(":
+            depth += 1
+        elif ch == ")":
+            depth -= 1
+        if ch == "," and depth == 0:
+            out.append(buf)
+            buf = ""
+        else:
+            buf += ch
+    if buf.strip():
+        out.append(buf)
+    return out
+
+
 def _parse_partition_predicate(text: str) -> dict[str, list[str]]:
     """``OPTIMIZE ... WHERE`` predicate -> partition_filters: AND-ed
     conjunctions of ``col = 'v'`` / ``col = n`` / ``col IN (...)``
@@ -176,48 +236,36 @@ def delta_sql(spark: SparkSession, stmt: str):
         )
 
     if head == "UPDATE":
+        ms, lits = _mask_literals(s)
         m = re.match(
             r"UPDATE\s+delta\.`[^`]+`\s+SET\s+(.+?)"
             r"(?:\s+WHERE\s+(.+))?$",
-            s,
+            ms,
             re.IGNORECASE | re.DOTALL,
         )
         if not m:
             raise ValueError(f"delta_sql: unsupported UPDATE shape: {stmt!r}")
         sets: dict[str, str] = {}
-        # split assignments on top-level commas (no nesting tracking
-        # needed for the supported scalar expressions beyond parens)
-        depth = 0
-        buf = ""
-        parts = []
-        for ch in m.group(1):
-            if ch == "(":
-                depth += 1
-            elif ch == ")":
-                depth -= 1
-            if ch == "," and depth == 0:
-                parts.append(buf)
-                buf = ""
-            else:
-                buf += ch
-        if buf.strip():
-            parts.append(buf)
-        for p in parts:
+        for p in _split_top_commas(m.group(1)):
             col, eq, expr = p.partition("=")
             if not eq:
                 raise ValueError(
                     f"delta_sql: bad SET assignment {p.strip()!r}"
                 )
-            sets[col.strip()] = expr.strip()
-        cond = (m.group(2) or "1=1").strip()
+            sets[col.strip()] = _unmask(expr.strip(), lits)
+        cond = _unmask((m.group(2) or "1=1").strip(), lits)
         return dl.update_delta(spark, _one_path(s, "UPDATE"), cond, sets)
 
     if head == "MERGE":
+        # structural parsing runs on LITERAL-MASKED text: commas,
+        # WHEN/THEN keywords, and alias-looking prefixes inside
+        # '...' strings must be invisible to it
+        ms, lits = _mask_literals(s)
         m = re.match(
             r"MERGE\s+INTO\s+delta\.`[^`]+`\s+(?:AS\s+)?(\w+)\s+"
             r"USING\s+(\w+)\s+(?:AS\s+)?(\w+)\s+ON\s+(.+?)\s+"
             r"(WHEN\s+.+)$",
-            s,
+            ms,
             re.IGNORECASE | re.DOTALL,
         )
         if not m:
@@ -227,6 +275,10 @@ def delta_sql(spark: SparkSession, stmt: str):
                 f"{stmt!r}"
             )
         t_alias, source, s_alias, on, when_text = m.groups()
+        if t_alias.lower() == s_alias.lower():
+            raise ValueError(
+                "delta_sql MERGE: target and source aliases must differ"
+            )
         keys = []
         for clause in re.split(r"\s+AND\s+", on, flags=re.IGNORECASE):
             em = re.match(
@@ -242,47 +294,56 @@ def delta_sql(spark: SparkSession, stmt: str):
                 )
             keys.append(em.group(1))
 
+        # ONE-PASS alias rewrite onto the engine's fixed t./s. planes:
+        # sequential substitution would cascade when the user's source
+        # alias is literally 't' (target refs rewritten to 't.' would
+        # then be re-rewritten to 's.')
+        _alias_pat = re.compile(
+            rf"\b({re.escape(t_alias)}|{re.escape(s_alias)})\.",
+            re.IGNORECASE,
+        )
+
         def _norm(expr: str) -> str:
-            # clause expressions bind the engine's fixed t./s. planes
-            expr = re.sub(
-                rf"\b{re.escape(t_alias)}\.", "t.", expr, flags=re.IGNORECASE
-            )
-            return re.sub(
-                rf"\b{re.escape(s_alias)}\.", "s.", expr, flags=re.IGNORECASE
+            return _unmask(
+                _alias_pat.sub(
+                    lambda am: "t."
+                    if am.group(1).lower() == t_alias.lower()
+                    else "s.",
+                    expr,
+                ),
+                lits,
             )
 
-        def _split_commas(text: str) -> list[str]:
-            depth, buf, out = 0, "", []
-            for ch in text:
-                if ch == "(":
-                    depth += 1
-                elif ch == ")":
-                    depth -= 1
-                if ch == "," and depth == 0:
-                    out.append(buf)
-                    buf = ""
-                else:
-                    buf += ch
-            if buf.strip():
-                out.append(buf)
-            return out
+        def _target_col(raw: str, what: str) -> str:
+            col = re.sub(
+                rf"^(?:{re.escape(t_alias)}|{re.escape(s_alias)})\.",
+                "",
+                raw.strip(),
+                flags=re.IGNORECASE,
+            )
+            if "." in col:
+                raise NotImplementedError(
+                    f"delta_sql MERGE: nested {what} target {raw.strip()!r}"
+                    " is not supported — assign the whole struct"
+                )
+            return col
 
         def _set_map(text: str) -> dict:
             sets: dict[str, str] = {}
-            for p in _split_commas(text):
+            for p in _split_top_commas(text):
                 col, eq, expr = p.partition("=")
                 if not eq:
                     raise ValueError(
                         f"delta_sql MERGE: bad SET assignment {p.strip()!r}"
                     )
-                sets[col.strip().split(".")[-1]] = _norm(expr.strip())
+                sets[_target_col(col, "SET")] = _norm(expr.strip())
             return sets
 
         matched: list[dict] = []
         not_matched: list[dict] = []
         by_source: list[dict] = []
-        # split the clause tail on WHEN boundaries (never inside a
-        # CASE WHEN: the boundary requires [NOT] MATCHED right after)
+        # clause boundaries: WHEN immediately followed by [NOT]
+        # MATCHED (a CASE WHEN never is, and literals are masked)
         parts = re.split(
             r"\bWHEN\s+(?=(?:NOT\s+)?MATCHED\b)",
             when_text,
@@ -293,9 +354,14 @@ def delta_sql(spark: SparkSession, stmt: str):
             part = part.strip()
             if not part:
                 continue
+            # the action alternation anchors the FINAL 'THEN': a CASE
+            # WHEN ... THEN inside the AND-condition cannot satisfy
+            # 'THEN UPDATE SET/DELETE/INSERT', so the greedy condition
+            # backtracks to the real clause boundary
             cm = re.match(
                 r"(NOT\s+MATCHED(?:\s+BY\s+SOURCE)?|MATCHED)\s*"
-                r"(?:AND\s+(.+?)\s+)?THEN\s+(.+)$",
+                r"(?:AND\s+(.+)\s+)?THEN\s+"
+                r"(UPDATE\s+SET\s+.+|DELETE$|INSERT\s+.+)",
                 part,
                 re.IGNORECASE | re.DOTALL,
             )
@@ -339,10 +405,10 @@ def delta_sql(spark: SparkSession, stmt: str):
                     clause["insert"] = "*"
                 else:
                     cols = [
-                        c.strip().split(".")[-1]
+                        _target_col(c, "INSERT")
                         for c in im.group(2).split(",")
                     ]
-                    vals = _split_commas(im.group(3))
+                    vals = _split_top_commas(im.group(3))
                     if len(cols) != len(vals):
                         raise ValueError(
                             "delta_sql MERGE: INSERT column/value "
