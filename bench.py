@@ -292,8 +292,93 @@ def scaled_heavy_tail(spark, sf_dir: str) -> dict:
             out.update(scaled_row_tracking(spark, scaled))
         except Exception as ex:
             out["scaled10_rowtrack_error"] = str(ex)[:200]
+        try:
+            out.update(scaled_merge_clauses(spark, scaled))
+        except Exception as ex:
+            out["scaled10_merge_error"] = str(ex)[:200]
     finally:
         shutil.rmtree(scaled, ignore_errors=True)
+    return out
+
+
+def scaled_merge_clauses(spark, scaled: str) -> dict:
+    """Standing 10x row for MERGE (round 13): a 1.5M-row target gets
+    a 10%-sized source (half updating existing keys, half new), merged
+    twice from the same pre-state — once through the upsert-star fast
+    path (anti-join + union) and once through the general CLAUSE
+    engine (full-outer join + action-tag CASE, expressing the same
+    KEY ALGEBRA — update every matched key, insert every unmatched
+    one — through a conditioned clause list) — so the rows price the
+    clause engine's generality against the specialized plan on the
+    same work. Row-count equality pins the key algebra."""
+    import shutil as _sh
+    import tempfile
+
+    from pyspark.sql import functions as F
+
+    from value_at_risk_spark.operators.merge import merge_into_delta_native
+    from value_at_risk_spark.sources.deltalog import read_delta, write_delta
+
+    orders = spark.read.parquet(f"{scaled}/orders.parquet").select(
+        F.col("o_orderkey").alias("k"),
+        F.col("o_totalprice").alias("v"),
+        F.col("o_orderstatus").alias("tag"),
+    )
+    hi = orders.agg(F.max("k")).first()[0] + 1
+    src = (
+        orders.filter(F.col("k") % 10 == 0)
+        .select("k", (F.col("v") * 2).alias("nv"))
+        .unionByName(
+            orders.filter(F.col("k") % 10 == 1).select(
+                (F.col("k") + hi).alias("k"), F.col("v").alias("nv")
+            )
+        )
+    )
+    src_named = src.select(
+        "k", F.col("nv").alias("v"), F.lit("MRG").alias("tag")
+    )
+    out: dict = {}
+    counts = []
+    for label, run in (
+        (
+            "scaled10_merge_upsert_star_sec",
+            lambda tbl: merge_into_delta_native(spark, tbl, src_named, ["k"]),
+        ),
+        (
+            "scaled10_merge_clause_engine_sec",
+            lambda tbl: merge_into_delta_native(
+                spark,
+                tbl,
+                src,
+                ["k"],
+                matched=[
+                    {"condition": "s.nv >= 0", "update": {"v": "s.nv"}},
+                    {"delete": True},
+                ],
+                not_matched=[
+                    {
+                        "insert": {
+                            "k": "s.k",
+                            "v": "s.nv",
+                            "tag": "'MRG'",
+                        }
+                    }
+                ],
+            ),
+        ),
+    ):
+        tbl = tempfile.mkdtemp(prefix="bench_merge_")
+        _sh.rmtree(tbl, ignore_errors=True)
+        try:
+            write_delta(spark, orders, tbl)
+            t0 = time.time()
+            run(tbl)
+            out[label] = round(time.time() - t0, 3)
+            counts.append(read_delta(spark, tbl).count())
+        finally:
+            _sh.rmtree(tbl, ignore_errors=True)
+    out["scaled10_merge_rows_equal"] = counts[0] == counts[1]
+    out["scaled10_merge_rows"] = counts[0]
     return out
 
 

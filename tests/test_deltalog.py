@@ -5152,3 +5152,73 @@ def test_merge_sql_parser_hardening(spark, tmp_path):
     assert {r.k: r._t_p for r in read_delta(spark, t2).collect()} == {
         1: "upd", 2: "new",
     }
+
+
+def test_sql_insert_and_ctas(spark, tmp_path):
+    """INSERT INTO / INSERT OVERWRITE / CTAS SQL forms (r13): INSERT
+    binds by POSITION (optional column list, unlisted columns NULL,
+    arity checked), the SELECT tail may reference OTHER delta tables,
+    and CTAS creates partitioned/TBLPROPERTIES'd tables from any
+    SELECT — refusing to clobber an existing table."""
+    from value_at_risk_spark.sources.delta_sql import delta_sql
+    from value_at_risk_spark.sources.deltalog import snapshot as _snap
+
+    t = str(tmp_path / "ins")
+    write_delta(
+        spark,
+        spark.createDataFrame([(1, "a", 1.5)], "k long, s string, v double"),
+        t,
+    )
+    # VALUES, positional
+    delta_sql(
+        spark, f"INSERT INTO delta.`{t}` VALUES (2, 'b,with comma', 2.5)"
+    )
+    # column list: v omitted -> NULL
+    delta_sql(spark, f"INSERT INTO delta.`{t}` (k, s) VALUES (3, 'c')")
+    got = {r.k: (r.s, r.v) for r in read_delta(spark, t).collect()}
+    assert got == {1: ("a", 1.5), 2: ("b,with comma", 2.5), 3: ("c", None)}
+    # INSERT ... SELECT from ANOTHER delta table
+    t2 = str(tmp_path / "ins_src")
+    write_delta(
+        spark,
+        spark.createDataFrame([(7, "z", 9.0)], "k long, s string, v double"),
+        t2,
+    )
+    delta_sql(
+        spark,
+        f"INSERT INTO delta.`{t}` SELECT k, s, v FROM delta.`{t2}`",
+    )
+    assert read_delta(spark, t).count() == 4
+    # INSERT OVERWRITE replaces
+    delta_sql(
+        spark, f"INSERT OVERWRITE delta.`{t}` VALUES (10, 'only', 0.5)"
+    )
+    assert [(r.k, r.s) for r in read_delta(spark, t).collect()] == [
+        (10, "only")
+    ]
+    # arity mismatch refuses
+    with pytest.raises(ValueError, match="values for"):
+        delta_sql(spark, f"INSERT INTO delta.`{t}` VALUES (1, 'x')")
+    with pytest.raises(ValueError, match="unknown column"):
+        delta_sql(spark, f"INSERT INTO delta.`{t}` (nope) VALUES (1)")
+    # CTAS with partitioning + TBLPROPERTIES (a MAPPED table via SQL)
+    t3 = str(tmp_path / "ctas")
+    delta_sql(
+        spark,
+        f"CREATE TABLE delta.`{t3}` USING DELTA PARTITIONED BY (s) "
+        "TBLPROPERTIES ('delta.columnMapping.mode'='name') "
+        f"AS SELECT k, s, v FROM delta.`{t2}`",
+    )
+    snap3 = _snap(t3)
+    assert snap3.metadata["configuration"][
+        "delta.columnMapping.mode"
+    ] == "name"
+    assert snap3.partition_columns == ["s"]
+    assert [tuple(r) for r in read_delta(spark, t3).collect()] == [
+        (7, "z", 9.0)
+    ]
+    with pytest.raises(ValueError, match="already exists"):
+        delta_sql(
+            spark,
+            f"CREATE TABLE delta.`{t3}` AS SELECT * FROM delta.`{t2}`",
+        )

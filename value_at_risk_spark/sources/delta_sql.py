@@ -19,8 +19,17 @@ like delta-spark's path syntax:
 - ``DELETE FROM delta.`/p` WHERE cond``;
 - ``UPDATE delta.`/p` SET c = expr[, ...] [WHERE cond]``;
 - ``MERGE INTO delta.`/p` [AS] t USING view [AS] s ON t.k = s.k
-  [AND ...] WHEN MATCHED THEN UPDATE SET * WHEN NOT MATCHED THEN
-  INSERT *`` — the upsert-star form (key-level update-or-insert);
+  [AND ...]`` with the full clause grammar: ordered ``WHEN MATCHED
+  [AND cond] THEN UPDATE SET a = expr, ... | UPDATE SET * | DELETE``,
+  ``WHEN NOT MATCHED [AND cond] THEN INSERT * | INSERT (cols) VALUES
+  (exprs)``, ``WHEN NOT MATCHED BY SOURCE [AND cond] THEN UPDATE SET
+  ... | DELETE`` (the upsert-star form keeps the cheap
+  anti-join + union plan);
+- ``INSERT INTO | OVERWRITE delta.`/p` [(cols)] SELECT ... | VALUES
+  ...`` — positional binding, unlisted columns NULL;
+- ``CREATE TABLE delta.`/p` [USING DELTA] [PARTITIONED BY (...)]
+  [TBLPROPERTIES ('k'='v', ...)] AS SELECT ...`` (CTAS; refuses an
+  existing table);
 - ``OPTIMIZE delta.`/p` [WHERE part = 'v' [AND ...]] [MIN FILE SIZE n]
   [ZORDER BY (c1, c2)]``;
 - ``VACUUM delta.`/p` [RETAIN n HOURS]``;
@@ -555,6 +564,64 @@ def delta_sql(spark: SparkSession, stmt: str):
             "version long, operation string, operation_parameters string",
         )
 
+    if head == "INSERT":
+        # INSERT INTO (append) / INSERT OVERWRITE with a SELECT or
+        # VALUES tail; an optional column list fills the rest with
+        # NULLs. SQL INSERT binds columns BY POSITION.
+        ms, lits = _mask_literals(s)
+        m = re.match(
+            r"INSERT\s+(INTO|OVERWRITE)\s+delta\.`([^`]+)`\s*"
+            r"(?:\(([^)]*)\)\s*)?"
+            r"((?:SELECT|WITH|VALUES)\s+.+)$",
+            ms,
+            re.IGNORECASE | re.DOTALL,
+        )
+        if not m:
+            raise ValueError(
+                f"delta_sql: unsupported INSERT shape: {stmt!r}"
+            )
+        mode = "append" if m.group(1).upper() == "INTO" else "overwrite"
+        # the path comes from the INSERT clause itself — the SELECT
+        # tail may legitimately reference OTHER delta tables
+        path = m.group(2)
+        cols = (
+            [c.strip() for c in m.group(3).split(",")]
+            if m.group(3)
+            else None
+        )
+        tail = _unmask(m.group(4).strip(), lits)
+        if tail.split(None, 1)[0].upper() == "VALUES":
+            src = spark.sql(tail)
+        else:
+            src = delta_sql(spark, tail)
+        schema = dl.snapshot(path).schema
+        targets = cols if cols is not None else [f.name for f in schema.fields]
+        known = {f.name: f for f in schema.fields}
+        bad = [c for c in targets if c not in known]
+        if bad:
+            raise ValueError(f"delta_sql INSERT: unknown column(s) {bad}")
+        if len(src.columns) != len(targets):
+            raise ValueError(
+                f"delta_sql INSERT: {len(src.columns)} values for "
+                f"{len(targets)} target column(s)"
+            )
+        from pyspark.sql import functions as _F
+
+        by_target = dict(zip(targets, src.columns))
+        frame = src.select(
+            *[
+                (
+                    _F.col(
+                        "`" + by_target[f.name].replace("`", "``") + "`"
+                    ).cast(f.dataType)
+                    if f.name in by_target
+                    else _F.lit(None).cast(f.dataType)
+                ).alias(f.name)
+                for f in schema.fields
+            ]
+        )
+        return dl.write_delta(spark, frame, path, mode=mode)
+
     if head == "CREATE":
         m = re.match(
             r"CREATE\s+TABLE\s+delta\.`([^`]+)`\s+SHALLOW\s+CLONE\s+"
@@ -567,6 +634,46 @@ def delta_sql(spark: SparkSession, stmt: str):
                 m.group(2),
                 m.group(1),
                 int(m.group(3)) if m.group(3) else None,
+            )
+        # CTAS: CREATE TABLE delta.`p` [USING DELTA] [PARTITIONED BY
+        # (...)] [TBLPROPERTIES ('k'='v',...)] AS SELECT ...
+        ms, lits = _mask_literals(s)
+        m = re.match(
+            r"CREATE\s+TABLE\s+delta\.`([^`]+)`"
+            r"(?:\s+USING\s+DELTA)?"
+            r"(?:\s+PARTITIONED\s+BY\s*\(([^)]+)\))?"
+            r"(?:\s+TBLPROPERTIES\s*\((.*?)\))?"
+            r"\s+AS\s+((?:SELECT|WITH)\s+.+)$",
+            ms,
+            re.IGNORECASE | re.DOTALL,
+        )
+        if m:
+            part_by = (
+                [c.strip() for c in m.group(2).split(",")]
+                if m.group(2)
+                else None
+            )
+            conf: dict[str, str] = {}
+            if m.group(3):
+                for pm in re.finditer(
+                    r"\x00(\d+)\x00\s*=\s*\x00(\d+)\x00", m.group(3)
+                ):
+                    conf[lits[int(pm.group(1))].strip("'")] = lits[
+                        int(pm.group(2))
+                    ].strip("'")
+            if dl.delta_versions(m.group(1)):
+                raise ValueError(
+                    f"delta_sql CTAS: delta table already exists at "
+                    f"{m.group(1)} (write_delta would APPEND — refuse "
+                    "instead)"
+                )
+            frame = delta_sql(spark, _unmask(m.group(4).strip(), lits))
+            return dl.write_delta(
+                spark,
+                frame,
+                m.group(1),
+                partition_by=part_by,
+                configuration=conf or None,
             )
 
     if head == "ALTER":
