@@ -5222,3 +5222,138 @@ def test_sql_insert_and_ctas(spark, tmp_path):
             spark,
             f"CREATE TABLE delta.`{t3}` AS SELECT * FROM delta.`{t2}`",
         )
+
+
+def test_convert_to_delta(spark, tmp_path):
+    """CONVERT TO DELTA (r13): an in-place v0 commit over an existing
+    parquet directory — zero data rewritten, footer stats attached
+    (data skipping works from day one), Hive partition dirs become
+    typed partitionValues (types from the caller — dirs cannot carry
+    them), and the converted table takes DML like any native table."""
+    from value_at_risk_spark.sources.delta_sql import delta_sql
+    from value_at_risk_spark.sources.deltalog import (
+        convert_to_delta,
+        delete_from_delta,
+        snapshot as _snap,
+    )
+
+    # partitioned parquet dir written by plain Spark
+    d = str(tmp_path / "plainpq")
+    df = spark.createDataFrame(
+        [(i, i % 3, float(i)) for i in range(90)], "id long, seg int, v double"
+    )
+    df.write.partitionBy("seg").parquet(d)
+    import glob as _glob
+
+    files_before = sorted(_glob.glob(f"{d}/**/*.parquet", recursive=True))
+    with pytest.raises(ValueError, match="partition_schema"):
+        convert_to_delta(spark, d)
+    assert convert_to_delta(spark, d, {"seg": "integer"}) == 0
+    # zero data rewritten
+    assert sorted(
+        _glob.glob(f"{d}/**/*.parquet", recursive=True)
+    ) == files_before
+    got = read_delta(spark, d)
+    assert got.schema["seg"].dataType.simpleString() == "int"
+    assert got.count() == 90
+    assert got.filter("seg = 1").count() == 30
+    # footer stats made it into the adds (data skipping evidence)
+    snap = _snap(d)
+    import json as _json
+
+    assert all(
+        _json.loads(a["stats"])["numRecords"] > 0
+        for a in (snap.files[r] for r in snap.files)
+        if a.get("stats")
+    )
+    # the converted table takes DML
+    delete_from_delta(spark, d, "id < 10")
+    assert read_delta(spark, d).count() == 80
+    # double convert refuses; SQL form on an unpartitioned dir
+    with pytest.raises(ValueError, match="already a delta table"):
+        convert_to_delta(spark, d, {"seg": "integer"})
+    d2 = str(tmp_path / "plain2")
+    df.select("id", "v").write.parquet(d2)
+    delta_sql(spark, f"CONVERT TO DELTA parquet.`{d2}`")
+    assert read_delta(spark, d2).count() == 90
+    # SQL partitioned form
+    d3 = str(tmp_path / "plain3")
+    df.write.partitionBy("seg").parquet(d3)
+    delta_sql(
+        spark, f"CONVERT TO DELTA parquet.`{d3}` PARTITIONED BY (seg int)"
+    )
+    assert read_delta(spark, d3).filter("seg = 2").count() == 30
+
+
+def test_enable_column_mapping_on_existing_table(spark, tmp_path):
+    """Mid-life none -> 'name' column-mapping UPGRADE (r13,
+    set_table_properties): metadata-only — physicalName = the CURRENT
+    field name at every nesting level (the existing files already
+    carry those names; delta-spark's upgrade semantics), maxColumnId
+    set, protocol lifted with columnMapping in both feature lists.
+    After the upgrade, RENAME COLUMN / nested DROP work, new appends
+    keep staging the (now physical) names, old files stay readable,
+    and forbidden mode changes refuse."""
+    from value_at_risk_spark.sources.delta_sql import delta_sql
+    from value_at_risk_spark.sources.deltalog import (
+        rename_delta_column,
+        set_table_properties,
+        snapshot as _snap,
+        update_delta,
+    )
+
+    t = str(tmp_path / "upmap")
+    df = spark.createDataFrame(
+        [(1, "a", (10, "x")), (2, "b", (20, "y"))],
+        "id long, seg string, s struct<a:long,b:string>",
+    )
+    write_delta(spark, df, t, partition_by=["seg"])
+    set_table_properties(t, {"delta.columnMapping.mode": "name"})
+    snap = _snap(t)
+    cfg = snap.metadata["configuration"]
+    assert cfg["delta.columnMapping.mode"] == "name"
+    assert cfg["delta.columnMapping.maxColumnId"] == "5"  # id,seg,s,s.a,s.b
+    assert "columnMapping" in (snap.protocol.get("readerFeatures") or [])
+    assert "columnMapping" in (snap.protocol.get("writerFeatures") or [])
+    # old files readable; physicalName == logical name
+    assert {r.id: tuple(r.s) for r in read_delta(spark, t).collect()} == {
+        1: (10, "x"), 2: (20, "y"),
+    }
+    # the point of the upgrade: RENAME is now metadata-only
+    rename_delta_column(t, "id", "key")
+    rename_delta_column(t, "s.a", "alpha")
+    got = read_delta(spark, t)
+    assert got.columns == ["key", "seg", "s"]
+    assert got.schema["s"].dataType.fieldNames() == ["alpha", "b"]
+    assert {r.key: r.s.alpha for r in got.collect()} == {1: 10, 2: 20}
+    # appends + DML keep working through the mapping planes
+    write_delta(
+        spark,
+        spark.createDataFrame(
+            [(3, "c", (30, "z"))],
+            "key long, seg string, s struct<alpha:long,b:string>",
+        ),
+        t,
+        mode="append",
+    )
+    update_delta(spark, t, "key = 3", {"s.alpha": "s.alpha + 1"})
+    assert {r.key: r.s.alpha for r in read_delta(spark, t).collect()} == {
+        1: 10, 2: 20, 3: 31,
+    }
+    # SQL form drives the same upgrade
+    t2 = str(tmp_path / "upmap2")
+    write_delta(spark, df.select("id", "seg"), t2)
+    delta_sql(
+        spark,
+        f"ALTER TABLE delta.`{t2}` SET TBLPROPERTIES "
+        "('delta.columnMapping.mode'='name')",
+    )
+    rename_delta_column(t2, "seg", "segment")
+    assert read_delta(spark, t2).columns == ["id", "segment"]
+    # forbidden transitions refuse
+    with pytest.raises(NotImplementedError, match="none -> 'name'"):
+        set_table_properties(t2, {"delta.columnMapping.mode": "id"})
+    # idempotent re-set is fine; OTHER properties on a mapped table
+    # no longer refuse (metadata-only)
+    set_table_properties(t2, {"delta.columnMapping.mode": "name"})
+    set_table_properties(t2, {"delta.enableChangeDataFeed": "true"})

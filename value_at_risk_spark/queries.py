@@ -15213,6 +15213,72 @@ def delta_mapped_dml_scan(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @query(
+    "delta_convert_scan",
+    """
+SELECT l_returnflag,
+       COUNT(*) AS n_rows,
+       ROUND(SUM(l_quantity), 2) AS total_qty,
+       ROUND(SUM(l_extendedprice) / 1000000.0, 2) AS total_price
+FROM lineitem
+WHERE l_orderkey % 4 <> 0
+GROUP BY l_returnflag
+""",
+)
+def delta_convert_scan(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """CONVERT TO DELTA, ORACLE-pinned (r13,
+    deltalog.convert_to_delta): a plain Hive-partitioned parquet
+    directory (written by Spark's ordinary writer, NO delta log) is
+    converted IN PLACE — one v0 commit referencing the existing files
+    with footer stats, partition types declared by the caller — then
+    mutated with a native DELETE to prove the converted table is a
+    first-class DML target. Read-back must equal DuckDB recomputing
+    the filter from the flat fixture: hash equality proves the
+    file/partition discovery, the typed partition recovery, and the
+    post-convert DML lose nothing (the standard parquet->delta
+    adoption path; reference tie: the saveAsTable migration posture of
+    01_var_market_etl.py:56-64)."""
+    from value_at_risk_spark.sources.deltalog import (
+        convert_to_delta,
+        delete_from_delta,
+        read_delta,
+    )
+
+    def build(tbl: str) -> None:
+        li = _t(spark, sf_dir, "lineitem").select(
+            "l_orderkey", "l_returnflag", "l_quantity", "l_extendedprice"
+        )
+        li.write.partitionBy("l_returnflag").parquet(tbl, mode="overwrite")
+        import os as _os
+
+        # a plain parquet dir: no _delta_log, Spark's _SUCCESS marker
+        # stays (the converter must skip underscore entries)
+        assert not _os.path.isdir(_os.path.join(tbl, "_delta_log"))
+        convert_to_delta(spark, tbl, {"l_returnflag": "string"})
+        delete_from_delta(spark, tbl, "l_orderkey % 4 = 0")
+
+    tbl = _scratch_delta_table(
+        "convert",
+        sf_dir,
+        "lineitem plain partitioned parquet -> convert -> delete %4",
+        build,
+    )
+    return (
+        read_delta(spark, tbl)
+        .groupBy("l_returnflag")
+        .agg(
+            F.count(F.lit(1)).alias("n_rows"),
+            (F.round(F.sum("l_quantity"), 2) + F.lit(0.0)).alias(
+                "total_qty"
+            ),
+            (
+                F.round(F.sum("l_extendedprice") / F.lit(1000000.0), 2)
+                + F.lit(0.0)
+            ).alias("total_price"),
+        )
+    )
+
+
+@query(
     "delta_merge_clauses_scan",
     """
 WITH t AS (

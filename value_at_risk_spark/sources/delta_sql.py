@@ -622,6 +622,43 @@ def delta_sql(spark: SparkSession, stmt: str):
         )
         return dl.write_delta(spark, frame, path, mode=mode)
 
+    if head == "CONVERT":
+        m = re.match(
+            r"CONVERT\s+TO\s+DELTA\s+parquet\.`([^`]+)`"
+            r"(?:\s+PARTITIONED\s+BY\s*\(([^)]+)\))?$",
+            s,
+            re.IGNORECASE,
+        )
+        if not m:
+            raise ValueError(
+                f"delta_sql: unsupported CONVERT shape: {stmt!r}"
+            )
+        pschema = None
+        if m.group(2):
+            sql2json = {
+                "tinyint": "byte", "smallint": "short", "int": "integer",
+                "integer": "integer", "bigint": "long", "long": "long",
+                "float": "float", "real": "float", "double": "double",
+                "string": "string", "boolean": "boolean", "date": "date",
+                "timestamp": "timestamp",
+            }
+            pschema = {}
+            for part in m.group(2).split(","):
+                cm = re.match(r"^\s*(\w+)\s+(\w+)\s*$", part)
+                if not cm:
+                    raise ValueError(
+                        "delta_sql CONVERT: PARTITIONED BY needs "
+                        f"'name TYPE' items, got {part.strip()!r}"
+                    )
+                t_ = sql2json.get(cm.group(2).lower())
+                if t_ is None:
+                    raise ValueError(
+                        f"delta_sql CONVERT: unsupported type "
+                        f"{cm.group(2)!r}"
+                    )
+                pschema[cm.group(1)] = t_
+        return dl.convert_to_delta(spark, m.group(1), pschema)
+
     if head == "CREATE":
         m = re.match(
             r"CREATE\s+TABLE\s+delta\.`([^`]+)`\s+SHALLOW\s+CLONE\s+"

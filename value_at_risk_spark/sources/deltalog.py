@@ -738,7 +738,10 @@ def _bare_type_json(dt) -> object:
 
 
 def _assign_mapping_ids(
-    sch: dict, start: int = 0, only_missing: bool = False
+    sch: dict,
+    start: int = 0,
+    only_missing: bool = False,
+    keep_names: bool = False,
 ) -> int:
     """Column-mapping id/physicalName assignment: walk a schemaString
     json depth-first assigning ``delta.columnMapping.id`` (dense from
@@ -747,7 +750,11 @@ def _assign_mapping_ids(
     elements, map values — anywhere the protocol attaches field
     metadata). ``only_missing`` (schema evolution): fields that
     already carry an id keep it untouched — only NEW fields (and
-    their nested children) get assignments. Mutates ``sch`` in place;
+    their nested children) get assignments. ``keep_names`` (mid-life
+    'name'-mode UPGRADE of an existing table): physicalName = the
+    CURRENT field name, because the table's files already carry those
+    names — exactly delta-spark's upgrade semantics; fresh col-<uuid>
+    names would orphan every existing file. Mutates ``sch`` in place;
     returns the new max id for ``delta.columnMapping.maxColumnId``.
     Keeps its own PRE-ORDER walk (parent ids before children —
     delta-spark's assignment order) rather than composing with the
@@ -774,7 +781,9 @@ def _assign_mapping_ids(
             f["metadata"] = {
                 **md,
                 "delta.columnMapping.id": next_id,
-                "delta.columnMapping.physicalName": f"col-{uuid.uuid4()}",
+                "delta.columnMapping.physicalName": (
+                    f["name"] if keep_names else f"col-{uuid.uuid4()}"
+                ),
             }
         _type(f.get("type"))
 
@@ -2434,13 +2443,7 @@ def set_table_properties(path: str, props: dict[str, str]) -> int:
     for k, v in props.items():
         if not isinstance(k, str) or not isinstance(v, str):
             raise ValueError("set_table_properties: str->str map required")
-    if "delta.columnMapping.mode" in props:
-        raise NotImplementedError(
-            "set_table_properties: enabling column mapping on an "
-            "EXISTING table requires assigning field ids/physical "
-            "names to its files — create the table mapped instead "
-            "(write_delta configuration)"
-        )
+    map_want = props.get("delta.columnMapping.mode")
     if "delta.enableRowTracking" in props:
         raise NotImplementedError(
             "set_table_properties: row tracking is a table-CREATION "
@@ -2450,11 +2453,40 @@ def set_table_properties(path: str, props: dict[str, str]) -> int:
     now_ms = int(time.time() * 1000)
     for _attempt in range(64):
         snap = snapshot(path)
-        _refuse_mapped_write(snap, "SET TBLPROPERTIES")
+        # property updates are metadata-only and cannot corrupt an
+        # existing mapping, so mapped tables are NOT refused here —
+        # only mode CHANGES are constrained below
         _refuse_high_writer_version(snap, "SET TBLPROPERTIES")
         cfg = dict(snap.metadata.get("configuration") or {})
         cfg.update(props)
         meta = {**snap.metadata, "configuration": cfg}
+        map_upgrade = False
+        if map_want is not None:
+            cur = _cm_mode(snap)
+            if map_want == cur:
+                pass  # idempotent re-set
+            elif cur == "none" and map_want == "name":
+                # delta-spark's upgrade: ids assigned, physicalName =
+                # the CURRENT name at every nesting level (the files
+                # already carry those names — metadata-only)
+                map_upgrade = True
+            else:
+                raise NotImplementedError(
+                    "set_table_properties: only the none -> 'name' "
+                    f"column-mapping upgrade is supported, not "
+                    f"{cur!r} -> {map_want!r} ('id' needs parquet "
+                    "field ids the existing files lack; unmapping "
+                    "would orphan physical names)"
+                )
+        if map_upgrade:
+            sch_up = json.loads(snap.metadata["schemaString"])
+            mx = _assign_mapping_ids(sch_up, keep_names=True)
+            cfg["delta.columnMapping.maxColumnId"] = str(mx)
+            meta = {
+                **snap.metadata,
+                "schemaString": json.dumps(sch_up),
+                "configuration": cfg,
+            }
         actions: list[dict] = [
             {
                 "commitInfo": {
@@ -2504,6 +2536,12 @@ def set_table_properties(path: str, props: dict[str, str]) -> int:
             )
         ):
             actions.append(_protocol_action(snap, 4, "changeDataFeed"))
+        if map_upgrade:
+            actions.append(
+                _upgrade_protocol_features(
+                    snap, ("columnMapping",), ("columnMapping",)
+                )
+            )
         if cfg.get("delta.checkpointPolicy") == "v2" and (
             "v2Checkpoint" not in (snap.protocol.get("readerFeatures") or [])
         ):
@@ -2806,6 +2844,142 @@ def add_delta_columns(path: str, columns: dict[str, object]) -> int:
         if _publish_commit(path, snap.version + 1, actions):
             return snap.version + 1
     raise RuntimeError(f"add_delta_columns: lost the commit race at {path}")
+
+
+def convert_to_delta(
+    spark: SparkSession,
+    path: str,
+    partition_schema: dict[str, str] | None = None,
+) -> int:
+    """``CONVERT TO DELTA parquet.`/dir``` — the standard adoption
+    path: an IN-PLACE v0 commit over an existing parquet directory,
+    zero data rewritten. Every ``*.parquet`` file becomes an add
+    action (footer stats included, so data skipping works from day
+    one); Hive partition directories become partitionValues, with the
+    partition column TYPES supplied by the caller
+    (``partition_schema``: name -> schemaString type, e.g. ``{"seg":
+    "string"}``) exactly as real CONVERT TO DELTA requires — dir
+    names alone cannot distinguish '01' the string from 1 the int.
+    The data schema comes from the parquet footers via Spark's own
+    reader (so type widening/merging follows Spark's parquet rules).
+    Refuses an existing delta table and partitioned directories
+    without a partition_schema. Returns 0 (the new table's only
+    version)."""
+    from urllib.parse import quote as _quote
+    from urllib.parse import unquote as _unquote
+
+    if delta_versions(path):
+        raise ValueError(
+            f"convert_to_delta: {path} is already a delta table"
+        )
+    files: list[str] = []
+    for root, dirs, names in os.walk(path):
+        dirs[:] = [d for d in dirs if not d.startswith(("_", "."))]
+        for n in names:
+            if n.endswith(".parquet") and not n.startswith(("_", ".")):
+                files.append(os.path.join(root, n))
+    if not files:
+        raise ValueError(f"convert_to_delta: no parquet files under {path}")
+    # partition layout from the directory structure
+    part_cols: list[str] = []
+    adds: list[dict] = []
+    now_ms = int(time.time() * 1000)
+    for full in sorted(files):
+        rel = os.path.relpath(full, path)
+        segs = rel.split(os.sep)[:-1]
+        pv: dict[str, str | None] = {}
+        for seg in segs:
+            col, eq, raw = seg.partition("=")
+            if not eq:
+                raise ValueError(
+                    f"convert_to_delta: non-Hive directory {seg!r} "
+                    f"under {path} (expected col=value)"
+                )
+            pv[col] = (
+                None
+                if raw == "__HIVE_DEFAULT_PARTITION__"
+                else _unquote(raw)
+            )
+        if not part_cols and pv:
+            part_cols = list(pv)
+        if list(pv) != part_cols:
+            raise ValueError(
+                "convert_to_delta: inconsistent partition layout: "
+                f"{list(pv)} vs {part_cols}"
+            )
+        st = os.stat(full)
+        adds.append(
+            {
+                "add": {
+                    "path": _quote(rel.replace(os.sep, "/"), safe="/"),
+                    "partitionValues": pv,
+                    "size": st.st_size,
+                    "modificationTime": int(st.st_mtime * 1000),
+                    "dataChange": True,
+                    "stats": _file_stats(full),
+                }
+            }
+        )
+    if part_cols and not partition_schema:
+        raise ValueError(
+            "convert_to_delta: partitioned directory — supply "
+            f"partition_schema for column(s) {part_cols} (directory "
+            "names cannot carry types)"
+        )
+    # data schema from the footers via Spark's parquet reader; with
+    # partition dirs Spark infers the partition columns too — replace
+    # their inferred types with the caller's declared ones
+    inferred = spark.read.parquet(path).schema
+    sch = {"type": "struct", "fields": []}
+    for f in inferred.fields:
+        fj = f.jsonValue()
+        if part_cols and f.name in part_cols:
+            declared = (partition_schema or {}).get(f.name)
+            if declared is None:
+                raise ValueError(
+                    f"convert_to_delta: partition_schema missing "
+                    f"column {f.name!r}"
+                )
+            fj = {
+                "name": f.name,
+                "type": declared,
+                "nullable": True,
+                "metadata": {},
+            }
+        else:
+            fj = _clean_field_json(fj)
+        sch["fields"].append(fj)
+    StructType.fromJson(sch)  # fail loud on unparseable declared types
+    actions = [
+        {
+            "commitInfo": {
+                "timestamp": now_ms,
+                "operation": "CONVERT",
+                "operationParameters": {
+                    "numFiles": len(adds),
+                    "partitionedBy": part_cols,
+                },
+                "engineInfo": "value_at_risk_spark.deltalog",
+            }
+        },
+        {"protocol": {"minReaderVersion": 1, "minWriterVersion": 2}},
+        {
+            "metaData": {
+                "id": str(uuid.uuid4()),
+                "format": {"provider": "parquet", "options": {}},
+                "schemaString": json.dumps(sch),
+                "partitionColumns": part_cols,
+                "configuration": {},
+                "createdTime": now_ms,
+            }
+        },
+        *adds,
+    ]
+    if not _publish_commit(path, 0, actions):
+        raise ValueError(
+            f"convert_to_delta: lost a creation race at {path}"
+        )
+    return 0
 
 
 def shallow_clone(src: str, dst: str, version: int | None = None) -> int:
