@@ -5357,3 +5357,94 @@ def test_enable_column_mapping_on_existing_table(spark, tmp_path):
     # no longer refuse (metadata-only)
     set_table_properties(t2, {"delta.columnMapping.mode": "name"})
     set_table_properties(t2, {"delta.enableChangeDataFeed": "true"})
+
+
+def test_properties_combined_enablement_protocol(spark, tmp_path):
+    """Review fix (r13): set_table_properties emits ONE protocol
+    action per commit — snapshot replay keeps only the LAST protocol
+    action, so per-branch actions silently dropped each other's
+    features when several properties enabled in one call; and a
+    same-call ICT enablement no longer clobbers the mapping upgrade's
+    id-assigned schemaString."""
+    import json as _json
+
+    from value_at_risk_spark.sources.deltalog import (
+        rename_delta_column,
+        set_table_properties,
+        snapshot as _snap,
+    )
+
+    t = str(tmp_path / "combo")
+    write_delta(
+        spark,
+        spark.createDataFrame([(1, "a")], "id long, k string"),
+        t,
+    )
+    # mapping upgrade + CDF + v2 checkpoints + ICT, ONE call
+    set_table_properties(
+        t,
+        {
+            "delta.columnMapping.mode": "name",
+            "delta.enableChangeDataFeed": "true",
+            "delta.checkpointPolicy": "v2",
+            "delta.enableInCommitTimestamps": "true",
+        },
+    )
+    snap = _snap(t)
+    wf = set(snap.protocol.get("writerFeatures") or [])
+    rf = set(snap.protocol.get("readerFeatures") or [])
+    assert {
+        "columnMapping", "changeDataFeed", "v2Checkpoint",
+        "inCommitTimestamp",
+    } <= wf
+    assert {"columnMapping", "v2Checkpoint"} <= rf
+    # the upgraded schemaString survived the ICT meta rebuild
+    sch = _json.loads(snap.metadata["schemaString"])
+    assert all(
+        "delta.columnMapping.physicalName" in (f.get("metadata") or {})
+        for f in sch["fields"]
+    )
+    rename_delta_column(t, "k", "kk")
+    assert read_delta(spark, t).columns == ["id", "kk"]
+
+
+def test_insert_positional_and_auto_columns(spark, tmp_path):
+    """Review fixes (r13): INSERT binds truly positionally (duplicate
+    SOURCE column names are legal SQL and must not crash; duplicate
+    TARGET columns refuse), and unlisted generated/identity columns
+    stay ABSENT so write_delta computes them instead of failing their
+    invariants on a forced NULL."""
+    from value_at_risk_spark.sources.delta_sql import delta_sql
+
+    t = str(tmp_path / "inspos")
+    write_delta(
+        spark,
+        spark.createDataFrame([(1, 1, 9.0)], "a long, b long, v double"),
+        t,
+    )
+    src = str(tmp_path / "inspos_src")
+    write_delta(
+        spark, spark.createDataFrame([(5, 7.0)], "k long, v double"), src
+    )
+    # duplicate SOURCE column names — positional binding
+    delta_sql(
+        spark,
+        f"INSERT INTO delta.`{t}` SELECT k, k, v FROM delta.`{src}`",
+    )
+    got = sorted(tuple(r) for r in read_delta(spark, t).collect())
+    assert got == [(1, 1, 9.0), (5, 5, 7.0)]
+    with pytest.raises(ValueError, match="duplicate target"):
+        delta_sql(spark, f"INSERT INTO delta.`{t}` (a, a) VALUES (1, 2)")
+    # identity table: unlisted identity column gets GENERATED
+    t2 = str(tmp_path / "inspos_id")
+    from value_at_risk_spark.sources.deltalog import write_delta as _wd
+
+    _wd(
+        spark,
+        spark.createDataFrame([("x",)], "name string"),
+        t2,
+        identity_columns={"rid": {"start": 1, "step": 1}},
+    )
+    delta_sql(spark, f"INSERT INTO delta.`{t2}` (name) VALUES ('y')")
+    rows = {r.name: r.rid for r in read_delta(spark, t2).collect()}
+    assert rows["y"] is not None and rows["y"] != rows["x"]

@@ -121,6 +121,17 @@ def _split_top_commas(text: str) -> list[str]:
     return out
 
 
+# SQL type names -> schemaString primitive names, shared by ALTER
+# COLUMN TYPE / ADD COLUMNS / CONVERT PARTITIONED BY
+_SQL_TO_SCHEMA_TYPE = {
+    "tinyint": "byte", "smallint": "short", "int": "integer",
+    "integer": "integer", "bigint": "long", "long": "long",
+    "float": "float", "real": "float", "double": "double",
+    "string": "string", "boolean": "boolean", "date": "date",
+    "timestamp": "timestamp",
+}
+
+
 def _parse_partition_predicate(text: str) -> dict[str, list[str]]:
     """``OPTIMIZE ... WHERE`` predicate -> partition_filters: AND-ed
     conjunctions of ``col = 'v'`` / ``col = n`` / ``col IN (...)``
@@ -594,12 +605,18 @@ def delta_sql(spark: SparkSession, stmt: str):
             src = spark.sql(tail)
         else:
             src = delta_sql(spark, tail)
-        schema = dl.snapshot(path).schema
+        snap_ins = dl.snapshot(path)
+        schema = snap_ins.schema
         targets = cols if cols is not None else [f.name for f in schema.fields]
         known = {f.name: f for f in schema.fields}
         bad = [c for c in targets if c not in known]
         if bad:
             raise ValueError(f"delta_sql INSERT: unknown column(s) {bad}")
+        if len(set(targets)) != len(targets):
+            raise ValueError(
+                "delta_sql INSERT: duplicate target column(s) in "
+                f"{targets}"
+            )
         if len(src.columns) != len(targets):
             raise ValueError(
                 f"delta_sql INSERT: {len(src.columns)} values for "
@@ -607,19 +624,31 @@ def delta_sql(spark: SparkSession, stmt: str):
             )
         from pyspark.sql import functions as _F
 
-        by_target = dict(zip(targets, src.columns))
-        frame = src.select(
-            *[
-                (
-                    _F.col(
-                        "`" + by_target[f.name].replace("`", "``") + "`"
-                    ).cast(f.dataType)
-                    if f.name in by_target
-                    else _F.lit(None).cast(f.dataType)
-                ).alias(f.name)
-                for f in schema.fields
-            ]
+        # TRUE positional binding: rename the source columns to
+        # position tokens first — name-keyed selection would break on
+        # duplicate source column names (SELECT k, k, v is valid SQL)
+        src = src.toDF(*[f"_ins_c{i}" for i in range(len(src.columns))])
+        by_target = {
+            t: f"_ins_c{i}" for i, t in enumerate(targets)
+        }
+        # columns with their own generation contract stay ABSENT when
+        # unlisted — write_delta computes identity values and
+        # validates generated ones itself; a forced NULL would fail
+        # those invariants
+        auto = set(dl.table_identity_columns(snap_ins)) | set(
+            dl.table_generated_columns(snap_ins)
         )
+        out_cols = []
+        for f in schema.fields:
+            if f.name in by_target:
+                out_cols.append(
+                    _F.col(by_target[f.name]).cast(f.dataType).alias(f.name)
+                )
+            elif f.name in auto:
+                continue
+            else:
+                out_cols.append(_F.lit(None).cast(f.dataType).alias(f.name))
+        frame = src.select(*out_cols)
         return dl.write_delta(spark, frame, path, mode=mode)
 
     if head == "CONVERT":
@@ -635,13 +664,6 @@ def delta_sql(spark: SparkSession, stmt: str):
             )
         pschema = None
         if m.group(2):
-            sql2json = {
-                "tinyint": "byte", "smallint": "short", "int": "integer",
-                "integer": "integer", "bigint": "long", "long": "long",
-                "float": "float", "real": "float", "double": "double",
-                "string": "string", "boolean": "boolean", "date": "date",
-                "timestamp": "timestamp",
-            }
             pschema = {}
             for part in m.group(2).split(","):
                 cm = re.match(r"^\s*(\w+)\s+(\w+)\s*$", part)
@@ -650,7 +672,7 @@ def delta_sql(spark: SparkSession, stmt: str):
                         "delta_sql CONVERT: PARTITIONED BY needs "
                         f"'name TYPE' items, got {part.strip()!r}"
                     )
-                t_ = sql2json.get(cm.group(2).lower())
+                t_ = _SQL_TO_SCHEMA_TYPE.get(cm.group(2).lower())
                 if t_ is None:
                     raise ValueError(
                         f"delta_sql CONVERT: unsupported type "
@@ -692,12 +714,28 @@ def delta_sql(spark: SparkSession, stmt: str):
             )
             conf: dict[str, str] = {}
             if m.group(3):
-                for pm in re.finditer(
-                    r"\x00(\d+)\x00\s*=\s*\x00(\d+)\x00", m.group(3)
-                ):
-                    conf[lits[int(pm.group(1))].strip("'")] = lits[
-                        int(pm.group(2))
-                    ].strip("'")
+                def _lit_or_bare(token: str) -> str:
+                    token = token.strip()
+                    lm = re.fullmatch(r"\x00(\d+)\x00", token)
+                    if lm:
+                        raw = lits[int(lm.group(1))]
+                        # unquote incl. '' escapes
+                        return raw[1:-1].replace("''", "'")
+                    return token
+
+                for part in _split_top_commas(m.group(3)):
+                    k, eq, v = part.partition("=")
+                    if not eq or not k.strip() or not v.strip():
+                        raise ValueError(
+                            "delta_sql CTAS: bad TBLPROPERTIES item "
+                            f"{part.strip()!r}"
+                        )
+                    conf[_lit_or_bare(k)] = _lit_or_bare(v)
+                if not conf:
+                    raise ValueError(
+                        "delta_sql CTAS: no 'k'='v' pairs in "
+                        f"TBLPROPERTIES: {stmt!r}"
+                    )
             if dl.delta_versions(m.group(1)):
                 raise ValueError(
                     f"delta_sql CTAS: delta table already exists at "
@@ -764,18 +802,10 @@ def delta_sql(spark: SparkSession, stmt: str):
             re.IGNORECASE,
         )
         if m:
-            # SQL type names -> schemaString primitive names
-            t = {
-                "tinyint": "byte",
-                "smallint": "short",
-                "int": "integer",
-                "integer": "integer",
-                "bigint": "long",
-                "long": "long",
-                "float": "float",
-                "real": "float",
-                "double": "double",
-            }.get(m.group(2).lower(), m.group(2).lower())
+            # widen_column_type validates the transition itself
+            t = _SQL_TO_SCHEMA_TYPE.get(
+                m.group(2).lower(), m.group(2).lower()
+            )
             return dl.widen_column_type(_one_path(s, "ALTER"), m.group(1), t)
         m = re.match(
             r"ALTER\s+TABLE\s+delta\.`[^`]+`\s+ADD\s+COLUMNS?\s*"
@@ -788,13 +818,6 @@ def delta_sql(spark: SparkSession, stmt: str):
             s,
             re.IGNORECASE,
         ):
-            sql2json = {
-                "tinyint": "byte", "smallint": "short", "int": "integer",
-                "integer": "integer", "bigint": "long", "long": "long",
-                "float": "float", "real": "float", "double": "double",
-                "string": "string", "boolean": "boolean", "date": "date",
-                "timestamp": "timestamp",
-            }
             cols: dict[str, str] = {}
             for part in m.group(1).split(","):
                 cm = re.match(r"^\s*(\w+)\s+(\w+)\s*$", part)
@@ -804,7 +827,7 @@ def delta_sql(spark: SparkSession, stmt: str):
                         f"{part.strip()!r} (scalar 'name TYPE' only — "
                         "complex types via add_delta_columns)"
                     )
-                t = sql2json.get(cm.group(2).lower())
+                t = _SQL_TO_SCHEMA_TYPE.get(cm.group(2).lower())
                 if t is None:
                     raise ValueError(
                         f"delta_sql: unsupported ADD COLUMNS type "

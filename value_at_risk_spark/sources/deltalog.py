@@ -2509,72 +2509,63 @@ def set_table_properties(path: str, props: dict[str, str]) -> int:
         ):
             # spec: enabling ICT mid-life records WHERE the clock
             # switches — timestamp queries at or before the
-            # enablement version keep using commit-file semantics
+            # enablement version keep using commit-file semantics.
+            # Rebuild from the CURRENT meta (a same-call mapping
+            # upgrade already put the id-assigned schemaString there)
             ict = _next_ict(path, snap.version + 1)
             cfg["delta.inCommitTimestampEnablementVersion"] = str(
                 snap.version + 1
             )
             cfg["delta.inCommitTimestampEnablementTimestamp"] = str(ict)
-            meta = {**snap.metadata, "configuration": cfg}
+            meta = {**meta, "configuration": cfg}
             actions[0]["commitInfo"]["inCommitTimestamp"] = ict
             actions[1] = {"metaData": meta}
-            if "inCommitTimestamp" not in (
-                snap.protocol.get("writerFeatures") or []
-            ):
-                actions.append(
-                    _upgrade_protocol_features(
-                        snap, (), ("inCommitTimestamp",)
-                    )
-                )
+        # ---- ONE protocol action per commit: snapshot replay keeps
+        # only the LAST protocol action, so per-branch actions would
+        # silently drop each other's features when several properties
+        # enable in the same call ----
+        need_r: set[str] = set()
+        need_w: set[str] = set()
+        have_w = set(snap.protocol.get("writerFeatures") or [])
+        have_r = set(snap.protocol.get("readerFeatures") or [])
         wv = int(snap.protocol.get("minWriterVersion", 2) or 2)
-        if _truthy(cfg.get("delta.enableChangeDataFeed")) and (
-            wv < 4
-            or (
-                wv == 7
-                and "changeDataFeed"
-                not in (snap.protocol.get("writerFeatures") or [])
-            )
+        if (
+            _truthy(cfg.get("delta.enableInCommitTimestamps"))
+            and "inCommitTimestamp" not in have_w
         ):
-            actions.append(_protocol_action(snap, 4, "changeDataFeed"))
+            need_w.add("inCommitTimestamp")
         if map_upgrade:
-            actions.append(
-                _upgrade_protocol_features(
-                    snap, ("columnMapping",), ("columnMapping",)
-                )
-            )
+            need_r.add("columnMapping")
+            need_w.add("columnMapping")
         if cfg.get("delta.checkpointPolicy") == "v2" and (
-            "v2Checkpoint" not in (snap.protocol.get("readerFeatures") or [])
+            "v2Checkpoint" not in have_r
         ):
             # spec: the v2 policy requires the v2Checkpoint feature in
-            # both lists from the moment it is set — the next
-            # checkpoint will be manifest+sidecar named
-            actions.append(
-                _upgrade_protocol_features(
-                    snap, ("v2Checkpoint",), ("v2Checkpoint",)
-                )
-            )
+            # both lists from the moment it is set
+            need_r.add("v2Checkpoint")
+            need_w.add("v2Checkpoint")
         if _truthy(
             cfg.get("delta.enableDeletionVectors")
         ) and not _has_dv_feature(snap):
-            # spec: deletionVectors is BOTH a reader and a writer
-            # feature — enabling the property lifts the protocol to
-            # v3/v7 with it in both lists. Replay keeps only the LAST
-            # protocol action, so this one must also carry any CDF
-            # requirement enabled in the same call.
-            wfeats = {"deletionVectors"}
-            rfeats = {"deletionVectors"}
-            if _truthy(cfg.get("delta.enableChangeDataFeed")):
-                wfeats.add("changeDataFeed")
-            if cfg.get("delta.checkpointPolicy") == "v2":
-                # replay keeps only the LAST protocol action: a
-                # same-call policy enablement must ride along
-                wfeats.add("v2Checkpoint")
-                rfeats.add("v2Checkpoint")
+            need_r.add("deletionVectors")
+            need_w.add("deletionVectors")
+        cdf_short = _truthy(cfg.get("delta.enableChangeDataFeed")) and (
+            wv < 4 or (wv == 7 and "changeDataFeed" not in have_w)
+        )
+        if need_r or need_w:
+            if cdf_short:
+                # a feature-list upgrade enumerates implied features
+                # from the CURRENT wv, which may predate CDF's legacy
+                # version — carry it explicitly
+                need_w.add("changeDataFeed")
             actions.append(
                 _upgrade_protocol_features(
-                    snap, sorted(rfeats), sorted(wfeats)
+                    snap, sorted(need_r), sorted(need_w)
                 )
             )
+        elif cdf_short:
+            # CDF alone keeps legacy tables legacy (wv 4)
+            actions.append(_protocol_action(snap, 4, "changeDataFeed"))
         if _publish_commit(path, snap.version + 1, actions):
             return snap.version + 1
     raise RuntimeError(f"set_table_properties: lost the commit race at {path}")
@@ -2880,10 +2871,13 @@ def convert_to_delta(
                 files.append(os.path.join(root, n))
     if not files:
         raise ValueError(f"convert_to_delta: no parquet files under {path}")
-    # partition layout from the directory structure
-    part_cols: list[str] = []
-    adds: list[dict] = []
+    # two passes: derive the partition layout from EVERY file first
+    # (a single-pass "first file wins" check is order-dependent — a
+    # stray root-level file sorting before the seg=* dirs would slip
+    # through with empty partitionValues), then build the adds
     now_ms = int(time.time() * 1000)
+    per_file: list[tuple[str, dict]] = []
+    layouts: set[tuple[str, ...]] = set()
     for full in sorted(files):
         rel = os.path.relpath(full, path)
         segs = rel.split(os.sep)[:-1]
@@ -2900,26 +2894,29 @@ def convert_to_delta(
                 if raw == "__HIVE_DEFAULT_PARTITION__"
                 else _unquote(raw)
             )
-        if not part_cols and pv:
-            part_cols = list(pv)
-        if list(pv) != part_cols:
-            raise ValueError(
-                "convert_to_delta: inconsistent partition layout: "
-                f"{list(pv)} vs {part_cols}"
-            )
-        st = os.stat(full)
-        adds.append(
-            {
-                "add": {
-                    "path": _quote(rel.replace(os.sep, "/"), safe="/"),
-                    "partitionValues": pv,
-                    "size": st.st_size,
-                    "modificationTime": int(st.st_mtime * 1000),
-                    "dataChange": True,
-                    "stats": _file_stats(full),
-                }
-            }
+        layouts.add(tuple(pv))
+        per_file.append((full, pv))
+    if len(layouts) > 1:
+        raise ValueError(
+            "convert_to_delta: inconsistent partition layout: "
+            f"{sorted(sorted(x) for x in layouts)}"
         )
+    part_cols = list(next(iter(layouts)))
+    adds: list[dict] = []
+    for full, pv in per_file:
+        rel = os.path.relpath(full, path)
+        st = os.stat(full)
+        add = {
+            "path": _quote(rel.replace(os.sep, "/"), safe="/"),
+            "partitionValues": pv,
+            "size": st.st_size,
+            "modificationTime": int(st.st_mtime * 1000),
+            "dataChange": True,
+        }
+        stats = _file_stats(full)
+        if stats:  # _stage's shape: the key is OMITTED when absent
+            add["stats"] = stats
+        adds.append({"add": add})
     if part_cols and not partition_schema:
         raise ValueError(
             "convert_to_delta: partitioned directory — supply "
