@@ -3328,8 +3328,8 @@ def test_row_tracking_lifecycle(spark, tmp_path):
     mark domain on appends; ids PRESERVED across copy-on-write
     UPDATE/DELETE, OPTIMIZE (dataChange:false), merge-on-read DV
     DELETE/UPDATE, REORG PURGE, and a checkpoint replay; plain reads
-    never leak the materialized column; enabling on an existing table
-    refuses (backfill required)."""
+    never leak the materialized column; re-enabling on a tracked
+    table is an idempotent property merge."""
     from value_at_risk_spark.sources.deltalog import (
         checkpoint_delta,
         delete_from_delta,
@@ -3384,8 +3384,12 @@ def test_row_tracking_lifecycle(spark, tmp_path):
     # fresh ids carved ABOVE the mark: never recycled from deleted rows
     assert min(after[k] for k in range(25, 30)) > max(base.values())
     assert read_delta(spark, tbl).columns == ["id", "seg", "v"]
-    with pytest.raises(NotImplementedError, match="CREATION"):
-        set_table_properties(tbl, {"delta.enableRowTracking": "true"})
+    # re-setting true on an already-tracked table is an idempotent
+    # property merge: no backfill, ids untouched
+    set_table_properties(tbl, {"delta.enableRowTracking": "true"})
+    assert {
+        r.id: r.row_id for r in read_delta_row_ids(spark, tbl).collect()
+    } == after
 
     # merge-on-read arm: DV delete masks (ids trivially stable), DV
     # update moves rows to new files (ids survive via materialization)
@@ -3419,6 +3423,70 @@ def test_row_tracking_lifecycle(spark, tmp_path):
     write_delta(spark, df, t3)
     with pytest.raises(ValueError, match="enableRowTracking"):
         read_delta_row_ids(spark, t3)
+
+
+def test_row_tracking_midlife_enablement_backfills(spark, tmp_path):
+    """ALTER TABLE SET TBLPROPERTIES delta.enableRowTracking=true on
+    an EXISTING untracked table backfills in one atomic commit: every
+    active file is re-added with a carved baseRowId range +
+    defaultRowCommitVersion (dataChange=false), the high-water-mark
+    domain lands in the same commit, the protocol gains
+    rowTracking+domainMetadata, and a materialized column name is
+    fixed. Later writes carve above the mark; rewrites preserve the
+    backfilled ids; disable -> re-enable is id-stable (the existing
+    adds already carry ids within the recorded watermark, so the
+    backfill has nothing to do)."""
+    from value_at_risk_spark.sources.deltalog import (
+        read_delta,
+        read_delta_row_ids,
+        set_table_properties,
+        snapshot,
+        update_delta,
+        write_delta,
+    )
+
+    df = spark.createDataFrame(
+        [(i, i % 2, float(i)) for i in range(40)],
+        "id long, seg int, v double",
+    )
+    tbl = str(tmp_path / "midrt")
+    write_delta(spark, df.filter("id < 20"), tbl, partition_by=["seg"])
+    write_delta(spark, df.filter("id >= 20"), tbl)
+    v_pre = snapshot(tbl).version
+    v = set_table_properties(tbl, {"delta.enableRowTracking": "true"})
+    assert v == v_pre + 1  # ONE commit: protocol + meta + backfill
+    snap = snapshot(tbl)
+    wfeats = set(snap.protocol.get("writerFeatures") or [])
+    assert {"rowTracking", "domainMetadata"} <= wfeats
+    assert all(
+        a.get("baseRowId") is not None
+        and a.get("defaultRowCommitVersion") == v
+        for a in snap.files.values()
+    )
+    base = {r.id: r.row_id for r in read_delta_row_ids(spark, tbl).collect()}
+    assert len(base) == 40 and len(set(base.values())) == 40
+    # data rows untouched by the backfill (metadata-only re-adds)
+    got = {(r.id, r.seg, r.v) for r in read_delta(spark, tbl).collect()}
+    assert got == {(i, i % 2, float(i)) for i in range(40)}
+    # later writes carve ABOVE the backfilled mark
+    more = spark.createDataFrame(
+        [(100 + i, i % 2, 0.0) for i in range(5)],
+        "id long, seg int, v double",
+    )
+    write_delta(spark, more, tbl)
+    after = {r.id: r.row_id for r in read_delta_row_ids(spark, tbl).collect()}
+    assert all(after[k] == base[k] for k in base)
+    assert min(after[100 + i] for i in range(5)) > max(base.values())
+    # rewrites preserve backfilled ids through the materialized column
+    update_delta(spark, tbl, "id = 3", {"v": "99.0"})
+    kept = {r.id: r.row_id for r in read_delta_row_ids(spark, tbl).collect()}
+    assert kept == after
+    # disable -> re-enable: ids already within the watermark, stable
+    set_table_properties(tbl, {"delta.enableRowTracking": "false"})
+    set_table_properties(tbl, {"delta.enableRowTracking": "true"})
+    assert {
+        r.id: r.row_id for r in read_delta_row_ids(spark, tbl).collect()
+    } == kept
 
 
 def test_delta_sql_rename_and_widen_forms(spark, tmp_path):

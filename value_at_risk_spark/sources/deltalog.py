@@ -2444,12 +2444,6 @@ def set_table_properties(path: str, props: dict[str, str]) -> int:
         if not isinstance(k, str) or not isinstance(v, str):
             raise ValueError("set_table_properties: str->str map required")
     map_want = props.get("delta.columnMapping.mode")
-    if "delta.enableRowTracking" in props:
-        raise NotImplementedError(
-            "set_table_properties: row tracking is a table-CREATION "
-            "option here — enabling it later requires backfilling "
-            "baseRowId on every existing file"
-        )
     now_ms = int(time.time() * 1000)
     for _attempt in range(64):
         snap = snapshot(path)
@@ -2487,6 +2481,51 @@ def set_table_properties(path: str, props: dict[str, str]) -> int:
                 "schemaString": json.dumps(sch_up),
                 "configuration": cfg,
             }
+        # ---- mid-life row-tracking enablement: BACKFILL in the same
+        # commit. Every active file is re-added with a freshly carved
+        # baseRowId range + defaultRowCommitVersion (dataChange=false
+        # — replay replaces the add for the same path), the high-water
+        # mark domain advances atomically with the ids it covers, and
+        # the materialized column name is fixed at enablement so every
+        # later rewrite preserves ids under one stable physical name
+        # (delta-spark's ALTER ... enableRowTracking=true backfill,
+        # collapsed to one atomic commit) ----
+        rt_enable = _truthy(
+            cfg.get("delta.enableRowTracking")
+        ) and not row_tracking_enabled(snap)
+        rt_backfill: list[dict] = []
+        if rt_enable:
+            hwm0 = _rt_hwm(snap)
+            for rel, add in snap.files.items():
+                base = add.get("baseRowId")
+                if base is None:
+                    continue
+                s = add.get("stats")
+                n = json.loads(s).get("numRecords") if s else None
+                if n is None or base + int(n) - 1 > hwm0:
+                    # a foreign writer assigned ids under 'suspended'
+                    # tracking but the watermark domain is missing or
+                    # behind — carving above it would mint colliding
+                    # ids, so refuse rather than corrupt
+                    raise NotImplementedError(
+                        "set_table_properties: cannot enable row "
+                        f"tracking — active file {rel!r} already "
+                        "carries baseRowId beyond the recorded "
+                        "rowIdHighWaterMark (unknowable watermark)"
+                    )
+            pending = [
+                {"add": {**add, "dataChange": False}}
+                for add in snap.files.values()
+                if add.get("baseRowId") is None
+            ]
+            # _rt_assign refuses loudly on files without numRecords
+            # stats (no disjoint range is carvable)
+            rt_backfill_adds, rt_dm = _rt_assign(
+                snap, pending, snap.version + 1
+            )
+            rt_backfill = rt_backfill_adds + rt_dm
+            cfg.setdefault(_RT_MATCOL_KEY, f"_row-id-col-{uuid.uuid4()}")
+            meta = {**meta, "configuration": cfg}
         actions: list[dict] = [
             {
                 "commitInfo": {
@@ -2549,6 +2588,12 @@ def set_table_properties(path: str, props: dict[str, str]) -> int:
         ) and not _has_dv_feature(snap):
             need_r.add("deletionVectors")
             need_w.add("deletionVectors")
+        if rt_enable:
+            # rowTracking is writer-only; the high-water mark rides on
+            # domainMetadata
+            need_w.update(
+                {"rowTracking", "domainMetadata"} - have_w
+            )
         cdf_short = _truthy(cfg.get("delta.enableChangeDataFeed")) and (
             wv < 4 or (wv == 7 and "changeDataFeed" not in have_w)
         )
@@ -2566,6 +2611,7 @@ def set_table_properties(path: str, props: dict[str, str]) -> int:
         elif cdf_short:
             # CDF alone keeps legacy tables legacy (wv 4)
             actions.append(_protocol_action(snap, 4, "changeDataFeed"))
+        actions.extend(rt_backfill)
         if _publish_commit(path, snap.version + 1, actions):
             return snap.version + 1
     raise RuntimeError(f"set_table_properties: lost the commit race at {path}")
