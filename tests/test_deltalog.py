@@ -3323,6 +3323,60 @@ def test_widen_column_type_lifecycle(spark, tmp_path):
     assert snapshot(tbl).version == v
 
 
+def test_widen_nested_leaf_fields(spark, tmp_path):
+    """Nested type widening: dotted leaves inside structs and
+    array-of-struct hops widen metadata-only; old narrow files upcast
+    at scan beside new wide appends; the change history lands on the
+    NESTED field; container types and unknown paths refuse."""
+    from value_at_risk_spark.sources.deltalog import (
+        snapshot,
+        widen_column_type,
+    )
+
+    tbl = str(tmp_path / "wn")
+    df = spark.createDataFrame(
+        [(1, (2, 3.5), [(4,)]), (2, (5, 6.5), [(7,)])],
+        "id int, s struct<a:int,b:float>, arr array<struct<c:int>>",
+    )
+    write_delta(spark, df, tbl)
+    files_v0 = set(snapshot(tbl).files.keys())
+    widen_column_type(tbl, "s.a", "long")
+    widen_column_type(tbl, "arr.c", "long")
+    snap = snapshot(tbl)
+    assert set(snap.files.keys()) == files_v0  # metadata-only
+    sch = json.loads(snap.metadata["schemaString"])
+    s_fields = next(f for f in sch["fields"] if f["name"] == "s")["type"][
+        "fields"
+    ]
+    fa = next(f for f in s_fields if f["name"] == "a")
+    assert fa["type"] == "long"
+    assert fa["metadata"]["delta.typeChanges"] == [
+        {"fromType": "integer", "toType": "long"}
+    ]
+    got = read_delta(spark, tbl)
+    assert got.schema.simpleString() == (
+        "struct<id:int,s:struct<a:bigint,b:float>,"
+        "arr:array<struct<c:bigint>>>"
+    )
+    assert {(r.id, r.s.a, r.arr[0].c) for r in got.collect()} == {
+        (1, 2, 4),
+        (2, 5, 7),
+    }
+    # appends stage the wide nested type; mixed files unify at scan
+    df2 = spark.createDataFrame(
+        [(3, (2**40, 1.5), [(2**41,)])],
+        "id int, s struct<a:long,b:float>, arr array<struct<c:long>>",
+    )
+    write_delta(spark, df2, tbl)
+    assert read_delta(spark, tbl).filter("id = 3").first().s.a == 2**40
+    assert read_delta(spark, tbl).count() == 3
+    # containers refuse; missing nested paths refuse
+    with pytest.raises(NotImplementedError, match="primitive"):
+        widen_column_type(tbl, "s", "long")
+    with pytest.raises(ValueError, match="no column"):
+        widen_column_type(tbl, "s.nope", "long")
+
+
 def test_row_tracking_lifecycle(spark, tmp_path):
     """Row tracking end to end: fresh baseRowId ranges + high-water
     mark domain on appends; ids PRESERVED across copy-on-write

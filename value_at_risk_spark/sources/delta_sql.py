@@ -797,7 +797,7 @@ def delta_sql(spark: SparkSession, stmt: str):
             return dl.drop_delta_column(_one_path(s, "ALTER"), m.group(1))
         m = re.match(
             r"ALTER\s+TABLE\s+delta\.`[^`]+`\s+ALTER\s+COLUMN\s+"
-            r"(\w+)\s+TYPE\s+(\w+)$",
+            r"([\w.]+)\s+TYPE\s+(\w+)$",
             s,
             re.IGNORECASE,
         )

@@ -3129,13 +3129,17 @@ def widen_column_type(path: str, col: str, new_type: str) -> int:
     METADATA-ONLY commit: the logical schema's field becomes the wider
     type, existing parquet files keep their narrow physical type and
     upcast at scan, and later appends stage the wide type the schema
-    now declares. The change is recorded in the field's
-    ``delta.typeChanges`` metadata (fromType/toType, per the spec's
-    stable typeWidening feature — tableVersion is -preview-only) and
-    the protocol gains the typeWidening reader+writer feature — a
-    reader that cannot upcast must refuse rather than misread.
-    Narrowing or any conversion outside _TYPE_WIDENINGS is refused.
-    Returns the committed version."""
+    now declares. ``col`` may be a dotted NESTED leaf (``s.a``,
+    descending struct and array-of-struct hops; exact top-level names
+    win before '.' reads as nesting) — Spark's parquet reader applies
+    the same lossless leaf upcasts at any nesting depth. The change is
+    recorded in the field's ``delta.typeChanges`` metadata
+    (fromType/toType, per the spec's stable typeWidening feature —
+    tableVersion is -preview-only) and the protocol gains the
+    typeWidening reader+writer feature — a reader that cannot upcast
+    must refuse rather than misread. Narrowing or any conversion
+    outside _TYPE_WIDENINGS is refused. Returns the committed
+    version."""
     if not delta_versions(path):
         raise ValueError(f"not a delta table at {path}")
     now_ms = int(time.time() * 1000)
@@ -3143,13 +3147,23 @@ def widen_column_type(path: str, col: str, new_type: str) -> int:
         snap = snapshot(path)
         _refuse_high_writer_version(snap, "ALTER COLUMN TYPE")
         sch = json.loads(snap.metadata["schemaString"])
+        # exact top-level match wins before '.' is read as nesting
+        # (same precedence as RENAME/DROP COLUMN — mapped tables
+        # legally hold dotted logical names)
         field = next((f for f in sch["fields"] if f["name"] == col), None)
+        if field is None and "." in col:
+            parts = col.split(".")
+            fields = _nested_sibling_fields(sch, parts)
+            field = next(
+                (f for f in fields if f["name"] == parts[-1]), None
+            )
         if field is None:
             raise ValueError(f"widen_column_type: no column {col!r}")
         old_type = field["type"]
         if not isinstance(old_type, str):
             raise NotImplementedError(
-                "widen_column_type: nested/complex columns not supported"
+                "widen_column_type: only primitive (leaf) fields can "
+                "be widened — container types have no widening"
             )
         if old_type == new_type:
             return snap.version  # no-op, nothing to commit
