@@ -15339,6 +15339,113 @@ def delta_convert_scan(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @query(
+    "delta_midlife_upgrade_scan",
+    """
+SELECT CAST(s_nationkey AS BIGINT) AS nation,
+       COUNT(*) AS n_suppliers,
+       ROUND(SUM(CASE WHEN s_acctbal < 0 THEN s_acctbal + 100
+                      ELSE s_acctbal END), 2) AS total_bal
+FROM supplier
+WHERE s_suppkey % 5 <> 0
+GROUP BY s_nationkey
+""",
+)
+def delta_midlife_upgrade_scan(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """MID-LIFE feature upgrades on a legacy table, ORACLE-pinned
+    (r13): a plain delta table (no features) gains column mapping
+    ('name'), ROW TRACKING (atomic baseRowId backfill over the
+    existing files), CDF, and deletion vectors in ONE ``SET
+    TBLPROPERTIES`` call — then the upgraded surface is exercised:
+    merge-on-read DELETE (DV over backfilled row-tracked files),
+    id-preserving UPDATE rewrite (mapping planes + materialized row-id
+    column), and a metadata-only RENAME. Build post-conditions assert
+    the backfilled row ids stay unique and survive the UPDATE; the
+    read-back must equal DuckDB recomputing both mutations from the
+    original parquet. The adoption path every long-lived production
+    table takes: born simple, upgraded in place, never rewritten
+    (reference tie: configure_notebook.py:18-27 Delta tables upgraded
+    by successive runtime versions)."""
+    from value_at_risk_spark.sources.deltalog import (
+        read_delta,
+        read_delta_row_ids,
+    )
+    from value_at_risk_spark.sources.delta_sql import delta_sql
+
+    def build(tbl: str) -> None:
+        from value_at_risk_spark.sources.deltalog import write_delta
+
+        # coalesce(1): the fixture is nation-partitioned into 25 dirs
+        # per write — unbounded input splits would mint hundreds of
+        # KB-sized files, all of which the backfill re-adds and the
+        # row-id reads key (gate wall-time, not correctness)
+        sup = (
+            _t(spark, sf_dir, "supplier")
+            .select("s_suppkey", "s_nationkey", "s_acctbal")
+            .coalesce(1)
+        )
+        write_delta(
+            spark,
+            sup.filter(F.col("s_suppkey") % 2 == 0),
+            tbl,
+            partition_by=["s_nationkey"],
+        )
+        write_delta(spark, sup.filter(F.col("s_suppkey") % 2 == 1), tbl)
+        delta_sql(
+            spark,
+            f"ALTER TABLE delta.`{tbl}` SET TBLPROPERTIES ("
+            "'delta.columnMapping.mode'='name', "
+            "'delta.enableRowTracking'='true', "
+            "'delta.enableChangeDataFeed'='true', "
+            "'delta.enableDeletionVectors'='true')",
+        )
+        ids0 = {
+            r.s_suppkey: r.row_id
+            for r in read_delta_row_ids(spark, tbl).collect()
+        }
+        if len(set(ids0.values())) != len(ids0):
+            raise AssertionError(
+                "midlife upgrade: backfilled row ids not unique"
+            )
+        delta_sql(
+            spark, f"DELETE FROM delta.`{tbl}` WHERE s_suppkey % 5 = 0"
+        )
+        delta_sql(
+            spark,
+            f"UPDATE delta.`{tbl}` SET s_acctbal = s_acctbal + 100 "
+            "WHERE s_acctbal < 0",
+        )
+        ids1 = {
+            r.s_suppkey: r.row_id
+            for r in read_delta_row_ids(spark, tbl).collect()
+        }
+        expect = {k: v for k, v in ids0.items() if k % 5 != 0}
+        if ids1 != expect:
+            raise AssertionError(
+                "midlife upgrade: row ids not preserved across DV "
+                "DELETE + id-preserving UPDATE"
+            )
+        delta_sql(
+            spark,
+            f"ALTER TABLE delta.`{tbl}` RENAME COLUMN s_acctbal TO bal",
+        )
+
+    tbl = _scratch_delta_table(
+        "midlife",
+        sf_dir,
+        "supplier plain -> map+rt+cdf+dv upgrade -> dml -> rename",
+        build,
+    )
+    return (
+        read_delta(spark, tbl)
+        .groupBy(F.col("s_nationkey").cast("long").alias("nation"))
+        .agg(
+            F.count(F.lit(1)).alias("n_suppliers"),
+            (F.round(F.sum("bal"), 2) + F.lit(0.0)).alias("total_bal"),
+        )
+    )
+
+
+@query(
     "delta_merge_clauses_scan",
     """
 WITH t AS (
