@@ -38,6 +38,7 @@ from value_at_risk_spark.functions.returns import log_returns_over
 from value_at_risk_spark.functions.risk import basel_zone, value_at_risk_expr
 from value_at_risk_spark.functions.text import STOPWORDS
 from value_at_risk_spark.functions.timeutil import epoch_micros, epoch_seconds
+from value_at_risk_spark.functions.bpe_sql import bpe_merge_sql
 from value_at_risk_spark.functions.xxh64_sql import xxh64_cte, xxh64_signed
 from value_at_risk_spark.functions.vector import dot_product
 from value_at_risk_spark.model import fit_ols_per_group
@@ -7103,16 +7104,20 @@ def train_val_test_split(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-@query("bpe_merges_corpus")
+@query("bpe_merges_corpus", bpe_merge_sql(12))
 def bpe_merges_corpus(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """BPE tokenizer training over the corpus (rows-only by driver
-    contract: the merge loop is iterative, outside SQL's reach; exact
-    merge-for-merge parity with a pure-Python reference BPE is pinned
-    in test_operators): 12 merge rounds on the distinct-word frequency
-    table — the corpus is reduced ONCE, each round is one hash-agg
-    over the vocabulary plus a single argmax row to the driver, ties
-    lexicographic so the table is deterministic under any
-    partitioning. operators/bpe.py."""
+    """BPE tokenizer training over the corpus, ORACLE-checked
+    merge-for-merge (r13 graduation, was rows-only): 12 merge rounds
+    on the distinct-word frequency table — the corpus is reduced
+    ONCE, each round is one hash-agg over the vocabulary plus a
+    single argmax row to the driver, ties lexicographic so the table
+    is deterministic under any partitioning (operators/bpe.py). The
+    DuckDB oracle UNROLLS the merge loop into 12 CTE blocks
+    (functions/bpe_sql.py) — pair counts, the same DESC/lexicographic
+    argmax, and a relational greedy merge (gaps-and-islands for
+    same-symbol runs) — so hash equality pins every merge choice and
+    weighted pair count, not just the row shape; a pure-Python
+    reference BPE additionally anchors the fold in test_operators."""
     from value_at_risk_spark.operators.bpe import bpe_merge_table
 
     d = _t(spark, sf_dir, "documents")
