@@ -766,3 +766,11 @@ def test_xxh64_sql_parity(spark):
     )
     got = dict(con.sql(sql).fetchall())
     assert got == want
+    # the pure-Python twin (functions/xxh64_py.py — the multimodal
+    # stub kernel's hash) agrees on the same cases
+    from value_at_risk_spark.functions.xxh64_py import (
+        xxh64_signed as xxh64_signed_py,
+    )
+
+    for t in tests:
+        assert xxh64_signed_py(t.encode("utf-8")) == want[t], repr(t)

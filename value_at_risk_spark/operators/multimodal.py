@@ -24,7 +24,7 @@ from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 from pyspark.sql.types import (
     ArrayType,
-    FloatType,
+    DoubleType,
     LongType,
     StringType,
     StructField,
@@ -42,11 +42,14 @@ MEDIA_SCHEMA = StructType(
     ]
 )
 
+# feature lanes are DOUBLE: the stub kernel's xxh64-derived values
+# must survive the Arrow boundary bit-exactly for the oracle twin
+# (a float32 lane rounds differently at the 6th decimal)
 FEATURE_SCHEMA = StructType(
     [
         StructField("media_id", LongType()),
         StructField("media_type", StringType()),
-        StructField("feature", ArrayType(FloatType())),
+        StructField("feature", ArrayType(DoubleType())),
     ]
 )
 
@@ -414,16 +417,22 @@ def audio_frame_features(
 
 
 def _fake_feature(payload, dim: int = 16) -> list[float]:
-    """Deterministic stand-in feature: seeded by content hash.
+    """Deterministic stand-in feature: per-lane XXH64 of the content,
+    scaled to [-1, 1).
 
     Mirrors the reference's seed-by-row reproducibility contract
-    (utils/var_udf.py:58-61) so tests are stable across partitioning.
-    """
-    import zlib
+    (utils/var_udf.py:58-61) so tests are stable across partitioning —
+    and, unlike an RNG-seeded stub, is computable in SQL (the
+    xxh64_cte twin, functions/xxh64_sql.py), so the mapInPandas
+    plumbing that carries it is hash-checkable against the DuckDB
+    oracle end to end (queries.multimodal_features)."""
+    from value_at_risk_spark.functions.xxh64_py import xxh64_signed
 
-    h = zlib.crc32(str(payload).encode("utf-8")) & 0x7FFFFFFF
-    rng = np.random.default_rng(h)
-    return rng.standard_normal(dim).astype(float).tolist()
+    s = str(payload)
+    return [
+        xxh64_signed(f"{s}\x1f{j}".encode("utf-8")) / 9223372036854775808.0
+        for j in range(dim)
+    ]
 
 
 def extract_features(media: DataFrame, dim: int = 16) -> DataFrame:

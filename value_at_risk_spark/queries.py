@@ -1927,11 +1927,33 @@ def ann_lsh_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     )  # lsh_topk's dim param drives both planes and unrolled kernels
 
 
-@query("multimodal_features")
+@query(
+    "multimodal_features",
+    f"""
+WITH src AS (
+  SELECT doc_id, text || chr(31) || '0' AS t FROM documents
+),
+vocab AS (SELECT DISTINCT t FROM src),
+{xxh64_cte("vocab")}
+SELECT s.doc_id AS media_id,
+       CASE CAST(s.doc_id % 3 AS INTEGER)
+            WHEN 0 THEN 'image' WHEN 1 THEN 'audio' ELSE 'video'
+       END AS media_type,
+       ROUND({xxh64_signed("hsh.hu")} / 9223372036854775808.0, 6) + 0
+         AS f0
+FROM src s JOIN hsh USING (t)
+""",
+)
 def multimodal_features(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Multimodal plumbing (north-star): documents masquerade as media
+    """Multimodal plumbing (north-star), ORACLE-checked (r13
+    graduation, was rows-only): documents masquerade as media
     payloads; Arrow-batched mapInPandas feature extraction with a
-    deterministic stub kernel (real codecs absent in this container)."""
+    deterministic stub kernel (real codecs absent in this container)
+    whose lanes are XXH64-derived — so the DuckDB oracle recomputes
+    lane 0 through the xxh64_cte scaffold and hash equality proves
+    the mapInPandas batching kept every payload aligned with its
+    media_id (the misalignment class a wrong batch iterator
+    introduces), not just the row count."""
     from value_at_risk_spark.operators.multimodal import extract_features
 
     d = _t(spark, sf_dir, "documents")
@@ -1948,7 +1970,9 @@ def multimodal_features(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     feats = extract_features(media, dim=16)
     return feats.select(
-        "media_id", "media_type", F.round(F.element_at("feature", 1), 6).alias("f0")
+        "media_id",
+        "media_type",
+        (F.round(F.element_at("feature", 1), 6) + F.lit(0.0)).alias("f0"),
     )
 
 
