@@ -2552,6 +2552,76 @@ def test_table_features_protocol_v3_v7(spark, tmp_path):
         read_delta(spark, tbl2).count()
 
 
+def test_vacuum_protocol_check_feature(spark, tmp_path):
+    """vacuumProtocolCheck: tables declaring it stay fully writable
+    (modern delta-spark sets it on new tables), vacuum still runs —
+    and on a table requiring an UNKNOWN writer feature, vacuum refuses
+    BEFORE deleting anything (the obligation the feature encodes: an
+    unimplemented feature may reference auxiliary files the orphan
+    walk would misjudge)."""
+    from value_at_risk_spark.sources.deltalog import (
+        _publish_commit,
+        read_delta,
+        snapshot,
+        vacuum_delta,
+        write_delta,
+    )
+
+    tbl = str(tmp_path / "vpc")
+    write_delta(spark, spark.range(4).select("id"), tbl)
+    v = snapshot(tbl).version
+    _publish_commit(
+        tbl,
+        v + 1,
+        [
+            {"commitInfo": {"timestamp": 0, "operation": "UPGRADE"}},
+            {
+                "protocol": {
+                    "minReaderVersion": 3,
+                    "minWriterVersion": 7,
+                    "readerFeatures": ["vacuumProtocolCheck"],
+                    "writerFeatures": ["vacuumProtocolCheck"],
+                }
+            },
+        ],
+    )
+    # declared feature is in the SUPPORTED set: writes and vacuum work
+    write_delta(spark, spark.range(4, 6).select("id"), tbl)
+    write_delta(spark, spark.range(10).select("id"), tbl, mode="overwrite")
+    assert read_delta(spark, tbl).count() == 10
+    deleted = vacuum_delta(tbl, retention_seconds=0.0)
+    assert deleted  # the overwritten files are collectable
+    assert read_delta(spark, tbl).count() == 10
+    # unknown writer feature: vacuum refuses, files stay on disk
+    tbl2 = str(tmp_path / "vpc2")
+    write_delta(spark, spark.range(3).select("id"), tbl2)
+    write_delta(spark, spark.range(3).select("id"), tbl2, mode="overwrite")
+    _publish_commit(
+        tbl2,
+        2,
+        [
+            {"commitInfo": {"timestamp": 0, "operation": "UPGRADE"}},
+            {
+                "protocol": {
+                    "minReaderVersion": 1,
+                    "minWriterVersion": 7,
+                    "writerFeatures": ["icebergCompatV2"],
+                }
+            },
+        ],
+    )
+    import os
+
+    n_before = sum(
+        len(fs) for _, _, fs in os.walk(tbl2) if True
+    )
+    with pytest.raises(NotImplementedError, match="icebergCompatV2"):
+        vacuum_delta(tbl2, retention_seconds=0.0)
+    assert (
+        sum(len(fs) for _, _, fs in os.walk(tbl2)) == n_before
+    )  # refused BEFORE deleting
+
+
 def test_checkpoint_interval_auto_checkpoints(spark, tmp_path):
     """delta.checkpointInterval: every Nth commit writes a checkpoint
     automatically (post-commit hook), so log replay stays O(interval)

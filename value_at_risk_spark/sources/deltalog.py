@@ -418,6 +418,12 @@ _SUPPORTED_WRITER_FEATURES = frozenset(
         # checkpoint_delta dispatches on delta.checkpointPolicy and
         # writes the manifest+sidecar form for v2 tables
         "v2Checkpoint",
+        # vacuum_delta validates the FULL protocol (reader portion via
+        # snapshot(), writer portion explicitly) before deleting
+        # anything — the exact obligation the feature imposes. Modern
+        # delta-spark declares this on new tables, so refusing it
+        # would refuse most foreign tables outright.
+        "vacuumProtocolCheck",
     }
 )
 
@@ -4369,8 +4375,16 @@ def vacuum_delta(
     versions = delta_versions(path)
     if not versions:
         return []
+    # vacuumProtocolCheck (spec): a vacuum MUST validate the full
+    # protocol before deleting anything — an unimplemented feature may
+    # reference auxiliary files this walk would misjudge as orphans
+    # (exactly how deletionVectors/cdc files are protected below).
+    # snapshot() validates the reader portion; check the writer
+    # portion explicitly.
+    snap0 = snapshot(path)
+    _refuse_high_writer_version(snap0, "VACUUM")
     if retention_seconds is None:
-        prop = _retention_from_properties(snapshot(path))
+        prop = _retention_from_properties(snap0)
         retention_seconds = prop if prop is not None else 3600.0
     keep = versions[-max(1, keep_versions):]
     referenced: set[str] = set()
