@@ -285,6 +285,62 @@ def test_delta_txn_sink_exactly_once_and_checkpointed_txn(spark, tmp_path):
     assert sink.last_committed() == 2
 
 
+def test_delta_merge_sink_exactly_once_upsert(spark, tmp_path):
+    """streaming/sinks.DeltaMergeSink: per-batch MERGE into a native
+    delta table with txn exactly-once — (a) upserts accumulate current
+    state across batches, (b) a re-delivered batchId is skipped
+    UNWRITTEN (the txn check rides inside the merge's atomic commit),
+    (c) with a keep-the-latest matched condition the final state is
+    order-independent: replaying the batches in REVERSE converges to
+    the same table."""
+    from value_at_risk_spark.streaming.sinks import DeltaMergeSink
+
+    matched = [{"condition": "s.ts > t.ts", "update": "*"}]
+    not_matched = [{"insert": "*"}]
+    batches = [
+        [(1, 10, "a"), (2, 10, "b")],
+        [(1, 20, "a2"), (3, 5, "c")],
+        [(2, 8, "stale"), (3, 30, "c2")],  # k=2 row is OLDER: kept out
+    ]
+    want = {(1, 20, "a2"), (2, 10, "b"), (3, 30, "c2")}
+
+    def run(order, path):
+        sink = DeltaMergeSink(
+            path, ["k"], app_id="merge_app",
+            matched=matched, not_matched=not_matched,
+        )
+        # batch ids are MONOTONIC (Spark's contract — the txn
+        # watermark depends on it); 'order' permutes the CONTENT
+        for bid, content in enumerate(order):
+            sink(
+                spark.createDataFrame(
+                    batches[content], "k long, ts long, v string"
+                ),
+                bid,
+            )
+        return sink
+
+    tbl = str(tmp_path / "ms")
+    sink = run([0, 1, 2], tbl)
+    got = {(r.k, r.ts, r.v) for r in sink.read(spark).collect()}
+    assert got == want
+    # re-delivery of every batch: all skipped, table unchanged, and no
+    # new versions were committed
+    v_before = snapshot(tbl).version
+    for bid in range(3):
+        sink(
+            spark.createDataFrame(batches[bid], "k long, ts long, v string"),
+            bid,
+        )
+    assert sink.skipped == [0, 1, 2]
+    assert snapshot(tbl).version == v_before
+    assert {(r.k, r.ts, r.v) for r in sink.read(spark).collect()} == want
+    # order independence of the keep-latest condition
+    tbl2 = str(tmp_path / "ms_rev")
+    sink2 = run([2, 1, 0], tbl2)
+    assert {(r.k, r.ts, r.v) for r in sink2.read(spark).collect()} == want
+
+
 def test_restore_rolls_back_atomically(spark, tmp_path):
     from value_at_risk_spark.sources.deltalog import restore_delta
 

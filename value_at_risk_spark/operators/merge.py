@@ -294,12 +294,16 @@ def merge_into_delta_native(
     matched: list[dict] | None = None,
     not_matched: list[dict] | None = None,
     not_matched_by_source: list[dict] | None = None,
+    txn: dict | None = None,
 ) -> int:
     """MERGE against a NATIVE delta-log table (sources/deltalog.py) —
     the no-delta-spark counterpart of ``merge_into_delta``, committed
     as one copy-on-write OVERWRITE version, so readers flip atomically
     from pre-merge to post-merge state and time travel keeps the
-    pre-merge snapshot. Returns the committed version. Copy-on-write
+    pre-merge snapshot. Returns the committed version — or -1
+    unwritten when ``txn`` ({appId, version}) identifies a batch the
+    table has already committed (the streaming sink idempotence
+    contract; the check rides inside the same atomic commit). Copy-on-write
     rewrites the whole active set (file-level pruning of untouched
     files is delta-spark's edge, documented, not silently
     approximated).
@@ -372,6 +376,13 @@ def merge_into_delta_native(
     # to the read version and re-read + re-merge on conflict
     for _attempt in range(16):
         snap0 = snapshot(target_path)
+        # cheap txn short-circuit before planning the join; the
+        # AUTHORITATIVE check re-runs inside write_delta's commit
+        # attempt against a fresh snapshot
+        if txn is not None:
+            committed = (snap0.txns or {}).get(str(txn["appId"]))
+            if committed is not None and int(txn["version"]) <= committed:
+                return -1
         read_v = snap0.version
         target = read_delta(spark, target_path, version=read_v)
         cdc_df = None
@@ -422,6 +433,10 @@ def merge_into_delta_native(
                 io_snap.partition_columns,
             )
         try:
+            # txn (appId, version): the idempotence check runs INSIDE
+            # write_delta's commit loop against a fresh snapshot —
+            # a re-delivered streaming batch returns -1 unwritten
+            # (DeltaMergeSink's exactly-once contract)
             return write_delta(
                 spark,
                 merged,
@@ -429,6 +444,7 @@ def merge_into_delta_native(
                 mode="overwrite",
                 expected_version=read_v,
                 extra_actions=extra,
+                txn=txn,
             )
         except DeltaConcurrentModification:
             continue

@@ -14360,6 +14360,99 @@ def streaming_delta_sink(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @query(
+    "streaming_merge_upsert",
+    """
+SELECT user_id,
+       CAST(FLOOR(epoch(ts)) AS BIGINT) AS last_ts_s,
+       event_id AS last_event_id,
+       ROUND(value, 4) + 0 AS last_value
+FROM (
+  SELECT *, ROW_NUMBER() OVER (
+    PARTITION BY user_id ORDER BY ts DESC, event_id DESC) AS rn
+  FROM events
+)
+WHERE rn = 1
+""",
+)
+def streaming_merge_upsert(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Streaming CDC-upsert into a NATIVE delta table, HASH-CHECKED
+    (r13): the events fixture replays four files one per micro-batch
+    through streaming/sinks.DeltaMergeSink — each batch reduces to its
+    latest row per user (max_by on (ts, event_id), a map-side-partial
+    groupBy), then MERGEs with a keep-the-latest matched condition and
+    the (appId, batchId) txn riding in the same atomic commit. Because
+    the matched condition is ORDER-INDEPENDENT, the final table is a
+    pure function of the event set — so DuckDB's row_number-per-user
+    recompute hash-checks it exactly: no batch lost, doubled, or
+    misordered, and the clause engine's conditional update verified on
+    real keys. The current-state-table-from-a-change-stream pattern
+    every 100 TB CDC pipeline runs."""
+    import atexit
+    import shutil
+    import tempfile
+
+    from value_at_risk_spark.streaming.sinks import DeltaMergeSink
+
+    src = tempfile.mkdtemp(prefix="merge_sink_feed_")
+    ckpt = tempfile.mkdtemp(prefix="merge_sink_ckpt_")
+    tbl = tempfile.mkdtemp(prefix="merge_sink_tbl_")
+    shutil.rmtree(tbl, ignore_errors=True)  # write_delta creates v0
+    for d in (src, ckpt, tbl):
+        atexit.register(shutil.rmtree, d, ignore_errors=True)
+
+    events = _t(spark, sf_dir, "events").select(
+        "user_id", "ts", "event_id", "value"
+    )
+    events.repartition(4).write.mode("overwrite").parquet(src)
+    stream = (
+        spark.readStream.schema(
+            "user_id long, ts timestamp, event_id long, value double"
+        )
+        .option("maxFilesPerTrigger", 1)
+        .parquet(src)
+    )
+
+    def latest_per_user(b: DataFrame) -> DataFrame:
+        return (
+            b.groupBy("user_id")
+            .agg(F.max(F.struct("ts", "event_id", "value")).alias("m"))
+            .select("user_id", "m.ts", "m.event_id", "m.value")
+        )
+
+    sink = DeltaMergeSink(
+        tbl,
+        ["user_id"],
+        app_id="gate_merge_upsert",
+        matched=[
+            {
+                "condition": (
+                    "s.ts > t.ts OR (s.ts = t.ts AND s.event_id > "
+                    "t.event_id)"
+                ),
+                "update": "*",
+            }
+        ],
+        not_matched=[{"insert": "*"}],
+        batch_prep=latest_per_user,
+    )
+    q = (
+        stream.writeStream.foreachBatch(sink)
+        .option("checkpointLocation", ckpt)
+        .trigger(availableNow=True)
+        .start()
+    )
+    if not q.awaitTermination(180):
+        q.stop()
+        raise TimeoutError("streaming_merge_upsert: replay exceeded 180s")
+    return sink.read(spark).select(
+        "user_id",
+        epoch_seconds(F.col("ts")).alias("last_ts_s"),
+        F.col("event_id").alias("last_event_id"),
+        (F.round("value", 4) + F.lit(0.0)).alias("last_value"),
+    )
+
+
+@query(
     "delta_pruned_scan",
     """
 SELECT c_mktsegment,

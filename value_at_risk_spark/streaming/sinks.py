@@ -202,3 +202,94 @@ class DeltaTxnSink:
         from value_at_risk_spark.sources.deltalog import read_delta
 
         return read_delta(spark, self.path)
+
+
+class DeltaMergeSink:
+    """``foreachBatch`` sink UPSERTING each micro-batch into a native
+    delta-log table via MERGE — the canonical streaming-CDC-into-delta
+    pattern (stream of key-level changes, table holds current state),
+    with the same exactly-once contract as DeltaTxnSink: the
+    (appId, batchId) ``txn`` action rides in the SAME atomic commit as
+    the merge, so a re-delivered batch is detected inside the commit
+    attempt and skipped unwritten.
+
+    ``matched`` / ``not_matched`` / ``not_matched_by_source`` are the
+    clause lists of merge_into_delta_native; the default is the
+    upsert-star form. With an ORDER-INDEPENDENT matched condition
+    (e.g. ``s.ts > t.ts`` keep-the-latest), the final table state is a
+    pure function of the event set — independent of how the stream was
+    batched, which is what makes the result oracle-checkable.
+
+    ``batch_prep`` (optional) reduces each micro-batch before the
+    merge (e.g. latest-per-key within the batch) — REQUIRED when a
+    batch may carry several rows per key, since MERGE semantics demand
+    at most one source match and the engine's dedup pick is otherwise
+    arbitrary. The first batch creates the table with a plain append
+    (same txn discipline): there is no pre-existing state to merge
+    against."""
+
+    def __init__(
+        self,
+        path: str,
+        keys: list[str],
+        app_id: str,
+        *,
+        matched: list[dict] | None = None,
+        not_matched: list[dict] | None = None,
+        not_matched_by_source: list[dict] | None = None,
+        batch_prep=None,
+        partition_by: list[str] | None = None,
+    ):
+        self.path = path
+        self.keys = list(keys)
+        self.app_id = app_id
+        self.matched = matched
+        self.not_matched = not_matched
+        self.not_matched_by_source = not_matched_by_source
+        self.batch_prep = batch_prep
+        self.partition_by = partition_by
+        self.skipped: list[int] = []  # replayed batchIds (observability)
+
+    def __call__(self, batch_df: DataFrame, batch_id: int) -> None:
+        from value_at_risk_spark.operators.merge import (
+            merge_into_delta_native,
+        )
+        from value_at_risk_spark.sources.deltalog import (
+            delta_versions,
+            write_delta,
+        )
+
+        if self.batch_prep is not None:
+            batch_df = self.batch_prep(batch_df)
+        if batch_df.isEmpty():
+            # nothing to merge; skipping without a txn commit is safe
+            # (an empty re-delivery is idempotent by vacuity)
+            return
+        txn = {"appId": self.app_id, "version": batch_id}
+        if not delta_versions(self.path):
+            v = write_delta(
+                batch_df.sparkSession,
+                batch_df.dropDuplicates(self.keys),
+                self.path,
+                mode="append",
+                partition_by=self.partition_by,
+                txn=txn,
+            )
+        else:
+            v = merge_into_delta_native(
+                batch_df.sparkSession,
+                self.path,
+                batch_df,
+                self.keys,
+                matched=self.matched,
+                not_matched=self.not_matched,
+                not_matched_by_source=self.not_matched_by_source,
+                txn=txn,
+            )
+        if v == -1:
+            self.skipped.append(batch_id)
+
+    def read(self, spark) -> DataFrame:
+        from value_at_risk_spark.sources.deltalog import read_delta
+
+        return read_delta(spark, self.path)
