@@ -1061,6 +1061,184 @@ def arm_d_foreign_fixtures(spark, root: str) -> None:
             f"{e!r}"[:200],
         )
 
+    # --- 8. typeWidening: foreign change history, narrow files ----------
+    try:
+        import pyarrow as pa
+
+        from value_at_risk_spark.sources.deltalog import (
+            snapshot,
+            widen_column_type,
+            write_delta,
+        )
+
+        t = os.path.join(root, "fix_widened")
+        size = _pq_write(
+            os.path.join(t, "narrow.parquet"),
+            {"id": [1, 2, 3], "v": [1.5, 2.5, 3.5]},
+            schema=pa.schema(
+                [("id", pa.int32()), ("v", pa.float32())]
+            ),
+        )
+        fields = [
+            # foreign history carries tableVersion (the -preview shape)
+            # and an unknown future key — the reader must tolerate both
+            {"name": "id", "type": "long", "nullable": True,
+             "metadata": {"delta.typeChanges": [
+                 {"fromType": "integer", "toType": "long",
+                  "tableVersion": 0, "someFutureKey": True},
+             ]}},
+            {"name": "v", "type": "float", "nullable": True,
+             "metadata": {}},
+        ]
+        _log_write(t, 0, [
+            {"commitInfo": {"timestamp": 0, "operation": "WRITE"}},
+            {"protocol": {
+                "minReaderVersion": 3, "minWriterVersion": 7,
+                "readerFeatures": ["typeWidening-preview"],
+                "writerFeatures": ["typeWidening-preview"],
+            }},
+            _meta(fields),
+            {"add": {"path": "narrow.parquet", "partitionValues": {},
+                     "size": size, "modificationTime": 0,
+                     "dataChange": True}},
+        ])
+        got = read_delta(spark, t)
+        assert got.schema["id"].dataType.simpleString() == "bigint"
+        assert sorted(r.id for r in got.collect()) == [1, 2, 3]
+        # the native writer CONTINUES the table: widen v and append
+        # wide rows beside the foreign narrow file
+        widen_column_type(t, "v", "double")
+        write_delta(
+            spark,
+            spark.createDataFrame([(2**40, 9.25)], "id long, v double"),
+            t,
+        )
+        rows = {(r.id, r.v) for r in read_delta(spark, t).collect()}
+        assert (2**40, 9.25) in rows and len(rows) == 4, rows
+        sch = json.loads(snapshot(t).metadata["schemaString"])
+        vch = next(f for f in sch["fields"] if f["name"] == "v")
+        assert vch["metadata"]["delta.typeChanges"] == [
+            {"fromType": "float", "toType": "double"}
+        ]
+        record(
+            "foreign_fixture_read:typewidening_foreign_history", "PASS",
+            "narrow files upcast; widen continues foreign history",
+        )
+    except Exception as e:  # noqa: BLE001
+        record(
+            "foreign_fixture_read:typewidening_foreign_history", "FAIL",
+            f"{e!r}"[:200],
+        )
+
+    # --- 9. vacuumProtocolCheck declared by a foreign writer ------------
+    try:
+        from value_at_risk_spark.sources.deltalog import (
+            vacuum_delta,
+            write_delta,
+        )
+
+        t = os.path.join(root, "fix_vpc")
+        size = _pq_write(
+            os.path.join(t, "v0.parquet"), {"id": [1, 2, 3]}
+        )
+        _log_write(t, 0, [
+            {"commitInfo": {"timestamp": 0, "operation": "WRITE"}},
+            {"protocol": {
+                "minReaderVersion": 3, "minWriterVersion": 7,
+                "readerFeatures": ["vacuumProtocolCheck"],
+                "writerFeatures": ["vacuumProtocolCheck"],
+            }},
+            _meta(_plain_fields(("id", "long"))),
+            {"add": {"path": "v0.parquet", "partitionValues": {},
+                     "size": size, "modificationTime": 0,
+                     "dataChange": True}},
+        ])
+        assert read_delta(spark, t).count() == 3
+        write_delta(
+            spark,
+            spark.createDataFrame([(9,)], "id long"),
+            t,
+            mode="overwrite",
+        )
+        deleted = vacuum_delta(t, retention_seconds=0.0)
+        assert "v0.parquet" in deleted, deleted
+        assert [r.id for r in read_delta(spark, t).collect()] == [9]
+        record(
+            "foreign_fixture_read:vacuum_protocol_check", "PASS",
+            "declared table writable; vacuum ran post-check",
+        )
+    except Exception as e:  # noqa: BLE001
+        record(
+            "foreign_fixture_read:vacuum_protocol_check", "FAIL",
+            f"{e!r}"[:200],
+        )
+
+    # --- 10. suspended foreign row tracking -> mid-life enablement ------
+    try:
+        from value_at_risk_spark.sources.deltalog import (
+            set_table_properties,
+            write_delta,
+        )
+
+        t = os.path.join(root, "fix_rt_suspended")
+        s1 = _pq_write(os.path.join(t, "a.parquet"), {"id": [1, 2]})
+        s2 = _pq_write(os.path.join(t, "b.parquet"), {"id": [3, 4]})
+        # the 'suspended' state the spec describes: the feature is
+        # declared and adds carry ids under the recorded watermark,
+        # but delta.enableRowTracking is absent
+        _log_write(t, 0, [
+            {"commitInfo": {"timestamp": 0, "operation": "WRITE"}},
+            {"protocol": {
+                "minReaderVersion": 1, "minWriterVersion": 7,
+                "writerFeatures": ["rowTracking", "domainMetadata"],
+            }},
+            _meta(
+                _plain_fields(("id", "long")),
+                conf={
+                    "delta.rowTracking.materializedRowIdColumnName":
+                        "_foreign_rid",
+                },
+            ),
+            {"domainMetadata": {
+                "domain": "delta.rowTracking",
+                "configuration": json.dumps({"rowIdHighWaterMark": 149}),
+                "removed": False,
+            }},
+            {"add": {"path": "a.parquet", "partitionValues": {},
+                     "size": s1, "modificationTime": 0,
+                     "dataChange": True, "baseRowId": 0,
+                     "defaultRowCommitVersion": 0,
+                     "stats": json.dumps({"numRecords": 2})}},
+            {"add": {"path": "b.parquet", "partitionValues": {},
+                     "size": s2, "modificationTime": 0,
+                     "dataChange": True, "baseRowId": 148,
+                     "defaultRowCommitVersion": 0,
+                     "stats": json.dumps({"numRecords": 2})}},
+        ])
+        set_table_properties(t, {"delta.enableRowTracking": "true"})
+        rid = {
+            r.id: r.row_id
+            for r in read_delta_row_ids(spark, t).collect()
+        }
+        # foreign ids PRESERVED (within the watermark: no backfill)
+        assert rid == {1: 0, 2: 1, 3: 148, 4: 149}, rid
+        # new writes carve ABOVE the foreign watermark
+        write_delta(spark, spark.createDataFrame([(5,)], "id long"), t)
+        rid2 = {
+            r.id: r.row_id
+            for r in read_delta_row_ids(spark, t).collect()
+        }
+        assert rid2[5] > 149 and all(rid2[k] == rid[k] for k in rid)
+        record(
+            "foreign_fixture_read:rowtracking_suspended_enable", "PASS",
+            "foreign ids kept; enablement carved above watermark",
+        )
+    except Exception as e:  # noqa: BLE001
+        record(
+            "foreign_fixture_read:rowtracking_suspended_enable", "FAIL",
+            f"{e!r}"[:200],
+        )
+
 
 def main() -> int:
     sf_dir = sys.argv[1] if len(sys.argv) > 1 else "/root/testdata/sf0.01"
