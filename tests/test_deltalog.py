@@ -340,6 +340,41 @@ def test_delta_merge_sink_exactly_once_upsert(spark, tmp_path):
     sink2 = run([2, 1, 0], tbl2)
     assert {(r.k, r.ts, r.v) for r in sink2.read(spark).collect()} == want
 
+    # conditional not_matched applies to the TABLE-CREATING batch too
+    # (the first batch merges against an empty v0, never blind-appends)
+    tbl3 = str(tmp_path / "ms_cond")
+    cond_sink = DeltaMergeSink(
+        tbl3, ["k"], app_id="cond_app",
+        matched=[{"update": "*"}],
+        not_matched=[{"condition": "s.ts >= 10", "insert": "*"}],
+    )
+    cond_sink(
+        spark.createDataFrame(
+            [(1, 5, "rejected"), (2, 10, "kept")], "k long, ts long, v string"
+        ),
+        0,
+    )
+    assert {
+        (r.k, r.v) for r in cond_sink.read(spark).collect()
+    } == {(2, "kept")}
+
+    # an EMPTY batch still merges when not_matched_by_source clauses
+    # exist: full-snapshot reconciliation deletes every target row
+    tbl4 = str(tmp_path / "ms_bs")
+    bs_sink = DeltaMergeSink(
+        tbl4, ["k"], app_id="bs_app",
+        not_matched=[{"insert": "*"}],
+        not_matched_by_source=[{"delete": True}],
+    )
+    bs_sink(
+        spark.createDataFrame([(1, 1, "a")], "k long, ts long, v string"), 0
+    )
+    assert bs_sink.read(spark).count() == 1
+    bs_sink(
+        spark.createDataFrame([], "k long, ts long, v string"), 1
+    )
+    assert bs_sink.read(spark).count() == 0
+
 
 def test_restore_rolls_back_atomically(spark, tmp_path):
     from value_at_risk_spark.sources.deltalog import restore_delta
@@ -2666,11 +2701,7 @@ def test_vacuum_protocol_check_feature(spark, tmp_path):
             },
         ],
     )
-    import os
-
-    n_before = sum(
-        len(fs) for _, _, fs in os.walk(tbl2) if True
-    )
+    n_before = sum(len(fs) for _, _, fs in os.walk(tbl2))
     with pytest.raises(NotImplementedError, match="icebergCompatV2"):
         vacuum_delta(tbl2, retention_seconds=0.0)
     assert (

@@ -717,6 +717,29 @@ def test_classification_report_edge_classes(spark):
         assert r.precision == 1.0 and r.recall == 1.0 and r.f1 == 1.0
 
 
+def test_documents_fixture_whitespace_assumption(sf_dir):
+    """The text oracles tokenize with string_split(lower(text), ' ')
+    while the Spark side splits on the regex \\s+ — equivalent ONLY
+    while the documents fixture contains no tab/newline/CR and no
+    consecutive/leading/trailing spaces beyond what both sides drop as
+    empties. Guard the assumption so a fixture regen that introduces
+    other whitespace fails HERE with a clear message instead of as an
+    opaque hash mismatch in the BPE / heavy-hitters / PMI oracles."""
+    import duckdb
+
+    con = duckdb.connect()
+    bad = con.sql(
+        "SELECT COUNT(*) FROM read_parquet("
+        f"'{sf_dir}/documents.parquet') "
+        "WHERE regexp_matches(text, '[\\t\\n\\r\\x0b\\x0c]')"
+    ).fetchone()[0]
+    assert bad == 0, (
+        f"{bad} document(s) contain non-space whitespace — the "
+        "single-space DuckDB oracle tokenizer no longer matches "
+        "Spark's \\s+ split; update the text oracles together"
+    )
+
+
 def test_xxh64_sql_parity(spark):
     """The DuckDB-SQL XXH64 replay (functions/xxh64_sql.py — the r13
     SimHash oracle graduation) equals Spark's ``F.xxhash64`` (seed

@@ -31,6 +31,10 @@ from pyspark.sql.types import (
     StructType,
 )
 
+from value_at_risk_spark.functions.xxh64_py import (
+    xxh64_signed as _xxh64_signed,
+)
+
 MEDIA_SCHEMA = StructType(
     [
         StructField("media_id", LongType()),
@@ -426,11 +430,12 @@ def _fake_feature(payload, dim: int = 16) -> list[float]:
     xxh64_cte twin, functions/xxh64_sql.py), so the mapInPandas
     plumbing that carries it is hash-checkable against the DuckDB
     oracle end to end (queries.multimodal_features)."""
-    from value_at_risk_spark.functions.xxh64_py import xxh64_signed
-
-    s = str(payload)
+    # encode the payload ONCE: the per-lane suffix is ASCII, so
+    # b + b"\x1f" + str(j) is byte-identical to f"{s}\x1f{j}".encode()
+    b = str(payload).encode("utf-8")
     return [
-        xxh64_signed(f"{s}\x1f{j}".encode("utf-8")) / 9223372036854775808.0
+        _xxh64_signed(b + b"\x1f" + str(j).encode("ascii"))
+        / 9223372036854775808.0
         for j in range(dim)
     ]
 

@@ -6742,20 +6742,32 @@ def streaming_heavy_hitters_demo(spark: SparkSession, sf_dir: str) -> DataFrame:
             .filter(F.lit(9) * F.col("n") > F.col("total"))
             .select("shard", "token", "n")
         )
+        # BOTH sets are bounded artifacts (<= 8 tokens/shard: at most
+        # 8 counts can each exceed total/9, and the MG summary holds
+        # <= k counters) — collect ONCE so the verify pass and the
+        # returned frame don't each re-evaluate the corpus-wide
+        # count pipeline
+        hh_rows = true_hh.collect()
+        cand_set = {(r.shard, r.token) for r in cand.collect()}
         # MG superset guarantee, enforced loud: every true heavy hitter
         # must be present in its shard's final streaming summary
-        missing = true_hh.join(
-            cand, ["shard", "token"], "left_anti"
-        ).count()
+        missing = [
+            (r.shard, r.token)
+            for r in hh_rows
+            if (r.shard, r.token) not in cand_set
+        ]
         if missing:
             raise AssertionError(
                 "streaming_heavy_hitters_demo: Misra-Gries superset "
-                f"guarantee violated — {missing} true heavy hitter(s) "
+                f"guarantee violated — true heavy hitter(s) {missing} "
                 "missing from the final shard summaries"
             )
         # the returned set is the candidates' certified subset ==
         # exactly the true heavy hitters (given the assert above)
-        return true_hh.join(cand, ["shard", "token"], "left_semi")
+        return spark.createDataFrame(
+            [(r.shard, r.token, r.n) for r in hh_rows],
+            "shard int, token string, n long",
+        )
     finally:
         shutil.rmtree(src, ignore_errors=True)
 

@@ -224,9 +224,13 @@ class DeltaMergeSink:
     merge (e.g. latest-per-key within the batch) — REQUIRED when a
     batch may carry several rows per key, since MERGE semantics demand
     at most one source match and the engine's dedup pick is otherwise
-    arbitrary. The first batch creates the table with a plain append
-    (same txn discipline): there is no pre-existing state to merge
-    against."""
+    arbitrary. The first batch creates an EMPTY v0 and then merges
+    through the same clause engine as every later batch, so
+    conditional not_matched clauses apply uniformly regardless of
+    which batch a row arrived in. Empty batches skip — except when
+    ``not_matched_by_source`` clauses are configured, where an empty
+    batch is still a full merge (every target row is
+    by-source-unmatched: the snapshot-reconciliation shape)."""
 
     def __init__(
         self,
@@ -261,31 +265,41 @@ class DeltaMergeSink:
 
         if self.batch_prep is not None:
             batch_df = self.batch_prep(batch_df)
-        if batch_df.isEmpty():
+        exists = bool(delta_versions(self.path))
+        if batch_df.isEmpty() and (
+            not exists or not self.not_matched_by_source
+        ):
             # nothing to merge; skipping without a txn commit is safe
-            # (an empty re-delivery is idempotent by vacuity)
+            # (an empty re-delivery is idempotent by vacuity). With
+            # not_matched_by_source clauses an empty batch is STILL a
+            # merge — every target row is by-source-unmatched (the
+            # full-snapshot-reconciliation shape), so fall through.
             return
         txn = {"appId": self.app_id, "version": batch_id}
-        if not delta_versions(self.path):
-            v = write_delta(
+        if not exists:
+            # create an EMPTY v0 first so batch rows go through the
+            # SAME clause engine as every later batch — a blind first
+            # append would bypass conditional not_matched clauses and
+            # make the final state depend on batch boundaries. A crash
+            # between create and merge is safe: the empty table simply
+            # merges the re-delivered batch.
+            write_delta(
                 batch_df.sparkSession,
-                batch_df.dropDuplicates(self.keys),
+                batch_df.limit(0),
                 self.path,
                 mode="append",
                 partition_by=self.partition_by,
-                txn=txn,
             )
-        else:
-            v = merge_into_delta_native(
-                batch_df.sparkSession,
-                self.path,
-                batch_df,
-                self.keys,
-                matched=self.matched,
-                not_matched=self.not_matched,
-                not_matched_by_source=self.not_matched_by_source,
-                txn=txn,
-            )
+        v = merge_into_delta_native(
+            batch_df.sparkSession,
+            self.path,
+            batch_df,
+            self.keys,
+            matched=self.matched,
+            not_matched=self.not_matched,
+            not_matched_by_source=self.not_matched_by_source,
+            txn=txn,
+        )
         if v == -1:
             self.skipped.append(batch_id)
 
