@@ -1591,8 +1591,52 @@ def test_delta_sql_text_surface(spark, tmp_path):
     )
     assert read_delta(spark, tbl).count() == 40
 
+    # SHOW TBLPROPERTIES: all keys, single key, missing key
+    delta_sql(
+        spark,
+        f"ALTER TABLE delta.`{tbl}` SET TBLPROPERTIES "
+        "('custom.owner'='risk-team')",
+    )
+    props = {
+        r.key: r.value
+        for r in delta_sql(
+            spark, f"SHOW TBLPROPERTIES delta.`{tbl}`"
+        ).collect()
+    }
+    assert props["custom.owner"] == "risk-team"
+    one = delta_sql(
+        spark, f"SHOW TBLPROPERTIES delta.`{tbl}` ('custom.owner')"
+    ).collect()
+    assert [(r.key, r.value) for r in one] == [("custom.owner", "risk-team")]
+    assert (
+        delta_sql(
+            spark, f"SHOW TBLPROPERTIES delta.`{tbl}` ('no.such.key')"
+        ).count()
+        == 0
+    )
+
+    # RESTORE TO TIMESTAMP AS OF resolves through the same as-of rule
+    # as SELECT time travel (latest version at-or-before ts)
+    from value_at_risk_spark.sources.deltalog import (
+        delta_versions as _dvs,
+        version_at_timestamp as _vat,
+    )
+
+    v_now = _dvs(tbl)[-1]
+    # timestamp far in the future resolves to the CURRENT tip: the
+    # restore is then a no-op-shaped commit to the same state
+    n_before = read_delta(spark, tbl).count()
+    assert _vat(tbl, 4102444800.0) == v_now
+    delta_sql(
+        spark,
+        f"RESTORE TABLE delta.`{tbl}` TO TIMESTAMP AS OF 4102444800",
+    )
+    assert read_delta(spark, tbl).count() == n_before
+
     with pytest.raises(ValueError, match="unsupported"):
         delta_sql(spark, f"TRUNCATE delta.`{tbl}`")
+    with pytest.raises(ValueError, match="unsupported SHOW"):
+        delta_sql(spark, f"SHOW COLUMNS delta.`{tbl}`")
     # a join between a delta table and a temp view plans through
     # Catalyst as ordinary SQL
     spark.createDataFrame(

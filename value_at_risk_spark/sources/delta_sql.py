@@ -35,8 +35,10 @@ like delta-spark's path syntax:
 - ``VACUUM delta.`/p` [RETAIN n HOURS]``;
 - ``REORG [TABLE] delta.`/p` APPLY (PURGE)`` — materialize deletion
   vectors;
-- ``RESTORE [TABLE] delta.`/p` TO VERSION AS OF n``;
+- ``RESTORE [TABLE] delta.`/p` TO VERSION AS OF n |
+  TO TIMESTAMP AS OF 'ts'``;
 - ``DESCRIBE HISTORY delta.`/p``` — returned as a DataFrame;
+- ``SHOW TBLPROPERTIES delta.`/p` [('key')]`` — (key, value) rows;
 - ``CREATE TABLE delta.`/dst` SHALLOW CLONE delta.`/src`
   [VERSION AS OF n]``;
 - ``ALTER TABLE delta.`/p` ADD CONSTRAINT name CHECK (expr)`` /
@@ -541,12 +543,51 @@ def delta_sql(spark: SparkSession, stmt: str):
             s,
             re.IGNORECASE,
         )
+        if m:
+            return dl.restore_delta(
+                spark, _one_path(s, "RESTORE"), int(m.group(1))
+            )
+        m = re.match(
+            r"RESTORE\s+(?:TABLE\s+)?delta\.`[^`]+`\s+"
+            r"TO\s+TIMESTAMP\s+AS\s+OF\s+(?:'([^']+)'|(\d+(?:\.\d+)?))$",
+            s,
+            re.IGNORECASE,
+        )
         if not m:
             raise ValueError(
                 f"delta_sql: unsupported RESTORE shape: {stmt!r}"
             )
+        ts = m.group(1) if m.group(1) else float(m.group(2))
+        path = _one_path(s, "RESTORE")
+        # the same as-of resolution SELECT ... TIMESTAMP AS OF uses
         return dl.restore_delta(
-            spark, _one_path(s, "RESTORE"), int(m.group(1))
+            spark, path, dl.version_at_timestamp(path, ts)
+        )
+
+    if head == "SHOW":
+        m = re.match(
+            r"SHOW\s+TBLPROPERTIES\s+delta\.`[^`]+`"
+            r"(?:\s*\(\s*'([^']+)'\s*\))?$",
+            s,
+            re.IGNORECASE,
+        )
+        if not m:
+            raise ValueError(
+                f"delta_sql: unsupported SHOW shape: {stmt!r}"
+            )
+        snap_sp = dl.snapshot(_one_path(s, "SHOW TBLPROPERTIES"))
+        props = dict(snap_sp.metadata.get("configuration") or {})
+        if m.group(1) is not None:
+            # single-key form returns just that row (missing key ->
+            # empty result, Spark's own SHOW TBLPROPERTIES behavior
+            # for delta paths)
+            props = (
+                {m.group(1): props[m.group(1)]}
+                if m.group(1) in props
+                else {}
+            )
+        return spark.createDataFrame(
+            sorted(props.items()), "key string, value string"
         )
 
     if head == "DESCRIBE":
