@@ -1650,6 +1650,72 @@ def test_delta_sql_text_surface(spark, tmp_path):
     assert {r.name for r in joined.collect()} == {"zero", "one"}
 
 
+def test_create_table_column_defs_sql(spark, tmp_path):
+    """CREATE TABLE with explicit column defs (no AS SELECT): empty
+    v0 with the DECLARED schema/order, GENERATED ALWAYS AS IDENTITY
+    (START WITH/INCREMENT BY), GENERATED ALWAYS AS (expr), NOT NULL,
+    PARTITIONED BY and TBLPROPERTIES with '' escapes; later INSERTs
+    generate identity/generated values; balanced-paren extraction
+    keeps nested parens out of the tail parse."""
+    from value_at_risk_spark.sources.delta_sql import delta_sql
+    from value_at_risk_spark.sources.deltalog import (
+        read_delta,
+        snapshot,
+        table_generated_columns,
+        table_identity_columns,
+    )
+
+    tbl = str(tmp_path / "cdef")
+    delta_sql(
+        spark,
+        f"CREATE TABLE delta.`{tbl}` ("
+        "rid BIGINT GENERATED ALWAYS AS IDENTITY "
+        "(START WITH 100 INCREMENT BY 5), "
+        "k BIGINT NOT NULL, seg STRING, v DOUBLE, "
+        "v2 DOUBLE GENERATED ALWAYS AS (v * 2)"
+        ") USING DELTA PARTITIONED BY (seg) "
+        "TBLPROPERTIES ('custom.note'='it''s here')",
+    )
+    snap = snapshot(tbl)
+    assert table_identity_columns(snap)["rid"] == {
+        "start": 100, "step": 5, "high_water_mark": None,
+        "allow_explicit": False,
+    }
+    assert table_generated_columns(snap) == {"v2": "v * 2"}
+    assert snap.metadata["configuration"]["custom.note"] == "it's here"
+    got = read_delta(spark, tbl)
+    assert got.schema.simpleString() == (
+        "struct<rid:bigint,k:bigint,seg:string,v:double,v2:double>"
+    )
+    assert got.count() == 0
+    delta_sql(
+        spark,
+        f"INSERT INTO delta.`{tbl}` (k, seg, v) "
+        "VALUES (1, 'a', 1.5), (2, 'b', 2.5)",
+    )
+    rows = sorted(
+        (r.rid, r.k, r.v2) for r in read_delta(spark, tbl).collect()
+    )
+    assert rows == [(100, 1, 3.0), (105, 2, 5.0)]
+    # identity stays GENERATED ALWAYS for real data: explicit values
+    # on a NON-empty append still refuse
+    with pytest.raises(ValueError, match="GENERATED ALWAYS"):
+        write_delta(
+            spark,
+            spark.createDataFrame(
+                [(7, 7, "c", 0.0, 0.0)],
+                "rid long, k long, seg string, v double, v2 double",
+            ),
+            tbl,
+        )
+    with pytest.raises(ValueError, match="already exists"):
+        delta_sql(spark, f"CREATE TABLE delta.`{tbl}` (x BIGINT)")
+    with pytest.raises(ValueError, match="bad column def"):
+        delta_sql(
+            spark, f"CREATE TABLE delta.`{tbl}_y` (x BIGINT BOGUS CLAUSE)"
+        )
+
+
 def test_not_null_invariant_runtime_enforced(spark, tmp_path):
     """Delta's NOT NULL invariant: a statically-nullable frame may
     target a required column IF no actual null reaches it — proven at

@@ -103,6 +103,17 @@ def _unmask(text: str, lits: list[str]) -> str:
     )
 
 
+def _unquote_prop(token: str, lits: list[str]) -> str:
+    """A TBLPROPERTIES key/value token: either a masked '...' literal
+    (unquoted, '' escapes collapsed) or a bare identifier."""
+    token = token.strip()
+    lm = re.fullmatch(r"\x00(\d+)\x00", token)
+    if lm:
+        raw = lits[int(lm.group(1))]
+        return raw[1:-1].replace("''", "'")
+    return token
+
+
 def _split_top_commas(text: str) -> list[str]:
     """Split on commas at paren depth 0 (call on MASKED text — string
     literals are already placeholders, so their commas/parens are
@@ -755,15 +766,6 @@ def delta_sql(spark: SparkSession, stmt: str):
             )
             conf: dict[str, str] = {}
             if m.group(3):
-                def _lit_or_bare(token: str) -> str:
-                    token = token.strip()
-                    lm = re.fullmatch(r"\x00(\d+)\x00", token)
-                    if lm:
-                        raw = lits[int(lm.group(1))]
-                        # unquote incl. '' escapes
-                        return raw[1:-1].replace("''", "'")
-                    return token
-
                 for part in _split_top_commas(m.group(3)):
                     k, eq, v = part.partition("=")
                     if not eq or not k.strip() or not v.strip():
@@ -771,7 +773,7 @@ def delta_sql(spark: SparkSession, stmt: str):
                             "delta_sql CTAS: bad TBLPROPERTIES item "
                             f"{part.strip()!r}"
                         )
-                    conf[_lit_or_bare(k)] = _lit_or_bare(v)
+                    conf[_unquote_prop(k, lits)] = _unquote_prop(v, lits)
                 if not conf:
                     raise ValueError(
                         "delta_sql CTAS: no 'k'='v' pairs in "
@@ -790,6 +792,107 @@ def delta_sql(spark: SparkSession, stmt: str):
                 m.group(1),
                 partition_by=part_by,
                 configuration=conf or None,
+            )
+        # schema-defining CREATE TABLE (no AS SELECT): column defs
+        # with optional GENERATED ALWAYS AS IDENTITY / AS (expr) and
+        # NOT NULL — creates an EMPTY v0; identity/generated values
+        # are computed by write_delta on later writes. The column list
+        # is extracted by a BALANCED-paren scan (a greedy regex would
+        # swallow the PARTITIONED BY/TBLPROPERTIES tails; a lazy one
+        # would stop inside a nested identity/generation paren).
+        mh = re.match(
+            r"CREATE\s+TABLE\s+delta\.`([^`]+)`\s*\(", ms, re.IGNORECASE
+        )
+        if mh:
+            depth, i = 1, mh.end()
+            while i < len(ms) and depth:
+                if ms[i] == "(":
+                    depth += 1
+                elif ms[i] == ")":
+                    depth -= 1
+                i += 1
+            if depth:
+                raise ValueError(
+                    f"delta_sql CREATE TABLE: unbalanced parens: "
+                    f"{stmt!r}"
+                )
+            coldefs = ms[mh.end():i - 1]
+            tail = ms[i:].strip()
+            tm = re.match(
+                r"(?:USING\s+DELTA)?"
+                r"(?:\s*PARTITIONED\s+BY\s*\(([^)]+)\))?"
+                r"(?:\s*TBLPROPERTIES\s*\((.*?)\))?$",
+                tail,
+                re.IGNORECASE | re.DOTALL,
+            )
+            if not tm:
+                raise ValueError(
+                    f"delta_sql CREATE TABLE: unsupported tail "
+                    f"{tail!r}"
+                )
+            path, part_src, prop_src = mh.group(1), tm.group(1), tm.group(2)
+            if dl.delta_versions(path):
+                raise ValueError(
+                    f"delta_sql CREATE TABLE: delta table already "
+                    f"exists at {path}"
+                )
+            ddl_parts: list[str] = []
+            gen_cols: dict[str, str] = {}
+            id_cols: dict[str, dict] = {}
+            for part in _split_top_commas(coldefs):
+                part = _unmask(part.strip(), lits)
+                cm = re.match(
+                    r"^(\w+)\s+(\w+)"
+                    r"(?:\s+GENERATED\s+ALWAYS\s+AS\s+"
+                    r"(?:(IDENTITY)(?:\s*\(\s*START\s+WITH\s+(-?\d+)"
+                    r"(?:\s+INCREMENT\s+BY\s+(-?\d+))?\s*\))?"
+                    r"|\((.+)\)))?"
+                    r"(\s+NOT\s+NULL)?$",
+                    part,
+                    re.IGNORECASE | re.DOTALL,
+                )
+                if not cm:
+                    raise ValueError(
+                        "delta_sql CREATE TABLE: bad column def "
+                        f"{part!r}"
+                    )
+                name, typ = cm.group(1), cm.group(2).lower()
+                sch_t = _SQL_TO_SCHEMA_TYPE.get(typ, typ)
+                ddl_parts.append(
+                    f"{name} {sch_t}"
+                    + (" NOT NULL" if cm.group(7) else "")
+                )
+                if cm.group(3):  # IDENTITY
+                    id_cols[name] = {
+                        "start": int(cm.group(4) or 1),
+                        "step": int(cm.group(5) or 1),
+                    }
+                elif cm.group(6):  # GENERATED ALWAYS AS (expr)
+                    gen_cols[name] = cm.group(6).strip()
+            part_by = (
+                [c.strip() for c in part_src.split(",")]
+                if part_src
+                else None
+            )
+            conf = {}
+            if prop_src:
+                for part in _split_top_commas(prop_src):
+                    k, eq, v = part.partition("=")
+                    if not eq or not k.strip() or not v.strip():
+                        raise ValueError(
+                            "delta_sql CREATE TABLE: bad TBLPROPERTIES "
+                            f"item {part.strip()!r}"
+                        )
+                    conf[_unquote_prop(k, lits)] = _unquote_prop(v, lits)
+            empty = spark.createDataFrame([], ", ".join(ddl_parts))
+            return dl.write_delta(
+                spark,
+                empty,
+                path,
+                partition_by=part_by,
+                configuration=conf or None,
+                generated_columns=gen_cols or None,
+                identity_columns=id_cols or None,
             )
 
     if head == "ALTER":

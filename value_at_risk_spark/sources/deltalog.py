@@ -2158,7 +2158,10 @@ def write_delta(
             }
             id_specs[col] = norm
             if col in df.columns:
-                if not norm["allow_explicit"]:
+                # an EMPTY frame (SQL CREATE TABLE with column defs)
+                # declares the column without carrying values — keep
+                # its declared position/type; later writes generate
+                if not norm["allow_explicit"] and not df.isEmpty():
                     raise ValueError(
                         f"write_delta: identity column {col} is "
                         "GENERATED ALWAYS — drop it from the frame or "
