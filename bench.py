@@ -453,6 +453,8 @@ def scaled_row_tracking(spark, scaled: str) -> dict:
     from value_at_risk_spark.sources.deltalog import (
         read_delta,
         read_delta_row_ids,
+        set_table_properties,
+        snapshot,
         update_delta,
         write_delta,
     )
@@ -509,7 +511,41 @@ def scaled_row_tracking(spark, scaled: str) -> dict:
         rid2.count()
         rowid_after_sec = round(time.time() - t0, 3)
         d2 = rid2.agg(F.count_distinct("row_id")).first()[0]
+        # mid-life enablement (r13): build the SAME table untracked,
+        # then SET TBLPROPERTIES backfills every active file in one
+        # metadata-only commit — the cost is O(files), never a data
+        # rewrite, which is the 100 TB adoption story
+        tbl2 = tempfile.mkdtemp(prefix="bench_rt_midlife_")
+        shutil.rmtree(tbl2, ignore_errors=True)
+        try:
+            for c in range(4):
+                write_delta(
+                    spark,
+                    orders.filter(
+                        (F.col("o_orderkey") >= c * step)
+                        & (F.col("o_orderkey") < (c + 1) * step)
+                    ),
+                    tbl2,
+                )
+            nfiles = len(snapshot(tbl2).files)
+            t0 = time.time()
+            set_table_properties(
+                tbl2, {"delta.enableRowTracking": "true"}
+            )
+            midlife_sec = round(time.time() - t0, 3)
+            mid_d = (
+                read_delta_row_ids(spark, tbl2)
+                .agg(F.count_distinct("row_id"))
+                .first()[0]
+            )
+        finally:
+            shutil.rmtree(tbl2, ignore_errors=True)
         return {
+            "scaled10_rowtrack_midlife_enable_sec": midlife_sec,
+            "scaled10_rowtrack_midlife_files": nfiles,
+            "scaled10_rowtrack_midlife_ids_unique": bool(
+                mid_d == n_plain
+            ),
             "scaled10_rowtrack_rows": n_plain,
             "scaled10_rowtrack_ids_unique": bool(
                 agg.d == agg.n == n_plain and d2 == n_plain

@@ -12254,8 +12254,12 @@ def price_index_yoy(spark: SparkSession, sf_dir: str) -> DataFrame:
     aggregate shape: a MATCHED-PAIR self-join on (part, adjacent
     years) followed by ratio-of-sums (never sum-of-ratios — the
     unit-price fallacy this query exists to avoid). The yearly frame
-    is a part-keyed reduction first; the pair join is co-keyed on
-    that reduction."""
+    is a part-keyed reduction first; the adjacent-year pairing is a
+    lead() window OVER THAT REDUCTION — one corpus scan plus one
+    small re-shuffle of the reduced frame, where the oracle's
+    equivalent self-join formulation would scan and aggregate
+    lineitem twice (r13: was the join form; the two plans are
+    algebraically identical on consecutive years)."""
     li = _t(spark, sf_dir, "lineitem")
     yearly = li.groupBy(
         F.col("l_partkey").alias("pk"),
@@ -12264,19 +12268,15 @@ def price_index_yoy(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.sum("l_quantity").alias("q"),
         (F.sum("l_extendedprice") / F.sum("l_quantity")).alias("p"),
     )
-    a = yearly.select(
-        "pk",
+    w = Window.partitionBy("pk").orderBy("yr")
+    pairs = yearly.select(
         F.col("yr").alias("base_yr"),
         F.col("p").alias("p0"),
         F.col("q").alias("q0"),
-    )
-    b = yearly.select(
-        "pk",
-        (F.col("yr") - 1).alias("base_yr"),
-        F.col("p").alias("p1"),
-        F.col("q").alias("q1"),
-    )
-    pairs = a.join(b, ["pk", "base_yr"])
+        F.lead("yr").over(w).alias("yr1"),
+        F.lead("p").over(w).alias("p1"),
+        F.lead("q").over(w).alias("q1"),
+    ).filter(F.col("yr1") == F.col("base_yr") + 1)
     lasp = F.sum(F.col("p1") * F.col("q0")) / F.sum(
         F.col("p0") * F.col("q0")
     )
