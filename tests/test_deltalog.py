@@ -2790,8 +2790,18 @@ def test_vacuum_protocol_check_feature(spark, tmp_path):
     write_delta(spark, spark.range(4, 6).select("id"), tbl)
     write_delta(spark, spark.range(10).select("id"), tbl, mode="overwrite")
     assert read_delta(spark, tbl).count() == 10
+    # DRY RUN lists the candidates and deletes NOTHING
+    listed = vacuum_delta(tbl, retention_seconds=0.0, dry_run=True)
+    assert listed
+    assert all(os.path.exists(os.path.join(tbl, p)) for p in listed)
+    from value_at_risk_spark.sources.delta_sql import delta_sql as _dsql
+
+    sql_listed = _dsql(
+        spark, f"VACUUM delta.`{tbl}` RETAIN 0 HOURS DRY RUN"
+    )
+    assert sorted(r.path for r in sql_listed.collect()) == sorted(listed)
     deleted = vacuum_delta(tbl, retention_seconds=0.0)
-    assert deleted  # the overwritten files are collectable
+    assert sorted(deleted) == sorted(listed)
     assert read_delta(spark, tbl).count() == 10
     # unknown writer feature: vacuum refuses, files stay on disk
     tbl2 = str(tmp_path / "vpc2")

@@ -32,7 +32,8 @@ like delta-spark's path syntax:
   existing table);
 - ``OPTIMIZE delta.`/p` [WHERE part = 'v' [AND ...]] [MIN FILE SIZE n]
   [ZORDER BY (c1, c2)]``;
-- ``VACUUM delta.`/p` [RETAIN n HOURS]``;
+- ``VACUUM delta.`/p` [RETAIN n HOURS] [DRY RUN]`` — DRY RUN lists
+  the candidates as (path) rows without deleting;
 - ``REORG [TABLE] delta.`/p` APPLY (PURGE)`` — materialize deletion
   vectors;
 - ``RESTORE [TABLE] delta.`/p` TO VERSION AS OF n |
@@ -521,7 +522,8 @@ def delta_sql(spark: SparkSession, stmt: str):
     if head == "VACUUM":
         m = re.match(
             r"VACUUM\s+delta\.`[^`]+`"
-            r"(?:\s+RETAIN\s+(\d+)\s+HOURS)?$",
+            r"(?:\s+RETAIN\s+(\d+)\s+HOURS)?"
+            r"(\s+DRY\s+RUN)?$",
             s,
             re.IGNORECASE,
         )
@@ -530,9 +532,18 @@ def delta_sql(spark: SparkSession, stmt: str):
         # no RETAIN clause -> the table's own
         # delta.deletedFileRetentionDuration property (or 1h default)
         retention = float(m.group(1)) * 3600.0 if m.group(1) else None
-        return dl.vacuum_delta(
-            _one_path(s, "VACUUM"), retention_seconds=retention
+        paths = dl.vacuum_delta(
+            _one_path(s, "VACUUM"),
+            retention_seconds=retention,
+            dry_run=bool(m.group(2)),
         )
+        if m.group(2):
+            # DRY RUN surfaces the candidate list as a DataFrame,
+            # like Delta's own form
+            return spark.createDataFrame(
+                [(p,) for p in paths], "path string"
+            )
+        return paths
 
     if head == "REORG":
         m = re.match(

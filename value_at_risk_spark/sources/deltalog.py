@@ -4362,6 +4362,7 @@ def vacuum_delta(
     path: str,
     keep_versions: int = 1,
     retention_seconds: float | None = None,
+    dry_run: bool = False,
 ) -> list[str]:
     """Physically delete data files referenced by NONE of the newest
     ``keep_versions`` snapshots — tombstoned by overwrite/optimize, or
@@ -4372,7 +4373,9 @@ def vacuum_delta(
     ``delta.deletedFileRetentionDuration`` property (the spec's knob),
     defaulting to 1 hour. Time travel to a vacuumed version
     subsequently fails at scan time — the documented Delta trade-off.
-    Returns the deleted paths."""
+    ``dry_run`` lists the would-be-deleted paths and touches nothing
+    (Delta's ``VACUUM ... DRY RUN``). Returns the deleted (or listed)
+    paths."""
     import shutil
 
     versions = delta_versions(path)
@@ -4435,10 +4438,13 @@ def vacuum_delta(
             rel = os.path.normpath(os.path.relpath(full, path))
             try:
                 if rel not in referenced and os.stat(full).st_mtime < cutoff:
-                    os.unlink(full)
+                    if not dry_run:
+                        os.unlink(full)
                     deleted.append(rel)
             except OSError:
                 continue
+    if dry_run:
+        return deleted
     # prune now-empty dirs (stage subdirs whose files all vacuumed)
     for root, dirs, names in os.walk(path, topdown=False):
         if root != path and _LOG not in root and not dirs and not names:
