@@ -2433,6 +2433,17 @@ def test_delta_sql_cdf_timestamp_and_tblproperties(spark, tmp_path):
         f"SELECT _change_type, k FROM TABLE_CHANGES(delta.`{tbl}`, 2, 2)",
     ).collect()
     assert [(r["_change_type"], r["k"]) for r in rows] == [("delete", 2)]
+    # timestamp bounds resolve through the TIMESTAMP AS OF rule: a
+    # far-future epoch resolves to the tip, so (tip_ts, tip_ts) reads
+    # the same single-version window as (2, 2)
+    rows_ts = delta_sql(
+        spark,
+        f"SELECT _change_type, k FROM TABLE_CHANGES(delta.`{tbl}`, "
+        "4102444800.0, 4102444800.0)",
+    ).collect()
+    assert [(r["_change_type"], r["k"]) for r in rows_ts] == [
+        ("delete", 2)
+    ]
     ts = delta_history(tbl)[0]["timestamp"] / 1000.0  # v0 commit time
     # ascending history: [0] is v0 (the pre-DML snapshot)
     n = delta_sql(

@@ -15,7 +15,9 @@ like delta-spark's path syntax:
   snapshot temp view and the rest of the text is handed to Catalyst
   verbatim (joins between delta tables and registered views work);
   ``TABLE_CHANGES(delta.`/p`, from[, to])`` relations read the
-  Change Data Feed (deltalog.table_changes);
+  Change Data Feed (deltalog.table_changes) — bounds are versions
+  (bare integers) or timestamps ('...' / fractional epoch), resolved
+  by the TIMESTAMP AS OF rule;
 - ``DELETE FROM delta.`/p` WHERE cond``;
 - ``UPDATE delta.`/p` SET c = expr[, ...] [WHERE cond]``;
 - ``MERGE INTO delta.`/p` [AS] t USING view [AS] s ON t.k = s.k
@@ -199,19 +201,31 @@ def delta_sql(spark: SparkSession, stmt: str):
         # table_changes(delta.`/p`, from[, to]) relations become CDF
         # views first, so the generic substitution below never sees
         # their inner delta.`path`
+        def _cdf_bound(path: str, raw: str) -> int:
+            # quoted or fractional bound = a timestamp, resolved by
+            # the same at-or-before rule as TIMESTAMP AS OF; a bare
+            # integer is a version
+            if raw.startswith("'"):
+                return dl.version_at_timestamp(path, raw[1:-1])
+            if "." in raw:
+                return dl.version_at_timestamp(path, float(raw))
+            return int(raw)
+
         def _cdf_sub(m: re.Match) -> str:
             view = f"delta_cdf_{uuid.uuid4().hex[:8]}"
+            path = m.group(1)
             dl.table_changes(
                 spark,
-                m.group(1),
-                int(m.group(2)),
-                int(m.group(3)) if m.group(3) else None,
+                path,
+                _cdf_bound(path, m.group(2)),
+                _cdf_bound(path, m.group(3)) if m.group(3) else None,
             ).createOrReplaceTempView(view)
             return view
 
+        _B = r"(\d+(?:\.\d+)?|'[^']*')"
         s = re.sub(
-            r"TABLE_CHANGES\s*\(\s*delta\.`([^`]+)`\s*,\s*(\d+)"
-            r"(?:\s*,\s*(\d+))?\s*\)",
+            r"TABLE_CHANGES\s*\(\s*delta\.`([^`]+)`\s*,\s*" + _B
+            + r"(?:\s*,\s*" + _B + r")?\s*\)",
             _cdf_sub,
             s,
             flags=re.IGNORECASE,
