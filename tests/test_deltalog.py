@@ -1716,6 +1716,71 @@ def test_create_table_column_defs_sql(spark, tmp_path):
         )
 
 
+def test_column_defaults_lifecycle(spark, tmp_path):
+    """allowColumnDefaults: CREATE TABLE DEFAULT clauses, SET/DROP
+    DEFAULT SQL, INSERTs omitting the column fill its
+    CURRENT_DEFAULT (never NULL), existing rows untouched, the
+    protocol declares the writer feature, and non-constant or
+    generated/identity targets refuse."""
+    from value_at_risk_spark.sources.delta_sql import delta_sql
+    from value_at_risk_spark.sources.deltalog import (
+        read_delta,
+        set_column_default,
+        snapshot,
+        table_default_columns,
+    )
+
+    tbl = str(tmp_path / "defs")
+    delta_sql(
+        spark,
+        f"CREATE TABLE delta.`{tbl}` ("
+        "k BIGINT, status STRING DEFAULT 'new', score DOUBLE"
+        ")",
+    )
+    snap = snapshot(tbl)
+    assert table_default_columns(snap) == {"status": "'new'"}
+    assert "allowColumnDefaults" in (
+        snap.protocol.get("writerFeatures") or []
+    )
+    delta_sql(spark, f"INSERT INTO delta.`{tbl}` (k) VALUES (1)")
+    r = read_delta(spark, tbl).first()
+    assert (r.k, r.status, r.score) == (1, "new", None)
+    # SET DEFAULT governs FUTURE inserts only
+    delta_sql(
+        spark,
+        f"ALTER TABLE delta.`{tbl}` ALTER COLUMN score "
+        "SET DEFAULT CAST(1.5 AS DOUBLE) * 2",
+    )
+    delta_sql(spark, f"INSERT INTO delta.`{tbl}` (k) VALUES (2)")
+    rows = {r.k: (r.status, r.score) for r in read_delta(spark, tbl).collect()}
+    assert rows == {1: ("new", None), 2: ("new", 3.0)}
+    # DROP DEFAULT -> back to NULL fill
+    delta_sql(
+        spark, f"ALTER TABLE delta.`{tbl}` ALTER COLUMN status DROP DEFAULT"
+    )
+    delta_sql(spark, f"INSERT INTO delta.`{tbl}` (k) VALUES (3)")
+    assert read_delta(spark, tbl).filter("k = 3").first().status is None
+    # refusals: non-constant expression, unknown column, identity
+    with pytest.raises(ValueError, match="not a constant"):
+        set_column_default(spark, tbl, "score", "k + 1")
+    with pytest.raises(ValueError, match="no column"):
+        set_column_default(spark, tbl, "nope", "1")
+    tbl2 = str(tmp_path / "defs_id")
+    delta_sql(
+        spark,
+        f"CREATE TABLE delta.`{tbl2}` ("
+        "rid BIGINT GENERATED ALWAYS AS IDENTITY, k BIGINT)",
+    )
+    with pytest.raises(ValueError, match="identity"):
+        set_column_default(spark, tbl2, "rid", "7")
+    with pytest.raises(ValueError, match="DEFAULT cannot combine"):
+        delta_sql(
+            spark,
+            f"CREATE TABLE delta.`{tbl2}_x` ("
+            "g BIGINT GENERATED ALWAYS AS (1) DEFAULT 2)",
+        )
+
+
 def test_not_null_invariant_runtime_enforced(spark, tmp_path):
     """Delta's NOT NULL invariant: a statically-nullable frame may
     target a required column IF no actual null reaches it — proven at

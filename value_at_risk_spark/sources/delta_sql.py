@@ -48,7 +48,9 @@ like delta-spark's path syntax:
   ``DROP CONSTRAINT name`` /
   ``SET TBLPROPERTIES ('k'='v', ...)`` /
   ``RENAME COLUMN old TO new`` (column-mapped tables) /
-  ``ALTER COLUMN col TYPE bigint`` (lossless widening only).
+  ``ALTER COLUMN col TYPE bigint`` (lossless widening only) /
+  ``ALTER COLUMN col SET DEFAULT expr`` / ``DROP DEFAULT``
+  (allowColumnDefaults — INSERTs omitting the column fill it).
 
 Anything else raises ValueError with the unsupported text — loud,
 never silently re-interpreted. Statements that mutate return the
@@ -715,6 +717,7 @@ def delta_sql(spark: SparkSession, stmt: str):
         auto = set(dl.table_identity_columns(snap_ins)) | set(
             dl.table_generated_columns(snap_ins)
         )
+        defaults = dl.table_default_columns(snap_ins)
         out_cols = []
         for f in schema.fields:
             if f.name in by_target:
@@ -723,6 +726,15 @@ def delta_sql(spark: SparkSession, stmt: str):
                 )
             elif f.name in auto:
                 continue
+            elif f.name in defaults:
+                # allowColumnDefaults: an INSERT that omits the column
+                # fills its CURRENT_DEFAULT (constant-foldable,
+                # validated at SET DEFAULT time), never NULL
+                out_cols.append(
+                    _F.expr(defaults[f.name])
+                    .cast(f.dataType)
+                    .alias(f.name)
+                )
             else:
                 out_cols.append(_F.lit(None).cast(f.dataType).alias(f.name))
         frame = src.select(*out_cols)
@@ -864,6 +876,7 @@ def delta_sql(spark: SparkSession, stmt: str):
             ddl_parts: list[str] = []
             gen_cols: dict[str, str] = {}
             id_cols: dict[str, dict] = {}
+            def_cols: dict[str, str] = {}
             for part in _split_top_commas(coldefs):
                 part = _unmask(part.strip(), lits)
                 cm = re.match(
@@ -872,6 +885,7 @@ def delta_sql(spark: SparkSession, stmt: str):
                     r"(?:(IDENTITY)(?:\s*\(\s*START\s+WITH\s+(-?\d+)"
                     r"(?:\s+INCREMENT\s+BY\s+(-?\d+))?\s*\))?"
                     r"|\((.+)\)))?"
+                    r"(?:\s+DEFAULT\s+(.+?))?"
                     r"(\s+NOT\s+NULL)?$",
                     part,
                     re.IGNORECASE | re.DOTALL,
@@ -885,7 +899,7 @@ def delta_sql(spark: SparkSession, stmt: str):
                 sch_t = _SQL_TO_SCHEMA_TYPE.get(typ, typ)
                 ddl_parts.append(
                     f"{name} {sch_t}"
-                    + (" NOT NULL" if cm.group(7) else "")
+                    + (" NOT NULL" if cm.group(8) else "")
                 )
                 if cm.group(3):  # IDENTITY
                     id_cols[name] = {
@@ -894,6 +908,13 @@ def delta_sql(spark: SparkSession, stmt: str):
                     }
                 elif cm.group(6):  # GENERATED ALWAYS AS (expr)
                     gen_cols[name] = cm.group(6).strip()
+                if cm.group(7):  # DEFAULT expr
+                    if cm.group(3) or cm.group(6):
+                        raise ValueError(
+                            "delta_sql CREATE TABLE: DEFAULT cannot "
+                            f"combine with GENERATED on {name!r}"
+                        )
+                    def_cols[name] = cm.group(7).strip()
             part_by = (
                 [c.strip() for c in part_src.split(",")]
                 if part_src
@@ -910,7 +931,7 @@ def delta_sql(spark: SparkSession, stmt: str):
                         )
                     conf[_unquote_prop(k, lits)] = _unquote_prop(v, lits)
             empty = spark.createDataFrame([], ", ".join(ddl_parts))
-            return dl.write_delta(
+            v = dl.write_delta(
                 spark,
                 empty,
                 path,
@@ -919,6 +940,11 @@ def delta_sql(spark: SparkSession, stmt: str):
                 generated_columns=gen_cols or None,
                 identity_columns=id_cols or None,
             )
+            # DEFAULT clauses: metadata commits on the fresh table
+            # (validates constant-foldability per column)
+            for name, dexpr in def_cols.items():
+                v = dl.set_column_default(spark, path, name, dexpr)
+            return v
 
     if head == "ALTER":
         m = re.match(
@@ -964,6 +990,29 @@ def delta_sql(spark: SparkSession, stmt: str):
         )
         if m:
             return dl.drop_delta_column(_one_path(s, "ALTER"), m.group(1))
+        m = re.match(
+            r"ALTER\s+TABLE\s+delta\.`[^`]+`\s+ALTER\s+COLUMN\s+"
+            r"(\w+)\s+SET\s+DEFAULT\s+(.+)$",
+            s,
+            re.IGNORECASE | re.DOTALL,
+        )
+        if m:
+            return dl.set_column_default(
+                spark,
+                _one_path(s, "ALTER"),
+                m.group(1),
+                m.group(2).strip(),
+            )
+        m = re.match(
+            r"ALTER\s+TABLE\s+delta\.`[^`]+`\s+ALTER\s+COLUMN\s+"
+            r"(\w+)\s+DROP\s+DEFAULT$",
+            s,
+            re.IGNORECASE,
+        )
+        if m:
+            return dl.set_column_default(
+                spark, _one_path(s, "ALTER"), m.group(1), None
+            )
         m = re.match(
             r"ALTER\s+TABLE\s+delta\.`[^`]+`\s+ALTER\s+COLUMN\s+"
             r"([\w.]+)\s+TYPE\s+(\w+)$",

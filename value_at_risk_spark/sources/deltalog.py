@@ -424,6 +424,11 @@ _SUPPORTED_WRITER_FEATURES = frozenset(
         # delta-spark declares this on new tables, so refusing it
         # would refuse most foreign tables outright.
         "vacuumProtocolCheck",
+        # CURRENT_DEFAULT field metadata; the SQL INSERT path fills
+        # omitted columns with their defaults (set_column_default /
+        # table_default_columns); frame appends enforce schema
+        # equality, which is stricter than the feature requires
+        "allowColumnDefaults",
     }
 )
 
@@ -3393,6 +3398,98 @@ def table_generated_columns(snap: DeltaSnapshot) -> dict[str, str]:
         if expr:
             out[f["name"]] = expr
     return out
+
+
+def table_default_columns(snap: DeltaSnapshot) -> dict[str, str]:
+    """{column: default SQL expression} from the schema field metadata
+    (``CURRENT_DEFAULT`` — protocol writer feature allowColumnDefaults).
+    Defaults apply when an INSERT-like statement OMITS the column; they
+    never rewrite existing rows (the spec's contract)."""
+    out: dict[str, str] = {}
+    for f in json.loads(snap.metadata["schemaString"])["fields"]:
+        expr = (f.get("metadata") or {}).get("CURRENT_DEFAULT")
+        if expr:
+            out[f["name"]] = expr
+    return out
+
+
+def set_column_default(
+    spark: SparkSession, path: str, col: str, expr: str | None
+) -> int:
+    """``ALTER TABLE ... ALTER COLUMN col SET DEFAULT expr`` (or DROP
+    DEFAULT with ``expr=None``) — a metadata-only commit recording the
+    default under the field's ``CURRENT_DEFAULT`` key and declaring
+    the allowColumnDefaults writer feature. The expression must be
+    CONSTANT-FOLDABLE (no column references — validated by planning
+    it against a columnless frame), the same restriction delta-spark
+    enforces; identity/generated columns refuse (their own contracts
+    own the value). Existing rows are untouched: a default governs
+    future INSERTs that omit the column."""
+    if not delta_versions(path):
+        raise ValueError(f"not a delta table at {path}")
+    if expr is not None:
+        try:
+            # plan against a COLUMNLESS frame: only constant
+            # expressions resolve (range(1) would falsely admit
+            # references to its own 'id' column)
+            spark.range(1).drop("id").select(
+                F.expr(expr).alias("_d")
+            ).schema
+        except Exception as e:  # noqa: BLE001
+            raise ValueError(
+                f"set_column_default: {expr!r} is not a constant "
+                f"expression: {e}"
+            ) from None
+    now_ms = int(time.time() * 1000)
+    for _attempt in range(64):
+        snap = snapshot(path)
+        _refuse_high_writer_version(snap, "ALTER COLUMN DEFAULT")
+        if expr is not None:
+            if col in table_identity_columns(snap):
+                raise ValueError(
+                    f"set_column_default: {col!r} is an identity "
+                    "column — its generator owns the value"
+                )
+            if col in table_generated_columns(snap):
+                raise ValueError(
+                    f"set_column_default: {col!r} is a generated "
+                    "column — its expression owns the value"
+                )
+        sch = json.loads(snap.metadata["schemaString"])
+        field = next((f for f in sch["fields"] if f["name"] == col), None)
+        if field is None:
+            raise ValueError(f"set_column_default: no column {col!r}")
+        md = dict(field.get("metadata") or {})
+        if expr is None:
+            md.pop("CURRENT_DEFAULT", None)
+        else:
+            md["CURRENT_DEFAULT"] = expr
+        field["metadata"] = md
+        meta = {**snap.metadata, "schemaString": json.dumps(sch)}
+        actions: list[dict] = [
+            {
+                "commitInfo": {
+                    "timestamp": now_ms,
+                    "operation": "CHANGE COLUMN",
+                    "operationParameters": {
+                        "column": col,
+                        "default": expr,
+                    },
+                    "engineInfo": "value_at_risk_spark.deltalog",
+                }
+            },
+            {"metaData": meta},
+        ]
+        have_w = set(snap.protocol.get("writerFeatures") or [])
+        if expr is not None and "allowColumnDefaults" not in have_w:
+            actions.append(
+                _upgrade_protocol_features(
+                    snap, (), ("allowColumnDefaults",)
+                )
+            )
+        if _publish_commit(path, snap.version + 1, actions):
+            return snap.version + 1
+    raise RuntimeError(f"set_column_default: lost the commit race at {path}")
 
 
 def _check_generated(
