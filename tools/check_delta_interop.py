@@ -1173,6 +1173,49 @@ def arm_d_foreign_fixtures(spark, root: str) -> None:
             f"{e!r}"[:200],
         )
 
+    # --- 9b. allowColumnDefaults declared by a foreign writer -----------
+    try:
+        from value_at_risk_spark.sources.delta_sql import delta_sql
+
+        t = os.path.join(root, "fix_defaults")
+        size = _pq_write(
+            os.path.join(t, "v0.parquet"),
+            {"k": [1], "status": ["old"]},
+        )
+        fields = [
+            {"name": "k", "type": "long", "nullable": True,
+             "metadata": {}},
+            {"name": "status", "type": "string", "nullable": True,
+             # foreign default with an extra unknown metadata key
+             "metadata": {"CURRENT_DEFAULT": "'pending'",
+                          "someFutureKey": 1}},
+        ]
+        _log_write(t, 0, [
+            {"commitInfo": {"timestamp": 0, "operation": "WRITE"}},
+            {"protocol": {
+                "minReaderVersion": 1, "minWriterVersion": 7,
+                "writerFeatures": ["allowColumnDefaults"],
+            }},
+            _meta(fields),
+            {"add": {"path": "v0.parquet", "partitionValues": {},
+                     "size": size, "modificationTime": 0,
+                     "dataChange": True}},
+        ])
+        delta_sql(spark, f"INSERT INTO delta.`{t}` (k) VALUES (2)")
+        got = {
+            r.k: r.status for r in read_delta(spark, t).collect()
+        }
+        assert got == {1: "old", 2: "pending"}, got
+        record(
+            "foreign_fixture_read:column_defaults", "PASS",
+            "foreign CURRENT_DEFAULT honored on INSERT",
+        )
+    except Exception as e:  # noqa: BLE001
+        record(
+            "foreign_fixture_read:column_defaults", "FAIL",
+            f"{e!r}"[:200],
+        )
+
     # --- 10. suspended foreign row tracking -> mid-life enablement ------
     try:
         from value_at_risk_spark.sources.deltalog import (
