@@ -1760,6 +1760,31 @@ def test_column_defaults_lifecycle(spark, tmp_path):
     )
     delta_sql(spark, f"INSERT INTO delta.`{tbl}` (k) VALUES (3)")
     assert read_delta(spark, tbl).filter("k = 3").first().status is None
+    # MERGE's NOT MATCHED INSERT honors defaults too (the spec: a
+    # writer adding rows without a value must write the default) —
+    # both insert surfaces agree
+    from value_at_risk_spark.operators.merge import merge_into_delta_native
+
+    delta_sql(
+        spark, f"ALTER TABLE delta.`{tbl}` ALTER COLUMN status "
+        "SET DEFAULT 'merged'"
+    )
+    merge_into_delta_native(
+        spark,
+        tbl,
+        spark.createDataFrame([(9,)], "k long"),
+        ["k"],
+        not_matched=[{"insert": {"k": "s.k"}}],
+    )
+    r9 = read_delta(spark, tbl).filter("k = 9").first()
+    assert (r9.status, r9.score) == ("merged", 3.0)
+    delta_sql(
+        spark, f"ALTER TABLE delta.`{tbl}` ALTER COLUMN status DROP DEFAULT"
+    )
+    # type-incompatible defaults refuse at SET time (a non-ANSI cast
+    # would silently turn them into NULL at INSERT time)
+    with pytest.raises(ValueError, match="does not cast"):
+        set_column_default(spark, tbl, "score", "'oops'")
     # refusals: non-constant expression, unknown column, identity
     with pytest.raises(ValueError, match="not a constant"):
         set_column_default(spark, tbl, "score", "k + 1")
@@ -1779,6 +1804,17 @@ def test_column_defaults_lifecycle(spark, tmp_path):
             f"CREATE TABLE delta.`{tbl2}_x` ("
             "g BIGINT GENERATED ALWAYS AS (1) DEFAULT 2)",
         )
+    # CREATE with a bad DEFAULT is ATOMIC: no half-created table
+    from value_at_risk_spark.sources.deltalog import delta_versions
+
+    tblf = str(tmp_path / "defs_fail")
+    with pytest.raises(ValueError, match="not a constant"):
+        delta_sql(
+            spark,
+            f"CREATE TABLE delta.`{tblf}` ("
+            "k BIGINT, s STRING DEFAULT upper(k))",
+        )
+    assert not delta_versions(tblf)
 
 
 def test_not_null_invariant_runtime_enforced(spark, tmp_path):
@@ -2498,17 +2534,29 @@ def test_delta_sql_cdf_timestamp_and_tblproperties(spark, tmp_path):
         f"SELECT _change_type, k FROM TABLE_CHANGES(delta.`{tbl}`, 2, 2)",
     ).collect()
     assert [(r["_change_type"], r["k"]) for r in rows] == [("delete", 2)]
-    # timestamp bounds resolve through the TIMESTAMP AS OF rule: a
-    # far-future epoch resolves to the tip, so (tip_ts, tip_ts) reads
-    # the same single-version window as (2, 2)
+    # timestamp bounds are ASYMMETRIC (Delta's CDF rule): the START
+    # resolves to the first commit at-or-AFTER it, the END to the
+    # last commit at-or-before — a start strictly between v1 and v2
+    # must yield ONLY v2's changes (the at-or-before rule would
+    # silently include v1's)
+    hist = delta_history(tbl)
+    ts1, ts2 = hist[1]["timestamp"], hist[2]["timestamp"]
+    assert ts2 > ts1  # commits are ms-separated (the write is slow)
+    mid = (ts1 + ts2) / 2 / 1000.0
     rows_ts = delta_sql(
         spark,
         f"SELECT _change_type, k FROM TABLE_CHANGES(delta.`{tbl}`, "
-        "4102444800.0, 4102444800.0)",
+        f"{mid}, 4102444800.0)",
     ).collect()
     assert [(r["_change_type"], r["k"]) for r in rows_ts] == [
         ("delete", 2)
     ]
+    # a start after the LAST commit raises (no changes to read)
+    with pytest.raises(ValueError, match="after the table's last"):
+        delta_sql(
+            spark,
+            f"SELECT * FROM TABLE_CHANGES(delta.`{tbl}`, 4102444800.0)",
+        )
     ts = delta_history(tbl)[0]["timestamp"] / 1000.0  # v0 commit time
     # ascending history: [0] is v0 (the pre-DML snapshot)
     n = delta_sql(

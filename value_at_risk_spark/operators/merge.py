@@ -131,6 +131,7 @@ def _merge_with_clauses(
     not_matched: list[dict],
     by_source: list[dict],
     want_cdc: bool,
+    defaults: dict[str, str] | None = None,
 ):
     """The general MERGE row engine: ONE full-outer join of target and
     (deduped) source on the keys, an action tag picked by the FIRST
@@ -239,7 +240,16 @@ def _merge_with_clauses(
         col = None
         for tag, spec in list(upd_specs.items()) + list(ins_specs.items()):
             if tag.startswith("i"):
-                val = spec.get(c, F.lit(None))
+                # allowColumnDefaults: an INSERT clause that omits a
+                # defaulted column fills its CURRENT_DEFAULT, the same
+                # contract as SQL INSERT (spec: a writer adding rows
+                # without a value must write the default)
+                if c in spec:
+                    val = spec[c]
+                elif defaults and c in defaults:
+                    val = F.expr(defaults[c])
+                else:
+                    val = F.lit(None)
             else:
                 val = spec.get(c, F.col(tq(c)))
             w = F.col(act_col) == tag
@@ -350,6 +360,7 @@ def merge_into_delta_native(
         cdf_enabled,
         read_delta,
         snapshot,
+        table_default_columns,
         write_delta,
     )
 
@@ -397,6 +408,7 @@ def merge_into_delta_native(
                 nm_cl,
                 bs_cl,
                 want_cdc=cdf_enabled(snap0),
+                defaults=table_default_columns(snap0),
             )
             # merged + the cdc branches all derive from ONE full-outer
             # join: persist it so the write and the cdc staging do not

@@ -16,8 +16,9 @@ like delta-spark's path syntax:
   verbatim (joins between delta tables and registered views work);
   ``TABLE_CHANGES(delta.`/p`, from[, to])`` relations read the
   Change Data Feed (deltalog.table_changes) — bounds are versions
-  (bare integers) or timestamps ('...' / fractional epoch), resolved
-  by the TIMESTAMP AS OF rule;
+  (bare integers) or timestamps ('...' / fractional epoch); a START
+  timestamp resolves to the first commit at-or-AFTER it, an END to
+  the last commit at-or-before (Delta's asymmetric CDF rule);
 - ``DELETE FROM delta.`/p` WHERE cond``;
 - ``UPDATE delta.`/p` SET c = expr[, ...] [WHERE cond]``;
 - ``MERGE INTO delta.`/p` [AS] t USING view [AS] s ON t.k = s.k
@@ -28,7 +29,8 @@ like delta-spark's path syntax:
   ... | DELETE`` (the upsert-star form keeps the cheap
   anti-join + union plan);
 - ``INSERT INTO | OVERWRITE delta.`/p` [(cols)] SELECT ... | VALUES
-  ...`` — positional binding, unlisted columns NULL;
+  ...`` — positional binding; unlisted columns fill their
+  CURRENT_DEFAULT when one is set, else NULL;
 - ``CREATE TABLE delta.`/p` [USING DELTA] [PARTITIONED BY (...)]
   [TBLPROPERTIES ('k'='v', ...)] AS SELECT ...`` (CTAS; refuses an
   existing table);
@@ -119,6 +121,24 @@ def _unquote_prop(token: str, lits: list[str]) -> str:
     return token
 
 
+def _parse_tblproperties(
+    src: str, lits: list[str], what: str
+) -> dict[str, str]:
+    """The ('k'='v', ...) list of a CTAS / CREATE TABLE statement
+    (masked text), shared so the validation and unquoting cannot
+    drift between the two branches."""
+    conf: dict[str, str] = {}
+    for part in _split_top_commas(src):
+        k, eq, v = part.partition("=")
+        if not eq or not k.strip() or not v.strip():
+            raise ValueError(
+                f"delta_sql {what}: bad TBLPROPERTIES item "
+                f"{part.strip()!r}"
+            )
+        conf[_unquote_prop(k, lits)] = _unquote_prop(v, lits)
+    return conf
+
+
 def _split_top_commas(text: str) -> list[str]:
     """Split on commas at paren depth 0 (call on MASKED text — string
     literals are already placeholders, so their commas/parens are
@@ -203,15 +223,22 @@ def delta_sql(spark: SparkSession, stmt: str):
         # table_changes(delta.`/p`, from[, to]) relations become CDF
         # views first, so the generic substitution below never sees
         # their inner delta.`path`
-        def _cdf_bound(path: str, raw: str) -> int:
-            # quoted or fractional bound = a timestamp, resolved by
-            # the same at-or-before rule as TIMESTAMP AS OF; a bare
-            # integer is a version
+        def _cdf_bound(path: str, raw: str, start: bool) -> int:
+            # quoted or fractional bound = a timestamp; bare integer =
+            # a version. Delta's CDF rule is ASYMMETRIC: a START
+            # timestamp resolves to the first commit at-or-AFTER it
+            # (changes before the asked instant are never included),
+            # an END timestamp to the last commit at-or-before it —
+            # the TIMESTAMP AS OF rule.
             if raw.startswith("'"):
-                return dl.version_at_timestamp(path, raw[1:-1])
-            if "." in raw:
-                return dl.version_at_timestamp(path, float(raw))
-            return int(raw)
+                ts = raw[1:-1]
+            elif "." in raw:
+                ts = float(raw)
+            else:
+                return int(raw)
+            if start:
+                return dl.version_at_or_after_timestamp(path, ts)
+            return dl.version_at_timestamp(path, ts)
 
         def _cdf_sub(m: re.Match) -> str:
             view = f"delta_cdf_{uuid.uuid4().hex[:8]}"
@@ -219,8 +246,12 @@ def delta_sql(spark: SparkSession, stmt: str):
             dl.table_changes(
                 spark,
                 path,
-                _cdf_bound(path, m.group(2)),
-                _cdf_bound(path, m.group(3)) if m.group(3) else None,
+                _cdf_bound(path, m.group(2), start=True),
+                (
+                    _cdf_bound(path, m.group(3), start=False)
+                    if m.group(3)
+                    else None
+                ),
             ).createOrReplaceTempView(view)
             return view
 
@@ -803,14 +834,7 @@ def delta_sql(spark: SparkSession, stmt: str):
             )
             conf: dict[str, str] = {}
             if m.group(3):
-                for part in _split_top_commas(m.group(3)):
-                    k, eq, v = part.partition("=")
-                    if not eq or not k.strip() or not v.strip():
-                        raise ValueError(
-                            "delta_sql CTAS: bad TBLPROPERTIES item "
-                            f"{part.strip()!r}"
-                        )
-                    conf[_unquote_prop(k, lits)] = _unquote_prop(v, lits)
+                conf = _parse_tblproperties(m.group(3), lits, "CTAS")
                 if not conf:
                     raise ValueError(
                         "delta_sql CTAS: no 'k'='v' pairs in "
@@ -922,16 +946,12 @@ def delta_sql(spark: SparkSession, stmt: str):
             )
             conf = {}
             if prop_src:
-                for part in _split_top_commas(prop_src):
-                    k, eq, v = part.partition("=")
-                    if not eq or not k.strip() or not v.strip():
-                        raise ValueError(
-                            "delta_sql CREATE TABLE: bad TBLPROPERTIES "
-                            f"item {part.strip()!r}"
-                        )
-                    conf[_unquote_prop(k, lits)] = _unquote_prop(v, lits)
+                conf = _parse_tblproperties(prop_src, lits, "CREATE TABLE")
             empty = spark.createDataFrame([], ", ".join(ddl_parts))
-            v = dl.write_delta(
+            # DEFAULT clauses land IN the v0 commit (write_delta
+            # validates them first — no half-created table when a
+            # later default fails)
+            return dl.write_delta(
                 spark,
                 empty,
                 path,
@@ -939,12 +959,8 @@ def delta_sql(spark: SparkSession, stmt: str):
                 configuration=conf or None,
                 generated_columns=gen_cols or None,
                 identity_columns=id_cols or None,
+                column_defaults=def_cols or None,
             )
-            # DEFAULT clauses: metadata commits on the fresh table
-            # (validates constant-foldability per column)
-            for name, dexpr in def_cols.items():
-                v = dl.set_column_default(spark, path, name, dexpr)
-            return v
 
     if head == "ALTER":
         m = re.match(

@@ -1974,6 +1974,7 @@ def write_delta(
     extra_actions: list[dict] | None = None,
     identity_columns: dict[str, dict] | None = None,
     cluster_by: list[str] | None = None,
+    column_defaults: dict[str, str] | None = None,
 ) -> int:
     """Transactional append/overwrite; returns the committed version.
 
@@ -2191,6 +2192,39 @@ def write_delta(
                 }
         schema_for_commit = StructType.fromJson(sch)
         min_writer = max(min_writer, 6)
+    if column_defaults:
+        # creation-time CURRENT_DEFAULT stamping: validated + landed
+        # in the SAME v0 commit as the schema (an after-the-fact
+        # per-column commit could leave a half-created table when a
+        # later default fails validation)
+        if exists:
+            raise ValueError(
+                "write_delta: column_defaults is a table-creation "
+                "option; use set_column_default on an existing table"
+            )
+        sch = (schema_for_commit or df.schema).jsonValue()
+        known = {f["name"] for f in sch["fields"]}
+        typed = StructType.fromJson(sch)
+        for col, dexpr in column_defaults.items():
+            if col not in known:
+                raise ValueError(
+                    f"write_delta: column_defaults: no column {col!r}"
+                )
+            if col in (generated_columns or {}) or col in id_specs:
+                raise ValueError(
+                    f"write_delta: column_defaults: {col!r} is "
+                    "generated/identity — its own contract owns the "
+                    "value"
+                )
+            _validate_default_expr(spark, dexpr, typed[col].dataType)
+        for f in sch["fields"]:
+            if f["name"] in column_defaults:
+                f["metadata"] = {
+                    **(f.get("metadata") or {}),
+                    "CURRENT_DEFAULT": column_defaults[f["name"]],
+                }
+        schema_for_commit = StructType.fromJson(sch)
+        writer_features += ["allowColumnDefaults"]
     # column mapping: all validation above ran in LOGICAL names; data
     # files must carry PHYSICAL names (and parquet field ids — 'id'
     # mode resolves by them, and writing them in 'name' mode too is
@@ -3413,6 +3447,33 @@ def table_default_columns(snap: DeltaSnapshot) -> dict[str, str]:
     return out
 
 
+def _validate_default_expr(spark: SparkSession, expr: str, dtype) -> None:
+    """A default must be CONSTANT-FOLDABLE and CASTABLE to the
+    column's type. Foldability: planned against a COLUMNLESS frame
+    (range(1) would falsely admit references to its own ``id``).
+    Castability: evaluated once — a non-NULL constant whose non-ANSI
+    cast comes back NULL (e.g. DEFAULT 'oops' on a double column)
+    would otherwise silently insert NULL, violating the
+    fills-the-default contract."""
+    base = spark.range(1).drop("id")
+    try:
+        row = base.select(F.expr(expr).alias("d")).first()
+    except Exception as e:  # noqa: BLE001
+        raise ValueError(
+            f"column default {expr!r} is not a constant "
+            f"expression: {e}"
+        ) from None
+    try:
+        cast_row = base.select(F.expr(expr).cast(dtype).alias("c")).first()
+    except Exception:  # noqa: BLE001 — ANSI cast raises at eval
+        cast_row = None
+    if cast_row is None or (row.d is not None and cast_row.c is None):
+        raise ValueError(
+            f"column default {expr!r} does not cast to "
+            f"{dtype.simpleString()}"
+        )
+
+
 def set_column_default(
     spark: SparkSession, path: str, col: str, expr: str | None
 ) -> int:
@@ -3427,19 +3488,6 @@ def set_column_default(
     future INSERTs that omit the column."""
     if not delta_versions(path):
         raise ValueError(f"not a delta table at {path}")
-    if expr is not None:
-        try:
-            # plan against a COLUMNLESS frame: only constant
-            # expressions resolve (range(1) would falsely admit
-            # references to its own 'id' column)
-            spark.range(1).drop("id").select(
-                F.expr(expr).alias("_d")
-            ).schema
-        except Exception as e:  # noqa: BLE001
-            raise ValueError(
-                f"set_column_default: {expr!r} is not a constant "
-                f"expression: {e}"
-            ) from None
     now_ms = int(time.time() * 1000)
     for _attempt in range(64):
         snap = snapshot(path)
@@ -3459,6 +3507,14 @@ def set_column_default(
         field = next((f for f in sch["fields"] if f["name"] == col), None)
         if field is None:
             raise ValueError(f"set_column_default: no column {col!r}")
+        if expr is not None:
+            _validate_default_expr(
+                spark,
+                expr,
+                StructType.fromJson(
+                    {"type": "struct", "fields": [field]}
+                )[col].dataType,
+            )
         md = dict(field.get("metadata") or {})
         if expr is None:
             md.pop("CURRENT_DEFAULT", None)
@@ -4970,15 +5026,7 @@ def table_changes(
     return to_log(out.select(*[f.name for f in out_schema.fields]))
 
 
-def version_at_timestamp(path: str, ts) -> int:
-    """The newest version whose commit timestamp is <= ``ts`` —
-    ``TIMESTAMP AS OF`` resolution. ``ts`` is epoch seconds (int or
-    float), a ``datetime``, or an ISO-8601 string (naive values are
-    taken as UTC — commit timestamps are epoch milliseconds).
-    Timestamps come from ``commitInfo.timestamp`` with the commit
-    file's mtime as fallback; checkpoint-anchored versions whose
-    commit JSON was cleaned use the checkpoint file's mtime. Raises
-    when ``ts`` predates the table's first version."""
+def _ts_to_target_ms(ts) -> int:
     from datetime import datetime, timezone
 
     if isinstance(ts, str):
@@ -4986,12 +5034,16 @@ def version_at_timestamp(path: str, ts) -> int:
     if isinstance(ts, datetime):
         if ts.tzinfo is None:
             ts = ts.replace(tzinfo=timezone.utc)
-        target_ms = int(ts.timestamp() * 1000)
-    else:
-        target_ms = int(float(ts) * 1000)
+        return int(ts.timestamp() * 1000)
+    return int(float(ts) * 1000)
+
+
+def _version_timestamps(path: str):
+    """(version, commit-ts-ms) in version order. Timestamps come from
+    ``commitInfo.inCommitTimestamp``/``timestamp`` with the commit
+    file's mtime as fallback; checkpoint-anchored versions whose
+    commit JSON was cleaned use the checkpoint file's mtime."""
     jsons = set(_json_versions(path))
-    best = None
-    earliest_ms = None
     for v in delta_versions(path):
         if v in jsons:
             ts_ms = None
@@ -5012,6 +5064,19 @@ def version_at_timestamp(path: str, ts) -> int:
         else:
             cps = _checkpoint_files(path, v)
             ts_ms = int(os.stat(cps[0]).st_mtime * 1000) if cps else 0
+        yield v, ts_ms
+
+
+def version_at_timestamp(path: str, ts) -> int:
+    """The newest version whose commit timestamp is <= ``ts`` —
+    ``TIMESTAMP AS OF`` resolution. ``ts`` is epoch seconds (int or
+    float), a ``datetime``, or an ISO-8601 string (naive values are
+    taken as UTC — commit timestamps are epoch milliseconds). Raises
+    when ``ts`` predates the table's first version."""
+    target_ms = _ts_to_target_ms(ts)
+    best = None
+    earliest_ms = None
+    for v, ts_ms in _version_timestamps(path):
         if earliest_ms is None:
             earliest_ms = ts_ms
         if ts_ms <= target_ms:
@@ -5022,6 +5087,28 @@ def version_at_timestamp(path: str, ts) -> int:
             f"table's first commit ({earliest_ms} ms) at {path}"
         )
     return best
+
+
+def version_at_or_after_timestamp(path: str, ts) -> int:
+    """The OLDEST version whose commit timestamp is >= ``ts`` — the
+    Change Data Feed STARTING-timestamp rule (delta-spark resolves a
+    CDF start to the first commit at-or-after it, so changes that
+    happened before the asked-for instant are never included; the
+    at-or-before rule of ``version_at_timestamp`` governs AS-OF reads
+    and CDF END bounds). A start before the first commit resolves to
+    the first version; a start after the last commit raises (there
+    are no changes to read — delta-spark's own error)."""
+    target_ms = _ts_to_target_ms(ts)
+    latest_ms = None
+    for v, ts_ms in _version_timestamps(path):
+        latest_ms = ts_ms
+        if ts_ms >= target_ms:
+            return v
+    raise ValueError(
+        f"version_at_or_after_timestamp: {target_ms} ms is after the "
+        f"table's last commit ({latest_ms} ms) at {path} — no changes "
+        "at or after that instant"
+    )
 
 
 def cleanup_delta_log(path: str, keep_last: int = 0) -> list[int]:
