@@ -15580,6 +15580,89 @@ def delta_midlife_upgrade_scan(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @query(
+    "delta_defaults_scan",
+    """
+WITH rows_all AS (
+  SELECT c_mktsegment AS seg, 100.0 AS bal
+  FROM customer WHERE c_custkey % 2 = 0
+  UNION ALL
+  SELECT 'unassigned' AS seg, 100.0 AS bal
+  FROM customer WHERE c_custkey % 2 = 1
+  UNION ALL
+  SELECT 'unassigned' AS seg, c_acctbal AS bal
+  FROM customer WHERE c_custkey % 2 = 1
+)
+SELECT seg, COUNT(*) AS n_rows, ROUND(SUM(bal), 2) + 0 AS total_bal
+FROM rows_all GROUP BY seg
+""",
+)
+def delta_defaults_scan(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Column defaults (allowColumnDefaults), ORACLE-pinned (r13): a
+    table born from SQL ``CREATE TABLE`` with DEFAULT clauses takes
+    (1) an INSERT listing (k, seg) — bal fills its default, (2) an
+    INSERT listing only (k) — both seg and bal default, and (3) a
+    MERGE ``WHEN NOT MATCHED INSERT`` that omits seg — the clause
+    engine fills the default too, the same contract as INSERT.
+    Read-back must equal DuckDB recomputing all three fills from the
+    fixture: hash equality proves omitted columns get their
+    CURRENT_DEFAULT (never NULL) on every insert surface."""
+    from value_at_risk_spark.operators.merge import merge_into_delta_native
+    from value_at_risk_spark.sources.deltalog import read_delta
+    from value_at_risk_spark.sources.delta_sql import delta_sql
+
+    def build(tbl: str) -> None:
+        delta_sql(
+            spark,
+            f"CREATE TABLE delta.`{tbl}` ("
+            "k BIGINT, seg STRING DEFAULT 'unassigned', "
+            "bal DOUBLE DEFAULT 100.0)",
+        )
+        cust = _t(spark, sf_dir, "customer")
+        view = f"defaults_src_{uuid.uuid4().hex[:8]}"
+        cust.createOrReplaceTempView(view)
+        delta_sql(
+            spark,
+            f"INSERT INTO delta.`{tbl}` (k, seg) "
+            f"SELECT c_custkey, c_mktsegment FROM {view} "
+            "WHERE c_custkey % 2 = 0",
+        )
+        delta_sql(
+            spark,
+            f"INSERT INTO delta.`{tbl}` (k) "
+            f"SELECT c_custkey FROM {view} WHERE c_custkey % 2 = 1",
+        )
+        # MERGE inserts NEW keys (odd keys shifted out of range),
+        # listing only (k, bal) — seg must fill its default
+        hi = cust.agg(F.max("c_custkey")).first()[0] + 1
+        merge_into_delta_native(
+            spark,
+            tbl,
+            cust.filter(F.col("c_custkey") % 2 == 1).select(
+                (F.col("c_custkey") + F.lit(hi)).alias("k"),
+                F.col("c_acctbal").alias("bal"),
+            ),
+            ["k"],
+            not_matched=[{"insert": {"k": "s.k", "bal": "s.bal"}}],
+        )
+        spark.catalog.dropTempView(view)
+
+    tbl = _scratch_delta_table(
+        "defaults",
+        sf_dir,
+        "create w/ defaults + 2 inserts + merge insert (r13)",
+        build,
+    )
+    return (
+        read_delta(spark, tbl)
+        .groupBy("seg")
+        .agg(
+            F.count(F.lit(1)).alias("n_rows"),
+            (F.round(F.sum("bal"), 2) + F.lit(0.0)).alias("total_bal"),
+        )
+    )
+
+
+@query(
     "delta_merge_clauses_scan",
     """
 WITH t AS (
