@@ -1716,6 +1716,62 @@ def test_create_table_column_defs_sql(spark, tmp_path):
         )
 
 
+def test_auto_compact_post_commit_hook(spark, tmp_path):
+    """delta.autoOptimize.autoCompact: once at least minNumFiles
+    active files sit below minFileSize, the NEXT data commit triggers
+    an incremental compaction (dataChange:false, rows preserved);
+    tables without the property never auto-compact."""
+    from value_at_risk_spark.sources.deltalog import (
+        delta_history,
+        read_delta,
+        snapshot,
+        write_delta,
+    )
+
+    tbl = str(tmp_path / "ac")
+    write_delta(
+        spark,
+        spark.createDataFrame([(0, 0.0)], "k long, v double").coalesce(1),
+        tbl,
+        configuration={
+            "delta.autoOptimize.autoCompact": "true",
+            "delta.autoOptimize.minNumFiles": "4",
+        },
+    )
+    for i in range(1, 4):
+        write_delta(
+            spark,
+            spark.createDataFrame(
+                [(i, float(i))], "k long, v double"
+            ).coalesce(1),
+            tbl,
+        )
+    snap = snapshot(tbl)
+    assert len(snap.files) == 1  # 4 small files compacted to one
+    ops = [h["operation"] for h in delta_history(tbl)]
+    assert "OPTIMIZE" in ops
+    got = {(r.k, r.v) for r in read_delta(spark, tbl).collect()}
+    assert got == {(i, float(i)) for i in range(4)}
+    # further single-file appends stay below the trigger: no cascade
+    write_delta(
+        spark,
+        spark.createDataFrame([(9, 9.0)], "k long, v double").coalesce(1),
+        tbl,
+    )
+    assert len(snapshot(tbl).files) == 2
+    # without the property nothing compacts
+    tbl2 = str(tmp_path / "noac")
+    for i in range(5):
+        write_delta(
+            spark,
+            spark.createDataFrame(
+                [(i, float(i))], "k long, v double"
+            ).coalesce(1),
+            tbl2,
+        )
+    assert len(snapshot(tbl2).files) == 5
+
+
 def test_column_defaults_lifecycle(spark, tmp_path):
     """allowColumnDefaults: CREATE TABLE DEFAULT clauses, SET/DROP
     DEFAULT SQL, INSERTs omitting the column fill its

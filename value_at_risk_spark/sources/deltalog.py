@@ -2437,7 +2437,7 @@ def write_delta(
             ),
         )
     )
-    return commit_staged_adds(
+    v = commit_staged_adds(
         path,
         adds,
         schema_for_commit or df.schema,
@@ -2454,6 +2454,50 @@ def write_delta(
         mapped_ok=l2p_write is not None,
         invariants_seen=inv_seen,
     )
+    if v >= 0:
+        # property read from the PRE-commit state (or the creation
+        # config): tables without autoCompact pay NOTHING — no extra
+        # log replay per write (streaming sinks call this per batch)
+        cfg_hint = (
+            (snap_pre.metadata.get("configuration") or {})
+            if exists
+            else (configuration or {})
+        )
+        if _truthy(cfg_hint.get("delta.autoOptimize.autoCompact")):
+            _maybe_auto_compact(spark, path)
+    return v
+
+
+def _maybe_auto_compact(spark: SparkSession, path: str) -> None:
+    """``delta.autoOptimize.autoCompact``: after a data commit, if at
+    least ``delta.autoOptimize.minNumFiles`` (default 50) active files
+    are smaller than ``delta.autoOptimize.minFileSize`` (default
+    16 MiB), run an incremental small-file compaction — the
+    post-commit hook Databricks tables opt into so streaming/trickle
+    ingest never accumulates a small-file mess that a separate
+    OPTIMIZE job has to chase. BEST-EFFORT: a concurrent change
+    aborts the compaction (the write that triggered it already
+    committed), never the caller. The compaction commits through
+    optimize_delta's own dataChange:false path (no recursion — it
+    does not call write_delta)."""
+    try:
+        snap = snapshot(path)
+        cfg = snap.metadata.get("configuration") or {}
+        if not _truthy(cfg.get("delta.autoOptimize.autoCompact")):
+            return
+        min_size = int(
+            cfg.get("delta.autoOptimize.minFileSize", str(16 * 1024 * 1024))
+        )
+        min_num = int(cfg.get("delta.autoOptimize.minNumFiles", "50"))
+        small = sum(
+            1
+            for a in snap.files.values()
+            if int(a.get("size", 0)) < min_size
+        )
+        if small >= min_num:
+            optimize_delta(spark, path, min_file_size=min_size)
+    except Exception:  # noqa: BLE001 — advisory maintenance only
+        return
 
 
 def _truthy(v) -> bool:
