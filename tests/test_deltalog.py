@@ -861,6 +861,57 @@ def test_delta_log_model_based_random_walks(spark, tmp_path):
             ], (seed, _step, "time-travel", probe)
 
 
+def test_checkpoint_protection_guards_log_cleanup(spark, tmp_path):
+    """checkpointProtection: commits before
+    delta.requireCheckpointProtectionBeforeVersion survive cleanup
+    while the anchoring checkpoint sits BELOW the boundary; a
+    checkpoint at-or-after it allows the one-go truncation past the
+    protected region."""
+    from value_at_risk_spark.sources.deltalog import (
+        _json_versions,
+        checkpoint_delta,
+        cleanup_delta_log,
+        set_table_properties,
+        write_delta,
+    )
+
+    tbl = str(tmp_path / "cprot")
+    for i in range(4):
+        write_delta(
+            spark,
+            spark.createDataFrame([(i,)], "k long").coalesce(1),
+            tbl,
+        )
+    set_table_properties(
+        tbl, {"delta.requireCheckpointProtectionBeforeVersion": "4"}
+    )  # v4; protect v0..v3
+    checkpoint_delta(tbl)  # checkpoint at v4... wait, at the tip
+    # force a checkpoint BELOW the boundary by writing one earlier:
+    # rebuild scenario — new table, checkpoint at v2, boundary 4
+    tbl2 = str(tmp_path / "cprot2")
+    for i in range(3):
+        write_delta(
+            spark,
+            spark.createDataFrame([(i,)], "k long").coalesce(1),
+            tbl2,
+        )
+    checkpoint_delta(tbl2)  # cp at v2
+    set_table_properties(
+        tbl2, {"delta.requireCheckpointProtectionBeforeVersion": "4"}
+    )
+    assert cleanup_delta_log(tbl2) == []  # cp(2) < boundary(4): keep all
+    assert set(_json_versions(tbl2)) == {0, 1, 2, 3}
+    # advance past the boundary and checkpoint there: one-go cleanup
+    write_delta(
+        spark, spark.createDataFrame([(9,)], "k long").coalesce(1), tbl2
+    )
+    checkpoint_delta(tbl2)  # cp at v4 == boundary
+    deleted = cleanup_delta_log(tbl2)
+    assert deleted == [0, 1, 2, 3, 4]
+    # the unprotected table (boundary at the tip checkpoint) cleans
+    assert cleanup_delta_log(tbl) == [0, 1, 2, 3, 4]
+
+
 def test_checkpoint_anchors_version_after_full_cleanup(spark, tmp_path):
     """ADVICE r10 (high): checkpoint at the tip + cleanup_delta_log
     (keep_last=0) removes every commit JSON <= the checkpoint — the

@@ -429,6 +429,11 @@ _SUPPORTED_WRITER_FEATURES = frozenset(
         # table_default_columns); frame appends enforce schema
         # equality, which is stricter than the feature requires
         "allowColumnDefaults",
+        # cleanup_delta_log never cleans commits before
+        # delta.requireCheckpointProtectionBeforeVersion unless the
+        # truncation is anchored by a checkpoint at-or-after the
+        # boundary (one-go past it) — the feature's obligation
+        "checkpointProtection",
     }
 )
 
@@ -5173,6 +5178,19 @@ def cleanup_delta_log(path: str, keep_last: int = 0) -> list[int]:
     # only commit JSONs are deletable; the checkpoint itself anchors
     # its version for snapshot()/delta_versions() afterwards
     cutoff = [v for v in _json_versions(path) if v <= cp]
+    # checkpointProtection (spec): history before
+    # delta.requireCheckpointProtectionBeforeVersion may only be
+    # cleaned when the operation truncates past the boundary in one
+    # go, anchored by a checkpoint AT OR AFTER it — the protected
+    # region's existing checkpoints (written by a fully-capable
+    # writer) must otherwise stay reachable
+    cfg = snapshot(path).metadata.get("configuration") or {}
+    n_prot = int(
+        cfg.get("delta.requireCheckpointProtectionBeforeVersion", "0")
+        or 0
+    )
+    if n_prot and cp < n_prot:
+        cutoff = [v for v in cutoff if v >= n_prot]
     if keep_last:
         cutoff = cutoff[:-keep_last] if keep_last < len(cutoff) else []
     deleted = []
