@@ -884,10 +884,10 @@ def test_checkpoint_protection_guards_log_cleanup(spark, tmp_path):
         )
     set_table_properties(
         tbl, {"delta.requireCheckpointProtectionBeforeVersion": "4"}
-    )  # v4; protect v0..v3
-    checkpoint_delta(tbl)  # checkpoint at v4... wait, at the tip
-    # force a checkpoint BELOW the boundary by writing one earlier:
-    # rebuild scenario — new table, checkpoint at v2, boundary 4
+    )  # property lands at v4 — v0..v3 protected
+    checkpoint_delta(tbl)  # checkpoint at the tip (v4 == boundary)
+    # the discriminating case needs a checkpoint BELOW the boundary:
+    # new table, checkpoint at v2, boundary 4
     tbl2 = str(tmp_path / "cprot2")
     for i in range(3):
         write_delta(
