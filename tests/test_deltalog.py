@@ -899,6 +899,13 @@ def test_checkpoint_protection_guards_log_cleanup(spark, tmp_path):
     set_table_properties(
         tbl2, {"delta.requireCheckpointProtectionBeforeVersion": "4"}
     )
+    # the spec ties the property to the table feature so naive
+    # foreign writers refuse before cleaning the protected region
+    from value_at_risk_spark.sources.deltalog import snapshot as _snap
+
+    assert "checkpointProtection" in (
+        _snap(tbl2).protocol.get("writerFeatures") or []
+    )
     assert cleanup_delta_log(tbl2) == []  # cp(2) < boundary(4): keep all
     assert set(_json_versions(tbl2)) == {0, 1, 2, 3}
     # advance past the boundary and checkpoint there: one-go cleanup
@@ -906,6 +913,10 @@ def test_checkpoint_protection_guards_log_cleanup(spark, tmp_path):
         spark, spark.createDataFrame([(9,)], "k long").coalesce(1), tbl2
     )
     checkpoint_delta(tbl2)  # cp at v4 == boundary
+    # keep_last slicing must not carve a PARTIAL prefix out of the
+    # protected region: keeping the last 2 would delete only v0..v2
+    # (< boundary-1), so the whole cleanup refuses
+    assert cleanup_delta_log(tbl2, keep_last=2) == []
     deleted = cleanup_delta_log(tbl2)
     assert deleted == [0, 1, 2, 3, 4]
     # the unprotected table (boundary at the tip checkpoint) cleans
@@ -1821,6 +1832,17 @@ def test_auto_compact_post_commit_hook(spark, tmp_path):
             tbl2,
         )
     assert len(snapshot(tbl2).files) == 5
+    # copy-on-write DML triggers the hook too (write_delta parity):
+    # repeated CoW updates on the compacted table re-accumulate small
+    # rewritten files until the threshold re-fires
+    from value_at_risk_spark.sources.deltalog import update_delta
+
+    for i in range(4):
+        update_delta(
+            spark, tbl, f"k = {i}", {"v": f"v + {i}"}, use_dv=False
+        )
+    assert len(snapshot(tbl).files) <= 3  # compaction re-fired
+    assert read_delta(spark, tbl).count() == 5
 
 
 def test_column_defaults_lifecycle(spark, tmp_path):

@@ -2691,6 +2691,14 @@ def set_table_properties(path: str, props: dict[str, str]) -> int:
             need_w.update(
                 {"rowTracking", "domainMetadata"} - have_w
             )
+        if (
+            cfg.get("delta.requireCheckpointProtectionBeforeVersion")
+            and "checkpointProtection" not in have_w
+        ):
+            # the spec ties the property to the table feature so
+            # naive foreign writers are refused before they clean
+            # through the protected region
+            need_w.add("checkpointProtection")
         cdf_short = _truthy(cfg.get("delta.enableChangeDataFeed")) and (
             wv < 4 or (wv == 7 and "changeDataFeed" not in have_w)
         )
@@ -3920,6 +3928,10 @@ def commit_staged_adds(
                 cfg0.setdefault(
                     _RT_MATCOL_KEY, f"_row-id-col-{uuid.uuid4()}"
                 )
+            if cfg0.get(
+                "delta.requireCheckpointProtectionBeforeVersion"
+            ):
+                wfeats.append("checkpointProtection")
             if rfeats or wfeats:
                 # the table is born as a feature table (v3/v7) with
                 # the legacy features its min_writer_version implies
@@ -5183,16 +5195,27 @@ def cleanup_delta_log(path: str, keep_last: int = 0) -> list[int]:
     # cleaned when the operation truncates past the boundary in one
     # go, anchored by a checkpoint AT OR AFTER it — the protected
     # region's existing checkpoints (written by a fully-capable
-    # writer) must otherwise stay reachable
+    # writer) must otherwise stay reachable. A malformed property
+    # value fails toward PROTECT EVERYTHING, never an exception out
+    # of a maintenance call.
     cfg = snapshot(path).metadata.get("configuration") or {}
-    n_prot = int(
-        cfg.get("delta.requireCheckpointProtectionBeforeVersion", "0")
-        or 0
+    raw_prot = cfg.get(
+        "delta.requireCheckpointProtectionBeforeVersion", "0"
     )
+    try:
+        n_prot = int(raw_prot or 0)
+    except (TypeError, ValueError):
+        return []
     if n_prot and cp < n_prot:
-        cutoff = [v for v in cutoff if v >= n_prot]
+        # no checkpoint at-or-after the boundary: nothing is cleanable
+        return []
     if keep_last:
         cutoff = cutoff[:-keep_last] if keep_last < len(cutoff) else []
+        if n_prot and cutoff and cutoff[-1] < n_prot - 1:
+            # the keep_last slice would delete a strict PREFIX of the
+            # protected region — the partial cleanup the feature
+            # forbids (all-or-nothing below the boundary)
+            return []
     deleted = []
     for v in cutoff:
         try:
@@ -5347,6 +5370,25 @@ def _commit_rewrite(
 
 
 def delete_from_delta(
+    spark: SparkSession,
+    path: str,
+    condition: str,
+    partition_filters: dict[str, list[str]] | None = None,
+    stats_filters: list[tuple] | None = None,
+    use_dv: bool | None = None,
+) -> dict:
+    out = _delete_from_delta_impl(
+        spark, path, condition, partition_filters, stats_filters, use_dv
+    )
+    # autoCompact parity with write_delta: a copy-on-write DELETE adds
+    # rewritten files the property promises to keep compacted; DV
+    # deletes add no data files (files_rewritten == 0) and skip
+    if out.get("files_rewritten"):
+        _maybe_auto_compact(spark, path)
+    return out
+
+
+def _delete_from_delta_impl(
     spark: SparkSession,
     path: str,
     condition: str,
@@ -6106,6 +6148,26 @@ def _expand_nested_sets(
 
 
 def update_delta(
+    spark: SparkSession,
+    path: str,
+    condition: str,
+    set_exprs: dict[str, str],
+    partition_filters: dict[str, list[str]] | None = None,
+    stats_filters: list[tuple] | None = None,
+    use_dv: bool | None = None,
+) -> dict:
+    out = _update_delta_impl(
+        spark, path, condition, set_exprs, partition_filters,
+        stats_filters, use_dv,
+    )
+    # autoCompact parity with write_delta: both the copy-on-write
+    # rewrite and the merge-on-read moved-rows file add data files
+    if out.get("files_rewritten") or out.get("rows_updated"):
+        _maybe_auto_compact(spark, path)
+    return out
+
+
+def _update_delta_impl(
     spark: SparkSession,
     path: str,
     condition: str,
