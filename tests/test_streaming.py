@@ -795,3 +795,95 @@ def test_cdc_apply_prior_frame_survives_next_invocation(spark, sf_dir):
     # collect the FIRST frame after the SECOND invocation completed
     got = sorted((r.k, r.name, r.bal) for r in first.collect())
     assert got == exp and len(got) > 0
+
+
+def test_transform_with_state_running_totals(spark, tmp_path):
+    """streaming_running_totals rides Spark 4's
+    transformWithStateInPandas (the modern stateful-processor API:
+    typed ValueState handles instead of applyInPandasWithState's
+    tuple contract). The API's state server speaks protobuf, which
+    this container does not ship — WITH protobuf the four-file
+    availableNow replay must equal the batch per-key (sum, count);
+    WITHOUT it the operator must refuse loudly up front (the driver
+    worker otherwise crashes mid-query with an opaque STREAM_FAILED)."""
+    import glob as _glob
+    import shutil
+
+    from value_at_risk_spark.streaming.stateful import (
+        streaming_running_totals,
+    )
+
+    df = spark.createDataFrame(
+        [(i % 7, float(i % 100)) for i in range(500)],
+        "user_id long, value double",
+    )
+    try:
+        import google.protobuf  # noqa: F401
+    except ImportError:
+        import pytest as _pytest
+
+        with _pytest.raises(NotImplementedError, match="protobuf"):
+            streaming_running_totals(df)
+        return
+
+    prev = spark.conf.get(
+        "spark.sql.streaming.stateStore.providerClass", None
+    )
+    spark.conf.set(
+        "spark.sql.streaming.stateStore.providerClass",
+        "org.apache.spark.sql.execution.streaming.state."
+        "RocksDBStateStoreProvider",
+    )
+    try:
+        src = tmp_path / "twsl"
+        src.mkdir()
+        for i in range(4):
+            part = df.filter(F.col("value") % 4 == i)
+            stage = tmp_path / f"_tws{i}"
+            part.coalesce(1).write.mode("overwrite").parquet(str(stage))
+            shutil.copy(
+                _glob.glob(str(stage / "part-*.parquet"))[0],
+                src / f"slice{i}.parquet",
+            )
+        stream = (
+            spark.readStream.schema("user_id long, value double")
+            .option("maxFilesPerTrigger", 1)
+            .parquet(str(src))
+        )
+        q = (
+            streaming_running_totals(stream)
+            .writeStream.format("memory")
+            .queryName("tws_totals")
+            .outputMode("update")
+            .trigger(availableNow=True)
+            .start()
+        )
+        assert q.awaitTermination(180)
+        final = {
+            r.user_id: (r.total, r.n)
+            for r in spark.table("tws_totals")
+            .withColumn(
+                "_rn",
+                F.row_number().over(
+                    Window.partitionBy("user_id").orderBy(F.desc("n"))
+                ),
+            )
+            .filter(F.col("_rn") == 1)
+            .collect()
+        }
+        exp = {
+            r.user_id: (r.total, r.n)
+            for r in df.groupBy("user_id")
+            .agg(F.sum("value").alias("total"), F.count("*").alias("n"))
+            .collect()
+        }
+        assert final == exp and len(final) == 7
+    finally:
+        if prev is None:
+            spark.conf.unset(
+                "spark.sql.streaming.stateStore.providerClass"
+            )
+        else:
+            spark.conf.set(
+                "spark.sql.streaming.stateStore.providerClass", prev
+            )

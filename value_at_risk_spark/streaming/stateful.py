@@ -281,3 +281,72 @@ def streaming_heavy_hitters(
         outputMode="update",
         timeoutConf=GroupStateTimeout.NoTimeout,
     )
+
+
+def streaming_running_totals(
+    df: DataFrame, key_col: str = "user_id", val_col: str = "value"
+) -> DataFrame:
+    """Per-key running totals on Spark 4's ``transformWithStateInPandas``
+    — the modern stateful-processor API (typed state handles, timers,
+    initial-state support) that supersedes ``applyInPandasWithState``'s
+    tuple-state contract.
+
+    One ``ValueState`` per key carries (total, count) across
+    micro-batches; every batch emits the key's updated totals, so a
+    consumer's LAST emit per key is the running aggregate to date.
+    State is two scalars per key — bounded by key cardinality, never
+    stream length. The skeleton generalizes: swap the state type and
+    fold for TTL dedup (MapState + timers) or windowed accumulators
+    (ListState).
+
+    ENV GUARD: the API's state server speaks protobuf
+    (pyspark.sql.streaming.proto), which this container does not ship
+    — without it the driver worker crashes mid-query with an opaque
+    STREAM_FAILED, so refuse LOUDLY up front instead.
+    ``running_event_totals`` (applyInPandasWithState) provides the
+    same contract on the older API."""
+    try:
+        import google.protobuf  # noqa: F401
+    except ImportError:
+        raise NotImplementedError(
+            "streaming_running_totals: transformWithStateInPandas "
+            "requires the protobuf package, absent in this "
+            "environment — use running_event_totals "
+            "(applyInPandasWithState) for the same running-aggregate "
+            "contract"
+        ) from None
+    import pandas as pd  # noqa: F811 — worker-side import
+
+    from pyspark.sql.streaming.stateful_processor import (
+        StatefulProcessor,
+        StatefulProcessorHandle,
+    )
+
+    class _RunningTotals(StatefulProcessor):
+        def init(self, handle: StatefulProcessorHandle) -> None:
+            self._totals = handle.getValueState(
+                "totals", "total double, cnt bigint"
+            )
+
+        def handleInputRows(self, key, rows, timerValues):
+            total, cnt = 0.0, 0
+            if self._totals.exists():
+                got = self._totals.get()
+                total, cnt = float(got[0]), int(got[1])
+            for pdf in rows:
+                total += float(pdf[val_col].sum())
+                cnt += int(len(pdf))
+            self._totals.update((total, cnt))
+            yield pd.DataFrame(
+                {key_col: [key[0]], "total": [total], "n": [cnt]}
+            )
+
+        def close(self) -> None:
+            pass
+
+    return df.groupBy(key_col).transformWithStateInPandas(
+        statefulProcessor=_RunningTotals(),
+        outputStructType=f"{key_col} long, total double, n bigint",
+        outputMode="Update",
+        timeMode="None",
+    )
