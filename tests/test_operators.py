@@ -4050,3 +4050,50 @@ def test_purge_ivfpq_snapshot_spares_concurrent_tombstones(
     assert stats2["purged"] == n_b
     raw = spark.read.parquet(_os.path.join(idx, "ann_codes.parquet"))
     assert raw.count() == n0 - n_a - n_b
+
+
+def test_content_defined_chunks_reconstruct_and_shift_resist(spark):
+    """content_defined_chunks: (a) chunks concatenate back to the
+    exact text (lossless split), (b) short docs are one whole-text
+    chunk, (c) SHIFT RESISTANCE — the CDC property: prepending text
+    to a document leaves the boundary positions after the edit
+    content-identical, so most distinct chunks survive, where
+    fixed-size blocking would shift every block boundary and share
+    none."""
+    import random
+
+    from value_at_risk_spark.operators.dedup import content_defined_chunks
+
+    rng = random.Random(7)
+    words = ["alpha", "beta", "gamma", "delta", "omega", "sigma"]
+    base = " ".join(rng.choice(words) for _ in range(600))
+    docs = spark.createDataFrame(
+        [(0, base), (1, "INSERTED PREFIX " + base), (2, "tiny")],
+        "doc_id long, text string",
+    )
+    ch = content_defined_chunks(docs)
+    rows = ch.collect()
+    by_doc: dict[int, list[tuple[int, str]]] = {}
+    for r in rows:
+        by_doc.setdefault(r.doc_id, []).append((r.chunk_idx, r.chunk))
+    # (a) lossless
+    assert "".join(c for _, c in sorted(by_doc[0])) == base
+    assert (
+        "".join(c for _, c in sorted(by_doc[1]))
+        == "INSERTED PREFIX " + base
+    )
+    # (b) short doc: single whole-text chunk
+    assert by_doc[2] == [(0, "tiny")]
+    # (c) shift resistance: the prefixed twin shares most chunks
+    c0 = {c for _, c in by_doc[0]}
+    c1 = {c for _, c in by_doc[1]}
+    assert len(c0) > 10  # the corpus actually chunked
+    shared = len(c0 & c1) / len(c0)
+    assert shared >= 0.8, shared
+    # fixed-size blocking as the contrast: same-size blocks from the
+    # shifted text share (almost) nothing
+    k = 64
+    f0 = {base[i : i + k] for i in range(0, len(base), k)}
+    t1 = "INSERTED PREFIX " + base
+    f1 = {t1[i : i + k] for i in range(0, len(t1), k)}
+    assert len(f0 & f1) / len(f0) < 0.2

@@ -7093,6 +7093,86 @@ def remove_duplicated_spans(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @query(
+    "cdc_chunk_dedup",
+    f"""
+WITH docs AS (
+  SELECT doc_id, source, text, length(text) AS n FROM documents
+),
+w AS MATERIALIZED (
+  SELECT doc_id, i, substring(text, i, 8) AS t
+  FROM docs, UNNEST(range(2, greatest(n - 6, 2))) AS r(i)
+),
+vocab AS MATERIALIZED (SELECT DISTINCT t FROM w),
+{xxh64_cte("vocab")},
+hv AS MATERIALIZED (
+  SELECT t, {xxh64_signed("hsh.hu")} AS h FROM hsh
+),
+b AS MATERIALIZED (
+  SELECT w.doc_id, w.i FROM w JOIN hv USING (t) WHERE h % 64 = 0
+),
+bl AS (SELECT doc_id, list(i ORDER BY i) AS bs FROM b GROUP BY doc_id),
+dd AS (
+  SELECT d.doc_id, d.source, d.text, d.n, COALESCE(bl.bs, []) AS bs
+  FROM docs d LEFT JOIN bl USING (doc_id)
+),
+ch AS (
+  SELECT source,
+         substring(text,
+           CASE WHEN j = 1 THEN 1 ELSE bs[j - 1] END,
+           (CASE WHEN j = len(bs) + 1 THEN n + 1 ELSE bs[j] END)
+           - (CASE WHEN j = 1 THEN 1 ELSE bs[j - 1] END)) AS chunk
+  FROM dd, UNNEST(range(1, len(bs) + 2)) AS q(j)
+),
+pc AS (SELECT source, chunk, COUNT(*) AS c FROM ch GROUP BY 1, 2)
+SELECT source,
+       CAST(SUM(c) AS BIGINT) AS n_chunks,
+       CAST(COUNT(*) AS BIGINT) AS n_distinct,
+       CAST(SUM(c * length(chunk)) AS BIGINT) AS total_chars,
+       CAST(SUM(length(chunk)) AS BIGINT) AS distinct_chars,
+       ROUND(SUM(c * length(chunk)) * 1.0 / SUM(length(chunk)), 4) + 0
+         AS dedup_ratio
+FROM pc GROUP BY source
+""",
+)
+def cdc_chunk_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Content-defined-chunking dedup, ORACLE-pinned (r13): documents
+    split at content-keyed boundaries (operators/dedup.
+    content_defined_chunks — xxhash64 of an 8-char sliding window,
+    1/64 residue class), then chunk-level exact dedup per source —
+    the storage/dataset dedup story (LBFS, FastCDC): repeated spans
+    dedup at CHUNK granularity across documents even when their
+    offsets differ, because boundaries move with content, not
+    position. The dedup_ratio (total chars / distinct chars) is the
+    compression a chunk-store would achieve. Hash equality with
+    DuckDB replaying the boundary rule through the XXH64-in-SQL
+    scaffold pins every boundary choice, chunk slice, and count —
+    the whole pipeline, not a summary. The source join is doc-keyed
+    (AQE picks broadcast at gate scale; at corpus scale it is a
+    co-partitioned shuffle join — the id->source map is corpus-sized,
+    never broadcastable)."""
+    from value_at_risk_spark.operators.dedup import content_defined_chunks
+
+    d = _t(spark, sf_dir, "documents")
+    ch = content_defined_chunks(d).join(
+        d.select("doc_id", "source"), "doc_id"
+    )
+    pc = ch.groupBy("source", "chunk").agg(F.count(F.lit(1)).alias("c"))
+    ln = F.length("chunk")
+    return pc.groupBy("source").agg(
+        F.sum("c").cast("long").alias("n_chunks"),
+        F.count(F.lit(1)).alias("n_distinct"),
+        F.sum(F.col("c") * ln).cast("long").alias("total_chars"),
+        F.sum(ln).cast("long").alias("distinct_chars"),
+        (
+            F.round(
+                F.sum(F.col("c") * ln) / F.sum(ln), 4
+            )
+            + F.lit(0.0)
+        ).alias("dedup_ratio"),
+    )
+
+
+@query(
     "train_val_test_split",
     """
 WITH assigned AS (
