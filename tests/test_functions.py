@@ -797,3 +797,36 @@ def test_xxh64_sql_parity(spark):
 
     for t in tests:
         assert xxh64_signed_py(t.encode("utf-8")) == want[t], repr(t)
+
+
+def test_xxh64_py_parity_property(spark):
+    """Property form of the xxh64_py parity pin: for ARBITRARY
+    unicode strings (hypothesis; includes multi-stripe lengths and
+    multibyte code points), the pure-Python twin equals Spark's
+    F.xxhash64 bit for bit — the guarantee the multimodal stub
+    kernel's oracle rests on."""
+    from hypothesis import HealthCheck, given, settings
+    from hypothesis import strategies as st
+
+    from value_at_risk_spark.functions.xxh64_py import xxh64_signed
+
+    @given(
+        ts=st.lists(
+            st.text(max_size=120), min_size=1, max_size=25, unique=True
+        )
+    )
+    @settings(
+        max_examples=15,
+        deadline=None,
+        suppress_health_check=list(HealthCheck),
+    )
+    def prop(ts):
+        rows = (
+            spark.createDataFrame([(t,) for t in ts], "t string")
+            .select("t", F.xxhash64("t").alias("h"))
+            .collect()
+        )
+        for r in rows:
+            assert xxh64_signed(r.t.encode("utf-8")) == r.h, repr(r.t)
+
+    prop()

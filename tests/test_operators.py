@@ -4097,3 +4097,37 @@ def test_content_defined_chunks_reconstruct_and_shift_resist(spark):
     t1 = "INSERTED PREFIX " + base
     f1 = {t1[i : i + k] for i in range(0, len(t1), k)}
     assert len(f0 & f1) / len(f0) < 0.2
+
+
+def test_content_defined_chunks_lossless_property(spark):
+    """Property form of the CDC reconstruction invariant: for
+    ARBITRARY unicode texts (hypothesis; empty strings, whitespace,
+    multibyte, boundary-dense and boundary-free), concatenating the
+    chunks in chunk_idx order rebuilds the text exactly and no chunk
+    is empty unless the text is."""
+    from hypothesis import HealthCheck, given, settings
+    from hypothesis import strategies as st
+
+    from value_at_risk_spark.operators.dedup import content_defined_chunks
+
+    @given(ts=st.lists(st.text(max_size=300), min_size=1, max_size=8))
+    @settings(
+        max_examples=12,
+        deadline=None,
+        suppress_health_check=list(HealthCheck),
+    )
+    def prop(ts):
+        docs = spark.createDataFrame(
+            list(enumerate(ts)), "doc_id long, text string"
+        )
+        rows = content_defined_chunks(docs).collect()
+        by_doc: dict[int, list[tuple[int, str]]] = {}
+        for r in rows:
+            by_doc.setdefault(r.doc_id, []).append((r.chunk_idx, r.chunk))
+        for i, t in enumerate(ts):
+            chunks = [c for _, c in sorted(by_doc[i])]
+            assert "".join(chunks) == t, repr(t)
+            if t:
+                assert all(c for c in chunks), repr(t)
+
+    prop()
