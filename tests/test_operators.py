@@ -4067,8 +4067,17 @@ def test_content_defined_chunks_reconstruct_and_shift_resist(spark):
     rng = random.Random(7)
     words = ["alpha", "beta", "gamma", "delta", "omega", "sigma"]
     base = " ".join(rng.choice(words) for _ in range(600))
+    # doc 3: EXACTLY window+1 chars whose only candidate window (i=2)
+    # hits the 1/64 residue class — the shortest splittable document
+    # (an off-by-one >= window+2 guard silently diverged from the SQL
+    # oracle here; found by review + residue search)
     docs = spark.createDataFrame(
-        [(0, base), (1, "INSERTED PREFIX " + base), (2, "tiny")],
+        [
+            (0, base),
+            (1, "INSERTED PREFIX " + base),
+            (2, "tiny"),
+            (3, "xpbtgalpm"),
+        ],
         "doc_id long, text string",
     )
     ch = content_defined_chunks(docs)
@@ -4084,6 +4093,8 @@ def test_content_defined_chunks_reconstruct_and_shift_resist(spark):
     )
     # (b) short doc: single whole-text chunk
     assert by_doc[2] == [(0, "tiny")]
+    # the 9-char residue hit splits at i=2: ['x', 'pbtgalpm']
+    assert sorted(by_doc[3]) == [(0, "x"), (1, "pbtgalpm")]
     # (c) shift resistance: the prefixed twin shares most chunks
     c0 = {c for _, c in by_doc[0]}
     c1 = {c for _, c in by_doc[1]}

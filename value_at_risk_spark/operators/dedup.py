@@ -600,6 +600,7 @@ def content_defined_chunks(
     text_col: str = "text",
     window: int = 8,
     modulus: int = 64,
+    id_col: str = "doc_id",
 ) -> DataFrame:
     """Content-defined chunking — split each document at positions
     where the hash of a sliding window lands in a fixed residue class
@@ -631,9 +632,13 @@ def content_defined_chunks(
     """
     t = text_col
     # boundary candidates start at 2 (a boundary at 1 would mint an
-    # empty first chunk) and end at len-window+1 (full window inside)
+    # empty first chunk) and end at len-window+1 (full window inside);
+    # the first admissible doc length is window+1 (candidate i=2 with
+    # the window ending exactly at the text end) — a >= window+2
+    # guard would silently diverge from the SQL oracle on docs of
+    # exactly window+1 chars whose window hits the residue class
     bounds = (
-        f"CASE WHEN length({t}) >= {window + 1} + 1 THEN "
+        f"CASE WHEN length({t}) >= {window + 1} THEN "
         f"filter(transform(sequence(2, length({t}) - {window - 1}), "
         f"i -> CASE WHEN xxhash64(substring({t}, i, {window})) "
         f"% {modulus} = 0 THEN i END), x -> x IS NOT NULL) "
@@ -649,7 +654,7 @@ def content_defined_chunks(
         docs.withColumn("_b", F.expr(bounds))
         .withColumn("_chunks", F.expr(chunks))
         .select(
-            "doc_id",
+            id_col,
             F.posexplode("_chunks").alias("chunk_idx", "chunk"),
         )
     )
