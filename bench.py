@@ -175,9 +175,12 @@ def scaled_near_dedup(spark, sf_dir: str) -> dict:
     dedup sees at scale) and times the composed exact flow once:
     LSH candidates -> exact-Jaccard verify -> connected components ->
     survivors. Also records the candidate-pair count so the timing has
-    a work-size denominator. One run, not median-of-3: this is the
-    regression tracker for the one >1 s pipeline, and a 3x repeat
-    would dominate the whole bench budget.
+    a work-size denominator. Round 14 (verdict #4): the r13 single-run
+    number drifted +10% inside the box's documented 2-3x noise
+    envelope, so this arm (with pagerank and training_data_prep_v2,
+    the other two drifters) is now median-of-3 with the raw samples
+    recorded — first run cold, re-runs warm — trading ~2 min of bench
+    budget for a drift signal that actually means something.
     """
     import shutil
 
@@ -199,13 +202,16 @@ def scaled_near_dedup(spark, sf_dir: str) -> dict:
     union.write.mode("overwrite").parquet(f"{scaled}/documents.parquet")
     n_docs = spark.read.parquet(f"{scaled}/documents.parquet").count()
 
-    t0 = time.time()
-    force(QUERIES["near_dedup_survivors"](spark, scaled))
-    sec = round(time.time() - t0, 3)
+    runs = []
+    for _ in range(3):
+        t0 = time.time()
+        force(QUERIES["near_dedup_survivors"](spark, scaled))
+        runs.append(round(time.time() - t0, 3))
     pairs = QUERIES["minhash_lsh_pairs"](spark, scaled).count()
     shutil.rmtree(scaled, ignore_errors=True)
     return {
-        "near_dedup_scaled_sec": sec,
+        "near_dedup_scaled_sec": sorted(runs)[1],
+        "near_dedup_scaled_sec_runs": runs,
         "near_dedup_scaled_docs": n_docs,
         "near_dedup_scaled_candidate_pairs": pairs,
     }
@@ -258,18 +264,27 @@ def scaled_heavy_tail(spark, sf_dir: str) -> dict:
         ).count()
     }
     try:
-        for name in (
-            "pagerank_trade_graph",
-            "remove_duplicated_spans",
-            "duplicated_ngram_spans",
-            "source_overlap_matrix",
+        # r14 (verdict #4): pagerank + training_data_prep_v2 drifted
+        # +7-8% in r13's single runs — median-of-3 them (first run
+        # cold) so drift vs noise is decidable; the other three stay
+        # single-run (stable three rounds straight)
+        for name, n_runs in (
+            ("pagerank_trade_graph", 3),
+            ("remove_duplicated_spans", 1),
+            ("duplicated_ngram_spans", 1),
+            ("source_overlap_matrix", 1),
             # round 9 addition (verdict #5): heaviest non-graph doc
             # sweep entry gets a standing scaled row
-            "training_data_prep_v2",
+            ("training_data_prep_v2", 3),
         ):
-            t0 = time.time()
-            force(QUERIES[name](spark, scaled))
-            out[f"scaled10_{name}_sec"] = round(time.time() - t0, 3)
+            runs = []
+            for _ in range(n_runs):
+                t0 = time.time()
+                force(QUERIES[name](spark, scaled))
+                runs.append(round(time.time() - t0, 3))
+            out[f"scaled10_{name}_sec"] = sorted(runs)[len(runs) // 2]
+            if n_runs > 1:
+                out[f"scaled10_{name}_sec_runs"] = runs
         # work-size denominators: graph nodes (pagerank output is one
         # row per node), duplicated-span rows, overlap-matrix cells;
         # remove_duplicated_spans emits one row per doc = scaled10_docs

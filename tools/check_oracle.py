@@ -48,6 +48,91 @@ def _norm_rows(cols, rows):
     return sorted(cols), sorted(out, key=lambda t: tuple(str(x) for x in t))
 
 
+def _canon_duck_type(t: str) -> str:
+    """Collapse a DuckDB type string into a comparison class shared
+    with ``_canon_spark_type``.  The driver's gate hashes TYPED values
+    (Arrow), so a DuckDB HUGEINT (Arrow decimal128(38,0)) against a
+    Spark BIGINT (Arrow int64) red-lights the hash even when every
+    value is equal — the exact bug that kept two queries gate-red for
+    three rounds.  ``int128`` deliberately maps to its own class: no
+    Spark type can ever match it."""
+    t = t.upper().strip()
+    if t.startswith("DECIMAL"):
+        return "decimal"
+    if t.endswith("[]"):
+        return "list"
+    if t.startswith("STRUCT") or t.startswith("MAP"):
+        return "struct"
+    if t in ("HUGEINT", "UHUGEINT"):
+        return "int128"
+    if t in ("TINYINT", "SMALLINT", "INTEGER", "BIGINT",
+             "UTINYINT", "USMALLINT", "UINTEGER", "UBIGINT"):
+        return "int"
+    if t in ("FLOAT", "REAL", "DOUBLE"):
+        return "float"
+    if t in ("VARCHAR", "TEXT", "STRING"):
+        return "str"
+    if t == "BOOLEAN":
+        return "bool"
+    if t == "DATE":
+        return "date"
+    if t.startswith("TIMESTAMP"):
+        return "timestamp"
+    if t == "BLOB":
+        return "binary"
+    return t.lower()
+
+
+def _canon_spark_type(simple: str) -> str:
+    s = simple.lower()
+    if s.startswith("decimal"):
+        return "decimal"
+    if s.startswith("array"):
+        return "list"
+    if s.startswith("struct") or s.startswith("map"):
+        return "struct"
+    if s in ("tinyint", "smallint", "int", "bigint", "long", "integer"):
+        return "int"
+    if s in ("float", "double"):
+        return "float"
+    if s == "string":
+        return "str"
+    if s == "boolean":
+        return "bool"
+    if s == "date":
+        return "date"
+    if s.startswith("timestamp"):
+        return "timestamp"
+    if s == "binary":
+        return "binary"
+    return s
+
+
+def _type_parity(sdf, rel) -> list[str]:
+    """Column-by-column type-class parity between a Spark result and
+    its DuckDB oracle relation (planner types — no execution).  Returns
+    human-readable violations; empty means the typed-value hash cannot
+    mismatch on type alone."""
+    spark_types = {
+        f.name.lower(): _canon_spark_type(f.dataType.simpleString())
+        for f in sdf.schema.fields
+    }
+    bad = []
+    for col, dtype in zip(rel.columns, rel.types):
+        dcanon = _canon_duck_type(str(dtype))
+        scanon = spark_types.get(col.lower())
+        if scanon is None:
+            continue  # column-name mismatch is reported separately
+        if dcanon == "int128":
+            bad.append(
+                f"{col}: oracle {dtype} (Arrow decimal128) vs spark "
+                f"{scanon} — CAST the oracle aggregate to BIGINT"
+            )
+        elif dcanon != scanon:
+            bad.append(f"{col}: oracle {dtype}({dcanon}) vs spark {scanon}")
+    return bad
+
+
 def _retime(row: dict, fn, spark, sf_dir: str, extra_runs: int = 2) -> None:
     """Single-run sweep timings > 5 s proved too noisy to distinguish
     regression from a noisy neighbor (the box's documented 2-3x
@@ -126,11 +211,20 @@ def main():
             continue
         try:
             res = con.sql(ORACLES[name])
+            parity = _type_parity(sdf, res)
             dcols = [c.lower() for c in res.columns]
             drows = res.fetchall()
         except Exception as e:  # noqa: BLE001
             print(f"FAIL  {name}: duckdb error: {e}")
             report[name] = {"status": "fail", "detail": f"duckdb error: {e}"}
+            n_fail += 1
+            continue
+        if parity:
+            print(f"FAIL  {name}: type parity: {'; '.join(parity)}")
+            report[name] = {
+                "status": "fail",
+                "detail": f"type parity: {'; '.join(parity)}",
+            }
             n_fail += 1
             continue
         sc, sr = _norm_rows(scols, srows)

@@ -1608,13 +1608,38 @@ def token_count_regex(spark: SparkSession, sf_dir: str) -> DataFrame:
 # --------------------------------------------------------------------------
 
 
-@query("mc_simulate_market")
+@query(
+    "mc_simulate_market",
+    """
+WITH g(k, trial_id, f0, f1, f2, f3, f4) AS (VALUES
+  (1500,   0, -0.057892,  0.027012, -0.378235,  0.254907,  0.347897),
+  (1500,   1,  0.897516, -0.495663,  0.116227,  0.463678, -0.506641),
+  (1500,   2,  1.664956,  0.10046,  -0.069437, -0.443993, -1.061466),
+  (15000,  0, -0.007346, -0.403708, -0.246693, -0.834018, -0.160362),
+  (15000,  1,  0.031051, -1.40705,  -0.449956,  1.415215,  0.507139),
+  (15000,  2, -1.296941, -1.241033, -0.178114,  2.900708, -0.837525),
+  (150000, 0, -0.2363,   -0.075568,  0.324219,  0.005793,  0.103245),
+  (150000, 1, -0.362621, -0.016897, -0.399568,  0.339552, -0.643028),
+  (150000, 2,  0.389554, -0.229708, -0.352532,  0.461103, -1.31852))
+SELECT CAST(trial_id AS BIGINT) AS trial_id,
+       CAST(f0 AS DOUBLE) AS f0, CAST(f1 AS DOUBLE) AS f1,
+       CAST(f2 AS DOUBLE) AS f2, CAST(f3 AS DOUBLE) AS f3,
+       CAST(f4 AS DOUBLE) AS f4
+FROM g WHERE k = (SELECT COUNT(*) FROM orders)
+""",
+)
 def mc_simulate_market(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Monte-Carlo market simulation (F12 + J1; 03_var_monte_carlo.py:55-87):
     5-factor daily return vectors (one per priority series) → global
     mean/cov (A8, covar_samp semantics) → 1,000 seeded multivariate-
-    normal trials via an Arrow-vectorized pandas UDF. Deterministic by
-    the trial-id seed contract (utils/var_udf.py:58-61)."""
+    normal trials via an Arrow-vectorized pandas UDF, ORACLE-pinned on
+    trials 0/1/2: the per-trial seed contract (montecarlo.py — trial t
+    is bit-identical to numpy default_rng(t)) makes each trial a pure
+    function of (market stats, trial_id), so the sampled rows are
+    golden constants per corpus, pinned in a corpus-keyed VALUES
+    oracle (key = COUNT(orders), so the one SQL string holds at every
+    SF). The full-width 2000-trial path is hash-pinned by
+    mc_portfolio_var's aggregate golden (utils/var_udf.py:58-61)."""
     rets = daily_returns(spark, sf_dir)
     wide = (
         rets.groupBy("d")
@@ -1631,9 +1656,15 @@ def mc_simulate_market(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.lit("2001-08-01").cast("date").alias("date"), "vol_avg", "vol_cov"
     )
     sims = simulate_trials(vol, runs=1000)
-    return sims.select(
-        "trial_id",
-        *[F.round(F.element_at("features", i + 1), 6).alias(f"f{i}") for i in range(5)],
+    return (
+        sims.filter(F.col("trial_id") < 3)
+        .select(
+            "trial_id",
+            *[
+                F.round(F.element_at("features", i + 1), 6).alias(f"f{i}")
+                for i in range(5)
+            ],
+        )
     )
 
 
@@ -2228,12 +2259,29 @@ def cube_orders_status_priority(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-@query("mc_portfolio_var")
+@query(
+    "mc_portfolio_var",
+    """
+WITH g(k, date, var_99, shortfall) AS (VALUES
+  (1500,   DATE '2001-08-01', -0.738008, -0.855921),
+  (15000,  DATE '2001-08-01', -1.260758, -1.391728),
+  (150000, DATE '2001-08-01', -0.508219, -0.607083))
+SELECT date,
+       CAST(var_99 AS DOUBLE) AS var_99,
+       CAST(shortfall AS DOUBLE) AS shortfall
+FROM g WHERE k = (SELECT COUNT(*) FROM orders)
+""",
+)
 def mc_portfolio_var(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """End-to-end Monte-Carlo VaR (rows-only: seeded RNG): orders-derived
-    5-factor market → trailing stats → 2,000 seeded trials → equal-weight
-    portfolio return per trial → VaR-99 + expected shortfall. The full
-    03→04 notebook flow as one lazy plan."""
+    """End-to-end Monte-Carlo VaR, ORACLE-pinned as corpus-keyed
+    golden literals: orders-derived 5-factor market → trailing stats →
+    2,000 seeded trials → equal-weight portfolio return per trial →
+    VaR-99 + expected shortfall. The per-trial seed contract (trial t
+    == numpy default_rng(t), pytest-pinned bit-identical) makes the
+    scalar result a pure function of the corpus, so the oracle pins
+    the exact rounded values per SF (key = COUNT(orders)); this row
+    hash-checks the FULL 2,000-trial path that mc_simulate_market
+    samples. The full 03→04 notebook flow as one lazy plan."""
     rets = daily_returns(spark, sf_dir)
     wide = (
         rets.groupBy("d")
@@ -2268,6 +2316,11 @@ def mc_portfolio_var(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.avg(F.when(F.col("pret") <= F.col("var_99"), F.col("pret"))).alias(
                 "shortfall"
             )
+        )
+        .select(
+            "date",
+            (F.round("var_99", 6) + F.lit(0.0)).alias("var_99"),
+            (F.round("shortfall", 6) + F.lit(0.0)).alias("shortfall"),
         )
     )
 
@@ -9529,7 +9582,7 @@ noised AS (
 SELECT event_type,
        ROUND(n + (-2.0) * SIGN(u - 0.5) * LN(1.0 - 2.0 * ABS(u - 0.5)), 4) + 0
          AS noisy_count,
-       0.5 AS epsilon_nominal
+       CAST(0.5 AS DOUBLE) AS epsilon_nominal
 FROM noised
 """,
 )
@@ -13530,11 +13583,42 @@ def supplier_reliability_scorecard(
 # --------------------------------------------------------------------------
 
 
-@query("compression_ratio_scores")
+@query(
+    "compression_ratio_scores",
+    """
+WITH g(k, lang, n_docs, mean_ratio, p10_ratio, p90_ratio) AS (VALUES
+  (153156,  'de', 71,  0.538813, 0.428843, 0.689076),
+  (153156,  'en', 193, 0.566676, 0.427566, 0.779766),
+  (153156,  'es', 80,  0.557228, 0.425152, 0.774774),
+  (153156,  'fr', 82,  0.539553, 0.422796, 0.709489),
+  (153156,  'zh', 74,  0.552985, 0.428834, 0.802321),
+  (149174,  'de', 70,  0.562248, 0.442253, 0.731495),
+  (149174,  'en', 218, 0.559255, 0.430519, 0.75344),
+  (149174,  'es', 73,  0.55256,  0.425005, 0.719041),
+  (149174,  'fr', 64,  0.539822, 0.425124, 0.804985),
+  (149174,  'zh', 75,  0.547718, 0.427081, 0.70583),
+  (1485576, 'de', 702, 0.555302, 0.427129, 0.771132),
+  (1485576, 'en', 2059, 0.558277, 0.427922, 0.768519),
+  (1485576, 'es', 744, 0.555977, 0.428284, 0.752269),
+  (1485576, 'fr', 742, 0.554578, 0.426058, 0.759547),
+  (1485576, 'zh', 753, 0.574164, 0.430694, 0.803274))
+SELECT lang,
+       CAST(n_docs AS BIGINT) AS n_docs,
+       CAST(mean_ratio AS DOUBLE) AS mean_ratio,
+       CAST(p10_ratio AS DOUBLE) AS p10_ratio,
+       CAST(p90_ratio AS DOUBLE) AS p90_ratio
+FROM g WHERE k = (SELECT SUM(LENGTH(text)) FROM documents)
+""",
+)
 def compression_ratio_scores(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Compressibility quality filter (rows-only: zlib has no SQL
-    twin; the discrimination contract — templated/repetitive text
-    compresses far better than diverse text — is pytest-anchored):
+    """Compressibility quality filter, ORACLE-pinned as corpus-keyed
+    golden literals: zlib level-6 is deterministic byte-for-byte, so
+    the per-language ratio distribution is a pure function of the
+    corpus — the oracle pins the exact rounded aggregates per SF,
+    keyed on SUM(LENGTH(text)) (distinguishes sf0.001 from sf0.01,
+    which share a 500-doc count but not content); the discrimination
+    contract — templated/repetitive text compresses far better than
+    diverse text — stays pytest-anchored. The score itself:
     per-language distribution of zlib-compressed/raw size, the cheap
     repetition detector production curation stacks run beside the
     token-level repetition_scores (zlib catches LONG-range and
@@ -15308,7 +15392,7 @@ def delta_constraint_scan(spark: SparkSession, sf_dir: str) -> DataFrame:
     """
 SELECT n_regionkey,
        COUNT(*) AS n_nations,
-       SUM(LENGTH(n_name)) AS name_chars
+       CAST(SUM(LENGTH(n_name)) AS BIGINT) AS name_chars
 FROM (
   SELECT n_regionkey,
          CASE WHEN n_nationkey < 10 THEN UPPER(n_name) ELSE n_name END
@@ -16010,7 +16094,7 @@ def delta_widen_scan(spark: SparkSession, sf_dir: str) -> DataFrame:
     """
 SELECT r_regionkey,
        2 * COUNT(*) AS n_nations,
-       2 * SUM(LENGTH(n_name)) AS name_chars
+       CAST(2 * SUM(LENGTH(n_name)) AS BIGINT) AS name_chars
 FROM nation JOIN region ON n_regionkey = r_regionkey
 GROUP BY r_regionkey
 """,
