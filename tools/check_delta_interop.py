@@ -1283,6 +1283,59 @@ def arm_d_foreign_fixtures(spark, root: str) -> None:
         )
 
 
+def arm_e_foreign_binary_probe() -> None:
+    """arm E — bytes a FOREIGN writer actually produced (r13 verdict
+    #5). Arm D's fixtures are hand-authored to spec; the residual gap
+    is tables written by real delta-rs / delta-spark binaries. Those
+    need a package source: probe whether any network window exists
+    (PyPI for delta-rs wheels, Maven for delta-spark jars) and either
+    (a) record the explicit env-blocked row the brief asks for, or
+    (b) flag that vendoring just became possible so the next round
+    commits golden foreign tables (DV + mapped + v2-checkpoint +
+    row-tracking variants)."""
+    try:
+        import importlib.util
+
+        if importlib.util.find_spec("deltalake") is not None:
+            record(
+                "foreign_binary_read:deltalake",
+                "FAIL",
+                "delta-rs IS importable but no golden tables are "
+                "vendored — vendor them now",
+            )
+            return
+    except Exception:  # noqa: BLE001
+        pass
+    import urllib.request
+
+    reachable = []
+    for name, url in (
+        ("pypi", "https://pypi.org/simple/deltalake/"),
+        ("maven", "https://repo1.maven.org/maven2/"),
+    ):
+        try:
+            urllib.request.urlopen(url, timeout=5)
+            reachable.append(name)
+        except Exception:  # noqa: BLE001
+            pass
+    if reachable:
+        record(
+            "foreign_binary_read:vendor_window_open",
+            "FAIL",
+            f"network to {reachable} reachable — fetch delta-rs and "
+            "vendor foreign golden tables this round",
+        )
+    else:
+        record(
+            "foreign_binary_read:env_blocked",
+            "SKIP",
+            "no foreign delta writer importable and no network to "
+            "PyPI/Maven (DNS resolution fails) — real foreign bytes "
+            "cannot be produced in this container; arm D's "
+            "spec-authored fixtures remain the reader-side evidence",
+        )
+
+
 def main() -> int:
     sf_dir = sys.argv[1] if len(sys.argv) > 1 else "/root/testdata/sf0.01"
     out = sys.argv[2] if len(sys.argv) > 2 else None
@@ -1296,6 +1349,7 @@ def main() -> int:
         arm_b_foreign_parquet(spark, tables)
         arm_c_structural(tables)
         arm_d_foreign_fixtures(spark, root)
+        arm_e_foreign_binary_probe()
     finally:
         shutil.rmtree(root, ignore_errors=True)
     fails = [k for k, v in RESULTS.items() if v["status"] == "FAIL"]
