@@ -1776,6 +1776,39 @@ def test_create_table_column_defs_sql(spark, tmp_path):
         delta_sql(
             spark, f"CREATE TABLE delta.`{tbl}_y` (x BIGINT BOGUS CLAUSE)"
         )
+    # r14 (r13 advice): parameterized types, char/varchar lowering to
+    # string, and NOT NULL on EITHER side of DEFAULT all parse
+    tblp = str(tmp_path / "cdef_param")
+    delta_sql(
+        spark,
+        f"CREATE TABLE delta.`{tblp}` ("
+        "k BIGINT NOT NULL DEFAULT 7, "
+        "price DECIMAL(10,2), "
+        "name VARCHAR(32), "
+        "seg STRING DEFAULT 'x' NOT NULL)",
+    )
+    gp = read_delta(spark, tblp)
+    assert gp.schema.simpleString() == (
+        "struct<k:bigint,price:decimal(10,2),name:string,seg:string>"
+    )
+    # NOT NULL (either position) lands in the LOG schema — the scan
+    # side relaxes frame nullability, but the invariant is the log's
+    logged = {
+        f["name"]: f["nullable"]
+        for f in json.loads(
+            snapshot(tblp).metadata["schemaString"]
+        )["fields"]
+    }
+    assert logged == {
+        "k": False, "price": True, "name": True, "seg": False,
+    }
+    delta_sql(
+        spark,
+        f"INSERT INTO delta.`{tblp}` (price) "
+        "SELECT CAST(1.5 AS DECIMAL(10,2))",
+    )
+    rp = read_delta(spark, tblp).first()
+    assert (rp.k, str(rp.price), rp.name, rp.seg) == (7, "1.50", None, "x")
 
 
 def test_auto_compact_post_commit_hook(spark, tmp_path):
@@ -1838,11 +1871,18 @@ def test_auto_compact_post_commit_hook(spark, tmp_path):
     from value_at_risk_spark.sources.deltalog import update_delta
 
     for i in range(4):
-        update_delta(
+        out = update_delta(
             spark, tbl, f"k = {i}", {"v": f"v + {i}"}, use_dv=False
         )
+        # the gating flag rides the result dict (r13 advice): the
+        # wrapper consults the impl's pre-commit snapshot instead of
+        # paying a fresh log replay per DML on non-opted tables
+        assert out["auto_compact"] is True
     assert len(snapshot(tbl).files) <= 3  # compaction re-fired
     assert read_delta(spark, tbl).count() == 5
+    out2 = update_delta(spark, tbl2, "k = 0", {"v": "v + 1"}, use_dv=False)
+    assert out2["auto_compact"] is False
+    assert len(snapshot(tbl2).files) == 5  # non-opted: no compaction
 
 
 def test_column_defaults_lifecycle(spark, tmp_path):
@@ -1933,6 +1973,13 @@ def test_column_defaults_lifecycle(spark, tmp_path):
             f"CREATE TABLE delta.`{tbl2}_x` ("
             "g BIGINT GENERATED ALWAYS AS (1) DEFAULT 2)",
         )
+    # non-deterministic defaults refuse (r13 advice: rand()/uuid()
+    # plan and fold against a columnless frame but yield a different
+    # 'constant' per insert — delta-spark's restriction)
+    with pytest.raises(ValueError, match="non-deterministic"):
+        set_column_default(spark, tbl, "score", "rand()")
+    with pytest.raises(ValueError, match="non-deterministic"):
+        set_column_default(spark, tbl, "score", "rand(42)")
     # CREATE with a bad DEFAULT is ATOMIC: no half-created table
     from value_at_risk_spark.sources.deltalog import delta_versions
 
@@ -1942,6 +1989,13 @@ def test_column_defaults_lifecycle(spark, tmp_path):
             spark,
             f"CREATE TABLE delta.`{tblf}` ("
             "k BIGINT, s STRING DEFAULT upper(k))",
+        )
+    assert not delta_versions(tblf)
+    with pytest.raises(ValueError, match="non-deterministic"):
+        delta_sql(
+            spark,
+            f"CREATE TABLE delta.`{tblf}` (k BIGINT, u STRING "
+            "DEFAULT uuid())",
         )
     assert not delta_versions(tblf)
 

@@ -903,12 +903,16 @@ def delta_sql(spark: SparkSession, stmt: str):
             def_cols: dict[str, str] = {}
             for part in _split_top_commas(coldefs):
                 part = _unmask(part.strip(), lits)
+                # type token admits parameterized types (decimal(10,2),
+                # varchar(32)); NOT NULL parses on either side of
+                # DEFAULT — both orders are legal SQL (r13 advice)
                 cm = re.match(
-                    r"^(\w+)\s+(\w+)"
+                    r"^(\w+)\s+(\w+(?:\s*\(\s*\d+\s*(?:,\s*\d+)?\s*\))?)"
                     r"(?:\s+GENERATED\s+ALWAYS\s+AS\s+"
                     r"(?:(IDENTITY)(?:\s*\(\s*START\s+WITH\s+(-?\d+)"
                     r"(?:\s+INCREMENT\s+BY\s+(-?\d+))?\s*\))?"
                     r"|\((.+)\)))?"
+                    r"(\s+NOT\s+NULL)?"
                     r"(?:\s+DEFAULT\s+(.+?))?"
                     r"(\s+NOT\s+NULL)?$",
                     part,
@@ -920,10 +924,15 @@ def delta_sql(spark: SparkSession, stmt: str):
                         f"{part!r}"
                     )
                 name, typ = cm.group(1), cm.group(2).lower()
+                # char/varchar surface as plain string in a frame
+                # (Spark does not preserve the length attribute), the
+                # same lowering delta-spark applies at the table level
+                if re.match(r"^(?:var)?char\s*\(", typ):
+                    typ = "string"
                 sch_t = _SQL_TO_SCHEMA_TYPE.get(typ, typ)
                 ddl_parts.append(
                     f"{name} {sch_t}"
-                    + (" NOT NULL" if cm.group(8) else "")
+                    + (" NOT NULL" if cm.group(7) or cm.group(9) else "")
                 )
                 if cm.group(3):  # IDENTITY
                     id_cols[name] = {
@@ -932,13 +941,13 @@ def delta_sql(spark: SparkSession, stmt: str):
                     }
                 elif cm.group(6):  # GENERATED ALWAYS AS (expr)
                     gen_cols[name] = cm.group(6).strip()
-                if cm.group(7):  # DEFAULT expr
+                if cm.group(8):  # DEFAULT expr
                     if cm.group(3) or cm.group(6):
                         raise ValueError(
                             "delta_sql CREATE TABLE: DEFAULT cannot "
                             f"combine with GENERATED on {name!r}"
                         )
-                    def_cols[name] = cm.group(7).strip()
+                    def_cols[name] = cm.group(8).strip()
             part_by = (
                 [c.strip() for c in part_src.split(",")]
                 if part_src

@@ -2473,6 +2473,18 @@ def write_delta(
     return v
 
 
+def _wants_auto_compact(snap: "DeltaSnapshot") -> bool:
+    """Whether this snapshot's table opted into autoCompact — read
+    from a snapshot the caller ALREADY holds so the DML wrappers can
+    gate their post-commit hook without paying a fresh log replay on
+    tables that never opted in (write_delta's cfg_hint pattern)."""
+    return _truthy(
+        (snap.metadata.get("configuration") or {}).get(
+            "delta.autoOptimize.autoCompact"
+        )
+    )
+
+
 def _maybe_auto_compact(spark: SparkSession, path: str) -> None:
     """``delta.autoOptimize.autoCompact``: after a data commit, if at
     least ``delta.autoOptimize.minNumFiles`` (default 50) active files
@@ -3514,12 +3526,34 @@ def _validate_default_expr(spark: SparkSession, expr: str, dtype) -> None:
     fills-the-default contract."""
     base = spark.range(1).drop("id")
     try:
-        row = base.select(F.expr(expr).alias("d")).first()
+        frame = base.select(F.expr(expr).alias("d"))
+        row = frame.first()
     except Exception as e:  # noqa: BLE001
         raise ValueError(
             f"column default {expr!r} is not a constant "
             f"expression: {e}"
         ) from None
+    # DETERMINISM (delta-spark's restriction): rand()/uuid() plan and
+    # fold fine against a columnless frame but yield a different
+    # 'constant' per row/insert — silently breaking the every-insert-
+    # fills-the-same-default contract. The analyzer's own flag is the
+    # authority (it rejects seeded rand(42) too, which a
+    # value-compares-equal-twice probe would falsely admit).
+    try:
+        deterministic = (
+            frame._jdf.queryExecution()
+            .analyzed()
+            .expressions()
+            .apply(0)
+            .deterministic()
+        )
+    except Exception:  # noqa: BLE001 — fall back to double evaluation
+        deterministic = row == frame.first()
+    if not deterministic:
+        raise ValueError(
+            f"column default {expr!r} is non-deterministic — defaults "
+            "must be constant-foldable deterministic expressions"
+        )
     try:
         cast_row = base.select(F.expr(expr).cast(dtype).alias("c")).first()
     except Exception:  # noqa: BLE001 — ANSI cast raises at eval
@@ -5382,8 +5416,10 @@ def delete_from_delta(
     )
     # autoCompact parity with write_delta: a copy-on-write DELETE adds
     # rewritten files the property promises to keep compacted; DV
-    # deletes add no data files (files_rewritten == 0) and skip
-    if out.get("files_rewritten"):
+    # deletes add no data files (files_rewritten == 0) and skip.
+    # Gated on the impl's pre-commit snapshot config (auto_compact in
+    # the result) so tables that never opted in pay zero extra replay
+    if out.get("files_rewritten") and out.get("auto_compact"):
         _maybe_auto_compact(spark, path)
     return out
 
@@ -5502,6 +5538,7 @@ def _delete_from_delta_impl(
                 "rows_deleted": n_rows,
                 "files_rewritten": len(touched),
                 "files_added": len(adds),
+                "auto_compact": _wants_auto_compact(snap),
             }
         # conflict: staged files become vacuum-collectable orphans
         # (same torn-state story as any failed commit); re-identify
@@ -5953,6 +5990,7 @@ def _update_with_dv(
                 "files_rewritten": 0,
                 "files_added": len(new_adds),
                 "dv_files": len(dv_keep),
+                "auto_compact": _wants_auto_compact(snap),
             }
     raise RuntimeError(f"update_delta(dv): conflicted 16 times at {path}")
 
@@ -6161,8 +6199,12 @@ def update_delta(
         stats_filters, use_dv,
     )
     # autoCompact parity with write_delta: both the copy-on-write
-    # rewrite and the merge-on-read moved-rows file add data files
-    if out.get("files_rewritten") or out.get("rows_updated"):
+    # rewrite and the merge-on-read moved-rows file add data files.
+    # Gated on the impl's pre-commit snapshot config (auto_compact in
+    # the result) so tables that never opted in pay zero extra replay
+    if (
+        out.get("files_rewritten") or out.get("rows_updated")
+    ) and out.get("auto_compact"):
         _maybe_auto_compact(spark, path)
     return out
 
@@ -6327,6 +6369,7 @@ def _update_delta_impl(
                 "rows_updated": n_rows,
                 "files_rewritten": len(touched),
                 "files_added": len(adds),
+                "auto_compact": _wants_auto_compact(snap),
             }
     raise RuntimeError(f"update_delta: conflicted 16 times at {path}")
 
