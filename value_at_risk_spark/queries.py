@@ -4108,11 +4108,14 @@ def cosine_near_dup_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     threshold, exact. The fixture's embeddings top out at cosine ≈ 0.51
     (no planted dups), so the gate threshold 0.4 selects the true top
     ~0.05% most-similar pairs; production near-dup thresholds (≥ 0.95)
-    use the same operator. Scale path documented in
-    operators/similarity.cosine_near_dup_pairs (LSH-bucket candidates,
-    same exact verify)."""
+    use the same operator. Since r14 the gate runs the BLOCK-
+    partitioned Arrow-matmul form (block-pair applyInPandas, one BLAS
+    gram per block pair — 24x the expression form at sf0.1, equality
+    pytest-pinned in test_operators); the expression baseline and the
+    sub-quadratic LSH scale path live beside it in
+    operators/similarity."""
     from value_at_risk_spark.operators.similarity import (
-        cosine_near_dup_pairs as _pairs,
+        cosine_near_dup_pairs_blocked as _pairs,
     )
 
     e = _t(spark, sf_dir, "embeddings")
