@@ -621,6 +621,16 @@ def test_blocked_near_dup_equals_expression_form(spark, sf_dir):
     )
     got = cosine_near_dup_pairs_blocked(z, threshold=0.1, num_blocks=2)
     assert {(r.id_a, r.id_b) for r in got.collect()} == {(1, 3)}
+    # plan hygiene: the block grid is ONE shuffle of N*B rows into
+    # B(B+1)/2 kernel tasks — no cartesian product anywhere
+    plan = (
+        cosine_near_dup_pairs_blocked(e, threshold=0.35)
+        ._jdf.queryExecution()
+        .executedPlan()
+        .toString()
+    )
+    assert "CartesianProduct" not in plan
+    assert plan.count("Exchange") == 1
 
 
 def test_lsh_near_dup_equals_exact(spark, sf_dir):
