@@ -173,3 +173,118 @@ def test_two_process_append_autocompact_contention(spark, tmp_path):
     snap = snapshot(tbl)
     assert read_delta(spark, tbl).count() == 2 * n_appends * rows_per + 1
     assert snap.version == versions[-1]
+
+
+# DML worker: a loop of copy-on-write UPDATEs incrementing one row's
+# counter — the classic lost-update witness. Every increment must
+# re-identify its file against the tip it commits over, so a racing
+# append forces the retry path, never a lost increment.
+DML_WORKER_SRC = r"""
+import os, sys, time
+sys.path.insert(0, sys.argv[1])
+tbl, n_updates, sync_dir = sys.argv[2], int(sys.argv[3]), sys.argv[4]
+from pyspark.sql import SparkSession
+spark = (
+    SparkSession.builder.master("local[4]")
+    .appName("contention-dml")
+    .config("spark.sql.shuffle.partitions", "4")
+    .config("spark.ui.enabled", "false")
+    .getOrCreate()
+)
+from value_at_risk_spark.sources.deltalog import update_delta
+
+open(os.path.join(sync_dir, "ready_dml"), "w").close()
+deadline = time.time() + 120
+while not os.path.exists(os.path.join(sync_dir, "go")):
+    if time.time() > deadline:
+        raise TimeoutError("no go signal")
+    time.sleep(0.05)
+
+for _ in range(n_updates):
+    out = update_delta(
+        spark, tbl, "worker = 9", {"v": "v + 1"}, use_dv=False
+    )
+    assert out["rows_updated"] == 1, out
+print("DONE dml")
+"""
+
+APPEND_WORKER_V_SRC = WORKER_SRC.replace(
+    'rows = [(worker, seq, i) for i in range(rows_per)]',
+    'rows = [(worker, seq, i, 0.0) for i in range(rows_per)]',
+).replace(
+    '"worker int, seq int, i long"', '"worker int, seq int, i long, v double"'
+).replace(
+    'f"ready_{worker}"', '"ready_app"'
+)
+
+
+def test_append_vs_update_cross_process_no_lost_increment(spark, tmp_path):
+    """One process appends batches while another runs copy-on-write
+    UPDATEs incrementing a single row's counter. Linearizability on
+    the survivor state: the counter equals EXACTLY the update count
+    (no lost update ever — each UPDATE re-identified its touched file
+    against the tip it committed over), every append batch lands
+    exactly once, and versions are gapless."""
+    n_appends, rows_per, n_updates = 6, 300, 6
+    tbl = str(tmp_path / "dml_contended")
+    sync_dir = str(tmp_path / "sync")
+    os.makedirs(sync_dir)
+
+    from value_at_risk_spark.sources.deltalog import read_delta, write_delta
+
+    write_delta(
+        spark,
+        spark.createDataFrame(
+            [(9, 0, 0, 0.0)], "worker int, seq int, i long, v double"
+        ).coalesce(1),
+        tbl,
+    )
+    procs = [
+        subprocess.Popen(
+            [
+                sys.executable, "-c", APPEND_WORKER_V_SRC, REPO, tbl,
+                "0", str(n_appends), str(rows_per), sync_dir,
+            ],
+            stdout=subprocess.PIPE, stderr=subprocess.PIPE, text=True,
+        ),
+        subprocess.Popen(
+            [
+                sys.executable, "-c", DML_WORKER_SRC, REPO, tbl,
+                str(n_updates), sync_dir,
+            ],
+            stdout=subprocess.PIPE, stderr=subprocess.PIPE, text=True,
+        ),
+    ]
+    deadline = time.time() + 180
+    while time.time() < deadline and not (
+        os.path.exists(os.path.join(sync_dir, "ready_app"))
+        and os.path.exists(os.path.join(sync_dir, "ready_dml"))
+    ):
+        time.sleep(0.1)
+    open(os.path.join(sync_dir, "go"), "w").close()
+    for p in procs:
+        out, err = p.communicate(timeout=300)
+        assert p.returncode == 0, f"rc={p.returncode}\n{out}\n{err[-3000:]}"
+
+    # the lost-update witness: counter == exactly n_updates
+    seed = read_delta(spark, tbl).filter("worker = 9").collect()
+    assert len(seed) == 1
+    assert seed[0].v == float(n_updates), seed
+
+    got = read_delta(spark, tbl).groupBy("worker", "seq").count().collect()
+    per_batch = {(r.worker, r.seq): r["count"] for r in got}
+    expect = {(0, s): rows_per for s in range(n_appends)}
+    expect[(9, 0)] = 1
+    assert per_batch == expect
+
+    log = os.path.join(tbl, "_delta_log")
+    versions = sorted(
+        int(f[:20])
+        for f in os.listdir(log)
+        if f.endswith(".json") and f[:20].isdigit()
+    )
+    assert versions == list(range(len(versions))), versions
+    # v0 create + 6 appends + 6 updates = 13 commits minimum (no
+    # retries consume version numbers — a losing attempt re-links at
+    # the NEXT version, it never burns one)
+    assert len(versions) == 1 + n_appends + n_updates
