@@ -3712,15 +3712,49 @@ def ann_ivf_recall_planted(spark: SparkSession, sf_dir: str) -> DataFrame:
     ann_near_dup_lsh pins for sign-LSH. (Near-identical query/source
     pairs land in the same k-means cell, so the assertion is robust to
     last-ulp centroid drift across runs; nprobe=2 covers the boundary.)
-    """
+    Since r14 the trained coarse quantizer build-or-loads through the
+    index lifecycle like the PQ-family gates (train once per corpus,
+    load the k x dim centroid table thereafter — 3 Lloyd passes saved
+    per repeat run); the keyed cache's corpus fingerprint + code salt
+    keep a regenerated fixture or trainer change from serving stale
+    centroids."""
+    from value_at_risk_spark.operators.annindex import (
+        ensure_index,
+        index_cache_dir,
+    )
     from value_at_risk_spark.operators.similarity import (
         ivf_topk,
         kmeans_centroids,
     )
+    from value_at_risk_spark.sources.registry import Registry
 
     base, planted = _planted_embedding_corpus(_t(spark, sf_dir, "embeddings"))
     corpus = base.unionAll(planted)
-    cents = kmeans_centroids(corpus, "v", k=8, iters=3)
+
+    def _build(dirpath: str) -> None:
+        trained = kmeans_centroids(corpus, "v", k=8, iters=3)
+        Registry(dirpath).write(
+            spark.createDataFrame(
+                [(i, [float(x) for x in c]) for i, c in enumerate(trained)],
+                "cell int, v array<double>",
+            ),
+            "ann_centroids",
+            num_files=1,
+        )
+
+    cache = ensure_index(
+        index_cache_dir(
+            "ivf_recall", sf_dir, {"k": 8, "iters": 3, "planted": True}
+        ),
+        _build,
+    )
+    cents = [
+        list(r.v)
+        for r in sorted(
+            Registry(cache).read(spark, "ann_centroids").collect(),
+            key=lambda r: r.cell,
+        )
+    ]
     top1 = ivf_topk(
         planted.select(F.col("id").alias("query_id"), "v"),
         corpus.select(F.col("id").alias("neighbor_id"), "v"),
