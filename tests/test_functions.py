@@ -830,3 +830,44 @@ def test_xxh64_py_parity_property(spark):
             assert xxh64_signed(r.t.encode("utf-8")) == r.h, repr(r.t)
 
     prop()
+
+
+def test_gopher_quality_flags_rule_boundaries(spark):
+    """Each Gopher rule exercised at a boundary the documents fixture
+    never hits: symbol ratio ('#'/'...'), alpha ratio (numeric words),
+    word-count bounds, and mean-word-length bounds."""
+    from value_at_risk_spark.functions.text import gopher_quality_flags
+
+    good = "the cat sat on a mat with " + " ".join(
+        ["word"] * 50
+    )  # 57 words, stopwords present, mean len in [3,10]
+    short = "the cat sat on a mat"  # fails word count (6 < 50)
+    symbols = "the " + "# " * 60 + "of " + " ".join(["word"] * 50)
+    numeric = "the of " + " ".join(["12345"] * 98)  # alpha frac 0.02
+    longwords = "the of " + " ".join(["x" * 40] * 98)  # mean len ~39
+    nostop = " ".join(["word"] * 60)  # zero stopwords
+    df = spark.createDataFrame(
+        [
+            ("good", good),
+            ("short", short),
+            ("symbols", symbols),
+            ("numeric", numeric),
+            ("longwords", longwords),
+            ("nostop", nostop),
+        ],
+        "name string, text string",
+    )
+    rows = {
+        r.name: r.g.asDict()
+        for r in df.select(
+            "name", gopher_quality_flags("text").alias("g")
+        ).collect()
+    }
+    assert all(rows["good"].values()), rows["good"]
+    assert not rows["short"]["word_count_ok"]
+    assert not rows["symbols"]["symbol_ratio_ok"]
+    assert rows["symbols"]["word_count_ok"]  # 112 words: only the rule fails
+    assert not rows["numeric"]["alpha_ratio_ok"]
+    assert not rows["longwords"]["mean_word_len_ok"]
+    assert not rows["nostop"]["stopwords_ok"]
+    assert rows["nostop"]["alpha_ratio_ok"]

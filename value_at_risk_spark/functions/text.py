@@ -78,6 +78,46 @@ def quality_score(text: Column | str, rounded: bool = True) -> Column:
     return F.round(raw, 6) if rounded else raw
 
 
+def gopher_quality_flags(text: Column | str) -> Column:
+    """The published Gopher document-quality rule set (Rae et al. 2021,
+    "Scaling Language Models: ... Gopher", Appendix A — the same rules
+    FineWeb/Dolma ship) as one struct of booleans, all pure Catalyst
+    expressions:
+
+    - ``word_count_ok``     50 <= words <= 100,000
+    - ``mean_word_len_ok``  3 <= mean word length <= 10
+    - ``symbol_ratio_ok``   ('#' + '...') per word <= 0.1
+    - ``alpha_ratio_ok``    >= 80% of words contain an alphabetic char
+    - ``stopwords_ok``      >= 2 distinct stopwords present
+
+    The line-based Gopher rules (bullet/ellipsis line starts) are
+    omitted: the ``documents`` fixture is single-line. A keep decision
+    is the conjunction; pipelines also read the individual flags to
+    attribute WHY a document was dropped (the per-rule failure mix is
+    the tuning signal at 100 TB).
+    """
+    t = F.lower(_c(text))
+    toks = tokens(t)
+    n = F.size(toks)
+    nd = F.greatest(n, F.lit(1))
+    mean_len = avg_token_length(t)
+    hash_cnt = F.length(t) - F.length(F.replace(t, F.lit("#"), F.lit("")))
+    ellipsis_cnt = (
+        F.length(t) - F.length(F.replace(t, F.lit("..."), F.lit("")))
+    ) / F.lit(3)
+    symbol_ratio = (hash_cnt + ellipsis_cnt) / nd
+    alpha_frac = F.size(F.filter(toks, lambda x: x.rlike("[a-z]"))) / nd
+    sw = F.array(*[F.lit(s) for s in STOPWORDS])
+    n_stop_distinct = F.size(F.array_intersect(F.array_distinct(toks), sw))
+    return F.struct(
+        ((n >= 50) & (n <= 100_000)).alias("word_count_ok"),
+        ((mean_len >= 3.0) & (mean_len <= 10.0)).alias("mean_word_len_ok"),
+        (symbol_ratio <= 0.1).alias("symbol_ratio_ok"),
+        (alpha_frac >= 0.8).alias("alpha_ratio_ok"),
+        (n_stop_distinct >= 2).alias("stopwords_ok"),
+    )
+
+
 def shingles(text: Column | str, n: int = 3) -> Column:
     """Word n-gram shingles as strings (dedup fingerprint input)."""
     toks = tokens(text)

@@ -2507,6 +2507,104 @@ def doc_quality_scores(spark: SparkSession, sf_dir: str) -> DataFrame:
     return d.select("doc_id", quality_score("text").alias("quality"))
 
 
+@query(
+    "gopher_quality_filters",
+    """
+WITH toks AS (
+  SELECT doc_id, t FROM (
+    SELECT doc_id, UNNEST(string_split(lower(text), ' ')) AS t FROM documents
+  ) WHERE t <> ''
+),
+sig AS (
+  SELECT doc_id,
+         COUNT(*) AS n,
+         SUM(LENGTH(t)) * 1.0 / COUNT(*) AS mean_len,
+         SUM(CASE WHEN regexp_matches(t, '[a-z]') THEN 1 ELSE 0 END) * 1.0
+           / COUNT(*) AS alpha_frac,
+         COUNT(DISTINCT CASE WHEN t IN ('the','a','of','and','to','in',
+                                        'is','on','for','with')
+                             THEN t END) AS n_stop
+  FROM toks GROUP BY doc_id
+),
+flags AS (
+  SELECT d.source,
+         (s.n BETWEEN 50 AND 100000) AS word_count_ok,
+         (s.mean_len >= 3.0 AND s.mean_len <= 10.0) AS mean_word_len_ok,
+         (((LENGTH(lower(d.text)) - LENGTH(REPLACE(lower(d.text), '#', '')))
+           + (LENGTH(lower(d.text))
+              - LENGTH(REPLACE(lower(d.text), '...', ''))) / 3)
+          * 1.0 / s.n <= 0.1) AS symbol_ratio_ok,
+         (s.alpha_frac >= 0.8) AS alpha_ratio_ok,
+         (s.n_stop >= 2) AS stopwords_ok
+  FROM documents d JOIN sig s USING (doc_id)
+)
+SELECT source,
+       CAST(COUNT(*) AS BIGINT) AS docs,
+       CAST(SUM(CASE WHEN word_count_ok AND mean_word_len_ok
+                      AND symbol_ratio_ok AND alpha_ratio_ok
+                      AND stopwords_ok THEN 1 ELSE 0 END) AS BIGINT) AS kept,
+       CAST(SUM(CASE WHEN word_count_ok THEN 0 ELSE 1 END) AS BIGINT)
+         AS fail_word_count,
+       CAST(SUM(CASE WHEN mean_word_len_ok THEN 0 ELSE 1 END) AS BIGINT)
+         AS fail_mean_word_len,
+       CAST(SUM(CASE WHEN symbol_ratio_ok THEN 0 ELSE 1 END) AS BIGINT)
+         AS fail_symbol_ratio,
+       CAST(SUM(CASE WHEN alpha_ratio_ok THEN 0 ELSE 1 END) AS BIGINT)
+         AS fail_alpha_ratio,
+       CAST(SUM(CASE WHEN stopwords_ok THEN 0 ELSE 1 END) AS BIGINT)
+         AS fail_stopwords,
+       ROUND(SUM(CASE WHEN word_count_ok AND mean_word_len_ok
+                       AND symbol_ratio_ok AND alpha_ratio_ok
+                       AND stopwords_ok THEN 1 ELSE 0 END) * 1.0
+             / COUNT(*), 6) + 0 AS kept_share
+FROM flags GROUP BY source
+""",
+)
+def gopher_quality_filters(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The published Gopher quality-rule set (Rae et al. 2021 App. A —
+    the filters FineWeb/Dolma ship) over the corpus, reported as the
+    per-source keep/fail attribution a curation run tunes against:
+    which rule drops how many documents per source, and what share
+    survives the conjunction. One scan; every rule is a pure Catalyst
+    expression inside whole-stage codegen
+    (functions/text.gopher_quality_flags) — at 100 TB this is a
+    map-only pass followed by a tiny per-source hash-agg. Not in the
+    reference (no string surface beyond equality, SURVEY §2.8); this
+    is the engine's LLM-pipeline extension tier."""
+    from value_at_risk_spark.functions.text import gopher_quality_flags
+
+    d = _t(spark, sf_dir, "documents")
+    g = F.col("g")
+    kept = (
+        g["word_count_ok"]
+        & g["mean_word_len_ok"]
+        & g["symbol_ratio_ok"]
+        & g["alpha_ratio_ok"]
+        & g["stopwords_ok"]
+    )
+    flagged = d.select(
+        "source", gopher_quality_flags("text").alias("g")
+    ).select(
+        "source",
+        kept.cast("long").alias("_keep"),
+        (~g["word_count_ok"]).cast("long").alias("_f_wc"),
+        (~g["mean_word_len_ok"]).cast("long").alias("_f_mwl"),
+        (~g["symbol_ratio_ok"]).cast("long").alias("_f_sym"),
+        (~g["alpha_ratio_ok"]).cast("long").alias("_f_alpha"),
+        (~g["stopwords_ok"]).cast("long").alias("_f_stop"),
+    )
+    return flagged.groupBy("source").agg(
+        F.count(F.lit(1)).alias("docs"),
+        F.sum("_keep").alias("kept"),
+        F.sum("_f_wc").alias("fail_word_count"),
+        F.sum("_f_mwl").alias("fail_mean_word_len"),
+        F.sum("_f_sym").alias("fail_symbol_ratio"),
+        F.sum("_f_alpha").alias("fail_alpha_ratio"),
+        F.sum("_f_stop").alias("fail_stopwords"),
+        F.round(F.sum("_keep") / F.count(F.lit(1)), 6).alias("kept_share"),
+    )
+
+
 @query("ann_ivf_topk")
 def ann_ivf_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     """IVF ANN (rows-only): coarse quantizer TRAINED with distributed
