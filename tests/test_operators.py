@@ -4192,3 +4192,58 @@ def test_content_defined_chunks_lossless_property(spark):
                 assert all(c for c in chunks), repr(t)
 
     prop()
+
+
+def test_kmeans_assignments_planted_blobs_and_dist2(spark):
+    """Three well-separated planted blobs: co-membership must be exact
+    (labels arbitrary), dist2 must match a numpy recompute of the same
+    quantized-Lloyd algorithm, and the deterministic init must make two
+    runs identical."""
+    import numpy as np
+
+    from value_at_risk_spark.operators.similarity import kmeans_assignments
+
+    rng = np.random.default_rng(7)
+    centers = np.array([[10.0, 0.0, 0.0], [0.0, 10.0, 0.0], [0.0, 0.0, 10.0]])
+    pts = np.concatenate(
+        [c + 0.1 * rng.standard_normal((30, 3)) for c in centers]
+    )
+    df = spark.createDataFrame(
+        [(i, [float(x) for x in p]) for i, p in enumerate(pts)],
+        "vec_id long, embedding array<double>",
+    )
+    out = kmeans_assignments(df, k=3, iters=2).collect()
+    by_id = {r.vec_id: r.cluster for r in out}
+    for blob in range(3):
+        labels = {by_id[i] for i in range(blob * 30, blob * 30 + 30)}
+        assert len(labels) == 1, f"blob {blob} split across {labels}"
+    assert len({by_id[0], by_id[30], by_id[60]}) == 3
+
+    # numpy replay of the same algorithm (quantized handoffs, ties to
+    # smallest cell, empty cells keep previous centroid)
+    cents = np.round(pts[:3], 6)
+    for _ in range(2):
+        d = ((pts[:, None, :] - cents[None, :, :]) ** 2).sum(axis=2)
+        assign = d.argmin(axis=1)
+        cents = np.array(
+            [
+                np.round(pts[assign == j].mean(axis=0), 6)
+                if (assign == j).any()
+                else cents[j]
+                for j in range(3)
+            ]
+        )
+    d = ((pts[:, None, :] - cents[None, :, :]) ** 2).sum(axis=2)
+    expect_assign = d.argmin(axis=1)
+    expect_d2 = d.min(axis=1)
+    # cluster ids must agree exactly (same init => same labels)
+    for r in out:
+        assert r.cluster == int(expect_assign[r.vec_id])
+        assert abs(r.dist2 - float(expect_d2[r.vec_id])) < 1e-9
+
+    rerun = {r.vec_id: r.cluster for r in kmeans_assignments(
+        df, k=3, iters=2).collect()}
+    assert rerun == by_id
+
+    with pytest.raises(ValueError, match="exceeds corpus size"):
+        kmeans_assignments(df.limit(2), k=3, iters=1)

@@ -473,6 +473,100 @@ def nearest_cell_expr(vec_col, centroids) -> "F.Column":
     return F.element_at(F.array_sort(dists), 1)["cell"]
 
 
+def nearest_cell_struct(vec_col, centroids) -> "F.Column":
+    """Head (d, cell) struct of the nearest-centroid ranking — same
+    expression as nearest_cell_expr but keeps the rank score so the
+    caller can recover the true squared distance (``d + ||v||²``,
+    since d = ||c||² − 2·v·c) without a second k·dim pass."""
+    col = F.col(vec_col) if isinstance(vec_col, str) else vec_col
+    dists = F.array(
+        *[
+            F.struct(
+                (
+                    F.lit(float(sum(x * x for x in cent)))
+                    - 2 * dot_product(
+                        col, F.array(*[F.lit(float(x)) for x in cent])
+                    )
+                ).alias("d"),
+                F.lit(i).alias("cell"),
+            )
+            for i, cent in enumerate(centroids)
+        ]
+    )
+    return F.element_at(F.array_sort(dists), 1)
+
+
+def kmeans_assignments(
+    df: DataFrame,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    k: int = 8,
+    iters: int = 2,
+    quantize: int = 6,
+) -> DataFrame:
+    """Deterministic, engine-replayable Lloyd k-means: fit AND assign.
+
+    Unlike ``kmeans_centroids`` (seeded-RNG init for quantizer
+    training), this variant is built to cross-check bit-for-bit
+    against a SQL replay of the same algorithm in another engine:
+
+    - init is data-derived (the vectors of the ``k`` smallest ids) —
+      no RNG, no partition-order dependence;
+    - every centroid coordinate is ROUNDED to ``quantize`` decimals
+      after init and after each mean update, so the sub-ulp
+      summation-order drift between engines' AVG implementations is
+      absorbed at each handoff instead of compounding through
+      iterations;
+    - ties in the nearest-centroid ranking break to the smallest cell
+      index in both engines (array_sort on (d, cell)).
+
+    Each iteration is one distributed assign (pure projection — the
+    centroids are plan literals) plus one hash-agg for the per-cell
+    means; only k×dim doubles reach the driver per pass, so the loop
+    is the canonical 100 TB clustering shape (SemDeDup's
+    per-cell partitioner trains exactly like this). Returns
+    (id_col, cluster, dist2) with dist2 the exact squared L2 to the
+    assigned centroid.
+    """
+    v = F.col(vec_col).cast("array<double>")
+    base = df.select(F.col(id_col).cast("long").alias("_id"), v.alias("_v"))
+    seeds = base.orderBy("_id").limit(k).collect()
+    if len(seeds) < k:
+        raise ValueError(
+            f"kmeans_assignments: k={k} exceeds corpus size {len(seeds)}"
+        )
+    cents = [[round(float(x), quantize) for x in r._v] for r in seeds]
+    for _ in range(iters):
+        assigned = base.select(
+            "_v", nearest_cell_expr("_v", cents).alias("_cell")
+        )
+        means = (
+            assigned.select("_cell", F.posexplode("_v").alias("_i", "_x"))
+            .groupBy("_cell", "_i")
+            .agg(F.avg("_x").alias("_m"))
+            .groupBy("_cell")
+            .agg(
+                F.array_sort(F.collect_list(F.struct("_i", "_m"))).alias("_ms")
+            )
+            .select(
+                "_cell",
+                F.transform("_ms", lambda s: s["_m"]).alias("_mean"),
+            )
+            .collect()
+        )
+        for r in means:  # empty cells keep their previous centroid
+            cents[r._cell] = [round(float(x), quantize) for x in r._mean]
+    best = nearest_cell_struct("_v", cents)
+    vsq = F.aggregate(
+        F.transform("_v", lambda x: x * x), F.lit(0.0), lambda a, x: a + x
+    )
+    return base.select(
+        F.col("_id").alias(id_col),
+        best["cell"].alias("cluster"),
+        (best["d"] + vsq).alias("dist2"),
+    )
+
+
 def kmeans_centroids(
     df: DataFrame,
     vec_col: str = "embedding",

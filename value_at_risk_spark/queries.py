@@ -2669,6 +2669,92 @@ def embedding_centroid_by_label(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+_KMEANS_ORACLE = """
+WITH v AS MATERIALIZED (
+  SELECT vec_id AS id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings
+),
+c0 AS MATERIALIZED (
+  SELECT CAST(ROW_NUMBER() OVER (ORDER BY id) - 1 AS INTEGER) AS cell,
+         list_transform(v, x -> ROUND(x, 6)) AS c
+  FROM (SELECT id, v FROM v ORDER BY id LIMIT 8)
+),
+a1 AS MATERIALIZED (
+  SELECT id, v, cell FROM (
+    SELECT v.id, v.v, c.cell,
+           ROW_NUMBER() OVER (PARTITION BY v.id
+                              ORDER BY list_distance(v.v, c.c), c.cell) AS rn
+    FROM v, c0 c) t WHERE rn = 1
+),
+m1 AS MATERIALIZED (
+  SELECT cell, array_agg(ROUND(m, 6) ORDER BY i) AS c FROM (
+    SELECT cell, i, AVG(x) AS m FROM (
+      SELECT cell, generate_subscripts(v, 1) AS i, UNNEST(v) AS x FROM a1
+    ) t GROUP BY cell, i) t2 GROUP BY cell
+),
+c1 AS MATERIALIZED (
+  SELECT p.cell, COALESCE(m.c, p.c) AS c FROM c0 p LEFT JOIN m1 m USING (cell)
+),
+a2 AS MATERIALIZED (
+  SELECT id, v, cell FROM (
+    SELECT v.id, v.v, c.cell,
+           ROW_NUMBER() OVER (PARTITION BY v.id
+                              ORDER BY list_distance(v.v, c.c), c.cell) AS rn
+    FROM v, c1 c) t WHERE rn = 1
+),
+m2 AS MATERIALIZED (
+  SELECT cell, array_agg(ROUND(m, 6) ORDER BY i) AS c FROM (
+    SELECT cell, i, AVG(x) AS m FROM (
+      SELECT cell, generate_subscripts(v, 1) AS i, UNNEST(v) AS x FROM a2
+    ) t GROUP BY cell, i) t2 GROUP BY cell
+),
+c2 AS MATERIALIZED (
+  SELECT p.cell, COALESCE(m.c, p.c) AS c FROM c1 p LEFT JOIN m2 m USING (cell)
+),
+af AS MATERIALIZED (
+  SELECT id, cell, POWER(list_distance(v, c), 2) AS dist2 FROM (
+    SELECT v.id, c.cell, v.v, c.c,
+           ROW_NUMBER() OVER (PARTITION BY v.id
+                              ORDER BY list_distance(v.v, c.c), c.cell) AS rn
+    FROM v, c2 c) t WHERE rn = 1
+)
+SELECT cell AS cluster,
+       CAST(COUNT(*) AS BIGINT) AS n,
+       CAST(SUM(id) AS BIGINT) AS id_sum,
+       CAST(MIN(id) AS BIGINT) AS min_id,
+       CAST(MAX(id) AS BIGINT) AS max_id,
+       ROUND(AVG(dist2), 4) + 0 AS avg_dist2
+FROM af GROUP BY cell
+"""
+
+
+@query("kmeans_cluster_assignments", _KMEANS_ORACLE)
+def kmeans_cluster_assignments(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """First-class k-means clustering (the corpus partitioner under
+    SemDeDup / IVF, here as its own operator): deterministic Lloyd fit
+    + assignment (operators/similarity.kmeans_assignments — data-
+    derived init from the k smallest ids, centroids quantized to 6
+    decimals at every handoff, ties to the smallest cell), reported as
+    per-cluster membership aggregates. ``id_sum`` is a permutation-
+    sensitive membership checksum: the oracle REPLAYS the entire
+    2-iteration Lloyd loop in SQL (unrolled assign→mean CTE chain,
+    MATERIALIZED per the BPE/CDC oracle lesson), so one vector landing
+    in a different cell in either engine reds the row. Each Spark
+    iteration is one pure-projection assign (centroids are plan
+    literals — no shuffle) plus one hash-agg; only k x dim doubles
+    reach the driver per pass, the shape that holds at 100 TB."""
+    from value_at_risk_spark.operators.similarity import kmeans_assignments
+
+    emb = _t(spark, sf_dir, "embeddings")
+    a = kmeans_assignments(emb, "vec_id", "embedding", k=8, iters=2)
+    return a.groupBy("cluster").agg(
+        F.count(F.lit(1)).alias("n"),
+        F.sum("vec_id").alias("id_sum"),
+        F.min("vec_id").alias("min_id"),
+        F.max("vec_id").alias("max_id"),
+        (F.round(F.avg("dist2"), 4) + F.lit(0.0)).alias("avg_dist2"),
+    )
+
+
 @query(
     "hourly_event_windows",
     """
