@@ -4247,3 +4247,56 @@ def test_kmeans_assignments_planted_blobs_and_dist2(spark):
 
     with pytest.raises(ValueError, match="exceeds corpus size"):
         kmeans_assignments(df.limit(2), k=3, iters=1)
+
+
+def test_cosine_allpairs_topk_blocked_equals_broadcast_form(spark, sf_dir):
+    """Blocked all-queries top-k == the broadcast cosine_topk contract,
+    on the real fixture and on a TIE-HEAVY corpus (planted exact
+    duplicates force the rounded-tie id tie-break), at two block
+    counts; knn_graph_mutual edges are exactly the reciprocal top-k
+    pairs of the same contract."""
+    from value_at_risk_spark.operators.similarity import (
+        cosine_allpairs_topk_blocked,
+        cosine_topk,
+        knn_graph_mutual,
+    )
+
+    emb = (
+        spark.read.parquet(f"{sf_dir}/embeddings.parquet")
+        .select("vec_id", "embedding")
+        .limit(120)
+    )
+    dup = emb.filter(F.col("vec_id") < 15).select(
+        (F.col("vec_id") + 100000).alias("vec_id"), "embedding"
+    )
+    corpus = emb.unionByName(dup)  # exact duplicates => cosine 1.0 ties
+    expect = {
+        (r.query_id, r.rank): (r.neighbor_id, r.cosine)
+        for r in cosine_topk(
+            corpus.withColumnRenamed("vec_id", "query_id"),
+            corpus.withColumnRenamed("vec_id", "neighbor_id"),
+            k=4,
+        ).collect()
+    }
+    for nb in (3, 8):
+        got = {
+            (r.query_id, r.rank): (r.neighbor_id, r.cosine)
+            for r in cosine_allpairs_topk_blocked(
+                corpus, k=4, num_blocks=nb
+            ).collect()
+        }
+        assert got == expect, f"num_blocks={nb}"
+
+    mutual = {
+        (r.id_a, r.id_b) for r in knn_graph_mutual(corpus, k=4).collect()
+    }
+    tops: dict[int, set[int]] = {}
+    for (q, _rk), (nbr, _c) in expect.items():
+        tops.setdefault(q, set()).add(nbr)
+    expect_mutual = {
+        (min(a, b), max(a, b))
+        for a, nbrs in tops.items()
+        for b in nbrs
+        if a in tops.get(b, set())
+    }
+    assert mutual == expect_mutual and len(mutual) > 0

@@ -434,6 +434,187 @@ def cosine_near_dup_pairs_blocked(
     return out.select("id_a", "id_b", sim_out.alias("cosine"))
 
 
+def _contract_topk_cols(sims_row, ids, k: int, round_to: int | None):
+    """Batch-local top-k candidate columns under the CONTRACT total
+    order (rounded sim desc, id asc) — the same two-stage cut as
+    cosine_topk_arrow's kernel: first a raw-threshold superset (any
+    global winner satisfies raw >= raw-kth − 10^-r), then, only when
+    ties inflate the superset past k, an exact cut whose rounding
+    replicates Spark's F.round bit-for-bit (Decimal(repr), HALF_UP —
+    numpy's half-even can flip the id tie-break at decimal
+    boundaries). Returns candidate INDICES into ``ids``; emitted sims
+    must stay unrounded so the Spark-side merge window applies the one
+    authoritative rounding."""
+    import math
+    from decimal import ROUND_HALF_UP, Decimal
+
+    n = sims_row.shape[0]
+    take = min(k, n)
+    if take == 0:
+        return np.array([], dtype=np.int64)
+    part = np.argpartition(-sims_row, take - 1)[:take]
+    kth = sims_row[part].min()
+    thr = kth if round_to is None else kth - 10.0 ** (-round_to)
+    cols = np.nonzero(sims_row >= thr)[0]
+    if len(cols) > k:
+        raw = sims_row[cols]
+        if round_to is None:
+            key = raw
+        else:
+            quant = Decimal(1).scaleb(-round_to)
+            key = np.array(
+                [
+                    float(
+                        Decimal(repr(s)).quantize(
+                            quant, rounding=ROUND_HALF_UP
+                        )
+                    )
+                    if math.isfinite(s)
+                    else s
+                    for s in raw.tolist()
+                ]
+            )
+        cols = cols[np.lexsort((ids[cols], -key))[:k]]
+    return cols
+
+
+def cosine_allpairs_topk_blocked(
+    df: DataFrame,
+    k: int = 3,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    round_to: int | None = 6,
+    num_blocks: int = 8,
+) -> DataFrame:
+    """Exact top-k cosine neighbors for EVERY row (self excluded) via
+    block-partitioned Arrow matmul — the all-queries sibling of
+    ``cosine_topk`` (equality pytest-pinned incl. a tie-heavy corpus).
+    ``cosine_topk``/``cosine_topk_arrow`` broadcast the query set, so
+    they stop scaling when the queries ARE the corpus; here rows hash
+    into B blocks, each unordered block pair is one applyInPandas task
+    computing the cross-block gram with ONE BLAS call, and each task
+    emits only its rows' BATCH-LOCAL top-k against the opposite side
+    (contract order — see _contract_topk_cols). A global winner for
+    query q vs corpus row c lives in exactly one block pair, so the
+    per-query merge window over N·B·k candidate rows recovers the
+    exact top-k. Output: (query_id, neighbor_id, cosine, rank)."""
+    blk = F.pmod(F.xxhash64(F.col(id_col)), F.lit(num_blocks)).cast("int")
+    base = df.select(
+        F.col(id_col).alias("_id"),
+        F.col(vec_col).alias("_v"),
+        blk.alias("_blk"),
+    )
+    grid = F.explode(
+        F.array(*[F.lit(j) for j in range(num_blocks)])
+    ).alias("_other")
+    lefts = base.select(
+        "_id", "_v", F.col("_blk").alias("_bi"), grid, F.lit(0).alias("_side")
+    ).filter(F.col("_other") >= F.col("_bi")).withColumnRenamed(
+        "_other", "_bj"
+    )
+    rights = base.select(
+        "_id", "_v", grid, F.col("_blk").alias("_bj"), F.lit(1).alias("_side")
+    ).filter(F.col("_bj") > F.col("_other")).withColumnRenamed(
+        "_other", "_bi"
+    )
+    both = lefts.select("_bi", "_bj", "_side", "_id", "_v").unionByName(
+        rights.select("_bi", "_bj", "_side", "_id", "_v")
+    )
+    kk, rt = int(k), round_to
+
+    def _knn(pdf: pd.DataFrame) -> pd.DataFrame:
+        left = pdf[pdf["_side"] == 0]
+        right = pdf[pdf["_side"] == 1]
+        diag = right.empty
+        ids_l = left["_id"].to_numpy(dtype=np.int64)
+        V_l = np.array(list(left["_v"]), dtype=np.float64)
+        out_q: list[int] = []
+        out_c: list[int] = []
+        out_s: list[float] = []
+        if V_l.size == 0:
+            return pd.DataFrame(
+                {"query_id": [], "neighbor_id": [], "_raw": []}
+            ).astype({"query_id": np.int64, "neighbor_id": np.int64,
+                      "_raw": float})
+        if diag:
+            ids_r, V_r = ids_l, V_l
+        else:
+            ids_r = right["_id"].to_numpy(dtype=np.int64)
+            V_r = np.array(list(right["_v"]), dtype=np.float64)
+        n_l = np.linalg.norm(V_l, axis=1)
+        n_r = np.linalg.norm(V_r, axis=1)
+        n_l[n_l == 0.0] = np.inf
+        n_r[n_r == 0.0] = np.inf
+        if V_r.size:
+            sims = (V_l @ V_r.T) / (n_l[:, None] * n_r[None, :])
+            sims[ids_l[:, None] == ids_r[None, :]] = -np.inf
+            for i in range(len(ids_l)):  # left rows as queries
+                cols = _contract_topk_cols(sims[i], ids_r, kk, rt)
+                cols = cols[np.isfinite(sims[i, cols])]
+                out_q.extend([int(ids_l[i])] * len(cols))
+                out_c.extend(ids_r[cols].tolist())
+                out_s.extend(sims[i, cols].tolist())
+            if not diag:  # right rows as queries, same gram transposed
+                simsT = sims.T
+                for j in range(len(ids_r)):
+                    cols = _contract_topk_cols(simsT[j], ids_l, kk, rt)
+                    cols = cols[np.isfinite(simsT[j, cols])]
+                    out_q.extend([int(ids_r[j])] * len(cols))
+                    out_c.extend(ids_l[cols].tolist())
+                    out_s.extend(simsT[j, cols].tolist())
+        return pd.DataFrame(
+            {"query_id": out_q, "neighbor_id": out_c, "_raw": out_s}
+        )
+
+    cand = both.groupBy("_bi", "_bj").applyInPandas(
+        _knn, "query_id long, neighbor_id long, _raw double"
+    )
+    sim = (
+        F.round(F.col("_raw"), round_to) + F.lit(0.0)
+        if round_to is not None
+        else F.col("_raw")
+    )
+    w = Window.partitionBy("query_id").orderBy(
+        F.desc("cosine"), F.asc("neighbor_id")
+    )
+    return (
+        cand.select("query_id", "neighbor_id", sim.alias("cosine"))
+        .withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= k)
+    )
+
+
+def knn_graph_mutual(
+    df: DataFrame,
+    k: int = 3,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    round_to: int | None = 6,
+    num_blocks: int = 8,
+) -> DataFrame:
+    """Mutual-kNN graph construction: edge (a, b) exists iff b is in
+    a's exact top-k AND a is in b's — the standard sparsifier feeding
+    graph clustering / dedup connected components (a mutual edge is
+    reciprocal evidence; one-way edges from hub nodes are the classic
+    false-merge source). Cosine is symmetric bit-for-bit here (same
+    fold order both directions), so mutuality reduces to the
+    normalized (lo, hi) directed edge appearing exactly twice — one
+    groupBy, no self-join. Output: (id_a < id_b, cosine)."""
+    topk = cosine_allpairs_topk_blocked(
+        df, k=k, id_col=id_col, vec_col=vec_col,
+        round_to=round_to, num_blocks=num_blocks,
+    )
+    lo = F.least("query_id", "neighbor_id")
+    hi = F.greatest("query_id", "neighbor_id")
+    return (
+        topk.select(lo.alias("id_a"), hi.alias("id_b"), "cosine")
+        .groupBy("id_a", "id_b")
+        .agg(F.min("cosine").alias("cosine"), F.count(F.lit(1)).alias("_n"))
+        .filter(F.col("_n") == 2)
+        .drop("_n")
+    )
+
+
 def nearest_cell_expr(vec_col, centroids) -> "F.Column":
     """Index of the nearest centroid (squared-L2) as a native
     expression — centroids are plan literals, so assignment is a pure

@@ -2756,6 +2756,48 @@ def kmeans_cluster_assignments(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @query(
+    "knn_graph_mutual_edges",
+    """
+WITH pairs AS MATERIALIZED (
+  SELECT a.vec_id AS qa, b.vec_id AS qb,
+         ROUND(list_cosine_similarity(CAST(a.embedding AS DOUBLE[]),
+                                      CAST(b.embedding AS DOUBLE[])), 6) + 0
+           AS cosine
+  FROM embeddings a, embeddings b
+  WHERE a.vec_id <> b.vec_id
+),
+topk AS MATERIALIZED (
+  SELECT qa, qb, cosine FROM (
+    SELECT qa, qb, cosine,
+           ROW_NUMBER() OVER (PARTITION BY qa
+                              ORDER BY cosine DESC, qb) AS rn
+    FROM pairs) t WHERE rn <= 3
+)
+SELECT LEAST(qa, qb) AS id_a, GREATEST(qa, qb) AS id_b,
+       MIN(cosine) + 0 AS cosine
+FROM topk GROUP BY 1, 2 HAVING COUNT(*) = 2
+""",
+)
+def knn_graph_mutual_edges(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Mutual-kNN graph over the embedding corpus (k=3): the standard
+    sparsifier feeding graph clustering / semantic dedup — an edge
+    needs RECIPROCAL top-k membership, which kills the hub-node
+    false merges one-way kNN graphs suffer. The Spark side runs
+    operators/similarity.cosine_allpairs_topk_blocked: rows hash into
+    B blocks, each block pair is one Arrow task computing the gram
+    matrix with a single BLAS call and emitting only batch-local top-k
+    (N·B·k candidate rows shuffle, never the N² pair matrix), then one
+    window merge + one groupBy for mutuality — the exact-kNN plan that
+    holds at 100 TB (the ANN index family is the sub-quadratic
+    sibling). The oracle recomputes every pair, both top-3 directions,
+    and the reciprocity condition."""
+    from value_at_risk_spark.operators.similarity import knn_graph_mutual
+
+    emb = _t(spark, sf_dir, "embeddings")
+    return knn_graph_mutual(emb, k=3, num_blocks=8)
+
+
+@query(
     "hourly_event_windows",
     """
 SELECT CAST(epoch(date_trunc('hour', ts)) AS BIGINT) AS window_start_s,
