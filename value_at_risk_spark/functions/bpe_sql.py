@@ -95,3 +95,36 @@ t0 AS (
 {rounds}
 {finals}
 """
+
+
+def bpe_token_counts_sql(num_merges: int = 12) -> str:
+    """Oracle twin of operators/bpe.bpe_token_counts: the SAME unrolled
+    training rounds (the final symbol table t{N} IS the trained
+    segmentation of every corpus word), finished with a doc-level
+    re-explode joined to per-word symbol counts. Hash equality
+    therefore pins the whole tokenizer round trip — train, segment,
+    encode — per document."""
+    rounds = ",".join(_round(i) for i in range(1, num_merges + 1))
+    return f"""
+WITH tok AS (
+  SELECT UNNEST(list_filter(string_split(lower(text),' '), x -> x <> ''))
+         AS w
+  FROM documents
+),
+words AS (SELECT w, COUNT(*) AS freq FROM tok GROUP BY w),
+t0 AS (
+  SELECT w, freq, i AS pos, w[i] AS sym
+  FROM words, UNNEST(range(1, length(w) + 1)) AS r(i)
+),
+{rounds},
+wseg AS (SELECT w, COUNT(*) AS n_sym FROM t{num_merges} GROUP BY w),
+dw AS (
+  SELECT doc_id,
+         UNNEST(list_filter(string_split(lower(text),' '), x -> x <> ''))
+           AS w
+  FROM documents
+)
+SELECT doc_id, CAST(COUNT(*) AS BIGINT) AS n_words,
+       CAST(SUM(n_sym) AS BIGINT) AS n_bpe_tokens
+FROM dw JOIN wseg USING (w) GROUP BY doc_id
+"""

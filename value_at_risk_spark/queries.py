@@ -38,7 +38,10 @@ from value_at_risk_spark.functions.returns import log_returns_over
 from value_at_risk_spark.functions.risk import basel_zone, value_at_risk_expr
 from value_at_risk_spark.functions.text import STOPWORDS
 from value_at_risk_spark.functions.timeutil import epoch_micros, epoch_seconds
-from value_at_risk_spark.functions.bpe_sql import bpe_merge_sql
+from value_at_risk_spark.functions.bpe_sql import (
+    bpe_merge_sql,
+    bpe_token_counts_sql,
+)
 from value_at_risk_spark.functions.xxh64_sql import xxh64_cte, xxh64_signed
 from value_at_risk_spark.functions.vector import dot_product
 from value_at_risk_spark.model import fit_ols_per_group
@@ -7662,6 +7665,26 @@ def bpe_merges_corpus(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     d = _t(spark, sf_dir, "documents")
     return bpe_merge_table(d, num_merges=12)
+
+
+@query("bpe_encode_token_counts", bpe_token_counts_sql(12))
+def bpe_encode_token_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The tokenizer ROUND TRIP, oracle-checked per document: train 12
+    BPE merges on the corpus, segment the distinct-word vocabulary
+    under them (greedy rank-order fold), and encode every document —
+    (doc_id, n_words, n_bpe_tokens). The corpus-scale path is
+    operators/bpe.bpe_token_counts: segmentation runs once on the
+    DISTINCT-word table and broadcast-joins back into the doc explode,
+    so the per-word merge fold costs O(vocab), not O(corpus) — the
+    token-budget accounting shape of a 100 TB pre-training run. The
+    DuckDB oracle replays training AND encoding from the same unrolled
+    round CTEs (functions/bpe_sql.bpe_token_counts_sql), so a one-token
+    segmentation drift on any word reds the row."""
+    from value_at_risk_spark.operators.bpe import bpe_token_counts, bpe_train
+
+    d = _t(spark, sf_dir, "documents")
+    merges = bpe_train(d, num_merges=12)
+    return bpe_token_counts(d, merges)
 
 
 @query(
