@@ -298,6 +298,7 @@ def scaled_heavy_tail(spark, sf_dir: str) -> dict:
             "source_overlap_matrix"
         ](spark, scaled).count()
         out.update(scaled_semdedup(spark, scaled))
+        out.update(scaled_knn_graph(spark, scaled))
         out.update(scaled_asof_bucketed(spark, scaled))
         try:
             out.update(scaled_delta_dml(spark, scaled))
@@ -447,6 +448,30 @@ def scaled_semdedup(spark, scaled: str) -> dict:
         "scaled10_semdedup_sec": sec,
         "scaled10_semdedup_vectors": agg.n,
         "scaled10_semdedup_dups": agg.d,
+    }
+
+
+def scaled_knn_graph(spark, scaled: str) -> dict:
+    """Standing 10x row for mutual-kNN graph construction (round 14):
+    the blocked exact all-queries top-k on the 20k-vector replicated
+    corpus. Replication makes every vector a 10-way exact-duplicate
+    cluster, so EVERY row hits the rounded-tie Decimal cut — the
+    kernel's worst case (the vectorized easy path handles tie-free
+    corpora; measured 11.1 s tie-heavy vs 5.0 s tie-free at this size
+    when the arm was added). Edge count is the work-size denominator:
+    the 10-clone clusters collapse to exactly C(4,2) = 6 mutual edges
+    each under the ascending-id tie-break, so a wrong edge count is a
+    correctness signal too, not just a perf drift."""
+    from value_at_risk_spark.operators.similarity import knn_graph_mutual
+
+    corpus = spark.read.parquet(f"{scaled}/embeddings.parquet").select(
+        "vec_id", "embedding"
+    )
+    t0 = time.time()
+    edges = knn_graph_mutual(corpus, k=3, num_blocks=16).count()
+    return {
+        "scaled10_knn_graph_sec": round(time.time() - t0, 3),
+        "scaled10_knn_graph_edges": edges,
     }
 
 

@@ -545,23 +545,44 @@ def cosine_allpairs_topk_blocked(
         n_r = np.linalg.norm(V_r, axis=1)
         n_l[n_l == 0.0] = np.inf
         n_r[n_r == 0.0] = np.inf
+        def _emit(sims, qids, cand_ids):
+            # vectorized cut for the common case (raw-threshold
+            # superset already <= k: no rounded ties in play); the
+            # Decimal tie-break loop runs only on the rows that need
+            # it (duplicate-heavy corpora) — at 20k tie-free rows the
+            # per-row python loop, not the BLAS gram, was the kernel's
+            # cost
+            n, m = sims.shape
+            take = min(kk, m)
+            if take == 0:
+                return
+            part = np.argpartition(-sims, take - 1, axis=1)[:, :take]
+            kth = sims[np.arange(n)[:, None], part].min(axis=1)
+            thr = kth if rt is None else kth - 10.0 ** (-rt)
+            mask = sims >= thr[:, None]
+            counts = mask.sum(axis=1)
+            easy = counts <= take
+            if easy.any():
+                eidx = np.nonzero(easy)[0]
+                rows, cols = np.nonzero(mask[easy])
+                svals = sims[eidx[rows], cols]
+                keep = np.isfinite(svals)
+                out_q.extend(qids[eidx[rows[keep]]].tolist())
+                out_c.extend(cand_ids[cols[keep]].tolist())
+                out_s.extend(svals[keep].tolist())
+            for i in np.nonzero(~easy)[0]:
+                cols = _contract_topk_cols(sims[i], cand_ids, kk, rt)
+                cols = cols[np.isfinite(sims[i, cols])]
+                out_q.extend([int(qids[i])] * len(cols))
+                out_c.extend(cand_ids[cols].tolist())
+                out_s.extend(sims[i, cols].tolist())
+
         if V_r.size:
             sims = (V_l @ V_r.T) / (n_l[:, None] * n_r[None, :])
             sims[ids_l[:, None] == ids_r[None, :]] = -np.inf
-            for i in range(len(ids_l)):  # left rows as queries
-                cols = _contract_topk_cols(sims[i], ids_r, kk, rt)
-                cols = cols[np.isfinite(sims[i, cols])]
-                out_q.extend([int(ids_l[i])] * len(cols))
-                out_c.extend(ids_r[cols].tolist())
-                out_s.extend(sims[i, cols].tolist())
+            _emit(sims, ids_l, ids_r)  # left rows as queries
             if not diag:  # right rows as queries, same gram transposed
-                simsT = sims.T
-                for j in range(len(ids_r)):
-                    cols = _contract_topk_cols(simsT[j], ids_l, kk, rt)
-                    cols = cols[np.isfinite(simsT[j, cols])]
-                    out_q.extend([int(ids_r[j])] * len(cols))
-                    out_c.extend(ids_l[cols].tolist())
-                    out_s.extend(simsT[j, cols].tolist())
+                _emit(np.ascontiguousarray(sims.T), ids_r, ids_l)
         return pd.DataFrame(
             {"query_id": out_q, "neighbor_id": out_c, "_raw": out_s}
         )
