@@ -4300,3 +4300,45 @@ def test_cosine_allpairs_topk_blocked_equals_broadcast_form(spark, sf_dir):
         if a in tops.get(b, set())
     }
     assert mutual == expect_mutual and len(mutual) > 0
+
+
+def test_reference_max_cosine_planted_leak_and_tie(spark):
+    """Planted benchmark leak is flagged with the right argmax ref;
+    rounded ties pick the smallest reference id; empty reference
+    raises."""
+    import numpy as np
+
+    from value_at_risk_spark.operators.similarity import (
+        reference_max_cosine,
+    )
+
+    rng = np.random.default_rng(11)
+    vecs = rng.standard_normal((6, 8))
+    vecs[5] = vecs[1]  # ref 101 duplicates ref 100 -> tie source
+    ref = spark.createDataFrame(
+        [(100 + i, [float(x) for x in vecs[i]]) for i in range(1, 6)],
+        "vec_id long, embedding array<double>",
+    )
+    leak = vecs[1] * 3.0  # same direction as refs 101/105 -> cosine 1.0
+    train = spark.createDataFrame(
+        [
+            (1, [float(x) for x in vecs[0]]),
+            (2, [float(x) for x in leak]),
+        ],
+        "vec_id long, embedding array<double>",
+    )
+    rows = {
+        r.vec_id: r for r in reference_max_cosine(train, ref).collect()
+    }
+    assert rows[2].max_cosine == 1.0
+    assert rows[2].ref_id == 101  # tie between 101 and 105 -> smallest
+    assert rows[1].max_cosine < 1.0
+    exact = max(
+        float(np.dot(vecs[0], vecs[i]))
+        / (np.linalg.norm(vecs[0]) * np.linalg.norm(vecs[i]))
+        for i in range(1, 6)
+    )
+    assert abs(rows[1].max_cosine - round(exact, 6)) < 1e-12
+
+    with pytest.raises(ValueError, match="empty reference"):
+        reference_max_cosine(train, ref.filter(F.col("vec_id") < 0))

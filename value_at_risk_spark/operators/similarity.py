@@ -636,6 +636,75 @@ def knn_graph_mutual(
     )
 
 
+def reference_max_cosine(
+    corpus: DataFrame,
+    ref: DataFrame,
+    corpus_id: str = "vec_id",
+    ref_id: str = "vec_id",
+    vec_col: str = "embedding",
+    round_to: int | None = 6,
+) -> DataFrame:
+    """Max cosine of every corpus row against a REFERENCE set, plus
+    the arg-max reference id — the semantic-decontamination primitive
+    (reference = the benchmark/eval suite; a training doc whose
+    embedding sits too close to any eval item leaks the benchmark).
+
+    The broadcast direction is the opposite of cosine_topk: the
+    reference is the small side by nature (eval suites are 1e3–1e5
+    rows), so it collects once into the task closure and every Arrow
+    batch of the CORPUS — the 100 TB side, never collected — computes
+    V @ R^T as one BLAS call, emitting one row per corpus row. Rounded
+    ties pick the smallest reference id (Decimal HALF_UP replay of
+    F.round, same contract as the top-k kernels); emitted sims stay
+    raw so the Spark plan applies the one authoritative rounding.
+    Output: (corpus_id, ref_id, max_cosine)."""
+    rrows = ref.select(ref_id, vec_col).collect()
+    if not rrows:
+        raise ValueError("reference_max_cosine: empty reference set")
+    rids = np.array([r[0] for r in rrows], dtype=np.int64)
+    R = np.array([r[1] for r in rrows], dtype=np.float64)
+    Rn = np.linalg.norm(R, axis=1)
+    Rn[Rn == 0.0] = np.inf
+    rt = round_to
+
+    def _score(batches):
+        for pdf in batches:
+            ids = pdf["_cid"].to_numpy(dtype=np.int64)
+            V = np.array(list(pdf["_v"]), dtype=np.float64)
+            if V.size == 0:
+                continue
+            Vn = np.linalg.norm(V, axis=1)
+            Vn[Vn == 0.0] = np.inf
+            sims = (V @ R.T) / (Vn[:, None] * Rn[None, :])
+            best = sims.max(axis=1)
+            thr = best if rt is None else best - 10.0 ** (-rt)
+            mask = sims >= thr[:, None]
+            counts = mask.sum(axis=1)
+            pick = sims.argmax(axis=1)
+            for i in np.nonzero(counts > 1)[0]:  # rounded ties only
+                cols = _contract_topk_cols(sims[i], rids, 1, rt)
+                pick[i] = cols[0]
+            yield pd.DataFrame(
+                {
+                    "_cid": ids,
+                    "ref_id": rids[pick],
+                    "_raw": sims[np.arange(len(ids)), pick],
+                }
+            )
+
+    out = corpus.select(
+        F.col(corpus_id).alias("_cid"), F.col(vec_col).alias("_v")
+    ).mapInPandas(_score, schema="_cid long, ref_id long, _raw double")
+    sim = (
+        F.round(F.col("_raw"), round_to) + F.lit(0.0)
+        if round_to is not None
+        else F.col("_raw")
+    )
+    return out.select(
+        F.col("_cid").alias(corpus_id), "ref_id", sim.alias("max_cosine")
+    )
+
+
 def nearest_cell_expr(vec_col, centroids) -> "F.Column":
     """Index of the nearest centroid (squared-L2) as a native
     expression — centroids are plan literals, so assignment is a pure

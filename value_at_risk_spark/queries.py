@@ -2801,6 +2801,65 @@ def knn_graph_mutual_edges(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @query(
+    "semantic_decontaminate",
+    """
+WITH ref AS (
+  SELECT vec_id AS rid, CAST(embedding AS DOUBLE[]) AS v
+  FROM embeddings WHERE vec_id % 17 = 0
+),
+tr AS (
+  SELECT vec_id AS tid, CAST(embedding AS DOUBLE[]) AS v
+  FROM embeddings WHERE vec_id % 17 <> 0
+),
+scored AS (
+  SELECT t.tid, r.rid,
+         ROUND(list_cosine_similarity(t.v, r.v), 6) + 0 AS cosine
+  FROM tr t, ref r
+),
+best AS (
+  SELECT tid, rid, cosine FROM (
+    SELECT tid, rid, cosine,
+           ROW_NUMBER() OVER (PARTITION BY tid
+                              ORDER BY cosine DESC, rid) AS rn
+    FROM scored) s WHERE rn = 1
+)
+SELECT tid AS vec_id, rid AS ref_id, cosine AS max_cosine,
+       (cosine >= 0.31) AS contaminated
+FROM best
+""",
+)
+def semantic_decontaminate(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Semantic decontamination — the embedding-space sibling of the
+    n-gram decontaminators (decontaminate_training_docs /
+    decontaminate_bloom_prefilter): every training vector's max cosine
+    against a benchmark reference set (here the vec_id % 17 == 0
+    slice, the same planted-benchmark convention), with the arg-max
+    reference id for audit and a threshold keep/drop verdict.
+    Paraphrased leakage defeats n-gram matching; this catches it. The
+    broadcast direction is the decisive scale choice
+    (operators/similarity.reference_max_cosine): the EVAL suite is the
+    small side by nature, so it ships in the task closure and the
+    100 TB training corpus streams through one BLAS matmul per Arrow
+    batch, one output row per corpus row, nothing collected. The
+    oracle recomputes every (train, ref) pair and the rounded-tie
+    smallest-id argmax."""
+    from value_at_risk_spark.operators.similarity import (
+        reference_max_cosine,
+    )
+
+    emb = _t(spark, sf_dir, "embeddings")
+    ref = emb.filter(F.col("vec_id") % 17 == 0)
+    train = emb.filter(F.col("vec_id") % 17 != 0)
+    scored = reference_max_cosine(train, ref)
+    return scored.select(
+        "vec_id",
+        "ref_id",
+        "max_cosine",
+        (F.col("max_cosine") >= 0.31).alias("contaminated"),
+    )
+
+
+@query(
     "hourly_event_windows",
     """
 SELECT CAST(epoch(date_trunc('hour', ts)) AS BIGINT) AS window_start_s,
