@@ -807,3 +807,37 @@ def test_row_id_read_plan_broadcast_no_shuffle(spark, tmp_path, monkeypatch):
     assert "BroadcastHashJoin" in p2
     assert "SortMergeJoin" not in p2
     assert "Exchange hashpartitioning" not in p2
+
+
+def test_plan_lint_ratchet_subset(spark, sf_dir):
+    """Plan-hygiene lint (tools/plan_lint.py) on a representative
+    subset: scalar-broadcast BNLJ carriers must not exceed their
+    pinned baseline count, and BatchEvalPython / CartesianProduct are
+    forbidden outright. The full registry runs through the same lint
+    before each round's closure sweep; this pytest keeps the ratchet
+    mechanism itself from rotting."""
+    import sys
+
+    sys.path.insert(0, "/root/repo/tools")
+    import plan_lint
+
+    subset = {
+        # BNLJ carriers (scalar-broadcast idiom, counts pinned)
+        "tfidf_top_terms",
+        "pagerank_trade_graph",
+        "embedding_scalar_quantization",
+        "heavy_hitter_tokens",
+        # Python-boundary queries (Arrow-vectorized only)
+        "ols_fit_per_flag",
+        "mc_simulate_market",
+        "cosine_near_dup_pairs",
+        "semantic_decontaminate",
+        "kmeans_cluster_assignments",
+        # plain equi-join/agg queries (zero unkeyed joins allowed)
+        "join_revenue_by_nation",
+        "regional_nation_revenue",
+        "gopher_quality_filters",
+        "knn_graph_mutual_edges",
+    }
+    bad = plan_lint.lint(spark, sf_dir, subset)
+    assert bad == [], bad
