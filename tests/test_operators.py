@@ -4342,3 +4342,40 @@ def test_reference_max_cosine_planted_leak_and_tie(spark):
 
     with pytest.raises(ValueError, match="empty reference"):
         reference_max_cosine(train, ref.filter(F.col("vec_id") < 0))
+
+
+def test_knn_topk_incremental_equals_scratch_tie_heavy(spark, sf_dir):
+    """Incremental top-k merge == from-scratch blocked top-k on the
+    union, on a corpus where exact duplicates SPAN the old/new
+    boundary (a new vector duplicating old ones is the nastiest
+    displacement case: rounded 1.0 ties across sources)."""
+    from value_at_risk_spark.operators.similarity import (
+        cosine_allpairs_topk_blocked,
+        knn_topk_incremental,
+    )
+
+    emb = (
+        spark.read.parquet(f"{sf_dir}/embeddings.parquet")
+        .select("vec_id", "embedding")
+        .limit(100)
+    )
+    old = emb.filter(F.col("vec_id") % 4 != 0)
+    # batch: the held-out quarter PLUS exact duplicates of old rows
+    dup = old.filter(F.col("vec_id") < 20).select(
+        (F.col("vec_id") + 700000).alias("vec_id"), "embedding"
+    )
+    new = emb.filter(F.col("vec_id") % 4 == 0).unionByName(dup)
+    stored = cosine_allpairs_topk_blocked(old, k=3, num_blocks=4).select(
+        "query_id", "neighbor_id", "cosine"
+    )
+    inc = {
+        (r.query_id, r.rank): (r.neighbor_id, r.cosine)
+        for r in knn_topk_incremental(stored, old, new, k=3).collect()
+    }
+    scratch = {
+        (r.query_id, r.rank): (r.neighbor_id, r.cosine)
+        for r in cosine_allpairs_topk_blocked(
+            old.unionByName(new), k=3, num_blocks=4
+        ).collect()
+    }
+    assert inc == scratch and len(inc) > 0

@@ -719,6 +719,143 @@ def reference_max_cosine(
     )
 
 
+def reference_topk_cosine(
+    corpus: DataFrame,
+    ref: DataFrame,
+    k: int = 3,
+    corpus_id: str = "vec_id",
+    ref_id: str = "vec_id",
+    vec_col: str = "embedding",
+    round_to: int | None = 6,
+) -> DataFrame:
+    """Top-k cosine of every corpus row against a small REFERENCE set
+    (the k>1 generalization of reference_max_cosine, same broadcast
+    direction): the reference ships in the task closure, the corpus —
+    the big side, never collected — streams through one BLAS matmul
+    per Arrow batch, emitting <= k rows per corpus row under the
+    contract cut (rounded desc, id asc). Self-pairs (same id on both
+    sides) are excluded, so corpus and reference may overlap.
+    Output: (corpus_id, ref_id, cosine) — rank assignment is left to
+    the caller's merge window (the incremental-kNN use case merges
+    these candidates with a STORED top-k before ranking)."""
+    rrows = ref.select(ref_id, vec_col).collect()
+    if not rrows:
+        raise ValueError("reference_topk_cosine: empty reference set")
+    rids = np.array([r[0] for r in rrows], dtype=np.int64)
+    R = np.array([r[1] for r in rrows], dtype=np.float64)
+    Rn = np.linalg.norm(R, axis=1)
+    Rn[Rn == 0.0] = np.inf
+    rt, kk = round_to, int(k)
+
+    def _score(batches):
+        for pdf in batches:
+            ids = pdf["_cid"].to_numpy(dtype=np.int64)
+            V = np.array(list(pdf["_v"]), dtype=np.float64)
+            if V.size == 0:
+                continue
+            Vn = np.linalg.norm(V, axis=1)
+            Vn[Vn == 0.0] = np.inf
+            sims = (V @ R.T) / (Vn[:, None] * Rn[None, :])
+            sims[ids[:, None] == rids[None, :]] = -np.inf
+            out_q: list[int] = []
+            out_c: list[int] = []
+            out_s: list[float] = []
+            for i in range(len(ids)):
+                cols = _contract_topk_cols(sims[i], rids, kk, rt)
+                cols = cols[np.isfinite(sims[i, cols])]
+                out_q.extend([int(ids[i])] * len(cols))
+                out_c.extend(rids[cols].tolist())
+                out_s.extend(sims[i, cols].tolist())
+            yield pd.DataFrame(
+                {"_cid": out_q, "ref_id": out_c, "_raw": out_s}
+            )
+
+    out = corpus.select(
+        F.col(corpus_id).alias("_cid"), F.col(vec_col).alias("_v")
+    ).mapInPandas(_score, schema="_cid long, ref_id long, _raw double")
+    sim = (
+        F.round(F.col("_raw"), round_to) + F.lit(0.0)
+        if round_to is not None
+        else F.col("_raw")
+    )
+    return out.select(
+        F.col("_cid").alias(corpus_id), "ref_id", sim.alias("cosine")
+    )
+
+
+def knn_topk_incremental(
+    stored_topk: DataFrame,
+    old_corpus: DataFrame,
+    new_batch: DataFrame,
+    k: int = 3,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    round_to: int | None = 6,
+    num_blocks: int | None = None,
+) -> DataFrame:
+    """Incrementally maintain an exact all-corpus top-k table when a
+    batch of new vectors arrives — O(N·|batch|) work instead of the
+    O(N²) rebuild (the daily-ingest shape: the graph artifact is
+    quadratic to build but cheap to MAINTAIN).
+
+    Exactness argument: a new vector can only DISPLACE entries of an
+    old row's top-k, never promote a previously-losing old candidate —
+    so an old row's union top-k lives inside (stored top-k ∪ its
+    top-k-vs-batch), and re-ranking the merge recovers it exactly. A
+    NEW row's candidates split into old-side (batch as broadcast
+    queries vs the old corpus) and batch-internal (covered by the same
+    streaming vs-batch pass that serves the old rows, since the union
+    stream includes the batch). Three disjoint candidate sources, one
+    merge window.
+
+    Inputs: ``stored_topk`` (query_id, neighbor_id, cosine[, rank]) —
+    the maintained artifact; ``old_corpus`` / ``new_batch`` with
+    (id_col, vec_col). Output: the updated (query_id, neighbor_id,
+    cosine, rank) table for the union corpus, bit-identical to a
+    from-scratch cosine_allpairs_topk_blocked on the union
+    (pytest-pinned)."""
+    _ = num_blocks  # reserved: a huge batch would use the blocked kernel
+    union = old_corpus.select(id_col, vec_col).unionByName(
+        new_batch.select(id_col, vec_col)
+    )
+    # (1) every union row's top-k against the batch (self-pairs
+    # excluded): old rows' NEW candidates + new rows' batch-internal
+    # candidates, one streaming pass over the union corpus
+    vs_batch = reference_topk_cosine(
+        union, new_batch, k=k, corpus_id=id_col, ref_id=id_col,
+        vec_col=vec_col, round_to=round_to,
+    ).select(
+        F.col(id_col).alias("query_id"),
+        F.col("ref_id").alias("neighbor_id"),
+        "cosine",
+    )
+    # (2) new rows' OLD-side candidates: batch as queries against the
+    # old corpus — the batch is small by nature, so the broadcast
+    # top-k form is the right tool for exactly this side
+    from_batch = cosine_topk_arrow(
+        new_batch.select(F.col(id_col).alias("query_id"), vec_col),
+        old_corpus.select(F.col(id_col).alias("neighbor_id"), vec_col),
+        k=k, round_to=round_to,
+    ).select("query_id", "neighbor_id", "cosine")
+    # (3) stored top-k: old rows' OLD-side candidates. The three
+    # sources are pairwise DISJOINT by construction — (1) has
+    # neighbor in batch, (2)/(3) have neighbor in old with query in
+    # batch/old respectively — so no dedup shuffle is needed before
+    # the merge window re-ranks on the shared contract order.
+    merged = (
+        stored_topk.select("query_id", "neighbor_id", "cosine")
+        .unionByName(vs_batch)
+        .unionByName(from_batch)
+    )
+    w = Window.partitionBy("query_id").orderBy(
+        F.desc("cosine"), F.asc("neighbor_id")
+    )
+    return (
+        merged.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= k)
+    )
+
+
 def nearest_cell_expr(vec_col, centroids) -> "F.Column":
     """Index of the nearest centroid (squared-L2) as a native
     expression — centroids are plan literals, so assignment is a pure

@@ -2860,6 +2860,53 @@ def semantic_decontaminate(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @query(
+    "knn_incremental_update",
+    """
+WITH pairs AS MATERIALIZED (
+  SELECT a.vec_id AS qa, b.vec_id AS qb,
+         ROUND(list_cosine_similarity(CAST(a.embedding AS DOUBLE[]),
+                                      CAST(b.embedding AS DOUBLE[])), 6) + 0
+           AS cosine
+  FROM embeddings a, embeddings b
+  WHERE a.vec_id <> b.vec_id
+)
+SELECT qa AS query_id, qb AS neighbor_id, cosine,
+       CAST(rn AS INTEGER) AS rank
+FROM (SELECT qa, qb, cosine,
+             ROW_NUMBER() OVER (PARTITION BY qa
+                                ORDER BY cosine DESC, qb) AS rn
+      FROM pairs) t
+WHERE rn <= 3
+""",
+)
+def knn_incremental_update(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Incremental maintenance of the exact top-k table — the
+    operation that makes a quadratic artifact affordable at 100 TB:
+    the graph is O(N²) to BUILD but only O(N·|batch|) to MAINTAIN.
+    The vec_id % 5 == 0 slice plays the arriving batch; the query
+    builds the stored top-k on the remaining 80% (the maintained
+    artifact), then applies operators/similarity.knn_topk_incremental:
+    one streaming vs-batch pass over the union (batch in the task
+    closure), one broadcast batch-vs-old top-k, and a merge window
+    over three provably disjoint candidate sources. The oracle is the
+    FROM-SCRATCH answer on the full corpus — hash equality proves the
+    incremental path reconstructs it exactly, displaced entries,
+    rounded ties, ranks and all."""
+    from value_at_risk_spark.operators.similarity import (
+        cosine_allpairs_topk_blocked,
+        knn_topk_incremental,
+    )
+
+    emb = _t(spark, sf_dir, "embeddings")
+    old = emb.filter(F.col("vec_id") % 5 != 0)
+    new = emb.filter(F.col("vec_id") % 5 == 0)
+    stored = cosine_allpairs_topk_blocked(old, k=3, num_blocks=8).select(
+        "query_id", "neighbor_id", "cosine"
+    )
+    return knn_topk_incremental(stored, old, new, k=3)
+
+
+@query(
     "hourly_event_windows",
     """
 SELECT CAST(epoch(date_trunc('hour', ts)) AS BIGINT) AS window_start_s,
