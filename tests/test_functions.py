@@ -871,3 +871,37 @@ def test_gopher_quality_flags_rule_boundaries(spark):
     assert not rows["longwords"]["mean_word_len_ok"]
     assert not rows["nostop"]["stopwords_ok"]
     assert rows["nostop"]["alpha_ratio_ok"]
+
+
+def test_jl_projection_numpy_parity_and_distance_fold(spark):
+    """jl_project equals the numpy matmul through the same rounded
+    matrix; squared_distance equals the numpy norm; projection
+    preserves distances within the JL envelope on a gaussian cloud."""
+    from value_at_risk_spark.functions.vector import (
+        jl_project,
+        jl_projection_matrix,
+        squared_distance,
+    )
+
+    mat = jl_projection_matrix(16, 8, seed=5)
+    R = np.array(mat)
+    rng = np.random.default_rng(3)
+    pts = rng.standard_normal((20, 16))
+    df = spark.createDataFrame(
+        [(i, [float(x) for x in p]) for i, p in enumerate(pts)],
+        "id long, v array<double>",
+    )
+    rows = {r.id: np.array(r.p) for r in df.select(
+        "id", jl_project("v", mat).alias("p")).collect()}
+    for i in range(20):
+        assert np.allclose(rows[i], R @ pts[i], atol=1e-12)
+
+    d = df.alias("a").join(
+        df.alias("b"), F.col("a.id") + 1 == F.col("b.id")
+    ).select(
+        squared_distance(F.col("a.v"), F.col("b.v")).alias("d2")
+    ).collect()
+    expect = [((pts[i] - pts[i + 1]) ** 2).sum() for i in range(19)]
+    assert sorted(round(r.d2, 9) for r in d) == sorted(
+        round(float(e), 9) for e in expect
+    )

@@ -110,3 +110,47 @@ def cosine_similarity(
         dot_product(a, b, dim=dim),
         vector_norm(a, dim=dim) * vector_norm(b, dim=dim),
     )
+
+
+def squared_distance(a: Column | str, b: Column | str) -> Column:
+    """Σ (aᵢ−bᵢ)² in double precision (left-to-right fold)."""
+    a, b = _c(a), _c(b)
+    diffs = F.zip_with(
+        a,
+        b,
+        lambda x, y: (x.cast("double") - y.cast("double"))
+        * (x.cast("double") - y.cast("double")),
+    )
+    return F.aggregate(diffs, F.lit(0.0), lambda acc, x: acc + x)
+
+
+def jl_projection_matrix(
+    in_dim: int, out_dim: int, seed: int = 123
+) -> list[list[float]]:
+    """The Johnson–Lindenstrauss random projection matrix (Gaussian
+    entries / sqrt(out_dim)), seeded and ROUNDED to 6 decimals so the
+    exact same literal matrix can be embedded in both the Spark plan
+    and an oracle's VALUES table — the projection becomes a pure,
+    engine-replayable expression."""
+    import numpy as np
+
+    rng = np.random.default_rng(seed)
+    R = rng.standard_normal((out_dim, in_dim)) / float(np.sqrt(out_dim))
+    return [[round(float(x), 6) for x in row] for row in R]
+
+
+def jl_project(
+    vec: Column | str, matrix: list[list[float]]
+) -> Column:
+    """Project ``vec`` through a literal JL matrix: out[i] = Rᵢ · v,
+    one HOF dot product per output dimension (the narrow-dot unroll
+    crossover doesn't apply — the 64-wide fold repeats per output
+    row, the same reasoning as nearest_cell_expr). Entirely plan-side:
+    no shuffle, no Python, streaming-safe."""
+    v = _c(vec)
+    return F.array(
+        *[
+            dot_product(v, F.array(*[F.lit(float(x)) for x in row]))
+            for row in matrix
+        ]
+    )
