@@ -887,3 +887,78 @@ def test_transform_with_state_running_totals(spark, tmp_path):
             spark.conf.set(
                 "spark.sql.streaming.stateStore.providerClass", prev
             )
+
+
+def test_streaming_gopher_filters_and_jl_projection_match_batch(
+    spark, sf_dir
+):
+    """The r14 pure-projection operators are streaming-safe as
+    claimed: gopher quality aggregation and the JL projection yield
+    identical results through a bounded file-source replay and the
+    batch plan (no state, no watermark — pure Catalyst expressions
+    compose with readStream unchanged)."""
+    from value_at_risk_spark.functions.text import gopher_quality_flags
+    from value_at_risk_spark.functions.vector import (
+        jl_project,
+        jl_projection_matrix,
+    )
+
+    schema = spark.read.parquet(f"{sf_dir}/documents.parquet").schema
+    docs_stream = (
+        spark.readStream.schema(schema)
+        .option("pathGlobFilter", "documents.parquet")
+        .parquet(sf_dir)
+    )
+
+    def _gopher_agg(df):
+        g = gopher_quality_flags("text")
+        kept = (
+            g["word_count_ok"]
+            & g["mean_word_len_ok"]
+            & g["symbol_ratio_ok"]
+            & g["alpha_ratio_ok"]
+            & g["stopwords_ok"]
+        )
+        return df.groupBy("source").agg(
+            F.count(F.lit(1)).alias("docs"),
+            F.sum(kept.cast("long")).alias("kept"),
+        )
+
+    got = {
+        r.source: (r.docs, r.kept)
+        for r in run_available_now(
+            _gopher_agg(docs_stream), "gopher_stream_test"
+        ).collect()
+    }
+    exp = {
+        r.source: (r.docs, r.kept)
+        for r in _gopher_agg(
+            spark.read.parquet(f"{sf_dir}/documents.parquet")
+        ).collect()
+    }
+    assert got == exp and len(got) > 0
+
+    eschema = spark.read.parquet(f"{sf_dir}/embeddings.parquet").schema
+    emb_stream = (
+        spark.readStream.schema(eschema)
+        .option("pathGlobFilter", "embeddings.parquet")
+        .parquet(sf_dir)
+    )
+    mat = jl_projection_matrix(64, 8, seed=7)
+
+    def _proj_sum(df):
+        pv = jl_project(F.col("embedding").cast("array<double>"), mat)
+        return df.groupBy().agg(
+            F.count(F.lit(1)).alias("n"),
+            F.round(
+                F.sum(F.aggregate(pv, F.lit(0.0), lambda a, x: a + x)), 6
+            ).alias("proj_checksum"),
+        )
+
+    got_p = run_available_now(
+        _proj_sum(emb_stream), "jl_stream_test"
+    ).collect()[0]
+    exp_p = _proj_sum(
+        spark.read.parquet(f"{sf_dir}/embeddings.parquet")
+    ).collect()[0]
+    assert (got_p.n, got_p.proj_checksum) == (exp_p.n, exp_p.proj_checksum)
