@@ -2859,6 +2859,93 @@ def semantic_decontaminate(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+@query(
+    "embedding_drift_by_label",
+    """
+WITH m AS (
+  SELECT label, vec_id % 2 AS half, i - 1 AS pos,
+         AVG(CAST(embedding[i] AS DOUBLE)) AS c
+  FROM embeddings, generate_series(1, 64) t(i)
+  GROUP BY 1, 2, 3
+),
+j AS (
+  SELECT e.label,
+         SUM(e.c * o.c) AS dot,
+         SQRT(SUM(e.c * e.c)) AS ne,
+         SQRT(SUM(o.c * o.c)) AS no
+  FROM m e JOIN m o ON o.label = e.label AND o.pos = e.pos
+  WHERE e.half = 0 AND o.half = 1
+  GROUP BY 1
+),
+n AS (
+  SELECT label,
+         CAST(SUM(CASE WHEN vec_id % 2 = 0 THEN 1 ELSE 0 END) AS BIGINT)
+           AS n_even,
+         CAST(SUM(CASE WHEN vec_id % 2 = 1 THEN 1 ELSE 0 END) AS BIGINT)
+           AS n_odd
+  FROM embeddings GROUP BY 1
+)
+SELECT n.label, n.n_even, n.n_odd,
+       ROUND(j.dot / (j.ne * j.no), 6) + 0 AS centroid_cosine,
+       ROUND(j.ne / j.no, 6) + 0 AS norm_ratio
+FROM n JOIN j ON j.label = n.label
+""",
+)
+def embedding_drift_by_label(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Embedding-space drift monitoring: per label, the cosine between
+    the centroids of two corpus halves (vec_id parity plays the
+    before/after split) and their norm ratio — the sibling of
+    field_drift_report for the representation space, the check an
+    embedding-pipeline refresh runs before trusting a new encoder
+    batch. Entirely native aggregates: per-(label, half, pos) means in
+    one hash-agg, then the 64-term dot/norms in a second tiny agg —
+    no arrays collected, no Python, two shuffles of k x dim rows
+    total at any corpus size."""
+    emb = _t(spark, sf_dir, "embeddings")
+    m = (
+        emb.select(
+            "label",
+            (F.col("vec_id") % 2).alias("half"),
+            F.posexplode(F.col("embedding").cast("array<double>")).alias(
+                "pos", "x"
+            ),
+        )
+        .groupBy("label", "half", "pos")
+        .agg(F.avg("x").alias("c"))
+    )
+    e = m.filter(F.col("half") == 0).select(
+        "label", "pos", F.col("c").alias("ce")
+    )
+    o = m.filter(F.col("half") == 1).select(
+        "label", "pos", F.col("c").alias("co")
+    )
+    j = (
+        e.join(o, ["label", "pos"])
+        .groupBy("label")
+        .agg(
+            F.sum(F.col("ce") * F.col("co")).alias("dot"),
+            F.sqrt(F.sum(F.col("ce") * F.col("ce"))).alias("ne"),
+            F.sqrt(F.sum(F.col("co") * F.col("co"))).alias("no"),
+        )
+    )
+    n = emb.groupBy("label").agg(
+        F.sum((F.col("vec_id") % 2 == 0).cast("long")).alias("n_even"),
+        F.sum((F.col("vec_id") % 2 == 1).cast("long")).alias("n_odd"),
+    )
+    return n.join(j, "label").select(
+        "label",
+        "n_even",
+        "n_odd",
+        (
+            F.round(F.col("dot") / (F.col("ne") * F.col("no")), 6)
+            + F.lit(0.0)
+        ).alias("centroid_cosine"),
+        (F.round(F.col("ne") / F.col("no"), 6) + F.lit(0.0)).alias(
+            "norm_ratio"
+        ),
+    )
+
+
 def _jl_oracle_sql() -> str:
     """Oracle for jl_distortion_report: the SAME rounded literal
     matrix (functions/vector.jl_projection_matrix is seeded and
