@@ -4379,3 +4379,45 @@ def test_knn_topk_incremental_equals_scratch_tie_heavy(spark, sf_dir):
         ).collect()
     }
     assert inc == scratch and len(inc) > 0
+
+
+def test_personalized_pagerank_numpy_replay_and_guard(spark):
+    """PPR on a small digraph equals a numpy replay of the same
+    recurrence (r' = 0.15*t + 0.85*M r, r0 = t, t uniform on seeds);
+    seeds outside the graph are ignored; an all-outside seed set
+    raises."""
+    import numpy as np
+
+    from value_at_risk_spark.operators.graph import personalized_pagerank
+
+    edge_list = [
+        ("a", "b"), ("b", "c"), ("c", "a"), ("a", "c"), ("d", "a"),
+    ]
+    edges = spark.createDataFrame(edge_list, "src string, dst string")
+    seeds = spark.createDataFrame(
+        [("a",), ("d",), ("zz",)], "node string"
+    )  # zz is out-of-graph: ignored
+    got = {
+        r.node: r.r
+        for r in personalized_pagerank(edges, seeds, iters=3).collect()
+    }
+
+    names = ["a", "b", "c", "d"]
+    idx = {n: i for i, n in enumerate(names)}
+    od = np.zeros(4)
+    for s, _ in edge_list:
+        od[idx[s]] += 1
+    t = np.array([0.5, 0.0, 0.0, 0.5])
+    r = t.copy()
+    for _ in range(3):
+        nxt = 0.15 * t
+        for s, d in edge_list:
+            nxt[idx[d]] += 0.85 * r[idx[s]] / od[idx[s]]
+        r = nxt
+    for n in names:
+        assert abs(got[n] - r[idx[n]]) < 1e-12, (n, got[n], r[idx[n]])
+
+    with pytest.raises(ValueError, match="no seed intersects"):
+        personalized_pagerank(
+            edges, spark.createDataFrame([("zz",)], "node string")
+        )

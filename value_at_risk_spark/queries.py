@@ -9571,6 +9571,111 @@ def pagerank_trade_graph(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @query(
+    "personalized_pagerank_seeds",
+    """
+WITH pair AS (
+  SELECT DISTINCT 'S' || CAST(l_suppkey AS VARCHAR) AS s,
+                  'C' || CAST(o_custkey AS VARCHAR) AS c
+  FROM lineitem JOIN orders ON l_orderkey = o_orderkey
+),
+edges AS (
+  SELECT s AS src, c AS dst FROM pair
+  UNION ALL
+  SELECT c AS src, s AS dst FROM pair
+),
+deg AS (SELECT src, CAST(COUNT(*) AS DOUBLE) AS od FROM edges GROUP BY 1),
+nodes AS (SELECT DISTINCT src AS node FROM edges),
+seeds AS (
+  SELECT DISTINCT 'S' || CAST(s_suppkey AS VARCHAR) AS node
+  FROM supplier JOIN nation ON s_nationkey = n_nationkey
+  WHERE n_name = 'NATION_7'
+),
+sn AS (SELECT s.node FROM seeds s JOIN nodes USING (node)),
+ns AS (SELECT CAST(COUNT(*) AS DOUBLE) AS n FROM sn),
+tele AS (
+  SELECT n.node,
+         CASE WHEN s.node IS NULL THEN 0.0
+              ELSE 1.0 / (SELECT n FROM ns) END AS t
+  FROM nodes n LEFT JOIN sn s ON s.node = n.node
+),
+r0 AS (SELECT node, t AS r FROM tele),
+i1 AS (
+  SELECT e.dst AS node, SUM(r0.r / deg.od) AS s
+  FROM edges e JOIN r0 ON e.src = r0.node JOIN deg ON e.src = deg.src
+  GROUP BY e.dst
+),
+r1 AS (
+  SELECT tele.node, 0.15 * tele.t + 0.85 * COALESCE(i1.s, 0) AS r
+  FROM tele LEFT JOIN i1 USING (node)
+),
+i2 AS (
+  SELECT e.dst AS node, SUM(r1.r / deg.od) AS s
+  FROM edges e JOIN r1 ON e.src = r1.node JOIN deg ON e.src = deg.src
+  GROUP BY e.dst
+),
+r2 AS (
+  SELECT tele.node, 0.15 * tele.t + 0.85 * COALESCE(i2.s, 0) AS r
+  FROM tele LEFT JOIN i2 USING (node)
+),
+i3 AS (
+  SELECT e.dst AS node, SUM(r2.r / deg.od) AS s
+  FROM edges e JOIN r2 ON e.src = r2.node JOIN deg ON e.src = deg.src
+  GROUP BY e.dst
+),
+r3 AS (
+  SELECT tele.node, 0.15 * tele.t + 0.85 * COALESCE(i3.s, 0) AS r
+  FROM tele LEFT JOIN i3 USING (node)
+)
+SELECT node, ROUND(r, 8) + 0 AS rank
+FROM r3
+""",
+)
+def personalized_pagerank_seeds(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Personalized PageRank over the same trade graph, teleporting to
+    one nation's suppliers — relevance-to-the-seed-set rather than
+    global centrality (the seed-expansion / related-entity query a
+    recommendation or entity-resolution pipeline runs). Seeds are
+    intersected with the node set FIRST (operators/graph.
+    personalized_pagerank) so out-of-graph suppliers cannot leak
+    teleport mass; the oracle unrolls the same three
+    r' = 0.15·t + 0.85·Σ r/od iterations as CTE stages — like the
+    global variant, an iterative algorithm that is HASH-checked, not
+    rows-only."""
+    from value_at_risk_spark.operators.graph import personalized_pagerank
+
+    li = _t(spark, sf_dir, "lineitem").select("l_orderkey", "l_suppkey")
+    o = _t(spark, sf_dir, "orders").select("o_orderkey", "o_custkey")
+    pair = (
+        li.join(o, li.l_orderkey == o.o_orderkey)
+        .select(
+            F.concat(F.lit("S"), F.col("l_suppkey").cast("string")).alias("s"),
+            F.concat(F.lit("C"), F.col("o_custkey").cast("string")).alias("c"),
+        )
+        .distinct()
+    )
+    edges = pair.select(
+        F.col("s").alias("src"), F.col("c").alias("dst")
+    ).unionAll(pair.select(F.col("c").alias("src"), F.col("s").alias("dst")))
+    sup = _t(spark, sf_dir, "supplier").select("s_suppkey", "s_nationkey")
+    nat = _t(spark, sf_dir, "nation").select("n_nationkey", "n_name")
+    seeds = (
+        sup.join(F.broadcast(nat), sup.s_nationkey == nat.n_nationkey)
+        .filter(F.col("n_name") == "NATION_7")
+        .select(
+            F.concat(F.lit("S"), F.col("s_suppkey").cast("string")).alias(
+                "node"
+            )
+        )
+    )
+    ranks = personalized_pagerank(
+        edges, seeds, iters=3, damping=0.85, dedupe=False
+    )
+    return ranks.select(
+        "node", (F.round("r", 8) + F.lit(0.0)).alias("rank")
+    )
+
+
+@query(
     "retention_cohorts",
     """
 WITH uw AS (
