@@ -4421,3 +4421,32 @@ def test_personalized_pagerank_numpy_replay_and_guard(spark):
         personalized_pagerank(
             edges, spark.createDataFrame([("zz",)], "node string")
         )
+
+
+def test_balanced_shards_equals_global_rank_and_balances(spark):
+    """Two-phase distributed rank == the naive global ROW_NUMBER
+    (including heavy weight ties), shards partition the input
+    exactly, and LPT round-robin balances within a few percent."""
+    import numpy as np
+
+    from value_at_risk_spark.operators.packing import balanced_shards
+
+    rng = np.random.default_rng(9)
+    weights = rng.integers(10, 200, size=300).tolist() + [50] * 40  # ties
+    df = spark.createDataFrame(
+        [(i, int(w)) for i, w in enumerate(weights)],
+        "doc_id long, toks long",
+    )
+    got = {
+        r.doc_id: r.shard
+        for r in balanced_shards(df, n_shards=7, weight_col="toks").collect()
+    }
+    order = sorted(range(len(weights)), key=lambda i: (-weights[i], i))
+    expect = {i: rank % 7 for rank, i in enumerate(order)}
+    assert got == expect
+
+    totals = {}
+    for i, s in got.items():
+        totals[s] = totals.get(s, 0) + weights[i]
+    assert max(totals.values()) <= 1.1 * min(totals.values())
+    assert len(got) == len(weights)

@@ -34,6 +34,7 @@ from __future__ import annotations
 import pandas as pd
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
+from pyspark.sql.window import Window
 
 
 def pack_sequences(
@@ -136,4 +137,53 @@ def packing_stats(packed: DataFrame, max_tokens: int) -> DataFrame:
             4,
         ).alias("avg_fill"),
         F.sum("has_oversize").alias("n_oversize_seqs"),
+    )
+
+
+def balanced_shards(
+    df: DataFrame,
+    n_shards: int,
+    weight_col: str,
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """Deterministic balanced shard assignment (the export step of a
+    training-data pipeline: N shard files with near-equal token mass).
+    Longest-first round-robin: rank rows by (weight desc, id asc),
+    shard = (rank − 1) mod N — the classic LPT approximation, exact
+    and reproducible under any partitioning.
+
+    The rank is computed with the standard DISTRIBUTED two-phase form,
+    NOT a global unpartitioned window (which Spark executes as a
+    single task — the serial bottleneck that kills global ranking at
+    100 TB): (1) one hash-agg builds the per-weight histogram, whose
+    prefix sums are a driver-side bounded artifact (distinct weight
+    values, not rows); (2) a window partitioned BY WEIGHT ranks within
+    each weight group by id. rank = offset(weight) + intra-group
+    row_number — identical to the global ROW_NUMBER over
+    (weight desc, id) by construction, which is what lets a SQL oracle
+    replay it with the naive window.
+
+    Returns df's (id_col, weight_col) plus ``shard`` (0-based int)."""
+    base = df.select(
+        F.col(id_col).alias("_id"),
+        F.col(weight_col).cast("long").alias("_w"),
+    )
+    hist = (
+        base.groupBy("_w").agg(F.count(F.lit(1)).alias("_n")).collect()
+    )
+    hist.sort(key=lambda r: -r._w)
+    offsets: dict[int, int] = {}
+    acc = 0
+    for r in hist:
+        offsets[r._w] = acc
+        acc += r._n
+    off = F.create_map(
+        *[F.lit(v) for kv in offsets.items() for v in kv]
+    )
+    w = Window.partitionBy("_w").orderBy(F.asc("_id"))
+    rank = off[F.col("_w")] + F.row_number().over(w)
+    return base.select(
+        F.col("_id").alias(id_col),
+        F.col("_w").alias(weight_col),
+        F.pmod(rank - 1, F.lit(n_shards)).cast("int").alias("shard"),
     )

@@ -9676,6 +9676,69 @@ def personalized_pagerank_seeds(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @query(
+    "shard_export_manifest",
+    """
+WITH w AS (
+  SELECT doc_id,
+         CAST(len(list_filter(string_split(lower(text), ' '),
+                              x -> x <> '')) AS BIGINT) AS toks
+  FROM documents
+),
+r AS (
+  SELECT doc_id, toks,
+         ROW_NUMBER() OVER (ORDER BY toks DESC, doc_id) AS rn
+  FROM w
+),
+s AS (
+  SELECT doc_id, toks, CAST((rn - 1) % 8 AS INTEGER) AS shard FROM r
+)
+SELECT shard,
+       CAST(COUNT(*) AS BIGINT) AS n_docs,
+       CAST(SUM(toks) AS BIGINT) AS total_tokens,
+       CAST(MIN(toks) AS BIGINT) AS min_tokens,
+       CAST(MAX(toks) AS BIGINT) AS max_tokens
+FROM s GROUP BY shard
+""",
+)
+def shard_export_manifest(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Balanced export sharding — the final step of a curation run:
+    assign every document to one of 8 shard files with near-equal
+    token mass (longest-first round-robin, the LPT approximation),
+    deterministically under any partitioning. The Spark side
+    (operators/packing.balanced_shards) computes the global
+    (tokens desc, id) rank with the DISTRIBUTED two-phase form — a
+    per-weight histogram whose prefix sums are a bounded driver
+    artifact, then a window partitioned BY WEIGHT — never the naive
+    unpartitioned window Spark would execute as one task; the oracle
+    replays it with exactly that naive window, which the two-phase
+    rank equals by construction. An in-query certificate RAISES if
+    shard token masses diverge more than 5% (LPT on this corpus lands
+    within ~1%)."""
+    from value_at_risk_spark.functions.text import token_count
+    from value_at_risk_spark.operators.packing import balanced_shards
+
+    d = _t(spark, sf_dir, "documents").select(
+        "doc_id", token_count("text").alias("toks")
+    )
+    shards = balanced_shards(d, n_shards=8, weight_col="toks")
+    out = shards.groupBy("shard").agg(
+        F.count(F.lit(1)).alias("n_docs"),
+        F.sum("toks").alias("total_tokens"),
+        F.min("toks").alias("min_tokens"),
+        F.max("toks").alias("max_tokens"),
+    )
+    cert = out.agg(
+        F.max("total_tokens").alias("hi"), F.min("total_tokens").alias("lo")
+    ).first()
+    if cert.hi > 1.05 * cert.lo:
+        raise ValueError(
+            "shard_export_manifest: shard skew "
+            f"{cert.hi}/{cert.lo} exceeds the 5% balance certificate"
+        )
+    return out
+
+
+@query(
     "retention_cohorts",
     """
 WITH uw AS (
