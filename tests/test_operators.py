@@ -4450,3 +4450,92 @@ def test_balanced_shards_equals_global_rank_and_balances(spark):
         totals[s] = totals.get(s, 0) + weights[i]
     assert max(totals.values()) <= 1.1 * min(totals.values())
     assert len(got) == len(weights)
+
+
+def test_blocked_topk_property_random_corpora(spark):
+    """Property: for random corpora with random duplicate planting and
+    random block counts, cosine_allpairs_topk_blocked equals a numpy
+    replay of the contract (rounded sim desc, id asc, self excluded),
+    and knn_topk_incremental over a random old/new split equals the
+    from-scratch answer."""
+    import numpy as np
+    from decimal import ROUND_HALF_UP, Decimal
+
+    from hypothesis import HealthCheck, given, settings
+    from hypothesis import strategies as st
+
+    from value_at_risk_spark.operators.similarity import (
+        cosine_allpairs_topk_blocked,
+        knn_topk_incremental,
+    )
+
+    def numpy_contract_topk(ids, V, k):
+        Vn = np.linalg.norm(V, axis=1)
+        Vn[Vn == 0.0] = np.inf
+        sims = (V @ V.T) / (Vn[:, None] * Vn[None, :])
+        np.fill_diagonal(sims, -np.inf)
+        quant = Decimal(1).scaleb(-6)
+        out = {}
+        for i in range(len(ids)):
+            key = []
+            for j in range(len(ids)):
+                s = sims[i, j]
+                rs = (
+                    float(Decimal(repr(s)).quantize(
+                        quant, rounding=ROUND_HALF_UP))
+                    if np.isfinite(s)
+                    else s
+                )
+                key.append((-rs, ids[j], j))
+            key.sort()
+            for rank, (nrs, nid, j) in enumerate(key[:k], start=1):
+                if not np.isfinite(sims[i, j]):
+                    continue
+                out[(int(ids[i]), rank)] = (int(nid), -nrs + 0.0)
+        return out
+
+    @given(
+        n=st.integers(8, 28),
+        dim=st.integers(2, 6),
+        ndup=st.integers(0, 6),
+        nb=st.sampled_from([2, 3, 5]),
+        k=st.integers(1, 4),
+        seed=st.integers(0, 10_000),
+    )
+    @settings(
+        max_examples=8,
+        deadline=None,
+        suppress_health_check=list(HealthCheck),
+    )
+    def prop(n, dim, ndup, nb, k, seed):
+        rng = np.random.default_rng(seed)
+        V = rng.standard_normal((n, dim))
+        for d in range(ndup):  # plant exact duplicates (rounded ties)
+            V[n - 1 - d] = V[d % (n // 2)]
+        ids = np.arange(n) * 7 + 3
+        df = spark.createDataFrame(
+            [(int(ids[i]), [float(x) for x in V[i]]) for i in range(n)],
+            "vec_id long, embedding array<double>",
+        )
+        expect = numpy_contract_topk(ids, V, k)
+        got = {
+            (r.query_id, r.rank): (r.neighbor_id, r.cosine)
+            for r in cosine_allpairs_topk_blocked(
+                df, k=k, num_blocks=nb
+            ).collect()
+        }
+        assert got == expect, (n, dim, ndup, nb, k, seed)
+
+        cut = int(ids[n // 2])
+        old = df.filter(F.col("vec_id") < cut)
+        new = df.filter(F.col("vec_id") >= cut)
+        stored = cosine_allpairs_topk_blocked(
+            old, k=k, num_blocks=nb
+        ).select("query_id", "neighbor_id", "cosine")
+        inc = {
+            (r.query_id, r.rank): (r.neighbor_id, r.cosine)
+            for r in knn_topk_incremental(stored, old, new, k=k).collect()
+        }
+        assert inc == expect, ("incremental", n, dim, ndup, nb, k, seed)
+
+    prop()
