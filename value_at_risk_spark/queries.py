@@ -9587,8 +9587,7 @@ deg AS (SELECT src, CAST(COUNT(*) AS DOUBLE) AS od FROM edges GROUP BY 1),
 nodes AS (SELECT DISTINCT src AS node FROM edges),
 seeds AS (
   SELECT DISTINCT 'S' || CAST(s_suppkey AS VARCHAR) AS node
-  FROM supplier JOIN nation ON s_nationkey = n_nationkey
-  WHERE n_name = 'NATION_7'
+  FROM supplier WHERE s_suppkey % 5 = 0
 ),
 sn AS (SELECT s.node FROM seeds s JOIN nodes USING (node)),
 ns AS (SELECT CAST(COUNT(*) AS DOUBLE) AS n FROM sn),
@@ -9632,7 +9631,8 @@ FROM r3
 )
 def personalized_pagerank_seeds(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Personalized PageRank over the same trade graph, teleporting to
-    one nation's suppliers — relevance-to-the-seed-set rather than
+    the s_suppkey % 5 == 0 supplier slice (present at every SF — a
+    nation-keyed seed set is empty in the sf0.001 fixture's graph) — relevance-to-the-seed-set rather than
     global centrality (the seed-expansion / related-entity query a
     recommendation or entity-resolution pipeline runs). Seeds are
     intersected with the node set FIRST (operators/graph.
@@ -9656,11 +9656,9 @@ def personalized_pagerank_seeds(spark: SparkSession, sf_dir: str) -> DataFrame:
     edges = pair.select(
         F.col("s").alias("src"), F.col("c").alias("dst")
     ).unionAll(pair.select(F.col("c").alias("src"), F.col("s").alias("dst")))
-    sup = _t(spark, sf_dir, "supplier").select("s_suppkey", "s_nationkey")
-    nat = _t(spark, sf_dir, "nation").select("n_nationkey", "n_name")
     seeds = (
-        sup.join(F.broadcast(nat), sup.s_nationkey == nat.n_nationkey)
-        .filter(F.col("n_name") == "NATION_7")
+        _t(spark, sf_dir, "supplier")
+        .filter(F.col("s_suppkey") % 5 == 0)
         .select(
             F.concat(F.lit("S"), F.col("s_suppkey").cast("string")).alias(
                 "node"
