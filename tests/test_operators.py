@@ -4539,3 +4539,38 @@ def test_blocked_topk_property_random_corpora(spark):
         assert inc == expect, ("incremental", n, dim, ndup, nb, k, seed)
 
     prop()
+
+
+def test_bh_procedure_rejects_planted_and_controls_clean(spark, sf_dir):
+    """BH rejects the strong planted cell once the sample size can see
+    it (sf0.01) and rejects NOTHING at sf0.001 (sample-size honesty —
+    the same plant, underpowered, must not alarm); the rejection set
+    equals a scipy-free reference implementation of the step-up
+    rule."""
+    from value_at_risk_spark.queries import QUERIES
+
+    small = QUERIES["bh_corrected_anomalies"](spark, sf_dir).collect()
+    assert not any(r.rejected for r in small)  # underpowered => silent
+
+    rows = QUERIES["bh_corrected_anomalies"](
+        spark, "/root/testdata/sf0.01"
+    ).collect()
+    rejected = {(r.event_type, r.hr) for r in rows if r.rejected}
+    assert ("click", 7) in rejected  # the 3x planted cell
+    # reference step-up on the same (p, tie-break) family
+    fam = sorted((r.p_value, r.event_type, r.hr) for r in rows)
+    mm = len(fam)
+    kstar = 0
+    for k, (pv, _, _) in enumerate(fam, start=1):
+        if pv <= k / mm * 0.05:
+            kstar = k
+    expect = {(et, hr) for (pv, et, hr) in fam[:kstar]}
+    assert rejected == expect
+    # every rejected p is below every accepted p (step-up property on
+    # rounded values may tie; use <=)
+    if rejected:
+        worst_rej = max(r.p_value for r in rows if r.rejected)
+        best_acc = min(
+            (r.p_value for r in rows if not r.rejected), default=1.0
+        )
+        assert worst_rej <= best_acc

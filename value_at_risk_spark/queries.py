@@ -9737,6 +9737,119 @@ def shard_export_manifest(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @query(
+    "bh_corrected_anomalies",
+    """
+WITH ev AS (
+  SELECT event_type, CAST(hour(ts) AS INTEGER) AS hr,
+         value * (CASE WHEN event_type = 'click' AND hour(ts) = 7
+                         THEN 3.0
+                       WHEN event_type = 'view' AND hour(ts) = 12
+                         THEN 1.3
+                       WHEN event_type = 'purchase' AND hour(ts) = 3
+                         THEN 1.05
+                       ELSE 1.0 END) AS value
+  FROM events
+),
+c AS (
+  SELECT event_type, hr, AVG(value) AS mv, CAST(COUNT(*) AS BIGINT) AS n
+  FROM ev GROUP BY 1, 2
+),
+t AS (
+  SELECT event_type, AVG(value) AS tm, STDDEV_POP(value) AS tsd
+  FROM ev GROUP BY 1
+),
+z AS (
+  SELECT c.event_type, c.hr, c.n,
+         (c.mv - t.tm) / (t.tsd / SQRT(c.n)) AS z
+  FROM c JOIN t USING (event_type)
+),
+p AS (SELECT *, LEAST(1.0, 2 * EXP(-z * z / 2.0)) AS pv FROM z),
+m AS (SELECT CAST(COUNT(*) AS DOUBLE) AS mm FROM p),
+r AS (
+  SELECT *, ROW_NUMBER() OVER (ORDER BY pv, event_type, hr) AS rk FROM p
+),
+tstar AS (SELECT MAX(pv) AS t FROM r, m WHERE pv <= rk / m.mm * 0.05)
+SELECT event_type, hr, n,
+       ROUND(z, 6) + 0 AS z_score,
+       ROUND(pv, 6) + 0 AS p_value,
+       COALESCE(pv <= (SELECT t FROM tstar), FALSE) AS rejected
+FROM p
+""",
+)
+def bh_corrected_anomalies(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Multiple-testing control — the Benjamini–Hochberg procedure
+    over a 120-cell anomaly scan (event_type x hour-of-day mean
+    shifts). Scanning many cells at alpha each is how dashboards
+    manufacture false alarms; BH bounds the false-discovery rate:
+    reject cell i iff p_i <= t*, t* = max{p_(k) : p_(k) <= k/m·alpha}.
+    Three anomalies of graded strength are PLANTED in-query (3x /
+    1.3x / 1.05x multipliers — the semdedup_planted convention), and
+    the rejection set is sample-size-honest: 0 rejections at
+    sf0.001, 1 at sf0.01, 3 at sf0.1. P-values use the sub-Gaussian
+    tail bound 2·exp(-z²/2) (conservative, closed-form in both
+    engines — the KS row's convention); the procedure, not the test,
+    is the operator under check. One scan + two hash-aggs + a 1-row
+    threshold broadcast."""
+    ev = _t(spark, sf_dir, "events").select(
+        "event_type",
+        F.hour("ts").cast("int").alias("hr"),
+        (
+            F.col("value")
+            * F.when(
+                (F.col("event_type") == "click") & (F.hour("ts") == 7), 3.0
+            )
+            .when(
+                (F.col("event_type") == "view") & (F.hour("ts") == 12), 1.3
+            )
+            .when(
+                (F.col("event_type") == "purchase") & (F.hour("ts") == 3),
+                1.05,
+            )
+            .otherwise(1.0)
+        ).alias("value"),
+    )
+    c = ev.groupBy("event_type", "hr").agg(
+        F.avg("value").alias("mv"), F.count(F.lit(1)).alias("n")
+    )
+    t = ev.groupBy("event_type").agg(
+        F.avg("value").alias("tm"), F.stddev_pop("value").alias("tsd")
+    )
+    z = c.join(t, "event_type").select(
+        "event_type",
+        "hr",
+        "n",
+        (
+            (F.col("mv") - F.col("tm"))
+            / (F.col("tsd") / F.sqrt(F.col("n")))
+        ).alias("z"),
+    )
+    p = z.withColumn(
+        "pv",
+        F.least(
+            F.lit(1.0), F.lit(2.0) * F.exp(-F.col("z") * F.col("z") / 2.0)
+        ),
+    )
+    m = p.agg(F.count(F.lit(1)).cast("double").alias("mm"))
+    w = Window.orderBy("pv", "event_type", "hr")
+    r = p.crossJoin(F.broadcast(m)).withColumn(
+        "rk", F.row_number().over(w)
+    )
+    tstar = r.filter(
+        F.col("pv") <= F.col("rk") / F.col("mm") * 0.05
+    ).agg(F.max("pv").alias("t"))
+    return p.crossJoin(F.broadcast(tstar)).select(
+        "event_type",
+        "hr",
+        "n",
+        (F.round("z", 6) + F.lit(0.0)).alias("z_score"),
+        (F.round("pv", 6) + F.lit(0.0)).alias("p_value"),
+        F.coalesce(F.col("pv") <= F.col("t"), F.lit(False)).alias(
+            "rejected"
+        ),
+    )
+
+
+@query(
     "retention_cohorts",
     """
 WITH uw AS (
