@@ -4302,6 +4302,80 @@ def test_cosine_allpairs_topk_blocked_equals_broadcast_form(spark, sf_dir):
     assert mutual == expect_mutual and len(mutual) > 0
 
 
+def test_blocked_kernels_num_blocks_exceeds_corpus(spark):
+    """Regression: num_blocks >> corpus size guarantees EMPTY hash
+    blocks, so off-diagonal (bi, bj) groups exist whose block bj holds
+    no rows. The kernel previously detected 'diagonal' via
+    right.empty and re-emitted block bi's internal candidates once per
+    empty higher block — duplicated (query, neighbor) rows each took a
+    row_number, displacing true top-k neighbors. Diag now derives from
+    the group key; blocked results must equal the broadcast form at
+    every block count, and near-dup pairs must contain no duplicates."""
+    import numpy as np
+
+    from value_at_risk_spark.operators.similarity import (
+        cosine_allpairs_topk_blocked,
+        cosine_near_dup_pairs,
+        cosine_near_dup_pairs_blocked,
+        cosine_topk,
+        knn_graph_mutual,
+    )
+
+    rng = np.random.default_rng(7)
+    vecs = rng.standard_normal((6, 8))
+    corpus = spark.createDataFrame(
+        [(i, [float(x) for x in vecs[i]]) for i in range(6)],
+        "vec_id long, embedding array<double>",
+    )
+    expect = {
+        (r.query_id, r.rank): (r.neighbor_id, r.cosine)
+        for r in cosine_topk(
+            corpus.withColumnRenamed("vec_id", "query_id"),
+            corpus.withColumnRenamed("vec_id", "neighbor_id"),
+            k=3,
+        ).collect()
+    }
+    for nb in (8, 40):  # both >= corpus size: empty blocks guaranteed
+        got = {
+            (r.query_id, r.rank): (r.neighbor_id, r.cosine)
+            for r in cosine_allpairs_topk_blocked(
+                corpus, k=3, num_blocks=nb
+            ).collect()
+        }
+        assert got == expect, f"num_blocks={nb}"
+    # mutual-kNN reciprocity (COUNT(*)=2) is the downstream victim of
+    # duplicate candidates — assert the graph too at an oversized B
+    tops: dict[int, set[int]] = {}
+    for (q, _rk), (nbr, _c) in expect.items():
+        tops.setdefault(q, set()).add(nbr)
+    expect_mutual = {
+        (min(a, b), max(a, b))
+        for a, nbrs in tops.items()
+        for b in nbrs
+        if a in tops.get(b, set())
+    }
+    mutual = {
+        (r.id_a, r.id_b)
+        for r in knn_graph_mutual(corpus, k=3, num_blocks=16).collect()
+    }
+    assert mutual == expect_mutual
+    # near-dup sibling kernel: same pattern, same fix — exact pair set,
+    # no duplicate emissions at oversized block counts
+    expr_form = sorted(
+        tuple(r)
+        for r in cosine_near_dup_pairs(corpus, threshold=-1.0).collect()
+    )
+    for nb in (8, 40):
+        blocked = [
+            tuple(r)
+            for r in cosine_near_dup_pairs_blocked(
+                corpus, threshold=-1.0, num_blocks=nb
+            ).collect()
+        ]
+        assert len(blocked) == len(set(blocked)), f"dups at nb={nb}"
+        assert sorted(blocked) == expr_form, f"num_blocks={nb}"
+
+
 def test_reference_max_cosine_planted_leak_and_tie(spark):
     """Planted benchmark leak is flagged with the right argmax ref;
     rounded ties pick the smallest reference id; empty reference
@@ -4450,6 +4524,11 @@ def test_balanced_shards_equals_global_rank_and_balances(spark):
         totals[s] = totals.get(s, 0) + weights[i]
     assert max(totals.values()) <= 1.1 * min(totals.values())
     assert len(got) == len(weights)
+
+    with pytest.raises(ValueError, match="empty input"):
+        balanced_shards(
+            df.filter(F.col("doc_id") < 0), n_shards=7, weight_col="toks"
+        )
 
 
 def test_blocked_topk_property_random_corpora(spark):

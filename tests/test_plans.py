@@ -6,6 +6,9 @@ from __future__ import annotations
 import io
 import contextlib
 
+from pyspark.sql import functions as F
+from pyspark.sql.window import Window
+
 from value_at_risk_spark.queries import QUERIES
 
 
@@ -812,10 +815,12 @@ def test_row_id_read_plan_broadcast_no_shuffle(spark, tmp_path, monkeypatch):
 def test_plan_lint_ratchet_subset(spark, sf_dir):
     """Plan-hygiene lint (tools/plan_lint.py) on a representative
     subset: scalar-broadcast BNLJ carriers must not exceed their
-    pinned baseline count, and BatchEvalPython / CartesianProduct are
-    forbidden outright. The full registry runs through the same lint
-    before each round's closure sweep; this pytest keeps the ratchet
-    mechanism itself from rotting."""
+    pinned baseline count, BatchEvalPython / CartesianProduct are
+    forbidden outright, and unpartitioned WindowExec carriers must
+    stay at their pinned count WITH a boundedness note (r15 ratchet).
+    The full registry runs through the same lint before each round's
+    closure sweep; this pytest keeps the ratchet mechanism itself from
+    rotting."""
     import sys
 
     sys.path.insert(0, "/root/repo/tools")
@@ -838,6 +843,48 @@ def test_plan_lint_ratchet_subset(spark, sf_dir):
         "regional_nation_revenue",
         "gopher_quality_filters",
         "knn_graph_mutual_edges",
+        # global-window carriers (bounded-aggregate frames, notes pinned)
+        "bh_corrected_anomalies",
+        "zipf_fit_tokens",
+        "pareto_abc_parts",
+        "session_depth_distribution",
+        # global-ordering rewrites that must NOT carry a global window
+        "shard_export_manifest",
     }
     bad = plan_lint.lint(spark, sf_dir, subset)
     assert bad == [], bad
+
+
+def test_plan_lint_global_window_classifier(spark):
+    """The WindowExec classifier distinguishes the four plan-text
+    forms: partitioned ordered (fine), partitioned unordered (fine),
+    global ordered (flagged), and constant-partition-folded
+    partitionBy(lit) (flagged — Catalyst folds the constant away and
+    the plan runs as ONE task)."""
+    import sys
+
+    sys.path.insert(0, "/root/repo/tools")
+    import plan_lint
+
+    df = spark.range(10).withColumn("g", F.col("id") % 3)
+
+    def plan(w, fn):
+        return (
+            df.withColumn("x", fn.over(w))
+            ._jdf.queryExecution()
+            .executedPlan()
+            .toString()
+        )
+
+    assert plan_lint.count_global_windows(
+        plan(Window.partitionBy("g").orderBy("id"), F.row_number())
+    ) == 0
+    assert plan_lint.count_global_windows(
+        plan(Window.partitionBy("g"), F.sum("id"))
+    ) == 0
+    assert plan_lint.count_global_windows(
+        plan(Window.orderBy("id"), F.row_number())
+    ) == 1
+    assert plan_lint.count_global_windows(
+        plan(Window.partitionBy(F.lit(1)), F.sum("id"))
+    ) == 1

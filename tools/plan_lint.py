@@ -12,18 +12,36 @@ physical plan text for the silent scale killers:
   BroadcastNestedLoopJoin with a bounded build side); forbidden
   outright so one can never appear silently.
 - ``BroadcastNestedLoopJoin`` — ratcheted, not forbidden: the
-  registry's 38 instances are all the scalar-broadcast idiom (a
-  keyless global aggregate — ``HashAggregate(keys=[])`` under a
+  registry's instances are all the scalar-broadcast idiom (a keyless
+  global aggregate — ``HashAggregate(keys=[])`` under a
   ``BroadcastExchange IdentityBroadcastMode`` — crossed into the big
   side: O(N) at any scale; spot-verified). Each query's BNLJ COUNT is
   pinned in ``tools/plan_baseline.json``; a count above baseline
   means a NEW unkeyed join appeared — e.g. a join key lost in a
   refactor silently turning an equi-join into a cross — and the lint
   fails. Counts below baseline auto-tighten on --update.
+- **Unpartitioned WindowExec** (r15) — ``Window [exprs], [order]``
+  with NO partition spec runs as ONE task holding the whole input:
+  the remaining silent scale killer (SURVEY §4; the reference itself
+  has the hazard at 01_var_market_etl.py:168 — a global
+  ``orderBy().window()`` over the full history). Ratcheted like BNLJ:
+  every carrier is pinned in plan_baseline.json with a per-query
+  ``bounded`` note naming WHY its window input is provably bounded
+  (a <=k-group aggregate, a VALUES literal, a top-k already cut by
+  TakeOrdered...). A new query that global-sorts an unbounded frame
+  fails the lint; a pinned carrier whose note is missing fails too,
+  so the boundedness claim lives in the ratchet, not in docstrings.
+  Operators with genuinely global ordering needs use the distributed
+  two-phase rank (operators/ranks.py) which plans ONLY partitioned
+  windows.
 
 Plan construction only (executedPlan() plans, does not run), though
 driver-side training collects inside query builders (k-means seeds,
 ANN codebooks, BPE merges) do execute small jobs — hence sf0.001.
+
+Baseline schema (plan_baseline.json):
+  {"bnlj": {query: count},
+   "global_window": {query: {"count": n, "bounded": "why"}}}
 
 Usage:
   python3 tools/plan_lint.py [sf_dir] [names...]   # lint (exit 1 on fail)
@@ -43,6 +61,53 @@ FORBIDDEN = ("BatchEvalPython", "CartesianProduct")
 RATCHETED = "BroadcastNestedLoopJoin"
 
 
+def count_global_windows(plan: str) -> int:
+    """Count WindowExec nodes with no partition spec (single-task).
+
+    Plan-text forms (verified empirically on Spark 4.1):
+      ``Window [exprs], [part], [order]``  3 groups — partitioned: fine
+      ``Window [exprs], [part]``           2 groups, last group has no
+                                           sort markers — partitioned
+                                           unordered: fine
+      ``Window [exprs], [order]``          2 groups, last group carries
+                                           ASC/DESC — GLOBAL sort: flag
+      ``Window [exprs]``                   1 group — a constant
+                                           partition (partitionBy(lit))
+                                           folded away: every row in
+                                           ONE task: flag
+    """
+    n = 0
+    for line in plan.splitlines():
+        s = line.strip().lstrip("+-*: ").strip()
+        if not s.startswith("Window "):
+            continue
+        depth = 0
+        groups: list[str] = []
+        buf: list[str] = []
+        for ch in s:
+            if ch == "[":
+                if depth == 0:
+                    buf = []
+                depth += 1
+                if depth > 1:
+                    buf.append(ch)
+            elif ch == "]":
+                depth -= 1
+                if depth == 0:
+                    groups.append("".join(buf))
+                else:
+                    buf.append(ch)
+            elif depth > 0:
+                buf.append(ch)
+        if len(groups) <= 1:
+            n += 1  # constant partition folded away: one task
+        elif len(groups) == 2 and (
+            " ASC" in groups[-1] or " DESC" in groups[-1]
+        ):
+            n += 1  # order spec with no partition spec: global sort
+    return n
+
+
 def _plans(spark, sf_dir: str, names=None):
     from value_at_risk_spark.queries import QUERIES
 
@@ -56,9 +121,14 @@ def _plans(spark, sf_dir: str, names=None):
             yield name, f"__PLAN_CONSTRUCTION_FAILED__ {ex!r}"
 
 
-def lint(spark, sf_dir: str, names=None) -> list[tuple[str, str]]:
+def _load_baseline() -> tuple[dict, dict]:
     with open(BASELINE_PATH) as f:
-        baseline = json.load(f)
+        raw = json.load(f)
+    return raw.get("bnlj", {}), raw.get("global_window", {})
+
+
+def lint(spark, sf_dir: str, names=None) -> list[tuple[str, str]]:
+    bnlj_base, gw_base = _load_baseline()
     bad: list[tuple[str, str]] = []
     for name, plan in _plans(spark, sf_dir, names):
         if plan.startswith("__PLAN_CONSTRUCTION_FAILED__"):
@@ -68,7 +138,7 @@ def lint(spark, sf_dir: str, names=None) -> list[tuple[str, str]]:
             if tok in plan:
                 bad.append((name, f"forbidden operator: {tok}"))
         n = plan.count(RATCHETED)
-        allowed = baseline.get(name, 0)
+        allowed = bnlj_base.get(name, 0)
         if n > allowed:
             frag = next(
                 line.strip() for line in plan.splitlines() if RATCHETED in line
@@ -80,21 +150,56 @@ def lint(spark, sf_dir: str, names=None) -> list[tuple[str, str]]:
                     f"(new unkeyed join?): {frag[:140]}",
                 )
             )
+        gw = count_global_windows(plan)
+        entry = gw_base.get(name, {})
+        gw_allowed = entry.get("count", 0)
+        if gw > gw_allowed:
+            frag = next(
+                line.strip()
+                for line in plan.splitlines()
+                if line.strip().lstrip("+-*: ").startswith("Window ")
+            )
+            bad.append(
+                (
+                    name,
+                    f"unpartitioned Window count {gw} > baseline "
+                    f"{gw_allowed} (single-task global sort over an "
+                    f"unbounded input? use operators/ranks.py): "
+                    f"{frag[:120]}",
+                )
+            )
+        elif gw and not str(entry.get("bounded", "")).strip():
+            bad.append(
+                (
+                    name,
+                    "unpartitioned Window carrier has no 'bounded' note "
+                    "in plan_baseline.json — justify why its input is "
+                    "bounded or rewrite with operators/ranks.py",
+                )
+            )
     return bad
 
 
 def update_baseline(spark, sf_dir: str) -> dict:
-    counts = {}
+    _, gw_old = _load_baseline()
+    bnlj: dict[str, int] = {}
+    gw: dict[str, dict] = {}
     for name, plan in _plans(spark, sf_dir):
         if plan.startswith("__PLAN_CONSTRUCTION_FAILED__"):
             raise RuntimeError(f"{name}: {plan[:220]}")
         n = plan.count(RATCHETED)
         if n:
-            counts[name] = n
+            bnlj[name] = n
+        g = count_global_windows(plan)
+        if g:
+            note = str(gw_old.get(name, {}).get("bounded", "")).strip()
+            gw[name] = {"count": g, "bounded": note}  # empty note => lint red
     with open(BASELINE_PATH, "w") as f:
-        json.dump(counts, f, indent=1, sort_keys=True)
+        json.dump(
+            {"bnlj": bnlj, "global_window": gw}, f, indent=1, sort_keys=True
+        )
         f.write("\n")
-    return counts
+    return {"bnlj": bnlj, "global_window": gw}
 
 
 def main() -> int:
@@ -109,7 +214,12 @@ def main() -> int:
     spark = get_spark("plan-lint")
     if update:
         counts = update_baseline(spark, sf_dir)
-        print(f"baseline updated: {len(counts)} queries carry a BNLJ")
+        print(
+            f"baseline updated: {len(counts['bnlj'])} BNLJ carriers, "
+            f"{len(counts['global_window'])} global-window carriers "
+            f"({sum(1 for v in counts['global_window'].values() if not v['bounded'])} "
+            f"need a bounded note)"
+        )
         return 0
     bad = lint(spark, sf_dir, names)
     for name, why in bad:

@@ -152,38 +152,35 @@ def balanced_shards(
     shard = (rank − 1) mod N — the classic LPT approximation, exact
     and reproducible under any partitioning.
 
-    The rank is computed with the standard DISTRIBUTED two-phase form,
-    NOT a global unpartitioned window (which Spark executes as a
-    single task — the serial bottleneck that kills global ranking at
-    100 TB): (1) one hash-agg builds the per-weight histogram, whose
-    prefix sums are a driver-side bounded artifact (distinct weight
-    values, not rows); (2) a window partitioned BY WEIGHT ranks within
-    each weight group by id. rank = offset(weight) + intra-group
-    row_number — identical to the global ROW_NUMBER over
-    (weight desc, id) by construction, which is what lets a SQL oracle
-    replay it with the naive window.
+    The rank is computed with the DISTRIBUTED two-phase global rank
+    (ranks.global_row_number) — value-bucketed local windows plus a
+    broadcast bucket-offset join — NOT a global unpartitioned window
+    (a single serial task at 100 TB), and NOT a per-weight histogram
+    collected to the driver (distinct token counts are effectively
+    unbounded on real corpora, so a plan-literal offset map and the
+    collect feeding it grow with weight cardinality — the r14 ADVICE
+    hazard this replaced). Ties share a bucket (strict boundary
+    comparison), so rank is identical to the naive global ROW_NUMBER
+    over (weight desc, id asc) by construction, which is what lets a
+    SQL oracle replay it with the single-window form.
+
+    Raises on empty input (an empty export manifest is a pipeline bug
+    upstream, not a zero-shard fact to propagate silently).
 
     Returns df's (id_col, weight_col) plus ``shard`` (0-based int)."""
+    from value_at_risk_spark.operators.ranks import global_row_number
+
     base = df.select(
         F.col(id_col).alias("_id"),
         F.col(weight_col).cast("long").alias("_w"),
     )
-    hist = (
-        base.groupBy("_w").agg(F.count(F.lit(1)).alias("_n")).collect()
+    if base.isEmpty():
+        raise ValueError("balanced_shards: empty input")
+    ranked = global_row_number(
+        base, [("_w", False), ("_id", True)], out="_rank"
     )
-    hist.sort(key=lambda r: -r._w)
-    offsets: dict[int, int] = {}
-    acc = 0
-    for r in hist:
-        offsets[r._w] = acc
-        acc += r._n
-    off = F.create_map(
-        *[F.lit(v) for kv in offsets.items() for v in kv]
-    )
-    w = Window.partitionBy("_w").orderBy(F.asc("_id"))
-    rank = off[F.col("_w")] + F.row_number().over(w)
-    return base.select(
+    return ranked.select(
         F.col("_id").alias(id_col),
         F.col("_w").alias(weight_col),
-        F.pmod(rank - 1, F.lit(n_shards)).cast("int").alias("shard"),
+        F.pmod(F.col("_rank") - 1, F.lit(n_shards)).cast("int").alias("shard"),
     )

@@ -148,7 +148,11 @@ def lsh_topk(
         .select(
             query_id,
             corpus_id,
-            F.round(cosine_similarity("_qv", "_cv"), 6).alias("cosine"),
+            # + 0.0 normalizes -0.0 so a typed value-hash against a
+            # SQL replay can't flake on signed zero
+            (F.round(cosine_similarity("_qv", "_cv"), 6) + F.lit(0.0)).alias(
+                "cosine"
+            ),
         )
     )
     w = Window.partitionBy(query_id).orderBy(F.desc("cosine"), F.asc(corpus_id))
@@ -394,7 +398,16 @@ def cosine_near_dup_pairs_blocked(
     def _pairs(pdf: pd.DataFrame) -> pd.DataFrame:
         left = pdf[pdf["_side"] == 0]
         right = pdf[pdf["_side"] == 1]
-        diag = right.empty
+        # diag MUST come from the group key, not right.empty: lefts are
+        # exploded over every j >= bi regardless of occupancy, so an
+        # off-diagonal group whose block bj is EMPTY also has no side-1
+        # rows — misreading it as diagonal re-emits block bi's internal
+        # pairs once per empty higher block (duplicate candidates).
+        diag = bool(pdf["_bi"].iat[0] == pdf["_bj"].iat[0])
+        if left.empty or (right.empty and not diag):
+            return pd.DataFrame(
+                {"id_a": [], "id_b": [], "_raw": []}
+            ).astype({"id_a": np.int64, "id_b": np.int64, "_raw": float})
         ids_l = left["_id"].to_numpy(dtype=np.int64)
         V_l = np.array(list(left["_v"]), dtype=np.float64)
         if diag:
@@ -402,10 +415,6 @@ def cosine_near_dup_pairs_blocked(
         else:
             ids_r = right["_id"].to_numpy(dtype=np.int64)
             V_r = np.array(list(right["_v"]), dtype=np.float64)
-        if V_l.size == 0 or V_r.size == 0:
-            return pd.DataFrame(
-                {"id_a": [], "id_b": [], "_raw": []}
-            ).astype({"id_a": np.int64, "id_b": np.int64, "_raw": float})
         n_l = np.linalg.norm(V_l, axis=1)
         n_r = np.linalg.norm(V_r, axis=1)
         n_l[n_l == 0.0] = np.inf
@@ -539,13 +548,18 @@ def cosine_allpairs_topk_blocked(
     def _knn(pdf: pd.DataFrame) -> pd.DataFrame:
         left = pdf[pdf["_side"] == 0]
         right = pdf[pdf["_side"] == 1]
-        diag = right.empty
+        # group-key-derived, NOT right.empty: an off-diagonal group whose
+        # block bj is empty has no side-1 rows and must emit NOTHING —
+        # treating it as diagonal duplicated block bi's internal top-k
+        # once per empty higher block, and the duplicates each took a
+        # row_number in the merge window, displacing true neighbors.
+        diag = bool(pdf["_bi"].iat[0] == pdf["_bj"].iat[0])
         ids_l = left["_id"].to_numpy(dtype=np.int64)
         V_l = np.array(list(left["_v"]), dtype=np.float64)
         out_q: list[int] = []
         out_c: list[int] = []
         out_s: list[float] = []
-        if V_l.size == 0:
+        if V_l.size == 0 or (right.empty and not diag):
             return pd.DataFrame(
                 {"query_id": [], "neighbor_id": [], "_raw": []}
             ).astype({"query_id": np.int64, "neighbor_id": np.int64,
@@ -918,6 +932,61 @@ def nearest_cell_struct(vec_col, centroids) -> "F.Column":
     return F.element_at(F.array_sort(dists), 1)
 
 
+def kmeans_fit(
+    df: DataFrame,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    k: int = 8,
+    iters: int = 2,
+    quantize: int = 6,
+) -> list[list[float]]:
+    """Engine-replayable Lloyd k-means TRAINING (the fit half of
+    ``kmeans_assignments``, exposed so IVF can train its coarse
+    quantizer on the same cross-engine-deterministic contract):
+
+    - init is data-derived (the vectors of the ``k`` smallest ids) —
+      no RNG, no partition-order dependence;
+    - every centroid coordinate is ROUNDED to ``quantize`` decimals
+      after init and after each mean update, so sub-ulp summation-
+      order drift between engines' AVG implementations is absorbed at
+      each handoff instead of compounding through iterations;
+    - empty cells keep their previous centroid.
+
+    Each iteration is one distributed assign (pure projection — the
+    centroids are plan literals) plus one hash-agg; only k×dim doubles
+    reach the driver per pass. A DuckDB oracle replays the whole loop
+    as an unrolled assign→mean CTE chain (queries._KMEANS_ORACLE)."""
+    v = F.col(vec_col).cast("array<double>")
+    base = df.select(F.col(id_col).cast("long").alias("_id"), v.alias("_v"))
+    seeds = base.orderBy("_id").limit(k).collect()
+    if len(seeds) < k:
+        raise ValueError(
+            f"kmeans_fit: k={k} exceeds corpus size {len(seeds)}"
+        )
+    cents = [[round(float(x), quantize) for x in r._v] for r in seeds]
+    for _ in range(iters):
+        assigned = base.select(
+            "_v", nearest_cell_expr("_v", cents).alias("_cell")
+        )
+        means = (
+            assigned.select("_cell", F.posexplode("_v").alias("_i", "_x"))
+            .groupBy("_cell", "_i")
+            .agg(F.avg("_x").alias("_m"))
+            .groupBy("_cell")
+            .agg(
+                F.array_sort(F.collect_list(F.struct("_i", "_m"))).alias("_ms")
+            )
+            .select(
+                "_cell",
+                F.transform("_ms", lambda s: s["_m"]).alias("_mean"),
+            )
+            .collect()
+        )
+        for r in means:  # empty cells keep their previous centroid
+            cents[r._cell] = [round(float(x), quantize) for x in r._mean]
+    return cents
+
+
 def kmeans_assignments(
     df: DataFrame,
     id_col: str = "vec_id",
@@ -952,32 +1021,7 @@ def kmeans_assignments(
     """
     v = F.col(vec_col).cast("array<double>")
     base = df.select(F.col(id_col).cast("long").alias("_id"), v.alias("_v"))
-    seeds = base.orderBy("_id").limit(k).collect()
-    if len(seeds) < k:
-        raise ValueError(
-            f"kmeans_assignments: k={k} exceeds corpus size {len(seeds)}"
-        )
-    cents = [[round(float(x), quantize) for x in r._v] for r in seeds]
-    for _ in range(iters):
-        assigned = base.select(
-            "_v", nearest_cell_expr("_v", cents).alias("_cell")
-        )
-        means = (
-            assigned.select("_cell", F.posexplode("_v").alias("_i", "_x"))
-            .groupBy("_cell", "_i")
-            .agg(F.avg("_x").alias("_m"))
-            .groupBy("_cell")
-            .agg(
-                F.array_sort(F.collect_list(F.struct("_i", "_m"))).alias("_ms")
-            )
-            .select(
-                "_cell",
-                F.transform("_ms", lambda s: s["_m"]).alias("_mean"),
-            )
-            .collect()
-        )
-        for r in means:  # empty cells keep their previous centroid
-            cents[r._cell] = [round(float(x), quantize) for x in r._mean]
+    cents = kmeans_fit(base, "_id", "_v", k=k, iters=iters, quantize=quantize)
     best = nearest_cell_struct("_v", cents)
     vsq = F.aggregate(
         F.transform("_v", lambda x: x * x), F.lit(0.0), lambda a, x: a + x

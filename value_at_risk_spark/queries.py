@@ -1966,17 +1966,65 @@ def _certify_topk_recall(
         )
 
 
-@query("ann_lsh_topk")
+def _lsh_oracle_sql() -> str:
+    """DuckDB replay of ann_lsh_topk: the 4 seed-42 hyperplanes are
+    deterministic numpy draws — the SAME literals the engine bakes
+    into its plan (similarity.hyperplane_lsh_buckets) — so the oracle
+    embeds them verbatim (repr round-trips float64 exactly) and
+    replays bucketing, the 5-probe multiprobe explosion, the bucket
+    equi-join, and the exact rounded-cosine re-rank."""
+    import numpy as np
+
+    planes = np.random.default_rng(42).standard_normal((4, 64))
+    bits = "\n       + ".join(
+        "(CASE WHEN list_dot_product(v, ["
+        + ", ".join(repr(float(x)) for x in planes[b])
+        + f"]) > 0 THEN {1 << b} ELSE 0 END)"
+        for b in range(4)
+    )
+    return f"""
+WITH v AS MATERIALIZED (
+  SELECT vec_id AS id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings
+),
+b AS MATERIALIZED (
+  SELECT id, v,
+         {bits} AS bucket
+  FROM v
+),
+qp AS (
+  SELECT id AS query_id, v AS qv,
+         UNNEST([bucket, xor(bucket, 1), xor(bucket, 2),
+                 xor(bucket, 4), xor(bucket, 8)]) AS bucket
+  FROM b WHERE id < 10
+),
+cand AS (
+  SELECT q.query_id, c.id AS neighbor_id,
+         ROUND(list_cosine_similarity(q.qv, c.v), 6) + 0 AS cosine
+  FROM qp q JOIN b c USING (bucket)
+  WHERE c.id <> q.query_id
+)
+SELECT query_id, neighbor_id, cosine, CAST(rn AS INTEGER) AS rank FROM (
+  SELECT query_id, neighbor_id, cosine,
+         ROW_NUMBER() OVER (PARTITION BY query_id
+                            ORDER BY cosine DESC, neighbor_id) AS rn
+  FROM cand) t WHERE rn <= 5
+"""
+
+
+@query("ann_lsh_topk", _lsh_oracle_sql())
 def ann_lsh_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Approximate NN via random-hyperplane LSH buckets + exact re-rank
     within collisions — the 100 TB-scale path where the brute-force
-    cross join is infeasible. SELF-CERTIFYING since r14: raises unless
-    recall@5 vs the exact cosine baseline for the same 10 queries
-    holds >=0.25 (measured 0.38-0.56 across SFs at 4 planes — 16
-    buckets prune ~94% of the corpus, so ~0.4 recall at 6% scan cost
-    is the documented operating point, and the floor catches a
-    collapse, e.g. a plane-hash regression bucketing everything
-    together or apart)."""
+    cross join is infeasible. GRADUATED from rows-only in r15: the
+    seeded hyperplanes are plan literals, so the DuckDB oracle embeds
+    the SAME 4x64 constants and replays sign-bit bucketing, Hamming-1
+    multiprobe, the bucket equi-join, and the rounded-cosine re-rank —
+    full value-hash parity, not just a recall floor. The certificate
+    stays as defense in depth: raises unless recall@5 vs the exact
+    cosine baseline for the same 10 queries holds >=0.25 (measured
+    0.38-0.56 across SFs at 4 planes — 16 buckets prune ~94% of the
+    corpus, so ~0.4 recall at 6% scan cost is the documented operating
+    point)."""
     from value_at_risk_spark.operators.similarity import cosine_topk
 
     emb = _t(spark, sf_dir, "embeddings")
@@ -2481,7 +2529,8 @@ def model_scoring_wsse(spark: SparkSession, sf_dir: str) -> DataFrame:
     """
 WITH toks AS (
   SELECT doc_id, t FROM (
-    SELECT doc_id, UNNEST(string_split(lower(text), ' ')) AS t FROM documents
+    SELECT doc_id, UNNEST(regexp_split_to_array(lower(text), '\\s+')) AS t
+    FROM documents
   ) WHERE t <> ''
 ),
 sig AS (
@@ -2492,13 +2541,14 @@ sig AS (
                   THEN 1 ELSE 0 END) * 1.0 / COUNT(*) AS swr
   FROM toks GROUP BY doc_id
 )
-SELECT doc_id,
+SELECT d.doc_id,
        ROUND((
-         (CASE WHEN n BETWEEN 10 AND 10000 THEN 1.0 ELSE 0.0 END)
-         + (CASE WHEN swr >= 0.05 AND swr <= 0.6 THEN 1.0 ELSE 0.0 END)
-         + nd * 1.0 / n
+         (CASE WHEN COALESCE(s.n, 0) BETWEEN 10 AND 10000 THEN 1.0 ELSE 0.0 END)
+         + (CASE WHEN COALESCE(s.swr, 0.0) >= 0.05
+                  AND COALESCE(s.swr, 0.0) <= 0.6 THEN 1.0 ELSE 0.0 END)
+         + COALESCE(s.nd, 0) * 1.0 / GREATEST(COALESCE(s.n, 0), 1)
        ) / 3.0, 6) AS quality
-FROM sig
+FROM documents d LEFT JOIN sig s USING (doc_id)
 """,
 )
 def doc_quality_scores(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -2515,7 +2565,8 @@ def doc_quality_scores(spark: SparkSession, sf_dir: str) -> DataFrame:
     """
 WITH toks AS (
   SELECT doc_id, t FROM (
-    SELECT doc_id, UNNEST(string_split(lower(text), ' ')) AS t FROM documents
+    SELECT doc_id, UNNEST(regexp_split_to_array(lower(text), '\\s+')) AS t
+    FROM documents
   ) WHERE t <> ''
 ),
 sig AS (
@@ -2530,16 +2581,20 @@ sig AS (
   FROM toks GROUP BY doc_id
 ),
 flags AS (
+  -- LEFT JOIN + COALESCE mirror the engine's greatest(n, 1) guard: a
+  -- zero-token document must still be COUNTED per source (all rules
+  -- fail except symbol_ratio, whose numerator is 0 for empty text)
   SELECT d.source,
-         (s.n BETWEEN 50 AND 100000) AS word_count_ok,
-         (s.mean_len >= 3.0 AND s.mean_len <= 10.0) AS mean_word_len_ok,
+         (COALESCE(s.n, 0) BETWEEN 50 AND 100000) AS word_count_ok,
+         (COALESCE(s.mean_len, 0.0) >= 3.0
+          AND COALESCE(s.mean_len, 0.0) <= 10.0) AS mean_word_len_ok,
          (((LENGTH(lower(d.text)) - LENGTH(REPLACE(lower(d.text), '#', '')))
            + (LENGTH(lower(d.text))
               - LENGTH(REPLACE(lower(d.text), '...', ''))) / 3)
-          * 1.0 / s.n <= 0.1) AS symbol_ratio_ok,
-         (s.alpha_frac >= 0.8) AS alpha_ratio_ok,
-         (s.n_stop >= 2) AS stopwords_ok
-  FROM documents d JOIN sig s USING (doc_id)
+          * 1.0 / GREATEST(COALESCE(s.n, 0), 1) <= 0.1) AS symbol_ratio_ok,
+         (COALESCE(s.alpha_frac, 0.0) >= 0.8) AS alpha_ratio_ok,
+         (COALESCE(s.n_stop, 0) >= 2) AS stopwords_ok
+  FROM documents d LEFT JOIN sig s USING (doc_id)
 )
 SELECT source,
        CAST(COUNT(*) AS BIGINT) AS docs,
@@ -2608,30 +2663,113 @@ def gopher_quality_filters(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-@query("ann_ivf_topk")
+# Shared DuckDB replay of the engine-deterministic Lloyd loop
+# (similarity.kmeans_fit: init = vectors of the 8 smallest ids,
+# centroids quantized to 6 decimals at every handoff, nearest-cell
+# ties to the smallest cell). Suffixed by _KMEANS_ORACLE (cluster
+# aggregates) and the ann_ivf_topk oracle (probe + exact re-rank).
+_KMEANS_CTES = """
+WITH v AS MATERIALIZED (
+  SELECT vec_id AS id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings
+),
+c0 AS MATERIALIZED (
+  SELECT CAST(ROW_NUMBER() OVER (ORDER BY id) - 1 AS INTEGER) AS cell,
+         list_transform(v, x -> ROUND(x, 6)) AS c
+  FROM (SELECT id, v FROM v ORDER BY id LIMIT 8)
+),
+a1 AS MATERIALIZED (
+  SELECT id, v, cell FROM (
+    SELECT v.id, v.v, c.cell,
+           ROW_NUMBER() OVER (PARTITION BY v.id
+                              ORDER BY list_distance(v.v, c.c), c.cell) AS rn
+    FROM v, c0 c) t WHERE rn = 1
+),
+m1 AS MATERIALIZED (
+  SELECT cell, array_agg(ROUND(m, 6) ORDER BY i) AS c FROM (
+    SELECT cell, i, AVG(x) AS m FROM (
+      SELECT cell, generate_subscripts(v, 1) AS i, UNNEST(v) AS x FROM a1
+    ) t GROUP BY cell, i) t2 GROUP BY cell
+),
+c1 AS MATERIALIZED (
+  SELECT p.cell, COALESCE(m.c, p.c) AS c FROM c0 p LEFT JOIN m1 m USING (cell)
+),
+a2 AS MATERIALIZED (
+  SELECT id, v, cell FROM (
+    SELECT v.id, v.v, c.cell,
+           ROW_NUMBER() OVER (PARTITION BY v.id
+                              ORDER BY list_distance(v.v, c.c), c.cell) AS rn
+    FROM v, c1 c) t WHERE rn = 1
+),
+m2 AS MATERIALIZED (
+  SELECT cell, array_agg(ROUND(m, 6) ORDER BY i) AS c FROM (
+    SELECT cell, i, AVG(x) AS m FROM (
+      SELECT cell, generate_subscripts(v, 1) AS i, UNNEST(v) AS x FROM a2
+    ) t GROUP BY cell, i) t2 GROUP BY cell
+),
+c2 AS MATERIALIZED (
+  SELECT p.cell, COALESCE(m.c, p.c) AS c FROM c1 p LEFT JOIN m2 m USING (cell)
+)"""
+
+
+@query(
+    "ann_ivf_topk",
+    _KMEANS_CTES
+    + """,
+cells AS MATERIALIZED (
+  -- corpus rows assigned to their nearest FINAL centroid (same
+  -- expression/tie-break the hash-green kmeans af CTE uses)
+  SELECT id, v, cell FROM (
+    SELECT v.id, v.v, c.cell,
+           ROW_NUMBER() OVER (PARTITION BY v.id
+                              ORDER BY list_distance(v.v, c.c), c.cell) AS rn
+    FROM v, c2 c) t WHERE rn = 1
+),
+probes AS MATERIALIZED (
+  -- each query (id < 10) probes its 2 nearest cells
+  SELECT id AS query_id, v AS qv, cell FROM (
+    SELECT v.id, v.v, c.cell,
+           ROW_NUMBER() OVER (PARTITION BY v.id
+                              ORDER BY list_distance(v.v, c.c), c.cell) AS rn
+    FROM v, c2 c WHERE v.id < 10) t WHERE rn <= 2
+),
+cand AS (
+  SELECT p.query_id, m.id AS neighbor_id,
+         ROUND(list_cosine_similarity(p.qv, m.v), 6) + 0 AS cosine
+  FROM probes p JOIN cells m USING (cell)
+  WHERE m.id <> p.query_id
+)
+SELECT query_id, neighbor_id, cosine, CAST(rn AS INTEGER) AS rank FROM (
+  SELECT query_id, neighbor_id, cosine,
+         ROW_NUMBER() OVER (PARTITION BY query_id
+                            ORDER BY cosine DESC, neighbor_id) AS rn
+  FROM cand) t WHERE rn <= 5
+""",
+)
 def ann_ivf_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """IVF ANN (rows-only): coarse quantizer TRAINED with distributed
-    Lloyd iterations (operators/similarity.kmeans_centroids — only
-    k×dim doubles reach the driver per pass), then each query probes
-    its 2 nearest cells and exact-cosine re-ranks those members only
-    (ivf_topk). The scale path where even LSH bucket joins are too
-    wide: cells partition the corpus; candidate volume per query is
-    corpus/k·nprobe. SELF-CERTIFYING since r14: raises unless
-    recall@5 vs the exact cosine baseline holds >=0.7 (measured
-    0.94-1.0 across SFs — the re-rank is exact, so any loss is cell
-    pruning, and a centroid-training regression shows up here before
-    it shows up anywhere else); the deeper trained-recall contract
-    stays in tests/test_operators.py."""
+    """IVF ANN — GRADUATED from rows-only in r15: the coarse quantizer
+    now trains with the engine-replayable Lloyd loop
+    (operators/similarity.kmeans_fit — data-derived init from the 8
+    smallest ids, 6-decimal centroid quantization at every handoff, no
+    RNG), so the DuckDB oracle replays the ENTIRE pipeline: the
+    2-iteration fit as unrolled MATERIALIZED CTEs (the hash-green
+    kmeans_cluster_assignments chain), corpus cell assignment, 2-cell
+    probe selection per query, and the exact cosine re-rank — one
+    vector landing in a different cell or one neighbor displaced in
+    either engine reds the row. Each Lloyd pass is one pure-projection
+    assign (centroids are plan literals) + one hash-agg; the search is
+    an equi-join on cell id with candidate volume corpus/k·nprobe per
+    query — the scale path where even LSH bucket joins are too wide.
+    The recall certificate stays: raises unless recall@5 vs the exact
+    cosine baseline holds >=0.7 (the re-rank is exact, so any loss is
+    cell pruning)."""
     from value_at_risk_spark.operators.similarity import (
         cosine_topk,
         ivf_topk,
-        kmeans_centroids,
+        kmeans_fit,
     )
 
     emb = _t(spark, sf_dir, "embeddings")
-    # 2 Lloyd passes reach recall@5 = 1.0 on the fixture; each extra
-    # pass costs a full assignment plan (large literal expressions)
-    cents = kmeans_centroids(emb, "embedding", k=8, iters=2, seed=123, dim=64)
+    cents = kmeans_fit(emb, "vec_id", "embedding", k=8, iters=2)
     q = emb.filter(F.col("vec_id") < 10).select(
         F.col("vec_id").alias("query_id"), "embedding"
     )
@@ -2672,47 +2810,7 @@ def embedding_centroid_by_label(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-_KMEANS_ORACLE = """
-WITH v AS MATERIALIZED (
-  SELECT vec_id AS id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings
-),
-c0 AS MATERIALIZED (
-  SELECT CAST(ROW_NUMBER() OVER (ORDER BY id) - 1 AS INTEGER) AS cell,
-         list_transform(v, x -> ROUND(x, 6)) AS c
-  FROM (SELECT id, v FROM v ORDER BY id LIMIT 8)
-),
-a1 AS MATERIALIZED (
-  SELECT id, v, cell FROM (
-    SELECT v.id, v.v, c.cell,
-           ROW_NUMBER() OVER (PARTITION BY v.id
-                              ORDER BY list_distance(v.v, c.c), c.cell) AS rn
-    FROM v, c0 c) t WHERE rn = 1
-),
-m1 AS MATERIALIZED (
-  SELECT cell, array_agg(ROUND(m, 6) ORDER BY i) AS c FROM (
-    SELECT cell, i, AVG(x) AS m FROM (
-      SELECT cell, generate_subscripts(v, 1) AS i, UNNEST(v) AS x FROM a1
-    ) t GROUP BY cell, i) t2 GROUP BY cell
-),
-c1 AS MATERIALIZED (
-  SELECT p.cell, COALESCE(m.c, p.c) AS c FROM c0 p LEFT JOIN m1 m USING (cell)
-),
-a2 AS MATERIALIZED (
-  SELECT id, v, cell FROM (
-    SELECT v.id, v.v, c.cell,
-           ROW_NUMBER() OVER (PARTITION BY v.id
-                              ORDER BY list_distance(v.v, c.c), c.cell) AS rn
-    FROM v, c1 c) t WHERE rn = 1
-),
-m2 AS MATERIALIZED (
-  SELECT cell, array_agg(ROUND(m, 6) ORDER BY i) AS c FROM (
-    SELECT cell, i, AVG(x) AS m FROM (
-      SELECT cell, generate_subscripts(v, 1) AS i, UNNEST(v) AS x FROM a2
-    ) t GROUP BY cell, i) t2 GROUP BY cell
-),
-c2 AS MATERIALIZED (
-  SELECT p.cell, COALESCE(m.c, p.c) AS c FROM c1 p LEFT JOIN m2 m USING (cell)
-),
+_KMEANS_ORACLE = _KMEANS_CTES + """,
 af AS MATERIALIZED (
   SELECT id, cell, POWER(list_distance(v, c), 2) AS dist2 FROM (
     SELECT v.id, c.cell, v.v, c.c,
