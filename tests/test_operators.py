@@ -4376,6 +4376,65 @@ def test_blocked_kernels_num_blocks_exceeds_corpus(spark):
         assert sorted(blocked) == expr_form, f"num_blocks={nb}"
 
 
+def test_knn_graph_ann_recall_and_cosine_parity(spark, sf_dir):
+    """The ANN-backed mutual-kNN graph (IVF candidates -> exact re-rank
+    -> reciprocity) recovers a high fraction of the blocked-exact
+    graph's edges on the fixture, every ANN edge's cosine equals the
+    exact pair cosine bit-for-bit (the re-rank IS exact within
+    candidates), and a planted duplicate cluster — whose members are
+    mutual rank-1 neighbors in any reasonable quantization — survives
+    in full."""
+    from value_at_risk_spark.operators.similarity import (
+        knn_graph_ann,
+        knn_graph_mutual,
+    )
+
+    emb = (
+        spark.read.parquet(f"{sf_dir}/embeddings.parquet")
+        .select("vec_id", "embedding")
+        .limit(300)
+    )
+    dup = emb.filter(F.col("vec_id") < 4).select(
+        (F.col("vec_id") + 100000).alias("vec_id"), "embedding"
+    )
+    corpus = emb.unionByName(dup)
+    exact = {
+        (r.id_a, r.id_b): r.cosine
+        for r in knn_graph_mutual(corpus, k=3).collect()
+    }
+    # uniform random embeddings are IVF's worst case (no cluster
+    # structure, mutual edges compound the miss on BOTH endpoints):
+    # nprobe=4 of 8 cells gives ~0.63 here; real clustered corpora and
+    # the sf fixtures at nprobe=2 sit higher (gate row ~0.74)
+    ann = {
+        (r.id_a, r.id_b): r.cosine
+        for r in knn_graph_ann(corpus, k=3, nprobe=4, n_cells=8).collect()
+    }
+    hit = set(ann) & set(exact)
+    recall = len(hit) / len(exact)
+    assert recall >= 0.6, f"edge recall {recall:.3f}"
+    for e in hit:  # exact re-rank within candidates: cosines identical
+        assert ann[e] == exact[e], e
+    # planted exact duplicates are cosine-1.0 mutual rank-1 pairs and
+    # land in the same IVF cell — they must survive even at nprobe=2
+    ann2 = {
+        (r.id_a, r.id_b)
+        for r in knn_graph_ann(corpus, k=3, nprobe=2, n_cells=8).collect()
+    }
+    for i in range(4):
+        assert (i, i + 100000) in ann2
+    # plan hygiene: candidates meet in a SHUFFLE equi-join on the cell
+    # id — corpus-sized sides are never broadcast, and no cartesian
+    plan = (
+        knn_graph_ann(corpus, k=3)
+        ._jdf.queryExecution()
+        .executedPlan()
+        .toString()
+    )
+    assert "CartesianProduct" not in plan
+    assert "BroadcastNestedLoopJoin" not in plan
+
+
 def test_reference_max_cosine_planted_leak_and_tie(spark):
     """Planted benchmark leak is flagged with the right argmax ref;
     rounded ties pick the smallest reference id; empty reference

@@ -962,3 +962,63 @@ def test_streaming_gopher_filters_and_jl_projection_match_batch(
         spark.read.parquet(f"{sf_dir}/embeddings.parquet")
     ).collect()[0]
     assert (got_p.n, got_p.proj_checksum) == (exp_p.n, exp_p.proj_checksum)
+
+
+def test_incremental_knn_stream_matches_batch(spark, sf_dir, tmp_path):
+    """Streaming kNN maintenance (streaming/knn.py): multi-batch ingest
+    of an embeddings stream maintains a top-k table EQUAL to the
+    from-scratch blocked top-k over everything ingested (the
+    knn_topk_incremental exactness contract, now under foreachBatch),
+    and a full replay from a fresh checkpoint neither double-applies
+    nor forks the artifact (versioned batchId commits)."""
+    from value_at_risk_spark.operators.similarity import (
+        cosine_allpairs_topk_blocked,
+    )
+    from value_at_risk_spark.streaming.knn import start_incremental_knn
+
+    emb = (
+        spark.read.parquet(f"{sf_dir}/embeddings.parquet")
+        .select("vec_id", "embedding")
+        .limit(200)
+    )
+    staged = str(tmp_path / "emb_staged")
+    emb.repartition(4).write.parquet(staged)
+    ingested = spark.read.parquet(staged)  # exactly what the stream sees
+
+    stream = (
+        spark.readStream.schema(ingested.schema)
+        .option("maxFilesPerTrigger", 1)
+        .parquet(staged)
+    )
+    state = str(tmp_path / "knn_state")
+    q, sink = start_incremental_knn(stream, state, str(tmp_path / "ckpt1"))
+    assert q.awaitTermination(300)
+    committed = [b for b in range(50) if sink.topk_sink.committed(b)]
+    assert len(committed) >= 3  # genuinely incremental, not one batch
+
+    got = {
+        (r.query_id, r.rank): (r.neighbor_id, r.cosine)
+        for r in sink.current_topk(spark).collect()
+    }
+    exp = {
+        (r.query_id, r.rank): (r.neighbor_id, r.cosine)
+        for r in cosine_allpairs_topk_blocked(ingested, k=3).collect()
+    }
+    assert got == exp and len(got) > 0
+
+    # replay with a FRESH checkpoint into the SAME state dir: every
+    # batchId is already committed, the sink skips recomputation, the
+    # artifact is unchanged
+    stream2 = (
+        spark.readStream.schema(ingested.schema)
+        .option("maxFilesPerTrigger", 1)
+        .parquet(staged)
+    )
+    q2, sink2 = start_incremental_knn(stream2, state, str(tmp_path / "ckpt2"))
+    assert q2.awaitTermination(300)
+    assert sink2.topk_sink.skipped  # redeliveries deduplicated
+    got2 = {
+        (r.query_id, r.rank): (r.neighbor_id, r.cosine)
+        for r in sink2.current_topk(spark).collect()
+    }
+    assert got2 == exp

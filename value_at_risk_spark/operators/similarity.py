@@ -664,6 +664,101 @@ def knn_graph_mutual(
     )
 
 
+def nearest_cells_expr(vec_col, centroids, nprobe: int) -> "F.Column":
+    """Array of the ``nprobe`` nearest centroid indices (squared-L2
+    ranking, ties to the smallest cell) — the multi-cell sibling of
+    ``nearest_cell_expr``, shared by IVF search and the ANN graph."""
+    col = F.col(vec_col) if isinstance(vec_col, str) else vec_col
+    dists = F.array(
+        *[
+            F.struct(
+                (
+                    F.lit(float(sum(x * x for x in cent)))
+                    - 2 * dot_product(
+                        col, F.array(*[F.lit(float(x)) for x in cent])
+                    )
+                ).alias("d"),
+                F.lit(i).alias("cell"),
+            )
+            for i, cent in enumerate(centroids)
+        ]
+    )
+    probes = F.slice(F.array_sort(dists), 1, min(nprobe, len(centroids)))
+    return F.transform(probes, lambda s: s["cell"])
+
+
+def knn_graph_ann(
+    df: DataFrame,
+    k: int = 3,
+    nprobe: int = 2,
+    n_cells: int = 8,
+    iters: int = 2,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    round_to: int | None = 6,
+) -> DataFrame:
+    """ANN-backed approximate mutual-kNN graph — the sub-quadratic
+    sibling of ``knn_graph_mutual`` for corpora past ~1M vectors where
+    even the blocked-exact N²/B kernel is too wide.
+
+    Composition: (1) train an IVF coarse quantizer with the
+    engine-replayable ``kmeans_fit`` (data-derived init, quantized
+    handoffs — a DuckDB oracle replays the whole loop); (2) assign
+    every corpus row to its nearest cell (pure projection — centroids
+    are plan literals); (3) every row, acting as a query, probes its
+    ``nprobe`` nearest cells; (4) candidates meet in a plain SHUFFLE
+    equi-join on the cell id — the queries ARE the corpus, so unlike
+    ``ivf_topk``'s bounded-query broadcast there is no broadcast
+    anywhere; (5) exact rounded-cosine re-rank per query (window,
+    top-k); (6) reciprocity via the same count-2 groupBy as the exact
+    graph. Total candidate volume is N·nprobe·(N/n_cells) instead of
+    N² — sizing ``n_cells`` ∝ N keeps per-cell work flat, which is
+    the 1000-executor shape. Output: (id_a < id_b, cosine); cosine is
+    bit-symmetric (same fold order both directions), so mutuality is
+    COUNT(*)=2 on the normalized edge."""
+    cents = kmeans_fit(df, id_col, vec_col, k=n_cells, iters=iters)
+    base = df.select(
+        F.col(id_col).cast("long").alias("_id"),
+        F.col(vec_col).cast("array<double>").alias("_v"),
+    )
+    corp = base.select(
+        F.col("_id").alias("neighbor_id"),
+        F.col("_v").alias("_cv"),
+        vector_norm("_v").alias("_cn"),
+        nearest_cell_expr("_v", cents).alias("_cell"),
+    )
+    q = base.select(
+        F.col("_id").alias("query_id"),
+        F.col("_v").alias("_qv"),
+        vector_norm("_v").alias("_qn"),
+        F.explode(nearest_cells_expr("_v", cents, nprobe)).alias("_cell"),
+    )
+    sim = F.try_divide(dot_product("_qv", "_cv"), F.col("_qn") * F.col("_cn"))
+    sim_out = (
+        F.round(sim, round_to) + F.lit(0.0) if round_to is not None else sim
+    )
+    scored = (
+        corp.join(q, "_cell")  # shuffle hash join: both sides are corpus-sized
+        .filter(F.col("query_id") != F.col("neighbor_id"))
+        .select("query_id", "neighbor_id", sim_out.alias("cosine"))
+    )
+    w = Window.partitionBy("query_id").orderBy(
+        F.desc("cosine"), F.asc("neighbor_id")
+    )
+    topk = scored.withColumn("rank", F.row_number().over(w)).filter(
+        F.col("rank") <= k
+    )
+    lo = F.least("query_id", "neighbor_id")
+    hi = F.greatest("query_id", "neighbor_id")
+    return (
+        topk.select(lo.alias("id_a"), hi.alias("id_b"), "cosine")
+        .groupBy("id_a", "id_b")
+        .agg(F.min("cosine").alias("cosine"), F.count(F.lit(1)).alias("_n"))
+        .filter(F.col("_n") == 2)
+        .drop("_n")
+    )
+
+
 def reference_max_cosine(
     corpus: DataFrame,
     ref: DataFrame,
@@ -1119,27 +1214,13 @@ def ivf_topk(
     )
 
     # per-query distance to every centroid -> nprobe nearest cells
-    col = F.col(vec_col)
-    dists = F.array(
-        *[
-            F.struct(
-                (
-                    F.lit(float(sum(x * x for x in cent)))
-                    - 2 * dot_product(
-                        col, F.array(*[F.lit(float(x)) for x in cent])
-                    )
-                ).alias("d"),
-                F.lit(i).alias("cell"),
-            )
-            for i, cent in enumerate(centroids)
-        ]
-    )
-    probes = F.slice(F.array_sort(dists), 1, nprobe)
     q = queries.select(
         F.col(query_id),
         F.col(vec_col).alias("_qv"),
         vector_norm(vec_col).alias("_qn"),
-        F.explode(F.transform(probes, lambda s: s["cell"])).alias("_cell"),
+        F.explode(
+            nearest_cells_expr(vec_col, centroids, nprobe)
+        ).alias("_cell"),
     )
 
     sim = F.try_divide(dot_product("_qv", "_cv"), F.col("_qn") * F.col("_cn"))

@@ -2781,6 +2781,84 @@ def ann_ivf_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     return approx
 
 
+@query(
+    "knn_graph_ann_edges",
+    _KMEANS_CTES
+    + """,
+cells AS MATERIALIZED (
+  SELECT id, v, cell FROM (
+    SELECT v.id, v.v, c.cell,
+           ROW_NUMBER() OVER (PARTITION BY v.id
+                              ORDER BY list_distance(v.v, c.c), c.cell) AS rn
+    FROM v, c2 c) t WHERE rn = 1
+),
+probes AS MATERIALIZED (
+  -- EVERY row acts as a query probing its 2 nearest cells
+  SELECT id AS query_id, v AS qv, cell FROM (
+    SELECT v.id, v.v, c.cell,
+           ROW_NUMBER() OVER (PARTITION BY v.id
+                              ORDER BY list_distance(v.v, c.c), c.cell) AS rn
+    FROM v, c2 c) t WHERE rn <= 2
+),
+cand AS (
+  SELECT p.query_id, m.id AS neighbor_id,
+         ROUND(list_cosine_similarity(p.qv, m.v), 6) + 0 AS cosine
+  FROM probes p JOIN cells m USING (cell)
+  WHERE m.id <> p.query_id
+),
+topk AS (
+  SELECT query_id, neighbor_id, cosine FROM (
+    SELECT query_id, neighbor_id, cosine,
+           ROW_NUMBER() OVER (PARTITION BY query_id
+                              ORDER BY cosine DESC, neighbor_id) AS rn
+    FROM cand) t WHERE rn <= 3
+)
+SELECT LEAST(query_id, neighbor_id) AS id_a,
+       GREATEST(query_id, neighbor_id) AS id_b,
+       MIN(cosine) + 0 AS cosine
+FROM topk GROUP BY 1, 2 HAVING COUNT(*) = 2
+""",
+)
+def knn_graph_ann_edges(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ANN-backed approximate mutual-kNN graph (r15, VERDICT #3): the
+    sub-quadratic composition the exact ``knn_graph_mutual_edges`` row
+    declares as its past-1M-vectors path, now a first-class operator —
+    IVF quantizer (engine-replayable kmeans_fit), per-cell candidate
+    generation via a plain SHUFFLE equi-join on cell id (queries ARE
+    the corpus: nothing is broadcast), exact rounded-cosine re-rank,
+    count-2 reciprocity. Candidate volume N·nprobe·(N/n_cells), never
+    N². FULL oracle replay, not rows-only: the DuckDB twin replays the
+    Lloyd fit (the hash-green kmeans CTE chain), cell assignment,
+    2-cell probing, re-rank, and reciprocity — one vector in a
+    different cell or one displaced neighbor reds the row. Defense in
+    depth: certifies in-query that ANN top-k recall@3 vs the exact
+    cosine baseline holds >=0.7 for a 10-query probe subset."""
+    from value_at_risk_spark.operators.similarity import (
+        cosine_topk,
+        ivf_topk,
+        kmeans_fit,
+        knn_graph_ann,
+    )
+
+    emb = _t(spark, sf_dir, "embeddings")
+    edges = knn_graph_ann(emb, k=3, nprobe=2, n_cells=8, iters=2)
+    # certificate: the same quantizer's ivf_topk for 10 probe queries
+    # vs the exact cosine top-k — a training/probing regression trips
+    # the floor even if the (deterministic) oracle drifts in lockstep
+    cents = kmeans_fit(emb, "vec_id", "embedding", k=8, iters=2)
+    q = emb.filter(F.col("vec_id") < 10).select(
+        F.col("vec_id").alias("query_id"), "embedding"
+    )
+    corpus = emb.select(F.col("vec_id").alias("neighbor_id"), "embedding")
+    _certify_topk_recall(
+        ivf_topk(q, corpus, cents, k=3, nprobe=2),
+        cosine_topk(q, corpus, k=3),
+        0.7,
+        "knn_graph_ann_edges",
+    )
+    return edges
+
+
 # --------------------------------------------------------------------------
 # 9. Centroids, event-time windows, fingerprints, near-dedup composite
 # --------------------------------------------------------------------------
