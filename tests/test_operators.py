@@ -3714,12 +3714,15 @@ def test_pq_gate_queries_build_or_load_identical(spark, sf_dir):
         (
             "pq_ann_topk",
             "pq",
-            {"m": 4, "ksub": 16, "iters": 1, "seed": 606},
+            {"m": 4, "ksub": 16, "iters": 1, "init": "data", "quant": 6},
         ),
         (
             "ivfpq_ann_topk",
             "ivfpq",
-            {"ncells": 8, "m": 4, "ksub": 16, "iters": 1, "seed": 321},
+            {
+                "ncells": 8, "m": 4, "ksub": 16, "iters": 1,
+                "init": "data", "quant": 6,
+            },
         ),
         (
             "opq_pq_ann_topk",
@@ -3731,6 +3734,42 @@ def test_pq_gate_queries_build_or_load_identical(spark, sf_dir):
         assert os.path.isdir(index_cache_dir(kind, sf_dir, params)), name
         warm = sorted(map(tuple, QUERIES[name](spark, sf_dir).collect()))
         assert cold == warm and len(cold) > 0, name
+
+
+def test_pq_fit_replayable_contract(spark, sf_dir):
+    """pq_fit (the r15 graduation trainer) is cross-invocation
+    deterministic (data-derived init, no RNG), its init equals the
+    ksub-smallest-id slices rounded to 6 decimals, every trained
+    coordinate is 6-decimal-quantized, and ksub > corpus raises."""
+    import pytest as _pytest
+
+    from value_at_risk_spark.operators.similarity import pq_fit
+
+    e = (
+        spark.read.parquet(f"{sf_dir}/embeddings.parquet")
+        .select("vec_id", "embedding")
+        .limit(120)
+    )
+    cb1 = pq_fit(e, m=4, ksub=16, iters=1, dim=64)
+    cb2 = pq_fit(e, m=4, ksub=16, iters=1, dim=64)
+    assert cb1 == cb2
+    assert len(cb1) == 4 and all(len(c) == 16 for c in cb1)
+    for book in cb1:
+        for cent in book:
+            assert len(cent) == 16
+            assert all(round(x, 6) == x for x in cent)
+    # iters=0 exposes the raw init: the ksub smallest ids, sliced
+    cb0 = pq_fit(e, m=4, ksub=16, iters=0, dim=64)
+    seeds = e.orderBy("vec_id").limit(16).collect()
+    for j in range(4):
+        for i, r in enumerate(seeds):
+            exp = [
+                round(float(x), 6)
+                for x in list(r.embedding)[j * 16 : (j + 1) * 16]
+            ]
+            assert cb0[j][i] == exp
+    with _pytest.raises(ValueError, match="exceeds corpus size"):
+        pq_fit(e.limit(5), m=4, ksub=16, iters=1, dim=64)
 
 
 def test_ann_index_cache_salt_events_and_gc(tmp_path, monkeypatch):

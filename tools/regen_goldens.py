@@ -7,7 +7,7 @@ and ``compression_ratio_scores`` (key = SUM(LENGTH(text)) — sf0.001
 and sf0.01 share a 500-doc count but not content). If the driver's
 fixtures ever change, run this and paste the printed VALUES rows into
 the corresponding ``@query`` oracle strings in
-value_at_risk_spark/queries.py — no archaeology required.
+value_at_risk_spark/queries/ — no archaeology required.
 
 Usage: python tools/regen_goldens.py [sf_dir ...]
 Defaults to the three standard fixture dirs.

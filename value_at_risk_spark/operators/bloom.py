@@ -20,7 +20,7 @@ carries at most ``num_bits/64`` (word_index, or-mask) rows — kilobytes
 map_from_entries + transform. No element ever reaches the driver.
 
 Reference intent: the reference's filtering surface (SURVEY §2.2) plus
-the decontamination note at queries.py:decontaminate_training_docs —
+the decontamination note at queries/text.py:decontaminate_training_docs —
 "at 100 TB swap the broadcast for a bloom filter of the benchmark
 grams and keep the same plan". This operator is that swap.
 """

@@ -37,7 +37,7 @@ coalesce NULLs before calling for anything else.
 
 Used by ``gini_revenue_concentration`` (rank), ``pareto_abc_parts``
 (descending cumulative share), and ``ks_two_sample_test`` (both ECDF
-running sums in one shared bucketing) in queries.py; parity with the
+running sums in one shared bucketing) in the queries package; parity with the
 single-partition window forms is pinned in tests/test_operators.py,
 including all-ties and empty frames. Measured vs the plain window
 form in PERF.md (wash at 10M rows on one box, 1.8x at 100M, and the

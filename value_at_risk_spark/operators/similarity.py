@@ -1325,6 +1325,99 @@ def pq_train(
     return cents
 
 
+def pq_fit(
+    df: DataFrame,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    m: int = 4,
+    ksub: int = 16,
+    iters: int = 1,
+    quantize: int = 6,
+    dim: int | None = None,
+) -> list[list[list[float]]]:
+    """Engine-replayable PQ codebook training — the ``kmeans_fit``
+    contract applied per subspace (the graduation path that took
+    pq_ann_topk off rows-only):
+
+    - init per subspace j = the j-th slices of the ``ksub`` smallest-id
+      vectors (no RNG, no partition-order dependence);
+    - every centroid coordinate ROUNDED to ``quantize`` decimals after
+      init and after each mean update (absorbs cross-engine AVG
+      summation-order drift at each handoff);
+    - nearest-cell ties break to the smallest cell in both engines;
+    - empty cells keep their previous centroid.
+
+    Same single-pass-per-iteration shape as ``pq_train`` (all m
+    sub-codebooks advance in ONE distributed Lloyd pass: explode to
+    (subspace, slice), CASE-dispatched assignment, one hash-agg); only
+    m*ksub*(dim/m) doubles reach the driver per pass. A DuckDB oracle
+    replays the whole loop per subspace as unrolled CTEs
+    (queries/vector._pq_oracle_sql)."""
+    dim = resolve_dim(df, vec_col, dim, caller="pq_fit")
+    if dim % m != 0:
+        raise ValueError(f"pq_fit: dim {dim} not divisible by m {m}")
+    sub = dim // m
+    base = df.select(
+        F.col(id_col).cast("long").alias("_id"),
+        F.col(vec_col).cast("array<double>").alias("_fv"),
+    )
+    seeds = base.orderBy("_id").limit(ksub).collect()
+    if len(seeds) < ksub:
+        raise ValueError(
+            f"pq_fit: ksub={ksub} exceeds corpus size {len(seeds)}"
+        )
+    cents = [
+        [
+            [
+                round(float(x), quantize)
+                for x in r._fv[j * sub : (j + 1) * sub]
+            ]
+            for r in seeds
+        ]
+        for j in range(m)
+    ]
+    for _ in range(iters):
+        sliced = base.select(
+            F.explode(
+                F.array(
+                    *[
+                        F.struct(
+                            F.lit(j).alias("_j"),
+                            F.slice("_fv", j * sub + 1, sub).alias("_v"),
+                        )
+                        for j in range(m)
+                    ]
+                )
+            ).alias("_p")
+        ).select("_p._j", "_p._v")
+        cell = F.when(F.col("_j") == 0, nearest_cell_expr("_v", cents[0]))
+        for j in range(1, m):
+            cell = cell.when(
+                F.col("_j") == j, nearest_cell_expr("_v", cents[j])
+            )
+        means = (
+            sliced.select("_j", "_v", cell.alias("_cell"))
+            .select("_j", "_cell", F.posexplode("_v").alias("_i", "_x"))
+            .groupBy("_j", "_cell", "_i")
+            .agg(F.avg("_x").alias("_m"))
+            .groupBy("_j", "_cell")
+            .agg(
+                F.array_sort(F.collect_list(F.struct("_i", "_m"))).alias("_ms")
+            )
+            .select(
+                "_j",
+                "_cell",
+                F.transform("_ms", lambda s: s["_m"]).alias("_mean"),
+            )
+            .collect()
+        )
+        for r in means:  # empty cells keep their previous centroid
+            cents[r._j][r._cell] = [
+                round(float(x), quantize) for x in r._mean
+            ]
+    return cents
+
+
 def pq_encode(
     df: DataFrame,
     codebooks: list[list[list[float]]],
@@ -1400,6 +1493,59 @@ def pq_topk(
 # IVF+PQ (round 6): coarse cells + residual codes — the canonical
 # billion-vector index layout (cells prune the scan, codes shrink it)
 # --------------------------------------------------------------------------
+
+
+def ivfpq_build_replayable(
+    corpus: DataFrame,
+    ncells: int = 8,
+    m: int = 4,
+    ksub: int = 16,
+    iters: int = 1,
+    corpus_id: str = "vec_id",
+    vec_col: str = "embedding",
+    dim: int | None = None,
+    quantize: int = 6,
+):
+    """IVFPQ build on the ENGINE-REPLAYABLE trainers (the r15
+    graduation path for ivfpq_ann_topk): coarse cells from
+    ``kmeans_fit`` (smallest-id init, quantized handoffs, no RNG),
+    residuals r = v − cell_centroid as exact float subtraction of
+    quantized literals (bit-identical in any engine), and residual
+    codebooks from ``pq_fit`` on the residual frame — so a DuckDB
+    oracle replays the coarse fit, the residuals, all m sub-fits, the
+    encoding, and the reconstruction, stage for stage. Same return
+    shape as ``ivfpq_build``: (centroids, codebooks, codes_df)."""
+    dim = resolve_dim(corpus, vec_col, dim, caller="ivfpq_build_replayable")
+    cents = kmeans_fit(
+        corpus, corpus_id, vec_col, k=ncells, iters=iters, quantize=quantize
+    )
+    cents_lit = F.array(
+        *[F.array(*[F.lit(float(x)) for x in c]) for c in cents]
+    )
+    assigned = corpus.select(
+        F.col(corpus_id),
+        F.col(vec_col).cast("array<double>").alias(vec_col),
+        nearest_cell_expr(F.col(vec_col).cast("array<double>"), cents).alias(
+            "_cell"
+        ),
+    ).withColumn(
+        "_resid",
+        F.zip_with(
+            F.col(vec_col),
+            F.element_at(cents_lit, F.col("_cell") + 1),
+            lambda a, b: a - b,
+        ),
+    )
+    resid = assigned.select(
+        F.col(corpus_id), F.col("_resid").alias(vec_col)
+    )
+    codebooks = pq_fit(
+        resid, id_col=corpus_id, vec_col=vec_col, m=m, ksub=ksub,
+        iters=iters, quantize=quantize, dim=dim,
+    )
+    codes = pq_encode(resid, codebooks, id_col=corpus_id, vec_col=vec_col)
+    codes_df = assigned.select(corpus_id, "_cell").join(codes, corpus_id)
+    return cents, codebooks, codes_df
 
 
 def ivfpq_build(
