@@ -469,10 +469,22 @@ def scaled_knn_graph(spark, scaled: str) -> dict:
     )
     t0 = time.time()
     edges = knn_graph_mutual(corpus, k=3, num_blocks=16).count()
-    return {
+    out = {
         "scaled10_knn_graph_sec": round(time.time() - t0, 3),
         "scaled10_knn_graph_edges": edges,
     }
+    # r15 sibling arm: the ANN-backed graph on the SAME corpus — the
+    # sub-quadratic composition (IVF cells -> shuffle equi-join ->
+    # exact re-rank -> reciprocity) whose wall should sit well under
+    # the exact kernel's at equal N, with edge recall bounded below by
+    # the duplicate-cluster edges (exact duplicates share a cell)
+    from value_at_risk_spark.operators.similarity import knn_graph_ann
+
+    t0 = time.time()
+    ann_edges = knn_graph_ann(corpus, k=3, nprobe=2, n_cells=16).count()
+    out["scaled10_knn_graph_ann_sec"] = round(time.time() - t0, 3)
+    out["scaled10_knn_graph_ann_edges"] = ann_edges
+    return out
 
 
 def scaled_row_tracking(spark, scaled: str) -> dict:

@@ -487,6 +487,38 @@ def _contract_topk_cols(sims_row, ids, k: int, round_to: int | None):
     return cols
 
 
+def _batch_topk_emit(sims, qids, cand_ids, kk, rt, out_q, out_c, out_s):
+    """Append each query row's BATCH-LOCAL top-k candidates (contract
+    order: rounded sim desc, id asc) to the output lists — vectorized
+    cut for the tie-free common case, Decimal contract cut only on
+    rows whose rounded ties inflate the superset (shared by the
+    blocked all-pairs kernel and the per-cell ANN-graph kernel)."""
+    n, m = sims.shape
+    take = min(kk, m)
+    if take == 0:
+        return
+    part = np.argpartition(-sims, take - 1, axis=1)[:, :take]
+    kth = sims[np.arange(n)[:, None], part].min(axis=1)
+    thr = kth if rt is None else kth - 10.0 ** (-rt)
+    mask = sims >= thr[:, None]
+    counts = mask.sum(axis=1)
+    easy = counts <= take
+    if easy.any():
+        eidx = np.nonzero(easy)[0]
+        rows, cols = np.nonzero(mask[easy])
+        svals = sims[eidx[rows], cols]
+        keep = np.isfinite(svals)
+        out_q.extend(qids[eidx[rows[keep]]].tolist())
+        out_c.extend(cand_ids[cols[keep]].tolist())
+        out_s.extend(svals[keep].tolist())
+    for i in np.nonzero(~easy)[0]:
+        cols = _contract_topk_cols(sims[i], cand_ids, kk, rt)
+        cols = cols[np.isfinite(sims[i, cols])]
+        out_q.extend([int(qids[i])] * len(cols))
+        out_c.extend(cand_ids[cols].tolist())
+        out_s.extend(sims[i, cols].tolist())
+
+
 def cosine_allpairs_topk_blocked(
     df: DataFrame,
     k: int = 3,
@@ -574,36 +606,10 @@ def cosine_allpairs_topk_blocked(
         n_l[n_l == 0.0] = np.inf
         n_r[n_r == 0.0] = np.inf
         def _emit(sims, qids, cand_ids):
-            # vectorized cut for the common case (raw-threshold
-            # superset already <= k: no rounded ties in play); the
-            # Decimal tie-break loop runs only on the rows that need
-            # it (duplicate-heavy corpora) — at 20k tie-free rows the
-            # per-row python loop, not the BLAS gram, was the kernel's
-            # cost
-            n, m = sims.shape
-            take = min(kk, m)
-            if take == 0:
-                return
-            part = np.argpartition(-sims, take - 1, axis=1)[:, :take]
-            kth = sims[np.arange(n)[:, None], part].min(axis=1)
-            thr = kth if rt is None else kth - 10.0 ** (-rt)
-            mask = sims >= thr[:, None]
-            counts = mask.sum(axis=1)
-            easy = counts <= take
-            if easy.any():
-                eidx = np.nonzero(easy)[0]
-                rows, cols = np.nonzero(mask[easy])
-                svals = sims[eidx[rows], cols]
-                keep = np.isfinite(svals)
-                out_q.extend(qids[eidx[rows[keep]]].tolist())
-                out_c.extend(cand_ids[cols[keep]].tolist())
-                out_s.extend(svals[keep].tolist())
-            for i in np.nonzero(~easy)[0]:
-                cols = _contract_topk_cols(sims[i], cand_ids, kk, rt)
-                cols = cols[np.isfinite(sims[i, cols])]
-                out_q.extend([int(qids[i])] * len(cols))
-                out_c.extend(cand_ids[cols].tolist())
-                out_s.extend(sims[i, cols].tolist())
+            # vectorized cut for the common case, Decimal contract cut
+            # only on rounded-tie rows — shared helper (also drives
+            # the per-cell ANN-graph kernel)
+            _batch_topk_emit(sims, qids, cand_ids, kk, rt, out_q, out_c, out_s)
 
         if V_r.size:
             sims = (V_l @ V_r.T) / (n_l[:, None] * n_r[None, :])
@@ -706,47 +712,89 @@ def knn_graph_ann(
     handoffs — a DuckDB oracle replays the whole loop); (2) assign
     every corpus row to its nearest cell (pure projection — centroids
     are plan literals); (3) every row, acting as a query, probes its
-    ``nprobe`` nearest cells; (4) candidates meet in a plain SHUFFLE
-    equi-join on the cell id — the queries ARE the corpus, so unlike
-    ``ivf_topk``'s bounded-query broadcast there is no broadcast
-    anywhere; (5) exact rounded-cosine re-rank per query (window,
-    top-k); (6) reciprocity via the same count-2 groupBy as the exact
-    graph. Total candidate volume is N·nprobe·(N/n_cells) instead of
-    N² — sizing ``n_cells`` ∝ N keeps per-cell work flat, which is
-    the 1000-executor shape. Output: (id_a < id_b, cosine); cosine is
-    bit-symmetric (same fold order both directions), so mutuality is
-    COUNT(*)=2 on the normalized edge."""
+    ``nprobe`` nearest cells; (4) ONE shuffle groups each cell's
+    members with its probing queries, and a per-cell Arrow task
+    computes the (queries x members) gram with a single BLAS call,
+    emitting only batch-local top-k per query — the queries ARE the
+    corpus, nothing is broadcast, and nothing is scored per-pair in an
+    expression; (5) a per-query merge window over <= nprobe·k
+    candidate rows recovers the exact ANN top-k (same argument and
+    tie contract as cosine_allpairs_topk_blocked); (6) reciprocity via
+    the same count-2 groupBy as the exact graph. Total candidate
+    volume is N·nprobe·(N/n_cells) instead of N² — sizing ``n_cells``
+    ∝ N keeps per-cell work flat, which is the 1000-executor shape.
+    Output: (id_a < id_b, cosine); cosine is bit-symmetric, so
+    mutuality is COUNT(*)=2 on the normalized edge."""
     cents = kmeans_fit(df, id_col, vec_col, k=n_cells, iters=iters)
     base = df.select(
         F.col(id_col).cast("long").alias("_id"),
         F.col(vec_col).cast("array<double>").alias("_v"),
     )
-    corp = base.select(
-        F.col("_id").alias("neighbor_id"),
-        F.col("_v").alias("_cv"),
-        vector_norm("_v").alias("_cn"),
+    # Per-cell Arrow gram kernel, NOT a per-pair Catalyst expression:
+    # the r15 growth run measured the expression form exactly linear in
+    # candidate volume but ~100x the per-pair cost of a BLAS gram —
+    # 211 s at 100k vectors vs 32 s for the blocked-EXACT kernel. Each
+    # cell is one applyInPandas task computing (probing queries) x
+    # (members) in a single matmul and emitting only batch-local top-k
+    # per query (contract order, shared _batch_topk_emit); a query's
+    # global ANN top-k lives inside its nprobe probed cells, so the
+    # per-query merge window over <= nprobe*k candidates is exact
+    # w.r.t. the ANN candidate set — the same argument, kernel, and
+    # tie contract as cosine_allpairs_topk_blocked.
+    members = base.select(
+        "_id", "_v",
         nearest_cell_expr("_v", cents).alias("_cell"),
+        F.lit(0).alias("_side"),
     )
-    q = base.select(
-        F.col("_id").alias("query_id"),
-        F.col("_v").alias("_qv"),
-        vector_norm("_v").alias("_qn"),
+    probing = base.select(
+        "_id", "_v",
         F.explode(nearest_cells_expr("_v", cents, nprobe)).alias("_cell"),
+        F.lit(1).alias("_side"),
     )
-    sim = F.try_divide(dot_product("_qv", "_cv"), F.col("_qn") * F.col("_cn"))
+    both = members.unionByName(probing)
+    kk, rt = int(k), round_to
+
+    def _cell_knn(pdf: pd.DataFrame) -> pd.DataFrame:
+        mem = pdf[pdf["_side"] == 0]
+        qry = pdf[pdf["_side"] == 1]
+        if mem.empty or qry.empty:
+            return pd.DataFrame(
+                {"query_id": [], "neighbor_id": [], "_raw": []}
+            ).astype({"query_id": np.int64, "neighbor_id": np.int64,
+                      "_raw": float})
+        ids_m = mem["_id"].to_numpy(dtype=np.int64)
+        V_m = np.array(list(mem["_v"]), dtype=np.float64)
+        ids_q = qry["_id"].to_numpy(dtype=np.int64)
+        V_q = np.array(list(qry["_v"]), dtype=np.float64)
+        n_m = np.linalg.norm(V_m, axis=1)
+        n_q = np.linalg.norm(V_q, axis=1)
+        n_m[n_m == 0.0] = np.inf
+        n_q[n_q == 0.0] = np.inf
+        sims = (V_q @ V_m.T) / (n_q[:, None] * n_m[None, :])
+        sims[ids_q[:, None] == ids_m[None, :]] = -np.inf
+        out_q: list[int] = []
+        out_c: list[int] = []
+        out_s: list[float] = []
+        _batch_topk_emit(sims, ids_q, ids_m, kk, rt, out_q, out_c, out_s)
+        return pd.DataFrame(
+            {"query_id": out_q, "neighbor_id": out_c, "_raw": out_s}
+        )
+
+    cand = both.groupBy("_cell").applyInPandas(
+        _cell_knn, "query_id long, neighbor_id long, _raw double"
+    )
     sim_out = (
-        F.round(sim, round_to) + F.lit(0.0) if round_to is not None else sim
-    )
-    scored = (
-        corp.join(q, "_cell")  # shuffle hash join: both sides are corpus-sized
-        .filter(F.col("query_id") != F.col("neighbor_id"))
-        .select("query_id", "neighbor_id", sim_out.alias("cosine"))
+        F.round(F.col("_raw"), round_to) + F.lit(0.0)
+        if round_to is not None
+        else F.col("_raw")
     )
     w = Window.partitionBy("query_id").orderBy(
         F.desc("cosine"), F.asc("neighbor_id")
     )
-    topk = scored.withColumn("rank", F.row_number().over(w)).filter(
-        F.col("rank") <= k
+    topk = (
+        cand.select("query_id", "neighbor_id", sim_out.alias("cosine"))
+        .withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= k)
     )
     lo = F.least("query_id", "neighbor_id")
     hi = F.greatest("query_id", "neighbor_id")
