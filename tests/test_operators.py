@@ -4751,3 +4751,83 @@ def test_bh_procedure_rejects_planted_and_controls_clean(spark, sf_dir):
             (r.p_value for r in rows if not r.rejected), default=1.0
         )
         assert worst_rej <= best_acc
+
+
+def test_tfidf_cosine_pairs_numpy_replay_and_pruning(spark):
+    """Sparse TF-IDF cosine pairs == a numpy replay on a hand corpus
+    (same smoothed-IDF formula, df-capped vocabulary, rounded) —
+    including a planted near-duplicate pair; df pruning drops the
+    ubiquitous token from BOTH weights and norms; the plan has no
+    cartesian product and no BNLJ (every join equi-keyed)."""
+    import math
+
+    import numpy as np
+
+    from value_at_risk_spark.operators.dedup import tfidf_cosine_pairs
+
+    texts = {
+        1: "the quick brown fox jumps over the lazy dog",
+        2: "the quick brown fox jumps over the lazy cat",
+        3: "the market closed higher on strong earnings today",
+        4: "completely unrelated words about gardening and soil",
+    }
+    docs = spark.createDataFrame(
+        [(i, t) for i, t in texts.items()], "doc_id long, text string"
+    )
+    df_cap = 3  # 'the' appears in docs 1,2,3 (df 3 <= 3 kept); tune below
+    # use df_cap=2 so 'the' (df=3) is PRUNED — the guard under test
+    df_cap = 2
+    got = {
+        (r.id_a, r.id_b): r.cosine
+        for r in tfidf_cosine_pairs(
+            docs, threshold=0.0, df_cap=df_cap
+        ).collect()
+    }
+
+    # numpy replay
+    toks = {i: t.split() for i, t in texts.items()}
+    from collections import Counter
+
+    tf = {i: Counter(ts) for i, ts in toks.items()}
+    dfreq = Counter()
+    for i in tf:
+        for t in tf[i]:
+            dfreq[t] += 1
+    vocab = sorted(t for t, d in dfreq.items() if d <= df_cap)
+    n = len(texts)
+    idx = {t: j for j, t in enumerate(vocab)}
+    vecs = {}
+    for i in tf:
+        v = np.zeros(len(vocab))
+        for t, c in tf[i].items():
+            if t in idx:
+                v[idx[t]] = c * (math.log((n + 1) / (dfreq[t] + 1)) + 1)
+        vecs[i] = v
+    expect = {}
+    ids = sorted(vecs)
+    for a in ids:
+        for b in ids:
+            if a < b:
+                na, nb = np.linalg.norm(vecs[a]), np.linalg.norm(vecs[b])
+                if na > 0 and nb > 0:
+                    c = round(float(vecs[a] @ vecs[b] / (na * nb)), 6) + 0.0
+                    if c >= 0.0:
+                        expect[(a, b)] = c
+    # pairs with zero shared surviving tokens never appear in the
+    # postings join — drop zero-cosine entries from the replay
+    expect = {k: v for k, v in expect.items() if v > 0.0}
+    assert got == expect
+    # the planted near-dup (1, 2) is the strongest pair
+    assert max(got, key=got.get) == (1, 2) and got[(1, 2)] > 0.5
+    # 'the' pruned: docs 1 and 3 share ONLY pruned tokens ('the') ->
+    # no pair emitted for (1, 3) beyond what surviving tokens give
+    assert ("the" in tf[1]) and ("the" in tf[3]) and dfreq["the"] > df_cap
+
+    plan = (
+        tfidf_cosine_pairs(docs, threshold=0.5, df_cap=2)
+        ._jdf.queryExecution()
+        .executedPlan()
+        .toString()
+    )
+    assert "CartesianProduct" not in plan
+    assert "BroadcastNestedLoopJoin" not in plan

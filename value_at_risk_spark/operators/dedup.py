@@ -658,3 +658,89 @@ def content_defined_chunks(
             F.posexplode("_chunks").alias("chunk_idx", "chunk"),
         )
     )
+
+
+def tfidf_cosine_pairs(
+    docs: DataFrame,
+    threshold: float = 0.5,
+    df_cap: int = 50,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    round_to: int = 6,
+) -> DataFrame:
+    """SPARSE TF-IDF cosine near-duplicate pairs via an inverted-index
+    (token-postings) self-join — the lexical sibling of the dense
+    embedding-cosine path (similarity.cosine_near_dup_pairs) and the
+    probabilistic MinHash path: exact cosine over the df-capped
+    TF-IDF vocabulary, no hashing, no embeddings.
+
+    Pipeline (every stage an equi-keyed shuffle — no cross join, no
+    broadcast of corpus-sized sides):
+
+    1. per-(doc, token) term frequencies (one explode + hash-agg);
+    2. document frequencies; tokens with ``df > df_cap`` are PRUNED —
+       the standard postings-explosion guard: a token seen in d docs
+       contributes O(d²) candidate pairs, so ubiquitous tokens (stop
+       words, boilerplate) would quadratically dominate while carrying
+       near-zero IDF weight. The contract is exact cosine over the
+       REMAINING vocabulary (the df cap is part of the operator's
+       semantics, replayed identically by the SQL oracle);
+    3. weights w = tf · (ln((N+1)/(df+1)) + 1) (smoothed IDF), norms
+       over the same capped vocabulary;
+    4. postings self-join on the token (per-token pair fan-out ≤
+       df_cap²), one hash-agg summing w_a·w_b per (id_a < id_b) pair;
+    5. cosine = dot/(‖a‖·‖b‖), rounded; the threshold filter applies
+       to the ROUNDED value in both engines.
+
+    At 100 TB: per-token work is bounded by the cap, the pair agg
+    shuffles on the pair key, and nothing corpus-sized reaches the
+    driver (N alone is collected). Output: (id_a, id_b, cosine).
+    """
+    toks = docs.select(
+        F.col(id_col).cast("long").alias("_id"),
+        F.explode(tokens(text_col)).alias("_t"),
+    )
+    tf = toks.groupBy("_id", "_t").agg(
+        F.count(F.lit(1)).cast("double").alias("_tf")
+    )
+    n_docs = docs.count()
+    dfreq = (
+        tf.groupBy("_t")
+        .agg(F.count(F.lit(1)).alias("_df"))
+        .filter(F.col("_df") <= df_cap)
+    )
+    w = tf.join(dfreq, "_t").select(
+        "_id",
+        "_t",
+        (
+            F.col("_tf")
+            * (F.log((F.lit(float(n_docs + 1))) / (F.col("_df") + 1)) + 1.0)
+        ).alias("_w"),
+    )
+    nrm = w.groupBy("_id").agg(
+        F.sqrt(F.sum(F.col("_w") * F.col("_w"))).alias("_n")
+    )
+    a = w.select(
+        F.col("_id").alias("id_a"), "_t", F.col("_w").alias("_wa")
+    )
+    b = w.select(
+        F.col("_id").alias("id_b"), "_t", F.col("_w").alias("_wb")
+    )
+    dot = (
+        a.join(b, "_t")
+        .filter(F.col("id_a") < F.col("id_b"))
+        .groupBy("id_a", "id_b")
+        .agg(F.sum(F.col("_wa") * F.col("_wb")).alias("_d"))
+    )
+    na = nrm.select(F.col("_id").alias("id_a"), F.col("_n").alias("_na"))
+    nb = nrm.select(F.col("_id").alias("id_b"), F.col("_n").alias("_nb"))
+    cos = (
+        F.round(F.col("_d") / (F.col("_na") * F.col("_nb")), round_to)
+        + F.lit(0.0)
+    )
+    return (
+        dot.join(na, "id_a")
+        .join(nb, "id_b")
+        .select("id_a", "id_b", cos.alias("cosine"))
+        .filter(F.col("cosine") >= F.lit(float(threshold)))
+    )

@@ -697,7 +697,7 @@ def knn_graph_ann(
     df: DataFrame,
     k: int = 3,
     nprobe: int = 2,
-    n_cells: int = 8,
+    n_cells: int | None = None,
     iters: int = 2,
     id_col: str = "vec_id",
     vec_col: str = "embedding",
@@ -724,7 +724,21 @@ def knn_graph_ann(
     volume is N·nprobe·(N/n_cells) instead of N² — sizing ``n_cells``
     ∝ N keeps per-cell work flat, which is the 1000-executor shape.
     Output: (id_a < id_b, cosine); cosine is bit-symmetric, so
-    mutuality is COUNT(*)=2 on the normalized edge."""
+    mutuality is COUNT(*)=2 on the normalized edge.
+
+    ``n_cells=None`` auto-sizes to ~1,500 members/cell (one count
+    job), capped at 256 — the cap bounds both the per-cell gram
+    (queries x members, the real task-memory bound, same lesson as
+    the blocked kernel's 100k heap-thrash) and the k-centroid literal
+    assignment expression. Past ~400k vectors the cap makes cells
+    grow with N again; the persisted-index path (operators/annindex
+    IVF, cells assigned once at build time and stored partitioned)
+    is the declared route there — this operator is the one-shot
+    build-and-rank form."""
+    if n_cells is None:
+        import math
+
+        n_cells = min(256, max(8, math.ceil(df.count() / 1500)))
     cents = kmeans_fit(df, id_col, vec_col, k=n_cells, iters=iters)
     base = df.select(
         F.col(id_col).cast("long").alias("_id"),

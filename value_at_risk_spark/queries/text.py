@@ -3225,3 +3225,69 @@ def effective_sample_size(spark: SparkSession, sf_dir: str) -> DataFrame:
         (F.round(n / denom, 2) + F.lit(0.0)).alias("ess"),
         (F.round(F.lit(1.0) / denom, 6) + F.lit(0.0)).alias("ess_ratio"),
     )
+
+
+@query(
+    "sparse_tfidf_near_dup_pairs",
+    """
+WITH toks AS (
+  SELECT doc_id, t FROM (
+    SELECT doc_id, UNNEST(regexp_split_to_array(lower(text), '\\s+')) AS t
+    FROM documents
+  ) WHERE t <> ''
+),
+tf AS (
+  SELECT doc_id, t, CAST(COUNT(*) AS DOUBLE) AS tf FROM toks GROUP BY 1, 2
+),
+nn AS (
+  SELECT CAST(COUNT(*) AS DOUBLE) AS n,
+         GREATEST(1, (2 * COUNT(*)) // 5) AS cap
+  FROM documents
+),
+dfq AS (
+  SELECT t, COUNT(*) AS df FROM tf GROUP BY t
+  HAVING COUNT(*) <= (SELECT cap FROM nn)
+),
+w AS (
+  -- same expression STRUCTURE as the engine: ln((n+1)/(df+1)) + 1,
+  -- division inside the log (ln(a)-ln(b) is a different float)
+  SELECT tf.doc_id, tf.t,
+         tf.tf * (LN(((SELECT n FROM nn) + 1) / (dfq.df + 1)) + 1) AS w
+  FROM tf JOIN dfq USING (t)
+),
+nrm AS (SELECT doc_id, SQRT(SUM(w * w)) AS nn FROM w GROUP BY doc_id),
+dot AS (
+  SELECT a.doc_id AS id_a, b.doc_id AS id_b, SUM(a.w * b.w) AS d
+  FROM w a JOIN w b ON a.t = b.t AND a.doc_id < b.doc_id
+  GROUP BY 1, 2
+),
+scored AS (
+  SELECT id_a, id_b,
+         ROUND(d / (na.nn * nb.nn), 6) + 0 AS cosine
+  FROM dot
+  JOIN nrm na ON na.doc_id = id_a
+  JOIN nrm nb ON nb.doc_id = id_b
+)
+SELECT id_a, id_b, cosine FROM scored WHERE cosine >= 0.9
+""",
+)
+def sparse_tfidf_near_dup_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SPARSE lexical near-duplicate pairs (r15): exact TF-IDF cosine
+    via an inverted-index postings self-join with document-frequency
+    pruning (operators/dedup.tfidf_cosine_pairs) — the third leg of
+    the near-dup family beside dense embedding cosine and
+    MinHash/SimHash: no embeddings, no hashing, exact over the
+    df-capped vocabulary. The cap (40% of N) prunes ubiquitous tokens
+    whose postings would contribute O(df²) candidate pairs at
+    near-zero IDF weight — the standard sparse-all-pairs guard, part
+    of the operator contract and replayed identically by the oracle.
+    Every stage is an equi-keyed shuffle (explode -> tf hash-agg ->
+    df filter -> postings join on the token -> pair hash-agg -> norm
+    joins); nothing corpus-sized is broadcast or collected (N alone
+    reaches the driver). The threshold filter applies to the ROUNDED
+    cosine in both engines."""
+    from value_at_risk_spark.operators.dedup import tfidf_cosine_pairs
+
+    d = _t(spark, sf_dir, "documents").select("doc_id", "text")
+    cap = max(1, (2 * d.count()) // 5)
+    return tfidf_cosine_pairs(d, threshold=0.9, df_cap=cap)
