@@ -4831,3 +4831,66 @@ def test_tfidf_cosine_pairs_numpy_replay_and_pruning(spark):
     )
     assert "CartesianProduct" not in plan
     assert "BroadcastNestedLoopJoin" not in plan
+
+
+def test_repetition_signals_python_replay(spark):
+    """Gopher repetition signals == a pure-Python replay on hand
+    corpora: top n-gram character share (ties to the lexicographically
+    smallest gram), duplicated n-gram mass, the published overlap
+    quirk (a spam loop exceeds 1.0), short docs yield 0 for gram sizes
+    beyond their token count, and a zero-token doc keeps its row with
+    all-zero shares and repetition_ok=True."""
+    from collections import Counter
+
+    from value_at_risk_spark.functions.text import (
+        REPETITION_DUP_THRESHOLDS,
+        REPETITION_TOP_THRESHOLDS,
+        repetition_signals,
+    )
+
+    texts = {
+        1: "spam spam spam spam spam ham",
+        2: "the cat sat on the mat while the dog slept near the door",
+        3: "a b c d e a b c d e a b c d e a b c d e",
+        4: "",
+        5: "one two",
+    }
+    docs = spark.createDataFrame(
+        [(i, t) for i, t in texts.items()], "doc_id long, text string"
+    )
+    got = {r.doc_id: r.asDict() for r in repetition_signals(docs).collect()}
+
+    for i, t in texts.items():
+        ts = [w for w in t.lower().split() if w]
+        total = max(sum(len(w) for w in ts), 1)
+        for n in sorted(REPETITION_TOP_THRESHOLDS):
+            grams = Counter(
+                " ".join(ts[j : j + n]) for j in range(len(ts) - n + 1)
+            )
+            if grams:
+                best = min(grams, key=lambda g: (-grams[g], g))
+                exp = round(
+                    grams[best] * len(best.replace(" ", "")) / total, 6
+                )
+            else:
+                exp = 0.0
+            assert got[i][f"top{n}_share"] == exp, (i, n)
+        for n in sorted(REPETITION_DUP_THRESHOLDS):
+            grams = Counter(
+                " ".join(ts[j : j + n]) for j in range(len(ts) - n + 1)
+            )
+            exp = round(
+                sum(
+                    c * len(g.replace(" ", ""))
+                    for g, c in grams.items()
+                    if c >= 2
+                )
+                / total,
+                6,
+            )
+            assert got[i][f"dup{n}_share"] == exp, (i, n)
+
+    assert got[1]["top2_share"] > 1.0  # overlap quirk, documented
+    assert got[3]["repetition_ok"] is False  # heavy duplicated 5-grams
+    assert got[4]["repetition_ok"] is True and got[4]["top2_share"] == 0.0
+    assert got[5]["dup5_share"] == 0.0  # too short for any 5-gram

@@ -157,3 +157,171 @@ def chunk_tokens(
             ).alias("chunk"),
         ),
     )
+
+
+# Gopher repetition thresholds (Rae et al. 2021, Appendix A): max
+# share of characters in the single most frequent word n-gram
+# (n = 2..4) and in ALL duplicated word n-grams (n = 5..10).
+REPETITION_TOP_THRESHOLDS = {2: 0.20, 3: 0.18, 4: 0.16}
+REPETITION_DUP_THRESHOLDS = {5: 0.15, 6: 0.14, 7: 0.13, 8: 0.12,
+                             9: 0.11, 10: 0.10}
+
+
+def repetition_signals(
+    docs,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+):
+    """Per-document Gopher REPETITION signals (Rae et al. 2021 App. A
+    — the n-gram half of the rule set; the line-based half needs
+    multi-line documents): for n = 2..4 the character share of the
+    single most frequent word n-gram, for n = 5..10 the character
+    share of all DUPLICATED word n-grams. Character mass of a gram =
+    its length excluding separator spaces; denominator = total token
+    characters. Every quantity is an integer ratio evaluated as ONE
+    double division of identical integers in any engine — bit-exact
+    cross-engine, no rounding contract needed for the flags.
+
+    Shape: one explode emits all 9 gram sizes in one pass (~9 rows
+    per token), one (doc, n, gram) hash-agg counts, two small
+    aggregates reduce to per-(doc, n) signals, conditional
+    aggregation pivots to one row per doc. Ties for the top gram
+    break to the lexicographically smallest. Docs with fewer than n
+    tokens have no n-grams: their share is 0 (rule passes trivially).
+
+    Returns (id_col, top2_share..top4_share, dup5_share..dup10_share,
+    repetition_ok) with shares rounded to 6 decimals for display; the
+    ``repetition_ok`` flag is computed from the UNROUNDED ratios
+    against REPETITION_*_THRESHOLDS.
+    """
+    from pyspark.sql import functions as F
+
+    ns_top = sorted(REPETITION_TOP_THRESHOLDS)
+    ns_dup = sorted(REPETITION_DUP_THRESHOLDS)
+    toks = F.filter(
+        F.split(F.lower(F.col(text_col)), r"\s+"), lambda t: t != ""
+    )
+    base = docs.select(
+        F.col(id_col).alias("_id"),
+        toks.alias("_ts"),
+    ).select(
+        "_id",
+        "_ts",
+        F.aggregate(
+            F.transform("_ts", lambda t: F.length(t)),
+            F.lit(0),
+            lambda a, x: a + x,
+        ).alias("_total"),
+    )
+    # sequence(1, 0) DESCENDS in Spark (emitting slice start 0), so a
+    # doc with fewer than n tokens must short-circuit to an empty
+    # array. The per-n lambda comes from a factory, NOT a `n=n`
+    # default arg: F.transform introspects the lambda's arity and a
+    # two-parameter signature is the (element, index) form — the
+    # default arg would silently receive the array INDEX.
+    def _gram_struct(n: int):
+        return lambda i: F.struct(
+            F.lit(n).alias("n"),
+            F.concat_ws(" ", F.slice("_ts", i, n)).alias("gram"),
+        )
+
+    gram_arrays = [
+        F.when(
+            F.size("_ts") >= n,
+            F.transform(
+                F.sequence(F.lit(1), F.size("_ts") - (n - 1)),
+                _gram_struct(n),
+            ),
+        ).otherwise(
+            F.array().cast("array<struct<n:int,gram:string>>")
+        )
+        for n in ns_top + ns_dup
+    ]
+    grams = base.select(
+        "_id",
+        "_total",
+        F.explode(F.flatten(F.array(*gram_arrays))).alias("_g"),
+    ).select(
+        "_id",
+        "_total",
+        F.col("_g.n").alias("_n"),
+        F.col("_g.gram").alias("_gram"),
+    )
+    cnt = grams.groupBy("_id", "_total", "_n", "_gram").agg(
+        F.count(F.lit(1)).alias("_cnt")
+    ).withColumn(
+        "_mass",
+        F.col("_cnt")
+        * F.length(F.replace(F.col("_gram"), F.lit(" "), F.lit(""))),
+    )
+    top = (
+        cnt.filter(F.col("_n").isin(ns_top))
+        .groupBy("_id", "_total", "_n")
+        .agg(
+            F.min(
+                F.struct(
+                    (-F.col("_cnt")).alias("nc"),
+                    F.col("_gram").alias("g"),
+                    F.col("_mass").alias("m"),
+                )
+            ).alias("_w")
+        )
+        .select(
+            "_id",
+            "_n",
+            (F.col("_w.m") / F.greatest("_total", F.lit(1))).alias("_share"),
+        )
+    )
+    dup = (
+        cnt.filter(F.col("_n").isin(ns_dup) & (F.col("_cnt") >= 2))
+        .groupBy("_id", "_total", "_n")
+        .agg(F.sum("_mass").alias("_m"))
+        .select(
+            "_id",
+            "_n",
+            (F.col("_m") / F.greatest("_total", F.lit(1))).alias("_share"),
+        )
+    )
+    long = top.unionByName(dup)
+    wide = long.groupBy("_id").agg(
+        *[
+            F.coalesce(
+                F.max(F.when(F.col("_n") == n, F.col("_share"))), F.lit(0.0)
+            ).alias(f"_s{n}")
+            for n in ns_top + ns_dup
+        ]
+    )
+    ok = None
+    for n in ns_top:
+        c = F.col(f"_s{n}") <= REPETITION_TOP_THRESHOLDS[n]
+        ok = c if ok is None else (ok & c)
+    for n in ns_dup:
+        c = F.col(f"_s{n}") <= REPETITION_DUP_THRESHOLDS[n]
+        ok = ok & c
+    out_cols = [
+        (F.round(F.col(f"_s{n}"), 6) + F.lit(0.0)).alias(
+            f"top{n}_share" if n in REPETITION_TOP_THRESHOLDS
+            else f"dup{n}_share"
+        )
+        for n in ns_top + ns_dup
+    ]
+    # LEFT join back so zero-token docs keep a row (all shares 0, ok)
+    return (
+        docs.select(F.col(id_col))
+        .join(wide.withColumnRenamed("_id", id_col), id_col, "left")
+        .select(
+            id_col,
+            *[
+                F.coalesce(c, F.lit(0.0)).alias(a)
+                for c, a in zip(
+                    out_cols,
+                    [
+                        f"top{n}_share" if n in REPETITION_TOP_THRESHOLDS
+                        else f"dup{n}_share"
+                        for n in ns_top + ns_dup
+                    ],
+                )
+            ],
+            F.coalesce(ok, F.lit(True)).alias("repetition_ok"),
+        )
+    )

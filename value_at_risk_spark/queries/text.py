@@ -3291,3 +3291,133 @@ def sparse_tfidf_near_dup_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     d = _t(spark, sf_dir, "documents").select("doc_id", "text")
     cap = max(1, (2 * d.count()) // 5)
     return tfidf_cosine_pairs(d, threshold=0.9, df_cap=cap)
+
+
+@query(
+    "gopher_repetition_filters",
+    """
+WITH docs_t AS (
+  SELECT doc_id, source,
+         list_filter(regexp_split_to_array(lower(text), '\\s+'),
+                     x -> x <> '') AS ts
+  FROM documents
+),
+base AS (
+  SELECT doc_id, source, ts,
+         CAST(COALESCE(list_sum(list_transform(ts, t -> LENGTH(t))), 0)
+              AS BIGINT) AS total
+  FROM docs_t
+),
+grams AS (
+  SELECT doc_id, total, tn.n AS n,
+         array_to_string(ts[ti.i:ti.i + tn.n - 1], ' ') AS gram
+  FROM base,
+       UNNEST([2,3,4,5,6,7,8,9,10]) AS tn(n),
+       UNNEST(range(1, GREATEST(len(ts) - tn.n + 2, 1))) AS ti(i)
+  WHERE len(ts) >= tn.n
+),
+cnt AS (
+  SELECT doc_id, total, n, gram, COUNT(*) AS c,
+         COUNT(*) * LENGTH(REPLACE(gram, ' ', '')) AS mass
+  FROM grams GROUP BY 1, 2, 3, 4
+),
+top AS (
+  SELECT doc_id, n,
+         ROUND(mass * 1.0 / GREATEST(total, 1), 6) + 0 AS share
+  FROM (
+    SELECT doc_id, total, n, mass,
+           ROW_NUMBER() OVER (PARTITION BY doc_id, n
+                              ORDER BY c DESC, gram) AS rn
+    FROM cnt WHERE n <= 4) t
+  WHERE rn = 1
+),
+dup AS (
+  SELECT doc_id, n,
+         ROUND(SUM(mass) * 1.0 / GREATEST(MAX(total), 1), 6) + 0 AS share
+  FROM cnt WHERE n >= 5 AND c >= 2
+  GROUP BY doc_id, n
+),
+longf AS (SELECT * FROM top UNION ALL SELECT * FROM dup),
+wide AS (
+  SELECT b.doc_id, b.source,
+         COALESCE(MAX(CASE WHEN n = 2 THEN share END), 0) AS s2,
+         COALESCE(MAX(CASE WHEN n = 3 THEN share END), 0) AS s3,
+         COALESCE(MAX(CASE WHEN n = 4 THEN share END), 0) AS s4,
+         COALESCE(MAX(CASE WHEN n = 5 THEN share END), 0) AS s5,
+         COALESCE(MAX(CASE WHEN n = 6 THEN share END), 0) AS s6,
+         COALESCE(MAX(CASE WHEN n = 7 THEN share END), 0) AS s7,
+         COALESCE(MAX(CASE WHEN n = 8 THEN share END), 0) AS s8,
+         COALESCE(MAX(CASE WHEN n = 9 THEN share END), 0) AS s9,
+         COALESCE(MAX(CASE WHEN n = 10 THEN share END), 0) AS s10
+  FROM base b LEFT JOIN longf f USING (doc_id)
+  GROUP BY 1, 2
+),
+flags AS (
+  SELECT source,
+         (s2 <= 0.20 AND s3 <= 0.18 AND s4 <= 0.16) AS top_ok,
+         (s5 <= 0.15 AND s6 <= 0.14 AND s7 <= 0.13
+          AND s8 <= 0.12 AND s9 <= 0.11 AND s10 <= 0.10) AS dup_ok
+  FROM wide
+)
+SELECT source,
+       CAST(COUNT(*) AS BIGINT) AS docs,
+       CAST(SUM(CASE WHEN top_ok AND dup_ok THEN 1 ELSE 0 END) AS BIGINT)
+         AS kept,
+       CAST(SUM(CASE WHEN top_ok THEN 0 ELSE 1 END) AS BIGINT)
+         AS fail_top_ngram,
+       CAST(SUM(CASE WHEN dup_ok THEN 0 ELSE 1 END) AS BIGINT)
+         AS fail_dup_ngram,
+       ROUND(SUM(CASE WHEN top_ok AND dup_ok THEN 1 ELSE 0 END) * 1.0
+             / COUNT(*), 6) + 0 AS kept_share
+FROM flags GROUP BY source
+""",
+)
+def gopher_repetition_filters(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The REPETITION half of the published Gopher rule set (Rae et
+    al. 2021 App. A — the n-gram rules; `gopher_quality_filters`
+    carries the lexical half): per document, the character share of
+    the single most frequent word n-gram (n = 2..4, thresholds
+    0.20/0.18/0.16) and of all DUPLICATED word n-grams (n = 5..10,
+    thresholds 0.15..0.10), reported as per-source keep/fail
+    attribution (functions/text.repetition_signals). One explode
+    emits all nine gram sizes in one corpus pass; one (doc, n, gram)
+    hash-agg counts; everything after is bounded aggregates — the
+    map-heavy shape that holds at 100 TB. Shares follow the published
+    definition: overlapping repeats count every occurrence's
+    characters, so a spam loop can exceed 1.0, and a very short
+    document can trip a top-n-gram rule on a singleton (real
+    pipelines conjoin with the word-count >= 50 rule from the lexical
+    half). Rule flags here compare the ROUNDED (6-decimal) shares in
+    both engines — the shares are small-integer ratios, so rounding
+    is exact at fixture scales."""
+    from value_at_risk_spark.functions.text import (
+        REPETITION_DUP_THRESHOLDS,
+        REPETITION_TOP_THRESHOLDS,
+        repetition_signals,
+    )
+
+    d = _t(spark, sf_dir, "documents")
+    sig = repetition_signals(d.select("doc_id", "text"))
+    top_ok = None
+    for n, thr in sorted(REPETITION_TOP_THRESHOLDS.items()):
+        c = F.col(f"top{n}_share") <= thr
+        top_ok = c if top_ok is None else (top_ok & c)
+    dup_ok = None
+    for n, thr in sorted(REPETITION_DUP_THRESHOLDS.items()):
+        c = F.col(f"dup{n}_share") <= thr
+        dup_ok = c if dup_ok is None else (dup_ok & c)
+    joined = d.select("doc_id", "source").join(sig, "doc_id").select(
+        "source",
+        (top_ok & dup_ok).cast("long").alias("_keep"),
+        (~top_ok).cast("long").alias("_f_top"),
+        (~dup_ok).cast("long").alias("_f_dup"),
+    )
+    return joined.groupBy("source").agg(
+        F.count(F.lit(1)).alias("docs"),
+        F.sum("_keep").alias("kept"),
+        F.sum("_f_top").alias("fail_top_ngram"),
+        F.sum("_f_dup").alias("fail_dup_ngram"),
+        (
+            F.round(F.sum("_keep") / F.count(F.lit(1)), 6) + F.lit(0.0)
+        ).alias("kept_share"),
+    )
