@@ -3421,3 +3421,81 @@ def gopher_repetition_filters(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.round(F.sum("_keep") / F.count(F.lit(1)), 6) + F.lit(0.0)
         ).alias("kept_share"),
     )
+
+
+@query(
+    "corpus_budget_selection",
+    """
+WITH toks AS (
+  SELECT doc_id, t FROM (
+    SELECT doc_id, UNNEST(regexp_split_to_array(lower(text), '\\s+')) AS t
+    FROM documents
+  ) WHERE t <> ''
+),
+sig AS (
+  SELECT doc_id,
+         COUNT(*) AS n,
+         COUNT(DISTINCT t) AS nd,
+         SUM(CASE WHEN t IN ('the','a','of','and','to','in','is','on','for','with')
+                  THEN 1 ELSE 0 END) * 1.0 / COUNT(*) AS swr
+  FROM toks GROUP BY doc_id
+),
+q AS (
+  SELECT d.doc_id, d.source,
+         ROUND((
+           (CASE WHEN COALESCE(s.n, 0) BETWEEN 10 AND 10000
+                 THEN 1.0 ELSE 0.0 END)
+           + (CASE WHEN COALESCE(s.swr, 0.0) >= 0.05
+                    AND COALESCE(s.swr, 0.0) <= 0.6 THEN 1.0 ELSE 0.0 END)
+           + COALESCE(s.nd, 0) * 1.0 / GREATEST(COALESCE(s.n, 0), 1)
+         ) / 3.0, 6) AS q,
+         CAST(COALESCE(s.n, 0) AS BIGINT) AS toks
+  FROM documents d LEFT JOIN sig s USING (doc_id)
+),
+b AS (SELECT CAST(SUM(toks) // 2 AS BIGINT) AS budget FROM q),
+r AS (
+  SELECT *, SUM(toks) OVER (ORDER BY q DESC, doc_id
+                            ROWS UNBOUNDED PRECEDING) AS cum
+  FROM q
+),
+sel AS (SELECT * FROM r WHERE cum <= (SELECT budget FROM b))
+SELECT source,
+       CAST(COUNT(*) AS BIGINT) AS n_docs,
+       CAST(SUM(toks) AS BIGINT) AS tokens,
+       ROUND(AVG(q), 6) + 0 AS avg_quality
+FROM sel GROUP BY source
+""",
+)
+def corpus_budget_selection(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Token-budget corpus selection (r15): the curation step that
+    picks the HIGHEST-QUALITY prefix of the corpus fitting a global
+    token budget (half the corpus mass here) — rank every document by
+    (quality desc, id asc), take documents while the inclusive
+    cumulative token count stays within budget, report the per-source
+    composition of the selection. The cumulative sum is the
+    DISTRIBUTED two-phase ``ranks.global_running_sum`` (value-bucketed
+    local windows + broadcast offsets), never the single-task
+    unpartitioned window the SQL oracle replays naively — same
+    contract as shard_export_manifest. Determinism: quality is the
+    6-decimal-rounded score (cross-engine equality proven by the
+    doc_quality_scores oracle), token counts and the budget are exact
+    integers, so the selection boundary is bit-exact."""
+    from value_at_risk_spark.functions.text import quality_score, token_count
+    from value_at_risk_spark.operators.ranks import global_running_sum
+
+    d = _t(spark, sf_dir, "documents").select(
+        "doc_id",
+        "source",
+        quality_score("text").alias("q"),
+        token_count("text").cast("long").alias("toks"),
+    )
+    budget = d.agg(F.sum("toks")).first()[0] // 2
+    ranked = global_running_sum(
+        d, "toks", [("q", False), ("doc_id", True)], out="cum"
+    )
+    sel = ranked.filter(F.col("cum") <= budget)
+    return sel.groupBy("source").agg(
+        F.count(F.lit(1)).alias("n_docs"),
+        F.sum("toks").alias("tokens"),
+        (F.round(F.avg("q"), 6) + F.lit(0.0)).alias("avg_quality"),
+    )
