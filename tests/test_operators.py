@@ -4473,6 +4473,79 @@ def test_knn_graph_ann_recall_and_cosine_parity(spark, sf_dir):
     assert "CartesianProduct" not in plan
     assert "BroadcastNestedLoopJoin" not in plan
 
+    # tiny-corpus auto-sizing (ADVICE r15): n_cells clamps to the
+    # corpus size, so a 5-vector corpus works (5 cells of ~1 member;
+    # nprobe=5 covers all) instead of kmeans_fit raising on k=8 > N
+    tiny = emb.limit(5)
+    tiny_exact = {
+        (r.id_a, r.id_b): r.cosine
+        for r in knn_graph_mutual(tiny, k=2).collect()
+    }
+    tiny_ann = {
+        (r.id_a, r.id_b): r.cosine
+        for r in knn_graph_ann(tiny, k=2, nprobe=5).collect()
+    }
+    assert tiny_ann == tiny_exact
+    with pytest.raises(ValueError, match="empty corpus"):
+        knn_graph_ann(tiny.filter(F.col("vec_id") < -1), k=2)
+
+
+def test_knn_graph_ann_indexed_matches_oneshot(spark, sf_dir, tmp_path):
+    """The persisted-index graph path (r16: build_ivf_graph_index →
+    knn_graph_ann_indexed) returns EXACTLY the one-shot knn_graph_ann
+    edge set at equal hyperparameters: the Arrow assignment/probe
+    kernels are bit-identical to the literal-centroid expressions
+    (_seq_cell_dists contract), member cells come from storage, and
+    the candidate→edges tail is literally shared code. Also pins the
+    Arrow Lloyd trainer == the expression trainer, and that the
+    stored vector table is partitioned by cell on disk."""
+    import os
+
+    from value_at_risk_spark.operators.annindex import (
+        build_ivf_graph_index,
+        knn_graph_ann_indexed,
+        load_ivf_graph_index,
+    )
+    from value_at_risk_spark.operators.similarity import (
+        kmeans_fit,
+        kmeans_fit_arrow,
+        knn_graph_ann,
+    )
+
+    emb = (
+        spark.read.parquet(f"{sf_dir}/embeddings.parquet")
+        .select("vec_id", "embedding")
+        .limit(400)
+    )
+    assert kmeans_fit(emb, k=8, iters=2) == kmeans_fit_arrow(
+        emb, k=8, iters=2
+    )
+    d = str(tmp_path / "ivfgraph")
+    n_cells = build_ivf_graph_index(spark, d, emb, n_cells=8, iters=2)
+    assert n_cells == 8
+    # storage layout: the vector table prunes on _cell directories
+    vec_dir = os.path.join(d, "ann_vectors.parquet")
+    assert any(
+        e.startswith("_cell=") for e in os.listdir(vec_dir)
+    ), os.listdir(vec_dir)
+    idx_edges = {
+        (r.id_a, r.id_b): r.cosine
+        for r in knn_graph_ann_indexed(spark, d, k=3, nprobe=2).collect()
+    }
+    one_shot = {
+        (r.id_a, r.id_b): r.cosine
+        for r in knn_graph_ann(emb, k=3, nprobe=2, n_cells=8).collect()
+    }
+    assert idx_edges == one_shot and len(idx_edges) > 0
+    # loader: centroids collected in cell order, vectors lazy
+    cents, vecs = load_ivf_graph_index(spark, d)
+    assert len(cents) == 8 and vecs.count() == 400
+    # auto-size clamps to corpus size like the one-shot operator
+    with pytest.raises(ValueError, match="empty corpus"):
+        build_ivf_graph_index(
+            spark, str(tmp_path / "e"), emb.filter(F.col("vec_id") < -1)
+        )
+
 
 def test_reference_max_cosine_planted_leak_and_tie(spark):
     """Planted benchmark leak is flagged with the right argmax ref;
@@ -4627,6 +4700,18 @@ def test_balanced_shards_equals_global_rank_and_balances(spark):
         balanced_shards(
             df.filter(F.col("doc_id") < 0), n_shards=7, weight_col="toks"
         )
+
+    # boundaries= pass-through (ADVICE r15): explicit precomputed
+    # boundaries — the multi-executor-bulletproof path with no
+    # boundary aggregate in the plan — yields the identical sharding,
+    # even with deliberately unbalanced boundary values
+    got_b = {
+        r.doc_id: r.shard
+        for r in balanced_shards(
+            df, n_shards=7, weight_col="toks", boundaries=[30.0, 120.0]
+        ).collect()
+    }
+    assert got_b == expect
 
 
 def test_blocked_topk_property_random_corpora(spark):

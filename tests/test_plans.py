@@ -888,3 +888,27 @@ def test_plan_lint_global_window_classifier(spark):
     assert plan_lint.count_global_windows(
         plan(Window.partitionBy(F.lit(1)), F.sum("id"))
     ) == 1
+
+    # structural order-spec match (ADVICE r15): a PARTITION spec whose
+    # expression text merely contains ' ASC'/' DESC' substrings must
+    # not read as an order spec, while real order groups (with and
+    # without NULLS ordering) must
+    assert plan_lint._is_order_spec("x#12L ASC NULLS FIRST")
+    assert plan_lint._is_order_spec("a#1 DESC NULLS LAST, b#2 ASC")
+    assert not plan_lint._is_order_spec(
+        "CASE WHEN (tag#3 = ASC) THEN 1 ELSE 0 END#9"
+    )
+    assert not plan_lint._is_order_spec("upper(tag#3) DESCR#4")
+    assert not plan_lint._is_order_spec("")
+    # end-to-end: partitioned-unordered window keyed on an expression
+    # containing the literal string 'ASC' stays unflagged
+    df2 = df.withColumn(
+        "k", F.when(F.col("g") == 1, F.lit("ASC")).otherwise(F.lit("x"))
+    )
+    p = (
+        df2.withColumn("x", F.sum("id").over(Window.partitionBy("k")))
+        ._jdf.queryExecution()
+        .executedPlan()
+        .toString()
+    )
+    assert plan_lint.count_global_windows(p) == 0

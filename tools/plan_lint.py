@@ -101,11 +101,43 @@ def count_global_windows(plan: str) -> int:
                 buf.append(ch)
         if len(groups) <= 1:
             n += 1  # constant partition folded away: one task
-        elif len(groups) == 2 and (
-            " ASC" in groups[-1] or " DESC" in groups[-1]
-        ):
+        elif len(groups) == 2 and _is_order_spec(groups[-1]):
             n += 1  # order spec with no partition spec: global sort
     return n
+
+
+def _is_order_spec(group: str) -> bool:
+    """True iff the bracket group is a window ORDER spec: every
+    top-level comma-separated expression ends with Spark's sort-order
+    tokens (``<expr> ASC|DESC [NULLS FIRST|LAST]``). Structural, not a
+    substring scan — a PARTITION spec whose expression text merely
+    contains ' ASC'/' DESC' (e.g. a CASE literal) no longer
+    false-positives (ADVICE r15)."""
+    parts: list[str] = []
+    depth = 0
+    buf: list[str] = []
+    for ch in group:
+        if ch in "([":
+            depth += 1
+        elif ch in ")]":
+            depth -= 1
+        if ch == "," and depth == 0:
+            parts.append("".join(buf))
+            buf = []
+        else:
+            buf.append(ch)
+    parts.append("".join(buf))
+    if not parts or not any(p.strip() for p in parts):
+        return False
+    for p in parts:
+        toks = p.split()
+        if not toks:
+            return False
+        if toks[-2:] in (["NULLS", "FIRST"], ["NULLS", "LAST"]):
+            toks = toks[:-2]
+        if not toks or toks[-1] not in ("ASC", "DESC"):
+            return False
+    return True
 
 
 def _plans(spark, sf_dir: str, names=None):

@@ -656,3 +656,140 @@ def rebalance_ivfpq(
         "n_cells_after": len(new_cents),
         "max_cell_before": max(counts.values()),
     }
+
+
+# --------------------------------------------------------------------------
+# IVF GRAPH index (round 16): the persisted path for mutual-kNN graph
+# construction past the one-shot knn_graph_ann's 256-cell operating
+# range (similarity.py knn_graph_ann docstring — r15 VERDICT #1).
+# --------------------------------------------------------------------------
+
+
+def build_ivf_graph_index(
+    spark: SparkSession,
+    base_dir: str,
+    corpus: DataFrame,
+    n_cells: int | None = None,
+    iters: int = 2,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> int:
+    """Train and persist the IVF coarse structure graph construction
+    searches: ``ann_centroids`` (cell, v — n_cells·dim doubles, tiny)
+    plus ``ann_vectors`` — the FULL float vectors partitioned by their
+    assigned ``_cell``, because graph re-ranking is exact-cosine over
+    true vectors (unlike the PQ search indexes, whose payload is
+    codes). Training is the engine-replayable Lloyd contract
+    (``kmeans_fit`` semantics: smallest-id init, quantized handoffs,
+    ties to the smallest cell) executed through the ARROW assignment
+    kernel (``similarity.kmeans_fit_arrow`` — bit-identical centroids,
+    but the plan stays constant-size in n_cells, so the quantizer can
+    be thousands of cells where the one-shot literal expression caps
+    at 256). Cell assignment is paid ONCE here; every later graph
+    build, probe batch, or append reads cells from storage — the FAISS
+    add/train split applied to graph construction.
+
+    ``n_cells=None`` auto-sizes to ~1,500 members/cell capped at 4096
+    (driver artifact stays <= 4096·dim doubles); returns n_cells."""
+    import math
+
+    from value_at_risk_spark.operators.similarity import (
+        assign_cells_arrow,
+        kmeans_fit_arrow,
+    )
+
+    if n_cells is None:
+        n = corpus.count()
+        if n == 0:
+            raise ValueError("build_ivf_graph_index: empty corpus")
+        n_cells = min(n, 4096, max(8, math.ceil(n / 1500)))
+    cents = kmeans_fit_arrow(
+        corpus, id_col, vec_col, k=n_cells, iters=iters
+    )
+    base = corpus.select(
+        F.col(id_col).cast("long").alias("_id"),
+        F.col(vec_col).cast("array<double>").alias("_v"),
+    )
+    assigned = assign_cells_arrow(base, cents).select(
+        F.col("_id").alias(id_col),
+        F.col("_v").alias(vec_col),
+        "_cell",
+    )
+    reg = Registry(base_dir)
+    cent_rows = [(i, [float(x) for x in c]) for i, c in enumerate(cents)]
+    reg.write(
+        spark.createDataFrame(cent_rows, "cell int, v array<double>"),
+        "ann_centroids",
+        num_files=1,
+    )
+    reg.write(assigned, "ann_vectors", partition_keys=["_cell"])
+    return int(n_cells)
+
+
+def load_ivf_graph_index(
+    spark: SparkSession, base_dir: str
+) -> tuple[list[list[float]], DataFrame]:
+    """(centroids, vectors) — centroids collected (kilobytes), the
+    cell-partitioned vector table LAZY (corpus-sized; a probe-driven
+    read prunes whole ``_cell=`` directories at the storage layer)."""
+    reg = Registry(base_dir)
+    cents = [
+        list(r.v)
+        for r in sorted(
+            reg.read(spark, "ann_centroids").collect(), key=lambda r: r.cell
+        )
+    ]
+    return cents, reg.read(spark, "ann_vectors")
+
+
+def knn_graph_ann_indexed(
+    spark: SparkSession,
+    base_dir: str,
+    k: int = 3,
+    nprobe: int = 2,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    round_to: int | None = 6,
+) -> DataFrame:
+    """Approximate mutual-kNN graph FROM A PERSISTED INDEX — the
+    executed form of the >400k-vector path the one-shot
+    ``similarity.knn_graph_ann`` docstring declares (r15 VERDICT #1).
+
+    Member cells come from STORAGE (assigned once at build time —
+    never recomputed per run); the probing side re-scores the corpus
+    against the collected centroids with the Arrow probe kernel
+    (constant plan size in n_cells — no k·dim literal expression, so
+    thousands of cells are fine); then the identical tail as the
+    one-shot graph: ONE shuffle equi-join on cell id, per-cell Arrow
+    gram re-rank, per-query merge window, COUNT(*)=2 reciprocity
+    (``similarity.mutual_edges_from_cells`` — shared code, shared tie
+    contract, shared oracle shape). Candidate volume is
+    N·nprobe·(N/n_cells); with build-time n_cells ∝ N the per-cell
+    work is flat — the 1000-executor shape at any corpus size.
+
+    Both kernels are bit-identical to the literal-expression forms
+    (similarity._seq_cell_dists), so a fixture-deterministic build
+    (kmeans_fit contract) shares the one-shot graph's full DuckDB
+    oracle replay."""
+    from value_at_risk_spark.operators.similarity import (
+        mutual_edges_from_cells,
+        probe_cells_arrow,
+    )
+
+    cents, vectors = load_ivf_graph_index(spark, base_dir)
+    members = vectors.select(
+        F.col(id_col).cast("long").alias("_id"),
+        F.col(vec_col).cast("array<double>").alias("_v"),
+        F.col("_cell").cast("int").alias("_cell"),
+        F.lit(0).alias("_side"),
+    )
+    probing = probe_cells_arrow(
+        vectors.select(
+            F.col(id_col).cast("long").alias("_id"),
+            F.col(vec_col).cast("array<double>").alias("_v"),
+        ),
+        cents,
+        nprobe,
+    ).withColumn("_side", F.lit(1))
+    both = members.unionByName(probing)
+    return mutual_edges_from_cells(both, k=k, round_to=round_to)

@@ -145,12 +145,12 @@ def balanced_shards(
     n_shards: int,
     weight_col: str,
     id_col: str = "doc_id",
+    boundaries: list[float] | None = None,
 ) -> DataFrame:
     """Deterministic balanced shard assignment (the export step of a
     training-data pipeline: N shard files with near-equal token mass).
     Longest-first round-robin: rank rows by (weight desc, id asc),
-    shard = (rank − 1) mod N — the classic LPT approximation, exact
-    and reproducible under any partitioning.
+    shard = (rank − 1) mod N — the classic LPT approximation.
 
     The rank is computed with the DISTRIBUTED two-phase global rank
     (ranks.global_row_number) — value-bucketed local windows plus a
@@ -163,6 +163,18 @@ def balanced_shards(
     comparison), so rank is identical to the naive global ROW_NUMBER
     over (weight desc, id asc) by construction, which is what lets a
     SQL oracle replay it with the single-window form.
+
+    Reproducibility contract: with ``boundaries`` supplied (any sorted
+    list of weight values — balance is the caller's problem, ranks are
+    exact under ANY boundary set), the plan contains no boundary
+    aggregate and the result is exactly reproducible under any
+    partitioning on any cluster. With ``boundaries=None`` the bucket
+    boundaries come from a lazily-checkpointed ``percentile_approx``,
+    which is airtight in local/single-executor mode but carries the
+    multi-executor first-compute race documented in
+    ranks._with_value_bucket — a cluster export job that must be
+    bit-reproducible should pass precomputed boundaries (e.g. an
+    up-front ``df.approxQuantile(weight_col, ...)``).
 
     Raises on empty input (an empty export manifest is a pipeline bug
     upstream, not a zero-shard fact to propagate silently).
@@ -177,7 +189,10 @@ def balanced_shards(
     if base.isEmpty():
         raise ValueError("balanced_shards: empty input")
     ranked = global_row_number(
-        base, [("_w", False), ("_id", True)], out="_rank"
+        base,
+        [("_w", False), ("_id", True)],
+        out="_rank",
+        boundaries=boundaries,
     )
     return ranked.select(
         F.col("_id").alias(id_col),

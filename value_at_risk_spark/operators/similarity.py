@@ -693,6 +693,154 @@ def nearest_cells_expr(vec_col, centroids, nprobe: int) -> "F.Column":
     return F.transform(probes, lambda s: s["cell"])
 
 
+def _seq_cell_dists(V: "np.ndarray", centroids) -> "np.ndarray":
+    """(N x k) squared-L2 ranking scores d_i = ||c_i||² − 2·(v·c_i),
+    BIT-IDENTICAL to ``nearest_cell_expr``'s Catalyst form: ||c_i||²
+    is the same sequential Python ``sum(x*x)`` the expression bakes
+    as a literal, and the dot product accumulates dim-by-dim in the
+    HOF fold's left-to-right order (one vectorized (N x k) FMA-free
+    step per dimension — each element sees the identical IEEE-double
+    op sequence a scalar fold would). That parity is what lets the
+    Arrow-assigned indexed path share the expression path's DuckDB
+    oracle; pinned by test_arrow_cell_assign_matches_expr."""
+    C = np.array(centroids, dtype=np.float64)
+    cnorm2 = np.array(
+        [sum(x * x for x in cent) for cent in centroids], dtype=np.float64
+    )
+    acc = np.zeros((V.shape[0], C.shape[0]), dtype=np.float64)
+    for d in range(V.shape[1]):
+        acc = acc + V[:, d : d + 1] * C[None, :, d]
+    return cnorm2[None, :] - 2.0 * acc
+
+
+def assign_cells_arrow(
+    df: DataFrame,
+    centroids,
+    id_col: str = "_id",
+    vec_col: str = "_v",
+    out: str = "_cell",
+) -> DataFrame:
+    """Nearest-centroid assignment as an Arrow kernel — the many-cells
+    sibling of ``nearest_cell_expr``. The expression form is a plan
+    literal of k·dim terms: free of Python but O(k·dim) CODEGEN per
+    row, which is why the one-shot graph caps at 256 cells. Here the
+    centroids ride the task closure as one numpy array (kilobytes→
+    megabytes) and each Arrow batch scores all k cells with dim
+    vectorized passes — constant plan size in k, the shape that holds
+    at thousands of cells. Distances and the ties-to-smallest-cell
+    contract are bit-identical to the expression (see
+    _seq_cell_dists), so either path feeds the same oracle."""
+    cents = [list(map(float, c)) for c in centroids]
+
+    def _assign(batches):
+        for pdf in batches:
+            if len(pdf) == 0:
+                continue
+            V = np.array(list(pdf[vec_col]), dtype=np.float64)
+            dists = _seq_cell_dists(V, cents)
+            # argmin returns the FIRST minimum: ties → smallest cell,
+            # same as array_sort over (d, cell)
+            yield pd.DataFrame(
+                {
+                    id_col: pdf[id_col].to_numpy(dtype=np.int64),
+                    vec_col: pdf[vec_col],
+                    out: dists.argmin(axis=1).astype(np.int32),
+                }
+            )
+
+    return df.select(id_col, vec_col).mapInPandas(
+        _assign, f"{id_col} long, {vec_col} array<double>, {out} int"
+    )
+
+
+def probe_cells_arrow(
+    df: DataFrame,
+    centroids,
+    nprobe: int,
+    id_col: str = "_id",
+    vec_col: str = "_v",
+    out: str = "_cell",
+) -> DataFrame:
+    """Each row exploded to its ``nprobe`` nearest cells (squared-L2
+    ranking, ties to the smallest cell) — the Arrow sibling of
+    ``nearest_cells_expr`` with the same constant-plan-size argument
+    as ``assign_cells_arrow``. Emits nprobe rows per input row."""
+    cents = [list(map(float, c)) for c in centroids]
+    np_ = min(int(nprobe), len(cents))
+
+    def _probe(batches):
+        for pdf in batches:
+            n = len(pdf)
+            if n == 0:
+                continue
+            V = np.array(list(pdf[vec_col]), dtype=np.float64)
+            dists = _seq_cell_dists(V, cents)
+            # stable argsort on distance: equal distances keep cell
+            # order → ties to the smallest cell, matching array_sort
+            order = np.argsort(dists, axis=1, kind="stable")[:, :np_]
+            ids = pdf[id_col].to_numpy(dtype=np.int64)
+            yield pd.DataFrame(
+                {
+                    id_col: np.repeat(ids, np_),
+                    vec_col: pdf[vec_col].iloc[
+                        np.repeat(np.arange(n), np_)
+                    ].to_numpy(),
+                    out: order.reshape(-1).astype(np.int32),
+                }
+            )
+
+    return df.select(id_col, vec_col).mapInPandas(
+        _probe, f"{id_col} long, {vec_col} array<double>, {out} int"
+    )
+
+
+def kmeans_fit_arrow(
+    df: DataFrame,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    k: int = 8,
+    iters: int = 2,
+    quantize: int = 6,
+) -> list[list[float]]:
+    """``kmeans_fit`` with the per-iteration assignment as the Arrow
+    kernel instead of the k·dim literal expression — SAME contract
+    (smallest-id init, 6-decimal quantized handoffs, empty cells keep
+    their centroid, ties to the smallest cell) and bit-identical
+    centroids (equality pinned in tests), but the plan no longer grows
+    with k: the path for the hundreds-to-thousands-of-cells coarse
+    quantizers a persisted index wants. Same DuckDB oracle replays
+    both forms."""
+    base = df.select(
+        F.col(id_col).cast("long").alias("_id"),
+        F.col(vec_col).cast("array<double>").alias("_v"),
+    )
+    seeds = base.orderBy("_id").limit(k).collect()
+    if len(seeds) < k:
+        raise ValueError(
+            f"kmeans_fit_arrow: k={k} exceeds corpus size {len(seeds)}"
+        )
+    cents = [[round(float(x), quantize) for x in r._v] for r in seeds]
+    for _ in range(iters):
+        assigned = assign_cells_arrow(base, cents)
+        means = (
+            assigned.select("_cell", F.posexplode("_v").alias("_i", "_x"))
+            .groupBy("_cell", "_i")
+            .agg(F.avg("_x").alias("_m"))
+            .groupBy("_cell")
+            .agg(
+                F.array_sort(F.collect_list(F.struct("_i", "_m"))).alias("_ms")
+            )
+            .select(
+                "_cell",
+                F.transform("_ms", lambda s: s["_m"]).alias("_mean"),
+            )
+            .collect()
+        )
+        for r in means:  # empty cells keep their previous centroid
+            cents[r._cell] = [round(float(x), quantize) for x in r._mean]
+    return cents
+
+
 def knn_graph_ann(
     df: DataFrame,
     k: int = 3,
@@ -738,7 +886,13 @@ def knn_graph_ann(
     if n_cells is None:
         import math
 
-        n_cells = min(256, max(8, math.ceil(df.count() / 1500)))
+        n = df.count()
+        if n == 0:
+            raise ValueError("knn_graph_ann: empty corpus")
+        # Clamp by corpus size so tiny inputs (< 8 vectors) don't push
+        # kmeans_fit past N seeds (ADVICE r15); 1 cell degrades to the
+        # exact in-cell gram, which is correct at that scale anyway.
+        n_cells = min(n, 256, max(8, math.ceil(n / 1500)))
     cents = kmeans_fit(df, id_col, vec_col, k=n_cells, iters=iters)
     base = df.select(
         F.col(id_col).cast("long").alias("_id"),
@@ -766,6 +920,22 @@ def knn_graph_ann(
         F.lit(1).alias("_side"),
     )
     both = members.unionByName(probing)
+    return mutual_edges_from_cells(both, k=k, round_to=round_to)
+
+
+def mutual_edges_from_cells(
+    both: DataFrame, k: int, round_to: int | None = 6
+) -> DataFrame:
+    """The cell-candidates → mutual-edges tail shared by
+    ``knn_graph_ann`` (one-shot, expression-assigned cells) and
+    ``annindex.knn_graph_ann_indexed`` (cells read from a persisted
+    index). ``both``: (_id long, _v array<double>, _cell, _side)
+    where _side 0 = cell member, 1 = probing query. One shuffle
+    groups each cell's members with its probing queries; a per-cell
+    Arrow task computes the (queries x members) gram with one BLAS
+    call emitting batch-local top-k (contract order); the per-query
+    merge window over <= nprobe·k candidates recovers the exact ANN
+    top-k; reciprocity is COUNT(*)=2 on the normalized edge."""
     kk, rt = int(k), round_to
 
     def _cell_knn(pdf: pd.DataFrame) -> pd.DataFrame:

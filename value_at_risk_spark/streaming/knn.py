@@ -52,6 +52,15 @@ class KnnMaintenanceSink:
 
         corpus/batch_id=N/   vectors ingested in batch N
         topk/batch_id=N/     full top-k table AFTER applying batch N
+
+    STORAGE CONTRACT (ADVICE r15): version discovery and commit
+    markers use ``os.listdir``/atomic ``os.rename`` via
+    IdempotentParquetSink, which requires ``state_dir`` on a local or
+    POSIX-rename filesystem (local disk, NFS). On object storage the
+    state dir belongs behind a transactional table — the engine's own
+    delta sink (sources/deltalog) provides the same skip-if-committed
+    txn semantics via ``txn`` actions; this sink keeps the local-FS
+    form so the maintenance loop is testable without a metastore.
     """
 
     def __init__(
