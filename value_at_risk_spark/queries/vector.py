@@ -534,6 +534,98 @@ def knn_graph_ann_edges(spark: SparkSession, sf_dir: str) -> DataFrame:
     return edges
 
 @query(
+    "knn_graph_ann_indexed_edges",
+    _KMEANS_CTES
+    + """,
+cells AS MATERIALIZED (
+  SELECT id, v, cell FROM (
+    SELECT v.id, v.v, c.cell,
+           ROW_NUMBER() OVER (PARTITION BY v.id
+                              ORDER BY list_distance(v.v, c.c), c.cell) AS rn
+    FROM v, c2 c) t WHERE rn = 1
+),
+probes AS MATERIALIZED (
+  -- EVERY row acts as a query probing its 3 nearest cells
+  SELECT id AS query_id, v AS qv, cell FROM (
+    SELECT v.id, v.v, c.cell,
+           ROW_NUMBER() OVER (PARTITION BY v.id
+                              ORDER BY list_distance(v.v, c.c), c.cell) AS rn
+    FROM v, c2 c) t WHERE rn <= 3
+),
+cand AS (
+  SELECT p.query_id, m.id AS neighbor_id,
+         ROUND(list_cosine_similarity(p.qv, m.v), 6) + 0 AS cosine
+  FROM probes p JOIN cells m USING (cell)
+  WHERE m.id <> p.query_id
+),
+topk AS (
+  SELECT query_id, neighbor_id, cosine FROM (
+    SELECT query_id, neighbor_id, cosine,
+           ROW_NUMBER() OVER (PARTITION BY query_id
+                              ORDER BY cosine DESC, neighbor_id) AS rn
+    FROM cand) t WHERE rn <= 4
+)
+SELECT LEAST(query_id, neighbor_id) AS id_a,
+       GREATEST(query_id, neighbor_id) AS id_b,
+       MIN(cosine) + 0 AS cosine
+FROM topk GROUP BY 1, 2 HAVING COUNT(*) = 2
+""",
+)
+def knn_graph_ann_indexed_edges(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Mutual-kNN graph FROM A PERSISTED INDEX (r16, VERDICT #1): the
+    executed form of the >400k-vector path the one-shot
+    ``knn_graph_ann`` declares. The IVF coarse structure trains ONCE
+    per corpus through the index lifecycle (ensure_index build-or-load
+    — the FAISS add/train split) with the ARROW Lloyd trainer
+    (kmeans_fit_arrow: bit-identical to kmeans_fit, plan size constant
+    in n_cells, so the build scales to thousands of cells where the
+    one-shot literal expression caps at 256); vectors persist
+    PARTITIONED BY CELL; graph construction reads member cells from
+    storage, Arrow-probes each row's 3 nearest cells, and runs the
+    shared per-cell-gram → merge → reciprocity tail
+    (mutual_edges_from_cells). FULL oracle replay: the Arrow kernels
+    are bit-identical to the literal-centroid expressions
+    (_seq_cell_dists), so the DuckDB twin replays fit, assignment,
+    probing, re-rank, and reciprocity — the same chain that
+    hash-greens knn_graph_ann_edges, here at (k=4, nprobe=3). The
+    gate-row n_cells=8 is fixture-scale; the operator's operating
+    range is build-time cells ∝ N (tools/perf_r16_growth.py measures
+    the 1M-vector notch). Certificate: index-centroid ivf_topk
+    recall@4 vs exact cosine >= 0.7 on a 10-query probe subset."""
+    from value_at_risk_spark.operators.annindex import (
+        build_ivf_graph_index,
+        ensure_index,
+        index_cache_dir,
+        knn_graph_ann_indexed,
+        load_ivf_graph_index,
+    )
+    from value_at_risk_spark.operators.similarity import (
+        cosine_topk,
+        ivf_topk,
+    )
+
+    emb = _t(spark, sf_dir, "embeddings")
+    params = {"n_cells": 8, "iters": 2, "trainer": "arrow_lloyd"}
+
+    def _build(dirpath: str) -> None:
+        build_ivf_graph_index(spark, dirpath, emb, n_cells=8, iters=2)
+
+    cache = ensure_index(index_cache_dir("ivfgraph", sf_dir, params), _build)
+    edges = knn_graph_ann_indexed(spark, cache, k=4, nprobe=3)
+    cents, _ = load_ivf_graph_index(spark, cache)
+    q = emb.filter(F.col("vec_id") < 10).select(
+        F.col("vec_id").alias("query_id"), "embedding"
+    )
+    corpus = emb.select(F.col("vec_id").alias("neighbor_id"), "embedding")
+    _certify_topk_recall(
+        ivf_topk(q, corpus, cents, k=4, nprobe=3),
+        cosine_topk(q, corpus, k=4),
+        0.7,
+        "knn_graph_ann_indexed_edges",
+    )
+    return edges
+
+@query(
     "embedding_centroid_by_label",
     """
 SELECT label, CAST(i - 1 AS BIGINT) AS pos,
