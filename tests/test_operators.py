@@ -3727,7 +3727,10 @@ def test_pq_gate_queries_build_or_load_identical(spark, sf_dir):
         (
             "opq_pq_ann_topk",
             "opq_pq",
-            {"m": 4, "ksub": 16, "iters": 1, "seed": 707, "opq": True},
+            {
+                "m": 4, "ksub": 16, "iters": 1, "init": "data",
+                "quant": 6, "opq": "golden6", "mean": "grid",
+            },
         ),
     ):
         cold = sorted(map(tuple, QUERIES[name](spark, sf_dir).collect()))

@@ -1566,6 +1566,7 @@ def pq_fit(
     iters: int = 1,
     quantize: int = 6,
     dim: int | None = None,
+    grid_exact_mean: bool = False,
 ) -> list[list[list[float]]]:
     """Engine-replayable PQ codebook training — the ``kmeans_fit``
     contract applied per subspace (the graduation path that took
@@ -1584,7 +1585,21 @@ def pq_fit(
     (subspace, slice), CASE-dispatched assignment, one hash-agg); only
     m*ksub*(dim/m) doubles reach the driver per pass. A DuckDB oracle
     replays the whole loop per subspace as unrolled CTEs
-    (queries/vector._pq_oracle_sql)."""
+    (queries/vector._pq_oracle_sql).
+
+    ``grid_exact_mean`` (r16, for training data ALREADY quantized to
+    the ``quantize`` decimal grid — the OPQ row's rotated-and-rounded
+    vectors): the float AVG handoff breaks down there, because means
+    of grid rationals land EXACTLY on decimal-halfway points, where
+    each engine's sub-ulp summation-order drift decides the rounding
+    side (measured: 10/1024 centroid coords flipped vs the DuckDB
+    replay, and the Spark result itself was shuffle-order-dependent).
+    This mode recovers each component's exact integer micro-value
+    (round(x·10^q) — exact, inputs are on the grid), sums INTEGERS
+    (order-independent: deterministic run-to-run AND engine-to-engine),
+    and rounds the rational mean half-away-from-zero in pure integer
+    arithmetic: r = sign·((2|s| + n) div 2n), centroid = r / 10^q.
+    Bit-identical in any engine; no drift to absorb."""
     dim = resolve_dim(df, vec_col, dim, caller="pq_fit")
     if dim % m != 0:
         raise ValueError(f"pq_fit: dim {dim} not divisible by m {m}")
@@ -1627,12 +1642,32 @@ def pq_fit(
             cell = cell.when(
                 F.col("_j") == j, nearest_cell_expr("_v", cents[j])
             )
-        means = (
+        exploded = (
             sliced.select("_j", "_v", cell.alias("_cell"))
             .select("_j", "_cell", F.posexplode("_v").alias("_i", "_x"))
-            .groupBy("_j", "_cell", "_i")
-            .agg(F.avg("_x").alias("_m"))
-            .groupBy("_j", "_cell")
+        )
+        if grid_exact_mean:
+            scale = 10 ** quantize
+            micro = exploded.withColumn(
+                "_k", F.round(F.col("_x") * scale, 0).cast("long")
+            )
+            per = micro.groupBy("_j", "_cell", "_i").agg(
+                F.sum("_k").alias("_s"), F.count(F.lit(1)).alias("_n")
+            )
+            r_expr = (
+                F.signum("_s").cast("long")
+                * F.expr("(2 * abs(_s) + _n) div (2 * _n)")
+            ).cast("long")
+            agg = per.select(
+                "_j", "_cell", "_i",
+                (r_expr / F.lit(float(scale))).alias("_m"),
+            )
+        else:
+            agg = exploded.groupBy("_j", "_cell", "_i").agg(
+                F.avg("_x").alias("_m")
+            )
+        means = (
+            agg.groupBy("_j", "_cell")
             .agg(
                 F.array_sort(F.collect_list(F.struct("_i", "_m"))).alias("_ms")
             )
@@ -1644,9 +1679,11 @@ def pq_fit(
             .collect()
         )
         for r in means:  # empty cells keep their previous centroid
-            cents[r._j][r._cell] = [
-                round(float(x), quantize) for x in r._mean
-            ]
+            cents[r._j][r._cell] = (
+                [float(x) for x in r._mean]
+                if grid_exact_mean  # already exact on the grid
+                else [round(float(x), quantize) for x in r._mean]
+            )
     return cents
 
 
@@ -1975,6 +2012,7 @@ def opq_rotation(
     vec_col: str = "embedding",
     m: int = 4,
     dim: int | None = None,
+    quantize: int | None = None,
 ) -> list[list[float]]:
     """OPQ-style rotation (parametric OPQ, Ge et al. CVPR 2013): the
     corpus covariance's eigenvectors rotate the space so variance
@@ -1991,7 +2029,14 @@ def opq_rotation(
     distortion) change. Distributed cost: one covariance pass
     (mapInPandas moment partials — shuffled bytes ~ batches * dim^2,
     row-count independent) + an eigh on the driver's dim x dim matrix.
-    """
+
+    ``quantize``: round each R entry to that many decimals — the
+    oracle-parity handoff (r16 graduation of opq_pq_ann_topk): a
+    quantized R can be pinned as corpus-keyed golden literals and
+    replayed exactly by a SQL twin, at the cost of orthonormality
+    holding only to ~10^-quantize (cosine semantics preserved to the
+    same order — far below the re-rank's own 6-decimal rounding).
+    None (default) keeps the exact eigh output."""
     import numpy as np
 
     from value_at_risk_spark.operators.vector_agg import (
@@ -2012,7 +2057,10 @@ def opq_rotation(
         for j in range(m)
         for k in range(j, dim, m)
     ]
-    return eigvecs[:, perm].T.tolist()
+    R = eigvecs[:, perm].T
+    if quantize is not None:
+        R = np.round(R, quantize)
+    return R.tolist()
 
 
 def rotate_vectors(
@@ -2020,19 +2068,28 @@ def rotate_vectors(
     rotation: list[list[float]],
     id_col: str = "vec_id",
     vec_col: str = "embedding",
+    round_to: int | None = None,
 ) -> DataFrame:
     """Apply v' = R v per row via an Arrow-batched pandas UDF (one
     numpy matmul per batch — the genuinely-numerical boundary where
     Python earns its transfer cost; a dim^2-term native expression per
-    row would drown codegen instead)."""
+    row would drown codegen instead). ``round_to``: round each rotated
+    component — the quantized handoff that lets a SQL twin recompute
+    v' from pinned R literals and land on identical bits (sub-ulp
+    summation-order drift between numpy's matmul and SQL's group-sum
+    is absorbed at the grid)."""
     from pyspark.sql.functions import pandas_udf
 
     R = np.asarray(rotation, dtype=np.float64)
+    rt = round_to
 
     @pandas_udf("array<double>")
     def _rot(v: pd.Series) -> pd.Series:
         X = np.vstack(v.to_numpy()).astype(np.float64)
-        return pd.Series(list(X @ R.T))
+        out = X @ R.T
+        if rt is not None:
+            out = np.round(out, rt)
+        return pd.Series(list(out))
 
     return df.select(F.col(id_col), _rot(F.col(vec_col)).alias(vec_col))
 

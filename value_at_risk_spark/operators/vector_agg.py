@@ -163,15 +163,22 @@ def embedding_covariance(
     )
     zero_d = F.array(*[F.lit(0.0)] * d)
     zero_dd = F.array(*[F.lit(0.0)] * (d * d))
+    # array_sort before folding: collect_list order follows task
+    # completion order, so an unsorted fold would make the low-order
+    # bits of the sums RUN-dependent. Sorting pins the fold order to
+    # the partials' values — for a fixed corpus + partitioning the
+    # result is bit-reproducible, which downstream consumers that pin
+    # golden artifacts (opq_rotation's corpus-keyed rotation, r16)
+    # require. Cost: sorting <= #batches tiny arrays on one row.
     fold = partials.agg(
         F.sum("n").alias("n"),
         F.aggregate(
-            F.collect_list("s"),
+            F.array_sort(F.collect_list("s")),
             zero_d,
             lambda acc, v: F.zip_with(acc, v, lambda a, b: a + b),
         ).alias("s"),
         F.aggregate(
-            F.collect_list("ss"),
+            F.array_sort(F.collect_list("ss")),
             zero_dd,
             lambda acc, v: F.zip_with(acc, v, lambda a, b: a + b),
         ).alias("ss"),

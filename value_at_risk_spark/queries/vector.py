@@ -1448,21 +1448,66 @@ def embedding_scalar_quantization(spark: SparkSession, sf_dir: str) -> DataFrame
         ).alias("mae"),
     )
 
-def _pq_oracle_sql(m: int = 4, ksub: int = 16, sub: int = 16, k: int = 5) -> str:
+def _pq_oracle_sql(
+    m: int = 4,
+    ksub: int = 16,
+    sub: int = 16,
+    k: int = 5,
+    qmod: int = 25,
+    v_cte: str | None = None,
+    grid_mean: bool = False,
+) -> str:
     """DuckDB replay of pq_ann_topk end to end: per-subspace Lloyd
     training (the kmeans_fit contract — ksub-smallest-id init,
     6-decimal quantized handoffs, smallest-cell ties) as unrolled
     MATERIALIZED CTEs, encoding as a second nearest-cell pass keeping
     the winning CENTROID directly, reconstruction by list
     concatenation, and the exact rounded-cosine re-rank vs the
-    reconstructions."""
+    reconstructions.
+
+    ``v_cte``: override the leading WITH chain — any CTE prefix that
+    ends by defining ``v(id, v)`` (the corpus the sub-fits train on).
+    The OPQ graduation passes the golden-rotation chain here so the
+    SAME pq_fit replay machinery runs downstream of pinned rotation
+    literals. ``qmod``: query-subset modulus (id % qmod = 0).
+    ``grid_mean``: replay pq_fit's grid_exact_mean update (integer
+    micro-sums + half-away rounding in pure integer arithmetic —
+    required when the training vectors are themselves on the 6-decimal
+    grid; see similarity.pq_fit)."""
+    if grid_mean:
+        mean_expr = (
+            "CAST(CASE WHEN s >= 0 THEN (2*s + n) // (2*n)"
+            " ELSE -((2*(-s) + n) // (2*n)) END AS DOUBLE) / 1000000"
+        )
+        mean_inner = (
+            "SELECT cell, i, SUM(CAST(ROUND(x * 1000000, 0) AS BIGINT)) AS s,"
+            " COUNT(*) AS n FROM "
+        )
     parts = [
-        """WITH v AS MATERIALIZED (
+        v_cte
+        if v_cte is not None
+        else """WITH v AS MATERIALIZED (
   SELECT vec_id AS id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings
 )"""
     ]
     for j in range(m):
         lo, hi = j * sub + 1, (j + 1) * sub
+        if grid_mean:
+            m1_cte = f"""m1_{j} AS MATERIALIZED (
+  SELECT cell, array_agg({mean_expr} ORDER BY i) AS c FROM (
+    {mean_inner}(
+      SELECT cell, generate_subscripts(sv, 1) AS i, UNNEST(sv) AS x
+      FROM a1_{j}
+    ) t GROUP BY cell, i) t2 GROUP BY cell
+)"""
+        else:
+            m1_cte = f"""m1_{j} AS MATERIALIZED (
+  SELECT cell, array_agg(ROUND(mm, 6) ORDER BY i) AS c FROM (
+    SELECT cell, i, AVG(x) AS mm FROM (
+      SELECT cell, generate_subscripts(sv, 1) AS i, UNNEST(sv) AS x
+      FROM a1_{j}
+    ) t GROUP BY cell, i) t2 GROUP BY cell
+)"""
         parts.append(f""",
 s{j} AS MATERIALIZED (
   SELECT id, v[{lo}:{hi}] AS sv FROM v
@@ -1479,13 +1524,7 @@ a1_{j} AS MATERIALIZED (
                               ORDER BY list_distance(s.sv, c.c), c.cell) AS rn
     FROM s{j} s, c0_{j} c) t WHERE rn = 1
 ),
-m1_{j} AS MATERIALIZED (
-  SELECT cell, array_agg(ROUND(mm, 6) ORDER BY i) AS c FROM (
-    SELECT cell, i, AVG(x) AS mm FROM (
-      SELECT cell, generate_subscripts(sv, 1) AS i, UNNEST(sv) AS x
-      FROM a1_{j}
-    ) t GROUP BY cell, i) t2 GROUP BY cell
-),
+{m1_cte},
 c1_{j} AS MATERIALIZED (
   SELECT p.cell, COALESCE(q.c, p.c) AS c
   FROM c0_{j} p LEFT JOIN m1_{j} q USING (cell)
@@ -1506,7 +1545,7 @@ recon AS MATERIALIZED (
   SELECT c0.id, {recon} AS r
   FROM code_0 c0 {joins}
 ),
-qs AS (SELECT id AS query_id, v FROM v WHERE id % 25 = 0),
+qs AS (SELECT id AS query_id, v FROM v WHERE id % {qmod} = 0),
 cand AS (
   SELECT q.query_id, r.id AS neighbor_id,
          ROUND(list_cosine_similarity(q.v, r.r), 6) + 0 AS cosine
@@ -1851,25 +1890,69 @@ def sq_ann_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("rank").cast("long").alias("rnk"),
     )
 
-@query("opq_pq_ann_topk")
+def _opq_oracle_sql() -> str:
+    """DuckDB replay of opq_pq_ann_topk — the r16 graduation of the
+    last rows-only row. The rotation (eigh over the corpus covariance)
+    has no SQL twin, but it IS deterministic given the fixture
+    (embedding_covariance's value-sorted fold + pure LAPACK), so it is
+    pinned as corpus-keyed GOLDEN literals (queries/_goldens_opq.py,
+    regenerated by tools/regen_opq_golden.py; key = the integer
+    fingerprint SUM(FLOOR(ABS(embedding[1])·1e5)) — content-sensitive,
+    distinguishing the same-row-count sf0.001/sf0.01 corpora). The
+    oracle selects R by key, recomputes every rotated vector as
+    ROUND(Σ_j R[i][j]·v[j], 6) (the same 6-decimal handoff the Spark
+    side applies, absorbing numpy-vs-SQL summation-order drift), and
+    then replays the ENTIRE downstream pipeline through the shared
+    pq_fit CTE machinery — sub-fits, encoding, reconstruction,
+    re-rank. A drifted eigh, flipped code, or displaced neighbor in
+    either engine reds the row."""
+    from value_at_risk_spark.queries._goldens_opq import OPQ_ROTATIONS
+
+    vals = ",\n  ".join(
+        f"({key}, {i + 1}, {j + 1}, {r[i][j]!r})"
+        for key, r in sorted(OPQ_ROTATIONS.items())
+        for i in range(64)
+        for j in range(64)
+    )
+    v_cte = f"""WITH rt(k, i, j, r) AS (VALUES
+  {vals}),
+ev AS MATERIALIZED (
+  SELECT vec_id AS id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings
+),
+ckey AS (
+  SELECT CAST(SUM(CAST(FLOOR(ABS(v[1]) * 100000) AS BIGINT)) AS BIGINT) AS k
+  FROM ev
+),
+rot AS MATERIALIZED (
+  SELECT e.id, rt.i, ROUND(SUM(e.v[rt.j] * rt.r), 6) AS p
+  FROM ev e, rt WHERE rt.k = (SELECT k FROM ckey)
+  GROUP BY e.id, rt.i
+),
+v AS MATERIALIZED (
+  SELECT id, array_agg(p ORDER BY i) AS v FROM rot GROUP BY id
+)"""
+    return _pq_oracle_sql(qmod=50, v_cte=v_cte, grid_mean=True)
+
+
+@query("opq_pq_ann_topk", _opq_oracle_sql())
 def opq_pq_ann_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """OPQ-rotated product quantization at the gate (rows-only: the
-    rotation is an eigh over the corpus covariance and the sub-
-    codebooks are seeded k-means — no SQL twin; the distortion-cut
-    contract vs unrotated PQ is pytest-asserted) — SELF-CERTIFYING
-    since r14: raises unless the planted near-dup's source (query
-    rotated through the index's own R, which preserves neighbors
-    exactly by orthonormality) survives a 10%-of-corpus shortlist for
-    >=40% of queries (measured 0.525-0.70 across SFs with gate params;
-    the lower floor reflects the sparser %50 query set — 10-40
-    queries — where one query is a 2.5-10pt recall step): one
-    covariance pass
-    (moment partials, row-count-independent shuffle), driver-side
-    eigh + round-robin eigenvalue dealing across subspaces, Arrow
-    matmul rotation, then the standard PQ train/encode/search on the
-    rotated space. Orthonormality preserves cosine ranking semantics
-    exactly. Gate fan-in trimmed like the other ANN entries (iters=1;
-    contracts keep real training honest)."""
+    """OPQ-rotated product quantization — GRADUATED from rows-only in
+    r16 (the registry's last such row): the rotation is pinned as
+    corpus-keyed golden literals (see _opq_oracle_sql) and everything
+    downstream — rotate, pq_fit sub-codebooks (the engine-replayable
+    trainer that graduated pq_ann_topk, replacing the seeded
+    pq_train), encode, reconstruct, re-rank — replays in the DuckDB
+    twin. Quantized handoffs at both boundaries: R rounds to 6
+    decimals (orthonormality to ~1e-6, far below the re-rank's own
+    rounding) and every rotated component rounds to 6 decimals, so
+    both engines train and search over identical bits. The r14
+    shortlist certificate stays as defense in depth: raises unless the
+    planted near-dup's source (query rotated through the index's own
+    R) survives a 10%-of-corpus shortlist for >=40% of queries. The
+    pipeline itself: one covariance pass (moment partials,
+    row-count-independent shuffle), driver-side eigh + round-robin
+    eigenvalue dealing across subspaces, Arrow matmul rotation, then
+    standard PQ train/encode/search on the rotated space."""
     from value_at_risk_spark.operators.annindex import (
         ensure_index,
         index_cache_dir,
@@ -1879,8 +1962,8 @@ def opq_pq_ann_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     from value_at_risk_spark.operators.similarity import (
         opq_rotation,
         pq_encode,
+        pq_fit,
         pq_topk,
-        pq_train,
         rotate_vectors,
     )
 
@@ -1892,22 +1975,30 @@ def opq_pq_ann_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     # Build-or-load via the index lifecycle: the rotation matrix is a
     # stored artifact beside the codebooks (queries must rotate through
-    # the SAME R the codes were encoded under). Per-row matmul makes
-    # rotating the filtered query subset bit-identical to filtering
-    # the rotated corpus.
-    params = {"m": 4, "ksub": 16, "iters": 1, "seed": 707, "opq": True}
+    # the SAME R the codes were encoded under). Per-row matmul + the
+    # 6-decimal handoff make rotating the filtered query subset
+    # bit-identical to filtering the rotated corpus.
+    params = {
+        "m": 4, "ksub": 16, "iters": 1, "init": "data",
+        "quant": 6, "opq": "golden6", "mean": "grid",
+    }
 
     def _build(dirpath: str) -> None:
-        R = opq_rotation(e, m=4, dim=64)
-        rot = rotate_vectors(e, R)
-        cb = pq_train(rot, m=4, ksub=16, iters=1, seed=707, dim=64)
+        R = opq_rotation(e, m=4, dim=64, quantize=6)
+        rot = rotate_vectors(e, R, round_to=6)
+        # grid_exact_mean: the rotated training vectors are 6-decimal
+        # grid values, whose cell means land exactly on rounding
+        # halfway points — the integer-micro update is deterministic
+        # run-to-run and bit-identical to the SQL replay
+        cb = pq_fit(rot, m=4, ksub=16, iters=1, dim=64,
+                    grid_exact_mean=True)
         save_pq_index(spark, dirpath, cb, pq_encode(rot, cb), rotation=R)
 
     cache = ensure_index(index_cache_dir("opq_pq", sf_dir, params), _build)
     cb, codes, R = load_pq_index(spark, cache)
     n = e.count()
     planted_rot = rotate_vectors(
-        _planted_queries(e, 50), R, id_col="query_id"
+        _planted_queries(e, 50), R, id_col="query_id", round_to=6
     )
     _certify_shortlist_recall(
         pq_topk(planted_rot, codes, cb, k=max(5, n // 10)),
@@ -1916,7 +2007,7 @@ def opq_pq_ann_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
         "opq_pq_ann_topk",
     )
     queries = rotate_vectors(
-        e.filter(F.col("vec_id") % 50 == 0), R
+        e.filter(F.col("vec_id") % 50 == 0), R, round_to=6
     ).select(F.col("vec_id").alias("query_id"), "embedding")
     return pq_topk(queries, codes, cb, k=5).select(
         "query_id",
