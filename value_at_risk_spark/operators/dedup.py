@@ -695,6 +695,16 @@ def tfidf_cosine_pairs(
     At 100 TB: per-token work is bounded by the cap, the pair agg
     shuffles on the pair key, and nothing corpus-sized reaches the
     driver (N alone is collected). Output: (id_a, id_b, cosine).
+
+    SCALE CONTRACT (r16, VERDICT): candidate volume is
+    Σ_t min(df_t, df_cap)² ≤ |vocab|·df_cap² — LINEAR in the corpus
+    only when ``df_cap`` is a CONSTANT (the default 50; vocabulary
+    growth is sublinear in docs). A cap set proportionally to N (the
+    gate row's 2N/5 — fixture enrichment so a 500-doc corpus keeps
+    enough shared vocabulary to emit pairs) makes the worst case
+    O(N²): one token sitting at the cap contributes ~0.16·N² pairs.
+    Proportional caps are a small-corpus tool; the 10×-docs growth
+    arm (tools/perf_r16_growth.py) measures the constant-cap wall.
     """
     toks = docs.select(
         F.col(id_col).cast("long").alias("_id"),
