@@ -706,14 +706,49 @@ def tfidf_cosine_pairs(
     Proportional caps are a small-corpus tool; the 10×-docs growth
     arm (tools/perf_r16_growth.py) measures the constant-cap wall.
     """
+    tf = tfidf_postings(docs, id_col=id_col, text_col=text_col)
+    n_docs = docs.count()
+    return tfidf_pairs_from_postings(
+        tf,
+        n_docs,
+        threshold=threshold,
+        df_cap=df_cap,
+        round_to=round_to,
+    )
+
+
+def tfidf_postings(
+    docs: DataFrame, id_col: str = "doc_id", text_col: str = "text"
+) -> DataFrame:
+    """Stage 1 of the sparse near-dup pipeline: per-(doc, token) term
+    frequencies — one explode + hash-agg, the only stage that touches
+    raw text. Split out (r16) so the STREAMING maintenance loop can
+    pay tokenization once per arriving batch and accumulate postings
+    additively (streaming/tfidf.py); the batch operator composes this
+    with tfidf_pairs_from_postings unchanged."""
     toks = docs.select(
         F.col(id_col).cast("long").alias("_id"),
         F.explode(tokens(text_col)).alias("_t"),
     )
-    tf = toks.groupBy("_id", "_t").agg(
+    return toks.groupBy("_id", "_t").agg(
         F.count(F.lit(1)).cast("double").alias("_tf")
     )
-    n_docs = docs.count()
+
+
+def tfidf_pairs_from_postings(
+    tf: DataFrame,
+    n_docs: int,
+    threshold: float = 0.5,
+    df_cap: int = 50,
+    round_to: int = 6,
+) -> DataFrame:
+    """Stage 2: df → capped vocabulary → smoothed-IDF weights → norms
+    → postings self-join → rounded cosine ≥ threshold (contract and
+    bounds per tfidf_cosine_pairs). GLOBAL-IDF exactness means every
+    weight depends on (n_docs, df), so incremental maintenance re-runs
+    THIS stage over the accumulated postings each refresh — the
+    candidate volume stays Σ_t min(df_t, cap)²; only tokenization is
+    per-batch work."""
     dfreq = (
         tf.groupBy("_t")
         .agg(F.count(F.lit(1)).alias("_df"))
