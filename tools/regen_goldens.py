@@ -9,6 +9,11 @@ fixtures ever change, run this and paste the printed VALUES rows into
 the corresponding ``@query`` oracle strings in
 value_at_risk_spark/queries/ — no archaeology required.
 
+``var_pipeline_end_to_end`` (key = COUNT(orders)) joined the list in
+r16 — the composed pipeline's quarterly summary is seeded-RNG + rounded
+handoffs, reproduced bit-for-bit across fresh processes before pinning.
+(The OPQ rotation golden has its own tool: tools/regen_opq_golden.py.)
+
 Usage: python tools/regen_goldens.py [sf_dir ...]
 Defaults to the three standard fixture dirs.
 """
@@ -36,6 +41,7 @@ def main() -> None:
     con = duckdb.connect()
     mc_rows, cr_rows = [], []
     pv_rows = []
+    vp_rows = []
     for d in dirs:
         okey = con.sql(
             f"SELECT COUNT(*) FROM read_parquet('{d}/orders.parquet')"
@@ -58,6 +64,14 @@ def main() -> None:
         ):
             lang, n, m, p10, p90 = r
             cr_rows.append(f"  ({dkey}, '{lang}', {n}, {m}, {p10}, {p90}),")
+        for r in sorted(
+            tuple(x)
+            for x in QUERIES["var_pipeline_end_to_end"](spark, d).collect()
+        ):
+            q, n, av, ar, tb, mz = r
+            vp_rows.append(
+                f"  ({okey}, DATE '{q}', {n}, {av!r}, {ar!r}, {tb}, {mz}),"
+            )
     print("-- mc_simulate_market g(k, trial_id, f0..f4):")
     print("\n".join(mc_rows))
     print("-- mc_portfolio_var g(k, date, var_99, shortfall):")
@@ -65,6 +79,9 @@ def main() -> None:
     print("-- compression_ratio_scores "
           "g(k, lang, n_docs, mean_ratio, p10_ratio, p90_ratio):")
     print("\n".join(cr_rows))
+    print("-- var_pipeline_end_to_end g(k, quarter, n_dates, avg_var_99, "
+          "avg_return, total_breaches, max_zone):")
+    print("\n".join(vp_rows))
 
 
 if __name__ == "__main__":
