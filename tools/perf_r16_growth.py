@@ -45,7 +45,7 @@ from pyspark.sql import SparkSession  # noqa: E402
 from pyspark.sql import functions as F  # noqa: E402
 
 SF_DIR = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
-UI_PORT = 4047
+UI_PORT = int(os.environ.get("R16_UI_PORT", "4047"))
 
 
 def get_spark_with_ui() -> SparkSession:
@@ -71,13 +71,15 @@ def shuffle_write_bytes(spark) -> int:
     """Total shuffle write bytes across all completed stages so far."""
     try:
         app_id = spark.sparkContext.applicationId
+        # status is a case-sensitive enum (COMPLETE); omit it and sum
+        # whatever has metrics so racing active stages still count
         url = (
             f"http://localhost:{UI_PORT}/api/v1/applications/"
-            f"{app_id}/stages?status=complete"
+            f"{app_id}/stages"
         )
         with urllib.request.urlopen(url, timeout=10) as r:
             stages = json.loads(r.read())
-        return sum(s.get("shuffleWriteBytes", 0) for s in stages)
+        return sum(s.get("shuffleWriteBytes", 0) or 0 for s in stages)
     except Exception as ex:  # noqa: BLE001 — metrics are best-effort
         print(f"# shuffle metrics unavailable: {ex}", file=sys.stderr)
         return -1
@@ -89,18 +91,32 @@ def timed(fn):
     return round(time.time() - t0, 3), out
 
 
-def replicated_docs(spark, reps: int):
+def replicated_docs(spark, reps: int, fresh_vocab: bool = False):
+    """Corpus at ``reps``× size. ``fresh_vocab``: rotate the lowercase
+    alphabet per replica (F.translate — word lengths and df SHAPE
+    preserved, token sets disjoint across replicas). Required for
+    df-sensitive arms: plain replication multiplies every token's df
+    by ``reps``, so a constant df_cap prunes the whole vocabulary at
+    10× and the arm measures an empty join instead of 10× the work."""
     docs = spark.read.parquet(f"{SF_DIR}/documents.parquet").select(
         "doc_id", "source", "text"
     )
-    parts = [
-        docs.select(
-            (F.col("doc_id") + F.lit(i * 10**9)).alias("doc_id"),
-            "source",
-            "text",
+    alpha = "abcdefghijklmnopqrstuvwxyz"
+    parts = []
+    for i in range(reps):
+        text = (
+            F.translate(F.lower(F.col("text")), alpha,
+                        alpha[i:] + alpha[:i])
+            if fresh_vocab and i > 0
+            else F.col("text")
         )
-        for i in range(reps)
-    ]
+        parts.append(
+            docs.select(
+                (F.col("doc_id") + F.lit(i * 10**9)).alias("doc_id"),
+                "source",
+                text.alias("text"),
+            )
+        )
     u = parts[0]
     for p in parts[1:]:
         u = u.unionByName(p)
@@ -178,10 +194,13 @@ def arm_sparse_tfidf_constcap(spark):
 
     def run(reps: int) -> int:
         return tfidf_cosine_pairs(
-            replicated_docs(spark, reps), threshold=0.3, df_cap=50
+            replicated_docs(spark, reps, fresh_vocab=True),
+            threshold=0.3,
+            df_cap=50,
         ).count()
 
     nd = spark.read.parquet(f"{SF_DIR}/documents.parquet").count()
+    run(1)  # warm-up: JVM/codegen startup must not bill the base point
     t1, p1 = timed(lambda: run(1))
     t10, p10 = timed(lambda: run(10))
     return {
@@ -197,9 +216,17 @@ def arm_gopher_repetition(spark):
     from value_at_risk_spark.functions.text import repetition_signals
 
     def run(reps: int) -> int:
-        return repetition_signals(
+        # aggregate over EVERY share column: a bare .count() lets
+        # Catalyst prune the top-gram/dup-share computations (measured
+        # t10 < t1 — the heavy path never ran)
+        sig = repetition_signals(
             replicated_docs(spark, reps).select("doc_id", "text")
-        ).count()
+        )
+        share_cols = [c for c in sig.columns if c.endswith("_share")]
+        row = sig.agg(
+            *[F.sum(c) for c in share_cols], F.count(F.lit(1))
+        ).first()
+        return int(row[-1])
 
     nd = spark.read.parquet(f"{SF_DIR}/documents.parquet").count()
     b0 = shuffle_write_bytes(spark)
@@ -277,7 +304,7 @@ def arm_delta_sql_dml(spark):
             t_upd, _ = timed(
                 lambda: delta_sql(
                     spark,
-                    f"UPDATE delta.`{base}/li.deltalog` "
+                    f"UPDATE delta.`{base}/li` "
                     "SET l_quantity = l_quantity + 1 "
                     "WHERE l_partkey % 1000 = 7",
                 )
@@ -285,7 +312,7 @@ def arm_delta_sql_dml(spark):
             t_del, _ = timed(
                 lambda: delta_sql(
                     spark,
-                    f"DELETE FROM delta.`{base}/li.deltalog` "
+                    f"DELETE FROM delta.`{base}/li` "
                     "WHERE l_partkey % 1000 = 8",
                 )
             )
@@ -310,6 +337,9 @@ def arm_delta_sql_dml(spark):
 
 def main() -> int:
     spark = get_spark_with_ui()
+    only = set(
+        a for a in os.environ.get("R16_ARMS", "").split(",") if a
+    )
     res = {"sf_dir": SF_DIR}
     for name, fn in (
         ("sparse_tfidf_constcap_docs_x10", arm_sparse_tfidf_constcap),
@@ -318,6 +348,8 @@ def main() -> int:
         ("delta_sql_dml_files_x10", arm_delta_sql_dml),
         ("knn_graph_ann_indexed_100k_to_1m", arm_knn_graph_ann_indexed),
     ):
+        if only and name not in only:
+            continue
         res[name] = fn(spark)
         print(f"# {name}: {res[name]}", file=sys.stderr)
     print(json.dumps(res))
