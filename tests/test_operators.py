@@ -4982,3 +4982,110 @@ def test_repetition_signals_python_replay(spark):
     assert got[3]["repetition_ok"] is False  # heavy duplicated 5-grams
     assert got[4]["repetition_ok"] is True and got[4]["top2_share"] == 0.0
     assert got[5]["dup5_share"] == 0.0  # too short for any 5-gram
+
+
+def test_ivf_graph_index_append_matches_full_build(spark, sf_dir, tmp_path):
+    """Appending a batch to the persisted graph index against the
+    FROZEN centroids (r16 add/train split) yields the same graph a
+    full one-shot build over the union would — provided the one-shot
+    uses the SAME centroids, i.e. trained on the original corpus only
+    (assignment is a pure function of the frozen quantizer, so where
+    a vector lands does not depend on when it arrived)."""
+    from value_at_risk_spark.operators.annindex import (
+        append_to_ivf_graph_index,
+        build_ivf_graph_index,
+        knn_graph_ann_indexed,
+        load_ivf_graph_index,
+    )
+    from value_at_risk_spark.operators.similarity import (
+        assign_cells_arrow,
+        mutual_edges_from_cells,
+        probe_cells_arrow,
+    )
+
+    emb = (
+        spark.read.parquet(f"{sf_dir}/embeddings.parquet")
+        .select("vec_id", "embedding")
+    )
+    old = emb.filter(F.col("vec_id") < 300)
+    new = emb.filter((F.col("vec_id") >= 300) & (F.col("vec_id") < 400))
+    d = str(tmp_path / "g")
+    build_ivf_graph_index(spark, d, old, n_cells=8, iters=2)
+    append_to_ivf_graph_index(spark, d, new)
+    got = {
+        (r.id_a, r.id_b): r.cosine
+        for r in knn_graph_ann_indexed(spark, d, k=3, nprobe=2).collect()
+    }
+    # expected: same frozen centroids, union corpus, shared tail
+    cents, _ = load_ivf_graph_index(spark, d)
+    union = old.unionByName(new).select(
+        F.col("vec_id").cast("long").alias("_id"),
+        F.col("embedding").cast("array<double>").alias("_v"),
+    )
+    members = assign_cells_arrow(union, cents).withColumn(
+        "_side", F.lit(0)
+    )
+    probing = probe_cells_arrow(union, cents, 2).withColumn(
+        "_side", F.lit(1)
+    )
+    exp = {
+        (r.id_a, r.id_b): r.cosine
+        for r in mutual_edges_from_cells(
+            members.unionByName(probing), k=3
+        ).collect()
+    }
+    assert got == exp and len(got) > 0
+    # the appended rows actually landed in the cell-partitioned table
+    _, vecs = load_ivf_graph_index(spark, d)
+    assert vecs.count() == 400
+
+
+def test_ngram_jaccard_pairs_python_replay(spark):
+    """Exact 3-gram Jaccard pairs == a pure-Python set replay on a
+    hand corpus with a planted near-dup, an exact dup, an unrelated
+    doc, and a doc too short to shingle; df-capped pruning semantics
+    included (the boilerplate shingle shared by everything is pruned
+    at cap=3 and must not connect unrelated docs)."""
+    from value_at_risk_spark.operators.dedup import ngram_jaccard_pairs
+
+    boiler = "terms of service apply here"
+    docs = [
+        (1, f"the quick brown fox jumps over the lazy dog {boiler}"),
+        (2, f"the quick brown fox jumps over the lazy cat {boiler}"),
+        (3, f"the quick brown fox jumps over the lazy dog {boiler}"),
+        (4, f"completely different words in this one entirely {boiler}"),
+        (5, "too short"),
+    ]
+    df = spark.createDataFrame(docs, "doc_id long, text string")
+    got = {
+        (r.id_a, r.id_b): r.jaccard
+        for r in ngram_jaccard_pairs(
+            df, n=3, threshold=0.0, df_cap=3
+        ).collect()
+    }
+
+    def sh(t):
+        ts = t.lower().split()
+        return {" ".join(ts[i : i + 3]) for i in range(len(ts) - 2)}
+
+    all_sh = [sh(t) for _, t in docs]
+    from collections import Counter
+
+    dfc = Counter(g for s in all_sh for g in s)
+    capped = [
+        {g for g in s if dfc[g] <= 3} for s in all_sh
+    ]
+    exp = {}
+    for i in range(len(docs)):
+        for j in range(i + 1, len(docs)):
+            a, b = capped[i], capped[j]
+            inter = len(a & b)
+            if inter:
+                exp[(docs[i][0], docs[j][0])] = round(
+                    inter / (len(a) + len(b) - inter), 6
+                )
+    assert got == exp
+    assert got[(1, 3)] == 1.0  # exact dup
+    assert 0.4 <= got[(1, 2)] < 1.0  # planted near-dup
+    assert (1, 4) not in got  # boilerplate pruned: no spurious edge
+    assert all(5 not in (a, b) for a, b in got)  # too short: no shingles

@@ -793,3 +793,36 @@ def knn_graph_ann_indexed(
     ).withColumn("_side", F.lit(1))
     both = members.unionByName(probing)
     return mutual_edges_from_cells(both, k=k, round_to=round_to)
+
+
+def append_to_ivf_graph_index(
+    spark: SparkSession,
+    base_dir: str,
+    new_vectors: DataFrame,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> None:
+    """Incrementally index a new vector batch into the GRAPH index
+    against the FROZEN coarse structure: Arrow nearest-cell assignment
+    (one scan of the batch, zero training) and an append write into
+    the cell-partitioned vector table — the per-increment cost profile
+    a daily embedding feed needs, completing the FAISS add/train split
+    for graph construction (the same contract append_to_ivfpq gives
+    the search index). The next ``knn_graph_ann_indexed`` run sees the
+    new vectors; quantization drift of appended data vs the frozen
+    centroids grows gracefully and is the retrain signal."""
+    from value_at_risk_spark.operators.similarity import assign_cells_arrow
+
+    cents, _ = load_ivf_graph_index(spark, base_dir)
+    base = new_vectors.select(
+        F.col(id_col).cast("long").alias("_id"),
+        F.col(vec_col).cast("array<double>").alias("_v"),
+    )
+    assigned = assign_cells_arrow(base, cents).select(
+        F.col("_id").alias(id_col),
+        F.col("_v").alias(vec_col),
+        "_cell",
+    )
+    Registry(base_dir).write(
+        assigned, "ann_vectors", mode="append", partition_keys=["_cell"]
+    )

@@ -789,3 +789,87 @@ def tfidf_pairs_from_postings(
         .select("id_a", "id_b", cos.alias("cosine"))
         .filter(F.col("cosine") >= F.lit(float(threshold)))
     )
+
+
+def ngram_jaccard_pairs(
+    docs: DataFrame,
+    n: int = 3,
+    threshold: float = 0.5,
+    df_cap: int = 50,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    round_to: int = 6,
+) -> DataFrame:
+    """EXACT word-n-gram Jaccard near-duplicate pairs via a shingle
+    postings self-join — the set-overlap leg of the near-dup family
+    (MinHash approximates exactly this quantity; here it is computed
+    exactly over the df-capped shingle vocabulary, the deterministic
+    ground truth MinHash's banding recall is measured against).
+
+    Pipeline (every stage an equi-keyed shuffle, mirror of
+    tfidf_cosine_pairs with sets instead of weights):
+
+    1. per-doc DISTINCT word n-gram shingles (tokens → windowed
+       concat → distinct);
+    2. shingles with ``df > df_cap`` PRUNED — the same postings-
+       explosion guard: a shingle in d docs contributes O(d²)
+       candidate pairs; boilerplate shingles carry the least identity
+       signal. The contract is exact Jaccard over the REMAINING
+       shingle vocabulary (capped per-doc set sizes enter the union);
+    3. |A∩B| per (id_a < id_b) from the postings join, one hash-agg;
+    4. jaccard = inter / (|A_c| + |B_c| − inter), rounded; the
+       threshold applies to the ROUNDED value in both engines.
+
+    Candidate volume Σ_g min(df_g, df_cap)² — linear in the corpus at
+    a CONSTANT cap (the same scale contract as the TF-IDF leg). Docs
+    with fewer than ``n`` tokens have an empty shingle set and join
+    nothing. Output: (id_a, id_b, jaccard)."""
+    ts = tokens(text_col)
+    sh = (
+        docs.select(
+            F.col(id_col).cast("long").alias("_id"),
+            F.explode(
+                F.when(
+                    F.size(ts) >= n,
+                    F.transform(
+                        F.sequence(F.lit(1), F.size(ts) - n + 1),
+                        lambda i: F.concat_ws(
+                            " ", F.slice(ts, i, n)
+                        ),
+                    ),
+                ).otherwise(F.array(F.lit(None).cast("string")))
+            ).alias("_g"),
+        )
+        .filter(F.col("_g").isNotNull())
+        .distinct()
+    )
+    dfreq = (
+        sh.groupBy("_g")
+        .agg(F.count(F.lit(1)).alias("_df"))
+        .filter(F.col("_df") <= df_cap)
+    )
+    capped = sh.join(dfreq.select("_g"), "_g")
+    sizes = capped.groupBy("_id").agg(F.count(F.lit(1)).alias("_sz"))
+    a = capped.select(F.col("_id").alias("id_a"), "_g")
+    b = capped.select(F.col("_id").alias("id_b"), "_g")
+    inter = (
+        a.join(b, "_g")
+        .filter(F.col("id_a") < F.col("id_b"))
+        .groupBy("id_a", "id_b")
+        .agg(F.count(F.lit(1)).alias("_i"))
+    )
+    sa = sizes.select(F.col("_id").alias("id_a"), F.col("_sz").alias("_sa"))
+    sb = sizes.select(F.col("_id").alias("id_b"), F.col("_sz").alias("_sb"))
+    jac = (
+        F.round(
+            F.col("_i") / (F.col("_sa") + F.col("_sb") - F.col("_i")),
+            round_to,
+        )
+        + F.lit(0.0)
+    )
+    return (
+        inter.join(sa, "id_a")
+        .join(sb, "id_b")
+        .select("id_a", "id_b", jac.alias("jaccard"))
+        .filter(F.col("jaccard") >= F.lit(float(threshold)))
+    )

@@ -3228,6 +3228,59 @@ def effective_sample_size(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @query(
+    "ngram_jaccard_near_dup_pairs",
+    """
+WITH ts AS (
+  SELECT doc_id,
+         list_filter(regexp_split_to_array(lower(text), '\\s+'),
+                     x -> x <> '') AS ts
+  FROM documents
+),
+sh AS (
+  SELECT DISTINCT doc_id, g FROM (
+    SELECT doc_id, array_to_string(ts[ti.i:ti.i + 2], ' ') AS g
+    FROM ts, UNNEST(range(1, GREATEST(len(ts) - 1, 1))) AS ti(i)
+    WHERE len(ts) >= 3
+  )
+),
+dfq AS (
+  SELECT g FROM sh GROUP BY g HAVING COUNT(*) <= 50
+),
+capped AS (SELECT sh.doc_id, sh.g FROM sh JOIN dfq USING (g)),
+sz AS (SELECT doc_id, COUNT(*) AS sz FROM capped GROUP BY doc_id),
+inter AS (
+  SELECT a.doc_id AS id_a, b.doc_id AS id_b, COUNT(*) AS i
+  FROM capped a JOIN capped b ON a.g = b.g AND a.doc_id < b.doc_id
+  GROUP BY 1, 2
+)
+SELECT id_a, id_b,
+       ROUND(i / (sa.sz + sb.sz - i), 6) + 0 AS jaccard
+FROM inter
+JOIN sz sa ON sa.doc_id = id_a
+JOIN sz sb ON sb.doc_id = id_b
+WHERE ROUND(i / (sa.sz + sb.sz - i), 6) + 0 >= 0.5
+""",
+)
+def ngram_jaccard_near_dup_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """EXACT word-3-gram Jaccard near-dup pairs (r16) — the
+    set-overlap leg of the near-dup family beside exact-hash, dense
+    cosine, TF-IDF cosine, MinHash-LSH, and SimHash: the deterministic
+    quantity MinHash APPROXIMATES, computed exactly over the df-capped
+    shingle vocabulary via the same inverted-index postings-join shape
+    as the TF-IDF leg (operators/dedup.ngram_jaccard_pairs) — distinct
+    per-doc shingles, df>50 shingles pruned (the O(df2) postings
+    guard, part of the contract), |A∩B| from one equi-join + hash-agg,
+    |A∪B| by inclusion-exclusion from per-doc capped set sizes.
+    Candidate volume Σ_g min(df_g, 50)² — linear in the corpus at the
+    constant cap. Oracle replays shingling, pruning, the join, and the
+    rounded threshold stage for stage."""
+    from value_at_risk_spark.operators.dedup import ngram_jaccard_pairs
+
+    return ngram_jaccard_pairs(
+        _t(spark, sf_dir, "documents"), n=3, threshold=0.5, df_cap=50
+    )
+
+@query(
     "sparse_tfidf_near_dup_pairs",
     """
 WITH toks AS (
