@@ -5089,3 +5089,54 @@ def test_ngram_jaccard_pairs_python_replay(spark):
     assert 0.4 <= got[(1, 2)] < 1.0  # planted near-dup
     assert (1, 4) not in got  # boilerplate pruned: no spurious edge
     assert all(5 not in (a, b) for a, b in got)  # too short: no shingles
+
+
+def test_ivf_graph_index_delete_tombstones(spark, sf_dir, tmp_path):
+    """Tombstone deletes on the graph index (r16): deleted ids vanish
+    from the loaded vector table and from the next graph build — both
+    as members and as queries — equal to a graph over the surviving
+    corpus at the same frozen centroids."""
+    from value_at_risk_spark.operators.annindex import (
+        build_ivf_graph_index,
+        delete_from_ivf_graph_index,
+        knn_graph_ann_indexed,
+        load_ivf_graph_index,
+    )
+    from value_at_risk_spark.operators.similarity import (
+        assign_cells_arrow,
+        mutual_edges_from_cells,
+        probe_cells_arrow,
+    )
+
+    emb = (
+        spark.read.parquet(f"{sf_dir}/embeddings.parquet")
+        .select("vec_id", "embedding")
+        .limit(300)
+    )
+    d = str(tmp_path / "g")
+    build_ivf_graph_index(spark, d, emb, n_cells=8, iters=2)
+    dead = emb.filter(F.col("vec_id") % 7 == 0).select("vec_id")
+    delete_from_ivf_graph_index(spark, d, dead)
+    cents, vecs = load_ivf_graph_index(spark, d)
+    n_dead = dead.count()
+    assert vecs.count() == 300 - n_dead
+    got = {
+        (r.id_a, r.id_b): r.cosine
+        for r in knn_graph_ann_indexed(spark, d, k=3, nprobe=2).collect()
+    }
+    alive = emb.filter(F.col("vec_id") % 7 != 0).select(
+        F.col("vec_id").cast("long").alias("_id"),
+        F.col("embedding").cast("array<double>").alias("_v"),
+    )
+    members = assign_cells_arrow(alive, cents).withColumn("_side", F.lit(0))
+    probing = probe_cells_arrow(alive, cents, 2).withColumn(
+        "_side", F.lit(1)
+    )
+    exp = {
+        (r.id_a, r.id_b): r.cosine
+        for r in mutual_edges_from_cells(
+            members.unionByName(probing), k=3
+        ).collect()
+    }
+    assert got == exp and len(got) > 0
+    assert all(a % 7 != 0 and b % 7 != 0 for a, b in got)

@@ -731,7 +731,9 @@ def load_ivf_graph_index(
 ) -> tuple[list[list[float]], DataFrame]:
     """(centroids, vectors) — centroids collected (kilobytes), the
     cell-partitioned vector table LAZY (corpus-sized; a probe-driven
-    read prunes whole ``_cell=`` directories at the storage layer)."""
+    read prunes whole ``_cell=`` directories at the storage layer).
+    Tombstoned ids (delete_from_ivf_graph_index) are anti-joined out
+    on read — the same merge-on-read shape the IVFPQ index uses."""
     reg = Registry(base_dir)
     cents = [
         list(r.v)
@@ -739,7 +741,32 @@ def load_ivf_graph_index(
             reg.read(spark, "ann_centroids").collect(), key=lambda r: r.cell
         )
     ]
-    return cents, reg.read(spark, "ann_vectors")
+    vectors = reg.read(spark, "ann_vectors")
+    tomb = _tombstones(spark, base_dir)
+    if tomb is not None:
+        vectors = vectors.join(
+            F.broadcast(tomb), tomb.columns[0], "left_anti"
+        )
+    return cents, vectors
+
+
+def delete_from_ivf_graph_index(
+    spark: SparkSession,
+    base_dir: str,
+    ids: DataFrame,
+    id_col: str = "vec_id",
+) -> None:
+    """Delete vectors from the GRAPH index without touching the
+    cell-partitioned vector table: ids append to the tiny
+    ``ann_tombstones`` table and every load anti-joins them out
+    (broadcast — deleted-count sized). A deleted vector stops
+    appearing as member AND as query on the next graph build."""
+    Registry(base_dir).write(
+        ids.select(F.col(id_col)).distinct(),
+        "ann_tombstones",
+        mode="append",
+        num_files=1,
+    )
 
 
 def knn_graph_ann_indexed(
