@@ -764,6 +764,130 @@ def var_pipeline_end_to_end(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 @query(
+    "return_moments_acf",
+    "WITH "
+    + SQL_RETS
+    + """,
+mu AS (
+  SELECT series, AVG(ret) AS mean, COUNT(*) AS n FROM rets GROUP BY series
+),
+dev AS (
+  SELECT r.series, r.d, r.ret - m.mean AS x,
+         LAG(r.ret) OVER (PARTITION BY r.series ORDER BY r.d) - m.mean AS x1,
+         LAG(r.ret, 2) OVER (PARTITION BY r.series ORDER BY r.d) - m.mean AS x2
+  FROM rets r JOIN mu m USING (series)
+)
+SELECT series,
+       CAST(MAX(n) AS BIGINT) AS n_obs,
+       ROUND(AVG(x * x), 6) + 0 AS m2,
+       ROUND(AVG(x * x * x) / POWER(AVG(x * x), 1.5), 6) + 0 AS skew_g1,
+       ROUND(AVG(x * x * x * x) / POWER(AVG(x * x), 2) - 3, 6) + 0
+         AS excess_kurtosis,
+       ROUND(SUM(x * x1) / SUM(x * x), 6) + 0 AS acf_lag1,
+       ROUND(SUM(x * x2) / SUM(x * x), 6) + 0 AS acf_lag2
+FROM dev JOIN mu USING (series)
+GROUP BY series
+""",
+)
+def return_moments_acf(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Return-distribution diagnostics per series (r16): central
+    moments -> Fisher skewness g1 = m3/m2^1.5 and excess kurtosis
+    g2 = m4/m2^2 - 3 (the population-moment forms, written as the
+    SAME explicit expressions in both engines — Spark's built-in
+    skewness/kurtosis and DuckDB's use different bias corrections, so
+    neither is used), plus lag-1/lag-2 autocorrelation with the
+    standard biased ACF estimator sum(x_t x_{t-k}) / sum(x_t^2) over
+    mean-centered returns. These are THE normality/independence checks
+    behind a parametric VaR: fat tails (g2 >> 0) and serial
+    correlation (acf != 0) are exactly what pushes a desk from
+    variance-covariance VaR to the historical/Monte-Carlo methods the
+    engine implements. Two passes (mean, then centered aggregates);
+    the lag windows are PARTITIONED by series — no single-task
+    hazard."""
+    rets = daily_returns(spark, sf_dir)
+    mu = rets.groupBy("series").agg(
+        F.avg("ret").alias("mean"), F.count(F.lit(1)).alias("n")
+    )
+    w = Window.partitionBy("series").orderBy("d")
+    dev = (
+        rets.join(F.broadcast(mu), "series")
+        .select(
+            "series",
+            "n",
+            (F.col("ret") - F.col("mean")).alias("x"),
+            (F.lag("ret").over(w) - F.col("mean")).alias("x1"),
+            (F.lag("ret", 2).over(w) - F.col("mean")).alias("x2"),
+        )
+    )
+    m2 = F.avg(F.col("x") * F.col("x"))
+    m3 = F.avg(F.col("x") * F.col("x") * F.col("x"))
+    m4 = F.avg(F.col("x") * F.col("x") * F.col("x") * F.col("x"))
+    return dev.groupBy("series").agg(
+        F.max("n").cast("long").alias("n_obs"),
+        (F.round(m2, 6) + F.lit(0.0)).alias("m2"),
+        (F.round(m3 / F.pow(m2, 1.5), 6) + F.lit(0.0)).alias("skew_g1"),
+        (F.round(m4 / F.pow(m2, 2.0) - 3.0, 6) + F.lit(0.0)).alias(
+            "excess_kurtosis"
+        ),
+        (
+            F.round(
+                F.sum(F.col("x") * F.col("x1"))
+                / F.sum(F.col("x") * F.col("x")),
+                6,
+            )
+            + F.lit(0.0)
+        ).alias("acf_lag1"),
+        (
+            F.round(
+                F.sum(F.col("x") * F.col("x2"))
+                / F.sum(F.col("x") * F.col("x")),
+                6,
+            )
+            + F.lit(0.0)
+        ).alias("acf_lag2"),
+    )
+
+@query(
+    "sharpe_sortino_by_series",
+    "WITH "
+    + SQL_RETS
+    + """
+SELECT series,
+       ROUND(AVG(ret) * 252, 6) + 0 AS ann_return,
+       ROUND(STDDEV_SAMP(ret) * SQRT(252), 6) + 0 AS ann_vol,
+       ROUND(AVG(ret) * 252 / (STDDEV_SAMP(ret) * SQRT(252)), 6) + 0
+         AS sharpe,
+       ROUND(AVG(ret) * 252 /
+             (SQRT(AVG(CASE WHEN ret < 0 THEN ret * ret ELSE 0 END))
+              * SQRT(252)), 6) + 0 AS sortino
+FROM rets GROUP BY series
+""",
+)
+def sharpe_sortino_by_series(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Risk-adjusted performance ratios per series (r16): annualized
+    return/volatility (252 trading days, rf = 0), Sharpe, and Sortino
+    with the zero-target population downside semi-deviation
+    sqrt(avg(min(ret,0)^2)) — the denominator convention that keeps
+    the ratio defined when a series has few negative days. One
+    hash-agg; every expression written identically in both engines."""
+    rets = daily_returns(spark, sf_dir)
+    ann_mean = F.avg("ret") * 252
+    ann_vol = F.stddev_samp("ret") * F.sqrt(F.lit(252.0))
+    downside = F.sqrt(
+        F.avg(
+            F.when(F.col("ret") < 0, F.col("ret") * F.col("ret")).otherwise(
+                0.0
+            )
+        )
+    ) * F.sqrt(F.lit(252.0))
+    return rets.groupBy("series").agg(
+        (F.round(ann_mean, 6) + F.lit(0.0)).alias("ann_return"),
+        (F.round(ann_vol, 6) + F.lit(0.0)).alias("ann_vol"),
+        (F.round(ann_mean / ann_vol, 6) + F.lit(0.0)).alias("sharpe"),
+        (F.round(ann_mean / downside, 6) + F.lit(0.0)).alias("sortino"),
+    )
+
+@query(
     "price_lead_ntile",
     "WITH "
     + SQL_DAILY
