@@ -626,6 +626,163 @@ def knn_graph_ann_indexed_edges(spark: SparkSession, sf_dir: str) -> DataFrame:
     return edges
 
 @query(
+    "hybrid_retrieval_rrf",
+    """
+WITH toks AS (
+  SELECT doc_id,
+         list_filter(regexp_split_to_array(lower(text), '\\s+'),
+                     x -> x <> '') AS ts
+  FROM documents
+),
+docs AS (SELECT doc_id, len(ts) AS dl, ts FROM toks),
+stats AS (SELECT COUNT(*) AS n, AVG(dl) AS avgdl FROM docs),
+tf AS (
+  SELECT doc_id, dl, t, COUNT(*) AS tf
+  FROM (SELECT doc_id, dl, unnest(ts) AS t FROM docs)
+  WHERE t IN ('spark', 'vector', 'stream')
+  GROUP BY 1, 2, 3
+),
+dfreq AS (SELECT t, COUNT(*) AS df FROM tf GROUP BY 1),
+bm25 AS (
+  SELECT doc_id,
+         ROUND(SUM(
+           LN((stats.n - dfreq.df + 0.5) / (dfreq.df + 0.5) + 1)
+           * tf.tf * 2.2
+           / (tf.tf + 1.2 * (1 - 0.75 + 0.75 * tf.dl / stats.avgdl))
+         ), 6) + 0 AS s
+  FROM tf JOIN dfreq USING (t) CROSS JOIN stats
+  GROUP BY 1
+),
+lex AS (
+  SELECT doc_id, ROW_NUMBER() OVER (ORDER BY s DESC, doc_id) AS r
+  FROM bm25 QUALIFY r <= 20
+),
+qv AS (
+  SELECT CAST(embedding AS DOUBLE[]) AS v FROM embeddings WHERE vec_id = 0
+),
+dense AS (
+  SELECT vec_id AS doc_id,
+         ROW_NUMBER() OVER (ORDER BY c DESC, vec_id) AS r
+  FROM (
+    SELECT e.vec_id,
+           ROUND(list_cosine_similarity(CAST(e.embedding AS DOUBLE[]),
+                                        qv.v), 6) + 0 AS c
+    FROM embeddings e CROSS JOIN qv WHERE e.vec_id <> 0
+  ) QUALIFY r <= 20
+),
+fused AS (
+  SELECT COALESCE(l.doc_id, d.doc_id) AS doc_id,
+         ROUND(COALESCE(1.0 / (60 + l.r), 0)
+               + COALESCE(1.0 / (60 + d.r), 0), 6) + 0 AS rrf,
+         l.r AS lex_rank, d.r AS dense_rank
+  FROM lex l FULL OUTER JOIN dense d USING (doc_id)
+)
+SELECT doc_id, rrf,
+       CAST(lex_rank AS BIGINT) AS lex_rank,
+       CAST(dense_rank AS BIGINT) AS dense_rank
+FROM fused
+QUALIFY ROW_NUMBER() OVER (ORDER BY rrf DESC, doc_id) <= 10
+""",
+)
+def hybrid_retrieval_rrf(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Hybrid retrieval with reciprocal-rank fusion (r16): the modern
+    RAG-retrieval shape — a LEXICAL leg (BM25 vs a fixed query, the
+    bm25_relevance_scores machinery) and a DENSE leg (exact cosine vs
+    a query embedding — doc 0's vector) each produce a top-20 ranking,
+    fused as RRF = Σ 1/(60 + rank) over the legs a doc appears in
+    (Cormack et al.'s k=60), top-10 by (rrf desc, id). Both legs rank
+    on ROUNDED scores with id tie-breaks — fully deterministic, fully
+    SQL-replayable; the fusion join is |top-k|-sized, the legs are the
+    respective family's scale paths (pruned postings; ANN stands in
+    for the brute-force dense leg past fixture scale). The two top-20
+    heads are TakeOrdered-style bounded frames, so the ranking windows
+    run over ≤ corpus-filtered rows (lint-pinned bounded)."""
+    from value_at_risk_spark.functions.text import tokens
+    from value_at_risk_spark.functions.vector import cosine_similarity
+
+    terms = ["spark", "vector", "stream"]
+    k1, b, kr = 1.2, 0.75, 60
+    d = _t(spark, sf_dir, "documents")
+    docs = d.select("doc_id", tokens("text").alias("ts")).select(
+        "doc_id", F.size("ts").alias("dl"), "ts"
+    )
+    stats = docs.groupBy().agg(
+        F.count(F.lit(1)).alias("n"), F.avg("dl").alias("avgdl")
+    )
+    tf = (
+        docs.select("doc_id", "dl", F.explode("ts").alias("t"))
+        .filter(F.col("t").isin(terms))
+        .groupBy("doc_id", "dl", "t")
+        .agg(F.count(F.lit(1)).alias("tf"))
+    )
+    dfreq = tf.groupBy("t").agg(F.count(F.lit(1)).alias("df"))
+    idf = F.log(
+        (F.col("n") - F.col("df") + 0.5) / (F.col("df") + 0.5) + 1
+    )
+    score = (
+        idf * F.col("tf") * (k1 + 1)
+        / (F.col("tf") + k1 * (1 - b + b * F.col("dl") / F.col("avgdl")))
+    )
+    bm25 = (
+        tf.join(F.broadcast(dfreq), "t")
+        .crossJoin(F.broadcast(stats))
+        .groupBy("doc_id")
+        .agg((F.round(F.sum(score), 6) + F.lit(0.0)).alias("s"))
+    )
+    # top-20 via orderBy+limit (TakeOrderedAndProject — parallel
+    # partial top-k per partition, never a corpus-sized single-task
+    # window); the rank window then runs over the 20-row head only
+    wl = Window.orderBy(F.desc("s"), F.asc("doc_id"))
+    lex = (
+        bm25.orderBy(F.desc("s"), F.asc("doc_id"))
+        .limit(20)
+        .withColumn("lex_rank", F.row_number().over(wl))
+        .select("doc_id", "lex_rank")
+    )
+    emb = _t(spark, sf_dir, "embeddings").select(
+        "vec_id",
+        F.col("embedding").cast("array<double>").alias("embedding"),
+    )
+    qv = emb.filter(F.col("vec_id") == 0).select(
+        F.col("embedding").alias("_qv")
+    )
+    wd = Window.orderBy(F.desc("c"), F.asc("doc_id"))
+    dense = (
+        emb.filter(F.col("vec_id") != 0)
+        .crossJoin(F.broadcast(qv))
+        .select(
+            F.col("vec_id").alias("doc_id"),
+            (
+                F.round(cosine_similarity("embedding", "_qv"), 6)
+                + F.lit(0.0)
+            ).alias("c"),
+        )
+        .orderBy(F.desc("c"), F.asc("doc_id"))
+        .limit(20)
+        .withColumn("dense_rank", F.row_number().over(wd))
+        .select("doc_id", "dense_rank")
+    )
+    fused = lex.join(dense, "doc_id", "full_outer").select(
+        "doc_id",
+        (
+            F.round(
+                F.coalesce(1.0 / (F.col("lex_rank") + kr), F.lit(0.0))
+                + F.coalesce(1.0 / (F.col("dense_rank") + kr), F.lit(0.0)),
+                6,
+            )
+            + F.lit(0.0)
+        ).alias("rrf"),
+        F.col("lex_rank").cast("long").alias("lex_rank"),
+        F.col("dense_rank").cast("long").alias("dense_rank"),
+    )
+    wf = Window.orderBy(F.desc("rrf"), F.asc("doc_id"))
+    return (
+        fused.withColumn("_r", F.row_number().over(wf))
+        .filter(F.col("_r") <= 10)
+        .drop("_r")
+    )
+
+@query(
     "embedding_centroid_by_label",
     """
 SELECT label, CAST(i - 1 AS BIGINT) AS pos,
