@@ -5140,3 +5140,51 @@ def test_ivf_graph_index_delete_tombstones(spark, sf_dir, tmp_path):
     }
     assert got == exp and len(got) > 0
     assert all(a % 7 != 0 and b % 7 != 0 for a, b in got)
+
+
+def test_ivf_topk_precomputed_cell_col_matches_recompute(
+    spark, sf_dir, tmp_path
+):
+    """ivf_topk's prebuilt-index path (cell_col=) — searching with the
+    STORED cell assignments of the persisted graph index returns
+    exactly the recompute-per-search result (assignment is a pure
+    function of the frozen centroids), closing the one annindex read
+    path no test exercised."""
+    from value_at_risk_spark.operators.annindex import (
+        build_ivf_graph_index,
+        load_ivf_graph_index,
+    )
+    from value_at_risk_spark.operators.similarity import ivf_topk
+
+    emb = (
+        spark.read.parquet(f"{sf_dir}/embeddings.parquet")
+        .select("vec_id", "embedding")
+        .limit(400)
+    )
+    d = str(tmp_path / "g")
+    build_ivf_graph_index(spark, d, emb, n_cells=8, iters=2)
+    cents, vecs = load_ivf_graph_index(spark, d)
+    q = emb.filter(F.col("vec_id") < 10).select(
+        F.col("vec_id").alias("query_id"), "embedding"
+    )
+    stored = ivf_topk(
+        q,
+        vecs.select(F.col("vec_id").alias("neighbor_id"), "embedding",
+                    "_cell"),
+        cents,
+        k=5,
+        nprobe=2,
+        cell_col="_cell",
+    )
+    recomputed = ivf_topk(
+        q,
+        emb.select(F.col("vec_id").alias("neighbor_id"), "embedding"),
+        cents,
+        k=5,
+        nprobe=2,
+    )
+    a = {(r.query_id, r.rank): (r.neighbor_id, r.cosine)
+         for r in stored.collect()}
+    b = {(r.query_id, r.rank): (r.neighbor_id, r.cosine)
+         for r in recomputed.collect()}
+    assert a == b and len(a) > 0
