@@ -335,6 +335,76 @@ def arm_delta_sql_dml(spark):
     return out
 
 
+
+
+def arm_var_pipeline(spark):
+    """End-to-end VaR pipeline with the TICKER dimension fanned 20x
+    (5 priority series -> 100 jittered pseudo-tickers, equal-weight
+    portfolio): the wide stage is scoring (run-dates x trials x
+    tickers inside codegen) and the per-ticker OLS fan-out — the
+    dimensions a real book grows along. Calendar and trial count held
+    fixed."""
+    import sys as _sys
+
+    _sys.path.insert(0, os.path.dirname(os.path.dirname(
+        os.path.abspath(__file__))))
+    from value_at_risk_spark.operators.gapfill import forward_fill_spine
+    from value_at_risk_spark.plans.var_pipeline import (
+        VarConfig,
+        run_pipeline,
+    )
+
+    daily = (
+        spark.read.parquet(f"{SF_DIR}/orders.parquet")
+        .groupBy(
+            F.col("o_orderpriority").alias("series"),
+            F.col("o_orderdate").cast("date").alias("d"),
+        )
+        .agg(F.round(F.sum("o_totalprice"), 2).alias("price"))
+    )
+    series = ["1-URGENT", "2-HIGH", "3-MEDIUM", "4-NOT SPECIFIED", "5-LOW"]
+    filled = forward_fill_spine(daily, ["series"], "d", ["price"])
+    wide = (
+        filled.groupBy("d").pivot("series", series).agg(F.first("price"))
+        .na.drop()
+    )
+    indicators = wide.select(
+        F.col("d").cast("timestamp").alias("date"),
+        *[F.col(f"`{c}`").alias(f"f{i}") for i, c in enumerate(series)],
+    )
+    cfg = VarConfig(runs=500, factor_cols=tuple(f"f{i}" for i in range(5)))
+
+    def run(reps: int) -> int:
+        parts = []
+        for i in range(reps):
+            parts.append(
+                filled.select(
+                    F.concat(F.lit(f"r{i}_"), "series").alias("ticker"),
+                    F.col("d").cast("timestamp").alias("date"),
+                    (F.col("price") * (1.0 + 0.01 * i)).alias("close"),
+                )
+            )
+        stocks = parts[0]
+        for p in parts[1:]:
+            stocks = stocks.unionByName(p)
+        tickers = [f"r{i}_{s}" for i in range(reps) for s in series]
+        portfolio = spark.createDataFrame(
+            [(t, 1.0 / len(tickers)) for t in tickers],
+            "ticker string, weight double",
+        )
+        out = run_pipeline(spark, stocks, indicators, portfolio, cfg)
+        return out["backtest"].count()
+
+    t1, n1 = timed(lambda: run(1))
+    t20, n20 = timed(lambda: run(20))
+    return {
+        "tickers": [5, 100],
+        "sec": [t1, t20],
+        "backtest_rows": [n1, n20],
+        "norm_factor": round(t20 / (20 * t1), 3),
+    }
+
+
 def main() -> int:
     spark = get_spark_with_ui()
     only = set(
@@ -347,6 +417,7 @@ def main() -> int:
         ("corpus_budget_selection_docs_x10", arm_corpus_budget),
         ("delta_sql_dml_files_x10", arm_delta_sql_dml),
         ("knn_graph_ann_indexed_100k_to_1m", arm_knn_graph_ann_indexed),
+        ("var_pipeline_tickers_x20", arm_var_pipeline),
     ):
         if only and name not in only:
             continue
