@@ -885,28 +885,41 @@ def main() -> None:
             scaled_stats.update(scaled_heavy_tail(spark, sf_dir))
         except Exception as ex:
             scaled_stats["heavy_tail_scaled_error"] = str(ex)[:200]
-    print(
-        json.dumps(
-            {
-                "metric": "headline_queries_total_sec",
-                "value": total,
-                "unit": "sec",
-                "queries": timings,
-                "subtotals": subtotals,
-                "calibration_sec": cal,
-                "calibration_samples": cal_samples,
-                "calibration2_sec": cal2,
-                "calibration2_samples": cal2_samples,
-                "normalized": normalized,
-                "normalized2_total_x_cal2": (
-                    round(total / cal2, 2) if cal2 else None
-                ),
-                **({"ann_cache": ann_cache} if ann_cache else {}),
-                **scaled_stats,
-                "sf": float(sf) if sf.replace(".", "").isdigit() else sf,
-            }
-        )
+    line = json.dumps(
+        {
+            "metric": "headline_queries_total_sec",
+            "value": total,
+            "unit": "sec",
+            "queries": timings,
+            "subtotals": subtotals,
+            "calibration_sec": cal,
+            "calibration_samples": cal_samples,
+            "calibration2_sec": cal2,
+            "calibration2_samples": cal2_samples,
+            "normalized": normalized,
+            "normalized2_total_x_cal2": (
+                round(total / cal2, 2) if cal2 else None
+            ),
+            **({"ann_cache": ann_cache} if ann_cache else {}),
+            **scaled_stats,
+            "sf": float(sf) if sf.replace(".", "").isdigit() else sf,
+        }
     )
+    print(line)
+    # Side-channel copy: the r15 VERDICT noted the recorded BENCH
+    # artifact sometimes carries only the tail of captured stdout
+    # (parsed: null), losing the per-query medians. bench_last.json is
+    # the machine-readable record of the most recent local run —
+    # best-effort, never sinks the bench.
+    try:
+        with open(
+            os.path.join(os.path.dirname(os.path.abspath(__file__)),
+                         "bench_last.json"),
+            "w",
+        ) as f:
+            f.write(line + "\n")
+    except OSError:
+        pass
 
 
 if __name__ == "__main__":
