@@ -1039,6 +1039,15 @@ def test_incremental_tfidf_stream_matches_batch(spark, sf_dir, tmp_path):
         spark.read.parquet(f"{sf_dir}/documents.parquet")
         .select("doc_id", "text")
         .limit(300)
+        # planted zero-token docs: without the postings sentinel the
+        # sink's recovered n_docs would shrink and every IDF weight
+        # would drift from the batch operator's
+        .unionByName(
+            spark.createDataFrame(
+                [(900001, ""), (900002, "   ")],
+                "doc_id long, text string",
+            )
+        )
     )
     staged = str(tmp_path / "docs_staged")
     docs.repartition(4).write.parquet(staged)

@@ -725,14 +725,31 @@ def tfidf_postings(
     raw text. Split out (r16) so the STREAMING maintenance loop can
     pay tokenization once per arriving batch and accumulate postings
     additively (streaming/tfidf.py); the batch operator composes this
-    with tfidf_pairs_from_postings unchanged."""
+    with tfidf_pairs_from_postings unchanged.
+
+    ZERO-TOKEN docs emit one sentinel row (_t NULL, _tf 0) so a
+    consumer recovering n_docs from the postings (the streaming sink's
+    only source of truth for the IDF's N) counts EVERY document the
+    batch operator's docs.count() would — without the sentinel, an
+    empty document silently shrinks N and every weight drifts.
+    Sentinels are inert downstream: NULL tokens never match the
+    df/weight equi-joins."""
     toks = docs.select(
         F.col(id_col).cast("long").alias("_id"),
         F.explode(tokens(text_col)).alias("_t"),
     )
-    return toks.groupBy("_id", "_t").agg(
+    tf = toks.groupBy("_id", "_t").agg(
         F.count(F.lit(1)).cast("double").alias("_tf")
     )
+    sentinels = (
+        docs.filter(F.size(tokens(text_col)) == 0)
+        .select(
+            F.col(id_col).cast("long").alias("_id"),
+            F.lit(None).cast("string").alias("_t"),
+            F.lit(0.0).alias("_tf"),
+        )
+    )
+    return tf.unionByName(sentinels)
 
 
 def tfidf_pairs_from_postings(
