@@ -5188,3 +5188,50 @@ def test_ivf_topk_precomputed_cell_col_matches_recompute(
     b = {(r.query_id, r.rank): (r.neighbor_id, r.cosine)
          for r in recomputed.collect()}
     assert a == b and len(a) > 0
+
+
+def test_arrow_cell_assign_matches_expr(spark, sf_dir):
+    """The Arrow assignment/probe kernels (_seq_cell_dists) are
+    BIT-IDENTICAL to the literal-centroid Catalyst expressions on the
+    fixture — every cell assignment and every probe list, including
+    tie behavior — the parity that lets the indexed path share the
+    expression path's DuckDB oracle."""
+    import collections
+
+    from value_at_risk_spark.operators.similarity import (
+        assign_cells_arrow,
+        kmeans_fit,
+        nearest_cell_expr,
+        nearest_cells_expr,
+        probe_cells_arrow,
+    )
+
+    emb = spark.read.parquet(f"{sf_dir}/embeddings.parquet").select(
+        "vec_id", "embedding"
+    ).limit(400)
+    cents = kmeans_fit(emb, k=8, iters=2)
+    base = emb.select(
+        F.col("vec_id").cast("long").alias("_id"),
+        F.col("embedding").cast("array<double>").alias("_v"),
+    )
+    a_expr = {
+        r._id: r.c
+        for r in base.select(
+            "_id", nearest_cell_expr("_v", cents).alias("c")
+        ).collect()
+    }
+    a_arrow = {
+        r._id: r._cell for r in assign_cells_arrow(base, cents).collect()
+    }
+    assert a_expr == a_arrow and len(a_expr) == 400
+    p_expr = {
+        r._id: tuple(r.cs)
+        for r in base.select(
+            "_id", nearest_cells_expr("_v", cents, 3).alias("cs")
+        ).collect()
+    }
+    grouped = collections.defaultdict(list)
+    for r in probe_cells_arrow(base, cents, 3).collect():
+        grouped[r._id].append(r._cell)
+    # probe order within a row is the emit order; compare as tuples
+    assert {k: tuple(v) for k, v in grouped.items()} == p_expr
