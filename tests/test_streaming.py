@@ -1094,3 +1094,89 @@ def test_incremental_tfidf_stream_matches_batch(spark, sf_dir, tmp_path):
         for r in sink2.current_pairs(spark).collect()
     }
     assert got2 == exp
+
+
+def test_streaming_graph_index_ingest_exactly_once(spark, sf_dir, tmp_path):
+    """Streaming ingest into the persisted graph index (r16): streamed
+    batches assign against the FROZEN centroids and commit as
+    versioned increments; the loaded index (base ∪ increments) builds
+    the same graph a batch append would; a fresh-checkpoint replay
+    cannot double-append; compaction folds increments into the
+    cell-partitioned base without changing the graph."""
+    import os
+
+    from value_at_risk_spark.operators.annindex import (
+        build_ivf_graph_index,
+        compact_graph_index,
+        knn_graph_ann_indexed,
+        load_ivf_graph_index,
+    )
+    from value_at_risk_spark.streaming.graphindex import (
+        INC_DIR,
+        start_graph_index_ingest,
+    )
+
+    emb = spark.read.parquet(f"{sf_dir}/embeddings.parquet").select(
+        "vec_id", "embedding"
+    )
+    old = emb.filter(F.col("vec_id") < 300)
+    new = emb.filter((F.col("vec_id") >= 300) & (F.col("vec_id") < 400))
+    d = str(tmp_path / "g")
+    build_ivf_graph_index(spark, d, old, n_cells=8, iters=2)
+
+    staged = str(tmp_path / "staged")
+    new.repartition(4).write.parquet(staged)
+    stream = (
+        spark.readStream.schema(new.schema)
+        .option("maxFilesPerTrigger", 1)
+        .parquet(staged)
+    )
+    q, sink = start_graph_index_ingest(stream, d, str(tmp_path / "ck1"))
+    assert q.awaitTermination(300)
+    committed = [b for b in range(50) if sink.inc_sink.committed(b)]
+    assert len(committed) >= 3  # genuinely incremental
+
+    _, vecs = load_ivf_graph_index(spark, d)
+    assert vecs.count() == 400
+    streamed = {
+        (r.id_a, r.id_b): r.cosine
+        for r in knn_graph_ann_indexed(spark, d, k=3, nprobe=2).collect()
+    }
+
+    # batch-append comparator at the SAME frozen centroids
+    d2 = str(tmp_path / "g2")
+    build_ivf_graph_index(spark, d2, old, n_cells=8, iters=2)
+    from value_at_risk_spark.operators.annindex import (
+        append_to_ivf_graph_index,
+    )
+
+    append_to_ivf_graph_index(spark, d2, new)
+    batch = {
+        (r.id_a, r.id_b): r.cosine
+        for r in knn_graph_ann_indexed(spark, d2, k=3, nprobe=2).collect()
+    }
+    assert streamed == batch and len(streamed) > 0
+
+    # replay from a fresh checkpoint: every batchId already committed
+    stream2 = (
+        spark.readStream.schema(new.schema)
+        .option("maxFilesPerTrigger", 1)
+        .parquet(staged)
+    )
+    q2, sink2 = start_graph_index_ingest(stream2, d, str(tmp_path / "ck2"))
+    assert q2.awaitTermination(300)
+    assert sink2.inc_sink.skipped
+    _, vecs2 = load_ivf_graph_index(spark, d)
+    assert vecs2.count() == 400  # no double-append
+
+    # compaction folds increments into the partitioned base
+    out = compact_graph_index(spark, d)
+    assert out["compacted_batches"] >= 3
+    assert not os.path.isdir(os.path.join(d, INC_DIR))
+    _, vecs3 = load_ivf_graph_index(spark, d)
+    assert vecs3.count() == 400
+    compacted = {
+        (r.id_a, r.id_b): r.cosine
+        for r in knn_graph_ann_indexed(spark, d, k=3, nprobe=2).collect()
+    }
+    assert compacted == streamed

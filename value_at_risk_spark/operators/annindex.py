@@ -733,7 +733,10 @@ def load_ivf_graph_index(
     cell-partitioned vector table LAZY (corpus-sized; a probe-driven
     read prunes whole ``_cell=`` directories at the storage layer).
     Tombstoned ids (delete_from_ivf_graph_index) are anti-joined out
-    on read — the same merge-on-read shape the IVFPQ index uses."""
+    on read — the same merge-on-read shape the IVFPQ index uses.
+    Streamed increments (streaming/graphindex.py commits under
+    ``ann_vectors_inc/batch_id=N``) union in lazily; run
+    ``compact_graph_index`` to fold them into the partitioned base."""
     reg = Registry(base_dir)
     cents = [
         list(r.v)
@@ -742,12 +745,63 @@ def load_ivf_graph_index(
         )
     ]
     vectors = reg.read(spark, "ann_vectors")
+    inc = _graph_increments(spark, base_dir)
+    if inc is not None:
+        vectors = vectors.select(inc.columns).unionByName(inc)
     tomb = _tombstones(spark, base_dir)
     if tomb is not None:
         vectors = vectors.join(
             F.broadcast(tomb), tomb.columns[0], "left_anti"
         )
     return cents, vectors
+
+
+def _graph_increments(
+    spark: SparkSession, base_dir: str
+) -> DataFrame | None:
+    from value_at_risk_spark.streaming.graphindex import INC_DIR
+
+    inc_dir = os.path.join(base_dir, INC_DIR)
+    if not os.path.isdir(inc_dir) or not any(
+        e.startswith("batch_id=") for e in os.listdir(inc_dir)
+    ):
+        return None
+    return spark.read.parquet(inc_dir).drop("batch_id")
+
+
+def compact_graph_index(spark: SparkSession, base_dir: str) -> dict:
+    """Fold streamed increments into the cell-partitioned base table:
+    a STAGING full rewrite of ``ann_vectors`` (base ∪ increments) with
+    an atomic directory swap, then the increment dirs are removed —
+    a crash mid-compaction leaves either the old base plus the
+    increments (nothing lost, compaction re-runs) or the new base with
+    the increments gone, never duplicates. OPTIMIZE-style maintenance:
+    rewrites are its nature; run it when the increment tail is a
+    meaningful fraction of the base."""
+    import shutil as _sh
+
+    from value_at_risk_spark.streaming.graphindex import INC_DIR
+
+    reg = Registry(base_dir)
+    inc = _graph_increments(spark, base_dir)
+    if inc is None:
+        return {"compacted_batches": 0}
+    inc_dir = os.path.join(base_dir, INC_DIR)
+    n_batches = sum(
+        1 for e in os.listdir(inc_dir) if e.startswith("batch_id=")
+    )
+    base = reg.read(spark, "ann_vectors").select(inc.columns)
+    merged = base.unionByName(inc)
+    vec_path = reg.path("ann_vectors")
+    staging = f"{vec_path}.compact.{os.getpid()}"
+    _sh.rmtree(staging, ignore_errors=True)
+    merged.write.mode("overwrite").partitionBy("_cell").parquet(staging)
+    old = f"{vec_path}.old.{os.getpid()}"
+    os.rename(vec_path, old)
+    os.rename(staging, vec_path)
+    _sh.rmtree(old, ignore_errors=True)
+    _sh.rmtree(inc_dir, ignore_errors=True)
+    return {"compacted_batches": n_batches}
 
 
 def delete_from_ivf_graph_index(
