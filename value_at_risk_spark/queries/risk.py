@@ -888,6 +888,63 @@ def sharpe_sortino_by_series(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 @query(
+    "lead_lag_cross_correlation",
+    "WITH "
+    + SQL_RETS
+    + """,
+ref AS (SELECT d, ret AS r FROM rets WHERE series = '1-URGENT'),
+oth AS (SELECT series, d, ret AS x FROM rets WHERE series <> '1-URGENT'),
+lags AS (SELECT UNNEST([-2, -1, 0, 1, 2]) AS lag),
+j AS (
+  SELECT o.series, l.lag, o.x, f.r
+  FROM oth o CROSS JOIN lags l
+  JOIN ref f ON f.d = o.d + CAST(l.lag AS INTEGER)
+)
+SELECT series, CAST(lag AS BIGINT) AS lag,
+       CAST(COUNT(*) AS BIGINT) AS n,
+       ROUND((COUNT(*) * SUM(x * r) - SUM(x) * SUM(r)) /
+             SQRT((COUNT(*) * SUM(x * x) - SUM(x) * SUM(x))
+                  * (COUNT(*) * SUM(r * r) - SUM(r) * SUM(r))), 6) + 0
+         AS xcorr
+FROM j GROUP BY series, lag
+""",
+)
+def lead_lag_cross_correlation(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Lead-lag cross-correlation vs the reference series (r16): for
+    each other priority series and calendar lag k in [-2, 2] days, the
+    Pearson correlation corr(x_t, ref_{t+k}) over exactly-matching
+    calendar dates — the lead-lag screen behind pairs selection and
+    contagion analysis (a peak at k>0 says the reference LEADS the
+    series). Written as the explicit product-moment formula, identical
+    in both engines; the lag fan-out is a 5-row explode joined on the
+    shifted date (equi-join — the shift moves into the join key, no
+    window, no inequality join)."""
+    rets = daily_returns(spark, sf_dir)
+    ref = rets.filter(F.col("series") == "1-URGENT").select(
+        F.col("d").alias("_rd"), F.col("ret").alias("r")
+    )
+    oth = rets.filter(F.col("series") != "1-URGENT").select(
+        "series", "d", F.col("ret").alias("x")
+    )
+    fan = oth.select(
+        "series", "d", "x",
+        F.explode(F.array(*[F.lit(k) for k in (-2, -1, 0, 1, 2)])).alias(
+            "lag"
+        ),
+    ).withColumn("_jd", F.date_add(F.col("d"), F.col("lag")))
+    j = fan.join(ref, fan._jd == ref._rd)
+    n = F.count(F.lit(1))
+    num = n * F.sum(F.col("x") * F.col("r")) - F.sum("x") * F.sum("r")
+    den = F.sqrt(
+        (n * F.sum(F.col("x") * F.col("x")) - F.sum("x") * F.sum("x"))
+        * (n * F.sum(F.col("r") * F.col("r")) - F.sum("r") * F.sum("r"))
+    )
+    return j.groupBy("series", F.col("lag").cast("long").alias("lag")).agg(
+        n.cast("long").alias("n"),
+        (F.round(num / den, 6) + F.lit(0.0)).alias("xcorr"),
+    )
+
+@query(
     "price_lead_ntile",
     "WITH "
     + SQL_DAILY
