@@ -5235,3 +5235,69 @@ def test_arrow_cell_assign_matches_expr(spark, sf_dir):
         grouped[r._id].append(r._cell)
     # probe order within a row is the emit order; compare as tuples
     assert {k: tuple(v) for k, v in grouped.items()} == p_expr
+
+
+def test_ngram_jaccard_property_random_corpora(spark):
+    """Property: for random small corpora (random words, random doc
+    lengths incl. shorter-than-n, random df caps), ngram_jaccard_pairs
+    equals an independent pure-Python set replay of the contract —
+    distinct capped shingles, inclusion-exclusion union, HALF_UP
+    rounding at 6 decimals, threshold on the rounded value."""
+    from collections import Counter
+    from decimal import ROUND_HALF_UP, Decimal
+
+    from hypothesis import HealthCheck, given, settings
+    from hypothesis import strategies as st
+
+    from value_at_risk_spark.operators.dedup import ngram_jaccard_pairs
+
+    words = st.sampled_from(["a", "b", "c", "dd", "ee", "fff"])
+    doc = st.lists(words, min_size=0, max_size=12).map(" ".join)
+    corpora = st.lists(doc, min_size=2, max_size=8)
+
+    @settings(
+        max_examples=12,
+        deadline=None,
+        suppress_health_check=[HealthCheck.too_slow],
+    )
+    @given(docs=corpora, cap=st.integers(min_value=1, max_value=6))
+    def check(docs, cap):
+        rows = [(i, t) for i, t in enumerate(docs)]
+        df = spark.createDataFrame(rows, "doc_id long, text string")
+        got = {
+            (r.id_a, r.id_b): r.jaccard
+            for r in ngram_jaccard_pairs(
+                df, n=2, threshold=0.3, df_cap=cap
+            ).collect()
+        }
+
+        def sh(t):
+            ts = [w for w in t.lower().split() if w]
+            return {
+                " ".join(ts[i : i + 2]) for i in range(len(ts) - 1)
+            }
+
+        sets = [sh(t) for _, t in rows]
+        dfc = Counter(g for s in sets for g in s)
+        capped = [{g for g in s if dfc[g] <= cap} for s in sets]
+        exp = {}
+        for i in range(len(rows)):
+            for j in range(i + 1, len(rows)):
+                a, b = capped[i], capped[j]
+                inter = len(a & b)
+                if not inter:
+                    continue
+                jac = float(
+                    Decimal(inter)
+                    / Decimal(len(a) + len(b) - inter)
+                )
+                jac = float(
+                    Decimal(repr(jac)).quantize(
+                        Decimal("0.000001"), rounding=ROUND_HALF_UP
+                    )
+                )
+                if jac >= 0.3:
+                    exp[(i, j)] = jac
+        assert got == exp
+
+    check()
