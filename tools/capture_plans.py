@@ -1,0 +1,50 @@
+"""Capture .explain('formatted') output for bench queries (r16 opt round).
+
+Usage: python tools/capture_plans.py <suffix> [query ...]
+Writes plans/r16/<query>_<suffix>.txt for each query (default: the
+headline BENCH_QUERIES list). Explain is driver-side; queries whose
+construction runs eager fit jobs (ANN families) still run those jobs,
+so this is not free — but nothing here is timed.
+"""
+
+from __future__ import annotations
+
+import io
+import os
+import sys
+from contextlib import redirect_stdout
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
+from bench import BENCH_QUERIES  # noqa: E402
+from value_at_risk_spark.queries import QUERIES  # noqa: E402
+from value_at_risk_spark.session import get_spark  # noqa: E402
+
+
+def main() -> None:
+    suffix = sys.argv[1] if len(sys.argv) > 1 else "before"
+    names = sys.argv[2:] or BENCH_QUERIES
+    sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
+    out_dir = os.path.join(
+        os.path.dirname(os.path.dirname(os.path.abspath(__file__))),
+        "plans",
+        "r16",
+    )
+    os.makedirs(out_dir, exist_ok=True)
+    spark = get_spark("capture-plans")
+    for name in names:
+        try:
+            df = QUERIES[name](spark, sf_dir)
+            buf = io.StringIO()
+            with redirect_stdout(buf):
+                df.explain("formatted")
+            text = buf.getvalue()
+        except Exception as ex:  # capture the failure instead of dying
+            text = f"EXPLAIN FAILED: {ex!r}\n"
+        with open(os.path.join(out_dir, f"{name}_{suffix}.txt"), "w") as f:
+            f.write(text)
+        print(f"captured {name} ({len(text)} bytes)")
+
+
+if __name__ == "__main__":
+    main()

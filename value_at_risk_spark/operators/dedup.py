@@ -500,6 +500,7 @@ def remove_duplicate_spans(
     id_col: str = "doc_id",
     text_col: str = "text",
     hash_gram_keys: bool = False,
+    materialize: bool = True,
 ) -> DataFrame:
     """Exact-substring duplicate removal (Lee et al., ACL 2022): every
     ``span_tokens``-token span occurring in >= 2 distinct documents
@@ -520,6 +521,15 @@ def remove_duplicate_spans(
     of ~60-byte span strings (output identical modulo a ~N^2/2^65
     collision probability — pytest pins equality on the fixture; at a
     trillion spans, pair the hash with a second seed to verify).
+
+    ``materialize=True`` (r16, guide §2.4) eagerly localCheckpoints
+    the tokenized corpus and the span stream: lazily, ``toks`` is
+    referenced three times (span build, position explode, n_before)
+    and ``grams`` twice (duplicate reduce, join-back), so the
+    tokenize/explode subtree re-executes up to four times per run.
+    The checkpointed frames are (id, token-array) and (id, pos,
+    8-byte gram key) — bounded by the corpus's own token count.
+    localCheckpoint, never persist: no cross-run plan-fragment cache.
     """
     from value_at_risk_spark.functions.text import tokens
 
@@ -527,6 +537,8 @@ def remove_duplicate_spans(
     toks = docs.select(
         F.col(id_col).alias("doc_id"), tokens(text_col).alias("ts")
     )
+    if materialize:
+        toks = toks.localCheckpoint(eager=True)
     grams = toks.select(
         "doc_id",
         F.explode(
@@ -544,6 +556,8 @@ def remove_duplicate_spans(
     ).select("doc_id", F.col("s.i").alias("i"), F.col("s.g").alias("g"))
     if hash_gram_keys:
         grams = grams.select("doc_id", "i", F.xxhash64("g").alias("g"))
+    if materialize:
+        grams = grams.localCheckpoint(eager=True)
     gdup = (
         grams.groupBy("g")
         .agg(

@@ -38,6 +38,8 @@ def pagerank(
     persist_edges: bool = False,
     checkpoint_every: int | None = None,
     on_iteration=None,
+    materialize_edges: bool = True,
+    broadcast_ranks: bool = False,
 ) -> DataFrame:
     """PageRank over a directed edge list -> (node, r).
 
@@ -66,9 +68,32 @@ def pagerank(
     - ``on_iteration(i, ranks)`` optional hook, called after each
       iteration (post-checkpoint when one fires) — perf tools use it
       to force and time iterations without wrapping the loop.
+    - ``materialize_edges=True`` (default) eagerly localCheckpoints the
+      (deduped) edge list plus the derived out-degree and node tables
+      BEFORE iterating. Lazy evaluation otherwise re-plans and
+      re-executes the caller's edge lineage (often a join + distinct
+      over fact tables) once per reference — 3 iterations x (join +
+      deg + nodes) put >100 copies of the edge subtree in the
+      trade-graph query's physical plan (guide §2.4: remove repeated
+      work outright). localCheckpoint, not persist: blocks are tied to
+      this DataFrame's RDD identity, so a fresh call recomputes from
+      source — no cross-run plan-fragment cache leak.
+    - ``broadcast_ranks=True`` hints the per-iteration rank and
+      out-degree tables as broadcast joins (guide §3.1: broadcast the
+      side that fits). The rank table has one row per NODE while the
+      edge table has one per EDGE — for graphs whose node set is
+      orders of magnitude smaller than the edge set (the usual case:
+      counterparties vs trades), this removes the per-iteration
+      shuffle+sort of the edge list entirely; only the grouped
+      contribution sum shuffles, with map-side partial aggregation.
+      Off by default: callers must assert the node-table bound.
     """
     if dedupe:
         edges = edges.select(src, dst).distinct()
+    elif materialize_edges and not persist_edges:
+        edges = edges.select(src, dst)
+    if materialize_edges and not persist_edges:
+        edges = edges.localCheckpoint(eager=True)
     nodes = (
         edges.select(F.col(src).alias("node"))
         .unionAll(edges.select(F.col(dst).alias("node")))
@@ -82,13 +107,21 @@ def pagerank(
         edges = edges.repartition(int(npart), src).persist()
         deg = deg.persist()
         nodes = nodes.persist()
+    elif materialize_edges:
+        # node/degree tables are re-read every iteration; one shuffle
+        # each now instead of one per reference
+        nodes = nodes.localCheckpoint(eager=True)
+        deg = deg.localCheckpoint(eager=True)
+    if broadcast_ranks:
+        deg = F.broadcast(deg)
     nn = nodes.agg(F.count(F.lit(1)).cast("double").alias("_n"))
     ranks = nodes.crossJoin(F.broadcast(nn)).select(
         "node", (F.lit(1.0) / F.col("_n")).alias("r")
     )
     for i in range(iters):
+        rhs = F.broadcast(ranks) if broadcast_ranks else ranks
         contrib = (
-            edges.join(ranks, edges[src] == ranks.node)
+            edges.join(rhs, edges[src] == rhs.node)
             .join(deg, src)
             .select(F.col(dst).alias("node"), (F.col("r") / F.col("_od")).alias("_c"))
         )
@@ -120,6 +153,8 @@ def personalized_pagerank(
     src: str = "src",
     dst: str = "dst",
     dedupe: bool = True,
+    materialize_edges: bool = True,
+    broadcast_ranks: bool = False,
 ) -> DataFrame:
     """Personalized PageRank: teleport mass returns to a SEED SET
     instead of the uniform vector — relevance-to-the-seeds rather than
@@ -137,6 +172,13 @@ def personalized_pagerank(
     knobs apply at 100 TB edge scale)."""
     if dedupe:
         edges = edges.select(src, dst).distinct()
+    else:
+        edges = edges.select(src, dst)
+    if materialize_edges:
+        # same rationale as pagerank: the caller's edge lineage would
+        # otherwise re-execute once per reference (3 iterations + deg
+        # + nodes + the seed intersection)
+        edges = edges.localCheckpoint(eager=True)
     nodes = (
         edges.select(F.col(src).alias("node"))
         .unionAll(edges.select(F.col(dst).alias("node")))
@@ -145,6 +187,11 @@ def personalized_pagerank(
     deg = edges.groupBy(src).agg(
         F.count(F.lit(1)).cast("double").alias("_od")
     )
+    if materialize_edges:
+        nodes = nodes.localCheckpoint(eager=True)
+        deg = deg.localCheckpoint(eager=True)
+    if broadcast_ranks:
+        deg = F.broadcast(deg)
     s = seeds.select("node").distinct().join(nodes, "node")
     if s.limit(1).count() == 0:
         raise ValueError(
@@ -159,10 +206,13 @@ def personalized_pagerank(
             (F.coalesce(F.col("_is"), F.lit(0.0)) / F.col("_ns")).alias("t"),
         )
     )
+    if materialize_edges:
+        tele = tele.localCheckpoint(eager=True)
     ranks = tele.select("node", F.col("t").alias("r"))
     for _ in range(iters):
+        rhs = F.broadcast(ranks) if broadcast_ranks else ranks
         contrib = (
-            edges.join(ranks, edges[src] == ranks.node)
+            edges.join(rhs, edges[src] == rhs.node)
             .join(deg, src)
             .select(
                 F.col(dst).alias("node"),

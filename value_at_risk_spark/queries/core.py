@@ -3248,6 +3248,14 @@ def source_overlap_matrix(spark: SparkSession, sf_dir: str) -> DataFrame:
             ).otherwise(F.array().cast("array<string>"))
         ).alias("g0"),
     ).select("source", F.xxhash64("g0").alias("g")).distinct()
+    # Materialize the inverted index ONCE (r16, guide §2.4): grams
+    # feeds gc, sizes, and BOTH sides of the pair self-join — lazily,
+    # the tokenize + 8-gram explode + distinct subtree re-executes for
+    # each reference (5 copies in the physical plan). The materialized
+    # frame is (source, gram-hash) — 12 bytes/row, far smaller than
+    # the corpus it derives from. localCheckpoint, never persist: no
+    # cross-run plan-fragment cache.
+    grams = grams.localCheckpoint(eager=True)
     gc = (
         grams.groupBy("g")
         .agg(F.count(F.lit(1)).alias("nsrc"))

@@ -303,8 +303,13 @@ def pagerank_trade_graph(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     # the pair set is distinct and the two union branches are disjoint
     # (S*->C* vs C*->S*), so the edge list is already simple — skip the
-    # operator's default dedupe Exchange
-    ranks = pagerank(edges, iters=3, damping=0.85, dedupe=False)
+    # operator's default dedupe Exchange. broadcast_ranks: the rank
+    # table is one row per counterparty (|suppliers|+|customers|),
+    # orders of magnitude under the edge count at every SF, so each
+    # iteration broadcasts kilobytes instead of shuffling the edges.
+    ranks = pagerank(
+        edges, iters=3, damping=0.85, dedupe=False, broadcast_ranks=True
+    )
     return ranks.select(
         "node", (F.round("r", 8) + F.lit(0.0)).alias("rank")
     )
@@ -404,8 +409,12 @@ def personalized_pagerank_seeds(spark: SparkSession, sf_dir: str) -> DataFrame:
             )
         )
     )
+    # broadcast_ranks: same node-vs-edge cardinality argument as
+    # pagerank_trade_graph — the rank/teleport tables are one row per
+    # counterparty, kilobytes against the edge list's shuffle.
     ranks = personalized_pagerank(
-        edges, seeds, iters=3, damping=0.85, dedupe=False
+        edges, seeds, iters=3, damping=0.85, dedupe=False,
+        broadcast_ranks=True,
     )
     return ranks.select(
         "node", (F.round("r", 8) + F.lit(0.0)).alias("rank")

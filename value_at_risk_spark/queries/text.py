@@ -532,6 +532,54 @@ def doc_fingerprints_rolling(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
     )
 
+def _lsh_verified_pairs(d: DataFrame, threshold: float = 0.8) -> DataFrame:
+    """Shared LSH-candidate → exact-Jaccard-verified pair stage of the
+    near-dedup family (near_dedup_survivors, dedup_clusters): 32-hash
+    signatures, 16x2 banding, candidate pairs, then exact xxhash64-
+    shingle-set Jaccard >= ``threshold`` on the candidates only.
+
+    r16 optimization (guide §2.4 / §3): the candidate-pair frame is
+    localCheckpointed ONCE — lazily, the whole signature pipeline
+    (tokenize + shingle explode + 32-min agg + banded self-join) would
+    re-execute for each of its references; and the verify stage builds
+    shingle arrays only for CANDIDATE docs via a broadcast semi-join
+    (the measured ~3x cut the minhash_lsh_pairs gate row documents),
+    so the corpus-wide tokenize+hash pass runs once, in the
+    signatures. localCheckpoint (RDD-identity), never persist (plan-
+    matching cache) — a fresh call recomputes from the source."""
+    from value_at_risk_spark.functions.text import shingles, tokens
+
+    sigs = minhash_signatures(d, num_hashes=32, shingle_n=3)
+    pairs = minhash_lsh_pairs(
+        sigs, num_bands=16, num_hashes=32
+    ).localCheckpoint(eager=True)
+    cand_ids = (
+        pairs.select(F.col("id_a").alias("doc_id"))
+        .union(pairs.select(F.col("id_b").alias("doc_id")))
+        .distinct()
+    )
+    # Docs with < 3 tokens yield no 3-shingles in the oracle (WHERE
+    # len(ts) >= 3) but ONE truncated shingle from shingles() — exclude
+    # them so the inner joins below drop candidate pairs touching a
+    # short doc (both engines then agree on every fixture).
+    sh = (
+        d.join(F.broadcast(cand_ids), "doc_id", "left_semi")
+        .filter(F.size(tokens("text")) >= 3)
+        .select(
+            "doc_id",
+            F.array_distinct(
+                F.transform(shingles("text", 3), lambda sg: F.xxhash64(sg))
+            ).alias("sh"),
+        )
+    )
+    a = sh.select(F.col("doc_id").alias("id_a"), F.col("sh").alias("sh_a"))
+    b = sh.select(F.col("doc_id").alias("id_b"), F.col("sh").alias("sh_b"))
+    cand = pairs.join(a, "id_a").join(b, "id_b")
+    return jaccard_similarity(
+        cand, "sh_a", "sh_b", out_col="jacc", tokenize=False
+    ).filter(F.col("jacc") >= threshold)
+
+
 @query(
     "near_dedup_survivors",
     """
@@ -588,28 +636,10 @@ def near_dedup_survivors(spark: SparkSession, sf_dir: str) -> DataFrame:
     Jaccard over hashes equals Jaccard over strings modulo a 2^-64
     collision tail (measured 8.9 s → 6.4 s at sf0.1, identical
     output; the oracle hash-match pins it per-value)."""
-    from value_at_risk_spark.functions.text import shingles, tokens
     from value_at_risk_spark.operators.dedup import connected_components
 
     d = _t(spark, sf_dir, "documents")
-    sigs = minhash_signatures(d, num_hashes=32, shingle_n=3)
-    pairs = minhash_lsh_pairs(sigs, num_bands=16, num_hashes=32)
-    # Docs with < 3 tokens yield no 3-shingles in the oracle (WHERE
-    # len(ts) >= 3) but ONE truncated shingle from shingles() — exclude
-    # them so the inner joins below drop candidate pairs touching a
-    # short doc (both engines then agree on every fixture).
-    sh = d.filter(F.size(tokens("text")) >= 3).select(
-        "doc_id",
-        F.array_distinct(
-            F.transform(shingles("text", 3), lambda sg: F.xxhash64(sg))
-        ).alias("sh"),
-    )
-    a = sh.select(F.col("doc_id").alias("id_a"), F.col("sh").alias("sh_a"))
-    b = sh.select(F.col("doc_id").alias("id_b"), F.col("sh").alias("sh_b"))
-    cand = pairs.join(a, "id_a").join(b, "id_b")
-    verified = jaccard_similarity(
-        cand, "sh_a", "sh_b", out_col="jacc", tokenize=False
-    ).filter(F.col("jacc") >= 0.8)
+    verified = _lsh_verified_pairs(d)
     cc = connected_components(
         verified.select("id_a", "id_b"), src="id_a", dst="id_b"
     )
@@ -897,28 +927,10 @@ def dedup_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
     node's component = smallest reachable doc_id. The DuckDB twin
     computes the same components by recursive transitive closure —
     an exact oracle for an ITERATIVE distributed algorithm."""
-    from value_at_risk_spark.functions.text import shingles, tokens
     from value_at_risk_spark.operators.dedup import connected_components
 
     d = _t(spark, sf_dir, "documents")
-    sigs = minhash_signatures(d, num_hashes=32, shingle_n=3)
-    pairs = minhash_lsh_pairs(sigs, num_bands=16, num_hashes=32)
-    # Docs with < 3 tokens yield no 3-shingles in the oracle (WHERE
-    # len(ts) >= 3) but ONE truncated shingle from shingles() — exclude
-    # them so the inner joins below drop candidate pairs touching a
-    # short doc (both engines then agree on every fixture).
-    sh = d.filter(F.size(tokens("text")) >= 3).select(
-        "doc_id",
-        F.array_distinct(
-            F.transform(shingles("text", 3), lambda sg: F.xxhash64(sg))
-        ).alias("sh"),
-    )
-    a = sh.select(F.col("doc_id").alias("id_a"), F.col("sh").alias("sh_a"))
-    b = sh.select(F.col("doc_id").alias("id_b"), F.col("sh").alias("sh_b"))
-    cand = pairs.join(a, "id_a").join(b, "id_b")
-    verified = jaccard_similarity(
-        cand, "sh_a", "sh_b", out_col="jacc", tokenize=False
-    ).filter(F.col("jacc") >= 0.8)
+    verified = _lsh_verified_pairs(d)
     cc = connected_components(
         verified.select("id_a", "id_b"), src="id_a", dst="id_b"
     )
@@ -1854,14 +1866,24 @@ def duplicated_ngram_spans(spark: SparkSession, sf_dir: str) -> DataFrame:
             ).otherwise(F.array().cast("array<string>"))
         ).alias("g0"),
     ).select("doc_id", F.xxhash64("g0").alias("g"))
-    gc = grams.groupBy("g").agg(F.count_distinct("doc_id").alias("ndocs"))
-    marked = grams.join(gc, "g")
+    # ONE pass over the corpus (r16, guide §2.4): the old
+    # gc-agg-then-rejoin form re-executed the tokenize+explode subtree
+    # twice (once for the gram counts, once for the join probe). Here
+    # spans first reduce to per-(gram, doc) occurrence counts (map-side
+    # partials collapse within-doc repeats), the cross-doc frequency is
+    # a COUNT(*) window over the gram — same shuffle key the join used,
+    # no second scan — and the per-doc report sums the weighted counts.
+    gd = grams.groupBy("g", "doc_id").agg(F.count(F.lit(1)).alias("_c"))
+    marked = gd.withColumn(
+        # partitioned by the (high-cardinality) gram hash: bounded
+        "ndocs", F.count(F.lit(1)).over(Window.partitionBy("g"))
+    )
     return (
         marked.groupBy("doc_id")
         .agg(
-            F.count(F.lit(1)).alias("n_spans"),
+            F.sum("_c").alias("n_spans"),
             F.sum(
-                F.when(F.col("ndocs") >= 2, F.lit(1)).otherwise(F.lit(0))
+                F.when(F.col("ndocs") >= 2, F.col("_c")).otherwise(F.lit(0))
             ).alias("n_dup_spans"),
         )
         .filter(F.col("n_dup_spans") > 0)

@@ -225,7 +225,13 @@ def minhash_lsh_pairs_q(spark: SparkSession, sf_dir: str) -> DataFrame:
     family visible immediately)."""
     d = _t(spark, sf_dir, "documents")
     sigs = minhash_signatures(d, num_hashes=32, shingle_n=3)
-    pairs = minhash_lsh_pairs(sigs, num_bands=8, num_hashes=32)
+    # materialize the (bounded, ids-only) candidate pairs once: they
+    # feed both cand_ids and the verify join below, and lazily each
+    # reference re-executes the whole signature+banding pipeline
+    # (guide §2.4); localCheckpoint, never persist — no cross-run cache
+    pairs = minhash_lsh_pairs(
+        sigs, num_bands=8, num_hashes=32
+    ).localCheckpoint(eager=True)
     from value_at_risk_spark.functions.text import shingles
 
     # verify ONLY the candidate docs: the shingle arrays feeding the
