@@ -5301,3 +5301,45 @@ def test_ngram_jaccard_property_random_corpora(spark):
         assert got == exp
 
     check()
+
+
+def test_cell_expr_sql_text_parity(spark, sf_dir):
+    """The r16 SQL-text construction of the nearest-cell ranking
+    (_cell_dists_sql via F.expr — one parse instead of k*dim py4j
+    round-trips) is BIT-IDENTICAL to the Column-API builder it
+    replaced: same assignments, same probe lists, and the same exact
+    double distance in the head struct, on the fixture corpus plus
+    adversarial literals (negative, subnormal-ish exponents)."""
+    from value_at_risk_spark.operators.similarity import (
+        kmeans_fit,
+        nearest_cell_expr,
+        nearest_cell_struct,
+        nearest_cells_expr,
+    )
+
+    emb = spark.read.parquet(f"{sf_dir}/embeddings.parquet").select(
+        "vec_id", "embedding"
+    ).limit(300)
+    base = emb.select(
+        F.col("vec_id").cast("long").alias("_id"),
+        F.col("embedding").cast("array<double>").alias("_v"),
+    )
+    cents = kmeans_fit(emb, k=8, iters=2)
+    # exponent-heavy literals must round-trip through the SQL lexer too
+    cents[0] = [x * 1e-7 for x in cents[0]]
+    cents[1] = [-x * 1e3 for x in cents[1]]
+    # string column name -> SQL-text path; Column object -> legacy path
+    got = base.select(
+        "_id",
+        nearest_cell_expr("_v", cents).alias("c_sql"),
+        nearest_cell_expr(F.col("_v"), cents).alias("c_col"),
+        nearest_cells_expr("_v", cents, 3).alias("p_sql"),
+        nearest_cells_expr(F.col("_v"), cents, 3).alias("p_col"),
+        nearest_cell_struct("_v", cents)["d"].alias("d_sql"),
+        nearest_cell_struct(F.col("_v"), cents)["d"].alias("d_col"),
+    ).collect()
+    assert len(got) == 300
+    for r in got:
+        assert r.c_sql == r.c_col
+        assert list(r.p_sql) == list(r.p_col)
+        assert r.d_sql == r.d_col  # exact double equality, no rounding

@@ -673,8 +673,16 @@ def knn_graph_mutual(
 def nearest_cells_expr(vec_col, centroids, nprobe: int) -> "F.Column":
     """Array of the ``nprobe`` nearest centroid indices (squared-L2
     ranking, ties to the smallest cell) — the multi-cell sibling of
-    ``nearest_cell_expr``, shared by IVF search and the ANN graph."""
-    col = F.col(vec_col) if isinstance(vec_col, str) else vec_col
+    ``nearest_cell_expr``, shared by IVF search and the ANN graph.
+    r16: SQL-text construction for string columns (_cell_dists_sql)."""
+    np_ = min(nprobe, len(centroids))
+    sql = _vec_sql(vec_col)
+    if sql is not None:
+        return F.expr(
+            f"transform(slice({_cell_dists_sql(sql, centroids)}, 1, "
+            f"{np_}), s -> s.cell)"
+        )
+    col = vec_col
     dists = F.array(
         *[
             F.struct(
@@ -689,7 +697,7 @@ def nearest_cells_expr(vec_col, centroids, nprobe: int) -> "F.Column":
             for i, cent in enumerate(centroids)
         ]
     )
-    probes = F.slice(F.array_sort(dists), 1, min(nprobe, len(centroids)))
+    probes = F.slice(F.array_sort(dists), 1, np_)
     return F.transform(probes, lambda s: s["cell"])
 
 
@@ -909,17 +917,25 @@ def knn_graph_ann(
     # per-query merge window over <= nprobe*k candidates is exact
     # w.r.t. the ANN candidate set — the same argument, kernel, and
     # tie contract as cosine_allpairs_topk_blocked.
-    members = base.select(
+    # ONE ranking pass per row (r16, guide §2.4): the member cell IS
+    # the rank-1 probe cell, so the old two-branch union (members +
+    # probing) scored the k-centroid ranking twice per vector. Here
+    # the nprobe ranking is computed once, and each (row, probe-cell)
+    # pair fans out to its roles in place: rank-1 → member (side 0)
+    # AND probe (side 1); other ranks → probe only.
+    both = base.select(
         "_id", "_v",
-        nearest_cell_expr("_v", cents).alias("_cell"),
-        F.lit(0).alias("_side"),
+        F.posexplode(nearest_cells_expr("_v", cents, nprobe)).alias(
+            "_pos", "_cell"
+        ),
+    ).select(
+        "_id", "_v", "_cell",
+        F.explode(
+            F.when(
+                F.col("_pos") == 0, F.array(F.lit(0), F.lit(1))
+            ).otherwise(F.array(F.lit(1)))
+        ).alias("_side"),
     )
-    probing = base.select(
-        "_id", "_v",
-        F.explode(nearest_cells_expr("_v", cents, nprobe)).alias("_cell"),
-        F.lit(1).alias("_side"),
-    )
-    both = members.unionByName(probing)
     return mutual_edges_from_cells(both, k=k, round_to=round_to)
 
 
@@ -1197,6 +1213,48 @@ def knn_topk_incremental(
     )
 
 
+def _lit_double_sql(x) -> str:
+    """A python float as a Spark SQL DOUBLE literal. ``repr`` emits the
+    shortest round-trip decimal string and the SQL lexer's D-suffixed
+    literal parses with Java's Double.parseDouble (nearest-double) —
+    so the parsed constant is BIT-IDENTICAL to ``F.lit(float(x))``."""
+    return repr(float(x)) + "D"
+
+
+def _cell_dists_sql(col_sql: str, centroids) -> str:
+    """SQL text of the sorted (d, cell) struct array over literal
+    centroids — the SAME expression tree ``nearest_cell_expr`` always
+    built (||c||² − 2·v·c ranking, HOF-fold dot product, array_sort
+    tie-to-smallest-cell), produced as ONE string for ``F.expr``.
+
+    Why text (r16, guide §4): building k·dim literals through the
+    Python Column API costs one py4j round-trip per node — measured
+    ~26 s of pure DRIVER time to construct the k=40 x dim=64
+    assignment expression, repeated per k-means iteration. The SQL
+    parser builds the identical tree JVM-side in milliseconds.
+    Value parity with the old builder is pytest-pinned
+    (test_cell_expr_sql_text_parity)."""
+    cells = ", ".join(
+        "named_struct('d', {c2} - 2 * aggregate(zip_with({v}, array({arr}), "
+        "(x, y) -> CAST(x AS DOUBLE) * CAST(y AS DOUBLE)), 0.0D, "
+        "(acc, x) -> acc + x), 'cell', {i})".format(
+            c2=_lit_double_sql(sum(float(x) * float(x) for x in cent)),
+            v=col_sql,
+            arr=", ".join(_lit_double_sql(x) for x in cent),
+            i=i,
+        )
+        for i, cent in enumerate(centroids)
+    )
+    return f"array_sort(array({cells}))"
+
+
+def _vec_sql(vec_col) -> str | None:
+    """SQL text for a vector operand: a quoted name for plain string
+    columns, None for arbitrary Column objects (callers fall back to
+    the Column-API builder — rare, and never inside training loops)."""
+    return f"`{vec_col}`" if isinstance(vec_col, str) else None
+
+
 def nearest_cell_expr(vec_col, centroids) -> "F.Column":
     """Index of the nearest centroid (squared-L2) as a native
     expression — centroids are plan literals, so assignment is a pure
@@ -1209,8 +1267,17 @@ def nearest_cell_expr(vec_col, centroids) -> "F.Column":
     best-distance subtree into both the comparison and the next
     `least`, and at ksub=16 codebooks the resulting codegen unit
     measurably slows tiny-batch jobs. Ties pick the smallest index on
-    both forms (array_sort orders by (d, cell))."""
-    col = F.col(vec_col) if isinstance(vec_col, str) else vec_col
+    both forms (array_sort orders by (d, cell)).
+
+    r16: for string column names the k·dim literal tree is built as
+    ONE SQL string (see _cell_dists_sql) — identical values, ~1000x
+    cheaper driver-side construction."""
+    sql = _vec_sql(vec_col)
+    if sql is not None:
+        return F.expr(
+            f"element_at({_cell_dists_sql(sql, centroids)}, 1).cell"
+        )
+    col = vec_col
     dists = F.array(
         *[
             F.struct(
@@ -1241,7 +1308,10 @@ def nearest_cell_struct(vec_col, centroids) -> "F.Column":
     expression as nearest_cell_expr but keeps the rank score so the
     caller can recover the true squared distance (``d + ||v||²``,
     since d = ||c||² − 2·v·c) without a second k·dim pass."""
-    col = F.col(vec_col) if isinstance(vec_col, str) else vec_col
+    sql = _vec_sql(vec_col)
+    if sql is not None:
+        return F.expr(f"element_at({_cell_dists_sql(sql, centroids)}, 1)")
+    col = vec_col
     dists = F.array(
         *[
             F.struct(
@@ -2192,28 +2262,14 @@ def semdedup_survivors(
     groups = rows.groupBy(vec_col).agg(F.min(id_col).alias("_rep"))
     reps = groups.select(F.col("_rep").alias(id_col), F.col(vec_col))
 
-    col = F.col(vec_col)
-    dists = F.array(
-        *[
-            F.struct(
-                (
-                    F.lit(float(sum(x * x for x in cent)))
-                    - 2 * dot_product(
-                        col, F.array(*[F.lit(float(x)) for x in cent])
-                    )
-                ).alias("d"),
-                F.lit(i).alias("cell"),
-            )
-            for i, cent in enumerate(centroids)
-        ]
-    )
     probed = reps.select(
         F.col(id_col),
-        col,
+        F.col(vec_col),
         vector_norm(vec_col, dim=dim).alias("_n"),
-        F.transform(
-            F.slice(F.array_sort(dists), 1, nprobe), lambda s: s["cell"]
-        ).alias("_cells"),
+        # shared SQL-text builder (r16): the same sorted-(d, cell)
+        # ranking this operator always inlined, built in one F.expr
+        # call instead of k·dim py4j round-trips
+        nearest_cells_expr(vec_col, centroids, nprobe).alias("_cells"),
     )
     exploded = probed.filter(F.col("_n") > 0).select(
         id_col, vec_col, F.explode("_cells").alias("_cell")
