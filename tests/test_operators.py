@@ -5343,3 +5343,30 @@ def test_cell_expr_sql_text_parity(spark, sf_dir):
         assert r.c_sql == r.c_col
         assert list(r.p_sql) == list(r.p_col)
         assert r.d_sql == r.d_col  # exact double equality, no rounding
+
+
+def test_hyperplane_buckets_sql_text_parity(spark, sf_dir):
+    """hyperplane_lsh_buckets' r16 SQL-text form (string column name)
+    is BIT-IDENTICAL to the Column-API builder (Column argument): the
+    rendered aggregate(zip_with(...)) is the same fold dot_product
+    emits, and plane literals round-trip via _lit_double_sql."""
+    from value_at_risk_spark.operators.similarity import (
+        hyperplane_lsh_buckets,
+    )
+
+    emb = spark.read.parquet(f"{sf_dir}/embeddings.parquet").select(
+        F.col("vec_id").cast("long").alias("_id"),
+        F.col("embedding").cast("array<double>").alias("_v"),
+    ).limit(300)
+    a = hyperplane_lsh_buckets(emb, "_v", dim=64, num_planes=16)
+    b = hyperplane_lsh_buckets(emb, F.col("_v"), dim=64, num_planes=16)
+    got = (
+        a.select("_id", F.col("bucket").alias("b_sql"))
+        .join(
+            b.select("_id", F.col("bucket").alias("b_col")), "_id"
+        )
+        .collect()
+    )
+    assert len(got) == 300
+    assert all(r.b_sql == r.b_col for r in got)
+    assert len({r.b_sql for r in got}) > 1  # planes actually split rows

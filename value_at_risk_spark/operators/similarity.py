@@ -94,6 +94,24 @@ def hyperplane_lsh_buckets(
     """
     rng = np.random.default_rng(seed)
     planes = rng.standard_normal((num_planes, dim))
+    if isinstance(vec_col, str):
+        # r16: one SQL parse instead of planes x dim py4j round-trips
+        # (same construction-cost argument as _cell_dists_sql; the
+        # parsed tree is the identical fold/compare expression)
+        terms = " | ".join(
+            "CAST(CASE WHEN aggregate(zip_with(`{v}`, array({arr}), "
+            "(x, y) -> CAST(x AS DOUBLE) * CAST(y AS DOUBLE)), 0.0D, "
+            "(acc, x) -> acc + x) > 0 THEN {bit} ELSE 0 END AS BIGINT)"
+            .format(
+                v=vec_col,
+                arr=", ".join(_lit_double_sql(x) for x in planes[b]),
+                bit=1 << b,
+            )
+            for b in range(num_planes)
+        )
+        return df.withColumn(
+            "bucket", F.expr(f"CAST(0 AS BIGINT) | {terms}")
+        )
     bucket = F.lit(0).cast("long")
     for b in range(num_planes):
         plane = F.array(*[F.lit(float(x)) for x in planes[b]])
@@ -267,8 +285,17 @@ def cosine_near_dup_pairs_lsh(
     DuckDB twin)."""
     cand = hyperplane_band_pairs(
         df, id_col, vec_col, dim, num_planes, num_bands, seed
+    ).localCheckpoint(eager=True)  # ids-only; feeds cand_ids + verify
+    # candidate-bounded verify (r16, the minhash_lsh_pairs pattern):
+    # vectors + norms are built only for docs that appear in some
+    # candidate pair, so the corpus projection isn't re-computed twice
+    # corpus-wide for the two join sides
+    cand_ids = (
+        cand.select(F.col("id_a").alias(id_col))
+        .union(cand.select(F.col("id_b").alias(id_col)))
+        .distinct()
     )
-    sides = df.select(
+    sides = df.join(F.broadcast(cand_ids), id_col, "left_semi").select(
         F.col(id_col),
         F.col(vec_col).alias("_v"),
         vector_norm(vec_col).alias("_n"),
