@@ -40,15 +40,6 @@ def get_spark(
         .config("spark.sql.adaptive.enabled", "true")
         .config("spark.sql.adaptive.coalescePartitions.enabled", "true")
         .config("spark.sql.adaptive.skewJoin.enabled", "true")
-        # r16 (guide §3.1/§9): let the planner pick shuffled-hash join
-        # when its size conditions hold — no sort of either side, and
-        # measured 0.63-0.89x on the join-heavy bench queries
-        # (asof 1.86->1.17s, top3 0.96->0.66s, interleaved A/B medians
-        # at sf0.1). Scale note: the build side must fit per PARTITION
-        # (bounded by shuffle partition sizing + AQE skew split), which
-        # is the same sizing discipline the shuffle already needs; SMJ
-        # remains the planner's fallback when the size conditions fail.
-        .config("spark.sql.join.preferSortMergeJoin", "false")
         .config("spark.sql.execution.arrow.pyspark.enabled", "true")
         # session default for delta column-mapping 'id' mode: requested
         # schemas carrying parquet.field.id metadata resolve by field
