@@ -182,10 +182,17 @@ def repetition_signals(
     double division of identical integers in any engine — bit-exact
     cross-engine, no rounding contract needed for the flags.
 
-    Shape: one explode emits all 9 gram sizes in one pass (~9 rows
-    per token), one (doc, n, gram) hash-agg counts, two small
-    aggregates reduce to per-(doc, n) signals, conditional
-    aggregation pivots to one row per doc. Ties for the top gram
+    Shape: the raw documents are hash-repartitioned by id FIRST (the
+    only full-width shuffle: ~1x corpus bytes), then one explode
+    emits all 9 gram sizes in one pass (~9 rows per token), one
+    (doc, n, gram) hash-agg counts, and ONE per-(doc, n) conditional
+    aggregate computes both the top-gram and the duplicated-mass
+    signal before the per-doc pivot. Every grouping key set contains
+    the doc id, so all of it runs exchange-free on the id
+    partitioning — without the up-front repartition the (doc, n,
+    gram) agg would shuffle the exploded gram STRINGS instead
+    (Σ n = 54x the corpus's token characters for n=2..10), the
+    engine's largest row-amplification shuffle. Ties for the top gram
     break to the lexicographically smallest. Docs with fewer than n
     tokens have no n-grams: their share is 0 (rule passes trivially).
 
@@ -204,7 +211,7 @@ def repetition_signals(
     base = docs.select(
         F.col(id_col).alias("_id"),
         toks.alias("_ts"),
-    ).select(
+    ).repartition("_id").select(
         "_id",
         "_ts",
         F.aggregate(
@@ -254,9 +261,14 @@ def repetition_signals(
         F.col("_cnt")
         * F.length(F.replace(F.col("_gram"), F.lit(" "), F.lit(""))),
     )
-    top = (
-        cnt.filter(F.col("_n").isin(ns_top))
-        .groupBy("_id", "_total", "_n")
+    # ONE conditional pass over the (doc, n, gram) counts computes both
+    # signal kinds — the former two-branch form (top-filter + dup-filter
+    # unioned) re-executed the whole explode+count subtree once per
+    # branch. A dup-n group whose grams are all singletons sums to NULL,
+    # exactly matching the row the dup branch used to drop (the per-doc
+    # pivot coalesces both to 0.0).
+    long = (
+        cnt.groupBy("_id", "_total", "_n")
         .agg(
             F.min(
                 F.struct(
@@ -264,25 +276,20 @@ def repetition_signals(
                     F.col("_gram").alias("g"),
                     F.col("_mass").alias("m"),
                 )
-            ).alias("_w")
+            ).alias("_w"),
+            F.sum(F.when(F.col("_cnt") >= 2, F.col("_mass"))).alias("_dm"),
         )
         .select(
             "_id",
             "_n",
-            (F.col("_w.m") / F.greatest("_total", F.lit(1))).alias("_share"),
+            (
+                F.when(F.col("_n").isin(ns_top), F.col("_w.m")).otherwise(
+                    F.col("_dm")
+                )
+                / F.greatest("_total", F.lit(1))
+            ).alias("_share"),
         )
     )
-    dup = (
-        cnt.filter(F.col("_n").isin(ns_dup) & (F.col("_cnt") >= 2))
-        .groupBy("_id", "_total", "_n")
-        .agg(F.sum("_mass").alias("_m"))
-        .select(
-            "_id",
-            "_n",
-            (F.col("_m") / F.greatest("_total", F.lit(1))).alias("_share"),
-        )
-    )
-    long = top.unionByName(dup)
     wide = long.groupBy("_id").agg(
         *[
             F.coalesce(

@@ -121,10 +121,17 @@ def theil_sen_per_group(
 
     Scale: the pair generation is a same-key self-equi-join — never a
     cartesian across groups. ``max_gap`` bounds |x2-x1|, turning the
-    O(n^2) pair count into O(n * gap) (the windowed Theil-Sen form);
-    for unbounded history sample one side's offsets (the published
-    randomized estimator). Median is Spark's exact interpolating
-    percentile, partial-aggregated per group."""
+    O(n^2) pair count into O(n * gap) (the windowed Theil-Sen form) —
+    and the join key is widened with a gap-sized bucket id (the
+    trailing_volatility bucketization): x1 < x2 <= x1 + gap pins
+    floor(x2/gap) to {floor(x1/gap), floor(x1/gap) + 1}, so the early
+    side explodes to those two bucket keys and Catalyst gets a
+    (group, bucket) equi-join whose per-task pair block is O(gap^2)
+    with parallelism over buckets, instead of a per-group O(n^2)
+    expansion serialized onto one task per group key. For unbounded
+    history sample one side's offsets (the published randomized
+    estimator). Median is Spark's exact interpolating percentile,
+    partial-aggregated per group."""
     a = df.select(
         F.col(group_col).alias("_g"),
         F.col(x_col).cast("double").alias("_xa"),
@@ -137,9 +144,25 @@ def theil_sen_per_group(
     )
     cond = F.col("_xa") < F.col("_xb")
     if max_gap is not None:
-        cond = cond & (F.col("_xb") - F.col("_xa") <= F.lit(float(max_gap)))
+        gap = float(max_gap)
+        cond = cond & (F.col("_xb") - F.col("_xa") <= F.lit(gap))
+        a = a.select(
+            "_g",
+            "_xa",
+            "_ya",
+            F.explode(
+                F.array(
+                    F.floor(F.col("_xa") / gap),
+                    F.floor(F.col("_xa") / gap) + 1,
+                )
+            ).alias("_bk"),
+        )
+        b = b.withColumn("_bk", F.floor(F.col("_xb") / gap))
+        keys = ["_g", "_bk"]
+    else:
+        keys = ["_g"]
     pairs = (
-        a.join(b, "_g")
+        a.join(b, keys)
         .filter(cond)
         .select(
             "_g",

@@ -733,6 +733,14 @@ def var_pipeline_end_to_end(spark: SparkSession, sf_dir: str) -> DataFrame:
         "1-URGENT", "2-HIGH", "3-MEDIUM", "4-NOT SPECIFIED", "5-LOW",
     ]
     filled = forward_fill_spine(daily, ["series"], "d", ["price"])
+    # ~12k rows (5 series x the business-day spine). Four consumers
+    # (volatility, fit, backtest, the bounds action) re-derive this
+    # frame, and its orders-scan + gap-fill lineage repeated 36 parquet
+    # scans / 72 Exchanges across the composed plan; one eager local
+    # checkpoint of the bounded frame collapses all of it (guide §2.4,
+    # batch-1 pattern — localCheckpoint, never persist, so every fresh
+    # queries() call recomputes from parquet).
+    filled = filled.localCheckpoint(eager=True)
     stocks = filled.select(
         F.col("series").alias("ticker"),
         F.col("d").cast("timestamp").alias("date"),
