@@ -98,7 +98,16 @@ def bpe_train(
         merges.append((a, b, n))
         seg = seg.select(
             "freq", _merge_pair_expr(F.col("sym"), a, b, a + b).alias("sym")
-        ).localCheckpoint()
+        )
+        # Checkpoint every 3rd round, not every round: the eager
+        # per-round materialization doubled the job count (12 argmax +
+        # 12 checkpoint jobs), and at vocab size the driver/job floor —
+        # not compute — dominates the round. In between, the next
+        # round's pair-count job just re-executes <=2 pending
+        # vocab-sized fold projections (same trade bpe_segment_words
+        # already makes at stride 4).
+        if len(merges) % 3 == 0:
+            seg = seg.localCheckpoint()
     return merges
 
 

@@ -880,6 +880,11 @@ def ngram_jaccard_pairs(
         .filter(F.col("_df") <= df_cap)
     )
     capped = sh.join(dfreq.select("_g"), "_g")
+    # Three consumers (sizes, both postings sides) would each re-derive
+    # the tokenize+shingle+distinct+df-prune lineage; one eager local
+    # checkpoint of the bounded capped postings (Σ min(df, cap) rows of
+    # (gram, id)) executes it once (guide §2.4, batch-1 pattern).
+    capped = capped.localCheckpoint(eager=True)
     sizes = capped.groupBy("_id").agg(F.count(F.lit(1)).alias("_sz"))
     a = capped.select(F.col("_id").alias("id_a"), "_g")
     b = capped.select(F.col("_id").alias("id_b"), "_g")

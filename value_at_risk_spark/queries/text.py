@@ -1506,6 +1506,11 @@ def decontaminate_bloom_prefilter(spark: SparkSession, sf_dir: str) -> DataFrame
         "doc_id", F.explode(F.array_distinct(shingles("text", 5))).alias("g")
     )
     bench = grams.filter(F.col("doc_id") % 17 == 0).select("g").distinct()
+    # Two consumers (the bloom fold and the exact-verify broadcast)
+    # re-derived the benchmark-side explode+distinct; checkpoint the
+    # bounded bench-gram set once (guide §2.4 — the benchmark suite is
+    # the small side by construction).
+    bench = bench.localCheckpoint(eager=True)
     bloom = build_bloom(bench, "g", num_bits=num_bits, num_hashes=k)
     candidates = (
         grams.filter(F.col("doc_id") % 17 != 0)
