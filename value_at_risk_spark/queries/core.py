@@ -1195,6 +1195,11 @@ def lsh_recall_high_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
     d = _t(spark, sf_dir, "documents")
     sigs = minhash_signatures(d, num_hashes=32, shingle_n=3)
     pairs = minhash_lsh_pairs(sigs, num_bands=16, num_hashes=32)
+    # Three consumers (both cand_ids legs + the verify join) would each
+    # re-run the 32-hash signature pipeline; checkpoint the bounded
+    # id-pair frame once (the batch-1 _lsh_verified_pairs pattern —
+    # this query predates it; plan was 24 Exchanges / 24 scans).
+    pairs = pairs.localCheckpoint(eager=True)
     # candidate-bounded verify (see minhash_lsh_pairs): shingle arrays
     # only for docs that appear in a candidate pair
     cand_ids = (

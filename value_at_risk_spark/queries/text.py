@@ -1250,9 +1250,22 @@ def incremental_dedup_new_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
     sig_b = minhash_signatures(batch, num_hashes=32, shingle_n=3)
     sig_c = minhash_signatures(corpus, num_hashes=32, shingle_n=3)
     cand = minhash_lsh_pairs_cross(sig_b, sig_c, num_bands=16, num_hashes=32)
+    # Checkpoint the bounded id-pair frame (its lineage is BOTH 32-hash
+    # signature pipelines) and build verify shingles only for docs that
+    # appear in some candidate pair — the batch-1 candidate-bounded
+    # verify pattern (this query predated it; plan was 10 parquet
+    # scans: the sh subtree re-derived per join side).
+    cand = cand.localCheckpoint(eager=True)
+    cand_ids = (
+        cand.select(F.col("id_left").alias("doc_id"))
+        .union(cand.select(F.col("id_right").alias("doc_id")))
+        .distinct()
+    )
     # short docs (<3 tokens) have no 3-shingles in the oracle — same
     # exclusion as near_dedup_survivors so both engines agree
-    sh = d.filter(F.size(tokens("text")) >= 3).select(
+    sh = d.join(F.broadcast(cand_ids), "doc_id", "left_semi").filter(
+        F.size(tokens("text")) >= 3
+    ).select(
         "doc_id",
         # xxhash64 shingle sets: same Jaccard, ~4x smaller join payload
         # (the near_dedup_survivors scale form; oracle pins equality)
