@@ -2276,6 +2276,47 @@ def test_theil_sen_robust_to_outliers(spark):
     assert abs(w[1] - 2.0) > 0.3
 
 
+def test_theil_sen_bucketized_pairs_match_direct(spark):
+    """The r16 bucketized pair join (gap-bucket equi-key, early side
+    exploded to {b, b+1}) must select the EXACT pair set of the direct
+    per-group join under the same max_gap predicate: every in-gap pair
+    appears once (no bucket-boundary duplicates, no misses). Data is
+    built to stress the boundaries: irregular x spacing, pairs landing
+    exactly ON the gap (kept: <=), just past it (dropped), and
+    same-bucket + adjacent-bucket cases across two groups."""
+    import itertools
+    import statistics
+
+    from value_at_risk_spark.model import theil_sen_per_group
+
+    gap = 10.0
+    xs = {
+        "a": [0.0, 1.0, 9.0, 10.0, 10.5, 19.0, 20.0, 21.0, 30.0, 40.0],
+        "b": [5.0, 9.9, 10.0, 15.0, 25.0, 26.0, 35.1],
+    }
+    rows = [
+        (g, x, 3.0 * x + (0.01 * i))
+        for g, vals in xs.items()
+        for i, x in enumerate(vals)
+    ]
+    df = spark.createDataFrame(rows, "g string, x double, y double")
+    got = {
+        r.g: (r.n_pairs, r.slope)
+        for r in theil_sen_per_group(
+            df, "g", "x", "y", max_gap=gap
+        ).collect()
+    }
+    for g, vals in xs.items():
+        ys = {x: y for gg, x, y in rows if gg == g}
+        slopes = [
+            (ys[x2] - ys[x1]) / (x2 - x1)
+            for x1, x2 in itertools.combinations(sorted(vals), 2)
+            if x2 - x1 <= gap
+        ]
+        assert got[g][0] == len(slopes), g
+        assert abs(got[g][1] - statistics.median(slopes)) < 1e-12, g
+
+
 def test_ks_two_sample_matches_numpy(spark, sf_dir):
     """The distributed KS statistic equals the textbook numpy
     computation on the same two samples (exact CDF evaluation at

@@ -60,12 +60,18 @@ def test_bm25_stats_broadcast_and_filter_before_shuffle(spark, sf_dir):
 
 
 def test_duplicated_ngram_spans_two_hash_aggs(spark, sf_dir):
-    """Span dedup is two grouped reductions (by gram, then by doc),
-    both hash aggregates with map-side partials — no window over an
-    unpartitioned frame, no sort-based fallback."""
+    """Span dedup's r16 one-pass form: a (gram, doc) grouped reduction,
+    cross-doc frequency as a count window PARTITIONED BY the gram key
+    (same shuffle key the old join used — one corpus pass instead of
+    two), then the per-doc reduction. The scale hazard this pins is
+    unchanged: no unpartitioned window, no second gram-stream scan."""
     p = _plan(spark, "duplicated_ngram_spans", sf_dir)
     assert p.count("HashAggregate") >= 4  # 2 aggs x partial+final
-    assert "Window" not in p
+    # exactly one window, and it is partitioned by the gram key — an
+    # empty partition spec would read windowspecdefinition(specified...
+    assert p.count("windowspecdefinition(") == 1
+    assert "windowspecdefinition(g#" in p
+    assert "windowspecdefinition(specifiedwindowframe" not in p
 
 
 def test_sq_ann_corpus_bounds_broadcast(spark, sf_dir):
