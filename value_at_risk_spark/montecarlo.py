@@ -77,12 +77,24 @@ def simulate_trials(
     """volatility (date, vol_avg, vol_cov) × trials → simulated market states.
 
     03_var_monte_carlo.py:55-87 re-expressed: cross join against the
-    seed spine (the spine is tiny → broadcast), then the vectorized
-    sampler. Output: (date, trial_id, features).
+    seed spine, then the vectorized sampler. Output:
+    (date, trial_id, features).
+
+    The SEED spine is the stream side and the volatility frame is the
+    broadcast side (r16, guide §2.6/§4 — the gbm_price_paths pattern):
+    volatility is one small-ish row per run date, but it arrives as the
+    output of an aggregation that AQE coalesces to ONE partition, so
+    keeping it on the stream side serializes the entire dates×trials
+    pandas-UDF stage onto a single task (measured 4.0-5.9 s vs 0.9-1.7 s
+    at 343 dates × 500 trials on local[32]). ``spark.range`` partitions
+    the seed spine evenly across defaultParallelism tasks, so the flip
+    parallelizes the Python stage with ZERO extra shuffle; per-row draws
+    are seeded by trial_id alone, so values are partition-independent
+    (the reproducibility contract above).
     """
     spark = volatility.sparkSession
     seeds = seed_frame(spark, runs)
-    fan = volatility.crossJoin(seeds.hint("broadcast")) if runs <= 1_000_000 else volatility.crossJoin(seeds)
+    fan = seeds.crossJoin(F.broadcast(volatility))
     return fan.select(
         date_col,
         "trial_id",
