@@ -905,3 +905,92 @@ def test_jl_projection_numpy_parity_and_distance_fold(spark):
     assert sorted(round(r.d2, 9) for r in d) == sorted(
         round(float(e), 9) for e in expect
     )
+
+
+def test_shingles_let_bound_form_parity(spark):
+    """The r16 let-binding rewrite of ``shingles``/``chunk_tokens``
+    (token array bound through a one-element-array transform so the
+    per-position lambda sees a BoundReference instead of re-evaluating
+    the regex tokenize per element — the O(tokens²) HOF hazard) must
+    be bit-identical to the direct form it replaced, across the edge
+    cases the direct form defined: empty text, all-separator text,
+    fewer tokens than n (one truncated shingle), exactly n tokens,
+    repeated runs of whitespace."""
+    from value_at_risk_spark.functions.text import (
+        chunk_tokens,
+        shingles,
+        tokens,
+    )
+
+    rows = [
+        (0, "a b c d e f g"),
+        (1, ""),
+        (2, "   "),
+        (3, "one"),
+        (4, "one two"),
+        (5, "one two three"),
+        (6, "x  y\t z   w"),
+        (7, "tok " * 200),
+    ]
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+
+    def shingles_direct(text, n):
+        toks = tokens(text)
+        idx = F.sequence(
+            F.lit(1), F.greatest(F.size(toks) - (n - 1), F.lit(1))
+        )
+        return F.transform(
+            idx, lambda i: F.concat_ws(" ", F.slice(toks, i, n))
+        )
+
+    for n in (2, 3, 5):
+        got = df.select("doc_id", shingles("text", n).alias("s")).collect()
+        exp = df.select(
+            "doc_id", shingles_direct("text", n).alias("s")
+        ).collect()
+        assert sorted(map(tuple, got)) == sorted(map(tuple, exp))
+
+    def chunks_direct(text, chunk_size, overlap):
+        stride = chunk_size - overlap
+        toks = tokens(text)
+        n_chunks = F.greatest(
+            F.ceil((F.size(toks) - F.lit(overlap)) / F.lit(stride)).cast(
+                "int"
+            ),
+            F.lit(1),
+        )
+        return F.transform(
+            F.sequence(F.lit(0), n_chunks - 1),
+            lambda i: F.struct(
+                i.cast("int").alias("chunk_id"),
+                F.concat_ws(
+                    " ", F.slice(toks, i * stride + 1, chunk_size)
+                ).alias("chunk"),
+            ),
+        )
+
+    got = df.select("doc_id", chunk_tokens("text", 8, 2).alias("c")).collect()
+    exp = df.select(
+        "doc_id", chunks_direct("text", 8, 2).alias("c")
+    ).collect()
+    assert sorted(map(tuple, got)) == sorted(map(tuple, exp))
+
+
+def test_spread_small_input_guard(spark):
+    """spread_small_input fires only when the planned parallelism is
+    below defaultParallelism, repartitions with an EXPLICIT partition
+    count (exempt from AQE's small-shuffle coalescing — the failure
+    mode that made the guard a silent no-op when first measured), and
+    never changes results."""
+    from value_at_risk_spark.operators.skew import spread_small_input
+
+    par = spark.sparkContext.defaultParallelism
+    small = spark.createDataFrame(
+        [(i, f"doc {i}") for i in range(100)], "doc_id long, text string"
+    ).coalesce(1)
+    spread = spread_small_input(small, "doc_id")
+    assert spread.rdd.getNumPartitions() == par
+    assert sorted(r.doc_id for r in spread.collect()) == list(range(100))
+
+    wide = spark.range(1000).repartition(par + 4)
+    assert spread_small_input(wide, "id") is wide  # no-op, same object

@@ -119,11 +119,28 @@ def gopher_quality_flags(text: Column | str) -> Column:
 
 
 def shingles(text: Column | str, n: int = 3) -> Column:
-    """Word n-gram shingles as strings (dedup fingerprint input)."""
-    toks = tokens(text)
-    idx = F.sequence(F.lit(1), F.greatest(F.size(toks) - (n - 1), F.lit(1)))
-    return F.transform(
-        idx, lambda i: F.concat_ws(" ", F.slice(toks, i, n))
+    """Word n-gram shingles as strings (dedup fingerprint input).
+
+    The token array is LET-BOUND through a one-element-array transform
+    before the per-position lambda uses it (r16, guide §4): a HOF
+    lambda re-evaluates every non-bound subexpression per element, so
+    referencing ``tokens(text)`` (a regex split of the whole document)
+    directly inside the position lambda costs O(tokens²) regex work
+    per doc — measured 4.1 s → 0.45 s on the sf0.1 corpus for the bare
+    shingle projection, bit-identical output. A lambda-bound variable
+    is a BoundReference (O(1) per use); the outer transform's input
+    array is evaluated once per row.
+    """
+    return F.flatten(
+        F.transform(
+            F.array(tokens(text)),
+            lambda ts: F.transform(
+                F.sequence(
+                    F.lit(1), F.greatest(F.size(ts) - (n - 1), F.lit(1))
+                ),
+                lambda i: F.concat_ws(" ", F.slice(ts, i, n)),
+            ),
+        )
     )
 
 
@@ -142,21 +159,27 @@ def chunk_tokens(
     if overlap >= chunk_size:
         raise ValueError("chunk_tokens: overlap must be < chunk_size")
     stride = chunk_size - overlap
-    toks = tokens(text)
-    n_chunks = F.greatest(
-        F.ceil((F.size(toks) - F.lit(overlap)) / F.lit(stride)).cast("int"),
-        F.lit(1),
-    )
-    idx = F.sequence(F.lit(0), n_chunks - 1)
-    return F.transform(
-        idx,
-        lambda i: F.struct(
-            i.cast("int").alias("chunk_id"),
-            F.concat_ws(
-                " ", F.slice(toks, i * stride + 1, chunk_size)
-            ).alias("chunk"),
-        ),
-    )
+
+    # token array let-bound via a one-element-array transform (r16):
+    # same O(tokens²)-lambda hazard and fix as ``shingles``
+    def _chunks(ts: Column) -> Column:
+        n_chunks = F.greatest(
+            F.ceil((F.size(ts) - F.lit(overlap)) / F.lit(stride)).cast(
+                "int"
+            ),
+            F.lit(1),
+        )
+        return F.transform(
+            F.sequence(F.lit(0), n_chunks - 1),
+            lambda i: F.struct(
+                i.cast("int").alias("chunk_id"),
+                F.concat_ws(
+                    " ", F.slice(ts, i * stride + 1, chunk_size)
+                ).alias("chunk"),
+            ),
+        )
+
+    return F.flatten(F.transform(F.array(tokens(text)), _chunks))
 
 
 # Gopher repetition thresholds (Rae et al. 2021, Appendix A): max

@@ -51,7 +51,18 @@ def minhash_signatures(
     min-aggregates in one hash-agg pass over the exploded
     (doc, shingle-hash) rows. Linear in docs × tokens; partial
     (map-side) aggregation keeps the shuffle at docs × k longs.
+
+    The input is ``spread_small_input``-guarded (r16, guide §2.5):
+    the tokenize + shingle + k-hash work runs in the SCAN stage, so a
+    single-split input (small fixture parquet, unsplittable file)
+    serializes the whole hash family onto one task; the guard
+    repartitions by id only in that case (no-op on a real corpus,
+    where the scan is already parallel and the post-partial-agg
+    exchange of docs × k longs stays the only shuffle).
     """
+    from value_at_risk_spark.operators.skew import spread_small_input
+
+    df = spread_small_input(df, id_col)
     toks = tokens(text_col)
     # materialize the token-hash array in its own projection: inlining it
     # into the shingle transform would re-evaluate the whole array per
@@ -273,7 +284,13 @@ def simhash(
     For each bit position, vote +1/-1 by the token-hash bit; fingerprint
     bit = sign of the vote sum. Near-dups differ in few bits (Hamming).
     Pure higher-order functions; xxhash64 is a JVM intrinsic.
+    Input spread-guarded like ``minhash_signatures`` (r16, guide §2.5):
+    the 64-conditional-sum partial agg runs in the scan stage, so a
+    single-split input serializes it onto one task.
     """
+    from value_at_risk_spark.operators.skew import spread_small_input
+
+    df = spread_small_input(df, id_col)
     def _mask(b: int) -> int:
         # bit 63 is the sign bit of a 64-bit long
         return (1 << b) if b < 63 else -(1 << 63)

@@ -107,3 +107,45 @@ def salted_join(
     )
     out = salted_fact.join(replicated_dim, [*on, "_salt"], how)
     return out.drop("_salt")
+
+
+def spread_small_input(df: DataFrame, *cols: str) -> DataFrame:
+    """Hash-repartition ``df`` by ``cols`` ONLY when its planned
+    parallelism is below the session's ``defaultParallelism`` — the
+    guide §2.5 "input skew" remedy (one huge unsplittable file, or a
+    small fixture parquet whose single row group is one split):
+    repartition immediately after the read so expensive per-row work
+    (hash families, shingle explodes, content-defined chunk slicing)
+    runs on every core instead of the scan's task count.
+
+    Scale contract: on a real corpus the scan already has >= cores
+    splits, the condition never fires, and the plan is IDENTICAL to
+    the un-spread form — this is not a local-mode tuning constant but
+    a guard that only pays a (input-sized, one-pass) shuffle when the
+    input's own layout under-parallelizes the job. The decision reads
+    the planned RDD partition count driver-side; no job runs.
+
+    ``SPARK_GRAFT_NO_SPREAD=1`` disables the spread (measurement hook
+    for interleaved A/Bs; also documents that results are identical
+    either way — every caller's downstream grouping carries the same
+    keys regardless of partitioning).
+    """
+    import os
+
+    if os.environ.get("SPARK_GRAFT_NO_SPREAD") == "1":
+        return df
+    try:
+        nparts = df.rdd.getNumPartitions()
+        target = df.sparkSession.sparkContext.defaultParallelism
+    except Exception:  # pragma: no cover — never sink the caller
+        return df
+    if nparts >= target:
+        return df
+    # EXPLICIT partition count: repartition(*cols) alone leaves the
+    # number to AQE, which coalesces a kilobyte-scale shuffle right
+    # back to ONE post-shuffle partition (advisoryPartitionSizeInBytes
+    # ≫ input bytes) — re-serializing exactly the stage this guard
+    # exists to spread (measured: identical wall with/without the
+    # guard until the count was pinned). A user-specified count is
+    # exempt from AQE coalescing.
+    return df.repartition(target, *cols)

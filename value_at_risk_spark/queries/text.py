@@ -515,8 +515,13 @@ def doc_fingerprints_rolling(spark: SparkSession, sf_dir: str) -> DataFrame:
     function, so the portable choice costs nothing semantically (at
     100 TB you'd keep xxhash64 for speed; same plan)."""
     from value_at_risk_spark.functions.text import shingles
+    from value_at_risk_spark.operators.skew import spread_small_input
 
-    d = _t(spark, sf_dir, "documents")
+    # md5-per-shingle runs in the scan stage: spread-guard the
+    # single-split fixture scan (r16, guide §2.5). When the guard
+    # fires, the doc_id partitioning also satisfies the bottom-k
+    # window below, so no second exchange appears.
+    d = spread_small_input(_t(spark, sf_dir, "documents"), "doc_id")
     sh = d.select(
         "doc_id", F.explode(shingles("text", 5)).alias("_s")
     ).select("doc_id", F.md5("_s").alias("_h"))
@@ -548,6 +553,7 @@ def _lsh_verified_pairs(d: DataFrame, threshold: float = 0.8) -> DataFrame:
     signatures. localCheckpoint (RDD-identity), never persist (plan-
     matching cache) — a fresh call recomputes from the source."""
     from value_at_risk_spark.functions.text import shingles, tokens
+    from value_at_risk_spark.operators.skew import spread_small_input
 
     sigs = minhash_signatures(d, num_hashes=32, shingle_n=3)
     pairs = minhash_lsh_pairs(
@@ -562,8 +568,13 @@ def _lsh_verified_pairs(d: DataFrame, threshold: float = 0.8) -> DataFrame:
     # len(ts) >= 3) but ONE truncated shingle from shingles() — exclude
     # them so the inner joins below drop candidate pairs touching a
     # short doc (both engines then agree on every fixture).
+    # spread-guard (r16, guide §2.5): the candidate docs' tokenize +
+    # shingle + array_distinct + xxhash64 runs in the scan stage (the
+    # semi-join is broadcast), so a single-split input serializes it
     sh = (
-        d.join(F.broadcast(cand_ids), "doc_id", "left_semi")
+        spread_small_input(
+            d.join(F.broadcast(cand_ids), "doc_id", "left_semi"), "doc_id"
+        )
         .filter(F.size(tokens("text")) >= 3)
         .select(
             "doc_id",
@@ -1334,8 +1345,14 @@ def decontaminate_training_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
     anything. At 100 TB swap the broadcast for a bloom filter of the
     benchmark grams and keep the same plan."""
     from value_at_risk_spark.functions.text import shingles
+    from value_at_risk_spark.operators.skew import spread_small_input
 
     d = _t(spark, sf_dir, "documents")
+    # the gram build (tokenize + 5-shingle + distinct + xxhash64) runs
+    # in the scan stage and executes TWICE (bench-set build + training
+    # stream): spread-guard the single-split fixture scan so both
+    # passes parallelize (r16, guide §2.5; no-op on a parallel scan)
+    d = spread_small_input(d, "doc_id")
     # xxhash64 gram keys: the broadcast set and the count-distinct
     # shuffle carry 8-byte longs, not 5-gram strings (oracle-equal)
     grams = d.select(
@@ -1975,8 +1992,12 @@ def cdc_chunk_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
     co-partitioned shuffle join — the id->source map is corpus-sized,
     never broadcastable)."""
     from value_at_risk_spark.operators.dedup import content_defined_chunks
+    from value_at_risk_spark.operators.skew import spread_small_input
 
-    d = _t(spark, sf_dir, "documents")
+    # the sliding-window boundary hash + chunk slicing is the scan
+    # stage's per-row work: spread-guard the single-split fixture scan
+    # (r16, guide §2.5; no-op on a parallel corpus scan)
+    d = spread_small_input(_t(spark, sf_dir, "documents"), "doc_id")
     ch = content_defined_chunks(d).join(
         d.select("doc_id", "source"), "doc_id"
     )

@@ -158,8 +158,13 @@ def minhash_signatures_md5(spark: SparkSession, sf_dir: str) -> DataFrame:
     8 min-aggregates ride ONE hash-agg with map-side partials — the
     shuffle carries docs × 8 longs."""
     from value_at_risk_spark.functions.text import shingles, tokens
+    from value_at_risk_spark.operators.skew import spread_small_input
 
-    d = _t(spark, sf_dir, "documents")
+    # 8 md5(s || '#i') evaluations per shingle row run in the SCAN
+    # stage; spread-guard the single-split fixture scan so the hash
+    # family parallelizes (r16, guide §2.5 — no-op on a parallel scan;
+    # measured 7.2 s -> see OPTIMIZATION_r16.md)
+    d = spread_small_input(_t(spark, sf_dir, "documents"), "doc_id")
     sh = (
         d.filter(F.size(tokens("text")) >= 3)
         .select(
@@ -245,7 +250,14 @@ def minhash_lsh_pairs_q(spark: SparkSession, sf_dir: str) -> DataFrame:
         .union(pairs.select(F.col("id_b").alias("doc_id")))
         .distinct()
     )
-    sh = d.join(F.broadcast(cand_ids), "doc_id", "left_semi").select(
+    # spread-guard (r16, guide §2.5): the candidate shingle-array
+    # build runs in the scan stage (broadcast semi-join) — parallelize
+    # it when the input is single-split (no-op on a parallel scan)
+    from value_at_risk_spark.operators.skew import spread_small_input
+
+    sh = spread_small_input(
+        d.join(F.broadcast(cand_ids), "doc_id", "left_semi"), "doc_id"
+    ).select(
         "doc_id", F.array_distinct(shingles("text", 3)).alias("sh")
     )
     a = sh.select(F.col("doc_id").alias("id_a"), F.col("sh").alias("sh_a"))
