@@ -5411,3 +5411,35 @@ def test_hyperplane_buckets_sql_text_parity(spark, sf_dir):
     assert len(got) == 300
     assert all(r.b_sql == r.b_col for r in got)
     assert len({r.b_sql for r in got}) > 1  # planes actually split rows
+
+
+def test_pq_decode_sql_text_parity(spark):
+    """The r16 SQL-text construction of the PQ reconstruction
+    (_pq_decode_sql via F.expr — one parse instead of m·ksub·sub py4j
+    round-trips, ~1.0 s -> ~6 ms of driver time per build) is
+    BIT-IDENTICAL to the Column-API builder it replaced, on an
+    adversarial codebook (subnormal-ish, large, and negative scales
+    per subspace) — string codes column -> SQL path, Column object ->
+    legacy path, exact double equality per component."""
+    import numpy as np
+
+    from value_at_risk_spark.operators.similarity import pq_decode_expr
+
+    rng = np.random.default_rng(7)
+    cb = (
+        rng.standard_normal((4, 16, 16))
+        * np.array([1e-7, 1.0, 1e3, -1.0]).reshape(4, 1, 1)
+    ).tolist()
+    codes = spark.range(500).select(
+        F.col("id").alias("vec_id"),
+        F.array(
+            *[(F.col("id") * (i + 3) % 16).cast("int") for i in range(4)]
+        ).alias("codes"),
+    )
+    got = codes.select(
+        pq_decode_expr(cb).alias("sqlform"),
+        pq_decode_expr(cb, F.col("codes")).alias("colform"),
+    ).collect()
+    assert len(got) == 500
+    for r in got:
+        assert list(r.sqlform) == list(r.colform)

@@ -1807,10 +1807,47 @@ def pq_encode(
     return df.select(F.col(id_col), codes.alias("codes"))
 
 
-def pq_decode_expr(codebooks: list[list[list[float]]], codes_col: str = "codes"):
+def _array2_sql(mat) -> str:
+    """SQL text of a 2-D float matrix as nested array literals — the
+    same bit-exact ``_lit_double_sql`` round-trip the cell-ranking
+    text builder uses."""
+    return "array({})".format(
+        ", ".join(
+            "array({})".format(
+                ", ".join(_lit_double_sql(x) for x in row)
+            )
+            for row in mat
+        )
+    )
+
+
+def _pq_decode_sql(
+    codebooks: list[list[list[float]]], codes_col: str = "codes"
+) -> str:
+    """SQL text of the PQ reconstruction (see ``pq_decode_expr``)."""
+    parts = ", ".join(
+        "element_at({cb}, element_at(`{c}`, {j}) + 1)".format(
+            cb=_array2_sql(codebooks[m]), c=codes_col, j=m + 1
+        )
+        for m in range(len(codebooks))
+    )
+    return f"concat({parts})"
+
+
+def pq_decode_expr(codebooks: list[list[list[float]]], codes_col="codes"):
     """Reconstruction expression: concatenate each subspace's centroid
     for the stored code — codebooks enter the plan as literal arrays
-    (broadcast with the plan, tiny), lookup is ``element_at``."""
+    (broadcast with the plan, tiny), lookup is ``element_at``.
+
+    r16: for string column names the m·ksub·sub literal tree is built
+    as ONE SQL string (the ``_cell_dists_sql`` construction-cost
+    argument — ~1,000 ``F.lit`` py4j round-trips measured ~0.6 s of
+    pure driver time PER build, and pq/ivfpq/opq queries build it
+    twice per call); identical values, parity pytest-pinned
+    (test_pq_decode_sql_text_parity). Column-object callers keep the
+    legacy builder."""
+    if isinstance(codes_col, str):
+        return F.expr(_pq_decode_sql(codebooks, codes_col))
     cb_lits = [
         F.array(
             *[
@@ -1823,7 +1860,7 @@ def pq_decode_expr(codebooks: list[list[list[float]]], codes_col: str = "codes")
     return F.concat(
         *[
             F.element_at(
-                cb_lits[j], F.element_at(F.col(codes_col), j + 1) + 1
+                cb_lits[j], F.element_at(codes_col, j + 1) + 1
             )
             for j in range(len(codebooks))
         ]
@@ -1990,16 +2027,19 @@ def ivfpq_topk(
     candidate is 1 + m small ints — never the float vectors."""
     n_cells = len(centroids)
     nprobe = min(nprobe, n_cells)
-    cents_lit = F.array(
-        *[F.array(*[F.lit(float(x)) for x in c]) for c in centroids]
-    )
+    # r16: whole reconstruction (cell centroid + decoded residual) as
+    # ONE SQL string — the ncells·dim + m·ksub·sub literal tree
+    # otherwise costs ~1,500 py4j round-trips of driver time per build
+    # (same argument and parity contract as pq_decode_expr)
     decoded = codes_df.select(
         F.col(corpus_id).alias("neighbor_id"),
         F.col("_cell"),
-        F.zip_with(
-            F.element_at(cents_lit, F.col("_cell") + 1),
-            pq_decode_expr(codebooks),
-            lambda a, b: a + b,
+        F.expr(
+            "zip_with(element_at({cents}, `_cell` + 1), {dec}, "
+            "(a, b) -> a + b)".format(
+                cents=_array2_sql(centroids),
+                dec=_pq_decode_sql(codebooks),
+            )
         ).alias("_cv"),
     ).withColumn("_cn", vector_norm("_cv"))
 
