@@ -231,10 +231,33 @@ def repetition_signals(
     toks = F.filter(
         F.split(F.lower(F.col(text_col)), r"\s+"), lambda t: t != ""
     )
-    base = docs.select(
+    # The up-front id repartition is UNCONDITIONAL (it replaces the
+    # Σn = 54× gram-string shuffle — see the docstring), but when the
+    # input is single-split the partition count must be pinned
+    # explicitly: AQE's coalescer has a 1 MB minPartitionSize floor,
+    # so a count-less repartition of a kilobyte-scale corpus collapses
+    # right back to ONE post-shuffle partition and the whole 9-gram
+    # explode+agg runs on one task (r16; measured 5.5 s vs 2.4 s at
+    # sf0.1). On a parallel scan the count-less form stands and AQE
+    # right-sizes it.
+    try:
+        _pin = (
+            docs.rdd.getNumPartitions()
+            < docs.sparkSession.sparkContext.defaultParallelism
+        )
+    except Exception:  # pragma: no cover — never sink the caller
+        _pin = False
+    _projected = docs.select(
         F.col(id_col).alias("_id"),
         toks.alias("_ts"),
-    ).repartition("_id").select(
+    )
+    base = (
+        _projected.repartition(
+            docs.sparkSession.sparkContext.defaultParallelism, "_id"
+        )
+        if _pin
+        else _projected.repartition("_id")
+    ).select(
         "_id",
         "_ts",
         F.aggregate(

@@ -161,6 +161,16 @@ def theil_sen_per_group(
         keys = ["_g", "_bk"]
     else:
         keys = ["_g"]
+    # Pin the join-side partition count to spark.sql.shuffle.partitions
+    # (r16): the pair join EXPANDS O(gap) per input row, so AQE —
+    # which sizes the exchange from its INPUT bytes — under-
+    # parallelizes the expansion at every scale (its 1 MB floor
+    # collapsed the whole O(gap²)-per-bucket block onto ONE task at
+    # bench scale: 4.0 s vs 2.5 s). An explicit count is AQE-exempt;
+    # co-partitioned sides add no extra exchange to the join.
+    n_exch = int(df.sparkSession.conf.get("spark.sql.shuffle.partitions"))
+    a = a.repartition(n_exch, *keys)
+    b = b.repartition(n_exch, *keys)
     pairs = (
         a.join(b, keys)
         .filter(cond)

@@ -872,21 +872,30 @@ def ngram_jaccard_pairs(
     a CONSTANT cap (the same scale contract as the TF-IDF leg). Docs
     with fewer than ``n`` tokens have an empty shingle set and join
     nothing. Output: (id_a, id_b, jaccard)."""
-    ts = tokens(text_col)
+    # token array LET-BOUND through a one-element-array transform
+    # (r16, the ``shingles`` fix): referencing tokens(text) directly
+    # inside the per-position lambda re-evaluates the regex split per
+    # shingle — O(tokens²) per doc. Values identical (the when/
+    # otherwise short-doc sentinel moves inside the bound lambda).
+    sh_arr = F.flatten(
+        F.transform(
+            F.array(tokens(text_col)),
+            lambda t: F.when(
+                F.size(t) >= n,
+                F.transform(
+                    F.sequence(F.lit(1), F.size(t) - n + 1),
+                    lambda i: F.concat_ws(" ", F.slice(t, i, n)),
+                ),
+            ).otherwise(F.array(F.lit(None).cast("string"))),
+        )
+    )
+    from value_at_risk_spark.operators.skew import spread_small_input
+
     sh = (
-        docs.select(
+        spread_small_input(docs, id_col)
+        .select(
             F.col(id_col).cast("long").alias("_id"),
-            F.explode(
-                F.when(
-                    F.size(ts) >= n,
-                    F.transform(
-                        F.sequence(F.lit(1), F.size(ts) - n + 1),
-                        lambda i: F.concat_ws(
-                            " ", F.slice(ts, i, n)
-                        ),
-                    ),
-                ).otherwise(F.array(F.lit(None).cast("string")))
-            ).alias("_g"),
+            F.explode(sh_arr).alias("_g"),
         )
         .filter(F.col("_g").isNotNull())
         .distinct()
