@@ -5443,3 +5443,40 @@ def test_pq_decode_sql_text_parity(spark):
     assert len(got) == 500
     for r in got:
         assert list(r.sqlform) == list(r.colform)
+
+
+def test_lit_double_sql_nonfinite_and_backticks(spark):
+    """r17 ADVICE hardening of the SQL-text builders: non-finite
+    doubles render as CAST('NaN'/'Infinity' AS DOUBLE) (repr would
+    emit 'nanD', a lexer error), matching the F.lit path the text
+    form replaced; and _pq_decode_sql escapes backticks in string
+    column names."""
+    import math
+
+    from value_at_risk_spark.operators.similarity import (
+        _lit_double_sql,
+        _pq_decode_sql,
+    )
+
+    row = spark.range(1).select(
+        F.expr(_lit_double_sql(float("nan"))).alias("nan_sql"),
+        F.expr(_lit_double_sql(float("inf"))).alias("inf_sql"),
+        F.expr(_lit_double_sql(float("-inf"))).alias("ninf_sql"),
+        F.expr(_lit_double_sql(0.1)).alias("finite_sql"),
+        F.lit(float("nan")).alias("nan_lit"),
+        F.lit(float("inf")).alias("inf_lit"),
+    ).collect()[0]
+    assert math.isnan(row.nan_sql) and math.isnan(row.nan_lit)
+    assert row.inf_sql == row.inf_lit == float("inf")
+    assert row.ninf_sql == float("-inf")
+    assert row.finite_sql == 0.1
+    cb = [[[1.0, 2.0], [3.0, 4.0]]]
+    weird = spark.range(3).select(
+        F.array(F.col("id").cast("int") % 2).alias("od`d")
+    )
+    got = weird.select(
+        F.expr(_pq_decode_sql(cb, "od`d")).alias("dec")
+    ).collect()
+    assert [list(r.dec) for r in got] == [
+        [1.0, 2.0], [3.0, 4.0], [1.0, 2.0]
+    ]

@@ -1,10 +1,11 @@
-"""Capture .explain('formatted') output for bench queries (r16 opt round).
+"""Capture .explain('formatted') output for bench queries (opt rounds).
 
 Usage: python tools/capture_plans.py <suffix> [query ...]
-Writes plans/r16/<query>_<suffix>.txt for each query (default: the
-headline BENCH_QUERIES list). Explain is driver-side; queries whose
-construction runs eager fit jobs (ANN families) still run those jobs,
-so this is not free — but nothing here is timed.
+Writes plans/$SPARK_GRAFT_PLAN_DIR (default r17)/<query>_<suffix>.txt
+for each query (default: the headline BENCH_QUERIES list). Explain is
+driver-side; queries whose construction runs eager fit jobs (ANN
+families) still run those jobs, so this is not free — but nothing here
+is timed.
 """
 
 from __future__ import annotations
@@ -28,7 +29,7 @@ def main() -> None:
     out_dir = os.path.join(
         os.path.dirname(os.path.dirname(os.path.abspath(__file__))),
         "plans",
-        "r16",
+        os.environ.get("SPARK_GRAFT_PLAN_DIR", "r17"),
     )
     os.makedirs(out_dir, exist_ok=True)
     spark = get_spark("capture-plans")

@@ -168,7 +168,15 @@ def theil_sen_per_group(
     # collapsed the whole O(gap²)-per-bucket block onto ONE task at
     # bench scale: 4.0 s vs 2.5 s). An explicit count is AQE-exempt;
     # co-partitioned sides add no extra exchange to the join.
-    n_exch = int(df.sparkSession.conf.get("spark.sql.shuffle.partitions"))
+    # Guarded parse (r17, ADVICE): some runtimes set a non-numeric
+    # value (e.g. "auto") — fall back to defaultParallelism instead of
+    # turning a tuning hint into a hard failure.
+    try:
+        n_exch = int(
+            df.sparkSession.conf.get("spark.sql.shuffle.partitions")
+        )
+    except (TypeError, ValueError):
+        n_exch = df.sparkSession.sparkContext.defaultParallelism
     a = a.repartition(n_exch, *keys)
     b = b.repartition(n_exch, *keys)
     pairs = (

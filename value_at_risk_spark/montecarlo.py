@@ -204,12 +204,16 @@ def context_var_demo(
         "instrument string, s0 double, mu double, sigma double",
     )
     paths = gbm_price_paths(inst, n_paths, days)
-    # two actions consume this (VaR percentile, then tail mean) — cache
-    # the tiny terminal frame so the path UDF runs once
+    # two actions consume this (VaR percentile, then tail mean) —
+    # materialize the tiny terminal frame so the path UDF runs once.
+    # localCheckpoint, never cache/persist (r17): Spark's CacheManager
+    # matches PLAN FRAGMENTS, so a cached frame from run 1 would
+    # silently serve a same-session run 2; checkpoint blocks are tied
+    # to this DataFrame's RDD identity, so every fresh call recomputes
     terminal = paths.select(
         "instrument",
         (F.element_at("prices", days) / F.lit(s0) - 1.0).alias("ret"),
-    ).cache()
+    ).localCheckpoint(eager=True)
     p = (100.0 - confidence) / 100.0
     v = terminal.groupBy("instrument").agg(
         F.percentile("ret", p).alias("var")

@@ -115,9 +115,25 @@ def pagerank(
     if broadcast_ranks:
         deg = F.broadcast(deg)
     nn = nodes.agg(F.count(F.lit(1)).cast("double").alias("_n"))
+    if materialize_edges and not persist_edges:
+        # the 1-row count is re-derived once per iteration otherwise
+        # (one nodes-agg Exchange + broadcast per reference)
+        nn = nn.localCheckpoint(eager=True)
     ranks = nodes.crossJoin(F.broadcast(nn)).select(
         "node", (F.lit(1.0) / F.col("_n")).alias("r")
     )
+    # ONE shuffle per iteration (r17, guide §2.4): instead of
+    # rebuilding ranks with a node-sized ``nodes ⟕ incoming`` join
+    # (two Exchanges + two Sorts per iteration), a zero contribution
+    # row per node rides the SAME grouped sum that already aggregates
+    # the edge contributions — every node then appears in the sum
+    # (no-in-edge nodes sum to exactly 0.0, the value the old
+    # left-join's coalesce produced; x + 0.0 is exact for the
+    # non-negative contributions), so the teleport floor applies in
+    # the post-aggregation projection with no join at all. The only
+    # per-iteration shuffle left is the map-side-combined contribution
+    # sum, keyed on node.
+    zeros = nodes.select("node", F.lit(0.0).alias("_c"))
     for i in range(iters):
         rhs = F.broadcast(ranks) if broadcast_ranks else ranks
         contrib = (
@@ -125,18 +141,15 @@ def pagerank(
             .join(deg, src)
             .select(F.col(dst).alias("node"), (F.col("r") / F.col("_od")).alias("_c"))
         )
-        incoming = contrib.groupBy("node").agg(F.sum("_c").alias("_s"))
-        # left join keeps nodes with no in-edges at the teleport floor
-        ranks = (
-            nodes.join(incoming, "node", "left")
-            .crossJoin(F.broadcast(nn))
-            .select(
-                "node",
-                (
-                    F.lit(1.0 - damping) / F.col("_n")
-                    + F.lit(damping) * F.coalesce(F.col("_s"), F.lit(0.0))
-                ).alias("r"),
-            )
+        incoming = contrib.unionByName(zeros).groupBy("node").agg(
+            F.sum("_c").alias("_s")
+        )
+        ranks = incoming.crossJoin(F.broadcast(nn)).select(
+            "node",
+            (
+                F.lit(1.0 - damping) / F.col("_n")
+                + F.lit(damping) * F.col("_s")
+            ).alias("r"),
         )
         if checkpoint_every and (i + 1) % checkpoint_every == 0:
             ranks = ranks.localCheckpoint(eager=True)
@@ -209,6 +222,14 @@ def personalized_pagerank(
     if materialize_edges:
         tele = tele.localCheckpoint(eager=True)
     ranks = tele.select("node", F.col("t").alias("r"))
+    # ONE shuffle per iteration (r17, the pagerank rewrite): the
+    # teleport table rides the contribution sum as zero rows that
+    # also CARRY t — contributions carry a null t, so max(t) per node
+    # recovers each node's single teleport value exactly and the
+    # ``tele ⟕ incoming`` rebuild join (2 Exchanges + 2 Sorts per
+    # iteration) disappears. No-in-edge nodes sum to exactly 0.0, the
+    # old coalesce value.
+    zeros = tele.select("node", "t", F.lit(0.0).alias("_c"))
     for _ in range(iters):
         rhs = F.broadcast(ranks) if broadcast_ranks else ranks
         contrib = (
@@ -216,15 +237,18 @@ def personalized_pagerank(
             .join(deg, src)
             .select(
                 F.col(dst).alias("node"),
+                F.lit(None).cast("double").alias("t"),
                 (F.col("r") / F.col("_od")).alias("_c"),
             )
         )
-        incoming = contrib.groupBy("node").agg(F.sum("_c").alias("_s"))
-        ranks = tele.join(incoming, "node", "left").select(
+        incoming = contrib.unionByName(zeros).groupBy("node").agg(
+            F.max("t").alias("t"), F.sum("_c").alias("_s")
+        )
+        ranks = incoming.select(
             "node",
             (
                 F.lit(1.0 - damping) * F.col("t")
-                + F.lit(damping) * F.coalesce(F.col("_s"), F.lit(0.0))
+                + F.lit(damping) * F.col("_s")
             ).alias("r"),
         )
     return ranks

@@ -1244,8 +1244,21 @@ def _lit_double_sql(x) -> str:
     """A python float as a Spark SQL DOUBLE literal. ``repr`` emits the
     shortest round-trip decimal string and the SQL lexer's D-suffixed
     literal parses with Java's Double.parseDouble (nearest-double) —
-    so the parsed constant is BIT-IDENTICAL to ``F.lit(float(x))``."""
-    return repr(float(x)) + "D"
+    so the parsed constant is BIT-IDENTICAL to ``F.lit(float(x))``.
+
+    Non-finite values (r17, ADVICE): ``repr`` would emit ``nanD`` /
+    ``infD``, which the SQL lexer rejects — emit the CAST-from-string
+    form instead, which parses to the same double ``F.lit`` builds
+    (centroids over embeddings containing NaN must not break the
+    SQL-text path the Column-API path handled)."""
+    v = float(x)
+    if v != v:
+        return "CAST('NaN' AS DOUBLE)"
+    if v == float("inf"):
+        return "CAST('Infinity' AS DOUBLE)"
+    if v == float("-inf"):
+        return "CAST('-Infinity' AS DOUBLE)"
+    return repr(v) + "D"
 
 
 def _cell_dists_sql(col_sql: str, centroids) -> str:
@@ -1825,9 +1838,13 @@ def _pq_decode_sql(
     codebooks: list[list[list[float]]], codes_col: str = "codes"
 ) -> str:
     """SQL text of the PQ reconstruction (see ``pq_decode_expr``)."""
+    # String names are treated as ONE top-level column (backticks
+    # escaped — r17, ADVICE); callers needing nested fields pass a
+    # Column to pq_decode_expr and take the legacy builder.
+    c_sql = codes_col.replace("`", "``")
     parts = ", ".join(
         "element_at({cb}, element_at(`{c}`, {j}) + 1)".format(
-            cb=_array2_sql(codebooks[m]), c=codes_col, j=m + 1
+            cb=_array2_sql(codebooks[m]), c=c_sql, j=m + 1
         )
         for m in range(len(codebooks))
     )

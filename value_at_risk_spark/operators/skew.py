@@ -122,8 +122,16 @@ def spread_small_input(df: DataFrame, *cols: str) -> DataFrame:
     splits, the condition never fires, and the plan is IDENTICAL to
     the un-spread form — this is not a local-mode tuning constant but
     a guard that only pays a (input-sized, one-pass) shuffle when the
-    input's own layout under-parallelizes the job. The decision reads
-    the planned RDD partition count driver-side; no job runs.
+    input's own layout under-parallelizes the job.
+
+    CALLER CONTRACT (r17, ADVICE): pass a SCAN-ONLY frame. The probe
+    reads the planned RDD partition count via ``df.rdd``, which on a
+    plan containing exchanges makes AQE eagerly execute its
+    shuffle/broadcast query stages (getFinalPhysicalPlan) — a real,
+    throwaway job whose results the later execution does not reuse.
+    On a scan-only plan there are no query stages and no job runs.
+    Every in-repo call site guards the raw scan and joins afterwards
+    (a broadcast join preserves the spread's partitioning).
 
     ``SPARK_GRAFT_NO_SPREAD=1`` disables the spread (measurement hook
     for interleaved A/Bs; also documents that results are identical

@@ -570,11 +570,16 @@ def _lsh_verified_pairs(d: DataFrame, threshold: float = 0.8) -> DataFrame:
     # short doc (both engines then agree on every fixture).
     # spread-guard (r16, guide §2.5): the candidate docs' tokenize +
     # shingle + array_distinct + xxhash64 runs in the scan stage (the
-    # semi-join is broadcast), so a single-split input serializes it
+    # semi-join is broadcast), so a single-split input serializes it.
+    # Guard the RAW SCAN, not the joined frame (r17, ADVICE): probing
+    # .rdd on a plan containing exchanges makes AQE eagerly execute
+    # its query stages — at this site that ran the broadcast collect
+    # (and the candidate-distinct above it) as a throwaway job. The
+    # scan-only probe runs no job, and the broadcast semi-join
+    # preserves the spread's partitioning.
     sh = (
-        spread_small_input(
-            d.join(F.broadcast(cand_ids), "doc_id", "left_semi"), "doc_id"
-        )
+        spread_small_input(d, "doc_id")
+        .join(F.broadcast(cand_ids), "doc_id", "left_semi")
         .filter(F.size(tokens("text")) >= 3)
         .select(
             "doc_id",

@@ -252,11 +252,15 @@ def minhash_lsh_pairs_q(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     # spread-guard (r16, guide §2.5): the candidate shingle-array
     # build runs in the scan stage (broadcast semi-join) — parallelize
-    # it when the input is single-split (no-op on a parallel scan)
+    # it when the input is single-split (no-op on a parallel scan).
+    # Guard the RAW SCAN, not the joined frame (r17, ADVICE): .rdd on
+    # a joined plan makes AQE eagerly run its broadcast/shuffle query
+    # stages as a throwaway job; the scan-only probe runs none, and
+    # the broadcast semi-join preserves the spread's partitioning.
     from value_at_risk_spark.operators.skew import spread_small_input
 
-    sh = spread_small_input(
-        d.join(F.broadcast(cand_ids), "doc_id", "left_semi"), "doc_id"
+    sh = spread_small_input(d, "doc_id").join(
+        F.broadcast(cand_ids), "doc_id", "left_semi"
     ).select(
         "doc_id", F.array_distinct(shingles("text", 3)).alias("sh")
     )
