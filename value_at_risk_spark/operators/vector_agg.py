@@ -74,6 +74,7 @@ def vector_mean_cov(
     vec_col: str,
     mean_col: str = "vol_avg",
     cov_col: str = "vol_cov",
+    count_col: str | None = None,
 ) -> DataFrame:
     """Column-wise mean + sample covariance matrix of array rows per group.
 
@@ -81,6 +82,14 @@ def vector_mean_cov(
     (utils/var_udf.py:44-54; pandas ``.cov()`` ⇒ ddof=1 ⇒ covar_samp,
     SURVEY §7.3). Cross-pairs each row's positions (dim² per row) then
     avg / covar_samp by (keys, i, j); reassembles the matrix sorted.
+
+    ``count_col`` (r17, opt-in): additionally emit the per-group input
+    ROW count, riding the same aggregation pass — each (keys, i, j)
+    cell sees every input row exactly once, so its count IS the row
+    count and min over cells propagates it. Callers that previously
+    ran a second ``groupBy().count()`` over the same (often expensive)
+    input and joined it back (trailing_volatility's bucketized range
+    join executed TWICE for exactly this) fold it into one pass.
     """
     pairs = df.select(
         *group_cols,
@@ -92,20 +101,27 @@ def vector_mean_cov(
         "_xi",
         F.posexplode("_vec").alias("_j", "_xj"),
     )
+    n_aggs = [F.count(F.lit(1)).alias("_vmc_n")] if count_col else []
     stats = pairs.groupBy(*group_cols, "_i", "_j").agg(
         F.avg("_xi").alias("_mean_i"),
         F.covar_samp("_xi", "_xj").alias("_cov_ij"),
+        *n_aggs,
     )
+    n_rollup1 = [F.min("_vmc_n").alias("_vmc_n")] if count_col else []
     rows = stats.groupBy(*group_cols, "_i").agg(
         F.min("_mean_i").alias("_mean_i"),
         F.array_sort(F.collect_list(F.struct("_j", "_cov_ij"))).alias("_cr"),
+        *n_rollup1,
     )
+    n_rollup2 = [F.min("_vmc_n").alias("_vmc_n")] if count_col else []
+    n_out = [F.col("_vmc_n").alias(count_col)] if count_col else []
     return (
         rows.groupBy(*group_cols)
         .agg(
             F.array_sort(
                 F.collect_list(F.struct("_i", "_mean_i", F.col("_cr")))
-            ).alias("_m")
+            ).alias("_m"),
+            *n_rollup2,
         )
         .select(
             *group_cols,
@@ -114,6 +130,7 @@ def vector_mean_cov(
                 F.col("_m"),
                 lambda x: F.transform(x["_cr"], lambda c: c["_cov_ij"]),
             ).alias(cov_col),
+            *n_out,
         )
     )
 

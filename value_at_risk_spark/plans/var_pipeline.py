@@ -113,10 +113,13 @@ def trailing_volatility(
         (F.col("_hd") >= F.date_sub(F.col("_cd"), days))
         & (F.col("_hd") <= F.col("_cd"))
     ).drop("_bk")
-    stats = vector_mean_cov(joined, ["_cd"], "features")
-    counts = joined.groupBy("_cd").agg(F.count(F.lit(1)).alias("_n"))
+    # one pass (r17, guide §2.4): the row count rides the mean/cov
+    # aggregation (count_col) instead of a second groupBy over the
+    # SAME bucket join — lazily, the explode+join subtree executed
+    # twice and the counts branch re-shuffled it just to count rows.
+    stats = vector_mean_cov(joined, ["_cd"], "features", count_col="_n")
     return (
-        stats.join(counts, "_cd")
+        stats
         .filter(F.col("_n") > 1)  # size>1 guard, 01_var_market_etl.py:177
         .select(F.col("_cd").alias("date"), "vol_avg", "vol_cov")
     )
@@ -284,13 +287,40 @@ def run_pipeline(
     model_cut: str | None = None,
     sim_start: str | None = None,
     sim_end: str | None = None,
+    materialize: bool = False,
 ) -> dict[str, DataFrame]:
-    """End-to-end: ETL → volatility → models → simulate → VaR → backtest."""
+    """End-to-end: ETL → volatility → models → simulate → VaR → backtest.
+
+    ``materialize=True`` (r17, guide §2.4 — the spine-checkpoint
+    pattern extended): eagerly localCheckpoint the three BOUNDED,
+    high-fanout intermediates that lazy evaluation otherwise
+    re-derives per reference in the composed plan —
+
+    - ``feats`` (one row per date): consumed by the volatility range
+      join (both sides) AND the model fit's as-of join — 3 references,
+      each re-running the pivot + per-factor lag windows;
+    - ``weights`` (one row per ticker): the scoring stage references
+      it twice and the backtest's as-of union doubles that — the OLS
+      applyInPandas fit appeared FOUR times in the composed physical
+      plan;
+    - ``var_series`` (one row per run date): the backtest as-of union
+      references it twice — the entire simulate→score→aggregate chain
+      (incl. the Monte-Carlo pandas UDF) executed twice.
+
+    localCheckpoint, never persist: blocks tie to these DataFrames'
+    RDD identity, so a fresh run_pipeline call recomputes from source
+    (no cross-run plan-fragment cache). Default False keeps the
+    composition fully lazy for callers that only consume one stage.
+    """
     factor_cols = list(cfg.factor_cols)
     rets = stock_returns(stocks)
     feats = market_features(indicators, factor_cols)
+    if materialize:
+        feats = feats.localCheckpoint(eager=True)
     vol = trailing_volatility(feats, cfg.volatility_days)
     weights = train_models(rets, feats, model_cut)
+    if materialize:
+        weights = weights.localCheckpoint(eager=True)
     bounds = stocks.agg(
         F.min("date").alias("mn"), F.max("date").alias("mx")
     ).first()
@@ -302,6 +332,8 @@ def run_pipeline(
     sims = simulate(vol, spine, cfg.runs)
     scored = score_trials(sims, weights, n_factors=len(factor_cols))
     var_series = aggregate_var(scored, portfolio, cfg.confidence)
+    if materialize:
+        var_series = var_series.localCheckpoint(eager=True)
     compliance = backtest(rets, portfolio, var_series, cfg.basel_days)
     return {
         "returns": rets,

@@ -758,7 +758,13 @@ def var_pipeline_end_to_end(spark: SparkSession, sf_dir: str) -> DataFrame:
         [(t, 0.2) for t in series], "ticker string, weight double"
     )
     cfg = VarConfig(runs=500, factor_cols=tuple(f"f{i}" for i in range(5)))
-    out = run_pipeline(spark, stocks, indicators, portfolio, cfg)
+    # materialize=True (r17): checkpoint the bounded feats / weights /
+    # var_series intermediates — lazily their subtrees (incl. the OLS
+    # fit and the whole MC chain) re-executed 2-4x in this composed
+    # plan; see run_pipeline's docstring for the fanout accounting.
+    out = run_pipeline(
+        spark, stocks, indicators, portfolio, cfg, materialize=True
+    )
     return (
         out["backtest"]
         .groupBy(F.date_trunc("quarter", "date").cast("date").alias("quarter"))
