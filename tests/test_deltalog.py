@@ -243,6 +243,68 @@ def test_merge_into_delta_native_upserts_transactionally(spark, tmp_path):
         merge_into_delta_native(spark, tbl, updates, [])
 
 
+def test_merge_into_delta_native_prunes_untouched_files(spark, tmp_path):
+    """r17: MERGE plans from the active file set like DELETE/UPDATE —
+    files provably holding no source key keep their add actions
+    verbatim; only touched files are removed+rewritten. Checked on
+    both the upsert-star path and the general clause engine, against
+    a range-clustered 10-file table where the source keys live in
+    exactly one file."""
+    import json as _json
+    import os as _os
+
+    from pyspark.sql import functions as F
+
+    from value_at_risk_spark.operators.merge import merge_into_delta_native
+
+    tbl = str(tmp_path / "prune_t")
+    df = spark.range(10_000).select(
+        F.col("id").alias("k"), (F.col("id") * 2.0).alias("v")
+    )
+    write_delta(spark, df.repartitionByRange(10, "k"), tbl)
+    assert len(snapshot(tbl).files) == 10
+
+    def commit_actions(v):
+        p = _os.path.join(tbl, "_delta_log", f"{v:020d}.json")
+        return [_json.loads(line) for line in open(p)]
+
+    # upsert-star: keys 100..149 live in ONE range file
+    src = spark.range(50).select(
+        (F.col("id") + 100).alias("k"), F.lit(-1.0).alias("v")
+    )
+    v = merge_into_delta_native(spark, tbl, src, ["k"])
+    acts = commit_actions(v)
+    assert sum(1 for a in acts if a.get("remove")) == 1
+    assert sum(1 for a in acts if a.get("add")) == 1
+    got = read_delta(spark, tbl)
+    assert got.count() == 10_000
+    assert got.filter("v = -1.0").count() == 50
+
+    # general clause engine: same single-file bound, rows preserved
+    src2 = spark.range(30).select(
+        (F.col("id") + 5_000).alias("k"), F.lit(7.0).alias("v")
+    )
+    v2 = merge_into_delta_native(
+        spark, tbl, src2, ["k"],
+        matched=[{"condition": "s.v > t.v", "update": "*"}],
+        not_matched=[{"insert": "*"}],
+    )
+    acts2 = commit_actions(v2)
+    assert sum(1 for a in acts2 if a.get("remove")) == 1
+    assert sum(1 for a in acts2 if a.get("add")) == 1
+    assert read_delta(spark, tbl).count() == 10_000
+
+    # insert-only merge: zero removes, one added file, rows appended
+    src3 = spark.range(5).select(
+        (F.col("id") + 1_000_000).alias("k"), F.lit(9.0).alias("v")
+    )
+    v3 = merge_into_delta_native(spark, tbl, src3, ["k"])
+    acts3 = commit_actions(v3)
+    assert sum(1 for a in acts3 if a.get("remove")) == 0
+    assert sum(1 for a in acts3 if a.get("add")) == 1
+    assert read_delta(spark, tbl).count() == 10_005
+
+
 def test_delta_txn_sink_exactly_once_and_checkpointed_txn(spark, tmp_path):
     """streaming/sinks.DeltaTxnSink: (a) a re-delivered batchId is a
     no-op because the txn action rides in the same atomic commit as

@@ -359,8 +359,12 @@ def merge_into_delta_native(
         _stage_cdc,
         cdf_enabled,
         read_delta,
+        row_tracking_enabled,
         snapshot,
+        table_constraints,
         table_default_columns,
+        table_generated_columns,
+        table_identity_columns,
         write_delta,
     )
 
@@ -395,6 +399,81 @@ def merge_into_delta_native(
             if committed is not None and int(txn["version"]) <= committed:
                 return -1
         read_v = snap0.version
+        # File-level pruning (r17, guide §6 — the delete/update DML
+        # paths' edge applied to MERGE): without by-source clauses a
+        # merge can only change target rows whose KEY appears in the
+        # source, so files provably holding no source key keep their
+        # add actions verbatim and only the touched files rewrite.
+        # The touched set is found with ONE column-pruned scan of the
+        # key columns semi-joined to the (deduped) source keys; a
+        # source key absent from every touched file is absent from
+        # the whole table, so not-matched detection against the
+        # touched slice is exact. Falls back to the full
+        # copy-on-write overwrite when by-source clauses (they touch
+        # NON-matching rows), row tracking (survivor ids must be
+        # preserved through write_delta's machinery), or generated /
+        # identity columns (write_delta computes/validates them) are
+        # in play.
+        prunable = (
+            not bs_cl
+            and not row_tracking_enabled(snap0)
+            and not table_generated_columns(snap0)
+            and not table_identity_columns(snap0)
+        )
+        if prunable:
+            from value_at_risk_spark.sources.deltalog import (
+                _mapping_planes as _planes,
+                _pruned_active,
+                _touched_files_by_keys,
+            )
+
+            io_snap, to_log, to_phys, _l2p = _planes(spark, snap0)
+            candidates = _pruned_active(io_snap, None, None)
+            # Two-phase touched-file identification, each phase only
+            # run when the previous one could still pay:
+            # 1. STATS phase — the source key range ([min,max] of the
+            #    first merge key, one tiny agg job) against each
+            #    add.stats min/max (driver-side, no scan). Sound:
+            #    a file whose key range misses every source key can
+            #    hold no match; incomparable/missing stats keep the
+            #    file.
+            # 2. EXACT phase — the _touched_files-style column-pruned
+            #    key scan + semi-join, run ONLY over the stats
+            #    survivors and ONLY when stats excluded something
+            #    (an all-files-overlap source spans the table's key
+            #    range; the scan probe would almost surely confirm
+            #    all-touched, and the overwrite path it falls back to
+            #    stages exactly one write with no forced repartition).
+            # Single-file tables skip both phases outright.
+            touched = list(candidates)
+            if len(candidates) > 1:
+                k0 = keys[0]
+                b = deduped.agg(
+                    F.min(k0).alias("mn"), F.max(k0).alias("mx")
+                ).first()
+                if b.mn is None:
+                    touched = []  # empty source: nothing can match
+                else:
+                    k_phys = (_l2p or {}).get(k0, k0)
+                    stats_cands = _pruned_active(
+                        io_snap,
+                        None,
+                        [(k_phys, ">=", b.mn), (k_phys, "<=", b.mx)],
+                    )
+                    if len(stats_cands) < len(candidates):
+                        touched = _touched_files_by_keys(
+                            spark, target_path, io_snap, stats_cands,
+                            deduped.select(*keys), keys, view=to_log,
+                        )
+            if len(touched) < len(candidates):
+                rv = _merge_pruned(
+                    spark, target_path, snap0, deduped, keys,
+                    general, m_cl, nm_cl, txn,
+                    io_snap, to_log, to_phys, touched,
+                )
+                if rv is not None:
+                    return rv
+                continue  # commit conflict: re-read the tip and retry
         target = read_delta(spark, target_path, version=read_v)
         cdc_df = None
         tagged = None
@@ -466,3 +545,167 @@ def merge_into_delta_native(
     raise RuntimeError(
         f"merge_into_delta_native: conflicted 16 times at {target_path}"
     )
+
+
+def _merge_pruned(
+    spark,
+    target_path: str,
+    snap0,
+    deduped: DataFrame,
+    keys: list[str],
+    general: bool,
+    m_cl: list[dict],
+    nm_cl: list[dict],
+    txn: dict | None,
+    io_snap,
+    to_log,
+    to_phys,
+    touched: list[str],
+) -> int | None:
+    """One file-pruned MERGE attempt against ``snap0`` (guide §6 —
+    the delete/update DML shape): rewrite ONLY the ``touched`` files
+    (merged with the full source), keep every other add action
+    verbatim, and commit remove(touched)+add(rewritten) atomically
+    pinned to the read version. The caller identified ``touched``
+    with one column-pruned key scan and only enters here when it is a
+    STRICT subset of the active files (all-touched merges stay on the
+    single-staged overwrite path). Returns the committed version, or
+    None on a commit conflict (caller re-reads the tip and retries).
+
+    Correctness of the slice: a source key absent from every touched
+    file is absent from the whole table, so matched-clause evaluation
+    and not-matched (insert) detection against the touched slice give
+    exactly the whole-table answer. Requires no by-source clauses
+    (those touch non-matching rows — the caller falls back).
+
+    Write-time enforcement parity with the overwrite path, scoped to
+    the REWRITTEN rows (untouched files were validated when written):
+    NOT NULL invariants and CHECK constraints run over the merged
+    slice; append-only and writer-version refusals match write_delta.
+    """
+    from value_at_risk_spark.sources.deltalog import (
+        _check_constraints,
+        _commit_rewrite,
+        _maybe_auto_compact,
+        _refuse_append_only,
+        _refuse_high_writer_version,
+        _scan_files_dv,
+        _stage,
+        _stage_cdc,
+        _wants_auto_compact,
+        cdf_enabled,
+        read_delta,
+        table_constraints,
+        table_default_columns,
+    )
+
+    read_v = snap0.version
+    _refuse_high_writer_version(snap0, "MERGE")
+    _refuse_append_only(snap0, "MERGE")
+    if touched:
+        target = to_log(_scan_files_dv(spark, target_path, io_snap, touched))
+    else:
+        # no file holds any source key: the target slice is empty and
+        # the merge reduces to the not-matched (insert) clauses
+        target = read_delta(spark, target_path, version=read_v).limit(0)
+    cdc_df = None
+    tagged = None
+    want_cdc = cdf_enabled(snap0)
+    try:
+        if general:
+            merged, cdc_df, tagged = _merge_with_clauses(
+                target,
+                deduped,
+                keys,
+                snap0.schema.fields,
+                m_cl,
+                nm_cl,
+                [],
+                want_cdc=want_cdc,
+                defaults=table_default_columns(snap0),
+            )
+            tagged.persist()
+        else:
+            merged = upsert(target, deduped, keys)
+            if want_cdc:
+                aligned = deduped.select(
+                    *[
+                        F.col(f.name).cast(f.dataType).alias(f.name)
+                        for f in snap0.schema.fields
+                    ]
+                )
+                target_keys = target.select(*keys)
+                pre = target.join(
+                    deduped.select(*keys), on=keys, how="left_semi"
+                ).withColumn("_change_type", F.lit("update_preimage"))
+                post = aligned.join(
+                    target_keys, on=keys, how="left_semi"
+                ).withColumn("_change_type", F.lit("update_postimage"))
+                ins = aligned.join(
+                    target_keys, on=keys, how="left_anti"
+                ).withColumn("_change_type", F.lit("insert"))
+                cdc_df = pre.unionByName(post).unionByName(ins)
+        # align to the table schema exactly (write_delta's overwrite
+        # cast the frame the same way before staging)
+        merged = merged.select(
+            *[
+                F.col(f.name).cast(f.dataType).alias(f.name)
+                for f in snap0.schema.fields
+            ]
+        )
+        null_cols = [f.name for f in snap0.schema.fields if not f.nullable]
+        if null_cols:
+            bad_cond = F.lit(False)
+            for c in null_cols:
+                bad_cond = bad_cond | F.col(c).isNull()
+            bad = merged.filter(bad_cond).limit(1).collect()
+            if bad:
+                raise ValueError(
+                    "merge_into_delta_native: NOT NULL invariant "
+                    f"violated for column(s) {null_cols} by row "
+                    f"{bad[0].asDict()}"
+                )
+        cons = table_constraints(snap0)
+        if cons:
+            _check_constraints(merged, cons, "merge_into_delta_native")
+        # bound the restage task count by the touched-file count
+        # (rewrite granularity ≈ input granularity, the delete path's
+        # rule); a pure-insert merge (no touched files) stages one
+        adds = _stage(
+            to_phys(merged).repartition(max(len(touched), 1)),
+            target_path,
+            io_snap.partition_columns,
+            data_change=True,
+        )
+        extra = None
+        if cdc_df is not None:
+            extra = _stage_cdc(
+                to_phys(cdc_df),
+                target_path,
+                io_snap.partition_columns,
+            )
+        ok = _commit_rewrite(
+            target_path,
+            read_v,
+            "MERGE",
+            {
+                "predicate": " AND ".join(
+                    f"t.`{k}` = s.`{k}`" for k in keys
+                )
+            },
+            touched,
+            adds,
+            snap0,
+            cdc_actions=extra,
+            txn=txn,
+        )
+    finally:
+        if tagged is not None:
+            tagged.unpersist()
+    if not ok:
+        # conflict: staged files become vacuum-collectable orphans,
+        # the same torn-state story as any failed commit
+        return None
+    if adds and _wants_auto_compact(snap0):
+        _maybe_auto_compact(spark, target_path)
+    return read_v + 1

@@ -5318,6 +5318,59 @@ def _touched_files(
     return sorted(touched), total
 
 
+def _touched_files_by_keys(
+    spark: SparkSession,
+    path: str,
+    snap: DeltaSnapshot,
+    candidates: list[str],
+    keys_df: DataFrame,
+    keys: list[str],
+    view=None,
+) -> list[str]:
+    """Identify which candidate files hold at least one row whose key
+    tuple appears in ``keys_df`` — the MERGE analogue of
+    ``_touched_files`` (a semi-join on the merge keys instead of a
+    predicate). One distributed scan of the KEY COLUMNS only,
+    aggregated to (file, hit) — the driver result is bounded by the
+    file count, never by rows. At 100 TB a merge whose source touches
+    0.1% of files identifies them with one column-pruned pass and the
+    rewrite stays 0.1% of the table. DV-carrying candidates are
+    matched through the DV-applied scan (already-deleted rows must
+    never mark a file touched). ``view`` (mapped tables): post-scan
+    rename to LOGICAL names so the logical-name ``keys`` bind."""
+    if view is None:
+        view = lambda df: df  # noqa: E731
+    if not candidates:
+        return []
+    if _dv_map(snap, candidates):
+        base = view(
+            _scan_files_dv(spark, path, snap, candidates, keep_meta=True)
+        )
+        fcol = F.col("__dv_fp")
+    else:
+        base = view(_scan_files(spark, path, snap, candidates))
+        fcol = F.input_file_name()
+    hits = (
+        base.select(fcol.alias("_delta_file"), *keys)
+        .join(keys_df.select(*keys), on=keys, how="left_semi")
+        .groupBy("_delta_file")
+        .agg(F.count(F.lit(1)).alias("_n"))
+        .collect()
+    )
+    abs2rel = {
+        os.path.normpath(os.path.join(os.path.abspath(path), unquote(p))): p
+        for p in candidates
+    }
+    touched: list[str] = []
+    for r in hits:
+        a = r._delta_file
+        if a.startswith("file:"):
+            a = a[len("file:"):]
+            a = "/" + a.lstrip("/")
+        touched.append(abs2rel[os.path.normpath(unquote(a))])
+    return sorted(touched)
+
+
 def _stage_cdc(
     df: DataFrame, path: str, part_cols: list[str]
 ) -> list[dict]:
@@ -5361,6 +5414,7 @@ def _commit_rewrite(
     adds: list[dict],
     snap: DeltaSnapshot,
     cdc_actions: list[dict] | None = None,
+    txn: dict | None = None,
 ) -> bool:
     now_ms = int(time.time() * 1000)
     actions: list[dict] = [
@@ -5373,6 +5427,18 @@ def _commit_rewrite(
             }
         }
     ]
+    if txn is not None:
+        # streaming-sink idempotence rides in the same atomic commit
+        # (write_delta's txn action format exactly)
+        actions.append(
+            {
+                "txn": {
+                    "appId": str(txn["appId"]),
+                    "version": int(txn["version"]),
+                    "lastUpdated": now_ms,
+                }
+            }
+        )
     actions.extend(
         {
             "remove": {
