@@ -906,6 +906,18 @@ def test_jl_projection_numpy_parity_and_distance_fold(spark):
         round(float(e), 9) for e in expect
     )
 
+    # r17: the SQL-text path (string column name) is BIT-IDENTICAL to
+    # the Column-API builder (Column argument) — exact double equality
+    # per component, including exponent-heavy literals
+    mat2 = [[x * s for x in row] for row, s in zip(mat, [1e-7, 1.0, -1e3, 1.0] * 2)]
+    got = df.select(
+        jl_project("v", mat2).alias("sqlform"),
+        jl_project(F.col("v"), mat2).alias("colform"),
+    ).collect()
+    assert len(got) == 20
+    for r in got:
+        assert list(r.sqlform) == list(r.colform)
+
 
 def test_shingles_let_bound_form_parity(spark):
     """The r16 let-binding rewrite of ``shingles``/``chunk_tokens``

@@ -146,7 +146,29 @@ def jl_project(
     one HOF dot product per output dimension (the narrow-dot unroll
     crossover doesn't apply — the 64-wide fold repeats per output
     row, the same reasoning as nearest_cell_expr). Entirely plan-side:
-    no shuffle, no Python, streaming-safe."""
+    no shuffle, no Python, streaming-safe.
+
+    r17 (guide §4, the _cell_dists_sql argument): for a plain string
+    column name the out_dim x in_dim literal tree is rendered as ONE
+    SQL string parsed JVM-side — the Column-API build cost one py4j
+    round-trip per literal (measured ~2.4 s of pure driver time at
+    32x64). The rendered fold is byte-for-byte the text form of
+    ``dot_product``'s HOF (same cast, same left fold, 0.0D zero), so
+    results are bit-identical; Column-object callers keep the legacy
+    builder."""
+    if isinstance(vec, str):
+        from value_at_risk_spark.operators.similarity import (
+            _array1_sql,  # function-local: avoids a circular import
+        )
+
+        vsql = f"`{vec}`"
+        dots = ", ".join(
+            "aggregate(zip_with({v}, {arr}, (x, y) -> "
+            "CAST(x AS DOUBLE) * CAST(y AS DOUBLE)), 0.0D, "
+            "(acc, x) -> acc + x)".format(v=vsql, arr=_array1_sql(row))
+            for row in matrix
+        )
+        return F.expr(f"array({dots})")
     v = _c(vec)
     return F.array(
         *[

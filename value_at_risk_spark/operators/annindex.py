@@ -35,6 +35,8 @@ from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
 from value_at_risk_spark.operators.similarity import (
+    _array1_sql,
+    _array2_sql,
     nearest_cell_expr,
     pq_encode,
 )
@@ -317,9 +319,8 @@ def append_to_ivfpq(
     codes — the per-increment cost profile a daily embedding feed
     needs. Search sees the new vectors on its next scan."""
     cents, books, _ = load_ivfpq_index(spark, base_dir)
-    cents_lit = F.array(
-        *[F.array(*[F.lit(float(x)) for x in c]) for c in cents]
-    )
+    # r17: ncells x dim literals as ONE parsed SQL string (guide §4)
+    cents_lit = F.expr(_array2_sql(cents))
     assigned = new_vectors.select(
         F.col(corpus_id),
         F.col(vec_col),
@@ -554,7 +555,7 @@ def rebalance_ivfpq(
         vecs = codes.filter(F.col("_cell") == c).select(
             corpus_id,
             F.zip_with(
-                F.array(*[F.lit(float(x)) for x in cents[c]]),
+                F.expr(_array1_sql(cents[c])),
                 pq_decode_expr(books),
                 lambda a, b: a + b,
             ).alias("embedding"),
@@ -579,12 +580,7 @@ def rebalance_ivfpq(
             F.zip_with(
                 F.col("embedding"),
                 F.element_at(
-                    F.array(
-                        *[
-                            F.array(*[F.lit(float(x)) for x in s])
-                            for s in pair
-                        ]
-                    ),
+                    F.expr(_array2_sql(pair)),
                     F.col("_pick") + 1,
                 ),
                 lambda a, b: a - b,
