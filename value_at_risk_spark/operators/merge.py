@@ -308,15 +308,24 @@ def merge_into_delta_native(
 ) -> int:
     """MERGE against a NATIVE delta-log table (sources/deltalog.py) —
     the no-delta-spark counterpart of ``merge_into_delta``, committed
-    as one copy-on-write OVERWRITE version, so readers flip atomically
-    from pre-merge to post-merge state and time travel keeps the
-    pre-merge snapshot. Returns the committed version — or -1
-    unwritten when ``txn`` ({appId, version}) identifies a batch the
-    table has already committed (the streaming sink idempotence
-    contract; the check rides inside the same atomic commit). Copy-on-write
-    rewrites the whole active set (file-level pruning of untouched
-    files is delta-spark's edge, documented, not silently
-    approximated).
+    as one copy-on-write version, so readers flip atomically from
+    pre-merge to post-merge state and time travel keeps the pre-merge
+    snapshot. Returns the committed version — or -1 unwritten when
+    ``txn`` ({appId, version}) identifies a batch the table has
+    already committed (the streaming sink idempotence contract; the
+    check rides inside the same atomic commit).
+
+    FILE-LEVEL PRUNING (r17, guide §6 — delta-spark's MERGE edge,
+    previously documented away): without by-source clauses, only
+    files holding a source key can change, so a stats phase (source
+    key range vs add.stats min/max) plus an exact column-pruned
+    key-scan probe identify the touched files and ONLY those are
+    removed+rewritten — every other add action survives verbatim. At
+    100 TB a merge touching 0.1% of files rewrites 0.1% of the
+    table. Falls back to the single-staged whole-set overwrite when
+    pruning cannot pay or cannot be proven safe: by-source clauses,
+    row tracking, generated/identity columns, single-file tables,
+    and all-files-touched sources.
 
     Default (no clause arguments) is the upsert-star form — ``WHEN
     MATCHED THEN UPDATE SET * WHEN NOT MATCHED THEN INSERT *`` — via
